@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Classic analytics: the engine's bread-and-butter scan/agg/join/window
+  * surface (SURVEY.md §2 B). All pure DataFrame plans — Catalyst owns
+  * pushdown, pruning and join strategy; dims are explicitly broadcast.
+  */
+object Analytics {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+  private def money(c: Column): Column = round(c, 2).cast("double")
+
+  /** B1 (flagship): TPC-H Q1-shaped pricing summary. Single scan of
+    * lineitem, filter pushed to parquet, hash aggregate with map-side
+    * partial agg — the canonical 100 TB-safe plan shape.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val disc = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        money(sum(dec(col("l_quantity")))).as("sum_qty"),
+        money(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        money(sum(disc)).as("sum_disc_price"),
+        round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** B2: selective 4-way dim join — region/nation broadcast, filters
+    * applied before the join so only matching customers shuffle.
+    */
+  def joinPushdown(orders: DataFrame, customer: DataFrame,
+                   nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderstatus") === "F")
+      .join(customer.select("c_custkey", "c_nationkey"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        money(sum(dec(col("o_totalprice")))).as("revenue"))
+
+  val joinPushdownSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND o_orderstatus = 'F'
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** B3: join + agg + top-k: revenue by brand, keep top 5. Part is a
+    * broadcast dim; the top-k is a row_number filter over the tiny
+    * aggregated frame (exact decimal ordering → deterministic).
+    */
+  def topParts(lineitem: DataFrame, part: DataFrame, k: Int = 5): DataFrame = {
+    val disc = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+    val rev = lineitem
+      .join(broadcast(part.select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(disc).as("rev_exact"))
+    rev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy().orderBy(col("rev_exact").desc, col("p_brand"))))
+      .filter(col("rn") <= k)
+      .select(col("p_brand"), money(col("rev_exact")).as("revenue"), col("rn"))
+  }
+
+  val topPartsSql: String =
+    """WITH rev AS (SELECT p_brand,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev_exact
+      |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand)
+      |SELECT p_brand, CAST(round(rev_exact, 2) AS DOUBLE) AS revenue, rn
+      |FROM (SELECT *, row_number() OVER (ORDER BY rev_exact DESC, p_brand) AS rn FROM rev)
+      |WHERE rn <= 5""".stripMargin
+
+  /** B4: decile stats over order value — ntile with a unique-key
+    * tiebreak so bucketing is deterministic across engines.
+    */
+  def decileValue(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("decile",
+        ntile(10).over(Window.partitionBy().orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+
+  val decileValueSql: String =
+    """WITH d AS (SELECT o_totalprice,
+      |  ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |FROM orders)
+      |SELECT decile, count(*) AS n, min(o_totalprice) AS min_price,
+      |  max(o_totalprice) AS max_price
+      |FROM d GROUP BY decile""".stripMargin
+
+  /** B5: month-bucketed revenue time series. */
+  def monthlyRevenue(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        money(sum(dec(col("o_totalprice")))).as("revenue"))
+
+  val monthlyRevenueSql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
+    "q_join_pushdown" -> ((s, d) =>
+      joinPushdown(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
+    "q_top_parts" -> ((s, d) => topParts(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q_decile_value" -> ((s, d) => decileValue(Tables.orders(s, d))),
+    "q_monthly_revenue" -> ((s, d) => monthlyRevenue(Tables.orders(s, d))))
+
+  def oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> pricingSummarySql,
+    "q_join_pushdown" -> joinPushdownSql,
+    "q_top_parts" -> topPartsSql,
+    "q_decile_value" -> decileValueSql,
+    "q_monthly_revenue" -> monthlyRevenueSql)
+}

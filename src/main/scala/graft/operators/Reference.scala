@@ -1,0 +1,457 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Operators re-expressing the reference pipeline's relational semantics
+  * (Dante134/instagram_data_pipeline) Spark-first over the testdata tables.
+  *
+  * Portability conventions (DuckDB oracle parity, see SURVEY.md §6):
+  *  - event time is always `unix_micros(ts)` (DuckDB: `epoch_us(ts)`) —
+  *    both floor the parquet ns timestamps to identical bigint micros;
+  *  - money sums go through DECIMAL(18,4) (exact, order-independent),
+  *    then `round(…, 2)` and cast to double;
+  *  - ratios/averages divide exact numerators as doubles, `round(…, 4)`.
+  */
+object Reference {
+
+  /** Exact money arithmetic: cast to decimal before aggregating. */
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+  private def money(c: Column): Column = round(c, 2).cast("double")
+
+  /** Event-time in microseconds: matches DuckDB `epoch_us` exactly. */
+  private def tUs(c: Column): Column = unix_micros(c)
+
+  // ===========================================================
+  // A2/A3/A14 share a derived directed-edge relation: `click`
+  // events define "user A follows B" with B = floor(value) % 20.
+  // Mirrors the reference's followers/following tables
+  // (database/setup.py:56-77).
+  // ===========================================================
+
+  /** Directed follow edges (src, dst), distinct, no self-loops. */
+  def followEdges(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id").as("src"),
+        (floor(col("value")).cast("long") % 20).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  val edgesSql: String =
+    """SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) % 20 AS dst
+      |FROM events WHERE event_type = 'click'
+      |  AND user_id <> CAST(floor(value) AS BIGINT) % 20""".stripMargin
+
+  /** A1: latest-wins upsert — the reference upserts user profiles with
+    * `ON CONFLICT DO UPDATE` keeping the newest row
+    * (scraper/instagram_scraper.py:203-227). Spark-first: window
+    * row_number over the key, newest first. At scale this is a single
+    * hash-partitioned window — no global sort.
+    */
+  def upsertLatest(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        col("value").as("last_value"),
+        tUs(col("ts")).as("last_ts_us"))
+  }
+
+  val upsertLatestSql: String =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |       value AS last_value, epoch_us(ts) AS last_ts_us
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      |      FROM events) WHERE rn = 1""".stripMargin
+
+  /** A2: mutual followers — the reference's core query
+    * (scraper/instagram_scraper.py:418-426): reciprocal-edge self-join.
+    * Both sides are the same narrow (src,dst) projection, shuffled once
+    * on the join key; output is the unordered pair (a<b).
+    */
+  def mutualEdges(events: DataFrame): DataFrame = {
+    val e = followEdges(events)
+    val e1 = e.as("e1")
+    val e2 = e.as("e2")
+    e1.join(e2, col("e1.src") === col("e2.dst") && col("e1.dst") === col("e2.src"))
+      .filter(col("e1.src") < col("e1.dst"))
+      .select(col("e1.src").as("user_a"), col("e1.dst").as("user_b"))
+  }
+
+  val mutualEdgesSql: String =
+    s"""WITH edges AS ($edgesSql)
+       |SELECT e1.src AS user_a, e1.dst AS user_b
+       |FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+       |WHERE e1.src < e1.dst""".stripMargin
+
+  /** A3: follower/following degree per user — the profile counters the
+    * reference stores on `users` (follower_count / following_count).
+    * Two partial-agg counts + a full outer join on the user key.
+    */
+  def followerStats(events: DataFrame): DataFrame = {
+    val e = followEdges(events)
+    val out = e.groupBy(col("src").as("user_id")).agg(count("*").as("out_deg"))
+    val in = e.groupBy(col("dst").as("user_id")).agg(count("*").as("in_deg"))
+    out.join(in, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  val followerStatsSql: String =
+    s"""WITH edges AS ($edgesSql),
+       |o AS (SELECT src AS user_id, count(*) AS out_deg FROM edges GROUP BY 1),
+       |i AS (SELECT dst AS user_id, count(*) AS in_deg FROM edges GROUP BY 1)
+       |SELECT coalesce(o.user_id, i.user_id) AS user_id,
+       |       coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg
+       |FROM o FULL JOIN i ON o.user_id = i.user_id""".stripMargin
+
+  /** A4: pending-job batch selection — `status='pending' ORDER BY job_id
+    * LIMIT n` (scheduler/job_scheduler.py:96-106). Spark compiles
+    * sort+limit to TakeOrderedAndProject: per-partition top-n, no global
+    * sort — exactly what survives at scale.
+    */
+  def pendingBatch(events: DataFrame, n: Int = 10): DataFrame =
+    events
+      .filter(col("event_type") === "signup")
+      .orderBy("event_id")
+      .limit(n)
+      .select(col("event_id"), col("user_id"), tUs(col("ts")).as("ts_us"))
+
+  val pendingBatchSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |FROM events WHERE event_type = 'signup'
+      |ORDER BY event_id LIMIT 10""".stripMargin
+
+  /** A5: recent-activity window dedup — the scheduler skips users with a
+    * job in the last 7 days (scheduler/job_scheduler.py:56-78). Here:
+    * users whose latest event is older than (max ts - 7 days). The
+    * global max is a one-row broadcast, not a driver collect.
+    */
+  def recentWindowDedup(events: DataFrame): DataFrame = {
+    val mx = events.agg(max(tUs(col("ts"))).as("max_us"))
+    events
+      .groupBy("user_id")
+      .agg(max(tUs(col("ts"))).as("last_ts_us"))
+      .crossJoin(broadcast(mx))
+      .filter(col("last_ts_us") < col("max_us") - lit(12L * 3600 * 1000000L))
+      .select(col("user_id"), col("last_ts_us"))
+  }
+
+  val recentWindowDedupSql: String =
+    """WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+      |last AS (SELECT user_id, max(epoch_us(ts)) AS last_ts_us FROM events GROUP BY 1)
+      |SELECT user_id, last_ts_us FROM last, mx
+      |WHERE last_ts_us < max_us - 12::BIGINT * 3600 * 1000000""".stripMargin
+
+  /** A6: pending-users anti-join — users with completed scrape data but
+    * no interest rows (analysis/interest_analyzer.py:289-297,
+    * `LEFT JOIN … WHERE i.id IS NULL`). Spark-first: LEFT ANTI join —
+    * the planner picks broadcast/hash anti based on sizes.
+    */
+  def pendingUsersAntiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  val pendingUsersAntiJoinSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin
+
+  // ===========================================================
+  // A7: interest categorization. The reference ships bios to GPT-4 and
+  // stores (category, confidence) rows (interest_analyzer.py:176-260).
+  // Deterministic re-expression: per-category keyword hit counts over the
+  // token stream, argmax with alphabetical tie-break, confidence =
+  // best/total. Pure codegen'd builtins — no UDF.
+  // ===========================================================
+
+  val categories: Seq[(String, Seq[String])] = Seq(
+    "performance" -> Seq("fast", "slow", "vector"),
+    "query_exec" -> Seq("scan", "filter", "join"),
+    "storage" -> Seq("table", "column", "row"),
+    "streaming" -> Seq("stream", "batch", "window"))
+
+  def interestCategorize(documents: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val counted = categories.foldLeft(documents.select(col("doc_id"), toks.as("toks"))) {
+      case (df, (name, kws)) =>
+        df.withColumn(s"c_$name", size(filter(col("toks"), t => t.isInCollection(kws))).cast("long"))
+    }
+    val catCols = categories.map { case (n, _) => col(s"c_$n") }
+    val total = catCols.reduce(_ + _)
+    val best = greatest(catCols: _*)
+    // alphabetical-first argmax: the first category (in sorted order)
+    // whose count equals the max wins — same CASE order as the oracle.
+    val sortedCats = categories.map(_._1).sorted
+    val winner = sortedCats
+      .foldRight(lit("unknown")) { (n, acc) => when(col(s"c_$n") === best && best > 0, lit(n)).otherwise(acc) }
+    counted
+      .select(
+        col("doc_id"),
+        winner.as("category"),
+        when(total > 0, round(best.cast("double") / total.cast("double"), 4))
+          .otherwise(lit(0.0)).as("confidence"))
+  }
+
+  val interestCategorizeSql: String = {
+    def cnt(kws: Seq[String]): String = {
+      val inList = kws.map(k => s"'$k'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS BIGINT)"
+    }
+    val cols = categories.map { case (n, kws) => s"${cnt(kws)} AS c_$n" }.mkString(",\n  ")
+    val names = categories.map(_._1)
+    val total = names.map(n => s"c_$n").mkString(" + ")
+    val best = s"greatest(${names.map(n => s"c_$n").mkString(", ")})"
+    val cases = names.sorted
+      .map(n => s"WHEN c_$n = best AND best > 0 THEN '$n'")
+      .mkString("\n    ")
+    s"""WITH scored AS (SELECT doc_id,
+       |  $cols
+       |FROM documents),
+       |agged AS (SELECT doc_id, $total AS total, $best AS best, * FROM scored)
+       |SELECT doc_id,
+       |  CASE $cases ELSE 'unknown' END AS category,
+       |  CASE WHEN total > 0 THEN round(CAST(best AS DOUBLE) / CAST(total AS DOUBLE), 4) ELSE 0.0 END AS confidence
+       |FROM agged""".stripMargin
+  }
+
+  /** A8: category hierarchy rollup — the reference's parent/child interest
+    * taxonomy (interest_analyzer.py:40-115) re-expressed as the
+    * nation→region rollup: small dims broadcast, fact side aggregated
+    * with partial (map-side) combine.
+    */
+  def categoryRollup(orders: DataFrame, customer: DataFrame,
+                     nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        money(sum(dec(col("o_totalprice")))).as("revenue"))
+
+  val categoryRollupSql: String =
+    """SELECT r_name, count(DISTINCT c_custkey) AS n_customers, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** A9: scrape-job progress stats — status/type breakdown with share of
+    * total (scrape_jobs bookkeeping, scheduler + scraper). The total is a
+    * window over the already-aggregated 5-row frame: free.
+    */
+  def jobProgress(events: DataFrame): DataFrame = {
+    val agged = events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      money(sum(dec(col("value")))).as("total_value"))
+    agged
+      .withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(Window.partitionBy()), 4))
+  }
+
+  val jobProgressSql: String =
+    """WITH agged AS (SELECT event_type, count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1)
+      |SELECT event_type, n, total_value,
+      |  round(CAST(n AS DOUBLE) / sum(n) OVER (), 4) AS share
+      |FROM agged""".stripMargin
+
+  /** A10: daily quota — the scheduler caps work at N/day
+    * (scheduler/job_scheduler.py:33, daily_quota). Per-day row_number ≤
+    * quota; rank-filter lets Spark push a WindowGroupLimit (top-n per
+    * group, no full per-day sort materialization).
+    */
+  def dailyQuota(events: DataFrame, quota: Int = 5): DataFrame = {
+    val day = to_date(date_trunc("day", col("ts")))
+    val w = Window.partitionBy(col("day")).orderBy(col("event_id"))
+    events
+      .withColumn("day", day)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("rn") <= quota, 1L).otherwise(0L)).as("kept"))
+  }
+
+  val dailyQuotaSql: String =
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  row_number() OVER (PARTITION BY CAST(date_trunc('day', ts) AS DATE) ORDER BY event_id) AS rn
+      |FROM events)
+      |SELECT day, count(*) AS total,
+      |  sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS kept
+      |FROM d GROUP BY day""".stripMargin
+
+  /** A11: batch assignment — the analyzer chunks following lists into
+    * fixed batches (interest_analyzer.py:168, batch_size=20). Partitioned
+    * by source (like per-user batches in the reference) so numbering
+    * never needs a global sort.
+    */
+  def batchAssign(documents: DataFrame, batchSize: Int = 20): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    documents
+      .select(col("doc_id"), col("source"))
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1) / lit(batchSize.toDouble)).cast("long"))
+  }
+
+  val batchAssignSql: String =
+    """SELECT doc_id, source,
+      |  CAST(floor((row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) / 20.0) AS BIGINT) AS batch_id
+      |FROM documents""".stripMargin
+
+  /** A12: inter-event gaps — the scraper enforces ≥3s between requests
+    * (instagram_scraper.py:158-167, _add_delay). Per-user lag() deltas in
+    * exact integer micros.
+    */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), tUs(col("ts")).as("t"))
+      .withColumn("gap_us", col("t") - lag(col("t"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        round(sum(col("gap_us")).cast("double") / count(lit(1)), 2).as("avg_gap_us"))
+  }
+
+  val interEventGapsSql: String =
+    """WITH g AS (SELECT user_id,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS gap_us
+      |FROM events)
+      |SELECT user_id, count(*) AS n_gaps, min(gap_us) AS min_gap_us,
+      |  round(CAST(sum(gap_us) AS DOUBLE) / count(*), 2) AS avg_gap_us
+      |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""".stripMargin
+
+  /** A13: sessionization — "realistic session management" (README
+    * anti-detection #4): gap > 30 min starts a new session; session id is
+    * a per-user running sum. One hash partition per user, no global state.
+    */
+  def sessionize(events: DataFrame, gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), tUs(col("ts")).as("t"))
+      .withColumn("prev_t", lag(col("t"), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev_t").isNull || col("t") - col("prev_t") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("t")) - min(col("t"))).as("duration_us"))
+  }
+
+  val sessionizeSql: String =
+    """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+      |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_t
+      |FROM events),
+      |s AS (SELECT user_id, event_id, t,
+      |  sum(CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |FROM t)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  max(t) - min(t) AS duration_us
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
+  /** A14: top influencers — follower-count ranking over the edge graph.
+    * rank() keeps ties (deterministic result set); the rank filter is a
+    * window-group-limit, not a global materialized sort.
+    */
+  def topInfluencers(events: DataFrame, k: Int = 10): DataFrame = {
+    val in = followEdges(events).groupBy(col("dst").as("user_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    in.withColumn("rnk", rank().over(Window.partitionBy().orderBy(col("in_deg").desc)))
+      .filter(col("rnk") <= k)
+  }
+
+  val topInfluencersSql: String =
+    s"""WITH edges AS ($edgesSql),
+       |i AS (SELECT dst AS user_id, count(*) AS in_deg FROM edges GROUP BY 1)
+       |SELECT user_id, in_deg, rnk FROM
+       |  (SELECT *, rank() OVER (ORDER BY in_deg DESC) AS rnk FROM i)
+       |WHERE rnk <= 10""".stripMargin
+
+  /** A15: profile⋈activity enrichment — per-nation engagement: the
+    * nation dim is broadcast (no fact shuffle for the dim join).
+    */
+  def engagementJoin(customer: DataFrame, orders: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(customer.select("c_custkey", "c_nationkey", "c_acctbal"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        money(sum(dec(col("o_totalprice")))).as("revenue"))
+
+  val engagementJoinSql: String =
+    """SELECT n_name, o_orderstatus, count(*) AS n_orders,
+      |  count(DISTINCT c_custkey) AS n_customers,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name, o_orderstatus""".stripMargin
+
+  // -------- wiring --------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_upsert_latest" -> ((s, d) => upsertLatest(Tables.events(s, d))),
+    "q_mutual_edges" -> ((s, d) => mutualEdges(Tables.events(s, d))),
+    "q_follower_stats" -> ((s, d) => followerStats(Tables.events(s, d))),
+    "q_pending_batch" -> ((s, d) => pendingBatch(Tables.events(s, d))),
+    "q_recent_window_dedup" -> ((s, d) => recentWindowDedup(Tables.events(s, d))),
+    "q_pending_users_antijoin" -> ((s, d) =>
+      pendingUsersAntiJoin(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_interest_categorize" -> ((s, d) => interestCategorize(Tables.documents(s, d))),
+    "q_category_rollup" -> ((s, d) =>
+      categoryRollup(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
+    "q_job_progress" -> ((s, d) => jobProgress(Tables.events(s, d))),
+    "q_daily_quota" -> ((s, d) => dailyQuota(Tables.events(s, d))),
+    "q_batch_assign" -> ((s, d) => batchAssign(Tables.documents(s, d))),
+    "q_interevent_gaps" -> ((s, d) => interEventGaps(Tables.events(s, d))),
+    "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
+    "q_top_influencers" -> ((s, d) => topInfluencers(Tables.events(s, d))),
+    "q_engagement_join" -> ((s, d) =>
+      engagementJoin(Tables.customer(s, d), Tables.orders(s, d), Tables.nation(s, d))))
+
+  def oracle: Map[String, String] = Map(
+    "q_upsert_latest" -> upsertLatestSql,
+    "q_mutual_edges" -> mutualEdgesSql,
+    "q_follower_stats" -> followerStatsSql,
+    "q_pending_batch" -> pendingBatchSql,
+    "q_recent_window_dedup" -> recentWindowDedupSql,
+    "q_pending_users_antijoin" -> pendingUsersAntiJoinSql,
+    "q_interest_categorize" -> interestCategorizeSql,
+    "q_category_rollup" -> categoryRollupSql,
+    "q_job_progress" -> jobProgressSql,
+    "q_daily_quota" -> dailyQuotaSql,
+    "q_batch_assign" -> batchAssignSql,
+    "q_interevent_gaps" -> interEventGapsSql,
+    "q_sessionize" -> sessionizeSql,
+    "q_top_influencers" -> topInfluencersSql,
+    "q_engagement_join" -> engagementJoinSql)
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, Reference}
+import graft.sources.Tables
+
+/** Invariant tests for the reference-derived relational operators on the
+  * sf0.001 testdata (full value parity vs DuckDB is the driver's gate;
+  * these check structural properties fast).
+  */
+class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("every registered query runs non-empty on sf0.001") {
+    val emptyOk = Set("q_pending_users_antijoin", "q_recent_window_dedup")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      withClue(s"$name:") { assert(n > 0 || emptyOk(name), s"$name returned 0 rows") }
+    }
+  }
+
+  test("every query has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
+  test("mutual edges are reciprocal and ordered") {
+    val e = Reference.followEdges(Tables.events(spark, sf)).cache()
+    val m = Reference.mutualEdges(Tables.events(spark, sf)).collect()
+    val edgeSet = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    m.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b)
+      assert(edgeSet.contains((a, b)) && edgeSet.contains((b, a)))
+    }
+  }
+
+  test("upsert-latest keeps exactly one row per key, the newest") {
+    val out = Reference.upsertLatest(Tables.events(spark, sf))
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.count() == users)
+    assert(out.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    // newest: last_event_id must be the max event_id for that user
+    val mx = Tables.events(spark, sf).groupBy("user_id")
+      .agg(max("event_id").as("mx"))
+    val bad = out.join(mx, "user_id").filter(col("last_event_id") =!= col("mx")).count()
+    assert(bad == 0)
+  }
+
+  test("sessionize: session durations are non-negative, gaps split sessions") {
+    val s = Reference.sessionize(Tables.events(spark, sf))
+    assert(s.filter(col("duration_us") < 0).count() == 0)
+    // events per user equals sum of session sizes
+    val perUser = s.groupBy("user_id").agg(sum("n_events").as("n"))
+    val ev = Tables.events(spark, sf).groupBy("user_id").count()
+    val bad = perUser.join(ev, "user_id").filter(col("n") =!= col("count")).count()
+    assert(bad == 0)
+  }
+
+  test("daily quota never keeps more than quota per day") {
+    val q = Reference.dailyQuota(Tables.events(spark, sf), quota = 5)
+    assert(q.filter(col("kept") > 5).count() == 0)
+    assert(q.filter(col("kept") > col("total")).count() == 0)
+  }
+
+  test("interest categorize: confidence in [0,1], category from taxonomy") {
+    val c = Reference.interestCategorize(Tables.documents(spark, sf))
+    assert(c.filter(col("confidence") < 0 || col("confidence") > 1).count() == 0)
+    val valid = Reference.categories.map(_._1).toSet + "unknown"
+    val cats = c.select("category").distinct().collect().map(_.getString(0)).toSet
+    assert(cats.subsetOf(valid))
+  }
+
+  test("pricing summary matches a spark.sql cross-check") {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    val ours = Analytics.pricingSummary(Tables.lineitem(spark, sf))
+      .select("l_returnflag", "l_linestatus", "count_order")
+    assert(ours.exceptAll(viaSql).count() == 0 && viaSql.exceptAll(ours).count() == 0)
+  }
+}
