@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import TextOps.{shingles, shinglesSqlExpr}
+
+/** Near-duplicate detection for LLM training-data pipelines (SURVEY.md §2
+  * C2–C4): MinHash+LSH banding, SimHash with chunk blocking, and exact
+  * n-gram Jaccard verification on LSH candidates.
+  *
+  * Scale design: all signatures are map-side array computations over the
+  * document's own shingles (no shuffle); the only shuffles are the
+  * band-bucket self-joins, which shuffle a narrow (key, doc_id) projection.
+  * That is the standard way near-dup goes from O(n²) to shuffle-linear at
+  * 100 TB. Brute-force pairwise comparison exists nowhere in this file.
+  *
+  * Cross-engine parity: hashes are md5 hex strings (identical in DuckDB);
+  * "min over md5 strings" is a portable MinHash permutation; SimHash bits
+  * are derived from md5 nibbles with pure integer arithmetic.
+  */
+object Dedup {
+
+  private val toks: Column = split(col("text"), " ")
+
+  // ---------------- C2: MinHash + LSH banding ----------------
+
+  val NumHashes = 8
+  val NumBands = 4 // 2 rows per band
+
+  /** Per-doc MinHash signature: element k = min over shingles of
+    * md5(k || '|' || shingle). One array column, computed map-side.
+    */
+  def minhashSignature(documents: DataFrame, w: Int = 3): DataFrame =
+    documents.select(
+      col("doc_id"),
+      transform(
+        sequence(lit(0), lit(NumHashes - 1)),
+        k => array_min(transform(shingles(toks, w),
+          s => md5(concat(k.cast("string"), lit("|"), s))))).as("mh"))
+
+  /** (doc_id, band index, band key) — the LSH bucket assignment. */
+  def minhashBands(sig: DataFrame): DataFrame =
+    sig.select(
+      col("doc_id"),
+      explode(array((0 until NumBands).map { b =>
+        struct(
+          lit(b).as("b"),
+          md5(concat(element_at(col("mh"), 2 * b + 1), element_at(col("mh"), 2 * b + 2)))
+            .as("band_key"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.b").as("b"), col("bb.band_key").as("band_key"))
+
+  /** Candidate near-dup pairs: docs sharing at least one band bucket. */
+  def minhashCandidates(documents: DataFrame): DataFrame = {
+    val bands = minhashBands(minhashSignature(documents))
+    val b1 = bands.as("b1")
+    val b2 = bands.as("b2")
+    b1.join(b2, col("b1.b") === col("b2.b") && col("b1.band_key") === col("b2.band_key"))
+      .filter(col("b1.doc_id") < col("b2.doc_id"))
+      .select(col("b1.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  def minhashSigSqlExpr: String =
+    s"""list_transform(range(0, $NumHashes),
+       |      k -> list_aggregate(list_transform(${shinglesSqlExpr(3)},
+       |             s -> md5(CAST(k AS VARCHAR) || '|' || s)), 'min'))""".stripMargin
+
+  def minhashCandSql: String =
+    s"""WITH sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
+       |bands AS (
+       |  SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+       |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS b)
+       |)
+       |SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+       |FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_key = b2.band_key
+       |WHERE b1.doc_id < b2.doc_id""".stripMargin
+
+  /** C2 output: candidate pairs with the signature-level match count
+    * (how many of the 8 minhashes agree — the LSH similarity estimate).
+    */
+  def dedupMinhashLsh(documents: DataFrame): DataFrame = {
+    val sig = minhashSignature(documents)
+    val cand = minhashCandidates(documents)
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), b => b))
+          .cast("long").as("n_hash_agree"))
+  }
+
+  val dedupMinhashLshSql: String =
+    s"""WITH sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
+       |bands AS (
+       |  SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+       |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_key = b2.band_key
+       |  WHERE b1.doc_id < b2.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_filter(list_zip(sa.mh, sb.mh), p -> p[1] = p[2])) AS BIGINT) AS n_hash_agree
+       |FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+       |          JOIN sig sb ON cand.doc_b = sb.doc_id""".stripMargin
+
+  // ---------------- C4: exact n-gram Jaccard on LSH candidates ----------------
+
+  /** Exact 3-token-shingle Jaccard over the MinHash candidate pairs —
+    * the verify step after LSH blocking (only candidate pairs pay the
+    * set-intersection cost).
+    */
+  def dedupNgramJaccard(documents: DataFrame): DataFrame = {
+    val sh = documents.select(col("doc_id"), shingles(toks, 3).as("sh"))
+    val cand = minhashCandidates(documents)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4).as("jaccard"))
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
+       |bands AS (
+       |  SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+       |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_key = b2.band_key
+       |  WHERE b1.doc_id < b2.doc_id
+       |),
+       |sh AS (SELECT doc_id, ${shinglesSqlExpr(3)} AS sh FROM documents)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) AS jaccard
+       |FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+       |          JOIN sh sb ON cand.doc_b = sb.doc_id""".stripMargin
+
+  // ---------------- C3: SimHash ----------------
+
+  val SimBits = 64
+  val SimChunks = 4 // 16 bits each; hamming<=t pairs share a chunk for small t
+
+  /** 64-bit SimHash as a '0'/'1' string. Bit p (1-based) comes from md5
+    * nibble i = (p-1) div 4 + 1, bit j = (p-1) mod 4; each shingle votes
+    * ±1 per bit, the sign of the vote sum is the bit. Pure map-side
+    * integer arithmetic — portable to the oracle nibble-for-nibble.
+    */
+  def simhash(documents: DataFrame, w: Int = 3): DataFrame = {
+    val mds = transform(shingles(toks, w), s => md5(s))
+    val votes = transform(
+      sequence(lit(1), lit(SimBits)),
+      p => {
+        val i = floor((p - 1).cast("double") / 4.0).cast("int") + 1
+        val j = pmod(p - 1, lit(4))
+        aggregate(mds, lit(0L), (acc, m) => {
+          val v = conv(substring(m, i, lit(1)), 16, 10).cast("int")
+          val bit = pmod(floor(v.cast("double") / pow(lit(2.0), j.cast("double"))).cast("long"), lit(2L))
+          acc + (lit(2L) * bit - 1L)
+        })
+      })
+    documents.select(
+      col("doc_id"),
+      array_join(transform(votes, v => when(v > 0, lit("1")).otherwise(lit("0"))), "").as("sim"))
+  }
+
+  val simhashSqlExpr: String =
+    s"""array_to_string(list_transform(range(1, $SimBits + 1), p ->
+       |    CASE WHEN list_sum(list_transform(list_transform(${shinglesSqlExpr(3)}, s -> md5(s)), m ->
+       |        2 * (CAST(floor(
+       |          (strpos('0123456789abcdef', substr(m, CAST(floor((p-1)/4.0) AS INT) + 1, 1)) - 1)
+       |          / power(2, (p-1)%4)) AS BIGINT) % 2) - 1)) > 0
+       |    THEN '1' ELSE '0' END), '')""".stripMargin
+
+  /** C3 output: near-dup pairs by SimHash — block on one of 4 16-bit
+    * chunks (pigeonhole: hamming ≤ 3 guarantees ≥1 identical chunk; we
+    * report all blocked pairs up to hamming 12 for inspection).
+    */
+  def dedupSimhash(documents: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val sim = simhash(documents)
+    val chunks = sim.select(
+      col("doc_id"), col("sim"),
+      explode(array((0 until SimChunks).map { c =>
+        struct(lit(c).as("c"), substring(col("sim"), c * 16 + 1, 16).as("chunk"))
+      }: _*)).as("cc"))
+      .select(col("doc_id"), col("sim"), col("cc.c").as("c"), col("cc.chunk").as("chunk"))
+    val c1 = chunks.as("c1")
+    val c2 = chunks.as("c2")
+    val pairs = c1.join(c2, col("c1.c") === col("c2.c") && col("c1.chunk") === col("c2.chunk"))
+      .filter(col("c1.doc_id") < col("c2.doc_id"))
+      .select(
+        col("c1.doc_id").as("doc_a"), col("c2.doc_id").as("doc_b"),
+        col("c1.sim").as("sim_a"), col("c2.sim").as("sim_b"))
+      .distinct()
+    pairs
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(filter(
+          zip_with(split(col("sim_a"), ""), split(col("sim_b"), ""), (x, y) => x =!= y),
+          b => b)).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def dedupSimhashSql(maxHamming: Int = 12): String =
+    s"""WITH sim AS (SELECT doc_id, $simhashSqlExpr AS sim FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, sim, c, substr(sim, c * 16 + 1, 16) AS chunk
+       |  FROM sim, (SELECT unnest(range(0, $SimChunks)) AS c)
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT c1.doc_id AS doc_a, c2.doc_id AS doc_b,
+       |         c1.sim AS sim_a, c2.sim AS sim_b
+       |  FROM chunks c1 JOIN chunks c2 ON c1.c = c2.c AND c1.chunk = c2.chunk
+       |  WHERE c1.doc_id < c2.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_filter(range(1, $SimBits + 1),
+       |       p -> substr(sim_a, p, 1) <> substr(sim_b, p, 1))) AS BIGINT) AS hamming
+       |FROM pairs
+       |WHERE CAST(len(list_filter(range(1, $SimBits + 1),
+       |       p -> substr(sim_a, p, 1) <> substr(sim_b, p, 1))) AS BIGINT) <= $maxHamming""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash_lsh" -> ((s, d) => dedupMinhashLsh(Tables.documents(s, d))),
+    "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(Tables.documents(s, d))),
+    "q_dedup_simhash" -> ((s, d) => dedupSimhash(Tables.documents(s, d))))
+
+  def oracle: Map[String, String] = Map(
+    "q_dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "q_dedup_simhash" -> dedupSimhashSql())
+}
