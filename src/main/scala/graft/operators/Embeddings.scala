@@ -1,0 +1,218 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Embedding similarity operators (SURVEY.md §2 C5–C7): brute-force
+  * cosine top-k (correctness baseline), random-hyperplane LSH ANN (the
+  * scale path), and cosine near-dup pair mining.
+  *
+  * Determinism across engines: embeddings are quantized to integer
+  * milli-units (`round(x*1000)` — exact in both engines; ties are
+  * impossible because k.5/1000 is never float-representable). All dot
+  * products and norms are then exact integer arithmetic (< 2^53, so even
+  * double-accumulated sums are order-independent), and cosine =
+  * dot/(sqrt(na)*sqrt(nb)) is bit-identical IEEE math. Hyperplane
+  * components come from md5 nibbles ("hp{i}_{k}") — reproducible in SQL,
+  * precomputed here as literals so the Spark side pays zero per-row hash.
+  *
+  * Scale design: the probe set is broadcast (no corpus shuffle) for
+  * brute force; LSH buckets shuffle only (bucket, vec_id) pairs. At
+  * 100 TB only the LSH path survives; brute force stays as the recall
+  * oracle on samples.
+  */
+object Embeddings {
+
+  val Dim = 64
+  // 6 tables x 4 bits: at this corpus's weak neighbor similarity
+  // (cos ≈ 0.4 → per-bit collision ≈ 0.6) one 4-bit table recalls ~15%;
+  // six tables lift any-table recall to ~65% while still pruning ~2/3 of
+  // the pair space. More tables = more recall, more candidates — tune per
+  // corpus similarity profile.
+  val NumTables = 6
+  val BitsPerTable = 4
+  val NearDupThreshold = 0.4
+  val TopK = 5
+  val NumProbes = 10
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Hyperplane i (0..15), component k (1..64): md5 nibble − 8 ∈ [−7,8].
+    * Matches the oracle's strpos('0123…f', substr(md5(…),1,1)) − 8.
+    */
+  def hyperplane(i: Int): Seq[Long] =
+    (1 to Dim).map { k =>
+      ("0123456789abcdef".indexOf(md5Hex(s"hp${i}_$k").charAt(0)) + 1 - 8).toLong
+    }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Quantized vectors with exact integer norms. */
+  def quantized(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(
+        col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+      .withColumn("nrm", dot(col("qv"), col("qv")))
+
+  private def cosine(qa: Column, qb: Column, na: Column, nb: Column): Column =
+    dot(qa, qb).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  val qvSqlExpr: String =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000, 0) AS BIGINT))"
+
+  val dotSqlFmt: String = "list_sum(list_transform(list_zip(%s, %s), p -> p[1]*p[2]))"
+
+  /** C6: brute-force cosine top-k for a small probe set (`vec_id <
+    * NumProbes`) against the full corpus. Probes broadcast; corpus
+    * streamed once; per-probe top-k via rank filter.
+    */
+  def annTopK(embeddings: DataFrame): DataFrame = {
+    val q = quantized(embeddings)
+    val probes = q.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val scored = q
+      .join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_qv"), col("qv"), col("q_nrm"), col("nrm")).as("cos"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rn") <= TopK)
+  }
+
+  val annTopKSql: String =
+    s"""WITH q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
+       |scored AS (
+       |  SELECT p.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${dotSqlFmt.format("p.qv", "c.qv")} / (sqrt(p.nrm) * sqrt(c.nrm)) AS cos
+       |  FROM n p JOIN n c ON c.vec_id <> p.vec_id
+       |  WHERE p.vec_id < $NumProbes
+       |)
+       |SELECT q_id, n_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+       |  FROM scored) WHERE rn <= $TopK""".stripMargin
+
+  /** (vec_id, table, bucket) LSH assignment: per table, a 4-bit sign
+    * pattern of the quantized vector against 4 md5-derived hyperplanes.
+    */
+  def lshBuckets(q: DataFrame): DataFrame = {
+    val tables = (0 until NumTables).map { t =>
+      val bits = (0 until BitsPerTable).map { j =>
+        val hp = typedLit(hyperplane(t * BitsPerTable + j))
+        when(dot(col("qv"), hp) >= 0, lit("1")).otherwise(lit("0"))
+      }
+      struct(lit(t).as("t"), concat(bits: _*).as("bucket"))
+    }
+    q.select(col("vec_id"), col("qv"), col("nrm"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("qv"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+  }
+
+  val bucketsSqlCtes: String =
+    s"""q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
+       |hp AS (
+       |  SELECT t, j, list_transform(range(1, ${Dim + 1}),
+       |    k -> CAST(strpos('0123456789abcdef',
+       |           substr(md5('hp' || CAST(t*$BitsPerTable+j AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 1)) - 8 AS BIGINT)) AS h
+       |  FROM (SELECT unnest(range(0, $NumTables)) AS t), (SELECT unnest(range(0, $BitsPerTable)) AS j)
+       |),
+       |bits AS (
+       |  SELECT vec_id, t, j,
+       |    CASE WHEN ${dotSqlFmt.format("qv", "h")} >= 0 THEN '1' ELSE '0' END AS bit
+       |  FROM n, hp
+       |),
+       |buckets AS (
+       |  SELECT vec_id, t, string_agg(bit, '' ORDER BY j) AS bucket
+       |  FROM bits GROUP BY vec_id, t
+       |)""".stripMargin
+
+  /** C5: cosine near-dup pairs — same LSH bucket in any table, verified
+    * cosine ≥ threshold. The bucket join replaces the O(n²) cross
+    * product; the verify step touches only candidates.
+    */
+  def nearDupCosine(embeddings: DataFrame): DataFrame = {
+    val b = lshBuckets(quantized(embeddings))
+    val b1 = b.as("b1")
+    val b2 = b.as("b2")
+    b1.join(b2, col("b1.t") === col("b2.t") && col("b1.bucket") === col("b2.bucket"))
+      .filter(col("b1.vec_id") < col("b2.vec_id"))
+      .select(
+        col("b1.vec_id").as("vec_a"), col("b2.vec_id").as("vec_b"),
+        cosine(col("b1.qv"), col("b2.qv"), col("b1.nrm"), col("b2.nrm")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= NearDupThreshold)
+  }
+
+  val nearDupCosineSql: String =
+    s"""WITH $bucketsSqlCtes,
+       |cand AS (
+       |  SELECT DISTINCT b1.vec_id AS vec_a, b2.vec_id AS vec_b
+       |  FROM buckets b1 JOIN buckets b2 ON b1.t = b2.t AND b1.bucket = b2.bucket
+       |  WHERE b1.vec_id < b2.vec_id
+       |)
+       |SELECT vec_a, vec_b,
+       |  ${dotSqlFmt.format("a.qv", "b.qv")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+       |FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id
+       |WHERE ${dotSqlFmt.format("a.qv", "b.qv")} / (sqrt(a.nrm) * sqrt(b.nrm)) >= $NearDupThreshold""".stripMargin
+
+  /** C7: LSH-accelerated ANN — probes meet only same-bucket candidates,
+    * then per-probe top-k. The 100 TB path: cost is per-bucket, not
+    * per-corpus.
+    */
+  def annLsh(embeddings: DataFrame): DataFrame = {
+    val b = lshBuckets(quantized(embeddings))
+    val probes = b.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"),
+        col("t"), col("bucket"))
+    val cands = b
+      .join(broadcast(probes), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_qv"), col("qv"), col("q_nrm"), col("nrm")).as("cos"))
+      .distinct()
+    cands
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rn") <= TopK)
+  }
+
+  val annLshSql: String =
+    s"""WITH $bucketsSqlCtes,
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS q_id, c.vec_id AS n_id
+       |  FROM buckets p JOIN buckets c ON p.t = c.t AND p.bucket = c.bucket
+       |  WHERE p.vec_id < $NumProbes AND c.vec_id <> p.vec_id
+       |),
+       |scored AS (
+       |  SELECT q_id, n_id,
+       |    ${dotSqlFmt.format("a.qv", "b.qv")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+       |  FROM cand JOIN n a ON q_id = a.vec_id JOIN n b ON n_id = b.vec_id
+       |)
+       |SELECT q_id, n_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+       |  FROM scored) WHERE rn <= $TopK""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_topk" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
+    "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d))),
+    "q_neardup_cosine" -> ((s, d) => nearDupCosine(Tables.embeddings(s, d))))
+
+  def oracle: Map[String, String] = Map(
+    "q_ann_topk" -> annTopKSql,
+    "q_ann_lsh" -> annLshSql,
+    "q_neardup_cosine" -> nearDupCosineSql)
+}

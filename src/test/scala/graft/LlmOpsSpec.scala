@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Embeddings, TextOps}
+import graft.sources.Tables
+
+/** Property tests for the LLM-data-pipeline operators (dedup, similarity,
+  * text analysis) on sf0.001/sf0.01.
+  */
+class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.01"
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("exact dedup: keeper is group-min, singleton docs are their own keeper") {
+    val d = TextOps.dedupExact(Tables.documents(spark, sf))
+    assert(d.filter(col("keeper_id") > col("doc_id")).count() == 0)
+    assert(d.filter(col("is_dup") && col("keeper_id") === col("doc_id")).count() == 0)
+  }
+
+  test("minhash candidates have higher jaccard than random pairs") {
+    val j = Dedup.dedupNgramJaccard(Tables.documents(spark, sf))
+    val candAvg = j.agg(avg("jaccard")).head().getDouble(0)
+    // candidate pairs found by LSH banding should be far above the
+    // ~0.001 background jaccard of random doc pairs in this corpus
+    assert(candAvg > 0.05, s"candidate avg jaccard $candAvg suspiciously low")
+    assert(j.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+  }
+
+  test("minhash signature agreement correlates with jaccard") {
+    val mh = Dedup.dedupMinhashLsh(Tables.documents(spark, sf))
+    val j = Dedup.dedupNgramJaccard(Tables.documents(spark, sf))
+    val joined = mh.join(j, Seq("doc_a", "doc_b")).cache()
+    val hi = joined.filter(col("n_hash_agree") >= 6).agg(avg("jaccard")).head().getDouble(0)
+    val lo = joined.filter(col("n_hash_agree") <= 2).agg(avg("jaccard")).head().getDouble(0)
+    assert(hi > lo, s"8-perm minhash should rank pairs: hi=$hi lo=$lo")
+  }
+
+  test("simhash: hamming bounded, pairs distinct") {
+    val s = Dedup.dedupSimhash(Tables.documents(spark, sf))
+    assert(s.filter(col("hamming") < 0 || col("hamming") > 12).count() == 0)
+    assert(s.count() == s.select("doc_a", "doc_b").distinct().count())
+  }
+
+  test("brute-force ANN: exactly k neighbors per probe, cos in [-1,1]") {
+    val a = Embeddings.annTopK(Tables.embeddings(spark, sf))
+    val counts = a.groupBy("q_id").count().collect()
+    assert(counts.length == Embeddings.NumProbes)
+    assert(counts.forall(_.getLong(1) == Embeddings.TopK))
+    assert(a.filter(col("cos") < -1.0 || col("cos") > 1.0).count() == 0)
+  }
+
+  test("LSH ANN recall: top-1 brute-force neighbor found for most probes") {
+    val bf = Embeddings.annTopK(Tables.embeddings(spark, sf))
+      .filter(col("rn") === 1).select("q_id", "n_id")
+    val lsh = Embeddings.annLsh(Tables.embeddings(spark, sf)).select("q_id", "n_id")
+    val hit = bf.join(lsh, Seq("q_id", "n_id")).count()
+    // 4 tables x 4 bits at ~0.4-0.5 cos: expect most top-1s recalled
+    assert(hit >= Embeddings.NumProbes / 2,
+      s"LSH recalled only $hit/${Embeddings.NumProbes} top-1 neighbors")
+  }
+
+  test("near-dup cosine pairs meet the threshold and are unique") {
+    val nd = Embeddings.nearDupCosine(Tables.embeddings(spark, sf))
+    assert(nd.filter(col("cos") < Embeddings.NearDupThreshold).count() == 0)
+    assert(nd.count() == nd.select("vec_a", "vec_b").distinct().count())
+  }
+
+  test("quantization is exact integers with positive norms") {
+    val q = Embeddings.quantized(Tables.embeddings(spark, sf))
+    assert(q.filter(col("nrm") <= 0).count() == 0)
+    val mx = q.select(max(array_max(col("qv")))).head().getLong(0)
+    assert(mx < 2000, s"quantized magnitude $mx out of expected range")
+  }
+}
