@@ -1,0 +1,238 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for graft's hot loops.
+  *
+  * The pure-builtin formulations (nested `transform`/`aggregate` lambdas)
+  * are semantically identical but evaluate interpreted, one boxed lambda
+  * call per element — at sf0.1 the SimHash signature alone cost ~270 s.
+  * These expressions do the same arithmetic in a single JVM loop per row:
+  * DotLong generates whole-stage-codegen Java; the hash signatures use
+  * eval (their per-row work dwarfs one virtual call).
+  *
+  * Semantics are locked to the DuckDB oracle definitions in
+  * graft.operators (md5 hex nibbles, '0'/'1' bit strings, min-over-hex
+  * MinHash permutations) — LlmOpsSpec cross-checks them against the
+  * builtin formulations.
+  */
+object Exprs {
+
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def md5Hex(bytes: Array[Byte]): Array[Char] = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((h(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(h(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+
+  /** Exact integer dot product of two long arrays (whole-stage codegen). */
+  case class DotLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (Seq(left, right).forall(_.dataType.isInstanceOf[ArrayType]) &&
+        Seq(left, right).forall(_.dataType.asInstanceOf[ArrayType].elementType == LongType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<bigint> inputs")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_dot_long"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |${ev.value} = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** MinHash signature: element k = min over shingles of
+    * md5(k || '|' || shingle), as lowercase hex — identical to the
+    * builtin `array_min(transform(sh, s -> md5(concat(k, '|', s))))`
+    * and the DuckDB oracle, computed in one pass over the shingles.
+    */
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType.isInstanceOf[ArrayType] &&
+        child.dataType.asInstanceOf[ArrayType].elementType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string> input")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_minhash_sig"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = new Array[UTF8String](numHashes)
+      var k = 0
+      while (k < numHashes) {
+        val prefix = (k.toString + "|").getBytes(StandardCharsets.UTF_8)
+        var best: String = null
+        var i = 0
+        while (i < n) {
+          val s = arr.getUTF8String(i).getBytes
+          val buf = new Array[Byte](prefix.length + s.length)
+          System.arraycopy(prefix, 0, buf, 0, prefix.length)
+          System.arraycopy(s, 0, buf, prefix.length, s.length)
+          val h = new String(md5Hex(buf))
+          if (best == null || h.compareTo(best) < 0) best = h
+          i += 1
+        }
+        sig(k) = UTF8String.fromString(if (best == null) "" else best)
+        k += 1
+      }
+      new GenericArrayData(sig.asInstanceOf[Array[Any]])
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashSig].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = (ArrayData) $ref.nullSafeEval($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash over shingles as a '0'/'1' string. Bit p (1-based):
+    * nibble i = (p-1)/4 of md5 hex (0-based), bit j = (p-1)%4; each
+    * shingle votes ±1; bit = vote sum > 0. Matches the oracle
+    * nibble-for-nibble.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType.isInstanceOf[ArrayType] &&
+        child.dataType.asInstanceOf[ArrayType].elementType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string> input")
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val hex = md5Hex(arr.getUTF8String(i).getBytes)
+        var p = 0
+        while (p < 64) {
+          val nib = Character.digit(hex(p / 4), 16)
+          votes(p) += (((nib >> (p % 4)) & 1) * 2) - 1
+          p += 1
+        }
+        i += 1
+      }
+      val bits = new Array[Byte](64)
+      var p = 0
+      while (p < 64) {
+        bits(p) = if (votes(p) > 0) '1'.toByte else '0'.toByte
+        p += 1
+      }
+      UTF8String.fromBytes(bits)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash64].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = (UTF8String) $ref.nullSafeEval($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Hamming distance between two equal-length ASCII strings (codegen). */
+  case class HammingStr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs string inputs")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hamming"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[UTF8String].getBytes
+      val y = b.asInstanceOf[UTF8String].getBytes
+      val n = math.min(x.length, y.length)
+      var d = math.abs(x.length - y.length).toLong
+      var i = 0
+      while (i < n) { if (x(i) != y(i)) d += 1; i += 1 }
+      d
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val xa = ctx.freshName("xa")
+        val ya = ctx.freshName("ya")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |byte[] $xa = $a.getBytes();
+           |byte[] $ya = $b.getBytes();
+           |int $n = java.lang.Math.min($xa.length, $ya.length);
+           |${ev.value} = java.lang.Math.abs($xa.length - $ya.length);
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($xa[$i] != $ya[$i]) ${ev.value} += 1L;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // Column-level API
+  def dotLong(a: Column, b: Column): Column =
+    ColumnBridge.column(DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
+  def simhash64(shingles: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(shingles)))
+  def hamming(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingStr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

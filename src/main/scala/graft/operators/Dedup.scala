@@ -2,7 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
+import graft.functions.Exprs
 import graft.sources.Tables
 import TextOps.{shingles, shinglesSqlExpr}
 
@@ -30,9 +32,22 @@ object Dedup {
   val NumBands = 4 // 2 rows per band
 
   /** Per-doc MinHash signature: element k = min over shingles of
-    * md5(k || '|' || shingle). One array column, computed map-side.
+    * md5(k || '|' || shingle). One array column, computed map-side by the
+    * native [[graft.functions.Exprs.MinHashSig]] (single JVM pass).
     */
   def minhashSignature(documents: DataFrame, w: Int = 3): DataFrame =
+    documents.select(
+      col("doc_id"),
+      Exprs.minhashSig(shingles(toks, w), NumHashes).as("mh"))
+      // signatures are ~300 B/doc (vs the full text) and are re-read by
+      // every self-join branch — materialize once, exactly as a cluster
+      // job would checkpoint them before the bucket joins.
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Pure-builtin formulation of [[minhashSignature]] — semantically
+    * identical (LlmOpsSpec cross-checks); kept as the executable spec.
+    */
+  def minhashSignatureBuiltin(documents: DataFrame, w: Int = 3): DataFrame =
     documents.select(
       col("doc_id"),
       transform(
@@ -117,6 +132,7 @@ object Dedup {
     */
   def dedupNgramJaccard(documents: DataFrame): DataFrame = {
     val sh = documents.select(col("doc_id"), shingles(toks, 3).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = minhashCandidates(documents)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -156,7 +172,17 @@ object Dedup {
     * ±1 per bit, the sign of the vote sum is the bit. Pure map-side
     * integer arithmetic — portable to the oracle nibble-for-nibble.
     */
-  def simhash(documents: DataFrame, w: Int = 3): DataFrame = {
+  def simhash(documents: DataFrame, w: Int = 3): DataFrame =
+    documents.select(
+      col("doc_id"),
+      Exprs.simhash64(shingles(toks, w)).as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Pure-builtin formulation of [[simhash]] — semantically identical
+    * (LlmOpsSpec cross-checks); ~1000x slower interpreted, kept as the
+    * executable spec of the bit semantics.
+    */
+  def simhashBuiltin(documents: DataFrame, w: Int = 3): DataFrame = {
     val mds = transform(shingles(toks, w), s => md5(s))
     val votes = transform(
       sequence(lit(1), lit(SimBits)),
@@ -205,9 +231,7 @@ object Dedup {
     pairs
       .select(
         col("doc_a"), col("doc_b"),
-        size(filter(
-          zip_with(split(col("sim_a"), ""), split(col("sim_b"), ""), (x, y) => x =!= y),
-          b => b)).cast("long").as("hamming"))
+        Exprs.hamming(col("sim_a"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

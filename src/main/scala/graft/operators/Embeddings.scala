@@ -6,7 +6,9 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
+import graft.functions.Exprs
 import graft.sources.Tables
 
 /** Embedding similarity operators (SURVEY.md §2 C5–C7): brute-force
@@ -53,7 +55,13 @@ object Embeddings {
       ("0123456789abcdef".indexOf(md5Hex(s"hp${i}_$k").charAt(0)) + 1 - 8).toLong
     }
 
-  private def dot(a: Column, b: Column): Column =
+  /** Exact integer dot product — native codegen'd expression. */
+  private def dot(a: Column, b: Column): Column = Exprs.dotLong(a, b)
+
+  /** Pure-builtin dot product, kept as the executable spec
+    * (LlmOpsSpec cross-checks it against [[Exprs.DotLong]]).
+    */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Quantized vectors with exact integer norms. */
@@ -64,6 +72,10 @@ object Embeddings {
         transform(col("embedding"),
           x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
       .withColumn("nrm", dot(col("qv"), col("qv")))
+      // ~0.5 KB/vec; every bucket self-join branch re-reads it —
+      // materialize once (the cluster equivalent: checkpoint quantized
+      // vectors before the ANN stage).
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   private def cosine(qa: Column, qb: Column, na: Column, nb: Column): Column =
     dot(qa, qb).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))

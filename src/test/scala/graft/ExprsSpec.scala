@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Exprs
+import graft.operators.{Dedup, Embeddings}
+import graft.sources.Tables
+
+/** The native expressions must be bit-identical to the pure-builtin
+  * formulations they replace (which are themselves oracle-checked against
+  * DuckDB by the driver gate).
+  */
+class ExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("MinHashSig == builtin minhash signature") {
+    val fast = Dedup.minhashSignature(Tables.documents(spark, sf))
+    val slow = Dedup.minhashSignatureBuiltin(Tables.documents(spark, sf))
+    val diff = fast.join(slow.withColumnRenamed("mh", "mh2"), "doc_id")
+      .filter(col("mh") =!= col("mh2")).count()
+    assert(diff == 0)
+  }
+
+  test("SimHash64 == builtin simhash") {
+    val fast = Dedup.simhash(Tables.documents(spark, sf))
+    val slow = Dedup.simhashBuiltin(Tables.documents(spark, sf))
+    val diff = fast.join(slow.withColumnRenamed("sim", "sim2"), "doc_id")
+      .filter(col("sim") =!= col("sim2")).count()
+    assert(diff == 0)
+  }
+
+  test("DotLong == builtin aggregate dot product") {
+    val q = Embeddings.quantized(Tables.embeddings(spark, sf))
+    val diff = q.select(
+      Exprs.dotLong(col("qv"), col("qv")).as("fast"),
+      Embeddings.dotBuiltin(col("qv"), col("qv")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0)
+  }
+
+  test("HammingStr: identical strings 0, known distance, length mismatch counted") {
+    import spark.implicits._
+    val df = Seq(("10101", "10101"), ("10101", "10001"), ("111", "1")).toDF("a", "b")
+    val r = df.select(Exprs.hamming(col("a"), col("b"))).collect().map(_.getLong(0))
+    assert(r.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("DotLong survives codegen in a realistic plan (join + filter)") {
+    val q = Embeddings.quantized(Tables.embeddings(spark, sf)).limit(50)
+    val a = q.select(col("vec_id").as("ia"), col("qv").as("qa"))
+    val b = q.select(col("vec_id").as("ib"), col("qv").as("qb"))
+    val n = a.crossJoin(b)
+      .filter(Exprs.dotLong(col("qa"), col("qb")) > 0)
+      .count()
+    assert(n > 0)
+  }
+}
