@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Reference
+
+/** API-compatibility facade: the reference pipeline's public operations
+  * (main.py / scheduler / analyzer), re-expressed as DataFrame → DataFrame
+  * stages. A user of Dante134/instagram_data_pipeline maps each call
+  * 1:1; the row-at-a-time psycopg2 loops become set-oriented Spark plans.
+  *
+  * Schemas (mirroring database/setup.py):
+  *  - users(user_id, username, full_name, bio, follower_count,
+  *    following_count, is_private, last_updated_us)
+  *  - follows(user_id, other_id)  — directed edge tables for both the
+  *    `followers` and `following` relations
+  *  - scrape_jobs(job_id, target_username, job_type, status,
+  *    started_at_us, completed_at_us, total_items, processed_items)
+  *  - interests(user_id, category, confidence)
+  */
+object GraftPipeline {
+
+  /** users upsert, latest row wins — scraper.get_user_profile's
+    * `ON CONFLICT DO UPDATE` (instagram_scraper.py:203-227). Batch form:
+    * union existing+incoming, keep newest per user_id.
+    */
+  def upsertUsers(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("last_updated_us").desc)
+    existing.unionByName(incoming)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** calculate_mutual_followers (instagram_scraper.py:407-426):
+    * mutuals = followers ∩ following, per user. `followers(user_id,
+    * other_id)` = other follows user; `following(user_id, other_id)` =
+    * user follows other.
+    */
+  def calculateMutualFollowers(followers: DataFrame, following: DataFrame): DataFrame =
+    followers.join(following, Seq("user_id", "other_id"))
+      .select(col("user_id"), col("other_id").as("mutual_id"))
+      .distinct()
+
+  /** schedule_user_scraping (job_scheduler.py:50-78): skip users with a
+    * recent job (7-day lookback from `nowUs`), emit pending jobs of each
+    * type for the rest.
+    */
+  def scheduleUserScraping(targets: DataFrame, jobs: DataFrame, nowUs: Long,
+                           lookbackDays: Int = 7): DataFrame = {
+    val recent = jobs.filter(
+      col("job_type").isin("profile", "followers", "following") &&
+        col("started_at_us") > lit(nowUs - lookbackDays.toLong * 86400L * 1000000L))
+      .select(col("target_username")).distinct()
+    targets.join(recent, Seq("target_username"), "left_anti")
+      .select(
+        col("target_username"),
+        explode(array(lit("profile"), lit("followers"), lit("following"))).as("job_type"),
+        lit("pending").as("status"))
+  }
+
+  /** process_pending_jobs batch selection (job_scheduler.py:96-106):
+    * pending jobs, job_id order, bounded by the remaining daily quota.
+    */
+  def selectPendingBatch(jobs: DataFrame, remainingQuota: Int, batchSize: Int = 10): DataFrame =
+    jobs.filter(col("status") === "pending")
+      .orderBy("job_id")
+      .limit(math.min(remainingQuota, batchSize))
+
+  /** process_pending_users (interest_analyzer.py:286-297): users whose
+    * `following` job completed but who have no interests rows yet.
+    */
+  def pendingAnalysisUsers(users: DataFrame, jobs: DataFrame, interests: DataFrame,
+                           limit: Int = 5): DataFrame = {
+    val done = jobs.filter(col("job_type") === "following" && col("status") === "completed")
+      .select(col("target_username").as("username")).distinct()
+    users.join(done, "username")
+      .join(interests, Seq("user_id"), "left_anti")
+      .orderBy("user_id")
+      .limit(limit)
+      .select("user_id", "username")
+  }
+
+  /** analyze_user_interests (interest_analyzer.py:148-243): classify the
+    * accounts a user follows and aggregate to per-user interest rows
+    * with a confidence score — GPT-4 replaced by the deterministic
+    * keyword categorizer (Reference.interestCategorize); the aggregation
+    * mirrors _store_interest_results' per-(user, category) upsert.
+    *
+    * following: follows-edge table; accountDocs(doc_id, text) keyed by
+    * the followed account id (bio text).
+    */
+  def analyzeUserInterests(following: DataFrame, accountDocs: DataFrame): DataFrame = {
+    val categorized = Reference.interestCategorize(accountDocs)
+      .withColumnRenamed("doc_id", "other_id")
+    following.join(categorized, "other_id")
+      .filter(col("category") =!= "unknown")
+      .groupBy("user_id", "category")
+      .agg(
+        count(lit(1)).as("n_accounts"),
+        avg(col("confidence")).as("confidence"))
+  }
+
+  /** Job bookkeeping rollup — the scheduler's progress/error telemetry. */
+  def jobStats(jobs: DataFrame): DataFrame =
+    jobs.groupBy("job_type", "status")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("processed_items")).as("processed"),
+        sum(col("total_items")).as("total"))
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming mirrors of the stateful batch operators
+  * (SURVEY.md §2 D). The reference pipeline polls and batches
+  * (scheduler/job_scheduler.py:167 — every 30 min; analyzer poll loop in
+  * main.py:113); the Spark-native continuous formulation is readStream →
+  * transform → writeStream with event-time watermarks.
+  *
+  * Scale: state is partitioned by key (user_id / fingerprint) across
+  * executors; watermarks bound state size — both prerequisites for an
+  * unbounded 100 TB/day ingest.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(sessionId: Long, lastTsUs: Long, startTsUs: Long, nEvents: Long)
+
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_us: Long)
+
+  /** Tumbling-window counts per event type with a watermark bounding
+    * late data (and therefore state).
+    */
+  def windowedCounts(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming exact-dedup by content fingerprint — the first stage of a
+    * streaming LLM-ingest pipeline. Watermark bounds the dedup state.
+    */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("fp")
+
+  /** Stateful sessionization via flatMapGroupsWithState — the streaming
+    * twin of operators.Reference.sessionize (same 30-min gap rule).
+    * Emits a session when a gap closes it; the open session stays in
+    * per-user state across micro-batches, so sessions spanning batch
+    * boundaries are NOT split (the bug the batch-polling reference
+    * design cannot avoid).
+    */
+  def sessionizeStream(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000000)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+
+    def fn(userId: Long, batch: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val tUs = e.ts.getTime * 1000L
+        if (st == null) {
+          st = SessionState(1L, tUs, tUs, 1L)
+        } else if (tUs - st.lastTsUs > gapUs) {
+          out += SessionOut(userId, st.sessionId, st.nEvents, st.lastTsUs - st.startTsUs)
+          st = SessionState(st.sessionId + 1, tUs, tUs, 1L)
+        } else {
+          st = st.copy(lastTsUs = tUs, nEvents = st.nEvents + 1)
+        }
+      }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Convenience: flush open sessions (batch-mode tail call after a
+    * streaming run, or end-of-day close in tests).
+    */
+  def closeOpenSession(st: SessionState, userId: Long): SessionOut =
+    SessionOut(userId, st.sessionId, st.nEvents, st.lastTsUs - st.startTsUs)
+}

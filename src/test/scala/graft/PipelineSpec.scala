@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.GraftPipeline
+
+/** End-to-end facade tests on small fixtures with known answers,
+  * mirroring the reference's tests/test_pipeline.py flow (profile →
+  * followers/following → mutuals → interests).
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+  import scala.jdk.CollectionConverters._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def usersDf(rows: (Long, String, Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("user_id", "username", "last_updated_us")
+  }
+
+  test("upsertUsers keeps the newest row per user") {
+    val existing = usersDf((1, "old_alice", 100), (2, "bob", 100))
+    val incoming = usersDf((1, "alice", 200), (3, "carol", 150))
+    val out = GraftPipeline.upsertUsers(existing, incoming)
+      .orderBy("user_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "alice"), (2L, "bob"), (3L, "carol")))
+  }
+
+  test("calculateMutualFollowers = followers ∩ following") {
+    val s = spark
+    import s.implicits._
+    val followers = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("user_id", "other_id")
+    val following = Seq((1L, 2L), (1L, 4L), (2L, 1L)).toDF("user_id", "other_id")
+    val m = GraftPipeline.calculateMutualFollowers(followers, following)
+      .orderBy("user_id", "mutual_id").collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("scheduleUserScraping skips recently-scheduled users, emits 3 job types") {
+    val s = spark
+    import s.implicits._
+    val targets = Seq("fresh_user", "recent_user").toDF("target_username")
+    val nowUs = 1000L * 86400L * 1000000L
+    val jobs = Seq(
+      ("recent_user", "profile", nowUs - 86400L * 1000000L), // 1 day ago
+      ("fresh_user", "profile", nowUs - 30L * 86400L * 1000000L)) // 30 days ago
+      .toDF("target_username", "job_type", "started_at_us")
+    val out = GraftPipeline.scheduleUserScraping(targets, jobs, nowUs).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getString(0) == "fresh_user"))
+    assert(out.map(_.getString(1)).sorted.toSeq == Seq("followers", "following", "profile"))
+    assert(out.forall(_.getString(2) == "pending"))
+  }
+
+  test("selectPendingBatch honors quota and job_id order") {
+    val s = spark
+    import s.implicits._
+    val jobs = (1L to 20L).map(i =>
+      (i, s"u$i", "profile", if (i % 2 == 0) "pending" else "completed"))
+      .toDF("job_id", "target_username", "job_type", "status")
+    val out = GraftPipeline.selectPendingBatch(jobs, remainingQuota = 3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 4L, 6L))
+  }
+
+  test("pendingAnalysisUsers: following-complete users without interests") {
+    val s = spark
+    import s.implicits._
+    val users = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("user_id", "username")
+    val jobs = Seq(("a", "following", "completed"), ("b", "following", "completed"),
+      ("c", "following", "pending"))
+      .toDF("target_username", "job_type", "status")
+    val interests = Seq((1L, "performance", 0.9)).toDF("user_id", "category", "confidence")
+    val out = GraftPipeline.pendingAnalysisUsers(users, jobs, interests).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L)) // b: done but unanalyzed
+  }
+
+  test("analyzeUserInterests aggregates followed-account categories") {
+    val s = spark
+    import s.implicits._
+    val following = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("user_id", "other_id")
+    val docs = Seq(
+      (10L, "fast fast vector join"), // performance (3 hits vs 1)
+      (11L, "scan filter join join")) // query_exec
+      .toDF("doc_id", "text")
+    val out = GraftPipeline.analyzeUserInterests(following, docs)
+      .orderBy("user_id", "category").collect()
+    val got = out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "performance", 1L), (1L, "query_exec", 1L), (2L, "performance", 1L)))
+    assert(out.forall(r => r.getDouble(3) > 0 && r.getDouble(3) <= 1))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, SessionOut}
+
+/** Structured Streaming tests driven through MemoryStream micro-batches. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(minute: Long): Timestamp = new Timestamp(minute * 60000L)
+
+  test("windowed counts aggregate per hour window and event type") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(65), 1, "click", 3.0),
+      Event(4, ts(8), 2, "view", 4.0))
+    val q = EventStream.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM wc ORDER BY window_start, event_type").collect()
+    q.stop()
+    assert(rows.length == 3) // (h0,click)=2, (h0,view)=1, (h1,click)=1
+    assert(rows.map(_.getLong(2)).toSeq == Seq(2L, 1L, 1L))
+  }
+
+  test("streaming dedup drops same-fingerprint docs across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    val q = EventStream.streamingDedup(
+      in.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    in.addData((ts(1), "hello world"), (ts(2), "hello world"), (ts(3), "other"))
+    q.processAllAvailable()
+    in.addData((ts(4), "hello world"), (ts(5), "third"))
+    q.processAllAvailable()
+    val texts = spark.sql("SELECT text FROM dd").collect().map(_.getString(0)).sorted
+    q.stop()
+    assert(texts.toSeq == Seq("hello world", "other", "third"))
+  }
+
+  test("stateful sessionization: session spanning micro-batches is not split") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = EventStream.sessionizeStream(in.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // batch 1: two events 5 min apart (one open session)
+    in.addData(Event(1, ts(0), 7, "click", 0), Event(2, ts(5), 7, "click", 0))
+    q.processAllAvailable()
+    // batch 2: continuation at +10 min (same session), then a 60-min gap
+    in.addData(Event(3, ts(15), 7, "click", 0), Event(4, ts(75), 7, "click", 0))
+    q.processAllAvailable()
+    val closed = spark.sql("SELECT * FROM sess").as[SessionOut].collect()
+    q.stop()
+    // exactly one closed session: events 1-3 (15 min duration), session 4 still open
+    assert(closed.length == 1)
+    assert(closed.head.n_events == 3)
+    assert(closed.head.duration_us == 15L * 60 * 1000000)
+    assert(closed.head.session_id == 1)
+  }
+
+  test("batch and streaming sessionize agree on closed sessions") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // deterministic little fixture: 2 users, known gaps
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 0), Event(2, ts(10), 1, "a", 0),
+      Event(3, ts(50), 1, "a", 0), // gap 40min -> new session
+      Event(4, ts(55), 1, "a", 0),
+      Event(5, ts(0), 2, "b", 0), Event(6, ts(90), 2, "b", 0))
+    val in = MemoryStream[Event]
+    val q = EventStream.sessionizeStream(in.toDS())
+      .writeStream.format("memory").queryName("sess2").outputMode("append").start()
+    in.addData(events: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM sess2").as[SessionOut].collect()
+      .map(o => (o.user_id, o.n_events, o.duration_us)).toSet
+    q.stop()
+    // batch operator on the same data (sessions that the stream also closed)
+    val batchDf = events.toDF()
+    val batch = operators.Reference.sessionize(batchDf)
+      .select(col("user_id"), col("n_events"), col("duration_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // every stream-closed session must appear identically in the batch result
+    assert(streamed.subsetOf(batch), s"streamed=$streamed batch=$batch")
+    assert(streamed.nonEmpty)
+  }
+}
