@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: prints `explain("formatted")` for selected queries
+  * (args, or a representative default set) so scan pruning, filter
+  * pushdown, broadcast choices and codegen spans can be inspected.
+  * `sbt 'runMain graft.Explain q1_pricing_summary ...'`
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = GraftSession.local(4)
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q1_pricing_summary", "q_join_pushdown", "q_mutual_edges",
+        "q_category_rollup", "q_dedup_minhash_lsh", "q_ann_lsh", "q_daily_quota")
+    names.foreach { n =>
+      println(s"\n======== $n ========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -50,6 +50,15 @@ object Smoke {
     println(s"[smoke] mutuals: ${mut.mkString("; ")}")
     require(mut.length == 2, "expected 2 mutual rows")
 
+    // 4. sinks: date-partitioned layout on disk
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_smoke_sink").toString
+    graft.sources.Sinks.writePartitionedByDay(
+      Tables.events(spark, "/root/testdata/sf0.001"), "ts", s"$sinkDir/by_day")
+    val dayDirs = new java.io.File(s"$sinkDir/by_day").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    println(s"[smoke] sink partitions: ${dayDirs.take(3).mkString(", ")} … (${dayDirs.length} days)")
+    require(dayDirs.nonEmpty && dayDirs.forall(_.startsWith("day=")), "expected day= layout")
+
     println("[smoke] OK")
     spark.stop()
   }

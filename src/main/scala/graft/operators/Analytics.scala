@@ -107,6 +107,29 @@ object Analytics {
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))
 
+  /** B4-scale: the 100 TB formulation of [[decileValue]]. Exact ntile
+    * needs a global total order (Spark funnels every row through one
+    * window partition). At scale: one approx-quantile pass computes the
+    * 9 cut points (GK sketch, driver gets 9 doubles), then bucketing is
+    * a map-side lookup — no global sort, no single-partition window.
+    * Not oracle-checked (sketch is implementation-specific); DecileSpec
+    * bounds its disagreement with the exact operator instead.
+    */
+  def decileValueScalable(orders: DataFrame, relErr: Double = 0.001): DataFrame = {
+    val cuts = orders.stat.approxQuantile(
+      "o_totalprice", (1 to 9).map(_ / 10.0).toArray, relErr)
+    val decile = cuts.zipWithIndex.foldRight(lit(10): Column) {
+      case ((cut, i), acc) => when(col("o_totalprice") <= cut, lit(i + 1)).otherwise(acc)
+    }
+    orders
+      .withColumn("decile", decile)
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+  }
+
   val decileValueSql: String =
     """WITH d AS (SELECT o_totalprice,
       |  ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile

@@ -81,6 +81,22 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cats.subsetOf(valid))
   }
 
+  test("scalable decile closely tracks exact ntile deciles") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = Analytics.decileValue(Tables.orders(spark, sf01))
+      .orderBy("decile").collect()
+    val approx = Analytics.decileValueScalable(Tables.orders(spark, sf01))
+      .orderBy("decile").collect()
+    assert(approx.map(_.getInt(0)).toSeq == (1 to 10))
+    val total = exact.map(_.getLong(1)).sum
+    assert(approx.map(_.getLong(1)).sum == total)
+    // bucket sizes within 5% of n/10 at relErr=0.001
+    approx.foreach { r =>
+      assert(math.abs(r.getLong(1) - total / 10.0) < total * 0.05,
+        s"decile ${r.getInt(0)} size ${r.getLong(1)} too far from ${total / 10}")
+    }
+  }
+
   test("pricing summary matches a spark.sql cross-check") {
     Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
     val viaSql = spark.sql(

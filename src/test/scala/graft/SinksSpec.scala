@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Sinks, Tables}
+
+class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
+    with AdaptiveSparkPlanHelper {
+
+  lazy val tmp: String = Files.createTempDirectory("graft_sinks").toString
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", s"$tmp/warehouse")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ to prove bucketing
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("date-partitioned sink lays out day= directories and prunes on read") {
+    val path = s"$tmp/events_by_day"
+    Sinks.writePartitionedByDay(Tables.events(spark, sf), "ts", path)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("day=")))
+    val back = Sinks.readPartitioned(spark, path)
+    assert(back.count() == Tables.events(spark, sf).count())
+    // partition pruning: scanning one day reads one partition directory
+    val oneDay = back.filter(col("day") === dirs.head.stripPrefix("day="))
+    val scanned = oneDay.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).headOption
+    assert(oneDay.count() > 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    Sinks.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "o_custkey", 4, "orders_b")
+    Sinks.writeBucketed(
+      Tables.customer(spark, sf).select("c_custkey", "c_name"),
+      "c_custkey", 4, "customer_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_name").agg(sum("o_totalprice").as("total"))
+    assert(joined.count() > 0)
+    val shufflesBeforeAgg = collectWithSubqueries(joined.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike => s
+    }
+    // exactly one shuffle (the final groupBy on c_name); the join itself
+    // must be shuffle-free because both sides are co-bucketed on the key
+    assert(shufflesBeforeAgg.size == 1,
+      s"expected only the agg shuffle, got ${shufflesBeforeAgg.size}")
+  }
+
+  test("non-bucketed join of the same data DOES shuffle both sides (control)") {
+    val joined = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+      .join(Tables.customer(spark, sf).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_name").agg(sum("o_totalprice").as("total"))
+    assert(joined.count() > 0)
+    val shuffles = collectWithSubqueries(joined.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike => s
+    }
+    assert(shuffles.size >= 2, s"control should shuffle join inputs, got ${shuffles.size}")
+  }
+}
