@@ -24,7 +24,9 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int): SparkSession = {
-    val s = tune(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
+    val s = tune(SparkSession.builder().master(s"local[$cores]"), cores)
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -59,6 +59,24 @@ object Smoke {
     println(s"[smoke] sink partitions: ${dayDirs.take(3).mkString(", ")} … (${dayDirs.length} days)")
     require(dayDirs.nonEmpty && dayDirs.forall(_.startsWith("day=")), "expected day= layout")
 
+    // 5. SQL-callable native functions (GraftExtensions)
+    val sqlRow = spark.sql(
+      "SELECT graft_dot_long(array(1L,2L), array(3L,4L)) AS d, graft_hamming('abc','abd') AS h").head()
+    println(s"[smoke] sql functions: dot=${sqlRow.getLong(0)} hamming=${sqlRow.getLong(1)}")
+    require(sqlRow.getLong(0) == 11L && sqlRow.getLong(1) == 1L)
+
+    // 6. ingest quarantine
+    val csv = java.nio.file.Files.createTempFile("smoke", ".csv")
+    java.nio.file.Files.writeString(csv, "id,name,score\n1,a,0.5\nBAD,row,zz\n")
+    val (clean, bad) = graft.sources.Ingest.quarantine(
+      graft.sources.Ingest.readCsv(spark, csv.toString,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType)))))
+    println(s"[smoke] ingest: clean=${clean.count()} quarantined=${bad.count()}")
+    require(clean.count() == 1 && bad.count() == 1)
+
     println("[smoke] OK")
     spark.stop()
   }

@@ -53,8 +53,9 @@ object Exprs {
   case class DotLong(left: Expression, right: Expression)
       extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
-      if (Seq(left, right).forall(_.dataType.isInstanceOf[ArrayType]) &&
-        Seq(left, right).forall(_.dataType.asInstanceOf[ArrayType].elementType == LongType))
+      if (Seq(left, right).forall(e => e.dataType == NullType ||
+        (e.dataType.isInstanceOf[ArrayType] &&
+          e.dataType.asInstanceOf[ArrayType].elementType == LongType)))
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<bigint> inputs")
     override def dataType: DataType = LongType
@@ -96,8 +97,9 @@ object Exprs {
   case class MinHashSig(child: Expression, numHashes: Int)
       extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
-      if (child.dataType.isInstanceOf[ArrayType] &&
-        child.dataType.asInstanceOf[ArrayType].elementType == StringType)
+      if (child.dataType == NullType ||
+        (child.dataType.isInstanceOf[ArrayType] &&
+          child.dataType.asInstanceOf[ArrayType].elementType == StringType))
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string> input")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -144,8 +146,9 @@ object Exprs {
   case class SimHash64(child: Expression)
       extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
-      if (child.dataType.isInstanceOf[ArrayType] &&
-        child.dataType.asInstanceOf[ArrayType].elementType == StringType)
+      if (child.dataType == NullType ||
+        (child.dataType.isInstanceOf[ArrayType] &&
+          child.dataType.asInstanceOf[ArrayType].elementType == StringType))
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string> input")
     override def dataType: DataType = StringType
@@ -188,7 +191,7 @@ object Exprs {
   case class HammingStr(left: Expression, right: Expression)
       extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
-      if (left.dataType == StringType && right.dataType == StringType)
+      if (Seq(left, right).forall(e => e.dataType == NullType || e.dataType == StringType))
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(s"$prettyName needs string inputs")
     override def dataType: DataType = LongType

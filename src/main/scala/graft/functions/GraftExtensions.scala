@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so `spark.sql("SELECT graft_dot_long(a,
+  * b) …")` works next to the Column API. Activate with
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)          // or
+  *     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[Exprs.type].getName, null, name, usage, "", "", "",
+      "", "4.0.0", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_long"),
+      info("graft_dot_long", "graft_dot_long(a, b) - exact integer dot product of two bigint arrays"),
+      (args: Seq[Expression]) => Exprs.DotLong(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming"),
+      info("graft_hamming", "graft_hamming(a, b) - hamming distance between two strings"),
+      (args: Seq[Expression]) => Exprs.HammingStr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(shingles) - 64-bit simhash of a string array as a bit string"),
+      (args: Seq[Expression]) => Exprs.SimHash64(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "graft_minhash_sig(shingles, k) - k-permutation minhash signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sh) => Exprs.MinHashSig(sh, 8)
+        case Seq(sh, k) => Exprs.MinHashSig(sh,
+          k.eval().asInstanceOf[Number].intValue())
+      }))
+  }
+}

@@ -151,6 +151,85 @@ object Analytics {
       |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** B6 (TPC-H Q3 shape): top-10 open orders by discounted revenue for a
+    * market segment. Fact-fact join shuffles once on the order key;
+    * top-k is a rank filter over the aggregated frame.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       segment: String = "BUILDING", k: Int = 10): DataFrame = {
+    val disc = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+    val rev = lineitem
+      .join(orders.filter(col("o_orderstatus") =!= "F")
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.filter(col("c_mktsegment") === segment).select("c_custkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum(disc).as("rev_exact"))
+    rev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy().orderBy(col("rev_exact").desc, col("o_orderkey"))))
+      .filter(col("rn") <= k)
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"),
+        money(col("rev_exact")).as("revenue"), col("rn"))
+  }
+
+  val shippingPrioritySql: String =
+    """WITH rev AS (
+      |  SELECT o_orderkey, o_orderdate,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev_exact
+      |  FROM lineitem
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderstatus <> 'F' AND c_mktsegment = 'BUILDING'
+      |  GROUP BY o_orderkey, o_orderdate)
+      |SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  CAST(round(rev_exact, 2) AS DOUBLE) AS revenue, rn
+      |FROM (SELECT *, row_number() OVER (ORDER BY rev_exact DESC, o_orderkey) AS rn FROM rev)
+      |WHERE rn <= 10""".stripMargin
+
+  /** B7 (TPC-H Q14 shape): conditional-aggregate share — fraction of
+    * revenue from one part type family. Exact decimal numerator/
+    * denominator, one double division at the end.
+    */
+  def promoShare(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val disc = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+    lineitem
+      .join(broadcast(part.select("p_partkey", "p_type")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type").startsWith("PROMO").as("is_promo"))
+      .agg(money(sum(disc)).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val promoShareSql: String =
+    """SELECT starts_with(p_type, 'PROMO') AS is_promo,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY starts_with(p_type, 'PROMO')""".stripMargin
+
+  /** B8: supplier volume by nation — broadcast supplier+nation dims,
+    * lineitem aggregated with partial combine.
+    */
+  def supplierVolume(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        countDistinct(col("s_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_items"),
+        money(sum(dec(col("l_extendedprice")))).as("volume"))
+
+  val supplierVolumeSql: String =
+    """SELECT n_name, count(DISTINCT s_suppkey) AS n_suppliers, count(*) AS n_items,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS volume
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
     "q_join_pushdown" -> ((s, d) =>
@@ -158,12 +237,20 @@ object Analytics {
         Tables.nation(s, d), Tables.region(s, d))),
     "q_top_parts" -> ((s, d) => topParts(Tables.lineitem(s, d), Tables.part(s, d))),
     "q_decile_value" -> ((s, d) => decileValue(Tables.orders(s, d))),
-    "q_monthly_revenue" -> ((s, d) => monthlyRevenue(Tables.orders(s, d))))
+    "q_monthly_revenue" -> ((s, d) => monthlyRevenue(Tables.orders(s, d))),
+    "q3_shipping_priority" -> ((s, d) =>
+      shippingPriority(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q14_promo_share" -> ((s, d) => promoShare(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q_supplier_volume" -> ((s, d) =>
+      supplierVolume(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> pricingSummarySql,
     "q_join_pushdown" -> joinPushdownSql,
     "q_top_parts" -> topPartsSql,
     "q_decile_value" -> decileValueSql,
-    "q_monthly_revenue" -> monthlyRevenueSql)
+    "q_monthly_revenue" -> monthlyRevenueSql,
+    "q3_shipping_priority" -> shippingPrioritySql,
+    "q14_promo_share" -> promoShareSql,
+    "q_supplier_volume" -> supplierVolumeSql)
 }

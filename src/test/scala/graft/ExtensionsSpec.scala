@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface tests for the injected native functions. */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local(2)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("graft_dot_long is SQL-callable") {
+    val r = spark.sql("SELECT graft_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .head().getLong(0)
+    assert(r == 32L)
+  }
+
+  test("graft_hamming is SQL-callable") {
+    val r = spark.sql("SELECT graft_hamming('10101', '10001') AS h").head().getLong(0)
+    assert(r == 1L)
+  }
+
+  test("graft_simhash64 returns a 64-bit string") {
+    val r = spark.sql("SELECT graft_simhash64(array('a b c', 'b c d')) AS s")
+      .head().getString(0)
+    assert(r.length == 64 && r.forall(c => c == '0' || c == '1'))
+  }
+
+  test("graft_minhash_sig with explicit k matches SQL md5 semantics") {
+    val r = spark.sql(
+      """SELECT graft_minhash_sig(array('x'), 1) AS mh,
+        |       array(md5('0|x')) AS expected""".stripMargin).head()
+    assert(r.getSeq[String](0) == r.getSeq[String](1))
+  }
+
+  test("null inputs propagate null, not crash") {
+    val r = spark.sql(
+      "SELECT graft_dot_long(NULL, array(1L)) AS a, graft_hamming(NULL, 'x') AS b").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}

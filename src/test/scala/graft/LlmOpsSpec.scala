@@ -66,6 +66,18 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"LSH recalled only $hit/${Embeddings.NumProbes} top-1 neighbors")
   }
 
+  test("multi-probe recall >= single-probe recall, both against brute force") {
+    val bf = Embeddings.annTopK(Tables.embeddings(spark, sf))
+      .filter(col("rn") === 1).select("q_id", "n_id")
+    val single = Embeddings.annLsh(Tables.embeddings(spark, sf)).select("q_id", "n_id")
+    val multi = Embeddings.annMultiProbe(Tables.embeddings(spark, sf)).select("q_id", "n_id")
+    val hitS = bf.join(single, Seq("q_id", "n_id")).count()
+    val hitM = bf.join(multi, Seq("q_id", "n_id")).count()
+    assert(hitM >= hitS, s"multi-probe recall $hitM < single-probe $hitS")
+    assert(hitM >= (Embeddings.NumProbes * 7) / 10,
+      s"multi-probe recalled only $hitM/${Embeddings.NumProbes}")
+  }
+
   test("near-dup cosine pairs meet the threshold and are unique") {
     val nd = Embeddings.nearDupCosine(Tables.embeddings(spark, sf))
     assert(nd.filter(col("cos") < Embeddings.NearDupThreshold).count() == 0)
