@@ -270,15 +270,98 @@ object Embeddings {
        |  FROM scored) WHERE rn <= $TopK""".stripMargin
   }
 
+  // ---------------- C7c: IVF (inverted-file) ANN ----------------
+
+  val NumCentroids = 16
+  val NProbe = 4
+
+  /** Vector→centroid assignment. Centroids here are the first
+    * NumCentroids vectors (deterministic, oracle-checkable stand-in for
+    * a k-means codebook — the inverted-list structure and search are
+    * identical in production, only the codebook training differs).
+    * Distance is exact integer squared-L2: |v|² − 2·v·c + |c|²; argmin
+    * via a per-vector rank (tie-break on centroid id).
+    */
+  def ivfAssign(q: DataFrame): DataFrame = {
+    val cent = q.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("c_id"), col("qv").as("cqv"), col("nrm").as("cnrm"))
+    q.crossJoin(broadcast(cent))
+      .withColumn("d2", col("nrm") - lit(2L) * dot(col("qv"), col("cqv")) + col("cnrm"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"))
+  }
+
+  /** IVF search: each probe scans only its NProbe nearest inverted
+    * lists. At 100 TB this is THE ANN layout: lists are partition-
+    * pruned (cluster id = partition key), so a query touches
+    * NProbe/NumCentroids of the corpus.
+    */
+  def annIvf(embeddings: DataFrame): DataFrame = {
+    val q = quantized(embeddings)
+    val centQ = q.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("c_id"), col("qv").as("cqv"), col("nrm").as("cnrm"))
+    val assign = ivfAssign(q)
+    val probeLists = q.filter(col("vec_id") < NumProbes)
+      .crossJoin(broadcast(centQ))
+      .withColumn("d2", col("nrm") - lit(2L) * dot(col("qv"), col("cqv")) + col("cnrm"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"), col("c_id"))
+    val cands = assign
+      .join(broadcast(probeLists), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(q.select(col("vec_id"), col("qv"), col("nrm")), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_qv"), col("qv"), col("q_nrm"), col("nrm")).as("cos"))
+      .distinct()
+    cands
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rn") <= TopK)
+  }
+
+  val annIvfSql: String =
+    s"""WITH q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
+       |cent AS (SELECT vec_id AS c_id, qv AS cqv, nrm AS cnrm FROM n WHERE vec_id < $NumCentroids),
+       |assign AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT n.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY n.nrm - 2 * ${dotSqlFmt.format("n.qv", "cent.cqv")} + cent.cnrm, cent.c_id) AS rn
+       |    FROM n, cent) WHERE rn = 1),
+       |probe_lists AS (
+       |  SELECT vec_id AS q_id, c_id FROM (
+       |    SELECT n.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY n.nrm - 2 * ${dotSqlFmt.format("n.qv", "cent.cqv")} + cent.cnrm, cent.c_id) AS rn
+       |    FROM n, cent WHERE n.vec_id < $NumProbes) WHERE rn <= $NProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+       |  FROM probe_lists p JOIN assign a ON p.c_id = a.c_id
+       |  WHERE a.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT q_id, n_id,
+       |    ${dotSqlFmt.format("a.qv", "b.qv")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+       |  FROM cand JOIN n a ON q_id = a.vec_id JOIN n b ON n_id = b.vec_id)
+       |SELECT q_id, n_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+       |  FROM scored) WHERE rn <= $TopK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_topk" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d))),
     "q_ann_multiprobe" -> ((s, d) => annMultiProbe(Tables.embeddings(s, d))),
+    "q_ann_ivf" -> ((s, d) => annIvf(Tables.embeddings(s, d))),
     "q_neardup_cosine" -> ((s, d) => nearDupCosine(Tables.embeddings(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_ann_topk" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_multiprobe" -> annMultiProbeSql,
+    "q_ann_ivf" -> annIvfSql,
     "q_neardup_cosine" -> nearDupCosineSql)
 }

@@ -415,6 +415,63 @@ object Reference {
       |  JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name, o_orderstatus""".stripMargin
 
+  /** A16: conversion funnel — users whose first purchase follows their
+    * signup within 7 days (the activation metric a scraping pipeline's
+    * analytics layer reports). Two filtered aggregates + one join on the
+    * user key; time math in exact integer micros.
+    */
+  def funnel(events: DataFrame, withinDays: Int = 7): DataFrame = {
+    val signup = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(tUs(col("ts"))).as("signup_us"))
+    val purchase = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(tUs(col("ts"))).as("first_purchase_us"))
+    signup.join(purchase, Seq("user_id"), "left")
+      .select(
+        col("user_id"), col("signup_us"),
+        col("first_purchase_us"),
+        (col("first_purchase_us").isNotNull &&
+          col("first_purchase_us") >= col("signup_us") &&
+          col("first_purchase_us") - col("signup_us") <= lit(withinDays.toLong * 86400L * 1000000L))
+          .as("converted"))
+  }
+
+  val funnelSql: String =
+    """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+      |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |p AS (SELECT user_id, min(epoch_us(ts)) AS first_purchase_us
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT s.user_id, signup_us, first_purchase_us,
+      |  (first_purchase_us IS NOT NULL AND first_purchase_us >= signup_us
+      |   AND first_purchase_us - signup_us <= 7::BIGINT * 86400 * 1000000) AS converted
+      |FROM s LEFT JOIN p ON s.user_id = p.user_id""".stripMargin
+
+  /** A17: weekly cohort retention — users grouped by first-seen week;
+    * for each (cohort, week-offset), how many distinct cohort members
+    * were active. The classic retention triangle, built from one
+    * first-seen aggregate joined back to the event stream.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val t = events.select(col("user_id"), tUs(col("ts")).as("t"))
+    val first = t.groupBy("user_id").agg(min(col("t")).as("first_t"))
+    t.join(first, "user_id")
+      .select(
+        floor(col("first_t") / weekUs).cast("long").as("cohort_week"),
+        floor((col("t") - col("first_t")) / lit(weekUs).cast("double")).cast("long").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH t AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |f AS (SELECT user_id, min(t) AS first_t FROM t GROUP BY 1)
+      |SELECT CAST(floor(f.first_t / 604800000000) AS BIGINT) AS cohort_week,
+      |       CAST(floor((t.t - f.first_t) / 604800000000.0) AS BIGINT) AS week_offset,
+      |       count(DISTINCT t.user_id) AS n_active
+      |FROM t JOIN f ON t.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   // -------- wiring --------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -436,7 +493,9 @@ object Reference {
     "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "q_top_influencers" -> ((s, d) => topInfluencers(Tables.events(s, d))),
     "q_engagement_join" -> ((s, d) =>
-      engagementJoin(Tables.customer(s, d), Tables.orders(s, d), Tables.nation(s, d))))
+      engagementJoin(Tables.customer(s, d), Tables.orders(s, d), Tables.nation(s, d))),
+    "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
+    "q_retention_cohorts" -> ((s, d) => retentionCohorts(Tables.events(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_upsert_latest" -> upsertLatestSql,
@@ -453,5 +512,7 @@ object Reference {
     "q_interevent_gaps" -> interEventGapsSql,
     "q_sessionize" -> sessionizeSql,
     "q_top_influencers" -> topInfluencersSql,
-    "q_engagement_join" -> engagementJoinSql)
+    "q_engagement_join" -> engagementJoinSql,
+    "q_funnel" -> funnelSql,
+    "q_retention_cohorts" -> retentionCohortsSql)
 }

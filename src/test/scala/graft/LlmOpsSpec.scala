@@ -78,6 +78,23 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"multi-probe recalled only $hitM/${Embeddings.NumProbes}")
   }
 
+  test("IVF: every vector assigned to exactly one list; search returns k per probe") {
+    val q = Embeddings.quantized(Tables.embeddings(spark, sf))
+    val assign = Embeddings.ivfAssign(q)
+    assert(assign.count() == q.count())
+    assert(assign.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    val lists = assign.select("c_id").distinct().count()
+    assert(lists > 1 && lists <= Embeddings.NumCentroids)
+    val ivf = Embeddings.annIvf(Tables.embeddings(spark, sf))
+    assert(ivf.groupBy("q_id").count().count() == Embeddings.NumProbes)
+    // nprobe/numcentroids = 1/4 of corpus scanned, recall still nonzero
+    val bf = Embeddings.annTopK(Tables.embeddings(spark, sf))
+      .filter(col("rn") === 1).select("q_id", "n_id")
+    val hit = bf.join(ivf.select("q_id", "n_id"), Seq("q_id", "n_id")).count()
+    assert(hit >= Embeddings.NumProbes / 2,
+      s"IVF recalled only $hit/${Embeddings.NumProbes} top-1 neighbors")
+  }
+
   test("near-dup cosine pairs meet the threshold and are unique") {
     val nd = Embeddings.nearDupCosine(Tables.embeddings(spark, sf))
     assert(nd.filter(col("cos") < Embeddings.NearDupThreshold).count() == 0)
