@@ -79,10 +79,14 @@ object Analytics {
       .join(broadcast(part.select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(sum(disc).as("rev_exact"))
+    // sort+limit → TakeOrderedAndProject (per-partition top-k, merged on
+    // the driver) — scale-safe, unlike a rank window over the full frame;
+    // row_number then runs on just k rows.
     rev
+      .orderBy(col("rev_exact").desc, col("p_brand"))
+      .limit(k)
       .withColumn("rn", row_number().over(
         Window.partitionBy().orderBy(col("rev_exact").desc, col("p_brand"))))
-      .filter(col("rn") <= k)
       .select(col("p_brand"), money(col("rev_exact")).as("revenue"), col("rn"))
   }
 
@@ -166,10 +170,13 @@ object Analytics {
         col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey", "o_orderdate")
       .agg(sum(disc).as("rev_exact"))
+    // top-k via sort+limit (TakeOrderedAndProject) — the per-order
+    // aggregate frame is unbounded at scale; never rank-window it.
     rev
+      .orderBy(col("rev_exact").desc, col("o_orderkey"))
+      .limit(k)
       .withColumn("rn", row_number().over(
         Window.partitionBy().orderBy(col("rev_exact").desc, col("o_orderkey"))))
-      .filter(col("rn") <= k)
       .select(col("o_orderkey"),
         to_date(col("o_orderdate")).as("o_orderdate"),
         money(col("rev_exact")).as("revenue"), col("rn"))

@@ -381,8 +381,17 @@ object Reference {
   def topInfluencers(events: DataFrame, k: Int = 10): DataFrame = {
     val in = followEdges(events).groupBy(col("dst").as("user_id"))
       .agg(count(lit(1)).as("in_deg"))
-    in.withColumn("rnk", rank().over(Window.partitionBy().orderBy(col("in_deg").desc)))
+    // rank-with-ties over the full degree table would single-partition a
+    // user-cardinality frame. Scale-safe equivalent: take the k-th degree
+    // via sort+limit (TakeOrderedAndProject), broadcast it as a threshold,
+    // then rank only the >= threshold survivors (k + ties rows).
+    val kth = in.orderBy(col("in_deg").desc).limit(k)
+      .agg(min(col("in_deg")).as("thr"))
+    in.crossJoin(broadcast(kth))
+      .filter(col("in_deg") >= col("thr"))
+      .withColumn("rnk", rank().over(Window.partitionBy().orderBy(col("in_deg").desc)))
       .filter(col("rnk") <= k)
+      .select(col("user_id"), col("in_deg"), col("rnk"))
   }
 
   val topInfluencersSql: String =

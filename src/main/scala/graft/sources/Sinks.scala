@@ -18,12 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
-  /** Date-partitioned parquet sink: `path/day=YYYY-MM-DD/part-*.parquet`. */
-  def writePartitionedByDay(df: DataFrame, tsCol: String, path: String,
-                            filesPerPartition: Int = 1): Unit =
+  /** Date-partitioned parquet sink: `path/day=YYYY-MM-DD/part-*.parquet`.
+    * `repartition(col)` routes each day to one shuffle partition → one
+    * file per day without serializing the write into a single task
+    * (never `coalesce(1)` a partitioned write — it collapses the whole
+    * job to one core).
+    */
+  def writePartitionedByDay(df: DataFrame, tsCol: String, path: String): Unit =
     df.withColumn("day", to_date(col(tsCol)))
       .repartition(col("day"))
-      .coalesce(math.max(filesPerPartition, 1))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("day")
       .parquet(path)

@@ -87,4 +87,36 @@ object EventStream {
     */
   def closeOpenSession(st: SessionState, userId: Long): SessionOut =
     SessionOut(userId, st.sessionId, st.nEvents, st.lastTsUs - st.startTsUs)
+
+  /** Streaming ANN: a stream of query vectors scored against a STATIC
+    * LSH-bucketed corpus (stream-static equi-join on (table, bucket) —
+    * no stream-side state, corpus buckets broadcast/partition-pruned).
+    * This is the online-serving twin of operators.Embeddings.annLsh:
+    * index once, score queries as they arrive. Top-k per query is done
+    * per micro-batch downstream (foreachBatch) because rank windows
+    * aren't available on unaggregated streams.
+    *
+    * Input stream schema: (query_id long, embedding array<float>).
+    * Output: (query_id, n_id, cos) candidate scores.
+    */
+  def streamingAnnCandidates(queryStream: org.apache.spark.sql.DataFrame,
+                             corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Embeddings
+    val corpusBuckets = Embeddings.lshBuckets(Embeddings.quantized(corpus))
+    val qStream = queryStream
+      .select(col("query_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+      .withColumn("nrm", graft.functions.Exprs.dotLong(col("qv"), col("qv")))
+    val streamBuckets = Embeddings.lshBuckets(
+      qStream.select(col("query_id").as("vec_id"), col("qv"), col("nrm")))
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"), col("t"), col("bucket"))
+    streamBuckets
+      .join(corpusBuckets, Seq("t", "bucket"))
+      .select(
+        col("query_id"), col("vec_id").as("n_id"),
+        (graft.functions.Exprs.dotLong(col("q_qv"), col("qv")).cast("double") /
+          (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double")))).as("cos"))
+      .dropDuplicates("query_id", "n_id")
+  }
 }

@@ -76,6 +76,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(closed.head.session_id == 1)
   }
 
+  test("streaming ANN: arriving query vectors score against the static LSH index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // take two real vectors as "arriving" queries — self-match guaranteed
+    val probe = corpus.limit(2).collect()
+      .map(r => (r.getLong(0) + 10000L, r.getSeq[Float](1)))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.streamingAnnCandidates(
+      in.toDF().toDF("query_id", "embedding"), corpus)
+      .writeStream.format("memory").queryName("ann").outputMode("append").start()
+    in.addData(probe.toSeq)
+    q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM ann").collect()
+    q.stop()
+    assert(out.nonEmpty, "expected candidate scores for streamed queries")
+    // each streamed copy of corpus vector v must find v itself at cos ~ 1
+    probe.foreach { case (qid, _) =>
+      val self = out.filter(r => r.getLong(0) == qid && r.getLong(1) == qid - 10000L)
+      assert(self.nonEmpty && math.abs(self.head.getDouble(2) - 1.0) < 1e-9,
+        s"query $qid should self-match at cosine 1")
+    }
+  }
+
   test("batch and streaming sessionize agree on closed sessions") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
