@@ -151,17 +151,48 @@ object TextOps {
        |  list_aggregate(list_transform(${shinglesSqlExpr(5)}, s -> md5(s)), 'min') AS fp
        |FROM documents""".stripMargin
 
+  /** C13: per-language corpus profile — the rollup a data curator reads
+    * before sampling a training mix. All aggregates are integer sums
+    * (order-independent); the diversity ratio is one double division at
+    * the end (deterministic cross-engine).
+    */
+  def langStats(documents: DataFrame): DataFrame = {
+    val n = size(toks).cast("long")
+    val nd = size(array_distinct(toks)).cast("long")
+    documents
+      .select(col("lang"), col("n_chars"), n.as("n_tok"), nd.as("n_distinct"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tok")).as("total_tokens"),
+        (sum(col("n_distinct")).cast("double") / sum(col("n_tok")).cast("double"))
+          .as("diversity_ratio"))
+  }
+
+  val langStatsSql: String =
+    """WITH t AS (SELECT lang, n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |FROM documents)
+      |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      |  sum(n_tok) AS total_tokens,
+      |  CAST(sum(n_distinct) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) AS diversity_ratio
+      |FROM t GROUP BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) => dedupExact(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => qualityScore(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => tokenCount(Tables.documents(s, d))),
-    "q_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))))
+    "q_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
+    "q_lang_stats" -> ((s, d) => langStats(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_lang_id" -> langIdSql,
     "q_quality_score" -> qualityScoreSql,
     "q_token_count" -> tokenCountSql,
-    "q_fingerprint" -> fingerprintSql)
+    "q_fingerprint" -> fingerprintSql,
+    "q_lang_stats" -> langStatsSql)
 }
