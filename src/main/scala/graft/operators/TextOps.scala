@@ -180,13 +180,44 @@ object TextOps {
       |  CAST(sum(n_distinct) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) AS diversity_ratio
       |FROM t GROUP BY lang""".stripMargin
 
+  /** C14: deterministic training-mix sampling — per-language keep rates
+    * applied via a content-stable hash selector (first md5 nibble of the
+    * doc id ∈ [0,16)), so the sample is reproducible across runs,
+    * engines and partitionings — unlike `rand()`-based sampling, which
+    * is none of those. This is how curation pipelines downsample
+    * over-represented languages/sources into a target mix.
+    */
+  val mixRates: Map[String, Int] = // keep nibbles < rate, i.e. rate/16 of docs
+    Map("en" -> 16, "de" -> 8, "fr" -> 8, "es" -> 4, "zh" -> 4)
+
+  def sampleMix(documents: DataFrame): DataFrame = {
+    val sel = expr("CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 AS BIGINT)")
+    val rate = mixRates.foldLeft(lit(0L)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r.toLong)).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("lang"), col("source"), sel.as("selector"), rate.as("keep_rate"))
+      .filter(col("selector") < col("keep_rate"))
+  }
+
+  val sampleMixSql: String = {
+    val cases = mixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang, source,
+       |  CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS selector,
+       |  CAST(CASE $cases ELSE 0 END AS BIGINT) AS keep_rate
+       |FROM documents)
+       |SELECT doc_id, lang, source, selector, keep_rate
+       |FROM t WHERE selector < keep_rate""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) => dedupExact(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => qualityScore(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => tokenCount(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
-    "q_lang_stats" -> ((s, d) => langStats(Tables.documents(s, d))))
+    "q_lang_stats" -> ((s, d) => langStats(Tables.documents(s, d))),
+    "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
@@ -194,5 +225,6 @@ object TextOps {
     "q_quality_score" -> qualityScoreSql,
     "q_token_count" -> tokenCountSql,
     "q_fingerprint" -> fingerprintSql,
-    "q_lang_stats" -> langStatsSql)
+    "q_lang_stats" -> langStatsSql,
+    "q_sample_mix" -> sampleMixSql)
 }
