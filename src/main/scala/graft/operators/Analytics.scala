@@ -80,13 +80,17 @@ object Analytics {
       .groupBy("p_brand")
       .agg(sum(disc).as("rev_exact"))
     // sort+limit → TakeOrderedAndProject (per-partition top-k, merged on
-    // the driver) — scale-safe, unlike a rank window over the full frame;
-    // row_number then runs on just k rows.
+    // the driver) — scale-safe, unlike a rank window over the full frame.
+    // The limit output is a single partition by construction; re-assert
+    // the order there and number rows with monotonically_increasing_id
+    // (0-based within the one partition) — no Window.partitionBy()
+    // window, so the single-partition WindowExec WARN stays a real
+    // scale signal elsewhere, and `rev` is computed exactly once.
     rev
       .orderBy(col("rev_exact").desc, col("p_brand"))
       .limit(k)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy().orderBy(col("rev_exact").desc, col("p_brand"))))
+      .sortWithinPartitions(col("rev_exact").desc, col("p_brand"))
+      .withColumn("rn", (monotonically_increasing_id() + 1).cast("int"))
       .select(col("p_brand"), money(col("rev_exact")).as("revenue"), col("rn"))
   }
 
@@ -98,26 +102,40 @@ object Analytics {
       |FROM (SELECT *, row_number() OVER (ORDER BY rev_exact DESC, p_brand) AS rn FROM rev)
       |WHERE rn <= 5""".stripMargin
 
-  /** B4: decile stats over order value — ntile with a unique-key
-    * tiebreak so bucketing is deterministic across engines.
+  /** B4: decile stats over order value. Value-based deciles from exact
+    * quantile cut points: ONE `percentile` aggregate computes all 9 cuts
+    * in a single pass (partial-agg map-side combine; final-reduce memory
+    * ∝ distinct prices, not rows — no global sort, no single-partition
+    * window), the 9-cut row is broadcast, and bucketing is a map-side
+    * CASE. Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * interpolation convention (value at position p·(N−1), linear
+    * lo + f·(hi−lo) — probed empirically), so the cuts are bit-identical
+    * IEEE doubles and the oracle matches exactly. Ties on price land in
+    * one bucket by construction, so no tiebreak key is needed.
     */
-  def decileValue(orders: DataFrame): DataFrame =
+  def decileValue(orders: DataFrame): DataFrame = {
+    val cuts = orders
+      .agg(percentile(col("o_totalprice"),
+        typedLit((1 to 9).map(_ / 10.0))).as("cs"))
+      .select((1 to 9).map(i => col("cs").getItem(i - 1).as(s"c$i")): _*)
+    val decile = (1 to 9).foldRight(lit(10): Column) { (i, acc) =>
+      when(col("o_totalprice") <= col(s"c$i"), lit(i)).otherwise(acc)
+    }
     orders
-      .withColumn("decile",
-        ntile(10).over(Window.partitionBy().orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .crossJoin(broadcast(cuts))
+      .withColumn("decile", decile)
       .groupBy("decile")
       .agg(
         count(lit(1)).as("n"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))
+  }
 
-  /** B4-scale: the 100 TB formulation of [[decileValue]]. Exact ntile
-    * needs a global total order (Spark funnels every row through one
-    * window partition). At scale: one approx-quantile pass computes the
-    * 9 cut points (GK sketch, driver gets 9 doubles), then bucketing is
-    * a map-side lookup — no global sort, no single-partition window.
-    * Not oracle-checked (sketch is implementation-specific); DecileSpec
-    * bounds its disagreement with the exact operator instead.
+  /** B4-approx: sketch-based variant for when even the distinct-value
+    * final reduce of [[decileValue]] is too big — one approx-quantile
+    * pass (GK sketch, driver gets 9 doubles), then the same map-side
+    * bucketing. Not oracle-checked (sketch is implementation-specific);
+    * DecileSpec bounds its disagreement with the exact operator instead.
     */
   def decileValueScalable(orders: DataFrame, relErr: Double = 0.001): DataFrame = {
     val cuts = orders.stat.approxQuantile(
@@ -134,13 +152,17 @@ object Analytics {
         max(col("o_totalprice")).as("max_price"))
   }
 
-  val decileValueSql: String =
-    """WITH d AS (SELECT o_totalprice,
-      |  ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
-      |FROM orders)
-      |SELECT decile, count(*) AS n, min(o_totalprice) AS min_price,
-      |  max(o_totalprice) AS max_price
-      |FROM d GROUP BY decile""".stripMargin
+  val decileValueSql: String = {
+    val fracs = (1 to 9).map(i => s"0.$i").mkString(", ")
+    val cutCols = (1 to 9).map(i => s"cs[$i] AS c$i").mkString(", ")
+    val cases = (1 to 9).map(i => s"WHEN o_totalprice <= c$i THEN $i").mkString(" ")
+    s"""WITH qs AS (SELECT quantile_cont(o_totalprice, [$fracs]) AS cs FROM orders),
+       |cuts AS (SELECT $cutCols FROM qs),
+       |d AS (SELECT o_totalprice, CASE $cases ELSE 10 END AS decile FROM orders, cuts)
+       |SELECT decile, count(*) AS n, min(o_totalprice) AS min_price,
+       |  max(o_totalprice) AS max_price
+       |FROM d GROUP BY decile""".stripMargin
+  }
 
   /** B5: month-bucketed revenue time series. */
   def monthlyRevenue(orders: DataFrame): DataFrame =
@@ -172,11 +194,12 @@ object Analytics {
       .agg(sum(disc).as("rev_exact"))
     // top-k via sort+limit (TakeOrderedAndProject) — the per-order
     // aggregate frame is unbounded at scale; never rank-window it.
+    // Row numbering over the single-partition limit output, as in topParts.
     rev
       .orderBy(col("rev_exact").desc, col("o_orderkey"))
       .limit(k)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy().orderBy(col("rev_exact").desc, col("o_orderkey"))))
+      .sortWithinPartitions(col("rev_exact").desc, col("o_orderkey"))
+      .withColumn("rn", (monotonically_increasing_id() + 1).cast("int"))
       .select(col("o_orderkey"),
         to_date(col("o_orderdate")).as("o_orderdate"),
         money(col("rev_exact")).as("revenue"), col("rn"))

@@ -132,26 +132,38 @@ object Reference {
       |FROM events WHERE event_type = 'signup'
       |ORDER BY event_id LIMIT 10""".stripMargin
 
+  /** Reference lookback: the scheduler skips users with a job in the last
+    * 7 days (scheduler/job_scheduler.py:63). */
+  val ReferenceLookbackUs: Long = 7L * 86400L * 1000000L
+
+  /** Testdata lookback: every synthetic user is active within 7 days of
+    * max(ts), so the reference default yields an empty (vacuous) result on
+    * the test tables; the wired query uses 12 hours to keep the oracle
+    * check meaningful. Semantics are identical — only the constant differs.
+    */
+  val TestdataLookbackUs: Long = 12L * 3600L * 1000000L
+
   /** A5: recent-activity window dedup — the scheduler skips users with a
-    * job in the last 7 days (scheduler/job_scheduler.py:56-78). Here:
-    * users whose latest event is older than (max ts - 7 days). The
+    * job inside the lookback window (scheduler/job_scheduler.py:56-78).
+    * Here: users whose latest event is older than (max ts - lookback). The
     * global max is a one-row broadcast, not a driver collect.
     */
-  def recentWindowDedup(events: DataFrame): DataFrame = {
+  def recentWindowDedup(events: DataFrame,
+                        lookbackUs: Long = ReferenceLookbackUs): DataFrame = {
     val mx = events.agg(max(tUs(col("ts"))).as("max_us"))
     events
       .groupBy("user_id")
       .agg(max(tUs(col("ts"))).as("last_ts_us"))
       .crossJoin(broadcast(mx))
-      .filter(col("last_ts_us") < col("max_us") - lit(12L * 3600 * 1000000L))
+      .filter(col("last_ts_us") < col("max_us") - lit(lookbackUs))
       .select(col("user_id"), col("last_ts_us"))
   }
 
   val recentWindowDedupSql: String =
-    """WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
-      |last AS (SELECT user_id, max(epoch_us(ts)) AS last_ts_us FROM events GROUP BY 1)
-      |SELECT user_id, last_ts_us FROM last, mx
-      |WHERE last_ts_us < max_us - 12::BIGINT * 3600 * 1000000""".stripMargin
+    s"""WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+       |last AS (SELECT user_id, max(epoch_us(ts)) AS last_ts_us FROM events GROUP BY 1)
+       |SELECT user_id, last_ts_us FROM last, mx
+       |WHERE last_ts_us < max_us - $TestdataLookbackUs""".stripMargin
 
   /** A6: pending-users anti-join — users with completed scrape data but
     * no interest rows (analysis/interest_analyzer.py:289-297,
@@ -262,9 +274,15 @@ object Reference {
     val agged = events.groupBy("event_type").agg(
       count(lit(1)).as("n"),
       money(sum(dec(col("value")))).as("total_value"))
+    // Share of grand total WITHOUT a global window (a constant partition
+    // key gets constant-folded back to an empty spec): the total is its
+    // own one-row aggregate — a column-less count(*) scan — broadcast
+    // onto the |event_type|-row frame.
+    val tot = events.agg(count(lit(1)).cast("double").as("tot"))
     agged
-      .withColumn("share",
-        round(col("n").cast("double") / sum(col("n")).over(Window.partitionBy()), 4))
+      .crossJoin(broadcast(tot))
+      .withColumn("share", round(col("n").cast("double") / col("tot"), 4))
+      .drop("tot")
   }
 
   val jobProgressSql: String =
@@ -297,7 +315,7 @@ object Reference {
       |  row_number() OVER (PARTITION BY CAST(date_trunc('day', ts) AS DATE) ORDER BY event_id) AS rn
       |FROM events)
       |SELECT day, count(*) AS total,
-      |  sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS kept
+      |  CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS kept
       |FROM d GROUP BY day""".stripMargin
 
   /** A11: batch assignment — the analyzer chunks following lists into
@@ -367,8 +385,8 @@ object Reference {
       |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_t
       |FROM events),
       |s AS (SELECT user_id, event_id, t,
-      |  sum(CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000 THEN 1 ELSE 0 END)
-      |    OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  CAST(sum(CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |FROM t)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  max(t) - min(t) AS duration_us
@@ -387,9 +405,19 @@ object Reference {
     // then rank only the >= threshold survivors (k + ties rows).
     val kth = in.orderBy(col("in_deg").desc).limit(k)
       .agg(min(col("in_deg")).as("thr"))
+    // rank()-with-ties over the (≤ k+ties)-row survivor frame, without a
+    // Window.partitionBy() single-partition window: repartition(1) (a
+    // shuffle barrier — upstream agg stays parallel; only the tiny
+    // survivor rows move), sort the one partition, number rows with
+    // monotonically_increasing_id, then rank = min row-number within the
+    // tie group via a keyed (non-empty-spec) window.
     in.crossJoin(broadcast(kth))
       .filter(col("in_deg") >= col("thr"))
-      .withColumn("rnk", rank().over(Window.partitionBy().orderBy(col("in_deg").desc)))
+      .repartition(1)
+      .sortWithinPartitions(col("in_deg").desc, col("user_id"))
+      .withColumn("rn", monotonically_increasing_id() + 1)
+      .withColumn("rnk",
+        min(col("rn")).over(Window.partitionBy("in_deg")).cast("int"))
       .filter(col("rnk") <= k)
       .select(col("user_id"), col("in_deg"), col("rnk"))
   }
@@ -488,7 +516,8 @@ object Reference {
     "q_mutual_edges" -> ((s, d) => mutualEdges(Tables.events(s, d))),
     "q_follower_stats" -> ((s, d) => followerStats(Tables.events(s, d))),
     "q_pending_batch" -> ((s, d) => pendingBatch(Tables.events(s, d))),
-    "q_recent_window_dedup" -> ((s, d) => recentWindowDedup(Tables.events(s, d))),
+    "q_recent_window_dedup" -> ((s, d) =>
+      recentWindowDedup(Tables.events(s, d), TestdataLookbackUs)),
     "q_pending_users_antijoin" -> ((s, d) =>
       pendingUsersAntiJoin(Tables.customer(s, d), Tables.orders(s, d))),
     "q_interest_categorize" -> ((s, d) => interestCategorize(Tables.documents(s, d))),

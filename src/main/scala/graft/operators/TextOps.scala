@@ -175,8 +175,9 @@ object TextOps {
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
       |FROM documents)
-      |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-      |  sum(n_tok) AS total_tokens,
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
       |  CAST(sum(n_distinct) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) AS diversity_ratio
       |FROM t GROUP BY lang""".stripMargin
 

@@ -31,7 +31,15 @@ def compare(name, spark_df, oracle_df):
         return f"ROWCOUNT differ: spark={len(a)} oracle={len(b)}"
     for c in a.columns:
         av, bv = a[c].values, b[c].values
-        if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
+        # The driver hashes string renderings: an integer column on one side
+        # and a float on the other ("123" vs "123.0") fails there even when
+        # values are numerically equal (DuckDB HUGEINT -> pandas float64).
+        a_float = np.issubdtype(a[c].dtype, np.floating)
+        b_float = np.issubdtype(b[c].dtype, np.floating)
+        if a_float != b_float:
+            return (f"DTYPE-MIX col={c}: spark={a[c].dtype} oracle={b[c].dtype}"
+                    " (driver string-hash sees '123' vs '123.0' -- CAST the oracle sum AS BIGINT)")
+        if a_float or b_float:
             af = av.astype(float); bf = bv.astype(float)
             both_nan = np.isnan(af) & np.isnan(bf)
             exact = (af == bf) | both_nan
