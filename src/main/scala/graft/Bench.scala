@@ -1,22 +1,37 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — one JSON line with per-query steady-state seconds.
+/** Benchmark main — one JSON line with per-query cold and warm seconds.
   *
-  * Methodology: a warmup pass first executes every query once (JIT +
-  * whole-stage-codegen compilation + parquet footer caching), then each
-  * query is timed on a fresh execution. This measures the engine's
-  * steady-state throughput, which is what a long-running cluster job
-  * sees — not the one-off JVM warmup.
+  * Methodology: a first pass executes every query once (JIT +
+  * whole-stage-codegen compilation + parquet footer caching). Then per
+  * query: `spark.catalog.clearCache()` drops every persisted frame, a
+  * timed COLD run pays the full cost including signature/quantization
+  * materialization, and an immediately-following timed WARM run reuses
+  * the frames the cold run persisted (steady-state, long-running-job
+  * view). `value` (the headline) is the cold total; `queries` carries
+  * the cold per-query numbers, `queries_warm` the warm ones.
+  *
+  * Regression gate: per-query warm times are compared against the
+  * committed `bench_baseline.json` (prior round's warm numbers;
+  * overridable via SPARK_GRAFT_BASELINE) and any query slower than
+  * 1.5x its baseline is listed under `regressions` and echoed to
+  * stderr.
   */
 object Bench {
+  private val RegressionFactor = 1.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: WARN-level noise around the JSON line broke the round-1
+    // driver parse (BENCH_r01.json has parsed:null, tail full of WARNs).
+    spark.sparkContext.setLogLevel("ERROR")
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -27,12 +42,44 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup: codegen + JIT + IO caches
-    val results = names.map(n => n -> runOnce(n))
+    val results = names.map { n =>
+      spark.catalog.clearCache() // drop persisted frames -> honest cold run
+      val cold = runOnce(n)
+      val warm = runOnce(n)
+      (n, cold, warm)
+    }
+    spark.catalog.clearCache()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val prior: Map[String, Double] = {
+      val p = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench_baseline.json"))
+      if (!Files.exists(p)) Map.empty
+      else {
+        val txt = Files.readString(p)
+        "\"([A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .toMap.filter { case (k, _) => names.contains(k) }
+      }
+    }
+    val regressions = results.flatMap { case (n, _, warm) =>
+      prior.get(n) match {
+        case Some(old) if old > 0 && warm > old * RegressionFactor =>
+          System.err.println(f"[bench] REGRESSION $n: warm $warm%.3fs vs r01 $old%.3fs (${warm / old}%.2fx)")
+          Some(n -> BigDecimal(warm / old).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        case _ => None
+      }
+    }
+
+    def obj(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val totalCold = results.map(_._2).filter(_ >= 0).sum
+    val totalWarm = results.map(_._3).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$totalCold,"unit":"sec"""" +
+      s""","queries":${obj(results.map(r => r._1 -> r._2))}""" +
+      s""","queries_warm":${obj(results.map(r => r._1 -> r._3))}""" +
+      s""","total_warm":$totalWarm""" +
+      s""","regressions":${obj(regressions)}""" +
+      s""","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -133,6 +133,18 @@ object Embeddings {
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
 
+  /** Narrow (vec_id, t, bucket) LSH relation, persisted: both branches of
+    * a bucket self-join (and the probe filter) reuse one computation of
+    * the 24 hyperplane dot products per vector instead of re-deriving
+    * them per branch. ~25 bytes/row × NumTables — small at any corpus
+    * size that fits an LSH index. Spark's CacheManager keys on the
+    * analyzed plan, so repeated calls share one cached instance;
+    * Bench/Verify clearCache() between queries.
+    */
+  def lshBucketsNarrow(q: DataFrame): DataFrame =
+    lshBuckets(q).select("vec_id", "t", "bucket")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
   val bucketsSqlCtes: String =
     s"""q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
        |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
@@ -157,15 +169,23 @@ object Embeddings {
     * product; the verify step touches only candidates.
     */
   def nearDupCosine(embeddings: DataFrame): DataFrame = {
-    val b = lshBuckets(quantized(embeddings))
-    val b1 = b.as("b1")
-    val b2 = b.as("b2")
-    b1.join(b2, col("b1.t") === col("b2.t") && col("b1.bucket") === col("b2.bucket"))
+    val q = quantized(embeddings)
+    // Bucket self-join on the NARROW (vec_id, t, bucket) projection — the
+    // ~0.5 KB qv arrays never enter this shuffle. A pair colliding in
+    // several tables is deduped BEFORE scoring, so each survivor's cosine
+    // is computed exactly once, after joining the vectors back from the
+    // persisted quantized frame. (Same shape as the oracle SQL.)
+    val b = lshBucketsNarrow(q)
+    val cand = b.as("b1")
+      .join(b.as("b2"), col("b1.t") === col("b2.t") && col("b1.bucket") === col("b2.bucket"))
       .filter(col("b1.vec_id") < col("b2.vec_id"))
-      .select(
-        col("b1.vec_id").as("vec_a"), col("b2.vec_id").as("vec_b"),
-        cosine(col("b1.qv"), col("b2.qv"), col("b1.nrm"), col("b2.nrm")).as("cos"))
+      .select(col("b1.vec_id").as("vec_a"), col("b2.vec_id").as("vec_b"))
       .distinct()
+    cand
+      .join(q.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na")), "vec_a")
+      .join(q.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("qa"), col("qb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= NearDupThreshold)
   }
 
@@ -186,20 +206,37 @@ object Embeddings {
     * per-corpus.
     */
   def annLsh(embeddings: DataFrame): DataFrame = {
-    val b = lshBuckets(quantized(embeddings))
+    val q = quantized(embeddings)
+    // Narrow bucket match first: corpus side carries only (vec_id, t,
+    // bucket) into the broadcast probe join; (q_id, n_id) pairs are
+    // deduped across tables BEFORE any vector math, then scored once —
+    // probe vectors re-broadcast, corpus vectors joined back by n_id.
+    val b = lshBucketsNarrow(q)
     val probes = b.filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"),
-        col("t"), col("bucket"))
-    val cands = b
+      .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
+    val cand = b
       .join(broadcast(probes), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        cosine(col("q_qv"), col("qv"), col("q_nrm"), col("nrm")).as("cos"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
-    cands
+    scorePairs(cand, q)
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
       .filter(col("rn") <= TopK)
+  }
+
+  /** Score deduped (q_id, n_id) pairs exactly once: the ≤NumProbes probe
+    * vectors are broadcast, corpus vectors joined back by n_id from the
+    * persisted quantized frame.
+    */
+  private def scorePairs(cand: DataFrame, q: DataFrame): DataFrame = {
+    val probeVecs = q.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    cand
+      .join(broadcast(probeVecs), "q_id")
+      .join(q.select(col("vec_id").as("n_id"), col("qv"), col("nrm")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_qv"), col("qv"), col("q_nrm"), col("nrm")).as("cos"))
   }
 
   val annLshSql: String =
@@ -224,7 +261,8 @@ object Embeddings {
     * at ~5x the candidate volume, with zero extra tables or index size.
     */
   def annMultiProbe(embeddings: DataFrame): DataFrame = {
-    val b = lshBuckets(quantized(embeddings))
+    val q = quantized(embeddings)
+    val b = lshBucketsNarrow(q)
     val flips = (0 until BitsPerTable).map { i =>
       concat(
         substring(col("bucket"), 1, i),
@@ -232,15 +270,14 @@ object Embeddings {
         substring(col("bucket"), i + 2, BitsPerTable - i - 1))
     }
     val probes = b.filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"),
+      .select(col("vec_id").as("q_id"),
         col("t"), explode(array(col("bucket") +: flips: _*)).as("bucket"))
-    val cands = b
+    val cand = b
       .join(broadcast(probes), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        cosine(col("q_qv"), col("qv"), col("q_nrm"), col("nrm")).as("cos"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
-    cands
+    scorePairs(cand, q)
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
       .filter(col("rn") <= TopK)
@@ -310,13 +347,14 @@ object Embeddings {
         Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
       .filter(col("rn") <= NProbe)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"), col("c_id"))
+    // Each vector has exactly one assigned list, so a (q_id, n_id) pair
+    // occurs at most once — no distinct (and its shuffle) needed.
     val cands = assign
       .join(broadcast(probeLists), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(q.select(col("vec_id"), col("qv"), col("nrm")), Seq("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(col("q_qv"), col("qv"), col("q_nrm"), col("nrm")).as("cos"))
-      .distinct()
     cands
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
