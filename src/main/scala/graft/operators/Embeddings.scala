@@ -311,35 +311,95 @@ object Embeddings {
 
   val NumCentroids = 16
   val NProbe = 4
-
-  /** Vector→centroid assignment. Centroids here are the first
-    * NumCentroids vectors (deterministic, oracle-checkable stand-in for
-    * a k-means codebook — the inverted-list structure and search are
-    * identical in production, only the codebook training differs).
-    * Distance is exact integer squared-L2: |v|² − 2·v·c + |c|²; argmin
-    * via a per-vector rank (tie-break on centroid id).
+  val KmeansIters = 3
+  /** At production scale the codebook trains on a deterministic
+    * 1-in-trainMod subsample (vec_id % trainMod == 0) — standard IVF
+    * practice (a codebook needs a representative sample ≳ 39·k points,
+    * not the corpus; at 100 TB full-corpus training would dwarf the
+    * search). The wired query trains on the full corpus (trainMod = 1)
+    * because the test tables are far below that sample-size bar — a
+    * 1-in-5 sample at sf0.01 is 100 points for 16 centroids and
+    * measurably hurts recall (LlmOpsSpec holds trained ≥ untrained).
     */
-  def ivfAssign(q: DataFrame): DataFrame = {
-    val cent = q.filter(col("vec_id") < NumCentroids)
+  val TrainModAtScale = 5
+
+  /** Untrained codebook: the first NumCentroids vectors. Kept as the
+    * deterministic k-means INIT (and as the recall baseline the trained
+    * codebook must beat — LlmOpsSpec).
+    */
+  def initCodebook(q: DataFrame): DataFrame =
+    q.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("c_id"), col("qv").as("cqv"), col("nrm").as("cnrm"))
+
+  /** Trained codebook: deterministic Lloyd's k-means — init = first
+    * NumCentroids vectors, KmeansIters fixed iterations of
+    * assign-to-nearest (exact integer squared-L2, centroid-id tie-break)
+    * then component-wise mean, floored back to integers so every later
+    * distance stays exact integer arithmetic (cross-engine
+    * deterministic; floor(sum/count) rounds toward −∞ identically in
+    * Spark and DuckDB). Empty clusters keep their previous centroid.
+    * Each iteration is one corpus pass: broadcast the 16 centroids,
+    * argmin per vector, then a (c_id, component)-keyed partial-agg mean
+    * — the standard distributed k-means shape (MLlib does the same with
+    * a driver-side collect; here the 16-row codebook stays a DataFrame,
+    * persisted per iteration so lineage doesn't re-derive earlier
+    * rounds).
+    */
+  def kmeansCodebook(q: DataFrame, iters: Int = KmeansIters,
+                     trainMod: Long = 1L): DataFrame = {
+    val train = q.filter(col("vec_id") % trainMod === 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cent = q.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("c_id"), col("qv").as("cqv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iters) {
+      val c = cent.withColumn("cnrm", dot(col("cqv"), col("cqv")))
+      // argmin as a min_by hash aggregate (tie-break on centroid id) —
+      // partial-agg friendly, no per-vector sort window.
+      val assign = train.crossJoin(broadcast(c))
+        .withColumn("d2", col("nrm") - lit(2L) * dot(col("qv"), col("cqv")) + col("cnrm"))
+        .groupBy("vec_id")
+        .agg(
+          min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("c_id"),
+          first(col("qv")).as("qv"))
+      val means = assign
+        .select(col("c_id"), posexplode(col("qv")))
+        .groupBy("c_id", "pos")
+        .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("m"))
+        .groupBy("c_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("new_cqv"))
+      cent = cent.join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("new_cqv"), col("cqv")).as("cqv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    cent.withColumn("cnrm", dot(col("cqv"), col("cqv")))
+  }
+
+  /** Vector→centroid assignment against a given codebook. Distance is
+    * exact integer squared-L2: |v|² − 2·v·c + |c|²; argmin via a
+    * per-vector rank (tie-break on centroid id).
+    */
+  def ivfAssign(q: DataFrame, cent: DataFrame): DataFrame =
     q.crossJoin(broadcast(cent))
       .withColumn("d2", col("nrm") - lit(2L) * dot(col("qv"), col("cqv")) + col("cnrm"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id"))
-  }
+      .groupBy("vec_id")
+      .agg(min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("c_id"))
+
+  def ivfAssign(q: DataFrame): DataFrame = ivfAssign(q, kmeansCodebook(q))
 
   /** IVF search: each probe scans only its NProbe nearest inverted
     * lists. At 100 TB this is THE ANN layout: lists are partition-
     * pruned (cluster id = partition key), so a query touches
     * NProbe/NumCentroids of the corpus.
     */
-  def annIvf(embeddings: DataFrame): DataFrame = {
+  def annIvf(embeddings: DataFrame): DataFrame =
+    annIvfWith(embeddings, kmeansCodebook(_))
+
+  def annIvfWith(embeddings: DataFrame, mkCodebook: DataFrame => DataFrame): DataFrame = {
     val q = quantized(embeddings)
-    val centQ = q.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("c_id"), col("qv").as("cqv"), col("nrm").as("cnrm"))
-    val assign = ivfAssign(q)
+    val centQ = mkCodebook(q)
+    val assign = ivfAssign(q, centQ)
     val probeLists = q.filter(col("vec_id") < NumProbes)
       .crossJoin(broadcast(centQ))
       .withColumn("d2", col("nrm") - lit(2L) * dot(col("qv"), col("cqv")) + col("cnrm"))
@@ -361,10 +421,37 @@ object Embeddings {
       .filter(col("rn") <= TopK)
   }
 
+  /** DuckDB mirror of [[kmeansCodebook]]: cent0 = first-N init, then per
+    * iteration an argmin-assign CTE and a floored component-wise mean CTE
+    * (positions via a range() cross join, arrays rebuilt with an ordered
+    * list() aggregate; empty clusters keep the previous centroid).
+    */
+  private def kmeansSqlCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      "tr AS (SELECT * FROM n),\n" + // trainMod = 1: full-corpus training
+        s"cent0 AS (SELECT vec_id AS c_id, qv AS cqv FROM n WHERE vec_id < $NumCentroids)")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(s""",
+        |a$i AS (SELECT c_id, qv FROM (
+        |  SELECT tr.vec_id, tr.qv, c.c_id,
+        |    row_number() OVER (PARTITION BY tr.vec_id ORDER BY
+        |      tr.nrm - 2 * ${dotSqlFmt.format("tr.qv", "c.cqv")} + ${dotSqlFmt.format("c.cqv", "c.cqv")}, c.c_id) AS rn
+        |  FROM tr, cent$p c) WHERE rn = 1),
+        |m$i AS (SELECT c_id, pos, CAST(floor(CAST(sum(qv[pos]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+        |  FROM a$i, range(1, ${Dim + 1}) r(pos) GROUP BY c_id, pos),
+        |cent$i AS (SELECT c.c_id, coalesce(nm.cqv, c.cqv) AS cqv FROM cent$p c
+        |  LEFT JOIN (SELECT c_id, list(m ORDER BY pos) AS cqv FROM m$i GROUP BY c_id) nm
+        |  ON c.c_id = nm.c_id)""".stripMargin)
+    }
+    sb.toString
+  }
+
   val annIvfSql: String =
     s"""WITH q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
        |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
-       |cent AS (SELECT vec_id AS c_id, qv AS cqv, nrm AS cnrm FROM n WHERE vec_id < $NumCentroids),
+       |${kmeansSqlCtes(KmeansIters)},
+       |cent AS (SELECT c_id, cqv, ${dotSqlFmt.format("cqv", "cqv")} AS cnrm FROM cent$KmeansIters),
        |assign AS (
        |  SELECT vec_id, c_id FROM (
        |    SELECT n.vec_id, cent.c_id,

@@ -95,6 +95,33 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"IVF recalled only $hit/${Embeddings.NumProbes} top-1 neighbors")
   }
 
+  test("IVF k-means codebook: recall >= untrained first-N codebook recall") {
+    val bf = Embeddings.annTopK(Tables.embeddings(spark, sf))
+      .filter(col("rn") === 1).select("q_id", "n_id")
+    val trained = Embeddings.annIvf(Tables.embeddings(spark, sf))
+    val untrained = Embeddings.annIvfWith(Tables.embeddings(spark, sf), Embeddings.initCodebook)
+    val hitT = bf.join(trained.select("q_id", "n_id"), Seq("q_id", "n_id")).count()
+    val hitU = bf.join(untrained.select("q_id", "n_id"), Seq("q_id", "n_id")).count()
+    assert(hitT >= hitU, s"trained codebook recall $hitT < untrained $hitU")
+    // k-means must actually move the centroids off the init vectors
+    val init = Embeddings.initCodebook(Embeddings.quantized(Tables.embeddings(spark, sf)))
+      .select(col("c_id"), col("cqv").as("init_cqv"))
+    val moved = Embeddings.kmeansCodebook(Embeddings.quantized(Tables.embeddings(spark, sf)))
+      .join(init, "c_id")
+      .filter(col("cqv") =!= col("init_cqv"))
+      .count()
+    assert(moved > 0, "k-means left every centroid exactly at its init vector")
+  }
+
+  test("IVF sampled-training path: codebook is complete and assignment total") {
+    val q = Embeddings.quantized(Tables.embeddings(spark, sf))
+    val cb = Embeddings.kmeansCodebook(q, trainMod = Embeddings.TrainModAtScale)
+    assert(cb.count() == Embeddings.NumCentroids)
+    val assign = Embeddings.ivfAssign(q, cb)
+    assert(assign.count() == q.count())
+    assert(assign.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("near-dup cosine pairs meet the threshold and are unique") {
     val nd = Embeddings.nearDupCosine(Tables.embeddings(spark, sf))
     assert(nd.filter(col("cos") < Embeddings.NearDupThreshold).count() == 0)
