@@ -103,6 +103,47 @@ object GraftPipeline {
         avg(col("confidence")).as("confidence"))
   }
 
+  /** Job status transitions — the reference mutates `scrape_jobs` rows in
+    * place (`UPDATE … SET status = 'completed'/'failed', error_message…
+    * WHERE job_id`, instagram_scraper.py:400-408, job_scheduler.py:139-148).
+    * Batch form: left-join the updates frame on job_id and take each
+    * updated column where provided (`coalesce(update, current)`), leaving
+    * untouched jobs and unmentioned columns as they were. `updates` must
+    * carry `job_id` plus any subset of the jobs columns, one row per
+    * job_id. Pair with [[graft.sources.Sinks.mergeUpsert]] to persist the
+    * result.
+    */
+  def applyJobUpdates(jobs: DataFrame, updates: DataFrame): DataFrame = {
+    val updCols = updates.columns.filterNot(_ == "job_id")
+    val u = updates.select(
+      col("job_id") +: updCols.map(c => col(c).as(s"__u_$c")): _*)
+    jobs.join(u, Seq("job_id"), "left")
+      .select(jobs.columns.map { c =>
+        if (updCols.contains(c)) coalesce(col(s"__u_$c"), col(c)).as(c)
+        else col(c)
+      }: _*)
+  }
+
+  /** Re-queue failed jobs (completing the lifecycle the reference logs
+    * but never retries): failed rows below the attempt cap go back to
+    * pending with the error cleared and `attempts` incremented; failed
+    * rows at the cap stay failed (dead-letter). Jobs frame must carry an
+    * `attempts` column (0 for fresh jobs).
+    */
+  def retryFailedJobs(jobs: DataFrame, maxAttempts: Int = 3): DataFrame =
+    // materialize the predicate ONCE against the original columns — later
+    // withColumns rebind status/attempts, so re-evaluating it inline
+    // would read the already-updated values
+    jobs
+      .withColumn("__retry", col("status") === "failed" && col("attempts") < maxAttempts)
+      .withColumn("error_message",
+        when(col("__retry"), lit(null).cast("string")).otherwise(col("error_message")))
+      .withColumn("attempts",
+        when(col("__retry"), col("attempts") + 1).otherwise(col("attempts")))
+      .withColumn("status",
+        when(col("__retry"), lit("pending")).otherwise(col("status")))
+      .drop("__retry")
+
   /** Job bookkeeping rollup — the scheduler's progress/error telemetry. */
   def jobStats(jobs: DataFrame): DataFrame =
     jobs.groupBy("job_type", "status")

@@ -1,6 +1,9 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Write-side patterns for the 100 TB pipeline (SURVEY.md §2: sources &
@@ -44,4 +47,89 @@ object Sinks {
   /** Read a partitioned sink back; predicate on `day` prunes partitions. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Latest-wins merge of base ∪ delta on `keys`, newest `versionCol`
+    * first; on a version tie the delta row wins (the reference's
+    * `ON CONFLICT DO UPDATE` takes the incoming row,
+    * instagram_scraper.py:194-207).
+    */
+  private def latestWins(base: DataFrame, delta: DataFrame,
+                         keys: Seq[String], versionCol: String): DataFrame = {
+    val all = base.withColumn("__src", lit(1))
+      .unionByName(delta.withColumn("__src", lit(0)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__src"))
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
+
+  /** MERGE-style sink: the reference's `INSERT … ON CONFLICT DO UPDATE`
+    * (instagram_scraper.py:194-207) as a read-modify-write over a parquet
+    * path. Reads the base (if any), keeps the newest row per key
+    * (delta wins version ties), writes to a staging dir and swaps it in
+    * with a filesystem rename — Spark cannot overwrite a path that feeds
+    * the running plan. Single-writer batch semantics, like the
+    * reference's one scraper process. For large partitioned tables use
+    * [[mergeUpsertBucketed]], which rewrites only affected buckets.
+    */
+  def mergeUpsert(spark: SparkSession, path: String, delta: DataFrame,
+                  keys: Seq[String], versionCol: String): Unit = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(target))
+        latestWins(spark.read.parquet(path), delta, keys, versionCol)
+      else
+        latestWins(delta.limit(0), delta, keys, versionCol) // dedupe delta itself
+    val staging = new Path(path + "__staging")
+    fs.delete(staging, true)
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"mergeUpsert: rename $staging -> $target failed")
+  }
+
+  /** Partition-scoped MERGE for big tables: rows live in
+    * `bucket=<pmod(hash(keys), numBuckets)>` directories — a partition
+    * key that is a pure function of the merge key, so an upserted row
+    * can never leave stale copies in another partition. Only buckets
+    * that the delta touches are read (partition-pruned scan), merged,
+    * staged, and swapped in; untouched buckets are never rewritten. At
+    * 100 TB this turns a full-table rewrite into
+    * |delta buckets|/numBuckets of one.
+    */
+  def mergeUpsertBucketed(spark: SparkSession, path: String, delta: DataFrame,
+                          keys: Seq[String], versionCol: String,
+                          numBuckets: Int = 64): Unit = {
+    val bucket = pmod(hash(keys.map(col): _*), lit(numBuckets))
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltaB = delta.withColumn("bucket", bucket)
+    if (!fs.exists(target)) {
+      latestWins(deltaB.limit(0), deltaB, keys, versionCol)
+        .repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+      return
+    }
+    // affected-bucket ids: bounded by numBuckets — partition metadata,
+    // not data, so the driver-side collect is constant-size.
+    val touched = deltaB.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val baseSlice = spark.read.parquet(path)
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+    val merged = latestWins(baseSlice, deltaB, keys, versionCol)
+    val staging = new Path(path + "__staging")
+    fs.delete(staging, true)
+    merged.repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging.toString)
+    touched.foreach { b =>
+      val src = new Path(staging, s"bucket=$b")
+      val dst = new Path(target, s"bucket=$b")
+      fs.delete(dst, true)
+      if (fs.exists(src) && !fs.rename(src, dst))
+        throw new java.io.IOException(s"mergeUpsertBucketed: rename $src -> $dst failed")
+    }
+    fs.delete(staging, true)
+  }
 }

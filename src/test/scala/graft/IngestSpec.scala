@@ -56,4 +56,37 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (clean, bad) = Ingest.quarantine(parsed)
     assert(clean.count() + bad.count() == 2)
   }
+
+  test("incremental ingest: second run touches only rows past the cursor") {
+    val s = spark
+    import s.implicits._
+    val data = s"$tmp/inc_data"
+    val cursor = s"$tmp/inc_cursor"
+    (1L to 100L).map(i => (i, s"v$i")).toDF("event_id", "payload")
+      .write.mode("append").parquet(data)
+
+    // run 1: fresh cursor -> everything
+    val run1 = Ingest.readIncremental(spark, data, cursor, "event_id")
+    assert(run1.count() == 100)
+    assert(Ingest.advanceCursor(spark, cursor, run1, "event_id") == 100L)
+
+    // new files land
+    (101L to 130L).map(i => (i, s"v$i")).toDF("event_id", "payload")
+      .write.mode("append").parquet(data)
+
+    // run 2: only the new rows
+    val run2 = Ingest.readIncremental(spark, data, cursor, "event_id")
+    assert(run2.count() == 30)
+    assert(run2.agg(org.apache.spark.sql.functions.min("event_id")).head().getLong(0) == 101L)
+    // the cursor predicate reaches the parquet scan (row-group skipping)
+    val plan = run2.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(event_id"),
+      s"cursor filter not pushed to scan:\n$plan")
+    assert(Ingest.advanceCursor(spark, cursor, run2, "event_id") == 130L)
+
+    // run 3: nothing new -> empty, cursor unchanged
+    val run3 = Ingest.readIncremental(spark, data, cursor, "event_id")
+    assert(run3.count() == 0)
+    assert(Ingest.advanceCursor(spark, cursor, run3, "event_id") == 130L)
+  }
 }

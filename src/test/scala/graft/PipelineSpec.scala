@@ -81,6 +81,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getLong(0)).toSeq == Seq(2L)) // b: done but unanalyzed
   }
 
+  test("applyJobUpdates: completed/failed transitions touch only updated rows/cols") {
+    val s = spark
+    import s.implicits._
+    val jobs = Seq(
+      (1L, "a", "in_progress", null.asInstanceOf[String], 0L),
+      (2L, "b", "in_progress", null.asInstanceOf[String], 0L),
+      (3L, "c", "pending", null.asInstanceOf[String], 0L))
+      .toDF("job_id", "target_username", "status", "error_message", "processed_items")
+    val updates = Seq(
+      (1L, "completed", null.asInstanceOf[String], Some(42L)),
+      (2L, "failed", "timeout", None))
+      .toDF("job_id", "status", "error_message", "processed_items")
+      .withColumn("processed_items", col("processed_items").cast("long"))
+    val out = GraftPipeline.applyJobUpdates(jobs, updates)
+      .orderBy("job_id").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("completed", "failed", "pending"))
+    assert(out(1).getString(3) == "timeout") // error recorded
+    assert(out(0).getLong(4) == 42L) // progress updated
+    assert(out(1).getLong(4) == 0L) // absent update column keeps current value
+    assert(out(2).getString(3) == null) // untouched row fully unchanged
+  }
+
+  test("retryFailedJobs re-queues below the attempt cap, dead-letters at it") {
+    val s = spark
+    import s.implicits._
+    val jobs = Seq(
+      (1L, "failed", "boom", 0L),
+      (2L, "failed", "boom", 2L),
+      (3L, "failed", "boom", 3L), // at cap: stays failed
+      (4L, "completed", null.asInstanceOf[String], 1L))
+      .toDF("job_id", "status", "error_message", "attempts")
+    val out = GraftPipeline.retryFailedJobs(jobs, maxAttempts = 3)
+      .orderBy("job_id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("pending", "pending", "failed", "completed"))
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 3L, 3L, 1L))
+    assert(out(0).getString(2) == null && out(1).getString(2) == null)
+    assert(out(2).getString(2) == "boom") // dead-letter keeps its error
+  }
+
   test("analyzeUserInterests aggregates followed-account categories") {
     val s = spark
     import s.implicits._

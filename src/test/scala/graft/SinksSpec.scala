@@ -65,6 +65,54 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
       s"expected only the agg shuffle, got ${shufflesBeforeAgg.size}")
   }
 
+  test("mergeUpsert round-trip: base + delta on disk == upsertUsers in memory") {
+    val s = spark
+    import s.implicits._
+    val path = s"$tmp/users_merge"
+    val base = Seq((1L, "old_alice", 100L), (2L, "bob", 100L))
+      .toDF("user_id", "username", "last_updated_us")
+    val delta = Seq((1L, "alice", 200L), (3L, "carol", 150L))
+      .toDF("user_id", "username", "last_updated_us")
+    Sinks.mergeUpsert(spark, path, base, Seq("user_id"), "last_updated_us")
+    Sinks.mergeUpsert(spark, path, delta, Seq("user_id"), "last_updated_us")
+    val onDisk = spark.read.parquet(path)
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val inMem = graft.pipeline.GraftPipeline.upsertUsers(base, delta)
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(onDisk == inMem)
+    assert(onDisk == Seq((1L, "alice"), (2L, "bob"), (3L, "carol")))
+    // version tie: the delta row must win, like ON CONFLICT DO UPDATE
+    val tie = Seq((2L, "bob_v2", 100L)).toDF("user_id", "username", "last_updated_us")
+    Sinks.mergeUpsert(spark, path, tie, Seq("user_id"), "last_updated_us")
+    val bob = spark.read.parquet(path).filter(col("user_id") === 2).head()
+    assert(bob.getString(1) == "bob_v2")
+  }
+
+  test("mergeUpsertBucketed rewrites only delta-touched buckets") {
+    val s = spark
+    import s.implicits._
+    val path = s"$tmp/users_merge_bucketed"
+    val base = (1L to 100L).map(i => (i, s"u$i", 100L))
+      .toDF("user_id", "username", "last_updated_us")
+    Sinks.mergeUpsertBucketed(spark, path, base, Seq("user_id"), "last_updated_us", numBuckets = 8)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(d => d.getName -> d.lastModified()).toMap
+    assert(dirs.keys.forall(_.startsWith("bucket=")))
+    Thread.sleep(1100) // ensure mtime resolution separates the two writes
+    val delta = Seq((1L, "u1_new", 200L), (101L, "u101", 200L))
+      .toDF("user_id", "username", "last_updated_us")
+    Sinks.mergeUpsertBucketed(spark, path, delta, Seq("user_id"), "last_updated_us", numBuckets = 8)
+    val after = spark.read.parquet(path)
+    assert(after.count() == 101)
+    assert(after.filter(col("user_id") === 1).head().getString(1) == "u1_new")
+    // untouched buckets must keep their original directories (no rewrite)
+    val dirsAfter = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(d => d.getName -> d.lastModified()).toMap
+    val untouched = dirs.keySet.intersect(dirsAfter.keySet)
+      .filter(b => dirs(b) == dirsAfter(b))
+    assert(untouched.nonEmpty, "expected at least one bucket directory left un-rewritten")
+  }
+
   test("non-bucketed join of the same data DOES shuffle both sides (control)") {
     val joined = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
       .join(Tables.customer(spark, sf).select("c_custkey", "c_name"),
