@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming mirrors of the stateful batch operators
   * (SURVEY.md §2 D). The reference pipeline polls and batches
@@ -22,6 +23,14 @@ object EventStream {
   case class SessionState(sessionId: Long, lastTsUs: Long, startTsUs: Long, nEvents: Long)
 
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_us: Long)
+
+  /** Event time in exact microseconds from the timestamp's FULL
+    * precision — `getTime` alone is millisecond-truncated, which would
+    * make streaming session boundaries/durations diverge from the batch
+    * twin (`unix_micros`) on sub-ms data.
+    */
+  def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Tumbling-window counts per event type with a watermark bounding
     * late data (and therefore state).
@@ -59,11 +68,11 @@ object EventStream {
 
     def fn(userId: Long, batch: Iterator[Event],
            state: GroupState[SessionState]): Iterator[SessionOut] = {
-      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = batch.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
       var st = state.getOption.orNull
       val out = Seq.newBuilder[SessionOut]
       sorted.foreach { e =>
-        val tUs = e.ts.getTime * 1000L
+        val tUs = tsMicros(e.ts)
         if (st == null) {
           st = SessionState(1L, tUs, tUs, 1L)
         } else if (tUs - st.lastTsUs > gapUs) {
@@ -92,12 +101,17 @@ object EventStream {
     * LSH-bucketed corpus (stream-static equi-join on (table, bucket) —
     * no stream-side state, corpus buckets broadcast/partition-pruned).
     * This is the online-serving twin of operators.Embeddings.annLsh:
-    * index once, score queries as they arrive. Top-k per query is done
-    * per micro-batch downstream (foreachBatch) because rank windows
-    * aren't available on unaggregated streams.
+    * index once, score queries as they arrive.
+    *
+    * A query vector colliding with the same neighbor in several LSH
+    * tables emits that pair once PER TABLE here — dedup is deliberately
+    * NOT done on the stream (stream-side dropDuplicates without a
+    * watermark accumulates unbounded state); [[streamingAnnTopK]] dedups
+    * and ranks inside each micro-batch, where the frame is finite.
     *
     * Input stream schema: (query_id long, embedding array<float>).
-    * Output: (query_id, n_id, cos) candidate scores.
+    * Output: (query_id, n_id, cos) candidate scores (with per-table
+    * duplicates).
     */
   def streamingAnnCandidates(queryStream: org.apache.spark.sql.DataFrame,
                              corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -117,6 +131,28 @@ object EventStream {
         col("query_id"), col("vec_id").as("n_id"),
         (graft.functions.Exprs.dotLong(col("q_qv"), col("qv")).cast("double") /
           (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double")))).as("cos"))
-      .dropDuplicates("query_id", "n_id")
   }
+
+  /** Per-micro-batch exact top-k ANN serving: dedup the per-table
+    * duplicate candidate pairs, rank per query (cosine desc, neighbor-id
+    * tie-break), keep k, and hand each batch's exact answer to `sink`.
+    * The rank window runs on a bounded micro-batch frame partitioned by
+    * query_id — state never outlives the batch.
+    */
+  def streamingAnnTopK(queryStream: org.apache.spark.sql.DataFrame,
+                       corpus: org.apache.spark.sql.DataFrame,
+                       k: Int = graft.operators.Embeddings.TopK)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    streamingAnnCandidates(queryStream, corpus)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ranked = batch
+          .dropDuplicates("query_id", "n_id")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("cos").desc, col("n_id"))))
+          .filter(col("rn") <= k)
+        sink(ranked, batchId)
+      }
+      .start()
 }

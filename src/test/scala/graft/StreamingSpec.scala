@@ -100,6 +100,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming ANN top-k: each micro-batch yields the exact deduped top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probe = corpus.limit(3).collect()
+      .map(r => (r.getLong(0) + 10000L, r.getSeq[Float](1)))
+    val k = 3
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.streamingAnnTopK(
+      in.toDF().toDF("query_id", "embedding"), corpus, k) { (df, _) =>
+      got ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    }
+    in.addData(probe.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    // exact expectation: the same candidate logic on a static frame,
+    // deduped and ranked identically
+    val staticQ = probe.toSeq.toDF("query_id", "embedding")
+    val expected = EventStream.streamingAnnCandidates(staticQ, corpus)
+      .dropDuplicates("query_id", "n_id")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rn") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got.toSet == expected, s"got=${got.toSet} expected=$expected")
+    assert(got.map(_._1).distinct.size == probe.length)
+    // rank 1 must be the self-match (identical vector, cosine 1)
+    probe.foreach { case (qid, _) =>
+      assert(got.exists(t => t._1 == qid && t._2 == qid - 10000L && t._3 == 1),
+        s"query $qid: rank-1 should be its own corpus vector")
+    }
+  }
+
+  test("sessionize stream keeps sub-millisecond event-time precision") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def tsUs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val in = MemoryStream[Event]
+    val q = EventStream.sessionizeStream(in.toDS())
+      .writeStream.format("memory").queryName("sess_us").outputMode("append").start()
+    // two events 1500 µs apart, then a 31-minute gap closes the session
+    in.addData(
+      Event(1, tsUs(0), 9, "a", 0),
+      Event(2, tsUs(1500), 9, "a", 0),
+      Event(3, tsUs(31L * 60 * 1000000), 9, "a", 0))
+    q.processAllAvailable()
+    val closed = spark.sql("SELECT * FROM sess_us").as[SessionOut].collect()
+    q.stop()
+    assert(closed.length == 1)
+    assert(closed.head.duration_us == 1500L,
+      s"duration should keep µs precision, got ${closed.head.duration_us}")
+  }
+
   test("batch and streaming sessionize agree on closed sessions") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
