@@ -77,6 +77,45 @@ object Smoke {
     println(s"[smoke] ingest: clean=${clean.count()} quarantined=${bad.count()}")
     require(clean.count() == 1 && bad.count() == 1)
 
+    // 7. MERGE sink round-trip (ON CONFLICT DO UPDATE semantics on disk)
+    val mergeDir = java.nio.file.Files.createTempDirectory("graft_smoke_merge").toString
+    val mBase = Seq((1L, "old", 100L), (2L, "bob", 100L)).toDF("user_id", "username", "last_updated_us")
+    val mDelta = Seq((1L, "new", 200L), (3L, "carol", 50L)).toDF("user_id", "username", "last_updated_us")
+    graft.sources.Sinks.mergeUpsert(spark, s"$mergeDir/users", mBase, Seq("user_id"), "last_updated_us")
+    graft.sources.Sinks.mergeUpsert(spark, s"$mergeDir/users", mDelta, Seq("user_id"), "last_updated_us")
+    val mergedBack = spark.read.parquet(s"$mergeDir/users").orderBy("user_id")
+      .collect().map(r => s"${r.getLong(0)}:${r.getString(1)}").mkString(",")
+    println(s"[smoke] merge sink: $mergedBack")
+    require(mergedBack == "1:new,2:bob,3:carol", s"unexpected merge result $mergedBack")
+
+    // 8. incremental cursor ingest: run 2 reads only rows past the cursor
+    val incDir = java.nio.file.Files.createTempDirectory("graft_smoke_inc").toString
+    (1L to 10L).map(i => (i, s"r$i")).toDF("event_id", "v")
+      .write.mode("append").parquet(s"$incDir/data")
+    val r1 = graft.sources.Ingest.readIncremental(spark, s"$incDir/data", s"$incDir/cur", "event_id")
+    graft.sources.Ingest.advanceCursor(spark, s"$incDir/cur", r1, "event_id")
+    (11L to 13L).map(i => (i, s"r$i")).toDF("event_id", "v")
+      .write.mode("append").parquet(s"$incDir/data")
+    val r2 = graft.sources.Ingest.readIncremental(spark, s"$incDir/data", s"$incDir/cur", "event_id")
+    println(s"[smoke] incremental ingest: run1=${r1.count()} run2=${r2.count()}")
+    require(r1.count() == 10 && r2.count() == 3, "cursor should isolate the new rows")
+
+    // 9. streaming ANN serving: per-batch exact top-k
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = corpus.limit(1).collect().map(r => (r.getLong(0) + 500L, r.getSeq[Float](1)))
+    val annIn = MemoryStream[(Long, Seq[Float])]
+    var annTop = Seq.empty[(Long, Long, Int)]
+    val annQ = EventStream.streamingAnnTopK(
+      annIn.toDF().toDF("query_id", "embedding"), corpus, 3) { (df, _) =>
+      annTop = annTop ++ df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    }
+    annIn.addData(probes.toSeq)
+    annQ.processAllAvailable()
+    annQ.stop()
+    println(s"[smoke] streaming ann top-k: ${annTop.mkString("; ")}")
+    require(annTop.exists(t => t._1 == probes.head._1 && t._2 == probes.head._1 - 500L && t._3 == 1),
+      "rank-1 should be the query's own corpus vector")
+
     println("[smoke] OK")
     spark.stop()
   }
