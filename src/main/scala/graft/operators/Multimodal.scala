@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
@@ -10,12 +14,16 @@ import org.apache.spark.sql.types._
   * batches the way a Pandas-UDF / mapInPandas pipeline would batch work
   * for a vectorized decode kernel.
   *
-  * The decode kernel itself is a clearly-marked STUB (no image/audio
-  * libraries in this container): a deterministic byte-histogram
-  * "feature extractor" stands in for a real JPEG/PNG decode + CNN
-  * embedding. Everything around it — schema, batch shape, partition
-  * preservation, metadata propagation — is the real Spark-side contract
-  * a production decode would plug into.
+  * The IMAGE path is real: [[decodeImage]]/[[extractImageFeatures]]
+  * decode PNG/JPEG/GIF/BMP payloads with the JDK's built-in ImageIO
+  * codecs (pure JVM, nothing external) into dimensions + a luma
+  * histogram, quarantining undecodable bytes in-band (`decode_ok`)
+  * instead of failing the job. The audio/video kernel remains a
+  * clearly-marked STUB (no such codecs in the JDK): a deterministic
+  * byte-histogram stands in for the decode + feature model. Everything
+  * around both — schema, batch shape, partition preservation, metadata
+  * propagation — is the real Spark-side contract a production decode
+  * plugs into.
   *
   * Scale: mapPartitions keeps the decode embarrassingly parallel with
   * zero shuffle; batches amortize per-call overhead exactly like Arrow
@@ -96,6 +104,86 @@ object Multimodal {
         }
       }(enc)
     out
+  }
+
+  // ---------------- real image decode (pure-JVM ImageIO) ----------------
+
+  val LumaBins = 16
+  /** Decode cost bound: images are sampled on a deterministic grid of at
+    * most MaxSamplesPerAxis² pixels, so a 100-megapixel payload costs the
+    * same as a thumbnail. */
+  val MaxSamplesPerAxis = 64
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("mean_luma", DoubleType, nullable = true),
+    StructField("luma_hist", ArrayType(DoubleType, containsNull = false), nullable = true)))
+
+  /** Real image decode: JDK ImageIO (PNG/JPEG/GIF/BMP codecs ship with
+    * the JVM). Returns (width, height, mean luma, LumaBins luma
+    * histogram normalized to sum 1) or None for bytes no installed
+    * codec accepts. Luma = Rec.601 integer weights on a stride-sampled
+    * pixel grid — deterministic for a given payload.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double, Array[Double])] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      val sx = math.max(1, w / MaxSamplesPerAxis)
+      val sy = math.max(1, h / MaxSamplesPerAxis)
+      val hist = new Array[Double](LumaBins)
+      var lumaSum = 0L
+      var n = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // Rec.601 luma in integer arithmetic: (299R + 587G + 114B)/1000
+          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          hist(math.min(luma * LumaBins / 256, LumaBins - 1)) += 1d
+          lumaSum += luma
+          n += 1
+          x += sx
+        }
+        y += sy
+      }
+      var i = 0
+      while (i < LumaBins) { hist(i) /= n; i += 1 }
+      Some((w, h, lumaSum.toDouble / n, hist))
+    } catch { case _: Exception => None }
+  }
+
+  /** Batched REAL image feature extraction: same mapPartitions /
+    * fixed-batch contract as [[extractFeatures]], with undecodable
+    * payloads quarantined in-band (`decode_ok = false`, null features)
+    * — the Ingest corrupt-record policy applied to media bytes.
+    */
+  def extractImageFeatures(media: DataFrame,
+                           batchSize: Int = DefaultBatchSize): DataFrame = {
+    val enc = RowEncoder.encoderFor(imageFeatureSchema)
+    media
+      .select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            decodeImage(if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)) match {
+              case Some((w, h, mean, hist)) =>
+                Row(r.getLong(0), true, w, h, mean, hist.toSeq)
+              case None =>
+                Row(r.getLong(0), false, null, null, null, null)
+            }
+          }
+        }
+      }(enc)
   }
 
   /** Frame sampling for "video" payloads: split the byte stream into

@@ -53,6 +53,54 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0)
   }
 
+  /** Deterministic real PNG: w×h with a left-to-right luma gradient. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255) / math.max(w - 1, 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("REAL image decode: JDK ImageIO extracts dimensions and luma features") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, pngBytes(8, 4)),
+      (2L, pngBytes(32, 32)),
+      (3L, "not an image at all".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val df = rows.toDF("media_id", "payload")
+    val out = Multimodal.extractImageFeatures(df).orderBy("media_id").collect()
+    assert(out.length == 4)
+    // real PNGs decode with exact dimensions
+    assert(out(0).getBoolean(1) && out(0).getInt(2) == 8 && out(0).getInt(3) == 4)
+    assert(out(1).getBoolean(1) && out(1).getInt(2) == 32 && out(1).getInt(3) == 32)
+    // gradient mean luma ~ 127, histogram normalized to 1
+    val mean = out(1).getDouble(4)
+    assert(mean > 100 && mean < 155, s"gradient mean luma $mean")
+    val hist = out(1).getSeq[Double](5)
+    assert(hist.length == Multimodal.LumaBins && math.abs(hist.sum - 1.0) < 1e-9)
+    assert(hist.count(_ > 0) > 4, "gradient should spread across luma bins")
+    // garbage and null payloads are quarantined in-band, not thrown
+    assert(!out(2).getBoolean(1) && out(2).isNullAt(2))
+    assert(!out(3).getBoolean(1))
+  }
+
+  test("REAL image decode is deterministic and batch-shape independent") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 40L).map(i => (i, pngBytes(4 + (i % 8).toInt, 4))).toDF("media_id", "payload")
+    def collectFeats(bs: Int) =
+      Multimodal.extractImageFeatures(df, batchSize = bs)
+        .orderBy("media_id").collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getDouble(4))).toSeq
+    assert(collectFeats(7) == collectFeats(64), "features must not depend on batch size")
+  }
+
   test("frame sampling keeps every k-th frame of video payloads") {
     val s = Multimodal.sampleFrames(media, frameBytes = 32, everyK = 4)
     val row = s.join(media.select(col("media_id"), col("n_bytes")), "media_id")
