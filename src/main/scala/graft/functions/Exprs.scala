@@ -187,6 +187,58 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Distinct w-token shingles of a token array, first-occurrence order —
+    * identical to the builtin `array_distinct(transform(sequence(1,
+    * greatest(n-w+1, 1)), i -> concat_ws(' ', slice(toks, i, w))))`
+    * (TextOps.shingles, kept as the executable spec) and to the oracle's
+    * `list_distinct(list_transform(range(…), …))`, computed in one JVM
+    * pass instead of three nested interpreted lambdas per row.
+    */
+  case class Shingles(child: Expression, w: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == NullType ||
+        (child.dataType.isInstanceOf[ArrayType] &&
+          child.dataType.asInstanceOf[ArrayType].elementType == StringType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string> input")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_shingles"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val m = math.max(n - w + 1, 1)
+      val seen = new java.util.LinkedHashSet[String](m * 2)
+      var i = 0
+      while (i < m) {
+        val end = math.min(i + w, n)
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(arr.getUTF8String(j).toString)
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shinglesExpr", this, classOf[Shingles].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = (ArrayData) $ref.nullSafeEval($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Hamming distance between two equal-length ASCII strings (codegen). */
   case class HammingStr(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -236,6 +288,8 @@ object Exprs {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
   def simhash64(shingles: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(shingles)))
+  def shingles(tokens: Column, w: Int): Column =
+    ColumnBridge.column(Shingles(ColumnBridge.expression(tokens), w))
   def hamming(a: Column, b: Column): Column =
     ColumnBridge.column(HammingStr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_simhash64", "graft_simhash64(shingles) - 64-bit simhash of a string array as a bit string"),
       (args: Seq[Expression]) => Exprs.SimHash64(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(tokens, w) - distinct w-token shingles, first-occurrence order"),
+      (args: Seq[Expression]) => Exprs.Shingles(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "graft_minhash_sig(shingles, k) - k-permutation minhash signature"),
       (args: Seq[Expression]) => args match {

@@ -38,7 +38,7 @@ object Dedup {
   def minhashSignature(documents: DataFrame, w: Int = 3): DataFrame =
     documents.select(
       col("doc_id"),
-      Exprs.minhashSig(shingles(toks, w), NumHashes).as("mh"))
+      Exprs.minhashSig(Exprs.shingles(toks, w), NumHashes).as("mh"))
       // signatures are ~300 B/doc (vs the full text) and are re-read by
       // every self-join branch — materialize once, exactly as a cluster
       // job would checkpoint them before the bucket joins.
@@ -131,7 +131,7 @@ object Dedup {
     * set-intersection cost).
     */
   def dedupNgramJaccard(documents: DataFrame): DataFrame = {
-    val sh = documents.select(col("doc_id"), shingles(toks, 3).as("sh"))
+    val sh = documents.select(col("doc_id"), Exprs.shingles(toks, 3).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = minhashCandidates(documents)
     cand
@@ -175,7 +175,7 @@ object Dedup {
   def simhash(documents: DataFrame, w: Int = 3): DataFrame =
     documents.select(
       col("doc_id"),
-      Exprs.simhash64(shingles(toks, w)).as("sim"))
+      Exprs.simhash64(Exprs.shingles(toks, w)).as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Pure-builtin formulation of [[simhash]] — semantically identical

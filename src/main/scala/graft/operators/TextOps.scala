@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Exprs
 import graft.sources.Tables
 
 /** Text-analysis operators for LLM training-data pipelines (SURVEY.md §2 C):
@@ -144,7 +145,7 @@ object TextOps {
   def fingerprint(documents: DataFrame, w: Int = 5): DataFrame =
     documents.select(
       col("doc_id"),
-      array_min(transform(shingles(toks, w), s => md5(s))).as("fp"))
+      array_min(transform(Exprs.shingles(toks, w), s => md5(s))).as("fp"))
 
   val fingerprintSql: String =
     s"""SELECT doc_id,
@@ -211,7 +212,106 @@ object TextOps {
        |FROM t WHERE selector < keep_rate""".stripMargin
   }
 
+  /** C15: benchmark decontamination — flag training docs sharing any
+    * w-token shingle with a held-out benchmark set (here: the
+    * deterministic doc_id % benchMod == 0 subset standing in for an eval
+    * suite). This is the standard pre-training decontamination pass:
+    * explode distinct shingles, semi-join the benchmark shingle set,
+    * count distinct overlaps per doc. Shuffle carries only (shingle
+    * hash, doc_id) pairs; the benchmark side is the small relation and
+    * broadcasts.
+    */
+  def contamination(documents: DataFrame, w: Int = 8, benchMod: Int = 10): DataFrame = {
+    // shingles are joined and counted by their 64-bit md5 prefix, not the
+    // raw ~w-token string: the shuffle/broadcast carries 16 hex chars per
+    // shingle, and because BOTH engines apply the SAME hash, any
+    // collision collapses identically on both sides — counts stay
+    // hash-comparable. NOT persisted: the doc_id % benchMod filters push
+    // below the explode, so each branch computes shingles only for its
+    // own doc subset — materializing the full relation would cost more
+    // than the one-sided recompute it saves.
+    val sh = documents
+      .select(col("doc_id"), explode(Exprs.shingles(toks, w)).as("s"))
+      .select(col("doc_id"), substring(md5(col("s")), 1, 16).as("h"))
+    val bench = sh.filter(col("doc_id") % benchMod === 0)
+      .select(col("h")).distinct()
+    sh.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_shared"))
+  }
+
+  val contaminationSql: String =
+    s"""WITH sh AS (SELECT doc_id, substr(md5(unnest(${shinglesSqlExpr(8)})), 1, 16) AS h FROM documents),
+       |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0)
+       |SELECT sh.doc_id, count(DISTINCT sh.h) AS n_shared
+       |FROM sh JOIN bench USING (h)
+       |WHERE sh.doc_id % 10 <> 0
+       |GROUP BY sh.doc_id""".stripMargin
+
+  /** C16: stopword pruning — the cheap boilerplate-reduction pass before
+    * tokenization/featurization. Emits the cleaned text plus how much
+    * was removed (the observable a curation pipeline monitors).
+    */
+  def stopwordStrip(documents: DataFrame): DataFrame = {
+    val kept = filter(toks, t => !t.isInCollection(enStopwords))
+    documents.select(
+      col("doc_id"),
+      concat_ws(" ", kept).as("clean_text"),
+      size(kept).cast("long").as("n_kept"),
+      (size(toks) - size(kept)).cast("long").as("n_removed"))
+  }
+
+  val stopwordStripSql: String = {
+    val inList = enStopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |k AS (SELECT doc_id, toks, list_filter(toks, x -> x NOT IN ($inList)) AS kept FROM t)
+       |SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+       |FROM k""".stripMargin
+  }
+
+  /** C17: corpus document-frequency table — per-token df and corpus
+    * share, the statistic behind tf-idf weighting and rare-token
+    * filters. Two aggregates: distinct (token, doc) pairs then
+    * per-token counts (both partial-agg friendly); the corpus size is a
+    * broadcast one-row aggregate. The ORACLE-CHECKED output carries only
+    * exact integers and one exact-int division: `ln` is NOT
+    * correctly-rounded IEEE, and Java's Math.log and DuckDB's libm
+    * diverge by 1 ulp on real inputs (measured) — transcendentals never
+    * belong in a hash-compared column. [[idf]] layers the log on top for
+    * library users.
+    */
+  def docFreq(documents: DataFrame): DataFrame = {
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    documents
+      .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("token"), col("df"),
+        (col("df").cast("double") / col("n_docs").cast("double")).as("doc_share"))
+  }
+
+  val docFreqSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      |  FROM documents),
+      |df AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT token, df, CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) AS doc_share
+      |FROM df, n""".stripMargin
+
+  /** idf = −ln(doc_share) over [[docFreq]] — for library use; not
+    * oracle-hashed (see docFreq's note on transcendental rounding). */
+  def idf(documents: DataFrame): DataFrame =
+    docFreq(documents).withColumn("idf", -log(col("doc_share")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
+    "q_stopword_strip" -> ((s, d) => stopwordStrip(Tables.documents(s, d))),
+    "q_doc_freq" -> ((s, d) => docFreq(Tables.documents(s, d))),
     "q_dedup_exact" -> ((s, d) => dedupExact(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => qualityScore(Tables.documents(s, d))),
@@ -221,6 +321,9 @@ object TextOps {
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_contamination" -> contaminationSql,
+    "q_stopword_strip" -> stopwordStripSql,
+    "q_doc_freq" -> docFreqSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_lang_id" -> langIdSql,
     "q_quality_score" -> qualityScoreSql,

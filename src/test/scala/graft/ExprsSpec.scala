@@ -36,6 +36,21 @@ class ExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff == 0)
   }
 
+  test("Shingles == builtin shingle formulation (incl. short docs)") {
+    import spark.implicits._
+    val toksCol = split(col("text"), " ")
+    val corpus = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .unionByName(Seq((100001L, "one two"), (100002L, "solo"), (100003L, "a a a a a"))
+        .toDF("doc_id", "text"))
+    for (w <- Seq(3, 5, 8)) {
+      val diff = corpus.select(
+        Exprs.shingles(toksCol, w).as("fast"),
+        operators.TextOps.shingles(toksCol, w).as("slow"))
+        .filter(col("fast") =!= col("slow")).count()
+      assert(diff == 0, s"native shingles diverges from builtin at w=$w")
+    }
+  }
+
   test("DotLong == builtin aggregate dot product") {
     val q = Embeddings.quantized(Tables.embeddings(spark, sf))
     val diff = q.select(

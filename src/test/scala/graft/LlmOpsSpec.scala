@@ -122,6 +122,36 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(assign.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("contamination: flags only non-benchmark docs, counts positive") {
+    val c = TextOps.contamination(Tables.documents(spark, sf))
+    assert(c.filter(col("doc_id") % 10 === 0).count() == 0,
+      "benchmark docs must not flag themselves")
+    assert(c.filter(col("n_shared") <= 0).count() == 0)
+    assert(c.count() > 0, "synthetic corpus has near-dups; expected hits")
+  }
+
+  test("stopword strip: token counts add up and no stopword survives") {
+    val sw = TextOps.stopwordStrip(Tables.documents(spark, sf))
+    val tc = TextOps.tokenCount(Tables.documents(spark, sf)).select("doc_id", "ws_tokens")
+    val bad = sw.join(tc, "doc_id")
+      .filter(col("n_kept") + col("n_removed") =!= col("ws_tokens")).count()
+    assert(bad == 0)
+    val leaked = sw.filter(
+      col("clean_text").rlike("(^| )(" + TextOps.enStopwords.mkString("|") + ")( |$)")).count()
+    assert(leaked == 0, "stopwords must not survive stripping")
+    assert(sw.filter(col("n_removed") > 0).count() > 0)
+  }
+
+  test("docFreq: df bounded by corpus size, share in (0,1], idf consistent") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val d = TextOps.docFreq(docs)
+    assert(d.filter(col("df") <= 0 || col("df") > n).count() == 0)
+    assert(d.filter(col("doc_share") <= 0 || col("doc_share") > 1).count() == 0)
+    val i = TextOps.idf(docs)
+    assert(i.filter(col("idf") < 0).count() == 0)
+  }
+
   test("near-dup cosine pairs meet the threshold and are unique") {
     val nd = Embeddings.nearDupCosine(Tables.embeddings(spark, sf))
     assert(nd.filter(col("cos") < Embeddings.NearDupThreshold).count() == 0)
