@@ -133,6 +133,73 @@ object EventStream {
           (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double")))).as("cos"))
   }
 
+  /** Streaming IVF ANN: the trained k-means codebook
+    * (operators.Embeddings.kmeansCodebook) is materialized ONCE at
+    * stream setup — 16 rows collected to the driver, the model-artifact
+    * load every serving system does — and becomes a literal array in the
+    * plan, so each arriving query's nprobe-list assignment is a pure
+    * map-side expression (distance to 16 centroid literals, sort, keep
+    * NProbe). Candidates come from a stream-static join against the
+    * partition-prunable inverted lists; at scale only
+    * NProbe/NumCentroids of the corpus is touched per query. Pair with
+    * [[streamingAnnIvfTopK]] for the exact per-batch answer.
+    *
+    * Input stream schema: (query_id long, embedding array<float>).
+    */
+  def streamingAnnIvfCandidates(queryStream: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.operators.Embeddings
+    val q = Embeddings.quantized(corpus)
+    val cent = Embeddings.kmeansCodebook(q)
+    // inverted lists: every corpus vector with its (single) list id
+    val lists = Embeddings.ivfAssign(q, cent)
+      .join(q, "vec_id")
+      .select(col("c_id"), col("vec_id").as("n_id"), col("qv"), col("nrm"))
+    // codebook -> plan literals (bounded: NumCentroids rows)
+    val centLit = array(cent.orderBy("c_id").collect().map { r =>
+      struct(
+        lit(r.getLong(0)).as("c_id"),
+        typedLit(r.getSeq[Long](1)).as("cqv"),
+        lit(r.getLong(2)).as("cnrm"))
+    }.toIndexedSeq: _*)
+    val qStream = queryStream
+      .select(col("query_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000, 0).cast("long")).as("q_qv"))
+      .withColumn("q_nrm", graft.functions.Exprs.dotLong(col("q_qv"), col("q_qv")))
+      .withColumn("probe", explode(slice(array_sort(
+        transform(centLit, c => struct(
+          (col("q_nrm") - lit(2L) * graft.functions.Exprs.dotLong(col("q_qv"), c.getField("cqv"))
+            + c.getField("cnrm")).as("d2"),
+          c.getField("c_id").as("c_id")))), 1, Embeddings.NProbe)))
+      .select(col("query_id"), col("q_qv"), col("q_nrm"), col("probe.c_id").as("c_id"))
+    qStream
+      .join(lists, Seq("c_id"))
+      .select(
+        col("query_id"), col("n_id"),
+        (graft.functions.Exprs.dotLong(col("q_qv"), col("qv")).cast("double") /
+          (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double")))).as("cos"))
+  }
+
+  /** Per-micro-batch exact top-k over the streaming IVF candidates —
+    * same bounded-frame rank as [[streamingAnnTopK]]. (A vector in two
+    * probed lists can't duplicate — each corpus vector lives in exactly
+    * one list — but the dedup keeps the contract uniform.)
+    */
+  def streamingAnnIvfTopK(queryStream: DataFrame, corpus: DataFrame,
+                          k: Int = graft.operators.Embeddings.TopK)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    streamingAnnIvfCandidates(queryStream, corpus)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ranked = batch
+          .dropDuplicates("query_id", "n_id")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("cos").desc, col("n_id"))))
+          .filter(col("rn") <= k)
+        sink(ranked, batchId)
+      }
+      .start()
+
   /** Per-micro-batch exact top-k ANN serving: dedup the per-table
     * duplicate candidate pairs, rank per query (cosine desc, neighbor-id
     * tie-break), keep k, and hand each batch's exact answer to `sink`.

@@ -120,6 +120,60 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).getString(2) == "boom") // dead-letter keeps its error
   }
 
+  test("end-to-end main loop: schedule -> select -> transition -> retry -> merge -> resume") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val nowUs = 1000L * 86400L * 1000000L
+
+    // day 1: schedule 2 fresh targets (3 job types each), none recent
+    val targets = Seq("alice", "bob").toDF("target_username")
+    val noJobs = Seq.empty[(String, String, Long)].toDF("target_username", "job_type", "started_at_us")
+    val scheduled = GraftPipeline.scheduleUserScraping(targets, noJobs, nowUs)
+      .orderBy("target_username", "job_type")
+      .withColumn("job_id", monotonically_increasing_id() + 1)
+      .withColumn("attempts", lit(0L))
+      .withColumn("error_message", lit(null).cast("string"))
+    assert(scheduled.count() == 6)
+
+    // select a batch under quota, run it: one job fails
+    val batch = GraftPipeline.selectPendingBatch(scheduled, remainingQuota = 4)
+    assert(batch.count() == 4)
+    val updates = batch.select(col("job_id"))
+      .withColumn("status", when(col("job_id") === 2, "failed").otherwise("completed"))
+      .withColumn("error_message", when(col("job_id") === 2, "rate limited"))
+    val afterRun = GraftPipeline.applyJobUpdates(scheduled, updates)
+    assert(afterRun.filter(col("status") === "completed").count() == 3)
+    assert(afterRun.filter(col("status") === "failed").count() == 1)
+
+    // retry re-queues the failure with its error cleared
+    val afterRetry = GraftPipeline.retryFailedJobs(afterRun)
+    assert(afterRetry.filter(col("status") === "failed").count() == 0)
+    assert(afterRetry.filter(col("status") === "pending").count() == 3) // 2 unrun + 1 retried
+
+    // scraped profiles land via the MERGE sink, latest wins across runs
+    val day1 = Seq((1L, "alice", "Alice v1", nowUs), (2L, "bob", "Bob", nowUs))
+      .toDF("user_id", "username", "bio", "last_updated_us")
+    val day2 = Seq((1L, "alice", "Alice v2", nowUs + 1), (3L, "carol", "Carol", nowUs + 1))
+      .toDF("user_id", "username", "bio", "last_updated_us")
+    graft.sources.Sinks.mergeUpsert(spark, s"$tmp/users", day1, Seq("user_id"), "last_updated_us")
+    graft.sources.Sinks.mergeUpsert(spark, s"$tmp/users", day2, Seq("user_id"), "last_updated_us")
+    val users = spark.read.parquet(s"$tmp/users")
+    assert(users.count() == 3)
+    assert(users.filter(col("user_id") === 1).head().getString(2) == "Alice v2")
+
+    // event ingest resumes from the persisted cursor across runs
+    (1L to 50L).map(i => (i, i % 5)).toDF("event_id", "user_id")
+      .write.mode("append").parquet(s"$tmp/events")
+    val run1 = graft.sources.Ingest.readIncremental(spark, s"$tmp/events", s"$tmp/cur", "event_id")
+    assert(run1.count() == 50)
+    graft.sources.Ingest.advanceCursor(spark, s"$tmp/cur", run1, "event_id")
+    (51L to 60L).map(i => (i, i % 5)).toDF("event_id", "user_id")
+      .write.mode("append").parquet(s"$tmp/events")
+    val run2 = graft.sources.Ingest.readIncremental(spark, s"$tmp/events", s"$tmp/cur", "event_id")
+    assert(run2.count() == 10, "resumed run must touch only new events")
+  }
+
   test("analyzeUserInterests aggregates followed-account categories") {
     val s = spark
     import s.implicits._

@@ -135,6 +135,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming IVF top-k: exact per-batch answer from the trained codebook") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probe = corpus.limit(2).collect()
+      .map(r => (r.getLong(0) + 20000L, r.getSeq[Float](1)))
+    val k = 3
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.streamingAnnIvfTopK(
+      in.toDF().toDF("query_id", "embedding"), corpus, k) { (df, _) =>
+      got ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    }
+    in.addData(probe.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    // exact expectation: the same function applied to a static frame
+    val expected = EventStream.streamingAnnIvfCandidates(
+      probe.toSeq.toDF("query_id", "embedding"), corpus)
+      .dropDuplicates("query_id", "n_id")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rn") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got.toSet == expected, s"got=${got.toSet} expected=$expected")
+    // a query identical to a corpus vector must find it at rank 1
+    // (it lives in the list the query probes first)
+    probe.foreach { case (qid, _) =>
+      assert(got.exists(t => t._1 == qid && t._2 == qid - 20000L && t._3 == 1),
+        s"query $qid: rank-1 should be its own corpus vector")
+    }
+  }
+
   test("sessionize stream keeps sub-millisecond event-time precision") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
