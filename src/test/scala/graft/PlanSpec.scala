@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression gates: the properties that make these plans
+  * survive a 100× scale-up, asserted on the plans themselves so a
+  * refactor can't silently lose them. AQE is disabled in this session so
+  * the physical nodes are directly visible to collect().
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = {
+    val s = GraftSession.local(4)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String) =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def leafStrings(name: String): Seq[String] =
+    plan(name).collectLeaves().map(_.toString)
+
+  test("q1 pricing summary: shipdate filter and column pruning reach the parquet scan") {
+    val leaves = leafStrings("q1_pricing_summary")
+    assert(leaves.exists(l => l.contains("PushedFilters") && l.contains("l_shipdate")),
+      s"shipdate filter not pushed:\n${leaves.mkString("\n")}")
+    assert(!leaves.exists(_.contains("l_comment")),
+      "scan reads l_comment — column pruning lost")
+  }
+
+  test("dim joins broadcast the small side (no fact-side shuffle)") {
+    for (q <- Seq("q_join_pushdown", "q_category_rollup", "q_engagement_join")) {
+      val n = plan(q).collect { case b: BroadcastExchangeLike => b }.size
+      assert(n >= 1, s"$q: expected a broadcast dim exchange")
+    }
+  }
+
+  test("top-k queries compile to TakeOrderedAndProject, not a global sort") {
+    for (q <- Seq("q_top_parts", "q3_shipping_priority", "q_pending_batch")) {
+      val n = plan(q).collect { case t: TakeOrderedAndProjectExec => t }.size
+      assert(n >= 1, s"$q: expected TakeOrderedAndProject")
+    }
+  }
+
+  test("aggregations run partial+final (map-side combine present)") {
+    for (q <- Seq("q1_pricing_summary", "q_monthly_revenue", "q_supplier_volume")) {
+      val aggs = plan(q).collect { case a: BaseAggregateExec => a }
+      assert(aggs.size >= 2, s"$q: expected partial+final aggregate pair, got ${aggs.size}")
+    }
+  }
+
+  test("no query contains a single-partition global window") {
+    SparkEntry.queries.keys.foreach { q =>
+      val bad = plan(q).collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty, s"$q: global WindowExec found")
+    }
+  }
+}
