@@ -260,7 +260,93 @@ object Analytics {
       |  JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
+  /** B9: hierarchical ROLLUP — region/nation revenue with subtotal and
+    * grand-total rows, the OLAP cube slice every BI layer asks for. One
+    * pass; Spark expands grouping sets in the aggregate (no re-scan per
+    * level). `gid` disambiguates data NULLs from subtotal NULLs
+    * (grouping bits), identical in both engines.
+    *
+    * Expressed through `spark.sql` over temp views: this Spark build's
+    * ambiguous-self-join detector false-positives on `Dataset.rollup`
+    * over ANY join-derived frame (reproduced even with renamed keys,
+    * `grouping_id()`, and an intermediate aggregate); the SQL analyzer
+    * path has no dataset-id tagging and resolves the same plan cleanly —
+    * and it exercises the library's SQL surface.
+    */
+  def rollupRevenue(orders: DataFrame, customer: DataFrame,
+                    nation: DataFrame, region: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    orders.createOrReplaceTempView("graft_rr_orders")
+    customer.createOrReplaceTempView("graft_rr_customer")
+    nation.createOrReplaceTempView("graft_rr_nation")
+    region.createOrReplaceTempView("graft_rr_region")
+    spark.sql(
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid
+        |FROM graft_rr_orders JOIN graft_rr_customer ON o_custkey = c_custkey
+        |  JOIN graft_rr_nation ON c_nationkey = n_nationkey
+        |  JOIN graft_rr_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+  }
+
+  val rollupRevenueSql: String =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+      |  CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  /** B10: exact per-group quantiles — median and p90 order value per
+    * priority class. One `percentile_disc` aggregate per group (same
+    * boundary rule as DuckDB `quantile_disc`, probed); partial-agg
+    * memory ∝ distinct values per group.
+    */
+  def groupQuantiles(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"))
+
+  val groupQuantilesSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  quantile_disc(o_totalprice, 0.5) AS p50,
+      |  quantile_disc(o_totalprice, 0.9) AS p90
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** B11: the salted hot-key join, oracle-checked — Skew.saltedJoin must
+    * be SEMANTICALLY INVISIBLE (identical result to the plain equi-join
+    * the oracle runs) while spreading each key over `salts` shuffle
+    * partitions. SkewSpec proves the multiset equality; this query makes
+    * the driver's DuckDB gate prove it too.
+    */
+  def saltedSegmentRevenue(orders: DataFrame, customer: DataFrame): DataFrame =
+    Skew.saltedJoin(
+      orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+      customer.select("c_custkey", "c_mktsegment"),
+      "o_custkey", "c_custkey", saltOn = "o_orderkey")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        money(sum(dec(col("o_totalprice")))).as("revenue"))
+
+  val saltedSegmentRevenueSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup_revenue" -> ((s, d) =>
+      rollupRevenue(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
+    "q_group_quantiles" -> ((s, d) => groupQuantiles(Tables.orders(s, d))),
+    "q_salted_segment_revenue" -> ((s, d) =>
+      saltedSegmentRevenue(Tables.orders(s, d), Tables.customer(s, d))),
     "q1_pricing_summary" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
     "q_join_pushdown" -> ((s, d) =>
       joinPushdown(Tables.orders(s, d), Tables.customer(s, d),
@@ -275,6 +361,9 @@ object Analytics {
       supplierVolume(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_rollup_revenue" -> rollupRevenueSql,
+    "q_group_quantiles" -> groupQuantilesSql,
+    "q_salted_segment_revenue" -> saltedSegmentRevenueSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q_join_pushdown" -> joinPushdownSql,
     "q_top_parts" -> topPartsSql,
