@@ -76,9 +76,44 @@ object Temporal {
       |       c.t_us AS click_t_us, c.click_id
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t_us >= c.t_us""".stripMargin
 
+  /** A19: range self-join — pairs of same-user events within
+    * `windowUs` of each other (the burst detector for the reference's
+    * ≥3 s anti-detection pacing rule; the synthetic corpus needs a
+    * 10-minute window to be non-vacuous). The naive formulation is a
+    * per-user theta join (quadratic); this is the bucketed range join:
+    * quantize time to window-width buckets, explode the LEFT side into
+    * its own and the next bucket, equi-join on (user, bucket) — each
+    * qualifying ordered pair (Δt ≤ window ⇒ right bucket ∈ {left,
+    * left+1}) matches exactly once, no post-dedup — then filter the
+    * exact range. Shuffle cost is linear in events; per-task work is
+    * bounded by bucket occupancy, not user history.
+    */
+  def burstPairs(events: DataFrame, windowUs: Long = 600L * 1000000L): DataFrame = {
+    val e = events.select(col("user_id"), col("event_id"), tUs(col("ts")).as("t"))
+    val l = e.select(col("user_id"), col("event_id").as("e1"), col("t").as("t1"))
+      .withColumn("b", explode(array(
+        expr(s"t1 div $windowUs"), expr(s"t1 div $windowUs") + 1)))
+    val r = e.select(col("user_id"), col("event_id").as("e2"), col("t").as("t2"))
+      .withColumn("b", expr(s"t2 div $windowUs"))
+    l.join(r, Seq("user_id", "b"))
+      .filter(col("t2") > col("t1") ||
+        (col("t2") === col("t1") && col("e2") > col("e1")))
+      .filter(col("t2") - col("t1") <= windowUs)
+      .select(col("user_id"), col("e1"), col("e2"), (col("t2") - col("t1")).as("dt_us"))
+  }
+
+  val burstPairsSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events)
+      |SELECT a.user_id, a.event_id AS e1, b.event_id AS e2, b.t - a.t AS dt_us
+      |FROM e a JOIN e b ON a.user_id = b.user_id
+      |  AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+      |  AND b.t - a.t <= 600000000""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_last_click" -> ((s, d) => asofLastClick(Tables.events(s, d))))
+    "q_asof_last_click" -> ((s, d) => asofLastClick(Tables.events(s, d))),
+    "q_burst_pairs" -> ((s, d) => burstPairs(Tables.events(s, d))))
 
   def oracle: Map[String, String] = Map(
-    "q_asof_last_click" -> asofLastClickSql)
+    "q_asof_last_click" -> asofLastClickSql,
+    "q_burst_pairs" -> burstPairsSql)
 }
