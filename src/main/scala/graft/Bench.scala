@@ -45,7 +45,11 @@ object Bench {
     val results = names.map { n =>
       spark.catalog.clearCache() // drop persisted frames -> honest cold run
       val cold = runOnce(n)
-      val warm = runOnce(n)
+      // warm = best of two: single-shot warm numbers on this box swing
+      // up to ~5x under unrelated load, which poisons the regression gate
+      val w1 = runOnce(n)
+      val w2 = runOnce(n)
+      val warm = if (w1 < 0 || w2 < 0) -1.0 else math.min(w1, w2)
       (n, cold, warm)
     }
     spark.catalog.clearCache()

@@ -340,7 +340,29 @@ object Analytics {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** B12: per-customer running revenue — the keyed cumulative window
+    * every time-series dashboard needs. Partitioned by customer (hash
+    * shuffle, parallel), ordered by the unique order key; running sum in
+    * exact decimals, surfaced as money.
+    */
+  def runningTotal(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), dec(col("o_totalprice")).as("p"))
+      .withColumn("running_revenue", money(sum(col("p")).over(w)))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_revenue"))
+  }
+
+  val runningTotalSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |          ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_revenue
+      |FROM orders""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_running_total" -> ((s, d) => runningTotal(Tables.orders(s, d))),
     "q_rollup_revenue" -> ((s, d) =>
       rollupRevenue(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Tables.region(s, d))),
@@ -361,6 +383,7 @@ object Analytics {
       supplierVolume(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_running_total" -> runningTotalSql,
     "q_rollup_revenue" -> rollupRevenueSql,
     "q_group_quantiles" -> groupQuantilesSql,
     "q_salted_segment_revenue" -> saltedSegmentRevenueSql,

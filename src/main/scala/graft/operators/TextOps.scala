@@ -308,7 +308,29 @@ object TextOps {
   def idf(documents: DataFrame): DataFrame =
     docFreq(documents).withColumn("idf", -log(col("doc_share")))
 
+  /** C18: corpus-frequency top n-grams — the bigram table behind
+    * phrase-level statistics and boilerplate spotting. Explode bigrams
+    * (map-side, native shingles), partial-agg count, deterministic
+    * top-k via sort+limit (count desc, gram asc) →
+    * TakeOrderedAndProject.
+    */
+  def topNgrams(documents: DataFrame, n: Int = 2, k: Int = 50): DataFrame =
+    documents
+      .select(explode(Exprs.shingles(toks, n)).as("gram"))
+      .filter(size(split(col("gram"), " ")) === n) // drop short-doc remainders
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occ")) // once per containing doc (shingles are per-doc distinct)
+      .orderBy(col("n_occ").desc, col("gram"))
+      .limit(k)
+
+  val topNgramsSql: String =
+    s"""WITH g AS (SELECT unnest(${shinglesSqlExpr(2)}) AS gram FROM documents)
+       |SELECT gram, count(*) AS n_occ FROM g
+       |WHERE len(string_split(gram, ' ')) = 2
+       |GROUP BY gram ORDER BY n_occ DESC, gram LIMIT 50""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_top_ngrams" -> ((s, d) => topNgrams(Tables.documents(s, d))),
     "q_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
     "q_stopword_strip" -> ((s, d) => stopwordStrip(Tables.documents(s, d))),
     "q_doc_freq" -> ((s, d) => docFreq(Tables.documents(s, d))),
@@ -321,6 +343,7 @@ object TextOps {
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_top_ngrams" -> topNgramsSql,
     "q_contamination" -> contaminationSql,
     "q_stopword_strip" -> stopwordStripSql,
     "q_doc_freq" -> docFreqSql,
