@@ -71,14 +71,24 @@ object Analytics {
 
   /** B3: join + agg + top-k: revenue by brand, keep top 5. Part is a
     * broadcast dim; the top-k is a row_number filter over the tiny
-    * aggregated frame (exact decimal ordering → deterministic).
+    * aggregated frame.
+    *
+    * Money here is exact INTEGER arithmetic, not decimal: prices are
+    * 2-decimal and discounts 2-decimal, so price·(1−d) in cents×100 is
+    * an exact long (`round(x*100)` recovers the integer exactly in both
+    * engines — quantization rule, SURVEY §6), summed as longs with full
+    * codegen instead of per-row BigDecimal multiplies. Final rounding is
+    * integer HALF_UP ((v+50) div 100) and ONE double division — no
+    * float-derived round() anywhere.
     */
   def topParts(lineitem: DataFrame, part: DataFrame, k: Int = 5): DataFrame = {
-    val disc = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+    val discE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
     val rev = lineitem
       .join(broadcast(part.select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
-      .agg(sum(disc).as("rev_exact"))
+      .agg(sum(discE4).as("rev_e4"))
+      .withColumn("rev_cents", expr("(rev_e4 + 50) div 100"))
     // sort+limit → TakeOrderedAndProject (per-partition top-k, merged on
     // the driver) — scale-safe, unlike a rank window over the full frame.
     // The limit output is a single partition by construction; re-assert
@@ -87,19 +97,21 @@ object Analytics {
     // window, so the single-partition WindowExec WARN stays a real
     // scale signal elsewhere, and `rev` is computed exactly once.
     rev
-      .orderBy(col("rev_exact").desc, col("p_brand"))
+      .orderBy(col("rev_e4").desc, col("p_brand"))
       .limit(k)
-      .sortWithinPartitions(col("rev_exact").desc, col("p_brand"))
+      .sortWithinPartitions(col("rev_e4").desc, col("p_brand"))
       .withColumn("rn", (monotonically_increasing_id() + 1).cast("int"))
-      .select(col("p_brand"), money(col("rev_exact")).as("revenue"), col("rn"))
+      .select(col("p_brand"),
+        (col("rev_cents").cast("double") / 100.0).as("revenue"), col("rn"))
   }
 
   val topPartsSql: String =
     """WITH rev AS (SELECT p_brand,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev_exact
+      |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS rev_e4
       |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand)
-      |SELECT p_brand, CAST(round(rev_exact, 2) AS DOUBLE) AS revenue, rn
-      |FROM (SELECT *, row_number() OVER (ORDER BY rev_exact DESC, p_brand) AS rn FROM rev)
+      |SELECT p_brand, CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue, rn
+      |FROM (SELECT *, row_number() OVER (ORDER BY rev_e4 DESC, p_brand) AS rn FROM rev)
       |WHERE rn <= 5""".stripMargin
 
   /** B4: decile stats over order value. Value-based deciles from exact
@@ -183,7 +195,10 @@ object Analytics {
     */
   def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
                        segment: String = "BUILDING", k: Int = 10): DataFrame = {
-    val disc = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+    // exact integer-cents money (see topParts) — codegen long multiplies
+    // instead of per-row BigDecimal
+    val discE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
     val rev = lineitem
       .join(orders.filter(col("o_orderstatus") =!= "F")
         .select("o_orderkey", "o_custkey", "o_orderdate"),
@@ -191,32 +206,33 @@ object Analytics {
       .join(customer.filter(col("c_mktsegment") === segment).select("c_custkey"),
         col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey", "o_orderdate")
-      .agg(sum(disc).as("rev_exact"))
+      .agg(sum(discE4).as("rev_e4"))
     // top-k via sort+limit (TakeOrderedAndProject) — the per-order
     // aggregate frame is unbounded at scale; never rank-window it.
     // Row numbering over the single-partition limit output, as in topParts.
     rev
-      .orderBy(col("rev_exact").desc, col("o_orderkey"))
+      .orderBy(col("rev_e4").desc, col("o_orderkey"))
       .limit(k)
-      .sortWithinPartitions(col("rev_exact").desc, col("o_orderkey"))
+      .sortWithinPartitions(col("rev_e4").desc, col("o_orderkey"))
       .withColumn("rn", (monotonically_increasing_id() + 1).cast("int"))
       .select(col("o_orderkey"),
         to_date(col("o_orderdate")).as("o_orderdate"),
-        money(col("rev_exact")).as("revenue"), col("rn"))
+        (expr("(rev_e4 + 50) div 100").cast("double") / 100.0).as("revenue"), col("rn"))
   }
 
   val shippingPrioritySql: String =
     """WITH rev AS (
       |  SELECT o_orderkey, o_orderdate,
-      |    sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev_exact
+      |    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS rev_e4
       |  FROM lineitem
       |    JOIN orders ON l_orderkey = o_orderkey
       |    JOIN customer ON o_custkey = c_custkey
       |  WHERE o_orderstatus <> 'F' AND c_mktsegment = 'BUILDING'
       |  GROUP BY o_orderkey, o_orderdate)
       |SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-      |  CAST(round(rev_exact, 2) AS DOUBLE) AS revenue, rn
-      |FROM (SELECT *, row_number() OVER (ORDER BY rev_exact DESC, o_orderkey) AS rn FROM rev)
+      |  CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue, rn
+      |FROM (SELECT *, row_number() OVER (ORDER BY rev_e4 DESC, o_orderkey) AS rn FROM rev)
       |WHERE rn <= 10""".stripMargin
 
   /** B7 (TPC-H Q14 shape): conditional-aggregate share — fraction of
@@ -224,19 +240,26 @@ object Analytics {
     * denominator, one double division at the end.
     */
   def promoShare(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    val disc = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+    val discE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
     lineitem
       .join(broadcast(part.select("p_partkey", "p_type")), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type").startsWith("PROMO").as("is_promo"))
-      .agg(money(sum(disc)).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(sum(discE4).as("rev_e4"), count(lit(1)).as("n_items"))
+      .select(col("is_promo"),
+        (expr("(rev_e4 + 50) div 100").cast("double") / 100.0).as("revenue"),
+        col("n_items"))
   }
 
   val promoShareSql: String =
-    """SELECT starts_with(p_type, 'PROMO') AS is_promo,
-      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+    """WITH a AS (SELECT starts_with(p_type, 'PROMO') AS is_promo,
+      |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS rev_e4,
       |  count(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |GROUP BY starts_with(p_type, 'PROMO')""".stripMargin
+      |GROUP BY starts_with(p_type, 'PROMO'))
+      |SELECT is_promo, CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue, n_items
+      |FROM a""".stripMargin
 
   /** B8: supplier volume by nation — broadcast supplier+nation dims,
     * lineitem aggregated with partial combine.
@@ -251,14 +274,19 @@ object Analytics {
       .agg(
         countDistinct(col("s_suppkey")).as("n_suppliers"),
         count(lit(1)).as("n_items"),
-        money(sum(dec(col("l_extendedprice")))).as("volume"))
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("vol_cents"))
+      .select(col("n_name"), col("n_suppliers"), col("n_items"),
+        (col("vol_cents").cast("double") / 100.0).as("volume"))
 
   val supplierVolumeSql: String =
-    """SELECT n_name, count(DISTINCT s_suppkey) AS n_suppliers, count(*) AS n_items,
-      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS volume
+    """WITH a AS (SELECT n_name, count(DISTINCT s_suppkey) AS n_suppliers, count(*) AS n_items,
+      |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS vol_cents
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |  JOIN nation ON s_nationkey = n_nationkey
-      |GROUP BY n_name""".stripMargin
+      |GROUP BY n_name)
+      |SELECT n_name, n_suppliers, n_items,
+      |  CAST(vol_cents AS DOUBLE) / 100.0 AS volume
+      |FROM a""".stripMargin
 
   /** B9: hierarchical ROLLUP — region/nation revenue with subtotal and
     * grand-total rows, the OLAP cube slice every BI layer asks for. One
