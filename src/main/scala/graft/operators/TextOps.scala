@@ -329,7 +329,77 @@ object TextOps {
        |WHERE len(string_split(gram, ' ')) = 2
        |GROUP BY gram ORDER BY n_occ DESC, gram LIMIT 50""".stripMargin
 
+  /** C19: token-budget mix — training mixes are specified in TOKENS, not
+    * documents: per language, keep documents in deterministic doc_id
+    * order until the cumulative whitespace-token count reaches the
+    * budget (the last document may overshoot; the budget bounds the
+    * running count BEFORE each doc, the standard greedy fill). Keyed
+    * running-sum window — hash-partitioned by language, scale-safe.
+    */
+  def tokenBudgetMix(documents: DataFrame, budget: Long = 5000L): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") - col("n_tok") < budget)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
+  }
+
+  val tokenBudgetMixSql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |FROM documents),
+      |c AS (SELECT doc_id, lang, n_tok,
+      |  CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      |FROM t)
+      |SELECT doc_id, lang, n_tok, cum_tok FROM c
+      |WHERE cum_tok - n_tok < 5000""".stripMargin
+
+  /** C20: composed curation pass — the end-to-end "what actually ships
+    * to training" query: exact-dedup keepers ∩ quality threshold ∩
+    * deterministic mix sample, in ONE DataFrame plan (three operators
+    * composing; Catalyst fuses the per-doc map work into a single scan
+    * pipeline, and only the dedup window shuffles).
+    */
+  def curatedCorpus(documents: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val keepers = dedupExact(documents).filter(!col("is_dup")).select("doc_id")
+    val quality = qualityScore(documents)
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"), col("quality"))
+    sampleMix(documents)
+      .join(keepers, "doc_id")
+      .join(quality, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+  }
+
+  val curatedCorpusSql: String = {
+    val inList = enStopwords.map(s => s"'$s'").mkString(", ")
+    val cases = mixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""WITH keepers AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+       |    FROM documents) WHERE NOT is_dup),
+       |q AS (SELECT doc_id,
+       |    0.5 * least(CAST(n_chars AS DOUBLE) / 400.0, 1.0)
+       |      + 0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |               / len(string_split(text, ' '))) AS quality
+       |  FROM documents),
+       |sampled AS (SELECT doc_id, lang, source FROM (
+       |    SELECT doc_id, lang, source,
+       |      CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS selector,
+       |      CAST(CASE $cases ELSE 0 END AS BIGINT) AS keep_rate
+       |    FROM documents) WHERE selector < keep_rate)
+       |SELECT s.doc_id, s.lang, s.source, q.quality
+       |FROM sampled s JOIN keepers k ON s.doc_id = k.doc_id
+       |  JOIN q ON s.doc_id = q.doc_id
+       |WHERE q.quality >= 0.5""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_budget_mix" -> ((s, d) => tokenBudgetMix(Tables.documents(s, d))),
+    "q_curated_corpus" -> ((s, d) => curatedCorpus(Tables.documents(s, d))),
     "q_top_ngrams" -> ((s, d) => topNgrams(Tables.documents(s, d))),
     "q_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
     "q_stopword_strip" -> ((s, d) => stopwordStrip(Tables.documents(s, d))),
@@ -343,6 +413,8 @@ object TextOps {
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_token_budget_mix" -> tokenBudgetMixSql,
+    "q_curated_corpus" -> curatedCorpusSql,
     "q_top_ngrams" -> topNgramsSql,
     "q_contamination" -> contaminationSql,
     "q_stopword_strip" -> stopwordStripSql,
