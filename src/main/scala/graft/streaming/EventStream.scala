@@ -47,48 +47,96 @@ object EventStream {
         col("event_type"), col("n"), col("total_value"))
 
   /** Streaming exact-dedup by content fingerprint — the first stage of a
-    * streaming LLM-ingest pipeline. Watermark bounds the dedup state.
+    * streaming LLM-ingest pipeline. Uses dropDuplicatesWithinWatermark:
+    * plain dropDuplicates("fp") NEVER evicts state when the event-time
+    * column isn't part of the dedup key, so its state grows with every
+    * distinct fingerprint forever. The WithinWatermark variant dedups on
+    * fp alone but expires state once the watermark passes — bounded
+    * state, with dedup guaranteed for duplicates arriving within the
+    * watermark delay (the honest contract for an unbounded stream).
     */
   def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
       .withColumn("fp", md5(col("text")))
       .withWatermark("ts", watermark)
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
 
-  /** Stateful sessionization via flatMapGroupsWithState — the streaming
-    * twin of operators.Reference.sessionize (same 30-min gap rule).
-    * Emits a session when a gap closes it; the open session stays in
-    * per-user state across micro-batches, so sessions spanning batch
-    * boundaries are NOT split (the bug the batch-polling reference
-    * design cannot avoid).
+  /** Stateful sessionization core — the streaming twin of
+    * operators.Reference.sessionize (same 30-min gap rule). Emits a
+    * session when a gap closes it; the open session stays in per-user
+    * state across micro-batches, so sessions spanning batch boundaries
+    * are NOT split (the bug the batch-polling reference design cannot
+    * avoid). With `timeouts` on, an event-time timeout also closes (and
+    * evicts) sessions once the watermark passes last event + gap.
+    */
+  private def sessionFn(gapUs: Long, timeouts: Boolean)(
+      userId: Long, batch: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (timeouts && state.hasTimedOut) {
+      // watermark passed last event + gap: the open session is closed
+      val st = state.get
+      state.remove()
+      return Iterator.single(
+        SessionOut(userId, st.sessionId, st.nEvents, st.lastTsUs - st.startTsUs))
+    }
+    val sorted = batch.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+    var st = state.getOption.orNull
+    val out = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      val tUs = tsMicros(e.ts)
+      if (st == null) {
+        st = SessionState(1L, tUs, tUs, 1L)
+      } else if (tUs - st.lastTsUs > gapUs) {
+        out += SessionOut(userId, st.sessionId, st.nEvents, st.lastTsUs - st.startTsUs)
+        st = SessionState(st.sessionId + 1, tUs, tUs, 1L)
+      } else {
+        st = st.copy(lastTsUs = tUs, nEvents = st.nEvents + 1)
+      }
+    }
+    if (st != null) {
+      val timeoutMs = st.lastTsUs / 1000 + gapUs / 1000 + 1
+      if (timeouts && timeoutMs <= state.getCurrentWatermarkMs()) {
+        // the gap already elapsed in event time — close immediately
+        out += SessionOut(userId, st.sessionId, st.nEvents, st.lastTsUs - st.startTsUs)
+        state.remove()
+      } else {
+        state.update(st)
+        if (timeouts) state.setTimeoutTimestamp(timeoutMs)
+      }
+    }
+    out.result().iterator
+  }
+
+  /** Unbounded-state variant (NoTimeout): sessions only close when the
+    * same user's next event arrives. Fine for tests and bounded user
+    * populations; deploy [[sessionizeStreamWatermarked]] on real
+    * unbounded streams.
     */
   def sessionizeStream(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000000)(
       implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
-
-    def fn(userId: Long, batch: Iterator[Event],
-           state: GroupState[SessionState]): Iterator[SessionOut] = {
-      val sorted = batch.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
-      var st = state.getOption.orNull
-      val out = Seq.newBuilder[SessionOut]
-      sorted.foreach { e =>
-        val tUs = tsMicros(e.ts)
-        if (st == null) {
-          st = SessionState(1L, tUs, tUs, 1L)
-        } else if (tUs - st.lastTsUs > gapUs) {
-          out += SessionOut(userId, st.sessionId, st.nEvents, st.lastTsUs - st.startTsUs)
-          st = SessionState(st.sessionId + 1, tUs, tUs, 1L)
-        } else {
-          st = st.copy(lastTsUs = tUs, nEvents = st.nEvents + 1)
-        }
-      }
-      if (st != null) state.update(st)
-      out.result().iterator
-    }
-
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionFn(gapUs, timeouts = false))
+  }
+
+  /** The deployable pipeline: watermark + event-time timeout. When the
+    * watermark passes a user's last event + gap, the open session is
+    * emitted as closed and the per-user state REMOVED — idle users cost
+    * nothing and sessions close without needing a next event.
+    */
+  def sessionizeStreamWatermarked(events: Dataset[Event],
+                                  gapUs: Long = 30L * 60 * 1000000,
+                                  watermark: String = "30 minutes")(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionFn(gapUs, timeouts = true))
   }
 
   /** Convenience: flush open sessions (batch-mode tail call after a

@@ -76,6 +76,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(closed.head.session_id == 1)
   }
 
+  test("watermarked sessionize: idle session closes via event-time timeout, state evicted") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = EventStream.sessionizeStreamWatermarked(in.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_to").outputMode("append").start()
+    // user 7: two events, then silence — nobody ever sends a closing
+    // event (fixture starts at t=100min: epoch-0 events fall on the
+    // initial watermark boundary and get late-filtered)
+    in.addData(Event(1, ts(100), 7, "click", 0), Event(2, ts(105), 7, "click", 0))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM sess_to").count() == 0) // still open
+    // another user's much-later event advances the watermark far past
+    // user 7's last event + 30-min gap -> the timeout must close it
+    in.addData(Event(3, ts(700), 8, "click", 0))
+    q.processAllAvailable()
+    in.addData(Event(4, ts(710), 8, "click", 0)) // one more batch so timeouts fire
+    q.processAllAvailable()
+    val closed = spark.sql("SELECT * FROM sess_to").as[SessionOut].collect()
+    q.stop()
+    assert(closed.exists(o => o.user_id == 7 && o.n_events == 2 &&
+      o.duration_us == 5L * 60 * 1000000),
+      s"user 7's idle session should have closed by timeout, got ${closed.toSeq}")
+  }
+
   test("streaming ANN: arriving query vectors score against the static LSH index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
