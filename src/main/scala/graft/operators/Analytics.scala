@@ -368,6 +368,57 @@ object Analytics {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** B13 (TPC-H Q5 shape): local-supplier volume — revenue per nation
+    * for one region and one order-date year (1996 — the synthetic orders span 1995-2001), where the supplying and
+    * buying nations coincide. The classic join-order workout: region →
+    * nation broadcast down onto supplier, the customer⋈orders⋈lineitem
+    * spine shuffles on its natural keys, and the c_nationkey =
+    * s_nationkey correlation is a residual equality, not another
+    * shuffle. Integer-cents money math as in topParts.
+    */
+  def localSupplierVolume(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                          supplier: DataFrame, nation: DataFrame, region: DataFrame,
+                          regionName: String = "ASIA"): DataFrame = {
+    val discE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    lineitem
+      .join(orders
+        .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+          to_date(col("o_orderdate")) < lit("1997-01-01"))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName).select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(discE4).as("rev_e4"))
+      .select(col("n_name"),
+        (expr("(rev_e4 + 50) div 100").cast("double") / 100.0).as("revenue"))
+  }
+
+  val localSupplierVolumeSql: String =
+    """WITH a AS (SELECT n_name,
+      |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS rev_e4
+      |FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      |GROUP BY n_name)
+      |SELECT n_name, CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+      |FROM a""".stripMargin
+
   /** B12: per-customer running revenue — the keyed cumulative window
     * every time-series dashboard needs. Partitioned by customer (hash
     * shuffle, parallel), ordered by the unique order key; running sum in
@@ -390,6 +441,10 @@ object Analytics {
       |FROM orders""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q5_local_supplier_volume" -> ((s, d) =>
+      localSupplierVolume(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
     "q_running_total" -> ((s, d) => runningTotal(Tables.orders(s, d))),
     "q_rollup_revenue" -> ((s, d) =>
       rollupRevenue(Tables.orders(s, d), Tables.customer(s, d),
@@ -411,6 +466,7 @@ object Analytics {
       supplierVolume(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q5_local_supplier_volume" -> localSupplierVolumeSql,
     "q_running_total" -> runningTotalSql,
     "q_rollup_revenue" -> rollupRevenueSql,
     "q_group_quantiles" -> groupQuantilesSql,
