@@ -69,8 +69,11 @@ object Analytics {
       |WHERE r_name = 'ASIA' AND o_orderstatus = 'F'
       |GROUP BY o_orderpriority""".stripMargin
 
-  /** B3: join + agg + top-k: revenue by brand, keep top 5. Part is a
-    * broadcast dim; the top-k is a row_number filter over the tiny
+  /** B3: join + agg + top-k: revenue by brand, keep top 5. Part grows
+    * with scale factor (~200k rows/SF), so no forced broadcast — the
+    * planner broadcasts it while it fits `autoBroadcastJoinThreshold`
+    * and falls back to a shuffle join beyond that (AQE re-checks at
+    * runtime). The top-k is a row_number filter over the tiny
     * aggregated frame.
     *
     * Money here is exact INTEGER arithmetic, not decimal: prices are
@@ -85,7 +88,7 @@ object Analytics {
     val discE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
       (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
     val rev = lineitem
-      .join(broadcast(part.select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
+      .join(part.select("p_partkey", "p_brand"), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(sum(discE4).as("rev_e4"))
       .withColumn("rev_cents", expr("(rev_e4 + 50) div 100"))
@@ -237,13 +240,14 @@ object Analytics {
 
   /** B7 (TPC-H Q14 shape): conditional-aggregate share — fraction of
     * revenue from one part type family. Exact decimal numerator/
-    * denominator, one double division at the end.
+    * denominator, one double division at the end. Part is
+    * SF-proportional — join strategy left to the planner (see topParts).
     */
   def promoShare(lineitem: DataFrame, part: DataFrame): DataFrame = {
     val discE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
       (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
     lineitem
-      .join(broadcast(part.select("p_partkey", "p_type")), col("l_partkey") === col("p_partkey"))
+      .join(part.select("p_partkey", "p_type"), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type").startsWith("PROMO").as("is_promo"))
       .agg(sum(discE4).as("rev_e4"), count(lit(1)).as("n_items"))
       .select(col("is_promo"),
@@ -261,12 +265,13 @@ object Analytics {
       |SELECT is_promo, CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue, n_items
       |FROM a""".stripMargin
 
-  /** B8: supplier volume by nation — broadcast supplier+nation dims,
-    * lineitem aggregated with partial combine.
+  /** B8: supplier volume by nation — nation (fixed 25 rows) broadcast;
+    * supplier is SF-proportional (~10k rows/SF) so its join strategy is
+    * the planner's call. Lineitem aggregated with partial combine.
     */
   def supplierVolume(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame =
     lineitem
-      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+      .join(supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
@@ -370,8 +375,9 @@ object Analytics {
 
   /** B13 (TPC-H Q5 shape): local-supplier volume — revenue per nation
     * for one region and one order-date year (1996 — the synthetic orders span 1995-2001), where the supplying and
-    * buying nations coincide. The classic join-order workout: region →
-    * nation broadcast down onto supplier, the customer⋈orders⋈lineitem
+    * buying nations coincide. The classic join-order workout: region and
+    * nation (fixed-size) broadcast; supplier is SF-proportional so its
+    * join strategy stays with the planner; the customer⋈orders⋈lineitem
     * spine shuffles on its natural keys, and the c_nationkey =
     * s_nationkey correlation is a residual equality, not another
     * shuffle. Integer-cents money math as in topParts.
@@ -389,7 +395,7 @@ object Analytics {
         col("l_orderkey") === col("o_orderkey"))
       .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+      .join(supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),

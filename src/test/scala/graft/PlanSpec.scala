@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
 import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
@@ -42,6 +43,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (q <- Seq("q_join_pushdown", "q_category_rollup", "q_engagement_join")) {
       val n = plan(q).collect { case b: BroadcastExchangeLike => b }.size
       assert(n >= 1, s"$q: expected a broadcast dim exchange")
+    }
+  }
+
+  test("no forced broadcast on SF-proportional dims (part/supplier)") {
+    // part (~200k rows/SF) and supplier (~10k rows/SF) grow with scale
+    // factor: a broadcast() hint there becomes a multi-GB broadcast at
+    // the 100 TB target. The hint must be absent — only fixed-size
+    // region/nation may be hinted — while the planner, free to choose,
+    // still picks broadcast at test scale where the dims fit the
+    // autoBroadcastJoinThreshold.
+    for (q <- Seq("q_top_parts", "q14_promo_share", "q_supplier_volume",
+                  "q5_local_supplier_volume")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      val hintedCols = qe.analyzed.collect {
+        case h: ResolvedHint => h.child.output.map(_.name)
+      }.flatten.toSet
+      val factDim = hintedCols.filter(c => c.startsWith("p_") || c.startsWith("s_"))
+      assert(factDim.isEmpty,
+        s"$q: forced broadcast hint covers SF-proportional dim columns: $factDim")
+      val n = qe.executedPlan.collect { case b: BroadcastExchangeLike => b }.size
+      assert(n >= 1,
+        s"$q: planner should still broadcast the small dims at sf0.001")
     }
   }
 
