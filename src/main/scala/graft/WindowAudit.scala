@@ -1,13 +1,77 @@
 package graft
 
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Month, TruncDate, TruncTimestamp, Year}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Window => LogicalWindow}
 import org.apache.spark.sql.execution.window.WindowExec
 
-/** Scale-hazard audit: flags queries whose *executed* plan contains a
-  * WindowExec with an empty partition spec (single-partition global
-  * window — the one shape that cannot survive a large input). Exits
-  * non-zero if any query trips it, so CI keeps the property.
+/** Scale-hazard audit over every registered query. Two checks:
+  *
+  *  1. Executed plan contains a WindowExec with an empty partition spec —
+  *     a single-partition global window, the one shape that cannot
+  *     survive a large input.
+  *  2. Analyzed plan contains a Window partitioned by a *time-bucket*
+  *     expression (date_trunc / trunc / year / month over a raw column)
+  *     with no aggregate or limit between the window and the scan. One
+  *     day/month = one window partition AQE cannot split; at production
+  *     volume that is a full sort of every row of the heaviest bucket in
+  *     one task (the q_daily_quota hazard — fixed via the bounded
+  *     [[graft.functions.Exprs.MinKLong]] aggregate; this check keeps it
+  *     fixed).
+  *
+  * Exits non-zero if any query trips either check, so CI keeps the
+  * property.
   */
 object WindowAudit {
+
+  /** Expand attributes through Project aliases so a partition key like
+    * `day` is seen as the `to_date(date_trunc(...))` that produced it.
+    */
+  private def expand(e: Expression, aliases: Map[Long, Expression]): Expression =
+    e.transformUp {
+      case a: Attribute if aliases.contains(a.exprId.id) => aliases(a.exprId.id)
+    }
+
+  private def isTimeBucket(e: Expression): Boolean =
+    e.exists {
+      case _: TruncDate | _: TruncTimestamp | _: Year | _: Month => true
+      case _ => false
+    }
+
+  /** True if every path from this window's child to the leaves passes
+    * through an aggregate or limit — i.e. the window runs over an
+    * already-reduced frame, where per-bucket cardinality is bounded.
+    */
+  private def reducedBelow(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
+    case l if l.children.isEmpty => false
+    case l => l.children.forall(reducedBelow)
+  }
+
+  /** Count of single-partition (global) WindowExec nodes in the executed
+    * plan. Run with AQE off so WindowExec is visible pre-execution.
+    */
+  def globalWindows(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.size
+
+  /** Count of logical Window nodes partitioned ONLY by time-bucket
+    * expressions over a non-reduced (raw) frame.
+    */
+  def timeBucketWindows(df: org.apache.spark.sql.DataFrame): Int = {
+    val analyzed = df.queryExecution.analyzed
+    val aliases = analyzed.collect { case p =>
+      p.expressions.flatMap(_.collect { case a: Alias => a.exprId.id -> a.child })
+    }.flatten.toMap
+    analyzed.collect {
+      case w: LogicalWindow
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(ps => isTimeBucket(expand(ps, aliases))) &&
+            !reducedBelow(w.child) =>
+        w
+    }.size
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = GraftSession.local(4)
@@ -18,12 +82,21 @@ object WindowAudit {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       System.err.println(s"[audit] building $name"); System.err.flush()
       val df = fn(spark, sfDir)
-      val n = df.queryExecution.executedPlan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
-      }.size
-      if (n > 0) { bad += 1; println(s"GLOBAL-WINDOW $name: $n empty-partition WindowExec node(s)") }
+
+      val nGlobal = globalWindows(df)
+      if (nGlobal > 0) {
+        bad += 1
+        println(s"GLOBAL-WINDOW $name: $nGlobal empty-partition WindowExec node(s)")
+      }
+
+      val nTimeBucket = timeBucketWindows(df)
+      if (nTimeBucket > 0) {
+        bad += 1
+        println(s"TIME-BUCKET-WINDOW $name: $nTimeBucket window(s) partitioned only " +
+          "by a time bucket over a raw frame (unsplittable per-bucket sort at scale)")
+      }
     }
-    println(s"== $bad queries with global windows ==")
+    println(s"== $bad queries with scale-hazard windows ==")
     spark.stop()
     if (bad > 0) sys.exit(1)
   }

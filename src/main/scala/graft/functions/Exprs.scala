@@ -6,8 +6,10 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -281,6 +283,98 @@ object Exprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Bounded top-k-smallest aggregate over a LONG column.
+    *
+    * The scale-safe replacement for `row_number() OVER (PARTITION BY g
+    * ORDER BY v) <= k`: a window sorts *every* row of the heaviest group
+    * in one unsplittable task, while this aggregate keeps at most k longs
+    * per group in a max-heap — map-side partials are k-bounded, the
+    * shuffle moves O(groups * k) values, and AQE can split freely.
+    * Mirrors the reference scheduler's daily-quota selection
+    * (scheduler/job_scheduler.py:96-106: ORDER BY job_id LIMIT n per day).
+    *
+    * Returns the k smallest values sorted ascending.
+    */
+  case class MinKLong(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Long]]
+      with UnaryLike[Expression] {
+    require(k > 0, "graft_min_k: k must be positive")
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_min_k needs BIGINT input, got ${child.dataType.catalogString}")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_min_k"
+
+    override def createAggregationBuffer(): java.util.PriorityQueue[java.lang.Long] =
+      new java.util.PriorityQueue[java.lang.Long](k + 1, java.util.Collections.reverseOrder())
+
+    override def update(
+        buf: java.util.PriorityQueue[java.lang.Long],
+        input: org.apache.spark.sql.catalyst.InternalRow): java.util.PriorityQueue[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val l = v.asInstanceOf[Long]
+        // reject early: heap head is the current kth-smallest
+        if (buf.size < k) buf.add(l)
+        else if (l < buf.peek()) { buf.poll(); buf.add(l) }
+      }
+      buf
+    }
+
+    override def merge(
+        buf: java.util.PriorityQueue[java.lang.Long],
+        other: java.util.PriorityQueue[java.lang.Long]): java.util.PriorityQueue[java.lang.Long] = {
+      val it = other.iterator()
+      while (it.hasNext) {
+        val l = it.next()
+        if (buf.size < k) buf.add(l)
+        else if (l < buf.peek()) { buf.poll(); buf.add(l) }
+      }
+      buf
+    }
+
+    override def eval(buf: java.util.PriorityQueue[java.lang.Long]): Any = {
+      val out = new Array[Long](buf.size)
+      var i = 0
+      val it = buf.iterator()
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(out)
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: java.util.PriorityQueue[java.lang.Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) bb.putLong(it.next())
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[java.lang.Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) { buf.add(bb.getLong); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): MinKLong =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): MinKLong =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): MinKLong =
+      copy(child = newChild)
+  }
+
   // Column-level API
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.column(DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -292,4 +386,7 @@ object Exprs {
     ColumnBridge.column(Shingles(ColumnBridge.expression(tokens), w))
   def hamming(a: Column, b: Column): Column =
     ColumnBridge.column(HammingStr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def minK(v: Column, k: Int): Column =
+    ColumnBridge.column(
+      MinKLong(ColumnBridge.expression(v), k).toAggregateExpression())
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Exprs
 import graft.sources.Tables
 
 /** Operators re-expressing the reference pipeline's relational semantics
@@ -309,20 +310,26 @@ object Reference {
       |FROM agged""".stripMargin
 
   /** A10: daily quota — the scheduler caps work at N/day
-    * (scheduler/job_scheduler.py:33, daily_quota). Per-day row_number ≤
-    * quota; rank-filter lets Spark push a WindowGroupLimit (top-n per
-    * group, no full per-day sort materialization).
+    * (scheduler/job_scheduler.py:33, daily_quota).
+    *
+    * Scale note: the obvious `row_number() OVER (PARTITION BY day ORDER
+    * BY event_id)` sorts *every* row of each day inside one window task
+    * (one day = one partition AQE cannot split — at 100 TB/day that's
+    * billions of rows in a single sort to keep ≤quota of them). Instead
+    * a bounded [[graft.functions.Exprs.MinKLong]] aggregate carries at
+    * most `quota` event_ids per day through a plain hash-agg: map-side
+    * partials are quota-bounded, no window, no per-day sort.
     */
   def dailyQuota(events: DataFrame, quota: Int = 5): DataFrame = {
     val day = to_date(date_trunc("day", col("ts")))
-    val w = Window.partitionBy(col("day")).orderBy(col("event_id"))
     events
-      .withColumn("day", day)
-      .withColumn("rn", row_number().over(w))
+      .select(day.as("day"), col("event_id"))
       .groupBy("day")
       .agg(
         count(lit(1)).as("total"),
-        sum(when(col("rn") <= quota, 1L).otherwise(0L)).as("kept"))
+        Exprs.minK(col("event_id"), quota).as("kept_ids"))
+      .select(col("day"), col("total"),
+        size(col("kept_ids")).cast("long").as("kept"))
   }
 
   val dailyQuotaSql: String =
@@ -332,6 +339,26 @@ object Reference {
       |SELECT day, count(*) AS total,
       |  CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS kept
       |FROM d GROUP BY day""".stripMargin
+
+  /** A10b: the quota'd rows themselves — which events each day actually
+    * admits (the scheduler's `ORDER BY job_id LIMIT n` batch,
+    * scheduler/job_scheduler.py:96-106, applied per day). Same bounded
+    * min-k aggregate, exploded back to rows: output ≤ quota × days.
+    */
+  def dailyQuotaRows(events: DataFrame, quota: Int = 5): DataFrame = {
+    val day = to_date(date_trunc("day", col("ts")))
+    events
+      .select(day.as("day"), col("event_id"))
+      .groupBy("day")
+      .agg(Exprs.minK(col("event_id"), quota).as("kept_ids"))
+      .select(col("day"), explode(col("kept_ids")).as("event_id"))
+  }
+
+  val dailyQuotaRowsSql: String =
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_id,
+      |  row_number() OVER (PARTITION BY CAST(date_trunc('day', ts) AS DATE) ORDER BY event_id) AS rn
+      |FROM events)
+      |SELECT day, event_id FROM d WHERE rn <= 5""".stripMargin
 
   /** A11: batch assignment — the analyzer chunks following lists into
     * fixed batches (interest_analyzer.py:168, batch_size=20). Partitioned
@@ -541,6 +568,7 @@ object Reference {
         Tables.nation(s, d), Tables.region(s, d))),
     "q_job_progress" -> ((s, d) => jobProgress(Tables.events(s, d))),
     "q_daily_quota" -> ((s, d) => dailyQuota(Tables.events(s, d))),
+    "q_daily_quota_rows" -> ((s, d) => dailyQuotaRows(Tables.events(s, d))),
     "q_batch_assign" -> ((s, d) => batchAssign(Tables.documents(s, d))),
     "q_interevent_gaps" -> ((s, d) => interEventGaps(Tables.events(s, d))),
     "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
@@ -561,6 +589,7 @@ object Reference {
     "q_category_rollup" -> categoryRollupSql,
     "q_job_progress" -> jobProgressSql,
     "q_daily_quota" -> dailyQuotaSql,
+    "q_daily_quota_rows" -> dailyQuotaRowsSql,
     "q_batch_assign" -> batchAssignSql,
     "q_interevent_gaps" -> interEventGapsSql,
     "q_sessionize" -> sessionizeSql,

@@ -67,6 +67,30 @@ class ExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("MinKLong == sorted-slice of collect_list (grouped, with nulls and small groups)") {
+    import spark.implicits._
+    // events grouped by user: compare the bounded aggregate against the
+    // unbounded sort+slice spec on the same grouping.
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"))
+    val fast = events.groupBy("user_id")
+      .agg(Exprs.minK(col("event_id"), 5).as("ks"))
+    val slow = events.groupBy("user_id")
+      .agg(slice(array_sort(collect_list(col("event_id"))), 1, 5).as("ks2"))
+    val diff = fast.join(slow, "user_id")
+      .filter(col("ks") =!= col("ks2")).count()
+    assert(diff == 0)
+
+    // Small-group edge: fewer rows than k → all rows, sorted; nulls skipped.
+    val tiny = Seq((1L, java.lang.Long.valueOf(9L)), (1L, java.lang.Long.valueOf(3L)),
+      (1L, null.asInstanceOf[java.lang.Long]), (2L, java.lang.Long.valueOf(7L)))
+      .toDF("g", "v")
+    val r = tiny.groupBy("g").agg(Exprs.minK(col("v"), 5).as("ks"))
+      .orderBy("g").collect()
+    assert(r(0).getSeq[Long](1) == Seq(3L, 9L))
+    assert(r(1).getSeq[Long](1) == Seq(7L))
+  }
+
   test("DotLong survives codegen in a realistic plan (join + filter)") {
     val q = Embeddings.quantized(Tables.embeddings(spark, sf)).limit(50)
     val a = q.select(col("vec_id").as("ia"), col("qv").as("qa"))

@@ -88,4 +88,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(bad.isEmpty, s"$q: global WindowExec found")
     }
   }
+
+  test("no query windows over a time bucket of a raw frame; detector catches the old shape") {
+    // Positive control: the pre-round-3 dailyQuota shape — row_number
+    // over (partition by day) on raw events — must trip the detector.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.events(spark, sf)
+    val oldShape = events
+      .withColumn("day", to_date(date_trunc("day", col("ts"))))
+      .withColumn("rn", row_number().over(Window.partitionBy("day").orderBy("event_id")))
+    assert(WindowAudit.timeBucketWindows(oldShape) == 1,
+      "detector missed the per-day window over raw events")
+
+    // A per-key window (sessionize shape) must NOT trip it.
+    val keyed = events
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id").orderBy("event_id")))
+    assert(WindowAudit.timeBucketWindows(keyed) == 0,
+      "detector false-positives on a high-cardinality key window")
+
+    // And the registered queries are all clean.
+    SparkEntry.queries.keys.foreach { q =>
+      val n = WindowAudit.timeBucketWindows(SparkEntry.queries(q)(spark, sf))
+      assert(n == 0, s"$q: $n time-bucket window(s) over a raw frame")
+    }
+  }
 }
