@@ -10,16 +10,19 @@ import org.apache.spark.sql.SparkSession
   * whole-stage-codegen compilation + parquet footer caching). Then per
   * query: `spark.catalog.clearCache()` drops every persisted frame, a
   * timed COLD run pays the full cost including signature/quantization
-  * materialization, and an immediately-following timed WARM run reuses
-  * the frames the cold run persisted (steady-state, long-running-job
-  * view). `value` (the headline) is the cold total; `queries` carries
-  * the cold per-query numbers, `queries_warm` the warm ones.
+  * materialization, and three timed WARM runs reuse the frames the cold
+  * run persisted; warm = median of the three (steady-state,
+  * long-running-job view, robust to one load spike).
   *
-  * Regression gate: per-query warm times are compared against the
-  * committed `bench_baseline.json` (prior round's warm numbers;
-  * overridable via SPARK_GRAFT_BASELINE) and any query slower than
-  * 1.5x its baseline is listed under `regressions` and echoed to
-  * stderr.
+  * Regression gate: compared against the committed `bench_baseline.json`
+  * (prior round's numbers; overridable via SPARK_GRAFT_BASELINE). Round-2
+  * taught that a warm-only gate cries wolf — the driver flagged 3
+  * regressions that a clean re-run reduced to zero (machine-load noise).
+  * A query is listed under `regressions` only when BOTH its warm (median)
+  * AND its cold run exceed 1.5x their baselines — a genuine code
+  * regression moves both; background load rarely hits the same query in
+  * all four samples. `loadavg` (1/5/15-min) is echoed into the JSON so a
+  * loaded box is visible in the artifact itself.
   */
 object Bench {
   private val RegressionFactor = 1.5
@@ -45,34 +48,49 @@ object Bench {
     val results = names.map { n =>
       spark.catalog.clearCache() // drop persisted frames -> honest cold run
       val cold = runOnce(n)
-      // warm = best of two: single-shot warm numbers on this box swing
-      // up to ~5x under unrelated load, which poisons the regression gate
-      val w1 = runOnce(n)
-      val w2 = runOnce(n)
-      val warm = if (w1 < 0 || w2 < 0) -1.0 else math.min(w1, w2)
+      val ws = Seq(runOnce(n), runOnce(n), runOnce(n))
+      val warm = if (ws.exists(_ < 0)) -1.0 else ws.sorted.apply(1) // median of 3
       (n, cold, warm)
     }
     spark.catalog.clearCache()
 
-    val prior: Map[String, Double] = {
-      val p = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench_baseline.json"))
-      if (!Files.exists(p)) Map.empty
+    // Baseline sections parsed separately: the file carries cold numbers
+    // under "queries" and warm under "queries_warm" with the same keys.
+    def section(txt: String, key: String): Map[String, Double] = {
+      val start = txt.indexOf("\"" + key + "\":{")
+      if (start < 0) Map.empty
       else {
-        val txt = Files.readString(p)
-        "\"([A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)".r
-          .findAllMatchIn(txt)
+        val body = txt.substring(start + key.length + 4, txt.indexOf('}', start))
+        "\"([A-Za-z0-9_]+)\":(-?[0-9]+\\.?[0-9Ee-]*)".r
+          .findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble)
-          .toMap.filter { case (k, _) => names.contains(k) }
+          .toMap
       }
     }
-    val regressions = results.flatMap { case (n, _, warm) =>
-      prior.get(n) match {
-        case Some(old) if old > 0 && warm > old * RegressionFactor =>
-          System.err.println(f"[bench] REGRESSION $n: warm $warm%.3fs vs r01 $old%.3fs (${warm / old}%.2fx)")
-          Some(n -> BigDecimal(warm / old).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val (priorCold, priorWarm) = {
+      val p = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench_baseline.json"))
+      if (!Files.exists(p)) (Map.empty[String, Double], Map.empty[String, Double])
+      else {
+        val txt = Files.readString(p)
+        (section(txt, "queries"), section(txt, "queries_warm"))
+      }
+    }
+    val regressions = results.flatMap { case (n, cold, warm) =>
+      (priorCold.get(n), priorWarm.get(n)) match {
+        case (Some(oc), Some(ow))
+            if oc > 0 && ow > 0 &&
+              cold > oc * RegressionFactor && warm > ow * RegressionFactor =>
+          System.err.println(
+            f"[bench] REGRESSION $n: warm $warm%.3fs vs $ow%.3fs (${warm / ow}%.2fx), " +
+              f"cold $cold%.3fs vs $oc%.3fs (${cold / oc}%.2fx)")
+          Some(n -> BigDecimal(warm / ow).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
         case _ => None
       }
     }
+
+    val loadavg =
+      try Files.readString(Paths.get("/proc/loadavg")).trim.split(" ").take(3).toSeq
+      catch { case _: Throwable => Seq("-1", "-1", "-1") }
 
     def obj(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -83,6 +101,7 @@ object Bench {
       s""","queries_warm":${obj(results.map(r => r._1 -> r._3))}""" +
       s""","total_warm":$totalWarm""" +
       s""","regressions":${obj(regressions)}""" +
+      s""","loadavg":[${loadavg.mkString(",")}]""" +
       s""","sf":"$sfDir"}""")
     spark.stop()
   }
