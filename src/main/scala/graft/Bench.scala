@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology: a first pass executes every query once (JIT +
   * whole-stage-codegen compilation + parquet footer caching). Then per
-  * query: `spark.catalog.clearCache()` drops every persisted frame, a
+  * query: `GraftCache.releaseAll` drops every graft-persisted frame, a
   * timed COLD run pays the full cost including signature/quantization
   * materialization, and three timed WARM runs reuse the frames the cold
   * run persisted; warm = median of the three (steady-state,
@@ -46,13 +46,13 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup: codegen + JIT + IO caches
     val results = names.map { n =>
-      spark.catalog.clearCache() // drop persisted frames -> honest cold run
+      GraftCache.releaseAll(spark) // drop graft-tracked frames -> honest cold run
       val cold = runOnce(n)
       val ws = Seq(runOnce(n), runOnce(n), runOnce(n))
       val warm = if (ws.exists(_ < 0)) -1.0 else ws.sorted.apply(1) // median of 3
       (n, cold, warm)
     }
-    spark.catalog.clearCache()
+    GraftCache.releaseAll(spark)
 
     // Baseline sections parsed separately: the file carries cold numbers
     // under "queries" and warm under "queries_warm" with the same keys.

@@ -1,0 +1,88 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.storage.StorageLevel
+
+/** Input-keyed registry for graft's operator-internal persists.
+  *
+  * Several operators materialize a narrow intermediate (MinHash
+  * signatures, quantized vectors, LSH buckets, follow edges) because
+  * multiple self-join branches would otherwise recompute the map-side
+  * work per branch. Spark's CacheManager already dedupes *storage* for
+  * equivalent plans, but nothing ever released those entries: a
+  * long-lived session embedding the operators accumulated orphaned
+  * cached lineages (round-1 and round-2 advice).
+  *
+  * This registry makes the lifecycle explicit:
+  *
+  *  - [[persistTracked]] keys the persist by (session, canonicalized
+  *    analyzed plan): the same operator over the same input reuses the
+  *    one registered frame — repeated calls never grow the cache set.
+  *  - [[releaseAll]] unpersists everything graft registered for a
+  *    session — unlike `spark.catalog.clearCache()` it cannot clobber
+  *    caches the *user* created. Call it when a batch of operator
+  *    queries is done (Bench and Verify do, between queries; a library
+  *    caller does at its own checkpoint boundaries).
+  *
+  * Operator-internal persists that are fully consumed inside one call
+  * (k-means training iterations) do NOT go through the registry — they
+  * unpersist themselves before returning.
+  */
+object GraftCache {
+
+  private val entries = new ConcurrentHashMap[(SparkSession, LogicalPlan), DataFrame]()
+
+  private def key(df: DataFrame): (SparkSession, LogicalPlan) =
+    (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+
+  /** Persist `df` (MEMORY_AND_DISK) and track it; if an equivalent frame
+    * is already tracked for this session, return the tracked one instead
+    * of re-registering.
+    */
+  def persistTracked(df: DataFrame): DataFrame = {
+    val k = key(df)
+    val prev = entries.putIfAbsent(k, df)
+    if (prev != null) prev
+    else {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+  }
+
+  /** Finished model artifacts (e.g. the 16-row k-means codebook): tiny
+    * local-relation DataFrames memoized by (session, key) so repeated
+    * query builds don't re-run training. No RDD storage is held — these
+    * are collected literals — but entries are dropped by [[releaseAll]]
+    * so a session reset also re-trains.
+    */
+  private val artifacts = new ConcurrentHashMap[(SparkSession, Any), DataFrame]()
+
+  def memoArtifact(spark: SparkSession, k: Any)(compute: => DataFrame): DataFrame =
+    artifacts.computeIfAbsent((spark, k), _ => compute)
+
+  /** Number of tracked entries for a session (test observability). */
+  def trackedCount(spark: SparkSession): Int = {
+    var n = 0
+    entries.forEach((k, _) => if (k._1 eq spark) n += 1)
+    n
+  }
+
+  /** Unpersist (blocking) and forget every frame tracked for `spark`;
+    * also drop its memoized artifacts.
+    */
+  def releaseAll(spark: SparkSession): Unit = {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        e.getValue.unpersist(blocking = true)
+        it.remove()
+      }
+    }
+    val ait = artifacts.keySet().iterator()
+    while (ait.hasNext) if (ait.next()._1 eq spark) ait.remove()
+  }
+}

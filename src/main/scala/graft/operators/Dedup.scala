@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.GraftCache
 import graft.functions.Exprs
 import graft.sources.Tables
 import TextOps.{shingles, shinglesSqlExpr}
@@ -41,8 +42,9 @@ object Dedup {
       Exprs.minhashSig(Exprs.shingles(toks, w), NumHashes).as("mh"))
       // signatures are ~300 B/doc (vs the full text) and are re-read by
       // every self-join branch — materialize once, exactly as a cluster
-      // job would checkpoint them before the bucket joins.
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // job would checkpoint them before the bucket joins. Tracked so
+      // repeated calls reuse one entry and GraftCache.releaseAll frees it.
+      .transform(GraftCache.persistTracked)
 
   /** Pure-builtin formulation of [[minhashSignature]] — semantically
     * identical (LlmOpsSpec cross-checks); kept as the executable spec.
@@ -132,7 +134,7 @@ object Dedup {
     */
   def dedupNgramJaccard(documents: DataFrame): DataFrame = {
     val sh = documents.select(col("doc_id"), Exprs.shingles(toks, 3).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(GraftCache.persistTracked)
     val cand = minhashCandidates(documents)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -176,7 +178,7 @@ object Dedup {
     documents.select(
       col("doc_id"),
       Exprs.simhash64(Exprs.shingles(toks, w)).as("sim"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(GraftCache.persistTracked)
 
   /** Pure-builtin formulation of [[simhash]] — semantically identical
     * (LlmOpsSpec cross-checks); ~1000x slower interpreted, kept as the

@@ -8,6 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.GraftCache
 import graft.functions.Exprs
 import graft.sources.Tables
 
@@ -74,8 +75,9 @@ object Embeddings {
       .withColumn("nrm", dot(col("qv"), col("qv")))
       // ~0.5 KB/vec; every bucket self-join branch re-reads it —
       // materialize once (the cluster equivalent: checkpoint quantized
-      // vectors before the ANN stage).
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // vectors before the ANN stage). Tracked: repeated calls reuse one
+      // entry; GraftCache.releaseAll frees it.
+      .transform(GraftCache.persistTracked)
 
   private def cosine(qa: Column, qb: Column, na: Column, nb: Column): Column =
     dot(qa, qb).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
@@ -137,13 +139,12 @@ object Embeddings {
     * a bucket self-join (and the probe filter) reuse one computation of
     * the 24 hyperplane dot products per vector instead of re-deriving
     * them per branch. ~25 bytes/row × NumTables — small at any corpus
-    * size that fits an LSH index. Spark's CacheManager keys on the
-    * analyzed plan, so repeated calls share one cached instance;
-    * Bench/Verify clearCache() between queries.
+    * size that fits an LSH index. Tracked in [[graft.GraftCache]]:
+    * repeated calls share one cached instance; releaseAll frees it.
     */
   def lshBucketsNarrow(q: DataFrame): DataFrame =
     lshBuckets(q).select("vec_id", "t", "bucket")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(GraftCache.persistTracked)
 
   val bucketsSqlCtes: String =
     s"""q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
@@ -340,18 +341,32 @@ object Embeddings {
     * Spark and DuckDB). Empty clusters keep their previous centroid.
     * Each iteration is one corpus pass: broadcast the 16 centroids,
     * argmin per vector, then a (c_id, component)-keyed partial-agg mean
-    * — the standard distributed k-means shape (MLlib does the same with
-    * a driver-side collect; here the 16-row codebook stays a DataFrame,
-    * persisted per iteration so lineage doesn't re-derive earlier
-    * rounds).
+    * — the standard distributed k-means shape.
+    *
+    * Cache lifecycle: the training frame and each iteration's centroid
+    * frame are persisted only for the duration of training — each
+    * iteration materializes eagerly (a corpus pass happens exactly once
+    * per iteration either way), the previous iteration's frame is
+    * unpersisted as soon as the next exists, and the finished 16-row
+    * codebook is collected and returned as a local relation (the model-
+    * artifact pattern: downstream plans embed the codebook as literals,
+    * exactly like MLlib's driver-side centroids), so nothing this
+    * function persisted outlives the call.
     */
   def kmeansCodebook(q: DataFrame, iters: Int = KmeansIters,
-                     trainMod: Long = 1L): DataFrame = {
+                     trainMod: Long = 1L): DataFrame =
+    GraftCache.memoArtifact(q.sparkSession,
+      ("kmeansCodebook", q.queryExecution.analyzed.canonicalized, iters, trainMod)) {
+      trainCodebook(q, iters, trainMod)
+    }
+
+  private def trainCodebook(q: DataFrame, iters: Int, trainMod: Long): DataFrame = {
     val train = q.filter(col("vec_id") % trainMod === 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cent = q.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("c_id"), col("qv").as("cqv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    cent.count() // materialize before the loop so unpersist order is safe
     for (_ <- 1 to iters) {
       val c = cent.withColumn("cnrm", dot(col("cqv"), col("cqv")))
       // argmin as a min_by hash aggregate (tie-break on centroid id) —
@@ -369,11 +384,20 @@ object Embeddings {
         .groupBy("c_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("new_cqv"))
-      cent = cent.join(means, Seq("c_id"), "left")
+      val next = cent.join(means, Seq("c_id"), "left")
         .select(col("c_id"), coalesce(col("new_cqv"), col("cqv")).as("cqv"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // one corpus pass, same total work as lazy chaining
+      cent.unpersist(blocking = true)
+      cent = next
     }
-    cent.withColumn("cnrm", dot(col("cqv"), col("cqv")))
+    val codebook = cent.withColumn("cnrm", dot(col("cqv"), col("cqv")))
+    val rows = codebook.collect()
+    val schema = codebook.schema
+    train.unpersist(blocking = true)
+    cent.unpersist(blocking = true)
+    q.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Vector→centroid assignment against a given codebook. Distance is

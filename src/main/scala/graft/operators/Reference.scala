@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.GraftCache
 import graft.functions.Exprs
 import graft.sources.Tables
 
@@ -48,11 +49,11 @@ object Reference {
     * relation 2–3 times; materializing the narrow distinct (src, dst)
     * projection once replaces per-branch rescans of the event log — the
     * cluster equivalent is checkpointing the edge table before graph
-    * queries. CacheManager keys on the analyzed plan, so branches share
-    * one instance; Verify/Bench clearCache between queries.
+    * queries. Tracked in [[graft.GraftCache]]: branches and repeated
+    * calls share one instance; releaseAll frees it.
     */
   def followEdgesCached(events: DataFrame): DataFrame =
-    followEdges(events).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    GraftCache.persistTracked(followEdges(events))
 
   val edgesSql: String =
     """SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) % 20 AS dst

@@ -49,7 +49,7 @@ object Ingest {
     * handled here so callers can't hit AnalysisException.
     */
   def quarantine(parsed: DataFrame): (DataFrame, DataFrame) = {
-    val cached = parsed.cache()
+    val cached = graft.GraftCache.persistTracked(parsed)
     val clean = cached.filter(col(CorruptCol).isNull).drop(CorruptCol)
     val bad = cached.filter(col(CorruptCol).isNotNull).select(col(CorruptCol))
     (clean, bad)

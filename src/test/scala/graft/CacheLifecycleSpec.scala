@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Embeddings
+import graft.sources.Tables
+
+/** Cache lifecycle: a long-lived session embedding graft operators must
+  * not accumulate orphaned cached lineages (round-1 and round-2 advice).
+  * Two properties:
+  *
+  *  - operator persists are input-keyed — re-running an operator reuses
+  *    the one tracked entry instead of registering another;
+  *  - [[GraftCache.releaseAll]] returns the session to zero persisted
+  *    RDDs, including after operators (k-means) that persist internal
+  *    frames — those must self-clean without the registry.
+  */
+class CacheLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("three operator queries back-to-back, then releaseAll leaves zero persisted RDDs") {
+    GraftCache.releaseAll(spark)
+    for (q <- Seq("q_dedup_minhash_lsh", "q_ann_lsh", "q_mutual_edges")) {
+      SparkEntry.queries(q)(spark, sf).count()
+    }
+    assert(GraftCache.trackedCount(spark) > 0, "operators should have tracked persists")
+
+    // Re-running the same queries must not grow the tracked set (input-keyed reuse).
+    val before = GraftCache.trackedCount(spark)
+    for (q <- Seq("q_dedup_minhash_lsh", "q_ann_lsh", "q_mutual_edges")) {
+      SparkEntry.queries(q)(spark, sf).count()
+    }
+    assert(GraftCache.trackedCount(spark) == before,
+      s"tracked set grew on re-run: $before -> ${GraftCache.trackedCount(spark)}")
+
+    GraftCache.releaseAll(spark)
+    assert(GraftCache.trackedCount(spark) == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"persisted RDDs remain: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
+  test("k-means training cleans up its internal persists without the registry") {
+    GraftCache.releaseAll(spark)
+    val q = Embeddings.quantized(Tables.embeddings(spark, sf))
+    val codebook = Embeddings.kmeansCodebook(q)
+    assert(codebook.count() == Embeddings.NumCentroids)
+    // Only the tracked `quantized` entry may remain; the training frame
+    // and per-iteration centroid frames must be gone already.
+    GraftCache.releaseAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"k-means leaked persists: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+}
