@@ -165,23 +165,58 @@ object Embeddings {
        |  FROM bits GROUP BY vec_id, t
        |)""".stripMargin
 
+  /** All NumTables×BitsPerTable sign bits packed into one long: bit
+    * (t·4+j) = sign of hyperplane t·4+j. The whole LSH signature is 24
+    * bits — (vec_id, packed) is a 16-byte row, the narrowest possible
+    * self-join relation, and nibble t of `packed` IS table t's bucket.
+    */
+  def lshPacked(q: DataFrame): DataFrame = {
+    val bits = (0 until NumTables * BitsPerTable).map { i =>
+      val hp = typedLit(hyperplane(i))
+      when(dot(col("qv"), hp) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    q.select(col("vec_id"), bits.reduce(_ + _).as("packed"))
+      .transform(GraftCache.persistTracked)
+  }
+
+  private def nibble(x: Column, t: Int): Column =
+    shiftright(x, 4 * t).bitwiseAND(lit(15L))
+
   /** C5: cosine near-dup pairs — same LSH bucket in any table, verified
     * cosine ≥ threshold. The bucket join replaces the O(n²) cross
     * product; the verify step touches only candidates.
+    *
+    * Cross-table dedup is a map-side filter, not a shuffle: a pair
+    * colliding in several tables is emitted only from its FIRST
+    * colliding table. With both packed signatures on the joined row,
+    * "first collision at t" is pure bit math — nibble t' of
+    * (packed_a XOR packed_b) is zero exactly when the pair collides in
+    * table t' — so the post-join filter keeps one row per pair and the
+    * old `distinct` (a full extra shuffle of the raw collision pairs,
+    * the dominant cost at sf0.1 and the non-linear term at 100 TB)
+    * disappears. Each survivor's cosine is computed exactly once, after
+    * joining the vectors back from the persisted quantized frame.
     */
   def nearDupCosine(embeddings: DataFrame): DataFrame = {
     val q = quantized(embeddings)
-    // Bucket self-join on the NARROW (vec_id, t, bucket) projection — the
-    // ~0.5 KB qv arrays never enter this shuffle. A pair colliding in
-    // several tables is deduped BEFORE scoring, so each survivor's cosine
-    // is computed exactly once, after joining the vectors back from the
-    // persisted quantized frame. (Same shape as the oracle SQL.)
-    val b = lshBucketsNarrow(q)
-    val cand = b.as("b1")
-      .join(b.as("b2"), col("b1.t") === col("b2.t") && col("b1.bucket") === col("b2.bucket"))
-      .filter(col("b1.vec_id") < col("b2.vec_id"))
-      .select(col("b1.vec_id").as("vec_a"), col("b2.vec_id").as("vec_b"))
-      .distinct()
+    val p = lshPacked(q)
+    val tb = (0 until NumTables).map { t =>
+      struct(lit(t).as("t"), nibble(col("packed"), t).as("bkt"))
+    }
+    val b = p.select(col("vec_id"), col("packed"), explode(array(tb: _*)).as("tb"))
+      .select(col("vec_id"), col("packed"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val x = col("pa").bitwiseXOR(col("pb"))
+    val firstCollidingTable = (NumTables - 1 to 0 by -1)
+      .foldLeft(lit(-1): Column) { (acc, t) =>
+        when(nibble(x, t) === 0, lit(t)).otherwise(acc)
+      }
+    val cand = b.select(col("vec_id").as("vec_a"), col("packed").as("pa"),
+        col("t"), col("bkt"))
+      .join(b.select(col("vec_id").as("vec_b"), col("packed").as("pb"),
+        col("t"), col("bkt")), Seq("t", "bkt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(col("t") === firstCollidingTable)
+      .select(col("vec_a"), col("vec_b"))
     cand
       .join(q.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na")), "vec_a")
       .join(q.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb")), "vec_b")
