@@ -43,6 +43,22 @@ object Smoke {
     println(s"[smoke] media features: $n rows, sample=${feats.head()}")
     require(n == 500, s"expected 500 media rows, got $n")
 
+    // 2b. real audio decode kernel (JDK javax.sound WAV path)
+    val wavFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = Array.tabulate(16000)(i => if (i % 2 == 0) 0x40.toByte else 0x3f.toByte)
+    val wavBos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), wavFmt, 8000L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavBos)
+    val audioOut = Multimodal.extractAudioFeatures(
+      Seq((1L, wavBos.toByteArray), (2L, Array[Byte](1, 2, 3))).toDF("media_id", "payload"))
+      .orderBy("media_id").collect()
+    println(s"[smoke] audio decode: ${audioOut.mkString("; ")}")
+    require(audioOut(0).getBoolean(1) && audioOut(0).getInt(2) == 8000 &&
+      math.abs(audioOut(0).getDouble(5) - 1.0) < 1e-9, "1s 8kHz wav should decode")
+    require(!audioOut(1).getBoolean(1), "garbage bytes should quarantine in-band")
+
     // 3. facade mutual followers
     val followers = Seq((1L, 2L), (2L, 1L)).toDF("user_id", "other_id")
     val following = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("user_id", "other_id")

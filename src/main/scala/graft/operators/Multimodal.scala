@@ -18,12 +18,15 @@ import org.apache.spark.sql.types._
   * decode PNG/JPEG/GIF/BMP payloads with the JDK's built-in ImageIO
   * codecs (pure JVM, nothing external) into dimensions + a luma
   * histogram, quarantining undecodable bytes in-band (`decode_ok`)
-  * instead of failing the job. The audio/video kernel remains a
-  * clearly-marked STUB (no such codecs in the JDK): a deterministic
+  * instead of failing the job. The AUDIO path is real too:
+  * [[decodeAudio]]/[[extractAudioFeatures]] decode WAV/AIFF/AU PCM with
+  * the JDK's `javax.sound.sampled` codecs into rate/channels/duration +
+  * per-channel RMS, same quarantine. Only the VIDEO kernel remains a
+  * clearly-marked STUB (no video codec in the JDK): a deterministic
   * byte-histogram stands in for the decode + feature model. Everything
-  * around both — schema, batch shape, partition preservation, metadata
-  * propagation — is the real Spark-side contract a production decode
-  * plugs into.
+  * around all three — schema, batch shape, partition preservation,
+  * metadata propagation — is the real Spark-side contract a production
+  * decode plugs into.
   *
   * Scale: mapPartitions keeps the decode embarrassingly parallel with
   * zero shuffle; batches amortize per-call overhead exactly like Arrow
@@ -52,9 +55,10 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
-  /** STUB decode kernel ??? — a real implementation would decode the
-    * media bytes (libjpeg / ffmpeg / soundfile) and run a feature
-    * model. This deterministic byte-histogram keeps the batch contract
+  /** STUB decode kernel ??? — stands in for the VIDEO decode + feature
+    * model (a real implementation would use ffmpeg-class codecs the JDK
+    * does not ship; images and audio have real JDK-codec paths below).
+    * This deterministic byte-histogram keeps the batch contract
     * testable: same payload → same features, FeatureDim floats, L1-
     * normalized.
     */
@@ -180,6 +184,112 @@ object Multimodal {
                 Row(r.getLong(0), true, w, h, mean, hist.toSeq)
               case None =>
                 Row(r.getLong(0), false, null, null, null, null)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  // ---------------- real audio decode (pure-JVM javax.sound) ----------------
+
+  /** Decode cost bound: at most this many frames are read per payload —
+    * a pathological multi-hour WAV costs the same as a clip. (Duration
+    * and frame count still report the full header-declared length.)
+    */
+  val MaxAudioFrames = 1 << 22
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("duration_s", DoubleType, nullable = true),
+    StructField("rms", ArrayType(DoubleType, containsNull = false), nullable = true)))
+
+  /** Real audio decode: JDK `javax.sound.sampled` (WAV/AIFF/AU PCM
+    * codecs ship with the JVM — the audio twin of the ImageIO path).
+    * Returns (sample rate, channels, frame count, duration seconds,
+    * per-channel RMS of the [-1,1]-normalized signal) or None for bytes
+    * no installed codec accepts. Supports signed 16-bit and signed/
+    * unsigned 8-bit PCM, either endianness — the formats the JDK WAV
+    * reader actually emits.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Double, Array[Double])] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        val rate = fmt.getSampleRate
+        if ((!signed && !unsigned) || (bits != 8 && bits != 16) || ch <= 0 ||
+          rate <= 0 || fmt.getFrameSize != ch * (bits / 8)) return None
+        val declaredFrames = ais.getFrameLength
+        val frameSize = fmt.getFrameSize
+        val toRead = math.min(
+          if (declaredFrames >= 0) declaredFrames else Long.MaxValue,
+          MaxAudioFrames.toLong)
+        val sumSq = new Array[Double](ch)
+        var frames = 0L
+        val buf = new Array[Byte](frameSize * 1024)
+        var done = false
+        while (!done && frames < toRead) {
+          val n = ais.read(buf)
+          if (n <= 0) done = true
+          else {
+            var off = 0
+            while (off + frameSize <= n && frames < toRead) {
+              var c = 0
+              while (c < ch) {
+                val base = off + c * (bits / 8)
+                val v: Double =
+                  if (bits == 16) {
+                    val lo = buf(base) & 0xff
+                    val hi = buf(base + 1) & 0xff
+                    val s = if (fmt.isBigEndian) (buf(base) << 8) | (buf(base + 1) & 0xff)
+                            else (buf(base + 1) << 8) | lo
+                    s.toShort / 32768.0
+                  } else if (signed) buf(base) / 128.0
+                  else ((buf(base) & 0xff) - 128) / 128.0
+                sumSq(c) += v * v
+                c += 1
+              }
+              off += frameSize
+              frames += 1
+            }
+          }
+        }
+        if (frames == 0) return None
+        val rms = sumSq.map(s => math.sqrt(s / frames))
+        val totalFrames = if (declaredFrames >= 0) declaredFrames else frames
+        Some((rate.toInt, ch, totalFrames, totalFrames / rate.toDouble, rms))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Batched REAL audio feature extraction: same mapPartitions /
+    * fixed-batch contract as [[extractImageFeatures]], undecodable
+    * payloads quarantined in-band (`decode_ok = false`).
+    */
+  def extractAudioFeatures(media: DataFrame,
+                           batchSize: Int = DefaultBatchSize): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioFeatureSchema)
+    media
+      .select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            decodeAudio(if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)) match {
+              case Some((rate, ch, frames, dur, rms)) =>
+                Row(r.getLong(0), true, rate, ch, frames, dur, rms.toSeq)
+              case None =>
+                Row(r.getLong(0), false, null, null, null, null, null)
             }
           }
         }

@@ -101,6 +101,70 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(collectFeats(7) == collectFeats(64), "features must not depend on batch size")
   }
 
+  /** Deterministic real WAV: 16-bit signed little-endian PCM, `ch`
+    * channels; channel c is a constant-amplitude square wave at
+    * amplitude (c+1)/4 of full scale (RMS of a square wave = its
+    * amplitude, making the expected per-channel RMS exact).
+    */
+  private def wavBytes(rate: Int, ch: Int, nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, ch, true, false)
+    val pcm = new Array[Byte](nFrames * ch * 2)
+    for (f <- 0 until nFrames; c <- 0 until ch) {
+      val amp = ((c + 1) * 32768 / 4 - 1).toShort
+      val v: Short = if (f % 2 == 0) amp else (-amp).toShort
+      val base = (f * ch + c) * 2
+      pcm(base) = (v & 0xff).toByte
+      pcm(base + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("REAL audio decode: JDK javax.sound extracts rate, duration, per-channel RMS") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, wavBytes(44100, 2, 4410)),
+      (2L, wavBytes(8000, 1, 8000)),
+      (3L, "definitely not audio".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val df = rows.toDF("media_id", "payload")
+    val out = Multimodal.extractAudioFeatures(df).orderBy("media_id").collect()
+    assert(out.length == 4)
+    // stereo 44.1k clip: exact rate/channels/frames, duration = n/rate
+    assert(out(0).getBoolean(1))
+    assert(out(0).getInt(2) == 44100 && out(0).getInt(3) == 2)
+    assert(out(0).getLong(4) == 4410L)
+    assert(math.abs(out(0).getDouble(5) - 0.1) < 1e-9)
+    // square-wave RMS == amplitude: ch0 ~ 0.25, ch1 ~ 0.5 of full scale
+    val rms = out(0).getSeq[Double](6)
+    assert(rms.length == 2)
+    assert(math.abs(rms(0) - 0.25) < 1e-3, s"ch0 rms ${rms(0)}")
+    assert(math.abs(rms(1) - 0.5) < 1e-3, s"ch1 rms ${rms(1)}")
+    // mono 8k clip: one full second
+    assert(out(1).getBoolean(1) && out(1).getInt(2) == 8000 &&
+      out(1).getInt(3) == 1 && math.abs(out(1).getDouble(5) - 1.0) < 1e-9)
+    // garbage and null payloads quarantined in-band, not thrown
+    assert(!out(2).getBoolean(1) && out(2).isNullAt(2))
+    assert(!out(3).getBoolean(1))
+  }
+
+  test("REAL audio decode is deterministic and batch-shape independent") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 30L).map(i => (i, wavBytes(8000, 1 + (i % 2).toInt, 100 + i.toInt)))
+      .toDF("media_id", "payload")
+    def collectFeats(bs: Int) =
+      Multimodal.extractAudioFeatures(df, batchSize = bs)
+        .orderBy("media_id").collect()
+        .map(r => (r.getLong(0), r.getInt(3), r.getLong(4), r.getSeq[Double](6))).toSeq
+    assert(collectFeats(7) == collectFeats(64), "features must not depend on batch size")
+  }
+
   test("frame sampling keeps every k-th frame of video payloads") {
     val s = Multimodal.sampleFrames(media, frameBytes = 32, everyK = 4)
     val row = s.join(media.select(col("media_id"), col("n_bytes")), "media_id")
