@@ -256,6 +256,119 @@ object Reference {
        |FROM agged""".stripMargin
   }
 
+  /** The reference's actual 2-level interest taxonomy
+    * (interest_analyzer.py:41-61 main categories, :81-98 subcategories):
+    * (category, parent) with parent = None for the 18 mains. A fixed
+    * ~27-row dim — always broadcast, like region/nation.
+    */
+  val taxonomy: Seq[(String, Option[String])] = Seq(
+    "Fashion" -> None, "Technology" -> None, "Sports" -> None,
+    "Fitness" -> None, "Food" -> None, "Travel" -> None, "Art" -> None,
+    "Music" -> None, "Photography" -> None, "Beauty" -> None,
+    "Gaming" -> None, "Business" -> None, "Entertainment" -> None,
+    "Education" -> None, "Science" -> None, "Politics" -> None,
+    "Lifestyle" -> None, "Humor" -> None,
+    "Streetwear" -> Some("Fashion"),
+    "Luxury Fashion" -> Some("Fashion"),
+    "Sustainable Fashion" -> Some("Fashion"),
+    "Mobile Tech" -> Some("Technology"),
+    "AI & Machine Learning" -> Some("Technology"),
+    "Programming" -> Some("Technology"),
+    "Football" -> Some("Sports"),
+    "Basketball" -> Some("Sports"),
+    "Formula 1" -> Some("Sports"))
+
+  /** Taxonomy as a (category, parent_category) dim table. */
+  def taxonomyDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    taxonomy.map { case (c, p) => (c, p.orNull) }.toDF("category", "parent_category")
+  }
+
+  /** A7b: parent-category rollup — _store_interest_results keeps one
+    * (user, category) row with the max confidence; this rolls those
+    * child-level interests up the taxonomy: per (user, parent) keep the
+    * strongest child (argmax by confidence, name tie-break). A category
+    * with no taxonomy row (or a main category) is its own parent, so the
+    * rollup is total. The dim joins broadcast (27 rows); the argmax is a
+    * max_by hash aggregate — partial-agg friendly, no window.
+    */
+  def interestParentRollup(interests: DataFrame, taxonomy: DataFrame): DataFrame =
+    interests
+      .join(broadcast(taxonomy), Seq("category"), "left")
+      .withColumn("parent", coalesce(col("parent_category"), col("category")))
+      .groupBy("user_id", "parent")
+      .agg(
+        max_by(col("category"), struct(col("confidence"), col("category"))).as("top_category"),
+        max(col("confidence")).as("top_confidence"),
+        count(lit(1)).as("n_interests"))
+      .select(col("user_id"), col("parent").as("parent_category"),
+        col("top_category"), col("top_confidence"), col("n_interests"))
+
+  /** Deterministic per-user interests over the REAL taxonomy names,
+    * derived from events: each (user, event) votes for a category by
+    * event_id, confidence from the id too; one row per (user, category)
+    * with the max confidence (exactly _store_interest_results'
+    * keep-best upsert). Nine subcategories + three mains, so the rollup
+    * exercises both the child→parent path and the self-parent path.
+    */
+  val interestVoteCategories: Seq[String] = Seq(
+    "Streetwear", "Luxury Fashion", "Sustainable Fashion",
+    "Mobile Tech", "AI & Machine Learning", "Programming",
+    "Football", "Basketball", "Formula 1",
+    "Music", "Lifestyle", "Humor")
+
+  def syntheticInterests(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("user_id"),
+        element_at(
+          typedLit(interestVoteCategories),
+          (pmod(col("event_id"), lit(12)) + 1).cast("int")).as("category"),
+        round(pmod(col("event_id"), lit(100)).cast("double") / 100.0, 2).as("confidence"))
+      .groupBy("user_id", "category")
+      .agg(max(col("confidence")).as("confidence"))
+
+  def interestParentRollupQuery(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    interestParentRollup(syntheticInterests(events), taxonomyDim(spark))
+  }
+
+  val interestParentRollupSql: String = {
+    val cats = interestVoteCategories.map(c => s"'$c'").mkString(", ")
+    val taxRows = taxonomy.map {
+      case (c, Some(p)) => s"('$c', '$p')"
+      case (c, None)    => s"('$c', NULL)"
+    }.mkString(", ")
+    s"""WITH tax(category, parent_category) AS (VALUES $taxRows),
+       |votes AS (
+       |  SELECT user_id, ([$cats])[CAST(event_id % 12 AS INT) + 1] AS category,
+       |    round(CAST(event_id % 100 AS DOUBLE) / 100.0, 2) AS confidence
+       |  FROM events
+       |),
+       |interests AS (
+       |  SELECT user_id, category, max(confidence) AS confidence
+       |  FROM votes GROUP BY user_id, category
+       |),
+       |joined AS (
+       |  SELECT i.user_id, i.category, i.confidence,
+       |    coalesce(t.parent_category, i.category) AS parent
+       |  FROM interests i LEFT JOIN tax t ON i.category = t.category
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, parent
+       |    ORDER BY confidence DESC, category DESC) AS rn
+       |  FROM joined
+       |)
+       |SELECT r.user_id, r.parent AS parent_category, r.category AS top_category,
+       |  m.top_confidence, m.n_interests
+       |FROM ranked r JOIN (
+       |  SELECT user_id, parent, max(confidence) AS top_confidence,
+       |    count(*) AS n_interests
+       |  FROM joined GROUP BY user_id, parent) m
+       |ON r.user_id = m.user_id AND r.parent = m.parent
+       |WHERE r.rn = 1""".stripMargin
+  }
+
   /** A8: category hierarchy rollup — the reference's parent/child interest
     * taxonomy (interest_analyzer.py:40-115) re-expressed as the
     * nation→region rollup: small dims broadcast, fact side aggregated
@@ -564,6 +677,7 @@ object Reference {
     "q_pending_users_antijoin" -> ((s, d) =>
       pendingUsersAntiJoin(Tables.customer(s, d), Tables.orders(s, d))),
     "q_interest_categorize" -> ((s, d) => interestCategorize(Tables.documents(s, d))),
+    "q_interest_parent_rollup" -> ((s, d) => interestParentRollupQuery(Tables.events(s, d))),
     "q_category_rollup" -> ((s, d) =>
       categoryRollup(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Tables.region(s, d))),
@@ -587,6 +701,7 @@ object Reference {
     "q_recent_window_dedup" -> recentWindowDedupSql,
     "q_pending_users_antijoin" -> pendingUsersAntiJoinSql,
     "q_interest_categorize" -> interestCategorizeSql,
+    "q_interest_parent_rollup" -> interestParentRollupSql,
     "q_category_rollup" -> categoryRollupSql,
     "q_job_progress" -> jobProgressSql,
     "q_daily_quota" -> dailyQuotaSql,

@@ -103,6 +103,22 @@ object GraftPipeline {
         avg(col("confidence")).as("confidence"))
   }
 
+  /** analyze_user_interests + the taxonomy parent rollup: per-user
+    * child-level interests from [[analyzeUserInterests]], rolled up to
+    * the reference's parent categories (interest_analyzer.py:40-115 —
+    * the parent link inserted at :101-108) via
+    * [[Reference.interestParentRollup]]. `taxonomy` defaults to the
+    * reference's own 2-level category set; a child category absent from
+    * it rolls up to itself.
+    */
+  def analyzeUserInterestsByParent(following: DataFrame, accountDocs: DataFrame,
+                                   taxonomy: Option[DataFrame] = None): DataFrame = {
+    val interests = analyzeUserInterests(following, accountDocs)
+      .select(col("user_id"), col("category"), col("confidence"))
+    val tax = taxonomy.getOrElse(Reference.taxonomyDim(following.sparkSession))
+    Reference.interestParentRollup(interests, tax)
+  }
+
   /** Job status transitions — the reference mutates `scrape_jobs` rows in
     * place (`UPDATE … SET status = 'completed'/'failed', error_message…
     * WHERE job_id`, instagram_scraper.py:400-408, job_scheduler.py:139-148).

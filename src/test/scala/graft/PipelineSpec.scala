@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.operators.Reference
 import graft.pipeline.GraftPipeline
 
 /** End-to-end facade tests on small fixtures with known answers,
@@ -187,5 +188,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, "performance", 1L), (1L, "query_exec", 1L), (2L, "performance", 1L)))
     assert(out.forall(r => r.getDouble(3) > 0 && r.getDouble(3) <= 1))
+  }
+
+  test("interest parent rollup follows the reference taxonomy") {
+    val s = spark
+    import s.implicits._
+    // Child-level interests across the REAL reference taxonomy: two
+    // Fashion subcategories (argmax must keep Streetwear), one Technology
+    // subcategory, one main category (its own parent), one category
+    // outside the taxonomy (rolls up to itself).
+    val interests = Seq(
+      (1L, "Streetwear", 0.9), (1L, "Luxury Fashion", 0.5),
+      (1L, "Programming", 0.7), (1L, "Music", 0.6),
+      (2L, "Basketball", 0.8), (2L, "Crochet", 0.4))
+      .toDF("user_id", "category", "confidence")
+    val out = Reference.interestParentRollup(interests, Reference.taxonomyDim(spark))
+      .orderBy("user_id", "parent_category").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "Fashion", "Streetwear", 0.9, 2L),
+      (1L, "Music", "Music", 0.6, 1L),
+      (1L, "Technology", "Programming", 0.7, 1L),
+      (2L, "Crochet", "Crochet", 0.4, 1L),
+      (2L, "Sports", "Basketball", 0.8, 1L)))
+
+    // Facade wiring: analyzeUserInterestsByParent runs the keyword
+    // classifier then rolls up (toy categories self-parent).
+    val following = Seq((1L, 10L)).toDF("user_id", "other_id")
+    val docs = Seq((10L, "fast fast vector")).toDF("doc_id", "text")
+    val rolled = GraftPipeline.analyzeUserInterestsByParent(following, docs).collect()
+    assert(rolled.length == 1 && rolled.head.getString(1) == "performance")
   }
 }
