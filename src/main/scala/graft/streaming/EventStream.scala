@@ -22,7 +22,8 @@ object EventStream {
 
   case class SessionState(sessionId: Long, lastTsUs: Long, startTsUs: Long, nEvents: Long)
 
-  case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_us: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_us: Long,
+                        start_us: Long)
 
   /** Event time in exact microseconds from the timestamp's FULL
     * precision — `getTime` alone is millisecond-truncated, which would
@@ -77,7 +78,7 @@ object EventStream {
       val st = state.get
       state.remove()
       return Iterator.single(
-        SessionOut(userId, st.sessionId, st.nEvents, st.lastTsUs - st.startTsUs))
+        SessionOut(userId, st.sessionId, st.nEvents, st.lastTsUs - st.startTsUs, st.startTsUs))
     }
     val sorted = batch.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
     var st = state.getOption.orNull
@@ -87,7 +88,7 @@ object EventStream {
       if (st == null) {
         st = SessionState(1L, tUs, tUs, 1L)
       } else if (tUs - st.lastTsUs > gapUs) {
-        out += SessionOut(userId, st.sessionId, st.nEvents, st.lastTsUs - st.startTsUs)
+        out += SessionOut(userId, st.sessionId, st.nEvents, st.lastTsUs - st.startTsUs, st.startTsUs)
         st = SessionState(st.sessionId + 1, tUs, tUs, 1L)
       } else {
         st = st.copy(lastTsUs = tUs, nEvents = st.nEvents + 1)
@@ -97,7 +98,7 @@ object EventStream {
       val timeoutMs = st.lastTsUs / 1000 + gapUs / 1000 + 1
       if (timeouts && timeoutMs <= state.getCurrentWatermarkMs()) {
         // the gap already elapsed in event time — close immediately
-        out += SessionOut(userId, st.sessionId, st.nEvents, st.lastTsUs - st.startTsUs)
+        out += SessionOut(userId, st.sessionId, st.nEvents, st.lastTsUs - st.startTsUs, st.startTsUs)
         state.remove()
       } else {
         state.update(st)
@@ -125,6 +126,12 @@ object EventStream {
     * watermark passes a user's last event + gap, the open session is
     * emitted as closed and the per-user state REMOVED — idle users cost
     * nothing and sessions close without needing a next event.
+    *
+    * Session identity: `session_id` is a per-state-lifetime ordinal — it
+    * restarts at 1 after a timeout evicts the user's state (the counter
+    * lives in the state, and keeping a tombstone to preserve it would
+    * unbound state again). `start_us` is the stable session identity
+    * across eviction; (user_id, start_us) is globally unique.
     */
   def sessionizeStreamWatermarked(events: Dataset[Event],
                                   gapUs: Long = 30L * 60 * 1000000,
@@ -143,7 +150,7 @@ object EventStream {
     * streaming run, or end-of-day close in tests).
     */
   def closeOpenSession(st: SessionState, userId: Long): SessionOut =
-    SessionOut(userId, st.sessionId, st.nEvents, st.lastTsUs - st.startTsUs)
+    SessionOut(userId, st.sessionId, st.nEvents, st.lastTsUs - st.startTsUs, st.startTsUs)
 
   /** Streaming ANN: a stream of query vectors scored against a STATIC
     * LSH-bucketed corpus (stream-static equi-join on (table, bucket) —

@@ -220,6 +220,87 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"duration should keep µs precision, got ${closed.head.duration_us}")
   }
 
+  test("EQUIVALENCE: real sf0.001 events through the watermarked stream == batch sessionize, row for row") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // Real testdata (1000 events, 15 users), fed in event-time order in
+    // four micro-batches — per-user ts order equals event_id order in
+    // this table, so the stream's (ts, event_id) processing order and
+    // the batch operator's event_id order define the same sessions.
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (EventStream.tsMicros(e.ts), e.event_id))
+    val maxUs = EventStream.tsMicros(events.last.ts)
+    def tsUs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000); t.setNanos(((us % 1000000L) * 1000L).toInt); t
+    }
+    val in = MemoryStream[Event]
+    val q = EventStream.sessionizeStreamWatermarked(in.toDS())
+      .writeStream.format("memory").queryName("sess_eq").outputMode("append").start()
+    events.grouped(events.length / 4 + 1).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    // sentinel user advances the watermark past every last-event + gap;
+    // a second sentinel batch lets the event-time timeouts fire
+    in.addData(Event(-1, tsUs(maxUs + 86400L * 1000000L), -1, "x", 0))
+    q.processAllAvailable()
+    in.addData(Event(-2, tsUs(maxUs + 2 * 86400L * 1000000L), -1, "x", 0))
+    q.processAllAvailable()
+    // the stream's session_id restarts after state eviction (documented);
+    // renumber by start time per user for the ordinal the batch assigns
+    val streamed = spark.sql("SELECT * FROM sess_eq").as[SessionOut].collect()
+      .filter(_.user_id >= 0)
+      .groupBy(_.user_id).toSeq.flatMap { case (uid, ss) =>
+        ss.sortBy(_.start_us).zipWithIndex.map { case (o, i) =>
+          (uid, i + 1L, o.n_events, o.duration_us)
+        }
+      }.sorted
+    q.stop()
+    val batch = operators.Reference.sessionize(
+      graft.sources.Tables.events(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(streamed.length == batch.length,
+      s"streamed ${streamed.length} sessions vs batch ${batch.length}")
+    assert(streamed == batch.toSeq)
+  }
+
+  test("EQUIVALENCE: real sf0.001 documents through streaming dedup == batch exact dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // Real documents with synthetic in-order arrival times (all inside
+    // the 1-hour dedup watermark), fed in two micro-batches.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val in = MemoryStream[(Timestamp, String)]
+    val q = EventStream.streamingDedup(in.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("dd_eq").outputMode("append").start()
+    // +1h offset: rows AT the initial watermark boundary (epoch 0) get
+    // late-filtered, so keep every synthetic timestamp strictly past it
+    docs.grouped(docs.length / 2 + 1).foreach { chunk =>
+      in.addData(chunk.toSeq.map { case (id, text) =>
+        (new Timestamp((id + 3600) * 1000L), text)
+      })
+      q.processAllAvailable()
+    }
+    val streamedKept = spark.sql("SELECT fp, text FROM dd_eq").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    q.stop()
+    // batch twin: one keeper per fingerprint (same fp => same text, so
+    // (fp, text) is the full dedup-relevant row)
+    val batchKept = operators.TextOps.dedupExact(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .filter(col("doc_id") === col("keeper_id"))
+      .select(col("fp"))
+      .join(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(md5(col("text")).as("fp"), col("text")).distinct(), "fp")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(streamedKept.length == batchKept.length,
+      s"streamed kept ${streamedKept.length} vs batch ${batchKept.length}")
+    assert(streamedKept.toSeq == batchKept.toSeq)
+  }
+
   test("batch and streaming sessionize agree on closed sessions") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
