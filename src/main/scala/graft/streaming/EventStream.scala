@@ -33,6 +33,34 @@ object EventStream {
   def tsMicros(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  /** The events schema for file sources (matches [[Event]]; `ts` is a
+    * standard micros timestamp — the driver testdata's TIMESTAMP(NANOS)
+    * parquet goes through sources.Tables.events for batch reads).
+    */
+  val eventSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+  }
+
+  /** File-source entry point — a real deployment's first step: the same
+    * streaming plans ([[windowedCounts]], [[sessionizeStreamWatermarked]],
+    * dedup) run unchanged over parquet files landing in a directory.
+    * `maxFilesPerTrigger` bounds each micro-batch; new files are
+    * discovered incrementally and exactly-once per the file-source
+    * contract.
+    */
+  def eventFileSource(spark: SparkSession, path: String,
+                      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
   /** Tumbling-window counts per event type with a watermark bounding
     * late data (and therefore state).
     */

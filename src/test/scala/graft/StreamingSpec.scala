@@ -38,6 +38,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(2)).toSeq == Seq(2L, 1L, 1L))
   }
 
+  test("file source: windowedCounts runs over parquet files landing in a directory") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    // first file lands before the query starts
+    Seq(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(8), 2, "view", 4.0))
+      .toDF().write.mode("append").parquet(s"$dir/in")
+    val src = EventStream.eventFileSource(spark, s"$dir/in", maxFilesPerTrigger = 1)
+    assert(src.isStreaming, "file source must be a streaming frame")
+    val q = EventStream.windowedCounts(src)
+      .writeStream.format("memory").queryName("wc_file").outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    // a second file lands while the query runs: discovered incrementally
+    Seq(Event(4, ts(65), 1, "click", 3.0))
+      .toDF().write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM wc_file ORDER BY window_start, event_type").collect()
+    q.stop()
+    assert(rows.length == 3) // (h0,click)=2, (h0,view)=1, (h1,click)=1
+    assert(rows.map(_.getLong(2)).toSeq == Seq(2L, 1L, 1L))
+  }
+
   test("streaming dedup drops same-fingerprint docs across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
