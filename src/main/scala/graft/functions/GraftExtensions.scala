@@ -20,6 +20,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[Exprs.type].getName, null, name, usage, "", "", "",
       "", "4.0.0", "", "scala_udf")
 
+  /** Evaluate a parameter that must be a literal integer (e.g. shingle
+    * width). A non-foldable expression would otherwise be eval'd against
+    * no input row and die with an opaque NPE/ClassCastException; fail
+    * with a message that names the contract instead.
+    */
+  private def literalInt(fn: String, param: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: $param must be a literal integer, got non-foldable expression ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $param must be a literal integer, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot_long"),
@@ -37,14 +53,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       info("graft_shingles", "graft_shingles(tokens, w) - distinct w-token shingles, first-occurrence order"),
       (args: Seq[Expression]) => Exprs.Shingles(args(0),
-        args(1).eval().asInstanceOf[Number].intValue())))
+        literalInt("graft_shingles", "w", args(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "graft_minhash_sig(shingles, k) - k-permutation minhash signature"),
       (args: Seq[Expression]) => args match {
         case Seq(sh) => Exprs.MinHashSig(sh, 8)
         case Seq(sh, k) => Exprs.MinHashSig(sh,
-          k.eval().asInstanceOf[Number].intValue())
+          literalInt("graft_minhash_sig", "k", k))
       }))
   }
 }

@@ -15,6 +15,21 @@ object Analytics {
   private def dec(c: Column): Column = c.cast("decimal(18,4)")
   private def money(c: Column): Column = round(c, 2).cast("double")
 
+  /** 1-based rank within a sorted-limit output. Relies on the physical
+    * guarantee that `orderBy().limit(k)` output is one partition, where
+    * monotonically_increasing_id yields 0..k-1; if a plan change ever
+    * broke that, ids would jump past k (partition index in the high
+    * bits) — this raises loudly instead of letting the old `cast("int")`
+    * silently wrap to wrong ranks.
+    */
+  private def rankWithinLimit(k: Int): Column = {
+    val mid = monotonically_increasing_id()
+    when(mid < k, (mid + 1).cast("int"))
+      .otherwise(raise_error(lit(
+        s"rankWithinLimit: sorted-limit output spans multiple partitions (id past $k)"))
+        .cast("int"))
+  }
+
   /** B1 (flagship): TPC-H Q1-shaped pricing summary. Single scan of
     * lineitem, filter pushed to parquet, hash aggregate with map-side
     * partial agg — the canonical 100 TB-safe plan shape.
@@ -103,7 +118,7 @@ object Analytics {
       .orderBy(col("rev_e4").desc, col("p_brand"))
       .limit(k)
       .sortWithinPartitions(col("rev_e4").desc, col("p_brand"))
-      .withColumn("rn", (monotonically_increasing_id() + 1).cast("int"))
+      .withColumn("rn", rankWithinLimit(k))
       .select(col("p_brand"),
         (col("rev_cents").cast("double") / 100.0).as("revenue"), col("rn"))
   }
@@ -217,7 +232,7 @@ object Analytics {
       .orderBy(col("rev_e4").desc, col("o_orderkey"))
       .limit(k)
       .sortWithinPartitions(col("rev_e4").desc, col("o_orderkey"))
-      .withColumn("rn", (monotonically_increasing_id() + 1).cast("int"))
+      .withColumn("rn", rankWithinLimit(k))
       .select(col("o_orderkey"),
         to_date(col("o_orderdate")).as("o_orderdate"),
         (expr("(rev_e4 + 50) div 100").cast("double") / 100.0).as("revenue"), col("rn"))
@@ -306,21 +321,33 @@ object Analytics {
     * path has no dataset-id tagging and resolves the same plan cleanly —
     * and it exercises the library's SQL surface.
     */
+  private val rollupCallCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
   def rollupRevenue(orders: DataFrame, customer: DataFrame,
                     nation: DataFrame, region: DataFrame): DataFrame = {
     val spark = orders.sparkSession
-    orders.createOrReplaceTempView("graft_rr_orders")
-    customer.createOrReplaceTempView("graft_rr_customer")
-    nation.createOrReplaceTempView("graft_rr_nation")
-    region.createOrReplaceTempView("graft_rr_region")
-    spark.sql(
-      """SELECT r_name, n_name, count(*) AS n_orders,
-        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
-        |  CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid
-        |FROM graft_rr_orders JOIN graft_rr_customer ON o_custkey = c_custkey
-        |  JOIN graft_rr_nation ON c_nationkey = n_nationkey
-        |  JOIN graft_rr_region ON n_regionkey = r_regionkey
-        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+    // Unique per-call view names so concurrent/interleaved calls in one
+    // session can't clobber each other's inputs; spark.sql analyzes
+    // eagerly, so the views can be dropped before returning the (lazy)
+    // frame and nothing lingers in the catalog.
+    val v = s"graft_rr_${rollupCallCounter.incrementAndGet()}"
+    orders.createOrReplaceTempView(s"${v}_orders")
+    customer.createOrReplaceTempView(s"${v}_customer")
+    nation.createOrReplaceTempView(s"${v}_nation")
+    region.createOrReplaceTempView(s"${v}_region")
+    try {
+      spark.sql(
+        s"""SELECT r_name, n_name, count(*) AS n_orders,
+           |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           |  CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid
+           |FROM ${v}_orders JOIN ${v}_customer ON o_custkey = c_custkey
+           |  JOIN ${v}_nation ON c_nationkey = n_nationkey
+           |  JOIN ${v}_region ON n_regionkey = r_regionkey
+           |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+    } finally {
+      Seq("orders", "customer", "nation", "region")
+        .foreach(t => spark.catalog.dropTempView(s"${v}_$t"))
+    }
   }
 
   val rollupRevenueSql: String =

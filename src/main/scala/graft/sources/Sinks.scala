@@ -85,9 +85,19 @@ object Sinks {
     val staging = new Path(path + "__staging")
     fs.delete(staging, true)
     merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    fs.delete(target, true)
-    if (!fs.rename(staging, target))
+    // Crash-safe swap: park the current table at __prev BEFORE moving
+    // staging in — a crash at any point leaves either the old table or
+    // a recoverable __prev copy, never a window with no readable data
+    // (the old delete-then-rename had exactly that window).
+    val prev = new Path(path + "__prev")
+    fs.delete(prev, true)
+    if (fs.exists(target) && !fs.rename(target, prev))
+      throw new java.io.IOException(s"mergeUpsert: rename $target -> $prev failed")
+    if (!fs.rename(staging, target)) {
+      if (fs.exists(prev)) fs.rename(prev, target) // restore the old table
       throw new java.io.IOException(s"mergeUpsert: rename $staging -> $target failed")
+    }
+    fs.delete(prev, true)
   }
 
   /** Partition-scoped MERGE for big tables: rows live in
@@ -123,13 +133,21 @@ object Sinks {
     fs.delete(staging, true)
     merged.repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging.toString)
+    // Same crash-safe swap as mergeUpsert, per bucket: the current
+    // bucket dir is parked under __prev (outside the table root, so
+    // partition discovery never sees it) before staging moves in.
+    val prevRoot = new Path(path + "__prev")
+    fs.delete(prevRoot, true)
+    fs.mkdirs(prevRoot)
     touched.foreach { b =>
       val src = new Path(staging, s"bucket=$b")
       val dst = new Path(target, s"bucket=$b")
-      fs.delete(dst, true)
+      if (fs.exists(dst) && !fs.rename(dst, new Path(prevRoot, s"bucket=$b")))
+        throw new java.io.IOException(s"mergeUpsertBucketed: rename $dst -> $prevRoot failed")
       if (fs.exists(src) && !fs.rename(src, dst))
         throw new java.io.IOException(s"mergeUpsertBucketed: rename $src -> $dst failed")
     }
     fs.delete(staging, true)
+    fs.delete(prevRoot, true)
   }
 }

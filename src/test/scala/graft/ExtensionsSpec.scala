@@ -40,4 +40,20 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT graft_dot_long(NULL, array(1L)) AS a, graft_hamming(NULL, 'x') AS b").head()
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("graft_shingles with a non-literal width fails with a clear contract message") {
+    val s = spark
+    import s.implicits._
+    Seq((Array("a", "b", "c"), 2)).toDF("toks", "w").createOrReplaceTempView("shw")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(toks, w) FROM shw").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m != null && m.contains("must be a literal integer")),
+      s"expected the literal-contract message, got: ${msgs(e)}")
+    // literal width still works
+    val ok = spark.sql("SELECT graft_shingles(array('a','b','c'), 2) AS sh").head()
+    assert(ok.getSeq[String](0) == Seq("a b", "b c"))
+  }
 }

@@ -86,6 +86,9 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
     Sinks.mergeUpsert(spark, path, tie, Seq("user_id"), "last_updated_us")
     val bob = spark.read.parquet(path).filter(col("user_id") === 2).head()
     assert(bob.getString(1) == "bob_v2")
+    // the crash-safe swap leaves no __staging/__prev residue on success
+    assert(!new java.io.File(path + "__staging").exists())
+    assert(!new java.io.File(path + "__prev").exists())
   }
 
   test("mergeUpsertBucketed rewrites only delta-touched buckets") {
