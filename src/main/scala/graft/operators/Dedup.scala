@@ -256,13 +256,102 @@ object Dedup {
        |WHERE CAST(len(list_filter(range(1, $SimBits + 1),
        |       p -> substr(sim_a, p, 1) <> substr(sim_b, p, 1))) AS BIGINT) <= $maxHamming""".stripMargin
 
+  // ---------------- C22: duplicate clusters (connected components) ----------------
+
+  /** Duplicate clusters — connected components over the MinHash-LSH
+    * candidate graph: every document gets `cluster_id` = the smallest
+    * doc_id reachable through near-dup edges, and the curation pipeline
+    * keeps the `is_canonical` representative per cluster (the step after
+    * pair detection in every large-scale dedup).
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint — per
+    * round, each labeled doc takes the min of its own and its neighbors'
+    * labels (one join + partial-agg min on the edge relation), so a
+    * component converges in O(diameter) rounds — the standard
+    * large-graph formulation (hash-partitioned joins, no driver-side
+    * graph). Only docs that touch an edge participate in the loop;
+    * isolated docs join back as their own singleton cluster. The label
+    * sum is monotonically non-increasing and strictly decreases until
+    * the fixpoint, so it doubles as the (exact) convergence test —
+    * one cheap aggregate per round. Iteration frames are materialized
+    * eagerly and unpersisted as soon as superseded (kmeans-style
+    * lifecycle); the final labels are GraftCache-tracked.
+    */
+  def dedupClusters(documents: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val cand = minhashCandidates(documents)
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("label"))).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = labelSum(labels)
+    var rounds = 0
+    var converged = prevSum == 0L // empty edge graph: nothing to propagate
+    while (!converged) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"dedupClusters: no fixpoint after $maxRounds rounds (component diameter > $maxRounds?)")
+      val neighborMin = edges
+        .join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst"))
+        .agg(min(col("label")).as("nb_label"))
+      val next = labels
+        .join(neighborMin, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val s = labelSum(next) // materializes `next`
+      labels.unpersist(blocking = true)
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+    }
+    val finalLabels = GraftCache.persistTracked(labels)
+    edges.unpersist(blocking = true)
+    documents.select(col("doc_id"))
+      .join(finalLabels.withColumnRenamed("label", "cluster_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("boolean"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
+       |bands AS (
+       |  SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+       |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_key = b2.band_key
+       |  WHERE b1.doc_id < b2.doc_id
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM cand
+       |),
+       |cc(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.doc_id = e.src
+       |)
+       |SELECT doc_id, min(label) AS cluster_id,
+       |  (doc_id = min(label)) AS is_canonical
+       |FROM cc GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash_lsh" -> ((s, d) => dedupMinhashLsh(Tables.documents(s, d))),
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(Tables.documents(s, d))),
-    "q_dedup_simhash" -> ((s, d) => dedupSimhash(Tables.documents(s, d))))
+    "q_dedup_simhash" -> ((s, d) => dedupSimhash(Tables.documents(s, d))),
+    "q_dedup_clusters" -> ((s, d) => dedupClusters(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_dedup_minhash_lsh" -> dedupMinhashLshSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
-    "q_dedup_simhash" -> dedupSimhashSql())
+    "q_dedup_simhash" -> dedupSimhashSql(),
+    "q_dedup_clusters" -> dedupClustersSql)
 }

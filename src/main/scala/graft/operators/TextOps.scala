@@ -308,6 +308,51 @@ object TextOps {
   def idf(documents: DataFrame): DataFrame =
     docFreq(documents).withColumn("idf", -log(col("doc_share")))
 
+  /** C21: per-document top-k TF-IDF terms — the keyword-extraction /
+    * salient-term operator behind relevance scoring and topic spotting.
+    *
+    * Score stays hash-exact cross-engine: tf·(N+1)/(df+1) computed as
+    * one exact-integer product then ONE double division (IEEE division
+    * is correctly rounded and bit-identical in both engines; `ln` is
+    * not — see [[docFreq]]). Shapes at scale: token explode is map-side;
+    * (doc, term) tf and per-term df are partial-agg counts; the df join
+    * shuffles on term (the term dictionary is SF-proportional — never
+    * broadcast); the final top-k window partitions by doc_id
+    * (max-cardinality key, splits freely).
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val tf = documents
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * (col("n_docs") + 1)).cast("double") / (col("df") + 1).cast("double"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rn"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / CAST(df.df + 1 AS DOUBLE) AS score
+      |  FROM tf JOIN df ON tf.term = df.term, n
+      |)
+      |SELECT doc_id, term, tf, df, score, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      |  FROM scored) WHERE rn <= 3""".stripMargin
+
   /** C18: corpus-frequency top n-grams — the bigram table behind
     * phrase-level statistics and boilerplate spotting. Explode bigrams
     * (map-side, native shingles), partial-agg count, deterministic
@@ -404,6 +449,7 @@ object TextOps {
     "q_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
     "q_stopword_strip" -> ((s, d) => stopwordStrip(Tables.documents(s, d))),
     "q_doc_freq" -> ((s, d) => docFreq(Tables.documents(s, d))),
+    "q_tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
     "q_dedup_exact" -> ((s, d) => dedupExact(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => qualityScore(Tables.documents(s, d))),
@@ -419,6 +465,7 @@ object TextOps {
     "q_contamination" -> contaminationSql,
     "q_stopword_strip" -> stopwordStripSql,
     "q_doc_freq" -> docFreqSql,
+    "q_tfidf_topterms" -> tfidfTopTermsSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_lang_id" -> langIdSql,
     "q_quality_score" -> qualityScoreSql,

@@ -24,6 +24,25 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.filter(col("is_dup") && col("keeper_id") === col("doc_id")).count() == 0)
   }
 
+  test("dedup clusters: every candidate edge is intra-cluster, labels are component minima") {
+    val docs = Tables.documents(spark, sf)
+    val clusters = Dedup.dedupClusters(docs)
+    // transitivity: both endpoints of every LSH candidate edge share a cluster
+    val byId = clusters.select(col("doc_id"), col("cluster_id"))
+    val crossEdges = Dedup.minhashCandidates(docs)
+      .join(byId.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("cluster_id", "ca"), "doc_a")
+      .join(byId.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "cb"), "doc_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(crossEdges == 0, "an LSH candidate pair landed in two different clusters")
+    // the label is the component min: no doc has cluster_id > doc_id min rule violated
+    assert(clusters.filter(col("cluster_id") > col("doc_id")).count() == 0)
+    // canonical flag: exactly one canonical doc per cluster, and it's the min
+    val bad = clusters.groupBy("cluster_id")
+      .agg(sum(col("is_canonical").cast("long")).as("n_canon"), min("doc_id").as("mn"))
+      .filter(col("n_canon") =!= 1 || col("mn") =!= col("cluster_id")).count()
+    assert(bad == 0)
+  }
+
   test("minhash candidates have higher jaccard than random pairs") {
     val j = Dedup.dedupNgramJaccard(Tables.documents(spark, sf))
     val candAvg = j.agg(avg("jaccard")).head().getDouble(0)
