@@ -474,6 +474,34 @@ object Reference {
       |FROM events)
       |SELECT day, event_id FROM d WHERE rn <= 5""".stripMargin
 
+  /** A20: trailing-window activity — per event, the user's event count
+    * and value sum over the preceding 7 days (the rate-limit /
+    * engagement-velocity metric a scheduler consults before queueing
+    * more work; generalizes the daily quota to a sliding window).
+    * A keyed RANGE-frame window over exact event-time micros: partitions
+    * by user (max-cardinality key), frame bounds are event-time offsets
+    * — no self-join, no explosion; per-user data streams once through a
+    * sliding aggregate. Money through DECIMAL like every other sum.
+    */
+  def rollingActivity(events: DataFrame,
+                      windowUs: Long = 7L * 86400L * 1000000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t"))
+      .rangeBetween(-windowUs, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), tUs(col("ts")).as("t"),
+        col("value"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("sum_7d", money(sum(dec(col("value"))).over(w)))
+      .select("user_id", "event_id", "n_7d", "sum_7d")
+  }
+
+  val rollingActivitySql: String =
+    """SELECT user_id, event_id, count(*) OVER w AS n_7d,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS sum_7d
+      |FROM (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY t
+      |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** A11: batch assignment — the analyzer chunks following lists into
     * fixed batches (interest_analyzer.py:168, batch_size=20). Partitioned
     * by source (like per-user batches in the reference) so numbering
@@ -686,6 +714,7 @@ object Reference {
     "q_daily_quota_rows" -> ((s, d) => dailyQuotaRows(Tables.events(s, d))),
     "q_batch_assign" -> ((s, d) => batchAssign(Tables.documents(s, d))),
     "q_interevent_gaps" -> ((s, d) => interEventGaps(Tables.events(s, d))),
+    "q_rolling_7d" -> ((s, d) => rollingActivity(Tables.events(s, d))),
     "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "q_top_influencers" -> ((s, d) => topInfluencers(Tables.events(s, d))),
     "q_engagement_join" -> ((s, d) =>
@@ -708,6 +737,7 @@ object Reference {
     "q_daily_quota_rows" -> dailyQuotaRowsSql,
     "q_batch_assign" -> batchAssignSql,
     "q_interevent_gaps" -> interEventGapsSql,
+    "q_rolling_7d" -> rollingActivitySql,
     "q_sessionize" -> sessionizeSql,
     "q_top_influencers" -> topInfluencersSql,
     "q_engagement_join" -> engagementJoinSql,
