@@ -26,6 +26,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val RegressionFactor = 1.5
+  // Sub-second queries are scheduler-noise-dominated: a 0.1s query
+  // doubling under background load is jitter, not a regression. Flag
+  // only when the warm slowdown also costs real time.
+  private val MinWarmDeltaSec = 0.25
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,7 +83,8 @@ object Bench {
       (priorCold.get(n), priorWarm.get(n)) match {
         case (Some(oc), Some(ow))
             if oc > 0 && ow > 0 &&
-              cold > oc * RegressionFactor && warm > ow * RegressionFactor =>
+              cold > oc * RegressionFactor && warm > ow * RegressionFactor &&
+              warm - ow > MinWarmDeltaSec =>
           System.err.println(
             f"[bench] REGRESSION $n: warm $warm%.3fs vs $ow%.3fs (${warm / ow}%.2fx), " +
               f"cold $cold%.3fs vs $oc%.3fs (${cold / oc}%.2fx)")
