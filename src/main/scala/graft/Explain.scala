@@ -14,7 +14,8 @@ object Explain {
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q_join_pushdown", "q_mutual_edges",
-        "q_category_rollup", "q_dedup_minhash_lsh", "q_ann_lsh", "q_daily_quota")
+        "q_category_rollup", "q_dedup_minhash_lsh", "q_ann_lsh", "q_daily_quota",
+        "q_neardup_cosine", "q_tfidf_topterms", "q_rolling_7d")
     names.foreach { n =>
       println(s"\n======== $n ========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
