@@ -91,6 +91,23 @@ class ExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1).getSeq[Long](1) == Seq(7L))
   }
 
+  test("MinKLong is partitioning-invariant (distributed merge correctness)") {
+    val s = spark
+    import s.implicits._
+    // The aggregate's update/merge paths must give the same answer no
+    // matter how rows are split across partitions or ordered.
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 25) {
+      val vs = List.fill(5 + rnd.nextInt(60))(rnd.nextLong() / 2)
+      val k = 1 + rnd.nextInt(8)
+      val parts = 1 + rnd.nextInt(7)
+      val got = vs.toDF("v").repartition(parts)
+        .agg(Exprs.minK(col("v"), k)).head().getSeq[Long](0)
+      assert(got == vs.sorted.take(k),
+        s"trial $trial: k=$k parts=$parts got=$got expected=${vs.sorted.take(k)}")
+    }
+  }
+
   test("DotLong survives codegen in a realistic plan (join + filter)") {
     val q = Embeddings.quantized(Tables.embeddings(spark, sf)).limit(50)
     val a = q.select(col("vec_id").as("ia"), col("qv").as("qa"))

@@ -82,6 +82,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("per-group rank filters compile to WindowGroupLimit (no full per-group sort retention)") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    for (q <- Seq("q_tfidf_topterms", "q_ann_topk", "q_ann_lsh")) {
+      val n = plan(q).collect { case w: WindowGroupLimitExec => w }.size
+      assert(n >= 1, s"$q: rank<=k filter should push a WindowGroupLimit")
+    }
+  }
+
   test("no query contains a single-partition global window") {
     SparkEntry.queries.keys.foreach { q =>
       val bad = plan(q).collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
