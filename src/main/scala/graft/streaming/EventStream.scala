@@ -180,6 +180,36 @@ object EventStream {
   def closeOpenSession(st: SessionState, userId: Long): SessionOut =
     SessionOut(userId, st.sessionId, st.nEvents, st.lastTsUs - st.startTsUs, st.startTsUs)
 
+  /** Stream-stream attribution join — the streaming twin of the batch
+    * as-of join (operators.Temporal.asOfLastClick): each purchase is
+    * matched to the same user's clicks in the trailing `windowSec`
+    * seconds. Both sides carry watermarks and the join condition bounds
+    * event-time distance, so Spark can evict both sides' state once the
+    * watermark passes — the REQUIRED shape for an unbounded
+    * stream-stream join (an unbounded-condition join would accumulate
+    * state forever). Inner join → append-mode output as matches become
+    * final.
+    *
+    * Inputs: two streaming frames with (event_id, ts, user_id) columns.
+    * Output: one row per (purchase, qualifying click) pair.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        windowSec: Long = 3600L,
+                        watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSec SECOND"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Streaming ANN: a stream of query vectors scored against a STATIC
     * LSH-bucketed corpus (stream-static equi-join on (table, bucket) —
     * no stream-side state, corpus buckets broadcast/partition-pruned).

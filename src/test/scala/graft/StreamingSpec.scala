@@ -80,6 +80,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(texts.toSeq == Seq("hello world", "other", "third"))
   }
 
+  test("stream-stream interval join: purchases match trailing-window clicks, outside-window clicks don't") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventStream.clickPurchaseJoin(
+      clicks.toDF(), purchases.toDF(), windowSec = 3600L)
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    // user 1: click at t=10min and t=100min; purchase at t=65min
+    //   -> only the t=10min click is within the trailing hour
+    // user 2: click at t=5min, no purchase
+    clicks.addData(
+      Event(11, ts(10), 1, "click", 0),
+      Event(12, ts(100), 1, "click", 0),
+      Event(21, ts(5), 2, "click", 0))
+    purchases.addData(Event(91, ts(65), 1, "purchase", 9.99))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT purchase_id, click_id FROM attrib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(rows == Set((91L, 11L)),
+      s"expected purchase 91 matched only to click 11, got $rows")
+  }
+
   test("stateful sessionization: session spanning micro-batches is not split") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
