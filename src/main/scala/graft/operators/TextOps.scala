@@ -353,6 +353,62 @@ object TextOps {
       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
       |  FROM scored) WHERE rn <= 3""".stripMargin
 
+  /** C23: composite quality-rules filter — the published-rules battery
+    * (Gopher/C4-style) run before any model-based quality judge:
+    * document-length bounds, mean-word-length bounds, stopword
+    * presence, and a repetition rule (share of duplicated bigrams —
+    * boilerplate/spam detector). Pure map-side arithmetic over each
+    * document's own tokens; `keep` is the conjunction. Thresholds are
+    * the standard published ballpark, parameterized for tuning.
+    */
+  def qualityRules(documents: DataFrame,
+                   minWords: Int = 5, maxWords: Int = 100000,
+                   minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+                   minStopwords: Int = 1,
+                   maxDupBigramRatio: Double = 0.5): DataFrame = {
+    val n = size(toks).cast("long")
+    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / n.cast("double")
+    val stops = size(filter(toks, t => t.isInCollection(enStopwords))).cast("long")
+    val totalBigrams = greatest(n - 1, lit(1L))
+    val distinctBigrams = size(shingles(toks, 2)).cast("long")
+    val dupRatio = lit(1.0) - distinctBigrams.cast("double") / totalBigrams.cast("double")
+    documents
+      .select(col("doc_id"), n.as("n_words"), meanLen.as("mean_word_len"),
+        stops.as("n_stop"), dupRatio.as("dup_bigram_ratio"))
+      .withColumn("ok_length",
+        (col("n_words") >= minWords && col("n_words") <= maxWords).cast("boolean"))
+      .withColumn("ok_word_len",
+        (col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen).cast("boolean"))
+      .withColumn("ok_stopwords", (col("n_stop") >= minStopwords).cast("boolean"))
+      .withColumn("ok_repetition",
+        (col("dup_bigram_ratio") <= maxDupBigramRatio).cast("boolean"))
+      .withColumn("keep",
+        (col("ok_length") && col("ok_word_len") && col("ok_stopwords") &&
+          col("ok_repetition")).cast("boolean"))
+  }
+
+  val qualityRulesSql: String = {
+    val inList = enStopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  CAST(list_sum(list_transform(string_split(text, ' '), w -> len(w))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS BIGINT) AS n_stop,
+       |  1.0 - CAST(len(${shinglesSqlExpr(2)}) AS DOUBLE)
+       |    / CAST(greatest(len(string_split(text, ' ')) - 1, 1) AS DOUBLE) AS dup_bigram_ratio
+       |FROM documents)
+       |SELECT doc_id, n_words, mean_word_len, n_stop, dup_bigram_ratio,
+       |  n_words >= 5 AND n_words <= 100000 AS ok_length,
+       |  mean_word_len >= 2.0 AND mean_word_len <= 12.0 AS ok_word_len,
+       |  n_stop >= 1 AS ok_stopwords,
+       |  dup_bigram_ratio <= 0.5 AS ok_repetition,
+       |  (n_words >= 5 AND n_words <= 100000) AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+       |    AND n_stop >= 1 AND dup_bigram_ratio <= 0.5 AS keep
+       |FROM t""".stripMargin
+  }
+
   /** C18: corpus-frequency top n-grams — the bigram table behind
     * phrase-level statistics and boilerplate spotting. Explode bigrams
     * (map-side, native shingles), partial-agg count, deterministic
@@ -450,6 +506,7 @@ object TextOps {
     "q_stopword_strip" -> ((s, d) => stopwordStrip(Tables.documents(s, d))),
     "q_doc_freq" -> ((s, d) => docFreq(Tables.documents(s, d))),
     "q_tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
+    "q_quality_rules" -> ((s, d) => qualityRules(Tables.documents(s, d))),
     "q_dedup_exact" -> ((s, d) => dedupExact(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => qualityScore(Tables.documents(s, d))),
@@ -466,6 +523,7 @@ object TextOps {
     "q_stopword_strip" -> stopwordStripSql,
     "q_doc_freq" -> docFreqSql,
     "q_tfidf_topterms" -> tfidfTopTermsSql,
+    "q_quality_rules" -> qualityRulesSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_lang_id" -> langIdSql,
     "q_quality_score" -> qualityScoreSql,
