@@ -306,11 +306,31 @@ object Dedup {
     * as soon as the next is materialized; the returned final frame stays
     * persisted and is owned by the memo entry.
     */
+  /** Connectivity edges from the LSH buckets as per-bucket STARS (hub =
+    * min doc_id of the bucket ↔ every member): identical connected
+    * components to the full pairwise candidate set — any two docs in a
+    * bucket are joined through the hub — but O(|bucket|) edges instead
+    * of O(|bucket|²). At 100 TB a boilerplate bucket with millions of
+    * members makes the pairwise form quadratic; the star form stays
+    * linear (two narrow shuffles: bucket-min agg + member join). Star
+    * edges are for CONNECTIVITY only — pair-emitting operators
+    * (q_dedup_minhash_lsh etc.) still produce the true pair set, which
+    * is inherently quadratic per bucket and capped by band width.
+    */
+  private def bucketStarEdges(documents: DataFrame): DataFrame = {
+    val bands = minhashBands(minhashSignature(documents))
+    val hubs = bands.groupBy("b", "band_key").agg(min(col("doc_id")).as("hub"))
+    bands.join(hubs, Seq("b", "band_key"))
+      .filter(col("hub") =!= col("doc_id"))
+      .select(col("hub"), col("doc_id").as("member"))
+      .distinct()
+  }
+
   private def propagateMinLabels(documents: DataFrame, maxRounds: Int): DataFrame = {
     val spark = documents.sparkSession
-    val cand = minhashCandidates(documents)
-    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val star = bucketStarEdges(documents)
+    val edges = star.select(col("hub").as("src"), col("member").as("dst"))
+      .union(star.select(col("member").as("src"), col("hub").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var persisted = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
