@@ -480,6 +480,78 @@ object Embeddings {
       .filter(col("rn") <= TopK)
   }
 
+  // ---------------- C7d: PQ (product-quantization) ANN ----------------
+
+  val PqM = 4
+  val PqSubDim: Int = Dim / PqM // 16
+
+  /** Subspace m of the quantized corpus: components m·16+1 .. (m+1)·16,
+    * with the exact integer norm of the slice.
+    */
+  private def pqSubspace(q: DataFrame, m: Int): DataFrame =
+    q.select(col("vec_id"), slice(col("qv"), m * PqSubDim + 1, PqSubDim).as("qv"))
+      .withColumn("nrm", dot(col("qv"), col("qv")))
+
+  /** PQ codebooks: one deterministic Lloyd's codebook per subspace —
+    * the same training as IVF ([[kmeansCodebook]], memoized collected
+    * 16-row local relations), on the sliced vectors.
+    */
+  def pqCodebooks(q: DataFrame): Seq[DataFrame] =
+    (0 until PqM).map(m => kmeansCodebook(pqSubspace(q, m)))
+
+  /** PQ encoding: per subspace, each vector's nearest-centroid id.
+    * 4 small codes replace the 64-component vector — the compression
+    * that lets a 100 TB corpus's search index live in RAM. One hash-agg
+    * argmin per subspace; the per-subspace joins reuse the vec_id hash
+    * partitioning the argmin aggregates establish.
+    */
+  def pqEncode(q: DataFrame, codebooks: Seq[DataFrame]): DataFrame =
+    (0 until PqM).map { m =>
+      ivfAssign(pqSubspace(q, m), codebooks(m))
+        .withColumnRenamed("c_id", s"code_$m")
+    }.reduce(_.join(_, "vec_id"))
+
+  /** C7d: PQ ANN — asymmetric-distance (ADC) scan over the encoded
+    * corpus: approx dot(query, vector) = Σ_m dot(query_sub_m,
+    * centroid_m[code_m]) and the reconstructed-vector norm is the sum
+    * of centroid norms, so approx_cos is exactly the cosine between the
+    * query and the PQ reconstruction (∈ [-1,1], exact integer
+    * numerators, deterministic cross-engine). Codebooks ride in the
+    * plan as literals (PqM × NumCentroids rows — the model-artifact
+    * pattern); the scan is one pass of 4 table lookups + 16-dim dots
+    * per row, no full-vector I/O.
+    */
+  def annPq(embeddings: DataFrame): DataFrame = {
+    val q = quantized(embeddings)
+    val cbs = pqCodebooks(q)
+    val codes = pqEncode(q, cbs)
+    val cbRows = cbs.map(_.orderBy("c_id").collect())
+    cbRows.foreach { rows =>
+      require(rows.map(_.getLong(0)).toSeq == (0 until NumCentroids).map(_.toLong),
+        "annPq: codebook c_ids must be contiguous 0..NumCentroids-1 for array indexing")
+    }
+    val centArr = cbRows.map(rows => typedLit(rows.map(_.getSeq[Long](1)).toSeq))
+    val cnrmArr = cbRows.map(rows => typedLit(rows.map(_.getLong(2)).toSeq))
+    val probes = q.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val adot = (0 until PqM).map { m =>
+      dot(slice(col("q_qv"), m * PqSubDim + 1, PqSubDim),
+        element_at(centArr(m), col(s"code_$m").cast("int") + 1))
+    }.reduce(_ + _)
+    val anrm = (0 until PqM).map { m =>
+      element_at(cnrmArr(m), col(s"code_$m").cast("int") + 1)
+    }.reduce(_ + _)
+    codes
+      .join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (adot.cast("double") /
+          (sqrt(col("q_nrm").cast("double")) * sqrt(anrm.cast("double"))))
+          .as("approx_cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("approx_cos").desc, col("n_id"))))
+      .filter(col("rn") <= TopK)
+  }
+
   /** DuckDB mirror of [[kmeansCodebook]]: cent0 = first-N init, then per
     * iteration an argmin-assign CTE and a floored component-wise mean CTE
     * (positions via a range() cross join, arrays rebuilt with an ordered
@@ -535,7 +607,73 @@ object Embeddings {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
        |  FROM scored) WHERE rn <= $TopK""".stripMargin
 
+  /** Per-subspace k-means CTEs — [[kmeansSqlCtes]] with prefixed names
+    * over the `ns$m` sliced frame.
+    */
+  private def pqKmeansSqlCtes(m: Int, iters: Int): String = {
+    val sb = new StringBuilder(
+      s"tr$m AS (SELECT * FROM ns$m),\n" +
+        s"cent${m}_0 AS (SELECT vec_id AS c_id, qv AS cqv FROM ns$m WHERE vec_id < $NumCentroids)")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(s""",
+        |a${m}_$i AS (SELECT c_id, qv FROM (
+        |  SELECT tr$m.vec_id, tr$m.qv, c.c_id,
+        |    row_number() OVER (PARTITION BY tr$m.vec_id ORDER BY
+        |      tr$m.nrm - 2 * ${dotSqlFmt.format(s"tr$m.qv", "c.cqv")} + ${dotSqlFmt.format("c.cqv", "c.cqv")}, c.c_id) AS rn
+        |  FROM tr$m, cent${m}_$p c) WHERE rn = 1),
+        |m${m}_$i AS (SELECT c_id, pos, CAST(floor(CAST(sum(qv[pos]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+        |  FROM a${m}_$i, range(1, ${PqSubDim + 1}) r(pos) GROUP BY c_id, pos),
+        |cent${m}_$i AS (SELECT c.c_id, coalesce(nm.cqv, c.cqv) AS cqv FROM cent${m}_$p c
+        |  LEFT JOIN (SELECT c_id, list(m ORDER BY pos) AS cqv FROM m${m}_$i GROUP BY c_id) nm
+        |  ON c.c_id = nm.c_id)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  val annPqSql: String = {
+    def sl(expr: String, m: Int): String =
+      s"list_slice($expr, ${m * PqSubDim + 1}, ${(m + 1) * PqSubDim})"
+    val subCtes = (0 until PqM).map { m =>
+      s"""ns$m AS (SELECT vec_id, sub AS qv, ${dotSqlFmt.format("sub", "sub")} AS nrm
+         |  FROM (SELECT vec_id, ${sl("qv", m)} AS sub FROM q))""".stripMargin
+    }.mkString(",\n")
+    val kmeansCtes = (0 until PqM).map(m => pqKmeansSqlCtes(m, KmeansIters)).mkString(",\n")
+    val centCtes = (0 until PqM).map { m =>
+      s"centf$m AS (SELECT c_id, cqv, ${dotSqlFmt.format("cqv", "cqv")} AS cnrm FROM cent${m}_$KmeansIters)"
+    }.mkString(",\n")
+    val asgCtes = (0 until PqM).map { m =>
+      s"""asg$m AS (SELECT vec_id, c_id AS code FROM (
+         |  SELECT ns$m.vec_id, centf$m.c_id,
+         |    row_number() OVER (PARTITION BY ns$m.vec_id
+         |      ORDER BY ns$m.nrm - 2 * ${dotSqlFmt.format(s"ns$m.qv", s"centf$m.cqv")} + centf$m.cnrm, centf$m.c_id) AS rn
+         |  FROM ns$m, centf$m) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val adot = (0 until PqM)
+      .map(m => dotSqlFmt.format(sl("p.qv", m), s"c$m.cqv")).mkString(" + ")
+    val anrm = (0 until PqM).map(m => s"c$m.cnrm").mkString(" + ")
+    val joins = (0 until PqM).map { m =>
+      (if (m == 0) s"FROM n p, asg0 a0" else s"  JOIN asg$m a$m ON a0.vec_id = a$m.vec_id") +
+        s"\n  JOIN centf$m c$m ON a$m.code = c$m.c_id"
+    }.mkString("\n")
+    s"""WITH q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
+       |$subCtes,
+       |$kmeansCtes,
+       |$centCtes,
+       |$asgCtes,
+       |scored AS (
+       |  SELECT p.vec_id AS q_id, a0.vec_id AS n_id,
+       |    CAST($adot AS DOUBLE) / (sqrt(p.nrm) * sqrt($anrm)) AS approx_cos
+       |$joins
+       |  WHERE p.vec_id < $NumProbes AND a0.vec_id <> p.vec_id)
+       |SELECT q_id, n_id, approx_cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, n_id) AS rn
+       |  FROM scored) WHERE rn <= $TopK""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d))),
     "q_ann_topk" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d))),
     "q_ann_multiprobe" -> ((s, d) => annMultiProbe(Tables.embeddings(s, d))),
@@ -543,6 +681,7 @@ object Embeddings {
     "q_neardup_cosine" -> ((s, d) => nearDupCosine(Tables.embeddings(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_ann_pq" -> annPqSql,
     "q_ann_topk" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_multiprobe" -> annMultiProbeSql,

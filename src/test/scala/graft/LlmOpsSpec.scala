@@ -132,6 +132,26 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(moved > 0, "k-means left every centroid exactly at its init vector")
   }
 
+  test("PQ: codes complete and bounded, ADC cosine in [-1,1], exactly k per probe") {
+    val q = Embeddings.quantized(Tables.embeddings(spark, sf))
+    val cbs = Embeddings.pqCodebooks(q)
+    assert(cbs.length == Embeddings.PqM)
+    cbs.foreach(cb => assert(cb.count() == Embeddings.NumCentroids))
+    // every vector gets one code per subspace, all within [0, NumCentroids)
+    val codes = Embeddings.pqEncode(q, cbs)
+    assert(codes.count() == q.count())
+    for (m <- 0 until Embeddings.PqM) {
+      val bad = codes.filter(col(s"code_$m") < 0 ||
+        col(s"code_$m") >= Embeddings.NumCentroids).count()
+      assert(bad == 0, s"subspace $m: code out of range")
+    }
+    // ADC scores are true cosines against the PQ reconstruction
+    val out = Embeddings.annPq(Tables.embeddings(spark, sf))
+    val rows = out.collect()
+    assert(rows.length == Embeddings.NumProbes * Embeddings.TopK)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+  }
+
   test("IVF sampled-training path: codebook is complete and assignment total") {
     val q = Embeddings.quantized(Tables.embeddings(spark, sf))
     val cb = Embeddings.kmeansCodebook(q, trainMod = Embeddings.TrainModAtScale)
