@@ -494,10 +494,21 @@ object Embeddings {
 
   /** PQ codebooks: one deterministic Lloyd's codebook per subspace —
     * the same training as IVF ([[kmeansCodebook]], memoized collected
-    * 16-row local relations), on the sliced vectors.
+    * 16-row local relations), on the sliced vectors. The four trainings
+    * are independent driver loops over the same cached corpus, so they
+    * run CONCURRENTLY (Spark schedules jobs from multiple threads
+    * fairly) — wall-clock ≈ one training instead of four. The shared
+    * quantized cache is materialized once up front so the racers read
+    * it instead of racing to build it.
     */
-  def pqCodebooks(q: DataFrame): Seq[DataFrame] =
-    (0 until PqM).map(m => kmeansCodebook(pqSubspace(q, m)))
+  def pqCodebooks(q: DataFrame): Seq[DataFrame] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    q.count()
+    val trained = (0 until PqM).map(m => Future(kmeansCodebook(pqSubspace(q, m))))
+    trained.map(f => Await.result(f, Duration.Inf))
+  }
 
   /** PQ encoding: per subspace, each vector's nearest-centroid id.
     * 4 small codes replace the 64-component vector — the compression
@@ -510,6 +521,10 @@ object Embeddings {
       ivfAssign(pqSubspace(q, m), codebooks(m))
         .withColumnRenamed("c_id", s"code_$m")
     }.reduce(_.join(_, "vec_id"))
+      // the PQ index itself: 5 small columns per vector, re-scanned by
+      // every search — tracked like lshBucketsNarrow (the cluster
+      // equivalent: a persisted code table beside the corpus)
+      .transform(GraftCache.persistTracked)
 
   /** C7d: PQ ANN — asymmetric-distance (ADC) scan over the encoded
     * corpus: approx dot(query, vector) = Σ_m dot(query_sub_m,
