@@ -105,6 +105,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected purchase 91 matched only to click 11, got $rows")
   }
 
+  test("EQUIVALENCE: stream-stream interval join == batch interval join on real sf0.001 events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (EventStream.tsMicros(e.ts), e.event_id))
+    val clickEvents = events.filter(_.event_type == "click")
+    val purchaseEvents = events.filter(_.event_type == "purchase")
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStream.clickPurchaseJoin(clicks.toDF(), purchases.toDF(), windowSec = 3600L)
+      .writeStream.format("memory").queryName("attrib_eq").outputMode("append").start()
+    // two micro-batches per side, in event-time order
+    clickEvents.grouped(clickEvents.length / 2 + 1).foreach(c => clicks.addData(c.toSeq))
+    purchaseEvents.grouped(purchaseEvents.length / 2 + 1).foreach(c => purchases.addData(c.toSeq))
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT purchase_id, click_id FROM attrib_eq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    q.stop()
+    // batch twin: same join condition on static frames
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val batch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+      .join(ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("click_id")),
+        col("pu") === col("cu") && col("cts") <= col("pts") &&
+          col("cts") >= col("pts") - expr("INTERVAL 3600 SECOND"))
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(batch.nonEmpty, "fixture should produce at least one attribution pair")
+    assert(streamed == batch, s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+  }
+
   test("stateful sessionization: session spanning micro-batches is not split") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
