@@ -30,6 +30,13 @@ object Bench {
   // doubling under background load is jitter, not a regression. Flag
   // only when the warm slowdown also costs real time.
   private val MinWarmDeltaSec = 0.25
+  // Warm-ONLY escape hatch: a broken warm path (e.g. cache-reuse keying
+  // defeated) moves warm hard while cold is unchanged, which the dual
+  // cold+warm rule would miss. A severe warm regression (3x the
+  // baseline and at least half a second of real cost, as the median of
+  // three runs) is flagged regardless of cold.
+  private val SevereWarmFactor = 3.0
+  private val SevereWarmDeltaSec = 0.5
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,14 +88,17 @@ object Bench {
     }
     val regressions = results.flatMap { case (n, cold, warm) =>
       (priorCold.get(n), priorWarm.get(n)) match {
-        case (Some(oc), Some(ow))
-            if oc > 0 && ow > 0 &&
-              cold > oc * RegressionFactor && warm > ow * RegressionFactor &&
-              warm - ow > MinWarmDeltaSec =>
-          System.err.println(
-            f"[bench] REGRESSION $n: warm $warm%.3fs vs $ow%.3fs (${warm / ow}%.2fx), " +
-              f"cold $cold%.3fs vs $oc%.3fs (${cold / oc}%.2fx)")
-          Some(n -> BigDecimal(warm / ow).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        case (Some(oc), Some(ow)) if oc > 0 && ow > 0 =>
+          val dual = cold > oc * RegressionFactor && warm > ow * RegressionFactor &&
+            warm - ow > MinWarmDeltaSec
+          val severeWarm = warm > ow * SevereWarmFactor && warm - ow > SevereWarmDeltaSec
+          if (dual || severeWarm) {
+            System.err.println(
+              f"[bench] REGRESSION $n: warm $warm%.3fs vs $ow%.3fs (${warm / ow}%.2fx), " +
+                f"cold $cold%.3fs vs $oc%.3fs (${cold / oc}%.2fx)" +
+                (if (severeWarm && !dual) " [severe warm-only]" else ""))
+            Some(n -> BigDecimal(warm / ow).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          } else None
         case _ => None
       }
     }

@@ -1,6 +1,6 @@
 package graft
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.{ConcurrentHashMap, FutureTask}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -26,6 +26,10 @@ import org.apache.spark.storage.StorageLevel
   *    caches the *user* created. Call it when a batch of operator
   *    queries is done (Bench and Verify do, between queries; a library
   *    caller does at its own checkpoint boundaries).
+  *  - Entries belonging to a STOPPED session are purged lazily on every
+  *    registry call, so sessions that end without a releaseAll don't
+  *    pin their object graphs in these process-global maps for the JVM
+  *    lifetime.
   *
   * Operator-internal persists that are fully consumed inside one call
   * (k-means training iterations) do NOT go through the registry — they
@@ -38,11 +42,19 @@ object GraftCache {
   private def key(df: DataFrame): (SparkSession, LogicalPlan) =
     (df.sparkSession, df.queryExecution.analyzed.canonicalized)
 
+  private def purgeStopped(): Unit = {
+    val it = entries.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    val ait = artifacts.keySet().iterator()
+    while (ait.hasNext) if (ait.next()._1.sparkContext.isStopped) ait.remove()
+  }
+
   /** Persist `df` (MEMORY_AND_DISK) and track it; if an equivalent frame
     * is already tracked for this session, return the tracked one instead
     * of re-registering.
     */
   def persistTracked(df: DataFrame): DataFrame = {
+    purgeStopped()
     val k = key(df)
     val prev = entries.putIfAbsent(k, df)
     if (prev != null) prev
@@ -54,14 +66,31 @@ object GraftCache {
 
   /** Finished model artifacts (e.g. the 16-row k-means codebook): tiny
     * local-relation DataFrames memoized by (session, key) so repeated
-    * query builds don't re-run training. No RDD storage is held — these
-    * are collected literals — but entries are dropped by [[releaseAll]]
-    * so a session reset also re-trains.
+    * query builds don't re-run training; dropped by [[releaseAll]] so a
+    * session reset also re-trains.
+    *
+    * Values are held as FutureTasks so `compute` (which may be a
+    * multi-second Spark training loop) runs OUTSIDE any map lock:
+    * concurrent callers with the SAME key share one computation (the
+    * losers block on `get`), while callers with different keys — e.g.
+    * pqCodebooks' four concurrent subspace trainings — never serialize
+    * behind each other's bin lock the way `computeIfAbsent` would force.
     */
-  private val artifacts = new ConcurrentHashMap[(SparkSession, Any), DataFrame]()
+  private val artifacts = new ConcurrentHashMap[(SparkSession, Any), FutureTask[DataFrame]]()
 
-  def memoArtifact(spark: SparkSession, k: Any)(compute: => DataFrame): DataFrame =
-    artifacts.computeIfAbsent((spark, k), _ => compute)
+  def memoArtifact(spark: SparkSession, k: Any)(compute: => DataFrame): DataFrame = {
+    purgeStopped()
+    val task = new FutureTask[DataFrame](() => compute)
+    val prev = artifacts.putIfAbsent((spark, k), task)
+    val winner = if (prev != null) prev else { task.run(); task }
+    try winner.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        // a failed compute must not poison the memo for retries
+        artifacts.remove((spark, k), winner)
+        throw Option(e.getCause).getOrElse(e)
+    }
+  }
 
   /** Number of tracked entries for a session (test observability). */
   def trackedCount(spark: SparkSession): Int = {

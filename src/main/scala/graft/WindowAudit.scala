@@ -25,11 +25,24 @@ object WindowAudit {
 
   /** Expand attributes through Project aliases so a partition key like
     * `day` is seen as the `to_date(date_trunc(...))` that produced it.
+    * Iterated to a fixpoint: one transformUp pass does not re-visit the
+    * substituted subtrees, so an alias-of-an-alias (two chained
+    * Projects) needs further passes; the bound guards against any
+    * pathological alias cycle.
     */
-  private def expand(e: Expression, aliases: Map[Long, Expression]): Expression =
-    e.transformUp {
-      case a: Attribute if aliases.contains(a.exprId.id) => aliases(a.exprId.id)
+  private def expand(e: Expression, aliases: Map[Long, Expression]): Expression = {
+    var cur = e
+    var i = 0
+    while (i < 20) {
+      val next = cur.transformUp {
+        case a: Attribute if aliases.contains(a.exprId.id) => aliases(a.exprId.id)
+      }
+      if (next.fastEquals(cur)) return next
+      cur = next
+      i += 1
     }
+    cur
+  }
 
   private def isTimeBucket(e: Expression): Boolean =
     e.exists {

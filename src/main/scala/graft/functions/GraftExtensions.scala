@@ -55,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => Exprs.Shingles(args(0),
         literalInt("graft_shingles", "w", args(1)))))
     ext.injectFunction((
+      FunctionIdentifier("graft_min_k"),
+      info("graft_min_k", "graft_min_k(v, k) - aggregate: the k smallest bigint values, sorted ascending"),
+      (args: Seq[Expression]) => Exprs.MinKLong(args(0),
+        literalInt("graft_min_k", "k", args(1))).toAggregateExpression()))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "graft_minhash_sig(shingles, k) - k-permutation minhash signature"),
       (args: Seq[Expression]) => args match {

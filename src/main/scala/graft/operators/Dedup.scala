@@ -337,40 +337,51 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     def labelSum(df: DataFrame): Long =
       Option(df.agg(sum(col("label"))).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
-    var prevSum = labelSum(persisted) // materializes edges + initial labels
-    var labels = spark.createDataFrame(persisted.rdd, persisted.schema)
-    var rounds = 0
-    var converged = prevSum == 0L // empty edge graph: nothing to propagate
-    while (!converged) {
-      rounds += 1
-      if (rounds > maxRounds)
-        throw new IllegalStateException(
-          s"dedupClusters: no fixpoint after $maxRounds rounds (component diameter > $maxRounds?)")
-      val neighborMin = edges
-        .join(labels, col("src") === col("doc_id"))
-        .groupBy(col("dst"))
-        .agg(min(col("label")).as("nb_label"))
-      val next = labels
-        .join(neighborMin, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val s = labelSum(next) // materializes `next`
+    // The finally block releases whatever this call persisted if the
+    // loop throws (Spark failure, or maxRounds exceeded), so a failed
+    // propagation can't orphan cached frames the registry doesn't know
+    // about; on success only the tracked output frame stays cached.
+    var inflight: DataFrame = null
+    try {
+      var prevSum = labelSum(persisted) // materializes edges + initial labels
+      var labels = spark.createDataFrame(persisted.rdd, persisted.schema)
+      var rounds = 0
+      var converged = prevSum == 0L // empty edge graph: nothing to propagate
+      while (!converged) {
+        rounds += 1
+        if (rounds > maxRounds)
+          throw new IllegalStateException(
+            s"dedupClusters: no fixpoint after $maxRounds rounds (component diameter > $maxRounds?)")
+        val neighborMin = edges
+          .join(labels, col("src") === col("doc_id"))
+          .groupBy(col("dst"))
+          .agg(min(col("label")).as("nb_label"))
+        val next = labels
+          .join(neighborMin, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        inflight = next
+        val s = labelSum(next) // materializes `next`
+        persisted.unpersist(blocking = true)
+        persisted = next
+        inflight = null
+        labels = spark.createDataFrame(next.rdd, next.schema)
+        converged = s == prevSum
+        prevSum = s
+      }
+      // Hand ownership to the registry: persist the lineage-cut view
+      // (LogicalRDD leaf — downstream query builds never re-analyze the
+      // round chain), materialize it from the final round's cache, then
+      // drop that round's cache. releaseAll unpersists the tracked view.
+      val out = GraftCache.persistTracked(labels)
+      out.count()
+      out
+    } finally {
+      edges.unpersist(blocking = true)
       persisted.unpersist(blocking = true)
-      persisted = next
-      labels = spark.createDataFrame(next.rdd, next.schema)
-      converged = s == prevSum
-      prevSum = s
+      if (inflight != null && (inflight ne persisted)) inflight.unpersist(blocking = true)
     }
-    edges.unpersist(blocking = true)
-    // Hand ownership to the registry: persist the lineage-cut view
-    // (LogicalRDD leaf — downstream query builds never re-analyze the
-    // round chain), materialize it from the final round's cache, then
-    // drop that round's cache. releaseAll unpersists the tracked view.
-    val out = GraftCache.persistTracked(labels)
-    out.count()
-    persisted.unpersist(blocking = true)
-    out
   }
 
   val dedupClustersSql: String =

@@ -179,8 +179,12 @@ object Embeddings {
       .transform(GraftCache.persistTracked)
   }
 
+  /** Table t's bucket bits of a packed signature. Derived from
+    * BitsPerTable so the packed path can never silently diverge from
+    * the string-bucket path if the table width is retuned.
+    */
   private def nibble(x: Column, t: Int): Column =
-    shiftright(x, 4 * t).bitwiseAND(lit(15L))
+    shiftright(x, BitsPerTable * t).bitwiseAND(lit((1L << BitsPerTable) - 1))
 
   /** C5: cosine near-dup pairs — same LSH bucket in any table, verified
     * cosine ≥ threshold. The bucket join replaces the O(n²) cross
@@ -401,6 +405,12 @@ object Embeddings {
     var cent = q.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("c_id"), col("qv").as("cqv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // The finally block releases whatever is persisted at failure time
+    // (including a half-materialized iteration frame), so a mid-training
+    // Spark failure can't orphan cached frames the registry doesn't know
+    // about (zero-orphaned-caches invariant).
+    var inflight: DataFrame = null
+    try {
     cent.count() // materialize before the loop so unpersist order is safe
     for (_ <- 1 to iters) {
       val c = cent.withColumn("cnrm", dot(col("cqv"), col("cqv")))
@@ -422,17 +432,22 @@ object Embeddings {
       val next = cent.join(means, Seq("c_id"), "left")
         .select(col("c_id"), coalesce(col("new_cqv"), col("cqv")).as("cqv"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      inflight = next
       next.count() // one corpus pass, same total work as lazy chaining
       cent.unpersist(blocking = true)
       cent = next
+      inflight = null
     }
     val codebook = cent.withColumn("cnrm", dot(col("cqv"), col("cqv")))
     val rows = codebook.collect()
     val schema = codebook.schema
-    train.unpersist(blocking = true)
-    cent.unpersist(blocking = true)
     q.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), schema)
+    } finally {
+      train.unpersist(blocking = true)
+      cent.unpersist(blocking = true)
+      if (inflight != null && (inflight ne cent)) inflight.unpersist(blocking = true)
+    }
   }
 
   /** Vector→centroid assignment against a given codebook. Distance is

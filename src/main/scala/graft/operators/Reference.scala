@@ -437,6 +437,10 @@ object Reference {
   def dailyQuota(events: DataFrame, quota: Int = 5): DataFrame = {
     val day = to_date(date_trunc("day", col("ts")))
     events
+      // explicit non-null contract: MinKLong skips nulls, so a NULL
+      // event_id must not count toward `total` either (the oracle
+      // filters identically)
+      .filter(col("event_id").isNotNull)
       .select(day.as("day"), col("event_id"))
       .groupBy("day")
       .agg(
@@ -449,7 +453,7 @@ object Reference {
   val dailyQuotaSql: String =
     """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
       |  row_number() OVER (PARTITION BY CAST(date_trunc('day', ts) AS DATE) ORDER BY event_id) AS rn
-      |FROM events)
+      |FROM events WHERE event_id IS NOT NULL)
       |SELECT day, count(*) AS total,
       |  CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS kept
       |FROM d GROUP BY day""".stripMargin
@@ -462,6 +466,7 @@ object Reference {
   def dailyQuotaRows(events: DataFrame, quota: Int = 5): DataFrame = {
     val day = to_date(date_trunc("day", col("ts")))
     events
+      .filter(col("event_id").isNotNull)
       .select(day.as("day"), col("event_id"))
       .groupBy("day")
       .agg(Exprs.minK(col("event_id"), quota).as("kept_ids"))
@@ -471,7 +476,7 @@ object Reference {
   val dailyQuotaRowsSql: String =
     """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_id,
       |  row_number() OVER (PARTITION BY CAST(date_trunc('day', ts) AS DATE) ORDER BY event_id) AS rn
-      |FROM events)
+      |FROM events WHERE event_id IS NOT NULL)
       |SELECT day, event_id FROM d WHERE rn <= 5""".stripMargin
 
   /** A20: trailing-window activity — per event, the user's event count

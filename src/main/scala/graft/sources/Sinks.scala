@@ -135,17 +135,22 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging.toString)
     // Same crash-safe swap as mergeUpsert, per bucket: the current
     // bucket dir is parked under __prev (outside the table root, so
-    // partition discovery never sees it) before staging moves in.
+    // partition discovery never sees it) before staging moves in; if the
+    // staging rename fails, the parked dir is restored so the table is
+    // never left with a missing bucket.
     val prevRoot = new Path(path + "__prev")
     fs.delete(prevRoot, true)
     fs.mkdirs(prevRoot)
     touched.foreach { b =>
       val src = new Path(staging, s"bucket=$b")
       val dst = new Path(target, s"bucket=$b")
-      if (fs.exists(dst) && !fs.rename(dst, new Path(prevRoot, s"bucket=$b")))
+      val parked = new Path(prevRoot, s"bucket=$b")
+      if (fs.exists(dst) && !fs.rename(dst, parked))
         throw new java.io.IOException(s"mergeUpsertBucketed: rename $dst -> $prevRoot failed")
-      if (fs.exists(src) && !fs.rename(src, dst))
+      if (fs.exists(src) && !fs.rename(src, dst)) {
+        if (fs.exists(parked)) fs.rename(parked, dst) // restore the old bucket
         throw new java.io.IOException(s"mergeUpsertBucketed: rename $src -> $dst failed")
+      }
     }
     fs.delete(staging, true)
     fs.delete(prevRoot, true)

@@ -35,6 +35,17 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getSeq[String](0) == r.getSeq[String](1))
   }
 
+  test("graft_min_k is SQL-callable as a grouped aggregate") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 5L), (1L, 2L), (1L, 9L), (2L, 7L)).toDF("g", "v")
+      .createOrReplaceTempView("mk")
+    val r = spark.sql("SELECT g, graft_min_k(v, 2) AS ks FROM mk GROUP BY g ORDER BY g")
+      .collect()
+    assert(r(0).getSeq[Long](1) == Seq(2L, 5L))
+    assert(r(1).getSeq[Long](1) == Seq(7L))
+  }
+
   test("null inputs propagate null, not crash") {
     val r = spark.sql(
       "SELECT graft_dot_long(NULL, array(1L)) AS a, graft_hamming(NULL, 'x') AS b").head()

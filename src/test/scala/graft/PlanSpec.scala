@@ -109,6 +109,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(WindowAudit.timeBucketWindows(oldShape) == 1,
       "detector missed the per-day window over raw events")
 
+    // A time-bucket key laundered through TWO chained projects must
+    // still trip it (alias expansion has to reach a fixpoint).
+    val laundered = events
+      .select(col("*"), to_date(date_trunc("day", col("ts"))).as("d"))
+      .select(col("event_id"), col("d").as("day"))
+      .withColumn("rn", row_number().over(Window.partitionBy("day").orderBy("event_id")))
+    assert(WindowAudit.timeBucketWindows(laundered) == 1,
+      "detector missed a day window aliased through two projects")
+
     // A per-key window (sessionize shape) must NOT trip it.
     val keyed = events
       .withColumn("rn", row_number().over(Window.partitionBy("user_id").orderBy("event_id")))
