@@ -108,6 +108,14 @@ object Sinks {
     * staged, and swapped in; untouched buckets are never rewritten. At
     * 100 TB this turns a full-table rewrite into
     * |delta buckets|/numBuckets of one.
+    *
+    * Failure contract: the per-bucket swap parks the old bucket under
+    * `__prev` and restores it if the staging rename fails, so every
+    * bucket is always readable — but the swap is atomic per BUCKET, not
+    * per merge: a crash mid-loop leaves earlier touched buckets on the
+    * new version and later ones on the old. The merge is idempotent
+    * (latest-wins on the version column), so the recovery is simply to
+    * re-run it.
     */
   def mergeUpsertBucketed(spark: SparkSession, path: String, delta: DataFrame,
                           keys: Seq[String], versionCol: String,

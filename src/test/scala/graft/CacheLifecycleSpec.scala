@@ -45,6 +45,26 @@ class CacheLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"persisted RDDs remain: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("memoArtifact: failed compute doesn't poison the memo; success is computed once") {
+    var calls = 0
+    intercept[RuntimeException] {
+      GraftCache.memoArtifact(spark, "lifecycle-spec-boom") {
+        calls += 1; throw new RuntimeException("training failed")
+      }
+    }
+    // retry after failure recomputes...
+    val df = GraftCache.memoArtifact(spark, "lifecycle-spec-boom") {
+      calls += 1; spark.range(1).toDF()
+    }
+    assert(calls == 2 && df.count() == 1)
+    // ...and a further call reuses the memo
+    GraftCache.memoArtifact(spark, "lifecycle-spec-boom") {
+      calls += 1; spark.range(1).toDF()
+    }
+    assert(calls == 2, "successful artifact should be memoized")
+    GraftCache.releaseAll(spark)
+  }
+
   test("k-means training cleans up its internal persists without the registry") {
     GraftCache.releaseAll(spark)
     val q = Embeddings.quantized(Tables.embeddings(spark, sf))
