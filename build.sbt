@@ -23,6 +23,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// The round driver parses the last stdout line of `sbt runMain graft.Bench`
+// as the bench JSON; sbt's "[success] Total time …" epilogue printed after
+// the JSON is what it found instead (BENCH_r01..r03 all show parsed:null).
+// Suppress the epilogue so the JSON line is genuinely last.
+Global / showSuccess := false
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -54,7 +54,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional focus list for local iteration (the driver never sets it):
+    // SPARK_GRAFT_QUERIES=q5_local_supplier_volume,q_ann_pq
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      sys.env.get("SPARK_GRAFT_QUERIES")
+        .map(csv => { val want = csv.split(",").map(_.trim).toSet; all.filter(want) })
+        .getOrElse(all)
+    }
     names.foreach(runOnce) // warmup: codegen + JIT + IO caches
     val results = names.map { n =>
       GraftCache.releaseAll(spark) // drop graft-tracked frames -> honest cold run

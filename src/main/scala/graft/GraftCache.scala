@@ -56,12 +56,18 @@ object GraftCache {
   def persistTracked(df: DataFrame): DataFrame = {
     purgeStopped()
     val k = key(df)
+    // Persist BEFORE registering, so tracked == persisted always holds:
+    // a concurrent loser that receives the winner's frame sees it already
+    // persisted, and a persist() failure never leaves an unpersisted
+    // frame registered. If two callers race past putIfAbsent, both
+    // persist the same canonical plan — CacheManager dedupes that to ONE
+    // cache entry (the second persist is a no-op), and releaseAll's
+    // single unpersist of the tracked frame drops it. The loser must NOT
+    // unpersist its handle: cached data is keyed by plan, so that would
+    // evict the winner's entry too.
+    df.persist(StorageLevel.MEMORY_AND_DISK)
     val prev = entries.putIfAbsent(k, df)
-    if (prev != null) prev
-    else {
-      df.persist(StorageLevel.MEMORY_AND_DISK)
-      df
-    }
+    if (prev != null) prev else df
   }
 
   /** Finished model artifacts (e.g. the 16-row k-means codebook): tiny

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -375,6 +375,124 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Bounded top-k-by-score aggregate: keeps the k (score DOUBLE,
+    * id BIGINT) pairs with the highest score (ties broken by smaller id)
+    * and returns them as `array<struct<score double, id bigint>>` sorted
+    * best-first.
+    *
+    * The scale-safe replacement for `row_number() OVER (PARTITION BY g
+    * ORDER BY score DESC, id) <= k` when the per-group candidate set is
+    * data-proportional (ANN scans score the whole probed corpus per
+    * query): the window sorts every scored row of a group in one
+    * unsplittable task, while this aggregate's map-side partials stay
+    * k-bounded and the shuffle moves O(groups * k) pairs. Twin of
+    * [[MinKLong]] for scored ids.
+    */
+  case class MaxKScored(
+      score: Expression,
+      id: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.PriorityQueue[MaxKScored.Entry]]
+      with BinaryLike[Expression] {
+    require(k > 0, "graft_max_k_scored: k must be positive")
+
+    override def left: Expression = score
+    override def right: Expression = id
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (score.dataType == DoubleType && id.dataType == LongType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_max_k_scored needs (DOUBLE, BIGINT), got " +
+          s"(${score.dataType.catalogString}, ${id.dataType.catalogString})")
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("score", DoubleType, nullable = false),
+        StructField("id", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_max_k_scored"
+
+    // Heap head = the WORST kept pair (lowest score, then largest id),
+    // so admission tests and evictions are O(log k).
+    override def createAggregationBuffer(): java.util.PriorityQueue[MaxKScored.Entry] =
+      new java.util.PriorityQueue[MaxKScored.Entry](k + 1, MaxKScored.worstFirst)
+
+    private def offer(buf: java.util.PriorityQueue[MaxKScored.Entry],
+                      s: Double, i: Long): Unit =
+      if (buf.size < k) buf.add(MaxKScored.Entry(s, i))
+      else {
+        val head = buf.peek()
+        // candidate beats the current worst: higher score, or same score
+        // with a smaller id (Spark's DESC-score, ASC-id window order)
+        if (s > head.score || (s == head.score && i < head.id)) {
+          buf.poll(); buf.add(MaxKScored.Entry(s, i))
+        }
+      }
+
+    override def update(
+        buf: java.util.PriorityQueue[MaxKScored.Entry],
+        input: org.apache.spark.sql.catalyst.InternalRow): java.util.PriorityQueue[MaxKScored.Entry] = {
+      val s = score.eval(input)
+      val i = id.eval(input)
+      if (s != null && i != null) offer(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
+      buf
+    }
+
+    override def merge(
+        buf: java.util.PriorityQueue[MaxKScored.Entry],
+        other: java.util.PriorityQueue[MaxKScored.Entry]): java.util.PriorityQueue[MaxKScored.Entry] = {
+      val it = other.iterator()
+      while (it.hasNext) { val e = it.next(); offer(buf, e.score, e.id) }
+      buf
+    }
+
+    override def eval(buf: java.util.PriorityQueue[MaxKScored.Entry]): Any = {
+      val arr = buf.toArray(new Array[MaxKScored.Entry](buf.size))
+      java.util.Arrays.sort(arr, MaxKScored.bestFirst)
+      new GenericArrayData(arr.map(e =>
+        org.apache.spark.sql.catalyst.InternalRow(e.score, e.id)): Array[Any])
+    }
+
+    override def serialize(buf: java.util.PriorityQueue[MaxKScored.Entry]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) { val e = it.next(); bb.putDouble(e.score); bb.putLong(e.id) }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[MaxKScored.Entry] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) { buf.add(MaxKScored.Entry(bb.getDouble, bb.getLong)); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): MaxKScored =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): MaxKScored =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): MaxKScored =
+      copy(score = newLeft, id = newRight)
+  }
+
+  object MaxKScored {
+    final case class Entry(score: Double, id: Long)
+    // "better" = higher score, tie → smaller id
+    val bestFirst: java.util.Comparator[Entry] = (a: Entry, b: Entry) => {
+      val c = java.lang.Double.compare(b.score, a.score)
+      if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+    }
+    val worstFirst: java.util.Comparator[Entry] = bestFirst.reversed()
+  }
+
   // Column-level API
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.column(DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -389,4 +507,8 @@ object Exprs {
   def minK(v: Column, k: Int): Column =
     ColumnBridge.column(
       MinKLong(ColumnBridge.expression(v), k).toAggregateExpression())
+  def maxKScored(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      MaxKScored(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
 }

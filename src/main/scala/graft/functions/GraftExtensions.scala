@@ -60,6 +60,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => Exprs.MinKLong(args(0),
         literalInt("graft_min_k", "k", args(1))).toAggregateExpression()))
     ext.injectFunction((
+      FunctionIdentifier("graft_max_k_scored"),
+      info("graft_max_k_scored",
+        "graft_max_k_scored(score, id, k) - aggregate: the k (score double, id bigint) pairs with highest score (ties: smaller id), best-first"),
+      (args: Seq[Expression]) => Exprs.MaxKScored(args(0), args(1),
+        literalInt("graft_max_k_scored", "k", args(2))).toAggregateExpression()))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "graft_minhash_sig(shingles, k) - k-permutation minhash signature"),
       (args: Seq[Expression]) => args match {

@@ -577,9 +577,16 @@ object Embeddings {
         (adot.cast("double") /
           (sqrt(col("q_nrm").cast("double")) * sqrt(anrm.cast("double"))))
           .as("approx_cos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("approx_cos").desc, col("n_id"))))
-      .filter(col("rn") <= TopK)
+      // Bounded top-k, NOT a row_number window: each q_id scores the
+      // whole encoded corpus, so a per-q_id window would sort all of it
+      // in one unsplittable task at the 100 TB scale PQ targets. The
+      // MaxKScored aggregate keeps k pairs per group map-side and
+      // shuffles O(probes * k) rows.
+      .groupBy("q_id")
+      .agg(graft.functions.Exprs.maxKScored(col("approx_cos"), col("n_id"), TopK).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("n_id"), col("t.score").as("approx_cos"),
+        (col("pos") + 1).cast("int").as("rn"))
   }
 
   /** DuckDB mirror of [[kmeansCodebook]]: cent0 = first-N init, then per

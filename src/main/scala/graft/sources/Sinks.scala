@@ -77,6 +77,15 @@ object Sinks {
                   keys: Seq[String], versionCol: String): Unit = {
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery FIRST: a prior run that died between the two swap
+    // renames leaves the only full copy parked at __prev with no target.
+    // Restore it before merging — otherwise this run would treat the
+    // delta as the whole table and the cleanup below would delete the
+    // parked copy, silently dropping every non-delta row.
+    val prev = new Path(path + "__prev")
+    if (fs.exists(prev) && !fs.exists(target) && !fs.rename(prev, target))
+      throw new java.io.IOException(
+        s"mergeUpsert: crash-recovery rename $prev -> $target failed; restore it manually")
     val merged =
       if (fs.exists(target))
         latestWins(spark.read.parquet(path), delta, keys, versionCol)
@@ -85,11 +94,11 @@ object Sinks {
     val staging = new Path(path + "__staging")
     fs.delete(staging, true)
     merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    // Crash-safe swap: park the current table at __prev BEFORE moving
-    // staging in — a crash at any point leaves either the old table or
-    // a recoverable __prev copy, never a window with no readable data
-    // (the old delete-then-rename had exactly that window).
-    val prev = new Path(path + "__prev")
+    // Crash-RECOVERABLE swap (not atomic): park the current table at
+    // __prev, then move staging in. Concurrent readers do see a brief
+    // no-target window between the two renames; a crash inside that
+    // window leaves the data parked at __prev, which the recovery block
+    // at the top of this method restores on the next run.
     fs.delete(prev, true)
     if (fs.exists(target) && !fs.rename(target, prev))
       throw new java.io.IOException(s"mergeUpsert: rename $target -> $prev failed")
@@ -115,7 +124,8 @@ object Sinks {
     * per merge: a crash mid-loop leaves earlier touched buckets on the
     * new version and later ones on the old. The merge is idempotent
     * (latest-wins on the version column), so the recovery is simply to
-    * re-run it.
+    * re-run it: the re-run first restores any bucket a dying swap left
+    * parked under `__prev`, so no committed row is ever lost.
     */
   def mergeUpsertBucketed(spark: SparkSession, path: String, delta: DataFrame,
                           keys: Seq[String], versionCol: String,
@@ -123,6 +133,21 @@ object Sinks {
     val bucket = pmod(hash(keys.map(col): _*), lit(numBuckets))
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery FIRST: restore any bucket whose prior swap died
+    // between park and staging-rename (parked copy exists, target bucket
+    // missing). A parked bucket whose target EXISTS means that bucket's
+    // swap completed — the parked copy is stale and safe to drop with
+    // the rest of prevRoot.
+    val prevRoot = new Path(path + "__prev")
+    if (fs.exists(prevRoot)) {
+      fs.listStatus(prevRoot).foreach { st =>
+        val dst = new Path(target, st.getPath.getName)
+        if (!fs.exists(dst) && !fs.rename(st.getPath, dst))
+          throw new java.io.IOException(
+            s"mergeUpsertBucketed: crash-recovery rename ${st.getPath} -> $dst failed; restore it manually")
+      }
+      fs.delete(prevRoot, true)
+    }
     val deltaB = delta.withColumn("bucket", bucket)
     if (!fs.exists(target)) {
       latestWins(deltaB.limit(0), deltaB, keys, versionCol)
@@ -141,12 +166,12 @@ object Sinks {
     fs.delete(staging, true)
     merged.repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging.toString)
-    // Same crash-safe swap as mergeUpsert, per bucket: the current
-    // bucket dir is parked under __prev (outside the table root, so
-    // partition discovery never sees it) before staging moves in; if the
-    // staging rename fails, the parked dir is restored so the table is
-    // never left with a missing bucket.
-    val prevRoot = new Path(path + "__prev")
+    // Same crash-recoverable swap as mergeUpsert, per bucket: the
+    // current bucket dir is parked under __prev (outside the table root,
+    // so partition discovery never sees it) before staging moves in; if
+    // the staging rename fails, the parked dir is restored in-line, and
+    // a crash between the renames is healed by the recovery block above
+    // on the next run.
     fs.delete(prevRoot, true)
     fs.mkdirs(prevRoot)
     touched.foreach { b =>

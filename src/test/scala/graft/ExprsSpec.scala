@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -105,6 +105,59 @@ class ExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .agg(Exprs.minK(col("v"), k)).head().getSeq[Long](0)
       assert(got == vs.sorted.take(k),
         s"trial $trial: k=$k parts=$parts got=$got expected=${vs.sorted.take(k)}")
+    }
+  }
+
+  test("MaxKScored == row_number window formulation (grouped, with nulls and ties)") {
+    val s = spark
+    import s.implicits._
+    // Score every (user, event) with a deterministic pseudo-score that
+    // manufactures ties, then compare the bounded aggregate against the
+    // exact window spec it replaces in annPq.
+    val scored = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        (pmod(col("event_id"), lit(7)).cast("double") / 7d).as("score"))
+    val k = 4
+    val fast = scored.groupBy("user_id")
+      .agg(Exprs.maxKScored(col("score"), col("event_id"), k).as("top"))
+      .select(col("user_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("user_id"), col("t.id").as("event_id"),
+        col("t.score").as("score"), (col("pos") + 1).as("rn"))
+    val slow = scored
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("score").desc, col("event_id"))))
+      .filter(col("rn") <= k)
+      .select(col("user_id"), col("event_id"), col("score"), col("rn"))
+    assert(fast.except(slow).count() == 0 && slow.except(fast).count() == 0)
+
+    // Nulls skipped; small groups return all their rows best-first.
+    val tiny = Seq(
+      (1L, java.lang.Double.valueOf(0.5), 10L),
+      (1L, null.asInstanceOf[java.lang.Double], 11L),
+      (2L, java.lang.Double.valueOf(0.9), 12L))
+      .toDF("g", "s", "i")
+    val r = tiny.groupBy("g").agg(Exprs.maxKScored(col("s"), col("i"), 3).as("top"))
+      .orderBy("g").collect()
+    assert(r(0).getSeq[Row](1).map(x => (x.getDouble(0), x.getLong(1))) == Seq((0.5, 10L)))
+    assert(r(1).getSeq[Row](1).map(x => (x.getDouble(0), x.getLong(1))) == Seq((0.9, 12L)))
+  }
+
+  test("MaxKScored is partitioning-invariant (distributed merge correctness)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 25) {
+      // Coarse scores (10 distinct values) force tie-breaks through the
+      // merge path; expected = sort by (score desc, id asc) take k.
+      val vs = List.fill(5 + rnd.nextInt(60))((rnd.nextInt(10) / 10.0, rnd.nextLong() / 2))
+      val k = 1 + rnd.nextInt(8)
+      val parts = 1 + rnd.nextInt(7)
+      val got = vs.toDF("s", "i").repartition(parts)
+        .agg(Exprs.maxKScored(col("s"), col("i"), k)).head().getSeq[Row](0)
+        .map(x => (x.getDouble(0), x.getLong(1)))
+      val want = vs.sortBy { case (sc, id) => (-sc, id) }.take(k)
+      assert(got == want, s"trial $trial: k=$k parts=$parts got=$got expected=$want")
     }
   }
 

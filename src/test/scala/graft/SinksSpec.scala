@@ -116,6 +116,51 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(untouched.nonEmpty, "expected at least one bucket directory left un-rewritten")
   }
 
+  test("mergeUpsert recovers a table parked at __prev by an interrupted swap") {
+    val s = spark
+    import s.implicits._
+    val path = s"$tmp/users_merge_crash"
+    val base = Seq((1L, "alice", 100L), (2L, "bob", 100L))
+      .toDF("user_id", "username", "last_updated_us")
+    Sinks.mergeUpsert(spark, path, base, Seq("user_id"), "last_updated_us")
+    // Simulate a crash between the two swap renames: the table sits at
+    // __prev and the target is gone.
+    val dir = new java.io.File(path)
+    assert(dir.renameTo(new java.io.File(path + "__prev")))
+    val delta = Seq((3L, "carol", 200L)).toDF("user_id", "username", "last_updated_us")
+    Sinks.mergeUpsert(spark, path, delta, Seq("user_id"), "last_updated_us")
+    // The re-run must restore the parked base rows, not drop them.
+    val got = spark.read.parquet(path).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "alice"), (2L, "bob"), (3L, "carol")))
+    assert(!new java.io.File(path + "__prev").exists())
+  }
+
+  test("mergeUpsertBucketed recovers buckets parked by an interrupted swap") {
+    val s = spark
+    import s.implicits._
+    val path = s"$tmp/users_merge_bucketed_crash"
+    val base = (1L to 100L).map(i => (i, s"u$i", 100L))
+      .toDF("user_id", "username", "last_updated_us")
+    Sinks.mergeUpsertBucketed(spark, path, base, Seq("user_id"), "last_updated_us", numBuckets = 8)
+    // Simulate a mid-loop crash: one bucket parked at __prev with its
+    // target dir missing (swap died between renames), plus one STALE
+    // parked bucket whose target still exists (its swap completed).
+    val buckets = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(buckets.length >= 2)
+    val prevRoot = new java.io.File(path + "__prev"); prevRoot.mkdirs()
+    val interrupted = buckets(0)
+    assert(new java.io.File(s"$path/$interrupted").renameTo(new java.io.File(prevRoot, interrupted)))
+    val stale = new java.io.File(prevRoot, buckets(1)); stale.mkdirs() // empty stale park
+    val before = spark.read.parquet(path).count() // table currently missing a bucket
+    assert(before < 100)
+    val delta = Seq((101L, "u101", 200L)).toDF("user_id", "username", "last_updated_us")
+    Sinks.mergeUpsertBucketed(spark, path, delta, Seq("user_id"), "last_updated_us", numBuckets = 8)
+    // All 100 base rows restored + the delta row; stale park discarded.
+    assert(spark.read.parquet(path).count() == 101)
+    assert(!prevRoot.exists())
+  }
+
   test("non-bucketed join of the same data DOES shuffle both sides (control)") {
     val joined = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
       .join(Tables.customer(spark, sf).select("c_custkey", "c_name"),
