@@ -498,7 +498,85 @@ object TextOps {
        |WHERE q.quality >= 0.5""".stripMargin
   }
 
+  /** C24: context-window chunking — split each document's token stream
+    * into overlapping chunks of `chunkSize` tokens every `stride` tokens
+    * (overlap = chunkSize - stride), the standard pre-tokenization shape
+    * for long-document training and embedding-indexing pipelines. Pure
+    * map-side explode (sequence of chunk starts, then an array slice per
+    * start): no shuffle anywhere, embarrassingly parallel at any scale.
+    * chunk_idx = start_tok / stride, so ordinals are derived, not
+    * row-numbered — identical in any engine without a window.
+    */
+  def chunkDocs(documents: DataFrame, chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      "chunkDocs: need 0 < stride <= chunkSize")
+    documents
+      .select(col("doc_id"), toks.as("t"), size(toks).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), col("n_tok") - 1, lit(stride.toLong))).as("start_tok"))
+      .select(
+        col("doc_id"),
+        (col("start_tok") / stride).cast("long").as("chunk_idx"),
+        col("start_tok"),
+        slice(col("t"), (col("start_tok") + 1).cast("int"), lit(chunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_chunk_tok"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  val chunkDocsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      |s AS (SELECT doc_id, toks, n_tok,
+      |  unnest(range(0, n_tok, 48)) AS start_tok FROM t)
+      |SELECT doc_id, start_tok // 48 AS chunk_idx, start_tok,
+      |  CAST(len(list_slice(toks, start_tok + 1, least(start_tok + 64, n_tok))) AS BIGINT) AS n_chunk_tok,
+      |  array_to_string(list_slice(toks, start_tok + 1, least(start_tok + 64, n_tok)), ' ') AS chunk_text
+      |FROM s""".stripMargin
+
+  /** C25: sequence packing — assign documents to fixed token-budget bins
+    * (training context windows are filled with concatenated docs; the
+    * mix is specified in tokens, SURVEY §2 C19's sibling). Deterministic
+    * contiguous fill per (lang, shard) stream: bin = floor(tokens-before
+    * / budget), the standard approximate packing (a bin may overshoot by
+    * at most one document — exact first-fit is inherently sequential).
+    * Sharding bounds the running-sum window: shard count is a tunable
+    * that scales with executor count (32 here to match local[32]), so no
+    * window partition is ever the whole corpus — the same per-shard
+    * sequential layout a real packing job uses. Output is per-bin
+    * telemetry, O(total_tokens / budget) rows.
+    */
+  def packSequences(documents: DataFrame, budget: Long = 512L, shards: Int = 32): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        size(toks).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("bin_id", expr(s"(cum_tok - n_tok) DIV $budget"))
+      .groupBy("lang", "shard", "bin_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  val packSequencesSql: String =
+    """WITH t AS (SELECT doc_id, lang, doc_id % 32 AS shard,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      |c AS (SELECT doc_id, lang, shard, n_tok,
+      |  CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok FROM t)
+      |SELECT lang, shard, (cum_tok - n_tok) // 512 AS bin_id,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY lang, shard, bin_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_docs" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
+    "q_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
     "q_token_budget_mix" -> ((s, d) => tokenBudgetMix(Tables.documents(s, d))),
     "q_curated_corpus" -> ((s, d) => curatedCorpus(Tables.documents(s, d))),
     "q_top_ngrams" -> ((s, d) => topNgrams(Tables.documents(s, d))),
@@ -516,6 +594,8 @@ object TextOps {
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_chunk_docs" -> chunkDocsSql,
+    "q_pack_sequences" -> packSequencesSql,
     "q_token_budget_mix" -> tokenBudgetMixSql,
     "q_curated_corpus" -> curatedCorpusSql,
     "q_top_ngrams" -> topNgramsSql,

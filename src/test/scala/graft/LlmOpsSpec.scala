@@ -43,6 +43,67 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0)
   }
 
+  test("chunking: full token coverage, overlap = chunkSize - stride, text reconstructs") {
+    val docs = Tables.documents(spark, sf)
+    val chunks = TextOps.chunkDocs(docs, chunkSize = 64, stride = 48)
+    // Every token of every doc is covered: per doc, sum of (stride-worth
+    // of new tokens) == n_tok, i.e. last chunk ends exactly at n_tok.
+    val cover = chunks.groupBy("doc_id")
+      .agg(max(col("start_tok") + col("n_chunk_tok")).as("covered"),
+        count(lit(1)).as("n_chunks"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")), "doc_id")
+    assert(cover.filter(col("covered") =!= col("n_tok")).count() == 0)
+    // chunk_idx is dense 0..n-1 per doc (derived from start, no window)
+    val dense = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("chunk_idx").as("mx"), min("chunk_idx").as("mn"))
+    assert(dense.filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count() == 0)
+    // Non-final chunks are exactly chunkSize tokens; stitching chunk 0
+    // with the non-overlapped tail of chunk 1 reproduces the doc prefix.
+    val first2 = chunks.filter(col("chunk_idx") <= 1)
+      .groupBy("doc_id").pivot("chunk_idx", Seq(0, 1))
+      .agg(first(col("chunk_text")))
+      .filter(col("1").isNotNull)
+      .join(docs.select("doc_id", "text"), "doc_id")
+      // chunk 0 is only a full chunkSize window when the doc has >= 64
+      // tokens (shorter docs still chunk, but chunk 0 is their whole text)
+      .filter(size(split(col("text"), " ")) >= 64)
+      .limit(20).collect()
+    assert(first2.nonEmpty)
+    first2.foreach { r =>
+      val c0 = r.getAs[String]("0").split(" ")
+      val c1 = r.getAs[String]("1").split(" ")
+      val full = r.getAs[String]("text").split(" ")
+      assert(c0.length == 64)
+      assert(c0.drop(48).sameElements(c1.take(16)), s"doc ${r.get(0)}: overlap mismatch")
+      assert((c0 ++ c1.drop(16)).sameElements(full.take(48 + c1.length)))
+    }
+  }
+
+  test("sequence packing: bins partition the corpus, budget respected before overshoot") {
+    val docs = Tables.documents(spark, sf)
+    val budget = 512L
+    val bins = TextOps.packSequences(docs, budget = budget, shards = 32)
+    // Conservation: every doc's tokens land in exactly one bin.
+    val totTokens = docs.select(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    val totDocs = docs.count()
+    val agg = bins.agg(sum("n_tokens"), sum("n_docs")).head
+    assert(agg.getLong(0) == totTokens && agg.getLong(1) == totDocs)
+    // Contiguous fill: bins within a (lang, shard) stream have
+    // non-overlapping doc ranges in bin order.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang", "shard").orderBy("bin_id")
+    val overlap = bins
+      .withColumn("prev_last", lag("last_doc", 1).over(w))
+      .filter(col("prev_last").isNotNull && col("first_doc") <= col("prev_last"))
+    assert(overlap.count() == 0)
+    // Overshoot bound: a bin opens strictly under the next budget
+    // boundary, so it can exceed the budget by at most one document:
+    // n_tokens < budget + max single-doc token count.
+    val maxDoc = docs.select(max(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    assert(bins.filter(col("n_tokens") >= budget + maxDoc).count() == 0)
+  }
+
   test("minhash candidates have higher jaccard than random pairs") {
     val j = Dedup.dedupNgramJaccard(Tables.documents(spark, sf))
     val candAvg = j.agg(avg("jaccard")).head().getDouble(0)
