@@ -59,6 +59,28 @@ object Smoke {
       math.abs(audioOut(0).getDouble(5) - 1.0) < 1e-9, "1s 8kHz wav should decode")
     require(!audioOut(1).getBoolean(1), "garbage bytes should quarantine in-band")
 
+    // 2c. real video decode kernel (RIFF/AVI container + raw-DIB frames)
+    val aviBos = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ u32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val frame = Array.fill[Byte](12 * 2)(80.toByte) // 4x2 gray-80 BGR24
+    val avih = chunk("avih", u32(100000L) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(2) ++
+      u32(0) ++ u32(1) ++ u32(0) ++ u32(4) ++ u32(2) ++ Array.fill[Byte](16)(0))
+    val body = "AVI ".getBytes("US-ASCII") ++
+      chunk("LIST", "hdrl".getBytes("US-ASCII") ++ avih) ++
+      chunk("LIST", "movi".getBytes("US-ASCII") ++ chunk("00db", frame) ++ chunk("00db", frame))
+    aviBos.write("RIFF".getBytes("US-ASCII") ++ u32(body.length) ++ body)
+    val videoOut = Multimodal.extractVideoFeatures(
+      Seq((1L, aviBos.toByteArray), (2L, Array[Byte](9, 9, 9))).toDF("media_id", "payload"))
+      .orderBy("media_id").collect()
+    println(s"[smoke] video decode: ${videoOut.mkString("; ")}")
+    require(videoOut(0).getBoolean(1) && videoOut(0).getInt(2) == 4 &&
+      videoOut(0).getDouble(7) == 80.0, "gray AVI should decode with exact luma")
+    require(!videoOut(1).getBoolean(1), "garbage bytes should quarantine in-band")
+
     // 3. facade mutual followers
     val followers = Seq((1L, 2L), (2L, 1L)).toDF("user_id", "other_id")
     val following = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("user_id", "other_id")

@@ -21,12 +21,15 @@ import org.apache.spark.sql.types._
   * instead of failing the job. The AUDIO path is real too:
   * [[decodeAudio]]/[[extractAudioFeatures]] decode WAV/AIFF/AU PCM with
   * the JDK's `javax.sound.sampled` codecs into rate/channels/duration +
-  * per-channel RMS, same quarantine. Only the VIDEO kernel remains a
-  * clearly-marked STUB (no video codec in the JDK): a deterministic
-  * byte-histogram stands in for the decode + feature model. Everything
-  * around all three — schema, batch shape, partition preservation,
-  * metadata propagation — is the real Spark-side contract a production
-  * decode plugs into.
+  * per-channel RMS, same quarantine. The VIDEO path is real as well:
+  * [[decodeVideo]]/[[extractVideoFeatures]] parse the RIFF/AVI
+  * container (header metadata + frame chunk walk) and decode sampled
+  * MJPEG or uncompressed-DIB frames into the same luma features —
+  * covering the encodings decodable without external codecs; other
+  * codecs (H.264 etc.) quarantine in-band rather than erroring.
+  * Everything around all three — schema, batch shape, partition
+  * preservation, metadata propagation — is the real Spark-side
+  * contract a production decode plugs into.
   *
   * Scale: mapPartitions keeps the decode embarrassingly parallel with
   * zero shuffle; batches amortize per-call overhead exactly like Arrow
@@ -55,12 +58,11 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
-  /** STUB decode kernel ??? — stands in for the VIDEO decode + feature
-    * model (a real implementation would use ffmpeg-class codecs the JDK
-    * does not ship; images and audio have real JDK-codec paths below).
-    * This deterministic byte-histogram keeps the batch contract
-    * testable: same payload → same features, FeatureDim floats, L1-
-    * normalized.
+  /** Kind-agnostic contract kernel: a deterministic byte-histogram
+    * (same payload → same features, FeatureDim floats, L1-normalized)
+    * that keeps [[extractFeatures]]'s batch contract testable without
+    * a codec. The real per-modality kernels are [[decodeImage]],
+    * [[decodeAudio]] and [[decodeVideo]] below.
     */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](FeatureDim)
@@ -290,6 +292,182 @@ object Multimodal {
                 Row(r.getLong(0), true, rate, ch, frames, dur, rms.toSeq)
               case None =>
                 Row(r.getLong(0), false, null, null, null, null, null)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  // ---------------- real video decode (pure-JVM RIFF/AVI) ----------------
+
+  /** Decode cost bound: at most this many frames are actually decoded
+    * per payload regardless of declared length (every `sampleEvery`-th
+    * frame up to this cap) — a feature-length file costs the same as a
+    * clip. */
+  val MaxSampledFrames = 8
+
+  val videoFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("fps", DoubleType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("n_sampled", IntegerType, nullable = true),
+    StructField("mean_luma", DoubleType, nullable = true),
+    StructField("luma_hist", ArrayType(DoubleType, containsNull = false), nullable = true)))
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Real video decode: RIFF/AVI container parse (pure JVM — the
+    * container walk every video pipeline starts with) + per-frame
+    * decode for the two frame encodings decodable without external
+    * codecs: MJPEG (`00dc` chunks holding JPEG bytes → ImageIO, the
+    * same codec path as [[decodeImage]]) and uncompressed bottom-up
+    * BGR24 DIB (`00db` chunks). Header metadata (dims, fps, frame
+    * count) comes from the `avih` MainAVIHeader; every `sampleEvery`-th
+    * stream-0 frame up to [[MaxSampledFrames]] is decoded into the same
+    * stride-bounded Rec.601 luma histogram as the image path. Returns
+    * None for bytes that are not a parseable AVI or whose sampled
+    * frames all fail to decode — callers quarantine in-band exactly
+    * like images/audio.
+    *
+    * All chunk offsets/sizes come from untrusted bytes: every read is
+    * bounds-checked and the walk is depth-limited, so a hostile payload
+    * degrades to `decode_ok = false`, never an error or a runaway scan.
+    */
+  def decodeVideo(payload: Array[Byte], sampleEvery: Int = 4)
+      : Option[(Int, Int, Double, Long, Int, Double, Array[Double])] = {
+    if (payload == null || payload.length < 24) return None
+    try {
+      if (fourcc(payload, 0) != "RIFF" || fourcc(payload, 8) != "AVI ") return None
+      val end = math.min(payload.length.toLong, 8L + u32le(payload, 4)).toInt
+
+      // avih MainAVIHeader fields (all u32 LE at fixed offsets)
+      var microSecPerFrame = 0L
+      var totalFrames = 0L
+      var width = 0
+      var height = 0
+      var haveHeader = false
+      // byte ranges of stream-0 frame chunks, in stream order
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+
+      def walk(from: Int, to: Int, depth: Int): Unit = {
+        var off = from
+        while (off + 8 <= to && depth < 8) {
+          val id = fourcc(payload, off)
+          val size = u32le(payload, off + 4)
+          val dataStart = off + 8
+          if (size < 0 || dataStart + size > to) return // truncated/hostile
+          val dataEnd = (dataStart + size).toInt
+          if (id == "LIST" && size >= 4) {
+            // LIST payload = 4-byte list type + sub-chunks
+            walk(dataStart + 4, dataEnd, depth + 1)
+          } else if (id == "avih" && size >= 40) {
+            microSecPerFrame = u32le(payload, dataStart)
+            totalFrames = u32le(payload, dataStart + 16)
+            width = u32le(payload, dataStart + 32).toInt
+            height = u32le(payload, dataStart + 36).toInt
+            haveHeader = true
+          } else if ((id == "00dc" || id == "00db") && size > 0) {
+            frames += ((dataStart, size.toInt, id))
+          }
+          off = dataEnd + (dataEnd & 1) // chunks pad to even offsets
+        }
+      }
+      walk(12, end, 0)
+
+      if (!haveHeader || width <= 0 || height <= 0 || frames.isEmpty) return None
+
+      val hist = new Array[Double](LumaBins)
+      var lumaSum = 0L
+      var n = 0L
+      var sampled = 0
+      var idx = 0
+      while (idx < frames.length && sampled < MaxSampledFrames) {
+        val (start, size, id) = frames(idx)
+        // per-frame failures skip the frame, not the whole payload
+        val decoded: Option[java.awt.image.BufferedImage] =
+          if (id == "00dc")
+            try Option(ImageIO.read(new ByteArrayInputStream(payload, start, size)))
+            catch { case _: Exception => None }
+          else {
+            // bottom-up BGR24 DIB: rows padded to 4-byte multiples
+            val rowBytes = (width * 3 + 3) & ~3
+            if (size < rowBytes * height) None
+            else {
+              val img = new java.awt.image.BufferedImage(
+                width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < height) {
+                val row = start + (height - 1 - y) * rowBytes
+                var x = 0
+                while (x < width) {
+                  val b0 = payload(row + x * 3) & 0xff
+                  val g = payload(row + x * 3 + 1) & 0xff
+                  val r = payload(row + x * 3 + 2) & 0xff
+                  img.setRGB(x, y, (r << 16) | (g << 8) | b0)
+                  x += 1
+                }
+                y += 1
+              }
+              Some(img)
+            }
+          }
+        decoded.foreach { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val sx = math.max(1, w / MaxSamplesPerAxis)
+          val sy = math.max(1, h / MaxSamplesPerAxis)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+              hist(math.min(luma * LumaBins / 256, LumaBins - 1)) += 1d
+              lumaSum += luma
+              n += 1
+              x += sx
+            }
+            y += sy
+          }
+          sampled += 1
+        }
+        idx += sampleEvery
+      }
+      if (sampled == 0 || n == 0) return None
+      var i = 0
+      while (i < LumaBins) { hist(i) /= n; i += 1 }
+      val fps = if (microSecPerFrame > 0) 1e6 / microSecPerFrame else 0d
+      val nFrames = if (totalFrames > 0) totalFrames else frames.length.toLong
+      Some((width, height, fps, nFrames, sampled, lumaSum.toDouble / n, hist))
+    } catch { case _: Exception => None }
+  }
+
+  /** Batched REAL video feature extraction: same mapPartitions /
+    * fixed-batch contract as the image and audio paths, undecodable
+    * payloads quarantined in-band (`decode_ok = false`).
+    */
+  def extractVideoFeatures(media: DataFrame,
+                           batchSize: Int = DefaultBatchSize): DataFrame = {
+    val enc = RowEncoder.encoderFor(videoFeatureSchema)
+    media
+      .select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            decodeVideo(if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)) match {
+              case Some((w, h, fps, nf, ns, mean, hist)) =>
+                Row(r.getLong(0), true, w, h, fps, nf, ns, mean, hist.toSeq)
+              case None =>
+                Row(r.getLong(0), false, null, null, null, null, null, null, null)
             }
           }
         }

@@ -165,6 +165,102 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(collectFeats(7) == collectFeats(64), "features must not depend on batch size")
   }
 
+  private def u32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Minimal real RIFF/AVI writer: RIFF(AVI [LIST hdrl [avih]]
+    * [LIST movi [frame chunks]]) — the structure every AVI muxer emits.
+    */
+  private def aviBytes(frames: Seq[Array[Byte]], frameId: String,
+                       w: Int, h: Int, usPerFrame: Long): Array[Byte] = {
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(id.getBytes("US-ASCII"))
+      bos.write(u32(data.length))
+      bos.write(data)
+      if (data.length % 2 == 1) bos.write(0) // even padding
+      bos.toByteArray
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val avih = chunk("avih",
+      u32(usPerFrame) ++ u32(0) ++ u32(0) ++ u32(0) ++
+        u32(frames.length) ++ u32(0) ++ u32(1) ++ u32(0) ++
+        u32(w) ++ u32(h) ++ Array.fill[Byte](16)(0))
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", avih) ++
+      list("movi", frames.toArray.flatMap(f => chunk(frameId, f)))
+    "RIFF".getBytes("US-ASCII") ++ u32(body.length) ++ body
+  }
+
+  private def jpegBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255 / math.max(w - 1, 1) + seed * 20) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("REAL video decode: MJPEG AVI yields header metadata + sampled-frame luma") {
+    val s = spark
+    import s.implicits._
+    val mjpeg = aviBytes((0 until 6).map(i => jpegBytes(16, 12, i)), "00dc",
+      w = 16, h = 12, usPerFrame = 40000L) // 25 fps
+    val rows = Seq(
+      (1L, mjpeg),
+      (2L, "definitely not a video".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]]))
+    val out = Multimodal.extractVideoFeatures(rows.toDF("media_id", "payload"))
+      .orderBy("media_id").collect()
+    assert(out(0).getBoolean(1), "MJPEG AVI must decode")
+    assert(out(0).getInt(2) == 16 && out(0).getInt(3) == 12)
+    assert(math.abs(out(0).getDouble(4) - 25.0) < 1e-9) // fps from avih
+    assert(out(0).getLong(5) == 6)                      // n_frames from avih
+    assert(out(0).getInt(6) == 2)                       // frames 0 and 4 sampled
+    val hist = out(0).getSeq[Double](8)
+    assert(hist.length == Multimodal.LumaBins && math.abs(hist.sum - 1.0) < 1e-9)
+    // garbage and null quarantine in-band
+    assert(!out(1).getBoolean(1) && out(1).isNullAt(2))
+    assert(!out(2).getBoolean(1))
+  }
+
+  test("REAL video decode: uncompressed bottom-up DIB frames give exact luma") {
+    val s = spark
+    import s.implicits._
+    // 4x2 frames, every pixel gray v=100 -> Rec.601 luma exactly 100
+    val w = 4; val h = 2
+    val rowBytes = (w * 3 + 3) & ~3
+    val frame = Array.fill[Byte](rowBytes * h)(100.toByte)
+    val dib = aviBytes(Seq(frame, frame, frame), "00db", w, h, usPerFrame = 100000L)
+    val out = Multimodal.extractVideoFeatures(Seq((1L, dib)).toDF("media_id", "payload"))
+      .collect()(0)
+    assert(out.getBoolean(1))
+    assert(out.getInt(2) == w && out.getInt(3) == h)
+    assert(math.abs(out.getDouble(4) - 10.0) < 1e-9) // 100000 us/frame = 10 fps
+    assert(out.getLong(5) == 3 && out.getInt(6) == 1) // only frame 0 sampled (every 4th)
+    assert(out.getDouble(7) == 100.0, s"exact luma, got ${out.getDouble(7)}")
+    val hist = out.getSeq[Double](8)
+    assert(hist(100 * Multimodal.LumaBins / 256) == 1.0)
+  }
+
+  test("REAL video decode is deterministic and batch-shape independent") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 20L).map { i =>
+      (i, aviBytes((0 until 5).map(f => jpegBytes(8 + (i % 4).toInt * 4, 8, f)), "00dc",
+        8 + (i % 4).toInt * 4, 8, 33333L))
+    }.toDF("media_id", "payload")
+    def collectFeats(bs: Int) =
+      Multimodal.extractVideoFeatures(df, batchSize = bs)
+        .orderBy("media_id").collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getDouble(7))).toSeq
+    assert(collectFeats(3) == collectFeats(64), "features must not depend on batch size")
+  }
+
   test("frame sampling keeps every k-th frame of video payloads") {
     val s = Multimodal.sampleFrames(media, frameBytes = 32, everyK = 4)
     val row = s.join(media.select(col("media_id"), col("n_bytes")), "media_id")
