@@ -498,6 +498,71 @@ object TextOps {
        |WHERE q.quality >= 0.5""".stripMargin
   }
 
+  /** C26: incremental dedup — dedup a NEW ingest batch against the
+    * historical corpus (the daily shape of a 100 TB pipeline: the
+    * historical side is a fingerprint index maintained by
+    * `Sinks.mergeUpsertBucketed`, not a rescan of the corpus; here both
+    * sides derive from the documents table with a deterministic 80/20
+    * split so the oracle can re-create them). One shuffle on the
+    * fingerprint — the historical side ships only its (distinct) fp
+    * column, never text.
+    */
+  def dedupIncremental(documents: DataFrame): DataFrame = {
+    val fp = documents.select(col("doc_id"), md5(col("text")).as("fp"))
+    val hist = fp.filter(pmod(col("doc_id"), lit(10)) < 8)
+      .select("fp").distinct()
+    fp.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      .join(hist.withColumn("is_known", lit(true)), Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("is_known"), lit(false)).as("is_known"))
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 < 8)
+      |SELECT f.doc_id, f.fp, h.fp IS NOT NULL AS is_known
+      |FROM fp f LEFT JOIN hist h ON f.fp = h.fp
+      |WHERE f.doc_id % 10 >= 8""".stripMargin
+
+  /** C27: tokenizer-vocabulary coverage — per-document out-of-vocabulary
+    * rate against the corpus top-`vocabSize` tokens by document
+    * frequency (deterministic df-desc/token-asc tie-break). The vocab is
+    * a bounded model artifact (`vocabSize` rows regardless of corpus
+    * size), so the per-token membership join is a broadcast — the same
+    * collected-artifact pattern as the streaming IVF codebook, with zero
+    * shuffle on the token stream; only the final per-doc agg shuffles.
+    */
+  def oovRate(documents: DataFrame, vocabSize: Int = 20): DataFrame = {
+    val vocab = documents
+      .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(vocabSize)
+      .select("token")
+    documents
+      .select(col("doc_id"), explode(toks).as("token"))
+      .join(broadcast(vocab.withColumn("in_vocab", lit(true))), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tok").cast("double"), 4))
+  }
+
+  val oovRateSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |  unnest(list_distinct(string_split(text, ' '))) AS token FROM documents),
+      |vocab AS (SELECT token FROM (
+      |  SELECT token, count(*) AS df FROM tok GROUP BY token
+      |  ORDER BY df DESC, token LIMIT 20)),
+      |allt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |SELECT a.doc_id, count(*) AS n_tok,
+      |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 4) AS oov_rate
+      |FROM allt a LEFT JOIN vocab v ON a.token = v.token
+      |GROUP BY a.doc_id""".stripMargin
+
   /** C24: context-window chunking — split each document's token stream
     * into overlapping chunks of `chunkSize` tokens every `stride` tokens
     * (overlap = chunkSize - stride), the standard pre-tokenization shape
@@ -577,6 +642,8 @@ object TextOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_docs" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
+    "q_dedup_incremental" -> ((s, d) => dedupIncremental(Tables.documents(s, d))),
+    "q_oov_rate" -> ((s, d) => oovRate(Tables.documents(s, d))),
     "q_token_budget_mix" -> ((s, d) => tokenBudgetMix(Tables.documents(s, d))),
     "q_curated_corpus" -> ((s, d) => curatedCorpus(Tables.documents(s, d))),
     "q_top_ngrams" -> ((s, d) => topNgrams(Tables.documents(s, d))),
@@ -596,6 +663,8 @@ object TextOps {
   def oracle: Map[String, String] = Map(
     "q_chunk_docs" -> chunkDocsSql,
     "q_pack_sequences" -> packSequencesSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_oov_rate" -> oovRateSql,
     "q_token_budget_mix" -> tokenBudgetMixSql,
     "q_curated_corpus" -> curatedCorpusSql,
     "q_top_ngrams" -> topNgramsSql,

@@ -80,6 +80,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(texts.toSeq == Seq("hello world", "other", "third"))
   }
 
+  test("EQUIVALENCE: stateless chunking runs unchanged on a stream == batch chunking") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // chunkDocs is pure map-side (sequence+slice explode, no window, no
+    // agg), so the SAME operator body runs on a streaming frame with no
+    // state, no watermark, append mode — the property that lets batch
+    // curation code be reused for streaming ingest.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.chunkDocs(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunks_eq").outputMode("append").start()
+    docs.grouped(docs.length / 3 + 1).foreach(b => in.addData(b.toSeq))
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT doc_id, chunk_idx, chunk_text FROM chunks_eq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    q.stop()
+    val batch = graft.operators.TextOps.chunkDocs(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select("doc_id", "chunk_idx", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} chunks vs batch ${batch.size}")
+  }
+
   test("stream-stream interval join: purchases match trailing-window clicks, outside-window clicks don't") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
