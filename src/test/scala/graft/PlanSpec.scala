@@ -90,6 +90,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("chunking is shuffle-free: q_chunk_docs has no Exchange at all") {
+    val exchanges = plan("q_chunk_docs").collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty,
+      s"q_chunk_docs must stay map-side, found: ${exchanges.map(_.nodeName)}")
+  }
+
+  test("oov vocab is a broadcast artifact: the membership join never shuffles tokens") {
+    val p = plan("q_oov_rate")
+    assert(p.collect { case b: BroadcastExchangeLike => b }.nonEmpty,
+      "q_oov_rate: vocab should reach the join via a broadcast exchange")
+    // The membership join itself must be broadcast-hash, never a
+    // shuffled join of the full exploded token stream. (The vocab's own
+    // top-k derivation legitimately shuffles O(distinct tokens) rows.)
+    val joins = p.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty, "q_oov_rate: expected a membership join")
+    val shuffledJoins = joins.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(shuffledJoins.isEmpty,
+      s"q_oov_rate: membership join is not broadcast: ${shuffledJoins.map(_.nodeName)}")
+  }
+
   test("no query contains a single-partition global window") {
     SparkEntry.queries.keys.foreach { q =>
       val bad = plan(q).collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
