@@ -572,21 +572,26 @@ object TextOps {
     * chunk_idx = start_tok / stride, so ordinals are derived, not
     * row-numbered — identical in any engine without a window.
     */
-  def chunkDocs(documents: DataFrame, chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+  def chunkDocs(documents: DataFrame, chunkSize: Int = 64, stride: Int = 48,
+                carry: Seq[String] = Nil): DataFrame = {
     require(stride > 0 && chunkSize >= stride,
       "chunkDocs: need 0 < stride <= chunkSize")
+    // `carry` columns ride along unchanged (one copy per chunk) so
+    // compositions don't need a second join back to the source frame.
+    val carried = carry.map(col)
     documents
-      .select(col("doc_id"), toks.as("t"), size(toks).cast("long").as("n_tok"))
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0L), col("n_tok") - 1, lit(stride.toLong))).as("start_tok"))
-      .select(
-        col("doc_id"),
-        (col("start_tok") / stride).cast("long").as("chunk_idx"),
-        col("start_tok"),
-        slice(col("t"), (col("start_tok") + 1).cast("int"), lit(chunkSize)).as("chunk"))
-      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
-        size(col("chunk")).cast("long").as("n_chunk_tok"),
-        array_join(col("chunk"), " ").as("chunk_text"))
+      .select(col("doc_id") +: toks.as("t") +: size(toks).cast("long").as("n_tok") +: carried: _*)
+      .select(col("doc_id") +: col("t") +:
+        explode(sequence(lit(0L), col("n_tok") - 1, lit(stride.toLong))).as("start_tok") +:
+        carried: _*)
+      .select(col("doc_id") +:
+        (col("start_tok") / stride).cast("long").as("chunk_idx") +:
+        col("start_tok") +:
+        slice(col("t"), (col("start_tok") + 1).cast("int"), lit(chunkSize)).as("chunk") +:
+        carried: _*)
+      .select(col("doc_id") +: col("chunk_idx") +: col("start_tok") +:
+        size(col("chunk")).cast("long").as("n_chunk_tok") +:
+        array_join(col("chunk"), " ").as("chunk_text") +: carried: _*)
   }
 
   val chunkDocsSql: String =
@@ -639,7 +644,55 @@ object TextOps {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY lang, shard, bin_id""".stripMargin
 
+  /** C28: the end-to-end training-batch pipeline in ONE plan — what a
+    * 100 TB run actually executes nightly: curate (dedup keepers ∩
+    * quality ∩ mix sample), chunk the survivors into context windows,
+    * pack the chunks into token-budget bins per (lang, shard) stream.
+    * Composes three operators ([[curatedCorpus]] → [[chunkDocs]] →
+    * the [[packSequences]] fill) so Catalyst fuses the per-doc map work;
+    * the only shuffles are the curation joins (doc_id-keyed), the
+    * bounded per-shard running sum, and the final per-bin agg.
+    */
+  def trainingBatches(documents: DataFrame, budget: Long = 512L, shards: Int = 32): DataFrame = {
+    // ONE doc_id join: lang rides through the chunker via `carry`, so
+    // the curation subtree executes once, not once per consumer.
+    val curated = curatedCorpus(documents).select(col("doc_id"), col("lang"))
+    val chunks = chunkDocs(
+      documents.select("doc_id", "text").join(curated, "doc_id"),
+      carry = Seq("lang"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id", "chunk_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum_tok", sum(col("n_chunk_tok")).over(w))
+      .withColumn("bin_id", expr(s"(cum_tok - n_chunk_tok) DIV $budget"))
+      .groupBy("lang", "shard", "bin_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  def trainingBatchesSql: String =
+    s"""WITH curated AS (SELECT doc_id, lang FROM ($curatedCorpusSql)),
+       |t AS (SELECT d.doc_id, c.lang, string_split(d.text, ' ') AS toks,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents d JOIN curated c ON d.doc_id = c.doc_id),
+       |s AS (SELECT doc_id, lang, toks, n_tok,
+       |  unnest(range(0, n_tok, 48)) AS start_tok FROM t),
+       |ch AS (SELECT doc_id, lang, doc_id % 32 AS shard, start_tok // 48 AS chunk_idx,
+       |  CAST(len(list_slice(toks, start_tok + 1, least(start_tok + 64, n_tok))) AS BIGINT) AS n_chunk_tok
+       |  FROM s),
+       |cum AS (SELECT *, CAST(sum(n_chunk_tok) OVER (PARTITION BY lang, shard
+       |    ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok FROM ch)
+       |SELECT lang, shard, (cum_tok - n_chunk_tok) // 512 AS bin_id,
+       |  count(*) AS n_chunks, CAST(sum(n_chunk_tok) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cum GROUP BY lang, shard, bin_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_training_batches" -> ((s, d) => trainingBatches(Tables.documents(s, d))),
     "q_chunk_docs" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
     "q_dedup_incremental" -> ((s, d) => dedupIncremental(Tables.documents(s, d))),
@@ -661,6 +714,7 @@ object TextOps {
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_training_batches" -> trainingBatchesSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
