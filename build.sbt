@@ -28,6 +28,7 @@ val jdk17AddOpens = Seq(
 // the JSON is what it found instead (BENCH_r01..r03 all show parsed:null).
 // Suppress the epilogue so the JSON line is genuinely last.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -46,6 +46,23 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1).getSeq[Long](1) == Seq(7L))
   }
 
+  test("graft_max_k_scored is SQL-callable as a grouped aggregate") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.9, 12L), (2L, 0.1, 13L))
+      .toDF("g", "sc", "i").createOrReplaceTempView("mks")
+    val r = spark.sql(
+      "SELECT g, graft_max_k_scored(sc, i, 2) AS top FROM mks GROUP BY g ORDER BY g")
+      .collect()
+    // best-first, ties broken by smaller id
+    val top1 = r(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getDouble(0), x.getLong(1)))
+    assert(top1 == Seq((0.9, 11L), (0.9, 12L)))
+    val top2 = r(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getDouble(0), x.getLong(1)))
+    assert(top2 == Seq((0.1, 13L)))
+  }
+
   test("null inputs propagate null, not crash") {
     val r = spark.sql(
       "SELECT graft_dot_long(NULL, array(1L)) AS a, graft_hamming(NULL, 'x') AS b").head()
