@@ -397,9 +397,13 @@ object Multimodal {
             try Option(ImageIO.read(new ByteArrayInputStream(payload, start, size)))
             catch { case _: Exception => None }
           else {
-            // bottom-up BGR24 DIB: rows padded to 4-byte multiples
+            // bottom-up BGR24 DIB: rows padded to 4-byte multiples.
+            // Dims come from the untrusted header — bound them and
+            // compare sizes in Long so a hostile avih can neither
+            // overflow the row math nor force a giant allocation.
             val rowBytes = (width * 3 + 3) & ~3
-            if (size < rowBytes * height) None
+            if (width > 16384 || height > 16384 ||
+                size.toLong < rowBytes.toLong * height) None
             else {
               val img = new java.awt.image.BufferedImage(
                 width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -247,6 +247,19 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hist(100 * Multimodal.LumaBins / 256) == 1.0)
   }
 
+  test("REAL video decode: hostile header dims quarantine instead of allocating") {
+    val s = spark
+    import s.implicits._
+    // avih declares absurd dimensions; the tiny 00db chunk must be
+    // rejected by the bounded-dims check, not trigger a giant allocation
+    // or an overflow-defeated size check.
+    val hostile = aviBytes(Seq(Array.fill[Byte](64)(1)), "00db",
+      w = 1 << 20, h = 1 << 20, usPerFrame = 40000L)
+    val out = Multimodal.extractVideoFeatures(
+      Seq((1L, hostile)).toDF("media_id", "payload")).collect()(0)
+    assert(!out.getBoolean(1), "hostile dims must quarantine in-band")
+  }
+
   test("REAL video decode is deterministic and batch-shape independent") {
     val s = spark
     import s.implicits._
