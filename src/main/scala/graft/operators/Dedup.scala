@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -69,9 +70,29 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.b").as("b"), col("bb.band_key").as("band_key"))
 
-  /** Candidate near-dup pairs: docs sharing at least one band bucket. */
+  /** Production occupancy guard: a band bucket shared by more than this
+    * many docs is degenerate/boilerplate content, not a near-dup signal
+    * — and its pair output is O(occupancy²). Excluding oversized buckets
+    * bounds every bucket's pair contribution at the source (identical
+    * boilerplate is exact-dedup's job, which stays linear). 64² pairs is
+    * the worst any single bucket can now emit, at any corpus size.
+    */
+  val MaxBucketOccupancy = 64
+
+  /** Band assignments with oversized buckets dropped — ONE extra
+    * hash-partitioned count over the same (b, band_key) the self-join
+    * shuffles on; no new shuffle key, no sort (unordered frame).
+    */
+  def minhashBandsCapped(sig: DataFrame): DataFrame =
+    minhashBands(sig)
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("b", "band_key")))
+      .filter(col("occ") <= MaxBucketOccupancy)
+      .drop("occ")
+
+  /** Candidate near-dup pairs: docs sharing at least one (occupancy-
+    * capped) band bucket. */
   def minhashCandidates(documents: DataFrame): DataFrame = {
-    val bands = minhashBands(minhashSignature(documents))
+    val bands = minhashBandsCapped(minhashSignature(documents))
     val b1 = bands.as("b1")
     val b2 = bands.as("b2")
     b1.join(b2, col("b1.b") === col("b2.b") && col("b1.band_key") === col("b2.band_key"))
@@ -85,12 +106,24 @@ object Dedup {
        |      k -> list_aggregate(list_transform(${shinglesSqlExpr(3)},
        |             s -> md5(CAST(k AS VARCHAR) || '|' || s)), 'min'))""".stripMargin
 
-  def minhashCandSql: String =
-    s"""WITH sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
-       |bands AS (
+  /** DuckDB mirror of [[minhashBandsCapped]]: raw band assignments, then
+    * the occupancy filter — inserted into every oracle that consumes the
+    * candidate graph so Spark and the oracle cap identically.
+    */
+  val bandsCappedSqlCte: String =
+    s"""bands_all AS (
        |  SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
        |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS b)
-       |)
+       |),
+       |bands AS (
+       |  SELECT doc_id, b, band_key FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY b, band_key) AS occ FROM bands_all)
+       |  WHERE occ <= $MaxBucketOccupancy
+       |)""".stripMargin
+
+  def minhashCandSql: String =
+    s"""WITH sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
+       |$bandsCappedSqlCte
        |SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
        |FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_key = b2.band_key
        |WHERE b1.doc_id < b2.doc_id""".stripMargin
@@ -112,10 +145,7 @@ object Dedup {
 
   val dedupMinhashLshSql: String =
     s"""WITH sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
-       |bands AS (
-       |  SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
-       |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS b)
-       |),
+       |$bandsCappedSqlCte,
        |cand AS (
        |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
        |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_key = b2.band_key
@@ -148,10 +178,7 @@ object Dedup {
 
   val dedupNgramJaccardSql: String =
     s"""WITH sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
-       |bands AS (
-       |  SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
-       |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS b)
-       |),
+       |$bandsCappedSqlCte,
        |cand AS (
        |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
        |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_key = b2.band_key
@@ -316,9 +343,12 @@ object Dedup {
     * edges are for CONNECTIVITY only — pair-emitting operators
     * (q_dedup_minhash_lsh etc.) still produce the true pair set, which
     * is inherently quadratic per bucket and capped by band width.
+    * Stars derive from the SAME occupancy-capped buckets as the pair
+    * emitters, so clusters never merge docs whose pairwise evidence the
+    * cap suppressed (one consistent dup graph across C2/C4/C22).
     */
   private def bucketStarEdges(documents: DataFrame): DataFrame = {
-    val bands = minhashBands(minhashSignature(documents))
+    val bands = minhashBandsCapped(minhashSignature(documents))
     val hubs = bands.groupBy("b", "band_key").agg(min(col("doc_id")).as("hub"))
     bands.join(hubs, Seq("b", "band_key"))
       .filter(col("hub") =!= col("doc_id"))
@@ -386,10 +416,7 @@ object Dedup {
 
   val dedupClustersSql: String =
     s"""WITH RECURSIVE sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
-       |bands AS (
-       |  SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
-       |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS b)
-       |),
+       |$bandsCappedSqlCte,
        |cand AS (
        |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
        |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_key = b2.band_key

@@ -104,6 +104,28 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bins.filter(col("n_tokens") >= budget + maxDoc).count() == 0)
   }
 
+  test("LSH occupancy cap: a degenerate mega-bucket emits no pairs, small buckets still do") {
+    val s = spark
+    import s.implicits._
+    // 100 identical docs: one bucket per band with occupancy 100 >
+    // MaxBucketOccupancy. Without the cap this emits 100*99/2 pairs per
+    // band; with it, zero — identical boilerplate is exact-dedup's job.
+    val boiler = (1L to 100L).map(i => (i, "the same boilerplate text repeated in every doc"))
+    val dup = Seq(
+      (200L, "a genuinely distinct document about something else"),
+      (201L, "a genuinely distinct document about something else"))
+    val docs = (boiler ++ dup).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(_._1 <= 100L), s"mega-bucket leaked pairs: ${pairs.take(5).toSeq}")
+    assert(pairs.toSeq == Seq((200L, 201L)), s"small bucket must still pair: ${pairs.toSeq}")
+    // clusters stay consistent with the capped pair graph: the identical
+    // pair clusters together, the boilerplate docs are all singletons
+    val clusters = Dedup.dedupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters(201L) == 200L && clusters(200L) == 200L)
+    assert((1L to 100L).forall(i => clusters(i) == i))
+  }
+
   test("minhash candidates have higher jaccard than random pairs") {
     val j = Dedup.dedupNgramJaccard(Tables.documents(spark, sf))
     val candAvg = j.agg(avg("jaccard")).head().getDouble(0)
