@@ -170,8 +170,9 @@ object Embeddings {
     * bits — (vec_id, packed) is a 16-byte row, the narrowest possible
     * self-join relation, and nibble t of `packed` IS table t's bucket.
     */
-  def lshPacked(q: DataFrame): DataFrame = {
-    val bits = (0 until NumTables * BitsPerTable).map { i =>
+  def lshPacked(q: DataFrame, nBits: Int = NumTables * BitsPerTable): DataFrame = {
+    require(nBits > 0 && nBits <= 62, s"lshPacked: nBits=$nBits must be in 1..62")
+    val bits = (0 until nBits).map { i =>
       val hp = typedLit(hyperplane(i))
       when(dot(col("qv"), hp) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
@@ -200,19 +201,33 @@ object Embeddings {
     * the dominant cost at sf0.1 and the non-linear term at 100 TB)
     * disappears. Each survivor's cosine is computed exactly once, after
     * joining the vectors back from the persisted quantized frame.
+    *
+    * SCALE KNOB: `bitsPerTable` sets the bucket count per table
+    * (2^bits). The 4-bit default keeps the DuckDB oracle tractable, but
+    * expected bucket occupancy is n/2^bits, so production sizes it as
+    * ~log2(n / target_bucket_size) — e.g. 20 bits ≈ million-bucket
+    * tables at 100 TB. The packed-signature bit math (first-colliding-
+    * table dedup included) is width-generic; EmbeddingsSpec exercises a
+    * wide-table configuration.
     */
-  def nearDupCosine(embeddings: DataFrame): DataFrame = {
+  def nearDupCosine(embeddings: DataFrame,
+                    numTables: Int = NumTables,
+                    bitsPerTable: Int = BitsPerTable): DataFrame = {
+    require(numTables * bitsPerTable <= 62,
+      s"nearDupCosine: $numTables tables x $bitsPerTable bits exceeds one long")
     val q = quantized(embeddings)
-    val p = lshPacked(q)
-    val tb = (0 until NumTables).map { t =>
-      struct(lit(t).as("t"), nibble(col("packed"), t).as("bkt"))
+    val p = lshPacked(q, numTables * bitsPerTable)
+    def nib(x: Column, t: Int): Column =
+      shiftright(x, bitsPerTable * t).bitwiseAND(lit((1L << bitsPerTable) - 1))
+    val tb = (0 until numTables).map { t =>
+      struct(lit(t).as("t"), nib(col("packed"), t).as("bkt"))
     }
     val b = p.select(col("vec_id"), col("packed"), explode(array(tb: _*)).as("tb"))
       .select(col("vec_id"), col("packed"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
     val x = col("pa").bitwiseXOR(col("pb"))
-    val firstCollidingTable = (NumTables - 1 to 0 by -1)
+    val firstCollidingTable = (numTables - 1 to 0 by -1)
       .foldLeft(lit(-1): Column) { (acc, t) =>
-        when(nibble(x, t) === 0, lit(t)).otherwise(acc)
+        when(nib(x, t) === 0, lit(t)).otherwise(acc)
       }
     val cand = b.select(col("vec_id").as("vec_a"), col("packed").as("pa"),
         col("t"), col("bkt"))

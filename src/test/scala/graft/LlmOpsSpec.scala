@@ -280,6 +280,19 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nd.count() == nd.select("vec_a", "vec_b").distinct().count())
   }
 
+  test("near-dup wide-table knob: non-default widths keep all pair invariants") {
+    // The production scaling path is wider tables (bucket count 2^bits);
+    // the packed-signature bit math must be width-generic. 3x8-bit
+    // tables: 256 buckets/table instead of 16.
+    val nd = Embeddings.nearDupCosine(Tables.embeddings(spark, sf),
+      numTables = 3, bitsPerTable = 8)
+    val rows = nd.collect()
+    assert(rows.forall(_.getDouble(2) >= Embeddings.NearDupThreshold))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length,
+      "first-colliding-table dedup must hold at non-default widths")
+  }
+
   test("quantization is exact integers with positive norms") {
     val q = Embeddings.quantized(Tables.embeddings(spark, sf))
     assert(q.filter(col("nrm") <= 0).count() == 0)
