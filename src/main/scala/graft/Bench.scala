@@ -18,11 +18,22 @@ import org.apache.spark.sql.SparkSession
   * (prior round's numbers; overridable via SPARK_GRAFT_BASELINE). Round-2
   * taught that a warm-only gate cries wolf — the driver flagged 3
   * regressions that a clean re-run reduced to zero (machine-load noise).
-  * A query is listed under `regressions` only when BOTH its warm (median)
-  * AND its cold run exceed 1.5x their baselines — a genuine code
-  * regression moves both; background load rarely hits the same query in
-  * all four samples. `loadavg` (1/5/15-min) is echoed into the JSON so a
-  * loaded box is visible in the artifact itself.
+  * Round-3 taught that even the dual cold+warm rule fires under a loaded
+  * box (q5 flagged at 3.68x with loadavg 4.45; idle re-run 1.0x): load
+  * inflates EVERY query's ratio roughly uniformly, and the slowest query
+  * crosses the absolute-delta bar first. So ratios are now normalized by
+  * the run-level MEDIAN ratio before gating — uniform inflation cancels,
+  * while a genuine single-query regression still stands out against the
+  * median. A query is listed under `regressions` only when BOTH its
+  * normalized warm (median-of-3) AND its normalized cold run exceed 1.5x
+  * their baselines; `loadavg` (1/5/15-min) and the norm factors are
+  * echoed into the JSON so a loaded box is visible in the artifact.
+  *
+  * Output: ONE compact JSON line on stdout (3-decimal per-query cold
+  * seconds — round-3's full-precision line overflowed the driver's
+  * tail-capture window and parsed as null) plus the full-precision
+  * document, including the per-query warm map, at `bench_last.json`
+  * (copy over bench_baseline.json to rebase the gate).
   */
 object Bench {
   private val RegressionFactor = 1.5
@@ -93,18 +104,40 @@ object Bench {
         (section(txt, "queries"), section(txt, "queries_warm"))
       }
     }
+    // Run-level inflation: the median of per-query ratios vs baseline.
+    // Clamped to >= 1.0 — a globally FASTER run must not raise the bar
+    // for queries that merely didn't speed up as much as the median.
+    // Needs a real population (>= 8 baselined queries) to be meaningful;
+    // focus-list runs fall back to no normalization.
+    def medianRatio(now: Map[String, Double], prior: Map[String, Double]): Double = {
+      val rs = now.flatMap { case (n, v) =>
+        prior.get(n).filter(_ > 0).filter(_ => v > 0).map(v / _)
+      }.toSeq.sorted
+      if (rs.size < 8) 1.0 else math.max(1.0, rs(rs.size / 2))
+    }
+    val nowCold = results.map(r => r._1 -> r._2).toMap
+    val nowWarm = results.map(r => r._1 -> r._3).toMap
+    val normC = medianRatio(nowCold, priorCold)
+    val normW = medianRatio(nowWarm, priorWarm)
     val regressions = results.flatMap { case (n, cold, warm) =>
       (priorCold.get(n), priorWarm.get(n)) match {
-        case (Some(oc), Some(ow)) if oc > 0 && ow > 0 =>
-          val dual = cold > oc * RegressionFactor && warm > ow * RegressionFactor &&
-            warm - ow > MinWarmDeltaSec
-          val severeWarm = warm > ow * SevereWarmFactor && warm - ow > SevereWarmDeltaSec
+        case (Some(oc), Some(ow)) if oc > 0 && ow > 0 && cold > 0 && warm > 0 =>
+          val dual = cold > oc * normC * RegressionFactor &&
+            warm > ow * normW * RegressionFactor &&
+            warm - ow * normW > MinWarmDeltaSec
+          // The severe warm-only rule exists for a broken warm path
+          // (cache-reuse keying defeated): its signature is warm moving
+          // hard while cold stays put. Require the cold side actually
+          // unchanged — otherwise it is load or a dual-rule matter.
+          val severeWarm = warm > ow * normW * SevereWarmFactor &&
+            warm - ow * normW > SevereWarmDeltaSec &&
+            cold <= oc * normC * 1.25
           if (dual || severeWarm) {
             System.err.println(
               f"[bench] REGRESSION $n: warm $warm%.3fs vs $ow%.3fs (${warm / ow}%.2fx), " +
-                f"cold $cold%.3fs vs $oc%.3fs (${cold / oc}%.2fx)" +
+                f"cold $cold%.3fs vs $oc%.3fs (${cold / oc}%.2fx), norm ($normC%.2f, $normW%.2f)" +
                 (if (severeWarm && !dual) " [severe warm-only]" else ""))
-            Some(n -> BigDecimal(warm / ow).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            Some(n -> BigDecimal(warm / (ow * normW)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
           } else None
         case _ => None
       }
@@ -116,13 +149,26 @@ object Bench {
 
     def obj(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def r3(v: Double): Double = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     val totalCold = results.map(_._2).filter(_ >= 0).sum
     val totalWarm = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$totalCold,"unit":"sec"""" +
+    // Full-precision document (incl. per-query warm) for baseline rebases.
+    val full = s"""{"metric":"total","value":$totalCold,"unit":"sec"""" +
       s""","queries":${obj(results.map(r => r._1 -> r._2))}""" +
       s""","queries_warm":${obj(results.map(r => r._1 -> r._3))}""" +
       s""","total_warm":$totalWarm""" +
       s""","regressions":${obj(regressions)}""" +
+      s""","norm":[$normC,$normW]""" +
+      s""","loadavg":[${loadavg.mkString(",")}]""" +
+      s""","sf":"$sfDir"}""" + "\n"
+    Files.writeString(Paths.get("bench_last.json"), full)
+    // Compact stdout line: the driver tail-captures ~4 KB of output, and
+    // 65 queries x 2 sections at full double precision blew past that.
+    println(s"""{"metric":"total","value":${r3(totalCold)},"unit":"sec"""" +
+      s""","queries":${obj(results.map(r => r._1 -> r3(r._2)))}""" +
+      s""","total_warm":${r3(totalWarm)}""" +
+      s""","regressions":${obj(regressions)}""" +
+      s""","norm":[${r3(normC)},${r3(normW)}]""" +
       s""","loadavg":[${loadavg.mkString(",")}]""" +
       s""","sf":"$sfDir"}""")
     spark.stop()
