@@ -473,7 +473,84 @@ object Analytics {
       |          ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_revenue
       |FROM orders""".stripMargin
 
+  /** B14 (TPC-H Q12 shape): conditional classification agg — per return
+    * flag, how many 1996-shipped lines belong to urgent/high-priority
+    * orders vs the rest. One shuffle join of lineitem to orders on their
+    * natural key (both SF-proportional — no broadcast anywhere), then a
+    * hash agg over CASE sums; the shipdate filter is pushed to the
+    * lineitem scan, orders ships only (o_orderkey, o_orderpriority).
+    * (Synthetic lineitem has no l_shipmode column, so l_returnflag plays
+    * the Q12 group key.)
+    */
+  def priorityLines(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select("l_orderkey", "l_returnflag")
+      .join(orders.select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(isHigh, 1L).otherwise(0L)).cast("long").as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).cast("long").as("low_line_count"))
+  }
+
+  val priorityLinesSql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** B15 (TPC-H Q18 shape): large-order detection — orders whose total
+    * quantity exceeds a threshold, enriched with customer/order detail,
+    * top 100 by value. The scale shape: the HAVING-filtered aggregate
+    * output is a tiny fraction of orders, so the enrich joins hang off a
+    * small frame (AQE broadcasts it at runtime); the only full-size
+    * shuffles are the per-orderkey agg and none on the enrich side
+    * beyond what the planner measures. Top-k is sort+limit
+    * (TakeOrderedAndProject), tie-broken on the unique order key so the
+    * kept set is deterministic.
+    */
+  def largeOrders(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                  minQty: Double = 300.0, k: Int = 100): DataFrame =
+    lineitem
+      .groupBy("l_orderkey")
+      .agg(money(sum(dec(col("l_quantity")))).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+      .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"),
+        col("o_orderdate"), money(dec(col("o_totalprice"))).as("total_price"),
+        col("total_qty"))
+
+  val largeOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) > 300.0)
+      |SELECT o_orderkey, c_custkey, c_mktsegment, o_orderdate,
+      |  CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS total_price,
+      |  total_qty
+      |FROM big
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_priority_lines" -> ((s, d) =>
+      priorityLines(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "q18_large_orders" -> ((s, d) =>
+      largeOrders(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))),
     "q5_local_supplier_volume" -> ((s, d) =>
       localSupplierVolume(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), Tables.supplier(s, d),
@@ -499,6 +576,8 @@ object Analytics {
       supplierVolume(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q12_priority_lines" -> priorityLinesSql,
+    "q18_large_orders" -> largeOrdersSql,
     "q5_local_supplier_volume" -> localSupplierVolumeSql,
     "q_running_total" -> runningTotalSql,
     "q_rollup_revenue" -> rollupRevenueSql,

@@ -698,9 +698,42 @@ object Reference {
       |FROM t JOIN f ON t.user_id = f.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** A21: semi-structured payload extraction — every event row carries a
+    * JSON `props` blob (the reference stores scraped profile payloads the
+    * same way); summarize the embedded metric per event type. The scale
+    * path is `from_json` with an EXPLICIT schema: one parse per row into
+    * a typed struct at the scan side (schema inference over 100 TB is a
+    * full extra pass, and per-key `get_json_object` re-parses the blob
+    * for every key extracted). The aggregate is a plain hash agg;
+    * avg is emitted as an exact BIGINT-sum / count division (IEEE
+    * division is correctly rounded, so both engines render the same
+    * float64 — no round() dialect risk).
+    */
+  def propsStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .select(col("event_type"), col("n"), col("sum_k"), col("min_k"), col("max_k"),
+        (col("sum_k").cast("double") / col("n")).as("avg_k"))
+
+  val propsStatsSql: String =
+    """WITH e AS (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+      |SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      |  min(k) AS min_k, max(k) AS max_k,
+      |  CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / count(k) AS avg_k
+      |FROM e GROUP BY event_type""".stripMargin
+
   // -------- wiring --------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_props_stats" -> ((s, d) => propsStats(Tables.events(s, d))),
     "q_upsert_latest" -> ((s, d) => upsertLatest(Tables.events(s, d))),
     "q_mutual_edges" -> ((s, d) => mutualEdges(Tables.events(s, d))),
     "q_follower_stats" -> ((s, d) => followerStats(Tables.events(s, d))),
@@ -728,6 +761,7 @@ object Reference {
     "q_retention_cohorts" -> ((s, d) => retentionCohorts(Tables.events(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_props_stats" -> propsStatsSql,
     "q_upsert_latest" -> upsertLatestSql,
     "q_mutual_edges" -> mutualEdgesSql,
     "q_follower_stats" -> followerStatsSql,

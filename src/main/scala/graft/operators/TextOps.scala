@@ -691,7 +691,56 @@ object TextOps {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM cum GROUP BY lang, shard, bin_id""".stripMargin
 
+  /** C29: PII redaction — scrub emails and phone numbers from document
+    * text before it can enter a training mix, with per-doc telemetry
+    * (how many of each were hit) so the curation report can audit scrub
+    * coverage. Pure map-side regexp work (codegen'd `RegExpReplace` /
+    * `RegExpCount` — embarrassingly parallel, zero shuffle at any scale).
+    *
+    * The synthetic `documents` corpus is word-salad with no digits, so a
+    * redactor run straight over it proves nothing; the query plants a
+    * DETERMINISTIC contact line per doc (derived from doc_id, identical
+    * expression in the oracle) and must then scrub exactly that. The
+    * redacted text is surfaced as md5 so the driver compares the full
+    * post-redaction bytes without shipping wide rows.
+    *
+    * Regex subset chosen to evaluate identically in Java regex (Spark)
+    * and RE2 (DuckDB): character classes, bounded repetition — no
+    * lookaround, no backrefs.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
+
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val planted = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    documents
+      .select(col("doc_id"), planted.as("t"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("redacted_md5"))
+  }
+
+  val piiRedactSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |       || '@mail.example.com or +1-555-'
+       |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_redact" -> ((s, d) => piiRedact(Tables.documents(s, d))),
     "q_training_batches" -> ((s, d) => trainingBatches(Tables.documents(s, d))),
     "q_chunk_docs" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
@@ -714,6 +763,7 @@ object TextOps {
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_pii_redact" -> piiRedactSql,
     "q_training_batches" -> trainingBatchesSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_pack_sequences" -> packSequencesSql,

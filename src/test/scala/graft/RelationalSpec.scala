@@ -107,4 +107,29 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("l_returnflag", "l_linestatus", "count_order")
     assert(ours.exceptAll(viaSql).count() == 0 && viaSql.exceptAll(ours).count() == 0)
   }
+
+  test("priority lines: high+low equals the joined filtered line count") {
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val out = Analytics.priorityLines(li, o).collect()
+    val expected = li
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .join(o, col("l_orderkey") === col("o_orderkey")).count()
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == expected)
+    assert(out.nonEmpty)
+  }
+
+  test("large orders: all above threshold, capped at k, deterministic set") {
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val out = Analytics.largeOrders(li, o, c, minQty = 100.0, k = 20)
+    val rows = out.collect()
+    assert(rows.length <= 20)
+    assert(rows.forall(_.getDouble(5) > 100.0))
+    // deterministic under re-evaluation (tie-break on unique order key)
+    val again = Analytics.largeOrders(li, o, c, minQty = 100.0, k = 20).collect()
+    assert(rows.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
+  }
 }
