@@ -126,6 +126,29 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((1L to 100L).forall(i => clusters(i) == i))
   }
 
+  test("large-star/small-star CC matches min-label clusters on real docs") {
+    val docs = Tables.documents(spark, sf)
+    val a = Dedup.dedupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Dedup.dedupClustersLogStar(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b, "the two CC engines must produce identical clusterings")
+  }
+
+  test("large-star/small-star CC converges logarithmically on a chain graph") {
+    val s = spark
+    import s.implicits._
+    // a 64-node path 0-1-2-...-63: diameter 63 — min-label's worst case
+    // (one round per hop). The star alternation must finish well inside
+    // 12 LS+SS rounds (O(log n)) and still label every node with 0.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = Dedup.ccLargeSmallStar(chain, maxRounds = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 64)
+    assert(labels.values.forall(_ == 0L), s"chain must collapse to root 0: $labels")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("minhash candidates have higher jaccard than random pairs") {
     val j = Dedup.dedupNgramJaccard(Tables.documents(spark, sf))
     val candAvg = j.agg(avg("jaccard")).head().getDouble(0)
