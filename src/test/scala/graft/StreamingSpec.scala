@@ -20,6 +20,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def ts(minute: Long): Timestamp = new Timestamp(minute * 60000L)
 
+  test("streaming upsert sink merges micro-batches into a latest-wins parquet target") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-upsert").toString
+    val in = MemoryStream[Event]
+    val q = EventStream.streamingUpsertSink(
+      in.toDF(), s"$dir/target", keys = Seq("user_id"), versionCol = "event_id",
+      checkpoint = s"$dir/ckpt")
+    // batch 1: two users, user 1 updated twice WITHIN the batch
+    in.addData(
+      Event(1, ts(1), 1, "signup", 1.0),
+      Event(3, ts(3), 1, "click", 3.0),
+      Event(2, ts(2), 2, "signup", 2.0))
+    q.processAllAvailable()
+    // batch 2: user 2 updated, user 3 new — user 1 untouched
+    in.addData(
+      Event(5, ts(5), 2, "click", 5.0),
+      Event(4, ts(4), 3, "signup", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/target")
+      .select("user_id", "event_id", "event_type").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out == Map(
+      1L -> ((3L, "click")),   // within-batch latest won
+      2L -> ((5L, "click")),   // cross-batch upsert won
+      3L -> ((4L, "signup"))), // insert path
+      s"unexpected target contents: $out")
+  }
+
   test("windowed counts aggregate per hour window and event type") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
