@@ -359,6 +359,72 @@ object Analytics {
       |  JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
+  /** B16: CUBE over (priority, status) with an explicit grouping-id —
+    * the DataFrame-native `.cube` surface (B9 exercises ROLLUP through
+    * `spark.sql`). All 2^2 grouping sets come out of ONE shuffle of the
+    * pre-aggregated map-side partials (Expand feeds a single hash agg),
+    * not four scans. The gid is built from `grouping()` bits explicitly
+    * so the encoding is pinned in both engines rather than relying on
+    * either engine's native grouping_id bit order.
+    */
+  def cubeRevenue(orders: DataFrame): DataFrame =
+    orders
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        money(sum(dec(col("o_totalprice")))).as("revenue"),
+        (grouping(col("o_orderpriority")) * 2 + grouping(col("o_orderstatus")))
+          .cast("long").as("gid"))
+
+  val cubeRevenueSql: String =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+      |  CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid
+      |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin
+
+  /** B17: revenue share within region — the ratio-to-report window shape.
+    * The window runs over the AGGREGATED (region, nation) frame — 25
+    * rows at any corpus scale, because the SF-proportional fact side is
+    * reduced by the hash agg BEFORE the window sees it (windows over raw
+    * fact frames are the scale hazard WindowAudit polices). Revenue in
+    * exact integer cents; the share is one IEEE double division of two
+    * exact integers, bit-identical in both engines.
+    */
+  def revenueShare(orders: DataFrame, customer: DataFrame,
+                   nation: DataFrame, region: DataFrame): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val base = orders.select(col("o_custkey"), cents.as("c"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("c")).as("rev_c"))
+    val w = Window.partitionBy("r_name")
+    base
+      .withColumn("region_c", sum(col("rev_c")).over(w))
+      .select(col("r_name"), col("n_name"),
+        (col("rev_c").cast("double") / 100.0).as("revenue"),
+        (col("rev_c").cast("double") / col("region_c").cast("double")).as("share"))
+  }
+
+  val revenueShareSql: String =
+    """WITH a AS (
+      |  SELECT r_name, n_name,
+      |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation ON c_nationkey = n_nationkey
+      |    JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, n_name)
+      |SELECT r_name, n_name,
+      |  CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+      |  CAST(rev_c AS DOUBLE) /
+      |    CAST(CAST(sum(rev_c) OVER (PARTITION BY r_name) AS BIGINT) AS DOUBLE) AS share
+      |FROM a""".stripMargin
+
   /** B10: exact per-group quantiles — median and p90 order value per
     * priority class. One `percentile_disc` aggregate per group (same
     * boundary rule as DuckDB `quantile_disc`, probed); partial-agg
@@ -547,6 +613,10 @@ object Analytics {
       |LIMIT 100""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube_revenue" -> ((s, d) => cubeRevenue(Tables.orders(s, d))),
+    "q_revenue_share" -> ((s, d) =>
+      revenueShare(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
     "q12_priority_lines" -> ((s, d) =>
       priorityLines(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q18_large_orders" -> ((s, d) =>
@@ -576,6 +646,8 @@ object Analytics {
       supplierVolume(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_cube_revenue" -> cubeRevenueSql,
+    "q_revenue_share" -> revenueShareSql,
     "q12_priority_lines" -> priorityLinesSql,
     "q18_large_orders" -> largeOrdersSql,
     "q5_local_supplier_volume" -> localSupplierVolumeSql,

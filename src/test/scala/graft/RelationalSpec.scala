@@ -108,6 +108,26 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ours.exceptAll(viaSql).count() == 0 && viaSql.exceptAll(ours).count() == 0)
   }
 
+  test("cube revenue: grand-total row equals orders count, gids partition the sets") {
+    val o = Tables.orders(spark, sf)
+    val out = Analytics.cubeRevenue(o).collect()
+    val grand = out.filter(_.getLong(4) == 3L)
+    assert(grand.length == 1 && grand.head.getLong(2) == o.count())
+    // each grouping set's n_orders re-sums to the total
+    Seq(0L, 1L, 2L).foreach { gid =>
+      assert(out.filter(_.getLong(4) == gid).map(_.getLong(2)).sum == o.count(),
+        s"gid $gid rows must cover all orders")
+    }
+  }
+
+  test("revenue shares sum to 1 within every region") {
+    val out = Analytics.revenueShare(Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.nation(spark, sf), Tables.region(spark, sf))
+    val sums = out.groupBy("r_name").agg(sum("share").as("s")).collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9,
+      s"region ${r.getString(0)} shares sum to ${r.getDouble(1)}"))
+  }
+
   test("priority lines: high+low equals the joined filtered line count") {
     val li = Tables.lineitem(spark, sf)
     val o = Tables.orders(spark, sf)
