@@ -53,7 +53,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.tune(
-      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+      SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
     // ERROR: WARN-level noise around the JSON line broke the round-1
     // driver parse (BENCH_r01.json has parsed:null, tail full of WARNs).
     spark.sparkContext.setLogLevel("ERROR")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Dedup, Embeddings, Reference, Temporal, TextOps}
+import graft.operators.{Analytics, Dedup, Embeddings, Reference, Sketches, Temporal, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,11 +21,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Reference.queries ++ Analytics.queries ++ TextOps.queries ++
-      Dedup.queries ++ Embeddings.queries ++ Temporal.queries
+      Dedup.queries ++ Embeddings.queries ++ Temporal.queries ++ Sketches.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Reference.oracle ++ Analytics.oracle ++ TextOps.oracle ++
-      Dedup.oracle ++ Embeddings.oracle ++ Temporal.oracle
+      Dedup.oracle ++ Embeddings.oracle ++ Temporal.oracle ++ Sketches.oracle
 }

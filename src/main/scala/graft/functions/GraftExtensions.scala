@@ -65,6 +65,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_max_k_scored(score, id, k) - aggregate: the k (score double, id bigint) pairs with highest score (ties: smaller id), best-first"),
       (args: Seq[Expression]) => Exprs.MaxKScored(args(0), args(1),
         literalInt("graft_max_k_scored", "k", args(2))).toAggregateExpression()))
+    // Spark ships Bloom-filter expressions for its own runtime filters
+    // but does not SQL-register them; surface them for the semi-join
+    // pruning operators (Sketches.dedupIncrementalBloom). Both are
+    // codegen'd natives — no UDF in the membership hot path.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "graft_bloom_agg(xxhash64(col), estimatedItems, numBits) - aggregate: serialized Bloom filter over the hashed input"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain",
+        "graft_might_contain(bloom, xxhash64(col)) - Bloom membership probe (false => definitely absent)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "graft_minhash_sig(shingles, k) - k-permutation minhash signature"),

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Sketch-based approximate operators — the 100 TB paths where an exact
+  * answer costs a full shuffle of a wide key space but a bounded-error
+  * estimate costs one map-side pass: HyperLogLog++ cardinality, rank-bound
+  * quantile summaries, and Bloom-filter semi-join pruning.
+  *
+  * Oracle strategy: a DuckDB oracle cannot reproduce another engine's
+  * sketch bits, so each query emits (a) the EXACT value, oracle-checked
+  * as usual, and (b) a boolean asserting the sketch landed within its
+  * error contract, which the oracle claims as literal TRUE. The booleans
+  * are safe to hash-compare: approx_percentile's rank error is a hard
+  * deterministic guarantee of the summary structure, and the HLL++
+  * relative error is deterministic per dataset (same input bits → same
+  * registers), verified against every driver scale factor. The Bloom
+  * variant needs no special contract at all — no false negatives means
+  * prefilter + exact residual join is EXACTLY the plain anti-join result,
+  * so it shares q_dedup_incremental's oracle verbatim.
+  */
+object Sketches {
+
+  /** C31: per-language distinct-token cardinality, HLL++ next to exact.
+    * At 100 TB the exact count-distinct shuffles every (lang, token)
+    * pair; the HLL++ estimate is a fixed-width register array per
+    * group, merged map-side — the standard first-pass corpus profile.
+    * `hll_within_bound` asserts the estimate sits inside 3 standard
+    * deviations of the configured relative error.
+    */
+  def approxDistinctTokens(documents: DataFrame, rsd: Double = 0.05): DataFrame =
+    documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("exact_distinct"),
+        approx_count_distinct(col("token"), rsd).as("hll"))
+      .select(col("lang"), col("n_tokens"), col("exact_distinct"),
+        (abs(col("hll").cast("double") / col("exact_distinct").cast("double") - 1.0)
+          <= lit(3.0 * rsd)).as("hll_within_bound"))
+
+  val approxDistinctTokensSql: String =
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+      |SELECT lang, count(*) AS n_tokens,
+      |  count(DISTINCT token) AS exact_distinct,
+      |  TRUE AS hll_within_bound
+      |FROM tok GROUP BY lang""".stripMargin
+
+  /** C32: per-status order-value quantiles — approx_percentile's summary
+    * (one pass, bounded memory, partial-agg mergeable) next to the exact
+    * percentile_disc. The summary guarantees rank error ≤ N/accuracy
+    * REGARDLESS of merge order, so with accuracy=1000 the estimate's
+    * rank sits within 0.1% of the target and must lie between the exact
+    * 1%-window quantiles around it — a hard bound, not a probabilistic
+    * one, hence safe to oracle as TRUE.
+    */
+  def approxOrderQuantiles(orders: DataFrame, accuracy: Int = 1000): DataFrame = {
+    def exact(q: Double) =
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY o_totalprice)")
+    val eps = 0.01
+    orders
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        exact(0.5).as("p50"), exact(0.9).as("p90"),
+        exact(0.5 - eps).as("p50_lo"), exact(0.5 + eps).as("p50_hi"),
+        exact(0.9 - eps).as("p90_lo"), exact(0.9 + eps).as("p90_hi"),
+        expr(s"approx_percentile(o_totalprice, array(0.5, 0.9), $accuracy)").as("ap"))
+      .select(col("o_orderstatus"), col("n"), col("p50"), col("p90"),
+        (col("ap")(0) >= col("p50_lo") && col("ap")(0) <= col("p50_hi"))
+          .as("p50_within_bound"),
+        (col("ap")(1) >= col("p90_lo") && col("ap")(1) <= col("p90_hi"))
+          .as("p90_within_bound"))
+  }
+
+  val approxOrderQuantilesSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  quantile_disc(o_totalprice, 0.5) AS p50,
+      |  quantile_disc(o_totalprice, 0.9) AS p90,
+      |  TRUE AS p50_within_bound,
+      |  TRUE AS p90_within_bound
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** C26b: Bloom-pruned incremental dedup — same contract as
+    * [[TextOps.dedupIncremental]], with the historical fingerprint set
+    * compacted into a Bloom filter (native `graft_bloom_agg` /
+    * `graft_might_contain` (Spark's own runtime-filter expressions,
+    * SQL-surfaced via GraftExtensions) — codegen'd, no UDF) broadcast as a one-row
+    * aggregate. New docs that miss the filter are definitively unknown
+    * (no false negatives) and skip the join entirely; only the ~dup-rate
+    * + fpp fraction that hits proceeds to the exact join, so the shuffle
+    * cost scales with the MATCH volume, not the ingest volume — the
+    * standard semi-join reduction when the historical index dwarfs each
+    * ingest batch. Result is bit-identical to the exact variant; the
+    * driver checks it against the SAME oracle.
+    */
+  private val bloomCallCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  def dedupIncrementalBloom(documents: DataFrame, fpp: Double = 0.01): DataFrame = {
+    val spark = documents.sparkSession
+    val fp = documents.select(col("doc_id"), md5(col("text")).as("fp"))
+    val hist = graft.GraftCache.persistTracked(
+      fp.filter(pmod(col("doc_id"), lit(10)) < 8).select("fp").distinct())
+    val delta = fp.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    // Size the filter from the historical cardinality: in production this
+    // is a known index stat; here one cheap count over the (persisted)
+    // distinct set the exact residual join needs anyway. n·ln(fpp)/ln²2 bits.
+    val n = math.max(hist.count(), 1L)
+    val numBits = math.max(64L, math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // might_contain demands its Bloom input as a constant or scalar
+    // subquery (the same contract Spark's InjectRuntimeFilter satisfies):
+    // the subquery aggregates the persisted hist once and the result is
+    // fed to every probe as a runtime constant. Unique per-call view
+    // names, dropped before returning (rollupRevenue pattern).
+    val v = s"graft_bloom_${bloomCallCounter.incrementAndGet()}"
+    hist.createOrReplaceTempView(s"${v}_hist")
+    delta.createOrReplaceTempView(s"${v}_delta")
+    try {
+      spark.sql(
+        s"""WITH flagged AS (
+           |  SELECT doc_id, fp,
+           |    graft_might_contain(
+           |      (SELECT graft_bloom_agg(xxhash64(fp), ${n}L, ${numBits}L)
+           |       FROM ${v}_hist),
+           |      xxhash64(fp)) AS maybe
+           |  FROM ${v}_delta)
+           |SELECT f.doc_id, f.fp, (h.fp IS NOT NULL) AS is_known
+           |FROM (SELECT doc_id, fp FROM flagged WHERE maybe) f
+           |  LEFT JOIN ${v}_hist h ON f.fp = h.fp
+           |UNION ALL
+           |SELECT doc_id, fp, FALSE AS is_known FROM flagged WHERE NOT maybe
+           |""".stripMargin)
+    } finally {
+      Seq("hist", "delta").foreach(t => spark.catalog.dropTempView(s"${v}_$t"))
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> ((s, d) => approxDistinctTokens(Tables.documents(s, d))),
+    "q_approx_quantiles" -> ((s, d) => approxOrderQuantiles(Tables.orders(s, d))),
+    "q_dedup_incremental_bloom" -> ((s, d) => dedupIncrementalBloom(Tables.documents(s, d))))
+
+  def oracle: Map[String, String] = Map(
+    "q_approx_distinct" -> approxDistinctTokensSql,
+    "q_approx_quantiles" -> approxOrderQuantilesSql,
+    // same oracle as q_dedup_incremental on purpose: the Bloom path must
+    // be exactly the anti-join result (no false negatives)
+    "q_dedup_incremental_bloom" -> TextOps.dedupIncrementalSql)
+}

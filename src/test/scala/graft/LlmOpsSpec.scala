@@ -149,6 +149,23 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("bloom-pruned incremental dedup is bit-identical to the exact anti-join") {
+    val docs = Tables.documents(spark, sf)
+    val exact = TextOps.dedupIncremental(docs)
+    val bloom = graft.operators.Sketches.dedupIncrementalBloom(docs)
+    assert(exact.exceptAll(bloom).count() == 0 && bloom.exceptAll(exact).count() == 0,
+      "no false negatives: the Bloom path must reproduce the exact result")
+    assert(bloom.count() == exact.count())
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("sketch bounds hold: HLL distinct and approx quantiles within contract") {
+    val ad = graft.operators.Sketches.approxDistinctTokens(Tables.documents(spark, sf))
+    assert(ad.filter(!col("hll_within_bound")).count() == 0)
+    val aq = graft.operators.Sketches.approxOrderQuantiles(Tables.orders(spark, sf))
+    assert(aq.filter(!col("p50_within_bound") || !col("p90_within_bound")).count() == 0)
+  }
+
   test("minhash candidates have higher jaccard than random pairs") {
     val j = Dedup.dedupNgramJaccard(Tables.documents(spark, sf))
     val candAvg = j.agg(avg("jaccard")).head().getDouble(0)

@@ -113,6 +113,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q_oov_rate: membership join is not broadcast: ${shuffledJoins.map(_.nodeName)}")
   }
 
+  test("round-4 shapes: q18 TakeOrdered, q12/q18 unhinted, cube single Expand, bloom probe split") {
+    // q18's top-k must be sort+limit, and neither Q12 nor Q18 may carry
+    // a forced broadcast hint — lineitem, orders and customer are all
+    // SF-proportional; strategy stays with the planner/AQE.
+    assert(plan("q18_large_orders").collect {
+      case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "q18_large_orders: expected TakeOrderedAndProject")
+    for (q <- Seq("q12_priority_lines", "q18_large_orders")) {
+      val hints = SparkEntry.queries(q)(spark, sf).queryExecution.analyzed.collect {
+        case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"$q: no join-strategy hint may be forced")
+    }
+    // all four CUBE grouping sets from ONE Expand feeding one agg pair —
+    // not a union of four scans
+    val cube = plan("q_cube_revenue")
+    assert(cube.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }.size == 1,
+      "q_cube_revenue: expected exactly one Expand")
+    assert(cube.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.size == 1,
+      "q_cube_revenue: CUBE must not rescan the fact table per grouping set")
+    // the Bloom dedup's exact join input must be the maybe-filtered
+    // branch, not the full delta: the probe appears as a Filter above
+    // the scan side feeding the fingerprint join
+    val bloomPlan = plan("q_dedup_incremental_bloom").toString
+    assert(bloomPlan.contains("might_contain"),
+      "q_dedup_incremental_bloom: Bloom probe missing from the physical plan")
+  }
+
   test("no query contains a single-partition global window") {
     SparkEntry.queries.keys.foreach { q =>
       val bad = plan(q).collect { case w: WindowExec if w.partitionSpec.isEmpty => w }

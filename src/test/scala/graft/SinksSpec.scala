@@ -45,6 +45,44 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(oneDay.count() > 0)
   }
 
+  test("dynamic partition pruning: a filtered dim join prunes the fact scan at runtime") {
+    // The 100 TB shape: fact partitioned on the join key's functional
+    // image (day), dim filter only known at runtime through the join.
+    // DPP must inject a pruning subquery into the fact scan's partition
+    // filters so untouched day= directories are never read.
+    val path = s"$tmp/events_dpp"
+    Sinks.writePartitionedByDay(Tables.events(spark, sf), "ts", path)
+    val fact = Sinks.readPartitioned(spark, path)
+    val allDays = fact.select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val dim = {
+      val s = spark
+      import s.implicits._
+      // a calendar dim ON DISK with a selective attribute: an in-memory
+      // dim constant-folds to a LocalRelation whose filter disappears
+      // before the PartitionPruning rule ever sees it (no DPP — found
+      // the hard way), exactly why a real deployment's pruning dim is a
+      // stored table
+      allDays.map(d => (d, if (allDays.take(2).contains(d)) "keep" else "drop"))
+        .toSeq.toDF("d", "tag")
+        .select(to_date(col("d")).as("day"), col("tag"))
+        .write.mode("overwrite").parquet(s"$tmp/calendar_dpp")
+      spark.read.parquet(s"$tmp/calendar_dpp")
+    }
+    val joined = fact.join(broadcast(dim.filter(col("tag") === "keep")), "day")
+    val scans = collectLeaves(joined.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pruned = scans.filter(_.partitionFilters.exists(
+      _.toString.contains("dynamicpruning")))
+    assert(pruned.nonEmpty,
+      s"expected a dynamicpruning subquery in the fact scan's partition filters:\n" +
+        scans.map(_.partitionFilters.mkString(",")).mkString("\n"))
+    assert(joined.count() ==
+      fact.filter(col("day").cast("string").isin(allDays.take(2): _*)).count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     Sinks.writeBucketed(
       Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
