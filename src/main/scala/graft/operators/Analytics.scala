@@ -425,6 +425,55 @@ object Analytics {
       |    CAST(CAST(sum(rev_c) OVER (PARTITION BY r_name) AS BIGINT) AS DOUBLE) AS share
       |FROM a""".stripMargin
 
+  /** B18: PIVOT — order counts cross-tabbed status × priority. The
+    * value set is declared explicitly (`F/O/P`), which is the scale
+    * contract too: an undeclared pivot needs a distinct-values pass
+    * over the fact table before it can even plan. Compiles to one hash
+    * agg with conditional counts — no per-value scan.
+    */
+  def pivotStatus(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
+  val pivotStatusSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** B19: set-difference cohort — customers who ordered in 1996 but not
+    * in 1997 (lapsed). EXCEPT compiles to a left-anti hash join of two
+    * pre-aggregated key sets: both sides shuffle once on the key,
+    * nothing wide moves. The 1996 side keeps its order count so the
+    * result carries evidence, not just membership.
+    */
+  def lapsedCustomers(orders: DataFrame): DataFrame = {
+    def active(y: Int) = orders
+      .filter(col("o_orderdate") >= lit(s"$y-01-01") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01"))
+    active(1996)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders_1996"))
+      .join(active(1997).select("o_custkey").distinct(), Seq("o_custkey"), "left_anti")
+  }
+
+  val lapsedCustomersSql: String =
+    """SELECT o_custkey, count(*) AS n_orders_1996
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND o_custkey NOT IN (
+      |    SELECT o_custkey FROM orders
+      |    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |      AND o_orderdate < TIMESTAMP '1998-01-01')
+      |GROUP BY o_custkey""".stripMargin
+
   /** B10: exact per-group quantiles — median and p90 order value per
     * priority class. One `percentile_disc` aggregate per group (same
     * boundary rule as DuckDB `quantile_disc`, probed); partial-agg
@@ -614,6 +663,8 @@ object Analytics {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cube_revenue" -> ((s, d) => cubeRevenue(Tables.orders(s, d))),
+    "q_pivot_status" -> ((s, d) => pivotStatus(Tables.orders(s, d))),
+    "q_lapsed_customers" -> ((s, d) => lapsedCustomers(Tables.orders(s, d))),
     "q_revenue_share" -> ((s, d) =>
       revenueShare(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Tables.region(s, d))),
@@ -647,6 +698,8 @@ object Analytics {
 
   def oracle: Map[String, String] = Map(
     "q_cube_revenue" -> cubeRevenueSql,
+    "q_pivot_status" -> pivotStatusSql,
+    "q_lapsed_customers" -> lapsedCustomersSql,
     "q_revenue_share" -> revenueShareSql,
     "q12_priority_lines" -> priorityLinesSql,
     "q18_large_orders" -> largeOrdersSql,

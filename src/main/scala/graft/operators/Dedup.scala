@@ -156,6 +156,40 @@ object Dedup {
        |FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
        |          JOIN sig sb ON cand.doc_b = sb.doc_id""".stripMargin
 
+  /** C33: edit-distance verify on LSH candidates — the third similarity
+    * lens next to Jaccard (set view) and cosine (vector view): character-
+    * level Levenshtein over a fixed 64-char prefix. The prefix bound is
+    * the scale contract — full-text edit distance is O(len²) per pair
+    * and unbounded; a fixed prefix caps the per-pair cost at a constant,
+    * which is how production fuzzy-match stages keep the verify step
+    * linear in the candidate count. Only LSH candidates pay it
+    * (never all pairs), and both engines ship the same plain
+    * Levenshtein on ASCII.
+    */
+  def dedupEditDistance(documents: DataFrame, prefixLen: Int = 64): DataFrame = {
+    val pre = documents.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("pre"))
+    minhashCandidates(documents)
+      .join(pre.select(col("doc_id").as("doc_a"), col("pre").as("pre_a")), "doc_a")
+      .join(pre.select(col("doc_id").as("doc_b"), col("pre").as("pre_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pre_a"), col("pre_b")).cast("long").as("prefix_edit_dist"))
+  }
+
+  def dedupEditDistanceSql: String =
+    s"""WITH sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
+       |$bandsCappedSqlCte,
+       |cand AS (
+       |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_key = b2.band_key
+       |  WHERE b1.doc_id < b2.doc_id
+       |),
+       |pre AS (SELECT doc_id, substr(text, 1, 64) AS pre FROM documents)
+       |SELECT doc_a, doc_b,
+       |  CAST(levenshtein(pa.pre, pb.pre) AS BIGINT) AS prefix_edit_dist
+       |FROM cand JOIN pre pa ON cand.doc_a = pa.doc_id
+       |          JOIN pre pb ON cand.doc_b = pb.doc_id""".stripMargin
+
   // ---------------- C4: exact n-gram Jaccard on LSH candidates ----------------
 
   /** Exact 3-token-shingle Jaccard over the MinHash candidate pairs —
@@ -553,7 +587,8 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => dedupSimhash(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(Tables.documents(s, d))),
-    "q_dedup_clusters_ls" -> ((s, d) => dedupClustersLogStar(Tables.documents(s, d))))
+    "q_dedup_clusters_ls" -> ((s, d) => dedupClustersLogStar(Tables.documents(s, d))),
+    "q_dedup_edit_distance" -> ((s, d) => dedupEditDistance(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_dedup_minhash_lsh" -> dedupMinhashLshSql,
@@ -561,5 +596,6 @@ object Dedup {
     "q_dedup_simhash" -> dedupSimhashSql(),
     "q_dedup_clusters" -> dedupClustersSql,
     // same oracle on purpose: two independent CC engines, one contract
-    "q_dedup_clusters_ls" -> dedupClustersSql)
+    "q_dedup_clusters_ls" -> dedupClustersSql,
+    "q_dedup_edit_distance" -> dedupEditDistanceSql)
 }

@@ -166,6 +166,18 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aq.filter(!col("p50_within_bound") || !col("p90_within_bound")).count() == 0)
   }
 
+  test("edit-distance verify: bounded by prefix, zero only for identical prefixes") {
+    val docs = Tables.documents(spark, sf)
+    val ed = Dedup.dedupEditDistance(docs)
+    assert(ed.filter(col("prefix_edit_dist") < 0 || col("prefix_edit_dist") > 64).count() == 0)
+    // candidates with distance 0 must actually share the 64-char prefix
+    val pre = docs.select(col("doc_id"), substring(col("text"), 1, 64).as("p"))
+    val zeros = ed.filter(col("prefix_edit_dist") === 0)
+      .join(pre.select(col("doc_id").as("doc_a"), col("p").as("pa")), "doc_a")
+      .join(pre.select(col("doc_id").as("doc_b"), col("p").as("pb")), "doc_b")
+    assert(zeros.filter(col("pa") =!= col("pb")).count() == 0)
+  }
+
   test("minhash candidates have higher jaccard than random pairs") {
     val j = Dedup.dedupNgramJaccard(Tables.documents(spark, sf))
     val candAvg = j.agg(avg("jaccard")).head().getDouble(0)

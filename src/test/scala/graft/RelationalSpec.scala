@@ -128,6 +128,17 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"region ${r.getString(0)} shares sum to ${r.getDouble(1)}"))
   }
 
+  test("pivot cells cover all orders; lapsed customers have no later order") {
+    val o = Tables.orders(spark, sf)
+    val piv = Analytics.pivotStatus(o).collect()
+    assert(piv.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum == o.count())
+    val lapsed = Analytics.lapsedCustomers(o)
+    val in97 = o.filter(col("o_orderdate") >= lit("1997-01-01") &&
+      col("o_orderdate") < lit("1998-01-01")).select("o_custkey").distinct()
+    assert(lapsed.join(in97, "o_custkey").count() == 0,
+      "a lapsed customer must have no 1997 order")
+  }
+
   test("priority lines: high+low equals the joined filtered line count") {
     val li = Tables.lineitem(spark, sf)
     val o = Tables.orders(spark, sf)
