@@ -425,6 +425,39 @@ object Analytics {
       |    CAST(CAST(sum(rev_c) OVER (PARTITION BY r_name) AS BIGINT) AS DOUBLE) AS share
       |FROM a""".stripMargin
 
+  /** B20: correlated-subquery decorrelation — orders strictly above
+    * their own customer's average value, written as two correlated
+    * scalar subqueries through the `spark.sql` surface so Catalyst's
+    * decorrelation rewrite (subquery → agg + join) is exercised, not
+    * hand-decorrelated around it. The comparison is pure integer cents
+    * (price·n > sum — no division, no float boundary): exact and
+    * engine-portable even when an order sits exactly on the average.
+    */
+  def aboveAvgOrders(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val v = s"graft_aao_${rollupCallCounter.incrementAndGet()}"
+    orders.createOrReplaceTempView(v)
+    try {
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey,
+           |  CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS total_price
+           |FROM $v o
+           |WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) *
+           |        (SELECT count(*) FROM $v i WHERE i.o_custkey = o.o_custkey)
+           |      > (SELECT sum(CAST(round(i.o_totalprice * 100, 0) AS BIGINT))
+           |         FROM $v i WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+    } finally spark.catalog.dropTempView(v)
+  }
+
+  val aboveAvgOrdersSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS total_price
+      |FROM orders o
+      |WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) *
+      |        (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |      > (SELECT CAST(sum(CAST(round(i.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |         FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin
+
   /** B18: PIVOT — order counts cross-tabbed status × priority. The
     * value set is declared explicitly (`F/O/P`), which is the scale
     * contract too: an undeclared pivot needs a distinct-values pass
@@ -664,6 +697,7 @@ object Analytics {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cube_revenue" -> ((s, d) => cubeRevenue(Tables.orders(s, d))),
     "q_pivot_status" -> ((s, d) => pivotStatus(Tables.orders(s, d))),
+    "q_above_avg_orders" -> ((s, d) => aboveAvgOrders(Tables.orders(s, d))),
     "q_lapsed_customers" -> ((s, d) => lapsedCustomers(Tables.orders(s, d))),
     "q_revenue_share" -> ((s, d) =>
       revenueShare(Tables.orders(s, d), Tables.customer(s, d),
@@ -699,6 +733,7 @@ object Analytics {
   def oracle: Map[String, String] = Map(
     "q_cube_revenue" -> cubeRevenueSql,
     "q_pivot_status" -> pivotStatusSql,
+    "q_above_avg_orders" -> aboveAvgOrdersSql,
     "q_lapsed_customers" -> lapsedCustomersSql,
     "q_revenue_share" -> revenueShareSql,
     "q12_priority_lines" -> priorityLinesSql,

@@ -128,6 +128,15 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"region ${r.getString(0)} shares sum to ${r.getDouble(1)}"))
   }
 
+  test("above-average orders: no customer can have every order above their own mean") {
+    val o = Tables.orders(spark, sf)
+    val above = Analytics.aboveAvgOrders(o).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_above"))
+    val all = o.groupBy("o_custkey").agg(count(lit(1)).as("n_all"))
+    assert(above.join(all, "o_custkey").filter(col("n_above") >= col("n_all")).count() == 0)
+    assert(above.count() > 0)
+  }
+
   test("pivot cells cover all orders; lapsed customers have no later order") {
     val o = Tables.orders(spark, sf)
     val piv = Analytics.pivotStatus(o).collect()
