@@ -154,6 +154,22 @@ object Smoke {
     require(annTop.exists(t => t._1 == probes.head._1 && t._2 == probes.head._1 - 500L && t._3 == 1),
       "rank-1 should be the query's own corpus vector")
 
+    // 10. streaming upsert exit path: two micro-batches MERGEd into a
+    // parquet target, latest version per key wins across batches
+    val upDir = java.nio.file.Files.createTempDirectory("graft-smoke-upsert").toString
+    val upIn = MemoryStream[EventStream.Event]
+    val upQ = EventStream.streamingUpsertSink(
+      upIn.toDF(), s"$upDir/t", Seq("user_id"), "event_id", s"$upDir/ckpt")
+    upIn.addData(EventStream.Event(1, new java.sql.Timestamp(1000), 7, "signup", 1.0))
+    upQ.processAllAvailable()
+    upIn.addData(EventStream.Event(2, new java.sql.Timestamp(2000), 7, "click", 2.0))
+    upQ.processAllAvailable()
+    upQ.stop()
+    val upRow = spark.read.parquet(s"$upDir/t").select("user_id", "event_id", "event_type").head()
+    println(s"[smoke] streaming upsert: $upRow")
+    require(upRow.getLong(0) == 7L && upRow.getLong(1) == 2L && upRow.getString(2) == "click",
+      "cross-batch upsert must keep the latest version")
+
     println("[smoke] OK")
     spark.stop()
   }
