@@ -129,11 +129,15 @@ object Bench {
             warm - ow * normW > MinWarmDeltaSec
           // The severe warm-only rule exists for a broken warm path
           // (cache-reuse keying defeated): its signature is warm moving
-          // hard while cold stays put. Require the cold side actually
-          // unchanged — otherwise it is load or a dual-rule matter.
+          // hard while cold stays put. Its cold ceiling is EXACTLY the
+          // dual rule's cold floor, so the two rules partition the
+          // space: a severe warm regression with cold <= 1.5x lands
+          // here; with cold > 1.5x the dual rule fires (its warm and
+          // delta conditions are implied by the severe ones) — no dead
+          // zone between the thresholds.
           val severeWarm = warm > ow * normW * SevereWarmFactor &&
             warm - ow * normW > SevereWarmDeltaSec &&
-            cold <= oc * normC * 1.25
+            cold <= oc * normC * RegressionFactor
           if (dual || severeWarm) {
             System.err.println(
               f"[bench] REGRESSION $n: warm $warm%.3fs vs $ow%.3fs (${warm / ow}%.2fx), " +

@@ -121,6 +121,18 @@ object Dedup {
        |  WHERE occ <= $MaxBucketOccupancy
        |)""".stripMargin
 
+  /** DuckDB mirror of [[minhashCandidates]] as a reusable CTE — the
+    * SINGLE definition of the candidate-pair predicate. Every oracle
+    * that consumes the pair graph splices this (not a copy), so an edit
+    * to the pair rule cannot leave the oracles disagreeing.
+    */
+  val candSqlCte: String =
+    """cand AS (
+      |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_key = b2.band_key
+      |  WHERE b1.doc_id < b2.doc_id
+      |)""".stripMargin
+
   def minhashCandSql: String =
     s"""WITH sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
        |$bandsCappedSqlCte
@@ -146,11 +158,7 @@ object Dedup {
   val dedupMinhashLshSql: String =
     s"""WITH sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
        |$bandsCappedSqlCte,
-       |cand AS (
-       |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
-       |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_key = b2.band_key
-       |  WHERE b1.doc_id < b2.doc_id
-       |)
+       |$candSqlCte
        |SELECT doc_a, doc_b,
        |  CAST(len(list_filter(list_zip(sa.mh, sb.mh), p -> p[1] = p[2])) AS BIGINT) AS n_hash_agree
        |FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
@@ -166,7 +174,10 @@ object Dedup {
     * (never all pairs), and both engines ship the same plain
     * Levenshtein on ASCII.
     */
-  def dedupEditDistance(documents: DataFrame, prefixLen: Int = 64): DataFrame = {
+  val EditDistancePrefixLen = 64
+
+  def dedupEditDistance(documents: DataFrame,
+                        prefixLen: Int = EditDistancePrefixLen): DataFrame = {
     val pre = documents.select(col("doc_id"),
       substring(col("text"), 1, prefixLen).as("pre"))
     minhashCandidates(documents)
@@ -176,15 +187,11 @@ object Dedup {
         levenshtein(col("pre_a"), col("pre_b")).cast("long").as("prefix_edit_dist"))
   }
 
-  def dedupEditDistanceSql: String =
+  def dedupEditDistanceSql(prefixLen: Int = EditDistancePrefixLen): String =
     s"""WITH sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
        |$bandsCappedSqlCte,
-       |cand AS (
-       |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
-       |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_key = b2.band_key
-       |  WHERE b1.doc_id < b2.doc_id
-       |),
-       |pre AS (SELECT doc_id, substr(text, 1, 64) AS pre FROM documents)
+       |$candSqlCte,
+       |pre AS (SELECT doc_id, substr(text, 1, $prefixLen) AS pre FROM documents)
        |SELECT doc_a, doc_b,
        |  CAST(levenshtein(pa.pre, pb.pre) AS BIGINT) AS prefix_edit_dist
        |FROM cand JOIN pre pa ON cand.doc_a = pa.doc_id
@@ -213,11 +220,7 @@ object Dedup {
   val dedupNgramJaccardSql: String =
     s"""WITH sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
        |$bandsCappedSqlCte,
-       |cand AS (
-       |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
-       |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_key = b2.band_key
-       |  WHERE b1.doc_id < b2.doc_id
-       |),
+       |$candSqlCte,
        |sh AS (SELECT doc_id, ${shinglesSqlExpr(3)} AS sh FROM documents)
        |SELECT doc_a, doc_b,
        |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
@@ -563,11 +566,7 @@ object Dedup {
   val dedupClustersSql: String =
     s"""WITH RECURSIVE sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
        |$bandsCappedSqlCte,
-       |cand AS (
-       |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
-       |  FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.band_key = b2.band_key
-       |  WHERE b1.doc_id < b2.doc_id
-       |),
+       |$candSqlCte,
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM cand
        |  UNION ALL
@@ -597,5 +596,5 @@ object Dedup {
     "q_dedup_clusters" -> dedupClustersSql,
     // same oracle on purpose: two independent CC engines, one contract
     "q_dedup_clusters_ls" -> dedupClustersSql,
-    "q_dedup_edit_distance" -> dedupEditDistanceSql)
+    "q_dedup_edit_distance" -> dedupEditDistanceSql())
 }

@@ -341,8 +341,17 @@ object Multimodal {
     * bounds-checked and the walk is depth-limited, so a hostile payload
     * degrades to `decode_ok = false`, never an error or a runaway scan.
     */
+  /** Untrusted frame dims are bounded here (the avih dims AND each
+    * MJPEG frame's own header dims): a decompression-bomb frame that
+    * declares 60000×60000 would OOM inside ImageIO before any catch —
+    * an Error, not an Exception — so dims are read from the codec
+    * header FIRST and oversized frames are skipped without decoding.
+    */
+  val MaxFrameDim = 16384
+
   def decodeVideo(payload: Array[Byte], sampleEvery: Int = 4)
       : Option[(Int, Int, Double, Long, Int, Double, Array[Double])] = {
+    require(sampleEvery > 0, s"decodeVideo: sampleEvery must be positive, got $sampleEvery")
     if (payload == null || payload.length < 24) return None
     try {
       if (fourcc(payload, 0) != "RIFF" || fourcc(payload, 8) != "AVI ") return None
@@ -388,25 +397,76 @@ object Multimodal {
       var lumaSum = 0L
       var n = 0L
       var sampled = 0
+
+      def addLuma(luma: Int): Unit = {
+        hist(math.min(luma * LumaBins / 256, LumaBins - 1)) += 1d
+        lumaSum += luma
+        n += 1
+      }
+
+      // MJPEG frame dims from the codec header ONLY — no pixel decode
+      // yet, so a decompression bomb never reaches ImageIO.read.
+      def jpegHeaderDims(start: Int, size: Int): Option[(Int, Int)] = {
+        val iis = ImageIO.createImageInputStream(
+          new ByteArrayInputStream(payload, start, size))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+            finally r.dispose()
+          }
+        } catch { case _: Exception => None } finally iis.close()
+      }
+
       var idx = 0
       while (idx < frames.length && sampled < MaxSampledFrames) {
         val (start, size, id) = frames(idx)
         // per-frame failures skip the frame, not the whole payload
-        val decoded: Option[java.awt.image.BufferedImage] =
-          if (id == "00dc")
-            try Option(ImageIO.read(new ByteArrayInputStream(payload, start, size)))
-            catch { case _: Exception => None }
-          else {
+        val frameOk: Boolean =
+          if (id == "00dc") {
+            val dimsOk = jpegHeaderDims(start, size).exists { case (w, h) =>
+              w > 0 && h > 0 && w <= MaxFrameDim && h <= MaxFrameDim }
+            val img =
+              if (!dimsOk) None
+              else try Option(ImageIO.read(new ByteArrayInputStream(payload, start, size)))
+              catch { case _: Exception => None }
+            img match {
+              case Some(im) =>
+                val w = im.getWidth
+                val h = im.getHeight
+                val sx = math.max(1, w / MaxSamplesPerAxis)
+                val sy = math.max(1, h / MaxSamplesPerAxis)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = im.getRGB(x, y)
+                    addLuma((299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                      114 * (rgb & 0xff)) / 1000)
+                    x += sx
+                  }
+                  y += sy
+                }
+                true
+              case None => false
+            }
+          } else {
             // bottom-up BGR24 DIB: rows padded to 4-byte multiples.
             // Dims come from the untrusted header — bound them and
             // compare sizes in Long so a hostile avih can neither
-            // overflow the row math nor force a giant allocation.
+            // overflow the row math nor force a giant allocation. Luma
+            // is sampled STRAIGHT from the byte array at the stride
+            // coordinates — no intermediate BufferedImage, so the
+            // per-frame cost really is ~MaxSamplesPerAxis² reads, not
+            // width×height writes.
             val rowBytes = (width * 3 + 3) & ~3
-            if (width > 16384 || height > 16384 ||
-                size.toLong < rowBytes.toLong * height) None
+            if (width > MaxFrameDim || height > MaxFrameDim ||
+                size.toLong < rowBytes.toLong * height) false
             else {
-              val img = new java.awt.image.BufferedImage(
-                width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val sx = math.max(1, width / MaxSamplesPerAxis)
+              val sy = math.max(1, height / MaxSamplesPerAxis)
               var y = 0
               while (y < height) {
                 val row = start + (height - 1 - y) * rowBytes
@@ -415,35 +475,15 @@ object Multimodal {
                   val b0 = payload(row + x * 3) & 0xff
                   val g = payload(row + x * 3 + 1) & 0xff
                   val r = payload(row + x * 3 + 2) & 0xff
-                  img.setRGB(x, y, (r << 16) | (g << 8) | b0)
-                  x += 1
+                  addLuma((299 * r + 587 * g + 114 * b0) / 1000)
+                  x += sx
                 }
-                y += 1
+                y += sy
               }
-              Some(img)
+              true
             }
           }
-        decoded.foreach { img =>
-          val w = img.getWidth
-          val h = img.getHeight
-          val sx = math.max(1, w / MaxSamplesPerAxis)
-          val sy = math.max(1, h / MaxSamplesPerAxis)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
-                114 * (rgb & 0xff)) / 1000
-              hist(math.min(luma * LumaBins / 256, LumaBins - 1)) += 1d
-              lumaSum += luma
-              n += 1
-              x += sx
-            }
-            y += sy
-          }
-          sampled += 1
-        }
+        if (frameOk) sampled += 1
         idx += sampleEvery
       }
       if (sampled == 0 || n == 0) return None

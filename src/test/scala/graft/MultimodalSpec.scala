@@ -260,6 +260,34 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.getBoolean(1), "hostile dims must quarantine in-band")
   }
 
+  test("video decode rejects a non-positive sample stride instead of spinning") {
+    val ok = aviBytes(Seq(Array.fill[Byte](64)(1)), "00db", 4, 4, 40000L)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideo(ok, sampleEvery = 0)
+    }
+  }
+
+  test("MJPEG frame whose own header declares hostile dims is skipped pre-decode") {
+    // a real tiny JPEG, then patch the SOF0 dimension fields to 60000x60000:
+    // the header-dims gate must skip it without handing it to ImageIO.read
+    val jpg = jpegBytes(8, 8, 0)
+    var i = 2
+    var patched = false
+    while (i + 9 < jpg.length && !patched) {
+      if ((jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc0) {
+        // SOF0: ff c0 len prec height(2) width(2)
+        jpg(i + 5) = ((60000 >> 8) & 0xff).toByte; jpg(i + 6) = (60000 & 0xff).toByte
+        jpg(i + 7) = ((60000 >> 8) & 0xff).toByte; jpg(i + 8) = (60000 & 0xff).toByte
+        patched = true
+      }
+      i += 1
+    }
+    assert(patched, "test JPEG should contain an SOF0 marker")
+    val hostile = aviBytes(Seq(jpg), "00dc", 8, 8, 40000L)
+    val out = Multimodal.decodeVideo(hostile)
+    assert(out.isEmpty, "all frames hostile -> quarantine (None), not an OOM")
+  }
+
   test("REAL video decode is deterministic and batch-shape independent") {
     val s = spark
     import s.implicits._
