@@ -458,6 +458,30 @@ object Analytics {
       |      > (SELECT CAST(sum(CAST(round(i.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
       |         FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin
 
+  /** B21: ordered string aggregation — per-region roster of nation
+    * names (`listagg WITHIN GROUP` = DuckDB `string_agg ORDER BY`).
+    * Deliberately on the BOUNDED dim hierarchy: listagg's state is the
+    * concatenation itself, so it belongs on groups whose size is fixed
+    * by the schema (25 nations), never on fact-scale groups where the
+    * string grows with the data. The explicit ORDER BY inside the
+    * aggregate is what makes the result deterministic under any
+    * partitioning.
+    */
+  def nationRoster(nation: DataFrame, region: DataFrame): DataFrame =
+    nation
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_nations"),
+        expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("roster"))
+
+  val nationRosterSql: String =
+    """SELECT r_name, count(*) AS n_nations,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS roster
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
   /** B18: PIVOT — order counts cross-tabbed status × priority. The
     * value set is declared explicitly (`F/O/P`), which is the scale
     * contract too: an undeclared pivot needs a distinct-values pass
@@ -698,6 +722,8 @@ object Analytics {
     "q_cube_revenue" -> ((s, d) => cubeRevenue(Tables.orders(s, d))),
     "q_pivot_status" -> ((s, d) => pivotStatus(Tables.orders(s, d))),
     "q_above_avg_orders" -> ((s, d) => aboveAvgOrders(Tables.orders(s, d))),
+    "q_nation_roster" -> ((s, d) =>
+      nationRoster(Tables.nation(s, d), Tables.region(s, d))),
     "q_lapsed_customers" -> ((s, d) => lapsedCustomers(Tables.orders(s, d))),
     "q_revenue_share" -> ((s, d) =>
       revenueShare(Tables.orders(s, d), Tables.customer(s, d),
@@ -734,6 +760,7 @@ object Analytics {
     "q_cube_revenue" -> cubeRevenueSql,
     "q_pivot_status" -> pivotStatusSql,
     "q_above_avg_orders" -> aboveAvgOrdersSql,
+    "q_nation_roster" -> nationRosterSql,
     "q_lapsed_customers" -> lapsedCustomersSql,
     "q_revenue_share" -> revenueShareSql,
     "q12_priority_lines" -> priorityLinesSql,
