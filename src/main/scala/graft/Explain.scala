@@ -15,7 +15,9 @@ object Explain {
       if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q_join_pushdown", "q_mutual_edges",
         "q_category_rollup", "q_dedup_minhash_lsh", "q_ann_lsh", "q_daily_quota",
-        "q_neardup_cosine", "q_tfidf_topterms", "q_rolling_7d")
+        "q_neardup_cosine", "q_tfidf_topterms", "q_rolling_7d",
+        "q18_large_orders", "q_cube_revenue", "q_dedup_incremental_bloom",
+        "q_props_stats", "q_above_avg_orders")
     names.foreach { n =>
       println(s"\n======== $n ========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
