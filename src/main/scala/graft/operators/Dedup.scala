@@ -133,6 +133,110 @@ object Dedup {
       |  WHERE b1.doc_id < b2.doc_id
       |)""".stripMargin
 
+  // ---------------- C2b: sampled-overflow bucket cap ----------------
+
+  /** Per-bucket keep count for the SAMPLED overflow mode at test scale.
+    * The drop-mode cap ([[MaxBucketOccupancy]]) is the production
+    * default for both modes; sf0.01 buckets top out at occupancy 3, so
+    * the test-scale knob is 2 — small enough that the sampling path is
+    * actually exercised by the oracle, exactly like A5's parameterized
+    * lookback.
+    */
+  val SampleCapTest = 2
+
+  /** Portable SQL for the BIGINT value of the first `n` hex nibbles of
+    * the string expression `h` (Horner form; every operand is cast to
+    * BIGINT up front so neither engine does 32-bit arithmetic). Same
+    * nibble trick as TextOps.sampleMix — `instr`/`substr`/`md5` agree
+    * byte-for-byte between Spark and DuckDB.
+    */
+  private def hexPrefixValSql(h: String, n: Int = 8): String =
+    (2 to n).foldLeft(s"CAST(instr('0123456789abcdef', substr($h, 1, 1)) - 1 AS BIGINT)") {
+      (acc, i) => s"($acc * 16 + instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+    }
+
+  /** Sampled-overflow band assignments: every bucket keeps at most `cap`
+    * members — the `cap` with the smallest md5(band_key || doc_id) rank
+    * key — instead of drop-mode's all-or-nothing eviction. An over-cap
+    * bucket still contributes a bounded, deterministic, pseudo-random
+    * subsample of pairs, so genuinely near-dup content hiding inside a
+    * boilerplate bucket retains a detection path (the SURVEY round-5
+    * recall gap).
+    *
+    * Scale shape: this path has NO occupancy count-window at all — the
+    * per-bucket min-k is a [[graft.functions.Exprs.MaxKScored]] hash
+    * aggregate (negated rank key), so map-side partials are cap-bounded,
+    * the shuffle moves O(buckets * cap) rows, and no single task ever
+    * holds a whole degenerate bucket. The rank key is 32 bits (8
+    * nibbles): exact in DOUBLE for the aggregate's score, ties broken by
+    * smaller doc_id identically in both engines.
+    */
+  def minhashBandsSampled(sig: DataFrame, cap: Int = MaxBucketOccupancy): DataFrame =
+    minhashBands(sig)
+      .withColumn("rh", md5(concat(col("band_key"), lit("|"), col("doc_id").cast("string"))))
+      .withColumn("rkey", expr(hexPrefixValSql("rh")))
+      .groupBy(col("b"), col("band_key"))
+      .agg(Exprs.maxKScored(col("rkey").cast("double") * -1d, col("doc_id"), cap).as("keep"))
+      .select(col("b"), col("band_key"), explode(col("keep")).as("t"))
+      .select(col("t.id").as("doc_id"), col("b"), col("band_key"))
+
+  /** DuckDB mirror of [[minhashBandsSampled]] + its candidate pairs.
+    * The oracle ranks with a row_number window — fine for DuckDB's
+    * single-node gate; the Spark side deliberately does NOT (see above).
+    */
+  private def bandsSampledSqlCtes(cap: Int): String =
+    s"""rk AS (
+       |  SELECT doc_id, b, band_key,
+       |    ${hexPrefixValSql("md5(band_key || '|' || CAST(doc_id AS VARCHAR))")} AS rkey
+       |  FROM bands_all
+       |),
+       |bands_s AS (
+       |  SELECT doc_id, b, band_key FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY b, band_key ORDER BY rkey, doc_id) AS rn
+       |    FROM rk)
+       |  WHERE rn <= $cap
+       |),
+       |cand_s AS (
+       |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands_s b1 JOIN bands_s b2 ON b1.b = b2.b AND b1.band_key = b2.band_key
+       |  WHERE b1.doc_id < b2.doc_id
+       |)""".stripMargin
+
+  /** C2b output: the sampled-mode candidate pair graph with the same
+    * signature-agreement estimate as C2 — comparable row shape, bounded
+    * per-bucket contribution even for degenerate boilerplate buckets.
+    */
+  def dedupLshSampled(documents: DataFrame, cap: Int = SampleCapTest): DataFrame = {
+    val sig = minhashSignature(documents)
+    val bands = minhashBandsSampled(sig, cap)
+    val b1 = bands.as("b1")
+    val b2 = bands.as("b2")
+    val cand = b1
+      .join(b2, col("b1.b") === col("b2.b") && col("b1.band_key") === col("b2.band_key"))
+      .filter(col("b1.doc_id") < col("b2.doc_id"))
+      .select(col("b1.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), b => b))
+          .cast("long").as("n_hash_agree"))
+  }
+
+  def dedupLshSampledSql(cap: Int = SampleCapTest): String =
+    s"""WITH sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
+       |bands_all AS (
+       |  SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+       |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS b)
+       |),
+       |${bandsSampledSqlCtes(cap)}
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_filter(list_zip(sa.mh, sb.mh), p -> p[1] = p[2])) AS BIGINT) AS n_hash_agree
+       |FROM cand_s JOIN sig sa ON cand_s.doc_a = sa.doc_id
+       |            JOIN sig sb ON cand_s.doc_b = sb.doc_id""".stripMargin
+
   def minhashCandSql: String =
     s"""WITH sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
        |$bandsCappedSqlCte
@@ -583,6 +687,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash_lsh" -> ((s, d) => dedupMinhashLsh(Tables.documents(s, d))),
+    "q_dedup_lsh_sampled" -> ((s, d) => dedupLshSampled(Tables.documents(s, d))),
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => dedupSimhash(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(Tables.documents(s, d))),
@@ -591,6 +696,7 @@ object Dedup {
 
   def oracle: Map[String, String] = Map(
     "q_dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "q_dedup_lsh_sampled" -> dedupLshSampledSql(),
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_dedup_simhash" -> dedupSimhashSql(),
     "q_dedup_clusters" -> dedupClustersSql,

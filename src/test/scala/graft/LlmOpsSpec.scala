@@ -126,6 +126,42 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((1L to 100L).forall(i => clusters(i) == i))
   }
 
+  test("sampled overflow cap: mega-bucket keeps a bounded subsample, never drops to zero") {
+    val s = spark
+    import s.implicits._
+    val cap = 3
+    val boiler = (1L to 100L).map(i => (i, "the same boilerplate text repeated in every doc"))
+    val dup = Seq(
+      (200L, "a genuinely distinct document about something else"),
+      (201L, "a genuinely distinct document about something else"))
+    val docs = (boiler ++ dup).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(docs)
+    // every sampled bucket is cap-bounded
+    val over = Dedup.minhashBandsSampled(sig, cap)
+      .groupBy("b", "band_key").count().filter(col("count") > cap).count()
+    assert(over == 0, "a sampled bucket exceeded the cap")
+    // unlike drop-mode, the mega-bucket still emits SOME pairs — at most
+    // NumBands * C(cap,2) of them — and the distinct near-dup pair survives
+    val pairs = Dedup.dedupLshSampled(docs, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mega = pairs.filter(_._1 <= 100L)
+    assert(mega.nonEmpty, "sampled mode must retain a detection path into the mega-bucket")
+    assert(mega.size <= Dedup.NumBands * cap * (cap - 1) / 2,
+      s"mega-bucket pair output not bounded: ${mega.size}")
+    assert(pairs.contains((200L, 201L)))
+    // sampled pairs are a subset of the UNCAPPED pair graph (no invented edges)
+    val rawPairs = {
+      val bands = Dedup.minhashBands(sig)
+      bands.as("b1").join(bands.as("b2"),
+          col("b1.b") === col("b2.b") && col("b1.band_key") === col("b2.band_key"))
+        .filter(col("b1.doc_id") < col("b2.doc_id"))
+        .select(col("b1.doc_id"), col("b2.doc_id")).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(pairs.subsetOf(rawPairs))
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("large-star/small-star CC matches min-label clusters on real docs") {
     val docs = Tables.documents(spark, sf)
     val a = Dedup.dedupClusters(docs).collect()
