@@ -718,7 +718,176 @@ object Analytics {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** B22 — TPC-H Q4 shape: order-priority counts for orders with at
+    * least one LATE line (shipped ≥30 days after the order date),
+    * expressed as a correlated EXISTS through the spark.sql surface.
+    * Complements B20's correlated SCALAR subquery: here Catalyst's
+    * RewritePredicateSubquery turns the EXISTS into a LEFT SEMI join on
+    * l_orderkey with the date arithmetic as a residual condition — the
+    * fact-side semi-join dedups per order before the tiny priority agg,
+    * so nothing data-proportional survives the join. The reference's
+    * job-status accounting (scheduler counts jobs with a qualifying
+    * event, scheduler/job_scheduler.py:117) is this same shape.
+    */
+  def orderPriority(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val vo = s"graft_q4_o_${rollupCallCounter.incrementAndGet()}"
+    val vl = s"graft_q4_l_${rollupCallCounter.incrementAndGet()}"
+    orders.createOrReplaceTempView(vo)
+    lineitem.createOrReplaceTempView(vl)
+    try {
+      spark.sql(
+        s"""SELECT o_orderpriority, count(*) AS order_count
+           |FROM $vo o
+           |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+           |  AND EXISTS (SELECT 1 FROM $vl l
+           |              WHERE l.l_orderkey = o.o_orderkey
+           |                AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY)
+           |GROUP BY o_orderpriority""".stripMargin)
+    } finally {
+      spark.catalog.dropTempView(vo)
+      spark.catalog.dropTempView(vl)
+    }
+  }
+
+  val orderPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** B23 — TPC-H Q7 shape: bilateral shipping volume between two nations
+    * by year. Scale shape: the 25-row nation dim is broadcast into the
+    * SF-proportional supplier/customer tables to prune them to the two
+    * nations FIRST (the planner then sizes those joins itself — no
+    * forced broadcast of supplier/customer, per the round-2 verdict);
+    * the lineitem⋈orders spine shuffles on its natural keys; the
+    * cross-pair disjunction is a residual filter after both enrich
+    * joins, exactly TPC-H's published formulation.
+    */
+  /** The traded-nation set: every directed cross-pair inside it is a
+    * reported flow (TPC-H Q7 fixes two nations; a set keeps the query
+    * non-empty at every test SF — supplier coverage of any single pair
+    * is sparse at sf0.001's 10 suppliers).
+    */
+  val VolumeNations: Seq[String] = Seq("NATION_10", "NATION_11", "NATION_12")
+
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                     supplier: DataFrame, nation: DataFrame,
+                     nations: Seq[String] = VolumeNations): DataFrame = {
+    val discE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    val natSel = nation.filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = supplier
+      .join(broadcast(natSel), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer
+      .join(broadcast(natSel), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"), discE4.as("disc_e4"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(col("disc_e4")).as("rev_e4"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        (expr("(rev_e4 + 50) div 100").cast("double") / 100.0).as("revenue"))
+  }
+
+  def volumeShippingSql(nations: Seq[String] = VolumeNations): String = {
+    val inList = nations.map(n => s"'$n'").mkString(", ")
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       |    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+       |        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS rev_e4
+       |  FROM lineitem
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |    JOIN orders   ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+       |    AND n1.n_name IN ($inList) AND n2.n_name IN ($inList)
+       |    AND n1.n_name <> n2.n_name
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** B24 — TPC-H Q10 shape: top-k customers by returned-item revenue in
+    * a half-year window. Scale shape: the fact side is aggregated down
+    * to one row per customer BEFORE any dimension join (the enrich joins
+    * touch at most |customers| rows, not |lineitem|); nation (fixed 25
+    * rows) is the only forced broadcast; top-k is sort+limit
+    * (TakeOrderedAndProject), never a global rank window.
+    */
+  def returnedItems(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                    nation: DataFrame, k: Int = 20): DataFrame = {
+    val discE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    val rev = lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(orders
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(discE4).as("rev_e4"))
+    rev
+      .join(customer.select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("rev_e4").desc, col("c_custkey"))
+      .limit(k)
+      .sortWithinPartitions(col("rev_e4").desc, col("c_custkey"))
+      .withColumn("rn", rankWithinLimit(k))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        (expr("(rev_e4 + 50) div 100").cast("double") / 100.0).as("revenue"), col("rn"))
+  }
+
+  def returnedItemsSql(k: Int = 20): String =
+    s"""WITH rev AS (
+       |  SELECT o_custkey,
+       |    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+       |        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS rev_e4
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_returnflag = 'R'
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |    AND o_orderdate <  TIMESTAMP '1996-07-01'
+       |  GROUP BY o_custkey)
+       |SELECT c_custkey, c_name, n_name,
+       |  CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue, rn
+       |FROM (SELECT *, row_number() OVER (ORDER BY rev_e4 DESC, o_custkey) AS rn FROM rev)
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |WHERE rn <= $k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> ((s, d) =>
+      orderPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q7_volume_shipping" -> ((s, d) =>
+      volumeShipping(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "q10_returned_items" -> ((s, d) =>
+      returnedItems(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d))),
     "q_cube_revenue" -> ((s, d) => cubeRevenue(Tables.orders(s, d))),
     "q_pivot_status" -> ((s, d) => pivotStatus(Tables.orders(s, d))),
     "q_above_avg_orders" -> ((s, d) => aboveAvgOrders(Tables.orders(s, d))),
@@ -757,6 +926,9 @@ object Analytics {
       supplierVolume(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q4_order_priority" -> orderPrioritySql,
+    "q7_volume_shipping" -> volumeShippingSql(),
+    "q10_returned_items" -> returnedItemsSql(),
     "q_cube_revenue" -> cubeRevenueSql,
     "q_pivot_status" -> pivotStatusSql,
     "q_above_avg_orders" -> aboveAvgOrdersSql,

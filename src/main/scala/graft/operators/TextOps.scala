@@ -739,7 +739,72 @@ object TextOps {
        |      '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
        |FROM t""".stripMargin
 
+  /** C34: intra-document repetition profile — the Gopher/MassiveText
+    * repetition signals (duplicated n-gram fraction, most-frequent
+    * n-gram share) computed per document, entirely map-side: every
+    * metric is a higher-order-function pass over the doc's own token
+    * array, so the operator is a zero-shuffle projection at any corpus
+    * size. Per-doc cost is O(distinct·len) — bounded by doc length, the
+    * same contract as the quality rules; a corpus of book-length docs
+    * chunks first (C24) and profiles the chunks.
+    *
+    * Thresholds are parameters: Gopher's published cuts (top 2-gram
+    * share 0.18, dup-line fraction 0.30) target web text; the defaults
+    * here are tuned down so the flag actually fires on the synthetic
+    * word-salad corpus — the reference would tune them per-source the
+    * same way.
+    */
+  def repetitionProfile(documents: DataFrame,
+                        topBigramThresh: Double = 0.08,
+                        dupBigramThresh: Double = 0.05): DataFrame = {
+    val n = size(toks).cast("long")
+    val nb = greatest(size(toks) - 1, lit(1)).cast("long")
+    val bg = transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val topTok = array_max(
+      transform(array_distinct(toks), t => size(filter(toks, x => x === t)))).cast("long")
+    documents
+      .select(col("doc_id"), n.as("n_tokens"), nb.as("nb"),
+        topTok.as("top_tok"), bg.as("bg"))
+      .select(col("doc_id"), col("n_tokens"), col("nb"), col("top_tok"),
+        array_max(transform(array_distinct(col("bg")),
+          t => size(filter(col("bg"), x => x === t)))).cast("long").as("top_bg"),
+        size(array_distinct(col("bg"))).cast("long").as("nd_bg"))
+      // raw IEEE doubles, same rationale as qualityScore
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top_tok").cast("double") / col("n_tokens")).as("top_tok_share"),
+        (col("top_bg").cast("double") / col("nb")).as("top_bigram_share"),
+        (lit(1.0) - col("nd_bg").cast("double") / col("nb")).as("dup_bigram_frac"))
+      .withColumn("repetitive",
+        col("top_bigram_share") > topBigramThresh ||
+          col("dup_bigram_frac") > dupBigramThresh)
+  }
+
+  def repetitionProfileSql(topBigramThresh: Double = 0.08,
+                           dupBigramThresh: Double = 0.05): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |b AS (SELECT doc_id, w,
+       |    list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+       |      i -> array_to_string(list_slice(w, i, i + 1), ' ')) AS bg
+       |  FROM t),
+       |m AS (SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(list_max(list_transform(list_distinct(w),
+       |      tk -> len(list_filter(w, x -> x = tk)))) AS DOUBLE) / len(w) AS top_tok_share,
+       |    CAST(list_max(list_transform(list_distinct(bg),
+       |      tk -> len(list_filter(bg, x -> x = tk)))) AS DOUBLE)
+       |      / greatest(len(w) - 1, 1) AS top_bigram_share,
+       |    1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+       |      / greatest(len(w) - 1, 1) AS dup_bigram_frac
+       |  FROM b)
+       |SELECT doc_id, n_tokens, top_tok_share, top_bigram_share, dup_bigram_frac,
+       |  (top_bigram_share > $topBigramThresh OR dup_bigram_frac > $dupBigramThresh)
+       |    AS repetitive
+       |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition_profile" -> ((s, d) => repetitionProfile(Tables.documents(s, d))),
     "q_pii_redact" -> ((s, d) => piiRedact(Tables.documents(s, d))),
     "q_training_batches" -> ((s, d) => trainingBatches(Tables.documents(s, d))),
     "q_chunk_docs" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
@@ -763,6 +828,7 @@ object TextOps {
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_repetition_profile" -> repetitionProfileSql(),
     "q_pii_redact" -> piiRedactSql,
     "q_training_batches" -> trainingBatchesSql,
     "q_chunk_docs" -> chunkDocsSql,

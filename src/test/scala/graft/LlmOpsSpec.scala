@@ -126,6 +126,34 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((1L to 100L).forall(i => clusters(i) == i))
   }
 
+  test("repetition profile: bounds hold, a degenerate doc flags repetitive, word salad mostly not") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      // long enough that an all-distinct bigram set sits under the
+      // top-share threshold (1/(n-1) < 0.08 needs n > 13)
+      (2L, "a perfectly ordinary sentence with no repeated phrasing at all that keeps going long enough to be measured fairly"),
+      (3L, "one")).toDF("doc_id", "text")
+    val prof = TextOps.repetitionProfile(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // degenerate doc: every bigram identical → top share 1.0, dup frac ≈ 1
+    assert(prof(1L).getAs[Double]("top_bigram_share") == 1.0)
+    assert(prof(1L).getAs[Boolean]("repetitive"))
+    assert(!prof(2L).getAs[Boolean]("repetitive"))
+    // single-token doc: denominators guarded, shares stay in [0, 1]
+    val p3 = prof(3L)
+    assert(p3.getAs[Double]("top_tok_share") == 1.0)
+    assert(p3.getAs[Double]("dup_bigram_frac") == 0.0)
+    // real corpus: every share within bounds
+    val bad = TextOps.repetitionProfile(Tables.documents(spark, sf))
+      .filter(col("top_tok_share") > 1.0 || col("top_tok_share") <= 0.0 ||
+        col("top_bigram_share") > 1.0 || col("dup_bigram_frac") < 0.0 ||
+        col("dup_bigram_frac") >= 1.0)
+      .count()
+    assert(bad == 0)
+  }
+
   test("sampled overflow cap: mega-bucket keeps a bounded subsample, never drops to zero") {
     val s = spark
     import s.implicits._

@@ -142,6 +142,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_dedup_incremental_bloom: Bloom probe missing from the physical plan")
   }
 
+  test("late round-4 shapes: q4 semi-join, q7/q10 unhinted facts, repetition profile shuffle-free") {
+    // q4's EXISTS must decorrelate to a LEFT SEMI join — never a
+    // per-row subquery or a nested loop over lineitem
+    val q4 = plan("q4_order_priority")
+    val semis = q4.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty, s"q4_order_priority: EXISTS did not become a semi-join:\n$q4")
+    assert(q4.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c }.isEmpty,
+      "q4_order_priority: cartesian product in the plan")
+    // q7/q10: only the fixed 25-row nation dim may be hinted; supplier /
+    // customer / the fact spine stay with the planner
+    for (q <- Seq("q7_volume_shipping", "q10_returned_items")) {
+      val hintedCols = SparkEntry.queries(q)(spark, sf).queryExecution.analyzed.collect {
+        case h: ResolvedHint => h.child.output.map(_.name)
+      }.flatten.toSet
+      val nonNation = hintedCols.filterNot(_.startsWith("n_"))
+      assert(nonNation.isEmpty, s"$q: forced broadcast beyond nation: $nonNation")
+    }
+    // q10's top-k is sort+limit
+    assert(plan("q10_returned_items").collect {
+      case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "q10_returned_items: expected TakeOrderedAndProject")
+    // the repetition profile is a pure map-side projection: no Exchange
+    assert(plan("q_repetition_profile").collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }.isEmpty,
+      "q_repetition_profile must not shuffle")
+  }
+
   test("no query contains a single-partition global window") {
     SparkEntry.queries.keys.foreach { q =>
       val bad = plan(q).collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
