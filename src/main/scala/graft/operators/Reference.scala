@@ -732,7 +732,55 @@ object Reference {
 
   // -------- wiring --------
 
+  /** A22: snapshot reconciliation — per-user activity counts for two
+    * consecutive windows, FULL OUTER joined and classified
+    * new/churned/changed/stable. The reference recomputes follower
+    * snapshots per scrape run and diffs against the stored row
+    * (scraper.py:203 upsert + follower delta logging); this is that
+    * diff as one declarative plan.
+    *
+    * Scale shape: each side is aggregated to one row per user BEFORE
+    * the full-outer join, so the join is bounded by |users| not
+    * |events|, and both sides arrive hash-partitioned on user_id from
+    * their own aggregation — Catalyst reuses the partitioning, one
+    * shuffle per side total.
+    */
+  def snapshotDiff(events: DataFrame,
+                   aStartUs: Long = 1704067200000000L,  // 2024-01-01 UTC
+                   splitUs: Long = 1704672000000000L,   // 2024-01-08 UTC
+                   bEndUs: Long = 1705276800000000L     // 2024-01-15 UTC
+                  ): DataFrame = {
+    val t = tUs(col("ts"))
+    val prev = events.filter(t >= aStartUs && t < splitUs)
+      .groupBy("user_id").agg(count(lit(1)).as("prev_cnt"))
+    val curr = events.filter(t >= splitUs && t < bEndUs)
+      .groupBy("user_id").agg(count(lit(1)).as("curr_cnt"))
+    prev.join(curr, Seq("user_id"), "full_outer")
+      .select(col("user_id"), col("prev_cnt"), col("curr_cnt"),
+        when(col("curr_cnt").isNull, "churned")
+          .when(col("prev_cnt").isNull, "new")
+          .when(col("prev_cnt") =!= col("curr_cnt"), "changed")
+          .otherwise("stable").as("status"))
+  }
+
+  def snapshotDiffSql(aStartUs: Long = 1704067200000000L,
+                      splitUs: Long = 1704672000000000L,
+                      bEndUs: Long = 1705276800000000L): String =
+    s"""WITH prev AS (
+       |  SELECT user_id, count(*) AS prev_cnt FROM events
+       |  WHERE epoch_us(ts) >= $aStartUs AND epoch_us(ts) < $splitUs GROUP BY 1),
+       |curr AS (
+       |  SELECT user_id, count(*) AS curr_cnt FROM events
+       |  WHERE epoch_us(ts) >= $splitUs AND epoch_us(ts) < $bEndUs GROUP BY 1)
+       |SELECT coalesce(prev.user_id, curr.user_id) AS user_id, prev_cnt, curr_cnt,
+       |  CASE WHEN curr_cnt IS NULL THEN 'churned'
+       |       WHEN prev_cnt IS NULL THEN 'new'
+       |       WHEN prev_cnt <> curr_cnt THEN 'changed'
+       |       ELSE 'stable' END AS status
+       |FROM prev FULL OUTER JOIN curr ON prev.user_id = curr.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_diff" -> ((s, d) => snapshotDiff(Tables.events(s, d))),
     "q_props_stats" -> ((s, d) => propsStats(Tables.events(s, d))),
     "q_upsert_latest" -> ((s, d) => upsertLatest(Tables.events(s, d))),
     "q_mutual_edges" -> ((s, d) => mutualEdges(Tables.events(s, d))),
@@ -761,6 +809,7 @@ object Reference {
     "q_retention_cohorts" -> ((s, d) => retentionCohorts(Tables.events(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_snapshot_diff" -> snapshotDiffSql(),
     "q_props_stats" -> propsStatsSql,
     "q_upsert_latest" -> upsertLatestSql,
     "q_mutual_edges" -> mutualEdgesSql,

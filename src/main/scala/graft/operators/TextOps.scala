@@ -803,7 +803,77 @@ object TextOps {
        |    AS repetitive
        |FROM m""".stripMargin
 
+  /** C35: deterministic train/val/test split assignment — two md5
+    * nibbles of the doc key give a 0..255 bucket, carved 240/8/8
+    * (93.75% / 3.125% / 3.125%). Hash-keyed (never random()): the same
+    * doc lands in the same split on every engine, every partitioning,
+    * every rerun — the property that makes a held-out set trustworthy
+    * across pipeline versions. Pure map-side projection, zero shuffle,
+    * same selector idiom as C14's sample mix.
+    */
+  def splitAssign(documents: DataFrame,
+                  trainUpto: Int = 240, valUpto: Int = 248): DataFrame = {
+    val bucket = expr(
+      "CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 AS BIGINT) * 16" +
+        " + CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1 AS BIGINT)")
+    documents.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainUpto, "train")
+          .when(col("bucket") < valUpto, "val")
+          .otherwise("test"))
+  }
+
+  def splitAssignSql(trainUpto: Int = 240, valUpto: Int = 248): String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |  CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+       |    + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) AS bucket
+       |FROM documents)
+       |SELECT doc_id, lang, bucket,
+       |  CASE WHEN bucket < $trainUpto THEN 'train'
+       |       WHEN bucket < $valUpto THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM t""".stripMargin
+
+  /** C36: cross-source duplication matrix — for every unordered source
+    * pair, how many near-dup fingerprints (C11's w=5 min-hash) they
+    * share. The go/no-go artifact for adding a new crawl source: high
+    * overlap with an existing source means mostly-redundant data.
+    *
+    * Scale shape: NO fingerprint self-join. Group by fp, collect the
+    * distinct sources carrying it — the set is bounded by the source
+    * catalog (a dim, not data-proportional) — then expand ordered pairs
+    * map-side and count. One shuffle on fp, one on the ≤|sources|²
+    * pair frame. The oracle takes the equivalent self-join form
+    * (fine single-node).
+    */
+  def sourceOverlap(documents: DataFrame, w: Int = 5): DataFrame = {
+    val fp = documents
+      .select(col("source"),
+        array_min(transform(Exprs.shingles(toks, w), s => md5(s))).as("fp"))
+      .distinct()
+    fp.groupBy("fp")
+      .agg(array_sort(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  def sourceOverlapSql(w: Int = 5): String =
+    s"""WITH f AS (SELECT source,
+       |    list_aggregate(list_transform(${shinglesSqlExpr(w)}, s -> md5(s)), 'min') AS fp
+       |  FROM documents),
+       |ds AS (SELECT DISTINCT fp, source FROM f)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM ds a JOIN ds b ON a.fp = b.fp AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
+    "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
     "q_repetition_profile" -> ((s, d) => repetitionProfile(Tables.documents(s, d))),
     "q_pii_redact" -> ((s, d) => piiRedact(Tables.documents(s, d))),
     "q_training_batches" -> ((s, d) => trainingBatches(Tables.documents(s, d))),
@@ -828,6 +898,8 @@ object TextOps {
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_split_assign" -> splitAssignSql(),
+    "q_source_overlap" -> sourceOverlapSql(),
     "q_repetition_profile" -> repetitionProfileSql(),
     "q_pii_redact" -> piiRedactSql,
     "q_training_batches" -> trainingBatchesSql,

@@ -126,6 +126,38 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((1L to 100L).forall(i => clusters(i) == i))
   }
 
+  test("split assign: total partition, deterministic, near-target fractions") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = TextOps.splitAssign(docs)
+    // every doc in exactly one split, buckets in range
+    assert(s1.count() == docs.count())
+    assert(s1.filter(col("bucket") < 0 || col("bucket") > 255).count() == 0)
+    // rerun is bit-identical (hash-keyed, not random())
+    val s2 = TextOps.splitAssign(docs)
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+    // fractions near 240/8/8 out of 256 (loose: small corpus)
+    val n = s1.count().toDouble
+    val bySplit = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit("train") / n > 0.85)
+    assert(bySplit.getOrElse("val", 0L) + bySplit.getOrElse("test", 0L) > 0)
+  }
+
+  test("source overlap: pairs ordered, counts match a direct self-join") {
+    val docs = Tables.documents(spark, sf)
+    val m = TextOps.sourceOverlap(docs)
+    assert(m.filter(col("source_a") >= col("source_b")).count() == 0)
+    // cross-check against the naive distinct-(fp,source) self-join
+    val fp = docs.select(col("source"),
+      array_min(transform(graft.functions.Exprs.shingles(split(col("text"), " "), 5),
+        s => md5(s))).as("fp")).distinct()
+    val naive = fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    assert(m.exceptAll(naive).count() == 0 && naive.exceptAll(m).count() == 0)
+  }
+
   test("repetition profile: bounds hold, a degenerate doc flags repetitive, word salad mostly not") {
     val s = spark
     import s.implicits._

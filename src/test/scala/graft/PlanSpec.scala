@@ -173,6 +173,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_repetition_profile must not shuffle")
   }
 
+  test("snapshot diff / split / source overlap: joins bounded, map-side ops shuffle-free") {
+    // q_snapshot_diff: the FULL OUTER join must sit above two
+    // aggregations — it joins per-user counts, never raw events
+    val sd = plan("q_snapshot_diff")
+    val fo = sd.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.FullOuter => j
+    }
+    assert(fo.size == 1, "q_snapshot_diff: expected exactly one full-outer join")
+    for (side <- Seq(fo.head.left, fo.head.right))
+      assert(side.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+        "q_snapshot_diff: full-outer side is not pre-aggregated")
+    // q_split_assign: pure projection, no Exchange
+    assert(plan("q_split_assign").collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }.isEmpty,
+      "q_split_assign must not shuffle")
+    // q_source_overlap: the overlap matrix comes from a groupBy-collect,
+    // NOT a fingerprint self-join — no join operator anywhere
+    assert(plan("q_source_overlap").collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      "q_source_overlap must not contain a join (self-join shape crept back)")
+  }
+
   test("no query contains a single-partition global window") {
     SparkEntry.queries.keys.foreach { q =>
       val bad = plan(q).collect { case w: WindowExec if w.partitionSpec.isEmpty => w }

@@ -19,6 +19,25 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("snapshot diff: statuses are a partition of both windows' users") {
+    val d = Reference.snapshotDiff(Tables.events(spark, sf))
+    // churned ⇒ no curr count; new ⇒ no prev count; changed/stable ⇒ both
+    assert(d.filter(col("status") === "churned" && col("curr_cnt").isNotNull).count() == 0)
+    assert(d.filter(col("status") === "new" && col("prev_cnt").isNotNull).count() == 0)
+    assert(d.filter(col("status") === "stable" && col("prev_cnt") =!= col("curr_cnt")).count() == 0)
+    assert(d.filter(col("status") === "changed" && col("prev_cnt") === col("curr_cnt")).count() == 0)
+    // one row per user, and totals reconcile with the raw windows
+    assert(d.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    val t = unix_micros(col("ts"))
+    val ev = Tables.events(spark, sf)
+    val prevUsers = ev.filter(t >= 1704067200000000L && t < 1704672000000000L)
+      .select("user_id").distinct().count()
+    val currUsers = ev.filter(t >= 1704672000000000L && t < 1705276800000000L)
+      .select("user_id").distinct().count()
+    assert(d.filter(col("prev_cnt").isNotNull).count() == prevUsers)
+    assert(d.filter(col("curr_cnt").isNotNull).count() == currUsers)
+  }
+
   test("every registered query runs non-empty on sf0.001") {
     val emptyOk = Set("q_pending_users_antijoin", "q_recent_window_dedup")
     SparkEntry.queries.foreach { case (name, fn) =>
