@@ -847,11 +847,13 @@ object TextOps {
     * (fine single-node).
     */
   def sourceOverlap(documents: DataFrame, w: Int = 5): DataFrame = {
-    val fp = documents
+    // no pre-distinct: collect_set dedups sources itself, so the raw
+    // (source, fp) projection goes straight into ONE shuffle on fp
+    // (partial collect_sets combine map-side and stay catalog-bounded)
+    documents
       .select(col("source"),
         array_min(transform(Exprs.shingles(toks, w), s => md5(s))).as("fp"))
-      .distinct()
-    fp.groupBy("fp")
+      .groupBy("fp")
       .agg(array_sort(collect_set(col("source"))).as("ss"))
       .filter(size(col("ss")) > 1)
       .select(explode(flatten(transform(col("ss"), (x, i) =>
