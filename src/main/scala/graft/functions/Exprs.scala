@@ -493,6 +493,146 @@ object Exprs {
     val worstFirst: java.util.Comparator[Entry] = bestFirst.reversed()
   }
 
+  /** Bounded heavy-hitter candidate aggregate: a Misra-Gries summary
+    * with k counters over a STRING stream.
+    *
+    * Guarantees (Misra & Gries 1982; merge rule per Agarwal et al.,
+    * "Mergeable Summaries", PODS'12): every item with true frequency
+    * > N/k is present in the summary, and each reported count
+    * undercounts the true count by at most N/k — with O(k) state per
+    * partition regardless of stream length or vocabulary size. That is
+    * the 100 TB contract: an exact token groupBy shuffles the whole
+    * vocabulary; this shuffles k counters per partition.
+    *
+    * The summary CONTENT (which below-threshold items survive, and
+    * their estimates) depends on partition merge order and is NOT
+    * deterministic across runs. Consumers must treat it as a candidate
+    * superset and exact-verify before anything order-sensitive — see
+    * [[graft.operators.TextOps.heavyHitters]], whose final output is
+    * merge-order independent precisely because of the superset
+    * guarantee.
+    */
+  case class MisraGries(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.HashMap[UTF8String, java.lang.Long]]
+      with UnaryLike[Expression] {
+    require(k > 0, "graft_heavy_hitters: k must be positive")
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_heavy_hitters needs STRING input, got ${child.dataType.catalogString}")
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("token", StringType, nullable = false),
+        StructField("est_cnt", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_heavy_hitters"
+
+    override def createAggregationBuffer(): java.util.HashMap[UTF8String, java.lang.Long] =
+      new java.util.HashMap[UTF8String, java.lang.Long](k * 2)
+
+    override def update(
+        buf: java.util.HashMap[UTF8String, java.lang.Long],
+        input: org.apache.spark.sql.catalyst.InternalRow): java.util.HashMap[UTF8String, java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val s = v.asInstanceOf[UTF8String]
+        val cur = buf.get(s)
+        if (cur != null) buf.put(s, cur + 1L)
+        // clone: the incoming UTF8String may point into a reused row buffer
+        else if (buf.size < k) buf.put(s.clone(), 1L)
+        else {
+          // MG step: no free counter — every counter pays 1, zeros evict
+          val it = buf.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      buf
+    }
+
+    override def merge(
+        buf: java.util.HashMap[UTF8String, java.lang.Long],
+        other: java.util.HashMap[UTF8String, java.lang.Long]): java.util.HashMap[UTF8String, java.lang.Long] = {
+      val it = other.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val cur = buf.get(e.getKey)
+        buf.put(e.getKey, if (cur != null) cur + e.getValue else e.getValue)
+      }
+      if (buf.size > k) {
+        // mergeable-summaries trim: subtract the (k+1)-th largest count
+        // from every counter, evict the non-positive — ≤ k survive and
+        // the total undercount stays ≤ N/k
+        val counts = new Array[Long](buf.size)
+        var i = 0
+        val vit = buf.values().iterator()
+        while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+        java.util.Arrays.sort(counts)
+        val sub = counts(buf.size - k - 1)
+        val eit = buf.entrySet().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          if (e.getValue <= sub) eit.remove() else e.setValue(e.getValue - sub)
+        }
+      }
+      buf
+    }
+
+    override def eval(buf: java.util.HashMap[UTF8String, java.lang.Long]): Any = {
+      import scala.jdk.CollectionConverters._
+      val rows = buf.entrySet().asScala.toArray
+        .sortBy(e => (-e.getValue.longValue(), e.getKey))
+        .map(e => org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue.longValue()): Any)
+      new GenericArrayData(rows)
+    }
+
+    override def serialize(buf: java.util.HashMap[UTF8String, java.lang.Long]): Array[Byte] = {
+      var total = 4
+      val sit = buf.keySet().iterator()
+      while (sit.hasNext) total += 4 + sit.next().numBytes() + 8
+      val bb = java.nio.ByteBuffer.allocate(total)
+      bb.putInt(buf.size)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val bytes = e.getKey.getBytes
+        bb.putInt(bytes.length); bb.put(bytes); bb.putLong(e.getValue)
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.HashMap[UTF8String, java.lang.Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) {
+        val len = bb.getInt
+        val b = new Array[Byte](len)
+        bb.get(b)
+        buf.put(UTF8String.fromBytes(b), bb.getLong)
+        i += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): MisraGries =
+      copy(child = newChild)
+  }
+
   // Column-level API
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.column(DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -511,4 +651,7 @@ object Exprs {
     ColumnBridge.column(
       MaxKScored(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
         .toAggregateExpression())
+  def misraGries(v: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGries(ColumnBridge.expression(v), k).toAggregateExpression())
 }

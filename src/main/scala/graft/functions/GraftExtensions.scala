@@ -65,6 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_max_k_scored(score, id, k) - aggregate: the k (score double, id bigint) pairs with highest score (ties: smaller id), best-first"),
       (args: Seq[Expression]) => Exprs.MaxKScored(args(0), args(1),
         literalInt("graft_max_k_scored", "k", args(2))).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      info("graft_heavy_hitters",
+        "graft_heavy_hitters(v, k) - aggregate: Misra-Gries summary (k counters) as array<struct<token,est_cnt>>; superset of items with freq > N/k, estimates undercount by at most N/k"),
+      (args: Seq[Expression]) => Exprs.MisraGries(args(0),
+        literalInt("graft_heavy_hitters", "k", args(1))).toAggregateExpression()))
     // Spark ships Bloom-filter expressions for its own runtime filters
     // but does not SQL-register them; surface them for the semi-join
     // pruning operators (Sketches.dedupIncrementalBloom). Both are

@@ -873,7 +873,52 @@ object TextOps {
        |FROM ds a JOIN ds b ON a.fp = b.fp AND a.source < b.source
        |GROUP BY 1, 2""".stripMargin
 
+  /** C37: corpus heavy hitters (bigrams above a 1/k frequency share)
+    * via the two-pass sketch-then-verify pattern:
+    *
+    * pass 1 — ONE [[graft.functions.Exprs.MisraGries]] aggregate over
+    * the bigram stream: k counters per partition, merged to a global
+    * candidate summary + the exact stream length N, no vocabulary-wide
+    * shuffle anywhere. MG guarantees every true heavy hitter (freq >
+    * N/k) is among the candidates, whatever the merge order.
+    *
+    * pass 2 — exact counts for the ≤k candidates only: broadcast the
+    * candidate list, count matching occurrences (the partial hash-agg
+    * reduces each partition to ≤k rows before the exchange), keep
+    * `cnt * k > N` (integer arithmetic, no division).
+    *
+    * The candidate CONTENT is merge-order dependent; the final output
+    * is not — the superset guarantee plus exact verification makes it
+    * engine-reproducible, which is why it can face a plain exact SQL
+    * oracle. k=800 sits below the 916-bigram vocabulary so eviction is
+    * genuinely exercised at every test SF.
+    */
+  def heavyHitters(documents: DataFrame, k: Int = 800): DataFrame = {
+    val bg = documents.select(explode(transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))).as("gram"))
+    val cand = bg.agg(
+      Exprs.misraGries(col("gram"), k).as("cand"),
+      count(lit(1)).as("n"))
+    val candG = cand.select(col("n"), explode(col("cand")).as("c"))
+      .select(col("c.token").as("gram"), col("n"))
+    bg.join(broadcast(candG), "gram")
+      .groupBy("gram", "n")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > col("n"))
+      .select(col("gram"), col("cnt"))
+  }
+
+  def heavyHittersSql(k: Int = 800): String =
+    s"""WITH tw AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+       |    i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS gram FROM tw),
+       |n AS (SELECT count(*) AS nn FROM bg),
+       |c AS (SELECT gram, count(*) AS cnt FROM bg GROUP BY 1)
+       |SELECT gram, cnt FROM c, n WHERE cnt * $k > nn""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
     "q_repetition_profile" -> ((s, d) => repetitionProfile(Tables.documents(s, d))),
@@ -900,6 +945,7 @@ object TextOps {
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_heavy_hitters" -> heavyHittersSql(),
     "q_split_assign" -> splitAssignSql(),
     "q_source_overlap" -> sourceOverlapSql(),
     "q_repetition_profile" -> repetitionProfileSql(),

@@ -161,6 +161,46 @@ class ExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("MisraGries: superset + undercount guarantees hold under distributed merge") {
+    val s = spark
+    import s.implicits._
+    val k = 4
+    // skewed stream: hot=400, warm=200, 40 cold tokens x 10 → N=1000
+    val stream = Seq.fill(400)("hot") ++ Seq.fill(200)("warm") ++
+      (0 until 40).flatMap(i => Seq.fill(10)(s"cold_$i"))
+    val n = stream.size.toLong
+    for (parts <- Seq(1, 7)) {
+      val df = scala.util.Random.shuffle(stream).toDF("tok").repartition(parts)
+      val cand = df.agg(Exprs.misraGries(col("tok"), k).as("mg"))
+        .select(explode(col("mg")).as("c"))
+        .select(col("c.token"), col("c.est_cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cand.size <= k, s"summary exceeded $k counters: $cand")
+      // every item with freq > N/k must be present (hot: 400 > 250)
+      assert(cand.contains("hot"), s"parts=$parts: heavy hitter evicted: $cand")
+      // estimates undercount by at most N/k and never overcount
+      assert(cand("hot") <= 400L && cand("hot") >= 400L - n / k)
+      cand.get("warm").foreach(c => assert(c <= 200L))
+    }
+  }
+
+  test("heavyHitters two-pass output == exact groupBy heavy set (merge-order independent)") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf)
+    val hh = graft.operators.TextOps.heavyHitters(docs, k = 800).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact reference computed with a plain (non-sketch) plan
+    val bg = docs.select(explode(transform(
+      sequence(lit(1), greatest(size(split(col("text"), " ")) - 1, lit(1))),
+      i => concat_ws(" ", slice(split(col("text"), " "), i, lit(2))))).as("gram"))
+    val n = bg.count()
+    val exact = bg.groupBy("gram").count()
+      .filter(col("count") * 800 > n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == exact, "two-pass heavy hitters diverged from the exact heavy set")
+  }
+
   test("DotLong survives codegen in a realistic plan (join + filter)") {
     val q = Embeddings.quantized(Tables.embeddings(spark, sf)).limit(50)
     val a = q.select(col("vec_id").as("ia"), col("qv").as("qa"))

@@ -63,6 +63,18 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top2 == Seq((0.1, 13L)))
   }
 
+  test("graft_heavy_hitters is SQL-callable and k-bounded") {
+    val s = spark
+    import s.implicits._
+    (Seq.fill(10)("hot") ++ Seq("a", "b", "c", "d", "e"))
+      .toDF("tok").createOrReplaceTempView("hh")
+    val r = spark.sql("SELECT graft_heavy_hitters(tok, 3) AS mg FROM hh")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.size <= 3)
+    assert(r.head._1 == "hot", s"dominant token must lead the summary: $r")
+  }
+
   test("null inputs propagate null, not crash") {
     val r = spark.sql(
       "SELECT graft_dot_long(NULL, array(1L)) AS a, graft_hamming(NULL, 'x') AS b").head()
