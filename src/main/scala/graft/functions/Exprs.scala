@@ -493,6 +493,54 @@ object Exprs {
     val worstFirst: java.util.Comparator[Entry] = bestFirst.reversed()
   }
 
+  /** ALL w-token grams in order (non-distinct sibling of [[Shingles]]):
+    * occurrence streams for frequency work (heavy hitters) need every
+    * occurrence, where Shingles' per-doc dedup would collapse them. The
+    * builtin `transform(sequence(..), i -> concat_ws(slice(..)))`
+    * formulation allocates a sliced array + lambda frame per gram and
+    * cost ~1.8 s at sf0.1; this is one JVM loop per row.
+    */
+  case class Ngrams(child: Expression, w: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == NullType ||
+        (child.dataType.isInstanceOf[ArrayType] &&
+          child.dataType.asInstanceOf[ArrayType].elementType == StringType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string> input")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_ngrams"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val m = math.max(n - w + 1, 1)
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        val end = math.min(i + w, n)
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(arr.getUTF8String(j).toString)
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ngramsExpr", this, classOf[Ngrams].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = (ArrayData) $ref.nullSafeEval($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Bounded heavy-hitter candidate aggregate: a Misra-Gries summary
     * with k counters over a STRING stream.
     *
@@ -654,4 +702,6 @@ object Exprs {
   def misraGries(v: Column, k: Int): Column =
     ColumnBridge.column(
       MisraGries(ColumnBridge.expression(v), k).toAggregateExpression())
+  def ngrams(tokens: Column, w: Int): Column =
+    ColumnBridge.column(Ngrams(ColumnBridge.expression(tokens), w))
 }

@@ -66,6 +66,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => Exprs.MaxKScored(args(0), args(1),
         literalInt("graft_max_k_scored", "k", args(2))).toAggregateExpression()))
     ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      info("graft_ngrams", "graft_ngrams(tokens, w) - ALL w-token grams in order (non-distinct sibling of graft_shingles)"),
+      (args: Seq[Expression]) => Exprs.Ngrams(args(0),
+        literalInt("graft_ngrams", "w", args(1)))))
+    ext.injectFunction((
       FunctionIdentifier("graft_heavy_hitters"),
       info("graft_heavy_hitters",
         "graft_heavy_hitters(v, k) - aggregate: Misra-Gries summary (k counters) as array<struct<token,est_cnt>>; superset of items with freq > N/k, estimates undercount by at most N/k"),

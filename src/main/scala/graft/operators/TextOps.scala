@@ -894,9 +894,10 @@ object TextOps {
     * genuinely exercised at every test SF.
     */
   def heavyHitters(documents: DataFrame, k: Int = 800): DataFrame = {
-    val bg = documents.select(explode(transform(
-      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(2))))).as("gram"))
+    // native Ngrams, not the transform/slice builtin: the occurrence
+    // stream is the hot path here (scanned twice), and the interpreted
+    // lambda chain alone cost ~1.8 s of the query's 3.5 s at sf0.1
+    val bg = documents.select(explode(Exprs.ngrams(toks, 2)).as("gram"))
     val cand = bg.agg(
       Exprs.misraGries(col("gram"), k).as("cand"),
       count(lit(1)).as("n"))

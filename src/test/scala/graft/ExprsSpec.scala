@@ -161,6 +161,20 @@ class ExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Ngrams == builtin non-distinct bigram formulation (incl. short docs)") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .union(Seq((9001L, "one"), (9002L, "two words"), (9003L, "a a a")).toDF("doc_id", "text"))
+    val toks = split(col("text"), " ")
+    val fast = docs.select(col("doc_id"), Exprs.ngrams(toks, 2).as("g"))
+    val slow = docs.select(col("doc_id"), transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2)))).as("g"))
+    assert(fast.exceptAll(slow).count() == 0 && slow.exceptAll(fast).count() == 0)
+  }
+
   test("MisraGries: superset + undercount guarantees hold under distributed merge") {
     val s = spark
     import s.implicits._
