@@ -144,16 +144,8 @@ object Dedup {
     */
   val SampleCapTest = 2
 
-  /** Portable SQL for the BIGINT value of the first `n` hex nibbles of
-    * the string expression `h` (Horner form; every operand is cast to
-    * BIGINT up front so neither engine does 32-bit arithmetic). Same
-    * nibble trick as TextOps.sampleMix — `instr`/`substr`/`md5` agree
-    * byte-for-byte between Spark and DuckDB.
-    */
   private def hexPrefixValSql(h: String, n: Int = 8): String =
-    (2 to n).foldLeft(s"CAST(instr('0123456789abcdef', substr($h, 1, 1)) - 1 AS BIGINT)") {
-      (acc, i) => s"($acc * 16 + instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
-    }
+    TextOps.hexPrefixValSql(h, n)
 
   /** Sampled-overflow band assignments: every bucket keeps at most `cap`
     * members — the `cap` with the smallest md5(band_key || doc_id) rank

@@ -803,6 +803,19 @@ object TextOps {
        |    AS repetitive
        |FROM m""".stripMargin
 
+  /** Portable SQL for the BIGINT value of the first `n` hex nibbles of
+    * the string expression `h` (Horner form; every operand is cast to
+    * BIGINT up front so neither engine does 32-bit arithmetic). Same
+    * nibble trick as [[sampleMix]]'s selector — `instr`/`substr`/`md5`
+    * agree byte-for-byte between Spark and DuckDB. The single
+    * definition behind every hash-rank operator (sampled LSH overflow,
+    * reservoir sampling).
+    */
+  def hexPrefixValSql(h: String, n: Int = 8): String =
+    (2 to n).foldLeft(s"CAST(instr('0123456789abcdef', substr($h, 1, 1)) - 1 AS BIGINT)") {
+      (acc, i) => s"($acc * 16 + instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+    }
+
   /** C35: deterministic train/val/test split assignment — two md5
     * nibbles of the doc key give a 0..255 bucket, carved 240/8/8
     * (93.75% / 3.125% / 3.125%). Hash-keyed (never random()): the same
@@ -918,7 +931,61 @@ object TextOps {
        |c AS (SELECT gram, count(*) AS cnt FROM bg GROUP BY 1)
        |SELECT gram, cnt FROM c, n WHERE cnt * $k > nn""".stripMargin
 
+  /** C38: exact-size-N deterministic sample ("reservoir" semantics,
+    * engine-reproducible): the N docs with the smallest md5 hash rank.
+    * Rate-based sampling (C14) can't hit an exact target count; this
+    * can — the distributed idiom is a bounded top-k AGGREGATE over the
+    * hash rank ([[graft.functions.Exprs.MaxKScored]], k-bounded partials,
+    * one shuffle of O(partitions × N) pairs), never `ORDER BY rand()
+    * LIMIT N` (global sort + nondeterminism) and never a rank window.
+    * The ≤N winners broadcast back for the attribute join.
+    */
+  def reservoirSample(documents: DataFrame, n: Int = 100): DataFrame = {
+    val rkey = expr(hexPrefixValSql("md5(CAST(doc_id AS STRING))"))
+    val keep = documents
+      .select(col("doc_id"), rkey.as("rkey"))
+      .agg(Exprs.maxKScored(col("rkey").cast("double") * -1d, col("doc_id"), n).as("keep"))
+      .select(posexplode(col("keep")).as(Seq("pos", "t")))
+      .select(col("t.id").as("doc_id"), (col("pos") + 1).cast("long").as("rn"))
+    documents.select(col("doc_id"), col("lang"), col("source"))
+      .join(broadcast(keep), "doc_id")
+  }
+
+  def reservoirSampleSql(n: Int = 100): String =
+    s"""WITH r AS (SELECT doc_id, lang, source,
+       |    ${hexPrefixValSql("md5(CAST(doc_id AS VARCHAR))")} AS rkey
+       |  FROM documents)
+       |SELECT doc_id, lang, source, rn FROM (
+       |  SELECT *, row_number() OVER (ORDER BY rkey, doc_id) AS rn FROM r)
+       |WHERE rn <= $n""".stripMargin
+
+  /** C39: epoch-weighted upsampling — training-mix recipes specify
+    * EPOCHS per source (replicate high-quality sources, single-pass the
+    * rest); this materializes the replicated stream with an epoch index
+    * per copy. Pure map-side explode (output rows = Σ epochs·docs, no
+    * shuffle); the epoch column keeps copies distinguishable so a
+    * downstream shuffler/packer (C25) interleaves rather than
+    * back-to-back repeats.
+    */
+  def epochMix(documents: DataFrame): DataFrame = {
+    // deterministic per-source weight 1..3 from the source id's digits
+    val epochs = expr("CAST(substr(source, 4) AS BIGINT) % 3 + 1")
+    documents
+      .select(col("doc_id"), col("lang"), col("source"), epochs.as("epochs"))
+      .select(col("doc_id"), col("lang"), col("source"), col("epochs"),
+        explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+  }
+
+  val epochMixSql: String =
+    """SELECT doc_id, lang, source, epochs,
+      |  unnest(range(1, epochs + 1)) AS epoch
+      |FROM (SELECT doc_id, lang, source,
+      |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS epochs
+      |  FROM documents)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_reservoir_sample" -> ((s, d) => reservoirSample(Tables.documents(s, d))),
+    "q_epoch_mix" -> ((s, d) => epochMix(Tables.documents(s, d))),
     "q_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
@@ -946,6 +1013,8 @@ object TextOps {
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_reservoir_sample" -> reservoirSampleSql(),
+    "q_epoch_mix" -> epochMixSql,
     "q_heavy_hitters" -> heavyHittersSql(),
     "q_split_assign" -> splitAssignSql(),
     "q_source_overlap" -> sourceOverlapSql(),

@@ -143,6 +143,31 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bySplit.getOrElse("val", 0L) + bySplit.getOrElse("test", 0L) > 0)
   }
 
+  test("reservoir sample: exact size, rerun-stable, ranks contiguous") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = TextOps.reservoirSample(docs, n = 100)
+    assert(s1.count() == 100)
+    assert(s1.select("doc_id").distinct().count() == 100)
+    val rns = s1.select("rn").collect().map(_.getLong(0)).sorted
+    assert(rns.toSeq == (1L to 100L), "ranks must be exactly 1..N")
+    val s2 = TextOps.reservoirSample(docs, n = 100)
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+  }
+
+  test("epoch mix: conservation and per-copy indexing") {
+    val docs = Tables.documents(spark, sf)
+    val m = TextOps.epochMix(docs)
+    // every doc appears exactly `epochs` times, epochs in 1..3
+    val bad = m.groupBy("doc_id", "epochs").count()
+      .filter(col("count") =!= col("epochs") || col("epochs") < 1 || col("epochs") > 3)
+      .count()
+    assert(bad == 0)
+    assert(m.select("doc_id").distinct().count() == docs.count())
+    // epoch indices are 1..epochs per doc
+    assert(m.filter(col("epoch") < 1 || col("epoch") > col("epochs")).count() == 0)
+    assert(m.select("doc_id", "epoch").distinct().count() == m.count())
+  }
+
   test("source overlap: pairs ordered, counts match a direct self-join") {
     val docs = Tables.documents(spark, sf)
     val m = TextOps.sourceOverlap(docs)

@@ -194,6 +194,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan("q_source_overlap").collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
       "q_source_overlap must not contain a join (self-join shape crept back)")
+    // q_reservoir_sample: bounded top-k aggregate, never a global
+    // sort/window over the corpus
+    val rs = plan("q_reservoir_sample")
+    assert(rs.collect { case w: WindowExec => w }.isEmpty &&
+      rs.collect { case s: org.apache.spark.sql.execution.SortExec if s.global => s }.isEmpty,
+      "q_reservoir_sample: global sort or window crept in")
+    // q_epoch_mix: map-side explode only
+    assert(plan("q_epoch_mix").collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }.isEmpty,
+      "q_epoch_mix must not shuffle")
   }
 
   test("no query contains a single-partition global window") {
