@@ -336,6 +336,25 @@ object EventStream {
       }
       .start()
 
+  /** Cumulative streaming heavy-hitter summary — the streaming twin of
+    * [[graft.operators.TextOps.heavyHitters]]'s sketch pass: a GLOBAL
+    * streaming aggregation whose entire state is one Misra-Gries buffer
+    * (k counters) in the state store. Bounded state for an unbounded
+    * stream — the property that makes frequency monitoring viable on a
+    * 100 TB/day feed where an exact token groupBy's state would grow
+    * with the vocabulary forever.
+    *
+    * Complete output mode re-emits the current summary each batch. The
+    * MG superset guarantee holds cumulatively (any gram with frequency
+    * > N/k of everything ingested so far is present); as in batch,
+    * summary contents are estimates — run the exact-verify pass against
+    * the corpus when a precise heavy set is needed.
+    */
+  def streamingHeavyHitters(docs: DataFrame, k: Int = 64): DataFrame =
+    docs
+      .select(explode(graft.functions.Exprs.ngrams(split(col("text"), " "), 2)).as("gram"))
+      .agg(graft.functions.Exprs.misraGries(col("gram"), k).as("summary"))
+
   /** Streaming UPSERT exit path — the continuous twin of the reference's
     * `INSERT … ON CONFLICT DO UPDATE` (instagram_scraper.py:203): each
     * micro-batch is reduced to its latest row per key (max_by on the

@@ -110,6 +110,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(texts.toSeq == Seq("hello world", "other", "third"))
   }
 
+  test("streaming heavy hitters: cumulative bounded summary across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    val q = EventStream.streamingHeavyHitters(in.toDF().toDF("text"), k = 4)
+      .writeStream.format("memory").queryName("shh").outputMode("complete").start()
+    def summary(): Map[String, Long] =
+      spark.sql("SELECT summary FROM shh").collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch 1: "hot hot" dominates (9 of 13 bigrams)
+    in.addData("hot hot hot hot hot hot hot hot hot hot", "cold calm warm mild")
+    q.processAllAvailable()
+    val s1 = summary()
+    assert(s1.size <= 4 && s1.contains("hot hot"), s"batch-1 summary: $s1")
+    // batch 2: more heat — the summary stays bounded and cumulative
+    in.addData("hot hot hot hot hot hot", "quiet still")
+    q.processAllAvailable()
+    val s2 = summary()
+    q.stop()
+    assert(s2.size <= 4, s"state must stay k-bounded: $s2")
+    assert(s2.contains("hot hot"), s"cumulative heavy hitter lost: $s2")
+    // 14 true "hot hot" occurrences over 18 grams: estimate within N/k
+    assert(s2("hot hot") <= 14L && s2("hot hot") >= 14L - 18L / 4)
+  }
+
   test("EQUIVALENCE: stateless chunking runs unchanged on a stream == batch chunking") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
