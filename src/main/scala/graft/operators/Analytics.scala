@@ -879,7 +879,48 @@ object Analytics {
        |  JOIN nation ON c_nationkey = n_nationkey
        |WHERE rn <= $k""".stripMargin
 
+  /** B25 — TPC-H Q2 shape: cheapest supplier per part. Q2's correlated
+    * `price = (SELECT min(price) …)` subquery is re-expressed as ONE
+    * deterministic argmin hash aggregate — `min(struct(price_cents,
+    * suppkey))` compares lexicographically, so ties on price break on
+    * the smaller supplier identically in both engines (a bare
+    * `min_by`/`arg_min` is tie-nondeterministic, and the join-back
+    * `WHERE price = min_price` form scans the fact twice and can emit
+    * tie duplicates). Fact reduced to one row per part before the dim
+    * joins; part/supplier are SF-proportional → both joins unhinted.
+    */
+  def minCostSupplier(lineitem: DataFrame, supplier: DataFrame, part: DataFrame): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+    val best = lineitem
+      .select(col("l_partkey"),
+        struct(cents.as("pc"), col("l_suppkey").as("sk")).as("ps"))
+      .groupBy("l_partkey")
+      .agg(min(col("ps")).as("b"))
+      .select(col("l_partkey"), col("b.pc").as("pc"), col("b.sk").as("l_suppkey"))
+    best
+      .join(part.select(col("p_partkey"), col("p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        (col("pc").cast("double") / 100.0).as("best_price"))
+  }
+
+  val minCostSupplierSql: String =
+    """WITH best AS (
+      |  SELECT l_partkey,
+      |    min({'pc': CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+      |         'sk': l_suppkey}) AS b
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p_partkey, p_name, s_suppkey, s_name,
+      |  CAST(b.pc AS DOUBLE) / 100.0 AS best_price
+      |FROM best
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON b.sk = s_suppkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> ((s, d) =>
+      minCostSupplier(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.part(s, d))),
     "q4_order_priority" -> ((s, d) =>
       orderPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q7_volume_shipping" -> ((s, d) =>
@@ -926,6 +967,7 @@ object Analytics {
       supplierVolume(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> minCostSupplierSql,
     "q4_order_priority" -> orderPrioritySql,
     "q7_volume_shipping" -> volumeShippingSql(),
     "q10_returned_items" -> returnedItemsSql(),

@@ -156,7 +156,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q4_order_priority: cartesian product in the plan")
     // q7/q10: only the fixed 25-row nation dim may be hinted; supplier /
     // customer / the fact spine stay with the planner
-    for (q <- Seq("q7_volume_shipping", "q10_returned_items")) {
+    for (q <- Seq("q7_volume_shipping", "q10_returned_items", "q2_min_cost_supplier")) {
       val hintedCols = SparkEntry.queries(q)(spark, sf).queryExecution.analyzed.collect {
         case h: ResolvedHint => h.child.output.map(_.name)
       }.flatten.toSet
