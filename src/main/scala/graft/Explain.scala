@@ -17,7 +17,9 @@ object Explain {
         "q_category_rollup", "q_dedup_minhash_lsh", "q_ann_lsh", "q_daily_quota",
         "q_neardup_cosine", "q_tfidf_topterms", "q_rolling_7d",
         "q18_large_orders", "q_cube_revenue", "q_dedup_incremental_bloom",
-        "q_props_stats", "q_above_avg_orders")
+        "q_props_stats", "q_above_avg_orders",
+        "q4_order_priority", "q7_volume_shipping", "q2_min_cost_supplier",
+        "q_heavy_hitters", "q_source_overlap", "q_reservoir_sample")
     names.foreach { n =>
       println(s"\n======== $n ========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
