@@ -983,7 +983,29 @@ object TextOps {
       |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS epochs
       |  FROM documents)""".stripMargin
 
+  /** C40: per-source duplication telemetry — the dashboard number behind
+    * C36's pair matrix: how internally redundant each source is
+    * (1 − distinct texts / docs). Exact count-distinct compiles to
+    * Spark's standard two-phase hash agg: partial distinct on
+    * (source, fp) map-side, then the per-source rollup — both keyed
+    * shuffles, nothing vocabulary- or corpus-wide in one task.
+    */
+  def dupRateBySource(documents: DataFrame): DataFrame =
+    documents
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+      .withColumn("dup_rate",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
+
+  val dupRateBySourceSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_distinct,
+      |  1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS dup_rate
+      |FROM documents GROUP BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_rate_by_source" -> ((s, d) => dupRateBySource(Tables.documents(s, d))),
     "q_reservoir_sample" -> ((s, d) => reservoirSample(Tables.documents(s, d))),
     "q_epoch_mix" -> ((s, d) => epochMix(Tables.documents(s, d))),
     "q_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
@@ -1013,6 +1035,7 @@ object TextOps {
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_dup_rate_by_source" -> dupRateBySourceSql,
     "q_reservoir_sample" -> reservoirSampleSql(),
     "q_epoch_mix" -> epochMixSql,
     "q_heavy_hitters" -> heavyHittersSql(),
