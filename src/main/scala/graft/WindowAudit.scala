@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, 
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Window => LogicalWindow}
 import org.apache.spark.sql.execution.window.WindowExec
 
-/** Scale-hazard audit over every registered query. Two checks:
+/** Scale-hazard audit over every registered query. Three checks:
   *
   *  1. Executed plan contains a WindowExec with an empty partition spec —
   *     a single-partition global window, the one shape that cannot
@@ -17,6 +17,10 @@ import org.apache.spark.sql.execution.window.WindowExec
   *     one task (the q_daily_quota hazard — fixed via the bounded
   *     [[graft.functions.Exprs.MinKLong]] aggregate; this check keeps it
   *     fixed).
+  *  3. Analyzed plan contains a Window partitioned only by
+  *     *bounded-catalog* attributes (source/lang/status/…) over a raw
+  *     frame — the same hazard keyed on an enum (the r04 `batchAssign`
+  *     shape, fixed via [[graft.operators.DistributedRank]]).
   *
   * Exits non-zero if any query trips either check, so CI keeps the
   * property.
@@ -50,6 +54,29 @@ object WindowAudit {
       case _ => false
     }
 
+  /** Catalog attributes with bounded cardinality: a window partitioned
+    * ONLY by these has at most |catalog| partitions, so one dominant
+    * value (one source, one language) becomes one unsplittable task at
+    * production volume — the same hazard class as a time bucket, keyed
+    * on an enum instead. Curated from the testdata schema + TPC-H
+    * enum-like columns.
+    */
+  private val boundedCatalog: Set[String] = Set(
+    "source", "lang", "language", "split", "event_type", "status",
+    "o_orderstatus", "o_orderpriority", "l_returnflag", "l_linestatus",
+    "l_shipmode", "r_name", "n_name", "c_mktsegment", "p_brand",
+    "p_container", "p_type")
+
+  /** True if the expression references at least one attribute and every
+    * attribute it references is a bounded catalog column. A partition
+    * key mixing in any unbounded attribute (doc_id, a hash bucket, a
+    * shard) splits the bounded value across tasks and is safe.
+    */
+  private def isBoundedCatalogOnly(e: Expression): Boolean = {
+    val attrs = e.collect { case a: Attribute => a }
+    attrs.nonEmpty && attrs.forall(a => boundedCatalog.contains(a.name.toLowerCase))
+  }
+
   /** True if every path from this window's child to the leaves passes
     * through an aggregate or limit — i.e. the window runs over an
     * already-reduced frame, where per-bucket cardinality is bounded.
@@ -68,18 +95,40 @@ object WindowAudit {
       case w: WindowExec if w.partitionSpec.isEmpty => w
     }.size
 
+  private def aliasMap(analyzed: LogicalPlan): Map[Long, Expression] =
+    analyzed.collect { case p =>
+      p.expressions.flatMap(_.collect { case a: Alias => a.exprId.id -> a.child })
+    }.flatten.toMap
+
   /** Count of logical Window nodes partitioned ONLY by time-bucket
     * expressions over a non-reduced (raw) frame.
     */
   def timeBucketWindows(df: org.apache.spark.sql.DataFrame): Int = {
     val analyzed = df.queryExecution.analyzed
-    val aliases = analyzed.collect { case p =>
-      p.expressions.flatMap(_.collect { case a: Alias => a.exprId.id -> a.child })
-    }.flatten.toMap
+    val aliases = aliasMap(analyzed)
     analyzed.collect {
       case w: LogicalWindow
           if w.partitionSpec.nonEmpty &&
             w.partitionSpec.forall(ps => isTimeBucket(expand(ps, aliases))) &&
+            !reducedBelow(w.child) =>
+        w
+    }.size
+  }
+
+  /** Count of logical Window nodes partitioned ONLY by bounded-catalog
+    * attributes over a non-reduced (raw) frame — the r04 `batchAssign`
+    * shape (`Window.partitionBy("source")` over raw documents). Windows
+    * over reduced frames (e.g. a prefix-sum over a per-bucket aggregate,
+    * the [[graft.operators.DistributedRank]] scaffold) are fine: their
+    * per-partition row count is bounded by the aggregate.
+    */
+  def boundedKeyWindows(df: org.apache.spark.sql.DataFrame): Int = {
+    val analyzed = df.queryExecution.analyzed
+    val aliases = aliasMap(analyzed)
+    analyzed.collect {
+      case w: LogicalWindow
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(ps => isBoundedCatalogOnly(expand(ps, aliases))) &&
             !reducedBelow(w.child) =>
         w
     }.size
@@ -107,6 +156,14 @@ object WindowAudit {
         bad += 1
         println(s"TIME-BUCKET-WINDOW $name: $nTimeBucket window(s) partitioned only " +
           "by a time bucket over a raw frame (unsplittable per-bucket sort at scale)")
+      }
+
+      val nBoundedKey = boundedKeyWindows(df)
+      if (nBoundedKey > 0) {
+        bad += 1
+        println(s"BOUNDED-KEY-WINDOW $name: $nBoundedKey window(s) partitioned only " +
+          "by bounded catalog attributes over a raw frame (one dominant value = " +
+          "one unsplittable task at scale)")
       }
     }
     println(s"== $bad queries with scale-hazard windows ==")

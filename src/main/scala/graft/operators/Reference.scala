@@ -508,16 +508,26 @@ object Reference {
       |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
   /** A11: batch assignment — the analyzer chunks following lists into
-    * fixed batches (interest_analyzer.py:168, batch_size=20). Partitioned
-    * by source (like per-user batches in the reference) so numbering
-    * never needs a global sort.
+    * fixed batches (interest_analyzer.py:168, batch_size=20).
+    *
+    * `source` is a bounded catalog, so a per-source row_number window
+    * over the raw frame would make one dominant source a single
+    * unsplittable sort task at 100 TB. Distributed ranking instead
+    * ([[DistributedRank]]): range-bucket doc_id, prefix-sum per-bucket
+    * counts on the bounded (source × bucket) aggregate, then number rows
+    * locally within each bucket and add the offset. Identical output,
+    * per-task work bounded by one bucket.
     */
-  def batchAssign(documents: DataFrame, batchSize: Int = 20): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    documents
-      .select(col("doc_id"), col("source"))
+  def batchAssign(documents: DataFrame, batchSize: Int = 20,
+                  buckets: Int = 1024): DataFrame = {
+    val base = documents.select(col("doc_id"), col("source"))
+    val wLocal = Window.partitionBy("source", DistributedRank.BucketCol)
+      .orderBy("doc_id")
+    DistributedRank.withBucketOffsets(base, "source", "doc_id", lit(1L), buckets)
+      .withColumn("rn", col(DistributedRank.OffsetCol) + row_number().over(wLocal))
       .withColumn("batch_id",
-        floor((row_number().over(w) - 1) / lit(batchSize.toDouble)).cast("long"))
+        floor((col("rn") - 1) / lit(batchSize.toDouble)).cast("long"))
+      .select("doc_id", "source", "batch_id")
   }
 
   val batchAssignSql: String =

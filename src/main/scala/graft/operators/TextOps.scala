@@ -434,15 +434,28 @@ object TextOps {
     * documents: per language, keep documents in deterministic doc_id
     * order until the cumulative whitespace-token count reaches the
     * budget (the last document may overshoot; the budget bounds the
-    * running count BEFORE each doc, the standard greedy fill). Keyed
-    * running-sum window — hash-partitioned by language, scale-safe.
+    * running count BEFORE each doc, the standard greedy fill).
+    *
+    * `lang` is a bounded catalog — a per-lang running-sum window over
+    * the raw frame would single-task the dominant language at scale.
+    * Distributed ranking instead ([[DistributedRank]]): range-bucket
+    * doc_id, prefix-sum per-(lang, bucket) token counts on the bounded
+    * aggregate, then run the running sum locally per bucket and add the
+    * offset. Buckets whose offset already meets the budget are pruned
+    * BEFORE the local window — at 100 TB the plan touches only the
+    * prefix of each language that can still fit, not the whole corpus.
     */
-  def tokenBudgetMix(documents: DataFrame, budget: Long = 5000L): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents
+  def tokenBudgetMix(documents: DataFrame, budget: Long = 5000L,
+                     buckets: Int = 1024): DataFrame = {
+    val base = documents
       .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tok"))
-      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+    val wLocal = Window.partitionBy("lang", DistributedRank.BucketCol)
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    DistributedRank.withBucketOffsets(base, "lang", "doc_id", col("n_tok"), buckets)
+      .filter(col(DistributedRank.OffsetCol) < budget)
+      .withColumn("cum_tok",
+        col(DistributedRank.OffsetCol) + sum(col("n_tok")).over(wLocal))
       .filter(col("cum_tok") - col("n_tok") < budget)
       .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
   }

@@ -246,4 +246,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(n == 0, s"$q: $n time-bucket window(s) over a raw frame")
     }
   }
+
+  test("no query windows over a bounded catalog key of a raw frame; detector catches the r04 batchAssign") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+
+    // Positive control: the r04 batchAssign shape — row_number over
+    // (partition by source) on the raw documents frame.
+    val oldShape = docs
+      .select(col("doc_id"), col("source"))
+      .withColumn("batch_id", floor((row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")) - 1) / lit(20.0)).cast("long"))
+    assert(WindowAudit.boundedKeyWindows(oldShape) == 1,
+      "detector missed the per-source window over raw documents")
+
+    // A bounded key laundered through a project alias must still trip it.
+    val laundered = docs
+      .select(col("doc_id"), col("source").as("src"))
+      .withColumn("rn", row_number().over(Window.partitionBy("src").orderBy("doc_id")))
+    assert(WindowAudit.boundedKeyWindows(laundered) == 1,
+      "detector missed a source window aliased through a project")
+
+    // The DistributedRank scaffold — (source, bucket) local window plus a
+    // prefix-sum window over the per-bucket AGGREGATE — must NOT trip it.
+    assert(WindowAudit.boundedKeyWindows(
+      graft.operators.Reference.batchAssign(docs)) == 0,
+      "detector false-positives on the distributed-ranking batchAssign")
+    assert(WindowAudit.boundedKeyWindows(
+      graft.operators.TextOps.tokenBudgetMix(docs)) == 0,
+      "detector false-positives on the distributed-ranking tokenBudgetMix")
+
+    // A per-key window over a high-cardinality key must NOT trip it.
+    val keyed = docs
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id").orderBy("source")))
+    assert(WindowAudit.boundedKeyWindows(keyed) == 0,
+      "detector false-positives on a high-cardinality key window")
+
+    // And the registered queries are all clean.
+    SparkEntry.queries.keys.foreach { q =>
+      val n = WindowAudit.boundedKeyWindows(SparkEntry.queries(q)(spark, sf))
+      assert(n == 0, s"$q: $n bounded-catalog-key window(s) over a raw frame")
+    }
+  }
 }
