@@ -14,10 +14,10 @@ import graft.sources.Tables
   * sketch bits, so each query emits (a) the EXACT value, oracle-checked
   * as usual, and (b) a boolean asserting the sketch landed within its
   * error contract, which the oracle claims as literal TRUE. The booleans
-  * are safe to hash-compare: approx_percentile's rank error is a hard
-  * deterministic guarantee of the summary structure, and the HLL++
-  * relative error is deterministic per dataset (same input bits → same
-  * registers), verified against every driver scale factor. The Bloom
+  * are safe to hash-compare when the bound is hard: approx_percentile's
+  * rank error is a deterministic guarantee of the summary structure. The
+  * HLL++ bound is only probabilistic, so it is asserted in ScalaTest and
+  * kept OUT of the oracle-checked columns. The Bloom
   * variant needs no special contract at all — no false negatives means
   * prefilter + exact residual join is EXACTLY the plain anti-join result,
   * so it shares q_dedup_incremental's oracle verbatim.
@@ -31,10 +31,10 @@ object Sketches {
     * `hll_within_bound` asserts the estimate sits inside 4 standard
     * deviations of the configured relative error — unlike the quantile
     * summary's hard rank bound this is probabilistic (~6e-5 per group
-    * at 4σ), but the estimate is deterministic per dataset and the
-    * margin is verified against every driver scale factor; if a future
-    * testdata refresh ever lands a group in the tail, drop the boolean
-    * to spec-only rather than widening further.
+    * at 4σ), so it lives in ScalaTest (LlmOpsSpec) ONLY: the registered
+    * oracle query drops the boolean and hash-compares just the exact
+    * columns, so a testdata refresh landing a group in the tail can
+    * never flip the driver's correctness gate on a non-bug.
     */
   def approxDistinctTokens(documents: DataFrame, rsd: Double = 0.05): DataFrame =
     documents
@@ -51,8 +51,7 @@ object Sketches {
   val approxDistinctTokensSql: String =
     """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
       |SELECT lang, count(*) AS n_tokens,
-      |  count(DISTINCT token) AS exact_distinct,
-      |  TRUE AS hll_within_bound
+      |  count(DISTINCT token) AS exact_distinct
       |FROM tok GROUP BY lang""".stripMargin
 
   /** C32: per-status order-value quantiles — approx_percentile's summary
@@ -101,7 +100,11 @@ object Sketches {
     * cost scales with the MATCH volume, not the ingest volume — the
     * standard semi-join reduction when the historical index dwarfs each
     * ingest batch. Result is bit-identical to the exact variant; the
-    * driver checks it against the SAME oracle.
+    * driver checks it against the SAME oracle. The probe is wrapped in
+    * `coalesce(…, false)`: an EMPTY historical side makes the Bloom
+    * aggregate NULL and `might_contain` NULL, which would silently drop
+    * every delta row — coalescing routes them to the not-maybe branch
+    * (`is_known = false`), matching the exact path.
     */
   private val bloomCallCounter = new java.util.concurrent.atomic.AtomicLong()
 
@@ -128,10 +131,10 @@ object Sketches {
       spark.sql(
         s"""WITH flagged AS (
            |  SELECT doc_id, fp,
-           |    graft_might_contain(
+           |    coalesce(graft_might_contain(
            |      (SELECT graft_bloom_agg(xxhash64(fp), ${n}L, ${numBits}L)
            |       FROM ${v}_hist),
-           |      xxhash64(fp)) AS maybe
+           |      xxhash64(fp)), false) AS maybe
            |  FROM ${v}_delta)
            |SELECT f.doc_id, f.fp, (h.fp IS NOT NULL) AS is_known
            |FROM (SELECT doc_id, fp FROM flagged WHERE maybe) f
@@ -145,7 +148,9 @@ object Sketches {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_approx_distinct" -> ((s, d) => approxDistinctTokens(Tables.documents(s, d))),
+    // exact columns only: the probabilistic HLL bound is spec-only
+    "q_approx_distinct" -> ((s, d) =>
+      approxDistinctTokens(Tables.documents(s, d)).drop("hll_within_bound")),
     "q_approx_quantiles" -> ((s, d) => approxOrderQuantiles(Tables.orders(s, d))),
     "q_dedup_incremental_bloom" -> ((s, d) => dedupIncrementalBloom(Tables.documents(s, d))))
 

@@ -280,6 +280,23 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("bloom dedup with an EMPTY historical side keeps every delta row unknown") {
+    val s = spark
+    import s.implicits._
+    // every doc_id ≡ 8/9 (mod 10) → the internal 80/20 split leaves the
+    // historical side empty; the Bloom aggregate over zero rows is NULL,
+    // and the coalesce(…, false) probe must route all rows to
+    // is_known=false exactly like the plain anti-join does.
+    val docs = Seq((8L, "a"), (9L, "b"), (18L, "a"), (19L, "c"))
+      .toDF("doc_id", "text")
+    val exact = TextOps.dedupIncremental(docs)
+    val bloom = graft.operators.Sketches.dedupIncrementalBloom(docs)
+    assert(exact.count() == 4 && exact.filter(col("is_known")).count() == 0)
+    assert(bloom.exceptAll(exact).count() == 0 && exact.exceptAll(bloom).count() == 0,
+      "empty-hist Bloom path must equal the exact path")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("sketch bounds hold: HLL distinct and approx quantiles within contract") {
     val ad = graft.operators.Sketches.approxDistinctTokens(Tables.documents(spark, sf))
     assert(ad.filter(!col("hll_within_bound")).count() == 0)
