@@ -594,8 +594,17 @@ object Reference {
   /** A14: top influencers — follower-count ranking over the edge graph.
     * rank() keeps ties (deterministic result set); the rank filter is a
     * window-group-limit, not a global materialized sort.
+    *
+    * Degenerate-tie guard: if the graph has fewer than k distinct heavy
+    * degrees (e.g. a constant-degree graph), the k-th-degree threshold
+    * collapses and "k + ties" survivors can approach the whole user
+    * table — which would then be funnelled into the single-partition
+    * rank below. The bounded `limit(cap+1).count()` probe (never a full
+    * count of a degenerate survivor set) fails fast with a clear message
+    * instead of silently building a multi-TB one-task sort.
     */
-  def topInfluencers(events: DataFrame, k: Int = 10): DataFrame = {
+  def topInfluencers(events: DataFrame, k: Int = 10,
+                     maxSurvivors: Int = 10000): DataFrame = {
     val in = followEdgesCached(events).groupBy(col("dst").as("user_id"))
       .agg(count(lit(1)).as("in_deg"))
     // rank-with-ties over the full degree table would single-partition a
@@ -604,14 +613,21 @@ object Reference {
     // then rank only the >= threshold survivors (k + ties rows).
     val kth = in.orderBy(col("in_deg").desc).limit(k)
       .agg(min(col("in_deg")).as("thr"))
+    val survivors = in.crossJoin(broadcast(kth))
+      .filter(col("in_deg") >= col("thr"))
+    val nSurv = survivors.limit(maxSurvivors + 1).count()
+    if (nSurv > maxSurvivors) throw new IllegalStateException(
+      s"topInfluencers: degenerate tie plateau — more than $maxSurvivors users " +
+        s"share the top-$k degree threshold, so rank() carries no information. " +
+        "Filter on the degree threshold directly (no rank), or raise maxSurvivors " +
+        "if the plateau is genuinely wanted.")
     // rank()-with-ties over the (≤ k+ties)-row survivor frame, without a
     // Window.partitionBy() single-partition window: repartition(1) (a
     // shuffle barrier — upstream agg stays parallel; only the tiny
     // survivor rows move), sort the one partition, number rows with
     // monotonically_increasing_id, then rank = min row-number within the
     // tie group via a keyed (non-empty-spec) window.
-    in.crossJoin(broadcast(kth))
-      .filter(col("in_deg") >= col("thr"))
+    survivors
       .repartition(1)
       .sortWithinPartitions(col("in_deg").desc, col("user_id"))
       .withColumn("rn", monotonically_increasing_id() + 1)

@@ -86,6 +86,28 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0)
   }
 
+  test("top influencers: degenerate tie plateau fails fast, normal graph unaffected") {
+    val s = spark
+    import s.implicits._
+    // constant-degree graph: 20 clickers, each targeting a distinct dst
+    // (dst = floor(value) % 20) → every dst has in-degree exactly 1, so
+    // the top-10 threshold collapses to 1 and ALL 20 dsts survive.
+    val ev = (0 until 20).map { i =>
+      (1000L + i, 100L + i, "click", i.toDouble,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val e = intercept[IllegalStateException] {
+      Reference.topInfluencers(ev, k = 10, maxSurvivors = 5).collect()
+    }
+    assert(e.getMessage.contains("degenerate tie plateau"))
+    // with the cap above the plateau the same graph ranks fine (all rank 1)
+    val ok = Reference.topInfluencers(ev, k = 10, maxSurvivors = 50)
+    assert(ok.count() == 20 && ok.filter(col("rnk") =!= 1).count() == 0)
+    // and the real-data query still returns its usual k+ties rows
+    assert(Reference.topInfluencers(Tables.events(spark, sf)).count() >= 10)
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("daily quota never keeps more than quota per day") {
     val q = Reference.dailyQuota(Tables.events(spark, sf), quota = 5)
     assert(q.filter(col("kept") > 5).count() == 0)
