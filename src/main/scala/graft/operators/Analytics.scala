@@ -831,10 +831,15 @@ object Analytics {
 
   /** B24 — TPC-H Q10 shape: top-k customers by returned-item revenue in
     * a half-year window. Scale shape: the fact side is aggregated down
-    * to one row per customer BEFORE any dimension join (the enrich joins
-    * touch at most |customers| rows, not |lineitem|); nation (fixed 25
-    * rows) is the only forced broadcast; top-k is sort+limit
-    * (TakeOrderedAndProject), never a global rank window.
+    * to one row per customer BEFORE any dimension join; top-k is
+    * sort+limit (TakeOrderedAndProject) applied to the pre-join
+    * aggregate — the enrich joins then touch exactly k rows, not
+    * |customers|, and the ranking matches the oracle's order of
+    * operations (rank BEFORE the joins) even if a custkey ever failed to
+    * resolve in customer/nation. Nation (fixed 25 rows) is the only
+    * forced broadcast; the k-row ranked side is small enough that the
+    * planner broadcasts it into customer unhinted (its limit-k stats
+    * sit far under the auto-broadcast threshold).
     */
   def returnedItems(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
                     nation: DataFrame, k: Int = 20): DataFrame = {
@@ -849,15 +854,16 @@ object Analytics {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(sum(discE4).as("rev_e4"))
-    rev
+    val ranked = rev
+      .orderBy(col("rev_e4").desc, col("o_custkey"))
+      .limit(k)
+      .sortWithinPartitions(col("rev_e4").desc, col("o_custkey"))
+      .withColumn("rn", rankWithinLimit(k))
+    ranked
       .join(customer.select(col("c_custkey"), col("c_name"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
         col("c_nationkey") === col("n_nationkey"))
-      .orderBy(col("rev_e4").desc, col("c_custkey"))
-      .limit(k)
-      .sortWithinPartitions(col("rev_e4").desc, col("c_custkey"))
-      .withColumn("rn", rankWithinLimit(k))
       .select(col("c_custkey"), col("c_name"), col("n_name"),
         (expr("(rev_e4 + 50) div 100").cast("double") / 100.0).as("revenue"), col("rn"))
   }
