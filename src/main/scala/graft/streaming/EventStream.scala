@@ -368,6 +368,13 @@ object EventStream {
     * key (event ids / scrape timestamps are). State: none beyond the
     * micro-batch; the target rewrite cost is bounded by the bucketed
     * variant when the table outgrows single-swap rewrites.
+    *
+    * The non-key columns ride ONE `max_by(struct(…), version)` — one
+    * independent `max_by` per column would let two rows sharing
+    * (key, version) in a batch tear, merging columns from different
+    * source rows. With the single struct the winner is a whole source
+    * row; names are resolved via backtick-quoted references, so columns
+    * needing quoting survive the round-trip.
     */
   def streamingUpsertSink(stream: DataFrame, path: String,
                           keys: Seq[String], versionCol: String,
@@ -377,12 +384,17 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
+          def qc(c: String) = col(s"`${c.replace("`", "``")}`")
           val others = batch.columns.filterNot(c => keys.contains(c) || c == versionCol)
-          val latest = batch.groupBy(keys.map(col): _*)
+          val packed = batch.groupBy(keys.map(qc): _*)
             .agg(
-              max(col(versionCol)).as(versionCol),
-              others.map(c => expr(s"max_by($c, $versionCol)").as(c)): _*)
-            .select(batch.columns.map(col): _*)
+              max(qc(versionCol)).as(versionCol),
+              (if (others.isEmpty) Seq.empty[org.apache.spark.sql.Column]
+               else Seq(max_by(struct(others.map(qc): _*), qc(versionCol)).as("__row"))): _*)
+          val latest = packed
+            .select(keys.map(qc) ++ Seq(qc(versionCol)) ++
+              others.map(c => col("__row").getField(c).as(c)): _*)
+            .select(batch.columns.map(qc): _*)
           graft.sources.Sinks.mergeUpsert(
             batch.sparkSession, path, latest, keys, versionCol)
         }

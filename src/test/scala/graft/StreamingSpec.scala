@@ -50,6 +50,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected target contents: $out")
   }
 
+  test("streaming upsert sink never tears rows tied on (key, version)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-tie").toString
+    val in = MemoryStream[Event]
+    val q = EventStream.streamingUpsertSink(
+      in.toDF(), s"$dir/target", keys = Seq("user_id"), versionCol = "event_id",
+      checkpoint = s"$dir/ckpt")
+    // two rows share (user_id=1, event_id=7) in ONE batch with different
+    // payloads: the merged row must be one of the two source rows whole,
+    // never event_type from one and value from the other.
+    in.addData(
+      Event(7, ts(1), 1, "click", 1.0),
+      Event(7, ts(2), 1, "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.read.parquet(s"$dir/target")
+      .select("event_type", "value").collect().map(x => (x.getString(0), x.getDouble(1)))
+    assert(r.length == 1)
+    assert(r.head == ("click", 1.0) || r.head == ("view", 2.0),
+      s"torn row: ${r.head} mixes the two tied source rows")
+  }
+
   test("windowed counts aggregate per hour window and event type") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
