@@ -82,15 +82,23 @@ object Dedup {
   /** Band assignments with oversized buckets dropped — ONE extra
     * hash-partitioned count over the same (b, band_key) the self-join
     * shuffles on; no new shuffle key, no sort (unordered frame).
+    * Tracked: both sides of the candidate self-join and the cluster
+    * engines' star edges consume the same capped frame, so one session
+    * materializes the occupancy pass once.
     */
   def minhashBandsCapped(sig: DataFrame): DataFrame =
     minhashBands(sig)
       .withColumn("occ", count(lit(1)).over(Window.partitionBy("b", "band_key")))
       .filter(col("occ") <= MaxBucketOccupancy)
       .drop("occ")
+      .transform(GraftCache.persistTracked)
 
   /** Candidate near-dup pairs: docs sharing at least one (occupancy-
-    * capped) band bucket. */
+    * capped) band bucket. Tracked: the pair graph is the shared input of
+    * the whole verify family (signature agreement, exact Jaccard,
+    * edit-distance) — one session builds the bucket self-join once and
+    * every lens reuses the narrow (doc_a, doc_b) frame.
+    */
   def minhashCandidates(documents: DataFrame): DataFrame = {
     val bands = minhashBandsCapped(minhashSignature(documents))
     val b1 = bands.as("b1")
@@ -99,6 +107,7 @@ object Dedup {
       .filter(col("b1.doc_id") < col("b2.doc_id"))
       .select(col("b1.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"))
       .distinct()
+      .transform(GraftCache.persistTracked)
   }
 
   def minhashSigSqlExpr: String =
@@ -208,6 +217,7 @@ object Dedup {
       .filter(col("b1.doc_id") < col("b2.doc_id"))
       .select(col("b1.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"))
       .distinct()
+      .transform(GraftCache.persistTracked)
     cand
       .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")), "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")), "doc_b")
