@@ -167,4 +167,137 @@ object GraftPipeline {
         count(lit(1)).as("n"),
         sum(col("processed_items")).as("processed"),
         sum(col("total_items")).as("total"))
+
+  // ---------------- scheduler run loop (job_scheduler.py:157-163) ----------------
+
+  private val DayUs = 86400L * 1000000L
+
+  /** One scheduler interval — the body of the reference's
+    * `process_pending_jobs` (job_scheduler.py:80-150) as a set-oriented
+    * update delta: check the daily quota, select the pending batch in
+    * job_id order, hand it to `process`, and return the per-job updates
+    * to merge back into the jobs table.
+    *
+    * `process` is the pluggable work step (the reference calls its
+    * scraper per job type; a library user plugs their own fetch/compute)
+    * — it receives the selected batch and returns one row per attempted
+    * job: `job_id` plus any updated columns (`status` of
+    * completed/failed, `error_message`, `processed_items`, …). The
+    * facade stamps `completed_at_us` (completed rows, when the callback
+    * didn't) and `updated_at_us` (all rows) with `nowUs`, so quota
+    * accounting and merge versioning never depend on callback
+    * discipline.
+    *
+    * Quota accounting is derived from the TABLE — completed jobs whose
+    * `completed_at_us` falls in `nowUs`'s UTC day — not from an
+    * in-memory counter like the reference's `current_day_processed`:
+    * the day rollover reset (`_reset_daily_counter`) is implicit and
+    * the count survives a driver restart mid-day. The derivation is one
+    * count over the bookkeeping table, which is metadata-sized (one row
+    * per job) at any corpus scale.
+    */
+  def processPendingUpdates(jobs: DataFrame, nowUs: Long,
+                            process: DataFrame => DataFrame,
+                            dailyQuota: Int = 200,
+                            batchSize: Int = 10): DataFrame = {
+    val dayStart = nowUs - math.floorMod(nowUs, DayUs)
+    val emptyUpdates = jobs.select(col("job_id")).limit(0)
+      .withColumn("status", lit(null).cast("string"))
+    val processedToday = jobs.filter(
+      col("status") === "completed" &&
+        col("completed_at_us") >= dayStart &&
+        col("completed_at_us") < dayStart + DayUs).count()
+    val remaining = dailyQuota - processedToday.toInt
+    if (remaining <= 0) emptyUpdates
+    else {
+      val batch = selectPendingBatch(jobs, remaining, batchSize)
+      val updates = process(batch)
+      val withCompleted =
+        if (updates.columns.contains("completed_at_us"))
+          updates.withColumn("completed_at_us",
+            coalesce(col("completed_at_us"),
+              when(col("status") === "completed", lit(nowUs))))
+        else updates.withColumn("completed_at_us",
+          when(col("status") === "completed", lit(nowUs)))
+      withCompleted.withColumn("updated_at_us", lit(nowUs))
+    }
+  }
+
+  /** The scheduler's `run_scheduler` loop (job_scheduler.py:157-163 —
+    * `schedule.every(30).minutes.do(process_pending_jobs)`), simulated
+    * over explicit tick timestamps: fold [[processPendingUpdates]] +
+    * [[applyJobUpdates]] across `tickTimesUs`. Deterministic (the caller
+    * owns the clock) and restart-free — resuming from the returned jobs
+    * table at any tick boundary yields the same final state, which is
+    * what makes the batch recipe equivalent to the always-on variant.
+    *
+    * Iterative hygiene: each tick's jobs frame is persisted, counted and
+    * lineage-cut (the propagateMinLabels pattern) so a long simulation
+    * doesn't compound plan depth across ticks; the previous tick's frame
+    * is unpersisted as soon as the next is materialized, and the final
+    * frame is handed off unpersisted-safe via GraftCache tracking.
+    */
+  def runScheduled(jobs: DataFrame, tickTimesUs: Seq[Long],
+                   process: (DataFrame, Long) => DataFrame,
+                   dailyQuota: Int = 200, batchSize: Int = 10): DataFrame = {
+    val spark = jobs.sparkSession
+    var current = jobs
+    var currentPersisted: DataFrame = null
+    try {
+      tickTimesUs.sorted.foreach { nowUs =>
+        val updates = processPendingUpdates(current, nowUs, process(_, nowUs),
+          dailyQuota, batchSize)
+        val next = applyJobUpdates(current, updates)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before cutting lineage / dropping prev
+        if (currentPersisted != null) currentPersisted.unpersist(blocking = true)
+        currentPersisted = next
+        current = spark.createDataFrame(next.rdd, next.schema)
+      }
+      if (currentPersisted != null) {
+        val out = graft.GraftCache.persistTracked(current)
+        out.count()
+        out
+      } else current
+    } finally {
+      if (currentPersisted != null) currentPersisted.unpersist(blocking = true)
+    }
+  }
+
+  /** Always-on form of the run loop: a `Trigger.ProcessingTime` stream
+    * fires [[processPendingUpdates]] every `intervalMs` against the
+    * parquet jobs table at `jobsPath` and MERGEs the update delta back
+    * via [[graft.sources.Sinks.mergeUpsert]] (latest-wins on
+    * `updated_at_us`, so an at-least-once replay of a tick re-merges
+    * identical updates as a no-op). The jobs table must carry an
+    * `updated_at_us` column. The rate source is a metronome — its rows
+    * are ignored; each micro-batch is one scheduler tick, exactly the
+    * reference's `schedule.run_pending()` cadence without the
+    * sleep-poll loop.
+    *
+    * `clockUs` defaults to wall-clock; tests inject a deterministic
+    * clock (the reference hardwires `datetime.now()`, which is why its
+    * loop is untestable without monkey-patching).
+    */
+  def runScheduledStream(spark: SparkSession, jobsPath: String,
+                         process: (DataFrame, Long) => DataFrame,
+                         intervalMs: Long, checkpoint: String,
+                         dailyQuota: Int = 200, batchSize: Int = 10,
+                         clockUs: () => Long = () => System.currentTimeMillis() * 1000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val nowUs = clockUs()
+        val jobs = spark.read.parquet(jobsPath)
+        val updates = processPendingUpdates(jobs, nowUs, process(_, nowUs),
+          dailyQuota, batchSize)
+        if (!updates.isEmpty)
+          graft.sources.Sinks.mergeUpsert(spark, jobsPath,
+            applyJobUpdates(jobs, updates).filter(col("updated_at_us") === nowUs),
+            Seq("job_id"), "updated_at_us")
+      }
+      .start()
 }

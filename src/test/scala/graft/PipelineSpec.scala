@@ -121,6 +121,74 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).getString(2) == "boom") // dead-letter keeps its error
   }
 
+  test("runScheduled drives intervals under the daily quota with day rollover") {
+    val s = spark
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    val jobs = (1L to 8L).map(i =>
+      (i, s"user$i", "profile", "pending", None: Option[String], None: Option[Long]))
+      .toDF("job_id", "target_username", "job_type", "status",
+        "error_message", "completed_at_us")
+    // deterministic work step: job 3 fails, everything else completes
+    def proc(batch: org.apache.spark.sql.DataFrame, nowUs: Long) = batch.select(
+      col("job_id"),
+      when(col("job_id") === 3L, "failed").otherwise("completed").as("status"),
+      when(col("job_id") === 3L, "boom").cast("string").as("error_message"))
+    // quota 5/day, batch 2/tick: ticks 1-3 process jobs 1..6 (five
+    // complete + one failure), tick 4 is quota-blocked (failures do not
+    // consume quota, but 5 completions do), tick 5 lands on the NEXT day
+    // -> implicit rollover reset lets jobs 7,8 run.
+    val ticks = Seq(0L, 3600L * 1000000L, 2 * 3600L * 1000000L,
+      3 * 3600L * 1000000L, dayUs + 1000L)
+    val out = GraftPipeline.runScheduled(jobs, ticks, proc,
+      dailyQuota = 5, batchSize = 2).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getString(3), Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    assert(byId(3L)._1 == "failed" && byId(3L)._2.isEmpty)
+    assert(Seq(1L, 2L, 4L, 5L, 6L).forall(i =>
+      byId(i)._1 == "completed" && byId(i)._2.exists(_ < dayUs)),
+      s"day-0 completions wrong: $byId")
+    assert(Seq(7L, 8L).forall(i =>
+      byId(i)._1 == "completed" && byId(i)._2.exists(_ >= dayUs)),
+      s"rollover tick did not process the tail: $byId")
+    // quota invariant: never more than 5 completions inside one UTC day
+    assert(out.count(r => r.getString(3) == "completed" &&
+      r.get(5) != null && r.getLong(5) < dayUs) == 5)
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("runScheduledStream: ProcessingTime metronome merges tick updates into the jobs table") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sched_stream").toString
+    val nowUs = 42L * 86400L * 1000000L + 7L
+    (1L to 3L).map(i => (i, "profile", "pending", None: Option[Long], 0L))
+      .toDF("job_id", "job_type", "status", "completed_at_us", "updated_at_us")
+      .write.parquet(s"$tmp/jobs")
+    def proc(batch: org.apache.spark.sql.DataFrame, t: Long) =
+      batch.select(col("job_id"), lit("completed").as("status"))
+    val q = GraftPipeline.runScheduledStream(spark, s"$tmp/jobs", proc,
+      intervalMs = 250, checkpoint = s"$tmp/ckpt", dailyQuota = 200,
+      batchSize = 10, clockUs = () => nowUs)
+    try {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var done = false
+      while (!done && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        done = try {
+          spark.read.parquet(s"$tmp/jobs")
+            .filter(col("status") === "completed").count() == 3
+        } catch { case _: Throwable => false } // mid-swap window
+      }
+      assert(done, "stream did not complete all jobs within 30s")
+    } finally q.stop()
+    val rows = spark.read.parquet(s"$tmp/jobs").collect()
+    assert(rows.forall(r => r.getAs[String]("status") == "completed"))
+    assert(rows.forall(r => r.getAs[Long]("completed_at_us") == nowUs),
+      "facade must stamp completed_at_us with the tick clock")
+    assert(rows.forall(r => r.getAs[Long]("updated_at_us") == nowUs))
+  }
+
   test("end-to-end main loop: schedule -> select -> transition -> retry -> merge -> resume") {
     val s = spark
     import s.implicits._
