@@ -355,6 +355,38 @@ object EventStream {
       .select(explode(graft.functions.Exprs.ngrams(split(col("text"), " "), 2)).as("gram"))
       .agg(graft.functions.Exprs.misraGries(col("gram"), k).as("summary"))
 
+  /** Streaming twin of [[graft.operators.Sketches.approxDistinctTokens]]
+    * (C31): per-language token count + HLL++ distinct estimate as a
+    * stateful streaming aggregation in complete mode. The state per
+    * group is the fixed-width HLL register array — bounded for an
+    * unbounded stream, the same property as the Misra-Gries twin. HLL
+    * register merge is max-based and therefore ORDER-INDEPENDENT, so
+    * after the same rows the streaming estimate is bit-identical to the
+    * batch one (the equivalence spec asserts exact equality, unlike the
+    * quantile twin below).
+    */
+  def streamingDistinctTokens(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        approx_count_distinct(col("token"), rsd).as("hll"))
+
+  /** Streaming twin of [[graft.operators.Sketches.approxOrderQuantiles]]
+    * (C32): per-status quantile summaries in complete mode. The
+    * summary's rank-error contract (≤ n/accuracy) holds REGARDLESS of
+    * merge order, but the point estimate may differ from the batch run
+    * by merge order — so the equivalence spec asserts the batch-side
+    * exact quantile window, not bit equality.
+    */
+  def streamingOrderQuantiles(orders: DataFrame, accuracy: Int = 1000): DataFrame =
+    orders
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        expr(s"approx_percentile(o_totalprice, array(0.5, 0.9), $accuracy)").as("ap"))
+
   /** Streaming UPSERT exit path — the continuous twin of the reference's
     * `INSERT … ON CONFLICT DO UPDATE` (instagram_scraper.py:203): each
     * micro-batch is reduced to its latest row per key (max_by on the

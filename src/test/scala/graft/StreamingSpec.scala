@@ -159,6 +159,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s2("hot hot") <= 14L && s2("hot hot") >= 14L - 18L / 4)
   }
 
+  test("EQUIVALENCE: streaming HLL distinct tokens == batch sketch after the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("lang", "text").as[(String, String)].collect()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[(String, String)]
+    val q = EventStream.streamingDistinctTokens(in.toDF().toDF("lang", "text"))
+      .writeStream.format("memory").queryName("sdt").outputMode("complete").start()
+    in.addData(b1.toIndexedSeq); q.processAllAvailable()
+    in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    val streamed = spark.sql("SELECT lang, n_tokens, hll FROM sdt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    val batch = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"), approx_count_distinct(col("token"), 0.05).as("hll"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // HLL register merge is max-based (order-independent): exact equality
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
+  test("EQUIVALENCE: streaming quantile summaries sit inside the batch exact windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val orders = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderstatus", "o_totalprice").as[(String, Double)].collect()
+    val (b1, b2) = orders.splitAt(orders.length / 2)
+    val in = MemoryStream[(String, Double)]
+    val q = EventStream.streamingOrderQuantiles(in.toDF().toDF("o_orderstatus", "o_totalprice"))
+      .writeStream.format("memory").queryName("soq").outputMode("complete").start()
+    in.addData(b1.toIndexedSeq); q.processAllAvailable()
+    in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    val streamed = spark.sql("SELECT o_orderstatus, n, ap FROM soq").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    q.stop()
+    // batch-side EXACT 1%-windows around p50/p90 (the same hard rank
+    // bound the batch oracle uses)
+    def exact(qq: Double) = expr(s"percentile_disc($qq) WITHIN GROUP (ORDER BY o_totalprice)")
+    val windows = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        exact(0.49).as("p50_lo"), exact(0.51).as("p50_hi"),
+        exact(0.89).as("p90_lo"), exact(0.91).as("p90_hi"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(streamed.keySet == windows.keySet)
+    windows.foreach { case (st, (n, p50lo, p50hi, p90lo, p90hi)) =>
+      val (sn, ap) = streamed(st)
+      assert(sn == n, s"$st: row count $sn != $n")
+      assert(ap(0) >= p50lo && ap(0) <= p50hi, s"$st: p50 ${ap(0)} outside [$p50lo,$p50hi]")
+      assert(ap(1) >= p90lo && ap(1) <= p90hi, s"$st: p90 ${ap(1)} outside [$p90lo,$p90hi]")
+    }
+  }
+
   test("EQUIVALENCE: stateless chunking runs unchanged on a stream == batch chunking") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
