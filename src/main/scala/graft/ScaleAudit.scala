@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up audit harness: materializes an N× replica of a testdata SF
+  * (default 10× sf0.1 ≈ sf1) with FK-consistent key shifts, executes the
+  * headline fact-scan queries against it, and reports the FINAL adaptive
+  * plans — catching any shape that only looked right because the smaller
+  * SF fit in one partition (e.g. an AQE broadcast decision that flips to
+  * a shuffle join once the build side outgrows the threshold).
+  *
+  * Replication preserves every FK relation (each key domain shifts by
+  * `i × (max(domain)+1)` on BOTH sides of its joins) and all value
+  * distributions; fixed catalogs (region/nation) are copied, matching
+  * how a real corpus grows: more entities, same dimensions.
+  *
+  * Usage: `sbt 'runMain graft.ScaleAudit [mult] [query ...]'` — the
+  * scaled copy lands under target/scaled_<mult>x (repo-local, ignored)
+  * and is rebuilt only when absent, so repeat runs time queries only.
+  * Hard assertions (exit non-zero on violation):
+  *  - no query's final plan contains a cartesian product;
+  *  - q10's rank-before-enrich keeps TakeOrderedAndProject and its
+  *    k-row ranked side still BROADCASTS into customer at the scaled SF
+  *    (the property that makes the enrich joins touch k rows, not
+  *    |customers|);
+  *  - q18's top-k stays TakeOrderedAndProject (no global sort).
+  */
+object ScaleAudit {
+
+  // key column -> (owning table, owning column) defining its shift domain
+  private val domains: Map[String, (String, String)] = Map(
+    "c_custkey" -> (("customer", "c_custkey")),
+    "o_custkey" -> (("customer", "c_custkey")),
+    "o_orderkey" -> (("orders", "o_orderkey")),
+    "l_orderkey" -> (("orders", "o_orderkey")),
+    "p_partkey" -> (("part", "p_partkey")),
+    "l_partkey" -> (("part", "p_partkey")),
+    "s_suppkey" -> (("supplier", "s_suppkey")),
+    "l_suppkey" -> (("supplier", "s_suppkey")),
+    "event_id" -> (("events", "event_id")),
+    "user_id" -> (("events", "user_id")),
+    "doc_id" -> (("documents", "doc_id")),
+    "vec_id" -> (("embeddings", "vec_id")))
+
+  private val shiftCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val defaultQueries = Seq(
+    "q18_large_orders", "q2_min_cost_supplier", "q10_returned_items",
+    "q1_pricing_summary", "q_sessionize", "q_token_count",
+    "q_dedup_minhash_lsh")
+
+  def buildScaled(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
+    // events.ts stays a raw nanos long end-to-end: the flag reads the
+    // TIMESTAMP(NANOS) source as int64 and the copy writes plain BIGINT,
+    // which Tables.events' `ts div 1000` consumes identically.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val bases: Map[(String, String), Long] = domains.values.toSet.map {
+      tc: (String, String) =>
+        val (t, c) = tc
+        val m = spark.read.parquet(s"$base/$t.parquet")
+          .agg(max(col(c).cast("long"))).head()
+        tc -> (if (m.isNullAt(0)) 1L else m.getLong(0) + 1L)
+    }.toMap
+    graft.sources.Tables.all.foreach { t =>
+      val df = spark.read.parquet(s"$base/$t.parquet")
+      val keys = shiftCols.getOrElse(t, Seq.empty)
+      val scaled =
+        if (keys.isEmpty) df
+        else (0 until mult).map { i =>
+          df.select(df.columns.map { c =>
+            if (keys.contains(c)) (col(c) + lit(i * bases(domains(c)))).as(c)
+            else col(c)
+          }: _*)
+        }.reduce(_ unionAll _)
+      scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val names = if (args.length > 1) args.drop(1).toSeq else defaultQueries
+    val out = s"target/scaled_${mult}x"
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      println(s"[scale] building ${mult}x replica of $base at $out")
+      buildScaled(spark, base, out, mult)
+    }
+
+    var bad = 0
+    val results = names.map { n =>
+      GraftCache.releaseAll(spark)
+      val df = SparkEntry.queries(n)(spark, out)
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.executedPlan.toString
+      def count(op: String) = op.r.findAllIn(plan).size
+      val joins = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct")
+        .map(j => j -> count(j)).filter(_._2 > 0)
+      println(f"[scale] $n%-24s $sec%7.2fs rows=$rows%-8d " +
+        joins.map { case (j, c) => s"$j×$c" }.mkString(" "))
+      if (count("CartesianProduct") > 0) {
+        bad += 1; println(s"[scale] FAIL $n: cartesian product in final plan")
+      }
+      (n, sec, rows, plan)
+    }
+    results.find(_._1 == "q10_returned_items").foreach { case (_, _, _, plan) =>
+      if (!plan.contains("TakeOrderedAndProject")) {
+        bad += 1; println("[scale] FAIL q10: top-k lost TakeOrderedAndProject")
+      }
+      if ("BroadcastHashJoin".r.findAllIn(plan).size < 2) {
+        bad += 1
+        println("[scale] FAIL q10: k-row ranked side no longer broadcasts into the enrich joins")
+      }
+    }
+    results.find(_._1 == "q18_large_orders").foreach { case (_, _, _, plan) =>
+      if (!plan.contains("TakeOrderedAndProject")) {
+        bad += 1; println("[scale] FAIL q18: top-k lost TakeOrderedAndProject")
+      }
+    }
+    println(s"[scale] == $bad violations ==")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

@@ -206,6 +206,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_epoch_mix must not shuffle")
   }
 
+  test("slowest fact scans stay single-scan under AQE: q18/q2/q10 read lineitem once") {
+    // the three slowest warm queries are irreducible full-fact aggs;
+    // their one defense at 100 TB is reading the fact exactly once
+    // (q18's HAVING, q2's argmin, q10's rank all pre-aggregate before
+    // any join). ScaleAudit re-checks the same shapes at 10x data.
+    for (q <- Seq("q18_large_orders", "q2_min_cost_supplier", "q10_returned_items")) {
+      val scans = plan(q).collectLeaves().map(_.toString).count(_.contains("lineitem"))
+      assert(scans == 1, s"$q: lineitem scanned $scans times (expected exactly 1)")
+    }
+  }
+
   test("no query contains a single-partition global window") {
     SparkEntry.queries.keys.foreach { q =>
       val bad = plan(q).collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
