@@ -669,7 +669,11 @@ object Dedup {
     }
   }
 
-  val dedupClustersSql: String =
+  /** Shared oracle CTE chain for the cluster family: candidate graph +
+    * recursive transitive closure `cc(doc_id, label)`. Spliced (never
+    * copied) by every oracle over the dup-cluster assignment.
+    */
+  val clustersCteSql: String =
     s"""WITH RECURSIVE sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
        |$bandsCappedSqlCte,
        |$candSqlCte,
@@ -682,12 +686,104 @@ object Dedup {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.doc_id = e.src
-       |)
+       |)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""$clustersCteSql
        |SELECT doc_id, min(label) AS cluster_id,
        |  (doc_id = min(label)) AS is_canonical
        |FROM cc GROUP BY doc_id""".stripMargin
 
+  // ---------------- C41: quality-based canonical selection ----------------
+
+  /** C41: the keep-rule that follows clustering in a curation pipeline —
+    * per dup cluster, keep the HIGHEST-QUALITY member (not the smallest
+    * doc_id, which is only a label): argmax via one `max(struct(quality,
+    * -doc_id))` hash aggregate (ties on quality break to the smaller
+    * doc_id identically in both engines — the q2 argmin pattern), joined
+    * back on cluster_id. Both shuffles are keyed and linear; the cluster
+    * assignment itself is the memoized [[dedupClusters]] fixpoint, so
+    * composing does not re-train. No broadcast hints: clusters are
+    * corpus-proportional.
+    */
+  def canonicalKeep(documents: DataFrame): DataFrame = {
+    val clusters = dedupClusters(documents).select("doc_id", "cluster_id")
+    val quality = TextOps.qualityScore(documents).select("doc_id", "quality")
+    val scored = clusters.join(quality, "doc_id")
+    val best = scored
+      .groupBy("cluster_id")
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("cluster_id"), (-col("b.neg_id")).as("keep_doc"))
+    scored.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("doc_id") === col("keep_doc")).as("keep"))
+  }
+
+  val canonicalKeepSql: String =
+    s"""$clustersCteSql,
+       |cl AS (SELECT doc_id, min(label) AS cluster_id FROM cc GROUP BY doc_id),
+       |q AS (SELECT doc_id,
+       |    0.5 * least(CAST(n_chars AS DOUBLE) / 400.0, 1.0)
+       |      + 0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |               / len(string_split(text, ' '))) AS quality
+       |  FROM documents),
+       |scored AS (SELECT cl.doc_id, cl.cluster_id, q.quality
+       |  FROM cl JOIN q ON cl.doc_id = q.doc_id),
+       |best AS (SELECT cluster_id, doc_id AS keep_doc FROM (
+       |    SELECT cluster_id, doc_id,
+       |      row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn
+       |    FROM scored) WHERE rn = 1)
+       |SELECT s.doc_id, s.cluster_id, s.quality, (s.doc_id = b.keep_doc) AS keep
+       |FROM scored s JOIN best b ON s.cluster_id = b.cluster_id""".stripMargin
+
+  // ---------------- C42: exact-substring dup spans ----------------
+
+  /** C42: exact repeated-substring profile (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * exact-substring lens, re-expressed shuffle-linear): every k-token
+    * rolling window is fingerprinted (md5 — fixed width moves through
+    * the shuffle instead of raw text), a gram present in ≥ 2 documents
+    * marks duplicated text, and each document reports how much of it is
+    * covered. The suffix-array formulation is the single-machine
+    * optimization of exactly this output; the fingerprint form is the
+    * distributed one (explode is map-side linear, both aggregations are
+    * keyed partial+final hash aggs). Documents shorter than k tokens
+    * have no k-gram and drop out — identically in both engines.
+    */
+  val SubstrGramTokens = 8
+
+  def substringDups(documents: DataFrame, k: Int = SubstrGramTokens): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), explode(Exprs.shingles(toks, k)).as("gram"))
+      .filter(size(split(col("gram"), " ")) === k) // drop short-doc remainders
+      .select(col("doc_id"), md5(col("gram")).as("fp"))
+    // shingles are per-doc distinct, so count(*) per fp == containing docs
+    val docFreq = grams.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+    grams.join(docFreq, "fp")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 4).as("dup_rate"))
+  }
+
+  def substringDupsSql(k: Int = SubstrGramTokens): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, md5(gram) AS fp FROM (
+       |    SELECT doc_id, unnest(${shinglesSqlExpr(k)}) AS gram FROM documents)
+       |  WHERE len(string_split(gram, ' ')) = $k),
+       |df AS (SELECT fp, count(*) AS n_docs FROM g GROUP BY fp)
+       |SELECT g.doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       |  round(CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / count(*), 4) AS dup_rate
+       |FROM g JOIN df ON g.fp = df.fp
+       |GROUP BY g.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_canonical_keep" -> ((s, d) => canonicalKeep(Tables.documents(s, d))),
+    "q_substring_dups" -> ((s, d) => substringDups(Tables.documents(s, d))),
     "q_dedup_minhash_lsh" -> ((s, d) => dedupMinhashLsh(Tables.documents(s, d))),
     "q_dedup_lsh_sampled" -> ((s, d) => dedupLshSampled(Tables.documents(s, d))),
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(Tables.documents(s, d))),
@@ -697,6 +793,8 @@ object Dedup {
     "q_dedup_edit_distance" -> ((s, d) => dedupEditDistance(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_canonical_keep" -> canonicalKeepSql,
+    "q_substring_dups" -> substringDupsSql(),
     "q_dedup_minhash_lsh" -> dedupMinhashLshSql,
     "q_dedup_lsh_sampled" -> dedupLshSampledSql(),
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,

@@ -430,6 +430,35 @@ object TextOps {
        |WHERE len(string_split(gram, ' ')) = 2
        |GROUP BY gram ORDER BY n_occ DESC, gram LIMIT 50""".stripMargin
 
+  /** C43: tokenizer induction — the first BPE iteration's merge
+    * candidates: corpus-wide counts of adjacent CHARACTER pairs inside
+    * whitespace tokens, top-k by count (the pair a byte-pair-encoding
+    * trainer would merge first, then re-run — each further round is the
+    * same query over the re-segmented corpus). Token explode and the
+    * pair explode are both map-side (builtin sequence/substring stay in
+    * whole-stage codegen); the count is a partial+final hash agg on the
+    * bounded pair space (≤ |alphabet|²), and top-k is sort+limit
+    * (TakeOrderedAndProject), never a global rank window.
+    */
+  def bpeMerges(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(explode(toks).as("tok"))
+      .filter(length(col("tok")) >= 2) // sequence(1, len-1) must ascend
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(k)
+
+  def bpeMergesSql(k: Int = 20): String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |p AS (
+       |  SELECT unnest(list_transform(range(1, len(tok)), i -> substr(tok, i, 2))) AS pair
+       |  FROM tok WHERE len(tok) >= 2)
+       |SELECT pair, count(*) AS n_occ FROM p
+       |GROUP BY pair ORDER BY n_occ DESC, pair LIMIT $k""".stripMargin
+
   /** C19: token-budget mix — training mixes are specified in TOKENS, not
     * documents: per language, keep documents in deterministic doc_id
     * order until the cumulative whitespace-token count reaches the
@@ -1034,6 +1063,7 @@ object TextOps {
     "q_token_budget_mix" -> ((s, d) => tokenBudgetMix(Tables.documents(s, d))),
     "q_curated_corpus" -> ((s, d) => curatedCorpus(Tables.documents(s, d))),
     "q_top_ngrams" -> ((s, d) => topNgrams(Tables.documents(s, d))),
+    "q_bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
     "q_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
     "q_stopword_strip" -> ((s, d) => stopwordStrip(Tables.documents(s, d))),
     "q_doc_freq" -> ((s, d) => docFreq(Tables.documents(s, d))),
@@ -1064,6 +1094,7 @@ object TextOps {
     "q_token_budget_mix" -> tokenBudgetMixSql,
     "q_curated_corpus" -> curatedCorpusSql,
     "q_top_ngrams" -> topNgramsSql,
+    "q_bpe_merges" -> bpeMergesSql(),
     "q_contamination" -> contaminationSql,
     "q_stopword_strip" -> stopwordStripSql,
     "q_doc_freq" -> docFreqSql,

@@ -280,6 +280,52 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("canonical keep: one keeper per cluster, and it has the cluster's max quality") {
+    val docs = Tables.documents(spark, sf)
+    val ck = Dedup.canonicalKeep(docs)
+    // exactly one keep per cluster, and every doc appears exactly once
+    val perCluster = ck.groupBy("cluster_id")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+    assert(perCluster.filter(col("n_keep") =!= 1L).count() == 0)
+    assert(ck.count() == docs.count())
+    // the keeper's quality is the cluster max
+    val maxQ = ck.groupBy("cluster_id").agg(max(col("quality")).as("max_q"))
+    val bad = ck.filter(col("keep")).join(maxQ, "cluster_id")
+      .filter(col("quality") =!= col("max_q"))
+    assert(bad.count() == 0, "a keeper is not its cluster's max-quality member")
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("substring dups: exact-dup docs are fully covered, rates bounded") {
+    val docs = Tables.documents(spark, sf)
+    val sd = Dedup.substringDups(docs)
+    assert(sd.filter(col("n_dup_grams") > col("n_grams")).count() == 0)
+    assert(sd.filter(col("dup_rate") < 0 || col("dup_rate") > 1).count() == 0)
+    // any doc whose full text appears in another doc_id must be 100% covered
+    val texts = docs.groupBy("text").agg(count(lit(1)).as("n"), min("doc_id").as("d"))
+    val dupDocs = docs.join(texts.filter(col("n") >= 2).select("text"), "text")
+      .filter(size(split(col("text"), " ")) >= Dedup.SubstrGramTokens)
+      .select("doc_id")
+    val uncovered = sd.join(dupDocs, "doc_id").filter(col("dup_rate") < 1.0)
+    assert(uncovered.count() == 0, "an exact-dup doc has dup_rate < 1")
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("bpe merges: top pair count matches a brute-force recount") {
+    val docs = Tables.documents(spark, sf)
+    val merges = graft.operators.TextOps.bpeMerges(docs).collect()
+    assert(merges.length == 20)
+    val counts = merges.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_)), "counts must be non-increasing")
+    val (p0, c0) = (merges.head.getString(0), merges.head.getLong(1))
+    val brute = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+      .filter(col("pair") === p0).count()
+    assert(brute == c0, s"top pair $p0: brute $brute != $c0")
+  }
+
   test("bloom dedup with an EMPTY historical side keeps every delta row unknown") {
     val s = spark
     import s.implicits._

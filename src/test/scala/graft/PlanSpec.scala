@@ -69,7 +69,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("top-k queries compile to TakeOrderedAndProject, not a global sort") {
-    for (q <- Seq("q_top_parts", "q3_shipping_priority", "q_pending_batch")) {
+    for (q <- Seq("q_top_parts", "q3_shipping_priority", "q_pending_batch", "q_bpe_merges")) {
       val n = plan(q).collect { case t: TakeOrderedAndProjectExec => t }.size
       assert(n >= 1, s"$q: expected TakeOrderedAndProject")
     }
