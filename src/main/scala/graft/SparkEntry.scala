@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Reference.queries ++ Analytics.queries ++ TextOps.queries ++
-      Dedup.queries ++ Embeddings.queries ++ Temporal.queries ++ Sketches.queries
+      Dedup.queries ++ Embeddings.queries ++ Temporal.queries ++
+      Sketches.queries ++ graft.sources.Sinks.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Reference.oracle ++ Analytics.oracle ++ TextOps.oracle ++
-      Dedup.oracle ++ Embeddings.oracle ++ Temporal.oracle ++ Sketches.oracle
+      Dedup.oracle ++ Embeddings.oracle ++ Temporal.oracle ++
+      Sketches.oracle ++ graft.sources.Sinks.oracle
 }

@@ -550,6 +550,41 @@ object Analytics {
       |  quantile_disc(o_totalprice, 0.9) AS p90
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** B26: per-group winsorization — clip order values to the group's
+    * exact [p05, p95] (the standard outlier treatment before training a
+    * model on heavy-tailed spend). Bounds come from ONE partial+final
+    * percentile aggregate over the bounded status catalog and broadcast
+    * back onto the fact row-for-row — the fact shuffles zero times, so
+    * at 100 TB the cost is the percentile agg plus a map-side clip.
+    * `percentile_disc` is an exact order statistic (an element of the
+    * input, not an interpolation), so both engines pick bit-identical
+    * bounds.
+    */
+  def winsorize(orders: DataFrame): DataFrame = {
+    val bounds = orders
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)").as("lo"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)").as("hi"))
+    orders
+      .join(broadcast(bounds), "o_orderstatus")
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        least(greatest(col("o_totalprice"), col("lo")), col("hi")).as("clipped"),
+        (col("o_totalprice") < col("lo") || col("o_totalprice") > col("hi")).as("was_outlier"))
+  }
+
+  val winsorizeSql: String =
+    """WITH b AS (
+      |  SELECT o_orderstatus,
+      |    quantile_disc(o_totalprice, 0.05) AS lo,
+      |    quantile_disc(o_totalprice, 0.95) AS hi
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderkey, o.o_orderstatus, o_totalprice,
+      |  least(greatest(o_totalprice, lo), hi) AS clipped,
+      |  (o_totalprice < lo OR o_totalprice > hi) AS was_outlier
+      |FROM orders o JOIN b ON o.o_orderstatus = b.o_orderstatus""".stripMargin
+
   /** B11: the salted hot-key join, oracle-checked — Skew.saltedJoin must
     * be SEMANTICALLY INVISIBLE (identical result to the plain equi-join
     * the oracle runs) while spreading each key over `salts` shuffle
@@ -957,6 +992,7 @@ object Analytics {
       rollupRevenue(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Tables.region(s, d))),
     "q_group_quantiles" -> ((s, d) => groupQuantiles(Tables.orders(s, d))),
+    "q_winsorize" -> ((s, d) => winsorize(Tables.orders(s, d))),
     "q_salted_segment_revenue" -> ((s, d) =>
       saltedSegmentRevenue(Tables.orders(s, d), Tables.customer(s, d))),
     "q1_pricing_summary" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
@@ -989,6 +1025,7 @@ object Analytics {
     "q_running_total" -> runningTotalSql,
     "q_rollup_revenue" -> rollupRevenueSql,
     "q_group_quantiles" -> groupQuantilesSql,
+    "q_winsorize" -> winsorizeSql,
     "q_salted_segment_revenue" -> saltedSegmentRevenueSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q_join_pushdown" -> joinPushdownSql,

@@ -188,4 +188,59 @@ object Sinks {
     fs.delete(staging, true)
     fs.delete(prevRoot, true)
   }
+
+  // ---------------- z-order layout (multi-dimensional data skipping) ----------------
+
+  /** Morton/z-order interleave of two non-negative 16-bit-clamped
+    * dimensions as a Spark SQL expression string — pure integer
+    * shifts/masks inside one `aggregate` lambda, so it stays in
+    * whole-stage codegen and mirrors nibble-for-nibble in the oracle.
+    */
+  def zOrderSqlExpr(x: String, y: String, bits: Int = 16): String =
+    s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
+       |  acc + shiftleft(shiftright(least($x, 65535L), i) & 1L, 2 * i)
+       |      + shiftleft(shiftright(least($y, 65535L), i) & 1L, 2 * i + 1))""".stripMargin
+
+  /** Z-order locality index over the documents corpus: interleaving the
+    * bits of (n_chars, n_tok) gives one sort key under which documents
+    * close in BOTH dimensions land in the same parquet files — so
+    * range-partitioned, min/max-stats'd files let a 2-D predicate
+    * (length band × token band) skip most of a 100 TB corpus, the
+    * OPTIMIZE ZORDER pattern of lakehouse tables. The index itself is a
+    * pure map-side projection (zero shuffles); [[writeZOrdered]] adds
+    * the one range shuffle that materializes the layout.
+    */
+  def zOrderIndex(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("n_chars").cast("long").as("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("zval", expr(zOrderSqlExpr("n_chars", "n_tok")))
+
+  val zOrderIndexSql: String =
+    """WITH t AS (SELECT doc_id, n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)
+      |SELECT doc_id, n_chars, n_tok,
+      |  CAST(list_sum(list_transform(range(0, 16), i ->
+      |    (((least(n_chars, 65535) >> i) & 1) << (2 * i))
+      |    + (((least(n_tok, 65535) >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zval
+      |FROM t""".stripMargin
+
+  /** Materialize the z-ordered layout: range-partition on the z-value
+    * (each output file owns one contiguous z-range → disjoint min/max
+    * stats) and sort within partitions so row groups inherit the
+    * locality too. SinksSpec proves the skipping property: per-file
+    * z-ranges are pairwise disjoint.
+    */
+  def writeZOrdered(indexed: DataFrame, path: String, numFiles: Int = 8): Unit =
+    indexed
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> ((s, d) => zOrderIndex(Tables.documents(s, d))))
+
+  def oracle: Map[String, String] = Map(
+    "q_zorder" -> zOrderIndexSql)
 }

@@ -103,6 +103,40 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
       s"expected only the agg shuffle, got ${shufflesBeforeAgg.size}")
   }
 
+  test("z-ordered write: per-file z-ranges are disjoint and the interleave is exact") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val idx = graft.sources.Sinks.zOrderIndex(docs)
+    // the interleave matches a bit-for-bit scala reference
+    idx.limit(50).collect().foreach { r =>
+      val (nc, nt, z) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (x, y) = (math.min(nc, 65535L), math.min(nt, 65535L))
+      var ref = 0L
+      for (i <- 0 until 16) {
+        ref += ((x >> i) & 1L) << (2 * i)
+        ref += ((y >> i) & 1L) << (2 * i + 1)
+      }
+      assert(ref == z, s"zval mismatch for ($nc, $nt): expected $ref got $z")
+    }
+    // each written file owns a contiguous z-range disjoint from the others
+    // — the property parquet min/max skipping needs for 2-D predicates
+    val dir = s"$tmp/zorder"
+    graft.sources.Sinks.writeZOrdered(idx, dir, numFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length >= 2, "expected a multi-file z-ordered layout")
+    val ranges = files.map { f =>
+      val b = spark.read.parquet(f.getAbsolutePath)
+        .agg(org.apache.spark.sql.functions.min("zval"),
+          org.apache.spark.sql.functions.max("zval")).head()
+      (b.getLong(0), b.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping z-ranges: $ranges")
+      case _ =>
+    }
+  }
+
   test("mergeUpsert round-trip: base + delta on disk == upsertUsers in memory") {
     val s = spark
     import s.implicits._
