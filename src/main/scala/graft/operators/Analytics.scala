@@ -959,7 +959,216 @@ object Analytics {
       |  JOIN part ON l_partkey = p_partkey
       |  JOIN supplier ON b.sk = s_suppkey""".stripMargin
 
+  /** B28: TPC-H Q6 shape — forecasting revenue change. The minimal
+    * scan-dominant query: every predicate (ship-year range, discount
+    * band, quantity cap) reaches the parquet scan as a pushed filter,
+    * then one map-side-combined scalar aggregate. At 100 TB this plan
+    * is pure I/O: no shuffle beyond the final single-row reduce.
+    * Discount compared in exact cents (the data is 2-decimal) so the
+    * band edges can't straddle a float representation gap cross-engine.
+    */
+  def revenueForecast(lineitem: DataFrame): DataFrame = {
+    val discCents = round(col("l_discount") * 100, 0).cast("long")
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        round(col("l_discount") * 100, 0).cast("long").between(5, 7) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(round(col("l_extendedprice") * 100, 0).cast("long") * discCents).as("rev_e4"),
+        count(lit(1)).as("n_items"))
+      .select((col("rev_e4").cast("double") / 10000.0).as("revenue"), col("n_items"))
+  }
+
+  val revenueForecastSql: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |                * CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
+      |         / 10000.0 AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      |  AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+      |  AND l_quantity < 24""".stripMargin
+
+  /** B29: TPC-H Q13 shape — customer order-count distribution. Orders
+    * are aggregated to one row per customer BEFORE the outer join (the
+    * join input shrinks from |orders| to |customers|), customers with
+    * no qualifying orders surface as c_count=0 through the left join,
+    * and the final distribution groupBy is over the bounded count
+    * domain. Two key-partitioned shuffles total; no window, no skew
+    * (custkey is high-cardinality).
+    */
+  def custDist(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("c_count"))
+    customer.select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val custDistSql: String =
+    """WITH pc AS (SELECT o_custkey, count(*) AS c_count FROM orders
+      |            WHERE o_orderpriority <> '4-NOT SPECIFIED' GROUP BY 1)
+      |SELECT coalesce(c_count, 0) AS c_count, count(*) AS custdist
+      |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** B30: TPC-H Q17 shape — small-quantity-order revenue ("what would
+    * we lose dropping small orders of these parts"). The correlated
+    * `l_quantity < 0.2 * avg(l_quantity per part)` subquery is
+    * decorrelated by hand into one per-part aggregate joined back onto
+    * the SAME filtered fact frame: the part filter prunes first (the
+    * SF-proportional part dim stays unhinted), the per-part stats frame
+    * is one row per surviving part (planner broadcasts it on stats),
+    * and the 0.2× comparison is exact integer arithmetic
+    * (5·qty·cnt < Σqty — quantities are integral) so neither engine
+    * divides. Brand prefix + size bound chosen to stay selective but
+    * non-degenerate at sf0.001 (container/brand columns of classic Q17
+    * don't all exist in this schema).
+    */
+  def smallQtyRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val pk = part
+      .filter(col("p_brand").startsWith("Brand#2") && col("p_size") < 15)
+      .select("p_partkey")
+    val li = lineitem
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(pk, col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val stats = li
+      .groupBy(col("l_partkey").as("a_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty_sum"),
+        count(lit(1)).as("qty_cnt"))
+    li.join(stats, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity").cast("long") * lit(5L) * col("qty_cnt") < col("qty_sum"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev_cents"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        round(col("rev_cents").cast("double") / 100.0 / 7.0, 4).as("avg_yearly"),
+        col("n_lines"))
+  }
+
+  val smallQtyRevenueSql: String =
+    """WITH pk AS (SELECT p_partkey FROM part
+      |            WHERE starts_with(p_brand, 'Brand#2') AND p_size < 15),
+      |li AS (SELECT l_partkey, l_quantity, l_extendedprice
+      |       FROM lineitem JOIN pk ON l_partkey = p_partkey),
+      |st AS (SELECT l_partkey AS a_partkey,
+      |              sum(CAST(l_quantity AS BIGINT)) AS qty_sum,
+      |              count(*) AS qty_cnt
+      |       FROM li GROUP BY 1)
+      |SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+      |             / 100.0 / 7.0, 4) AS avg_yearly,
+      |       count(*) AS n_lines
+      |FROM li JOIN st ON l_partkey = a_partkey
+      |WHERE CAST(l_quantity AS BIGINT) * 5 * qty_cnt < qty_sum""".stripMargin
+
+  /** B31: TPC-H Q19 shape — disjunctive branded revenue. The three
+    * brand/size/quantity conjunction arms are OR-ed as the join
+    * residual, but the ENVELOPE of the disjunction (quantity 1–30,
+    * size 1–35, brand prefix set) is added as explicit conjuncts on
+    * each side so the parquet scans prune before the join — Catalyst
+    * does not hoist common bounds out of an OR on its own, and at
+    * 100 TB the difference is scanning 3 quantity bands vs the whole
+    * fact. Revenue in exact e4 integer units, half-up cents rounding
+    * shared with B7.
+    */
+  def brandedRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem
+      .filter(col("l_quantity").between(1, 30))
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val pt = part
+      .filter((col("p_brand").startsWith("Brand#1") ||
+        col("p_brand").startsWith("Brand#2") ||
+        col("p_brand").startsWith("Brand#3")) && col("p_size").between(1, 35))
+      .select("p_partkey", "p_brand", "p_size")
+    val arm1 = col("p_brand").startsWith("Brand#1") &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+    val arm2 = col("p_brand").startsWith("Brand#2") &&
+      col("p_size").between(1, 25) && col("l_quantity").between(10, 20)
+    val arm3 = col("p_brand").startsWith("Brand#3") &&
+      col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
+    val discE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .agg(sum(discE4).as("rev_e4"), count(lit(1)).as("n_lines"))
+      .select((expr("(rev_e4 + 50) div 100").cast("double") / 100.0).as("revenue"),
+        col("n_lines"))
+  }
+
+  val brandedRevenueSql: String =
+    """WITH a AS (
+      |  SELECT sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS rev_e4,
+      |         count(*) AS n_lines
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE (starts_with(p_brand, 'Brand#1') AND p_size BETWEEN 1 AND 15
+      |         AND l_quantity BETWEEN 1 AND 11)
+      |     OR (starts_with(p_brand, 'Brand#2') AND p_size BETWEEN 1 AND 25
+      |         AND l_quantity BETWEEN 10 AND 20)
+      |     OR (starts_with(p_brand, 'Brand#3') AND p_size BETWEEN 1 AND 35
+      |         AND l_quantity BETWEEN 20 AND 30))
+      |SELECT CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue, n_lines
+      |FROM a""".stripMargin
+
+  /** B32: TPC-H Q22 shape — lapsed rich customers. The global
+    * positive-balance average is a one-row aggregate broadcast-crossed
+    * back onto the nation-subset frame (the house pattern for scalar
+    * subqueries); the above-average comparison is exact bigint
+    * (cents·count > Σcents — no division, no float). "Lapsed" = no
+    * order since 1999 via a left-anti join whose right side is just the
+    * filtered orders key column; the final rollup groups by the bounded
+    * nation key. This testdata has full FK coverage (every customer
+    * has SOME order), so the recency filter — not a bare NOT EXISTS —
+    * keeps the cohort non-degenerate.
+    */
+  def lapsedRich(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val cents = round(col("c_acctbal") * 100, 0).cast("long")
+    val base = customer
+      .filter(col("c_nationkey").isin(3, 7, 11, 15, 19, 23))
+      .select(col("c_custkey"), col("c_nationkey"), cents.as("bal_cents"))
+    val stats = base.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("sum_cents"), count(lit(1)).as("n_pos"))
+    base.crossJoin(broadcast(stats))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+      .join(orders.filter(col("o_orderdate") >= lit("1999-01-01"))
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("tot_cents"))
+      .select(col("c_nationkey"), col("numcust"),
+        (col("tot_cents").cast("double") / 100.0).as("totacctbal"))
+  }
+
+  val lapsedRichSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_nationkey,
+      |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      |  FROM customer WHERE c_nationkey IN (3, 7, 11, 15, 19, 23)),
+      |st AS (SELECT sum(bal_cents) AS sum_cents, count(*) AS n_pos
+      |       FROM base WHERE bal_cents > 0)
+      |SELECT c_nationkey, count(*) AS numcust,
+      |       CAST(sum(bal_cents) AS DOUBLE) / 100.0 AS totacctbal
+      |FROM base, st
+      |WHERE bal_cents * n_pos > sum_cents
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = base.c_custkey
+      |                    AND o.o_orderdate >= '1999-01-01')
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_revenue_forecast" -> ((s, d) => revenueForecast(Tables.lineitem(s, d))),
+    "q13_cust_dist" -> ((s, d) => custDist(Tables.customer(s, d), Tables.orders(s, d))),
+    "q17_small_qty_revenue" -> ((s, d) =>
+      smallQtyRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q19_branded_revenue" -> ((s, d) =>
+      brandedRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q22_lapsed_rich" -> ((s, d) =>
+      lapsedRich(Tables.customer(s, d), Tables.orders(s, d))),
     "q2_min_cost_supplier" -> ((s, d) =>
       minCostSupplier(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.part(s, d))),
     "q4_order_priority" -> ((s, d) =>
@@ -1009,6 +1218,11 @@ object Analytics {
       supplierVolume(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q6_revenue_forecast" -> revenueForecastSql,
+    "q13_cust_dist" -> custDistSql,
+    "q17_small_qty_revenue" -> smallQtyRevenueSql,
+    "q19_branded_revenue" -> brandedRevenueSql,
+    "q22_lapsed_rich" -> lapsedRichSql,
     "q2_min_cost_supplier" -> minCostSupplierSql,
     "q4_order_priority" -> orderPrioritySql,
     "q7_volume_shipping" -> volumeShippingSql(),

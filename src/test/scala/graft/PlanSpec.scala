@@ -300,4 +300,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(n == 0, s"$q: $n bounded-catalog-key window(s) over a raw frame")
     }
   }
+
+  test("q6: every predicate reaches the parquet scan; no shuffle beyond the scalar reduce") {
+    val leaves = leafStrings("q6_revenue_forecast")
+    for (c <- Seq("l_shipdate", "l_quantity"))
+      assert(leaves.exists(l => l.contains("PushedFilters") && l.contains(c)),
+        s"$c filter not pushed:\n${leaves.mkString("\n")}")
+    // Scan-dominant plan: exactly one exchange (the single-row final agg).
+    val exchanges = plan("q6_revenue_forecast").collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+    assert(exchanges <= 1, s"q6 grew $exchanges shuffles — expected at most the scalar-agg reduce")
+  }
+
+  test("q19: the OR-envelope bounds are pushed to both scans before the join") {
+    val leaves = leafStrings("q19_branded_revenue")
+    assert(leaves.exists(l => l.contains("PushedFilters") && l.contains("l_quantity")),
+      s"lineitem quantity envelope not pushed:\n${leaves.mkString("\n")}")
+    assert(leaves.exists(l => l.contains("PushedFilters") && l.contains("p_size")),
+      s"part size envelope not pushed:\n${leaves.mkString("\n")}")
+  }
+
+  test("q13: orders aggregate to one row per customer BEFORE the outer join") {
+    // The left join's right side must be the aggregated per-customer
+    // frame, not raw orders: a HashAggregate must sit below the join.
+    val p = plan("q13_cust_dist")
+    val join = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(join.nonEmpty, "q13: expected a join")
+    val aggBelowJoin = join.exists(_.right.collect {
+      case a: BaseAggregateExec => a
+    }.nonEmpty)
+    assert(aggBelowJoin, "q13: per-customer aggregate must run below the outer join")
+  }
 }
