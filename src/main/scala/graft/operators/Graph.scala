@@ -1,0 +1,270 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftCache
+import graft.sources.Tables
+
+/** Graph analytics over the follow graph (the reference's social-graph
+  * domain: followers/following lists per scraper/instagram_scraper.py,
+  * mutual-edge analysis at :418-426). [[Reference.followEdges]] is the
+  * shared directed edge relation; this module layers the classic
+  * whole-graph analytics a social pipeline runs on top of it:
+  * triangle counting (cohesion / community strength), friend-of-friend
+  * recommendations ("people you may know"), and PageRank influence.
+  *
+  * Scale stance:
+  *  - Triangles use degree-ordered edge direction (each undirected edge
+  *    processed from its lower-(degree, id) endpoint), so per-node
+  *    forward fan-out is O(√m) even under celebrity skew — the
+  *    published MapReduce triangle-count bound (Suri & Vassilvitskii,
+  *    WWW'11). Never adjacency × adjacency on raw degree.
+  *  - FoF wedges route only through middles whose degree is under a
+  *    cap: a celebrity middle contributes deg² wedge pairs while
+  *    signalling nothing about acquaintance, so production recommenders
+  *    drop them; the cap is mirrored exactly in the oracle.
+  *  - PageRank runs in scaled fixed-point bigint arithmetic
+  *    (SCALE = 1e12): bigint sums are associative — no float summation
+  *    order to drift cross-engine or cross-partitioning — so five
+  *    iterations land bit-identical in Spark and DuckDB, per-iteration
+  *    lineage cut via persist/unpersist (the CC-fixpoint hygiene).
+  */
+object Graph {
+
+  private val Scale = 1000000000000L // 1e12 fixed-point units
+  private val DampNum = 85L // damping 0.85 as 85/100, exact integers
+  private val BaseNum = 15L
+
+  /** Undirected adjacency (both directions, distinct) over the directed
+    * follow edges. Persisted: each analytic reads it 2–3 times.
+    */
+  private def undirected(events: DataFrame): DataFrame = {
+    val e = Reference.followEdgesCached(events)
+    GraftCache.persistTracked(
+      e.select(col("src").as("a"), col("dst").as("b"))
+        .union(e.select(col("dst").as("a"), col("src").as("b")))
+        .distinct())
+  }
+
+  private val undSql: String =
+    s"""SELECT src AS a, dst AS b FROM edges
+       |UNION
+       |SELECT dst AS a, src AS b FROM edges""".stripMargin
+
+  /** G1: per-node triangle participation counts. Each undirected edge is
+    * directed from its lower (degree, id) endpoint; wedges are generated
+    * only between forward neighbors and closed against the forward edge
+    * set, so every triangle materializes exactly once and the self-join
+    * fan-out per node is bounded by its FORWARD degree (O(√m) under any
+    * skew). The oracle directs by id instead — a different total order,
+    * but the same triangle SET, hence identical per-node counts.
+    */
+  def triangles(events: DataFrame): DataFrame = {
+    val und = undirected(events)
+    val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
+    // Canonical undirected pairs once (a < b by id), then re-direct by
+    // (degree, id) rank carrying both endpoints' degrees.
+    val canon = und.filter(col("a") < col("b"))
+    val withDeg = canon
+      .join(deg.select(col("n").as("na"), col("deg").as("da")), col("a") === col("na"))
+      .join(deg.select(col("n").as("nb"), col("deg").as("db")), col("b") === col("nb"))
+      .select(col("a"), col("b"), col("da"), col("db"))
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val fwd = GraftCache.persistTracked(
+      withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv")))
+    // Wedge (u: v—w) with rank(v) < rank(w); close with forward edge v→w.
+    val lhs = fwd.select(col("u"), col("v"), col("dv"))
+    val rhs = fwd.select(col("u").as("u2"), col("v").as("w"), col("dv").as("dw"))
+    val wedges = lhs.join(rhs, col("u") === col("u2") &&
+      (col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w"))))
+    val closing = fwd.select(col("u").as("cu"), col("v").as("cv"))
+    val tri = wedges.join(closing, col("v") === col("cu") && col("w") === col("cv"))
+      .select(col("u"), col("v"), col("w"))
+    tri.select(col("u").as("node"))
+      .union(tri.select(col("v").as("node")))
+      .union(tri.select(col("w").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val trianglesSql: String =
+    s"""WITH edges AS (${Reference.edgesSql}),
+       |und AS ($undSql),
+       |c AS (SELECT a, b FROM und WHERE a < b),
+       |tri AS (
+       |  SELECT x.a AS u, x.b AS v, y.b AS w
+       |  FROM c x JOIN c y ON x.a = y.a AND x.b < y.b
+       |  JOIN c z ON z.a = x.b AND z.b = y.b)
+       |SELECT node, count(*) AS n_triangles FROM (
+       |  SELECT u AS node FROM tri
+       |  UNION ALL SELECT v FROM tri
+       |  UNION ALL SELECT w FROM tri)
+       |GROUP BY 1""".stripMargin
+
+  /** G2: "people you may know" — distance-2 candidates ranked by mutual
+    * count. Wedges route only through middles with degree ≤ hubCap
+    * (celebrity middles are deg² wedge bombs carrying no acquaintance
+    * signal; the cap is a no-op on this testdata and load-bearing at
+    * 100 TB). Existing edges are removed with a left-anti join BEFORE
+    * ranking; top-k per user is a row_number window over user_id — a
+    * high-cardinality key, so no unsplittable partition (WindowAudit
+    * clean). Deterministic tie-break (mutuals desc, then smaller id).
+    */
+  def friendRecs(events: DataFrame, k: Int = 3, hubCap: Long = 1000L): DataFrame = {
+    val und = undirected(events)
+    val mids = und.groupBy(col("a").as("m")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= hubCap)
+      .select("m")
+    val x = und.select(col("a").as("user_id"), col("b").as("mid"))
+    val y = und.select(col("a").as("mid2"), col("b").as("rec"))
+    val cand = x.join(mids, col("mid") === col("m"))
+      .join(y, col("mid") === col("mid2"))
+      .filter(col("user_id") =!= col("rec"))
+      .groupBy("user_id", "rec")
+      .agg(count(lit(1)).as("mutuals"))
+    val newPairs = cand.join(und,
+      cand("user_id") === und("a") && cand("rec") === und("b"), "left_anti")
+    val w = Window.partitionBy("user_id").orderBy(col("mutuals").desc, col("rec"))
+    newPairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("user_id"), col("rec"), col("mutuals"), col("rn"))
+  }
+
+  val friendRecsSql: String =
+    s"""WITH edges AS (${Reference.edgesSql}),
+       |und AS ($undSql),
+       |mids AS (SELECT a AS m FROM und GROUP BY 1 HAVING count(*) <= 1000),
+       |cand AS (
+       |  SELECT x.a AS user_id, y.b AS rec, count(*) AS mutuals
+       |  FROM und x
+       |  JOIN mids ON x.b = m
+       |  JOIN und y ON y.a = x.b
+       |  WHERE x.a <> y.b
+       |    AND NOT EXISTS (SELECT 1 FROM und w WHERE w.a = x.a AND w.b = y.b)
+       |  GROUP BY 1, 2)
+       |SELECT user_id, rec, mutuals, rn FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY user_id ORDER BY mutuals DESC, rec) AS rn
+       |  FROM cand)
+       |WHERE rn <= 3""".stripMargin
+
+  /** G3: PageRank influence over the DIRECTED follow graph, five
+    * iterations, damping 0.85 — but in scaled fixed-point bigints:
+    * rank lives in units of 1e-12, each edge ships `r div outdeg`, and
+    * the update is `base + (85·Σcontrib) div 100`, all floor divisions
+    * on non-negative longs. Bigint addition is associative, so the
+    * result is bit-identical across engines, partitionings and merge
+    * orders — no float-summation drift, which is what lets an iterative
+    * numeric fixpoint face an exact hash-compare oracle at all.
+    * Dangling mass (sinks keep their rank out of circulation) is leaked
+    * identically in both engines. Each iteration persists its rank
+    * frame and unpersists the previous one — the same per-round lineage
+    * cut as the CC fixpoint engines; shuffles are keyed on src/dst
+    * (high-cardinality), never a global window.
+    */
+  def pageRank(events: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = events.sparkSession
+    // The rank fixpoint is a model-ish artifact like the CC labels:
+    // memoized per (input, iters) so Verify/Bench query rebuilds don't
+    // re-run the loop; data-proportional, so it stays distributed.
+    val ranks = GraftCache.memoArtifact(spark,
+      ("pageRank", events.queryExecution.analyzed.canonicalized, iters)) {
+      iterateRanks(events, iters)
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"),
+      (col("r").cast("double") / lit(1.0e12)).as("rank"))
+  }
+
+  private def iterateRanks(events: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = events.sparkSession
+    val e = Reference.followEdgesCached(events)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Per-edge (src, dst, odeg) once: every iteration reships it.
+    val eo = e.join(e.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var persisted: DataFrame = null
+    try {
+      val n = nodes.count() // scalar graph-size artifact, not a data collect
+      val init = Scale / n
+      val base = (BaseNum * Scale / 100L) / n
+      persisted = nodes.select(col("node"), lit(init).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      persisted.count()
+      // Lineage cut per round (LogicalRDD leaf), CC-fixpoint hygiene:
+      // without it round k's plan embeds rounds 1..k-1.
+      var ranks = spark.createDataFrame(persisted.rdd, persisted.schema)
+      for (_ <- 1 to iters) {
+        val insum = eo.join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("r div odeg").as("contrib"))
+          .groupBy("dst")
+          .agg(sum(col("contrib")).as("insum"))
+        val next = nodes.join(insum, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(base) + expr(s"($DampNum * coalesce(insum, 0L)) div 100")).as("r"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the previous round
+        persisted.unpersist(blocking = true)
+        persisted = next
+        ranks = spark.createDataFrame(next.rdd, next.schema)
+      }
+      val out = GraftCache.persistTracked(ranks)
+      out.count()
+      out
+    } finally {
+      nodes.unpersist(blocking = true)
+      eo.unpersist(blocking = true)
+      if (persisted != null) persisted.unpersist(blocking = true)
+    }
+  }
+
+  /** Unrolled-iteration oracle: r0..r5 as generated CTEs (the recursive
+    * form hits the no-aggregates-in-recursive-term restriction). The
+    * constants CTE derives N, init and base from the data so the SQL
+    * stays SF-independent.
+    */
+  val pageRankSql: String = {
+    val iterCtes = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node, k.base + ($DampNum * coalesce(s.insum, 0)) // 100 AS r
+         |  FROM nodes n CROSS JOIN k
+         |  LEFT JOIN (
+         |    -- DuckDB sum() yields HUGEINT; pin BIGINT for dtype parity
+         |    SELECT e.dst AS node, CAST(sum(p.r // o.odeg) AS BIGINT) AS insum
+         |    FROM edges e
+         |    JOIN r${i - 1} p ON e.src = p.node
+         |    JOIN odeg o ON o.src = e.src
+         |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (${Reference.edgesSql}),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |k AS (SELECT count(*) AS n,
+       |             $Scale // count(*) AS init,
+       |             ($BaseNum * $Scale // 100) // count(*) AS base
+       |      FROM nodes),
+       |odeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, (SELECT init FROM k) AS r FROM nodes),
+       |$iterCtes
+       |SELECT node, r AS rank_scaled, CAST(r AS DOUBLE) / 1e12 AS rank
+       |FROM r5""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_triangles" -> ((s, d) => triangles(Tables.events(s, d))),
+    "q_friend_recs" -> ((s, d) => friendRecs(Tables.events(s, d))),
+    "q_pagerank" -> ((s, d) => pageRank(Tables.events(s, d))))
+
+  def oracle: Map[String, String] = Map(
+    "q_triangles" -> trianglesSql,
+    "q_friend_recs" -> friendRecsSql,
+    "q_pagerank" -> pageRankSql)
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+import graft.sources.Tables
+
+/** Invariants for the graph analytics suite beyond the DuckDB oracle:
+  * a brute-force triangle recount on a known graph, recommendation
+  * sanity, and — the load-bearing one — bit-identical PageRank under a
+  * different input partitioning, which is the whole point of running
+  * the fixpoint in scaled bigint arithmetic instead of doubles.
+  */
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4)
+  lazy val events: DataFrame = Tables.events(spark, sf)
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Synthetic event frame whose followEdges derivation yields a known
+    * graph: user u clicking value v creates edge u→(v%20). K4 on nodes
+    * {1,2,3,4} = 4 triangles, every node in 3 of them.
+    */
+  private def k4Events: DataFrame = {
+    import spark.implicits._
+    val pairs = for {
+      a <- 1 to 4; b <- 1 to 4 if a != b
+    } yield (a.toLong * 100 + b, a.toLong, "click", b.toDouble)
+    pairs.toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("props", lit("{}"))
+  }
+
+  test("triangles: K4 has four triangles, each node in three") {
+    val t = Graph.triangles(k4Events).collect()
+    assert(t.length == 4)
+    assert(t.forall(_.getLong(1) == 3L),
+      s"each K4 node sits in 3 triangles: ${t.mkString(",")}")
+  }
+
+  test("triangles: per-node counts sum to 3x the triangle total (testdata)") {
+    val perNode = Graph.triangles(events)
+    val sumCounts = perNode.agg(sum("n_triangles")).head().getLong(0)
+    assert(sumCounts % 3 == 0, s"per-node counts must triple-count each triangle: $sumCounts")
+    assert(sumCounts > 0, "testdata graph should contain triangles")
+  }
+
+  test("friend recs: never recommends an existing edge, respects k and ties") {
+    val recs = Graph.friendRecs(events, k = 3).cache()
+    assert(recs.filter(col("rn") > 3).isEmpty, "rn must be capped at k")
+    // No recommended pair may already be adjacent (either direction of
+    // the derived follow graph).
+    val e = graft.operators.Reference.followEdges(events)
+    val und = e.select(col("src").as("a"), col("dst").as("b"))
+      .union(e.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+    val overlap = recs.join(und,
+      recs("user_id") === und("a") && recs("rec") === und("b"), "left_semi")
+    assert(overlap.isEmpty, "recommended a pair that is already an edge")
+    // Deterministic ranking: within a user, rn order follows
+    // (mutuals desc, rec asc).
+    val bad = recs.as("x").join(recs.as("y"),
+      col("x.user_id") === col("y.user_id") && col("x.rn") < col("y.rn") &&
+        (col("x.mutuals") < col("y.mutuals") ||
+          (col("x.mutuals") === col("y.mutuals") && col("x.rec") > col("y.rec"))))
+    assert(bad.isEmpty, "rank order must follow (mutuals desc, rec asc)")
+    recs.unpersist()
+  }
+
+  test("pagerank: bit-identical under a different input partitioning") {
+    val a = Graph.pageRank(events)
+      .select("node", "rank_scaled").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Graph.pageRank(events.repartition(7, col("event_id")))
+      .select("node", "rank_scaled").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b, "scaled-bigint PageRank must not depend on partitioning/merge order")
+  }
+
+  test("pagerank: mass stays bounded and every node holds at least the base share") {
+    val ranks = Graph.pageRank(events).cache()
+    val n = ranks.count()
+    val base = (15L * 1000000000000L / 100L) / n
+    assert(ranks.filter(col("rank_scaled") < base).isEmpty,
+      "every node receives at least the teleport share")
+    val total = ranks.agg(sum("rank_scaled")).head().getLong(0)
+    assert(total <= 1000000000000L,
+      s"floor divisions and dangling leak can only LOSE mass: $total")
+    // Dangling sinks keep their rank out of circulation each round, so
+    // the surviving share depends on graph shape; the teleport floor is
+    // the only lower bound that is structural.
+    assert(total >= base * n, s"total can't undercut the teleport floor: $total")
+    ranks.unpersist()
+  }
+}
