@@ -724,7 +724,72 @@ object Embeddings {
        |  FROM scored) WHERE rn <= $TopK""".stripMargin
   }
 
+  // ---------------- C44: SemDeDup (semantic dedup) ----------------
+
+  /** C44: SemDeDup (Abbas et al., 2023) — semantic near-duplicate
+    * pruning via embedding clusters: every vector is assigned to its
+    * nearest k-means centroid (the SAME memoized deterministic codebook
+    * as IVF), pairwise cosine runs ONLY within a cluster, and a vector
+    * is dropped when some EARLIER (smaller vec_id) co-clustered vector
+    * sits at cosine ≥ τ — the paper's keep-first rule, which needs no
+    * transitive closure. Output carries `max_prior_cos` (the SemDeDup
+    * score) for every vector, so the oracle hash-compares real numerics
+    * even when τ drops nothing.
+    *
+    * Scale: the within-cluster self-join is quadratic per cluster BY
+    * DESIGN — SemDeDup's point is that k scales with the corpus so
+    * cluster populations stay bounded (the paper uses k≈10⁵ for
+    * billions of points; here k = NumCentroids = 16 because the
+    * codebook is a shared test-scale artifact). The join shuffles on
+    * c_id; per-pair cost is one exact integer dot product, and the
+    * max-aggregate is partial-agg friendly. Cosine is bit-identical
+    * cross-engine (integer milli-unit quantization, see the header),
+    * so the τ comparison and the max are deterministic.
+    */
+  def semDedup(embeddings: DataFrame, tau: Double = NearDupThreshold): DataFrame = {
+    val q = quantized(embeddings)
+    val assign = ivfAssign(q, kmeansCodebook(q)).join(q, Seq("vec_id"))
+    val a = assign.select(col("c_id"), col("vec_id").as("ia"),
+      col("qv").as("qa"), col("nrm").as("na"))
+    val b = assign.select(col("c_id"), col("vec_id").as("ib"),
+      col("qv").as("qb"), col("nrm").as("nb"))
+    val prior = a.join(b, Seq("c_id"))
+      .filter(col("ib") < col("ia"))
+      .select(col("ia").as("vec_id"),
+        cosine(col("qb"), col("qa"), col("nb"), col("na")).as("cos"))
+      .groupBy("vec_id")
+      .agg(max(col("cos")).as("max_prior_cos"))
+    assign.select("vec_id", "c_id")
+      .join(prior, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"), col("max_prior_cos"),
+        (coalesce(col("max_prior_cos"), lit(-1.0)) < tau).as("is_kept"))
+  }
+
+  val semDedupSql: String =
+    s"""WITH q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
+       |${kmeansSqlCtes(KmeansIters)},
+       |cent AS (SELECT c_id, cqv, ${dotSqlFmt.format("cqv", "cqv")} AS cnrm FROM cent$KmeansIters),
+       |assign AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT n.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY n.nrm - 2 * ${dotSqlFmt.format("n.qv", "cent.cqv")} + cent.cnrm, cent.c_id) AS rn
+       |    FROM n, cent) WHERE rn = 1),
+       |j AS (SELECT n.vec_id, n.qv, n.nrm, a.c_id
+       |      FROM assign a JOIN n ON a.vec_id = n.vec_id),
+       |prior AS (
+       |  SELECT x.vec_id,
+       |         max(${dotSqlFmt.format("y.qv", "x.qv")}
+       |             / (sqrt(y.nrm) * sqrt(x.nrm))) AS max_prior_cos
+       |  FROM j x JOIN j y ON x.c_id = y.c_id AND y.vec_id < x.vec_id
+       |  GROUP BY 1)
+       |SELECT j.vec_id, j.c_id, p.max_prior_cos,
+       |       coalesce(p.max_prior_cos, -1.0) < $NearDupThreshold AS is_kept
+       |FROM j LEFT JOIN prior p ON j.vec_id = p.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d))),
     "q_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d))),
     "q_ann_topk" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d))),
@@ -733,6 +798,7 @@ object Embeddings {
     "q_neardup_cosine" -> ((s, d) => nearDupCosine(Tables.embeddings(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_semdedup" -> semDedupSql,
     "q_ann_pq" -> annPqSql,
     "q_ann_topk" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,

@@ -569,4 +569,22 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mx = q.select(max(array_max(col("qv")))).head().getLong(0)
     assert(mx < 2000, s"quantized magnitude $mx out of expected range")
   }
+
+  test("semdedup: keep-first rule — cluster minimum always kept, drops only above tau") {
+    val out = Embeddings.semDedup(Tables.embeddings(spark, sf)).cache()
+    // The earliest member of every cluster has no prior neighbor: its
+    // score is null and it must be kept.
+    val minPerCluster = out.groupBy("c_id").agg(min("vec_id").as("vec_id"))
+    val minRows = out.join(minPerCluster, Seq("c_id", "vec_id"), "left_semi")
+    assert(minRows.filter(!col("is_kept") || col("max_prior_cos").isNotNull).isEmpty,
+      "cluster-minimum vectors must be kept with a null score")
+    // A dropped vector must have crossed the threshold; a kept one not.
+    assert(out.filter(!col("is_kept") &&
+      col("max_prior_cos") < Embeddings.NearDupThreshold).isEmpty)
+    assert(out.filter(col("is_kept") &&
+      col("max_prior_cos") >= Embeddings.NearDupThreshold).isEmpty)
+    // Every vector surfaces exactly once.
+    assert(out.count() == Tables.embeddings(spark, sf).count())
+    out.unpersist()
+  }
 }
