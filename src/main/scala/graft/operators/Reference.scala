@@ -605,8 +605,12 @@ object Reference {
     */
   def topInfluencers(events: DataFrame, k: Int = 10,
                      maxSurvivors: Int = 10000): DataFrame = {
-    val in = followEdgesCached(events).groupBy(col("dst").as("user_id"))
-      .agg(count(lit(1)).as("in_deg"))
+    // The degree table feeds three consumers (k-th-degree threshold, the
+    // tie-plateau probe, the final survivor ranking) — persist it once
+    // instead of re-aggregating the edge relation per consumer.
+    val in = GraftCache.persistTracked(
+      followEdgesCached(events).groupBy(col("dst").as("user_id"))
+        .agg(count(lit(1)).as("in_deg")))
     // rank-with-ties over the full degree table would single-partition a
     // user-cardinality frame. Scale-safe equivalent: take the k-th degree
     // via sort+limit (TakeOrderedAndProject), broadcast it as a threshold,
