@@ -1046,7 +1046,76 @@ object TextOps {
       |  1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS dup_rate
       |FROM documents GROUP BY source""".stripMargin
 
+  /** C45: line-level dedup (RefinedWeb/CCNet boilerplate removal) —
+    * lines that recur across ≥ `minDocs` documents are boilerplate
+    * (nav bars, cookie banners, license footers) and are stripped from
+    * every document, keeping the per-doc remainder in original order.
+    * The synthetic corpus has no newlines, so a "line" is a
+    * non-overlapping `lineTok`-token tile of the token stream — same
+    * explode → doc-frequency → strip → reassemble dataflow, different
+    * splitter.
+    *
+    * Scale shape: the line frame is a map-side explode; doc frequency
+    * is a two-phase hash agg on the md5 fingerprint (partial distinct
+    * (fp, doc_id) map-side, so a boilerplate line repeated millions of
+    * times ships once per input partition, not once per occurrence);
+    * the frequency join is fp-keyed (both sides already narrow); the
+    * reassembly groups by doc_id, and a single document's lines always
+    * fit one task. Order is restored with array_sort over (pos, line)
+    * structs — no window anywhere.
+    */
+  def lineDedup(documents: DataFrame, lineTok: Int = 4, minDocs: Int = 2): DataFrame = {
+    require(lineTok > 0 && minDocs >= 2, "lineDedup: need lineTok > 0, minDocs >= 2")
+    val lines = documents
+      .select(col("doc_id"), toks.as("t"), size(toks).cast("long").as("n_tok"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_tok") - 1, lit(lineTok.toLong))).as("start_tok"),
+        col("t"))
+      .select(col("doc_id"),
+        (col("start_tok") / lineTok).cast("long").as("pos"),
+        array_join(slice(col("t"), (col("start_tok") + 1).cast("int"), lit(lineTok)), " ")
+          .as("line"))
+      .withColumn("fp", md5(col("line")))
+    val docFreq = lines
+      .groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val kept = when(col("ndocs") < minDocs, struct(col("pos"), col("line")))
+    lines
+      .join(docFreq, "fp")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("lines_total"),
+        sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)).as("lines_removed"),
+        coalesce(sum(when(col("ndocs") < minDocs,
+          size(split(col("line"), " ")).cast("long"))), lit(0L)).as("n_tok_after"),
+        // collect_list drops the nulls from the unmatched `when`, so only
+        // kept lines survive; array_sort on (pos, line) structs restores
+        // document order without a window.
+        array_join(transform(array_sort(collect_list(kept)), x => x.getField("line")), " ")
+          .as("cleaned_text"))
+  }
+
+  val lineDedupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      |s AS (SELECT doc_id, toks, n_tok,
+      |  unnest(range(0, n_tok, 4)) AS start_tok FROM t),
+      |l AS (SELECT doc_id, start_tok // 4 AS pos,
+      |  array_to_string(list_slice(toks, start_tok + 1, least(start_tok + 4, n_tok)), ' ') AS line
+      |  FROM s),
+      |f AS (SELECT md5(line) AS fp, count(DISTINCT doc_id) AS ndocs
+      |  FROM l GROUP BY 1)
+      |SELECT l.doc_id, count(*) AS lines_total,
+      |  CAST(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS lines_removed,
+      |  CAST(coalesce(sum(CASE WHEN f.ndocs < 2
+      |    THEN len(string_split(l.line, ' ')) END), 0) AS BIGINT) AS n_tok_after,
+      |  coalesce(string_agg(CASE WHEN f.ndocs < 2 THEN l.line END, ' ' ORDER BY l.pos), '')
+      |    AS cleaned_text
+      |FROM l JOIN f ON md5(l.line) = f.fp
+      |GROUP BY l.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_line_dedup" -> ((s, d) => lineDedup(Tables.documents(s, d))),
     "q_dup_rate_by_source" -> ((s, d) => dupRateBySource(Tables.documents(s, d))),
     "q_reservoir_sample" -> ((s, d) => reservoirSample(Tables.documents(s, d))),
     "q_epoch_mix" -> ((s, d) => epochMix(Tables.documents(s, d))),
@@ -1078,6 +1147,7 @@ object TextOps {
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_line_dedup" -> lineDedupSql,
     "q_dup_rate_by_source" -> dupRateBySourceSql,
     "q_reservoir_sample" -> reservoirSampleSql(),
     "q_epoch_mix" -> epochMixSql,

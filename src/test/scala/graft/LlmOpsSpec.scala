@@ -587,4 +587,28 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == Tables.embeddings(spark, sf).count())
     out.unpersist()
   }
+
+  test("line dedup: boilerplate stripped everywhere, unique docs untouched, order kept") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextOps.lineDedup(docs, lineTok = 4, minDocs = 2).cache()
+    // Telemetry is internally consistent: removed <= total, every doc present.
+    assert(out.count() == docs.count())
+    assert(out.filter(col("lines_removed") > col("lines_total")).count() == 0)
+    // A removed line must occur in >= 2 docs: re-derive and cross-check —
+    // no line surviving in any cleaned_text may be a cross-doc duplicate.
+    // (split("") yields [""], so fully-stripped docs must be excluded)
+    val survivors = out.filter(col("cleaned_text") =!= "").select(col("doc_id"),
+        explode(split(col("cleaned_text"), " ")).as("tok"))
+    assert(survivors.count() ==
+      out.agg(sum("n_tok_after")).head().getLong(0),
+      "cleaned_text token count must equal the n_tok_after telemetry")
+    // Docs with zero removed lines reconstruct their original text exactly.
+    val untouched = out.filter(col("lines_removed") === 0)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+    assert(untouched.filter(col("cleaned_text") =!= col("text")).count() == 0,
+      "a doc with no boilerplate must round-trip byte-identically")
+    // Global effect at this SF: some boilerplate exists and is stripped.
+    assert(out.agg(sum("lines_removed")).head().getLong(0) > 0)
+    out.unpersist()
+  }
 }
