@@ -1160,7 +1160,352 @@ object Analytics {
       |                    AND o.o_orderdate >= '1999-01-01')
       |GROUP BY 1""".stripMargin
 
+  /** B33: TPC-H Q8 shape — national market share. The five-table spine
+    * is pruned in dependency order BEFORE it ever touches the fact: the
+    * part-type filter shrinks lineitem at the first join, the region →
+    * nation chain (bounded, broadcast) prunes customer to one region,
+    * and orders carries only (orderkey, custkey, year) through the
+    * spine. The share division happens once per year group over exact
+    * e4 integer sums, so both engines divide the same two bigints.
+    * Nation (25 rows) is the only forced broadcast; part/customer/
+    * supplier stay unhinted (SF-proportional house rule).
+    */
+  def marketShare(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                  supplier: DataFrame, part: DataFrame, nation: DataFrame,
+                  region: DataFrame, targetNation: String = "NATION_12"): DataFrame = {
+    val discE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    val pk = part.filter(col("p_type") === "ECONOMY").select("p_partkey")
+    val regionNations = nation
+      .join(broadcast(region.filter(col("r_name") === "ASIA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cust = customer
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supp = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), discE4.as("disc_e4"))
+      .join(pk, col("l_partkey") === col("p_partkey"))
+      .join(orders
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === targetNation, col("disc_e4")).otherwise(0L))
+          .as("nat_e4"),
+        sum(col("disc_e4")).as("tot_e4"))
+      .select(col("o_year"),
+        round(col("nat_e4").cast("double") / col("tot_e4").cast("double"), 6)
+          .as("mkt_share"),
+        (expr("(nat_e4 + 50) div 100").cast("double") / 100.0).as("nation_rev"),
+        (expr("(tot_e4 + 50) div 100").cast("double") / 100.0).as("total_rev"))
+  }
+
+  def marketShareSql(targetNation: String = "NATION_12"): String =
+    s"""WITH spine AS (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, ns.n_name AS n_name,
+       |    CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+       |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS disc_e4
+       |  FROM lineitem
+       |    JOIN part ON l_partkey = p_partkey
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN nation nc ON c_nationkey = nc.n_nationkey
+       |    JOIN region ON nc.n_regionkey = r_regionkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |    JOIN nation ns ON s_nationkey = ns.n_nationkey
+       |  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |    AND o_orderdate <  TIMESTAMP '1998-01-01'),
+       |g AS (SELECT o_year,
+       |    sum(CASE WHEN n_name = '$targetNation' THEN disc_e4 ELSE 0 END) AS nat_e4,
+       |    sum(disc_e4) AS tot_e4
+       |  FROM spine GROUP BY 1)
+       |SELECT o_year,
+       |  round(CAST(nat_e4 AS DOUBLE) / CAST(tot_e4 AS DOUBLE), 6) AS mkt_share,
+       |  CAST((nat_e4 + 50) // 100 AS DOUBLE) / 100.0 AS nation_rev,
+       |  CAST((tot_e4 + 50) // 100 AS DOUBLE) / 100.0 AS total_rev
+       |FROM g""".stripMargin
+
+  /** B34: TPC-H Q9 shape — product-line profit by nation and year.
+    * Classic Q9 prices cost from partsupp; this schema has no partsupp,
+    * so cost = p_retailprice × quantity (same join shape, the cost
+    * column just rides in from part instead of partsupp). Profit is an
+    * exact e4 integer per line — revenue e4 minus cost cents × qty ×
+    * 100 — summed per (nation, year); the double division happens once
+    * per output row. The name filter prunes part before the fact join;
+    * the only forced broadcast is the 25-row nation.
+    */
+  def productProfit(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+                    supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val epc = round(col("l_extendedprice") * 100, 0).cast("long")
+    val dc = round(col("l_discount") * 100, 0).cast("long")
+    val amountE4 = epc * (lit(100L) - dc) -
+      col("rp_cents") * col("l_quantity").cast("long") * lit(100L)
+    val pk = part.filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), round(col("p_retailprice") * 100, 0).cast("long").as("rp_cents"))
+    lineitem
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(pk, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), amountE4.as("amount_e4"))
+      .join(orders.select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum(col("amount_e4")).as("profit_e4"))
+      .select(col("nation"), col("o_year"),
+        (col("profit_e4").cast("double") / 10000.0).as("profit"))
+  }
+
+  val productProfitSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+      |           - CAST(round(p_retailprice * 100, 0) AS BIGINT)
+      |             * CAST(l_quantity AS BIGINT) * 100) AS DOUBLE)
+      |    / 10000.0 AS profit
+      |FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |WHERE contains(p_name, 'widget')
+      |GROUP BY 1, 2""".stripMargin
+
+  /** B35: TPC-H Q11 shape — important stock. The signature shape is a
+    * group-HAVING against a GLOBAL scalar aggregate: per-part value from
+    * the nation-filtered fact, kept only when it exceeds a fraction of
+    * the total. The scalar is a one-row re-aggregate of the per-part
+    * frame (one fact scan feeds both levels), broadcast-crossed back;
+    * the fraction compare is exact bigint (value×10000 > 5×total, i.e.
+    * 0.05%) so no float threshold can straddle engines. Without
+    * partsupp, "value" = extended-price volume from the nation set's
+    * suppliers — same dataflow, lineitem-priced.
+    */
+  def importantParts(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+    val supp = supplier
+      .filter(col("s_nationkey").isin(3, 8, 13, 18, 23))
+      .select("s_suppkey")
+    val perPart = lineitem
+      .select(col("l_partkey"), col("l_suppkey"), cents.as("cents"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("cents")).as("value_cents"))
+    val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_cents") * 10000L > col("total_cents") * 5L)
+      .select(col("l_partkey"),
+        (col("value_cents").cast("double") / 100.0).as("part_value"))
+  }
+
+  val importantPartsSql: String =
+    """WITH pp AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS value_cents
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE s_nationkey IN (3, 8, 13, 18, 23)
+      |  GROUP BY 1),
+      |t AS (SELECT sum(value_cents) AS total_cents FROM pp)
+      |SELECT l_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS part_value
+      |FROM pp, t
+      |WHERE value_cents * 10000 > total_cents * 5""".stripMargin
+
+  /** B36: TPC-H Q15 shape — top supplier(s) by quarterly revenue. The
+    * classic view + `WHERE total = (SELECT max(total))` formulation:
+    * per-supplier revenue in exact e4 ints, the max as a one-row
+    * aggregate of the SAME frame broadcast-crossed back, equality join
+    * on exact integers (ties all surface, as in the spec — no float
+    * equality hazard). Supplier dim joins only the argmax row(s).
+    */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val discE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(discE4).as("rev_e4"))
+    val mx = rev.agg(max(col("rev_e4")).as("max_e4"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_e4") === col("max_e4"))
+      .join(supplier.select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (expr("(rev_e4 + 50) div 100").cast("double") / 100.0).as("total_revenue"))
+  }
+
+  val topSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS rev_e4
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name,
+      |  CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100.0 AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)""".stripMargin
+
+  /** B37: TPC-H Q16 shape — supplier counts per part attribute group,
+    * excluding a blacklisted supplier set via NOT IN (left-anti here; the
+    * exclusion keys are non-null so the semantics coincide). The
+    * part-supplier relation is derived from lineitem (no partsupp in this
+    * schema): the attribute filter prunes part before the fact join, the
+    * anti-join's right side is just the key column of the (bounded-
+    * selectivity) blacklist, and the distinct-count is Spark's standard
+    * two-phase distinct agg on (group, suppkey) — no row explosion.
+    * Complaints proxy: suppliers in arrears (negative balance).
+    */
+  def supplierCounts(lineitem: DataFrame, part: DataFrame,
+                     supplier: DataFrame): DataFrame = {
+    val excl = supplier.filter(col("s_acctbal") < 0).select("s_suppkey")
+    val pt = part
+      .filter(col("p_type") =!= "PROMO" && col("p_brand") =!= "Brand#5" &&
+        col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    lineitem.select("l_partkey", "l_suppkey")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val supplierCountsSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_type <> 'PROMO' AND p_brand <> 'Brand#5'
+      |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** B38: TPC-H Q20 shape — candidate promotion suppliers. Classic Q20's
+    * correlated `ps_availqty > 0.5 × shipped qty` is re-framed (no
+    * partsupp) as DOMINANT suppliers: a supplier qualifies when its 1996
+    * shipped quantity of some name-filtered part strictly exceeds half
+    * that part's 1996 total. Decorrelated into two stacked aggregates of
+    * ONE pruned fact frame — per-(part, supplier) then per-part — joined
+    * back on partkey with an exact 2·sq > tq integer compare, then the
+    * supplier dim joins only the surviving distinct suppkeys (nation-set
+    * filtered, as in the spec).
+    */
+  def promotionSuppliers(lineitem: DataFrame, part: DataFrame,
+                         supplier: DataFrame): DataFrame = {
+    val pk = part.filter(col("p_name").startsWith("small")).select("p_partkey")
+    val li = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+      .join(pk, col("l_partkey") === col("p_partkey"))
+    val perPS = li.groupBy("l_partkey", "l_suppkey").agg(sum(col("qty")).as("sq"))
+    val perP = perPS.groupBy(col("l_partkey").as("t_partkey")).agg(sum(col("sq")).as("tq"))
+    perPS.join(perP, col("l_partkey") === col("t_partkey"))
+      .filter(col("sq") * 2L > col("tq"))
+      .select("l_suppkey").distinct()
+      .join(supplier.select("s_suppkey", "s_name", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey").isin(2, 7, 12, 17, 22))
+      .select("s_suppkey", "s_name")
+  }
+
+  val promotionSuppliersSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE starts_with(p_name, 'small')
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1997-01-01'),
+      |ps AS (SELECT l_partkey, l_suppkey, sum(qty) AS sq FROM li GROUP BY 1, 2),
+      |p AS (SELECT l_partkey AS t_partkey, sum(sq) AS tq FROM ps GROUP BY 1),
+      |win AS (SELECT DISTINCT l_suppkey FROM ps JOIN p ON l_partkey = t_partkey
+      |        WHERE sq * 2 > tq)
+      |SELECT s_suppkey, s_name
+      |FROM win JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_nationkey IN (2, 7, 12, 17, 22)""".stripMargin
+
+  /** B39: TPC-H Q21 shape — suppliers who kept orders waiting. Classic
+    * Q21 is EXISTS(another supplier) AND NOT EXISTS(another late
+    * supplier) via two lineitem self-joins; with no commit/receipt dates
+    * the blame signal is the return flag, and the scale-correct
+    * re-expression collapses both correlated subqueries into ONE
+    * per-order aggregate — distinct-supplier count, distinct-returning-
+    * supplier count, and the sole culprit key (max over a single-element
+    * set) — so the fact is scanned once and never self-joined. Orders
+    * prune to status 'F' before the join; top-k over the per-supplier
+    * counts is sort+limit (TakeOrderedAndProject) on the unique
+    * (numwait desc, suppkey) total order, and the supplier dim joins
+    * only k rows.
+    */
+  def waitingSuppliers(lineitem: DataFrame, orders: DataFrame,
+                       supplier: DataFrame, k: Int = 25): DataFrame = {
+    val isRet = col("l_returnflag") === "R"
+    val perOrder = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(
+        countDistinct(col("l_suppkey")).as("ns"),
+        countDistinct(when(isRet, col("l_suppkey"))).as("nr"),
+        max(when(isRet, col("l_suppkey"))).as("culprit"))
+      .filter(col("ns") >= 2 && col("nr") === 1)
+    perOrder
+      .groupBy("culprit")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("culprit"))
+      .limit(k)
+      .join(supplier.select("s_suppkey", "s_name"),
+        col("culprit") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "numwait")
+  }
+
+  def waitingSuppliersSql(k: Int = 25): String =
+    s"""WITH f AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+       |a AS (
+       |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns,
+       |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS nr,
+       |    max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS culprit
+       |  FROM lineitem JOIN f ON l_orderkey = o_orderkey
+       |  GROUP BY 1),
+       |c AS (SELECT culprit, count(*) AS numwait FROM a
+       |      WHERE ns >= 2 AND nr = 1 GROUP BY 1),
+       |t AS (SELECT culprit, numwait FROM c ORDER BY numwait DESC, culprit LIMIT $k)
+       |SELECT s_suppkey, s_name, numwait
+       |FROM t JOIN supplier ON culprit = s_suppkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share" -> ((s, d) =>
+      marketShare(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+        Tables.supplier(s, d), Tables.part(s, d), Tables.nation(s, d),
+        Tables.region(s, d))),
+    "q9_product_profit" -> ((s, d) =>
+      productProfit(Tables.lineitem(s, d), Tables.orders(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d))),
+    "q11_important_parts" -> ((s, d) =>
+      importantParts(Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q15_top_supplier" -> ((s, d) =>
+      topSupplier(Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q16_supplier_counts" -> ((s, d) =>
+      supplierCounts(Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d))),
+    "q20_promotion_suppliers" -> ((s, d) =>
+      promotionSuppliers(Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d))),
+    "q21_waiting_suppliers" -> ((s, d) =>
+      waitingSuppliers(Tables.lineitem(s, d), Tables.orders(s, d), Tables.supplier(s, d))),
     "q6_revenue_forecast" -> ((s, d) => revenueForecast(Tables.lineitem(s, d))),
     "q13_cust_dist" -> ((s, d) => custDist(Tables.customer(s, d), Tables.orders(s, d))),
     "q17_small_qty_revenue" -> ((s, d) =>
@@ -1218,6 +1563,13 @@ object Analytics {
       supplierVolume(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q8_market_share" -> marketShareSql(),
+    "q9_product_profit" -> productProfitSql,
+    "q11_important_parts" -> importantPartsSql,
+    "q15_top_supplier" -> topSupplierSql,
+    "q16_supplier_counts" -> supplierCountsSql,
+    "q20_promotion_suppliers" -> promotionSuppliersSql,
+    "q21_waiting_suppliers" -> waitingSuppliersSql(),
     "q6_revenue_forecast" -> revenueForecastSql,
     "q13_cust_dist" -> custDistSql,
     "q17_small_qty_revenue" -> smallQtyRevenueSql,

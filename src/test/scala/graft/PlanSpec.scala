@@ -334,4 +334,52 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.nonEmpty)
     assert(aggBelowJoin, "q13: per-customer aggregate must run below the outer join")
   }
+
+  test("q21: the fact is aggregated per order once — no lineitem self-join") {
+    // Classic Q21 self-joins lineitem twice (EXISTS + NOT EXISTS); the
+    // re-expression must read it exactly once.
+    val liScans = leafStrings("q21_waiting_suppliers").count(_.contains("lineitem"))
+    assert(liScans == 1, s"q21 reads lineitem $liScans times — expected 1")
+    // and the top-k is sort+limit, not a global sort
+    assert(plan("q21_waiting_suppliers").collect {
+      case t: TakeOrderedAndProjectExec => t
+    }.nonEmpty, "q21: top-k must compile to TakeOrderedAndProject")
+  }
+
+  test("q11/q15: the global scalar is a broadcast, and the fact is scanned once") {
+    for (q <- Seq("q11_important_parts", "q15_top_supplier")) {
+      val p = plan(q)
+      assert(p.collect { case b: BroadcastExchangeLike => b }.nonEmpty,
+        s"$q: the one-row scalar aggregate must broadcast back")
+    }
+    // q15's argmax join-back re-reads the per-supplier aggregate, not the
+    // fact: lineitem appears at most twice (Spark does not share the
+    // subframe without an explicit persist; both reads carry the pushed
+    // quarter filter so each is a pruned scan).
+    val liScans = leafStrings("q15_top_supplier").count(_.contains("lineitem"))
+    assert(liScans <= 2, s"q15 reads lineitem $liScans times")
+    for (l <- leafStrings("q15_top_supplier").filter(_.contains("lineitem")))
+      assert(l.contains("PushedFilters") && l.contains("l_shipdate"),
+        s"q15: quarter filter not pushed into a lineitem scan:\n$l")
+  }
+
+  test("q8: part-type and date prune before the spine; nation/region broadcast") {
+    val leaves = leafStrings("q8_market_share")
+    assert(leaves.exists(l => l.contains("PushedFilters") && l.contains("p_type")),
+      s"part type filter not pushed:\n${leaves.mkString("\n")}")
+    assert(leaves.exists(l => l.contains("PushedFilters") && l.contains("o_orderdate")),
+      s"order date range not pushed:\n${leaves.mkString("\n")}")
+    assert(plan("q8_market_share").collect {
+      case b: BroadcastExchangeLike => b
+    }.size >= 2, "q8: nation and region-nation frames must broadcast")
+  }
+
+  test("q16/q20: blacklist anti-join and dominance join keep part filters pushed") {
+    for ((q, c) <- Seq("q16_supplier_counts" -> "p_size",
+      "q20_promotion_suppliers" -> "p_name")) {
+      val leaves = leafStrings(q)
+      assert(leaves.exists(l => l.contains("PushedFilters") && l.contains(c)),
+        s"$q: part filter $c not pushed:\n${leaves.mkString("\n")}")
+    }
+  }
 }
