@@ -788,7 +788,58 @@ object Embeddings {
        |       coalesce(p.max_prior_cos, -1.0) < $NearDupThreshold AS is_kept
        |FROM j LEFT JOIN prior p ON j.vec_id = p.vec_id""".stripMargin
 
+  /** C46: k-NN label classification over the embedding column — the
+    * label-propagation / quality-transfer step of a training-data
+    * pipeline (score unlabeled docs from their labeled neighbors).
+    * Composes the exact top-k neighbor search (the oracle-able recall
+    * baseline; swap in [[annLsh]]/[[annIvf]] candidates for the 100 TB
+    * path — the vote below is agnostic to where the neighbor list came
+    * from) with a per-probe majority vote. The winner is ONE argmin hash
+    * aggregate over `struct(-votes, label)` — the same deterministic
+    * lexicographic-tie-break pattern as B25's argmin — so vote ties
+    * break on the smaller label identically in both engines, with no
+    * rank window over the vote table.
+    *
+    * Scale: votes is |probes|·(≤ distinct labels) rows; the argmin agg
+    * and the two label joins are keyed and partial-agg friendly. The
+    * probe-side label join touches |probes| rows.
+    */
+  def knnClassify(embeddings: DataFrame): DataFrame = {
+    val byId = embeddings.select(col("vec_id"), col("label"))
+    val votes = annTopK(embeddings)
+      .join(byId.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+      .groupBy("q_id", "n_label")
+      .agg(count(lit(1)).as("votes"))
+    votes
+      .select(col("q_id"),
+        struct((-col("votes")).as("nv"), col("n_label").as("lb")).as("v"))
+      .groupBy("q_id")
+      .agg(min(col("v")).as("b"))
+      .join(byId.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+      .select(col("q_id"), col("true_label"),
+        col("b.lb").as("pred_label"), (-col("b.nv")).as("votes"))
+  }
+
+  val knnClassifySql: String =
+    s"""WITH q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
+       |scored AS (
+       |  SELECT p.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${dotSqlFmt.format("p.qv", "c.qv")} / (sqrt(p.nrm) * sqrt(c.nrm)) AS cos
+       |  FROM n p JOIN n c ON c.vec_id <> p.vec_id
+       |  WHERE p.vec_id < $NumProbes),
+       |nn AS (SELECT q_id, n_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+       |  FROM scored) WHERE rn <= $TopK),
+       |v AS (SELECT nn.q_id, e.label AS n_label, count(*) AS votes
+       |      FROM nn JOIN embeddings e ON nn.n_id = e.vec_id GROUP BY 1, 2),
+       |b AS (SELECT q_id, min({'nv': -votes, 'lb': n_label}) AS m FROM v GROUP BY 1)
+       |SELECT b.q_id, e.label AS true_label, (b.m).lb AS pred_label,
+       |       -((b.m).nv) AS votes
+       |FROM b JOIN embeddings e ON b.q_id = e.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "q_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d))),
     "q_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d))),
     "q_ann_topk" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
@@ -798,6 +849,7 @@ object Embeddings {
     "q_neardup_cosine" -> ((s, d) => nearDupCosine(Tables.embeddings(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_knn_classify" -> knnClassifySql,
     "q_semdedup" -> semDedupSql,
     "q_ann_pq" -> annPqSql,
     "q_ann_topk" -> annTopKSql,

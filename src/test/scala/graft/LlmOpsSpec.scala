@@ -588,6 +588,23 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
+  test("knn classify: one prediction per probe, vote bounded by k, winner is a real neighbor label") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Embeddings.knnClassify(emb).cache()
+    assert(out.count() == Embeddings.NumProbes)
+    assert(out.filter(col("votes") < 1 || col("votes") > Embeddings.TopK).count() == 0)
+    // The predicted label must actually appear among that probe's top-k
+    // neighbors' labels (re-derive the neighbor set independently).
+    val nnLabels = Embeddings.annTopK(emb)
+      .join(emb.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+      .select(col("q_id"), col("n_label"))
+    val phantom = out.join(nnLabels,
+      out("q_id") === nnLabels("q_id") && col("pred_label") === col("n_label"),
+      "left_anti").count()
+    assert(phantom == 0, "a predicted label never occurs among the probe's neighbors")
+    out.unpersist()
+  }
+
   test("line dedup: boilerplate stripped everywhere, unique docs untouched, order kept") {
     val docs = Tables.documents(spark, sf)
     val out = TextOps.lineDedup(docs, lineTok = 4, minDocs = 2).cache()
