@@ -56,7 +56,12 @@ object ScaleAudit {
   private val defaultQueries = Seq(
     "q18_large_orders", "q2_min_cost_supplier", "q10_returned_items",
     "q1_pricing_summary", "q_sessionize", "q_token_count",
-    "q_dedup_minhash_lsh")
+    "q_dedup_minhash_lsh",
+    // round-5 continuation: the widest new fact spines — Q8's five-table
+    // share, Q9's profit rollup, Q21's single-scan per-order collapse,
+    // and the line-dedup explode→freq→reassemble chain
+    "q8_market_share", "q9_product_profit", "q21_waiting_suppliers",
+    "q_line_dedup")
 
   def buildScaled(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
     // events.ts stays a raw nanos long end-to-end: the flag reads the
@@ -129,6 +134,13 @@ object ScaleAudit {
     results.find(_._1 == "q18_large_orders").foreach { case (_, _, _, plan) =>
       if (!plan.contains("TakeOrderedAndProject")) {
         bad += 1; println("[scale] FAIL q18: top-k lost TakeOrderedAndProject")
+      }
+    }
+    results.find(_._1 == "q21_waiting_suppliers").foreach { case (_, _, _, plan) =>
+      // PlanSpec pins the single lineitem scan (AQE off); here the AQE
+      // final plan must keep the top-k as sort+limit at 10×
+      if (!plan.contains("TakeOrderedAndProject")) {
+        bad += 1; println("[scale] FAIL q21: top-k lost TakeOrderedAndProject")
       }
     }
     println(s"[scale] == $bad violations ==")
