@@ -111,9 +111,12 @@ object Graph {
     * (celebrity middles are deg² wedge bombs carrying no acquaintance
     * signal; the cap is a no-op on this testdata and load-bearing at
     * 100 TB). Existing edges are removed with a left-anti join BEFORE
-    * ranking; top-k per user is a row_number window over user_id — a
-    * high-cardinality key, so no unsplittable partition (WindowAudit
-    * clean). Deterministic tie-break (mutuals desc, then smaller id).
+    * ranking; top-k per user is the bounded MaxKScored heap aggregate
+    * (map-side partial keeps k per user, the shuffle carries
+    * O(users × k) rows) instead of a row_number window sorting every
+    * candidate — same (mutuals desc, smaller id) deterministic order
+    * the aggregate encodes. Exact: mutual counts sit far below 2^53,
+    * so the double score is lossless.
     */
   def friendRecs(events: DataFrame, k: Int = 3, hubCap: Long = 1000L): DataFrame = {
     val und = undirected(events)
@@ -129,11 +132,14 @@ object Graph {
       .agg(count(lit(1)).as("mutuals"))
     val newPairs = cand.join(und,
       cand("user_id") === und("a") && cand("rec") === und("b"), "left_anti")
-    val w = Window.partitionBy("user_id").orderBy(col("mutuals").desc, col("rec"))
     newPairs
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("user_id"), col("rec"), col("mutuals"), col("rn"))
+      .groupBy("user_id")
+      .agg(graft.functions.Exprs.maxKScored(
+        col("mutuals").cast("double"), col("rec"), k).as("top"))
+      .select(col("user_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("user_id"), col("t.id").as("rec"),
+        col("t.score").cast("long").as("mutuals"),
+        (col("pos") + 1).cast("int").as("rn"))
   }
 
   val friendRecsSql: String =
