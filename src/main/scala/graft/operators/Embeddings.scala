@@ -87,9 +87,26 @@ object Embeddings {
 
   val dotSqlFmt: String = "list_sum(list_transform(list_zip(%s, %s), p -> p[1]*p[2]))"
 
+  /** Per-probe top-k over a scored (q_id, n_id, cos) frame via the
+    * bounded MaxKScored heap aggregate — the shape every ANN lens
+    * shares. A row_number window here partitions by q_id, a BOUNDED
+    * probe set over the full scored frame: at 100 TB one probe's
+    * candidates become one unsplittable sort partition. The aggregate
+    * keeps k map-side per probe and shuffles O(probes × k); its
+    * (score desc, id asc) order matches the oracle's
+    * `ORDER BY cos DESC, n_id` exactly.
+    */
+  private def topKByCos(scored: DataFrame, k: Int = TopK): DataFrame =
+    scored
+      .groupBy("q_id")
+      .agg(Exprs.maxKScored(col("cos"), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("n_id"), col("t.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rn"))
+
   /** C6: brute-force cosine top-k for a small probe set (`vec_id <
     * NumProbes`) against the full corpus. Probes broadcast; corpus
-    * streamed once; per-probe top-k via rank filter.
+    * streamed once; per-probe top-k via the bounded heap aggregate.
     */
   def annTopK(embeddings: DataFrame): DataFrame = {
     val q = quantized(embeddings)
@@ -100,10 +117,7 @@ object Embeddings {
       .select(
         col("q_id"), col("vec_id").as("n_id"),
         cosine(col("q_qv"), col("qv"), col("q_nrm"), col("nrm")).as("cos"))
-    scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
-      .filter(col("rn") <= TopK)
+    topKByCos(scored)
   }
 
   val annTopKSql: String =
@@ -274,10 +288,7 @@ object Embeddings {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
-    scorePairs(cand, q)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
-      .filter(col("rn") <= TopK)
+    topKByCos(scorePairs(cand, q))
   }
 
   /** Score deduped (q_id, n_id) pairs exactly once: the ≤NumProbes probe
@@ -332,10 +343,7 @@ object Embeddings {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
-    scorePairs(cand, q)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
-      .filter(col("rn") <= TopK)
+    topKByCos(scorePairs(cand, q))
   }
 
   val annMultiProbeSql: String = {
@@ -504,10 +512,7 @@ object Embeddings {
       .join(q.select(col("vec_id"), col("qv"), col("nrm")), Seq("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(col("q_qv"), col("qv"), col("q_nrm"), col("nrm")).as("cos"))
-    cands
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
-      .filter(col("rn") <= TopK)
+    topKByCos(cands)
   }
 
   // ---------------- C7d: PQ (product-quantization) ANN ----------------

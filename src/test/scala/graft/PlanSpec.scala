@@ -84,10 +84,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("per-group rank filters compile to WindowGroupLimit (no full per-group sort retention)") {
     import org.apache.spark.sql.execution.window.WindowGroupLimitExec
-    for (q <- Seq("q_tfidf_topterms", "q_ann_topk", "q_ann_lsh")) {
+    for (q <- Seq("q_tfidf_topterms")) {
       val n = plan(q).collect { case w: WindowGroupLimitExec => w }.size
       assert(n >= 1, s"$q: rank<=k filter should push a WindowGroupLimit")
     }
+  }
+
+  test("ANN top-k is the bounded heap aggregate — no window over the scored frame") {
+    // q_id is a BOUNDED probe set: a rank window here would sort one
+    // probe's whole candidate list in one task at scale. All ANN lenses
+    // must share the MaxKScored aggregate instead.
+    // (q_ann_ivf keeps ONE window: nearest-nProbe centroid ranking over
+    // the probes × centroids frame — a bounded model-size artifact, at
+    // most NumProbes·NumCentroids rows, never data-proportional.)
+    for (q <- Seq("q_ann_topk", "q_ann_lsh", "q_ann_multiprobe",
+      "q_knn_classify", "q_friend_recs")) {
+      assert(plan(q).collect { case w: WindowExec => w }.isEmpty,
+        s"$q: expected no window in the plan")
+    }
+    for (q <- Seq("q_ann_topk", "q_ann_lsh", "q_ann_multiprobe", "q_ann_ivf",
+      "q_friend_recs"))
+      assert(plan(q).toString.contains("graft_max_k_scored"),
+        s"$q: expected the MaxKScored aggregate")
   }
 
   test("chunking is shuffle-free: q_chunk_docs has no Exchange at all") {
