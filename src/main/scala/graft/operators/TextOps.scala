@@ -1065,8 +1065,16 @@ object TextOps {
     * structs — no window anywhere.
     */
   def lineDedup(documents: DataFrame, lineTok: Int = 4, minDocs: Int = 2): DataFrame = {
-    require(lineTok > 0 && minDocs >= 2, "lineDedup: need lineTok > 0, minDocs >= 2")
-    val lines = documents
+    val lines = docLines(documents, lineTok)
+    stripBoilerplate(lines, lineDocFreq(lines), minDocs)
+  }
+
+  /** The (doc_id, pos, line, fp) line relation of [[lineDedup]] —
+    * map-side explode, shared verbatim by the streaming twin.
+    */
+  def docLines(documents: DataFrame, lineTok: Int = 4): DataFrame = {
+    require(lineTok > 0, "docLines: need lineTok > 0")
+    documents
       .select(col("doc_id"), toks.as("t"), size(toks).cast("long").as("n_tok"))
       .select(col("doc_id"),
         explode(sequence(lit(0L), col("n_tok") - 1, lit(lineTok.toLong))).as("start_tok"),
@@ -1076,12 +1084,20 @@ object TextOps {
         array_join(slice(col("t"), (col("start_tok") + 1).cast("int"), lit(lineTok)), " ")
           .as("line"))
       .withColumn("fp", md5(col("line")))
-    val docFreq = lines
-      .groupBy("fp")
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
+  }
+
+  /** Cross-document line frequency: (fp, ndocs). */
+  def lineDocFreq(lines: DataFrame): DataFrame =
+    lines.groupBy("fp").agg(countDistinct(col("doc_id")).as("ndocs"))
+
+  /** Strip lines whose frequency (in `freq`: fp → ndocs) reaches
+    * `minDocs` and reassemble each document in original order.
+    */
+  def stripBoilerplate(lines: DataFrame, freq: DataFrame, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "stripBoilerplate: need minDocs >= 2")
     val kept = when(col("ndocs") < minDocs, struct(col("pos"), col("line")))
     lines
-      .join(docFreq, "fp")
+      .join(freq, "fp")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("lines_total"),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
@@ -386,6 +386,50 @@ object EventStream {
       .agg(
         count(lit(1)).as("n"),
         expr(s"approx_percentile(o_totalprice, array(0.5, 0.9), $accuracy)").as("ap"))
+
+  /** Streaming twin of [[graft.operators.TextOps.lineDedup]] (C45):
+    * boilerplate-line stripping over a document stream. Per micro-batch,
+    * the batch's line frequencies MERGE into a persistent parquet index
+    * keyed by (fp, batch_id) — the batch id makes a foreachBatch replay
+    * overwrite its own prior rows instead of double-counting, so the
+    * at-least-once contract degrades to effectively-once on the index —
+    * and the batch's documents are cleaned against the CUMULATIVE
+    * frequency as of the end of their own batch. A line becomes
+    * boilerplate the moment its ndocs (summed over the index) reaches
+    * `minDocs`; documents from earlier batches are not retro-cleaned
+    * (the honest streaming contract — the batch operator is the
+    * retroactive compaction pass). One batch carrying the whole corpus
+    * is bit-identical to the batch operator, which is what the
+    * equivalence spec asserts.
+    *
+    * Scale: the index is (fp, batch_id, n) — data-proportional but
+    * narrow; the per-batch merge cost is bounded by
+    * [[graft.sources.Sinks.mergeUpsert]]'s swap (move to the bucketed
+    * variant when the index outgrows single-swap rewrites, exactly as
+    * the C26 fingerprint index does).
+    */
+  def streamingLineDedup(docs: DataFrame, indexPath: String, outPath: String,
+                         checkpoint: String, lineTok: Int = 4,
+                         minDocs: Int = 2): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val lines = graft.operators.TextOps.docLines(batch.toDF(), lineTok)
+          val bf = graft.operators.TextOps.lineDocFreq(lines)
+            .withColumnRenamed("ndocs", "n")
+            .withColumn("batch_id", lit(batchId))
+          graft.sources.Sinks.mergeUpsert(
+            spark, indexPath, bf, Seq("fp", "batch_id"), "n")
+          val freq = spark.read.parquet(indexPath)
+            .groupBy("fp").agg(sum(col("n")).as("ndocs"))
+          graft.operators.TextOps.stripBoilerplate(lines, freq, minDocs)
+            .write.mode(SaveMode.Append).parquet(outPath)
+        }
+      }
+      .start()
 
   /** Streaming UPSERT exit path — the continuous twin of the reference's
     * `INSERT … ON CONFLICT DO UPDATE` (instagram_scraper.py:203): each

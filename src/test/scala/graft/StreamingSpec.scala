@@ -573,4 +573,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.subsetOf(batch), s"streamed=$streamed batch=$batch")
     assert(streamed.nonEmpty)
   }
+
+  test("EQUIVALENCE: one-batch streaming line dedup == batch operator on sf0.001") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ld").toString
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.streamingLineDedup(in.toDF().toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    in.addData(docs.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sorted
+    val batch = operators.TextOps.lineDedup(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sorted
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      "one-batch streaming line dedup must be bit-identical to the batch operator")
+  }
+
+  test("streaming line dedup: a line turning boilerplate strips from later batches only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ld2").toString
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.streamingLineDedup(in.toDF().toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/out", s"$dir/ckpt", lineTok = 2, minDocs = 2)
+    // batch 1: the line "x y" is unique so far — doc 1 passes untouched
+    in.addData((1L, "x y a b")); q.processAllAvailable()
+    // batch 2: doc 2 repeats "x y" — the line is now in 2 docs and strips
+    in.addData((2L, "x y c d")); q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out(1L) == "x y a b", "earlier batch must not be retro-cleaned")
+    assert(out(2L) == "c d", s"later batch must strip the now-boilerplate line: ${out(2L)}")
+  }
 }
