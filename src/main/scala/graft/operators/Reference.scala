@@ -85,6 +85,49 @@ object Reference {
       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
       |      FROM events) WHERE rn = 1""".stripMargin
 
+  /** A23: CDC changelog apply — A1's latest-wins upsert generalized to
+    * full change-data-capture semantics (the lakehouse "apply changes"
+    * primitive): each event is an operation on its user key ('error'
+    * rows act as DELETEs, everything else UPSERTs its payload), and the
+    * final state is the net result of replaying the log in
+    * (ts, event_id) order — a key whose LAST op is a delete is absent
+    * from the applied state. Spark-first: ONE `max(struct(...))` hash
+    * aggregate picks the latest op per key — map-side partial
+    * aggregation ships one struct per key per map partition and nothing
+    * is ever sorted (vs A1's per-key window, which sorts each key
+    * group); the delete filter runs on the already-aggregated one-row-
+    * per-key frame. (ts_us, event_id) is unique, so the lexicographic
+    * struct max is deterministic and the trailing payload fields never
+    * tie-break.
+    */
+  def cdcApply(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        struct(
+          tUs(col("ts")).as("ts_us"),
+          col("event_id"),
+          col("event_type"),
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("value_cents")).as("op"))
+      .groupBy("user_id")
+      .agg(max(col("op")).as("last"))
+      .filter(col("last.event_type") =!= lit("error"))
+      .select(
+        col("user_id"),
+        col("last.ts_us").as("last_ts_us"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value_cents").as("last_value_cents"))
+
+  val cdcApplySql: String =
+    """SELECT user_id, last_ts_us, last_event_id, last_type, last_value_cents
+      |FROM (SELECT user_id, epoch_us(ts) AS last_ts_us, event_id AS last_event_id,
+      |        event_type AS last_type,
+      |        CAST(round(value * 100, 0) AS BIGINT) AS last_value_cents,
+      |        row_number() OVER (PARTITION BY user_id
+      |                           ORDER BY epoch_us(ts) DESC, event_id DESC) rn
+      |      FROM events)
+      |WHERE rn = 1 AND last_type <> 'error'""".stripMargin
+
   /** A2: mutual followers — the reference's core query
     * (scraper/instagram_scraper.py:418-426): reciprocal-edge self-join.
     * Both sides are the same narrow (src,dst) projection, shuffled once
@@ -813,6 +856,7 @@ object Reference {
     "q_snapshot_diff" -> ((s, d) => snapshotDiff(Tables.events(s, d))),
     "q_props_stats" -> ((s, d) => propsStats(Tables.events(s, d))),
     "q_upsert_latest" -> ((s, d) => upsertLatest(Tables.events(s, d))),
+    "q_cdc_apply" -> ((s, d) => cdcApply(Tables.events(s, d))),
     "q_mutual_edges" -> ((s, d) => mutualEdges(Tables.events(s, d))),
     "q_follower_stats" -> ((s, d) => followerStats(Tables.events(s, d))),
     "q_pending_batch" -> ((s, d) => pendingBatch(Tables.events(s, d))),
@@ -842,6 +886,7 @@ object Reference {
     "q_snapshot_diff" -> snapshotDiffSql(),
     "q_props_stats" -> propsStatsSql,
     "q_upsert_latest" -> upsertLatestSql,
+    "q_cdc_apply" -> cdcApplySql,
     "q_mutual_edges" -> mutualEdgesSql,
     "q_follower_stats" -> followerStatsSql,
     "q_pending_batch" -> pendingBatchSql,

@@ -1001,6 +1001,39 @@ object TextOps {
        |  SELECT *, row_number() OVER (ORDER BY rkey, doc_id) AS rn FROM r)
        |WHERE rn <= $n""".stripMargin
 
+  /** C47: stratified exact-size sampling — N docs per language stratum
+    * (eval-set construction / per-language probes want equal-size
+    * samples regardless of how skewed the corpus mix is). Same
+    * deterministic md5-rank selection as C38, but the bounded
+    * [[graft.functions.Exprs.MaxKScored]] aggregate runs PER STRATUM:
+    * map-side partials stay k-bounded per (partition, lang), the
+    * shuffle moves O(strata × N) pairs, and no per-stratum rank window
+    * ever sorts the raw corpus (at 100 TB the dominant language would
+    * be one unsplittable window partition). Strata come from the
+    * bounded lang catalog, so the winner set broadcasts back for the
+    * attribute join.
+    */
+  def stratifiedSample(documents: DataFrame, n: Int = 40): DataFrame = {
+    val rkey = expr(hexPrefixValSql("md5(CAST(doc_id AS STRING))"))
+    val keep = documents
+      .select(col("lang"), col("doc_id"), rkey.as("rkey"))
+      .groupBy("lang")
+      .agg(Exprs.maxKScored(col("rkey").cast("double") * -1d, col("doc_id"), n).as("keep"))
+      .select(posexplode(col("keep")).as(Seq("pos", "t")))
+      .select(col("t.id").as("doc_id"), (col("pos") + 1).cast("long").as("rn"))
+    documents.select(col("doc_id"), col("lang"), col("source"))
+      .join(broadcast(keep), "doc_id")
+  }
+
+  def stratifiedSampleSql(n: Int = 40): String =
+    s"""WITH r AS (SELECT doc_id, lang, source,
+       |    ${hexPrefixValSql("md5(CAST(doc_id AS VARCHAR))")} AS rkey
+       |  FROM documents)
+       |SELECT doc_id, lang, source, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY rkey, doc_id) AS rn
+       |  FROM r)
+       |WHERE rn <= $n""".stripMargin
+
   /** C39: epoch-weighted upsampling — training-mix recipes specify
     * EPOCHS per source (replicate high-quality sources, single-pass the
     * rest); this materializes the replicated stream with an epoch index
@@ -1134,6 +1167,7 @@ object TextOps {
     "q_line_dedup" -> ((s, d) => lineDedup(Tables.documents(s, d))),
     "q_dup_rate_by_source" -> ((s, d) => dupRateBySource(Tables.documents(s, d))),
     "q_reservoir_sample" -> ((s, d) => reservoirSample(Tables.documents(s, d))),
+    "q_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "q_epoch_mix" -> ((s, d) => epochMix(Tables.documents(s, d))),
     "q_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
@@ -1166,6 +1200,7 @@ object TextOps {
     "q_line_dedup" -> lineDedupSql,
     "q_dup_rate_by_source" -> dupRateBySourceSql,
     "q_reservoir_sample" -> reservoirSampleSql(),
+    "q_stratified_sample" -> stratifiedSampleSql(),
     "q_epoch_mix" -> epochMixSql,
     "q_heavy_hitters" -> heavyHittersSql(),
     "q_split_assign" -> splitAssignSql(),

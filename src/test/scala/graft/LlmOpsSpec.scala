@@ -154,6 +154,26 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
   }
 
+  test("stratified sample: exact size per stratum, disjoint from nothing, rerun-stable") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = TextOps.stratifiedSample(docs, n = 10)
+    // every stratum with >= 10 docs yields exactly 10; smaller strata yield all
+    val strata = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = s1.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0L) == math.min(n, 10L), s"lang=$lang")
+    }
+    // ranks contiguous within each stratum
+    val badRn = s1.groupBy("lang")
+      .agg(count(lit(1)).as("n"), max("rn").as("mx"), min("rn").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L).count()
+    assert(badRn == 0)
+    val s2 = TextOps.stratifiedSample(docs, n = 10)
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+  }
+
   test("epoch mix: conservation and per-copy indexing") {
     val docs = Tables.documents(spark, sf)
     val m = TextOps.epochMix(docs)

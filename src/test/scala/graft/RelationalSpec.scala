@@ -38,6 +38,21 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.filter(col("curr_cnt").isNotNull).count() == currUsers)
   }
 
+  test("cdc apply: equals log replay; delete-final keys absent") {
+    val ev = Tables.events(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val last = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val applied = Reference.cdcApply(ev)
+    val expected = last.filter(col("event_type") =!= "error")
+    assert(applied.count() == expected.count())
+    val joined = applied.join(
+      expected.select(col("user_id"), col("event_id").as("exp_id")), "user_id")
+    assert(joined.filter(col("last_event_id") =!= col("exp_id")).count() == 0)
+    val deleted = last.filter(col("event_type") === "error").select("user_id")
+    assert(applied.join(deleted, "user_id").count() == 0)
+  }
+
   test("every registered query runs non-empty on sf0.001") {
     val emptyOk = Set("q_pending_users_antijoin", "q_recent_window_dedup")
     SparkEntry.queries.foreach { case (name, fn) =>
