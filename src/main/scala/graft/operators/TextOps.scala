@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.GraftCache
 import graft.functions.Exprs
 import graft.sources.Tables
 
@@ -1163,7 +1164,132 @@ object TextOps {
       |FROM l JOIN f ON md5(l.line) = f.fp
       |GROUP BY l.doc_id""".stripMargin
 
+  /** Query terms for [[bm25TopDocs]] — a fixed dictionary standing in for
+    * a search request; in production this is a small broadcast frame.
+    */
+  val Bm25Terms: Seq[String] = Seq("vector", "stream", "window", "hash")
+
+  /** C48: BM25 relevance — per query term, the top-k documents by the
+    * Okapi BM25 score (k1=1.2, b=0.75). The retrieval primitive behind
+    * corpus search, contamination triage, and quality-by-query probes.
+    *
+    * Cross-engine hash exactness: the textbook `ln`-idf is transcendental
+    * (not bit-reproducible across engines — see [[docFreq]]), so the
+    * score keeps the RATIO idf surrogate (N − df + ½)/(df + ½) and
+    * clears every fraction: with k1 = 6/5, b = 3/4 and avgdl = S/N
+    * (S = corpus tokens, N = docs),
+    *
+    *   score = (2N − 2df + 1)·22·S·tf
+    *         / [(2df + 1)·(10·S·tf + 3·S + 9·dl·N)]
+    *
+    * — numerator and denominator are EXACT int64 products (documented
+    * bound: |num| < 2^63 through ~sf1; beyond that swap both sides to
+    * decimal(38,0)/HUGEINT), so the single double division is the only
+    * rounding and IEEE division is correctly rounded in both engines.
+    *
+    * Shapes at scale: dl is map-side; (N, S) is a one-row broadcast
+    * scalar; tf filters to the query dictionary BEFORE the (doc, term)
+    * agg (the explode never shuffles non-query tokens); df is a
+    * |terms|-row broadcast. Per-term top-k uses the bounded MaxKScored
+    * heap — k map-side per term, shuffle O(terms × k) — never a rank
+    * window over the scored frame (`term` is a bounded key; the window
+    * would put one term's whole posting list in one task).
+    */
+  def bm25TopDocs(documents: DataFrame, k: Int = 10): DataFrame = {
+    val lens = documents.select(col("doc_id"), size(toks).cast("long").as("dl"))
+      .transform(GraftCache.persistTracked)
+    val corpus = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"))
+    val tf = documents
+      .select(col("doc_id"), explode(toks).as("term"))
+      .filter(col("term").isInCollection(Bm25Terms))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("score",
+        ((lit(2L) * col("n_docs") - lit(2L) * col("df") + 1L) * 22L * col("s_tok") * col("tf"))
+          .cast("double") /
+          ((lit(2L) * col("df") + 1L) *
+            (lit(10L) * col("s_tok") * col("tf") + lit(3L) * col("s_tok")
+              + lit(9L) * col("dl") * col("n_docs"))).cast("double"))
+    scored
+      .groupBy("term")
+      .agg(Exprs.maxKScored(col("score"), col("doc_id"), k).as("top"))
+      .select(col("term"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("term"), col("t.id").as("doc_id"), col("t.score").as("score"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
+  def bm25TopDocsSql(k: Int = 10): String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+       |g AS (SELECT count(*) AS n_docs, sum(dl) AS s_tok FROM dl),
+       |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN ($terms) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.term, tf.doc_id,
+       |    CAST((2*g.n_docs - 2*df.df + 1) * 22 * g.s_tok * tf.tf AS DOUBLE) /
+       |    CAST((2*df.df + 1) * (10*g.s_tok*tf.tf + 3*g.s_tok + 9*dl.dl*g.n_docs) AS DOUBLE)
+       |      AS score
+       |  FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id, g)
+       |SELECT term, doc_id, score, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id)
+       |    AS INTEGER) AS rn
+       |  FROM scored) WHERE rn <= $k""".stripMargin
+  }
+
+  /** C49: per-language percentile normalization — each document's length
+    * percentile within its language stratum ((rank − 1)/(n − 1), the
+    * percent_rank definition). Rank-normalizing a raw quality signal
+    * within strata is how heterogeneous scorers become comparable before
+    * a global keep-threshold (length stands in for any integral score).
+    *
+    * `percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)` is the
+    * bounded-catalog-key window WindowAudit polices: at 100 TB one
+    * dominant language is one unsplittable sort task. This routes
+    * through [[DistributedRank]] instead — range-bucket the order
+    * column, prefix-sum the bounded (lang, bucket) count table, then a
+    * LOCAL rank per (lang, bucket) + offset. Ties share a bucket (equal
+    * keys ⇒ equal bucket), so local rank + offset = global `rank()`
+    * exactly. Per-lang n is a bounded broadcast; the final
+    * (rank−1)/(n−1) is one exact-int double division.
+    */
+  def percentileNorm(documents: DataFrame): DataFrame = {
+    val bucketed = DistributedRank.withBucketOffsets(
+      documents.select(col("doc_id"), col("lang"), col("n_chars")),
+      key = "lang", ord = "n_chars", value = lit(1L))
+    val localW = Window
+      .partitionBy(col("lang"), col(DistributedRank.BucketCol))
+      .orderBy(col("n_chars"))
+    val n = documents.groupBy("lang").agg(count(lit(1)).as("n"))
+    bucketed
+      .withColumn("rk", rank().over(localW) + col(DistributedRank.OffsetCol))
+      .join(broadcast(n), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        when(col("n") === 1L, lit(0.0))
+          .otherwise((col("rk") - 1L).cast("double") / (col("n") - 1L).cast("double"))
+          .as("pct"))
+  }
+
+  val percentileNormSql: String =
+    """WITH r AS (SELECT doc_id, lang, n_chars,
+      |    rank() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars,
+      |  CASE WHEN n = 1 THEN 0.0
+      |       ELSE CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct
+      |FROM r""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> ((s, d) => bm25TopDocs(Tables.documents(s, d))),
+    "q_percentile_norm" -> ((s, d) => percentileNorm(Tables.documents(s, d))),
     "q_line_dedup" -> ((s, d) => lineDedup(Tables.documents(s, d))),
     "q_dup_rate_by_source" -> ((s, d) => dupRateBySource(Tables.documents(s, d))),
     "q_reservoir_sample" -> ((s, d) => reservoirSample(Tables.documents(s, d))),
@@ -1197,6 +1323,8 @@ object TextOps {
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_bm25" -> bm25TopDocsSql(),
+    "q_percentile_norm" -> percentileNormSql,
     "q_line_dedup" -> lineDedupSql,
     "q_dup_rate_by_source" -> dupRateBySourceSql,
     "q_reservoir_sample" -> reservoirSampleSql(),

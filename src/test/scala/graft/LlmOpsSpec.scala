@@ -648,4 +648,45 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.agg(sum("lines_removed")).head().getLong(0) > 0)
     out.unpersist()
   }
+
+  test("bm25: k per term max, rn dense, score non-increasing, every hit contains its term") {
+    val docs = Tables.documents(spark, sf)
+    val k = 5
+    val out = TextOps.bm25TopDocs(docs, k = k).cache()
+    // bounded: at most k rows per term, rn dense 1..n
+    val perTerm = out.groupBy("term")
+      .agg(count(lit(1)).as("n"), min("rn").as("mn"), max("rn").as("mx"))
+    assert(perTerm.filter(col("n") > k || col("mn") =!= 1 || col("mx") =!= col("n")).count() == 0)
+    assert(perTerm.count() == TextOps.Bm25Terms.size.toLong)
+    // ordering: within a term, score never increases as rn increases
+    val self = out.as("a").join(out.as("b"),
+      col("a.term") === col("b.term") && col("a.rn") < col("b.rn"))
+    assert(self.filter(col("a.score") < col("b.score")).count() == 0)
+    // relevance sanity: every returned doc actually contains the term
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term")).distinct()
+    assert(out.join(toks, Seq("doc_id", "term"), "left_anti").count() == 0,
+      "a top-k doc does not contain its query term")
+    out.unpersist()
+  }
+
+  test("percentile norm: pct in [0,1] with 0/1 attained per lang, ties equal, order preserved") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextOps.percentileNorm(docs).cache()
+    assert(out.count() == docs.count())
+    assert(out.filter(col("pct") < 0.0 || col("pct") > 1.0).count() == 0)
+    // per-lang extremes: min pct is 0 always; max pct is 1 unless the
+    // top n_chars value is tied (rank semantics) or the stratum is a singleton
+    val ext = out.groupBy("lang").agg(min("pct").as("mn"), max("pct").as("mx"),
+      count(lit(1)).as("n"), countDistinct("n_chars").as("nd"))
+    assert(ext.filter(col("mn") =!= 0.0).count() == 0)
+    assert(ext.filter(col("n") > 1 && col("nd") === col("n") && col("mx") =!= 1.0).count() == 0)
+    // ties share a percentile; strict order implies strictly higher pct
+    val pairs = out.as("a").join(out.as("b"),
+      col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+    assert(pairs.filter(col("a.n_chars") === col("b.n_chars") &&
+      col("a.pct") =!= col("b.pct")).count() == 0, "equal keys must share a percentile")
+    assert(pairs.filter(col("a.n_chars") < col("b.n_chars") &&
+      col("a.pct") >= col("b.pct")).count() == 0, "percentile must be strictly monotone in the key")
+    out.unpersist()
+  }
 }
