@@ -1549,6 +1549,7 @@ object Analytics {
     "q_winsorize" -> ((s, d) => winsorize(Tables.orders(s, d))),
     "q_salted_segment_revenue" -> ((s, d) =>
       saltedSegmentRevenue(Tables.orders(s, d), Tables.customer(s, d))),
+    "q_key_skew" -> ((s, d) => Skew.keySkew(Tables.orders(s, d))),
     "q1_pricing_summary" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
     "q_join_pushdown" -> ((s, d) =>
       joinPushdown(Tables.orders(s, d), Tables.customer(s, d),
@@ -1593,6 +1594,7 @@ object Analytics {
     "q_group_quantiles" -> groupQuantilesSql,
     "q_winsorize" -> winsorizeSql,
     "q_salted_segment_revenue" -> saltedSegmentRevenueSql,
+    "q_key_skew" -> Skew.keySkewSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q_join_pushdown" -> joinPushdownSql,
     "q_top_parts" -> topPartsSql,

@@ -843,7 +843,63 @@ object Embeddings {
        |       -((b.m).nv) AS votes
        |FROM b JOIN embeddings e ON b.q_id = e.vec_id""".stripMargin
 
+  /** C50: cluster-balanced diversity sampling — N vectors per learned
+    * IVF cluster, the embedding-space analog of C47's per-language
+    * strata (equal representation across semantic regions regardless of
+    * how lopsided the corpus density is; the cheap stand-in for
+    * facility-location coreset selection, whose greedy argmax is
+    * inherently sequential and has no faithful distributed form).
+    * Selection is the deterministic md5(vec_id) rank — same engine-
+    * portable selector as C38/C47 — so the sample is stable across
+    * reruns and partitionings.
+    *
+    * Scale: reuses the memoized k-means codebook (one 16-row broadcast
+    * model artifact — trains once per session, subsampled per
+    * [[TrainModAtScale]] at production); assignment is a broadcast
+    * argmin hash agg; the per-cluster pick is the bounded
+    * [[graft.functions.Exprs.MaxKScored]] heap — k map-side per
+    * (partition, cluster), shuffle O(clusters × N), never a per-cluster
+    * rank window (cluster id is a bounded key; at 100 TB a hot cluster
+    * would be one unsplittable window sort). Winners are clusters × N
+    * rows → broadcast back for the label join.
+    */
+  def clusterSample(embeddings: DataFrame, n: Int = 10): DataFrame = {
+    val q = quantized(embeddings)
+    val rkey = expr(TextOps.hexPrefixValSql("md5(CAST(vec_id AS STRING))"))
+    val keep = ivfAssign(q, kmeansCodebook(q))
+      .withColumn("rkey", rkey)
+      .groupBy("c_id")
+      .agg(Exprs.maxKScored(col("rkey").cast("double") * -1d, col("vec_id"), n).as("keep"))
+      .select(col("c_id"), posexplode(col("keep")).as(Seq("pos", "t")))
+      .select(col("t.id").as("vec_id"), col("c_id"),
+        (col("pos") + 1).cast("long").as("rn"))
+    embeddings.select(col("vec_id"), col("label"))
+      .join(broadcast(keep), "vec_id")
+      .select(col("vec_id"), col("c_id"), col("rn"), col("label"))
+  }
+
+  def clusterSampleSql(n: Int = 10): String =
+    s"""WITH q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
+       |${kmeansSqlCtes(KmeansIters)},
+       |cent AS (SELECT c_id, cqv, ${dotSqlFmt.format("cqv", "cqv")} AS cnrm FROM cent$KmeansIters),
+       |assign AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT n.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY n.nrm - 2 * ${dotSqlFmt.format("n.qv", "cent.cqv")} + cent.cnrm, cent.c_id) AS rn
+       |    FROM n, cent) WHERE rn = 1),
+       |r AS (SELECT vec_id, c_id,
+       |    ${TextOps.hexPrefixValSql("md5(CAST(vec_id AS VARCHAR))")} AS rkey
+       |  FROM assign),
+       |k AS (SELECT vec_id, c_id, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY c_id ORDER BY rkey, vec_id) AS rn
+       |  FROM r) WHERE rn <= $n)
+       |SELECT k.vec_id, k.c_id, k.rn, e.label
+       |FROM k JOIN embeddings e USING (vec_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_sample" -> ((s, d) => clusterSample(Tables.embeddings(s, d))),
     "q_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "q_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d))),
     "q_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d))),
@@ -854,6 +910,7 @@ object Embeddings {
     "q_neardup_cosine" -> ((s, d) => nearDupCosine(Tables.embeddings(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_cluster_sample" -> clusterSampleSql(),
     "q_knn_classify" -> knnClassifySql,
     "q_semdedup" -> semDedupSql,
     "q_ann_pq" -> annPqSql,

@@ -52,4 +52,50 @@ object Skew {
       .groupBy(col(key))
       .agg(size(array_distinct(flatten(collect_list(col("__partial")))))
         .cast("long").as("n_distinct"))
+
+  /** B40: keyed-skew telemetry — the probe you run BEFORE committing a
+    * join/agg strategy on a 100 TB frame: per-key row counts rolled into
+    * a frequency-of-frequencies histogram (the Good-Turing artifact)
+    * banded to two significant decimal digits, with each band's hottest
+    * key via one deterministic `max(struct(cnt, key))` argmax. A long
+    * tail of single-digit bands plus a lone 10^7 band is the signature
+    * that says "salt this" ([[saltedJoin]]) or "let AQE split it".
+    *
+    * The band is pure string arithmetic — the count's first two digits
+    * right-padded with zeros back to its own length (17 → 17,
+    * 1234 → 1200) — deliberately NOT `floor(log…)` or `power(10, …)`,
+    * whose float behavior at exact powers can differ across engines;
+    * substr/rpad/length agree byte-for-byte. Band count stays bounded:
+    * ≤ 9 one-digit bands + 90 per decade × 18 int64 decades.
+    *
+    * Scale: per-key count is the standard two-phase hash agg on the
+    * high-cardinality key; the band rollup reduces |keys| rows to the
+    * bounded band table with partial-agg-friendly count/sum/max — no
+    * window, no sort, nothing driver-side.
+    */
+  def keySkew(fact: DataFrame, key: String = "o_custkey"): DataFrame =
+    fact.groupBy(col(key).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", expr(
+        "CAST(rpad(substr(CAST(cnt AS STRING), 1, 2)," +
+          " length(CAST(cnt AS STRING)), '0') AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(struct(col("cnt").as("c"), col("k").as("u"))).as("m"))
+      .select(col("bucket"), col("n_keys"), col("n_rows"),
+        col("m.c").as("max_cnt"), col("m.u").as("hot_key"))
+
+  val keySkewSql: String =
+    """WITH k AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY o_custkey),
+      |b AS (SELECT CAST(rpad(substr(CAST(cnt AS VARCHAR), 1, 2),
+      |    CAST(length(CAST(cnt AS VARCHAR)) AS INTEGER), '0') AS BIGINT) AS bucket,
+      |  k, cnt FROM k)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  (max({'c': cnt, 'u': k})).c AS max_cnt,
+      |  (max({'c': cnt, 'u': k})).u AS hot_key
+      |FROM b GROUP BY bucket""".stripMargin
 }

@@ -1287,7 +1287,55 @@ object TextOps {
       |       ELSE CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct
       |FROM r""".stripMargin
 
+  /** C51: token-rarity quality signal — each document's mean global
+    * token frequency ("commonness") plus its rarest token's corpus
+    * count. The transcendental-free stand-in for unigram-LM perplexity
+    * filtering (CCNet-style): gibberish and mojibake score LOW
+    * commonness (tokens the corpus has never seen), boilerplate scores
+    * HIGH; both tails are what a curation pass wants flagged. All
+    * aggregates are exact int64; the single double division keeps the
+    * oracle hash-exact (no `ln`, per SURVEY §6).
+    *
+    * Scale: occurrences collapse to distinct (doc, term, c) BEFORE the
+    * vocabulary join — the join then carries one row per distinct term
+    * per doc (stopword skew deduped away), keyed on `term`, the
+    * high-cardinality key a vocabulary at 100 TB demands (the vocab
+    * side is corpus-wide — never broadcastable). Both groupBys and the
+    * final per-doc agg are two-phase partial-agg shapes.
+    */
+  def tokenRarity(documents: DataFrame): DataFrame = {
+    val dt = documents
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("c"))
+      .transform(GraftCache.persistTracked)
+    val gtf = dt.groupBy("term").agg(sum(col("c")).as("gtf"))
+    dt.join(gtf, "term")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tok"),
+        sum(col("c") * col("gtf")).as("sum_gtf"),
+        min(col("gtf")).as("rarest_gtf"))
+      .withColumn("commonness",
+        col("sum_gtf").cast("double") / col("n_tok").cast("double"))
+  }
+
+  val tokenRaritySql: String =
+    """WITH dt AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY doc_id, term),
+      |gtf AS (SELECT term, CAST(sum(c) AS BIGINT) AS gtf FROM dt GROUP BY term)
+      |SELECT dt.doc_id,
+      |  CAST(sum(dt.c) AS BIGINT) AS n_tok,
+      |  CAST(sum(dt.c * gtf.gtf) AS BIGINT) AS sum_gtf,
+      |  CAST(min(gtf.gtf) AS BIGINT) AS rarest_gtf,
+      |  CAST(sum(dt.c * gtf.gtf) AS DOUBLE) / CAST(sum(dt.c) AS DOUBLE) AS commonness
+      |FROM dt JOIN gtf USING (term)
+      |GROUP BY dt.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_rarity" -> ((s, d) => tokenRarity(Tables.documents(s, d))),
     "q_bm25" -> ((s, d) => bm25TopDocs(Tables.documents(s, d))),
     "q_percentile_norm" -> ((s, d) => percentileNorm(Tables.documents(s, d))),
     "q_line_dedup" -> ((s, d) => lineDedup(Tables.documents(s, d))),
@@ -1323,6 +1371,7 @@ object TextOps {
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_token_rarity" -> tokenRaritySql,
     "q_bm25" -> bm25TopDocsSql(),
     "q_percentile_norm" -> percentileNormSql,
     "q_line_dedup" -> lineDedupSql,

@@ -689,4 +689,42 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("a.pct") >= col("b.pct")).count() == 0, "percentile must be strictly monotone in the key")
     out.unpersist()
   }
+
+  test("cluster sample: <= n per cluster with dense rn, members belong to their cluster") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = 10
+    val out = Embeddings.clusterSample(emb, n = n).cache()
+    val perC = out.groupBy("c_id")
+      .agg(count(lit(1)).as("cnt"), min("rn").as("mn"), max("rn").as("mx"))
+    assert(perC.filter(col("cnt") > n || col("mn") =!= 1 || col("mx") =!= col("cnt")).count() == 0)
+    // sampled cluster assignment agrees with a fresh IVF assignment
+    val q = Embeddings.quantized(emb)
+    val assign = Embeddings.ivfAssign(q).withColumnRenamed("c_id", "true_c")
+    assert(out.join(assign, "vec_id").filter(col("c_id") =!= col("true_c")).count() == 0)
+    // deterministic: a second run picks the identical sample
+    val again = Embeddings.clusterSample(emb, n = n)
+    assert(out.select("vec_id", "c_id", "rn").except(
+      again.select("vec_id", "c_id", "rn")).count() == 0)
+    out.unpersist()
+  }
+
+  test("token rarity: exact token accounting, bounds hold, rarity is attained") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextOps.tokenRarity(docs).cache()
+    assert(out.count() == docs.count())
+    // n_tok matches the raw tokenization
+    val truth = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("true_n"))
+    assert(out.join(truth, "doc_id").filter(col("n_tok") =!= col("true_n")).count() == 0)
+    // commonness lies within [rarest_gtf, corpus max gtf]; rarest >= 1
+    assert(out.filter(col("rarest_gtf") < 1).count() == 0)
+    assert(out.filter(col("commonness") < col("rarest_gtf").cast("double")).count() == 0)
+    // sum of every doc's sum_gtf ties out to sum over terms of gtf^2
+    val gtf = docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("gtf"))
+    val lhs = out.agg(sum("sum_gtf")).head().getLong(0)
+    val rhs = gtf.agg(sum(col("gtf") * col("gtf"))).head().getLong(0)
+    assert(lhs == rhs, "per-doc commonness mass must equal sum of gtf^2 over the vocabulary")
+    out.unpersist()
+  }
 }

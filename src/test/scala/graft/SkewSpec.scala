@@ -50,4 +50,23 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.filter(col("exact_n") =!= col("n_distinct")).count() == 0)
     assert(joined.count() == exact.count())
   }
+
+  test("key skew: bands partition all rows and keys, hot key count is real") {
+    val o = Tables.orders(spark, sf)
+    val out = Skew.keySkew(o).cache()
+    // the histogram is a partition of the input: rows and keys add up
+    assert(out.agg(sum("n_rows")).head().getLong(0) == o.count())
+    assert(out.agg(sum("n_keys")).head().getLong(0) ==
+      o.select(countDistinct("o_custkey")).head().getLong(0))
+    // band membership: the band's max count two-sig-fig-rounds to the band
+    val band = expr("CAST(rpad(substr(CAST(max_cnt AS STRING), 1, 2)," +
+      " length(CAST(max_cnt AS STRING)), '0') AS BIGINT)")
+    assert(out.filter(band =!= col("bucket")).count() == 0)
+    // the hot key really has max_cnt rows
+    val counts = o.groupBy(col("o_custkey").as("hot_key"))
+      .agg(count(lit(1)).as("true_cnt"))
+    assert(out.join(counts, "hot_key")
+      .filter(col("true_cnt") =!= col("max_cnt")).count() == 0)
+    out.unpersist()
+  }
 }
