@@ -61,7 +61,12 @@ object ScaleAudit {
     // share, Q9's profit rollup, Q21's single-scan per-order collapse,
     // and the line-dedup explode→freq→reassemble chain
     "q8_market_share", "q9_product_profit", "q21_waiting_suppliers",
-    "q_line_dedup")
+    "q_line_dedup",
+    // round-5 batch 3: the new corpus-wide spines — BM25's
+    // dictionary-filtered tf chain, DistributedRank's bucket/prefix-sum
+    // composition, the vocabulary self-derived rarity join, and the
+    // per-key count double-agg
+    "q_bm25", "q_percentile_norm", "q_token_rarity", "q_key_skew")
 
   def buildScaled(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
     // events.ts stays a raw nanos long end-to-end: the flag reads the
