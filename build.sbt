@@ -33,4 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 123 distinct queries × whole-stage-codegen classes overflow the
+  // default 240 MB code cache; UseCodeCacheFlushing then silently evicts
+  // warm compiled methods, so late queries' warm runs re-JIT their hot
+  // loops every iteration (measured: q_triangles warm 6.3s in a full
+  // 123-query run vs 0.96s focused, same code). A long-lived session
+  // serving a large query surface needs the cache sized for it.
+  "-XX:ReservedCodeCacheSize=1g",
 )

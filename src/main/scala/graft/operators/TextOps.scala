@@ -460,6 +460,150 @@ object TextOps {
        |SELECT pair, count(*) AS n_occ FROM p
        |GROUP BY pair ORDER BY n_occ DESC, pair LIMIT $k""".stripMargin
 
+  /** Separator for BPE symbol sequences — U+001F (unit separator), not a
+    * character that occurs in document text, so a symbol string
+    * `␟a␟b␟c␟` delimits every symbol on BOTH sides and a literal search
+    * for `␟a␟b␟` can only match a genuine adjacent (a, b) symbol pair,
+    * never a substring of a longer symbol.
+    */
+  private val BpeSep = "\u001f"
+  private val BpeRounds = 8
+
+  /** C43 full trainer: k BPE merge rounds with corpus re-segmentation
+    * between rounds (the fixpoint [[bpeMerges]] computes only round 1
+    * of). Classic formulation: train on the DISTINCT-token frequency
+    * table (vocab-sized, not corpus-sized — the aggregation is the one
+    * corpus-wide shuffle; every round after it touches only the vocab),
+    * count adjacent symbol pairs weighted by token frequency, merge the
+    * most frequent pair everywhere, repeat.
+    *
+    * Per-round mechanics, all codegen builtins:
+    *  - segmentation state is ONE string per token: `␟s1␟s2␟…␟` with
+    *    U+001F around every symbol;
+    *  - pair counts: split + adjacent-pair transform (map-side explode)
+    *    into a partial+final hash agg on the bounded symbol-pair space;
+    *  - the winning pair (ties broken by (left, right) byte order, same
+    *    collation both engines) is a 1-row collect — a constant-size
+    *    model artifact per round, exactly like the k-means codebook;
+    *  - re-segmentation is `replace(seg, ␟a␟b␟, ␟ab␟)` applied TWICE:
+    *    left-to-right replace misses an occurrence exactly when it
+    *    shares its boundary separator with the previous match, and such
+    *    misses are always isolated (a replace cannot skip two
+    *    consecutive occurrences), so a second pass catches them all —
+    *    two linear scans equal greedy left-to-right BPE merging, with
+    *    the merged pair inlined as a LITERAL so the whole round stays
+    *    in whole-stage codegen.
+    *
+    * Iterative hygiene matches the CC/pageRank fixpoints: per-round
+    * persist + lineage cut (LogicalRDD leaf), superseded rounds
+    * unpersisted immediately, the whole merge table memoized per
+    * (input, k) — it is vocab-derived but CONSTANT-size (k rows), so it
+    * lives as a driver-local relation, not a tracked distributed frame.
+    * If the pair space dries up before k rounds (fully merged corpus)
+    * the trainer stops early; the generated oracle's empty-CTE cascade
+    * degrades identically.
+    */
+  def bpeTrain(documents: DataFrame, k: Int = BpeRounds): DataFrame = {
+    val spark = documents.sparkSession
+    GraftCache.memoArtifact(spark,
+      ("bpeTrain", documents.queryExecution.analyzed.canonicalized, k)) {
+      import org.apache.spark.storage.StorageLevel
+      val sep = lit(BpeSep)
+      val init = documents
+        .select(explode(toks).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok")
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"),
+          concat(sep, concat_ws(BpeSep,
+            filter(split(col("tok"), ""), s => s =!= lit(""))), sep).as("seg"))
+      var persisted = init.persist(StorageLevel.MEMORY_AND_DISK)
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      try {
+        persisted.count()
+        var seg = spark.createDataFrame(persisted.rdd, persisted.schema)
+        var round = 1
+        var dried = false
+        while (round <= k && !dried) {
+          val withSyms = seg
+            .select(col("cnt"),
+              filter(split(col("seg"), BpeSep), s => s =!= lit("")).as("syms"))
+            .filter(size(col("syms")) >= 2)
+          val top = withSyms
+            .select(col("cnt"),
+              explode(transform(sequence(lit(1), size(col("syms")) - 1),
+                i => struct(element_at(col("syms"), i).as("l"),
+                  element_at(col("syms"), i + 1).as("r")))).as("p"))
+            .groupBy(col("p.l").as("lft"), col("p.r").as("rgt"))
+            .agg(sum(col("cnt")).as("n_occ"))
+            .orderBy(col("n_occ").desc, col("lft"), col("rgt"))
+            .limit(1)
+            .collect() // 1 row: the round's winning pair (model artifact)
+          if (top.isEmpty) dried = true
+          else {
+            val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+            merges += ((round, l, r, l + r, n))
+            val pat = lit(BpeSep + l + BpeSep + r + BpeSep)
+            val rep = lit(BpeSep + l + r + BpeSep)
+            val next = seg
+              .withColumn("seg", replace(replace(col("seg"), pat, rep), pat, rep))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            next.count()
+            persisted.unpersist(blocking = true)
+            persisted = next
+            seg = spark.createDataFrame(next.rdd, next.schema)
+            round += 1
+          }
+        }
+        import spark.implicits._
+        merges.toSeq.toDF("round", "left_sym", "right_sym", "merged", "n_occ")
+          .orderBy("round")
+      } finally {
+        persisted.unpersist(blocking = true)
+      }
+    }
+  }
+
+  /** Unrolled-round oracle (pageRankSql pattern): the winning pair is
+    * re-derived per round in SQL — a static query cannot inline values
+    * the trainer discovers at runtime — so each round is a (pair-count,
+    * top-1, re-segment) CTE triple over the previous round's
+    * segmentation, with the same double-replace and the same
+    * (n_occ DESC, left, right) tie-break.
+    */
+  def bpeTrainSql(k: Int = BpeRounds): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT pr.l AS lft, pr.r AS rgt, CAST(sum(cnt) AS BIGINT) AS n_occ
+         |  FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |                 j -> struct_pack(l := syms[j], r := syms[j+1]))) AS pr
+         |    FROM (SELECT cnt,
+         |            list_filter(string_split(seg, chr(31)), x -> x <> '') AS syms
+         |          FROM s${i - 1}))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT lft, rgt, n_occ FROM p$i ORDER BY n_occ DESC, lft, rgt LIMIT 1),
+         |s$i AS (
+         |  SELECT cnt, replace(replace(seg,
+         |      chr(31) || lft || chr(31) || rgt || chr(31), chr(31) || lft || rgt || chr(31)),
+         |      chr(31) || lft || chr(31) || rgt || chr(31), chr(31) || lft || rgt || chr(31)) AS seg
+         |  FROM s${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map { i =>
+      s"SELECT $i AS round, lft AS left_sym, rgt AS right_sym, lft || rgt AS merged, n_occ FROM b$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tokx AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |t0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tokx
+       |       WHERE len(tok) > 0 GROUP BY tok),
+       |s0 AS (SELECT cnt,
+       |         chr(31) || array_to_string(string_split(tok, ''), chr(31)) || chr(31) AS seg
+       |       FROM t0),
+       |$rounds
+       |SELECT * FROM (
+       |  $out
+       |) ORDER BY round""".stripMargin
+  }
+
   /** C19: token-budget mix — training mixes are specified in TOKENS, not
     * documents: per language, keep documents in deterministic doc_id
     * order until the cumulative whitespace-token count reaches the
@@ -1357,6 +1501,7 @@ object TextOps {
     "q_curated_corpus" -> ((s, d) => curatedCorpus(Tables.documents(s, d))),
     "q_top_ngrams" -> ((s, d) => topNgrams(Tables.documents(s, d))),
     "q_bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
+    "q_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
     "q_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
     "q_stopword_strip" -> ((s, d) => stopwordStrip(Tables.documents(s, d))),
     "q_doc_freq" -> ((s, d) => docFreq(Tables.documents(s, d))),
@@ -1393,6 +1538,7 @@ object TextOps {
     "q_curated_corpus" -> curatedCorpusSql,
     "q_top_ngrams" -> topNgramsSql,
     "q_bpe_merges" -> bpeMergesSql(),
+    "q_bpe_train" -> bpeTrainSql(),
     "q_contamination" -> contaminationSql,
     "q_stopword_strip" -> stopwordStripSql,
     "q_doc_freq" -> docFreqSql,

@@ -189,6 +189,239 @@ object Sinks {
     fs.delete(prevRoot, true)
   }
 
+  // ---------------- manifest-commit versioned table (transactional MERGE) ----------------
+
+  /** Minimal commit-log table format, the transactional answer to
+    * [[mergeUpsertBucketed]]'s documented single-writer constraint (the
+    * reference gets transactions for free from PostgreSQL —
+    * instagram_scraper.py:203 `ON CONFLICT`; a 100 TB lakehouse table
+    * needs a commit protocol instead). The layout:
+    *
+    * {{{
+    * path/_commits/00000042.json   immutable manifest: version -> bucket dirs
+    * path/data/v00000042-b0003-<uuid>/   immutable per-bucket parquet dirs
+    * }}}
+    *
+    * Invariants, in the order that makes the protocol safe:
+    *  1. data dirs are IMMUTABLE and uniquely named — written fully
+    *     before any manifest references them, never modified after;
+    *  2. a manifest is PUBLISHED ATOMICALLY as `_commits/<n>.json` via an
+    *     atomic-exclusive create (POSIX `link(2)` of a fully-written temp
+    *     file on local filesystems — link fails EEXIST if the version is
+    *     taken; `FileSystem.create(overwrite = false)` elsewhere, which
+    *     HDFS makes atomic at the namenode). Losing the race means
+    *     another writer committed that version first;
+    *  3. readers resolve the HIGHEST manifest and read only dirs it
+    *     lists — so a read is always one complete committed snapshot:
+    *     no torn reads, and old versions stay readable (time travel)
+    *     until [[vacuumVersioned]] drops them;
+    *  4. writers are OPTIMISTIC: merge against version n, attempt commit
+    *     n+1, and on losing the race re-read the new latest and redo the
+    *     merge (bounded retries) — the lost-update guard: a winner's rows
+    *     are re-merged, never overwritten blind. Orphaned data dirs from
+    *     lost races are invisible (no manifest references them) and are
+    *     reclaimed by [[vacuumVersioned]].
+    */
+  object VersionedTable {
+    private val CommitsDir = "_commits"
+    private val DataDir = "data"
+
+    private def fsFor(spark: SparkSession, path: String) =
+      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def manifestName(v: Long): String = f"$v%08d.json"
+
+    private def readUtf8(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+    private def parseBuckets(txt: String): Map[Int, String] =
+      "\"(\\d+)\":\"([^\"]+)\"".r.findAllMatchIn(txt)
+        .map(m => m.group(1).toInt -> m.group(2)).toMap
+
+    /** (version, bucket -> data dir relative to table root), or None for
+      * an uninitialized table.
+      */
+    def latestManifest(spark: SparkSession, path: String): Option[(Long, Map[Int, String])] = {
+      val fs = fsFor(spark, path)
+      val cdir = new Path(path, CommitsDir)
+      if (!fs.exists(cdir)) return None
+      val versions = fs.listStatus(cdir).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.endsWith(".json")) n.stripSuffix(".json").toLongOption else None
+      }
+      if (versions.isEmpty) return None
+      val v = versions.max
+      Some((v, parseBuckets(readUtf8(fs, new Path(cdir, manifestName(v))))))
+    }
+
+    /** Atomic-exclusive publish of manifest `v`; true iff this writer won
+      * the version. Content is fully durable before the name appears
+      * (temp write + atomic link/rename-style create), so a reader that
+      * sees the manifest sees all of it.
+      */
+    private def publish(spark: SparkSession, path: String, v: Long,
+                        buckets: Map[Int, String]): Boolean = {
+      val fs = fsFor(spark, path)
+      val cdir = new Path(path, CommitsDir)
+      fs.mkdirs(cdir)
+      val body = buckets.toSeq.sorted
+        .map { case (b, d) => s""""$b":"$d"""" }
+        .mkString(s"""{"version":$v,"buckets":{""", ",", "}}")
+      val dst = new Path(cdir, manifestName(v))
+      val tmp = new Path(cdir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val won =
+        if ("file" == dst.toUri.getScheme || dst.toUri.getScheme == null) {
+          // local FS: Hadoop's rename/create are NOT atomic-exclusive
+          // (File.renameTo overwrites; create(false) is check-then-act).
+          // POSIX link(2) is: it fails EEXIST atomically.
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dst.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } else {
+          // HDFS & friends: create(overwrite = false) is atomic at the
+          // namenode. Two-step (tmp + copy) keeps content-completeness:
+          // losing here can only happen at the exclusive create.
+          try {
+            val o = fs.create(dst, false)
+            try o.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally o.close()
+            true
+          } catch { case _: java.io.IOException => false }
+        }
+      fs.delete(tmp, false)
+      won
+    }
+
+    /** Snapshot read: the version's bucket dirs as one DataFrame (latest
+      * version when `version` is None). Empty frame with delta's schema
+      * is impossible here — an uninitialized table throws; check with
+      * [[latestManifest]] first if absence is expected.
+      */
+    def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+      val (v, buckets) = version match {
+        case Some(want) =>
+          val fs = fsFor(spark, path)
+          val p = new Path(new Path(path, CommitsDir), manifestName(want))
+          require(fs.exists(p), s"VersionedTable: no manifest $want at $path")
+          (want, parseBuckets(readUtf8(fs, p)))
+        case None =>
+          latestManifest(spark, path).getOrElse(
+            throw new IllegalStateException(s"VersionedTable: no commits at $path"))
+      }
+      val dirs = buckets.values.toSeq.sorted.map(d => new Path(path, d).toString)
+      spark.read.parquet(dirs: _*)
+    }
+
+    /** Transactional latest-wins MERGE: optimistic-concurrency upsert of
+      * `delta` into the versioned table. Touched buckets are re-merged
+      * against the snapshot this attempt read; untouched buckets carry
+      * over by reference (manifest entry copy — zero data movement). On
+      * losing the commit race the attempt REDOES the merge against the
+      * winner's snapshot, so concurrent writers' rows survive each other
+      * (no lost update); readers always see a complete committed
+      * version (no torn read). SinksSpec proves both under real
+      * concurrent writers.
+      */
+    def mergeUpsert(spark: SparkSession, path: String, delta: DataFrame,
+                    keys: Seq[String], versionCol: String,
+                    numBuckets: Int = 64, maxRetries: Int = 20): Unit = {
+      val fs = fsFor(spark, path)
+      val bucket = pmod(hash(keys.map(col): _*), lit(numBuckets))
+      val deltaB = delta.withColumn("bucket", bucket)
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new java.io.IOException(
+            s"VersionedTable.mergeUpsert: lost the commit race $maxRetries times at $path")
+        val current = latestManifest(spark, path)
+        val (baseVersion, baseBuckets) = current.getOrElse((-1L, Map.empty[Int, String]))
+        val next = baseVersion + 1
+        // affected-bucket ids: bounded by numBuckets — partition
+        // metadata, not data (constant-size driver collect).
+        val touched = deltaB.select("bucket").distinct()
+          .collect().map(_.getInt(0)).sorted
+        val baseSlice = {
+          val dirs = touched.flatMap(baseBuckets.get).map(d => new Path(path, d).toString)
+          if (dirs.isEmpty) deltaB.limit(0)
+          else spark.read.parquet(dirs.toIndexedSeq: _*)
+        }
+        val merged = latestWins(baseSlice, deltaB, keys, versionCol)
+        // stage immutable per-bucket dirs, then move under data/ with
+        // version-unique names (one Spark write job for all buckets)
+        val stamp = java.util.UUID.randomUUID().toString.take(8)
+        val staging = new Path(path, s".staging-$stamp")
+        // partitionBy strips its column from the data files, but later
+        // merges need `bucket` IN the base data (latestWins unions base
+        // and delta by name) — so stage under a duplicate partition
+        // column and keep `bucket` as a data column.
+        merged.withColumn("__pb", col("bucket"))
+          .repartition(col("__pb"))
+          .write.mode(SaveMode.Overwrite).partitionBy("__pb").parquet(staging.toString)
+        val newDirs = touched.flatMap { b =>
+          val src = new Path(staging, s"__pb=$b")
+          if (!fs.exists(src)) None // bucket merged to empty (can't happen with latest-wins)
+          else {
+            val rel = f"$DataDir/v$next%08d-b$b%04d-$stamp"
+            fs.mkdirs(new Path(path, DataDir))
+            if (!fs.rename(src, new Path(path, rel)))
+              throw new java.io.IOException(s"VersionedTable: rename $src failed")
+            Some(b -> rel)
+          }
+        }.toMap
+        fs.delete(staging, true)
+        committed = publish(spark, path, next, baseBuckets ++ newDirs)
+        if (!committed) {
+          // lost the race: drop this attempt's orphan dirs and retry
+          // against the winner's snapshot
+          newDirs.values.foreach(d => fs.delete(new Path(path, d), true))
+        }
+      }
+    }
+
+    /** Drop manifests older than the newest `keep` and every data dir no
+      * surviving manifest references. Readers pinned to vacuumed
+      * versions fail cleanly (missing manifest), never see partial data.
+      */
+    def vacuumVersioned(spark: SparkSession, path: String, keep: Int = 2): Unit = {
+      val fs = fsFor(spark, path)
+      val cdir = new Path(path, CommitsDir)
+      if (!fs.exists(cdir)) return
+      val versions = fs.listStatus(cdir).flatMap { st =>
+        st.getPath.getName.stripSuffix(".json").toLongOption.map(_ -> st.getPath)
+      }.sortBy(-_._1)
+      val (keepV, dropV) = versions.splitAt(math.max(keep, 1))
+      val live: Set[String] = keepV.flatMap { case (v, _) =>
+        latestManifestAt(spark, path, v).values
+      }.toSet
+      dropV.foreach { case (_, p) => fs.delete(p, false) }
+      val ddir = new Path(path, DataDir)
+      if (fs.exists(ddir)) fs.listStatus(ddir).foreach { st =>
+        if (!live.contains(s"$DataDir/${st.getPath.getName}"))
+          fs.delete(st.getPath, true)
+      }
+    }
+
+    private def latestManifestAt(spark: SparkSession, path: String, v: Long): Map[Int, String] = {
+      val fs = fsFor(spark, path)
+      val p = new Path(new Path(path, CommitsDir), manifestName(v))
+      if (!fs.exists(p)) Map.empty
+      else parseBuckets(readUtf8(fs, p))
+    }
+  }
+
   // ---------------- z-order layout (multi-dimensional data skipping) ----------------
 
   /** Morton/z-order interleave of two non-negative 16-bit-clamped

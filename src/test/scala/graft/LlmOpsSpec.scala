@@ -346,6 +346,44 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(brute == c0, s"top pair $p0: brute $brute != $c0")
   }
 
+  test("bpe trainer: greedy merge semantics, monotone counts, re-segmentation consistency") {
+    val s = spark
+    import s.implicits._
+    // handcrafted corpus where greedy left-to-right merging matters:
+    // "ababab" has 3 (a,b) pairs but also 2 (b,a) pairs; after merging
+    // (a,b) everywhere, round 2 must count pairs over the RE-SEGMENTED
+    // corpus (ab|ab|ab → (ab,ab)×2), never the original characters.
+    val docs = Seq(
+      (1L, "ababab ababab"), (2L, "ababab"), (3L, "aaab"), (4L, "xy"))
+      .toDF("doc_id", "text")
+    val m = TextOps.bpeTrain(docs, k = 3).collect()
+    assert(m.length == 3)
+    val r1 = m.find(_.getInt(0) == 1).get
+    // (a,b) occurs 3+3+3+1 = 10 times (weighted by token multiplicity:
+    // "ababab" count 3 → 9, plus one in "aaab")
+    assert(r1.getString(1) == "a" && r1.getString(2) == "b" && r1.getLong(4) == 10L)
+    val r2 = m.find(_.getInt(0) == 2).get
+    // re-segmented: ababab → ab|ab|ab (×3 tokens) gives (ab,ab)×2 each = 6;
+    // aaab → a|a|ab gives (a,a)=1,(a,ab)=1; xy gives (x,y)=1
+    assert(r2.getString(1) == "ab" && r2.getString(2) == "ab" && r2.getLong(4) == 6L)
+    assert(r2.getString(3) == "abab")
+    // counts can rise round-over-round only via newly-created symbols;
+    // merged symbol is always left||right
+    m.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("bpe trainer: dries up early on a fully-mergeable corpus instead of erroring") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // round 1 merges (a,b); afterwards every token is one symbol — no
+    // pairs remain, so rounds 2..5 must not exist
+    val m = TextOps.bpeTrain(docs, k = 5).collect()
+    assert(m.length == 1 && m.head.getString(3) == "ab")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("bloom dedup with an EMPTY historical side keeps every delta row unknown") {
     val s = spark
     import s.implicits._
