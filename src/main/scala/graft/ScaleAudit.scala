@@ -66,7 +66,12 @@ object ScaleAudit {
     // dictionary-filtered tf chain, DistributedRank's bucket/prefix-sum
     // composition, the vocabulary self-derived rarity join, and the
     // per-key count double-agg
-    "q_bm25", "q_percentile_norm", "q_token_rarity", "q_key_skew")
+    "q_bm25", "q_percentile_norm", "q_token_rarity", "q_key_skew",
+    // round-6: the iterative/graph family — fixpoints whose round
+    // structure must hold when components get 10× heavier: triangle
+    // wedges, hub-capped FoF, the bigint PageRank loop, both CC engines
+    "q_triangles", "q_friend_recs", "q_pagerank",
+    "q_dedup_clusters", "q_dedup_clusters_ls")
 
   def buildScaled(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
     // events.ts stays a raw nanos long end-to-end: the flag reads the
@@ -146,6 +151,99 @@ object ScaleAudit {
       // final plan must keep the top-k as sort+limit at 10×
       if (!plan.contains("TakeOrderedAndProject")) {
         bad += 1; println("[scale] FAIL q21: top-k lost TakeOrderedAndProject")
+      }
+    }
+    results.find(_._1 == "q_friend_recs").foreach { case (_, _, _, plan) =>
+      // the top-k must stay the bounded heap aggregate — a rank window
+      // sneaking back in would sort every candidate per user at scale
+      if (plan.contains("Window")) {
+        bad += 1; println("[scale] FAIL q_friend_recs: rank window replaced the bounded heap")
+      }
+    }
+    // The two CC engines (O(diameter) min-label vs O(log n) star
+    // alternation) must still agree label-for-label on the 10× dup
+    // graph — the strongest convergence assertion available without
+    // instrumenting round counts: a fixpoint stopping one round early
+    // in either engine splits a cluster and breaks the equality.
+    if (names.contains("q_dedup_clusters") && names.contains("q_dedup_clusters_ls")) {
+      GraftCache.releaseAll(spark)
+      val a = SparkEntry.queries("q_dedup_clusters")(spark, out)
+      val b = SparkEntry.queries("q_dedup_clusters_ls")(spark, out)
+        .withColumnRenamed("cluster_id", "cluster_id_ls")
+        .select("doc_id", "cluster_id_ls")
+      val diff = a.join(b, "doc_id")
+        .filter(col("cluster_id") =!= col("cluster_id_ls")).count()
+      if (diff != 0) {
+        bad += 1; println(s"[scale] FAIL CC engines disagree on $diff docs at ${mult}x")
+      } else println(s"[scale] CC engines agree label-for-label at ${mult}x")
+    }
+    if (names.contains("q_pagerank")) {
+      GraftCache.releaseAll(spark)
+      // rank mass is conserved-or-leaked, never created: ranks start at
+      // Scale/n (total mass = Scale ≡ 1.0) and every round redistributes
+      // with floor divisions — the total can only shrink (dangling +
+      // floor leaks). A loop bug that double-ships contributions pushes
+      // the sum PAST Scale at 10x graph size.
+      val pr = SparkEntry.queries("q_pagerank")(spark, out)
+      val agg = pr.agg(sum(col("rank_scaled")).as("s"), count(lit(1)).as("n")).head()
+      val (s, n) = (agg.getLong(0), agg.getLong(1))
+      if (s > 1000000000000L) {
+        bad += 1; println(s"[scale] FAIL q_pagerank: rank mass created ($s over $n nodes)")
+      } else println(f"[scale] q_pagerank mass conserved: ${s / 1e12}%.4f of 1.0 across $n nodes")
+    }
+    // DistributedRank crossover: q_token_budget_mix deliberately trades
+    // a bounded-key running-sum window (one task per language, however
+    // big the language) for range-bucketed prefix sums with offset-based
+    // bucket PRUNING. Small or evenly-mixed corpora cannot embarrass a
+    // single-task sort (measured: 1M docs / 10 even langs → window wins
+    // 1.4×; even 20M docs / 5 even langs → window wins 1.6×, its
+    // 4M-row per-task sorts cheaper than DR's three scans), so the
+    // crossover is demonstrated where the hazard actually lives and
+    // real corpora actually sit: LANGUAGE SKEW. 20M synthetic docs with
+    // a 99%-dominant language put ~19.8M rows through ONE window task —
+    // the serialization the operator exists to avoid — while
+    // DistributedRank's scans stay fully parallel and every bucket past
+    // the token budget is pruned before its local window. Assertion:
+    // DR must win outright there — if it cannot, revert to the window.
+    if (names.contains("q_token_budget_mix") || names == defaultQueries) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.storage.StorageLevel
+      GraftCache.releaseAll(spark)
+      val big = spark.range(0L, 20000000L, 1L, 64).select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(100L)) < 99L, lit("lang_dominant"))
+          .otherwise(concat(lit("lang_"), pmod(col("id"), lit(4)))).as("lang"),
+        (lit(50L) + pmod(col("id"), lit(100L))).as("n_tok"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nBig = big.count() // materialize: both variants read the same cache
+      def timeIt(df: => DataFrame): Double = {
+        val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+      }
+      val budget = 500000L
+      val wLocal = Window.partitionBy("lang", operators.DistributedRank.BucketCol)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dr = operators.DistributedRank
+        .withBucketOffsets(big, "lang", "doc_id", col("n_tok"), 1024)
+        .filter(col(operators.DistributedRank.OffsetCol) < budget)
+        .withColumn("cum_tok",
+          col(operators.DistributedRank.OffsetCol) + sum(col("n_tok")).over(wLocal))
+        .filter(col("cum_tok") - col("n_tok") < budget)
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val windowVariant = big
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") - col("n_tok") < budget)
+      // warm both once (JIT/codegen), then time
+      timeIt(dr); timeIt(windowVariant)
+      val drSec = timeIt(dr)
+      val winSec = timeIt(windowVariant)
+      big.unpersist(blocking = true)
+      println(f"[scale] DistributedRank crossover at $nBig docs / 5 langs: " +
+        f"DR $drSec%.2fs vs single-task window $winSec%.2fs")
+      if (drSec > winSec) {
+        bad += 1
+        println("[scale] FAIL DistributedRank has not crossed over the single-task window at this size")
       }
     }
     println(s"[scale] == $bad violations ==")

@@ -518,6 +518,145 @@ object Multimodal {
       }(enc)
   }
 
+  // ---------------- MP4/MOV container parse (pure-JVM atom walk) ----------------
+
+  private def u32be(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def u64be(b: Array[Byte], off: Int): Long =
+    (u32be(b, off) << 32) | u32be(b, off + 4)
+
+  val mp4MetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("major_brand", StringType, nullable = true),
+    StructField("duration_s", DoubleType, nullable = true),
+    StructField("n_tracks", IntegerType, nullable = true),
+    StructField("n_video", IntegerType, nullable = true),
+    StructField("n_audio", IntegerType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+
+  /** MP4/MOV (ISO BMFF) container metadata: the `moov` atom walk every
+    * real multimodal corpus needs — `ftyp` major brand, `mvhd`
+    * timescale/duration, per-`trak` `tkhd` dims (16.16 fixed point) and
+    * `hdlr` handler type (video/audio track counts) — pure JVM, no
+    * codec, no frame decode. Complements [[decodeVideo]]'s RIFF/AVI
+    * path: AVI is what the JDK can frame-decode, ISO BMFF is what
+    * corpora actually contain, and its header parse alone powers
+    * dedup/quality gates (dims, duration, track shape) at 100 TB.
+    *
+    * Untrusted-bytes contract (same as the AVI walk): 32-bit AND 64-bit
+    * (`size == 1`) box lengths in Long math, every offset bounds-checked,
+    * `size == 0` (to-end-of-file) terminates the level, recursion
+    * depth-limited — a hostile header degrades to `decode_ok = false`
+    * or a truncated-but-sane parse, never an error or runaway scan.
+    */
+  def parseMp4Meta(payload: Array[Byte])
+      : Option[(String, Double, Int, Int, Int, Option[Int], Option[Int])] = {
+    if (payload == null || payload.length < 16) return None
+    try {
+      var brand: String = null
+      var timescale = 0L
+      var duration = 0L
+      var haveMvhd = false
+      var nTracks = 0
+      var nVideo = 0
+      var nAudio = 0
+      var maxW = 0
+      var maxH = 0
+      // per-trak state, committed when the trak's boxes are all seen
+      var trakW = 0
+      var trakH = 0
+      var trakHandler: String = null
+
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        var off = from
+        while (off + 8 <= to && depth < 8) {
+          val size32 = u32be(payload, off.toInt)
+          val id = fourcc(payload, off.toInt + 4)
+          val (hdr, size) =
+            if (size32 == 1L) {
+              if (off + 16 > to) return
+              (16L, u64be(payload, off.toInt + 8))
+            } else if (size32 == 0L) (8L, to - off) // box extends to end
+            else (8L, size32)
+          if (size < hdr || off + size > to) return // truncated/hostile
+          val dataStart = off + hdr
+          val dataEnd = off + size
+          id match {
+            case "ftyp" if size - hdr >= 4 =>
+              brand = fourcc(payload, dataStart.toInt).trim
+            case "moov" => walk(dataStart, dataEnd, depth + 1)
+            case "trak" =>
+              trakW = 0; trakH = 0; trakHandler = null
+              walk(dataStart, dataEnd, depth + 1)
+              nTracks += 1
+              if (trakHandler == "vide") {
+                nVideo += 1
+                if (trakW > 0 && trakH > 0) { maxW = math.max(maxW, trakW); maxH = math.max(maxH, trakH) }
+              } else if (trakHandler == "soun") nAudio += 1
+            case "mdia" => walk(dataStart, dataEnd, depth + 1)
+            case "mvhd" if size - hdr >= 20 =>
+              val v = payload(dataStart.toInt) & 0xff
+              if (v == 1 && size - hdr >= 32) {
+                timescale = u32be(payload, dataStart.toInt + 20)
+                duration = u64be(payload, dataStart.toInt + 24)
+                haveMvhd = true
+              } else if (v == 0) {
+                timescale = u32be(payload, dataStart.toInt + 12)
+                duration = u32be(payload, dataStart.toInt + 16)
+                haveMvhd = true
+              }
+            case "tkhd" if size - hdr >= 84 =>
+              val v = payload(dataStart.toInt) & 0xff
+              // width/height: 16.16 fixed point at the end of the box
+              // (after matrix); version 1 widens the three time fields
+              val wOff = if (v == 1) 88 else 76
+              if (size - hdr >= wOff + 8) {
+                trakW = (u32be(payload, dataStart.toInt + wOff) >> 16).toInt
+                trakH = (u32be(payload, dataStart.toInt + wOff + 4) >> 16).toInt
+              }
+            case "hdlr" if size - hdr >= 12 =>
+              trakHandler = fourcc(payload, dataStart.toInt + 8)
+            case _ => // skip: mdat, free, udta, codec boxes, ...
+          }
+          off = dataEnd
+        }
+      }
+      walk(0L, payload.length.toLong, 0)
+      if (!haveMvhd || timescale <= 0) return None
+      Some((Option(brand).getOrElse(""), duration.toDouble / timescale,
+        nTracks, nVideo, nAudio,
+        if (maxW > 0) Some(maxW) else None, if (maxH > 0) Some(maxH) else None))
+    } catch { case _: Exception => None }
+  }
+
+  /** Batched MP4/MOV metadata extraction: same mapPartitions /
+    * fixed-batch contract as the other modality paths, unparseable
+    * payloads quarantined in-band (`decode_ok = false`).
+    */
+  def extractMp4Meta(media: DataFrame,
+                     batchSize: Int = DefaultBatchSize): DataFrame = {
+    val enc = RowEncoder.encoderFor(mp4MetaSchema)
+    media
+      .select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            parseMp4Meta(if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)) match {
+              case Some((brand, dur, nt, nv, na, w, h)) =>
+                Row(r.getLong(0), true, brand, dur, nt, nv, na,
+                  w.map(Integer.valueOf).orNull, h.map(Integer.valueOf).orNull)
+              case None =>
+                Row(r.getLong(0), false, null, null, null, null, null, null, null)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling for "video" payloads: split the byte stream into
     * fixed-size frames, keep every k-th — pure Spark-side slicing, the
     * shape a real video pipeline uses before per-frame decode.

@@ -604,6 +604,83 @@ object TextOps {
        |) ORDER BY round""".stripMargin
   }
 
+  /** C43c: tokenizer APPLY — encode the corpus with the merge table
+    * [[bpeTrain]] learned and report per-doc whitespace-token vs
+    * BPE-token counts (the compression telemetry a tokenizer-induction
+    * pipeline ships). Zero shuffle: the k learned merges are a
+    * constant-size model artifact (memoized collect), inlined as 2k
+    * literal `replace` calls over a WHOLE-DOC symbol string — the space
+    * character rides along as an ordinary symbol that no learned pair
+    * can bridge (pairs were counted inside whitespace tokens only), so
+    * whole-doc application ≡ per-token application without exploding
+    * the corpus. Everything stays in whole-stage codegen.
+    */
+  def bpeEncode(documents: DataFrame, k: Int = BpeRounds): DataFrame = {
+    val merges = bpeTrain(documents, k)
+      .select("left_sym", "right_sym").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sep = lit(BpeSep)
+    val seg0 = concat(sep, concat_ws(BpeSep,
+      filter(split(col("text"), ""), s => s =!= lit(""))), sep)
+    val segFinal = merges.foldLeft(seg0) { case (acc, (l, r)) =>
+      val pat = lit(BpeSep + l + BpeSep + r + BpeSep)
+      val rep = lit(BpeSep + l + r + BpeSep)
+      replace(replace(acc, pat, rep), pat, rep)
+    }
+    documents.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      size(filter(split(segFinal, BpeSep),
+        s => s =!= lit("") && s =!= lit(" "))).cast("long").as("n_bpe_tokens"))
+  }
+
+  /** Oracle: re-derive the merge table with [[bpeTrainSql]]'s CTE chain,
+    * then thread a doc-level segmentation column through the same k
+    * (pair → double-replace) rounds.
+    */
+  def bpeEncodeSql(k: Int = BpeRounds): String = {
+    val vocabRounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT pr.l AS lft, pr.r AS rgt, CAST(sum(cnt) AS BIGINT) AS n_occ
+         |  FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |                 j -> struct_pack(l := syms[j], r := syms[j+1]))) AS pr
+         |    FROM (SELECT cnt,
+         |            list_filter(string_split(seg, chr(31)), x -> x <> '') AS syms
+         |          FROM s${i - 1}))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT lft, rgt FROM p$i ORDER BY n_occ DESC, lft, rgt LIMIT 1),
+         |s$i AS (
+         |  SELECT cnt, replace(replace(seg,
+         |      chr(31) || lft || chr(31) || rgt || chr(31), chr(31) || lft || rgt || chr(31)),
+         |      chr(31) || lft || chr(31) || rgt || chr(31), chr(31) || lft || rgt || chr(31)) AS seg
+         |  FROM s${i - 1} CROSS JOIN b$i),
+         |d$i AS (
+         |  -- LEFT JOIN ON TRUE: a dried-up merge round (empty b$i) must
+         |  -- leave docs unchanged, not erase them like a cross join would
+         |  SELECT doc_id, n_ws_tokens,
+         |    CASE WHEN lft IS NULL THEN dseg ELSE replace(replace(dseg,
+         |      chr(31) || lft || chr(31) || rgt || chr(31), chr(31) || lft || rgt || chr(31)),
+         |      chr(31) || lft || chr(31) || rgt || chr(31), chr(31) || lft || rgt || chr(31)) END AS dseg
+         |  FROM d${i - 1} LEFT JOIN b$i ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tokx AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |t0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tokx
+       |       WHERE len(tok) > 0 GROUP BY tok),
+       |s0 AS (SELECT cnt,
+       |         chr(31) || array_to_string(string_split(tok, ''), chr(31)) || chr(31) AS seg
+       |       FROM t0),
+       |d0 AS (SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |         chr(31) || array_to_string(string_split(text, ''), chr(31)) || chr(31) AS dseg
+       |       FROM documents),
+       |$vocabRounds
+       |SELECT doc_id, n_ws_tokens,
+       |  CAST(len(list_filter(string_split(dseg, chr(31)),
+       |       x -> x <> '' AND x <> ' ')) AS BIGINT) AS n_bpe_tokens
+       |FROM d$k""".stripMargin
+  }
+
   /** C19: token-budget mix — training mixes are specified in TOKENS, not
     * documents: per language, keep documents in deterministic doc_id
     * order until the cumulative whitespace-token count reaches the
@@ -1502,6 +1579,7 @@ object TextOps {
     "q_top_ngrams" -> ((s, d) => topNgrams(Tables.documents(s, d))),
     "q_bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
     "q_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
+    "q_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d))),
     "q_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
     "q_stopword_strip" -> ((s, d) => stopwordStrip(Tables.documents(s, d))),
     "q_doc_freq" -> ((s, d) => docFreq(Tables.documents(s, d))),
@@ -1539,6 +1617,7 @@ object TextOps {
     "q_top_ngrams" -> topNgramsSql,
     "q_bpe_merges" -> bpeMergesSql(),
     "q_bpe_train" -> bpeTrainSql(),
+    "q_bpe_encode" -> bpeEncodeSql(),
     "q_contamination" -> contaminationSql,
     "q_stopword_strip" -> stopwordStripSql,
     "q_doc_freq" -> docFreqSql,

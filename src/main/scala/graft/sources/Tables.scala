@@ -39,12 +39,33 @@ object Tables {
     *    what DuckDB's `epoch_us(ts)` sees.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
+    // Probe-first: read the footer WITHOUT the legacy flag, and set it
+    // only when the file really is NANOS-encoded (the un-flagged read
+    // then fails schema conversion). A MICROS events table therefore
+    // never flips session-wide parquet semantics for OTHER nanos
+    // tables read later; when the flag is needed it must stay set for
+    // the session — the columnar reader re-consults it at execution,
+    // so a scoped save/restore would break the deferred scan.
+    val raw =
+      try load(s, d, "events")
+      catch {
+        case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          load(s, d, "events")
+      }
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
+        // NTZ wall-clock is UTC by data contract; the cast to
+        // TimestampType interprets it in the SESSION zone, so it is
+        // micros-identity only under UTC. Fail loudly instead of
+        // silently shifting event times for a non-UTC caller.
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"Tables.events: events.ts is UTC wall-clock TIMESTAMP_NTZ; " +
+            s"set spark.sql.session.timeZone=UTC (session has '$tz') — " +
+            "GraftSession.tune does this")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }

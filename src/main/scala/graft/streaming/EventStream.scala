@@ -431,6 +431,186 @@ object EventStream {
       }
       .start()
 
+  /** Streaming twin of C26b ([[graft.operators.Sketches.dedupIncrementalBloom]]):
+    * Bloom-pruned incremental dedup where "historical" = everything the
+    * stream has committed in PRIOR batches. The fingerprint index is a
+    * parquet set at `indexPath/fps` (merged per batch, same mergeUpsert
+    * path as [[streamingLineDedup]]'s index); next to it lives a BLOOM
+    * SIDECAR (`indexPath/bloom.bin` + `bloom.json`) — the compacted
+    * probe structure each batch consults BEFORE the exact join, so the
+    * join's shuffle carries only probable-duplicate rows, not the whole
+    * ingest (the C26b semi-join reduction, continuously maintained).
+    *
+    * Rebuild-or-merge per batch:
+    *  - while the index cardinality fits the sidecar's sized capacity,
+    *    the batch's new fingerprints are folded in by BLOOM UNION —
+    *    build a batch-only filter with the SAME (capacity, numBits)
+    *    parameters and `mergeInPlace` (bitwise OR; Spark's
+    *    `util.sketch.BloomFilter`, the exact class behind
+    *    `graft_bloom_agg`) — constant driver-side work, no index scan;
+    *  - when the index outgrows capacity (fpp would degrade), the
+    *    sidecar is REBUILT from the full fps index at 2× headroom —
+    *    amortized O(1) rebuilds, the standard doubling schedule.
+    * The sidecar is advisory state: a crash between index merge and
+    * sidecar write just means the next batch sees a stale (smaller)
+    * filter — false-negative-free probing is preserved because missing
+    * fingerprints only ADD exact-join work (`maybe` mishits), never skip
+    * it... strictly: a fp in the index but not the filter would probe
+    * `maybe=false` and report is_known=false — so the sidecar is
+    * written FIRST (filter may over-contain: false positives fall to
+    * the exact join and resolve correctly; the reverse order could
+    * under-contain and lose known-flags on replay).
+    *
+    * Delivery: foreachBatch at-least-once; a replayed batch re-merges
+    * the same fps (idempotent on the set) and re-probes against a
+    * filter that may already contain them — its rows then resolve
+    * through the exact join against the index, which by the
+    * sidecar-first order already holds them, reporting is_known=true
+    * for the replay (the honest at-least-once answer).
+    */
+  def streamingDedupIncrementalBloom(docs: DataFrame, indexPath: String,
+                                     outPath: String, checkpoint: String,
+                                     fpp: Double = 0.01): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) processBloomDedupBatch(batch.toDF(), indexPath, outPath, fpp)
+      }
+      .start()
+
+  /** One micro-batch of the Bloom-pruned incremental dedup — factored
+    * out so StreamingSpec can also drive it directly for the
+    * batch-equivalence assertion. Order of operations (crash-safety):
+    * probe/output against PRE-batch state, then sidecar
+    * (over-containment is safe — false positives resolve in the exact
+    * join), then index merge.
+    */
+  private[graft] def processBloomDedupBatch(batch: DataFrame, indexPath: String,
+                                            outPath: String, fpp: Double): Unit = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fpsPath = new org.apache.hadoop.fs.Path(root, "fps")
+    val binPath = new org.apache.hadoop.fs.Path(root, "bloom.bin")
+    val metaPath = new org.apache.hadoop.fs.Path(root, "bloom.json")
+
+    def readBytes(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      buf
+    }
+    def writeAtomic(p: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(root, s".tmp-${p.getName}")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"bloom sidecar rename $tmp -> $p failed")
+    }
+    // distributed Bloom build via the same aggregate the batch operator
+    // uses (null for an empty frame — callers guard)
+    val bloomViewId = java.util.UUID.randomUUID().toString.replace("-", "")
+    def aggBloom(df: DataFrame, cap: Long, bits: Long): Array[Byte] = {
+      val v = s"graft_sbloom_$bloomViewId"
+      df.createOrReplaceTempView(v)
+      try spark.sql(
+        s"SELECT graft_bloom_agg(xxhash64(fp), ${cap}L, ${bits}L) FROM $v")
+        .head().getAs[Array[Byte]](0)
+      finally spark.catalog.dropTempView(v)
+    }
+    def optimalBits(n: Long): Long =
+      math.max(64L, math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+
+    val fpBatch = fpBatch0(batch).persist()
+    try {
+      val newFps = fpBatch.select("fp").distinct()
+      val batchN = newFps.count()
+      val indexExists = fs.exists(fpsPath)
+
+      // ---- 1. probe + output against PRE-batch state ----
+      val preSidecar: Option[Array[Byte]] =
+        if (fs.exists(binPath)) Some(readBytes(binPath)) else None
+      val flagged = preSidecar match {
+        case Some(bytes) =>
+          fpBatch.withColumn("maybe",
+            coalesce(call_function("graft_might_contain",
+              lit(bytes), xxhash64(col("fp"))), lit(false)))
+        case None =>
+          // no filter yet: conservative — everything might be known
+          // (resolves via the exact join); with no index either, the
+          // join below is skipped and all rows are unknown
+          fpBatch.withColumn("maybe", lit(indexExists))
+      }
+      val out =
+        if (!indexExists)
+          flagged.select(col("doc_id"), col("fp"), lit(false).as("is_known"))
+        else {
+          val hist = spark.read.parquet(fpsPath.toString)
+          flagged.filter(col("maybe"))
+            .join(hist.withColumn("__hit", lit(true)), Seq("fp"), "left")
+            .select(col("doc_id"), col("fp"), coalesce(col("__hit"), lit(false)).as("is_known"))
+            .unionByName(flagged.filter(!col("maybe"))
+              .select(col("doc_id"), col("fp"), lit(false).as("is_known")))
+        }
+      out.write.mode(SaveMode.Append).parquet(outPath)
+
+      // ---- 2. sidecar rebuild-or-merge (before the index merge) ----
+      val meta: Option[(Long, Long, Long)] = // (capacity, numBits, count)
+        if (!fs.exists(metaPath) || preSidecar.isEmpty) None
+        else {
+          val txt = new String(readBytes(metaPath), java.nio.charset.StandardCharsets.UTF_8)
+          def num(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+          (num("capacity"), num("numBits"), num("count")) match {
+            case (Some(c), Some(b), Some(n)) => Some((c, b, n))
+            case _ => None
+          }
+        }
+      val (bloomBytes, cap, bits, cnt) = meta match {
+        case Some((cap0, bits0, cnt0)) if cnt0 + batchN <= cap0 =>
+          // MERGE: batch-only filter with IDENTICAL (capacity, numBits)
+          // — same numHashFunctions — then bitwise-OR into the sidecar
+          val addBytes = if (batchN == 0) null else aggBloom(newFps, cap0, bits0)
+          val merged =
+            if (addBytes == null) preSidecar.get
+            else {
+              val a = BloomFilter.readFrom(new java.io.ByteArrayInputStream(preSidecar.get))
+              a.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(addBytes)))
+              val bos = new java.io.ByteArrayOutputStream()
+              a.writeTo(bos)
+              bos.toByteArray
+            }
+          (merged, cap0, bits0, cnt0 + batchN)
+        case _ =>
+          // REBUILD from index ∪ batch at 2x headroom (doubling schedule)
+          val all =
+            if (indexExists)
+              spark.read.parquet(fpsPath.toString).select("fp").union(newFps).distinct()
+            else newFps
+          val total = all.count()
+          val cap = math.max(total * 2, 1024L)
+          val bits = optimalBits(cap)
+          (if (total == 0) null else aggBloom(all, cap, bits), cap, bits, total)
+      }
+      if (bloomBytes != null) {
+        writeAtomic(binPath, bloomBytes)
+        writeAtomic(metaPath,
+          s"""{"capacity":$cap,"numBits":$bits,"count":$cnt}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+
+      // ---- 3. index merge (idempotent on the fp set) ----
+      graft.sources.Sinks.mergeUpsert(
+        spark, fpsPath.toString, newFps.withColumn("one", lit(1)),
+        Seq("fp"), "one")
+    } finally fpBatch.unpersist()
+  }
+
+  private def fpBatch0(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"), md5(col("text")).as("fp"))
+
   /** Streaming UPSERT exit path — the continuous twin of the reference's
     * `INSERT … ON CONFLICT DO UPDATE` (instagram_scraper.py:203): each
     * micro-batch is reduced to its latest row per key (max_by on the

@@ -302,6 +302,82 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(collectFeats(3) == collectFeats(64), "features must not depend on batch size")
   }
 
+  // ---- MP4/MOV atom-walk tests: planted ISO-BMFF headers, no codec ----
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def atom(typ: String, body: Array[Byte]): Array[Byte] =
+    be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+
+  /** Minimal well-formed MP4: ftyp(isom) + moov{mvhd(v0), video trak
+    * (tkhd dims 16.16 + mdia/hdlr 'vide'), audio trak (hdlr 'soun')}.
+    */
+  private def mp4Bytes(timescale: Long, duration: Long, w: Int, h: Int): Array[Byte] = {
+    val ftyp = atom("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++ "isomiso2".getBytes("US-ASCII"))
+    val mvhd = atom("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration)
+        ++ Array.fill[Byte](80)(0))
+    def tkhd(w: Int, h: Int) = atom("tkhd",
+      Array[Byte](0, 0, 0, 0) ++ Array.fill[Byte](72)(0)
+        ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    def hdlr(kind: String) = atom("hdlr",
+      Array.fill[Byte](8)(0) ++ kind.getBytes("US-ASCII") ++ Array.fill[Byte](12)(0))
+    val vTrak = atom("trak", tkhd(w, h) ++ atom("mdia", hdlr("vide")))
+    val aTrak = atom("trak", tkhd(0, 0) ++ atom("mdia", hdlr("soun")))
+    ftyp ++ atom("moov", mvhd ++ vTrak ++ aTrak)
+  }
+
+  test("MP4 parse: planted moov yields brand, duration, track counts, video dims") {
+    val bytes = mp4Bytes(timescale = 600, duration = 3000, w = 1920, h = 1080)
+    val (brand, dur, nt, nv, na, w, h) = Multimodal.parseMp4Meta(bytes).get
+    assert(brand == "isom" && dur == 5.0 && nt == 2 && nv == 1 && na == 1)
+    assert(w.contains(1920) && h.contains(1080))
+    // and through the batched Spark path with quarantine for garbage
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, bytes), (2L, Array.fill[Byte](64)(7))).toDF("media_id", "payload")
+    val out = Multimodal.extractMp4Meta(df).orderBy("media_id").collect()
+    assert(out(0).getBoolean(1) && out(0).getInt(7) == 1920)
+    assert(!out(1).getBoolean(1), "garbage bytes must quarantine in-band")
+  }
+
+  test("MP4 parse: 64-bit largesize boxes and mvhd v1 are honored") {
+    // moov with size==1 + 64-bit largesize; mvhd version 1 (8-byte times)
+    val mvhdV1 = atom("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](16)(0) // v1: ctime+mtime 8+8
+        ++ be32(1000) ++ be32(0) ++ be32(7500) // timescale, duration u64
+        ++ Array.fill[Byte](80)(0))
+    val moovBody = mvhdV1
+    val moov64 = be32(1) ++ "moov".getBytes("US-ASCII") ++
+      be32(0) ++ be32(moovBody.length + 16L) ++ moovBody
+    val bytes = atom("ftyp", "qt  ".getBytes("US-ASCII") ++ be32(0)) ++ moov64
+    val (brand, dur, nt, _, _, _, _) = Multimodal.parseMp4Meta(bytes).get
+    assert(brand == "qt" && dur == 7.5 && nt == 0)
+  }
+
+  test("MP4 parse: hostile headers degrade to None, never error or spin") {
+    val good = mp4Bytes(600, 3000, 640, 480)
+    // truncated mid-moov
+    assert(Multimodal.parseMp4Meta(good.take(good.length / 2)).isEmpty ||
+      !Multimodal.parseMp4Meta(good.take(good.length / 2)).exists(_._6.isDefined))
+    // box size overflowing the payload
+    val overflow = atom("ftyp", "isom".getBytes("US-ASCII")) ++
+      be32(0x7fffffffL) ++ "moov".getBytes("US-ASCII")
+    assert(Multimodal.parseMp4Meta(overflow).isEmpty)
+    // size==0 box at top level must terminate, not loop
+    val zeroSize = be32(0) ++ "free".getBytes("US-ASCII") ++ Array.fill[Byte](32)(0)
+    assert(Multimodal.parseMp4Meta(zeroSize).isEmpty)
+    // 64-bit largesize smaller than its own header
+    val tinyLarge = be32(1) ++ "moov".getBytes("US-ASCII") ++ be32(0) ++ be32(4)
+    assert(Multimodal.parseMp4Meta(tinyLarge).isEmpty)
+    // deep nesting beyond the depth limit parses to a bounded result
+    var nested = atom("mvhd", Array.fill[Byte](100)(0))
+    for (_ <- 1 to 20) nested = atom("moov", nested)
+    assert(Multimodal.parseMp4Meta(nested ++ Array.fill[Byte](8)(0)).isEmpty)
+  }
+
   test("frame sampling keeps every k-th frame of video payloads") {
     val s = Multimodal.sampleFrames(media, frameBytes = 32, everyK = 4)
     val row = s.join(media.select(col("media_id"), col("n_bytes")), "media_id")

@@ -598,6 +598,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "one-batch streaming line dedup must be bit-identical to the batch operator")
   }
 
+  test("EQUIVALENCE: streaming Bloom-pruned incremental dedup == batch C26b on sf0.001") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-bloom").toString
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // the batch operator's internal split: doc_id%10 < 8 = historical,
+    // >= 8 = delta — replay it as two micro-batches in that order
+    val (hist, delta) = docs.partition(_._1 % 10 < 8)
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.streamingDedupIncrementalBloom(
+      in.toDF().toDF("doc_id", "text"), s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    in.addData(hist.toIndexedSeq); q.processAllAvailable()
+    in.addData(delta.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val deltaIds = delta.map(_._1).toSet
+    val streamed = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .filter(t => deltaIds.contains(t._1)).sorted
+    val batch = graft.operators.Sketches.dedupIncrementalBloom(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).sorted
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"streaming C26b diverged from batch: ${streamed.length} vs ${batch.length}")
+    // batch 1 ran against an empty index: every historical row unknown
+    val b1 = spark.read.parquet(s"$dir/out")
+      .collect().filter(r => !deltaIds.contains(r.getLong(0)))
+    assert(b1.nonEmpty && b1.forall(!_.getBoolean(2)))
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("streaming Bloom dedup: sidecar rebuilds on capacity overflow and keeps probing correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-bloom2").toString
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.streamingDedupIncrementalBloom(
+      in.toDF().toDF("doc_id", "text"), s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    // batch 1 sizes the filter for ~2x its tiny cardinality; batch 2's
+    // volume forces the doubling rebuild; batch 3 repeats batch-2 docs
+    in.addData((1L, "alpha"), (2L, "beta")); q.processAllAvailable()
+    val metaTxt1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/index/bloom.json")))
+    in.addData((1000L to 2500L).map(i => (i, s"doc body number $i")).toIndexedSeq)
+    q.processAllAvailable()
+    val metaTxt2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/index/bloom.json")))
+    assert(metaTxt1 != metaTxt2, "capacity overflow must rewrite the sidecar meta")
+    in.addData((3000L, "alpha"), (3001L, "doc body number 1500"), (3002L, "fresh"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(3000L) && out(3001L), "replayed contents must be known after rebuild+merge")
+    assert(!out(3002L), "fresh content stays unknown")
+  }
+
   test("streaming line dedup: a line turning boilerplate strips from later batches only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
