@@ -366,9 +366,13 @@ object Sinks {
         // partitionBy strips its column from the data files, but later
         // merges need `bucket` IN the base data (latestWins unions base
         // and delta by name) — so stage under a duplicate partition
-        // column and keep `bucket` as a data column.
+        // column and keep `bucket` as a data column. Repartitioning on
+        // (bucket, key-hash) rather than bucket alone writes each bucket
+        // from MANY tasks in parallel — at 100 TB a bucket is ~1/64 of
+        // the table and a one-task-per-bucket write would serialize it;
+        // the resulting multi-file buckets are [[compact]]'s job.
         merged.withColumn("__pb", col("bucket"))
-          .repartition(col("__pb"))
+          .repartition(col("__pb"), hash(keys.map(col): _*))
           .write.mode(SaveMode.Overwrite).partitionBy("__pb").parquet(staging.toString)
         val newDirs = touched.flatMap { b =>
           val src = new Path(staging, s"__pb=$b")
@@ -388,6 +392,46 @@ object Sinks {
           // against the winner's snapshot
           newDirs.values.foreach(d => fs.delete(new Path(path, d), true))
         }
+      }
+    }
+
+    /** Compaction: rewrite every bucket fragmented past
+      * `maxFilesPerBucket` into one file, committed as a NEW version
+      * (untouched buckets carry over by manifest reference). Small-file
+      * storms are the failure mode of any upsert-heavy table on an
+      * object store; because compaction is just another optimistic
+      * commit, it is safe to run concurrently with writers — losing the
+      * race re-examines the winner's buckets, and a concurrent merge
+      * never reads half a compaction (snapshot isolation via the
+      * manifest). No-op (no new version) when nothing is fragmented.
+      */
+    def compact(spark: SparkSession, path: String,
+                maxFilesPerBucket: Int = 1, maxRetries: Int = 20): Unit = {
+      val fs = fsFor(spark, path)
+      var attempt = 0
+      var done = false
+      while (!done) {
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new java.io.IOException(
+            s"VersionedTable.compact: lost the commit race $maxRetries times at $path")
+        val (baseVersion, buckets) = latestManifest(spark, path).getOrElse(return)
+        val fragmented = buckets.filter { case (_, rel) =>
+          fs.listStatus(new Path(path, rel))
+            .count(st => st.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket
+        }
+        if (fragmented.isEmpty) return
+        val next = baseVersion + 1
+        val stamp = java.util.UUID.randomUUID().toString.take(8)
+        val newDirs = fragmented.map { case (b, rel) =>
+          val out = f"$DataDir/v$next%08d-b$b%04d-$stamp"
+          spark.read.parquet(new Path(path, rel).toString)
+            .coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(new Path(path, out).toString)
+          b -> out
+        }
+        done = publish(spark, path, next, buckets ++ newDirs)
+        if (!done) newDirs.values.foreach(d => fs.delete(new Path(path, d), true))
       }
     }
 

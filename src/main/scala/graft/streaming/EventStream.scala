@@ -640,19 +640,52 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
-          def qc(c: String) = col(s"`${c.replace("`", "``")}`")
-          val others = batch.columns.filterNot(c => keys.contains(c) || c == versionCol)
-          val packed = batch.groupBy(keys.map(qc): _*)
-            .agg(
-              max(qc(versionCol)).as(versionCol),
-              (if (others.isEmpty) Seq.empty[org.apache.spark.sql.Column]
-               else Seq(max_by(struct(others.map(qc): _*), qc(versionCol)).as("__row"))): _*)
-          val latest = packed
-            .select(keys.map(qc) ++ Seq(qc(versionCol)) ++
-              others.map(c => col("__row").getField(c).as(c)): _*)
-            .select(batch.columns.map(qc): _*)
+          val latest = latestPerKey(batch.toDF(), keys, versionCol)
           graft.sources.Sinks.mergeUpsert(
             batch.sparkSession, path, latest, keys, versionCol)
+        }
+      }
+      .start()
+
+  /** Latest row per key within one micro-batch (whole-row max_by on the
+    * version — per-column maxes could tear rows tied on (key, version)).
+    */
+  private def latestPerKey(batch: DataFrame, keys: Seq[String],
+                           versionCol: String): DataFrame = {
+    def qc(c: String) = col(s"`${c.replace("`", "``")}`")
+    val others = batch.columns.filterNot(c => keys.contains(c) || c == versionCol)
+    val packed = batch.groupBy(keys.map(qc): _*)
+      .agg(
+        max(qc(versionCol)).as(versionCol),
+        (if (others.isEmpty) Seq.empty[org.apache.spark.sql.Column]
+         else Seq(max_by(struct(others.map(qc): _*), qc(versionCol)).as("__row"))): _*)
+    packed
+      .select(keys.map(qc) ++ Seq(qc(versionCol)) ++
+        others.map(c => col("__row").getField(c).as(c)): _*)
+      .select(batch.columns.map(qc): _*)
+  }
+
+  /** [[streamingUpsertSink]] writing through the TRANSACTIONAL table
+    * format ([[graft.sources.Sinks.VersionedTable]]) instead of the
+    * swap-rename MERGE: each micro-batch commits one new manifest
+    * version, so concurrent readers get snapshot isolation (never a
+    * mid-swap window), other writers can merge the same table
+    * concurrently (optimistic retry), and replayed batches re-commit
+    * idempotently under latest-wins — the streaming exit path a
+    * multi-writer 100 TB deployment actually needs.
+    */
+  def streamingUpsertVersionedSink(stream: DataFrame, path: String,
+                                   keys: Seq[String], versionCol: String,
+                                   checkpoint: String,
+                                   numBuckets: Int = 64): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val latest = latestPerKey(batch.toDF(), keys, versionCol)
+          graft.sources.Sinks.VersionedTable.mergeUpsert(
+            batch.sparkSession, path, latest, keys, versionCol, numBuckets)
         }
       }
       .start()

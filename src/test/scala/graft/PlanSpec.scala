@@ -75,6 +75,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_bpe_encode is pure map-side: the encode plan contains NO exchange at all") {
+    // the merge table is a memoized artifact inlined as literals, so
+    // applying a trained tokenizer to a 100 TB corpus must be a single
+    // embarrassingly-parallel scan — any shuffle here is a regression
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val n = plan("q_bpe_encode").collect { case e: ShuffleExchangeLike => e }.size
+    assert(n == 0, s"q_bpe_encode: expected zero shuffles, got $n")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("aggregations run partial+final (map-side combine present)") {
     for (q <- Seq("q1_pricing_summary", "q_monthly_revenue", "q_supplier_volume")) {
       val aggs = plan(q).collect { case a: BaseAggregateExec => a }

@@ -308,6 +308,46 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
     }
   }
 
+  test("VersionedTable: compaction collapses fragmented buckets into a new version, data unchanged") {
+    val s = spark
+    import s.implicits._
+    val path = s"$tmp/vt_compact"
+    // the staged write parallelizes each bucket across (bucket, key-hash)
+    // partitions, so a multi-key merge into one bucket yields a
+    // multi-file bucket dir — the fragmentation compaction exists for.
+    // At test scale AQE would coalesce the tiny partitions back to one
+    // file; disable coalescing for the merge to get the at-scale layout.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Sinks.VersionedTable.mergeUpsert(spark, path,
+      (1L to 12L).map(i => (i, s"v$i", i)).toDF("id", "v", "ver"),
+      Seq("id"), "ver", numBuckets = 1)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val fragFiles = {
+      val (_, m) = Sinks.VersionedTable.latestManifest(spark, path).get
+      new java.io.File(s"$path/${m(0)}").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }
+    assert(fragFiles > 1, s"precondition: bucket should be multi-file, got $fragFiles")
+    val before = Sinks.VersionedTable.read(spark, path)
+      .as[(Long, String, Long, Int)].collect().sortBy(_._1)
+    val (vBefore, _) = Sinks.VersionedTable.latestManifest(spark, path).get
+    Sinks.VersionedTable.compact(spark, path)
+    val (vAfter, buckets) = Sinks.VersionedTable.latestManifest(spark, path).get
+    assert(vAfter == vBefore + 1, "compaction must commit exactly one new version")
+    // every bucket now holds one file
+    buckets.values.foreach { rel =>
+      val files = new java.io.File(s"$path/$rel").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"bucket $rel still has $files files")
+    }
+    val after = Sinks.VersionedTable.read(spark, path)
+      .as[(Long, String, Long, Int)].collect().sortBy(_._1)
+    assert(after.toSeq == before.toSeq, "compaction must not change table contents")
+    // idempotent: nothing fragmented -> no new version
+    Sinks.VersionedTable.compact(spark, path)
+    assert(Sinks.VersionedTable.latestManifest(spark, path).get._1 == vAfter)
+  }
+
   test("non-bucketed join of the same data DOES shuffle both sides (control)") {
     val joined = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
       .join(Tables.customer(spark, sf).select("c_custkey", "c_name"),

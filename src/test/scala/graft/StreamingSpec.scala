@@ -656,6 +656,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out(3002L), "fresh content stays unknown")
   }
 
+  test("streaming upsert through VersionedTable: per-batch commits, snapshot isolation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-vt").toString
+    val in = MemoryStream[(Long, String, Long)]
+    val q = EventStream.streamingUpsertVersionedSink(
+      in.toDF().toDF("id", "v", "ver"), s"$dir/table",
+      Seq("id"), "ver", s"$dir/ckpt", numBuckets = 4)
+    in.addData((1L, "a", 1L), (2L, "b", 1L), (1L, "a2", 2L)) // in-batch dup on key 1
+    q.processAllAvailable()
+    val v0 = graft.sources.Sinks.VersionedTable.latestManifest(spark, s"$dir/table").get._1
+    in.addData((2L, "b9", 9L), (3L, "c", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val latest = graft.sources.Sinks.VersionedTable.read(spark, s"$dir/table")
+      .select("id", "v", "ver").as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(latest.toSeq == Seq((1L, "a2", 2L), (2L, "b9", 9L), (3L, "c", 1L)))
+    // snapshot isolation: the first batch's committed version still
+    // reads exactly its own state
+    val snap = graft.sources.Sinks.VersionedTable.read(spark, s"$dir/table", Some(v0))
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(snap.toSeq == Seq((1L, "a2"), (2L, "b")))
+  }
+
   test("streaming line dedup: a line turning boilerplate strips from later batches only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
