@@ -485,14 +485,19 @@ object TextOps {
     *  - the winning pair (ties broken by (left, right) byte order, same
     *    collation both engines) is a 1-row collect — a constant-size
     *    model artifact per round, exactly like the k-means codebook;
-    *  - re-segmentation is `replace(seg, ␟a␟b␟, ␟ab␟)` applied TWICE:
-    *    left-to-right replace misses an occurrence exactly when it
-    *    shares its boundary separator with the previous match, and such
-    *    misses are always isolated (a replace cannot skip two
-    *    consecutive occurrences), so a second pass catches them all —
-    *    two linear scans equal greedy left-to-right BPE merging, with
-    *    the merged pair inlined as a LITERAL so the whole round stays
-    *    in whole-stage codegen.
+    *  - re-segmentation is a LEFT FOLD over the symbol sequence
+    *    (`aggregate` HOF): append each symbol, except when the
+    *    accumulator's last symbol is `l` and the incoming symbol is `r`
+    *    — then append `r` WITHOUT a separator, turning the tail into
+    *    the merged `lr`. A freshly merged symbol can never re-merge as
+    *    a left side (`l+r ≠ l`, `r` nonempty), so the fold is EXACTLY
+    *    greedy left-to-right BPE merging — exhaustively fuzzed against
+    *    a direct scan-merge reference (PropertySpec), including the
+    *    self-pair runs where the tempting `replace(␟a␟a␟, ␟aa␟)`
+    *    twice formulation silently under-merges (`aaaaaa` → 2 merges
+    *    instead of greedy's 3: a string replace cannot re-match across
+    *    the boundary separator it just consumed). DuckDB mirrors the
+    *    fold verbatim via `list_reduce`.
     *
     * Iterative hygiene matches the CC/pageRank fixpoints: per-round
     * persist + lineage cut (LogicalRDD leaf), superseded rounds
@@ -503,6 +508,19 @@ object TextOps {
     * the trainer stops early; the generated oracle's empty-CTE cascade
     * degrades identically.
     */
+  /** One greedy merge round over a ␟-delimited symbol string as a
+    * catalyst `aggregate` fold — see [[bpeTrain]]'s scaladoc for the
+    * greedy-equivalence argument (PropertySpec fuzzes it).
+    */
+  private def foldMergePair(seg: Column, l: String, r: String): Column =
+    aggregate(
+      filter(split(seg, BpeSep), s => s =!= lit("")),
+      lit(""),
+      (acc, s) =>
+        when(element_at(split(acc, BpeSep), -1) === lit(l) && s === lit(r),
+          concat(acc, lit(r)))
+          .otherwise(concat(acc, lit(BpeSep), s)))
+
   def bpeTrain(documents: DataFrame, k: Int = BpeRounds): DataFrame = {
     val spark = documents.sparkSession
     GraftCache.memoArtifact(spark,
@@ -543,10 +561,8 @@ object TextOps {
           else {
             val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
             merges += ((round, l, r, l + r, n))
-            val pat = lit(BpeSep + l + BpeSep + r + BpeSep)
-            val rep = lit(BpeSep + l + r + BpeSep)
             val next = seg
-              .withColumn("seg", replace(replace(col("seg"), pat, rep), pat, rep))
+              .withColumn("seg", foldMergePair(col("seg"), l, r))
               .persist(StorageLevel.MEMORY_AND_DISK)
             next.count()
             persisted.unpersist(blocking = true)
@@ -568,7 +584,7 @@ object TextOps {
     * re-derived per round in SQL — a static query cannot inline values
     * the trainer discovers at runtime — so each round is a (pair-count,
     * top-1, re-segment) CTE triple over the previous round's
-    * segmentation, with the same double-replace and the same
+    * segmentation, with the same list_reduce greedy fold and the same
     * (n_occ DESC, left, right) tie-break.
     */
   def bpeTrainSql(k: Int = BpeRounds): String = {
@@ -584,9 +600,11 @@ object TextOps {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT lft, rgt, n_occ FROM p$i ORDER BY n_occ DESC, lft, rgt LIMIT 1),
          |s$i AS (
-         |  SELECT cnt, replace(replace(seg,
-         |      chr(31) || lft || chr(31) || rgt || chr(31), chr(31) || lft || rgt || chr(31)),
-         |      chr(31) || lft || chr(31) || rgt || chr(31), chr(31) || lft || rgt || chr(31)) AS seg
+         |  SELECT cnt, list_reduce(
+         |      list_prepend('', list_filter(string_split(seg, chr(31)), x -> x <> '')),
+         |      (acc, s) -> CASE WHEN regexp_extract(acc, '[^' || chr(31) || ']*$$') = lft
+         |                        AND s = rgt
+         |                  THEN acc || rgt ELSE acc || chr(31) || s END) AS seg
          |  FROM s${i - 1} CROSS JOIN b$i)""".stripMargin
     }.mkString(",\n")
     val out = (1 to k).map { i =>
@@ -608,12 +626,12 @@ object TextOps {
     * [[bpeTrain]] learned and report per-doc whitespace-token vs
     * BPE-token counts (the compression telemetry a tokenizer-induction
     * pipeline ships). Zero shuffle: the k learned merges are a
-    * constant-size model artifact (memoized collect), inlined as 2k
-    * literal `replace` calls over a WHOLE-DOC symbol string — the space
-    * character rides along as an ordinary symbol that no learned pair
-    * can bridge (pairs were counted inside whitespace tokens only), so
-    * whole-doc application ≡ per-token application without exploding
-    * the corpus. Everything stays in whole-stage codegen.
+    * constant-size model artifact (memoized collect), inlined as k
+    * chained greedy merge folds over a WHOLE-DOC symbol string — the
+    * space character rides along as an ordinary symbol that no learned
+    * pair can bridge (pairs were counted inside whitespace tokens
+    * only), so whole-doc application ≡ per-token application without
+    * exploding the corpus. Map-side only; plan-pinned shuffle-free.
     */
   def bpeEncode(documents: DataFrame, k: Int = BpeRounds): DataFrame = {
     val merges = bpeTrain(documents, k)
@@ -623,9 +641,7 @@ object TextOps {
     val seg0 = concat(sep, concat_ws(BpeSep,
       filter(split(col("text"), ""), s => s =!= lit(""))), sep)
     val segFinal = merges.foldLeft(seg0) { case (acc, (l, r)) =>
-      val pat = lit(BpeSep + l + BpeSep + r + BpeSep)
-      val rep = lit(BpeSep + l + r + BpeSep)
-      replace(replace(acc, pat, rep), pat, rep)
+      foldMergePair(acc, l, r)
     }
     documents.select(
       col("doc_id"),
@@ -636,7 +652,7 @@ object TextOps {
 
   /** Oracle: re-derive the merge table with [[bpeTrainSql]]'s CTE chain,
     * then thread a doc-level segmentation column through the same k
-    * (pair → double-replace) rounds.
+    * (pair → greedy fold) rounds.
     */
   def bpeEncodeSql(k: Int = BpeRounds): String = {
     val vocabRounds = (1 to k).map { i =>
@@ -651,17 +667,21 @@ object TextOps {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT lft, rgt FROM p$i ORDER BY n_occ DESC, lft, rgt LIMIT 1),
          |s$i AS (
-         |  SELECT cnt, replace(replace(seg,
-         |      chr(31) || lft || chr(31) || rgt || chr(31), chr(31) || lft || rgt || chr(31)),
-         |      chr(31) || lft || chr(31) || rgt || chr(31), chr(31) || lft || rgt || chr(31)) AS seg
+         |  SELECT cnt, list_reduce(
+         |      list_prepend('', list_filter(string_split(seg, chr(31)), x -> x <> '')),
+         |      (acc, s) -> CASE WHEN regexp_extract(acc, '[^' || chr(31) || ']*$$') = lft
+         |                        AND s = rgt
+         |                  THEN acc || rgt ELSE acc || chr(31) || s END) AS seg
          |  FROM s${i - 1} CROSS JOIN b$i),
          |d$i AS (
          |  -- LEFT JOIN ON TRUE: a dried-up merge round (empty b$i) must
          |  -- leave docs unchanged, not erase them like a cross join would
          |  SELECT doc_id, n_ws_tokens,
-         |    CASE WHEN lft IS NULL THEN dseg ELSE replace(replace(dseg,
-         |      chr(31) || lft || chr(31) || rgt || chr(31), chr(31) || lft || rgt || chr(31)),
-         |      chr(31) || lft || chr(31) || rgt || chr(31), chr(31) || lft || rgt || chr(31)) END AS dseg
+         |    CASE WHEN lft IS NULL THEN dseg ELSE list_reduce(
+         |      list_prepend('', list_filter(string_split(dseg, chr(31)), x -> x <> '')),
+         |      (acc, s) -> CASE WHEN regexp_extract(acc, '[^' || chr(31) || ']*$$') = lft
+         |                        AND s = rgt
+         |                  THEN acc || rgt ELSE acc || chr(31) || s END) END AS dseg
          |  FROM d${i - 1} LEFT JOIN b$i ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH tokx AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

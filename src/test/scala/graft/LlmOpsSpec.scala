@@ -373,6 +373,27 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("bpe trainer: self-pair merges over odd runs are exactly greedy (replace-based would under-merge)") {
+    val s = spark
+    import s.implicits._
+    // token "aaaaaa" (run of 6): greedy (a,a) gives [aa,aa,aa] = 3
+    // merges per token; a double string-replace gives only 2 (it cannot
+    // re-match across the separator it consumed). Round 2 then counts
+    // (aa,aa) pairs: greedy segmentation has 2 per token.
+    val docs = Seq((1L, "aaaaaa aaaaaa"), (2L, "aaaaaa")).toDF("doc_id", "text")
+    val m = TextOps.bpeTrain(docs, k = 2).collect()
+    val r1 = m.find(_.getInt(0) == 1).get
+    // round 1: (a,a) occurs 5 adjacent times per token x 3 tokens = 15
+    assert(r1.getString(3) == "aa" && r1.getLong(4) == 15L)
+    val r2 = m.find(_.getInt(0) == 2).get
+    // greedy resegment: aa|aa|aa -> (aa,aa) x2 x 3 tokens = 6.
+    // An under-merging resegment (aa|a|aa|a) would count (aa,a),(a,aa)
+    // instead and this assertion would fail.
+    assert(r2.getString(1) == "aa" && r2.getString(2) == "aa" && r2.getLong(4) == 6L,
+      s"round 2 got (${r2.getString(1)},${r2.getString(2)}) x ${r2.getLong(4)}")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("bpe trainer: dries up early on a fully-mergeable corpus instead of erroring") {
     val s = spark
     import s.implicits._

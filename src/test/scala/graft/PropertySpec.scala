@@ -1,0 +1,120 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties for the pure kernels whose correctness rests on
+  * an analytic argument rather than an oracle:
+  *
+  *  - the BPE re-segmentation fold (TextOps.bpeTrain): the delimited
+  *    string left-fold (merge = append `r` without a separator) equals
+  *    greedy left-to-right BPE pair merging — fuzzed against a direct
+  *    scan-merge reference over multi-character symbols, self-pairs
+  *    (a,a) (where a string-replace formulation provably under-merges),
+  *    and symbols that embed other symbols as substrings;
+  *  - the MP4 atom walk (Multimodal.parseMp4Meta): never throws and
+  *    never loops on arbitrary or adversarially box-shaped bytes.
+  */
+object BpeFoldProps extends Properties("bpe.greedyFold") {
+
+  private val Sep = "\u001f"
+
+  /** Reference semantics: greedy left-to-right merge of (l, r). */
+  private def greedyMerge(syms: List[String], l: String, r: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  /** The operator's mechanics (TextOps.foldMergePair, mirrored by the
+    * DuckDB list_reduce oracle): left fold with a delimited string
+    * accumulator; a merge appends `r` withOUT a separator.
+    */
+  private def foldMerge(syms: List[String], l: String, r: String): List[String] = {
+    var acc = ""
+    for (s <- syms) {
+      val last = acc.substring(acc.lastIndexOf(Sep) + 1)
+      acc = if (last == l && s == r) acc + s else acc + Sep + s
+    }
+    acc.split(Sep).toList.filter(_.nonEmpty)
+  }
+
+  // symbols shaped like real BPE rounds produce: single chars plus
+  // merged runs, including symbols that CONTAIN other symbols and the
+  // self-pair cases where a naive string-replace formulation
+  // under-merges (aaaaaa -> 2 merges instead of greedy's 3)
+  private val symbolGen: Gen[String] =
+    Gen.oneOf("a", "b", "c", "ab", "ba", "aa", "bb", "aab", "abab")
+
+  private val symsGen: Gen[List[String]] = Gen.listOfN(12, symbolGen)
+
+  property("fold == greedy merge, any symbols, any pair (incl. self-pairs)") =
+    forAll(symsGen, symbolGen, symbolGen) { (syms, l, r) =>
+      foldMerge(syms, l, r) == greedyMerge(syms, l, r)
+    }
+
+  property("self-pair runs of every length collapse exactly like greedy") =
+    forAll(Gen.choose(0, 11), symbolGen) { (n, x) =>
+      val syms = List.fill(n)(x)
+      foldMerge(syms, x, x) == greedyMerge(syms, x, x)
+    }
+
+  property("identity when the pair never occurs adjacently") =
+    forAll(symsGen) { syms =>
+      foldMerge(syms, "z", "q") == syms // z/q never generated
+    }
+}
+
+object Mp4WalkProps extends Properties("mp4.parse") {
+
+  import graft.operators.Multimodal
+
+  private val rawBytes: Gen[Array[Byte]] =
+    Gen.choose(0, 256).flatMap(n => Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+      .map(_.toArray)
+
+  /** Adversarial generator: well-formed box HEADERS with hostile sizes
+    * over garbage bodies — the shape that trips naive walkers.
+    */
+  private val boxyBytes: Gen[Array[Byte]] = {
+    val types = Gen.oneOf("ftyp", "moov", "mvhd", "trak", "tkhd", "hdlr",
+      "mdia", "free", "mdat")
+    val box = for {
+      t <- types
+      size <- Gen.oneOf(Gen.choose(0L, 64L), Gen.const(1L),
+        Gen.const(0L), Gen.const(0xffffffffL), Gen.const(0x7fffffffL))
+      bodyLen <- Gen.choose(0, 40)
+      body <- Gen.listOfN(bodyLen, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(((size >> 24) & 0xff).toInt); b.write(((size >> 16) & 0xff).toInt)
+      b.write(((size >> 8) & 0xff).toInt); b.write((size & 0xff).toInt)
+      b.write(t.getBytes("US-ASCII"))
+      body.foreach(x => b.write(x.toInt))
+      b.toByteArray
+    }
+    Gen.listOfN(6, box).map(_.toArray.flatten)
+  }
+
+  property("never throws on random bytes") = forAll(rawBytes) { bytes =>
+    Multimodal.parseMp4Meta(bytes) // Option either way; a throw fails the prop
+    true
+  }
+
+  property("never throws on adversarial box structures") = forAll(boxyBytes) { bytes =>
+    Multimodal.parseMp4Meta(bytes)
+    true
+  }
+
+  property("parsed metadata is internally consistent") = forAll(boxyBytes) { bytes =>
+    Multimodal.parseMp4Meta(bytes).forall { case (_, dur, nt, nv, na, w, h) =>
+      dur >= 0.0 && nt >= 0 && nv >= 0 && na >= 0 && nv + na <= nt &&
+        w.forall(_ > 0) && h.forall(_ > 0)
+    }
+  }
+}
