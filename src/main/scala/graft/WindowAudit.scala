@@ -87,12 +87,31 @@ object WindowAudit {
     case l => l.children.forall(reducedBelow)
   }
 
-  /** Count of single-partition (global) WindowExec nodes in the executed
-    * plan. Run with AQE off so WindowExec is visible pre-execution.
+  /** True if every path from this physical node to its leaves passes
+    * through an aggregate or limit — the executed-plan twin of
+    * [[reducedBelow]]: a global window over a fully-reduced frame (the
+    * DistributedRank offsets prefix-sum, ≤ `buckets` rows by
+    * construction) is bounded work in one task, not a scale hazard.
+    * Same documented blind spot as the logical checks: an aggregate
+    * grouped by an unbounded key would be exempted too — every current
+    * reduced-frame window aggregates onto a literal-bounded bucket
+    * space.
+    */
+  private def reducedBelowPhysical(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _ if p.nodeName.contains("Limit") => true
+      case l if l.children.isEmpty => false
+      case l => l.children.forall(reducedBelowPhysical)
+    }
+
+  /** Count of single-partition (global) WindowExec nodes over a
+    * NON-reduced frame in the executed plan. Run with AQE off so
+    * WindowExec is visible pre-execution.
     */
   def globalWindows(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.executedPlan.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty => w
+      case w: WindowExec if w.partitionSpec.isEmpty && !reducedBelowPhysical(w.child) => w
     }.size
 
   private def aliasMap(analyzed: LogicalPlan): Map[Long, Expression] =

@@ -701,6 +701,46 @@ object TextOps {
        |FROM d$k""".stripMargin
   }
 
+  /** C52: deterministic corpus shuffle — the global pseudorandom
+    * training-order permutation every epoch needs: `shuffle_rank` =
+    * 1-based rank under a seeded md5 order, stable across engines,
+    * partitionings and reruns. The naive formulation is
+    * `row_number() OVER (ORDER BY md5(...))` — a GLOBAL window that
+    * funnels 100 TB through one task, exactly the hazard WindowAudit
+    * exists to block — so the rank is assembled from
+    * [[DistributedRank]] range-bucket offsets (hash-prefix buckets →
+    * broadcast prefix-sum counts → LOCAL per-bucket row_number + offset,
+    * parallel across 1024 buckets). The order key is the first 15 hex
+    * chars of the seeded md5 parsed as int64 (exact in both engines:
+    * `conv(…,16,10)` / hex-digit horner with bigint shifts), ties
+    * broken by doc_id — a full 2⁶⁰-point keyspace, so ranks are a
+    * permutation and bucket ranges stay balanced regardless of corpus
+    * skew (hash keys are uniform by construction).
+    */
+  def corpusShuffle(documents: DataFrame, buckets: Int = 1024): DataFrame = {
+    val hkey = conv(substring(
+      md5(concat(lit("shuf"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val base = documents.select(col("doc_id"), hkey.as("hkey"), lit("all").as("g"))
+    val w = Window.partitionBy("g", DistributedRank.BucketCol)
+      .orderBy(col("hkey"), col("doc_id"))
+    DistributedRank.withBucketOffsets(base, "g", "hkey", lit(1L), buckets)
+      .withColumn("shuffle_rank",
+        col(DistributedRank.OffsetCol) + row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shuffle_rank"))
+  }
+
+  val corpusShuffleSql: String =
+    """WITH h AS (SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(1, 16), i ->
+      |    (strpos('0123456789abcdef',
+      |            substr(md5('shuf' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+      |    * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT) AS hkey
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY hkey, doc_id) AS BIGINT) AS shuffle_rank
+      |FROM h""".stripMargin
+
   /** C19: token-budget mix — training mixes are specified in TOKENS, not
     * documents: per language, keep documents in deterministic doc_id
     * order until the cumulative whitespace-token count reaches the
@@ -1600,6 +1640,7 @@ object TextOps {
     "q_bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
     "q_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
     "q_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d))),
+    "q_corpus_shuffle" -> ((s, d) => corpusShuffle(Tables.documents(s, d))),
     "q_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
     "q_stopword_strip" -> ((s, d) => stopwordStrip(Tables.documents(s, d))),
     "q_doc_freq" -> ((s, d) => docFreq(Tables.documents(s, d))),
@@ -1638,6 +1679,7 @@ object TextOps {
     "q_bpe_merges" -> bpeMergesSql(),
     "q_bpe_train" -> bpeTrainSql(),
     "q_bpe_encode" -> bpeEncodeSql(),
+    "q_corpus_shuffle" -> corpusShuffleSql,
     "q_contamination" -> contaminationSql,
     "q_stopword_strip" -> stopwordStripSql,
     "q_doc_freq" -> docFreqSql,

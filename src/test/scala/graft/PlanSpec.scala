@@ -245,11 +245,43 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("no query contains a single-partition global window") {
+  test("no query contains a single-partition global window over a raw frame") {
+    // via WindowAudit.globalWindows: empty-partition WindowExec flags
+    // unless the frame below it is fully reduced (an aggregate onto a
+    // bounded bucket space — the DistributedRank offsets prefix sum)
     SparkEntry.queries.keys.foreach { q =>
-      val bad = plan(q).collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
-      assert(bad.isEmpty, s"$q: global WindowExec found")
+      assert(WindowAudit.globalWindows(SparkEntry.queries(q)(spark, sf)) == 0,
+        s"$q: global WindowExec over a raw frame")
     }
+  }
+
+  test("global-window detector: raw global rank trips it, reduced-frame prefix sums are exempt") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // Positive control: the naive corpus shuffle — row_number over an
+    // empty partition spec on the raw frame — is the one shape that
+    // cannot survive a large input.
+    val naive = docs.withColumn("rn",
+      row_number().over(Window.orderBy(md5(col("text")))))
+    assert(WindowAudit.globalWindows(naive) == 1,
+      "detector missed a raw global row_number")
+    // Exemption: a global prefix-sum over a bucket AGGREGATE (the
+    // DistributedRank offsets frame, <= buckets rows by construction)
+    // is bounded single-task work, not a hazard.
+    val offsets = docs
+      .groupBy(pmod(col("doc_id"), lit(64)).as("b")).agg(count(lit(1)).as("c"))
+      .withColumn("off", sum(col("c")).over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)))
+    assert(WindowAudit.globalWindows(offsets) == 0,
+      "detector false-positives on a prefix sum over a bounded aggregate")
+    // And the registered queries (q_corpus_shuffle uses exactly that
+    // offsets shape) are all clean.
+    SparkEntry.queries.keys.foreach { q =>
+      val n = WindowAudit.globalWindows(SparkEntry.queries(q)(spark, sf))
+      assert(n == 0, s"$q: $n global window(s) over a raw frame")
+    }
+    graft.GraftCache.releaseAll(spark)
   }
 
   test("no query windows over a time bucket of a raw frame; detector catches the old shape") {
