@@ -71,7 +71,10 @@ object ScaleAudit {
     // structure must hold when components get 10× heavier: triangle
     // wedges, hub-capped FoF, the bigint PageRank loop, both CC engines
     "q_triangles", "q_friend_recs", "q_pagerank",
-    "q_dedup_clusters", "q_dedup_clusters_ls")
+    "q_dedup_clusters", "q_dedup_clusters_ls",
+    // round-6 additions: the BPE trainer/encoder corpus spines and the
+    // bucket-offset global permutation
+    "q_bpe_train", "q_bpe_encode", "q_corpus_shuffle")
 
   def buildScaled(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
     // events.ts stays a raw nanos long end-to-end: the flag reads the

@@ -170,6 +170,37 @@ object Smoke {
     require(upRow.getLong(0) == 7L && upRow.getLong(1) == 2L && upRow.getString(2) == "click",
       "cross-batch upsert must keep the latest version")
 
+    // 11. transactional versioned table: two optimistic commits, a
+    // snapshot read of the first, compaction as a third version
+    val vtDir = java.nio.file.Files.createTempDirectory("graft-smoke-vt").toString + "/t"
+    import spark.implicits._
+    graft.sources.Sinks.VersionedTable.mergeUpsert(spark, vtDir,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver"), Seq("id"), "ver", 4)
+    graft.sources.Sinks.VersionedTable.mergeUpsert(spark, vtDir,
+      Seq((2L, "b2", 2L)).toDF("id", "v", "ver"), Seq("id"), "ver", 4)
+    val vtLatest = graft.sources.Sinks.VersionedTable.read(spark, vtDir)
+      .orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    val vtV0 = graft.sources.Sinks.VersionedTable.read(spark, vtDir, Some(0L))
+      .orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    println(s"[smoke] versioned table: latest=$vtLatest v0=$vtV0")
+    require(vtLatest == Seq((1L, "a"), (2L, "b2")) && vtV0 == Seq((1L, "a"), (2L, "b")),
+      "versioned table must serve latest AND the pinned snapshot")
+
+    // 12. MP4 metadata: a planted ISO-BMFF header through the batched path
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def atom(t: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ t.getBytes("US-ASCII") ++ body
+    val mvhd = atom("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(600) ++ be32(1800) ++ Array.fill[Byte](80)(0))
+    val mp4 = atom("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++ atom("moov", mvhd)
+    val mp4Out = graft.operators.Multimodal.extractMp4Meta(
+      Seq((1L, mp4), (2L, "junk".getBytes("UTF-8"))).toDF("media_id", "payload"))
+      .orderBy("media_id").collect()
+    println(s"[smoke] mp4 meta: ${mp4Out.mkString("; ")}")
+    require(mp4Out(0).getBoolean(1) && mp4Out(0).getDouble(3) == 3.0 && !mp4Out(1).getBoolean(1),
+      "planted mp4 must parse (duration 3s) and junk must quarantine")
+
     println("[smoke] OK")
     spark.stop()
   }
