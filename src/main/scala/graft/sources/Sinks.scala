@@ -243,6 +243,9 @@ object Sinks {
       "\"(\\d+)\":\"([^\"]+)\"".r.findAllMatchIn(txt)
         .map(m => m.group(1).toInt -> m.group(2)).toMap
 
+    private def parseNumBuckets(txt: String): Option[Int] =
+      "\"numBuckets\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+
     /** (version, bucket -> data dir relative to table root), or None for
       * an uninitialized table.
       */
@@ -265,13 +268,13 @@ object Sinks {
       * sees the manifest sees all of it.
       */
     private def publish(spark: SparkSession, path: String, v: Long,
-                        buckets: Map[Int, String]): Boolean = {
+                        buckets: Map[Int, String], numBuckets: Int): Boolean = {
       val fs = fsFor(spark, path)
       val cdir = new Path(path, CommitsDir)
       fs.mkdirs(cdir)
       val body = buckets.toSeq.sorted
         .map { case (b, d) => s""""$b":"$d"""" }
-        .mkString(s"""{"version":$v,"buckets":{""", ",", "}}")
+        .mkString(s"""{"version":$v,"numBuckets":$numBuckets,"buckets":{""", ",", "}}")
       val dst = new Path(cdir, manifestName(v))
       val tmp = new Path(cdir, s".tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
@@ -337,8 +340,6 @@ object Sinks {
                     keys: Seq[String], versionCol: String,
                     numBuckets: Int = 64, maxRetries: Int = 20): Unit = {
       val fs = fsFor(spark, path)
-      val bucket = pmod(hash(keys.map(col): _*), lit(numBuckets))
-      val deltaB = delta.withColumn("bucket", bucket)
       var attempt = 0
       var committed = false
       while (!committed) {
@@ -348,6 +349,15 @@ object Sinks {
             s"VersionedTable.mergeUpsert: lost the commit race $maxRetries times at $path")
         val current = latestManifest(spark, path)
         val (baseVersion, baseBuckets) = current.getOrElse((-1L, Map.empty[Int, String]))
+        // The bucket function must stay stable for the table's lifetime:
+        // a merge bucketed differently from the base would leave a key's
+        // older versions in dirs the merge never reads (silent
+        // duplicates). The manifest records numBuckets at creation and
+        // every later merge USES the recorded value — the parameter only
+        // sizes a brand-new table.
+        val nb = storedNumBuckets(spark, path).getOrElse(numBuckets)
+        val deltaB = delta.withColumn("bucket",
+          pmod(hash(keys.map(col): _*), lit(nb)))
         val next = baseVersion + 1
         // affected-bucket ids: bounded by numBuckets — partition
         // metadata, not data (constant-size driver collect).
@@ -386,7 +396,7 @@ object Sinks {
           }
         }.toMap
         fs.delete(staging, true)
-        committed = publish(spark, path, next, baseBuckets ++ newDirs)
+        committed = publish(spark, path, next, baseBuckets ++ newDirs, nb)
         if (!committed) {
           // lost the race: drop this attempt's orphan dirs and retry
           // against the winner's snapshot
@@ -430,7 +440,8 @@ object Sinks {
             .write.mode(SaveMode.Overwrite).parquet(new Path(path, out).toString)
           b -> out
         }
-        done = publish(spark, path, next, buckets ++ newDirs)
+        done = publish(spark, path, next, buckets ++ newDirs,
+          storedNumBuckets(spark, path).getOrElse(-1))
         if (!done) newDirs.values.foreach(d => fs.delete(new Path(path, d), true))
       }
     }
@@ -455,6 +466,47 @@ object Sinks {
       if (fs.exists(ddir)) fs.listStatus(ddir).foreach { st =>
         if (!live.contains(s"$DataDir/${st.getPath.getName}"))
           fs.delete(st.getPath, true)
+      }
+    }
+
+    /** numBuckets recorded by the latest manifest (None for a table
+      * created before the field existed or an uninitialized path).
+      */
+    def storedNumBuckets(spark: SparkSession, path: String): Option[Int] = {
+      val fs = fsFor(spark, path)
+      val cdir = new Path(path, CommitsDir)
+      if (!fs.exists(cdir)) return None
+      val versions = fs.listStatus(cdir).flatMap(
+        _.getPath.getName.stripSuffix(".json").toLongOption)
+      if (versions.isEmpty) None
+      else parseNumBuckets(readUtf8(fs, new Path(cdir, manifestName(versions.max))))
+        .filter(_ > 0)
+    }
+
+    /** Point lookup with BUCKET PRUNING: read only the one bucket dir
+      * the key hashes into — O(1/numBuckets) of the table, the reason
+      * the layout keys buckets by a pure function of the merge key.
+      * Falls back to a full-snapshot filtered read for legacy tables
+      * with no recorded numBuckets.
+      */
+    def readForKey(spark: SparkSession, path: String, keys: Seq[String],
+                   keyVals: Seq[Any]): DataFrame = {
+      require(keys.length == keyVals.length, "one value per key column")
+      val eq = keys.zip(keyVals).map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
+      storedNumBuckets(spark, path) match {
+        case None => read(spark, path).filter(eq)
+        case Some(nb) =>
+          // same hash, computed the same way (1-row plan, not driver math)
+          val b = spark.range(1)
+            .select(pmod(hash(keyVals.map(lit): _*), lit(nb)).as("b"))
+            .head().getInt(0)
+          val (_, buckets) = latestManifest(spark, path).getOrElse(
+            throw new IllegalStateException(s"VersionedTable: no commits at $path"))
+          buckets.get(b) match {
+            case None => read(spark, path).filter(eq).limit(0) // bucket never written
+            case Some(rel) =>
+              spark.read.parquet(new Path(path, rel).toString).filter(eq)
+          }
       }
     }
 

@@ -348,6 +348,36 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(Sinks.VersionedTable.latestManifest(spark, path).get._1 == vAfter)
   }
 
+  test("VersionedTable: bucket-pruned point lookup reads ONE bucket dir; bucketing is pinned") {
+    val s = spark
+    import s.implicits._
+    val path = s"$tmp/vt_pruned"
+    Sinks.VersionedTable.mergeUpsert(spark, path,
+      (1L to 64L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      Seq("id"), "ver", numBuckets = 8)
+    // the point lookup touches exactly one bucket's files
+    val look = Sinks.VersionedTable.readForKey(spark, path, Seq("id"), Seq(17L))
+    val rows = look.select("id", "v").as[(Long, String)].collect()
+    assert(rows.toSeq == Seq((17L, "v17")))
+    val dirs = look.inputFiles.map(f => new java.io.File(f).getParentFile.getName).distinct
+    assert(dirs.length == 1, s"lookup read ${dirs.length} bucket dirs: ${dirs.mkString(",")}")
+    assert(Sinks.VersionedTable.storedNumBuckets(spark, path).contains(8))
+    // a later merge passing the WRONG numBuckets must still bucket by
+    // the table's recorded 8 — otherwise key 17's old version would be
+    // stranded in a dir the merge never reads (silent duplicate)
+    Sinks.VersionedTable.mergeUpsert(spark, path,
+      Seq((17L, "v17b", 2L)).toDF("id", "v", "ver"),
+      Seq("id"), "ver", numBuckets = 3)
+    val after = Sinks.VersionedTable.read(spark, path)
+      .filter(col("id") === 17L).select("id", "v").as[(Long, String)].collect()
+    assert(after.toSeq == Seq((17L, "v17b")),
+      s"expected one latest row for key 17, got ${after.toSeq}")
+    assert(Sinks.VersionedTable.storedNumBuckets(spark, path).contains(8),
+      "recorded bucket count must survive a mis-parameterized merge")
+    assert(Sinks.VersionedTable.readForKey(spark, path, Seq("id"), Seq(17L))
+      .select("v").as[String].collect().toSeq == Seq("v17b"))
+  }
+
   test("non-bucketed join of the same data DOES shuffle both sides (control)") {
     val joined = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
       .join(Tables.customer(spark, sf).select("c_custkey", "c_name"),
