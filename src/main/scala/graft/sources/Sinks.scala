@@ -55,8 +55,13 @@ object Sinks {
     */
   private def latestWins(base: DataFrame, delta: DataFrame,
                          keys: Seq[String], versionCol: String): DataFrame = {
+    // allowMissingColumns: ADDITIVE schema evolution — a delta carrying
+    // a new column null-fills the base rows (and vice versa for a
+    // column the delta dropped), the standard lakehouse contract.
+    // Readers of mixed-schema bucket dirs merge footers (see
+    // VersionedTable.read's mergeSchema).
     val all = base.withColumn("__src", lit(1))
-      .unionByName(delta.withColumn("__src", lit(0)))
+      .unionByName(delta.withColumn("__src", lit(0)), allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol).desc, col("__src"))
     all.withColumn("__rn", row_number().over(w))
@@ -323,7 +328,9 @@ object Sinks {
             throw new IllegalStateException(s"VersionedTable: no commits at $path"))
       }
       val dirs = buckets.values.toSeq.sorted.map(d => new Path(path, d).toString)
-      spark.read.parquet(dirs: _*)
+      // mergeSchema: bucket dirs written before an additive schema
+      // change carry the old footer; merge to the union schema
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     }
 
     /** Transactional latest-wins MERGE: optimistic-concurrency upsert of
@@ -366,7 +373,7 @@ object Sinks {
         val baseSlice = {
           val dirs = touched.flatMap(baseBuckets.get).map(d => new Path(path, d).toString)
           if (dirs.isEmpty) deltaB.limit(0)
-          else spark.read.parquet(dirs.toIndexedSeq: _*)
+          else spark.read.option("mergeSchema", "true").parquet(dirs.toIndexedSeq: _*)
         }
         val merged = latestWins(baseSlice, deltaB, keys, versionCol)
         // stage immutable per-bucket dirs, then move under data/ with
@@ -487,7 +494,9 @@ object Sinks {
       * the key hashes into — O(1/numBuckets) of the table, the reason
       * the layout keys buckets by a pure function of the merge key.
       * Falls back to a full-snapshot filtered read for legacy tables
-      * with no recorded numBuckets.
+      * with no recorded numBuckets. Schema note: returns the BUCKET's
+      * schema — a bucket not rewritten since an additive evolution
+      * lacks the newer columns (the full [[read]] merges footers).
       */
     def readForKey(spark: SparkSession, path: String, keys: Seq[String],
                    keyVals: Seq[Any]): DataFrame = {
@@ -505,7 +514,8 @@ object Sinks {
           buckets.get(b) match {
             case None => read(spark, path).filter(eq).limit(0) // bucket never written
             case Some(rel) =>
-              spark.read.parquet(new Path(path, rel).toString).filter(eq)
+              spark.read.option("mergeSchema", "true")
+                .parquet(new Path(path, rel).toString).filter(eq)
           }
       }
     }

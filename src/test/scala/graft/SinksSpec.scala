@@ -378,6 +378,29 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
       .select("v").as[String].collect().toSeq == Seq("v17b"))
   }
 
+  test("VersionedTable: additive schema evolution — new delta column null-fills old rows") {
+    val s = spark
+    import s.implicits._
+    val path = s"$tmp/vt_evolve"
+    Sinks.VersionedTable.mergeUpsert(spark, path,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver"),
+      Seq("id"), "ver", numBuckets = 4)
+    // the delta brings a NEW column; key 2 is updated, key 1 untouched
+    Sinks.VersionedTable.mergeUpsert(spark, path,
+      Seq((2L, "b2", 2L, "fr"), (3L, "c", 2L, "de")).toDF("id", "v", "ver", "lang"),
+      Seq("id"), "ver", numBuckets = 4)
+    val rows = Sinks.VersionedTable.read(spark, path)
+      .select("id", "v", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getString(2)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a", null), (2L, "b2", "fr"), (3L, "c", "de")),
+      s"got ${rows.toSeq}")
+    // pruned point lookups see the merged schema too
+    val p1 = Sinks.VersionedTable.readForKey(spark, path, Seq("id"), Seq(2L))
+    assert(p1.columns.contains("lang") &&
+      p1.select("lang").as[String].collect().toSeq == Seq("fr"))
+  }
+
   test("non-bucketed join of the same data DOES shuffle both sides (control)") {
     val joined = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
       .join(Tables.customer(spark, sf).select("c_custkey", "c_name"),
