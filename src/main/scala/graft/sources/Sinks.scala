@@ -474,6 +474,14 @@ object Sinks {
         if (!live.contains(s"$DataDir/${st.getPath.getName}"))
           fs.delete(st.getPath, true)
       }
+      // .staging-* dirs are crashed writers' leftovers (a completed
+      // attempt always deletes its staging). Deleting one under a LIVE
+      // writer is safe: its bucket rename fails and the optimistic loop
+      // retries from the current snapshot — bounded lost work, never
+      // lost data.
+      fs.listStatus(new Path(path)).foreach { st =>
+        if (st.getPath.getName.startsWith(".staging-")) fs.delete(st.getPath, true)
+      }
     }
 
     /** numBuckets recorded by the latest manifest (None for a table

@@ -401,6 +401,25 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
       p1.select("lang").as[String].collect().toSeq == Seq("fr"))
   }
 
+  test("VersionedTable: vacuum reclaims crash orphans (unreferenced data dirs + staging)") {
+    val s = spark
+    import s.implicits._
+    val path = s"$tmp/vt_gc"
+    Sinks.VersionedTable.mergeUpsert(spark, path,
+      Seq((1L, "a", 1L)).toDF("id", "v", "ver"), Seq("id"), "ver", numBuckets = 2)
+    // simulate a writer crashed between staging its dirs and publishing:
+    // an orphan data dir no manifest references, plus a staging dir
+    val orphanData = new java.io.File(s"$path/data/v00000009-b0001-deadbeef")
+    val orphanStaging = new java.io.File(s"$path/.staging-deadbeef")
+    orphanData.mkdirs(); orphanStaging.mkdirs()
+    new java.io.File(orphanData, "part-junk.parquet").createNewFile()
+    Sinks.VersionedTable.vacuumVersioned(spark, path, keep = 2)
+    assert(!orphanData.exists(), "unreferenced data dir must be reclaimed")
+    assert(!orphanStaging.exists(), "crashed staging dir must be reclaimed")
+    // the committed version is untouched
+    assert(Sinks.VersionedTable.read(spark, path).count() == 1)
+  }
+
   test("non-bucketed join of the same data DOES shuffle both sides (control)") {
     val joined = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
       .join(Tables.customer(spark, sf).select("c_custkey", "c_name"),
