@@ -119,8 +119,12 @@ object ScaleAudit {
     var bad = 0
     val results = names.map { n =>
       GraftCache.releaseAll(spark)
-      val df = SparkEntry.queries(n)(spark, out)
+      // construction inside the timer: the memoized iterative queries
+      // (BPE trainer, PageRank, CC) run their fixpoints at
+      // DataFrame-BUILD time, which an action-only timer would misreport
+      // as instant
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(n)(spark, out)
       val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val plan = df.queryExecution.executedPlan.toString
@@ -215,7 +219,10 @@ object ScaleAudit {
       val big = spark.range(0L, 20000000L, 1L, 64).select(
         col("id").as("doc_id"),
         when(pmod(col("id"), lit(100L)) < 99L, lit("lang_dominant"))
-          .otherwise(concat(lit("lang_"), pmod(col("id"), lit(4)))).as("lang"),
+          // minority ids all satisfy id%100==99, so id%4 would be the
+          // CONSTANT 3 (100 = 0 mod 4) — rotate on id/100 instead to
+          // get four genuine minority languages
+          .otherwise(concat(lit("lang_"), pmod(floor(col("id") / 100L), lit(4)))).as("lang"),
         (lit(50L) + pmod(col("id"), lit(100L))).as("n_tok"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nBig = big.count() // materialize: both variants read the same cache

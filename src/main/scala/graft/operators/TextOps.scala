@@ -587,8 +587,22 @@ object TextOps {
     * segmentation, with the same list_reduce greedy fold and the same
     * (n_occ DESC, left, right) tie-break.
     */
-  def bpeTrainSql(k: Int = BpeRounds): String = {
-    val rounds = (1 to k).map { i =>
+  /** Shared per-round oracle CTE triple: pair counts over the previous
+    * segmentation, the (n_occ DESC, left, right) top-1, and the
+    * list_reduce greedy fold re-segmentation — one generator, so the
+    * trainer and encoder oracles can never desynchronize. With
+    * `withDoc`, a fourth CTE threads the doc-level segmentation through
+    * the same round (LEFT JOIN ON TRUE: a dried-up round must leave
+    * docs unchanged, not erase them like a cross join would).
+    */
+  private def bpeRoundCtes(i: Int, withDoc: Boolean): String = {
+    def fold(segCol: String): String =
+      s"""list_reduce(
+         |      list_prepend('', list_filter(string_split($segCol, chr(31)), x -> x <> '')),
+         |      (acc, s) -> CASE WHEN regexp_extract(acc, '[^' || chr(31) || ']*$$') = lft
+         |                        AND s = rgt
+         |                  THEN acc || rgt ELSE acc || chr(31) || s END)""".stripMargin
+    val core =
       s"""p$i AS (
          |  SELECT pr.l AS lft, pr.r AS rgt, CAST(sum(cnt) AS BIGINT) AS n_occ
          |  FROM (
@@ -600,22 +614,35 @@ object TextOps {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT lft, rgt, n_occ FROM p$i ORDER BY n_occ DESC, lft, rgt LIMIT 1),
          |s$i AS (
-         |  SELECT cnt, list_reduce(
-         |      list_prepend('', list_filter(string_split(seg, chr(31)), x -> x <> '')),
-         |      (acc, s) -> CASE WHEN regexp_extract(acc, '[^' || chr(31) || ']*$$') = lft
-         |                        AND s = rgt
-         |                  THEN acc || rgt ELSE acc || chr(31) || s END) AS seg
+         |  SELECT cnt, ${fold("seg")} AS seg
          |  FROM s${i - 1} CROSS JOIN b$i)""".stripMargin
-    }.mkString(",\n")
+    if (!withDoc) core
+    else core + s""",
+         |d$i AS (
+         |  SELECT doc_id, n_ws_tokens,
+         |    CASE WHEN lft IS NULL THEN dseg ELSE ${fold("dseg")} END AS dseg
+         |  FROM d${i - 1} LEFT JOIN b$i ON TRUE)""".stripMargin
+  }
+
+  private val bpeVocabSeedSql: String =
+    """WITH tokx AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |t0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tokx
+      |       WHERE len(tok) > 0 GROUP BY tok),
+      |s0 AS (SELECT cnt,
+      |         chr(31) || array_to_string(string_split(tok, ''), chr(31)) || chr(31) AS seg
+      |       FROM t0)""".stripMargin
+
+  /** Unrolled-round oracle (pageRankSql pattern): the winning pair is
+    * re-derived per round in SQL — a static query cannot inline values
+    * the trainer discovers at runtime — with the same list_reduce greedy
+    * fold and the same (n_occ DESC, left, right) tie-break.
+    */
+  def bpeTrainSql(k: Int = BpeRounds): String = {
+    val rounds = (1 to k).map(bpeRoundCtes(_, withDoc = false)).mkString(",\n")
     val out = (1 to k).map { i =>
       s"SELECT $i AS round, lft AS left_sym, rgt AS right_sym, lft || rgt AS merged, n_occ FROM b$i"
     }.mkString("\n  UNION ALL ")
-    s"""WITH tokx AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-       |t0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tokx
-       |       WHERE len(tok) > 0 GROUP BY tok),
-       |s0 AS (SELECT cnt,
-       |         chr(31) || array_to_string(string_split(tok, ''), chr(31)) || chr(31) AS seg
-       |       FROM t0),
+    s"""$bpeVocabSeedSql,
        |$rounds
        |SELECT * FROM (
        |  $out
@@ -654,47 +681,18 @@ object TextOps {
     * then thread a doc-level segmentation column through the same k
     * (pair → greedy fold) rounds.
     */
+  /** Oracle: re-derive the merge table with [[bpeRoundCtes]]'s shared
+    * chain, threading a doc-level segmentation column through the same
+    * k (pair → greedy fold) rounds.
+    */
   def bpeEncodeSql(k: Int = BpeRounds): String = {
-    val vocabRounds = (1 to k).map { i =>
-      s"""p$i AS (
-         |  SELECT pr.l AS lft, pr.r AS rgt, CAST(sum(cnt) AS BIGINT) AS n_occ
-         |  FROM (
-         |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
-         |                 j -> struct_pack(l := syms[j], r := syms[j+1]))) AS pr
-         |    FROM (SELECT cnt,
-         |            list_filter(string_split(seg, chr(31)), x -> x <> '') AS syms
-         |          FROM s${i - 1}))
-         |  GROUP BY 1, 2),
-         |b$i AS (SELECT lft, rgt FROM p$i ORDER BY n_occ DESC, lft, rgt LIMIT 1),
-         |s$i AS (
-         |  SELECT cnt, list_reduce(
-         |      list_prepend('', list_filter(string_split(seg, chr(31)), x -> x <> '')),
-         |      (acc, s) -> CASE WHEN regexp_extract(acc, '[^' || chr(31) || ']*$$') = lft
-         |                        AND s = rgt
-         |                  THEN acc || rgt ELSE acc || chr(31) || s END) AS seg
-         |  FROM s${i - 1} CROSS JOIN b$i),
-         |d$i AS (
-         |  -- LEFT JOIN ON TRUE: a dried-up merge round (empty b$i) must
-         |  -- leave docs unchanged, not erase them like a cross join would
-         |  SELECT doc_id, n_ws_tokens,
-         |    CASE WHEN lft IS NULL THEN dseg ELSE list_reduce(
-         |      list_prepend('', list_filter(string_split(dseg, chr(31)), x -> x <> '')),
-         |      (acc, s) -> CASE WHEN regexp_extract(acc, '[^' || chr(31) || ']*$$') = lft
-         |                        AND s = rgt
-         |                  THEN acc || rgt ELSE acc || chr(31) || s END) END AS dseg
-         |  FROM d${i - 1} LEFT JOIN b$i ON TRUE)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH tokx AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-       |t0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tokx
-       |       WHERE len(tok) > 0 GROUP BY tok),
-       |s0 AS (SELECT cnt,
-       |         chr(31) || array_to_string(string_split(tok, ''), chr(31)) || chr(31) AS seg
-       |       FROM t0),
+    val rounds = (1 to k).map(bpeRoundCtes(_, withDoc = true)).mkString(",\n")
+    s"""$bpeVocabSeedSql,
        |d0 AS (SELECT doc_id,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
        |         chr(31) || array_to_string(string_split(text, ''), chr(31)) || chr(31) AS dseg
        |       FROM documents),
-       |$vocabRounds
+       |$rounds
        |SELECT doc_id, n_ws_tokens,
        |  CAST(len(list_filter(string_split(dseg, chr(31)),
        |       x -> x <> '' AND x <> ' ')) AS BIGINT) AS n_bpe_tokens

@@ -457,7 +457,17 @@ object Sinks {
       * surviving manifest references. Readers pinned to vacuumed
       * versions fail cleanly (missing manifest), never see partial data.
       */
-    def vacuumVersioned(spark: SparkSession, path: String, keep: Int = 2): Unit = {
+    /** `minAgeMs`: an unreferenced dir younger than this is spared — it
+      * may belong to a LIVE writer that has moved its dirs under data/
+      * (or is still staging) but has not published yet; deleting those
+      * would let the writer's subsequent publish commit a manifest
+      * pointing at missing paths (committed data loss). Writers finish
+      * the move→publish window in seconds, so the 1 h default makes the
+      * race unreachable; pass 0 only when no writer can be live (tests,
+      * offline maintenance).
+      */
+    def vacuumVersioned(spark: SparkSession, path: String, keep: Int = 2,
+                        minAgeMs: Long = 3600000L): Unit = {
       val fs = fsFor(spark, path)
       val cdir = new Path(path, CommitsDir)
       if (!fs.exists(cdir)) return
@@ -468,19 +478,21 @@ object Sinks {
       val live: Set[String] = keepV.flatMap { case (v, _) =>
         latestManifestAt(spark, path, v).values
       }.toSet
+      val cutoff = System.currentTimeMillis() - minAgeMs
+      def oldEnough(st: org.apache.hadoop.fs.FileStatus): Boolean =
+        st.getModificationTime <= cutoff
       dropV.foreach { case (_, p) => fs.delete(p, false) }
       val ddir = new Path(path, DataDir)
       if (fs.exists(ddir)) fs.listStatus(ddir).foreach { st =>
-        if (!live.contains(s"$DataDir/${st.getPath.getName}"))
+        if (!live.contains(s"$DataDir/${st.getPath.getName}") && oldEnough(st))
           fs.delete(st.getPath, true)
       }
-      // .staging-* dirs are crashed writers' leftovers (a completed
-      // attempt always deletes its staging). Deleting one under a LIVE
-      // writer is safe: its bucket rename fails and the optimistic loop
-      // retries from the current snapshot — bounded lost work, never
-      // lost data.
+      // .staging-* past the age threshold are crashed writers' leftovers
+      // (a completed attempt always deletes its staging; a live one is
+      // younger than the threshold).
       fs.listStatus(new Path(path)).foreach { st =>
-        if (st.getPath.getName.startsWith(".staging-")) fs.delete(st.getPath, true)
+        if (st.getPath.getName.startsWith(".staging-") && oldEnough(st))
+          fs.delete(st.getPath, true)
       }
     }
 

@@ -493,8 +493,7 @@ object EventStream {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fpsPath = new org.apache.hadoop.fs.Path(root, "fps")
-    val binPath = new org.apache.hadoop.fs.Path(root, "bloom.bin")
-    val metaPath = new org.apache.hadoop.fs.Path(root, "bloom.json")
+    val sidecarPath = new org.apache.hadoop.fs.Path(root, "bloom.sidecar")
 
     def readBytes(p: org.apache.hadoop.fs.Path): Array[Byte] = {
       val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
@@ -531,8 +530,20 @@ object EventStream {
       val indexExists = fs.exists(fpsPath)
 
       // ---- 1. probe + output against PRE-batch state ----
-      val preSidecar: Option[Array[Byte]] =
-        if (fs.exists(binPath)) Some(readBytes(binPath)) else None
+      // sidecar file layout: 4-byte BE meta length + meta json + filter
+      // bytes — ONE file, published by atomic rename, so the filter
+      // geometry and its (capacity, numBits, count) meta can never tear
+      // apart (a torn two-file write would wedge every later merge on
+      // an IncompatibleMergeException at restart)
+      val preSidecarFile: Option[(String, Array[Byte])] =
+        if (!fs.exists(sidecarPath)) None
+        else {
+          val all = readBytes(sidecarPath)
+          val mlen = java.nio.ByteBuffer.wrap(all, 0, 4).getInt
+          Some((new String(all, 4, mlen, java.nio.charset.StandardCharsets.UTF_8),
+            java.util.Arrays.copyOfRange(all, 4 + mlen, all.length)))
+        }
+      val preSidecar: Option[Array[Byte]] = preSidecarFile.map(_._2)
       val flagged = preSidecar match {
         case Some(bytes) =>
           fpBatch.withColumn("maybe",
@@ -559,9 +570,7 @@ object EventStream {
 
       // ---- 2. sidecar rebuild-or-merge (before the index merge) ----
       val meta: Option[(Long, Long, Long)] = // (capacity, numBits, count)
-        if (!fs.exists(metaPath) || preSidecar.isEmpty) None
-        else {
-          val txt = new String(readBytes(metaPath), java.nio.charset.StandardCharsets.UTF_8)
+        preSidecarFile.flatMap { case (txt, _) =>
           def num(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
           (num("capacity"), num("numBits"), num("count")) match {
             case (Some(c), Some(b), Some(n)) => Some((c, b, n))
@@ -595,10 +604,11 @@ object EventStream {
           (if (total == 0) null else aggBloom(all, cap, bits), cap, bits, total)
       }
       if (bloomBytes != null) {
-        writeAtomic(binPath, bloomBytes)
-        writeAtomic(metaPath,
-          s"""{"capacity":$cap,"numBits":$bits,"count":$cnt}"""
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val metaBytes = s"""{"capacity":$cap,"numBits":$bits,"count":$cnt}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val buf = java.nio.ByteBuffer.allocate(4 + metaBytes.length + bloomBytes.length)
+        buf.putInt(metaBytes.length).put(metaBytes).put(bloomBytes)
+        writeAtomic(sidecarPath, buf.array())
       }
 
       // ---- 3. index merge (idempotent on the fp set) ----

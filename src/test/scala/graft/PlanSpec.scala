@@ -275,12 +275,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)))
     assert(WindowAudit.globalWindows(offsets) == 0,
       "detector false-positives on a prefix sum over a bounded aggregate")
-    // And the registered queries (q_corpus_shuffle uses exactly that
-    // offsets shape) are all clean.
-    SparkEntry.queries.keys.foreach { q =>
-      val n = WindowAudit.globalWindows(SparkEntry.queries(q)(spark, sf))
-      assert(n == 0, s"$q: $n global window(s) over a raw frame")
-    }
+    // (the preceding test already sweeps every registered query through
+    // this detector — only the positive/negative controls live here)
     graft.GraftCache.releaseAll(spark)
   }
 

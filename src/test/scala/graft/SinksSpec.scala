@@ -413,7 +413,10 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
     val orphanStaging = new java.io.File(s"$path/.staging-deadbeef")
     orphanData.mkdirs(); orphanStaging.mkdirs()
     new java.io.File(orphanData, "part-junk.parquet").createNewFile()
-    Sinks.VersionedTable.vacuumVersioned(spark, path, keep = 2)
+    // minAgeMs = 0: no live writer in this test — the production
+    // default spares young dirs precisely because a mid-commit writer's
+    // moved-but-unpublished dirs look like orphans
+    Sinks.VersionedTable.vacuumVersioned(spark, path, keep = 2, minAgeMs = 0L)
     assert(!orphanData.exists(), "unreferenced data dir must be reclaimed")
     assert(!orphanStaging.exists(), "crashed staging dir must be reclaimed")
     // the committed version is untouched

@@ -639,13 +639,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       in.toDF().toDF("doc_id", "text"), s"$dir/index", s"$dir/out", s"$dir/ckpt")
     // batch 1 sizes the filter for ~2x its tiny cardinality; batch 2's
     // volume forces the doubling rebuild; batch 3 repeats batch-2 docs
+    def sidecarMeta(): String = {
+      val all = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/index/bloom.sidecar"))
+      val mlen = java.nio.ByteBuffer.wrap(all, 0, 4).getInt
+      new String(all, 4, mlen, "UTF-8")
+    }
     in.addData((1L, "alpha"), (2L, "beta")); q.processAllAvailable()
-    val metaTxt1 = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/index/bloom.json")))
+    val metaTxt1 = sidecarMeta()
     in.addData((1000L to 2500L).map(i => (i, s"doc body number $i")).toIndexedSeq)
     q.processAllAvailable()
-    val metaTxt2 = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/index/bloom.json")))
+    val metaTxt2 = sidecarMeta()
     assert(metaTxt1 != metaTxt2, "capacity overflow must rewrite the sidecar meta")
     in.addData((3000L, "alpha"), (3001L, "doc body number 1500"), (3002L, "fresh"))
     q.processAllAvailable()
