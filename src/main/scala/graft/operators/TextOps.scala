@@ -508,18 +508,36 @@ object TextOps {
     * the trainer stops early; the generated oracle's empty-CTE cascade
     * degrades identically.
     */
-  /** One greedy merge round over a ␟-delimited symbol string as a
-    * catalyst `aggregate` fold — see [[bpeTrain]]'s scaladoc for the
-    * greedy-equivalence argument (PropertySpec fuzzes it).
+  /** One greedy merge round over a ␟-delimited symbol string — see
+    * [[bpeTrain]]'s scaladoc for the greedy-equivalence argument
+    * (PropertySpec fuzzes both paths).
+    *
+    * Hybrid for speed: for a NON-self pair, a literal `replace` applied
+    * twice is exactly greedy (pattern occurrences overlap only at one
+    * shared boundary separator; pass-1 misses are isolated and pass 2
+    * catches them at their original positions — exhaustively verified
+    * in PropertySpec) and stays in whole-stage codegen. Only a SELF
+    * pair (l == r) needs the `aggregate` fold: there occurrences
+    * overlap in symbol space and the replace formulation under-merges
+    * odd runs, while the fold is exactly greedy for every pair.
     */
   private def foldMergePair(seg: Column, l: String, r: String): Column =
-    aggregate(
-      filter(split(seg, BpeSep), s => s =!= lit("")),
-      lit(""),
-      (acc, s) =>
-        when(element_at(split(acc, BpeSep), -1) === lit(l) && s === lit(r),
-          concat(acc, lit(r)))
-          .otherwise(concat(acc, lit(BpeSep), s)))
+    if (l != r) {
+      val pat = lit(BpeSep + l + BpeSep + r + BpeSep)
+      val rep = lit(BpeSep + l + r + BpeSep)
+      replace(replace(seg, pat, rep), pat, rep)
+    } else
+      // finish re-appends the trailing separator: a LATER round may take
+      // the replace path, whose ␟l␟r␟ pattern needs the string fully
+      // wrapped to match a pair at the very end
+      aggregate(
+        filter(split(seg, BpeSep), s => s =!= lit("")),
+        lit(""),
+        (acc, s) =>
+          when(element_at(split(acc, BpeSep), -1) === lit(l) && s === lit(r),
+            concat(acc, lit(r)))
+            .otherwise(concat(acc, lit(BpeSep), s)),
+        acc => concat(acc, lit(BpeSep)))
 
   def bpeTrain(documents: DataFrame, k: Int = BpeRounds): DataFrame = {
     val spark = documents.sparkSession
@@ -596,12 +614,18 @@ object TextOps {
     * docs unchanged, not erase them like a cross join would).
     */
   private def bpeRoundCtes(i: Int, withDoc: Boolean): String = {
+    // mirrors foldMergePair's hybrid: linear replace for non-self
+    // pairs, list_reduce greedy fold for self pairs
     def fold(segCol: String): String =
-      s"""list_reduce(
+      s"""CASE WHEN lft <> rgt THEN
+         |      replace(replace($segCol,
+         |        chr(31) || lft || chr(31) || rgt || chr(31), chr(31) || lft || rgt || chr(31)),
+         |        chr(31) || lft || chr(31) || rgt || chr(31), chr(31) || lft || rgt || chr(31))
+         |    ELSE list_reduce(
          |      list_prepend('', list_filter(string_split($segCol, chr(31)), x -> x <> '')),
          |      (acc, s) -> CASE WHEN regexp_extract(acc, '[^' || chr(31) || ']*$$') = lft
          |                        AND s = rgt
-         |                  THEN acc || rgt ELSE acc || chr(31) || s END)""".stripMargin
+         |                  THEN acc || rgt ELSE acc || chr(31) || s END) || chr(31) END""".stripMargin
     val core =
       s"""p$i AS (
          |  SELECT pr.l AS lft, pr.r AS rgt, CAST(sum(cnt) AS BIGINT) AS n_occ

@@ -394,6 +394,25 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("bpe trainer: fold round followed by replace round matches at token boundaries") {
+    val s = spark
+    import s.implicits._
+    // round 1 winner is the SELF pair (a,a) (tie with (a,b), broken by
+    // right symbol) -> fold path, re-segmenting "aab" as aa|b. Round 2's
+    // winner (aa,b) is NON-self -> replace path, and its only occurrence
+    // sits at the TOKEN END — if the fold round dropped the trailing
+    // separator, the ␟aa␟b␟ pattern would miss every token and round 2
+    // would pick a different (or no) pair.
+    val docs = Seq((1L, "aab aab aab")).toDF("doc_id", "text")
+    val m = TextOps.bpeTrain(docs, k = 2).collect()
+    val r1 = m.find(_.getInt(0) == 1).get
+    assert(r1.getString(3) == "aa" && r1.getLong(4) == 3L, s"round1 ${r1}")
+    val r2 = m.find(_.getInt(0) == 2).get
+    assert(r2.getString(1) == "aa" && r2.getString(2) == "b" && r2.getLong(4) == 3L,
+      s"round 2 must merge (aa,b) at token ends, got ${r2}")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("bpe trainer: dries up early on a fully-mergeable corpus instead of erroring") {
     val s = spark
     import s.implicits._
