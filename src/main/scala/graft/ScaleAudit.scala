@@ -94,7 +94,7 @@ object ScaleAudit {
       val scaled =
         if (keys.isEmpty) df
         else (0 until mult).map { i =>
-          df.select(df.columns.map { c =>
+          df.select(df.columns.toIndexedSeq.map { c =>
             if (keys.contains(c)) (col(c) + lit(i * bases(domains(c)))).as(c)
             else col(c)
           }: _*)

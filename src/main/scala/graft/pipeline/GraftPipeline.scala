@@ -132,9 +132,9 @@ object GraftPipeline {
   def applyJobUpdates(jobs: DataFrame, updates: DataFrame): DataFrame = {
     val updCols = updates.columns.filterNot(_ == "job_id")
     val u = updates.select(
-      col("job_id") +: updCols.map(c => col(c).as(s"__u_$c")): _*)
+      col("job_id") +: updCols.toIndexedSeq.map(c => col(c).as(s"__u_$c")): _*)
     jobs.join(u, Seq("job_id"), "left")
-      .select(jobs.columns.map { c =>
+      .select(jobs.columns.toIndexedSeq.map { c =>
         if (updCols.contains(c)) coalesce(col(s"__u_$c"), col(c)).as(c)
         else col(c)
       }: _*)

@@ -165,7 +165,7 @@ object Sinks {
     val touched = deltaB.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val baseSlice = spark.read.parquet(path)
-      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      .filter(col("bucket").isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
     val merged = latestWins(baseSlice, deltaB, keys, versionCol)
     val staging = new Path(path + "__staging")
     fs.delete(staging, true)

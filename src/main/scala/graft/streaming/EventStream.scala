@@ -668,11 +668,11 @@ object EventStream {
       .agg(
         max(qc(versionCol)).as(versionCol),
         (if (others.isEmpty) Seq.empty[org.apache.spark.sql.Column]
-         else Seq(max_by(struct(others.map(qc): _*), qc(versionCol)).as("__row"))): _*)
+         else Seq(max_by(struct(others.toIndexedSeq.map(qc): _*), qc(versionCol)).as("__row"))): _*)
     packed
       .select(keys.map(qc) ++ Seq(qc(versionCol)) ++
         others.map(c => col("__row").getField(c).as(c)): _*)
-      .select(batch.columns.map(qc): _*)
+      .select(batch.columns.toIndexedSeq.map(qc): _*)
   }
 
   /** [[streamingUpsertSink]] writing through the TRANSACTIONAL table
