@@ -19,7 +19,8 @@ object Explain {
         "q18_large_orders", "q_cube_revenue", "q_dedup_incremental_bloom",
         "q_props_stats", "q_above_avg_orders",
         "q4_order_priority", "q7_volume_shipping", "q2_min_cost_supplier",
-        "q_heavy_hitters", "q_source_overlap", "q_reservoir_sample")
+        "q_heavy_hitters", "q_source_overlap", "q_reservoir_sample",
+        "q_bpe_train", "q_bpe_encode", "q_corpus_shuffle")
     names.foreach { n =>
       println(s"\n======== $n ========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -198,6 +198,20 @@ object ScaleAudit {
         bad += 1; println(s"[scale] FAIL q_pagerank: rank mass created ($s over $n nodes)")
       } else println(f"[scale] q_pagerank mass conserved: ${s / 1e12}%.4f of 1.0 across $n nodes")
     }
+    if (names.contains("q_corpus_shuffle")) {
+      GraftCache.releaseAll(spark)
+      // the shuffle rank must be a PERMUTATION at scale: any bucket
+      // boundary error (off-by-one offsets, ties split across buckets)
+      // shows up as a duplicate or hole in the rank sequence
+      val r = SparkEntry.queries("q_corpus_shuffle")(spark, out)
+        .agg(min(col("shuffle_rank")), max(col("shuffle_rank")),
+          countDistinct(col("shuffle_rank")), count(lit(1))).head()
+      val (lo, hi, nd, n) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      if (lo != 1L || hi != n || nd != n) {
+        bad += 1
+        println(s"[scale] FAIL q_corpus_shuffle: ranks not a permutation (min=$lo max=$hi distinct=$nd n=$n)")
+      } else println(s"[scale] q_corpus_shuffle is an exact 1..$n permutation at ${mult}x")
+    }
     // DistributedRank crossover: q_token_budget_mix deliberately trades
     // a bounded-key running-sum window (one task per language, however
     // big the language) for range-bucketed prefix sums with offset-based
