@@ -681,6 +681,80 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Single-pass exactly-greedy BPE pair merge over a ␟-wrapped symbol
+    * string (TextOps.bpeTrain/bpeEncode hot loop). One scan replaces the
+    * two scans of the literal-replace formulation AND covers self pairs
+    * (l == r), where string replace provably under-merges odd runs
+    * (it cannot re-match across the separator it just consumed). A
+    * symbol is appended; when the previous appended symbol equals `l`
+    * and the incoming one equals `r`, the incoming chars extend the
+    * previous symbol instead — the merged symbol `l+r` can never
+    * re-merge as a left side (`r` nonempty), which is what makes the
+    * scan exactly greedy. Output stays ␟-wrapped. Fuzzed against a
+    * direct scan-merge reference in PropertySpec.
+    */
+  def bpeMergeGreedy(seg: UTF8String, l: String, r: String): UTF8String = {
+    val in = seg.toString
+    val sep = '\u001f'
+    val n = in.length
+    val sb = new java.lang.StringBuilder(n + 1)
+    sb.append(sep)
+    var lastStart = -1 // start of the last appended symbol in sb
+    var i = if (n > 0 && in.charAt(0) == sep) 1 else 0
+    while (i < n) {
+      var j = in.indexOf(sep, i)
+      if (j < 0) j = n
+      if (j > i) { // skip empty segments (doubled separators)
+        val isR = (j - i) == r.length && in.regionMatches(i, r, 0, r.length)
+        var lastIsL = lastStart >= 0 && (sb.length - lastStart) == l.length
+        if (lastIsL) {
+          var k = 0
+          while (lastIsL && k < l.length) {
+            if (sb.charAt(lastStart + k) != l.charAt(k)) lastIsL = false
+            k += 1
+          }
+        }
+        if (isR && lastIsL) {
+          sb.append(in, i, j) // extend the previous symbol to l+r
+        } else {
+          if (lastStart >= 0) sb.append(sep)
+          lastStart = sb.length
+          sb.append(in, i, j)
+        }
+      }
+      i = j + 1
+    }
+    sb.append(sep)
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** [[bpeMergeGreedy]] as a catalyst expression; `l`/`r` are the
+    * round's winning pair (driver-known literals), so codegen calls the
+    * kernel through one object reference and the projection stays
+    * inside the whole-stage span.
+    */
+  case class BpeMergePair(child: Expression, l: String, r: String)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == NullType || child.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string input")
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_bpe_merge"
+
+    override def nullSafeEval(s: Any): Any =
+      bpeMergeGreedy(s.asInstanceOf[UTF8String], l, r)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeMergeExpr", this)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (UTF8String) $ref.nullSafeEval($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BpeMergePair =
+      copy(child = newChild)
+  }
+
   // Column-level API
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.column(DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -704,4 +778,6 @@ object Exprs {
       MisraGries(ColumnBridge.expression(v), k).toAggregateExpression())
   def ngrams(tokens: Column, w: Int): Column =
     ColumnBridge.column(Ngrams(ColumnBridge.expression(tokens), w))
+  def bpeMerge(seg: Column, l: String, r: String): Column =
+    ColumnBridge.column(BpeMergePair(ColumnBridge.expression(seg), l, r))
 }

@@ -508,36 +508,15 @@ object TextOps {
     * the trainer stops early; the generated oracle's empty-CTE cascade
     * degrades identically.
     */
-  /** One greedy merge round over a ␟-delimited symbol string — see
-    * [[bpeTrain]]'s scaladoc for the greedy-equivalence argument
-    * (PropertySpec fuzzes both paths).
-    *
-    * Hybrid for speed: for a NON-self pair, a literal `replace` applied
-    * twice is exactly greedy (pattern occurrences overlap only at one
-    * shared boundary separator; pass-1 misses are isolated and pass 2
-    * catches them at their original positions — exhaustively verified
-    * in PropertySpec) and stays in whole-stage codegen. Only a SELF
-    * pair (l == r) needs the `aggregate` fold: there occurrences
-    * overlap in symbol space and the replace formulation under-merges
-    * odd runs, while the fold is exactly greedy for every pair.
+  /** One greedy merge round over a ␟-wrapped symbol string — the
+    * codegen'd single-pass kernel [[graft.functions.Exprs.bpeMergeGreedy]]
+    * (exactly greedy for every pair, self pairs included; fuzz-pinned in
+    * PropertySpec). The SQL oracle mirrors the same greedy semantics
+    * with its replace/list_reduce hybrid — both formulations are
+    * greedy-exact, so parity holds per round.
     */
   private def foldMergePair(seg: Column, l: String, r: String): Column =
-    if (l != r) {
-      val pat = lit(BpeSep + l + BpeSep + r + BpeSep)
-      val rep = lit(BpeSep + l + r + BpeSep)
-      replace(replace(seg, pat, rep), pat, rep)
-    } else
-      // finish re-appends the trailing separator: a LATER round may take
-      // the replace path, whose ␟l␟r␟ pattern needs the string fully
-      // wrapped to match a pair at the very end
-      aggregate(
-        filter(split(seg, BpeSep), s => s =!= lit("")),
-        lit(""),
-        (acc, s) =>
-          when(element_at(split(acc, BpeSep), -1) === lit(l) && s === lit(r),
-            concat(acc, lit(r)))
-            .otherwise(concat(acc, lit(BpeSep), s)),
-        acc => concat(acc, lit(BpeSep)))
+    Exprs.bpeMerge(seg, l, r)
 
   def bpeTrain(documents: DataFrame, k: Int = BpeRounds): DataFrame = {
     val spark = documents.sparkSession

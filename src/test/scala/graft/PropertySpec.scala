@@ -31,17 +31,15 @@ object BpeFoldProps extends Properties("bpe.greedyFold") {
     out.toList
   }
 
-  /** The operator's mechanics (TextOps.foldMergePair, mirrored by the
-    * DuckDB list_reduce oracle): left fold with a delimited string
-    * accumulator; a merge appends `r` withOUT a separator.
+  /** The PRODUCTION kernel (Exprs.bpeMergeGreedy — the codegen'd
+    * single-pass merge behind TextOps.bpeTrain/bpeEncode), driven
+    * through the same ␟-wrapped string format the operators use.
     */
   private def foldMerge(syms: List[String], l: String, r: String): List[String] = {
-    var acc = ""
-    for (s <- syms) {
-      val last = acc.substring(acc.lastIndexOf(Sep) + 1)
-      acc = if (last == l && s == r) acc + s else acc + Sep + s
-    }
-    acc.split(Sep).toList.filter(_.nonEmpty)
+    val seg = org.apache.spark.unsafe.types.UTF8String.fromString(
+      Sep + syms.mkString(Sep) + Sep)
+    graft.functions.Exprs.bpeMergeGreedy(seg, l, r)
+      .toString.split(Sep).toList.filter(_.nonEmpty)
   }
 
   // symbols shaped like real BPE rounds produce: single chars plus
@@ -62,6 +60,14 @@ object BpeFoldProps extends Properties("bpe.greedyFold") {
     forAll(Gen.choose(0, 11), symbolGen) { (n, x) =>
       val syms = List.fill(n)(x)
       foldMerge(syms, x, x) == greedyMerge(syms, x, x)
+    }
+
+  property("output stays \u001f-wrapped (later rounds match token-final pairs)") =
+    forAll(symsGen, symbolGen, symbolGen) { (syms, l, r) =>
+      val out = graft.functions.Exprs.bpeMergeGreedy(
+        org.apache.spark.unsafe.types.UTF8String.fromString(Sep + syms.mkString(Sep) + Sep),
+        l, r).toString
+      out.startsWith(Sep) && out.endsWith(Sep)
     }
 
   property("identity when the pair never occurs adjacently") =
