@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the baseline-section parser Bench uses for the regression gate.
+  * Round-6 verdict flagged the old parser (regex over `indexOf('}')`) as
+  * brittle: any nesting or a brace inside a string would silently
+  * truncate the section and mis-gate every query after the cut. The
+  * parser is now brace-balanced and quote-aware; these cases pin it. */
+class BenchParseSpec extends AnyFunSuite {
+
+  test("flat numeric section parses") {
+    val txt = """{"metric":"total","queries":{"q_a":1.5,"q_b":0.25,"q_c":3e-2},"x":1}"""
+    assert(Bench.section(txt, "queries") ===
+      Map("q_a" -> 1.5, "q_b" -> 0.25, "q_c" -> 0.03))
+  }
+
+  test("missing key returns empty") {
+    assert(Bench.section("""{"queries":{"q_a":1}}""", "queries_warm").isEmpty)
+  }
+
+  test("a brace inside a string elsewhere cannot truncate the section") {
+    // rebase_log reasons are free text and may contain '}' — the old
+    // indexOf('}') scan would have cut "queries" at that brace if the
+    // log preceded it.
+    val txt = """{"rebase_log":[{"reason":"window -> rank {by design}"}],""" +
+      """"queries":{"q_a":1.0,"q_b":2.0}}"""
+    assert(Bench.section(txt, "queries") === Map("q_a" -> 1.0, "q_b" -> 2.0))
+  }
+
+  test("a quoted brace INSIDE the section does not end it early") {
+    val txt = """{"queries":{"q_a":1.0,"note":"has } brace","q_b":2.0}}"""
+    val m = Bench.section(txt, "queries")
+    assert(m("q_a") === 1.0 && m("q_b") === 2.0)
+  }
+
+  test("escaped quote inside a string is handled") {
+    val txt = """{"queries":{"q_a":1.0,"note":"a \" quote } here","q_b":2.0}}"""
+    val m = Bench.section(txt, "queries")
+    assert(m("q_a") === 1.0 && m("q_b") === 2.0)
+  }
+
+  test("pretty-printed baseline (spaces/newlines after colons) still parses") {
+    val txt = "{\n  \"queries\": {\n    \"q_a\": 1.0,\n    \"q_b\": 2.0\n  }\n}"
+    assert(Bench.section(txt, "queries") === Map("q_a" -> 1.0, "q_b" -> 2.0))
+  }
+
+  test("torn (unterminated) section is treated as absent, not partial") {
+    // A truncated baseline must not gate against a partial map — absent
+    // baselines skip the gate entirely, which is the safe failure mode.
+    val txt = """{"queries":{"q_a":1.0,"q_b":2."""
+    assert(Bench.section(txt, "queries").isEmpty)
+  }
+
+  test("nested object inside the section does not truncate the outer map") {
+    val txt = """{"queries":{"q_a":1.0,"meta":{"inner":9.0},"q_b":2.0},"z":0}"""
+    val m = Bench.section(txt, "queries")
+    assert(m("q_a") === 1.0 && m("q_b") === 2.0)
+  }
+
+  test("gate kinds: dual, severe warm-only, and clean partition correctly") {
+    // dual: both cold and warm past 1.5x with real warm delta
+    assert(Bench.gateKind(cold = 3.0, warm = 3.0, oc = 1.0, ow = 1.0, 1.0, 1.0)
+      .contains("dual"))
+    // severe warm-only: warm 4x with cold at baseline
+    assert(Bench.gateKind(cold = 1.0, warm = 4.0, oc = 1.0, ow = 1.0, 1.0, 1.0)
+      .contains("severe_warm"))
+    // clean: warm up but under the delta floor
+    assert(Bench.gateKind(cold = 0.2, warm = 0.3, oc = 0.1, ow = 0.1, 1.0, 1.0)
+      .isEmpty)
+    // missing baseline (non-positive) never flags
+    assert(Bench.gateKind(cold = 9.0, warm = 9.0, oc = 0.0, ow = 1.0, 1.0, 1.0)
+      .isEmpty)
+  }
+
+  test("real baseline file parses and sections agree on keys") {
+    val p = java.nio.file.Paths.get("bench_baseline.json")
+    if (java.nio.file.Files.exists(p)) {
+      val txt = java.nio.file.Files.readString(p)
+      val cold = Bench.section(txt, "queries")
+      val warm = Bench.section(txt, "queries_warm")
+      assert(cold.nonEmpty && warm.nonEmpty)
+      assert(cold.keySet === warm.keySet)
+      assert(cold.values.forall(_ > 0))
+    }
+  }
+}
