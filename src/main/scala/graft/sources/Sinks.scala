@@ -251,8 +251,35 @@ object Sinks {
     private def parseNumBuckets(txt: String): Option[Int] =
       "\"numBuckets\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
 
+    /** Structural completeness check for a manifest body. [[publish]]
+      * never exposes a partially-written manifest on a correct
+      * filesystem (full temp write + atomic link/rename), but a
+      * misbehaving store or an out-of-band copy can still land a torn
+      * file, and `parseBuckets` over partial JSON would silently yield a
+      * partial bucket map — later merges would then base off it and drop
+      * committed buckets from every subsequent manifest. So readers
+      * require the version header AND the closing `}}` the writer always
+      * emits, and [[latestManifest]] falls back past a torn newest
+      * version to the latest intact one.
+      */
+    private[sources] def validManifest(txt: String): Boolean = {
+      val t = txt.trim
+      t.startsWith("{\"version\":") && t.endsWith("}}")
+    }
+
+    /** Manifest body for version `v`, or None if absent or torn. */
+    private def manifestBody(fs: org.apache.hadoop.fs.FileSystem,
+                             cdir: Path, v: Long): Option[String] = {
+      val p = new Path(cdir, manifestName(v))
+      if (!fs.exists(p)) None
+      else Some(readUtf8(fs, p)).filter(validManifest)
+    }
+
     /** (version, bucket -> data dir relative to table root), or None for
-      * an uninitialized table.
+      * an uninitialized table. A torn newest manifest (see
+      * [[validManifest]]) is skipped — the table resolves to the latest
+      * INTACT version, so a crashed writer can never make committed
+      * buckets unreadable.
       */
     def latestManifest(spark: SparkSession, path: String): Option[(Long, Map[Int, String])] = {
       val fs = fsFor(spark, path)
@@ -261,10 +288,10 @@ object Sinks {
       val versions = fs.listStatus(cdir).flatMap { st =>
         val n = st.getPath.getName
         if (n.endsWith(".json")) n.stripSuffix(".json").toLongOption else None
-      }
-      if (versions.isEmpty) return None
-      val v = versions.max
-      Some((v, parseBuckets(readUtf8(fs, new Path(cdir, manifestName(v))))))
+      }.sorted.reverse
+      versions.iterator
+        .flatMap(v => manifestBody(fs, cdir, v).map(v -> parseBuckets(_)))
+        .nextOption()
     }
 
     /** Atomic-exclusive publish of manifest `v`; true iff this writer won
@@ -285,11 +312,12 @@ object Sinks {
       val out = fs.create(tmp, true)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      val won =
+      def claim(): Boolean =
         if ("file" == dst.toUri.getScheme || dst.toUri.getScheme == null) {
           // local FS: Hadoop's rename/create are NOT atomic-exclusive
           // (File.renameTo overwrites; create(false) is check-then-act).
-          // POSIX link(2) is: it fails EEXIST atomically.
+          // POSIX link(2) is: it fails EEXIST atomically, and links the
+          // FULLY-WRITTEN temp — the name never exposes partial bytes.
           try {
             java.nio.file.Files.createLink(
               java.nio.file.Paths.get(dst.toUri.getPath),
@@ -297,16 +325,27 @@ object Sinks {
             true
           } catch { case _: java.nio.file.FileAlreadyExistsException => false }
         } else {
-          // HDFS & friends: create(overwrite = false) is atomic at the
-          // namenode. Two-step (tmp + copy) keeps content-completeness:
-          // losing here can only happen at the exclusive create.
-          try {
-            val o = fs.create(dst, false)
-            try o.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally o.close()
-            true
-          } catch { case _: java.io.IOException => false }
+          // HDFS & friends: rename(tmp, dst) of the fully-written temp
+          // is atomic at the namenode and FAILS if dst exists — the
+          // Delta-style commit primitive. (The previous create(dst,
+          // false)-then-write claimed the name BEFORE the bytes: a
+          // writer crash between create and close left a truncated
+          // manifest as the table's newest version.)
+          fs.rename(tmp, dst)
         }
+      var won = claim()
+      if (!won) {
+        // Losing normally means another writer committed this version —
+        // but the occupant could also be a TORN manifest from a
+        // misbehaving store. The publish primitives above only ever
+        // expose fully-written bytes, so a torn occupant is never a live
+        // writer mid-commit: deleting it and re-claiming is safe, and
+        // without it every writer would livelock (latestManifest skips
+        // the torn version, so retries re-derive the same next version).
+        val occupant = if (fs.exists(dst)) Some(readUtf8(fs, dst)) else None
+        if (occupant.exists(!validManifest(_)) && fs.delete(dst, false))
+          won = claim()
+      }
       fs.delete(tmp, false)
       won
     }
@@ -320,9 +359,9 @@ object Sinks {
       val (v, buckets) = version match {
         case Some(want) =>
           val fs = fsFor(spark, path)
-          val p = new Path(new Path(path, CommitsDir), manifestName(want))
-          require(fs.exists(p), s"VersionedTable: no manifest $want at $path")
-          (want, parseBuckets(readUtf8(fs, p)))
+          val body = manifestBody(fs, new Path(path, CommitsDir), want)
+          require(body.isDefined, s"VersionedTable: no intact manifest $want at $path")
+          (want, parseBuckets(body.get))
         case None =>
           latestManifest(spark, path).getOrElse(
             throw new IllegalStateException(s"VersionedTable: no commits at $path"))
@@ -503,11 +542,12 @@ object Sinks {
       val fs = fsFor(spark, path)
       val cdir = new Path(path, CommitsDir)
       if (!fs.exists(cdir)) return None
-      val versions = fs.listStatus(cdir).flatMap(
-        _.getPath.getName.stripSuffix(".json").toLongOption)
-      if (versions.isEmpty) None
-      else parseNumBuckets(readUtf8(fs, new Path(cdir, manifestName(versions.max))))
-        .filter(_ > 0)
+      fs.listStatus(cdir)
+        .flatMap(_.getPath.getName.stripSuffix(".json").toLongOption)
+        .sorted.reverseIterator
+        .flatMap(v => manifestBody(fs, cdir, v))
+        .flatMap(parseNumBuckets(_).filter(_ > 0))
+        .nextOption()
     }
 
     /** Point lookup with BUCKET PRUNING: read only the one bucket dir
@@ -525,12 +565,26 @@ object Sinks {
       storedNumBuckets(spark, path) match {
         case None => read(spark, path).filter(eq)
         case Some(nb) =>
-          // same hash, computed the same way (1-row plan, not driver math)
-          val b = spark.range(1)
-            .select(pmod(hash(keyVals.map(lit): _*), lit(nb)).as("b"))
-            .head().getInt(0)
           val (_, buckets) = latestManifest(spark, path).getOrElse(
             throw new IllegalStateException(s"VersionedTable: no commits at $path"))
+          // hash() is TYPE-sensitive: hash(17: Int) != hash(17L), so a
+          // caller passing an Int for a BIGINT key column would probe
+          // the wrong bucket and read empty for an existing key. Cast
+          // each literal to the table's own key column type (from one
+          // committed bucket's footer — merge keys exist in every
+          // bucket) so the probe hashes exactly what the writer hashed.
+          val keyTypes: Map[String, org.apache.spark.sql.types.DataType] =
+            buckets.values.headOption.map { rel =>
+              spark.read.parquet(new Path(path, rel).toString)
+                .schema.fields.map(f => f.name -> f.dataType).toMap
+            }.getOrElse(Map.empty)
+          val typedLits = keys.zip(keyVals).map { case (k, v) =>
+            keyTypes.get(k).map(lit(v).cast).getOrElse(lit(v))
+          }
+          // same hash, computed the same way (1-row plan, not driver math)
+          val b = spark.range(1)
+            .select(pmod(hash(typedLits: _*), lit(nb)).as("b"))
+            .head().getInt(0)
           buckets.get(b) match {
             case None => read(spark, path).filter(eq).limit(0) // bucket never written
             case Some(rel) =>

@@ -513,6 +513,18 @@ object EventStream {
     // uses (null for an empty frame — callers guard)
     val bloomViewId = java.util.UUID.randomUUID().toString.replace("-", "")
     def aggBloom(df: DataFrame, cap: Long, bits: Long): Array[Byte] = {
+      // graft_bloom_agg is Spark's BloomFilterAggregate, which SILENTLY
+      // clamps its arguments at spark.sql.optimizer.runtime.bloomFilter
+      // .maxNumItems/maxNumBits (defaults 4M items / 64Mi bits). Past
+      // the clamp the doubling rebuild would stop growing the filter
+      // and fpp would quietly degrade while the sidecar meta still
+      // claimed the sized capacity — so raise the session ceilings to
+      // the geometry actually requested before aggregating.
+      val conf = spark.conf
+      def raiseTo(key: String, need: Long): Unit =
+        if (conf.getOption(key).forall(_.toLong < need)) conf.set(key, need.toString)
+      raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", cap)
+      raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
       val v = s"graft_sbloom_$bloomViewId"
       df.createOrReplaceTempView(v)
       try spark.sql(
