@@ -688,45 +688,188 @@ object Embeddings {
     sb.toString
   }
 
+  // Shared CTE fragments between the PQ oracles (annPqSql, annIvfPqSql):
+  // per-subspace slices, per-subspace k-means trainings, finished
+  // codebooks with norms, and per-subspace code assignments.
+  private def pqSlSql(expr: String, m: Int): String =
+    s"list_slice($expr, ${m * PqSubDim + 1}, ${(m + 1) * PqSubDim})"
+  private val pqSubCtes: String = (0 until PqM).map { m =>
+    s"""ns$m AS (SELECT vec_id, sub AS qv, ${dotSqlFmt.format("sub", "sub")} AS nrm
+       |  FROM (SELECT vec_id, ${pqSlSql("qv", m)} AS sub FROM q))""".stripMargin
+  }.mkString(",\n")
+  private val pqTrainCtes: String =
+    (0 until PqM).map(m => pqKmeansSqlCtes(m, KmeansIters)).mkString(",\n")
+  private val pqCentfCtes: String = (0 until PqM).map { m =>
+    s"centf$m AS (SELECT c_id, cqv, ${dotSqlFmt.format("cqv", "cqv")} AS cnrm FROM cent${m}_$KmeansIters)"
+  }.mkString(",\n")
+  private val pqAsgCtes: String = (0 until PqM).map { m =>
+    s"""asg$m AS (SELECT vec_id, c_id AS code FROM (
+       |  SELECT ns$m.vec_id, centf$m.c_id,
+       |    row_number() OVER (PARTITION BY ns$m.vec_id
+       |      ORDER BY ns$m.nrm - 2 * ${dotSqlFmt.format(s"ns$m.qv", s"centf$m.cqv")} + centf$m.cnrm, centf$m.c_id) AS rn
+       |  FROM ns$m, centf$m) WHERE rn = 1)""".stripMargin
+  }.mkString(",\n")
+  /** ADC numerator over probe expression `p.qv` and joined codebook rows
+    * c0..c3, and the reconstructed norm from the same rows.
+    */
+  private val pqAdotSql: String = (0 until PqM)
+    .map(m => dotSqlFmt.format(pqSlSql("p.qv", m), s"c$m.cqv")).mkString(" + ")
+  private val pqAnrmSql: String = (0 until PqM).map(m => s"c$m.cnrm").mkString(" + ")
+
   val annPqSql: String = {
-    def sl(expr: String, m: Int): String =
-      s"list_slice($expr, ${m * PqSubDim + 1}, ${(m + 1) * PqSubDim})"
-    val subCtes = (0 until PqM).map { m =>
-      s"""ns$m AS (SELECT vec_id, sub AS qv, ${dotSqlFmt.format("sub", "sub")} AS nrm
-         |  FROM (SELECT vec_id, ${sl("qv", m)} AS sub FROM q))""".stripMargin
-    }.mkString(",\n")
-    val kmeansCtes = (0 until PqM).map(m => pqKmeansSqlCtes(m, KmeansIters)).mkString(",\n")
-    val centCtes = (0 until PqM).map { m =>
-      s"centf$m AS (SELECT c_id, cqv, ${dotSqlFmt.format("cqv", "cqv")} AS cnrm FROM cent${m}_$KmeansIters)"
-    }.mkString(",\n")
-    val asgCtes = (0 until PqM).map { m =>
-      s"""asg$m AS (SELECT vec_id, c_id AS code FROM (
-         |  SELECT ns$m.vec_id, centf$m.c_id,
-         |    row_number() OVER (PARTITION BY ns$m.vec_id
-         |      ORDER BY ns$m.nrm - 2 * ${dotSqlFmt.format(s"ns$m.qv", s"centf$m.cqv")} + centf$m.cnrm, centf$m.c_id) AS rn
-         |  FROM ns$m, centf$m) WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
-    val adot = (0 until PqM)
-      .map(m => dotSqlFmt.format(sl("p.qv", m), s"c$m.cqv")).mkString(" + ")
-    val anrm = (0 until PqM).map(m => s"c$m.cnrm").mkString(" + ")
     val joins = (0 until PqM).map { m =>
       (if (m == 0) s"FROM n p, asg0 a0" else s"  JOIN asg$m a$m ON a0.vec_id = a$m.vec_id") +
         s"\n  JOIN centf$m c$m ON a$m.code = c$m.c_id"
     }.mkString("\n")
     s"""WITH q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
        |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
-       |$subCtes,
-       |$kmeansCtes,
-       |$centCtes,
-       |$asgCtes,
+       |$pqSubCtes,
+       |$pqTrainCtes,
+       |$pqCentfCtes,
+       |$pqAsgCtes,
        |scored AS (
        |  SELECT p.vec_id AS q_id, a0.vec_id AS n_id,
-       |    CAST($adot AS DOUBLE) / (sqrt(p.nrm) * sqrt($anrm)) AS approx_cos
+       |    CAST($pqAdotSql AS DOUBLE) / (sqrt(p.nrm) * sqrt($pqAnrmSql)) AS approx_cos
        |$joins
        |  WHERE p.vec_id < $NumProbes AND a0.vec_id <> p.vec_id)
        |SELECT q_id, n_id, approx_cos, rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, n_id) AS rn
        |  FROM scored) WHERE rn <= $TopK""".stripMargin
+  }
+
+  // ---------------- C7e: IVF-PQ (the production composition) ----------------
+
+  /** ADC shortlist size per probe before exact re-ranking (Faiss's
+    * refine factor x k). 16x: at this corpus's weak neighbor similarity
+    * (cos ~ 0.4) PQ quantization noise is comparable to the score gaps
+    * it must preserve, so the shortlist needs real headroom — measured
+    * top-1 recall through the ADC shortlist: 4/10 at 1x (no refine),
+    * 7/10 at 4x, 9/10 at 8x, parity with exact in-list scoring at 16x.
+    * At production list sizes this is still a constant-size re-rank
+    * tail (probes x 80 raw-vector reads); only at toy corpus sizes does
+    * it approach the list length.
+    */
+  val RefineK: Int = 16 * TopK
+
+  /** C7e: IVF routing over PQ codes — the composition every production
+    * ANN deployment ships (Faiss IVFPQ / SCANN): the coarse IVF
+    * codebook routes each probe to its NProbe nearest inverted lists,
+    * and the scan inside those lists reads ONLY the 4-byte PQ codes
+    * (asymmetric-distance against the subspace codebooks), never the
+    * raw vectors. At 100 TB that means: partition pruning cuts the scan
+    * to nprobe/k of the corpus, and what it does scan is the ~16x-
+    * compressed code table — the raw embedding column is never touched
+    * after index build. This variant encodes raw vectors (not IVF
+    * residuals), which keeps the ADC score identical to C7d's over a
+    * pruned candidate set: approx_cos is exactly the cosine between the
+    * probe and the PQ reconstruction, exact-integer numerators,
+    * deterministic cross-engine.
+    *
+    * Plan shape: coarse assignment and code table are shared memoized
+    * artifacts (IVF's and PQ's own — composition adds ZERO new model
+    * state); candidates = assign ⋈ broadcast(probe lists) with no
+    * distinct (each vector lives in exactly one list); the ADC scan is
+    * a map-side projection over the code join; top-k is the bounded
+    * MaxKScored heap, never a rank window over the scan.
+    *
+    * REFINEMENT stage (Faiss IndexRefine): the ADC scan shortlists
+    * [[RefineK]] = 4k codes per probe, and only those rows re-rank with
+    * exact cosine against the raw vectors. PQ's quantization error
+    * costs real recall on a weak-similarity corpus (measured here: 4/10
+    * top-1s by raw ADC rank vs IVF's 10/10); the refine step buys it
+    * back while still reading raw vectors for only probes x RefineK
+    * rows — at 100 TB the exact re-rank is a broadcast-joined
+    * constant-size tail, not a scan.
+    */
+  def annIvfPq(embeddings: DataFrame): DataFrame = {
+    val q = quantized(embeddings)
+    val coarse = kmeansCodebook(q)
+    val assign = ivfAssign(q, coarse)
+    val cbs = pqCodebooks(q)
+    val codes = pqEncode(q, cbs)
+    val cbRows = cbs.map(_.orderBy("c_id").collect())
+    cbRows.foreach { rows =>
+      require(rows.map(_.getLong(0)).toSeq == (0 until NumCentroids).map(_.toLong),
+        "annIvfPq: codebook c_ids must be contiguous 0..NumCentroids-1 for array indexing")
+    }
+    val centArr = cbRows.map(rows => typedLit(rows.map(_.getSeq[Long](1)).toSeq))
+    val cnrmArr = cbRows.map(rows => typedLit(rows.map(_.getLong(2)).toSeq))
+    val probeLists = q.filter(col("vec_id") < NumProbes)
+      .crossJoin(broadcast(coarse))
+      .withColumn("d2", col("nrm") - lit(2L) * dot(col("qv"), col("cqv")) + col("cnrm"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"), col("c_id"))
+    val adot = (0 until PqM).map { m =>
+      dot(slice(col("q_qv"), m * PqSubDim + 1, PqSubDim),
+        element_at(centArr(m), col(s"code_$m").cast("int") + 1))
+    }.reduce(_ + _)
+    val anrm = (0 until PqM).map { m =>
+      element_at(cnrmArr(m), col(s"code_$m").cast("int") + 1)
+    }.reduce(_ + _)
+    val scored = assign
+      .join(broadcast(probeLists), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(codes, Seq("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (adot.cast("double") /
+          (sqrt(col("q_nrm").cast("double")) * sqrt(anrm.cast("double"))))
+          .as("approx_cos"))
+    val shortlist = scored
+      .groupBy("q_id")
+      .agg(Exprs.maxKScored(col("approx_cos"), col("n_id"), RefineK).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("n_id"))
+    topKByCos(scorePairs(shortlist, q))
+  }
+
+  val annIvfPqSql: String = {
+    val codeJoins = (0 until PqM).map { m =>
+      s"  JOIN asg$m a$m ON c.n_id = a$m.vec_id\n" +
+        s"  JOIN centf$m c$m ON a$m.code = c$m.c_id"
+    }.mkString("\n")
+    s"""WITH q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
+       |${kmeansSqlCtes(KmeansIters)},
+       |cent AS (SELECT c_id, cqv, ${dotSqlFmt.format("cqv", "cqv")} AS cnrm FROM cent$KmeansIters),
+       |assign AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT n.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY n.nrm - 2 * ${dotSqlFmt.format("n.qv", "cent.cqv")} + cent.cnrm, cent.c_id) AS rn
+       |    FROM n, cent) WHERE rn = 1),
+       |probe_lists AS (
+       |  SELECT vec_id AS q_id, c_id FROM (
+       |    SELECT n.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY n.nrm - 2 * ${dotSqlFmt.format("n.qv", "cent.cqv")} + cent.cnrm, cent.c_id) AS rn
+       |    FROM n, cent WHERE n.vec_id < $NumProbes) WHERE rn <= $NProbe),
+       |$pqSubCtes,
+       |$pqTrainCtes,
+       |$pqCentfCtes,
+       |$pqAsgCtes,
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id AS n_id
+       |  FROM probe_lists p JOIN assign a ON p.c_id = a.c_id
+       |  WHERE a.vec_id <> p.q_id),
+       |adc AS (
+       |  SELECT c.q_id, c.n_id,
+       |    CAST($pqAdotSql AS DOUBLE) / (sqrt(p.nrm) * sqrt($pqAnrmSql)) AS approx_cos
+       |  FROM cand c JOIN n p ON c.q_id = p.vec_id
+       |$codeJoins),
+       |short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, n_id) AS rn
+       |    FROM adc) WHERE rn <= $RefineK),
+       |rescored AS (
+       |  SELECT s.q_id, s.n_id,
+       |    ${dotSqlFmt.format("a.qv", "b.qv")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+       |  FROM short s JOIN n a ON s.q_id = a.vec_id JOIN n b ON s.n_id = b.vec_id)
+       |SELECT q_id, n_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+       |  FROM rescored) WHERE rn <= $TopK""".stripMargin
   }
 
   // ---------------- C44: SemDeDup (semantic dedup) ----------------
@@ -903,6 +1046,7 @@ object Embeddings {
     "q_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "q_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d))),
     "q_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d))),
+    "q_ann_ivfpq" -> ((s, d) => annIvfPq(Tables.embeddings(s, d))),
     "q_ann_topk" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d))),
     "q_ann_multiprobe" -> ((s, d) => annMultiProbe(Tables.embeddings(s, d))),
@@ -914,6 +1058,7 @@ object Embeddings {
     "q_knn_classify" -> knnClassifySql,
     "q_semdedup" -> semDedupSql,
     "q_ann_pq" -> annPqSql,
+    "q_ann_ivfpq" -> annIvfPqSql,
     "q_ann_topk" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_multiprobe" -> annMultiProbeSql,

@@ -569,6 +569,26 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
   }
 
+  test("IVF-PQ: k per probe, ADC cosines bounded, recall >= plain IVF") {
+    val ivfpq = Embeddings.annIvfPq(Tables.embeddings(spark, sf))
+    val rows = ivfpq.collect()
+    assert(rows.length == Embeddings.NumProbes * Embeddings.TopK)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+    // IVF-PQ's candidate set IS plain IVF's (same routing); the ADC
+    // scan shortlists RefineK codes per probe and the exact re-rank
+    // recovers the in-list exact ranking on that shortlist. The ≥ pin
+    // guards the composition (routing, codebooks, refine width) against
+    // regression — raw ADC rank alone measured 4/10 here, the refine
+    // stage is what buys recall parity back.
+    val bf = Embeddings.annTopK(Tables.embeddings(spark, sf))
+      .filter(col("rn") === 1).select("q_id", "n_id")
+    val ivf = Embeddings.annIvf(Tables.embeddings(spark, sf))
+    val hitIvf = bf.join(ivf.select("q_id", "n_id"), Seq("q_id", "n_id")).count()
+    val hitIvfPq = bf.join(ivfpq.select("q_id", "n_id"), Seq("q_id", "n_id")).count()
+    assert(hitIvfPq >= hitIvf,
+      s"IVF-PQ recall $hitIvfPq < plain IVF $hitIvf")
+  }
+
   test("IVF sampled-training path: codebook is complete and assignment total") {
     val q = Embeddings.quantized(Tables.embeddings(spark, sf))
     val cb = Embeddings.kmeansCodebook(q, trainMod = Embeddings.TrainModAtScale)
