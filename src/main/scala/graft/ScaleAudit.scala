@@ -107,7 +107,10 @@ object ScaleAudit {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val names = if (args.length > 1) args.drop(1).toSeq else defaultQueries
-    val out = s"target/scaled_${mult}x"
+    // dir name carries the base SF: a 50x-of-sf0.01 replica must never
+    // be silently reused by a 50x-of-sf0.1 run (the exists-check below
+    // would otherwise hand it a 10x-smaller corpus than requested)
+    val out = s"target/scaled_${mult}x_${new java.io.File(base).getName}"
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -211,6 +214,35 @@ object ScaleAudit {
         bad += 1
         println(s"[scale] FAIL q_corpus_shuffle: ranks not a permutation (min=$lo max=$hi distinct=$nd n=$n)")
       } else println(s"[scale] q_corpus_shuffle is an exact 1..$n permutation at ${mult}x")
+    }
+    // SemDeDup population cap: the within-cluster self-join is quadratic
+    // per cluster BY DESIGN, so the scaled entry point must grow k with
+    // the corpus (the paper's rule) and keep every cluster's population
+    // bounded — a codebook stuck at the 16-centroid test artifact would
+    // put n/16 vectors in one cluster and the pairwise join would
+    // explode quadratically with corpus growth. Pins: (a) the codebook
+    // actually sized past the test artifact, (b) no cluster exceeds
+    // 8x the target population (k-means imbalance allowance; the
+    // quadratic cost of an 8x cluster is a bounded 64x of target —
+    // independent of corpus size, which is the property that matters).
+    if (names.contains("q_semdedup") || names == defaultQueries) {
+      GraftCache.releaseAll(spark)
+      val target = 512L
+      val sd = operators.Embeddings.semDedupScaled(
+        graft.sources.Tables.embeddings(spark, out), targetClusterSize = target)
+      val pops = sd.groupBy("c_id").count()
+      val st = pops.agg(max("count"), count(lit(1)), sum("count")).head()
+      val (maxPop, kEff, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      println(s"[scale] q_semdedup scaled: n=$n effective_k=$kEff max_cluster=$maxPop (target $target)")
+      if (n > operators.Embeddings.NumCentroids * target &&
+          kEff <= operators.Embeddings.NumCentroids) {
+        bad += 1
+        println(s"[scale] FAIL q_semdedup: codebook did not scale past the test artifact (k=$kEff)")
+      }
+      if (maxPop > 8 * target) {
+        bad += 1
+        println(s"[scale] FAIL q_semdedup: cluster population $maxPop exceeds 8x target $target")
+      }
     }
     // DistributedRank crossover: q_token_budget_mix deliberately trades
     // a bounded-key running-sum window (one task per language, however

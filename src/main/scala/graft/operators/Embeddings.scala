@@ -416,16 +416,16 @@ object Embeddings {
     * function persisted outlives the call.
     */
   def kmeansCodebook(q: DataFrame, iters: Int = KmeansIters,
-                     trainMod: Long = 1L): DataFrame =
+                     trainMod: Long = 1L, k: Int = NumCentroids): DataFrame =
     GraftCache.memoArtifact(q.sparkSession,
-      ("kmeansCodebook", q.queryExecution.analyzed.canonicalized, iters, trainMod)) {
-      trainCodebook(q, iters, trainMod)
+      ("kmeansCodebook", q.queryExecution.analyzed.canonicalized, iters, trainMod, k)) {
+      trainCodebook(q, iters, trainMod, k)
     }
 
-  private def trainCodebook(q: DataFrame, iters: Int, trainMod: Long): DataFrame = {
+  private def trainCodebook(q: DataFrame, iters: Int, trainMod: Long, k: Int): DataFrame = {
     val train = q.filter(col("vec_id") % trainMod === 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var cent = q.filter(col("vec_id") < NumCentroids)
+    var cent = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("qv").as("cqv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // The finally block releases whatever is persisted at failure time
@@ -888,15 +888,43 @@ object Embeddings {
     * DESIGN — SemDeDup's point is that k scales with the corpus so
     * cluster populations stay bounded (the paper uses k≈10⁵ for
     * billions of points; here k = NumCentroids = 16 because the
-    * codebook is a shared test-scale artifact). The join shuffles on
+    * codebook is a shared test-scale artifact — [[semDedupScaled]] is
+    * the production entry point that sizes k from the corpus and
+    * subsamples training; ScaleAudit pins its cluster-population cap).
+    * The join shuffles on
     * c_id; per-pair cost is one exact integer dot product, and the
     * max-aggregate is partial-agg friendly. Cosine is bit-identical
     * cross-engine (integer milli-unit quantization, see the header),
     * so the τ comparison and the max are deterministic.
     */
-  def semDedup(embeddings: DataFrame, tau: Double = NearDupThreshold): DataFrame = {
+  def semDedup(embeddings: DataFrame, tau: Double = NearDupThreshold): DataFrame =
+    semDedupWithCodebook(embeddings, tau, q => kmeansCodebook(q))
+
+  /** SemDeDup sized for the corpus: k grows with n so per-cluster
+    * populations stay near `targetClusterSize` and the within-cluster
+    * quadratic stays bounded — the paper's own scaling rule (k ≈ 10⁵
+    * for billions of points ⇒ clusters of ~10⁴). The codebook trains on
+    * a deterministic 1-in-trainMod subsample sized to keep ≳ 39·k
+    * training points (the classical sample-size bar — full-corpus
+    * training at 100 TB would dwarf the search itself). The broadcast
+    * codebook is k rows of Dim longs: ~0.5 KB·k, so even k = 10⁵ ships
+    * ~50 MB — the argmin assignment stays a broadcast hash-agg, no
+    * shuffle. ScaleAudit pins the population cap at 50x corpus size.
+    */
+  def semDedupScaled(embeddings: DataFrame, tau: Double = NearDupThreshold,
+                     targetClusterSize: Long = 512L): DataFrame =
+    semDedupWithCodebook(embeddings, tau, { q =>
+      val n = q.count()
+      val k = math.max(NumCentroids.toLong,
+        (n + targetClusterSize - 1) / targetClusterSize).toInt
+      val trainMod = math.max(1L, n / math.max(39L * k, 1L))
+      kmeansCodebook(q, trainMod = trainMod, k = k)
+    })
+
+  private def semDedupWithCodebook(embeddings: DataFrame, tau: Double,
+                                   mkCodebook: DataFrame => DataFrame): DataFrame = {
     val q = quantized(embeddings)
-    val assign = ivfAssign(q, kmeansCodebook(q)).join(q, Seq("vec_id"))
+    val assign = ivfAssign(q, mkCodebook(q)).join(q, Seq("vec_id"))
     val a = assign.select(col("c_id"), col("vec_id").as("ia"),
       col("qv").as("qa"), col("nrm").as("na"))
     val b = assign.select(col("c_id"), col("vec_id").as("ib"),

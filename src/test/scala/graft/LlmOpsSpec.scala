@@ -589,6 +589,24 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"IVF-PQ recall $hitIvfPq < plain IVF $hitIvf")
   }
 
+  test("semDedupScaled: codebook sized from the corpus, clusters bounded, output total") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val target = 16L
+    val sd = Embeddings.semDedupScaled(emb, targetClusterSize = target)
+    assert(sd.count() == n, "scaled SemDeDup must emit one row per vector")
+    val pops = sd.groupBy("c_id").count()
+    val kEff = pops.count()
+    assert(kEff > Embeddings.NumCentroids,
+      s"codebook must scale past the $kEff-cluster test artifact for n=$n/target=$target")
+    val maxPop = pops.agg(max("count")).head().getLong(0)
+    assert(maxPop <= 8 * target,
+      s"cluster population $maxPop exceeds 8x target $target")
+    // the keep rule stays SemDeDup's: every cluster keeps its earliest member
+    val keptPerCluster = sd.filter(col("is_kept")).groupBy("c_id").count().count()
+    assert(keptPerCluster == kEff, "every non-empty cluster must keep at least one member")
+  }
+
   test("IVF sampled-training path: codebook is complete and assignment total") {
     val q = Embeddings.quantized(Tables.embeddings(spark, sf))
     val cb = Embeddings.kmeansCodebook(q, trainMod = Embeddings.TrainModAtScale)
