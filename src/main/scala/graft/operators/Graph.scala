@@ -187,7 +187,39 @@ object Graph {
       (col("r").cast("double") / lit(1.0e12)).as("rank"))
   }
 
-  private def iterateRanks(events: DataFrame, iters: Int): DataFrame = {
+  private def iterateRanks(events: DataFrame, iters: Int): DataFrame =
+    iterateCore(events, iters, None)._1
+
+  /** G3b: PageRank run to CONVERGENCE — a real engine stops on mass
+    * movement, not a fixed round count. Per round the L1 delta
+    * Σ|r_k − r_{k−1}| is ONE keyed join + a 1-row aggregate over the
+    * two persisted rank frames (a scalar artifact, never a collect of
+    * ranks); the loop stops when the delta drops under `epsScaled`
+    * (scaled 1e-12 units — Scale/1000 ≡ 0.1% of total rank mass) or at
+    * `maxIters`. Because the arithmetic is integer fixed-point, the
+    * delta is exact and monotone-ish (damping contracts it ~0.85x per
+    * round), and a converged run is BIT-IDENTICAL to [[pageRank]] at
+    * the same round count — GraphSpec pins that equality.
+    */
+  def pageRankConverged(events: DataFrame, epsScaled: Long = Scale / 1000L,
+                        maxIters: Int = 40): DataFrame = {
+    val spark = events.sparkSession
+    val ranks = GraftCache.memoArtifact(spark,
+      ("pageRankConverged", events.queryExecution.analyzed.canonicalized,
+        epsScaled, maxIters)) {
+      iterateCore(events, maxIters, Some(epsScaled))._1
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"),
+      (col("r").cast("double") / lit(1.0e12)).as("rank"))
+  }
+
+  /** The shared fixpoint loop: fixed `maxIters` rounds, or early-stop on
+    * L1 delta < epsScaled when a threshold is given. Returns (final
+    * ranks persisted+tracked, rounds actually run, last delta; delta is
+    * -1 when never measured).
+    */
+  private[graft] def iterateCore(events: DataFrame, maxIters: Int,
+                                 epsScaled: Option[Long]): (DataFrame, Int, Long) = {
     import org.apache.spark.storage.StorageLevel
     val spark = events.sparkSession
     val e = Reference.followEdgesCached(events)
@@ -209,7 +241,10 @@ object Graph {
       // Lineage cut per round (LogicalRDD leaf), CC-fixpoint hygiene:
       // without it round k's plan embeds rounds 1..k-1.
       var ranks = spark.createDataFrame(persisted.rdd, persisted.schema)
-      for (_ <- 1 to iters) {
+      var rounds = 0
+      var lastDelta = -1L
+      var converged = false
+      while (rounds < maxIters && !converged) {
         val insum = eo.join(ranks, col("src") === col("node"))
           .select(col("dst"), expr("r div odeg").as("contrib"))
           .groupBy("dst")
@@ -219,13 +254,22 @@ object Graph {
             (lit(base) + expr(s"($DampNum * coalesce(insum, 0L)) div 100")).as("r"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before dropping the previous round
+        rounds += 1
+        epsScaled.foreach { eps =>
+          // L1 mass movement between two persisted 1-column-keyed
+          // frames: one join, one scalar — the convergence test costs a
+          // per-round reduce, not a driver copy of the rank vector.
+          lastDelta = next.join(ranks.withColumnRenamed("r", "rp"), "node")
+            .agg(sum(abs(col("r") - col("rp")))).head().getLong(0)
+          converged = lastDelta < eps
+        }
         persisted.unpersist(blocking = true)
         persisted = next
         ranks = spark.createDataFrame(next.rdd, next.schema)
       }
       val out = GraftCache.persistTracked(ranks)
       out.count()
-      out
+      (out, rounds, lastDelta)
     } finally {
       nodes.unpersist(blocking = true)
       eo.unpersist(blocking = true)

@@ -80,6 +80,36 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b, "scaled-bigint PageRank must not depend on partitioning/merge order")
   }
 
+  test("pagerank convergence: early-stops under the cap, bit-identical to fixed-iteration, stable past the stop (10x graph)") {
+    // 10x the suite's graph (sf0.01 events): the convergence loop must
+    // stop on mass movement, not on a lucky round count.
+    val ev10 = Tables.events(spark, "/root/testdata/sf0.01")
+    val eps = 1000000000L // 1e9 scaled units = 1e-3 of total rank mass
+    val (ranks, rounds, delta) = Graph.iterateCore(ev10, 40, Some(eps))
+    assert(rounds > 1 && rounds < 40,
+      s"expected genuine early-stop, got rounds=$rounds")
+    assert(delta >= 0 && delta < eps, s"reported delta $delta not under eps $eps")
+    // A converged run IS the fixed-iteration run at the same round
+    // count — integer fixed-point arithmetic, so bit-identical.
+    val fixed = Graph.pageRank(ev10, iters = rounds)
+      .select(col("node"), col("rank_scaled").as("rf"))
+    val diff = ranks.select(col("node"), col("r"))
+      .join(fixed, "node").filter(col("r") =!= col("rf")).count()
+    assert(diff == 0, s"converged ranks diverge from pageRank($rounds) on $diff nodes")
+    // Stability: one more round past the stop moves less than 2*eps of
+    // mass (damping contracts the delta ~0.85x per round; the slack
+    // covers integer-floor jitter).
+    val (more, _, _) = Graph.iterateCore(ev10, rounds + 1, None)
+    val moved = ranks.select(col("node"), col("r"))
+      .join(more.select(col("node"), col("r").as("r2")), "node")
+      .agg(sum(abs(col("r") - col("r2")))).head().getLong(0)
+    assert(moved < 2 * eps, s"post-convergence round moved $moved >= ${2 * eps}")
+    // public wrapper: same schema as pageRank, total output
+    val pub = Graph.pageRankConverged(ev10, epsScaled = eps)
+    assert(pub.columns.toSeq == Seq("node", "rank_scaled", "rank"))
+    assert(pub.count() == ranks.count())
+  }
+
   test("pagerank: mass stays bounded and every node holds at least the base share") {
     val ranks = Graph.pageRank(events).cache()
     val n = ranks.count()
