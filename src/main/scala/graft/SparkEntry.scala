@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Dedup, Embeddings, Graph, Reference, Sketches, Temporal, TextOps}
+import graft.operators.{Analytics, Dedup, Embeddings, Graph, ImageDedup, Reference, Sketches, Temporal, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Reference.queries ++ Analytics.queries ++ TextOps.queries ++
       Dedup.queries ++ Embeddings.queries ++ Temporal.queries ++
-      Sketches.queries ++ Graph.queries ++ graft.sources.Sinks.queries
+      Sketches.queries ++ Graph.queries ++ ImageDedup.queries ++
+      graft.sources.Sinks.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Reference.oracle ++ Analytics.oracle ++ TextOps.oracle ++
       Dedup.oracle ++ Embeddings.oracle ++ Temporal.oracle ++
-      Sketches.oracle ++ Graph.oracle ++ graft.sources.Sinks.oracle
+      Sketches.oracle ++ Graph.oracle ++ ImageDedup.oracle ++
+      graft.sources.Sinks.oracle
 }

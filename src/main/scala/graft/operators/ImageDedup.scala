@@ -1,0 +1,244 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftCache
+import graft.functions.Exprs
+import graft.sources.Tables
+
+/** Perceptual image dedup (SURVEY.md §2 C12b) — the multimodal dedup
+  * lens an LLM-data pipeline runs over its image corpus: a 64-bit
+  * average hash (aHash) per image from REAL decoded pixels, then
+  * near-duplicate pairs via LSH banding + exact Hamming verify — the
+  * image twin of C3's simhash text dedup (reference domain: the
+  * scraper's profile-image payloads, instagram_scraper.py's media
+  * fields).
+  *
+  * The corpus: DuckDB cannot decode PNG, so the oracle-able corpus is
+  * DERIVED — each `documents` row becomes an 8x8 RGB PNG whose pixel
+  * gray levels are a pure md5 function of (doc_id % NumGroups, x, y)
+  * plus a per-doc perturbation of up to 3 pixels. The Spark side goes
+  * through the REAL codec path both ways (ImageIO PNG encode in a
+  * batched mapPartitions kernel, then ImageIO decode + Rec.601 luma —
+  * the same integer luma as Multimodal.decodeImage); the oracle
+  * recomputes the same pixel function directly in SQL. They agree
+  * because PNG is lossless and RGB carries 8-bit channels verbatim —
+  * so the oracle is genuinely checking that encode→decode→hash
+  * round-trips the pixel function bit-exactly.
+  *
+  * Hash: bit(x,y) = 64·luma(x,y) > Σluma (integer compare — no mean
+  * division to round differently cross-engine), row-major 64-char
+  * '0'/'1' string.
+  *
+  * Scale: banding splits the 64 bits into 4 bands of 16; candidate
+  * pairs share at least one exact band (Hamming ≤ 3 guarantees a
+  * shared band by pigeonhole). The self-join is per (band index, band
+  * value) bucket — never all-pairs — and cross-band duplicates are
+  * removed map-side by the first-equal-band rule (C5's
+  * first-colliding-table trick: a pair is emitted only from its first
+  * matching band, decided by bit math on the two full signatures — no
+  * distinct shuffle). Exact Hamming verify runs only on candidates via
+  * the codegen [[Exprs.hamming]]. At 100 TB: one shuffle on (band,
+  * value), bucket sizes bounded by corpus duplication structure, raw
+  * pixels touched only at hash build.
+  */
+object ImageDedup {
+
+  val ImgDim = 8
+  val NumGroups = 50
+  val NumBands = 4
+  val BandBits: Int = ImgDim * ImgDim / NumBands // 16
+  val HammingThreshold = 10
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Pixel gray level g(doc, x, y) ∈ [0, 255]: first md5 hex pair of
+    * the group-keyed cell name, plus +64 (mod 256) on up to
+    * (doc_id % 4) perturbed cells — mirrored verbatim in the oracle.
+    */
+  def pixelValue(docId: Long, x: Int, y: Int): Int = {
+    val base = Integer.parseInt(
+      md5Hex(s"img_${docId % NumGroups}_${x}_$y").substring(0, 2), 16)
+    val idx = y * ImgDim + x
+    val perturbed = (0 until (docId % 4).toInt)
+      .exists(t => (docId * 7 + t * 13) % (ImgDim * ImgDim) == idx)
+    (base + (if (perturbed) 64 else 0)) % 256
+  }
+
+  private val corpusSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** The derived image corpus: one real PNG per document, encoded by
+    * the JDK codec in a batched mapPartitions kernel (the C12 plumbing
+    * contract). TYPE_INT_RGB with r=g=b=v — byte-gray would pass
+    * through Java's linear-gray color space and getRGB would remap the
+    * levels; RGB round-trips them verbatim.
+    */
+  def imageCorpus(documents: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(corpusSchema)
+    documents.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = new java.awt.image.BufferedImage(
+            ImgDim, ImgDim, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < ImgDim) {
+            var x = 0
+            while (x < ImgDim) {
+              val v = pixelValue(id, x, y)
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** 64-bit average hash from a REAL decode: ImageIO + the same integer
+    * Rec.601 luma as [[Multimodal.decodeImage]]; bit = 64·luma > Σluma.
+    * None for undecodable payloads (quarantined upstream of the join).
+    */
+  def phash64(payload: Array[Byte]): Option[String] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null || img.getWidth != ImgDim || img.getHeight != ImgDim) return None
+      val lumas = new Array[Long](ImgDim * ImgDim)
+      var sum = 0L
+      var y = 0
+      while (y < ImgDim) {
+        var x = 0
+        while (x < ImgDim) {
+          val rgb = img.getRGB(x, y)
+          val luma = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)) / 1000L
+          lumas(y * ImgDim + x) = luma
+          sum += luma
+          x += 1
+        }
+        y += 1
+      }
+      val sb = new StringBuilder(ImgDim * ImgDim)
+      var i = 0
+      while (i < lumas.length) {
+        sb.append(if (lumas(i) * (ImgDim * ImgDim) > sum) '1' else '0')
+        i += 1
+      }
+      Some(sb.toString)
+    } catch { case _: Exception => None }
+  }
+
+  private val hashSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("phash", StringType, nullable = true)))
+
+  /** (doc_id, 64-char phash) via the batched decode kernel; persisted —
+    * both branches of the band self-join and the verify read it.
+    */
+  def imagePhash(documents: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(hashSchema)
+    val hashed = imageCorpus(documents)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), phash64(r.getAs[Array[Byte]](1)).orNull)
+        }
+      }(enc)
+      .filter(col("phash").isNotNull)
+    GraftCache.persistTracked(hashed)
+  }
+
+  /** C12b: near-duplicate image pairs — banded LSH candidates, exact
+    * codegen Hamming verify at ≤ [[HammingThreshold]].
+    */
+  def imagePhashPairs(documents: DataFrame): DataFrame = {
+    val h = imagePhash(documents)
+    val bandStruct = (0 until NumBands).map { b =>
+      struct(lit(b).as("b"), substring(col("phash"), b * BandBits + 1, BandBits).as("band"))
+    }
+    val banded = h.select(col("doc_id"), col("phash"),
+      explode(array(bandStruct: _*)).as("tb"))
+      .select(col("doc_id"), col("phash"), col("tb.b").as("b"), col("tb.band").as("band"))
+    // first-equal-band rule: emit a colliding pair only from the first
+    // band where the two hashes agree — pure projection on the joined
+    // row (both full hashes present), no distinct shuffle
+    val firstEqualBand = (NumBands - 1 to 0 by -1)
+      .foldLeft(lit(-1): Column) { (acc, b) =>
+        when(substring(col("ha"), b * BandBits + 1, BandBits) ===
+          substring(col("hb"), b * BandBits + 1, BandBits), lit(b)).otherwise(acc)
+      }
+    val cand = banded.select(col("doc_id").as("id_a"), col("phash").as("ha"),
+        col("b"), col("band"))
+      .join(banded.select(col("doc_id").as("id_b"), col("phash").as("hb"),
+        col("b"), col("band")), Seq("b", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("b") === firstEqualBand)
+    cand
+      .select(col("id_a"), col("id_b"),
+        Exprs.hamming(col("ha"), col("hb")).as("hamming"))
+      .filter(col("hamming") <= HammingThreshold)
+  }
+
+  /** Oracle: the same pixel function, hash, banding, and verify in pure
+    * SQL — candidate dedup via DISTINCT instead of the first-equal-band
+    * projection (same pair set).
+    */
+  val imagePhashPairsSql: String = {
+    val hex2 = TextOps.hexPrefixValSql(
+      s"md5('img_' || CAST(doc_id % $NumGroups AS VARCHAR) || '_' || CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR))", 2)
+    s"""WITH cells AS (
+       |  SELECT doc_id, x, y, y * $ImgDim + x AS idx
+       |  FROM documents, range(0, $ImgDim) rx(x), range(0, $ImgDim) ry(y)),
+       |px AS (
+       |  SELECT doc_id, x, y,
+       |    ($hex2
+       |     + CASE WHEN len(list_filter(range(0, CAST(doc_id % 4 AS INT)),
+       |         t -> (doc_id * 7 + t * 13) % ${ImgDim * ImgDim} = idx)) > 0
+       |       THEN 64 ELSE 0 END) % 256 AS v
+       |  FROM cells),
+       |tot AS (SELECT doc_id, sum(v) AS s FROM px GROUP BY 1),
+       |bits AS (
+       |  SELECT px.doc_id, px.y, px.x,
+       |    CASE WHEN ${ImgDim * ImgDim} * px.v > tot.s THEN '1' ELSE '0' END AS bit
+       |  FROM px JOIN tot ON px.doc_id = tot.doc_id),
+       |h AS (
+       |  SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS phash
+       |  FROM bits GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, phash, b, substr(phash, b * $BandBits + 1, $BandBits) AS band
+       |  FROM h, range(0, $NumBands) rb(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.phash AS ha, b.phash AS hb
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b,
+       |    CAST(list_sum(list_transform(range(1, ${ImgDim * ImgDim + 1}),
+       |      k -> CASE WHEN substr(ha, k, 1) = substr(hb, k, 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+       |  FROM cand)
+       |WHERE hamming <= $HammingThreshold""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_image_phash" -> ((s, d) => imagePhashPairs(Tables.documents(s, d))))
+
+  def oracle: Map[String, String] = Map(
+    "q_image_phash" -> imagePhashPairsSql)
+}
