@@ -231,6 +231,15 @@ object Sinks {
     private val CommitsDir = "_commits"
     private val DataDir = "data"
 
+    /** Fault-injection seam for crash tests: invoked after an attempt
+      * has moved its data dirs under data/ but BEFORE the manifest
+      * publish — the widest window in which a dying writer has produced
+      * bytes no reader may ever see. No-op in production; StreamingSpec
+      * throws from it to prove the sink's replay converges and readers
+      * never observe the torn version.
+      */
+    private[graft] var beforePublishHook: () => Unit = () => ()
+
     private def fsFor(spark: SparkSession, path: String) =
       new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -442,6 +451,7 @@ object Sinks {
           }
         }.toMap
         fs.delete(staging, true)
+        beforePublishHook()
         committed = publish(spark, path, next, baseBuckets ++ newDirs, nb)
         if (!committed) {
           // lost the race: drop this attempt's orphan dirs and retry
