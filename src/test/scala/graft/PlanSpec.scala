@@ -118,6 +118,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$q: expected the MaxKScored aggregate")
   }
 
+  test("round-7 shapes: ivfpq shortlist is the bounded heap, phash pairs are banded + codegen-verified") {
+    // q_ann_ivfpq: the ADC shortlist and final top-k are MaxKScored
+    // aggregates; the only window allowed is the probes x centroids
+    // routing rank (bounded model-size frame, same exemption as
+    // q_ann_ivf). A window over the ADC scan would sort a whole
+    // inverted list per probe in one task at scale.
+    val ivfpq = plan("q_ann_ivfpq")
+    assert(ivfpq.toString.contains("graft_max_k_scored"),
+      "q_ann_ivfpq: expected the MaxKScored shortlist aggregate")
+    assert(ivfpq.collect { case w: WindowExec => w }.size <= 1,
+      "q_ann_ivfpq: only the bounded centroid-routing window is allowed")
+    // q_image_phash: pair mining must stay banded (equi-join on band
+    // buckets, codegen Hamming verify) — no window, no nested-loop or
+    // cartesian anywhere (an unbanded formulation would all-pairs the
+    // corpus).
+    val ph = plan("q_image_phash")
+    assert(ph.collect { case w: WindowExec => w }.isEmpty,
+      "q_image_phash: expected no window")
+    assert(ph.toString.contains("graft_hamming"),
+      "q_image_phash: expected the codegen Hamming verify")
+    val loops = ph.toString
+    assert(!loops.contains("CartesianProduct") && !loops.contains("BroadcastNestedLoopJoin"),
+      "q_image_phash: pair mining must stay an equi-join on band buckets")
+  }
+
   test("chunking is shuffle-free: q_chunk_docs has no Exchange at all") {
     val exchanges = plan("q_chunk_docs").collect {
       case e: org.apache.spark.sql.execution.exchange.Exchange => e
