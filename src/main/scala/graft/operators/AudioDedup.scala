@@ -85,7 +85,15 @@ object AudioDedup {
     */
   def audioCorpus(documents: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(corpusSchema)
+    val spark = documents.sparkSession
+    // The encode kernel is CPU-bound (~7.5ms/clip through the javax.sound
+    // writer+reader); a small parquet input arrives as ONE partition and
+    // would serialize the whole corpus into one task (measured: 31s for
+    // 5k clips on one core vs ~1.5s spread across 32). Repartitioning
+    // the 8-byte doc_id frame costs a negligible shuffle and is exactly
+    // what a real cluster does before a per-row codec stage.
     documents.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)

@@ -88,7 +88,12 @@ object ImageDedup {
     */
   def imageCorpus(documents: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(corpusSchema)
+    val spark = documents.sparkSession
+    // CPU-bound codec kernel: spread it over every core — a small
+    // parquet input is one partition and would serialize the encode
+    // into one task (see AudioDedup.audioCorpus for the measurement).
     documents.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
