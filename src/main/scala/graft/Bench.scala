@@ -154,9 +154,30 @@ object Bench {
       }
       if (end < 0) Map.empty // torn section: treat as absent, not partial
       else {
-        val body = txt.substring(open + 1, end)
+        // strip NESTED objects/arrays (quote-aware) before extracting
+        // pairs — otherwise a nested object's inner keys would surface
+        // as phantom top-level baseline entries
+        val raw = txt.substring(open + 1, end)
+        val body = new StringBuilder(raw.length)
+        var j = 0; var d = 0; var q = false
+        while (j < raw.length) {
+          val c = raw.charAt(j)
+          if (q) {
+            if (d == 0) body.append(c)
+            if (c == '\\') {
+              j += 1
+              if (j < raw.length && d == 0) body.append(raw.charAt(j))
+            } else if (c == '"') q = false
+          } else c match {
+            case '"' => q = true; if (d == 0) body.append(c)
+            case '{' | '[' => d += 1
+            case '}' | ']' => d -= 1
+            case _ => if (d == 0) body.append(c)
+          }
+          j += 1
+        }
         "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9]+\\.?[0-9Ee+-]*)".r
-          .findAllMatchIn(body)
+          .findAllMatchIn(body.toString)
           .map(m => m.group(1) -> m.group(2).toDouble)
           .toMap
       }
@@ -291,7 +312,11 @@ object Bench {
     val reruns = toRerun.map { n => n -> measure(n) }.toMap
     def rerunClean(n: String): Boolean = {
       val (c, w) = reruns(n)
-      gateKind(c, w, priorCold(n), priorWarm(n), 1.0, 1.0).isEmpty
+      // a rerun that ERRORS (-1) must confirm the flag, not exonerate
+      // it — gateKind returns None on non-positive inputs, which would
+      // otherwise read as "clean" (the run-level path already treats a
+      // failed rerun as a breach; same polarity here)
+      c > 0 && w > 0 && gateKind(c, w, priorCold(n), priorWarm(n), 1.0, 1.0).isEmpty
     }
     val (noise, real) = flagged.partition { case (n, _) => rerunClean(n) }
     noise.foreach { case (n, _) =>

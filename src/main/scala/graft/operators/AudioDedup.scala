@@ -1,18 +1,15 @@
 package graft.operators
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.GraftCache
-import graft.functions.Exprs
 import graft.sources.Tables
 
 /** Perceptual AUDIO dedup (SURVEY.md §2 C12c) — the audio twin of
@@ -58,17 +55,13 @@ object AudioDedup {
     */
   val AmpUnit = 64
 
-  private def md5Hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-
   /** Block amplitude a(doc, b) ∈ [0, 255]: first md5 hex pair of the
     * group-keyed block name, +64 (mod 256) on up to (doc_id % 4)
     * perturbed blocks — mirrored verbatim in the oracle.
     */
   def blockAmp(docId: Long, block: Int): Int = {
     val base = Integer.parseInt(
-      md5Hex(s"aud_${docId % NumGroups}_$block").substring(0, 2), 16)
+      BandedPairs.md5Hex(s"aud_${docId % NumGroups}_$block").substring(0, 2), 16)
     val perturbed = (0 until (docId % 4).toInt)
       .exists(t => (docId * 7 + t * 13) % NumBlocks == block)
     (base + (if (perturbed) 64 else 0)) % 256
@@ -134,6 +127,10 @@ object AudioDedup {
         while (n > 0 && off + n < buf.length) { off += n; n = ais.read(buf, off, buf.length - off) }
         val read = if (n > 0) off + n else off
         if (read != NumSamples * 2) return None
+        // wrong-shape contract: a LONGER clip must quarantine too, not
+        // silently fingerprint its first 1024 samples (two long clips
+        // sharing a prefix would dedup as identical)
+        if (ais.read(new Array[Byte](2)) > 0) return None
         val energies = new Array[Long](NumBlocks)
         var total = 0L
         var t = 0
@@ -177,33 +174,13 @@ object AudioDedup {
     GraftCache.persistTracked(fps)
   }
 
-  /** C12c: near-duplicate audio pairs — banded LSH candidates,
-    * first-equal-band map-side dedup, exact codegen Hamming verify.
+  /** C12c: near-duplicate audio pairs — the shared [[BandedPairs]]
+    * machinery (see there for the recall contract past numBands − 1
+    * differing bits).
     */
-  def audioFingerprintPairs(documents: DataFrame): DataFrame = {
-    val h = audioFingerprint(documents)
-    val bandStruct = (0 until NumBands).map { b =>
-      struct(lit(b).as("b"), substring(col("afp"), b * BandBits + 1, BandBits).as("band"))
-    }
-    val banded = h.select(col("doc_id"), col("afp"),
-      explode(array(bandStruct: _*)).as("tb"))
-      .select(col("doc_id"), col("afp"), col("tb.b").as("b"), col("tb.band").as("band"))
-    val firstEqualBand = (NumBands - 1 to 0 by -1)
-      .foldLeft(lit(-1): Column) { (acc, b) =>
-        when(substring(col("ha"), b * BandBits + 1, BandBits) ===
-          substring(col("hb"), b * BandBits + 1, BandBits), lit(b)).otherwise(acc)
-      }
-    val cand = banded.select(col("doc_id").as("id_a"), col("afp").as("ha"),
-        col("b"), col("band"))
-      .join(banded.select(col("doc_id").as("id_b"), col("afp").as("hb"),
-        col("b"), col("band")), Seq("b", "band"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("b") === firstEqualBand)
-    cand
-      .select(col("id_a"), col("id_b"),
-        Exprs.hamming(col("ha"), col("hb")).as("hamming"))
-      .filter(col("hamming") <= HammingThreshold)
-  }
+  def audioFingerprintPairs(documents: DataFrame): DataFrame =
+    BandedPairs.pairs(audioFingerprint(documents), "doc_id", "afp",
+      NumBands, BandBits, HammingThreshold)
 
   /** Oracle: block energies from the amplitude function directly (the
     * 16·AmpUnit² factor cancels in the 64·E_b > ΣE compare), then the
@@ -230,20 +207,8 @@ object AudioDedup {
        |h AS (
        |  SELECT doc_id, string_agg(bit, '' ORDER BY b) AS afp
        |  FROM bits GROUP BY 1),
-       |bands AS (
-       |  SELECT doc_id, afp, b, substr(afp, b * $BandBits + 1, $BandBits) AS band
-       |  FROM h, range(0, $NumBands) rb(b)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    a.afp AS ha, b.afp AS hb
-       |  FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band
-       |  WHERE a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, hamming FROM (
-       |  SELECT id_a, id_b,
-       |    CAST(list_sum(list_transform(range(1, ${NumBlocks + 1}),
-       |      k -> CASE WHEN substr(ha, k, 1) = substr(hb, k, 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
-       |  FROM cand)
-       |WHERE hamming <= $HammingThreshold""".stripMargin
+       |${BandedPairs.pairsSqlTail("h", "afp", NumBlocks,
+            NumBands, BandBits, HammingThreshold)}""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

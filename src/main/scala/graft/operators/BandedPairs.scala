@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exprs
+
+/** Shared LSH-banding machinery for fixed-width bit-string fingerprints
+  * (the C3/C12b/C12c pattern): split the signature into `numBands`
+  * bands of `bandBits`, candidate pairs share at least one EXACT band,
+  * cross-band duplicates are removed map-side by the first-equal-band
+  * rule (a pair is emitted only from the first band where the two full
+  * signatures agree — pure projection on the joined row, no distinct
+  * shuffle), and the exact codegen Hamming verify runs only on
+  * candidates.
+  *
+  * RECALL CONTRACT (the standard LSH trade): pigeonhole guarantees a
+  * shared band only up to hamming ≤ numBands − 1 (3 for 4 bands) — a
+  * pair differing by more bits is found only when some band happens to
+  * be untouched, i.e. recall is probabilistic between numBands and the
+  * verify threshold. Every consumer's ORACLE applies the identical
+  * band rule, so the two engines share the blind spot by construction
+  * and cross-engine parity is unaffected; what the threshold buys is
+  * extra detected pairs, not a completeness guarantee past numBands−1.
+  */
+object BandedPairs {
+
+  private[operators] def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Near-dup pairs over `fps(idCol: Long, fpCol: '0'/'1' string)`:
+    * (id_a, id_b, hamming) with id_a < id_b, hamming ≤ threshold, each
+    * pair emitted exactly once.
+    */
+  def pairs(fps: DataFrame, idCol: String, fpCol: String,
+            numBands: Int, bandBits: Int, threshold: Int): DataFrame = {
+    val bandStruct = (0 until numBands).map { b =>
+      struct(lit(b).as("b"), substring(col(fpCol), b * bandBits + 1, bandBits).as("band"))
+    }
+    val banded = fps.select(col(idCol), col(fpCol),
+      explode(array(bandStruct: _*)).as("tb"))
+      .select(col(idCol), col(fpCol), col("tb.b").as("b"), col("tb.band").as("band"))
+    val firstEqualBand = (numBands - 1 to 0 by -1)
+      .foldLeft(lit(-1): Column) { (acc, b) =>
+        when(substring(col("ha"), b * bandBits + 1, bandBits) ===
+          substring(col("hb"), b * bandBits + 1, bandBits), lit(b)).otherwise(acc)
+      }
+    val cand = banded.select(col(idCol).as("id_a"), col(fpCol).as("ha"),
+        col("b"), col("band"))
+      .join(banded.select(col(idCol).as("id_b"), col(fpCol).as("hb"),
+        col("b"), col("band")), Seq("b", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("b") === firstEqualBand)
+    cand
+      .select(col("id_a"), col("id_b"),
+        Exprs.hamming(col("ha"), col("hb")).as("hamming"))
+      .filter(col("hamming") <= threshold)
+  }
+
+  /** The oracle's tail: bands/cand CTEs + the final verify SELECT over
+    * a prior CTE `hashCte(doc_id, fpCol)` — DISTINCT replaces the
+    * first-equal-band projection (same pair set). The caller
+    * interpolates this after its hash CTE (which must end with a comma).
+    */
+  def pairsSqlTail(hashCte: String, fpCol: String, fpLen: Int,
+                   numBands: Int, bandBits: Int, threshold: Int): String =
+    s"""bands AS (
+       |  SELECT doc_id, $fpCol, b, substr($fpCol, b * $bandBits + 1, $bandBits) AS band
+       |  FROM $hashCte, range(0, $numBands) rband(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.$fpCol AS ha, b.$fpCol AS hb
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b,
+       |    CAST(list_sum(list_transform(range(1, ${fpLen + 1}),
+       |      k -> CASE WHEN substr(ha, k, 1) = substr(hb, k, 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+       |  FROM cand)
+       |WHERE hamming <= $threshold""".stripMargin
+}

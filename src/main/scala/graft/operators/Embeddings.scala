@@ -773,7 +773,7 @@ object Embeddings {
     * MaxKScored heap, never a rank window over the scan.
     *
     * REFINEMENT stage (Faiss IndexRefine): the ADC scan shortlists
-    * [[RefineK]] = 4k codes per probe, and only those rows re-rank with
+    * [[RefineK]] = 16·k codes per probe, and only those rows re-rank with
     * exact cosine against the raw vectors. PQ's quantization error
     * costs real recall on a weak-similarity corpus (measured here: 4/10
     * top-1s by raw ADC rank vs IVF's 10/10); the refine step buys it
@@ -909,7 +909,9 @@ object Embeddings {
     * training at 100 TB would dwarf the search itself). The broadcast
     * codebook is k rows of Dim longs: ~0.5 KB·k, so even k = 10⁵ ships
     * ~50 MB — the argmin assignment stays a broadcast hash-agg, no
-    * shuffle. ScaleAudit pins the population cap at 50x corpus size.
+    * shuffle. ScaleAudit asserts, on a 50x-replicated corpus, that the
+    * effective cluster count grew past the test artifact and that no
+    * cluster's population exceeds 8x `targetClusterSize`.
     */
   def semDedupScaled(embeddings: DataFrame, tau: Double = NearDupThreshold,
                      targetClusterSize: Long = 512L): DataFrame =

@@ -1,18 +1,15 @@
 package graft.operators
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.GraftCache
-import graft.functions.Exprs
 import graft.sources.Tables
 
 /** Perceptual image dedup (SURVEY.md §2 C12b) — the multimodal dedup
@@ -59,17 +56,13 @@ object ImageDedup {
   val BandBits: Int = ImgDim * ImgDim / NumBands // 16
   val HammingThreshold = 10
 
-  private def md5Hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-
   /** Pixel gray level g(doc, x, y) ∈ [0, 255]: first md5 hex pair of
     * the group-keyed cell name, plus +64 (mod 256) on up to
     * (doc_id % 4) perturbed cells — mirrored verbatim in the oracle.
     */
   def pixelValue(docId: Long, x: Int, y: Int): Int = {
     val base = Integer.parseInt(
-      md5Hex(s"img_${docId % NumGroups}_${x}_$y").substring(0, 2), 16)
+      BandedPairs.md5Hex(s"img_${docId % NumGroups}_${x}_$y").substring(0, 2), 16)
     val idx = y * ImgDim + x
     val perturbed = (0 until (docId % 4).toInt)
       .exists(t => (docId * 7 + t * 13) % (ImgDim * ImgDim) == idx)
@@ -169,36 +162,14 @@ object ImageDedup {
     GraftCache.persistTracked(hashed)
   }
 
-  /** C12b: near-duplicate image pairs — banded LSH candidates, exact
-    * codegen Hamming verify at ≤ [[HammingThreshold]].
+  /** C12b: near-duplicate image pairs — the shared [[BandedPairs]]
+    * machinery (banded candidates, first-equal-band dedup, codegen
+    * Hamming verify at ≤ [[HammingThreshold]]; see BandedPairs for the
+    * recall contract past numBands − 1 differing bits).
     */
-  def imagePhashPairs(documents: DataFrame): DataFrame = {
-    val h = imagePhash(documents)
-    val bandStruct = (0 until NumBands).map { b =>
-      struct(lit(b).as("b"), substring(col("phash"), b * BandBits + 1, BandBits).as("band"))
-    }
-    val banded = h.select(col("doc_id"), col("phash"),
-      explode(array(bandStruct: _*)).as("tb"))
-      .select(col("doc_id"), col("phash"), col("tb.b").as("b"), col("tb.band").as("band"))
-    // first-equal-band rule: emit a colliding pair only from the first
-    // band where the two hashes agree — pure projection on the joined
-    // row (both full hashes present), no distinct shuffle
-    val firstEqualBand = (NumBands - 1 to 0 by -1)
-      .foldLeft(lit(-1): Column) { (acc, b) =>
-        when(substring(col("ha"), b * BandBits + 1, BandBits) ===
-          substring(col("hb"), b * BandBits + 1, BandBits), lit(b)).otherwise(acc)
-      }
-    val cand = banded.select(col("doc_id").as("id_a"), col("phash").as("ha"),
-        col("b"), col("band"))
-      .join(banded.select(col("doc_id").as("id_b"), col("phash").as("hb"),
-        col("b"), col("band")), Seq("b", "band"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("b") === firstEqualBand)
-    cand
-      .select(col("id_a"), col("id_b"),
-        Exprs.hamming(col("ha"), col("hb")).as("hamming"))
-      .filter(col("hamming") <= HammingThreshold)
-  }
+  def imagePhashPairs(documents: DataFrame): DataFrame =
+    BandedPairs.pairs(imagePhash(documents), "doc_id", "phash",
+      NumBands, BandBits, HammingThreshold)
 
   /** Oracle: the same pixel function, hash, banding, and verify in pure
     * SQL — candidate dedup via DISTINCT instead of the first-equal-band
@@ -225,20 +196,8 @@ object ImageDedup {
        |h AS (
        |  SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS phash
        |  FROM bits GROUP BY 1),
-       |bands AS (
-       |  SELECT doc_id, phash, b, substr(phash, b * $BandBits + 1, $BandBits) AS band
-       |  FROM h, range(0, $NumBands) rb(b)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    a.phash AS ha, b.phash AS hb
-       |  FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band
-       |  WHERE a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, hamming FROM (
-       |  SELECT id_a, id_b,
-       |    CAST(list_sum(list_transform(range(1, ${ImgDim * ImgDim + 1}),
-       |      k -> CASE WHEN substr(ha, k, 1) = substr(hb, k, 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
-       |  FROM cand)
-       |WHERE hamming <= $HammingThreshold""".stripMargin
+       |${BandedPairs.pairsSqlTail("h", "phash", ImgDim * ImgDim,
+            NumBands, BandBits, HammingThreshold)}""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -284,24 +284,30 @@ object Sinks {
       else Some(readUtf8(fs, p)).filter(validManifest)
     }
 
-    /** (version, bucket -> data dir relative to table root), or None for
-      * an uninitialized table. A torn newest manifest (see
-      * [[validManifest]]) is skipped — the table resolves to the latest
-      * INTACT version, so a crashed writer can never make committed
-      * buckets unreadable.
+    /** Latest INTACT manifest's (version, raw body) — the single
+      * metadata read every resolve-path shares, so a point lookup pays
+      * one directory listing + one manifest read, not one per derived
+      * field. A torn newest manifest (see [[validManifest]]) is
+      * skipped, so a crashed writer can never make committed buckets
+      * unreadable.
       */
-    def latestManifest(spark: SparkSession, path: String): Option[(Long, Map[Int, String])] = {
+    private def latestIntact(spark: SparkSession, path: String): Option[(Long, String)] = {
       val fs = fsFor(spark, path)
       val cdir = new Path(path, CommitsDir)
       if (!fs.exists(cdir)) return None
-      val versions = fs.listStatus(cdir).flatMap { st =>
+      fs.listStatus(cdir).flatMap { st =>
         val n = st.getPath.getName
         if (n.endsWith(".json")) n.stripSuffix(".json").toLongOption else None
-      }.sorted.reverse
-      versions.iterator
-        .flatMap(v => manifestBody(fs, cdir, v).map(v -> parseBuckets(_)))
+      }.sorted.reverseIterator
+        .flatMap(v => manifestBody(fs, cdir, v).map(v -> _))
         .nextOption()
     }
+
+    /** (version, bucket -> data dir relative to table root), or None for
+      * an uninitialized table.
+      */
+    def latestManifest(spark: SparkSession, path: String): Option[(Long, Map[Int, String])] =
+      latestIntact(spark, path).map { case (v, txt) => (v, parseBuckets(txt)) }
 
     /** Atomic-exclusive publish of manifest `v`; true iff this writer won
       * the version. Content is fully durable before the name appears
@@ -348,12 +354,24 @@ object Sinks {
         // but the occupant could also be a TORN manifest from a
         // misbehaving store. The publish primitives above only ever
         // expose fully-written bytes, so a torn occupant is never a live
-        // writer mid-commit: deleting it and re-claiming is safe, and
-        // without it every writer would livelock (latestManifest skips
-        // the torn version, so retries re-derive the same next version).
+        // writer mid-commit; without reclaiming it every writer would
+        // livelock (latestManifest skips the torn version, so retries
+        // re-derive the same next version). The reclaim must itself be
+        // ATOMIC: a read-check-delete would let two writers both see
+        // the torn occupant, one delete-and-publish a valid manifest,
+        // and the other then delete THAT valid manifest (losing a
+        // committed version). So the torn file is renamed ASIDE first —
+        // rename-to-fresh-name is atomic and exactly one writer wins
+        // it; the loser simply reports the version lost and the caller's
+        // optimistic retry re-reads whatever the winner committed.
         val occupant = if (fs.exists(dst)) Some(readUtf8(fs, dst)) else None
-        if (occupant.exists(!validManifest(_)) && fs.delete(dst, false))
-          won = claim()
+        if (occupant.exists(!validManifest(_))) {
+          val aside = new Path(cdir, s".torn-${java.util.UUID.randomUUID()}")
+          if (fs.rename(dst, aside)) {
+            fs.delete(aside, false)
+            won = claim()
+          }
+        }
       }
       fs.delete(tmp, false)
       won
@@ -548,17 +566,8 @@ object Sinks {
     /** numBuckets recorded by the latest manifest (None for a table
       * created before the field existed or an uninitialized path).
       */
-    def storedNumBuckets(spark: SparkSession, path: String): Option[Int] = {
-      val fs = fsFor(spark, path)
-      val cdir = new Path(path, CommitsDir)
-      if (!fs.exists(cdir)) return None
-      fs.listStatus(cdir)
-        .flatMap(_.getPath.getName.stripSuffix(".json").toLongOption)
-        .sorted.reverseIterator
-        .flatMap(v => manifestBody(fs, cdir, v))
-        .flatMap(parseNumBuckets(_).filter(_ > 0))
-        .nextOption()
-    }
+    def storedNumBuckets(spark: SparkSession, path: String): Option[Int] =
+      latestIntact(spark, path).flatMap(t => parseNumBuckets(t._2).filter(_ > 0))
 
     /** Point lookup with BUCKET PRUNING: read only the one bucket dir
       * the key hashes into — O(1/numBuckets) of the table, the reason
@@ -572,11 +581,12 @@ object Sinks {
                    keyVals: Seq[Any]): DataFrame = {
       require(keys.length == keyVals.length, "one value per key column")
       val eq = keys.zip(keyVals).map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
-      storedNumBuckets(spark, path) match {
+      // ONE manifest read supplies both numBuckets and the bucket map
+      val intact = latestIntact(spark, path)
+      intact.flatMap(t => parseNumBuckets(t._2).filter(_ > 0)) match {
         case None => read(spark, path).filter(eq)
         case Some(nb) =>
-          val (_, buckets) = latestManifest(spark, path).getOrElse(
-            throw new IllegalStateException(s"VersionedTable: no commits at $path"))
+          val buckets = parseBuckets(intact.get._2)
           // hash() is TYPE-sensitive: hash(17: Int) != hash(17L), so a
           // caller passing an Int for a BIGINT key column would probe
           // the wrong bucket and read empty for an existing key. Cast

@@ -520,17 +520,30 @@ object EventStream {
       // and fpp would quietly degrade while the sidecar meta still
       // claimed the sized capacity — so raise the session ceilings to
       // the geometry actually requested before aggregating.
+      // Raise SCOPED to this one statement — the same ceilings also
+      // size the optimizer's own injected runtime bloom filters, and a
+      // permanent raise would let every later join in the session build
+      // oversized filters. Restore the prior values afterwards.
       val conf = spark.conf
-      def raiseTo(key: String, need: Long): Unit =
-        if (conf.getOption(key).forall(_.toLong < need)) conf.set(key, need.toString)
-      raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", cap)
-      raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> cap,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)
+      val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+      keys.foreach { case (k, need) =>
+        if (conf.getOption(k).forall(_.toLong < need)) conf.set(k, need.toString)
+      }
       val v = s"graft_sbloom_$bloomViewId"
       df.createOrReplaceTempView(v)
       try spark.sql(
         s"SELECT graft_bloom_agg(xxhash64(fp), ${cap}L, ${bits}L) FROM $v")
         .head().getAs[Array[Byte]](0)
-      finally spark.catalog.dropTempView(v)
+      finally {
+        spark.catalog.dropTempView(v)
+        saved.foreach {
+          case (k, Some(old)) => conf.set(k, old)
+          case (k, None) => conf.unset(k)
+        }
+      }
     }
     def optimalBits(n: Long): Long =
       math.max(64L, math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)

@@ -52,10 +52,13 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.section(txt, "queries").isEmpty)
   }
 
-  test("nested object inside the section does not truncate the outer map") {
+  test("nested object inside the section does not truncate the outer map or leak inner keys") {
     val txt = """{"queries":{"q_a":1.0,"meta":{"inner":9.0},"q_b":2.0},"z":0}"""
     val m = Bench.section(txt, "queries")
     assert(m("q_a") === 1.0 && m("q_b") === 2.0)
+    assert(!m.contains("inner"),
+      "nested keys must not surface as phantom baseline entries")
+    assert(m.size == 2)
   }
 
   test("gate kinds: dual, severe warm-only, and clean partition correctly") {
