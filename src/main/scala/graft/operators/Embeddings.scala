@@ -782,10 +782,19 @@ object Embeddings {
     * constant-size tail, not a scan.
     */
   def annIvfPq(embeddings: DataFrame): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val q = quantized(embeddings)
-    val coarse = kmeansCodebook(q)
-    val assign = ivfAssign(q, coarse)
+    // Five independent trainings (coarse + 4 subspace codebooks) share
+    // the one materialized quantized cache — run the coarse one
+    // concurrently with pqCodebooks' own future pool instead of
+    // serializing it in front (cold build ≈ one training, not two).
+    q.count()
+    val coarseF = Future(kmeansCodebook(q))
     val cbs = pqCodebooks(q)
+    val coarse = Await.result(coarseF, Duration.Inf)
+    val assign = ivfAssign(q, coarse)
     val codes = pqEncode(q, cbs)
     val cbRows = cbs.map(_.orderBy("c_id").collect())
     cbRows.foreach { rows =>
