@@ -61,6 +61,38 @@ object BandedPairs {
       .filter(col("hamming") <= threshold)
   }
 
+  /** Banded PROBE join: match a probe frame against a (different)
+    * index frame — (probeId, indexId, hamming) with hamming ≤
+    * threshold, each matched pair exactly once (first-equal-band rule,
+    * stateless). Every transform here is a projection, an explode, or
+    * an equi-join, so `probe` may be a STREAMING frame (stream-static
+    * inner join, append mode, no state store) — the continuous twin of
+    * [[pairs]]: incoming media checked against a committed fingerprint
+    * index.
+    */
+  def probeJoin(probe: DataFrame, probeId: String,
+                index: DataFrame, indexId: String, fpCol: String,
+                numBands: Int, bandBits: Int, threshold: Int): DataFrame = {
+    def banded(df: DataFrame, idCol: String, fpAs: String): DataFrame = {
+      val bandStruct = (0 until numBands).map { b =>
+        struct(lit(b).as("b"), substring(col(fpCol), b * bandBits + 1, bandBits).as("band"))
+      }
+      df.select(col(idCol), col(fpCol), explode(array(bandStruct: _*)).as("tb"))
+        .select(col(idCol), col(fpCol).as(fpAs), col("tb.b").as("b"), col("tb.band").as("band"))
+    }
+    val firstEqualBand = (numBands - 1 to 0 by -1)
+      .foldLeft(lit(-1): Column) { (acc, b) =>
+        when(substring(col("ha"), b * bandBits + 1, bandBits) ===
+          substring(col("hb"), b * bandBits + 1, bandBits), lit(b)).otherwise(acc)
+      }
+    banded(probe, probeId, "ha")
+      .join(banded(index, indexId, "hb"), Seq("b", "band"))
+      .filter(col("b") === firstEqualBand)
+      .select(col(probeId), col(indexId),
+        Exprs.hamming(col("ha"), col("hb")).as("hamming"))
+      .filter(col("hamming") <= threshold)
+  }
+
   /** The oracle's tail: bands/cand CTEs + the final verify SELECT over
     * a prior CTE `hashCte(doc_id, fpCol)` — DISTINCT replaces the
     * first-equal-band projection (same pair set). The caller

@@ -143,24 +143,31 @@ object ImageDedup {
     } catch { case _: Exception => None }
   }
 
-  private val hashSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("phash", StringType, nullable = true)))
-
-  /** (doc_id, 64-char phash) via the batched decode kernel; persisted —
-    * both branches of the band self-join and the verify read it.
+  /** Stateless payload→aHash kernel over any (idCol: Long, payload:
+    * binary) frame: pure mapPartitions + filter, no persist, no
+    * shuffle — so it runs UNCHANGED on batch and STREAMING frames
+    * (EventStream's continuous phash dedup drives exactly this body).
+    * Undecodable payloads are quarantined by the null filter.
     */
-  def imagePhash(documents: DataFrame): DataFrame = {
-    val enc = RowEncoder.encoderFor(hashSchema)
-    val hashed = imageCorpus(documents)
+  def phashPayloads(media: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("phash", StringType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select(col(idCol), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
           Row(r.getLong(0), phash64(r.getAs[Array[Byte]](1)).orNull)
         }
       }(enc)
       .filter(col("phash").isNotNull)
-    GraftCache.persistTracked(hashed)
   }
+
+  /** (doc_id, 64-char phash) via the batched decode kernel; persisted —
+    * both branches of the band self-join and the verify read it.
+    */
+  def imagePhash(documents: DataFrame): DataFrame =
+    GraftCache.persistTracked(phashPayloads(imageCorpus(documents)))
 
   /** C12b: near-duplicate image pairs — the shared [[BandedPairs]]
     * machinery (banded candidates, first-equal-band dedup, codegen

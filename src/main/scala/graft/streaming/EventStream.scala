@@ -700,6 +700,27 @@ object EventStream {
       .select(batch.columns.toIndexedSeq.map(qc): _*)
   }
 
+  /** Streaming perceptual image dedup (C12b's continuous twin): each
+    * incoming media payload is fingerprinted by the STATELESS phash
+    * kernel (real ImageIO decode in mapPartitions — the same body as
+    * the batch operator, running unchanged on the streaming frame) and
+    * checked against a static committed phash index via the banded
+    * probe join. Every step is a projection, explode, or stream-static
+    * equi-join: append mode, NO state store, and the first-equal-band
+    * rule dedups multi-band matches statelessly — so an incoming crawl
+    * image is flagged against the corpus index without shuffling the
+    * index per batch or holding any streaming state. Undecodable
+    * payloads quarantine in the kernel's null filter.
+    */
+  def streamingImagePhashMatches(media: DataFrame, indexFps: DataFrame,
+                                 threshold: Int =
+                                   graft.operators.ImageDedup.HammingThreshold): DataFrame = {
+    import graft.operators.{BandedPairs, ImageDedup}
+    val probe = ImageDedup.phashPayloads(media, "media_id")
+    BandedPairs.probeJoin(probe, "media_id", indexFps, "doc_id", "phash",
+      ImageDedup.NumBands, ImageDedup.BandBits, threshold)
+  }
+
   /** [[streamingUpsertSink]] writing through the TRANSACTIONAL table
     * format ([[graft.sources.Sinks.VersionedTable]]) instead of the
     * swap-rename MERGE: each micro-batch commits one new manifest

@@ -734,6 +734,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fin2.toSeq == fin.toSeq, "vacuum of crash orphans must not change the table")
   }
 
+  test("EQUIVALENCE: streaming image-phash probe matches the batch probe join row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{BandedPairs, ImageDedup}
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    // committed index: the batch operator's fingerprints
+    val index = ImageDedup.imagePhash(docs.limit(200)).cache()
+    index.count()
+    // incoming media: real PNG payloads for a different id range (shift
+    // by a group multiple so pixel content matches the same groups —
+    // genuine near-dups against the index)
+    val incoming: Seq[(Long, Array[Byte])] =
+      ImageDedup.imageCorpus(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000L).as("doc_id")))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toIndexedSeq
+    val in = MemoryStream[(Long, Array[Byte])]
+    val out = EventStream.streamingImagePhashMatches(
+      in.toDF().toDF("media_id", "payload"), index)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("phash_stream").start()
+    in.addData(incoming.take(20))
+    q.processAllAvailable()
+    in.addData(incoming.drop(20))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("phash_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = BandedPairs.probeJoin(
+      ImageDedup.phashPayloads(incoming.toDF("media_id", "payload"), "media_id"),
+      "media_id", index, "doc_id", "phash",
+      ImageDedup.NumBands, ImageDedup.BandBits, ImageDedup.HammingThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(streamed.nonEmpty, "shifted ids share pixel groups — matches must exist")
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream(${streamed.length}) != batch(${batch.length})")
+    index.unpersist()
+  }
+
   test("streaming line dedup: a line turning boilerplate strips from later batches only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
