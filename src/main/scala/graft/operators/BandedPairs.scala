@@ -32,29 +32,75 @@ object BandedPairs {
     MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
+  /** Default per-(band index, band value) occupancy cap. A duplicate
+    * MEGA-CLUSTER (boilerplate images, a logo crawled a million times)
+    * puts its whole population in one bucket, and an uncapped
+    * bucket-join emits |cluster|² pairs — measured: a 50x-replicated
+    * corpus whose replicas share pixel groups produced 600M pairs from
+    * 250k docs. Same answer as the text-dedup family's C2b: over-cap
+    * buckets keep a bounded DETERMINISTIC md5-rank subsample, so a hot
+    * bucket contributes at most cap² pairs (a bounded detection path —
+    * the cluster is still discovered, its full pair list is not
+    * enumerated). The cap is a no-op below 256 occupants, so test-SF
+    * oracles see identical output.
+    */
+  val DefaultBucketCap = 256
+
+  /** The same deterministic engine-portable selector as C38/C47: the
+    * first 8 md5 hex digits of the id as an integer rank.
+    */
+  private[graft] def md5Rank(docId: Long): Long =
+    java.lang.Long.parseLong(md5Hex(docId.toString).substring(0, 8), 16)
+
   /** Near-dup pairs over `fps(idCol: Long, fpCol: '0'/'1' string)`:
     * (id_a, id_b, hamming) with id_a < id_b, hamming ≤ threshold, each
-    * pair emitted exactly once.
+    * pair emitted exactly once. Bucket populations are capped at
+    * `bucketCap` by deterministic md5 rank (see [[DefaultBucketCap]]);
+    * the per-bucket selection is the bounded MaxKScored heap (k
+    * map-side per bucket — the cap must not itself be a per-bucket
+    * sort window, the bucket being oversized is the hazard). Pair
+    * dedup is the first-shared-KEPT-band rule: with caps, a pair can
+    * agree on band b's VALUE while one partner was evicted from b's
+    * bucket, so each id carries a bitmask of the bands it survived in
+    * and a pair is emitted only from the first band where the values
+    * match AND both survived — pure bit math on the joined row, no
+    * distinct shuffle.
     */
   def pairs(fps: DataFrame, idCol: String, fpCol: String,
-            numBands: Int, bandBits: Int, threshold: Int): DataFrame = {
+            numBands: Int, bandBits: Int, threshold: Int,
+            bucketCap: Int = DefaultBucketCap): DataFrame = {
     val bandStruct = (0 until numBands).map { b =>
       struct(lit(b).as("b"), substring(col(fpCol), b * bandBits + 1, bandBits).as("band"))
     }
     val banded = fps.select(col(idCol), col(fpCol),
       explode(array(bandStruct: _*)).as("tb"))
       .select(col(idCol), col(fpCol), col("tb.b").as("b"), col("tb.band").as("band"))
-    val firstEqualBand = (numBands - 1 to 0 by -1)
+      .withColumn("rkey", expr(
+        TextOps.hexPrefixValSql(s"md5(CAST($idCol AS STRING))")))
+    // bounded per-bucket survivors: min-k by (md5 rank, id)
+    val kept = banded.groupBy("b", "band")
+      .agg(Exprs.maxKScored(-col("rkey").cast("double"), col(idCol), bucketCap).as("keep"))
+      .select(col("b"), col("band"), explode(col("keep")).as("t"))
+      .select(col("b"), col("band"), col("t.id").as(idCol))
+    // per-id bitmask of survived bands + the full signature back
+    val masks = kept.groupBy(idCol)
+      .agg(sum(expr("shiftleft(1L, b)")).as("mask"))
+    val enriched = kept
+      .join(fps.select(col(idCol), col(fpCol)), Seq(idCol))
+      .join(masks, Seq(idCol))
+    val firstSharedKeptBand = (numBands - 1 to 0 by -1)
       .foldLeft(lit(-1): Column) { (acc, b) =>
         when(substring(col("ha"), b * bandBits + 1, bandBits) ===
-          substring(col("hb"), b * bandBits + 1, bandBits), lit(b)).otherwise(acc)
+          substring(col("hb"), b * bandBits + 1, bandBits) &&
+          shiftright(col("ma"), b).bitwiseAND(lit(1L)) === 1L &&
+          shiftright(col("mb"), b).bitwiseAND(lit(1L)) === 1L, lit(b)).otherwise(acc)
       }
-    val cand = banded.select(col(idCol).as("id_a"), col(fpCol).as("ha"),
-        col("b"), col("band"))
-      .join(banded.select(col(idCol).as("id_b"), col(fpCol).as("hb"),
-        col("b"), col("band")), Seq("b", "band"))
+    val cand = enriched.select(col(idCol).as("id_a"), col(fpCol).as("ha"),
+        col("mask").as("ma"), col("b"), col("band"))
+      .join(enriched.select(col(idCol).as("id_b"), col(fpCol).as("hb"),
+        col("mask").as("mb"), col("b"), col("band")), Seq("b", "band"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("b") === firstEqualBand)
+      .filter(col("b") === firstSharedKeptBand)
     cand
       .select(col("id_a"), col("id_b"),
         Exprs.hamming(col("ha"), col("hb")).as("hamming"))
@@ -93,20 +139,28 @@ object BandedPairs {
       .filter(col("hamming") <= threshold)
   }
 
-  /** The oracle's tail: bands/cand CTEs + the final verify SELECT over
-    * a prior CTE `hashCte(doc_id, fpCol)` — DISTINCT replaces the
-    * first-equal-band projection (same pair set). The caller
-    * interpolates this after its hash CTE (which must end with a comma).
+  /** The oracle's tail: bands/cap/cand CTEs + the final verify SELECT
+    * over a prior CTE `hashCte(doc_id, fpCol)` — the same md5-rank
+    * bucket cap as [[pairs]] (a per-bucket rank window is fine in the
+    * oracle), DISTINCT replacing the first-shared-kept-band projection
+    * (same pair set). The caller interpolates this after its hash CTE
+    * (which must end with a comma).
     */
   def pairsSqlTail(hashCte: String, fpCol: String, fpLen: Int,
-                   numBands: Int, bandBits: Int, threshold: Int): String =
+                   numBands: Int, bandBits: Int, threshold: Int,
+                   bucketCap: Int = DefaultBucketCap): String =
     s"""bands AS (
-       |  SELECT doc_id, $fpCol, b, substr($fpCol, b * $bandBits + 1, $bandBits) AS band
+       |  SELECT doc_id, $fpCol, b, substr($fpCol, b * $bandBits + 1, $bandBits) AS band,
+       |    ${TextOps.hexPrefixValSql("md5(CAST(doc_id AS VARCHAR))")} AS rkey
        |  FROM $hashCte, range(0, $numBands) rband(b)),
+       |bkept AS (
+       |  SELECT doc_id, $fpCol, b, band FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY b, band ORDER BY rkey, doc_id) AS occ
+       |    FROM bands) WHERE occ <= $bucketCap),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    a.$fpCol AS ha, b.$fpCol AS hb
-       |  FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band
+       |  FROM bkept a JOIN bkept b ON a.b = b.b AND a.band = b.band
        |  WHERE a.doc_id < b.doc_id)
        |SELECT id_a, id_b, hamming FROM (
        |  SELECT id_a, id_b,

@@ -31,6 +31,29 @@ class BandedPairsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def hamming(a: String, b: String): Int =
     a.zip(b).count { case (x, y) => x != y }
 
+  /** Brute-force reference incl. the md5-rank bucket cap: pairs kept
+    * together in at least one (band index, band value) bucket after
+    * capping, at hamming <= threshold.
+    */
+  private def refPairs(fps: Seq[(Long, String)], numBands: Int, bandBits: Int,
+                       threshold: Int, cap: Int): Map[(Long, Long), Long] = {
+    val buckets = scala.collection.mutable.Map.empty[(Int, String), List[(Long, String)]]
+    for ((id, fp) <- fps; b <- 0 until numBands) {
+      val key = (b, fp.substring(b * bandBits, (b + 1) * bandBits))
+      buckets(key) = buckets.getOrElse(key, Nil) :+ ((id, fp))
+    }
+    val out = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for ((_, members) <- buckets) {
+      val kept = members.sortBy { case (id, _) =>
+        (graft.operators.BandedPairs.md5Rank(id), id) }.take(cap)
+      for ((ia, fa) <- kept; (ib, fb) <- kept if ia < ib) {
+        val d = hamming(fa, fb)
+        if (d <= threshold) out((ia, ib)) = d.toLong
+      }
+    }
+    out.toMap
+  }
+
   test("pairs == brute-force {shared band && hamming <= t}, each exactly once, true distance") {
     val s = spark
     import s.implicits._
@@ -69,6 +92,34 @@ class BandedPairsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.toMap == expected,
         s"seed $seed: pair set/distances diverge from brute force " +
           s"(got ${got.length}, expected ${expected.size})")
+      // the default cap (256 > corpus) must be a strict no-op here
+      assert(expected == refPairs(fps, numBands, bandBits, threshold,
+        BandedPairs.DefaultBucketCap))
     }
+  }
+
+  test("mega-cluster bucket cap bounds pairs and matches the capped reference") {
+    val s = spark
+    import s.implicits._
+    // 60 IDENTICAL fingerprints (one mega-cluster) + 10 distinct others:
+    // uncapped this is C(60,2)=1770 pairs; with cap=8 each bucket keeps
+    // the 8 smallest md5 ranks, so the cluster contributes C(8,2)=28 —
+    // discovered, not enumerated.
+    val rnd = new scala.util.Random(11L)
+    val mega = Array.fill(64)(rnd.nextBoolean()).map(if (_) '1' else '0').mkString
+    val fps: Seq[(Long, String)] =
+      (0L until 60L).map(_ -> mega) ++
+        (100L until 110L).map(i =>
+          i -> Array.fill(64)(rnd.nextBoolean()).map(if (_) '1' else '0').mkString)
+    val cap = 8
+    val got = BandedPairs.pairs(fps.toDF("doc_id", "fp"), "doc_id", "fp",
+      numBands = 4, bandBits = 16, threshold = 10, bucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    val expected = refPairs(fps, 4, 16, 10, cap)
+    assert(got.length == got.map(_._1).distinct.length, "duplicate pairs emitted")
+    assert(got.toMap == expected,
+      s"capped pair set diverges (got ${got.length}, expected ${expected.size})")
+    assert(expected.size < 100, s"cap failed to bound the mega-cluster: ${expected.size}")
+    assert(expected.nonEmpty, "the cluster must still be discovered")
   }
 }
