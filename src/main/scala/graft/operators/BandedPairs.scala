@@ -118,7 +118,8 @@ object BandedPairs {
     */
   def probeJoin(probe: DataFrame, probeId: String,
                 index: DataFrame, indexId: String, fpCol: String,
-                numBands: Int, bandBits: Int, threshold: Int): DataFrame = {
+                numBands: Int, bandBits: Int, threshold: Int,
+                bucketCap: Int = DefaultBucketCap): DataFrame = {
     def banded(df: DataFrame, idCol: String, fpAs: String): DataFrame = {
       val bandStruct = (0 until numBands).map { b =>
         struct(lit(b).as("b"), substring(col(fpCol), b * bandBits + 1, bandBits).as("band"))
@@ -126,14 +127,34 @@ object BandedPairs {
       df.select(col(idCol), col(fpCol), explode(array(bandStruct: _*)).as("tb"))
         .select(col(idCol), col(fpCol).as(fpAs), col("tb.b").as("b"), col("tb.band").as("band"))
     }
-    val firstEqualBand = (numBands - 1 to 0 by -1)
+    // The INDEX side carries the mega-cluster hazard (a boilerplate
+    // image indexed a million times would match every probe a million
+    // times); cap its buckets exactly like [[pairs]]. The aggregations
+    // run on the STATIC side only, so `probe` may stay a streaming
+    // frame. Probe rows are per-batch and never capped — a pair is
+    // emitted from the first band where the values agree AND the index
+    // member survived that band's cut.
+    val bandedIdx = banded(index, indexId, "hb")
+      .withColumn("rkey", expr(
+        TextOps.hexPrefixValSql(s"md5(CAST($indexId AS STRING))")))
+    val keptIdx = bandedIdx.groupBy("b", "band")
+      .agg(Exprs.maxKScored(-col("rkey").cast("double"), col(indexId), bucketCap).as("keep"))
+      .select(col("b"), col("band"), explode(col("keep")).as("t"))
+      .select(col("b"), col("band"), col("t.id").as(indexId))
+    val maskIdx = keptIdx.groupBy(indexId)
+      .agg(sum(expr("shiftleft(1L, b)")).as("mb"))
+    val enrichedIdx = keptIdx
+      .join(index.select(col(indexId), col(fpCol).as("hb")), Seq(indexId))
+      .join(maskIdx, Seq(indexId))
+    val firstSharedBand = (numBands - 1 to 0 by -1)
       .foldLeft(lit(-1): Column) { (acc, b) =>
         when(substring(col("ha"), b * bandBits + 1, bandBits) ===
-          substring(col("hb"), b * bandBits + 1, bandBits), lit(b)).otherwise(acc)
+          substring(col("hb"), b * bandBits + 1, bandBits) &&
+          shiftright(col("mb"), b).bitwiseAND(lit(1L)) === 1L, lit(b)).otherwise(acc)
       }
     banded(probe, probeId, "ha")
-      .join(banded(index, indexId, "hb"), Seq("b", "band"))
-      .filter(col("b") === firstEqualBand)
+      .join(enrichedIdx, Seq("b", "band"))
+      .filter(col("b") === firstSharedBand)
       .select(col(probeId), col(indexId),
         Exprs.hamming(col("ha"), col("hb")).as("hamming"))
       .filter(col("hamming") <= threshold)
