@@ -116,6 +116,22 @@ object ImageDedup {
   def phash64(payload: Array[Byte]): Option[String] = {
     if (payload == null || payload.isEmpty) return None
     try {
+      // header-dims gate BEFORE any pixel decode (the Multimodal video
+      // path's decompression-bomb rule): a crafted header claiming huge
+      // dimensions must be rejected from the codec header alone, never
+      // allocated by ImageIO.read
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      val dims =
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+            finally r.dispose()
+          }
+        } catch { case _: Exception => None } finally iis.close()
+      if (!dims.contains((ImgDim, ImgDim))) return None
       val img = ImageIO.read(new ByteArrayInputStream(payload))
       if (img == null || img.getWidth != ImgDim || img.getHeight != ImgDim) return None
       val lumas = new Array[Long](ImgDim * ImgDim)

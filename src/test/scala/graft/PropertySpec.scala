@@ -124,3 +124,78 @@ object Mp4WalkProps extends Properties("mp4.parse") {
     }
   }
 }
+
+/** The codec-roundtrip dedup kernels (ImageDedup.phash64,
+  * AudioDedup.fingerprint64) must QUARANTINE, never throw, on arbitrary
+  * bytes and on corrupted-but-plausible payloads — they run inside
+  * mapPartitions over crawl data, where one throwing row fails the
+  * task. Corruption generators flip bytes inside REAL encoded payloads
+  * so the codec parsers see valid magic numbers with broken interiors.
+  */
+object CodecQuarantineProps extends org.scalacheck.Properties("codec.quarantine") {
+  import org.scalacheck.{Gen, Prop}
+  import org.scalacheck.Prop.forAll
+  import graft.operators.{AudioDedup, ImageDedup}
+
+  private val rawBytes: Gen[Array[Byte]] =
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+
+  private def corrupted(valid: Array[Byte]): Gen[Array[Byte]] = for {
+    nFlips <- Gen.choose(1, 12)
+    flips <- Gen.listOfN(nFlips, for {
+      pos <- Gen.choose(0, valid.length - 1)
+      v <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+    } yield (pos, v))
+  } yield {
+    val out = valid.clone()
+    flips.foreach { case (p, v) => out(p) = v }
+    out
+  }
+
+  // one real payload of each kind, generated through the production
+  // encoders (driver-side, no Spark session needed)
+  private val validPng: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      ImageDedup.ImgDim, ImageDedup.ImgDim, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until ImageDedup.ImgDim; x <- 0 until ImageDedup.ImgDim) {
+      val v = ImageDedup.pixelValue(7L, x, y)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+  private val validWav: Array[Byte] = {
+    val pcm = new Array[Byte](AudioDedup.NumSamples * 2)
+    for (t <- 0 until AudioDedup.NumSamples) {
+      val amp = AudioDedup.blockAmp(7L, t / AudioDedup.BlockLen) * AudioDedup.AmpUnit
+      val s = (if (t % 2 == 0) amp else -amp).toShort
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, AudioDedup.NumSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  property("phash64 never throws on random bytes") = forAll(rawBytes) { bs =>
+    ImageDedup.phash64(bs); true
+  }
+  property("phash64 never throws on corrupted PNGs; intact PNG still hashes") =
+    forAll(corrupted(validPng)) { bs =>
+      ImageDedup.phash64(bs) // Option either way
+      Prop(ImageDedup.phash64(validPng).exists(_.length == 64))
+    }
+  property("fingerprint64 never throws on random bytes") = forAll(rawBytes) { bs =>
+    AudioDedup.fingerprint64(bs); true
+  }
+  property("fingerprint64 never throws on corrupted WAVs; intact WAV still hashes") =
+    forAll(corrupted(validWav)) { bs =>
+      AudioDedup.fingerprint64(bs)
+      Prop(AudioDedup.fingerprint64(validWav).exists(_.length == 64))
+    }
+}
