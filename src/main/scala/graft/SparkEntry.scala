@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AudioDedup, Dedup, Embeddings, Graph, ImageDedup, Reference, Sketches, Temporal, TextOps}
+import graft.operators.{Analytics, AudioDedup, Classify, Dedup, Embeddings, Graph, ImageDedup, Reference, Sketches, Temporal, TextOps, VideoDedup}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,7 +23,8 @@ object SparkEntry {
     Reference.queries ++ Analytics.queries ++ TextOps.queries ++
       Dedup.queries ++ Embeddings.queries ++ Temporal.queries ++
       Sketches.queries ++ Graph.queries ++ ImageDedup.queries ++
-      AudioDedup.queries ++ graft.sources.Sinks.queries
+      AudioDedup.queries ++ VideoDedup.queries ++ Classify.queries ++
+      graft.sources.Sinks.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     Reference.oracle ++ Analytics.oracle ++ TextOps.oracle ++
       Dedup.oracle ++ Embeddings.oracle ++ Temporal.oracle ++
       Sketches.oracle ++ Graph.oracle ++ ImageDedup.oracle ++
-      AudioDedup.oracle ++ graft.sources.Sinks.oracle
+      AudioDedup.oracle ++ VideoDedup.oracle ++ Classify.oracle ++
+      graft.sources.Sinks.oracle
 }
