@@ -308,13 +308,128 @@ object Graph {
        |FROM r5""".stripMargin
   }
 
+  /** G4: community detection by synchronous LABEL PROPAGATION (Raghavan
+    * et al. 2007) over the undirected follow graph — the standard
+    * near-linear community pass a social pipeline runs after PageRank.
+    * Every node starts as its own label; each round a node adopts the
+    * most frequent label among its neighbors AND itself (the self-vote
+    * damps the synchronous-update oscillation the async original
+    * avoids by update order). Determinism (the property that lets an
+    * iterative heuristic face a hash-compare oracle): synchronous
+    * rounds (all nodes update from the SAME previous labeling — no
+    * engine-dependent update order) and a total tie-break —
+    * most-frequent, then smallest (md5(label), label) — expressed as
+    * two keyed aggregations (max count, then min of the rank-prefixed
+    * string among maxes). The md5 rank matters: a plain min-label
+    * tie-break is the known "label epidemic" — on a tie-heavy graph
+    * the globally smallest id floods every region in diameter rounds
+    * (measured here: 1 community on the hub-star follow graph, where
+    * the hashed rank keeps distinct hub basins) — while a hashed rank
+    * breaks ties differently in different neighborhoods, exactly why
+    * LPA implementations randomize tie-breaks; md5 is the
+    * deterministic, engine-portable stand-in for that randomness.
+    *
+    * Scale: per round, one equi-join of the edge list against the
+    * (node, label) frame plus two keyed hash aggs — all shuffles keyed
+    * on node id, no windows, no collects; per-round persist + lineage
+    * cut exactly like the PageRank/CC fixpoints, so round k's plan
+    * does not embed rounds 1..k−1. Fixed [[LpaRounds]] rounds here
+    * (the oracle must unroll); production would run the identical
+    * round body under a changed-labels < ε stop, the
+    * [[pageRankConverged]] pattern.
+    */
+  val LpaRounds = 3
+
+  def communityLpa(events: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+    val spark = events.sparkSession
+    val result = GraftCache.memoArtifact(spark,
+      ("communityLpa", events.queryExecution.analyzed.canonicalized, rounds)) {
+      lpaOnUndirected(undirected(events), rounds)
+    }
+    result.select(col("node"), col("label").as("community"))
+  }
+
+  /** The round body over any symmetric (a, b) adjacency — split out so
+    * specs can pin LPA's semantics on a hand-built graph.
+    */
+  private[graft] def lpaOnUndirected(und: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = und.sparkSession
+    val nodes = und.select(col("a").as("node")).distinct()
+    // self-vote = a self-loop on every node; persisted once, reread
+    // every round
+    val undSelf = GraftCache.persistTracked(
+      und.union(nodes.select(col("node").as("a"), col("node").as("b"))))
+    var labels = nodes
+      .select(col("node"), col("node").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var prev = labels
+    var lineageCut = spark.createDataFrame(labels.rdd, labels.schema)
+    var i = 0
+    while (i < rounds) {
+      val cnt = undSelf
+        .join(lineageCut.withColumnRenamed("node", "nb"), col("b") === col("nb"))
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val mx = cnt.groupBy("a").agg(max(col("cnt")).as("mx"))
+      val next = cnt.join(mx, "a")
+        .filter(col("cnt") === col("mx"))
+        .groupBy(col("a").as("node"))
+        // min of 'md5(label):label'; the label rides after the fixed
+        // 32-hex + ':' prefix, so substr(34) recovers it exactly
+        .agg(min(concat(md5(col("label").cast("string")), lit(":"),
+          col("label").cast("string"))).as("ranked"))
+        .select(col("node"), expr("CAST(substr(ranked, 34) AS BIGINT)").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      prev.unpersist(blocking = true)
+      prev = next
+      lineageCut = spark.createDataFrame(next.rdd, next.schema)
+      i += 1
+    }
+    val out = GraftCache.persistTracked(lineageCut)
+    out.count()
+    prev.unpersist(blocking = true)
+    out
+  }
+
+  /** Unrolled-round oracle (same no-aggregates-in-recursive-term
+    * restriction as PageRank): per round, neighbor-label counts → max
+    * count → min label among maxes.
+    */
+  val communityLpaSql: String = {
+    val roundCtes = (1 to LpaRounds).map { i =>
+      s"""c$i AS (
+         |  SELECT u.a, l.label, count(*) AS cnt
+         |  FROM undself u JOIN l${i - 1} l ON u.b = l.node
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT a, max(cnt) AS mx FROM c$i GROUP BY 1),
+         |l$i AS (
+         |  SELECT c.a AS node,
+         |    CAST(substr(min(md5(CAST(c.label AS STRING)) || ':' ||
+         |      CAST(c.label AS STRING)), 34) AS BIGINT) AS label
+         |  FROM c$i c JOIN m$i m ON c.a = m.a AND c.cnt = m.mx
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (${Reference.edgesSql}),
+       |und AS ($undSql),
+       |undself AS (SELECT a, b FROM und UNION
+       |            SELECT DISTINCT a, a FROM und),
+       |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+       |$roundCtes
+       |SELECT node, label AS community FROM l$LpaRounds""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> ((s, d) => triangles(Tables.events(s, d))),
     "q_friend_recs" -> ((s, d) => friendRecs(Tables.events(s, d))),
-    "q_pagerank" -> ((s, d) => pageRank(Tables.events(s, d))))
+    "q_pagerank" -> ((s, d) => pageRank(Tables.events(s, d))),
+    "q_community_lpa" -> ((s, d) => communityLpa(Tables.events(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_triangles" -> trianglesSql,
     "q_friend_recs" -> friendRecsSql,
-    "q_pagerank" -> pageRankSql)
+    "q_pagerank" -> pageRankSql,
+    "q_community_lpa" -> communityLpaSql)
 }

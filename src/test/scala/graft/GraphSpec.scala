@@ -125,4 +125,34 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total >= base * n, s"total can't undercut the teleport floor: $total")
     ranks.unpersist()
   }
+
+  test("lpa: two cliques with one bridge resolve to two communities (hand-traced)") {
+    import spark.implicits._
+    // K3 {1,2,3} + K3 {10,11,12} + bridge 3-10; synchronous self-vote
+    // rounds with the (md5, label) tie-break trace to {1,2,3}→1 and
+    // {10,11,12}→11 after 3 rounds (11 has the clique's smallest md5
+    // rank; the self-vote keeps each clique's winner from being
+    // overwritten across the bridge).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L))
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("a", "b")
+    val got = Graph.lpaOnUndirected(und, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 11L, 11L -> 11L, 12L -> 11L), s"got $got")
+  }
+
+  test("lpa: sf0.01 communities are a total assignment and nontrivial") {
+    // sf0.001 has only ~15 users over the 20 hub nodes — that graph IS
+    // one dense community; structure appears from sf0.01 up
+    val ev01 = Tables.events(spark, "/root/testdata/sf0.01")
+    val com = Graph.communityLpa(ev01).cache()
+    val nodes = com.count()
+    assert(com.select("node").distinct().count() == nodes, "one community per node")
+    val k = com.select("community").distinct().count()
+    assert(k > 1, "all nodes in one community — the md5 tie-break should keep hub basins apart")
+    assert(k < nodes, "no propagation happened — every node kept its own label")
+    com.unpersist()
+  }
 }
