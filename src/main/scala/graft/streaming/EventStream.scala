@@ -721,6 +721,32 @@ object EventStream {
       ImageDedup.NumBands, ImageDedup.BandBits, threshold)
   }
 
+  /** Streaming perceptual VIDEO dedup (C12d's continuous twin) — the
+    * same stateless contract as [[streamingImagePhashMatches]]: the
+    * batch temporal-fingerprint kernel (real RIFF/AVI walk + DIB frame
+    * decode in mapPartitions) runs unchanged on the streaming frame,
+    * then the banded probe join checks incoming clips against a static
+    * committed fingerprint index. Append mode, no state store;
+    * undecodable clips quarantine in the kernel's null filter.
+    */
+  def streamingVideoPhashMatches(media: DataFrame, indexFps: DataFrame,
+                                 threshold: Int =
+                                   graft.operators.VideoDedup.HammingThreshold): DataFrame = {
+    import graft.operators.{BandedPairs, VideoDedup}
+    val probe = VideoDedup.vhashPayloads(media, "media_id")
+    BandedPairs.probeJoin(probe, "media_id", indexFps, "doc_id", "vhash",
+      VideoDedup.NumBands, VideoDedup.BandBits, threshold)
+  }
+
+  /** Streaming quality gate (C53's continuous twin): the hashed linear
+    * classifier is a pure zero-shuffle per-row projection, so the batch
+    * operator body runs UNCHANGED on a streaming (doc_id, text) frame —
+    * append mode, no watermark, no state. This is the filter a live
+    * ingest pipeline runs before anything stateful sees the document.
+    */
+  def streamingQualityGate(docs: DataFrame): DataFrame =
+    graft.operators.Classify.qualityClassifier(docs)
+
   /** [[streamingUpsertSink]] writing through the TRANSACTIONAL table
     * format ([[graft.sources.Sinks.VersionedTable]]) instead of the
     * swap-rename MERGE: each micro-batch commits one new manifest

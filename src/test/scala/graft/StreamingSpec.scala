@@ -772,6 +772,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     index.unpersist()
   }
 
+  test("EQUIVALENCE: streaming video-phash probe matches the batch probe join row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{BandedPairs, VideoDedup}
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val index = VideoDedup.videoPhash(docs.limit(200)).cache()
+    index.count()
+    // incoming clips: real AVI payloads for a shifted id range — same
+    // pixel groups (shift is a NumGroups multiple), genuine near-dups
+    val incoming: Seq[(Long, Array[Byte])] =
+      VideoDedup.videoCorpus(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000L).as("doc_id")))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toIndexedSeq
+    val in = MemoryStream[(Long, Array[Byte])]
+    val out = EventStream.streamingVideoPhashMatches(
+      in.toDF().toDF("media_id", "payload"), index)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("vhash_stream").start()
+    in.addData(incoming.take(20))
+    q.processAllAvailable()
+    in.addData(incoming.drop(20))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("vhash_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = BandedPairs.probeJoin(
+      VideoDedup.vhashPayloads(incoming.toDF("media_id", "payload"), "media_id"),
+      "media_id", index, "doc_id", "vhash",
+      VideoDedup.NumBands, VideoDedup.BandBits, VideoDedup.HammingThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(streamed.nonEmpty, "shifted ids share pixel groups — matches must exist")
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream(${streamed.length}) != batch(${batch.length})")
+    index.unpersist()
+  }
+
+  test("EQUIVALENCE: streaming quality gate matches the batch classifier row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").limit(100)
+    val rows: Seq[(Long, String)] =
+      docs.collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.streamingQualityGate(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qgate_stream").start()
+    in.addData(rows.take(40)); q.processAllAvailable()
+    in.addData(rows.drop(40)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qgate_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sorted
+    val batch = graft.operators.Classify.qualityClassifier(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sorted
+    assert(streamed.length == 100)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming line dedup: a line turning boilerplate strips from later batches only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
