@@ -74,7 +74,14 @@ object ScaleAudit {
     "q_dedup_clusters", "q_dedup_clusters_ls",
     // round-6 additions: the BPE trainer/encoder corpus spines and the
     // bucket-offset global permutation
-    "q_bpe_train", "q_bpe_encode", "q_corpus_shuffle")
+    "q_bpe_train", "q_bpe_encode", "q_corpus_shuffle",
+    // round-7 additions: the video codec lens (shares the capped
+    // BandedPairs engine — the mega-bucket hazard lives there), the
+    // zero-shuffle classifier (must STAY shuffle-free at scale), and
+    // the LPA fixpoint (per-round edge-keyed joins; replicas share the
+    // 20 hub nodes, so hub degree grows 10x — LPA cost must stay
+    // O(edges), no quadratic wedge blowup like uncapped FoF)
+    "q_video_phash", "q_quality_classifier", "q_community_lpa")
 
   def buildScaled(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
     // events.ts stays a raw nanos long end-to-end: the flag reads the
@@ -161,6 +168,13 @@ object ScaleAudit {
       // final plan must keep the top-k as sort+limit at 10×
       if (!plan.contains("TakeOrderedAndProject")) {
         bad += 1; println("[scale] FAIL q21: top-k lost TakeOrderedAndProject")
+      }
+    }
+    results.find(_._1 == "q_quality_classifier").foreach { case (_, _, _, plan) =>
+      // the classifier's whole value at scale is riding the scan: any
+      // Exchange appearing at 10x means something broke the projection
+      if (plan.contains("Exchange")) {
+        bad += 1; println("[scale] FAIL q_quality_classifier: classifier no longer shuffle-free")
       }
     }
     results.find(_._1 == "q_friend_recs").foreach { case (_, _, _, plan) =>

@@ -843,4 +843,36 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lhs == rhs, "per-doc commonness mass must equal sum of gtf^2 over the vocabulary")
     out.unpersist()
   }
+
+  test("hybrid rrf: fusion recomputed from the two source rankings, rank order dense") {
+    import graft.operators.{Retrieval, TextOps}
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val fused = Retrieval.hybridRrf(docs, emb).collect()
+    assert(fused.nonEmpty)
+    val byTerm = fused.groupBy(_.getString(0))
+    assert(byTerm.keySet == TextOps.Bm25Terms.toSet,
+      "every query term must produce a fused list")
+    byTerm.foreach { case (term, rows) =>
+      val rns = rows.map(_.getInt(3)).sorted.toSeq
+      assert(rns == (1 to rows.length), s"$term: ranks must be dense from 1")
+      assert(rows.length <= Retrieval.TopK)
+      // rrf scores non-increasing in rank, bounded by the two-list max
+      val byRank = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(byRank == byRank.sorted.reverse, s"$term: rrf must be non-increasing")
+      assert(byRank.head <= 2.0 / (Retrieval.RrfC + 1), s"$term: rrf above two-list max")
+      assert(byRank.last > 0.0)
+    }
+    // a doc present in BOTH lists at rank 1 would hit exactly the max;
+    // every fused score must be reconstructible from some (rs, rd) pair
+    val valid = (for {
+      rs <- 0 to Retrieval.TopK; rd <- 0 to Retrieval.TopK
+      if rs > 0 || rd > 0
+    } yield (if (rs > 0) 1.0 / (Retrieval.RrfC + rs) else 0.0) +
+      (if (rd > 0) 1.0 / (Retrieval.RrfC + rd) else 0.0)).toSet
+    fused.foreach { r =>
+      assert(valid.contains(r.getDouble(2)),
+        s"rrf ${r.getDouble(2)} not a valid two-rank fusion")
+    }
+  }
 }
