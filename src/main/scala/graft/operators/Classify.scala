@@ -83,9 +83,86 @@ object Classify {
        |  CAST(sum(w) AS BIGINT) > 0 AS keep
        |FROM w GROUP BY 1""".stripMargin
 
+  /** Fixed-point scale for the bigram LM score: each bigram contributes
+    * ⌊10⁶·P(w₂|w₁)⌋ exactly.
+    */
+  val LmScale = 1000000L
+
+  private val Sep = "\u001f" // unit separator - never appears in tokens
+
+  /** C55: corpus bigram-LM fluency score — the CCNet/Gopher-style
+    * "perplexity filter" niche: documents whose token transitions are
+    * improbable under a language model trained ON THE CORPUS ITSELF
+    * score low (gibberish, shuffled text, boilerplate soup), fluent
+    * text scores high. The LM is the corpus's own bigram MLE —
+    * P(w₂|w₁) = c(w₁w₂)/c(w₁·) — and the score is the per-doc sum (and
+    * mean) of ⌊10⁶·P⌋ per bigram: FIXED-POINT floor division on
+    * positive int64 counts instead of the textbook Σlog P, because a
+    * transcendental log is not bit-reproducible across engines (the
+    * C48 idf trade) while floor division is — monotone per bigram in
+    * P, which is all a keep/drop threshold consumes.
+    *
+    * Scale: train = one (bg) hash agg + one (w1) hash agg over the
+    * exploded bigram stream; score = two keyed equi-joins back onto the
+    * same stream + a doc-keyed agg. All shuffles are keyed on
+    * high-cardinality grams/docs — no windows, no collects. At 100 TB
+    * the LM table is pruned to a top-V vocabulary and BROADCAST (absent
+    * grams backing off to a floor score); here the exact full join is
+    * kept so the oracle can reproduce it.
+    */
+  def lmBigramScore(documents: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bb = documents
+      .select(col("doc_id"), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(Sep), b))).as("bg"))
+      .withColumn("w1", split(col("bg"), Sep).getItem(0))
+      .transform(graft.GraftCache.persistTracked)
+    val cb = bb.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val cw = bb.groupBy("w1").agg(count(lit(1)).as("cw"))
+    val perDoc = bb
+      .join(cb, "bg")
+      .join(cw, "w1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr(s"($LmScale * cb) div cw")).as("score_fp"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_fp"), lit(0L)).as("score_fp"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          expr("score_fp div n_bigrams")).otherwise(lit(0L)).as("avg_fp"))
+  }
+
+  val lmBigramScoreSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |bb AS (
+       |  SELECT doc_id, bg, string_split(bg, chr(31))[1] AS w1 FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || chr(31) || toks[i + 1])) AS bg
+       |    FROM t)),
+       |cb AS (SELECT bg, count(*) AS cb FROM bb GROUP BY 1),
+       |cw AS (SELECT w1, count(*) AS cw FROM bb GROUP BY 1),
+       |sc AS (
+       |  SELECT bb.doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(($LmScale * cb.cb) // cw.cw) AS BIGINT) AS score_fp
+       |  FROM bb JOIN cb ON bb.bg = cb.bg JOIN cw ON bb.w1 = cw.w1
+       |  GROUP BY 1),
+       |base AS (SELECT doc_id FROM documents)
+       |SELECT base.doc_id,
+       |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(sc.score_fp, 0) AS score_fp,
+       |  CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+       |    THEN sc.score_fp // sc.n_bigrams ELSE 0 END AS avg_fp
+       |FROM base LEFT JOIN sc ON base.doc_id = sc.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_quality_classifier" -> ((s, d) => qualityClassifier(Tables.documents(s, d))))
+    "q_quality_classifier" -> ((s, d) => qualityClassifier(Tables.documents(s, d))),
+    "q_lm_bigram_score" -> ((s, d) => lmBigramScore(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
-    "q_quality_classifier" -> qualityClassifierSql)
+    "q_quality_classifier" -> qualityClassifierSql,
+    "q_lm_bigram_score" -> lmBigramScoreSql)
 }

@@ -58,6 +58,30 @@ class ClassifySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"classifier must not shuffle:\n$plan")
   }
 
+  test("lm bigram score: exact recompute from corpus counts, avg bounded by the scale") {
+    val docs = Tables.documents(spark, sf)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent corpus counts
+    def bigrams(t: String): Seq[(String, String)] =
+      t.split(" ", -1).toSeq.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+    val all = texts.values.flatMap(bigrams).toSeq
+    val cb = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cw = all.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val got = graft.operators.Classify.lmBigramScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == texts.size)
+    texts.foreach { case (id, t) =>
+      val bgs = bigrams(t)
+      val score = bgs.map(b => 1000000L * cb(b) / cw(b._1)).sum
+      val (n, s, a) = got(id)
+      assert(n == bgs.size.toLong, s"doc $id n_bigrams")
+      assert(s == score, s"doc $id: score $s != $score")
+      assert(a == (if (bgs.nonEmpty) score / bgs.size else 0L))
+      assert(a <= 1000000L, "mean per-bigram probability cannot exceed 1.0 fixed-point")
+    }
+  }
+
   test("scores discriminate: both keep and drop classes are populated") {
     val byKeep = Classify.qualityClassifier(Tables.documents(spark, sf))
       .groupBy("keep").count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
