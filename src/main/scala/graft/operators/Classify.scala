@@ -110,23 +110,47 @@ object Classify {
     * grams backing off to a floor score); here the exact full join is
     * kept so the oracle can reproduce it.
     */
-  def lmBigramScore(documents: DataFrame): DataFrame = {
+  /** (doc_id, bg, w1) bigram stream of a (doc_id, text) frame — pure
+    * projection + explode, so it runs unchanged on batch AND streaming
+    * frames (the streaming LM gate drives exactly this body).
+    */
+  def bigramStream(documents: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    val bb = documents
+    documents
       .select(col("doc_id"), explode(zip_with(
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(Sep), b))).as("bg"))
       .withColumn("w1", split(col("bg"), Sep).getItem(0))
-      .transform(graft.GraftCache.persistTracked)
-    val cb = bb.groupBy("bg").agg(count(lit(1)).as("cb"))
-    val cw = bb.groupBy("w1").agg(count(lit(1)).as("cw"))
-    val perDoc = bb
+  }
+
+  /** Train the corpus bigram LM: the (bg, cb) transition counts and
+    * (w1, cw) context totals — two hash aggs over one bigram stream.
+    */
+  def lmTrain(documents: DataFrame): (DataFrame, DataFrame) = {
+    val bb = graft.GraftCache.persistTracked(bigramStream(documents))
+    (bb.groupBy("bg").agg(count(lit(1)).as("cb")),
+      bb.groupBy("w1").agg(count(lit(1)).as("cw")))
+  }
+
+  /** Score a (doc_id, text) frame against a TRAINED model: two keyed
+    * equi-joins + a doc agg. Every step is stream-safe (projection,
+    * explode, stream-static inner join, per-batch agg), so the
+    * streaming gate reuses this body verbatim against committed model
+    * frames. Grams absent from the model drop out of the inner join —
+    * the back-off-to-floor rule; `n_bigrams` counts MODELED bigrams.
+    */
+  def lmScoreAgainst(documents: DataFrame, cb: DataFrame, cw: DataFrame): DataFrame =
+    bigramStream(documents)
       .join(cb, "bg")
       .join(cw, "w1")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(expr(s"($LmScale * cb) div cw")).as("score_fp"))
+
+  def lmBigramScore(documents: DataFrame): DataFrame = {
+    val (cb, cw) = lmTrain(documents)
+    val perDoc = lmScoreAgainst(documents, cb, cw)
     documents.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -747,6 +747,28 @@ object EventStream {
   def streamingQualityGate(docs: DataFrame): DataFrame =
     graft.operators.Classify.qualityClassifier(docs)
 
+  /** Streaming LM fluency gate (C55's continuous twin): incoming
+    * (doc_id, text) rows are scored per micro-batch against a COMMITTED
+    * bigram model (the batch [[graft.operators.Classify.lmTrain]]
+    * output) — train once on the curated corpus, gate the live crawl
+    * continuously. Per-doc aggregation is per-batch-complete (a doc's
+    * bigrams all come from its one row), so the scorer runs inside
+    * foreachBatch against the static model frames — no streaming state,
+    * no watermark; grams the model never saw drop out of the join (the
+    * back-off rule), exactly like the batch scorer.
+    */
+  def streamingLmGate(docs: DataFrame, cb: DataFrame, cw: DataFrame,
+                      outPath: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Classify.lmScoreAgainst(batch.toDF(), cb, cw)
+            .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** [[streamingUpsertSink]] writing through the TRANSACTIONAL table
     * format ([[graft.sources.Sinks.VersionedTable]]) instead of the
     * swap-rename MERGE: each micro-batch commits one new manifest

@@ -198,4 +198,21 @@ object CodecQuarantineProps extends org.scalacheck.Properties("codec.quarantine"
       AudioDedup.fingerprint64(bs)
       Prop(AudioDedup.fingerprint64(validWav).exists(_.length == 64))
     }
+
+  private val validAvi: Array[Byte] = {
+    import graft.operators.VideoDedup
+    val frames = Array.tabulate(VideoDedup.FrameCount) { f =>
+      Array.tabulate(VideoDedup.Dim * VideoDedup.Dim)(
+        i => VideoDedup.pixelValue(7L, f, i % VideoDedup.Dim, i / VideoDedup.Dim))
+    }
+    VideoDedup.encodeAvi(frames, VideoDedup.Dim, VideoDedup.Dim)
+  }
+  property("vhash64 never throws on random bytes") = forAll(rawBytes) { bs =>
+    graft.operators.VideoDedup.vhash64(bs); true
+  }
+  property("vhash64 never throws on corrupted AVIs; intact AVI still hashes") =
+    forAll(corrupted(validAvi)) { bs =>
+      graft.operators.VideoDedup.vhash64(bs)
+      Prop(graft.operators.VideoDedup.vhash64(validAvi).exists(_.length == 64))
+    }
 }

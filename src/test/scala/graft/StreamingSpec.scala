@@ -830,6 +830,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("EQUIVALENCE: streaming LM gate against a committed model == batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Classify
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    // model trained on the full corpus; the stream scores a subset
+    val (cb, cw) = Classify.lmTrain(docs)
+    cb.cache().count(); cw.cache().count()
+    val rows: Seq[(Long, String)] = docs.limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-gate").toString
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.streamingLmGate(in.toDF().toDF("doc_id", "text"),
+      cb, cw, s"$dir/out", s"$dir/ckpt")
+    in.addData(rows.take(25)); q.processAllAvailable()
+    in.addData(rows.drop(25)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = Classify.lmScoreAgainst(rows.toDF("doc_id", "text"), cb, cw)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+    cb.unpersist(); cw.unpersist()
+  }
+
   test("streaming line dedup: a line turning boilerplate strips from later batches only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
