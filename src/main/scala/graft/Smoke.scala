@@ -201,6 +201,41 @@ object Smoke {
     require(mp4Out(0).getBoolean(1) && mp4Out(0).getDouble(3) == 3.0 && !mp4Out(1).getBoolean(1),
       "planted mp4 must parse (duration 3s) and junk must quarantine")
 
+    // 13. video fingerprint roundtrip: corpus encode → container walk →
+    // temporal hash → banded probe against its own index finds the
+    // exact-dup (plus the quarantine path on junk)
+    import org.apache.spark.sql.functions.col
+    val vdocs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id").limit(40)
+    val vIdx = graft.operators.VideoDedup.videoPhash(vdocs)
+    val vProbe = graft.operators.VideoDedup.videoCorpus(
+      vdocs.select((col("doc_id") + 10000L).as("doc_id"))) // same pixel groups
+      .withColumnRenamed("doc_id", "media_id")
+    val vHits = graft.operators.BandedPairs.probeJoin(
+      graft.operators.VideoDedup.vhashPayloads(vProbe, "media_id"), "media_id",
+      vIdx, "doc_id", "vhash", graft.operators.VideoDedup.NumBands,
+      graft.operators.VideoDedup.BandBits, graft.operators.VideoDedup.HammingThreshold)
+      .count()
+    require(graft.operators.VideoDedup.vhash64("junk".getBytes).isEmpty,
+      "junk bytes must quarantine")
+    println(s"[smoke] video fingerprint probe: $vHits near-dup hits from 40 probes")
+    require(vHits > 0, "shifted ids share pixel groups — probe must find near-dups")
+
+    // 14. LM gate: train on the corpus, score a fluent vs a shuffled doc
+    val lmDocs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val (lmCb, lmCw) = graft.operators.Classify.lmTrain(lmDocs)
+    val firstText = lmDocs.orderBy("doc_id").select("text").head().getString(0)
+    val shuffled = firstText.split(" ").reverse.mkString(" ")
+    val pair = graft.operators.Classify.lmScoreAgainst(
+      Seq((1L, firstText), (2L, shuffled)).toDF("doc_id", "text"), lmCb, lmCw)
+      .orderBy("doc_id").collect()
+    val fluent = pair(0).getLong(2)
+    val garbled = if (pair.length > 1) pair(1).getLong(2) else 0L
+    println(s"[smoke] lm gate: corpus-fluent doc scores $fluent vs reversed $garbled")
+    require(fluent > garbled,
+      "a corpus sentence must outscore its reversal under the corpus LM")
+
     println("[smoke] OK")
     spark.stop()
   }
