@@ -1080,7 +1080,70 @@ object Embeddings {
        |SELECT k.vec_id, k.c_id, k.rn, e.label
        |FROM k JOIN embeddings e USING (vec_id)""".stripMargin
 
+  /** C56: per-label centroids in EXACT integer coordinates — the class
+    * prototype every embedding pipeline derives (IVF/k-means seeding,
+    * SemDeDup codebooks, nearest-class-mean eval): one shuffle keyed on
+    * the HIGH-cardinality (label, dim) pair — posexplode turns each
+    * vector into Dim narrow rows map-side, so the agg parallelizes
+    * across dims as well as labels and no label's whole vector set
+    * lands in one task. Output is the (label, dim, sum, count) normal
+    * form rather than a re-assembled array: exact BIGINT sums (the
+    * quantized coords of [[quantized]]), no float mean to drift —
+    * callers divide when they want the mean, at whatever precision
+    * they own.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    quantized(embeddings)
+      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("label"), posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("q_sum"))
+
+  val labelCentroidsSql: String =
+    s"""WITH q AS (SELECT vec_id, label, $qvSqlExpr AS qv FROM embeddings),
+       |x AS (
+       |  SELECT label, CAST(i - 1 AS INTEGER) AS dim, qv[i] AS qc
+       |  FROM q, range(1, ${Dim + 1}) r(i))
+       |SELECT label, dim, count(*) AS n, CAST(sum(qc) AS BIGINT) AS q_sum
+       |FROM x GROUP BY 1, 2""".stripMargin
+
+  /** C57: the corpus Gram matrix Σ xxᵀ over quantized embeddings — the
+    * 64×64 second-moment matrix PCA/whitening starts from (the
+    * preprocessing step in front of PQ codebooks and SemDeDup). Upper
+    * triangle only; exact BIGINT entries. Shape: each vector emits its
+    * Dim·(Dim+1)/2 upper-triangle products map-side (a lateral explode
+    * of a FIXED-size index list — no data-dependent blowup) and ONE
+    * hash agg on the bounded (i, j) key space collapses them; at 100 TB
+    * the inner explode+agg becomes per-partition BLAS outer products
+    * tree-reduced over the same bounded key space — same plan shape,
+    * denser kernel.
+    */
+  def gramMatrix(embeddings: DataFrame): DataFrame = {
+    val pairs = (0 until Dim).flatMap(i => (i until Dim).map(j => (i, j)))
+    val pairIdx = typedLit(pairs.map(p => Array(p._1, p._2)))
+    quantized(embeddings)
+      .select(explode(
+        transform(pairIdx, p =>
+          struct(p.getItem(0).as("i"), p.getItem(1).as("j"),
+            (element_at(col("qv"), p.getItem(0) + 1) *
+              element_at(col("qv"), p.getItem(1) + 1)).as("xx")))).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.xx").as("xx"))
+      .groupBy("i", "j")
+      .agg(sum(col("xx")).as("g"))
+  }
+
+  val gramMatrixSql: String =
+    s"""WITH q AS (SELECT $qvSqlExpr AS qv FROM embeddings),
+       |x AS (
+       |  SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
+       |    qv[i] * qv[j] AS xx
+       |  FROM q, range(1, ${Dim + 1}) ri(i), range(1, ${Dim + 1}) rj(j)
+       |  WHERE j >= i)
+       |SELECT i, j, CAST(sum(xx) AS BIGINT) AS g FROM x GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_centroids" -> ((s, d) => labelCentroids(Tables.embeddings(s, d))),
+    "q_gram_matrix" -> ((s, d) => gramMatrix(Tables.embeddings(s, d))),
     "q_cluster_sample" -> ((s, d) => clusterSample(Tables.embeddings(s, d))),
     "q_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "q_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d))),
@@ -1093,6 +1156,8 @@ object Embeddings {
     "q_neardup_cosine" -> ((s, d) => nearDupCosine(Tables.embeddings(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_label_centroids" -> labelCentroidsSql,
+    "q_gram_matrix" -> gramMatrixSql,
     "q_cluster_sample" -> clusterSampleSql(),
     "q_knn_classify" -> knnClassifySql,
     "q_semdedup" -> semDedupSql,

@@ -844,6 +844,42 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
+  test("gram matrix: diagonal mass equals the summed quantized norms; full triangle present") {
+    import graft.operators.Embeddings
+    val emb = Tables.embeddings(spark, sf)
+    val g = Embeddings.gramMatrix(emb).cache()
+    val d = Embeddings.Dim
+    assert(g.count() == d.toLong * (d + 1) / 2, "exactly the upper triangle")
+    val diag = g.filter(col("i") === col("j")).agg(sum("g")).head().getLong(0)
+    val norms = Embeddings.quantized(emb).agg(sum("nrm")).head().getLong(0)
+    assert(diag == norms, "trace of Sigma xx^T must equal the summed squared norms")
+    g.unpersist()
+  }
+
+  test("label centroids: exact recompute for one label, counts constant across dims") {
+    import graft.operators.Embeddings
+    val emb = Tables.embeddings(spark, sf)
+    val c = Embeddings.labelCentroids(emb).cache()
+    // every (label, dim) cell carries that label's full population
+    val badCounts = c.groupBy("label").agg(countDistinct("n").as("k"))
+      .filter(col("k") =!= 1).count()
+    assert(badCounts == 0, "n must be constant across dims within a label")
+    // direct recompute for the smallest label
+    val lbl = emb.agg(min("label")).head().getInt(0)
+    val vecs = Embeddings.quantized(emb)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label") === lbl)
+      .select("qv").collect().map(_.getSeq[Long](0))
+    val got = c.filter(col("label") === lbl).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    (0 until Embeddings.Dim).foreach { dim =>
+      val (n, s) = got(dim)
+      assert(n == vecs.length.toLong)
+      assert(s == vecs.map(_(dim)).sum, s"dim $dim centroid sum")
+    }
+    c.unpersist()
+  }
+
   test("hybrid rrf: fusion recomputed from the two source rankings, rank order dense") {
     import graft.operators.{Retrieval, TextOps}
     val docs = Tables.documents(spark, sf)
