@@ -1141,6 +1141,108 @@ object Embeddings {
        |  WHERE j >= i)
        |SELECT i, j, CAST(sum(xx) AS BIGINT) AS g FROM x GROUP BY 1, 2""".stripMargin
 
+  /** C58 (spec-pinned, no SQL oracle — eigendecomposition): PCA
+    * projection over the corpus — the whitening step in front of PQ
+    * codebooks (OPQ's simpler cousin) and the dimensionality cut before
+    * expensive pairwise stages. The DISTRIBUTED work is exactly C56 +
+    * C57: mean via one agg, second moments via [[gramMatrix]]'s bounded
+    * (i, j) agg; the eigensolve happens on the DRIVER over the 64×64
+    * covariance — a constant-size model artifact like the k-means
+    * codebooks, NOT a data collect — with a plain Jacobi rotation
+    * sweep (deterministic, no library); the resulting k×Dim projector
+    * broadcasts back as literal vectors and the projection itself is a
+    * map-side [[dotBuiltin]] per component riding the scan. Returns
+    * (vec_id, proj: array<double> of length k) where component j is
+    * vⱼ·(x − μ) in QUANTIZED units (the 1e-3 scale cancels in any
+    * downstream cosine/threshold).
+    */
+  def pcaProject(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= Dim, s"pcaProject: k must be in [1, $Dim], got $k")
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val q = quantized(embeddings)
+    // model artifacts: n, mean, Gram — all constant-size aggregates
+    val gRows = gramMatrix(embeddings).collect()
+    val mRow = q.select(posexplode(col("qv")).as(Seq("dim", "qc")))
+      .groupBy("dim").agg(count(lit(1)).as("n"), sum("qc").as("s"))
+      .collect()
+    val n = mRow.head.getLong(1).toDouble
+    val mean = new Array[Double](Dim)
+    mRow.foreach(r => mean(r.getInt(0)) = r.getLong(2) / n)
+    val cov = Array.ofDim[Double](Dim, Dim)
+    gRows.foreach { r =>
+      val (i, j, g) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      val c = g / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val vecs = jacobiTopK(cov, k)
+    val projCols = vecs.zipWithIndex.map { case (v, idx) =>
+      val vLit = typedLit(v.toSeq)
+      val muDot = v.zip(mean).map { case (a, b) => a * b }.sum
+      (dotD(col("qv").cast("array<double>"), vLit) - lit(muDot)).as(s"p$idx")
+    }
+    q.select((col("vec_id") +: projCols).toIndexedSeq: _*)
+      .select(col("vec_id"),
+        array((0 until k).map(i => col(s"p$i")).toIndexedSeq: _*).as("proj"))
+  }
+
+  /** Plain cyclic Jacobi eigensolver for a small symmetric matrix —
+    * driver-side model math (the 64×64 covariance), deterministic sweep
+    * order, returns the top-k eigenvectors by eigenvalue desc (ties by
+    * first-index sign convention: each vector's first nonzero component
+    * is made positive so the projection is reproducible).
+    */
+  private[graft] def jacobiTopK(a0: Array[Array[Double]], k: Int): Seq[Array[Double]] = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-10) {
+      off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var qi = p + 1
+        while (qi < n) {
+          val apq = a(p)(qi)
+          off += apq * apq
+          if (math.abs(apq) > 1e-14) {
+            val theta = (a(qi)(qi) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(qi)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(qi) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi2 = a(qi)(i)
+              a(p)(i) = c * api - s * aqi2
+              a(qi)(i) = s * api + c * aqi2
+              val vip = v(i)(p); val viq = v(i)(qi)
+              v(i)(p) = c * vip - s * viq
+              v(i)(qi) = s * vip + c * viq
+              i += 1
+            }
+          }
+          qi += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => -a(i)(i)).take(k)
+    order.map { col0 =>
+      val vec = Array.tabulate(n)(i => v(i)(col0))
+      val firstNz = vec.indexWhere(x => math.abs(x) > 1e-12)
+      if (firstNz >= 0 && vec(firstNz) < 0) vec.map(-_) else vec
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_label_centroids" -> ((s, d) => labelCentroids(Tables.embeddings(s, d))),
     "q_gram_matrix" -> ((s, d) => gramMatrix(Tables.embeddings(s, d))),

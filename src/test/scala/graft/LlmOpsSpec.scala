@@ -880,6 +880,36 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.unpersist()
   }
 
+  test("pca projection: components decorrelate the corpus, variances descend") {
+    import graft.operators.Embeddings
+    val emb = Tables.embeddings(spark, sf)
+    val k = 6
+    val proj = Embeddings.pcaProject(emb, k).collect().map(_.getSeq[Double](1))
+    assert(proj.nonEmpty && proj.forall(_.length == k))
+    val n = proj.length.toDouble
+    val means = (0 until k).map(j => proj.map(_(j)).sum / n)
+    def cov(a: Int, b: Int): Double =
+      proj.map(r => (r(a) - means(a)) * (r(b) - means(b))).sum / n
+    val vars = (0 until k).map(j => cov(j, j))
+    // eigen-order: variances non-increasing (small tolerance for the
+    // Jacobi sweep's convergence threshold)
+    vars.sliding(2).foreach { case Seq(a, b) =>
+      assert(a >= b - 1e-6 * math.max(a, 1.0), s"variances must descend: $vars")
+    }
+    assert(vars.head > 0.0, "top component must carry variance")
+    // decorrelation: off-diagonal covariance tiny relative to the scale
+    val scale = vars.max
+    for (a <- 0 until k; b <- a + 1 until k) {
+      assert(math.abs(cov(a, b)) < 1e-6 * scale,
+        s"components $a,$b correlated: ${cov(a, b)} vs scale $scale")
+    }
+    // jacobi unit: a planted diagonal matrix returns axis eigenvectors
+    val diag = Array.tabulate(4, 4)((i, j) => if (i == j) (4 - i).toDouble else 0.0)
+    val top2 = Embeddings.jacobiTopK(diag, 2)
+    assert(math.abs(top2(0)(0) - 1.0) < 1e-9 && math.abs(top2(1)(1) - 1.0) < 1e-9,
+      "diagonal matrix eigenvectors are the axes in eigenvalue order")
+  }
+
   test("hybrid rrf: fusion recomputed from the two source rankings, rank order dense") {
     import graft.operators.{Retrieval, TextOps}
     val docs = Tables.documents(spark, sf)
