@@ -1243,7 +1243,57 @@ object Embeddings {
     }
   }
 
+  /** C59: embedding-space outlier detection — the data-cleaning lens
+    * that catches mis-embedded, corrupted, or off-distribution vectors
+    * before they poison codebooks and dedup thresholds. Score =
+    * squared distance to the corpus centroid in EXACT integers: with
+    * s_d = Σ corpus q_d and n the corpus count, score(x) =
+    * Σ_d (n·q_d − s_d)² — i.e. n²·‖x − μ‖² without ever forming the
+    * non-integer mean (documented bound: |n·q| < 2³¹ per term through
+    * ~10⁷ vectors at this quantization; past that, production divides
+    * into a coarser fixed point or goes decimal). The (s_d, n) moments
+    * are ONE 64-row broadcast scalar frame (C56's global slice); the
+    * score is a map-side fold riding the scan; the top-k outliers come
+    * from the bounded MaxKScored heap — no sort, no window.
+    */
+  def embedOutliers(embeddings: DataFrame, k: Int = 20): DataFrame = {
+    val q = quantized(embeddings)
+    val moments = q
+      .select(posexplode(col("qv")).as(Seq("dim", "qc")))
+      .groupBy("dim").agg(count(lit(1)).as("n"), sum("qc").as("s"))
+      .groupBy()
+      .agg(max("n").as("n"),
+        // s vector in dim order, assembled once on the 64-row frame
+        expr("transform(array_sort(collect_list(struct(dim, s))), p -> p.s)").as("sv"))
+    val scored = q.crossJoin(broadcast(moments))
+      .select(col("vec_id"),
+        expr("aggregate(zip_with(qv, sv, (q, s) -> (n * q - s) * (n * q - s)), 0L, (acc, t) -> acc + t)")
+          .as("score"))
+    scored
+      .groupBy()
+      .agg(Exprs.maxKScored(col("score").cast("double"), col("vec_id"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.id").as("vec_id"), col("t.score").cast("long").as("score"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
+  def embedOutliersSql(k: Int = 20): String =
+    s"""WITH q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, i,
+       |    CAST(sum(qv[i]) AS BIGINT) AS s
+       |  FROM q, range(1, ${Dim + 1}) r(i) GROUP BY i),
+       |scored AS (
+       |  SELECT q.vec_id,
+       |    CAST(sum((m.n * qv[m.i] - m.s) * (m.n * qv[m.i] - m.s)) AS BIGINT) AS score
+       |  FROM q, m GROUP BY 1)
+       |SELECT vec_id, score, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, vec_id)
+       |    AS INTEGER) AS rn
+       |  FROM scored) WHERE rn <= $k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_outliers" -> ((s, d) => embedOutliers(Tables.embeddings(s, d))),
     "q_label_centroids" -> ((s, d) => labelCentroids(Tables.embeddings(s, d))),
     "q_gram_matrix" -> ((s, d) => gramMatrix(Tables.embeddings(s, d))),
     "q_cluster_sample" -> ((s, d) => clusterSample(Tables.embeddings(s, d))),
@@ -1258,6 +1308,7 @@ object Embeddings {
     "q_neardup_cosine" -> ((s, d) => nearDupCosine(Tables.embeddings(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_embed_outliers" -> embedOutliersSql(),
     "q_label_centroids" -> labelCentroidsSql,
     "q_gram_matrix" -> gramMatrixSql,
     "q_cluster_sample" -> clusterSampleSql(),
