@@ -81,7 +81,11 @@ object ScaleAudit {
     // the LPA fixpoint (per-round edge-keyed joins; replicas share the
     // 20 hub nodes, so hub degree grows 10x — LPA cost must stay
     // O(edges), no quadratic wedge blowup like uncapped FoF)
-    "q_video_phash", "q_quality_classifier", "q_community_lpa")
+    "q_video_phash", "q_quality_classifier", "q_community_lpa",
+    // round-7 batch 2: the exact embedding statistics — bounded-key
+    // aggs ((label,dim) / (i,j) / the 64-row moment slice) that must
+    // not grow output with the corpus
+    "q_label_centroids", "q_gram_matrix", "q_embed_outliers")
 
   def buildScaled(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
     // events.ts stays a raw nanos long end-to-end: the flag reads the
