@@ -852,7 +852,51 @@ object Reference {
        |       ELSE 'stable' END AS status
        |FROM prev FULL OUTER JOIN curr ON prev.user_id = curr.user_id""".stripMargin
 
+  /** A24: event-rate spike detection — the monitoring pass a scraper
+    * operation runs over its own event firehose (reference domain: the
+    * job scheduler's health view of scrape activity): hourly counts
+    * per event type, flagged when an hour runs at more than 2× the
+    * mean of the previous three OBSERVED hours (3n > 2·Σprev3 — exact
+    * integer compare, robust to quiet hours because the lag walks
+    * observed rows, not wall-clock slots; the first three hours of a
+    * type carry prev3 = NULL and never flag).
+    *
+    * Scale: the raw firehose collapses FIRST through a keyed
+    * (type, hour) hash agg — the only data-proportional shuffle; the
+    * lag window then runs over the AGGREGATED series only (per type,
+    * one row per hour — bounded by time, not by corpus; the
+    * q_revenue_share rule for windows-after-aggregation).
+    */
+  def rateSpikes(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hour_id"))
+      .groupBy("event_type", "hour_id")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour_id")
+    hourly
+      .withColumn("prev3",
+        lag(col("n"), 1).over(w) + lag(col("n"), 2).over(w) + lag(col("n"), 3).over(w))
+      .withColumn("is_spike",
+        col("prev3").isNotNull && col("n") * 3 > col("prev3") * 2)
+  }
+
+  val rateSpikesSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT event_type, hour_id, n,
+      |    lag(n, 1) OVER w + lag(n, 2) OVER w + lag(n, 3) OVER w AS prev3
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_id))
+      |SELECT event_type, hour_id, n, prev3,
+      |  prev3 IS NOT NULL AND n * 3 > prev3 * 2 AS is_spike
+      |FROM lagged""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rate_spikes" -> ((s, d) => rateSpikes(Tables.events(s, d))),
     "q_snapshot_diff" -> ((s, d) => snapshotDiff(Tables.events(s, d))),
     "q_props_stats" -> ((s, d) => propsStats(Tables.events(s, d))),
     "q_upsert_latest" -> ((s, d) => upsertLatest(Tables.events(s, d))),
@@ -883,6 +927,7 @@ object Reference {
     "q_retention_cohorts" -> ((s, d) => retentionCohorts(Tables.events(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_rate_spikes" -> rateSpikesSql,
     "q_snapshot_diff" -> snapshotDiffSql(),
     "q_props_stats" -> propsStatsSql,
     "q_upsert_latest" -> upsertLatestSql,
