@@ -349,10 +349,33 @@ object Graph {
     result.select(col("node"), col("label").as("community"))
   }
 
+  /** G4b: label propagation run to CONVERGENCE — the real engine stops
+    * when a round moves no labels (or at `maxRounds`), the
+    * [[pageRankConverged]] pattern: the changed-labels count is ONE
+    * keyed join + a 1-row aggregate between the two persisted label
+    * frames per round — a scalar, never a collect of labels. Because
+    * rounds are synchronous and the tie-break total, a converged
+    * labeling is a true fixpoint: running one more round returns the
+    * identical frame (GraphSpec pins this).
+    */
+  def communityLpaConverged(events: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val spark = events.sparkSession
+    val result = GraftCache.memoArtifact(spark,
+      ("communityLpaConverged", events.queryExecution.analyzed.canonicalized,
+        maxRounds)) {
+      lpaCore(undirected(events), maxRounds, stopOnFixpoint = true)
+    }
+    result.select(col("node"), col("label").as("community"))
+  }
+
   /** The round body over any symmetric (a, b) adjacency — split out so
     * specs can pin LPA's semantics on a hand-built graph.
     */
-  private[graft] def lpaOnUndirected(und: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def lpaOnUndirected(und: DataFrame, rounds: Int): DataFrame =
+    lpaCore(und, rounds, stopOnFixpoint = false)
+
+  private[graft] def lpaCore(und: DataFrame, rounds: Int,
+                             stopOnFixpoint: Boolean): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = und.sparkSession
     val nodes = und.select(col("a").as("node")).distinct()
@@ -367,7 +390,8 @@ object Graph {
     var prev = labels
     var lineageCut = spark.createDataFrame(labels.rdd, labels.schema)
     var i = 0
-    while (i < rounds) {
+    var converged = false
+    while (i < rounds && !converged) {
       val cnt = undSelf
         .join(lineageCut.withColumnRenamed("node", "nb"), col("b") === col("nb"))
         .groupBy(col("a"), col("label"))
@@ -383,6 +407,14 @@ object Graph {
         .select(col("node"), expr("CAST(substr(ranked, 34) AS BIGINT)").as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
+      if (stopOnFixpoint) {
+        // changed-labels count: one node-keyed join between the two
+        // persisted frames, reduced to a scalar
+        val moved = next.join(
+          prev.withColumnRenamed("label", "lp"), "node")
+          .filter(col("label") =!= col("lp")).count()
+        converged = moved == 0L
+      }
       prev.unpersist(blocking = true)
       prev = next
       lineageCut = spark.createDataFrame(next.rdd, next.schema)

@@ -143,6 +143,28 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 11L, 11L -> 11L, 12L -> 11L), s"got $got")
   }
 
+  test("lpa convergence: early-stop is a true fixpoint, identical to the fixed-round run") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L))
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("a", "b")
+    // converges at round 2 (round 1 already the fixpoint, detected one
+    // round later) — must equal a full 20-round run label for label
+    val conv = Graph.lpaCore(und, 20, stopOnFixpoint = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed = Graph.lpaCore(und, 20, stopOnFixpoint = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv == fixed, s"converged $conv != fixed-20 $fixed")
+    assert(conv == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 11L, 11L -> 11L, 12L -> 11L))
+    // public wrapper: same schema as communityLpa, total assignment
+    val pub = Graph.communityLpaConverged(
+      Tables.events(spark, "/root/testdata/sf0.01"))
+    assert(pub.columns.toSeq == Seq("node", "community"))
+    assert(pub.select("node").distinct().count() == pub.count())
+  }
+
   test("lpa: sf0.01 communities are a total assignment and nontrivial") {
     // sf0.001 has only ~15 users over the 20 hub nodes — that graph IS
     // one dense community; structure appears from sf0.01 up
