@@ -101,6 +101,9 @@ object WindowAudit {
     p match {
       case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
       case _ if p.nodeName.contains("Limit") => true
+      // a physical top-k IS a limit: output bounded to k rows by
+      // construction (q_embed_outliers' rank window over its top-k)
+      case _ if p.nodeName.contains("TakeOrderedAndProject") => true
       case l if l.children.isEmpty => false
       case l => l.children.forall(reducedBelowPhysical)
     }

@@ -1163,9 +1163,7 @@ object Embeddings {
     val q = quantized(embeddings)
     // model artifacts: n, mean, Gram — all constant-size aggregates
     val gRows = gramMatrix(embeddings).collect()
-    val mRow = q.select(posexplode(col("qv")).as(Seq("dim", "qc")))
-      .groupBy("dim").agg(count(lit(1)).as("n"), sum("qc").as("s"))
-      .collect()
+    val mRow = dimMoments(q).collect()
     val n = mRow.head.getLong(1).toDouble
     val mean = new Array[Double](Dim)
     mRow.foreach(r => mean(r.getInt(0)) = r.getLong(2) / n)
@@ -1208,7 +1206,11 @@ object Embeddings {
           off += apq * apq
           if (math.abs(apq) > 1e-14) {
             val theta = (a(qi)(qi) - a(p)(p)) / (2.0 * apq)
-            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            // sign(0) must be +1 (the textbook convention): equal
+            // diagonals would otherwise yield t = 0, an identity
+            // rotation that can never annihilate this element
+            val sgn = if (theta >= 0.0) 1.0 else -1.0
+            val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             var i = 0
@@ -1249,18 +1251,29 @@ object Embeddings {
     * squared distance to the corpus centroid in EXACT integers: with
     * s_d = Σ corpus q_d and n the corpus count, score(x) =
     * Σ_d (n·q_d − s_d)² — i.e. n²·‖x − μ‖² without ever forming the
-    * non-integer mean (documented bound: |n·q| < 2³¹ per term through
-    * ~10⁷ vectors at this quantization; past that, production divides
-    * into a coarser fixed point or goes decimal). The (s_d, n) moments
+    * non-integer mean. Exactness envelope: the 64-term sum stays inside
+    * int64 while 2·n·max|q| < 1.9×10⁸ — ≈3×10⁵ vectors at this
+    * corpus's |q| ≤ ~600 — and the whole path is BIGINT end to end (no
+    * double heap), so inside the envelope both engines agree bit for
+    * bit; past it, production rescales the fixed point (q div 16 per
+    * 16× corpus growth) or moves the score to DECIMAL. The (s_d, n)
+    * moments
     * are ONE 64-row broadcast scalar frame (C56's global slice); the
     * score is a map-side fold riding the scan; the top-k outliers come
     * from the bounded MaxKScored heap — no sort, no window.
     */
-  def embedOutliers(embeddings: DataFrame, k: Int = 20): DataFrame = {
-    val q = quantized(embeddings)
-    val moments = q
-      .select(posexplode(col("qv")).as(Seq("dim", "qc")))
+  /** Per-dimension corpus moments (dim, n, s) over the quantized frame —
+    * shared by the outlier score and the PCA mean (one definition, two
+    * lenses).
+    */
+  private def dimMoments(q: DataFrame): DataFrame =
+    q.select(posexplode(col("qv")).as(Seq("dim", "qc")))
       .groupBy("dim").agg(count(lit(1)).as("n"), sum("qc").as("s"))
+
+  def embedOutliers(embeddings: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = quantized(embeddings)
+    val moments = dimMoments(q)
       .groupBy()
       .agg(max("n").as("n"),
         // s vector in dim order, assembled once on the 64-row frame
@@ -1269,12 +1282,14 @@ object Embeddings {
       .select(col("vec_id"),
         expr("aggregate(zip_with(qv, sv, (q, s) -> (n * q - s) * (n * q - s)), 0L, (acc, t) -> acc + t)")
           .as("score"))
-    scored
-      .groupBy()
-      .agg(Exprs.maxKScored(col("score").cast("double"), col("vec_id"), k).as("top"))
-      .select(posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("t.id").as("vec_id"), col("t.score").cast("long").as("score"),
-        (col("pos") + 1).cast("int").as("rn"))
+    // top-k by the EXACT BIGINT score: orderBy+limit keeps
+    // TakeOrderedAndProject (per-partition k-heaps, k rows shuffled) and
+    // never routes the score through a double — past 2^53 a double heap
+    // would silently diverge from the oracle's exact ordering. The rank
+    // window runs over the already-limited k-row frame only.
+    val top = scored.orderBy(col("score").desc, col("vec_id")).limit(k)
+    top.withColumn("rn",
+      row_number().over(Window.orderBy(col("score").desc, col("vec_id"))).cast("int"))
   }
 
   def embedOutliersSql(k: Int = 20): String =

@@ -383,47 +383,53 @@ object Graph {
     // every round
     val undSelf = GraftCache.persistTracked(
       und.union(nodes.select(col("node").as("a"), col("node").as("b"))))
-    var labels = nodes
-      .select(col("node"), col("node").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
-    var prev = labels
-    var lineageCut = spark.createDataFrame(labels.rdd, labels.schema)
-    var i = 0
-    var converged = false
-    while (i < rounds && !converged) {
-      val cnt = undSelf
-        .join(lineageCut.withColumnRenamed("node", "nb"), col("b") === col("nb"))
-        .groupBy(col("a"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-      val mx = cnt.groupBy("a").agg(max(col("cnt")).as("mx"))
-      val next = cnt.join(mx, "a")
-        .filter(col("cnt") === col("mx"))
-        .groupBy(col("a").as("node"))
-        // min of 'md5(label):label'; the label rides after the fixed
-        // 32-hex + ':' prefix, so substr(34) recovers it exactly
-        .agg(min(concat(md5(col("label").cast("string")), lit(":"),
-          col("label").cast("string"))).as("ranked"))
-        .select(col("node"), expr("CAST(substr(ranked, 34) AS BIGINT)").as("label"))
+    // try/finally like the PageRank/CC fixpoints: a mid-loop failure
+    // must not leak the round's raw-persisted label frames (they are
+    // not GraftCache-tracked, so releaseAll could never reclaim them)
+    var prev: DataFrame = null
+    try {
+      prev = nodes
+        .select(col("node"), col("node").as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      if (stopOnFixpoint) {
-        // changed-labels count: one node-keyed join between the two
-        // persisted frames, reduced to a scalar
-        val moved = next.join(
-          prev.withColumnRenamed("label", "lp"), "node")
-          .filter(col("label") =!= col("lp")).count()
-        converged = moved == 0L
+      prev.count()
+      var lineageCut = spark.createDataFrame(prev.rdd, prev.schema)
+      var i = 0
+      var converged = false
+      while (i < rounds && !converged) {
+        val cnt = undSelf
+          .join(lineageCut.withColumnRenamed("node", "nb"), col("b") === col("nb"))
+          .groupBy(col("a"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        val mx = cnt.groupBy("a").agg(max(col("cnt")).as("mx"))
+        val next = cnt.join(mx, "a")
+          .filter(col("cnt") === col("mx"))
+          .groupBy(col("a").as("node"))
+          // min of 'md5(label):label'; the label rides after the fixed
+          // 32-hex + ':' prefix, so substr(34) recovers it exactly
+          .agg(min(concat(md5(col("label").cast("string")), lit(":"),
+            col("label").cast("string"))).as("ranked"))
+          .select(col("node"), expr("CAST(substr(ranked, 34) AS BIGINT)").as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        if (stopOnFixpoint) {
+          // changed-labels count: one node-keyed join between the two
+          // persisted frames, reduced to a scalar
+          val moved = next.join(
+            prev.withColumnRenamed("label", "lp"), "node")
+            .filter(col("label") =!= col("lp")).count()
+          converged = moved == 0L
+        }
+        prev.unpersist(blocking = true)
+        prev = next
+        lineageCut = spark.createDataFrame(next.rdd, next.schema)
+        i += 1
       }
-      prev.unpersist(blocking = true)
-      prev = next
-      lineageCut = spark.createDataFrame(next.rdd, next.schema)
-      i += 1
+      val out = GraftCache.persistTracked(lineageCut)
+      out.count()
+      out
+    } finally {
+      if (prev != null) prev.unpersist(blocking = true)
     }
-    val out = GraftCache.persistTracked(lineageCut)
-    out.count()
-    prev.unpersist(blocking = true)
-    out
   }
 
   /** Unrolled-round oracle (same no-aggregates-in-recursive-term

@@ -349,9 +349,24 @@ object Multimodal {
     */
   val MaxFrameDim = 16384
 
-  def decodeVideo(payload: Array[Byte], sampleEvery: Int = 4)
-      : Option[(Int, Int, Double, Long, Int, Double, Array[Double])] = {
-    require(sampleEvery > 0, s"decodeVideo: sampleEvery must be positive, got $sampleEvery")
+  /** Parsed RIFF/AVI container layout: the `avih` MainAVIHeader fields
+    * plus the stream-0 frame chunks (offset, size, fourcc) in stream
+    * order.
+    */
+  private[operators] final case class AviLayout(
+      microSecPerFrame: Long, totalFrames: Long, width: Int, height: Int,
+      frames: IndexedSeq[(Int, Int, String)])
+
+  /** THE shared bounds-checked RIFF/AVI chunk walk — the single fuzzed
+    * parser behind [[decodeVideo]] and VideoDedup's fingerprint kernel
+    * (one copy so a hardening fix can never be applied to one consumer
+    * and silently missing from the other). Every offset/size comes from
+    * untrusted bytes: bounds-checked reads, depth-limited recursion,
+    * even-offset chunk padding; returns None unless the RIFF/AVI magic
+    * and an `avih` header are present — a hostile payload degrades to
+    * None, never an error or a runaway scan.
+    */
+  private[operators] def walkAvi(payload: Array[Byte]): Option[AviLayout] = {
     if (payload == null || payload.length < 24) return None
     try {
       if (fourcc(payload, 0) != "RIFF" || fourcc(payload, 8) != "AVI ") return None
@@ -391,7 +406,22 @@ object Multimodal {
       }
       walk(12, end, 0)
 
-      if (!haveHeader || width <= 0 || height <= 0 || frames.isEmpty) return None
+      if (!haveHeader) None
+      else Some(AviLayout(microSecPerFrame, totalFrames, width, height,
+        frames.toIndexedSeq))
+    } catch { case _: Exception => None }
+  }
+
+  def decodeVideo(payload: Array[Byte], sampleEvery: Int = 4)
+      : Option[(Int, Int, Double, Long, Int, Double, Array[Double])] = {
+    require(sampleEvery > 0, s"decodeVideo: sampleEvery must be positive, got $sampleEvery")
+    val layout = walkAvi(payload) match {
+      case Some(l) => l
+      case None => return None
+    }
+    try {
+      val AviLayout(microSecPerFrame, totalFrames, width, height, frames) = layout
+      if (width <= 0 || height <= 0 || frames.isEmpty) return None
 
       val hist = new Array[Double](LumaBins)
       var lumaSum = 0L

@@ -2,8 +2,6 @@ package graft.operators
 
 import java.io.ByteArrayOutputStream
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
@@ -151,60 +149,30 @@ object VideoDedup {
       }(enc)
   }
 
-  // ---- real decode: bounds-checked container walk + DIB rows ----
+  // ---- real decode: shared container walk + DIB rows ----
 
-  private def rdU32le(b: Array[Byte], off: Int): Long =
-    ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
-      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
-
-  private def rdFourcc(b: Array[Byte], off: Int): String =
-    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-
-  /** 64-bit temporal fingerprint from a REAL decode: RIFF/AVI walk
-    * (every offset bounds-checked, depth-limited — hostile bytes
-    * degrade to None, never an error), bottom-up BGR24 row reads at
-    * the same stride math as [[Multimodal.decodeVideo]], per-frame
-    * aHash bits by integer compare. None unless the clip is exactly
-    * [[FrameCount]] decodable [[Dim]]×[[Dim]] `00db` frames — the
-    * dims gate runs BEFORE any per-pixel work (decompression-bomb
-    * rule: nothing is allocated from untrusted sizes).
+  /** 64-bit temporal fingerprint from a REAL decode: the SHARED
+    * fuzz-tested [[Multimodal.walkAvi]] container walk (one parser for
+    * both video consumers — a hardening fix can never be missing
+    * here), bottom-up BGR24 row reads at the same stride math as
+    * [[Multimodal.decodeVideo]], per-frame aHash bits by integer
+    * compare. None unless the clip is exactly [[FrameCount]] decodable
+    * [[Dim]]×[[Dim]] `00db` frames — the dims gate runs BEFORE any
+    * per-pixel work (decompression-bomb rule: nothing is allocated
+    * from untrusted sizes).
     */
   def vhash64(payload: Array[Byte]): Option[String] = {
-    if (payload == null || payload.length < 24) return None
+    val layout = Multimodal.walkAvi(payload) match {
+      case Some(l) => l
+      case None => return None
+    }
     try {
-      if (rdFourcc(payload, 0) != "RIFF" || rdFourcc(payload, 8) != "AVI ") return None
-      val end = math.min(payload.length.toLong, 8L + rdU32le(payload, 4)).toInt
-
-      var width = 0
-      var height = 0
-      var haveHeader = false
-      val frames = ArrayBuffer.empty[(Int, Int)]
-
-      def walk(from: Int, to: Int, depth: Int): Unit = {
-        var off = from
-        while (off + 8 <= to && depth < 8) {
-          val id = rdFourcc(payload, off)
-          val size = rdU32le(payload, off + 4)
-          val dataStart = off + 8
-          if (size < 0 || dataStart + size > to) return // truncated/hostile
-          val dataEnd = (dataStart + size).toInt
-          if (id == "LIST" && size >= 4) {
-            walk(dataStart + 4, dataEnd, depth + 1)
-          } else if (id == "avih" && size >= 40) {
-            width = rdU32le(payload, dataStart + 32).toInt
-            height = rdU32le(payload, dataStart + 36).toInt
-            haveHeader = true
-          } else if (id == "00db" && size > 0) {
-            frames += ((dataStart, size.toInt))
-          }
-          off = dataEnd + (dataEnd & 1) // chunks pad to even offsets
-        }
-      }
-      walk(12, end, 0)
-
+      val width = layout.width
+      val height = layout.height
       // dims gate before any pixel read: this lens only fingerprints
       // Dim×Dim clips, so nothing untrusted ever sizes an allocation
-      if (!haveHeader || width != Dim || height != Dim) return None
+      if (width != Dim || height != Dim) return None
+      val frames = layout.frames.collect { case (start, size, "00db") => (start, size) }
       if (frames.length < FrameCount) return None
 
       val rowBytes = (width * 3 + 3) & ~3
