@@ -85,7 +85,8 @@ object ScaleAudit {
     // round-7 batch 2: the exact embedding statistics — bounded-key
     // aggs ((label,dim) / (i,j) / the 64-row moment slice) that must
     // not grow output with the corpus
-    "q_label_centroids", "q_gram_matrix", "q_embed_outliers")
+    "q_label_centroids", "q_gram_matrix", "q_embed_outliers",
+    "q_rate_spikes")
 
   def buildScaled(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
     // events.ts stays a raw nanos long end-to-end: the flag reads the
