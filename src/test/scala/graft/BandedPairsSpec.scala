@@ -122,4 +122,73 @@ class BandedPairsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.size < 100, s"cap failed to bound the mega-cluster: ${expected.size}")
     assert(expected.nonEmpty, "the cluster must still be discovered")
   }
+
+  /** Brute-force reference for the PROBE join: (probe, index) matches
+    * where some band's values agree AND the index member survived that
+    * band's occupancy cut — probes are never capped.
+    */
+  private def refProbe(probes: Seq[(Long, String)], index: Seq[(Long, String)],
+                       numBands: Int, bandBits: Int, threshold: Int,
+                       cap: Int): Map[(Long, Long), Long] = {
+    val kept = scala.collection.mutable.Set.empty[(Int, String, Long)]
+    val buckets = scala.collection.mutable.Map.empty[(Int, String), List[Long]]
+    for ((id, fp) <- index; b <- 0 until numBands) {
+      val key = (b, fp.substring(b * bandBits, (b + 1) * bandBits))
+      buckets(key) = buckets.getOrElse(key, Nil) :+ id
+    }
+    for (((b, band), ids) <- buckets) {
+      ids.sortBy(id => (graft.operators.BandedPairs.md5Rank(id), id)).take(cap)
+        .foreach(id => kept += ((b, band, id)))
+    }
+    val idxFp = index.toMap
+    (for {
+      (pid, pfp) <- probes
+      (iid, ifp) <- index
+      if (0 until numBands).exists(b =>
+        pfp.substring(b * bandBits, (b + 1) * bandBits) ==
+          ifp.substring(b * bandBits, (b + 1) * bandBits) &&
+          kept((b, pfp.substring(b * bandBits, (b + 1) * bandBits), iid)))
+      d = hamming(pfp, idxFp(iid))
+      if d <= threshold
+    } yield (pid, iid) -> d.toLong).toMap
+  }
+
+  test("probeJoin == brute-force incl. the index-side cap, each match exactly once") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(3L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      val bits = 64
+      val numBands = 4
+      val bandBits = 16
+      val threshold = 10
+      // index: a hot cluster of 30 identical prints + 10 distinct;
+      // probes: perturbed copies of both, ids disjoint from the index
+      val mega = Array.fill(bits)(rnd.nextBoolean()).map(if (_) '1' else '0').mkString
+      val index: Seq[(Long, String)] =
+        (0L until 30L).map(_ -> mega) ++
+          (50L until 60L).map(i =>
+            i -> Array.fill(bits)(rnd.nextBoolean()).map(if (_) '1' else '0').mkString)
+      val probes: Seq[(Long, String)] = (0 until 20).map { i =>
+        val src = index(rnd.nextInt(index.length))._2.toCharArray
+        (0 until rnd.nextInt(6)).foreach { _ =>
+          val p = rnd.nextInt(bits)
+          src(p) = if (src(p) == '1') '0' else '1'
+        }
+        (1000L + i) -> new String(src)
+      }
+      val cap = 8
+      val got = BandedPairs.probeJoin(
+        probes.toDF("media_id", "fp"), "media_id",
+        index.toDF("doc_id", "fp"), "doc_id", "fp",
+        numBands, bandBits, threshold, bucketCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      assert(got.length == got.map(_._1).distinct.length,
+        s"seed $seed: duplicate matches emitted")
+      val expected = refProbe(probes, index, numBands, bandBits, threshold, cap)
+      assert(got.toMap == expected,
+        s"seed $seed: probe matches diverge (got ${got.length}, expected ${expected.size})")
+      assert(expected.nonEmpty, s"seed $seed: perturbed probes must match the index")
+    }
+  }
 }
