@@ -1488,7 +1488,58 @@ object Analytics {
        |SELECT s_suppkey, s_name, numwait
        |FROM t JOIN supplier ON culprit = s_suppkey""".stripMargin
 
+  /** B41: data-quality profiling (the Deequ/great-expectations niche —
+    * the stats gate a pipeline runs before trusting a new drop): per
+    * column of `orders`, non-null/null counts, exact distinct count,
+    * and min/max rendered through engine-portable casts (integers and
+    * strings verbatim; the timestamp column profiles as its DATE —
+    * 'yyyy-MM-dd' renders identically in both engines where raw
+    * timestamp strings do not). ONE scan: all 5 columns' aggregates in
+    * a single
+    * agg — Spark plans the multi-distinct via Expand (a 5× row
+    * multiply, the standard exact-profile cost); at 100 TB swap the
+    * exact distinct for `approx_count_distinct` per column and the
+    * Expand disappears — the surrounding shape is unchanged. The
+    * wide 1-row agg then unpivots to one row per column via `stack`
+    * (a constant-width projection, no shuffle).
+    */
+  def dataProfile(orders: DataFrame): DataFrame = {
+    val src = orders.withColumn("o_orderdate_d", to_date(col("o_orderdate")))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_orderdate_d")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max")))
+    val wide = src.agg(count(lit(1)).as("n"), aggs: _*)
+    val stackExpr = cols
+      .map(c => s"'$c', n - ${c}_nn, ${c}_nd, ${c}_min, ${c}_max")
+      .mkString(", ")
+    wide.select(col("n"),
+      expr(s"stack(${cols.length}, $stackExpr)")
+        .as(Seq("col_name", "n_nulls", "n_distinct", "min_s", "max_s")))
+  }
+
+  val dataProfileSql: String = {
+    val cols = Seq(
+      ("o_orderkey", "o_orderkey"),
+      ("o_custkey", "o_custkey"),
+      ("o_orderstatus", "o_orderstatus"),
+      ("o_orderpriority", "o_orderpriority"),
+      ("o_orderdate_d", "CAST(o_orderdate AS DATE)"))
+    cols.map { case (name, e) =>
+      s"""SELECT '$name' AS col_name, count(*) AS n,
+         |  count(*) - count($e) AS n_nulls,
+         |  count(DISTINCT $e) AS n_distinct,
+         |  CAST(min($e) AS STRING) AS min_s,
+         |  CAST(max($e) AS STRING) AS max_s
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_data_profile" -> ((s, d) => dataProfile(Tables.orders(s, d))),
     "q8_market_share" -> ((s, d) =>
       marketShare(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
         Tables.supplier(s, d), Tables.part(s, d), Tables.nation(s, d),
@@ -1564,6 +1615,7 @@ object Analytics {
       supplierVolume(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_data_profile" -> dataProfileSql,
     "q8_market_share" -> marketShareSql(),
     "q9_product_profit" -> productProfitSql,
     "q11_important_parts" -> importantPartsSql,
