@@ -1538,7 +1538,42 @@ object Analytics {
     }.mkString("\nUNION ALL\n")
   }
 
+  /** B42: equi-width value histogram — the distribution-profiling
+    * complement of B41's column stats and B4's quantile deciles (a
+    * histogram answers "what does the distribution LOOK like" with one
+    * keyed agg, where quantiles answer "where are the cut points").
+    * Buckets are floor(value / width) — floor on an IEEE double is
+    * exact and identical cross-engine, and lo = bucket·width is an
+    * exact small-integer × power-of-two-free product both engines
+    * round identically; share is one correctly-rounded division by
+    * the broadcast total. ONE hash agg keyed on the bucket id (bounded
+    * by the value range, not the corpus) — scan-shaped at any scale.
+    */
+  val HistWidth = 5.0
+
+  def valueHistogram(events: DataFrame): DataFrame = {
+    val bucketed = events.select(
+      floor(col("value") / lit(HistWidth)).cast("long").as("bucket"))
+    val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("bucket"),
+        (col("bucket").cast("double") * lit(HistWidth)).as("lo"),
+        col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"))
+  }
+
+  val valueHistogramSql: String =
+    s"""WITH b AS (
+       |  SELECT CAST(floor(value / $HistWidth) AS BIGINT) AS bucket FROM events),
+       |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+       |SELECT bucket, CAST(bucket AS DOUBLE) * $HistWidth AS lo, n,
+       |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+       |FROM c, t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_value_histogram" -> ((s, d) => valueHistogram(Tables.events(s, d))),
     "q_data_profile" -> ((s, d) => dataProfile(Tables.orders(s, d))),
     "q8_market_share" -> ((s, d) =>
       marketShare(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
@@ -1615,6 +1650,7 @@ object Analytics {
       supplierVolume(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))))
 
   def oracle: Map[String, String] = Map(
+    "q_value_histogram" -> valueHistogramSql,
     "q_data_profile" -> dataProfileSql,
     "q8_market_share" -> marketShareSql(),
     "q9_product_profit" -> productProfitSql,
