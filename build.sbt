@@ -29,6 +29,13 @@ val jdk17AddOpens = Seq(
 // Suppress the epilogue so the JSON line is genuinely last.
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// The forked runMain JVM's stdout/stderr normally pass through sbt's
+// logger, which prefixes every line with "[info] "/"[error] " — the
+// driver's JSON parse of the bench verdict line failed on that prefix
+// for seven straight rounds (BENCH_r01..r07 all parsed:null; r07's tail
+// shows the intact JSON behind "[info] "). StdoutOutput wires the
+// forked process straight to this process's streams, no prefixes.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -229,6 +229,22 @@ object Bench {
       .getOrElse(System.nanoTime())
     val order = new scala.util.Random(orderSeed).shuffle(names)
 
+    // ---- Idle gate (round-7 lesson) ------------------------------------
+    // r06 and r07 both ran on a contended box (loadavg 4.5) and leaned on
+    // per-query reruns to exonerate ~12 false flags each. Cheaper to not
+    // start contended: if the 1-min loadavg shows other work, wait for it
+    // to drain (bounded) before the timed pass. Still contended after the
+    // budget -> run anyway but say so in the artifact, so the headline
+    // ratio carries its own health bit.
+    val IdleLoadMax = 2.0
+    val IdleWaitBudgetSec = 180
+    var idleWaited = 0
+    while (load1() > IdleLoadMax && idleWaited < IdleWaitBudgetSec) {
+      System.err.println(f"[bench] box contended (loadavg ${load1()}%.1f > $IdleLoadMax%.1f); waiting...")
+      Thread.sleep(10000); idleWaited += 10
+    }
+    val contended = load1() > IdleLoadMax
+
     order.foreach(runOnce) // warmup: codegen + JIT + IO caches
     val wall0 = System.nanoTime()
     val results = order.map { n =>
@@ -389,6 +405,7 @@ object Bench {
       s""","per_query_ts":${obj(byName.map(r => r._1 -> r3(r._4)))}""" +
       s""","per_query_load":${obj(byName.map(r => r._1 -> r._5))}""" +
       s""","loadavg":[${loadavg.mkString(",")}]""" +
+      s""","contended":$contended,"idle_wait_s":$idleWaited""" +
       s""","sf":"$sfDir"}""" + "\n"
     Files.writeString(Paths.get("bench_last.json"), full)
     // Compact stdout line: the driver tail-captures ~4 KB of output. At
@@ -409,7 +426,7 @@ object Bench {
       .map { n => "\"" + n + "\":[" + r3(reruns(n)._1) + "," + r3(reruns(n)._2) + "]" }
       .mkString("{", ",", "}")
     val slowest = results.filter(_._2 > 0).sortBy(-_._2).take(12)
-    println(s"""{"metric":"total","value":${r3(totalCold)},"unit":"sec"""" +
+    val verdictLine = s"""{"metric":"total","value":${r3(totalCold)},"unit":"sec"""" +
       s""","queries":${obj(slowest.map(r => r._1 -> r3(r._2)))}""" +
       s""","n_queries":${results.size}""" +
       s""","total_warm":${r3(totalWarm)}""" +
@@ -423,8 +440,18 @@ object Bench {
       s""","norm":[${r3(normC)},${r3(normW)}]""" +
       s""","order_seed":$orderSeed""" +
       s""","loadavg":[${loadavg.mkString(",")}]""" +
+      s""","contended":$contended,"idle_wait_s":$idleWaited""" +
       s""","queries_full":"bench_last.json"""" +
-      s""","sf":"$sfDir"}""")
+      s""","sf":"$sfDir"}"""
+    // The verdict goes to THREE places: (1) a bare stdout line — last
+    // line of the run, parse target for the driver (StdoutOutput in
+    // build.sbt strips the sbt "[info] " prefix that defeated the parse
+    // in rounds 1-7); (2) bench_verdict.json — a fixed artifact path
+    // that survives any stdout capture limit; (3) the full-precision
+    // document at bench_last.json (written above).
+    Files.writeString(Paths.get("bench_verdict.json"), verdictLine + "\n")
     spark.stop()
+    System.out.println(verdictLine)
+    System.out.flush()
   }
 }
