@@ -243,6 +243,79 @@ object Sinks {
     private def fsFor(spark: SparkSession, path: String) =
       new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    /** The one primitive a store must supply for a safe manifest commit:
+      * atomically materialize `dst` with exactly the fully-written bytes
+      * sitting at `tmp`, and return false — WITHOUT clobbering `dst` —
+      * when the name is already taken. (Delta Lake's LogStore
+      * "put-if-absent" contract.) Everything else in the commit protocol
+      * — torn-manifest reclaim, optimistic retry, snapshot isolation —
+      * is built on exactly this exclusivity.
+      */
+    trait ManifestCommitStore {
+      def claim(fs: org.apache.hadoop.fs.FileSystem, tmp: Path, dst: Path): Boolean
+    }
+
+    /** POSIX link(2): fails EEXIST atomically and links the FULLY-
+      * WRITTEN temp — the name never exposes partial bytes. (Hadoop's
+      * local rename/create are NOT atomic-exclusive: File.renameTo
+      * overwrites; create(false) is check-then-act.)
+      */
+    private object PosixLinkCommit extends ManifestCommitStore {
+      def claim(fs: org.apache.hadoop.fs.FileSystem, tmp: Path, dst: Path): Boolean =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    }
+
+    /** HDFS-semantics rename: atomic at the namenode and FAILS if dst
+      * exists — the classic commit primitive. ONLY correct on stores
+      * with that contract (see [[commitStoreFor]]'s allowlist); on an
+      * object store this same call is copy+delete last-writer-wins and
+      * would silently clobber a concurrent writer's committed manifest.
+      */
+    private object AtomicRenameCommit extends ManifestCommitStore {
+      def claim(fs: org.apache.hadoop.fs.FileSystem, tmp: Path, dst: Path): Boolean =
+        fs.rename(tmp, dst)
+    }
+
+    private val commitStores =
+      new java.util.concurrent.ConcurrentHashMap[String, ManifestCommitStore]()
+
+    /** Register a conditional-put commit primitive for a filesystem
+      * scheme outside the built-in allowlist — e.g. an S3
+      * If-None-Match PUT, a GCS if-generation-match insert, or an
+      * Azure ETag-guarded create. Overrides built-ins when present.
+      */
+    def registerCommitStore(scheme: String, store: ManifestCommitStore): Unit =
+      commitStores.put(scheme.toLowerCase(java.util.Locale.ROOT), store)
+
+    /** Resolve the commit primitive for a scheme. Allowlist, not
+      * assume-HDFS: rename-fails-if-exists holds on hdfs/viewfs (and
+      * local via link(2)), but s3a/gs/abfs/wasb/oss/cos renames are
+      * copy+delete last-writer-wins — committing through them can
+      * CLOBBER a concurrent writer's manifest (lost committed version,
+      * the worst outcome a table format can produce). Those schemes are
+      * refused loudly until a real conditional-put is registered.
+      */
+    private[graft] def commitStoreFor(scheme: String): ManifestCommitStore = {
+      val s = if (scheme == null) "file" else scheme.toLowerCase(java.util.Locale.ROOT)
+      val registered = commitStores.get(s)
+      if (registered != null) registered
+      else s match {
+        case "file" => PosixLinkCommit
+        case "hdfs" | "viewfs" => AtomicRenameCommit
+        case other => throw new UnsupportedOperationException(
+          s"VersionedTable: no atomic-exclusive commit primitive for scheme '$other'. " +
+            "Its FileSystem rename is not fails-if-exists (object stores rename by " +
+            "copy+delete, last-writer-wins), so committing through it could clobber a " +
+            "concurrent writer's manifest. Register a conditional-put implementation " +
+            "via Sinks.VersionedTable.registerCommitStore(scheme, store).")
+      }
+    }
+
     private def manifestName(v: Long): String = f"$v%08d.json"
 
     private def readUtf8(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
@@ -327,27 +400,10 @@ object Sinks {
       val out = fs.create(tmp, true)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      def claim(): Boolean =
-        if ("file" == dst.toUri.getScheme || dst.toUri.getScheme == null) {
-          // local FS: Hadoop's rename/create are NOT atomic-exclusive
-          // (File.renameTo overwrites; create(false) is check-then-act).
-          // POSIX link(2) is: it fails EEXIST atomically, and links the
-          // FULLY-WRITTEN temp — the name never exposes partial bytes.
-          try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(dst.toUri.getPath),
-              java.nio.file.Paths.get(tmp.toUri.getPath))
-            true
-          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-        } else {
-          // HDFS & friends: rename(tmp, dst) of the fully-written temp
-          // is atomic at the namenode and FAILS if dst exists — the
-          // Delta-style commit primitive. (The previous create(dst,
-          // false)-then-write claimed the name BEFORE the bytes: a
-          // writer crash between create and close left a truncated
-          // manifest as the table's newest version.)
-          fs.rename(tmp, dst)
-        }
+      // Scheme-dispatched atomic-exclusive create (see commitStoreFor's
+      // allowlist — unknown schemes are REFUSED, not assumed HDFS-like).
+      val store = commitStoreFor(dst.toUri.getScheme)
+      def claim(): Boolean = store.claim(fs, tmp, dst)
       var won = claim()
       if (!won) {
         // Losing normally means another writer committed this version —
@@ -413,6 +469,9 @@ object Sinks {
                     keys: Seq[String], versionCol: String,
                     numBuckets: Int = 64, maxRetries: Int = 20): Unit = {
       val fs = fsFor(spark, path)
+      // Fail an unsupported store BEFORE the attempt stages/moves any
+      // data, not at publish time with orphan dirs already on disk.
+      commitStoreFor(new Path(path).toUri.getScheme)
       var attempt = 0
       var committed = false
       while (!committed) {
@@ -492,6 +551,7 @@ object Sinks {
     def compact(spark: SparkSession, path: String,
                 maxFilesPerBucket: Int = 1, maxRetries: Int = 20): Unit = {
       val fs = fsFor(spark, path)
+      commitStoreFor(new Path(path).toUri.getScheme) // refuse unsupported stores up front
       var attempt = 0
       var done = false
       while (!done) {

@@ -11,6 +11,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.{Sinks, Tables}
 
+/** Local-disk stand-ins for an OBJECT STORE's rename semantics
+  * (copy+delete, last-writer-wins): RawLocalFileSystem's rename is
+  * File.renameTo, which succeeds-and-overwrites when dst exists —
+  * exactly the hazard s3a/gs/abfs present to a rename-based commit.
+  * Registered under fs.<scheme>.impl in the tests below; one class per
+  * scheme because getUri is fixed per class.
+  */
+class MockS3FileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mocks3:///")
+}
+class MockS3PutFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mocks3put:///")
+}
+
 class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
     with AdaptiveSparkPlanHelper {
 
@@ -474,6 +488,72 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
       .select("v").as[String].collect()
     assert(hit.toSeq == Seq("v17"),
       s"Int probe on BIGINT key must find the row, got ${hit.toSeq}")
+  }
+
+  test("VersionedTable: a store whose rename clobbers is REFUSED, not silently committed through") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mocks3.impl", classOf[MockS3FileSystem].getName)
+    // Pin the hazard the allowlist exists for: on this FS, rename onto
+    // an EXISTING destination succeeds and overwrites — a rename-based
+    // manifest commit here would clobber a concurrent writer's
+    // committed version.
+    val fs = new org.apache.hadoop.fs.Path(s"mocks3:$tmp/probe").getFileSystem(conf)
+    val a = new org.apache.hadoop.fs.Path(s"mocks3:$tmp/probe/a")
+    val b = new org.apache.hadoop.fs.Path(s"mocks3:$tmp/probe/b")
+    for ((p, txt) <- Seq(a -> "mine", b -> "yours")) {
+      val out = fs.create(p, true); out.write(txt.getBytes("UTF-8")); out.close()
+    }
+    assert(fs.rename(a, b), "mock must emulate last-writer-wins rename")
+    val clobbered = {
+      val in = fs.open(b); val buf = new Array[Byte](4)
+      in.readFully(0, buf); in.close(); new String(buf, "UTF-8")
+    }
+    assert(clobbered == "mine", "rename onto existing dst must overwrite (the S3A hazard)")
+
+    val s = spark
+    import s.implicits._
+    val path = s"mocks3:$tmp/vt_refused"
+    val ex = intercept[UnsupportedOperationException] {
+      Sinks.VersionedTable.mergeUpsert(spark, path,
+        Seq((1L, "a", 1L)).toDF("id", "v", "ver"), Seq("id"), "ver")
+    }
+    assert(ex.getMessage.contains("registerCommitStore"),
+      s"refusal must point at the conditional-put seam, got: ${ex.getMessage}")
+    // refused BEFORE any data staged: the table root was never created
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path)),
+      "an unsupported store must be refused before the attempt writes anything")
+  }
+
+  test("VersionedTable: a registered conditional-put commit store makes the same scheme safe") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mocks3put.impl", classOf[MockS3PutFileSystem].getName)
+    // A genuine put-if-absent for the mock store: link(2) on the
+    // underlying local paths — fails EEXIST atomically, never clobbers.
+    // (A real S3 implementation would be an If-None-Match PUT.)
+    Sinks.VersionedTable.registerCommitStore("mocks3put",
+      new Sinks.VersionedTable.ManifestCommitStore {
+        def claim(fs: org.apache.hadoop.fs.FileSystem,
+                  tmp: org.apache.hadoop.fs.Path,
+                  dst: org.apache.hadoop.fs.Path): Boolean =
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dst.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      })
+    val s = spark
+    import s.implicits._
+    val path = s"mocks3put:$tmp/vt_put"
+    Sinks.VersionedTable.mergeUpsert(spark, path,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver"), Seq("id"), "ver")
+    Sinks.VersionedTable.mergeUpsert(spark, path,
+      Seq((2L, "b2", 2L), (3L, "c", 1L)).toDF("id", "v", "ver"), Seq("id"), "ver")
+    val all = Sinks.VersionedTable.read(spark, path)
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(all.toSeq == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    val (v, _) = Sinks.VersionedTable.latestManifest(spark, path).get
+    assert(v == 1L, s"two merges -> versions 0 and 1, got latest $v")
   }
 
   test("non-bucketed join of the same data DOES shuffle both sides (control)") {
