@@ -227,11 +227,14 @@ object Smoke {
     val (lmCb, lmCw) = graft.operators.Classify.lmTrain(lmDocs)
     val firstText = lmDocs.orderBy("doc_id").select("text").head().getString(0)
     val shuffled = firstText.split(" ").reverse.mkString(" ")
-    val pair = graft.operators.Classify.lmScoreAgainst(
+    // keyed by doc_id, not positional: if the chosen text had no modeled
+    // bigrams, doc 1 would be absent from the scorer output and pair(0)
+    // would silently be the reversed doc
+    val byId = graft.operators.Classify.lmScoreAgainst(
       Seq((1L, firstText), (2L, shuffled)).toDF("doc_id", "text"), lmCb, lmCw)
-      .orderBy("doc_id").collect()
-    val fluent = pair(0).getLong(2)
-    val garbled = if (pair.length > 1) pair(1).getLong(2) else 0L
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fluent = byId.getOrElse(1L, 0L)
+    val garbled = byId.getOrElse(2L, 0L)
     println(s"[smoke] lm gate: corpus-fluent doc scores $fluent vs reversed $garbled")
     require(fluent > garbled,
       "a corpus sentence must outscore its reversal under the corpus LM")

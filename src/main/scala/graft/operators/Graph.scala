@@ -380,9 +380,16 @@ object Graph {
     val spark = und.sparkSession
     val nodes = und.select(col("a").as("node")).distinct()
     // self-vote = a self-loop on every node; persisted once, reread
-    // every round
+    // every round. The union is DEDUPLICATED: the vote count is per
+    // distinct neighbor (the oracle's UNION), so a caller handing in a
+    // multigraph (duplicate edges, pre-existing self-loops — nothing in
+    // lpaOnUndirected's contract forbids either) must not get
+    // double-counted votes that silently diverge from the documented
+    // tie-break. One extra one-time shuffle before the persist; the
+    // normal undirected() path is already distinct and self-loop-free,
+    // so there the distinct only re-arranges the same rows.
     val undSelf = GraftCache.persistTracked(
-      und.union(nodes.select(col("node").as("a"), col("node").as("b"))))
+      und.union(nodes.select(col("node").as("a"), col("node").as("b"))).distinct())
     // try/finally like the PageRank/CC fixpoints: a mid-loop failure
     // must not leak the round's raw-persisted label frames (they are
     // not GraftCache-tracked, so releaseAll could never reclaim them)

@@ -96,19 +96,7 @@ object Retrieval {
     */
   def hybridRrfSql(k: Int = TopK): String = {
     val terms = TextOps.Bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
-       |g AS (SELECT count(*) AS n_docs, sum(dl) AS s_tok FROM dl),
-       |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
-       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-       |  WHERE term IN ($terms) GROUP BY doc_id, term),
-       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-       |bscored AS (
-       |  SELECT tf.term, tf.doc_id,
-       |    CAST((2*g.n_docs - 2*df.df + 1) * 22 * g.s_tok * tf.tf AS DOUBLE) /
-       |    CAST((2*df.df + 1) * (10*g.s_tok*tf.tf + 3*g.s_tok + 9*dl.dl*g.n_docs) AS DOUBLE)
-       |      AS score
-       |  FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id, g),
+    s"""WITH ${TextOps.bm25ScoredCtes("bscored")},
        |sparse AS (
        |  SELECT term, doc_id, rn_s FROM (
        |    SELECT term, doc_id, CAST(row_number() OVER (

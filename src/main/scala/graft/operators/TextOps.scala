@@ -935,18 +935,33 @@ object TextOps {
     * contiguous fill per (lang, shard) stream: bin = floor(tokens-before
     * / budget), the standard approximate packing (a bin may overshoot by
     * at most one document — exact first-fit is inherently sequential).
-    * Sharding bounds the running-sum window: shard count is a tunable
-    * that scales with executor count (32 here to match local[32]), so no
-    * window partition is ever the whole corpus — the same per-shard
-    * sequential layout a real packing job uses. Output is per-bin
-    * telemetry, O(total_tokens / budget) rows.
+    * Sharding bounds the running-sum window: the default shard count
+    * derives from the CLUSTER ([[autoShards]] — 4 ×
+    * defaultParallelism), so no window partition is ever the whole
+    * corpus and a 1000-executor run doesn't silently inherit a
+    * 32-shard layout tuned to the test box; pass `shards` explicitly
+    * for a pinned layout (the oracle-checked queries pin 32 to match
+    * the SQL's `% 32`). Output is per-bin telemetry,
+    * O(total_tokens / budget) rows.
     */
-  def packSequences(documents: DataFrame, budget: Long = 512L, shards: Int = 32): DataFrame = {
+  /** Shard count for the packing-family running-sum windows: an
+    * explicit positive `shards` wins (pinned layouts, oracle parity);
+    * otherwise 4 × the cluster's defaultParallelism — enough streams
+    * that every core packs concurrently with headroom for stragglers,
+    * while each (lang, shard) window partition stays ~1/(4·cores) of a
+    * language's corpus rather than a box-tuned constant.
+    */
+  private[graft] def resolvedShards(documents: DataFrame, shards: Int): Int =
+    if (shards > 0) shards
+    else math.max(1, 4 * documents.sparkSession.sparkContext.defaultParallelism)
+
+  def packSequences(documents: DataFrame, budget: Long = 512L, shards: Int = 0): DataFrame = {
+    val nShards = resolvedShards(documents, shards)
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents
       .select(col("doc_id"), col("lang"),
-        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
         size(toks).cast("long").as("n_tok"))
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
       .withColumn("bin_id", expr(s"(cum_tok - n_tok) DIV $budget"))
@@ -978,14 +993,15 @@ object TextOps {
     * the only shuffles are the curation joins (doc_id-keyed), the
     * bounded per-shard running sum, and the final per-bin agg.
     */
-  def trainingBatches(documents: DataFrame, budget: Long = 512L, shards: Int = 32): DataFrame = {
+  def trainingBatches(documents: DataFrame, budget: Long = 512L, shards: Int = 0): DataFrame = {
+    val nShards = resolvedShards(documents, shards)
     // ONE doc_id join: lang rides through the chunker via `carry`, so
     // the curation subtree executes once, not once per consumer.
     val curated = curatedCorpus(documents).select(col("doc_id"), col("lang"))
     val chunks = chunkDocs(
       documents.select("doc_id", "text").join(curated, "doc_id"),
       carry = Seq("lang"))
-      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id", "chunk_idx")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunks
@@ -1505,21 +1521,32 @@ object TextOps {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
-  def bm25TopDocsSql(k: Int = 10): String = {
+  /** The BM25 scored-documents CTE chain (tokenize → lengths → corpus
+    * totals → tf → df → exact-integer score), SHARED by the C48 oracle
+    * and C54's hybrid-RRF oracle ([[Retrieval.hybridRrfSql]]) — one
+    * definition of the score formula, so an adjustment to C48 can
+    * never silently drift the fused oracle. `name` is the final
+    * (scored) CTE's name in the caller's WITH chain.
+    */
+  private[operators] def bm25ScoredCtes(name: String): String = {
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
        |g AS (SELECT count(*) AS n_docs, sum(dl) AS s_tok FROM dl),
        |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
        |  WHERE term IN ($terms) GROUP BY doc_id, term),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-       |scored AS (
+       |$name AS (
        |  SELECT tf.term, tf.doc_id,
        |    CAST((2*g.n_docs - 2*df.df + 1) * 22 * g.s_tok * tf.tf AS DOUBLE) /
        |    CAST((2*df.df + 1) * (10*g.s_tok*tf.tf + 3*g.s_tok + 9*dl.dl*g.n_docs) AS DOUBLE)
        |      AS score
-       |  FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id, g)
+       |  FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id, g)""".stripMargin
+  }
+
+  def bm25TopDocsSql(k: Int = 10): String = {
+    s"""WITH ${bm25ScoredCtes("scored")}
        |SELECT term, doc_id, score, rn FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id)
        |    AS INTEGER) AS rn
@@ -1630,9 +1657,11 @@ object TextOps {
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
     "q_repetition_profile" -> ((s, d) => repetitionProfile(Tables.documents(s, d))),
     "q_pii_redact" -> ((s, d) => piiRedact(Tables.documents(s, d))),
-    "q_training_batches" -> ((s, d) => trainingBatches(Tables.documents(s, d))),
+    // shards pinned to 32: the oracle SQL's `% 32` must see the same
+    // layout regardless of the bench box's core count
+    "q_training_batches" -> ((s, d) => trainingBatches(Tables.documents(s, d), shards = 32)),
     "q_chunk_docs" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
-    "q_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
+    "q_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d), shards = 32)),
     "q_dedup_incremental" -> ((s, d) => dedupIncremental(Tables.documents(s, d))),
     "q_oov_rate" -> ((s, d) => oovRate(Tables.documents(s, d))),
     "q_token_budget_mix" -> ((s, d) => tokenBudgetMix(Tables.documents(s, d))),

@@ -756,15 +756,28 @@ object EventStream {
     * foreachBatch against the static model frames — no streaming state,
     * no watermark; grams the model never saw drop out of the join (the
     * back-off rule), exactly like the batch scorer.
+    *
+    * Delivery contract: AT-LEAST-ONCE with in-row replay provenance.
+    * foreachBatch can re-run a micro-batch after a failure/restart, and
+    * a blind parquet append would then hold duplicate score rows that
+    * downstream cannot tell apart. Each row therefore carries its
+    * `batch_id`: a replayed batch rewrites the same (batch_id, doc_id)
+    * pairs, so consumers dedup exactly with
+    * `row_number() over (partition by doc_id, batch_id ...) = 1` — or
+    * `max_by(score, batch_id)` per doc — instead of guessing. (The
+    * versioned-sink variant below gets exactly-once from latest-wins
+    * merge instead; a gate's score stream is append-shaped, so
+    * provenance-plus-dedup-key is the idiomatic contract here.)
     */
   def streamingLmGate(docs: DataFrame, cb: DataFrame, cw: DataFrame,
                       outPath: String, checkpoint: String): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.Classify.lmScoreAgainst(batch.toDF(), cb, cw)
+            .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
       }
       .start()

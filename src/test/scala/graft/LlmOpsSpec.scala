@@ -104,6 +104,20 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bins.filter(col("n_tokens") >= budget + maxDoc).count() == 0)
   }
 
+  test("packing shard default scales with the cluster, explicit shards pin the layout") {
+    val docs = Tables.documents(spark, sf)
+    // auto: 4 streams per core so the running-sum window partition is
+    // bounded by corpus/(4·cores), whatever the deployment size
+    val auto = TextOps.resolvedShards(docs, 0)
+    assert(auto == 4 * spark.sparkContext.defaultParallelism, s"auto shards $auto")
+    assert(TextOps.resolvedShards(docs, 32) == 32)
+    // the auto layout must actually reach the plan: distinct shard ids
+    // cover [0, auto) (doc_ids are dense, so every residue is hit)
+    val shardsSeen = TextOps.packSequences(docs)
+      .select(countDistinct("shard")).head.getLong(0)
+    assert(shardsSeen == auto, s"expected $auto shard streams, saw $shardsSeen")
+  }
+
   test("LSH occupancy cap: a degenerate mega-bucket emits no pairs, small buckets still do") {
     val s = spark
     import s.implicits._
