@@ -1521,6 +1521,54 @@ object Analytics {
         .as(Seq("col_name", "n_nulls", "n_distinct", "min_s", "max_s")))
   }
 
+  /** B41b: the documented 100 TB execution of B41 made real —
+    * [[dataProfile]]'s exact multi-count-distinct plans via ONE Expand
+    * (a 5× row multiplication before the agg: the standard exact
+    * cost); swapping HLL++ (`approx_count_distinct`) for the exact
+    * distinct removes the Expand entirely, leaving a single scan whose
+    * every aggregate is a fixed-width, map-side-mergeable sketch —
+    * the shape a petabyte profile actually runs. Convention follows
+    * C31: the registered query drops the probabilistic estimate before
+    * the oracle hash (exact-comparable columns only — n, nulls,
+    * min/max); the 4σ relative-error bound vs the exact profile and
+    * the Expand-free plan are pinned in ScalaTest (PlanSpec), where a
+    * testdata refresh landing in the probabilistic tail can't flip the
+    * driver's gate on a non-bug.
+    */
+  def dataProfileApprox(orders: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val src = orders.withColumn("o_orderdate_d", to_date(col("o_orderdate")))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_orderdate_d")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}_nn"),
+      approx_count_distinct(col(c), rsd).as(s"${c}_nd"),
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max")))
+    val wide = src.agg(count(lit(1)).as("n"), aggs: _*)
+    val stackExpr = cols
+      .map(c => s"'$c', n - ${c}_nn, ${c}_nd, ${c}_min, ${c}_max")
+      .mkString(", ")
+    wide.select(col("n"),
+      expr(s"stack(${cols.length}, $stackExpr)")
+        .as(Seq("col_name", "n_nulls", "nd_hll", "min_s", "max_s")))
+  }
+
+  val dataProfileApproxSql: String = {
+    val cols = Seq(
+      ("o_orderkey", "o_orderkey"),
+      ("o_custkey", "o_custkey"),
+      ("o_orderstatus", "o_orderstatus"),
+      ("o_orderpriority", "o_orderpriority"),
+      ("o_orderdate_d", "CAST(o_orderdate AS DATE)"))
+    cols.map { case (name, e) =>
+      s"""SELECT '$name' AS col_name, count(*) AS n,
+         |  count(*) - count($e) AS n_nulls,
+         |  CAST(min($e) AS STRING) AS min_s,
+         |  CAST(max($e) AS STRING) AS max_s
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   val dataProfileSql: String = {
     val cols = Seq(
       ("o_orderkey", "o_orderkey"),
@@ -1575,6 +1623,10 @@ object Analytics {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_value_histogram" -> ((s, d) => valueHistogram(Tables.events(s, d))),
     "q_data_profile" -> ((s, d) => dataProfile(Tables.orders(s, d))),
+    // exact-comparable columns only (C31 convention): the HLL estimate
+    // itself is spec-pinned, not oracle-hashed
+    "q_data_profile_approx" -> ((s, d) =>
+      dataProfileApprox(Tables.orders(s, d)).drop("nd_hll")),
     "q8_market_share" -> ((s, d) =>
       marketShare(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
         Tables.supplier(s, d), Tables.part(s, d), Tables.nation(s, d),
@@ -1652,6 +1704,7 @@ object Analytics {
   def oracle: Map[String, String] = Map(
     "q_value_histogram" -> valueHistogramSql,
     "q_data_profile" -> dataProfileSql,
+    "q_data_profile_approx" -> dataProfileApproxSql,
     "q8_market_share" -> marketShareSql(),
     "q9_product_profit" -> productProfitSql,
     "q11_important_parts" -> importantPartsSql,

@@ -455,6 +455,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.size >= 2, "q8: nation and region-nation frames must broadcast")
   }
 
+  test("q_data_profile_approx: the HLL profile loses the Expand and honors the 4-sigma bound") {
+    // exact B41 pays a 5x Expand for multi-count-distinct — the approx
+    // twin must NOT (that's its whole reason to exist at 100 TB)
+    assert(plan("q_data_profile").collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }.nonEmpty,
+      "q_data_profile (control): exact multi-distinct should plan an Expand")
+    assert(plan("q_data_profile_approx").collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }.isEmpty,
+      "q_data_profile_approx: approx_count_distinct must not plan an Expand")
+    // probabilistic accuracy pinned here, not in the oracle (C31
+    // convention): every column's HLL estimate within 4 sigma of exact
+    import org.apache.spark.sql.functions.{abs, col, lit}
+    val rsd = 0.05
+    val approx = graft.operators.Analytics.dataProfileApprox(
+      graft.sources.Tables.orders(spark, sf), rsd)
+      .select(col("col_name"), col("nd_hll"))
+    val exact = graft.operators.Analytics.dataProfile(
+      graft.sources.Tables.orders(spark, sf))
+      .select(col("col_name"), col("n_distinct"))
+    val breaches = approx.join(exact, "col_name")
+      .filter(abs(col("nd_hll").cast("double") / col("n_distinct").cast("double") - 1.0)
+        > lit(4.0 * rsd))
+      .collect()
+    assert(breaches.isEmpty,
+      s"HLL outside 4-sigma bound: ${breaches.mkString(", ")}")
+  }
+
   test("q16/q20: blacklist anti-join and dominance join keep part filters pushed") {
     for ((q, c) <- Seq("q16_supplier_counts" -> "p_size",
       "q20_promotion_suppliers" -> "p_name")) {
