@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exprs
+import graft.sources.Sinks.VersionedTable
+
+/** The COMMITTED ANN index — the artifact boundary every production
+  * vector-search deployment has and the in-session memoized path
+  * ([[Embeddings.annIvfPq]]) deliberately doesn't: codebooks and the
+  * compressed code/postings table persisted through the transactional
+  * table format, so (a) a serving job — batch or streaming — loads the
+  * index instead of retraining it, (b) index builds version atomically
+  * (a reader never sees half a rebuild: snapshot isolation from
+  * [[VersionedTable]]'s manifest commit), and (c) rebuilds can ship
+  * while serving continues on the previous version.
+  *
+  * Layout under `path/`:
+  *  - `codebooks` — (kind, c_id, cqv, cnrm, build_v): the coarse IVF
+  *    codebook (`kind = "coarse"`, Dim-dim centroids) and the PqM
+  *    subspace codebooks (`kind = "pq0".."pq3"`, PqSubDim-dim). Keyed
+  *    (kind, c_id) — a rebuild latest-wins-replaces every row.
+  *  - `codes` — (vec_id, c_id, code_0..code_{PqM−1}, build_v): each
+  *    corpus vector's inverted-list id and PQ codes — the ~16×
+  *    compressed scan body. Keyed vec_id, so an INCREMENTAL ingest can
+  *    merge new vectors' codes without touching the rest (the coarse
+  *    routing stays valid as long as the codebooks do — the standard
+  *    rebuild-codebooks-rarely / append-codes-continuously regime).
+  *
+  * Scale: the codebooks table is constant-size ((1 + PqM) ×
+  * NumCentroids rows — a model artifact); the codes table is the only
+  * data-proportional piece and it is exactly what a 100 TB serving
+  * fleet wants on disk: 4-byte-ish codes instead of raw vectors,
+  * bucketed by vec_id for point lookups, partition-pruned by the
+  * manifest. Loading the index collects ONLY the codebooks.
+  */
+object AnnIndex {
+
+  import Embeddings.{Dim, NProbe, NumCentroids, NumProbes, PqM, PqSubDim, RefineK, TopK}
+
+  private def codebooksPath(path: String) = s"$path/codebooks"
+  private def codesPath(path: String) = s"$path/codes"
+
+  /** Train (memoized, deterministic) and COMMIT the IVF-PQ index for
+    * `embeddings` as version `buildV`. Re-running with the same corpus
+    * and a higher buildV commits an identical index as a new version —
+    * the idempotent-rebuild property streaming replays rely on.
+    */
+  def build(embeddings: DataFrame, path: String, buildV: Long = 0L): Unit = {
+    val spark = embeddings.sparkSession
+    val q = Embeddings.quantized(embeddings)
+    q.count() // materialize once under the five trainings
+    val coarse = Embeddings.kmeansCodebook(q)
+    val cbs = Embeddings.pqCodebooks(q)
+    val codebooks = (coarse.withColumn("kind", lit("coarse")) +:
+      cbs.zipWithIndex.map { case (cb, m) => cb.withColumn("kind", lit(s"pq$m")) })
+      .reduce(_.unionByName(_))
+      .select(col("kind"), col("c_id"), col("cqv"), col("cnrm"),
+        lit(buildV).as("build_v"))
+    VersionedTable.mergeUpsert(spark, codebooksPath(path), codebooks,
+      Seq("kind", "c_id"), "build_v", numBuckets = 4)
+    val codes = Embeddings.ivfAssign(q, coarse)
+      .join(Embeddings.pqEncode(q, cbs), "vec_id")
+      .withColumn("build_v", lit(buildV))
+    VersionedTable.mergeUpsert(spark, codesPath(path), codes,
+      Seq("vec_id"), "build_v", numBuckets = 16)
+  }
+
+  /** The loaded model artifact: coarse codebook rows plus per-subspace
+    * centroid/norm arrays, all driver-side constants ((1 + PqM) ×
+    * NumCentroids rows — never data-proportional).
+    */
+  private[graft] case class Loaded(
+      coarse: Array[(Long, Seq[Long], Long)],
+      cent: IndexedSeq[Seq[Seq[Long]]],
+      cnrm: IndexedSeq[Seq[Long]])
+
+  private[graft] def load(spark: SparkSession, path: String): Loaded = {
+    val cb = VersionedTable.read(spark, codebooksPath(path))
+      .select("kind", "c_id", "cqv", "cnrm").collect()
+    def rows(kind: String) = {
+      val rs = cb.filter(_.getString(0) == kind).sortBy(_.getLong(1))
+      require(rs.map(_.getLong(1)).toSeq == (0 until NumCentroids).map(_.toLong),
+        s"AnnIndex: $kind c_ids must be contiguous 0..${NumCentroids - 1}")
+      rs.map(r => (r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
+    }
+    Loaded(
+      rows("coarse"),
+      (0 until PqM).map(m => rows(s"pq$m").map(_._2).toSeq),
+      (0 until PqM).map(m => rows(s"pq$m").map(_._3).toSeq))
+  }
+
+  /** The committed code table (vec_id, c_id, code_0..code_{PqM−1}) at
+    * the latest committed version — snapshot-isolated, bucket-prunable.
+    */
+  def codes(spark: SparkSession, path: String): DataFrame =
+    VersionedTable.read(spark, codesPath(path))
+      .select(Seq(col("vec_id"), col("c_id")) ++
+        (0 until PqM).map(m => col(s"code_$m")): _*)
+
+  /** ADC score columns against the loaded codebooks: approx dot =
+    * Σ_m dot(query-subspace_m, centroid_m[code_m]), reconstructed norm
+    * = Σ_m centroid-norm_m[code_m] — identical expressions to
+    * [[Embeddings.annIvfPq]]'s, with the codebooks coming from the
+    * artifact instead of the training run.
+    */
+  private[graft] def adcColsFor(ix: Loaded, qqv: org.apache.spark.sql.Column) = {
+    val centArr = (0 until PqM).map(m => typedLit(ix.cent(m)))
+    val cnrmArr = (0 until PqM).map(m => typedLit(ix.cnrm(m)))
+    val adot = (0 until PqM).map { m =>
+      Exprs.dotLong(slice(qqv, m * PqSubDim + 1, PqSubDim),
+        element_at(centArr(m), col(s"code_$m").cast("int") + 1))
+    }.reduce(_ + _)
+    val anrm = (0 until PqM).map { m =>
+      element_at(cnrmArr(m), col(s"code_$m").cast("int") + 1)
+    }.reduce(_ + _)
+    (adot, anrm)
+  }
+
+  /** Serve C7e from the COMMITTED index: identical routing (coarse
+    * probe lists), ADC shortlist, and exact-cosine refine as
+    * [[Embeddings.annIvfPq]] — but codebooks and codes load from
+    * `path`; nothing trains. `embeddings` supplies the probe vectors
+    * and the raw vectors for the RefineK exact re-rank (the index
+    * stores codes, not raw vectors — Faiss IndexRefine's split).
+    * Output schema matches annIvfPq: (q_id, n_id, cos, rn).
+    */
+  def serve(embeddings: DataFrame, path: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    val ix = load(spark, path)
+    val q = Embeddings.quantized(embeddings)
+    val coarseDf = {
+      val s = spark
+      import s.implicits._
+      ix.coarse.toSeq.toDF("c_id", "cqv", "cnrm")
+    }
+    val probeLists = q.filter(col("vec_id") < NumProbes)
+      .crossJoin(broadcast(coarseDf))
+      .withColumn("d2", col("nrm") - lit(2L) * Exprs.dotLong(col("qv"), col("cqv")) + col("cnrm"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"), col("c_id"))
+    val (adot, anrm) = adcColsFor(ix, col("q_qv"))
+    val scored = codes(spark, path)
+      .join(broadcast(probeLists), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (adot.cast("double") /
+          (sqrt(col("q_nrm").cast("double")) * sqrt(anrm.cast("double"))))
+          .as("approx_cos"))
+    val shortlist = scored
+      .groupBy("q_id")
+      .agg(Exprs.maxKScored(col("approx_cos"), col("n_id"), RefineK).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("n_id"))
+    Embeddings.topKByCos(Embeddings.scorePairs(shortlist, q))
+  }
+}

@@ -96,7 +96,7 @@ object Embeddings {
     * (score desc, id asc) order matches the oracle's
     * `ORDER BY cos DESC, n_id` exactly.
     */
-  private def topKByCos(scored: DataFrame, k: Int = TopK): DataFrame =
+  private[operators] def topKByCos(scored: DataFrame, k: Int = TopK): DataFrame =
     scored
       .groupBy("q_id")
       .agg(Exprs.maxKScored(col("cos"), col("n_id"), k).as("top"))
@@ -295,7 +295,7 @@ object Embeddings {
     * vectors are broadcast, corpus vectors joined back by n_id from the
     * persisted quantized frame.
     */
-  private def scorePairs(cand: DataFrame, q: DataFrame): DataFrame = {
+  private[operators] def scorePairs(cand: DataFrame, q: DataFrame): DataFrame = {
     val probeVecs = q.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
     cand

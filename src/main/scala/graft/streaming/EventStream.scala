@@ -292,6 +292,51 @@ object EventStream {
           (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double")))).as("cos"))
   }
 
+  /** Streaming ANN against the COMMITTED index ([[graft.operators
+    * .AnnIndex]]): the serving topology a production deployment
+    * actually runs — an indexing job builds/rebuilds the IVF-PQ
+    * artifact offline and commits it transactionally; the serving
+    * stream LOADS it (codebooks → plan literals, codes → a
+    * stream-static join against the versioned table) and never trains.
+    * Each arriving query routes to its NProbe lists via the coarse-
+    * codebook literal, then ADC-scores ONLY the committed PQ codes in
+    * those lists — no raw-vector I/O on the serve path at all, the
+    * property that lets the scan body be ~16× smaller than the corpus.
+    * The static side snapshots the index's latest committed version at
+    * stream START (manifest read), so a concurrent rebuild never tears
+    * mid-stream; restart the stream to pick up a new index version.
+    *
+    * Input stream schema: (query_id long, embedding array<float>).
+    * Output: (query_id, n_id, approx_cos) ADC candidates; rank
+    * per-batch with the [[streamingAnnIvfTopK]] pattern.
+    */
+  def streamingAnnCommittedCandidates(queryStream: DataFrame, indexPath: String): DataFrame = {
+    import graft.operators.{AnnIndex, Embeddings}
+    val spark = queryStream.sparkSession
+    val ix = AnnIndex.load(spark, indexPath)
+    val codes = AnnIndex.codes(spark, indexPath)
+    val coarseLit = array(ix.coarse.map { case (cId, cqv, cnrm) =>
+      struct(lit(cId).as("c_id"), typedLit(cqv).as("cqv"), lit(cnrm).as("cnrm"))
+    }.toIndexedSeq: _*)
+    val qStream = queryStream
+      .select(col("query_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000, 0).cast("long")).as("q_qv"))
+      .withColumn("q_nrm", graft.functions.Exprs.dotLong(col("q_qv"), col("q_qv")))
+      .withColumn("probe", explode(slice(array_sort(
+        transform(coarseLit, c => struct(
+          (col("q_nrm") - lit(2L) * graft.functions.Exprs.dotLong(col("q_qv"), c.getField("cqv"))
+            + c.getField("cnrm")).as("d2"),
+          c.getField("c_id").as("c_id")))), 1, Embeddings.NProbe)))
+      .select(col("query_id"), col("q_qv"), col("q_nrm"), col("probe.c_id").as("c_id"))
+    val (adot, anrm) = AnnIndex.adcColsFor(ix, col("q_qv"))
+    qStream
+      .join(codes, Seq("c_id"))
+      .select(col("query_id"), col("vec_id").as("n_id"),
+        (adot.cast("double") /
+          (sqrt(col("q_nrm").cast("double")) * sqrt(anrm.cast("double"))))
+          .as("approx_cos"))
+  }
+
   /** Per-micro-batch exact top-k over the streaming IVF candidates —
     * same bounded-frame rank as [[streamingAnnTopK]]. (A vector in two
     * probed lists can't duplicate — each corpus vector lives in exactly

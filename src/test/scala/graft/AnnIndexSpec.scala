@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnIndex, Embeddings}
+import graft.sources.{Sinks, Tables}
+import graft.streaming.EventStream
+
+/** The committed ANN index artifact: build → commit → serve must equal
+  * the in-session training path, rebuilds must version transactionally,
+  * and the streaming serve path must answer from the committed artifact
+  * across micro-batches without training anything.
+  */
+class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+  val sf = "/root/testdata/sf0.001"
+  lazy val tmp: String = java.nio.file.Files.createTempDirectory("graft_annix").toString
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("serve from the committed index == annIvfPq end to end") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = s"$tmp/ix_eq"
+    AnnIndex.build(emb, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e12), r.getInt(3))).toSet
+    val served = rows(AnnIndex.serve(emb, path))
+    val trained = rows(Embeddings.annIvfPq(emb))
+    assert(served == trained,
+      s"served-from-artifact must equal trained-in-session; diff=${(served diff trained) ++ (trained diff served)}")
+  }
+
+  test("rebuilds commit as new versions; the artifact tables are versioned and intact") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = s"$tmp/ix_v"
+    AnnIndex.build(emb, path, buildV = 0L)
+    AnnIndex.build(emb, path, buildV = 1L)
+    val (v, _) = Sinks.VersionedTable.latestManifest(spark, s"$path/codes").get
+    assert(v == 1L, s"second build must commit a second version, got $v")
+    // same corpus -> identical deterministic index either version
+    val v0 = Sinks.VersionedTable.read(spark, s"$path/codes", Some(0L))
+      .select("vec_id", "c_id", "code_0", "code_1", "code_2", "code_3")
+      .collect().map(_.toSeq).toSet
+    val v1 = AnnIndex.codes(spark, path).collect().map(_.toSeq).toSet
+    assert(v0 == v1, "idempotent rebuild: code tables must match across versions")
+    // codebooks artifact is the constant-size model, not data-proportional
+    val cbRows = Sinks.VersionedTable.read(spark, s"$path/codebooks").count()
+    assert(cbRows == (1 + Embeddings.PqM) * Embeddings.NumCentroids,
+      s"codebooks table must stay (1+PqM)*NumCentroids rows, got $cbRows")
+  }
+
+  test("streaming ANN serves from the committed index across two micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val path = s"$tmp/ix_stream"
+    AnnIndex.build(emb, path)
+    // two batches of "arriving" queries cloned from corpus vectors —
+    // the clone lands in its original's list, so candidates must
+    // contain the original
+    val probes = emb.limit(4).collect()
+      .map(r => (r.getLong(0) + 30000L, r.getSeq[Float](1)))
+    val (b1, b2) = probes.splitAt(2)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.streamingAnnCommittedCandidates(
+      in.toDF().toDF("query_id", "embedding"), path)
+      .writeStream.format("memory").queryName("annix").outputMode("append").start()
+    in.addData(b1.toSeq)
+    q.processAllAvailable()
+    val afterB1 = spark.sql("SELECT DISTINCT query_id FROM annix")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterB1 == b1.map(_._1).toSet, s"batch 1 queries answered: $afterB1")
+    in.addData(b2.toSeq)
+    q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM annix").collect()
+    q.stop()
+    assert(out.map(_.getLong(0)).toSet == probes.map(_._1).toSet,
+      "both micro-batches must be answered from the same committed index")
+    // exact expectation: the identical transform on a static frame
+    val expected = EventStream.streamingAnnCommittedCandidates(
+      probes.toSeq.toDF("query_id", "embedding"), path)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e12))).toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1),
+      math.round(r.getDouble(2) * 1e12))).toSet
+    assert(got == expected, "streamed candidates must equal the static stream-static join")
+    // the clone's own corpus vector is among its ADC candidates
+    probes.foreach { case (qid, _) =>
+      assert(out.exists(r => r.getLong(0) == qid && r.getLong(1) == qid - 30000L),
+        s"query $qid: committed-index candidates must include its source vector")
+    }
+  }
+}
