@@ -18,6 +18,109 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  // ---------------- band-recall floors (C2 / C3 / C12b) ----------------
+  // ANN has recall pins; the hash-dedup banding did not — these plant
+  // duplicate pairs at CONTROLLED Jaccard/Hamming distances and pin
+  // candidate recall against the theoretical band curve, so a future
+  // cap/band retune can't silently drop detection.
+
+  test("minhash-LSH recall floor: planted-Jaccard pairs hit >= 1-(1-J^2)^bands - 4 sigma") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    // per planted pair: doc A = 40 distinct pair-local tokens, doc B
+    // shares the first m then diverges -> shared shingles m-2 of 38
+    // each, J = (m-2)/(78-m) exactly
+    val nTok = 40
+    val nPairs = 150
+    def mk(pairId: Int, m: Int): Seq[(Long, String)] = {
+      val a = (0 until nTok).map(i => s"p${pairId}a$i")
+      val b = a.take(m) ++ (m until nTok).map(i => s"p${pairId}b$i")
+      Seq((pairId * 2L, a.mkString(" ")), (pairId * 2L + 1, b.mkString(" ")))
+    }
+    for (m <- Seq(27, 35)) {
+      val jac = (m - 2).toDouble / (78 - m).toDouble
+      val pBand = 1.0 - math.pow(1.0 - jac * jac, Dedup.NumBands)
+      val docs = (0 until nPairs).flatMap(p => mk(p, m)).toDF("doc_id", "text")
+      val cand = Dedup.minhashCandidates(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hit = (0 until nPairs).count(p => cand.contains((p * 2L, p * 2L + 1)))
+      val recall = hit.toDouble / nPairs
+      val sigma = math.sqrt(pBand * (1 - pBand) / nPairs)
+      assert(recall >= pBand - 4 * sigma,
+        f"m=$m J=$jac%.3f: recall $recall%.3f below band curve $pBand%.3f - 4sigma")
+    }
+  }
+
+  test("simhash chunk-blocking recall is EXACTLY the some-chunk-equal predicate; hamming<=3 always recovered") {
+    val s = spark
+    import s.implicits._
+    // textual near-dups at graded edit sizes: base doc + k token swaps
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 400).map(i => s"w$i")
+    def doc(pairId: Int): Seq[String] =
+      (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val pairs = (0 until 120).map { p =>
+      val base = doc(p)
+      val k = 1 + p % 6
+      val edited = base.zipWithIndex.map { case (t, i) =>
+        if (i % (60 / k) == 3) s"e${p}x$i" else t }
+      (p * 2L, base.mkString(" "), p * 2L + 1, edited.mkString(" "))
+    }
+    val docs = pairs.flatMap(p => Seq((p._1, p._2), (p._3, p._4))).toDF("doc_id", "text")
+    val sims = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String) = a.zip(b).count(t => t._1 != t._2)
+    def someChunk(a: String, b: String) = (0 until Dedup.SimChunks)
+      .exists(c => a.substring(c * 16, c * 16 + 16) == b.substring(c * 16, c * 16 + 16))
+    val got = Dedup.dedupSimhash(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs.foreach { case (ida, _, idb, _) =>
+      val (sa, sb) = (sims(ida), sims(idb))
+      val d = hamming(sa, sb)
+      val expected = someChunk(sa, sb) && d <= 12
+      assert(got.contains((ida, idb)) == expected,
+        s"pair ($ida,$idb) hamming=$d someChunk=${someChunk(sa, sb)}: " +
+          s"blocking must equal the pigeonhole predicate exactly")
+      if (d <= 3) assert(got.contains((ida, idb)),
+        s"pair ($ida,$idb) hamming=$d: <=3 flips MUST be recovered (pigeonhole over 4 chunks)")
+    }
+  }
+
+  test("banded fingerprint recall floor (the C12b/C3 engine): controlled-Hamming plants meet the exact band curve") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val nPairs = 300
+    val bits = 64; val bands = 4; val bandBits = 16
+    // exact P(>=1 of 4 bands intact | d flips uniform w/o replacement):
+    // inclusion-exclusion over intact band subsets
+    def choose(n: Int, k: Int): Double =
+      if (k < 0 || k > n) 0.0 else (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+    def pCurve(d: Int): Double = (1 to bands).map { j =>
+      val sign = if (j % 2 == 1) 1.0 else -1.0
+      sign * choose(bands, j) * choose(bits - j * bandBits, d) / choose(bits, d)
+    }.sum
+    for (d <- Seq(4, 10)) {
+      val rows = (0 until nPairs).flatMap { p =>
+        val base = Array.fill(bits)(rnd.nextInt(2))
+        val flips = rnd.shuffle((0 until bits).toList).take(d)
+        val mate = base.clone(); flips.foreach(i => mate(i) = 1 - mate(i))
+        Seq((p * 2L, base.mkString("")), (p * 2L + 1, mate.mkString("")))
+      }
+      val fps = rows.toDF("doc_id", "fp")
+      val got = graft.operators.BandedPairs.pairs(fps, "doc_id", "fp",
+        bands, bandBits, threshold = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hit = (0 until nPairs).count(p => got.contains((p * 2L, p * 2L + 1)))
+      val recall = hit.toDouble / nPairs
+      val pd = pCurve(d)
+      val sigma = math.sqrt(pd * (1 - pd) / nPairs)
+      assert(recall >= pd - 4 * sigma,
+        f"d=$d: recall $recall%.3f below exact band curve $pd%.3f - 4sigma=${4 * sigma}%.3f")
+    }
+  }
+
   test("exact dedup: keeper is group-min, singleton docs are their own keeper") {
     val d = TextOps.dedupExact(Tables.documents(spark, sf))
     assert(d.filter(col("keeper_id") > col("doc_id")).count() == 0)
