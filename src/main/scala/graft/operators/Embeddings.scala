@@ -1270,9 +1270,44 @@ object Embeddings {
     q.select(posexplode(col("qv")).as(Seq("dim", "qc")))
       .groupBy("dim").agg(count(lit(1)).as("n"), sum("qc").as("s"))
 
-  def embedOutliers(embeddings: DataFrame, k: Int = 20): DataFrame = {
+  def embedOutliers(embeddings: DataFrame, k: Int = 20): DataFrame =
+    embedOutliersOnQ(quantized(embeddings), k)
+
+  /** Smallest right-shift of the quantized components under which the
+    * outlier score Σ_d (n·q_d − s_d)² provably fits int64: the worst
+    * per-dim term is (2·n·max|q|)², so the guard requires
+    * Dim · (2·n·(max|q|≫s + 1))² ≤ MaxLong/2 (headroom for the fold's
+    * running sum). One cheap map-side agg over the already-persisted
+    * quantized frame (n, max|component|) decides s on the driver in
+    * BigInt — the envelope check itself can't overflow. s = 0 through
+    * ~10⁵ vectors at the default quantization (the documented exact
+    * envelope); past it the score degrades gracefully to a coarser
+    * exact fixed point instead of silently wrapping. Rescaling is
+    * monotone-equivalent: components that are exact multiples of 2^s
+    * keep their EXACT relative scores (ordering, ties, ranks) —
+    * LlmOpsSpec pins this by inflating the corpus 2^20× and recovering
+    * the unshifted ranking bit-for-bit.
+    */
+  private[graft] def overflowShift(q: DataFrame): Int = {
+    val row = q.agg(
+      count(lit(1)),
+      max(expr("aggregate(qv, 0L, (a, x) -> greatest(a, abs(x)))"))).head
+    val n = row.getLong(0)
+    val maxQ = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val safe = BigInt(Long.MaxValue) / 2
+    Iterator.from(0).find { s =>
+      val m = BigInt(maxQ >> s) + 1
+      BigInt(Dim) * (BigInt(n) * 2 * m).pow(2) <= safe
+    }.get
+  }
+
+  private[graft] def embedOutliersOnQ(q0: DataFrame, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = quantized(embeddings)
+    val shift = overflowShift(q0)
+    val q =
+      if (shift == 0) q0
+      else q0.select(col("vec_id"),
+        expr(s"transform(qv, x -> x div ${1L << shift}L)").as("qv"))
     val moments = dimMoments(q)
       .groupBy()
       .agg(max("n").as("n"),

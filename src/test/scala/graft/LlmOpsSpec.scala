@@ -121,6 +121,33 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("embed outliers: overflow guard auto-rescales and preserves the exact ranking") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q0 = Embeddings.quantized(emb).select("vec_id", "qv")
+    assert(Embeddings.overflowShift(q0) == 0,
+      "test-SF corpus must sit inside the exact envelope (shift 0)")
+    val base = Embeddings.embedOutliersOnQ(q0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // inflate components 2^20x: n*max|q| now far past the int64-safe
+    // envelope, so the guard MUST engage — and because the inflated
+    // components are exact multiples of 2^shift (shift < 20), the
+    // rescaled scores are the base scores times an exact power of 4:
+    // identical ordering, identical ties, identical ranks
+    val b = 20
+    val qBig = q0.select(col("vec_id"),
+      expr(s"transform(qv, x -> x * ${1L << b}L)").as("qv"))
+    val shift = Embeddings.overflowShift(qBig)
+    assert(shift > 0 && shift < b,
+      s"inflated corpus must trigger a partial shift, got $shift")
+    val big = Embeddings.embedOutliersOnQ(qBig)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(big.map(r => (r._1, r._3)).toSeq == base.map(r => (r._1, r._3)).toSeq,
+      "rescaled ranking must equal the unshifted ranking id-for-id")
+    val scale = BigInt(1) << (2 * (b - shift))
+    assert(big.zip(base).forall { case (bg, bs) => BigInt(bg._2) == BigInt(bs._2) * scale },
+      s"rescaled scores must be base * 4^(b-shift) exactly (shift=$shift)")
+  }
+
   test("exact dedup: keeper is group-min, singleton docs are their own keeper") {
     val d = TextOps.dedupExact(Tables.documents(spark, sf))
     assert(d.filter(col("keeper_id") > col("doc_id")).count() == 0)
