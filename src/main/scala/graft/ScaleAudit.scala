@@ -263,6 +263,31 @@ object ScaleAudit {
         println(s"[scale] FAIL q_semdedup: cluster population $maxPop exceeds 8x target $target")
       }
     }
+    // Packing-shard auto-sizing (round-8): packSequences' default shard
+    // count derives from the cluster, and the property that matters at
+    // scale is that NO (lang, shard) running-sum window partition holds
+    // more than ~lang_corpus/shards rows — the bound that keeps the
+    // per-shard sequential fill from re-becoming a whole-corpus sort.
+    // ε = 2× allows residue imbalance; a regression to a box-constant
+    // shard count (or a broken shard expression collapsing residues)
+    // blows straight past it on the scaled corpus.
+    if (names == defaultQueries) {
+      GraftCache.releaseAll(spark)
+      val docs = graft.sources.Tables.documents(spark, out)
+      val auto = operators.TextOps.resolvedShards(docs, 0)
+      val parts = docs
+        .groupBy(col("lang"), pmod(col("doc_id"), lit(auto.toLong)).as("shard"))
+        .agg(count(lit(1)).as("rows"))
+      val maxPart = parts.agg(max("rows")).head().getLong(0)
+      val maxLang = docs.groupBy("lang").count().agg(max("count")).head().getLong(0)
+      val bound = 2L * maxLang / auto + 1
+      println(s"[scale] packing shards: auto=$auto max_window_partition=$maxPart " +
+        s"bound=$bound (largest lang $maxLang)")
+      if (maxPart > bound) {
+        bad += 1
+        println(s"[scale] FAIL packing: a (lang, shard) window partition holds $maxPart rows > $bound")
+      }
+    }
     // DistributedRank crossover: q_token_budget_mix deliberately trades
     // a bounded-key running-sum window (one task per language, however
     // big the language) for range-bucketed prefix sums with offset-based

@@ -60,34 +60,39 @@ object Html {
     * blocks whose anchor-text share is at most ⅓ — reassembled in
     * document order as `clean_text`, with per-doc keep/drop telemetry.
     * Output: (doc_id, clean_text, n_kept, n_dropped, boiler_chars).
+    *
+    * Shape: a document's blocks never leave its row — the whole pass is
+    * higher-order array expressions (split → transform → filter →
+    * array_join) in ONE projection, so the plan has ZERO Exchanges
+    * (PlanSpec pins this): at 100 TB extraction is pure scan
+    * throughput, and the same body runs stateless on a streaming frame
+    * ([[graft.streaming.EventStream.streamingHtmlExtract]]) in append
+    * mode with no watermark — an aggregation-based formulation would
+    * have needed foreachBatch. Block order is array order: document
+    * order for free, no sort anywhere.
     */
   def htmlExtract(docs: DataFrame, htmlCol: Column): DataFrame = {
-    val blocks = docs
-      .select(col("doc_id"),
-        posexplode(split(dropMachinery(htmlCol), "</div>")).as(Seq("pos", "block")))
-      .select(col("doc_id"), col("pos"),
-        trim(regexp_replace(
-          regexp_replace(col("block"), "<[^>]*>", " "), "\\s+", " ")).as("btxt"),
-        length(array_join(
-          regexp_extract_all(col("block"), lit("(?s)<a [^>]*>(.*?)</a>"), lit(1)), "")).as("link_chars"))
-      .withColumn("keep",
-        col("btxt") =!= "" &&
-          lit(DensityNum) * col("link_chars") <= lit(DensityDen) * length(col("btxt")))
-    blocks
-      .groupBy("doc_id")
-      .agg(
-        // collect_list skips the null the un-kept branch produces;
-        // array_sort on (pos, btxt) structs restores document order —
-        // no window, plain hash agg
-        array_join(
-          transform(
-            array_sort(collect_list(when(col("keep"),
-              struct(col("pos"), col("btxt"))))),
-            x => x("btxt")),
-          " ").as("clean_text"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(!col("keep") && col("btxt") =!= "", 1L).otherwise(0L)).as("n_dropped"),
-        sum(when(!col("keep"), length(col("btxt"))).otherwise(0L)).as("boiler_chars"))
+    val parts = transform(
+      split(dropMachinery(htmlCol), "</div>"),
+      b => {
+        val btxt = trim(regexp_replace(
+          regexp_replace(b, "<[^>]*>", " "), "\\s+", " "))
+        val linkChars = length(array_join(
+          regexp_extract_all(b, lit("(?s)<a [^>]*>(.*?)</a>"), lit(1)), ""))
+        struct(
+          btxt.as("btxt"),
+          (btxt =!= "" &&
+            lit(DensityNum) * linkChars <= lit(DensityDen) * length(btxt)).as("keep"))
+      })
+    val kept = filter(parts, p => p.getField("keep"))
+    val dropped = filter(parts, p => !p.getField("keep"))
+    docs.select(
+      col("doc_id"),
+      array_join(transform(kept, p => p.getField("btxt")), " ").as("clean_text"),
+      size(kept).cast("long").as("n_kept"),
+      size(filter(dropped, p => p.getField("btxt") =!= "")).cast("long").as("n_dropped"),
+      aggregate(dropped, lit(0L),
+        (acc, p) => acc + length(p.getField("btxt"))).as("boiler_chars"))
   }
 
   /** The planted-markup corpus: `documents` wrapped in a deterministic

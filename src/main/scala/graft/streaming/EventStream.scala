@@ -783,6 +783,18 @@ object EventStream {
       VideoDedup.NumBands, VideoDedup.BandBits, threshold)
   }
 
+  /** Streaming HTML extraction (C60's continuous twin): the link-
+    * density extractor is regexp/split/explode expressions plus one
+    * doc_id-keyed agg whose groups are complete within a micro-batch
+    * (a doc's blocks all come from its one row), so the batch operator
+    * body runs UNCHANGED on a streaming (doc_id, html) frame — append
+    * mode, no watermark, no state. This is the first hop of a live
+    * crawl ingest: markup in, clean text out, feeding the quality/LM
+    * gates downstream.
+    */
+  def streamingHtmlExtract(pages: DataFrame): DataFrame =
+    graft.operators.Html.htmlExtract(pages, col("html"))
+
   /** Streaming quality gate (C53's continuous twin): the hashed linear
     * classifier is a pure zero-shuffle per-row projection, so the batch
     * operator body runs UNCHANGED on a streaming (doc_id, text) frame —

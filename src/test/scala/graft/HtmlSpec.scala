@@ -67,6 +67,31 @@ class HtmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!clean.contains("L1"), s"link-only block kept: $clean")
   }
 
+  test("streaming twin: markup pages stream through extraction statelessly, batch == stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val s = spark
+    val pages = Tables.documents(spark, sf).select("doc_id", "text").limit(6)
+      .select(col("doc_id"), graft.operators.Html.plantedHtml.as("html"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = pages.splitAt(3)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // append mode with NO watermark and NO foreachBatch: the extractor
+    // must be a stateless projection for this to even start
+    val q = graft.streaming.EventStream.streamingHtmlExtract(
+      in.toDF().toDF("doc_id", "html"))
+      .writeStream.format("memory").queryName("html_stream").outputMode("append").start()
+    in.addData(b1.toSeq); q.processAllAvailable()
+    in.addData(b2.toSeq); q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM html_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    q.stop()
+    val batch = graft.operators.Html.htmlExtract(
+      pages.toSeq.toDF("doc_id", "html"), col("html")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch, "streamed extraction must equal the batch operator row-for-row")
+  }
+
   test("composition: extracted text feeds qualityRules directly (the C23 consumer)") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val extracted = Html.htmlExtract(docs, Html.plantedHtml)

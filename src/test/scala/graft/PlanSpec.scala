@@ -482,6 +482,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"HLL outside 4-sigma bound: ${breaches.mkString(", ")}")
   }
 
+  test("q_html_extract: extraction is one shuffle-free projection riding the scan") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val p = plan("q_html_extract")
+    assert(p.collect { case e: Exchange => e }.isEmpty,
+      "HTML extraction must be pure per-row expressions — no Exchange anywhere")
+  }
+
   test("q16/q20: blacklist anti-join and dominance join keep part filters pushed") {
     for ((q, c) <- Seq("q16_supplier_counts" -> "p_size",
       "q20_promotion_suppliers" -> "p_name")) {
