@@ -755,6 +755,57 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Unicode NFC normalization — the canonical-composition pass every
+    * text pipeline runs before hashing/dedup (the same logical token
+    * arrives as `e`+U+0301 from one crawler and U+00E9 from another;
+    * unnormalized they fingerprint apart). Spark has no builtin; this
+    * wraps the JDK normalizer as a codegen'd unary expression so the
+    * pass stays inside whole-stage codegen with the other string
+    * cleanup. Fast path: `Normalizer.isNormalized` is a quick-check
+    * table scan (ASCII short-circuits immediately), so the already-
+    * normalized bulk of a real corpus never allocates — the input
+    * UTF8String passes through untouched.
+    *
+    * Semantics locked to the DuckDB oracle's `nfc_normalize`
+    * (utf8proc): canonical composition is frozen by the Unicode
+    * stability policy, so the JDK and utf8proc agree byte-for-byte on
+    * every assigned codepoint (CurationSpec pins composition,
+    * singletons like U+2126→U+03A9, idempotence, and eval==codegen).
+    */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == NullType || child.dataType.isInstanceOf[StringType])
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs string input")
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_nfc"
+
+    override def nullSafeEval(input: Any): Any = {
+      val u = input.asInstanceOf[UTF8String]
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val s = ctx.freshName("nfcStr")
+        s"""
+           |String $s = $c.toString();
+           |${ev.value} = java.text.Normalizer.isNormalized(
+           |    $s, java.text.Normalizer.Form.NFC)
+           |  ? $c
+           |  : org.apache.spark.unsafe.types.UTF8String.fromString(
+           |      java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column-level API
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.column(DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -780,4 +831,6 @@ object Exprs {
     ColumnBridge.column(Ngrams(ColumnBridge.expression(tokens), w))
   def bpeMerge(seg: Column, l: String, r: String): Column =
     ColumnBridge.column(BpeMergePair(ColumnBridge.expression(seg), l, r))
+  def nfc(s: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(s)))
 }

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exprs
+import graft.sources.Tables
+
+/** Corpus-hygiene operators a crawl-scale pipeline runs before any
+  * dedup or quality pass: Unicode normalization (C62) and URL/domain
+  * curation (C63).
+  *
+  * Both are upstream of the hash-dedup family on purpose — the SAME
+  * logical text arriving as precomposed vs combining-mark codepoints
+  * (or with zero-width/BOM litter from different crawlers) fingerprints
+  * apart in C1/C2/C3 unless this pass runs first, and per-domain caps
+  * are how production corpora (C4, RefinedWeb) stop one mega-site from
+  * dominating the token budget.
+  *
+  * The reference pipeline stores scraped profile text verbatim and has
+  * no normalization or domain layer (instagram_scraper.py hands raw
+  * fields to postgres); these lenses exist for the brief's LLM-pipeline
+  * surface, shaped like the rest of the curation family.
+  *
+  * All non-ASCII codepoints in this file are written as \u escapes —
+  * an invisible ZWSP in a source literal is exactly the bug this
+  * operator removes.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- C62
+
+  /** Characters the cleanup strips outright: zero-width space (U+200B),
+    * BOM / zero-width no-break space (U+FEFF), soft hyphen (U+00AD) —
+    * invisible litter that breaks tokenization and fingerprinting but
+    * carries no content.
+    */
+  val StripClass = "[\u200B\uFEFF\u00AD]"
+
+  /** Planted dirt: a deterministic per-doc suffix cycling through the
+    * classic normalization hazards — combining acute (e+U+0301 → é),
+    * combining ring above + NBSP (A+U+030A → Å), the OHM-sign singleton
+    * (U+2126 → U+03A9 Ω), combining diaeresis (o+U+0308 → ö) — each
+    * salted with an invisible (ZWSP / BOM / soft hyphen); every 5th doc
+    * stays clean so the `changed` flag exercises both values. Mirrored
+    * codepoint-for-codepoint by `chr()` concatenation in the oracle.
+    */
+  private[graft] def plantedDirty: Column = {
+    val m = pmod(col("doc_id"), lit(5L))
+    concat(
+      col("text"),
+      when(m === 0L, lit(" e\u0301\u200B"))
+        .when(m === 1L, lit(" A\u030A\u00A0x"))
+        .when(m === 2L, lit(" \u2126\u00AD"))
+        .when(m === 3L, lit(" o\u0308\uFEFF"))
+        .otherwise(lit("")))
+  }
+
+  /** C62: Unicode text normalization — strip invisibles (ZWSP/BOM/soft
+    * hyphen), map NBSP (U+00A0) to plain space, then NFC-compose via
+    * the native [[graft.functions.Exprs.NfcNormalize]] expression. One
+    * codegen'd projection, ZERO exchanges (PlanSpec pins it): at 100 TB
+    * this is scan throughput, and the identical body runs stateless on
+    * a stream ([[graft.streaming.EventStream.streamingTextNormalize]]).
+    *
+    * Output: (doc_id, norm_text, n_raw, n_norm, changed) — the length
+    * columns are code-point counts (Spark `length` == DuckDB `len`),
+    * so `changed` doubles as a cheap corpus-dirt-rate telemetry column.
+    */
+  def textNormalize(docs: DataFrame, dirty: Column): DataFrame = {
+    val stripped = regexp_replace(dirty, StripClass, "")
+    val spaced = translate(stripped, "\u00A0", " ")
+    val norm = Exprs.nfc(spaced)
+    docs.select(
+      col("doc_id"),
+      norm.as("norm_text"),
+      length(dirty).cast("long").as("n_raw"),
+      length(norm).cast("long").as("n_norm"),
+      (length(norm) < length(dirty)).as("changed"))
+  }
+
+  /** Oracle: identical strip/space/NFC pipeline in DuckDB —
+    * `nfc_normalize` is utf8proc's NFC, byte-identical to the JDK's on
+    * every assigned codepoint (canonical composition is frozen by the
+    * Unicode stability policy; CurationSpec pins the planted set); the
+    * strip class is built from the same codepoints via chr():
+    * 769=U+0301, 778=U+030A, 776=U+0308, 8486=U+2126, 8203=U+200B,
+    * 65279=U+FEFF, 173=U+00AD, 160=U+00A0.
+    */
+  def textNormalizeSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  text || CASE doc_id % 5
+      |    WHEN 0 THEN ' e' || chr(769) || chr(8203)
+      |    WHEN 1 THEN ' A' || chr(778) || chr(160) || 'x'
+      |    WHEN 2 THEN ' ' || chr(8486) || chr(173)
+      |    WHEN 3 THEN ' o' || chr(776) || chr(65279)
+      |    ELSE '' END AS dirty FROM documents),
+      |n AS (SELECT doc_id, dirty,
+      |  nfc_normalize(replace(regexp_replace(dirty,
+      |    '[' || chr(8203) || chr(65279) || chr(173) || ']', '', 'g'),
+      |    chr(160), ' ')) AS norm_text FROM d)
+      |SELECT doc_id, norm_text,
+      |  CAST(len(dirty) AS BIGINT) AS n_raw,
+      |  CAST(len(norm_text) AS BIGINT) AS n_norm,
+      |  len(norm_text) < len(dirty) AS changed
+      |FROM n""".stripMargin
+
+  // ---------------------------------------------------------------- C63
+
+  /** Per-host document cap. */
+  val HostCap = 3
+
+  /** The planted domain blocklist — in production a broadcast dim table
+    * of abuse/spam/opt-out domains; here a fixed triple so the anti-join
+    * path is exercised deterministically.
+    */
+  val Blocklist: Seq[String] =
+    Seq("src0-0.example.com", "src1-3.example.com", "src7-2.example.com")
+
+  /** Deterministic URL synthesis: `documents` carries no URL column, so
+    * the lens derives one from (source, doc_id) — ~7 hosts per source,
+    * several docs per host at every SF. Mirrored verbatim in SQL.
+    */
+  private[graft] def plantedUrl: Column =
+    concat(
+      lit("https://"), col("source"), lit("-"),
+      pmod(col("doc_id"), lit(7L)).cast("string"),
+      lit(".example.com/p/"), col("doc_id").cast("string"))
+
+  /** C63: URL/domain curation — extract the host, drop blocklisted
+    * domains, and keep at most [[HostCap]] docs per host (smallest
+    * doc_id first, the deterministic "first crawled wins" rule).
+    *
+    * Scale shape: the blocklist is a BROADCAST anti-join (a few
+    * thousand rows against the corpus — never a shuffle), and the cap
+    * is the bounded [[graft.functions.Exprs.MinKLong]] heap aggregate,
+    * NOT `row_number() OVER (PARTITION BY host)`: a mega-site with 10⁹
+    * pages costs K longs of aggregation state instead of an
+    * unsplittable 10⁹-row sort task, partials merge map-side, and the
+    * shuffle moves O(hosts·K) ids. Output: (doc_id, host, host_rank).
+    */
+  def urlHostCap(docs: DataFrame, cap: Int = HostCap): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withHost = docs.select(
+      col("doc_id"),
+      regexp_extract(plantedUrl, "^https://([^/]+)/", 1).as("host"))
+    val block = Blocklist.toDF("host")
+    withHost
+      .join(broadcast(block), Seq("host"), "left_anti")
+      .groupBy("host")
+      .agg(Exprs.minK(col("doc_id"), cap).as("ids"))
+      .select(col("host"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select(
+        col("doc_id"),
+        col("host"),
+        (col("pos") + 1).cast("long").as("host_rank"))
+  }
+
+  /** Oracle: same synthesis + host regex; the cap expressed as the
+    * row_number window DuckDB runs comfortably at test SF (the Spark
+    * side deliberately does NOT use that plan — see [[urlHostCap]]).
+    */
+  def urlHostCapSql: String = {
+    val blocked = Blocklist.map(h => s"'$h'").mkString(", ")
+    s"""WITH u AS (SELECT doc_id,
+       |  'https://' || source || '-' || CAST(doc_id % 7 AS VARCHAR) ||
+       |  '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+       |h AS (SELECT doc_id,
+       |  regexp_extract(url, '^https://([^/]+)/', 1) AS host FROM u
+       |  WHERE regexp_extract(url, '^https://([^/]+)/', 1) NOT IN ($blocked)),
+       |r AS (SELECT doc_id, host,
+       |  row_number() OVER (PARTITION BY host ORDER BY doc_id) AS host_rank FROM h)
+       |SELECT doc_id, host, CAST(host_rank AS BIGINT) AS host_rank
+       |FROM r WHERE host_rank <= $HostCap""".stripMargin
+  }
+
+  // ------------------------------------------------------------ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_normalize" -> ((s, d) =>
+      textNormalize(Tables.documents(s, d), plantedDirty)),
+    "q_url_host_cap" -> ((s, d) => urlHostCap(Tables.documents(s, d))))
+
+  def oracle: Map[String, String] = Map(
+    "q_text_normalize" -> textNormalizeSql,
+    "q_url_host_cap" -> urlHostCapSql)
+}

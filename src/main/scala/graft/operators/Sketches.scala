@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -147,15 +147,88 @@ object Sketches {
     }
   }
 
+  /** C64: Count-Min sketch token frequency — the third sketch of the
+    * frequency family (MG answers "which are heavy", HLL "how many
+    * distinct", CMS "how often is THIS one", point estimates over keys
+    * you didn't pre-declare). Depth×width counter grid: every token
+    * occurrence increments one bucket per hash row
+    * (`xxhash64(token, row) mod w`); the estimate for a probe is the
+    * MIN over its d cells.
+    *
+    * Scale shape: the sketch build is ONE map-side-combinable hash agg
+    * to at most d·w cells (16 KB of state here) regardless of corpus
+    * size — the entire reduce fits in a single broadcastable frame, so
+    * probing joins against a broadcast, never a shuffle of the corpus.
+    * The exact counts computed alongside are the test-SF baseline (the
+    * same convention as C31's exact columns): at 100 TB you keep ONLY
+    * the grid.
+    *
+    * Guarantees split exactly like C31: `cms_ge_exact` (no
+    * underestimates — every occurrence increments all d probe cells) is
+    * deterministic and oracle-checked as TRUE; the ε-overshoot bound
+    * (est ≤ exact + e/w·N at confidence 1−e^{−d}) is probabilistic, so
+    * `cms_within_eps` is spec-only (CurationSpec) and dropped from the
+    * registered query.
+    */
+  def cmsTopkTokens(
+      documents: DataFrame,
+      depth: Int = 4,
+      width: Int = 1024,
+      topK: Int = 20): DataFrame = {
+    val toks = documents.select(explode(split(col("text"), " ")).as("token"))
+    def cells(tok: Column): Column = array((0 until depth).map { r =>
+      struct(lit(r).as("r"), pmod(xxhash64(tok, lit(r)), lit(width.toLong)).as("b"))
+    }: _*)
+    val grid = toks
+      .select(explode(cells(col("token"))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cell_cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val probes = toks
+      .groupBy("token")
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token").asc)
+      .limit(topK)
+    probes
+      .select(col("token"), col("exact_cnt"), explode(cells(col("token"))).as("rb"))
+      .select(col("token"), col("exact_cnt"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(grid), Seq("r", "b"))
+      .groupBy("token", "exact_cnt")
+      .agg(min(col("cell_cnt")).as("cms_est"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("token"), col("exact_cnt"),
+        (col("cms_est") >= col("exact_cnt")).as("cms_ge_exact"),
+        (col("cms_est").cast("double") <= col("exact_cnt").cast("double")
+          + lit(math.E / width) * col("n_total").cast("double"))
+          .as("cms_within_eps"))
+  }
+
+  /** Oracle: the exact top-K token counts (count desc, token asc — the
+    * same deterministic total order as the Spark side's
+    * TakeOrderedAndProject) plus the hard no-underestimate guarantee
+    * as TRUE; the probabilistic ε bound is spec-only.
+    */
+  def cmsTopkTokensSql(topK: Int = 20): String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |c AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY token),
+       |r AS (SELECT token, exact_cnt,
+       |  row_number() OVER (ORDER BY exact_cnt DESC, token) AS rn FROM c)
+       |SELECT token, exact_cnt, TRUE AS cms_ge_exact
+       |FROM r WHERE rn <= $topK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact columns only: the probabilistic HLL bound is spec-only
     "q_approx_distinct" -> ((s, d) =>
       approxDistinctTokens(Tables.documents(s, d)).drop("hll_within_bound")),
+    "q_cms_topk" -> ((s, d) =>
+      cmsTopkTokens(Tables.documents(s, d)).drop("cms_within_eps")),
     "q_approx_quantiles" -> ((s, d) => approxOrderQuantiles(Tables.orders(s, d))),
     "q_dedup_incremental_bloom" -> ((s, d) => dedupIncrementalBloom(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_approx_distinct" -> approxDistinctTokensSql,
+    "q_cms_topk" -> cmsTopkTokensSql(),
     "q_approx_quantiles" -> approxOrderQuantilesSql,
     // same oracle as q_dedup_incremental on purpose: the Bloom path must
     // be exactly the anti-join result (no false negatives)

@@ -795,6 +795,17 @@ object EventStream {
   def streamingHtmlExtract(pages: DataFrame): DataFrame =
     graft.operators.Html.htmlExtract(pages, col("html"))
 
+  /** Streaming Unicode normalization (C62's continuous twin): the
+    * strip/NBSP/NFC pass is one codegen'd per-row projection — zero
+    * state, zero shuffle — so the batch operator body runs UNCHANGED on
+    * a streaming (doc_id, text) frame in append mode with no watermark.
+    * In a live crawl it sits between HTML extraction and the
+    * fingerprint/dedup hops, so the same logical text always hashes
+    * identically no matter which crawler encoding produced it.
+    */
+  def streamingTextNormalize(docs: DataFrame): DataFrame =
+    graft.operators.Curation.textNormalize(docs, col("text"))
+
   /** Streaming quality gate (C53's continuous twin): the hashed linear
     * classifier is a pure zero-shuffle per-row projection, so the batch
     * operator body runs UNCHANGED on a streaming (doc_id, text) frame —

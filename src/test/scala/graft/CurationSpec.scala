@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Exprs
+import graft.operators.{Curation, Sketches}
+import graft.sources.Tables
+
+/** C62 text normalization, C63 URL/domain curation, C64 count-min
+  * sketch: correctness of the NFC kernel (incl. the JDK↔utf8proc
+  * equivalence assumptions the oracle leans on), the per-host cap and
+  * blocklist semantics, and the CMS error contract that is deliberately
+  * NOT in the registered oracle (probabilistic ε bound, C31 convention).
+  */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def nfcOf(input: String): String = {
+    val s = spark
+    import s.implicits._
+    Seq(input).toDF("s").select(Exprs.nfc(col("s")).as("n"))
+      .collect()(0).getString(0)
+  }
+
+  test("NFC composes combining sequences and singletons to the canonical forms") {
+    // e + U+0301 -> U+00E9; A + U+030A -> U+00C5; OHM U+2126 -> U+03A9;
+    // o + U+0308 -> U+00F6 — the planted set, all stability-frozen.
+    assert(nfcOf("e\u0301") == "\u00E9")
+    assert(nfcOf("A\u030A") == "\u00C5")
+    assert(nfcOf("\u2126") == "\u03A9")
+    assert(nfcOf("o\u0308") == "\u00F6")
+    // already-NFC text (incl. non-ASCII and a supplementary-plane char)
+    // passes through byte-identically
+    val clean = "caf\u00E9 \uD83D\uDE00 plain ascii"
+    assert(nfcOf(clean) == clean)
+  }
+
+  test("NFC is idempotent and matches java.text.Normalizer on mixed text") {
+    val mixed = "a\u0301b\u0308 \u2126 x\uFB01 e\u0301\u0301"
+    val once = nfcOf(mixed)
+    assert(nfcOf(once) == once, "nfc(nfc(x)) == nfc(x)")
+    assert(once ==
+      java.text.Normalizer.normalize(mixed, java.text.Normalizer.Form.NFC))
+  }
+
+  test("NFC interpreted eval and whole-stage codegen agree") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq("e\u0301", "A\u030A zwsp\u200B", "plain", "\u2126\u2126")
+      .toDF("s")
+    val viaCodegen = rows.select(Exprs.nfc(col("s"))).collect().map(_.getString(0))
+    val viaEval = rows.collect().map { r =>
+      Exprs.NfcNormalize(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
+        .eval(null).toString
+    }
+    assert(viaCodegen.toSeq == viaEval.toSeq)
+  }
+
+  test("textNormalize strips invisibles, maps NBSP, composes, and flags changed") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.textNormalize(docs, Curation.plantedDirty).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val norm = r.getAs[String]("norm_text")
+      val changed = r.getAs[Boolean]("changed")
+      assert(!norm.exists(c => c == '\u200B' || c == '\uFEFF' || c == '\u00AD' || c == '\u00A0'),
+        s"doc $id: invisible/NBSP survived")
+      assert(java.text.Normalizer.isNormalized(norm, java.text.Normalizer.Form.NFC),
+        s"doc $id: output not NFC")
+      val expectChanged = id % 5 != 4
+      assert(changed == expectChanged, s"doc $id: changed flag")
+      (id % 5) match {
+        case 0 => assert(norm.endsWith(" \u00E9"), s"doc $id: composed e-acute")
+        case 1 => assert(norm.endsWith(" \u00C5 x"), s"doc $id: ring + NBSP->space")
+        case 2 => assert(norm.endsWith(" \u03A9"), s"doc $id: ohm singleton")
+        case 3 => assert(norm.endsWith(" \u00F6"), s"doc $id: composed o-umlaut")
+        case _ => assert(r.getAs[Long]("n_raw") == r.getAs[Long]("n_norm"))
+      }
+    }
+  }
+
+  test("urlHostCap: no blocked hosts, at most K per host, smallest ids, correct ranks") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.urlHostCap(docs).collect()
+    assert(out.nonEmpty)
+    val byHost = out.groupBy(_.getAs[String]("host"))
+    byHost.foreach { case (host, rows) =>
+      assert(!Curation.Blocklist.contains(host), s"blocked host $host survived")
+      assert(rows.length <= Curation.HostCap, s"$host over cap")
+      val ranks = rows.map(_.getAs[Long]("host_rank")).sorted
+      assert(ranks.toSeq == (1L to rows.length).toSeq, s"$host ranks not 1..n")
+      // rank order == doc_id order (first-crawled-wins)
+      val byRank = rows.sortBy(_.getAs[Long]("host_rank")).map(_.getAs[Long]("doc_id"))
+      assert(byRank.toSeq == byRank.sorted.toSeq, s"$host rank/doc_id order")
+    }
+    // the kept ids per host are exactly the K smallest of that host's docs
+    val all = docs.select(col("doc_id"),
+        regexp_extract(Curation.plantedUrl, "^https://([^/]+)/", 1).as("host"))
+      .collect().groupBy(_.getAs[String]("host"))
+    byHost.foreach { case (host, rows) =>
+      val expect = all(host).map(_.getAs[Long]("doc_id")).sorted.take(Curation.HostCap)
+      assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == expect.toSeq,
+        s"$host: kept set is not the K smallest")
+    }
+  }
+
+  test("CMS never underestimates and lands within the e/w * N envelope") {
+    val docs = Tables.documents(spark, sf)
+    val out = Sketches.cmsTopkTokens(docs).collect()
+    assert(out.length > 0 && out.length <= 20)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("cms_ge_exact"),
+        s"token ${r.getAs[String]("token")}: CMS underestimated (impossible)")
+      assert(r.getAs[Boolean]("cms_within_eps"),
+        s"token ${r.getAs[String]("token")}: CMS above the eps envelope")
+    }
+  }
+
+  test("streaming twin: dirty docs normalize statelessly, batch == stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // planted dirt rides on text, so synthesize from (doc_id, text) rows
+    val dirty = Tables.documents(spark, sf)
+      .select(col("doc_id"), Curation.plantedDirty.as("text")).limit(6)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = dirty.splitAt(3)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // append mode, NO watermark, NO foreachBatch: stateless projection
+    val q = graft.streaming.EventStream.streamingTextNormalize(
+      in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("norm_stream").outputMode("append").start()
+    in.addData(b1.toSeq); q.processAllAvailable()
+    in.addData(b2.toSeq); q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM norm_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    q.stop()
+    val batch = Curation.textNormalize(
+      dirty.toSeq.toDF("doc_id", "text"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(streamed == batch, "streamed normalization must equal the batch operator")
+  }
+
+  test("composition: normalized text feeds the exact-dedup fingerprint (the C1 consumer)") {
+    val s = spark
+    import s.implicits._
+    // two encodings of the same logical doc: decomposed+littered vs clean NFC
+    val pairs = Seq(
+      (1L, "caf" + "e\u0301" + "\u200B" + " menu"),
+      (2L, "caf\u00E9 menu"))
+      .toDF("doc_id", "text")
+    val norm = Curation.textNormalize(pairs, col("text"))
+      .select(col("doc_id"), col("norm_text").as("text"))
+    val fps = norm.select(md5(col("text")).as("fp")).distinct().count()
+    assert(fps == 1L, "normalization must make the two encodings fingerprint together")
+  }
+
+  test("CMS probes are the exact top-K by (count desc, token asc)") {
+    val docs = Tables.documents(spark, sf)
+    val got = Sketches.cmsTopkTokens(docs)
+      .select("token", "exact_cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val expect = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expect)
+  }
+}

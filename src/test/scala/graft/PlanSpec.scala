@@ -489,6 +489,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "HTML extraction must be pure per-row expressions — no Exchange anywhere")
   }
 
+  test("q_text_normalize: strip/NBSP/NFC is one shuffle-free codegen projection") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val p = plan("q_text_normalize")
+    assert(p.collect { case e: Exchange => e }.isEmpty,
+      "normalization must be pure per-row expressions — no Exchange anywhere")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }.nonEmpty,
+      "the NFC expression must stay inside whole-stage codegen")
+  }
+
+  test("q_url_host_cap: broadcast blocklist, bounded heap cap, no window") {
+    val p = plan("q_url_host_cap")
+    assert(p.collect { case b: BroadcastExchangeLike => b }.nonEmpty,
+      "blocklist anti-join must broadcast the blocklist")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "per-host cap must be the MinKLong heap aggregate, not a rank window")
+  }
+
+  test("q_cms_topk: grid + total are broadcast; probes via TakeOrderedAndProject") {
+    val p = plan("q_cms_topk")
+    assert(p.collect { case b: BroadcastExchangeLike => b }.size >= 2,
+      "the d*w cell grid and the total must both broadcast to the probes")
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      "top-K probe selection must be TakeOrderedAndProject, not sort-all")
+  }
+
   test("q16/q20: blacklist anti-join and dominance join keep part filters pushed") {
     for ((q, c) <- Seq("q16_supplier_counts" -> "p_size",
       "q20_promotion_suppliers" -> "p_name")) {
