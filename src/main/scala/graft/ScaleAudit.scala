@@ -86,7 +86,12 @@ object ScaleAudit {
     // aggs ((label,dim) / (i,j) / the 64-row moment slice) that must
     // not grow output with the corpus
     "q_label_centroids", "q_gram_matrix", "q_embed_outliers",
-    "q_rate_spikes")
+    "q_rate_spikes",
+    // round-8 additions: the curation front door (normalize must stay a
+    // shuffle-free scan rider), the domain cap (bounded heap must not
+    // regress to a per-host window), and the CMS grid (constant-size
+    // sketch must keep broadcasting however big the corpus)
+    "q_text_normalize", "q_url_host_cap", "q_cms_topk")
 
   def buildScaled(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
     // events.ts stays a raw nanos long end-to-end: the flag reads the
@@ -187,6 +192,34 @@ object ScaleAudit {
       // sneaking back in would sort every candidate per user at scale
       if (plan.contains("Window")) {
         bad += 1; println("[scale] FAIL q_friend_recs: rank window replaced the bounded heap")
+      }
+    }
+    results.find(_._1 == "q_text_normalize").foreach { case (_, _, _, plan) =>
+      // normalization's whole value is riding the scan: any Exchange at
+      // 10x means the projection grew a shuffle
+      if (plan.contains("Exchange")) {
+        bad += 1; println("[scale] FAIL q_text_normalize: normalization no longer shuffle-free")
+      }
+    }
+    results.find(_._1 == "q_url_host_cap").foreach { case (_, _, _, plan) =>
+      // the per-host cap must stay the MinKLong heap (a rank window
+      // would sort a mega-host's full page list in one task) and the
+      // blocklist must stay a broadcast anti-join
+      if (plan.contains("WindowExec") || "\\bWindow\\b".r.findFirstIn(plan).isDefined) {
+        bad += 1; println("[scale] FAIL q_url_host_cap: rank window replaced the bounded heap")
+      }
+      if (!plan.contains("BroadcastHashJoin")) {
+        bad += 1; println("[scale] FAIL q_url_host_cap: blocklist anti-join no longer broadcasts")
+      }
+    }
+    results.find(_._1 == "q_cms_topk").foreach { case (_, _, _, plan) =>
+      // probe selection must stay TakeOrderedAndProject; the sketch grid
+      // must keep broadcasting (it is constant-size by construction)
+      if (!plan.contains("TakeOrderedAndProject")) {
+        bad += 1; println("[scale] FAIL q_cms_topk: probe top-k lost TakeOrderedAndProject")
+      }
+      if ("BroadcastExchange".r.findAllIn(plan).size < 2) {
+        bad += 1; println("[scale] FAIL q_cms_topk: grid/total no longer broadcast to the probes")
       }
     }
     // The two CC engines (O(diameter) min-label vs O(log n) star
