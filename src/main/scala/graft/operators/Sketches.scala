@@ -170,15 +170,22 @@ object Sketches {
     * `cms_within_eps` is spec-only (CurationSpec) and dropped from the
     * registered query.
     */
+  /** The d cells a token increments: struct(row, xxhash64(token, row)
+    * mod w) per hash row. Shared by the batch sketch and the streaming
+    * grid mirror so the two can never hash apart.
+    */
+  private[graft] def cmsCells(tok: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { r =>
+      struct(lit(r).as("r"), pmod(xxhash64(tok, lit(r)), lit(width.toLong)).as("b"))
+    }: _*)
+
   def cmsTopkTokens(
       documents: DataFrame,
       depth: Int = 4,
       width: Int = 1024,
       topK: Int = 20): DataFrame = {
     val toks = documents.select(explode(split(col("text"), " ")).as("token"))
-    def cells(tok: Column): Column = array((0 until depth).map { r =>
-      struct(lit(r).as("r"), pmod(xxhash64(tok, lit(r)), lit(width.toLong)).as("b"))
-    }: _*)
+    def cells(tok: Column): Column = cmsCells(tok, depth, width)
     val grid = toks
       .select(explode(cells(col("token"))).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))

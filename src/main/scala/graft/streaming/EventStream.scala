@@ -432,6 +432,24 @@ object EventStream {
         count(lit(1)).as("n"),
         expr(s"approx_percentile(o_totalprice, array(0.5, 0.9), $accuracy)").as("ap"))
 
+  /** Streaming twin of [[graft.operators.Sketches.cmsTopkTokens]]'s
+    * counter grid (C64): the Count-Min grid as a stateful streaming
+    * aggregation in complete mode. State is at most depth·width cells
+    * (16 KB at the defaults) — bounded for an unbounded stream, like
+    * the MG and HLL twins — and cell increments are plain commutative
+    * sums, so after the same rows the streaming grid is BIT-IDENTICAL
+    * to the batch grid (the equivalence test asserts exact equality).
+    * Point-frequency serving is then `min` over a probe's d cells
+    * against this grid, exactly as in batch.
+    */
+  def streamingCmsGrid(docs: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .select(explode(
+        graft.operators.Sketches.cmsCells(col("token"), depth, width)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cell_cnt"))
+
   /** Streaming twin of [[graft.operators.TextOps.lineDedup]] (C45):
     * boilerplate-line stripping over a document stream. Per micro-batch,
     * the batch's line frequencies MERGE into a persistent parquet index

@@ -182,6 +182,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("EQUIVALENCE: streaming CMS grid == batch grid bit-for-bit after the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.streamingCmsGrid(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("scms").outputMode("complete").start()
+    in.addData(b1.toIndexedSeq); q.processAllAvailable()
+    in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    val streamed = spark.sql("SELECT r, b, cell_cnt FROM scms").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    // cell increments are commutative sums: exact equality, like the HLL twin
+    val batch = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .select(explode(graft.operators.Sketches.cmsCells(col("token"), 4, 1024)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cell_cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, "streaming CMS grid must equal the batch grid")
+    assert(streamed.size <= 4 * 1024, "grid state must stay depth*width-bounded")
+  }
+
   test("EQUIVALENCE: streaming quantile summaries sit inside the batch exact windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
