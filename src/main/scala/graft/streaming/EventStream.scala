@@ -25,6 +25,8 @@ object EventStream {
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_us: Long,
                         start_us: Long)
 
+  case class HostCapOut(doc_id: Long, host: String, host_rank: Long)
+
   /** Event time in exact microseconds from the timestamp's FULL
     * precision — `getTime` alone is millisecond-truncated, which would
     * make streaming session boundaries/durations diverge from the batch
@@ -823,6 +825,46 @@ object EventStream {
     */
   def streamingTextNormalize(docs: DataFrame): DataFrame =
     graft.operators.Curation.textNormalize(docs, col("text"))
+
+  /** Streaming per-host document cap (C63's continuous twin — the crawl
+    * FRONTIER admission rule): accept an arriving (doc_id, host) only
+    * while its host has accepted fewer than `cap` docs so far, emitting
+    * the admitted doc with its per-host rank. State per host is ONE
+    * long (the running accepted count, capped — it stops changing once
+    * full), so the state store is bounded by the host universe, never
+    * by crawl volume, and hot mega-hosts cost exactly the same 8 bytes
+    * as cold ones.
+    *
+    * Semantics are first-ARRIVED-wins — the true frontier rule on a
+    * live crawl. The batch operator's smallest-doc_id rule is the same
+    * decision under doc_id-ordered arrival (ties within a micro-batch
+    * are broken by doc_id for determinism), which is exactly what the
+    * equivalence test feeds; under out-of-order arrival the two
+    * legitimately differ, like any as-of vs processing-time pair.
+    */
+  def streamingHostCap(
+      docs: Dataset[(Long, String)],
+      cap: Int = graft.operators.Curation.HostCap)(
+      implicit spark: SparkSession): Dataset[HostCapOut] = {
+    import spark.implicits._
+    docs
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (host: String, batch: Iterator[(Long, String)], state: GroupState[Long]) => {
+          var taken = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[HostCapOut]
+          // doc_id order within the batch: deterministic regardless of
+          // partition-internal row order
+          batch.map(_._1).toSeq.sorted.foreach { id =>
+            if (taken < cap) {
+              taken += 1
+              out += HostCapOut(id, host, taken)
+            }
+          }
+          state.update(taken)
+          out.result().iterator
+        })
+  }
 
   /** Streaming quality gate (C53's continuous twin): the hashed linear
     * classifier is a pure zero-shuffle per-row projection, so the batch

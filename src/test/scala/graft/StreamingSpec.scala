@@ -182,6 +182,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("EQUIVALENCE: streaming host cap under ordered arrival == batch cap; first-arrived wins across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import s.implicits._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val withHost = docs.select(col("doc_id"),
+        regexp_extract(graft.operators.Curation.plantedUrl,
+          "^https://([^/]+)/", 1).as("host"))
+      .filter(!col("host").isin(graft.operators.Curation.Blocklist: _*))
+      .as[(Long, String)].collect().sortBy(_._1)
+    // one doc_id-ordered batch: the frontier rule == the batch smallest-id rule
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.streamingHostCap(in.toDS())
+      .writeStream.format("memory").queryName("shc").outputMode("append").start()
+    in.addData(withHost.toIndexedSeq); q.processAllAvailable()
+    val afterB1 = spark.sql("SELECT doc_id, host, host_rank FROM shc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.Curation.urlHostCap(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("host"), r.getAs[Long]("host_rank")))
+      .toSet
+    assert(afterB1 == batch, "ordered-arrival streaming cap must equal the batch cap")
+    // batch 2: smaller doc_ids for already-full hosts must NOT displace
+    // earlier admissions (first-arrived-wins), so nothing new is emitted
+    // for full hosts
+    val fullHosts = afterB1.groupBy(_._2).filter(_._2.size >= graft.operators.Curation.HostCap)
+      .keySet
+    assert(fullHosts.nonEmpty, "test corpus must fill at least one host")
+    val replays = fullHosts.take(3).map(h => (-1L, h)).toSeq
+    in.addData(replays.toIndexedSeq); q.processAllAvailable()
+    val afterB2 = spark.sql("SELECT doc_id, host, host_rank FROM shc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(afterB2 == afterB1, "late arrivals must not displace admitted docs of a full host")
+  }
+
   test("EQUIVALENCE: streaming CMS grid == batch grid bit-for-bit after the same rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
