@@ -139,13 +139,17 @@ object Curation {
     * unsplittable 10⁹-row sort task, partials merge map-side, and the
     * shuffle moves O(hosts·K) ids. Output: (doc_id, host, host_rank).
     */
-  def urlHostCap(docs: DataFrame, cap: Int = HostCap): DataFrame = {
-    val spark = docs.sparkSession
+  /** The reusable core over any (doc_id, host) frame: broadcast
+    * blocklist anti-join, then the bounded-heap per-host cap. The
+    * registered query wraps it with the planted URL synthesis.
+    */
+  def hostCap(
+      withHost: DataFrame,
+      blocklist: Seq[String] = Blocklist,
+      cap: Int = HostCap): DataFrame = {
+    val spark = withHost.sparkSession
     import spark.implicits._
-    val withHost = docs.select(
-      col("doc_id"),
-      regexp_extract(plantedUrl, "^https://([^/]+)/", 1).as("host"))
-    val block = Blocklist.toDF("host")
+    val block = blocklist.toDF("host")
     withHost
       .join(broadcast(block), Seq("host"), "left_anti")
       .groupBy("host")
@@ -156,6 +160,13 @@ object Curation {
         col("host"),
         (col("pos") + 1).cast("long").as("host_rank"))
   }
+
+  def urlHostCap(docs: DataFrame, cap: Int = HostCap): DataFrame =
+    hostCap(
+      docs.select(
+        col("doc_id"),
+        regexp_extract(plantedUrl, "^https://([^/]+)/", 1).as("host")),
+      Blocklist, cap)
 
   /** Oracle: same synthesis + host regex; the cap expressed as the
     * row_number window DuckDB runs comfortably at test SF (the Spark

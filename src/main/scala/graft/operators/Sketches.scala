@@ -179,29 +179,47 @@ object Sketches {
       struct(lit(r).as("r"), pmod(xxhash64(tok, lit(r)), lit(width.toLong)).as("b"))
     }: _*)
 
+  /** Build the Count-Min counter grid over a `token` column: one
+    * map-side-combinable hash agg to ≤ depth·width (r, b, cell_cnt)
+    * rows. The reusable serve pair: build the grid once over the
+    * corpus, then [[cmsEstimate]] any probe set against it.
+    */
+  def cmsGrid(toks: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame =
+    toks
+      .select(explode(cmsCells(col("token"), depth, width)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cell_cnt"))
+
+  /** Point-frequency estimates for a `token` probe frame against a
+    * committed grid: min over each probe's d cells, via a broadcast of
+    * the constant-size grid — never a corpus shuffle.
+    */
+  def cmsEstimate(
+      grid: DataFrame,
+      probes: DataFrame,
+      depth: Int = 4,
+      width: Int = 1024): DataFrame =
+    probes
+      .withColumn("rb", explode(cmsCells(col("token"), depth, width)))
+      .withColumn("r", col("rb.r")).withColumn("b", col("rb.b")).drop("rb")
+      .join(broadcast(grid), Seq("r", "b"))
+      .groupBy(probes.columns.map(col).toIndexedSeq: _*)
+      .agg(min(col("cell_cnt")).as("cms_est"))
+
   def cmsTopkTokens(
       documents: DataFrame,
       depth: Int = 4,
       width: Int = 1024,
       topK: Int = 20): DataFrame = {
     val toks = documents.select(explode(split(col("text"), " ")).as("token"))
-    def cells(tok: Column): Column = cmsCells(tok, depth, width)
-    val grid = toks
-      .select(explode(cells(col("token"))).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-      .agg(count(lit(1)).as("cell_cnt"))
+    val grid = cmsGrid(toks, depth, width)
     val total = toks.agg(count(lit(1)).as("n_total"))
     val probes = toks
       .groupBy("token")
       .agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("token").asc)
       .limit(topK)
-    probes
-      .select(col("token"), col("exact_cnt"), explode(cells(col("token"))).as("rb"))
-      .select(col("token"), col("exact_cnt"), col("rb.r").as("r"), col("rb.b").as("b"))
-      .join(broadcast(grid), Seq("r", "b"))
-      .groupBy("token", "exact_cnt")
-      .agg(min(col("cell_cnt")).as("cms_est"))
+    cmsEstimate(grid, probes, depth, width)
       .crossJoin(broadcast(total))
       .select(
         col("token"), col("exact_cnt"),

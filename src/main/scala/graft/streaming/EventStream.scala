@@ -445,12 +445,8 @@ object EventStream {
     * against this grid, exactly as in batch.
     */
   def streamingCmsGrid(docs: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame =
-    docs
-      .select(explode(split(col("text"), " ")).as("token"))
-      .select(explode(
-        graft.operators.Sketches.cmsCells(col("token"), depth, width)).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-      .agg(count(lit(1)).as("cell_cnt"))
+    graft.operators.Sketches.cmsGrid(
+      docs.select(explode(split(col("text"), " ")).as("token")), depth, width)
 
   /** Streaming twin of [[graft.operators.TextOps.lineDedup]] (C45):
     * boilerplate-line stripping over a document stream. Per micro-batch,
