@@ -755,6 +755,114 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Whole-Gram aggregate: Σ qv·qvᵀ's upper triangle (dim·(dim+1)/2
+    * exact BIGINT cells) accumulated in ONE flat long buffer per
+    * partition — the per-partition outer-product + tree-reduce kernel
+    * the Gram computation needs at scale, replacing the
+    * explode-to-2080-structs-per-row formulation whose shuffle input
+    * grew 2080× with the corpus. Map-side partials are the full
+    * triangle (16 KB at dim=64), merge is elementwise add, and the
+    * shuffle moves one buffer per partition regardless of corpus size.
+    * eval emits (i, j, g) structs so the consumer's explode reproduces
+    * the exact rows (and types) of the old bounded-key hash agg — the
+    * DuckDB oracle is unchanged.
+    */
+  case class GramUpper(
+      child: Expression,
+      dim: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Long]]
+      with UnaryLike[Expression] {
+    require(dim >= 1, "graft_gram_upper: dim must be positive")
+    private val cells = dim * (dim + 1) / 2
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_gram_upper needs array<bigint> input, got ${child.dataType.catalogString}")
+    }
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("i", IntegerType, nullable = false),
+        StructField("j", IntegerType, nullable = false),
+        StructField("g", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_gram_upper"
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](cells)
+
+    override def update(
+        buf: Array[Long],
+        input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val arr = v.asInstanceOf[ArrayData]
+        require(arr.numElements() == dim,
+          s"graft_gram_upper: expected $dim components, got ${arr.numElements()}")
+        var idx = 0
+        var i = 0
+        while (i < dim) {
+          val qi = arr.getLong(i)
+          var j = i
+          while (j < dim) {
+            buf(idx) += qi * arr.getLong(j)
+            idx += 1
+            j += 1
+          }
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var k = 0
+      while (k < cells) { a(k) += b(k); k += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Long]): Any = {
+      val out = new Array[Any](cells)
+      var idx = 0
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) {
+          out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](i, j, buf(idx)))
+          idx += 1
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 * cells)
+      var k = 0
+      while (k < cells) { bb.putLong(buf(k)); k += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val buf = new Array[Long](cells)
+      var k = 0
+      while (k < cells) { buf(k) = bb.getLong; k += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): GramUpper =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): GramUpper =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): GramUpper =
+      copy(child = newChild)
+  }
+
   /** Unicode NFC normalization — the canonical-composition pass every
     * text pipeline runs before hashing/dedup (the same logical token
     * arrives as `e`+U+0301 from one crawler and U+00E9 from another;
@@ -833,4 +941,7 @@ object Exprs {
     ColumnBridge.column(BpeMergePair(ColumnBridge.expression(seg), l, r))
   def nfc(s: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(s)))
+  def gramUpper(qv: Column, dim: Int): Column =
+    ColumnBridge.column(
+      GramUpper(ColumnBridge.expression(qv), dim).toAggregateExpression())
 }

@@ -997,6 +997,12 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val diag = g.filter(col("i") === col("j")).agg(sum("g")).head().getLong(0)
     val norms = Embeddings.quantized(emb).agg(sum("nrm")).head().getLong(0)
     assert(diag == norms, "trace of Sigma xx^T must equal the summed squared norms")
+    // the one-buffer GramUpper kernel must reproduce the builtin
+    // explode+hash-agg formulation cell-for-cell (its executable spec)
+    val builtin = Embeddings.gramMatrixBuiltin(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val native = g.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(native == builtin, "GramUpper must equal the builtin Gram cell-for-cell")
     g.unpersist()
   }
 
