@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftCache
+import graft.sources.Tables
+
+/** DSIR-style data selection via hashed-ngram importance weights
+  * (SURVEY.md §2 C65) — the published importance-resampling recipe for
+  * picking pretraining data that LOOKS LIKE a trusted target corpus
+  * (Xie et al., "Data Selection for Language Models via Importance
+  * Resampling", NeurIPS 2023): estimate a target distribution p and a
+  * raw-pool distribution q over HASHED n-gram buckets, weight every raw
+  * document by its target/raw likelihood ratio, and keep/resample the
+  * high-weight tail. Between the static heuristics (C9/C23) and the
+  * trained classifier (C53), this is the third selection family a
+  * production pipeline runs: distribution matching.
+  *
+  * Reference domain: the reference pipeline has no selection layer at
+  * all (it stores every scraped caption verbatim); this lens exists for
+  * the brief's LLM-pipeline surface, shaped like the rest of the
+  * curation family.
+  *
+  * Deterministic re-expression (the C48/C55 fixed-point trade): the
+  * paper's per-feature log-ratio sum Σ c·(log p̂ − log q̂) is replaced by
+  * the fixed-point LIKELIHOOD-RATIO sum Σ ⌊Scale·p̂/q̂⌋ per feature —
+  * transcendental logs are not bit-reproducible across engines, while
+  * integer floor division is, and the ratio keeps the property a
+  * selection gate actually consumes: target-like buckets score high,
+  * raw-typical buckets score ≈Scale, never-in-target buckets score low.
+  * Laplace (+1 per bucket) smoothing on both sides, exactly as in the
+  * paper's hashed generative model.
+  *
+  * Exactness: the per-bucket ratio lr(b) = ⌊Scale·(ct+1)·(Nr+B) /
+  * ((cr+1)·(Nt+B))⌋ is computed in UNBOUNDED integers (BigInt on the
+  * driver from the collected 64-row count table; HUGEINT in the DuckDB
+  * oracle), so the two engines agree bit-for-bit with no overflow at
+  * any corpus size. The lr VALUE is bounded by Scale·(Nr+B)/(Nt+B)
+  * (target ⊆ raw ⇒ cr ≥ ct): int64-safe for any raw/target ratio below
+  * ~10¹², i.e. any real corpus. A doc's score sum is ≤ n_feats·lr_max.
+  *
+  * Scale shape (the 100 TB story):
+  *  - TRAIN is one scan: explode features, hash to [[NumBuckets]]
+  *    buckets, ONE map-side-combinable hash agg to ≤64 (bucket) rows
+  *    carrying both the raw count and the conditional target count —
+  *    the model is a constant-size artifact like the k-means codebooks,
+  *    and the target pass rides the same scan as the raw pass (a
+  *    `sum(when(...))` conditional, not a second read).
+  *  - SCORE is ZERO-shuffle: the 64 ratios bake into an array literal
+  *    and each doc folds Σ lr(bucket(feat)) inside one codegen'd
+  *    `aggregate` lambda riding the parquet scan — the C53 shape; no
+  *    join, no explode, no per-feature rows at all.
+  *  - The keep gate compares against the corpus-mean weight via a
+  *    1-row broadcast — the B20 above-average pattern.
+  */
+object Dsir {
+
+  /** Hashed feature buckets. Deliberately small: bucket counts must be
+    * a broadcastable model artifact at ANY corpus size, and the paper's
+    * own ablations show coarse hashed models select well (collisions
+    * are the hashing trick's accepted noise, same trade as C53).
+    */
+  val NumBuckets = 64
+
+  /** Fixed-point scale for the likelihood ratio (10⁶ — the repo-wide
+    * C55/C48 convention). A raw-typical bucket scores ≈ Scale.
+    */
+  val Scale = 1000000L
+
+  /** The trusted target slice: src0's documents stand in for the
+    * curated high-quality corpus (Wikipedia/books in the paper). Any
+    * predicate works — the model only sees the resulting counts.
+    */
+  val TargetSource = "src0"
+
+  /** feature → bucket, engine-portable SQL (md5/instr/substr only),
+    * shared verbatim by the Spark lambda and the oracle. 'ds_' salts
+    * the hash domain away from C53's 'tk_' weights.
+    */
+  def bucketSql(feat: String): String =
+    s"(${TextOps.hexPrefixValSql(s"md5(concat('ds_', $feat))")} % $NumBuckets)"
+
+  /** Unigrams ++ '_'-joined bigrams of `text` — C53's feature family. */
+  private[graft] def featsCol: Column = {
+    val toks = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit("_"), b))
+    concat(toks, bigrams)
+  }
+
+  /** One-scan bucket count table: (bkt, cr, ct) with cr the raw-pool
+    * count and ct the target-slice count — ≤ [[NumBuckets]] rows.
+    */
+  def bucketCounts(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), explode(featsCol).as("feat"))
+      .select(expr(bucketSql("feat")).as("bkt"), col("source"))
+      .groupBy("bkt")
+      .agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("source") === TargetSource, 1L).otherwise(0L)).as("ct"))
+
+  /** Train the model: the 64 per-bucket fixed-point likelihood ratios,
+    * exact via BigInt (never overflows regardless of corpus size).
+    * Buckets no raw feature hashes into keep lr = 0 — they can never be
+    * looked up. A constant-size driver artifact, like the codebooks.
+    */
+  def lrTable(documents: DataFrame): Array[Long] = {
+    val counts = bucketCounts(documents).collect()
+      .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
+    val nr = BigInt(counts.valuesIterator.map(_._1).sum)
+    val nt = BigInt(counts.valuesIterator.map(_._2).sum)
+    val b = BigInt(NumBuckets)
+    (0 until NumBuckets).map { k =>
+      counts.get(k) match {
+        case None => 0L
+        case Some((cr, ct)) =>
+          val v = (BigInt(Scale) * (BigInt(ct) + 1) * (nr + b)) /
+            ((BigInt(cr) + 1) * (nt + b))
+          require(v.isValidLong, s"DSIR lr overflow at bucket $k: $v")
+          v.toLong
+      }
+    }.toArray
+  }
+
+  /** Score a (doc_id, text) frame against a TRAINED ratio table: pure
+    * zero-shuffle projection — the whole weight folds inside one
+    * codegen'd `aggregate` lambda over the feature array, so the scorer
+    * runs at scan throughput on batch AND streaming frames (the
+    * streaming gate reuses this body verbatim).
+    */
+  def scoreAgainst(documents: DataFrame, lr: Array[Long]): DataFrame = {
+    val arr = lr.mkString("array(", "L, ", "L)")
+    documents
+      .select(col("doc_id"), featsCol.as("feats"))
+      .select(
+        col("doc_id"),
+        size(col("feats")).cast("long").as("n_feats"),
+        expr(s"aggregate(feats, 0L, (acc, t) -> acc + element_at($arr, CAST(${bucketSql("t")} + 1 AS INT)))")
+          .as("dsir_fp"))
+  }
+
+  /** C65: (doc_id, n_feats, dsir_fp, keep) — hashed-ngram importance
+    * weight per doc plus the above-corpus-mean keep gate (the paper
+    * resamples ∝ weight; a deterministic oracle needs a fixed rule, and
+    * above-mean is the B20 pattern with exact integer floor-mean).
+    */
+  def dsirWeights(documents: DataFrame): DataFrame = {
+    val scored = GraftCache.persistTracked(scoreAgainst(documents, lrTable(documents)))
+    val stats = scored.agg(sum("dsir_fp").as("w_sum"), count(lit(1)).as("n_docs"))
+    scored
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"), col("n_feats"), col("dsir_fp"),
+        (col("dsir_fp") >= expr("w_sum div n_docs")).as("keep"))
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id, source, unnest(toks) AS feat FROM t
+       |  UNION ALL
+       |  SELECT doc_id, source, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || '_' || toks[i + 1])) AS feat
+       |  FROM t),
+       |fb AS (SELECT doc_id, source, ${bucketSql("feat")} AS bkt FROM f),
+       |bc AS (SELECT bkt, count(*) AS cr,
+       |         sum(CASE WHEN source = '$TargetSource' THEN 1 ELSE 0 END) AS ct
+       |       FROM fb GROUP BY 1),
+       |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bc),
+       |lr AS (SELECT bkt,
+       |         CAST((CAST($Scale AS HUGEINT) * (ct + 1) * (nr + $NumBuckets))
+       |              // (CAST(cr + 1 AS HUGEINT) * (nt + $NumBuckets)) AS BIGINT) AS lr
+       |       FROM bc, tot),
+       |sc AS (SELECT fb.doc_id, count(*) AS n_feats,
+       |         CAST(sum(lr.lr) AS BIGINT) AS dsir_fp
+       |       FROM fb JOIN lr USING (bkt) GROUP BY 1),
+       |st AS (SELECT sum(dsir_fp) AS w_sum, count(*) AS n_docs FROM sc)
+       |SELECT doc_id, n_feats, dsir_fp, dsir_fp >= (w_sum // n_docs) AS keep
+       |FROM sc, st""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights" -> ((s, d) => dsirWeights(Tables.documents(s, d))))
+
+  def oracle: Map[String, String] = Map(
+    "q_dsir_weights" -> dsirWeightsSql)
+}

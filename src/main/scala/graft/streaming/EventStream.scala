@@ -871,6 +871,21 @@ object EventStream {
   def streamingQualityGate(docs: DataFrame): DataFrame =
     graft.operators.Classify.qualityClassifier(docs)
 
+  /** Streaming DSIR gate (C65's continuous twin): arriving (doc_id,
+    * text) rows are importance-weighted against a COMMITTED ratio table
+    * (the batch [[graft.operators.Dsir.lrTable]] output — train once on
+    * the trusted target + raw pool, gate the live crawl continuously).
+    * The scorer is the batch body verbatim: the 64 ratios are plan
+    * literals and the weight folds inside one codegen'd `aggregate`
+    * lambda, so the gate is a stateless zero-shuffle projection —
+    * append mode, no watermark, no state. The keep rule compares
+    * against a FIXED threshold chosen offline (a stream cannot know the
+    * corpus mean; production picks the batch run's mean or a quantile).
+    */
+  def streamingDsirGate(docs: DataFrame, lr: Array[Long], keepMin: Long): DataFrame =
+    graft.operators.Dsir.scoreAgainst(docs, lr)
+      .withColumn("keep", col("dsir_fp") >= lit(keepMin))
+
   /** Streaming LM fluency gate (C55's continuous twin): incoming
     * (doc_id, text) rows are scored per micro-batch against a COMMITTED
     * bigram model (the batch [[graft.operators.Classify.lmTrain]]

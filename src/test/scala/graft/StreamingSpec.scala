@@ -890,6 +890,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("EQUIVALENCE: streaming DSIR gate against a committed ratio table == batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dsir
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    // ratio table trained offline on the full corpus; the stream scores a subset
+    val lr = Dsir.lrTable(docs)
+    val scoreDocs = docs.select("doc_id", "text").limit(80)
+    val batch = Dsir.scoreAgainst(scoreDocs, lr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val keepMin = batch.map(_._3).sum / batch.length // the batch run's floor mean
+    val rows: Seq[(Long, String)] = scoreDocs.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.streamingDsirGate(in.toDF().toDF("doc_id", "text"), lr, keepMin)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_stream").start()
+    in.addData(rows.take(30)); q.processAllAvailable()
+    in.addData(rows.drop(30)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsir_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sorted
+    assert(streamed.length == 80)
+    assert(streamed.map(t => (t._1, t._2, t._3)).toSeq == batch.toSeq)
+    streamed.foreach(t => assert(t._4 == (t._3 >= keepMin)))
+  }
+
   test("EQUIVALENCE: streaming LM gate against a committed model == batch scorer") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
