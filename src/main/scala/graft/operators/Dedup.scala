@@ -87,11 +87,21 @@ object Dedup {
     * materializes the occupancy pass once.
     */
   def minhashBandsCapped(sig: DataFrame): DataFrame =
-    minhashBands(sig)
+    capBands(minhashBands(sig))
+      .transform(GraftCache.persistTracked)
+
+  /** The occupancy filter alone, over an existing (doc_id, b, band_key)
+    * frame — the build-time path computes bands first ([[minhashBands]]),
+    * while the committed-index serve path ([[DedupIndex]]) re-caps the
+    * PERSISTED band table against its current occupancy (the cap must
+    * reflect the corpus as merged, not as first written, or incremental
+    * extends would drift from a fresh rebuild).
+    */
+  def capBands(bands: DataFrame): DataFrame =
+    bands
       .withColumn("occ", count(lit(1)).over(Window.partitionBy("b", "band_key")))
       .filter(col("occ") <= MaxBucketOccupancy)
       .drop("occ")
-      .transform(GraftCache.persistTracked)
 
   /** Candidate near-dup pairs: docs sharing at least one (occupancy-
     * capped) band bucket. Tracked: the pair graph is the shared input of

@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Sinks, Tables}
+import graft.sources.Sinks.VersionedTable
+
+/** The COMMITTED corpus dedup index (SURVEY.md §2 C66) — the artifact
+  * boundary a CONTINUOUS ingest pipeline needs that the in-session
+  * dedup family (C1–C4) deliberately doesn't have: the corpus's exact
+  * fingerprints, MinHash signatures, and LSH band assignments persisted
+  * through the transactional table format, so that
+  *  (a) a new crawl batch is checked against the WHOLE accumulated
+  *      corpus without recomputing anything over it (serve reads the
+  *      index; the corpus text never loads),
+  *  (b) admitted batches MERGE into the index incrementally (keyed
+  *      upsert — the bands of the existing billions of docs are not
+  *      rewritten), and
+  *  (c) rebuilds/extends commit atomically (snapshot isolation from
+  *      [[VersionedTable]]'s manifest commit), so a concurrent serving
+  *      job never sees half an ingest.
+  * This is C26's incremental-dedup semantics upgraded from "prior
+  * corpus as a frame in the same session" to "prior corpus as a
+  * versioned on-disk artifact" — the same promotion AnnIndex (C61) did
+  * for the IVF-PQ codebooks.
+  *
+  * Layout under `path/`:
+  *  - `fps`   — (doc_id, fp, build_v): md5 exact fingerprint (C1's).
+  *  - `sigs`  — (doc_id, mh, build_v): the 8-hash MinHash signature
+  *    (C2's), needed at serve time to verify candidate similarity.
+  *  - `bands` — (doc_id, b, band_key, build_v): UNCAPPED LSH band
+  *    assignments. The occupancy cap is applied at SERVE time against
+  *    current occupancy ([[Dedup.capBands]]) — capping what gets
+  *    WRITTEN would freeze each doc's cap decision at its ingest batch
+  *    and make incremental extends drift from a fresh rebuild.
+  *
+  * All three tables are keyed by doc_id (bands by (doc_id, b)), so
+  * re-ingesting a batch is idempotent (latest-wins merge) and an
+  * extend touches only the delta's buckets. Serve is three keyed
+  * joins: fp equi-join (exact), band equi-join (candidates — bounded
+  * by the occupancy cap exactly like the batch path), signature
+  * agreement ≥ [[NearMinAgree]] (verify). Nothing scans corpus text.
+  */
+object DedupIndex {
+
+  /** Candidate verification floor: a batch doc is a NEAR duplicate of a
+    * corpus doc when at least this many of the [[Dedup.NumHashes]] (8)
+    * MinHash values agree — n_agree/8 estimates Jaccard, so 4/8 ≈ J≥0.5,
+    * well under the banding curve's high-recall zone and far above the
+    * chance agreement of unrelated docs.
+    */
+  val NearMinAgree = 4
+
+  /** Batch doc_ids are offset into their own id space so a planted
+    * batch can never collide with a corpus doc_id.
+    */
+  val BatchIdOffset = 1000000L
+
+  private def fpsPath(path: String) = s"$path/fps"
+  private def sigsPath(path: String) = s"$path/sigs"
+  private def bandsPath(path: String) = s"$path/bands"
+
+  /** The three index frames of a (doc_id, text) corpus — shared by the
+    * committed build and the in-session oracle query, so what the
+    * artifact stores IS what the oracle checks.
+    */
+  def fps(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), md5(col("text")).as("fp"))
+
+  def sigs(documents: DataFrame): DataFrame =
+    Dedup.minhashSignature(documents)
+
+  def bands(documents: DataFrame): DataFrame =
+    Dedup.minhashBands(Dedup.minhashSignature(documents))
+
+  /** Commit `documents` into the index at `path` as version `buildV`.
+    * Keyed merge: calling this with a NEW batch extends the index
+    * incrementally (the production regime — admit, then merge); calling
+    * it with an already-ingested batch is an idempotent no-op rewrite.
+    */
+  def build(documents: DataFrame, path: String, buildV: Long = 0L): Unit = {
+    val spark = documents.sparkSession
+    val v = lit(buildV).as("build_v")
+    VersionedTable.mergeUpsert(spark, fpsPath(path),
+      fps(documents).select(col("doc_id"), col("fp"), v),
+      Seq("doc_id"), "build_v", numBuckets = 16)
+    VersionedTable.mergeUpsert(spark, sigsPath(path),
+      sigs(documents).select(col("doc_id"), col("mh"), v),
+      Seq("doc_id"), "build_v", numBuckets = 16)
+    VersionedTable.mergeUpsert(spark, bandsPath(path),
+      bands(documents).select(col("doc_id"), col("b"), col("band_key"), v),
+      Seq("doc_id", "b"), "build_v", numBuckets = 16)
+  }
+
+  /** Incremental ingest — the same keyed merge as [[build]], named for
+    * the call site: serve a batch, admit the non-duplicates, extend.
+    */
+  def extend(newDocs: DataFrame, path: String, buildV: Long): Unit =
+    build(newDocs, path, buildV)
+
+  /** Classify a (doc_id, text) batch against corpus index FRAMES:
+    * (doc_id, kind, match_id) with kind ∈ exact|near|new, match_id the
+    * smallest matching corpus doc_id (exact wins over near; −1 when
+    * new). The core both the committed serve path and the in-session
+    * oracle query run — so the artifact round-trip is pinned equal to
+    * the oracle-checked plan.
+    *
+    * Scale: exact is one fp-keyed equi-join; candidates are one
+    * (b, band_key)-keyed equi-join against the occupancy-CAPPED corpus
+    * bands (a batch doc probes ≤ NumBands·cap corpus docs — the C2
+    * bound); verify touches candidates only. Every join is keyed, every
+    * agg partial; corpus text is never read.
+    */
+  def matchAgainst(batch: DataFrame, corpFps: DataFrame, corpSigs: DataFrame,
+                   corpBands: DataFrame): DataFrame = {
+    val bFps = fps(batch)
+    val exact = bFps
+      .join(corpFps.select(col("fp"), col("doc_id").as("c_id")), "fp")
+      .groupBy("doc_id").agg(min(col("c_id")).as("exact_id"))
+    val bSigs = graft.GraftCache.persistTracked(sigs(batch))
+    val bBands = Dedup.minhashBands(bSigs)
+    val cand = bBands
+      .join(
+        Dedup.capBands(corpBands)
+          .select(col("b"), col("band_key"), col("doc_id").as("c_id")),
+        Seq("b", "band_key"))
+      .select(col("doc_id"), col("c_id"))
+      .distinct()
+    val near = cand
+      .join(bSigs, "doc_id")
+      .join(corpSigs.select(col("doc_id").as("c_id"), col("mh").as("c_mh")), "c_id")
+      .filter(
+        size(filter(zip_with(col("mh"), col("c_mh"), (x, y) => x === y), b => b))
+          >= NearMinAgree)
+      .groupBy("doc_id").agg(min(col("c_id")).as("near_id"))
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("near_id").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("kind"),
+        coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"))
+  }
+
+  /** Serve a batch from the COMMITTED index: [[matchAgainst]] with the
+    * three frames loaded from `path` at the latest committed version —
+    * snapshot-isolated, so a concurrent extend never tears mid-serve.
+    */
+  def serve(batch: DataFrame, path: String): DataFrame = {
+    val (f, s, b) = loadFrames(batch.sparkSession, path)
+    matchAgainst(batch, f, s, b)
+  }
+
+  /** The three index frames at the latest committed version — loaded
+    * ONCE by a serving job (the streaming probe snapshots them at
+    * stream start, so a concurrent extend never tears mid-stream;
+    * restart the stream to pick up a newer index version).
+    */
+  def loadFrames(spark: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) =
+    (VersionedTable.read(spark, fpsPath(path)).select("doc_id", "fp"),
+      VersionedTable.read(spark, sigsPath(path)).select("doc_id", "mh"),
+      VersionedTable.read(spark, bandsPath(path)).select("doc_id", "b", "band_key"))
+
+  // ------------------------------------------------------ oracle query
+
+  /** The deterministically planted "new crawl batch" the oracle query
+    * classifies: every 5th corpus doc arrives again (id-offset into
+    * batch space) as one of three mutations cycling on doc_id%3 —
+    * verbatim (must classify exact), one appended junk token (a near
+    * dup: 3 of ~n shingles change, Jaccard ≈ 0.97), or every token
+    * salted with the doc's own id (novel: its shingle set is disjoint
+    * from every corpus doc's, so no MinHash can collide). The same
+    * construction the curation lenses use (C60's planted markup, C62's
+    * planted dirt) — SQL-mirrorable codepoint for codepoint.
+    */
+  def plantedBatch(documents: DataFrame): DataFrame =
+    documents
+      .filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select(
+        (col("doc_id") + BatchIdOffset).as("doc_id"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L, col("text"))
+          .when(pmod(col("doc_id"), lit(3L)) === 1L,
+            concat(col("text"), lit(" xqzzy")))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit("~"), col("doc_id").cast("string"))), " "))
+          .as("text"))
+
+  /** C66's registered query: classify the planted batch against the
+    * corpus through the SAME core the committed artifact serves
+    * (DedupIndexSpec pins serve(path) == this, row for row).
+    */
+  def dedupVsCorpus(documents: DataFrame): DataFrame =
+    matchAgainst(plantedBatch(documents),
+      fps(documents), sigs(documents), bands(documents))
+
+  val dedupVsCorpusSql: String = {
+    val sigExpr = Dedup.minhashSigSqlExpr
+    s"""WITH batch AS (
+       |  SELECT doc_id + $BatchIdOffset AS doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text
+       |         WHEN doc_id % 3 = 1 THEN text || ' xqzzy'
+       |         ELSE array_to_string(list_transform(string_split(text, ' '),
+       |                t -> t || '~' || CAST(doc_id AS VARCHAR)), ' ')
+       |    END AS text
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |csig AS (SELECT doc_id, $sigExpr AS mh FROM documents),
+       |bsig AS (SELECT doc_id, $sigExpr AS mh FROM batch),
+       |cbands_all AS (
+       |  SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+       |  FROM csig, (SELECT unnest(range(0, ${Dedup.NumBands})) AS b)),
+       |cbands AS (
+       |  SELECT doc_id, b, band_key FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY b, band_key) AS occ FROM cbands_all)
+       |  WHERE occ <= ${Dedup.MaxBucketOccupancy}),
+       |bbands AS (
+       |  SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+       |  FROM bsig, (SELECT unnest(range(0, ${Dedup.NumBands})) AS b)),
+       |exact AS (
+       |  SELECT bf.doc_id, min(cf.doc_id) AS exact_id
+       |  FROM (SELECT doc_id, md5(text) AS fp FROM batch) bf
+       |  JOIN (SELECT doc_id, md5(text) AS fp FROM documents) cf USING (fp)
+       |  GROUP BY 1),
+       |cand AS (
+       |  SELECT DISTINCT bb.doc_id AS doc_id, cb.doc_id AS c_id
+       |  FROM bbands bb JOIN cbands cb ON bb.b = cb.b AND bb.band_key = cb.band_key),
+       |near AS (
+       |  SELECT cand.doc_id, min(cand.c_id) AS near_id
+       |  FROM cand
+       |  JOIN bsig ON cand.doc_id = bsig.doc_id
+       |  JOIN csig ON cand.c_id = csig.doc_id
+       |  WHERE len(list_filter(list_zip(bsig.mh, csig.mh), p -> p[1] = p[2]))
+       |        >= $NearMinAgree
+       |  GROUP BY 1)
+       |SELECT b.doc_id,
+       |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+       |       WHEN n.near_id IS NOT NULL THEN 'near'
+       |       ELSE 'new' END AS kind,
+       |  coalesce(e.exact_id, n.near_id, -1) AS match_id
+       |FROM batch b
+       |LEFT JOIN exact e ON b.doc_id = e.doc_id
+       |LEFT JOIN near n ON b.doc_id = n.doc_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_vs_corpus" -> ((s, d) => dedupVsCorpus(Tables.documents(s, d))))
+
+  def oracle: Map[String, String] = Map(
+    "q_dedup_vs_corpus" -> dedupVsCorpusSql)
+}

@@ -886,6 +886,41 @@ object EventStream {
     graft.operators.Dsir.scoreAgainst(docs, lr)
       .withColumn("keep", col("dsir_fp") >= lit(keepMin))
 
+  /** Streaming dedup against the COMMITTED corpus index
+    * ([[graft.operators.DedupIndex]]) — the crawl-admission topology a
+    * production pipeline actually runs: an ingest job builds/extends
+    * the fingerprint+signature+band artifact transactionally; the
+    * admission stream classifies each arriving (doc_id, text) row
+    * against it (exact / near / new) WITHOUT ever reading corpus text.
+    * The index frames are snapshotted at stream start (manifest read —
+    * a concurrent extend never tears mid-stream; restart to see it).
+    * A doc's verdict needs a per-doc min over its candidate matches, so
+    * the classifier runs inside foreachBatch (per-batch-complete: a
+    * doc's candidates all derive from its one row) — no streaming
+    * state, no watermark.
+    *
+    * Delivery contract: AT-LEAST-ONCE with in-row replay provenance,
+    * the [[streamingLmGate]] rule — each verdict row carries its
+    * `batch_id`, so a replayed micro-batch rewrites the same
+    * (batch_id, doc_id) pairs and consumers dedup exactly.
+    */
+  def streamingDedupCommittedProbe(docs: DataFrame, indexPath: String,
+                                   outPath: String, checkpoint: String): StreamingQuery = {
+    val (corpFps, corpSigs, corpBands) =
+      graft.operators.DedupIndex.loadFrames(docs.sparkSession, indexPath)
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.DedupIndex
+            .matchAgainst(batch.toDF(), corpFps, corpSigs, corpBands)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+      }
+      .start()
+  }
+
   /** Streaming LM fluency gate (C55's continuous twin): incoming
     * (doc_id, text) rows are scored per micro-batch against a COMMITTED
     * bigram model (the batch [[graft.operators.Classify.lmTrain]]

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DedupIndex
+import graft.sources.Tables
+
+/** C66 — the committed corpus dedup index: artifact round-trip,
+  * incremental extend ≡ fresh rebuild, idempotent re-ingest, and the
+  * serve→admit→extend crawl loop.
+  */
+class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-dedupix-$tag").toString
+
+  private def verdicts(df: DataFrame): Map[Long, (String, Long)] =
+    df.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+  test("serve from the committed artifact == the in-session oracle core, row for row") {
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("roundtrip")
+    DedupIndex.build(docs, path)
+    val batch = DedupIndex.plantedBatch(docs)
+    val served = verdicts(DedupIndex.serve(batch, path))
+    val direct = verdicts(DedupIndex.dedupVsCorpus(docs))
+    assert(served.nonEmpty)
+    assert(served == direct,
+      "the artifact round-trip (parquet + manifest) must not change one verdict")
+    // all three classes are exercised by the planted batch
+    val kinds = served.values.map(_._1).toSet
+    assert(kinds == Set("exact", "near", "new"), s"planted batch hit only $kinds")
+  }
+
+  test("incremental extend == fresh full rebuild (no drift from merge order)") {
+    val docs = Tables.documents(spark, sf)
+    val (halfA, halfB) =
+      (docs.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1L))
+    val incr = tmp("incr"); val full = tmp("full")
+    DedupIndex.build(halfA, incr, buildV = 0L)
+    DedupIndex.extend(halfB, incr, buildV = 1L)
+    DedupIndex.build(docs, full, buildV = 0L)
+    val batch = DedupIndex.plantedBatch(docs)
+    assert(verdicts(DedupIndex.serve(batch, incr)) ==
+      verdicts(DedupIndex.serve(batch, full)),
+      "build(A) + extend(B) must serve identically to build(A ∪ B)")
+  }
+
+  test("re-ingesting an already-committed batch is an idempotent no-op") {
+    val docs = Tables.documents(spark, sf).limit(120)
+    val path = tmp("idem")
+    DedupIndex.build(docs, path, buildV = 0L)
+    val batch = DedupIndex.plantedBatch(docs)
+    val before = verdicts(DedupIndex.serve(batch, path))
+    DedupIndex.extend(docs, path, buildV = 1L) // replayed ingest
+    assert(verdicts(DedupIndex.serve(batch, path)) == before)
+  }
+
+  test("crawl loop: admit the new docs, extend, and the re-served batch flags them exact") {
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("loop")
+    DedupIndex.build(docs, path, buildV = 0L)
+    val batch = DedupIndex.plantedBatch(docs).cache()
+    val first = verdicts(DedupIndex.serve(batch, path))
+    val newIds = first.collect { case (id, ("new", _)) => id }.toSet
+    assert(newIds.nonEmpty, "planted batch must contain novel docs")
+    // admission: only the non-duplicates enter the corpus
+    val admitted = batch.filter(col("doc_id").isInCollection(newIds))
+    DedupIndex.extend(admitted, path, buildV = 1L)
+    val second = verdicts(DedupIndex.serve(batch, path))
+    newIds.foreach { id =>
+      assert(second(id) == (("exact", id)),
+        s"doc $id was admitted, so re-serving must flag it exact against itself")
+    }
+    // verdicts for already-duplicate docs are unchanged by the extend
+    first.collect { case kv @ (_, (k, _)) if k != "new" => kv }.foreach {
+      case (id, v) => assert(second(id) == v, s"non-new doc $id verdict drifted")
+    }
+    batch.unpersist()
+  }
+}
