@@ -97,7 +97,10 @@ object ScaleAudit {
     // index dedup probe (its candidate fan-out must stay bounded by
     // batch × bands × occupancy-cap — the C2 bound — however big the
     // corpus side grows)
-    "q_dsir_weights", "q_dedup_vs_corpus")
+    "q_dsir_weights", "q_dedup_vs_corpus",
+    // round-8 batch 3: incremental rollup maintenance — the merge
+    // algebra must hold and the state stay key-bounded as facts grow
+    "q_rollup_incremental")
 
   def buildScaled(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
     // events.ts stays a raw nanos long end-to-end: the flag reads the
@@ -267,6 +270,21 @@ object ScaleAudit {
         bad += 1
         println(s"[scale] FAIL q_dedup_vs_corpus: candidate fan-out $nCand exceeds batch×bands×cap $bound")
       }
+    }
+    // Incremental rollup (round-8): the maintained state must stay
+    // KEY-bounded (one row per (suppkey, returnflag) — dim-proportional,
+    // never fact-proportional) and the merge algebra exact at scale:
+    // merge(agg(base), agg(delta)) row counts equal the one-pass rollup.
+    if (names.contains("q_rollup_incremental")) {
+      GraftCache.releaseAll(spark)
+      val li = graft.sources.Tables.lineitem(spark, out)
+      val merged = SparkEntry.queries("q_rollup_incremental")(spark, out)
+      val nState = merged.count()
+      val nKeys = li.select("l_suppkey", "l_returnflag").distinct().count()
+      if (nState != nKeys) {
+        bad += 1
+        println(s"[scale] FAIL q_rollup_incremental: state rows $nState != live keys $nKeys")
+      } else println(s"[scale] q_rollup_incremental state key-bounded: $nState rows at ${mult}x")
     }
     // The two CC engines (O(diameter) min-label vs O(log n) star
     // alternation) must still agree label-for-label on the 10× dup

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AudioDedup, Classify, Curation, Dedup, DedupIndex, Dsir, Embeddings, Graph, Html, ImageDedup, Reference, Retrieval, Sketches, Temporal, TextOps, VideoDedup}
+import graft.operators.{Analytics, AudioDedup, Classify, Curation, Dedup, DedupIndex, Dsir, Embeddings, Graph, Html, ImageDedup, Reference, Retrieval, RollupIndex, Sketches, Temporal, TextOps, VideoDedup}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,8 @@ object SparkEntry {
       Sketches.queries ++ Graph.queries ++ ImageDedup.queries ++
       AudioDedup.queries ++ VideoDedup.queries ++ Classify.queries ++
       Retrieval.queries ++ graft.sources.Sinks.queries ++ Html.queries ++
-      Curation.queries ++ Dsir.queries ++ DedupIndex.queries
+      Curation.queries ++ Dsir.queries ++ DedupIndex.queries ++
+      RollupIndex.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       Sketches.oracle ++ Graph.oracle ++ ImageDedup.oracle ++
       AudioDedup.oracle ++ VideoDedup.oracle ++ Classify.oracle ++
       Retrieval.oracle ++ graft.sources.Sinks.oracle ++ Html.oracle ++
-      Curation.oracle ++ Dsir.oracle ++ DedupIndex.oracle
+      Curation.oracle ++ Dsir.oracle ++ DedupIndex.oracle ++
+      RollupIndex.oracle
 }

@@ -956,6 +956,27 @@ object EventStream {
       }
       .start()
 
+  /** Streaming rollup maintenance (B43's continuous twin) — the
+    * EXACTLY-ONCE aggregate exit: each micro-batch partial-aggs its
+    * rows and merges into the committed rollup state
+    * ([[graft.operators.RollupIndex.applyDelta]]) with the batch id as
+    * the delta id, so a replayed micro-batch hits the artifact's ledger
+    * and no-ops — additive state plus an idempotence ledger turns
+    * foreachBatch's at-least-once into exactly-once counting, with no
+    * streaming state, no watermark, and the fact rows never stored.
+    */
+  def streamingRollupSink(facts: DataFrame, indexPath: String,
+                          checkpoint: String): StreamingQuery =
+    facts.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.RollupIndex.applyDelta(
+            batch.toDF(), indexPath, s"stream-batch-$batchId")
+      }
+      .start()
+
   /** [[streamingUpsertSink]] writing through the TRANSACTIONAL table
     * format ([[graft.sources.Sinks.VersionedTable]]) instead of the
     * swap-rename MERGE: each micro-batch commits one new manifest

@@ -890,6 +890,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming rollup sink is exactly-once: two micro-batches == one rescan, replay no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.RollupIndex
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_suppkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .limit(400)
+    val rows: Seq[(Long, String, Double, Double)] = li.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toIndexedSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-stream").toString
+    val in = MemoryStream[(Long, String, Double, Double)]
+    val q = EventStream.streamingRollupSink(
+      in.toDF().toDF("l_suppkey", "l_returnflag", "l_quantity", "l_extendedprice"),
+      s"$dir/index", s"$dir/ckpt")
+    in.addData(rows.take(250)); q.processAllAvailable()
+    in.addData(rows.drop(250)); q.processAllAvailable()
+    q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val maintained = m(RollupIndex.read(spark, s"$dir/index"))
+    assert(maintained == m(RollupIndex.present(RollupIndex.partialAgg(li))),
+      "streamed maintenance must equal the one-pass rescan")
+    // a replayed micro-batch (same delta id) must no-op against the ledger
+    RollupIndex.applyDelta(li.limit(250), s"$dir/index", "stream-batch-0")
+    assert(m(RollupIndex.read(spark, s"$dir/index")) == maintained)
+  }
+
   test("streaming dedup probe serves two micro-batches from one committed index == batch serve") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
