@@ -182,6 +182,32 @@ object Classify {
        |    THEN sc.score_fp // sc.n_bigrams ELSE 0 END AS avg_fp
        |FROM base LEFT JOIN sc ON base.doc_id = sc.doc_id""".stripMargin
 
+  // ----------------------------------------- committed model artifact
+
+  /** Commit the trained bigram LM (transition counts + context totals)
+    * through the transactional format — train once on the curated
+    * corpus, and every serving/streaming gate LOADS the model instead
+    * of retraining; a retrain commits atomically under the readers
+    * (the same promotion the IVF-PQ codebooks and the DSIR ratio table
+    * got). Keyed by the gram, so an incremental retrain on corpus
+    * growth merges only changed counts.
+    */
+  def commitLm(cb: DataFrame, cw: DataFrame, path: String, buildV: Long = 0L): Unit = {
+    val spark = cb.sparkSession
+    graft.sources.Sinks.VersionedTable.mergeUpsert(spark, s"$path/cb",
+      cb.withColumn("build_v", lit(buildV)), Seq("bg"), "build_v", numBuckets = 8)
+    graft.sources.Sinks.VersionedTable.mergeUpsert(spark, s"$path/cw",
+      cw.withColumn("build_v", lit(buildV)), Seq("w1"), "build_v", numBuckets = 8)
+  }
+
+  /** The committed LM at its latest version — frames shaped exactly
+    * like [[lmTrain]]'s output, so [[lmScoreAgainst]] and the streaming
+    * gate consume them unchanged.
+    */
+  def loadLm(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (graft.sources.Sinks.VersionedTable.read(spark, s"$path/cb").select("bg", "cb"),
+      graft.sources.Sinks.VersionedTable.read(spark, s"$path/cw").select("w1", "cw"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_classifier" -> ((s, d) => qualityClassifier(Tables.documents(s, d))),
     "q_lm_bigram_score" -> ((s, d) => lmBigramScore(Tables.documents(s, d))))

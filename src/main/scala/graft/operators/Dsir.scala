@@ -182,9 +182,95 @@ object Dsir {
        |SELECT doc_id, n_feats, dsir_fp, dsir_fp >= (w_sum // n_docs) AS keep
        |FROM sc, st""".stripMargin
 
+  // ------------------------------------------------- C65b: the draw
+
+  /** C65b: the paper's actual RESAMPLING step — draw each doc with
+    * probability proportional to its importance weight (Bernoulli /
+    * Poisson resampling, the parallelizable variant of the paper's
+    * sampling-without-replacement): p(doc) = avg_fp / max(avg_fp),
+    * decided by the deterministic per-doc hash draw u = md5-prefix mod
+    * [[Scale]] — keep iff u·max_avg < avg_fp·[[Scale]]. Per-FEATURE
+    * average weight (floor division) rather than the raw sum, so doc
+    * length doesn't masquerade as target affinity and the int64 cross-
+    * multiplication stays bounded (u < 10⁶, avg_fp ≤ lr_max ≈
+    * 10⁶·raw/target — product ≤ ~10¹⁴ at any corpus size). Hash-keyed,
+    * never random(): the same doc draws the same verdict on every
+    * engine, partitioning, and rerun — C35's split-assignment property.
+    * Shape: the scorer's zero-shuffle scan plus one 1-row max broadcast.
+    */
+  def dsirResample(documents: DataFrame): DataFrame = {
+    val scored = graft.GraftCache.persistTracked(
+      scoreAgainst(documents, lrTable(documents))
+        .withColumn("avg_fp", expr("dsir_fp div n_feats")))
+    val mx = scored.agg(max("avg_fp").as("max_avg"))
+    scored
+      .crossJoin(broadcast(mx))
+      .select(
+        col("doc_id"), col("avg_fp"),
+        (expr(TextOps.hexPrefixValSql("md5(concat('rs_', CAST(doc_id AS STRING)))")) % Scale
+          * col("max_avg") < col("avg_fp") * lit(Scale)).as("sampled"))
+  }
+
+  val dsirResampleSql: String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id, source, unnest(toks) AS feat FROM t
+       |  UNION ALL
+       |  SELECT doc_id, source, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || '_' || toks[i + 1])) AS feat
+       |  FROM t),
+       |fb AS (SELECT doc_id, source, ${bucketSql("feat")} AS bkt FROM f),
+       |bc AS (SELECT bkt, count(*) AS cr,
+       |         sum(CASE WHEN source = '$TargetSource' THEN 1 ELSE 0 END) AS ct
+       |       FROM fb GROUP BY 1),
+       |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bc),
+       |lr AS (SELECT bkt,
+       |         CAST((CAST($Scale AS HUGEINT) * (ct + 1) * (nr + $NumBuckets))
+       |              // (CAST(cr + 1 AS HUGEINT) * (nt + $NumBuckets)) AS BIGINT) AS lr
+       |       FROM bc, tot),
+       |sc AS (SELECT fb.doc_id,
+       |         CAST(sum(lr.lr) AS BIGINT) // count(*) AS avg_fp
+       |       FROM fb JOIN lr USING (bkt) GROUP BY 1),
+       |mx AS (SELECT max(avg_fp) AS max_avg FROM sc)
+       |SELECT doc_id, avg_fp,
+       |  (${TextOps.hexPrefixValSql("md5('rs_' || CAST(doc_id AS VARCHAR))")} % $Scale)
+       |    * max_avg < avg_fp * $Scale AS sampled
+       |FROM sc, mx""".stripMargin
+
+  // ----------------------------------------- committed model artifact
+
+  private def lrPath(path: String) = s"$path/lr"
+
+  /** Commit the trained ratio table through the transactional format —
+    * the same promotion the codebooks (C61) got: a serving/streaming
+    * gate LOADS the model instead of retraining, and a retrain commits
+    * atomically under the readers.
+    */
+  def commit(spark: SparkSession, lr: Array[Long], path: String, buildV: Long = 0L): Unit = {
+    import spark.implicits._
+    graft.sources.Sinks.VersionedTable.mergeUpsert(spark, lrPath(path),
+      lr.toIndexedSeq.zipWithIndex.map { case (v, k) => (k.toLong, v, buildV) }
+        .toDF("bkt", "lr", "build_v"),
+      Seq("bkt"), "build_v", numBuckets = 1)
+  }
+
+  /** Load the committed ratio table (constant-size: [[NumBuckets]]
+    * rows) back into the literal array the scorer folds over.
+    */
+  def loadLr(spark: SparkSession, path: String): Array[Long] = {
+    val rows = graft.sources.Sinks.VersionedTable.read(spark, lrPath(path))
+      .select("bkt", "lr").collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    require(rows.keySet == (0 until NumBuckets).toSet,
+      s"Dsir: committed lr table must hold buckets 0..${NumBuckets - 1}")
+    (0 until NumBuckets).map(rows).toArray
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dsir_weights" -> ((s, d) => dsirWeights(Tables.documents(s, d))))
+    "q_dsir_weights" -> ((s, d) => dsirWeights(Tables.documents(s, d))),
+    "q_dsir_resample" -> ((s, d) => dsirResample(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
-    "q_dsir_weights" -> dsirWeightsSql)
+    "q_dsir_weights" -> dsirWeightsSql,
+    "q_dsir_resample" -> dsirResampleSql)
 }

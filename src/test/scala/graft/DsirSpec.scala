@@ -107,6 +107,46 @@ class DsirSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("resample draws proportionally: target-vocab docs sampled, off-distribution not") {
+    import spark.implicits._
+    val aText = "the quick brown fox jumps over the lazy dog again and again"
+    val bText = "zzq xkcd qwop vvrm plgh wubz jfkl mnop qrst uvwx yzab cdef"
+    val docs = ((1L to 40L).map(i => (i, aText, if (i <= 20) "src0" else "src5")) ++
+      (41L to 60L).map(i => (i, bText, "src6")))
+      .toDF("doc_id", "text", "source")
+    val r = Dsir.dsirResample(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    // every A doc shares one avg weight = the global max -> p = 1: all drawn
+    assert((1L to 40L).forall(r(_)._2), "max-weight docs draw with probability 1")
+    // B docs draw at p = avgB/avgA; recompute the exact integer rule per doc
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    val maxAvg = r.values.map(_._1).max
+    (41L to 60L).foreach { id =>
+      val u = hexVal(md5Hex(s"rs_$id"), 8) % Dsir.Scale
+      assert(r(id)._2 == (u * maxAvg < r(id)._1 * Dsir.Scale),
+        s"doc $id: draw must be the exact integer rule")
+    }
+    // and the off-distribution band is mostly rejected (p ~ avgB/avgA << 1)
+    val bDrawn = (41L to 60L).count(r(_)._2)
+    assert(bDrawn < 10, s"off-distribution docs should mostly be rejected, got $bDrawn/20")
+  }
+
+  test("committed ratio table round-trips: loadLr(commit(lr)) == lr, scores unchanged") {
+    val docs = Tables.documents(spark, sf)
+    val lr = Dsir.lrTable(docs)
+    val path = java.nio.file.Files.createTempDirectory("graft-dsir-model").toString
+    Dsir.commit(spark, lr, path)
+    val loaded = Dsir.loadLr(spark, path)
+    assert(loaded.toSeq == lr.toSeq, "the committed model must round-trip bit-for-bit")
+    // a retrain commits atomically over it — latest version wins
+    val bumped = lr.map(_ + 1L)
+    Dsir.commit(spark, bumped, path, buildV = 1L)
+    assert(Dsir.loadLr(spark, path).toSeq == bumped.toSeq)
+  }
+
   test("scoreAgainst stays a zero-shuffle scan projection (no Exchange in the plan)") {
     val docs = Tables.documents(spark, sf)
     val plan = Dsir.scoreAgainst(docs, Dsir.lrTable(docs))

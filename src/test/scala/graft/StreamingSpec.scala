@@ -976,6 +976,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     streamed.foreach(t => assert(t._4 == (t._3 >= keepMin)))
   }
 
+  test("LM gate scores from a COMMITTED model artifact == from the trained frames") {
+    import graft.operators.Classify
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val (cb, cw) = Classify.lmTrain(docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-model").toString
+    Classify.commitLm(cb, cw, s"$dir/model")
+    val (cb2, cw2) = Classify.loadLm(spark, s"$dir/model")
+    val fromTrained = Classify.lmScoreAgainst(docs, cb, cw).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val fromCommitted = Classify.lmScoreAgainst(docs, cb2, cw2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(fromCommitted == fromTrained,
+      "the committed LM must score identically to the in-session model")
+  }
+
   test("EQUIVALENCE: streaming LM gate against a committed model == batch scorer") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
