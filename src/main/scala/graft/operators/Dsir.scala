@@ -103,12 +103,25 @@ object Dsir {
         count(lit(1)).as("cr"),
         sum(when(col("source") === TargetSource, 1L).otherwise(0L)).as("ct"))
 
+  /** Memoized trained models: the ratio table is a deterministic pure
+    * function of the corpus, and C65/C65b both start from it — one
+    * session trains once per distinct corpus plan (the k-means codebook
+    * rule), keyed by the canonicalized logical plan.
+    */
+  private val lrMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Array[Long]]()
+
   /** Train the model: the 64 per-bucket fixed-point likelihood ratios,
     * exact via BigInt (never overflows regardless of corpus size).
     * Buckets no raw feature hashes into keep lr = 0 — they can never be
     * looked up. A constant-size driver artifact, like the codebooks.
     */
-  def lrTable(documents: DataFrame): Array[Long] = {
+  def lrTable(documents: DataFrame): Array[Long] =
+    lrMemo.computeIfAbsent(
+      (documents.sparkSession, documents.queryExecution.analyzed.canonicalized),
+      _ => lrTableUncached(documents))
+
+  private def lrTableUncached(documents: DataFrame): Array[Long] = {
     val counts = bucketCounts(documents).collect()
       .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
     val nr = BigInt(counts.valuesIterator.map(_._1).sum)
@@ -266,11 +279,88 @@ object Dsir {
     (0 until NumBuckets).map(rows).toArray
   }
 
+  // ------------------------------------------------ C67: drift monitor
+
+  /** Fixed-point share scale for the drift monitor: shares are
+    * ⌊10⁹·c/N⌋, so per-bucket drift resolves to parts-per-billion and
+    * every product stays far inside int64 at ANY corpus size (shares
+    * < 10⁹, 64 buckets ⇒ total < 6.4×10¹⁰).
+    */
+  val ShareScale = 1000000000L
+
+  /** C67: corpus drift between two snapshots — the monitoring check a
+    * continuously-ingesting pipeline runs after every extend (C66's
+    * admit loop, a new source landing, a scraper change): has the
+    * token distribution moved? Snapshot A/B here are the deterministic
+    * doc_id-parity halves (standing in for corpus version N vs N+1 —
+    * callers pass any two frames to [[driftBetween]]). Per hashed
+    * feature bucket (the C65 model's own feature space, so drift is
+    * measured exactly where selection decisions live): both snapshots'
+    * counts off ONE conditional scan, shares in exact fixed point,
+    * drift = |share_a − share_b| — the L1/total-variation distance per
+    * bucket, parts-per-billion. ≤ [[NumBuckets]] output rows at any
+    * corpus size; one map-side-combinable agg, zero joins.
+    */
+  def driftBetween(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    val both = a.select(col("text"), lit(true).as("in_a"))
+      .unionByName(b.select(col("text"), lit(false).as("in_a")))
+    // the only distributed work: ONE conditional hash agg to ≤64 rows
+    val counts = both
+      .select(col("in_a"), explode(featsCol).as("feat"))
+      .select(expr(bucketSql("feat")).as("bkt"), col("in_a"))
+      .groupBy("bkt")
+      .agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("c_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // share arithmetic on the constant-size artifact in BigInt (the
+    // lrTable rule): 10⁹·c overflows int64 once a bucket passes ~9×10⁹
+    // features, which a 100 TB corpus does — the oracle mirrors with
+    // HUGEINT, so both engines are exact at any scale
+    val nA = BigInt(counts.map(_._2).sum); val nB = BigInt(counts.map(_._3).sum)
+    val rows = counts.map { case (bkt, cA, cB) =>
+      val sA = (BigInt(ShareScale) * cA / nA.max(1)).toLong
+      val sB = (BigInt(ShareScale) * cB / nB.max(1)).toLong
+      (bkt, cA, cB, sA, sB, math.abs(sA - sB))
+    }
+    val s = spark
+    import s.implicits._
+    rows.toIndexedSeq.toDF("bkt", "c_a", "c_b", "share_a_fp", "share_b_fp", "drift_fp")
+  }
+
+  def corpusDrift(documents: DataFrame): DataFrame =
+    driftBetween(
+      documents.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+      documents.filter(pmod(col("doc_id"), lit(2L)) === 1L))
+
+  val corpusDriftSql: String =
+    s"""WITH t AS (SELECT doc_id % 2 = 0 AS in_a, string_split(text, ' ') AS toks FROM documents),
+       |f AS (
+       |  SELECT in_a, unnest(toks) AS feat FROM t
+       |  UNION ALL
+       |  SELECT in_a, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || '_' || toks[i + 1])) AS feat
+       |  FROM t),
+       |bc AS (SELECT ${bucketSql("feat")} AS bkt,
+       |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+       |         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+       |       FROM f GROUP BY 1),
+       |tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM bc)
+       |SELECT bkt, c_a, c_b,
+       |  CAST((CAST($ShareScale AS HUGEINT) * c_a) // greatest(n_a, 1) AS BIGINT) AS share_a_fp,
+       |  CAST((CAST($ShareScale AS HUGEINT) * c_b) // greatest(n_b, 1) AS BIGINT) AS share_b_fp,
+       |  CAST(abs((CAST($ShareScale AS HUGEINT) * c_a) // greatest(n_a, 1)
+       |         - (CAST($ShareScale AS HUGEINT) * c_b) // greatest(n_b, 1)) AS BIGINT) AS drift_fp
+       |FROM bc, tot""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_weights" -> ((s, d) => dsirWeights(Tables.documents(s, d))),
-    "q_dsir_resample" -> ((s, d) => dsirResample(Tables.documents(s, d))))
+    "q_dsir_resample" -> ((s, d) => dsirResample(Tables.documents(s, d))),
+    "q_corpus_drift" -> ((s, d) => corpusDrift(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_dsir_weights" -> dsirWeightsSql,
-    "q_dsir_resample" -> dsirResampleSql)
+    "q_dsir_resample" -> dsirResampleSql,
+    "q_corpus_drift" -> corpusDriftSql)
 }

@@ -147,6 +147,34 @@ class DsirSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dsir.loadLr(spark, path).toSeq == bumped.toSeq)
   }
 
+  test("drift monitor: identical snapshots read zero, a planted vocab shift lights up") {
+    import spark.implicits._
+    val base = (1L to 50L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    // identical distributions -> every bucket's drift is exactly 0
+    val zero = Dsir.driftBetween(base, base).agg(max("drift_fp")).head().getLong(0)
+    assert(zero == 0L, "identical snapshots must show zero drift in every bucket")
+    // snapshot B swaps in a disjoint vocabulary -> mass moves between buckets
+    val shifted = (1L to 50L).map(i => (i, "zzq xkcd qwop vvrm plgh wubz jfkl mnop"))
+      .toDF("doc_id", "text")
+    val d = Dsir.driftBetween(base, shifted)
+    val total = d.agg(sum("drift_fp")).head().getLong(0)
+    // the summed L1 of two disjoint distributions is 2.0 before
+    // bucketing; 64-bucket collisions merge some mass (measured ~1.41),
+    // but anything past 1.0 is unambiguous "retrain" territory versus
+    // the exact 0 of identical snapshots
+    assert(total > Dsir.ShareScale,
+      s"disjoint vocabularies must show large drift, got $total")
+    // and the exact-share recompute holds per bucket
+    val rows = d.collect()
+    val (nA, nB) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    rows.foreach { r =>
+      assert(r.getLong(3) == (BigInt(Dsir.ShareScale) * r.getLong(1) / nA).toLong)
+      assert(r.getLong(4) == (BigInt(Dsir.ShareScale) * r.getLong(2) / nB).toLong)
+      assert(r.getLong(5) == math.abs(r.getLong(3) - r.getLong(4)))
+    }
+  }
+
   test("scoreAgainst stays a zero-shuffle scan projection (no Exchange in the plan)") {
     val docs = Tables.documents(spark, sf)
     val plan = Dsir.scoreAgainst(docs, Dsir.lrTable(docs))
