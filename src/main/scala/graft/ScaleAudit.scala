@@ -100,7 +100,10 @@ object ScaleAudit {
     "q_dsir_weights", "q_dedup_vs_corpus",
     // round-8 batch 3: incremental rollup maintenance — the merge
     // algebra must hold and the state stay key-bounded as facts grow
-    "q_rollup_incremental")
+    "q_rollup_incremental",
+    // round-8 batch 4: the resample draw (rides the memoized trainer)
+    // and the drift monitor (≤64 rows out at any corpus size)
+    "q_dsir_resample", "q_corpus_drift")
 
   def buildScaled(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
     // events.ts stays a raw nanos long end-to-end: the flag reads the

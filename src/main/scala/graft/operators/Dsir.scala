@@ -121,20 +121,28 @@ object Dsir {
       (documents.sparkSession, documents.queryExecution.analyzed.canonicalized),
       _ => lrTableUncached(documents))
 
+  /** The pure per-bucket ratio kernel: ⌊Scale·(ct+1)·(Nr+B) /
+    * ((cr+1)·(Nt+B))⌋ in unbounded integers. PropertySpec pins the
+    * analytic int64-fit argument (target ⊆ raw ⇒ ct ≤ cr ⇒ lr ≤
+    * Scale·(Nr+B)/(Nt+B)), non-negativity, and monotonicity in ct.
+    */
+  def lrOf(ct: Long, cr: Long, nt: BigInt, nr: BigInt): Long = {
+    val b = BigInt(NumBuckets)
+    val v = (BigInt(Scale) * (BigInt(ct) + 1) * (nr + b)) /
+      ((BigInt(cr) + 1) * (nt + b))
+    require(v.isValidLong, s"DSIR lr overflow: $v (ct=$ct cr=$cr nt=$nt nr=$nr)")
+    v.toLong
+  }
+
   private def lrTableUncached(documents: DataFrame): Array[Long] = {
     val counts = bucketCounts(documents).collect()
       .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
     val nr = BigInt(counts.valuesIterator.map(_._1).sum)
     val nt = BigInt(counts.valuesIterator.map(_._2).sum)
-    val b = BigInt(NumBuckets)
     (0 until NumBuckets).map { k =>
       counts.get(k) match {
         case None => 0L
-        case Some((cr, ct)) =>
-          val v = (BigInt(Scale) * (BigInt(ct) + 1) * (nr + b)) /
-            ((BigInt(cr) + 1) * (nt + b))
-          require(v.isValidLong, s"DSIR lr overflow at bucket $k: $v")
-          v.toLong
+        case Some((cr, ct)) => lrOf(ct, cr, nt, nr)
       }
     }.toArray
   }

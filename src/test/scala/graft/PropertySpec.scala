@@ -1,7 +1,7 @@
 package graft
 
-import org.scalacheck.{Gen, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 /** ScalaCheck properties for the pure kernels whose correctness rests on
   * an analytic argument rather than an oracle:
@@ -214,5 +214,46 @@ object CodecQuarantineProps extends org.scalacheck.Properties("codec.quarantine"
     forAll(corrupted(validAvi)) { bs =>
       graft.operators.VideoDedup.vhash64(bs)
       Prop(graft.operators.VideoDedup.vhash64(validAvi).exists(_.length == 64))
+    }
+}
+
+/** The DSIR ratio kernel (Dsir.lrOf): the int64-fit bound, sign, and
+  * monotonicity are ANALYTIC claims the operator's exactness rests on —
+  * fuzzed over count shapes far past any real corpus (ct ≤ cr ≤ nr up
+  * to 10¹⁵, raw/target ratios up to 10⁹).
+  */
+object DsirRatioProps extends Properties("dsir.lrOf") {
+  import graft.operators.Dsir
+
+  private val counts: Gen[(Long, Long, Long, Long)] = for {
+    nt <- Gen.chooseNum(1L, 1000000000000000L) // target features, to 10^15
+    ratio <- Gen.chooseNum(1L, 1000000000L)    // raw/target ratio, to 10^9
+    nr0 = BigInt(nt) * ratio
+    nr = if (nr0.isValidLong) nr0.toLong else Long.MaxValue / 2
+    ct <- Gen.chooseNum(0L, nt)
+    crMin = ct                                  // target ⊆ raw: cr >= ct
+    cr <- Gen.chooseNum(crMin, math.max(crMin, math.min(nr, crMin + 1000000000L)))
+  } yield (ct, cr, nt, nr)
+
+  property("never negative and fits the analytic bound Scale*(Nr+B)/(Nt+B)") =
+    forAll(counts) { case (ct, cr, nt, nr) =>
+      val lr = Dsir.lrOf(ct, cr, BigInt(nt), BigInt(nr))
+      val bound = BigInt(Dsir.Scale) * (BigInt(nr) + Dsir.NumBuckets) /
+        (BigInt(nt) + Dsir.NumBuckets)
+      Prop(lr >= 0L) && Prop(BigInt(lr) <= bound)
+    }
+
+  property("monotone in the target count at fixed raw count") =
+    forAll(counts) { case (ct, cr, nt, nr) =>
+      (ct + 1 <= cr) ==> {
+        Prop(Dsir.lrOf(ct + 1, cr, BigInt(nt), BigInt(nr)) >=
+          Dsir.lrOf(ct, cr, BigInt(nt), BigInt(nr)))
+      }
+    }
+
+  property("antitone in the raw count at fixed target count") =
+    forAll(counts) { case (ct, cr, nt, nr) =>
+      Prop(Dsir.lrOf(ct, cr + 1, BigInt(nt), BigInt(nr)) <=
+        Dsir.lrOf(ct, cr, BigInt(nt), BigInt(nr)))
     }
 }
