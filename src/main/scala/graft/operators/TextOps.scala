@@ -663,10 +663,19 @@ object TextOps {
     * only), so whole-doc application ≡ per-token application without
     * exploding the corpus. Map-side only; plan-pinned shuffle-free.
     */
-  def bpeEncode(documents: DataFrame, k: Int = BpeRounds): DataFrame = {
-    val merges = bpeTrain(documents, k)
-      .select("left_sym", "right_sym").collect()
-      .map(r => (r.getString(0), r.getString(1)))
+  def bpeEncode(documents: DataFrame, k: Int = BpeRounds): DataFrame =
+    bpeEncodeWith(documents,
+      bpeTrain(documents, k)
+        .select("left_sym", "right_sym").collect()
+        .map(r => (r.getString(0), r.getString(1))).toIndexedSeq)
+
+  /** Encode against an EXPLICIT ordered merge list (the tokenizer
+    * model) — the body [[bpeEncode]] and the committed-tokenizer serve
+    * path share: a pure map-side chain of k greedy folds, streaming-
+    * safe (no shuffle, no state). Merge ORDER is the model: BPE applies
+    * rules in learned order, so callers must pass the round-sorted list.
+    */
+  def bpeEncodeWith(documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val sep = lit(BpeSep)
     val seg0 = concat(sep, concat_ws(BpeSep,
       filter(split(col("text"), ""), s => s =!= lit(""))), sep)
@@ -679,6 +688,36 @@ object TextOps {
       size(filter(split(segFinal, BpeSep),
         s => s =!= lit("") && s =!= lit(" "))).cast("long").as("n_bpe_tokens"))
   }
+
+  /** Commit the trained tokenizer through the transactional format —
+    * the C61/C65 model-artifact promotion: every downstream encode
+    * (C43c, C25 packing, the streaming encode) LOADS the tokenizer a
+    * training job committed, because a pipeline that retrains its
+    * tokenizer per job ships incompatible token ids. The WHOLE ordered
+    * merge list lives in ONE latest-wins row (an ordered model is
+    * replaced wholesale — per-round keying would leave a shorter
+    * retrain's stale tail rounds behind), so a retrain of any length
+    * replaces it atomically under readers.
+    */
+  def commitBpe(merges: DataFrame, path: String, buildV: Long = 0L): Unit = {
+    val row = merges
+      .agg(collect_list(
+        struct(col("round"), col("left_sym"), col("right_sym"))).as("m"))
+      .select(lit("model").as("id"), array_sort(col("m")).as("m"),
+        lit(buildV).as("build_v"))
+    graft.sources.Sinks.VersionedTable.mergeUpsert(
+      merges.sparkSession, s"$path/merges", row,
+      Seq("id"), "build_v", numBuckets = 1)
+  }
+
+  /** The committed tokenizer at its latest version, round-ordered —
+    * ready for [[bpeEncodeWith]].
+    */
+  def loadBpeMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    graft.sources.Sinks.VersionedTable.read(spark, s"$path/merges")
+      .select("m").head().getSeq[org.apache.spark.sql.Row](0)
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
 
   /** Oracle: re-derive the merge table with [[bpeTrainSql]]'s CTE chain,
     * then thread a doc-level segmentation column through the same k

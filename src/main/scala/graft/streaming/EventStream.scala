@@ -886,6 +886,17 @@ object EventStream {
     graft.operators.Dsir.scoreAgainst(docs, lr)
       .withColumn("keep", col("dsir_fp") >= lit(keepMin))
 
+  /** Streaming BPE encode against the COMMITTED tokenizer
+    * ([[graft.operators.TextOps.commitBpe]]): the k learned merges are
+    * plan literals chained as greedy folds — a stateless zero-shuffle
+    * projection, append mode, no watermark. The serving property that
+    * matters: every stream batch encodes with the SAME committed merge
+    * order, so token ids stay compatible across the whole deployment
+    * (an encoder that retrains per job would not).
+    */
+  def streamingBpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    graft.operators.TextOps.bpeEncodeWith(docs, merges)
+
   /** Streaming dedup against the COMMITTED corpus index
     * ([[graft.operators.DedupIndex]]) — the crawl-admission topology a
     * production pipeline actually runs: an ingest job builds/extends

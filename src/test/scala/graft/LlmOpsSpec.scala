@@ -538,6 +538,32 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("committed tokenizer: encode from the artifact == encode in-session, order preserved") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val k = 6
+    val merges = TextOps.bpeTrain(docs, k)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe-model").toString
+    TextOps.commitBpe(merges, path)
+    val loaded = TextOps.loadBpeMerges(spark, path)
+    val trained = merges.select("left_sym", "right_sym").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(loaded == trained,
+      "the committed merge list must round-trip in learned order")
+    val direct = TextOps.bpeEncode(docs, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val served = TextOps.bpeEncodeWith(docs, loaded).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(served == direct,
+      "encoding from the committed tokenizer must match the in-session encode")
+    // a retrain replaces the WHOLE model atomically — latest wins, and a
+    // SHORTER retrain must not leave the old model's tail rounds behind
+    val shorter = TextOps.bpeTrain(docs, k - 2)
+    TextOps.commitBpe(shorter, path, buildV = 1L)
+    assert(TextOps.loadBpeMerges(spark, path).size == shorter.count(),
+      "a shorter retrain must fully replace the committed model")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("bpe trainer: fold round followed by replace round matches at token boundaries") {
     val s = spark
     import s.implicits._
