@@ -26,9 +26,9 @@ import graft.sources.Sinks.VersionedTable
   * Replay safety: ingest is AT-LEAST-ONCE (a restarted job re-submits
   * its batch), and a re-applied delta would silently double-count — the
   * one failure mode an additive state cannot detect after the fact. The
-  * artifact therefore carries a LEDGER table of applied delta ids;
-  * [[applyDelta]] is a no-op for an already-applied id (checked against
-  * the snapshot-isolated committed ledger before any state write).
+  * artifact therefore carries a LEDGER of applied delta ids, committed
+  * IN THE SAME manifest transaction as the state rows they guard (see
+  * [[ledgerTag]]); [[applyDelta]] is a no-op for an already-applied id.
   * Single-ingestor regime, the standard warehouse contract: concurrent
   * APPLIES of different deltas would race the check; concurrent readers
   * are always safe (manifest snapshot isolation).
@@ -46,7 +46,6 @@ object RollupIndex {
   private def dec(c: Column): Column = c.cast("decimal(18,4)")
   private def money(c: Column): Column = round(c, 2).cast("double")
   private def statePath(path: String) = s"$path/state"
-  private def ledgerPath(path: String) = s"$path/ledger"
 
   /** The mergeable partial-aggregate state of a fact slice: one row per
     * key — count and exact decimal sums (cast back to the stable
@@ -87,22 +86,38 @@ object RollupIndex {
   def build(fact: DataFrame, path: String, deltaId: String): Unit =
     applyDelta(fact, path, deltaId)
 
+  /** Ledger rows ride INSIDE the state table under a reserved sentinel
+    * key (suppkey −1 + a NUL-prefixed returnflag no fact row can
+    * carry; `build_v` of the row is the apply version), so the state
+    * merge and the applied-id record land in ONE manifest commit — a
+    * crash can never separate them. Two tables would leave a window
+    * where either a replay double-counts (state committed, ledger not)
+    * or a delta is silently lost (ledger committed, state not); a
+    * single commit has neither failure mode, which is what makes the
+    * replay guard an exactly-once guarantee rather than a best effort.
+    */
+  private val LedgerKey = -1L
+  private def ledgerTag(deltaId: String) = s"\u0000ledger:$deltaId"
+
   /** (applied ids, next monotonic apply version) from the committed
-    * ledger — constant-size (one row per ingest batch, ever).
+    * sentinel rows — constant-size (one row per ingest batch, ever).
     */
   private def ledger(spark: SparkSession, path: String): (Set[String], Long) =
     try {
-      val rows = VersionedTable.read(spark, ledgerPath(path))
-        .select("delta_id", "build_v").collect()
-      (rows.map(_.getString(0)).toSet,
+      val rows = VersionedTable.read(spark, statePath(path))
+        .filter(col(Keys.head) === LedgerKey)
+        .select(col(Keys(1)), col("n_rows")).collect()
+      (rows.map(_.getString(0).stripPrefix("\u0000ledger:")).toSet,
         rows.map(_.getLong(1)).foldLeft(0L)(math.max) + 1L)
     } catch { case _: IllegalStateException => (Set.empty, 1L) } // no commits yet
 
   /** Apply one ingest batch: partial-agg the DELTA, add into the
     * touched keys' state rows (left join against the committed state —
     * untouched keys are never read or rewritten beyond the merge's
-    * bucket files), commit, and record the delta id. Replay of an
-    * already-applied id is a NO-OP.
+    * bucket files), and commit state + ledger row ATOMICALLY. Replay of
+    * an already-applied id is a NO-OP. Single-ingestor regime (the
+    * standard warehouse contract); facts must carry non-negative keys
+    * (the sentinel owns −1).
     */
   def applyDelta(delta: DataFrame, path: String, deltaId: String): Unit = {
     val spark = delta.sparkSession
@@ -112,24 +127,29 @@ object RollupIndex {
     val merged =
       try mergeStates(
         VersionedTable.read(spark, statePath(path))
+          .filter(col(Keys.head) =!= LedgerKey)
           .select(Keys.map(col) ++ Seq(col("n_rows"), col("sum_qty"), col("sum_price")): _*)
           .join(d.select(Keys.map(col): _*), Keys, "left_semi"), // touched keys only
         d)
       catch { case _: IllegalStateException => d } // first build: no state yet
-    VersionedTable.mergeUpsert(spark, statePath(path),
-      merged.withColumn("build_v", lit(v)), Keys, "build_v", numBuckets = 16)
     val s = spark
     import s.implicits._
-    VersionedTable.mergeUpsert(spark, ledgerPath(path),
-      Seq((deltaId, v)).toDF("delta_id", "build_v"),
-      Seq("delta_id"), "build_v", numBuckets = 1)
+    val ledgerRow = Seq((LedgerKey, ledgerTag(deltaId), v))
+      .toDF(Keys.head, Keys(1), "n_rows")
+      .select(col(Keys.head), col(Keys(1)), col("n_rows"),
+        lit(0).cast("decimal(28,4)").as("sum_qty"),
+        lit(0).cast("decimal(28,4)").as("sum_price"))
+    VersionedTable.mergeUpsert(spark, statePath(path),
+      merged.unionByName(ledgerRow).withColumn("build_v", lit(v)),
+      Keys, "build_v", numBuckets = 16)
   }
 
   /** The presented rollup at the latest committed version — rounded
     * doubles per the money convention; maintenance stays exact decimal.
     */
   def read(spark: SparkSession, path: String): DataFrame =
-    present(VersionedTable.read(spark, statePath(path)))
+    present(VersionedTable.read(spark, statePath(path))
+      .filter(col(Keys.head) =!= LedgerKey))
 
   def present(state: DataFrame): DataFrame =
     state.select(
