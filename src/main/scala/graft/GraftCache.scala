@@ -70,6 +70,31 @@ object GraftCache {
     if (prev != null) prev else df
   }
 
+  /** Run `body` and afterwards unpersist-and-forget every frame it
+    * newly tracked for `spark` — the hygiene a LONG-RUNNING caller
+    * needs around per-micro-batch work: a streaming foreachBatch that
+    * routes through an operator using [[persistTracked]] would
+    * otherwise register one cache entry per micro-batch (each batch has
+    * a distinct plan) and grow without bound over days of serving.
+    * Pre-existing entries (the session's static frames and memos) are
+    * untouched.
+    */
+  def releaseCreatedDuring[T](spark: SparkSession)(body: => T): T = {
+    val before = new java.util.HashSet[(SparkSession, LogicalPlan)]()
+    entries.forEach((k, _) => if (k._1 eq spark) before.add(k))
+    try body
+    finally {
+      val it = entries.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if ((e.getKey._1 eq spark) && !before.contains(e.getKey)) {
+          e.getValue.unpersist(blocking = false)
+          it.remove()
+        }
+      }
+    }
+  }
+
   /** Finished model artifacts (e.g. the 16-row k-means codebook): tiny
     * local-relation DataFrames memoized by (session, key) so repeated
     * query builds don't re-run training; dropped by [[releaseAll]] so a

@@ -923,11 +923,16 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // scope the classifier's tracked persists to this micro-batch:
+        // each batch has a distinct plan, so without the release the
+        // cache registry would grow one entry per batch, forever
         if (!batch.isEmpty)
-          graft.operators.DedupIndex
-            .matchAgainst(batch.toDF(), corpFps, corpSigs, corpBands)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outPath)
+          graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
+            graft.operators.DedupIndex
+              .matchAgainst(batch.toDF(), corpFps, corpSigs, corpBands)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(outPath)
+          }
       }
       .start()
   }

@@ -45,6 +45,34 @@ class CacheLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"persisted RDDs remain: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("releaseCreatedDuring scopes per-batch persists; pre-existing entries survive") {
+    import graft.operators.TextOps
+    GraftCache.releaseAll(spark)
+    // a pre-existing tracked frame (the serving session's static state)
+    val static = GraftCache.persistTracked(Tables.documents(spark, sf).limit(10))
+    static.count()
+    val before = GraftCache.trackedCount(spark)
+    assert(before > 0)
+    // two "micro-batches" with distinct plans, each tracking new frames
+    // (DedupIndex.matchAgainst persist-tracks the batch signatures —
+    // exactly what the streaming probe scopes per batch)
+    val docs = Tables.documents(spark, sf)
+    val ix = graft.operators.DedupIndex
+    (1 to 2).foreach { i =>
+      GraftCache.releaseCreatedDuring(spark) {
+        val batch = docs.limit(20 + i).select("doc_id", "text")
+        ix.matchAgainst(batch, ix.fps(docs), ix.sigs(docs), ix.bands(docs)).count()
+        assert(GraftCache.trackedCount(spark) > before,
+          "the batch classifier should have tracked at least one persist")
+      }
+      assert(GraftCache.trackedCount(spark) == before,
+        s"batch $i leaked tracked persists: ${GraftCache.trackedCount(spark)} != $before")
+    }
+    // the static frame was never touched
+    assert(static.storageLevel.useMemory || static.storageLevel.useDisk)
+    GraftCache.releaseAll(spark)
+  }
+
   test("memoArtifact: failed compute doesn't poison the memo; success is computed once") {
     var calls = 0
     intercept[RuntimeException] {
