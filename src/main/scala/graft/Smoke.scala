@@ -239,6 +239,38 @@ object Smoke {
     require(fluent > garbled,
       "a corpus sentence must outscore its reversal under the corpus LM")
 
+    // 15. committed artifacts: dedup index serve→admit→extend, rollup
+    // maintenance vs rescan, tokenizer round-trip — the three round-8
+    // artifact lifecycles end to end on a throwaway path
+    val artDir = java.nio.file.Files.createTempDirectory("graft-smoke-artifacts").toString
+    val artDocs = Tables.documents(spark, "/root/testdata/sf0.001")
+    graft.operators.DedupIndex.build(artDocs, s"$artDir/dedup")
+    val verdicts = graft.operators.DedupIndex
+      .serve(graft.operators.DedupIndex.plantedBatch(artDocs), s"$artDir/dedup")
+      .groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"[smoke] dedup index verdicts: $verdicts")
+    require(Set("exact", "near", "new").subsetOf(verdicts.keySet),
+      "planted batch must exercise all three verdict classes")
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    graft.operators.RollupIndex.build(
+      li.filter(col("l_orderkey") % 2 === 0), s"$artDir/rollup", "even")
+    graft.operators.RollupIndex.applyDelta(
+      li.filter(col("l_orderkey") % 2 =!= 0), s"$artDir/rollup", "odd")
+    graft.operators.RollupIndex.applyDelta(
+      li.filter(col("l_orderkey") % 2 =!= 0), s"$artDir/rollup", "odd") // replay
+    val stateN = graft.operators.RollupIndex.read(spark, s"$artDir/rollup").count()
+    val rescanN = graft.operators.RollupIndex.present(
+      graft.operators.RollupIndex.partialAgg(li)).count()
+    println(s"[smoke] rollup index: $stateN maintained keys ($rescanN by rescan)")
+    require(stateN == rescanN, "maintained state must match the one-pass rescan")
+    val bpeM = graft.operators.TextOps.bpeTrain(artDocs, 4)
+    graft.operators.TextOps.commitBpe(bpeM, s"$artDir/bpe")
+    val bpeLoaded = graft.operators.TextOps.loadBpeMerges(spark, s"$artDir/bpe")
+    println(s"[smoke] committed tokenizer: ${bpeLoaded.size} merges " +
+      s"(${bpeLoaded.take(2).mkString(", ")} …)")
+    require(bpeLoaded.nonEmpty, "the committed tokenizer must round-trip")
+
     println("[smoke] OK")
     spark.stop()
   }
