@@ -309,6 +309,32 @@ object Dsir {
     * bucket, parts-per-billion. ≤ [[NumBuckets]] output rows at any
     * corpus size; one map-side-combinable agg, zero joins.
     */
+  /** The pure drift kernel over two bucket-count maps — shared by the
+    * batch monitor and the streaming mirror. BigInt share arithmetic
+    * (the lrTable rule): 10⁹·c overflows int64 once a bucket passes
+    * ~9×10⁹ features, which a 100 TB corpus does — the oracle mirrors
+    * with HUGEINT, so both engines are exact at any scale.
+    */
+  def driftRows(a: Map[Long, Long], b: Map[Long, Long]): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val nA = BigInt(a.valuesIterator.sum); val nB = BigInt(b.valuesIterator.sum)
+    (a.keySet ++ b.keySet).toSeq.sorted.map { bkt =>
+      val cA = a.getOrElse(bkt, 0L); val cB = b.getOrElse(bkt, 0L)
+      val sA = (BigInt(ShareScale) * cA / nA.max(1)).toLong
+      val sB = (BigInt(ShareScale) * cB / nB.max(1)).toLong
+      (bkt, cA, cB, sA, sB, math.abs(sA - sB))
+    }
+  }
+
+  /** Bucketed feature counts of a (…, text) frame as a driver map —
+    * ONE map-side-combinable hash agg to ≤ [[NumBuckets]] rows. The
+    * same body shapes the streaming mirror's complete-mode aggregate.
+    */
+  def featBucketCounts(docs: DataFrame): Map[Long, Long] =
+    docs.select(explode(featsCol).as("feat"))
+      .select(expr(bucketSql("feat")).as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   def driftBetween(a: DataFrame, b: DataFrame): DataFrame = {
     val spark = a.sparkSession
     val both = a.select(col("text"), lit(true).as("in_a"))
@@ -322,16 +348,9 @@ object Dsir {
         sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
         sum(when(col("in_a"), 0L).otherwise(1L)).as("c_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // share arithmetic on the constant-size artifact in BigInt (the
-    // lrTable rule): 10⁹·c overflows int64 once a bucket passes ~9×10⁹
-    // features, which a 100 TB corpus does — the oracle mirrors with
-    // HUGEINT, so both engines are exact at any scale
-    val nA = BigInt(counts.map(_._2).sum); val nB = BigInt(counts.map(_._3).sum)
-    val rows = counts.map { case (bkt, cA, cB) =>
-      val sA = (BigInt(ShareScale) * cA / nA.max(1)).toLong
-      val sB = (BigInt(ShareScale) * cB / nB.max(1)).toLong
-      (bkt, cA, cB, sA, sB, math.abs(sA - sB))
-    }
+    val rows = driftRows(
+      counts.map(c => c._1 -> c._2).toMap.filter(_._2 > 0),
+      counts.map(c => c._1 -> c._3).toMap.filter(_._2 > 0))
     val s = spark
     import s.implicits._
     rows.toIndexedSeq.toDF("bkt", "c_a", "c_b", "share_a_fp", "share_b_fp", "drift_fp")

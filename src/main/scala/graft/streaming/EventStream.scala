@@ -886,6 +886,42 @@ object EventStream {
     graft.operators.Dsir.scoreAgainst(docs, lr)
       .withColumn("keep", col("dsir_fp") >= lit(keepMin))
 
+  /** Streaming drift monitor (C67's continuous twin, the
+    * streamingCmsGrid pattern): the live corpus's hashed-bucket feature
+    * counts accumulate as a COMPLETE-mode aggregate (≤64 rows of state,
+    * the constant-size-sketch property), and each micro-batch emits the
+    * full drift table of the stream-so-far against a committed
+    * REFERENCE snapshot's counts — the alarm wire a continuously-
+    * ingesting pipeline watches to know when the C65 selection model
+    * has gone stale. Exactly the batch kernel ([[graft.operators.Dsir
+    * .driftRows]], BigInt-exact) fed by the streaming counts, so the
+    * final micro-batch's table equals the batch monitor's
+    * verdict-for-verdict once the same docs have arrived.
+    */
+  def streamingDriftMonitor(docs: DataFrame, refCounts: Map[Long, Long],
+                            outPath: String, checkpoint: String): StreamingQuery = {
+    import graft.operators.Dsir
+    val counts = docs
+      .select(explode(Dsir.featsCol).as("feat"))
+      .select(expr(Dsir.bucketSql("feat")).as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("c"))
+    counts.writeStream
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val cur = batch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val s = spark
+        import s.implicits._
+        Dsir.driftRows(refCounts, cur).toIndexedSeq
+          .toDF("bkt", "c_a", "c_b", "share_a_fp", "share_b_fp", "drift_fp")
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+  }
+
   /** Streaming BPE encode against the COMMITTED tokenizer
     * ([[graft.operators.TextOps.commitBpe]]): the k learned merges are
     * plan literals chained as greedy folds — a stateless zero-shuffle

@@ -890,6 +890,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming drift monitor converges to the batch drift table as the corpus arrives") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dsir
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val refDocs = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+    val liveDocs = docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text")
+    val ref = Dsir.featBucketCounts(refDocs)
+    val expected = Dsir.driftBetween(refDocs, liveDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sorted.toSeq
+    val rows: Seq[(Long, String)] = liveDocs.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-stream").toString
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.streamingDriftMonitor(
+      in.toDF().toDF("doc_id", "text"), ref, s"$dir/out", s"$dir/ckpt")
+    val half = rows.length / 2
+    in.addData(rows.take(half)); q.processAllAvailable()
+    in.addData(rows.drop(half)); q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    val lastBatch = out.agg(max("batch_id")).head().getLong(0)
+    val converged = out.filter(col("batch_id") === lastBatch).drop("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sorted.toSeq
+    assert(converged == expected,
+      "once every live doc has arrived, the streamed drift table must equal the batch monitor's")
+    // and the mid-stream table already reported against the same reference
+    val mid = out.filter(col("batch_id") =!= lastBatch)
+    assert(mid.count() > 0, "each micro-batch emits a full drift table")
+  }
+
   test("streaming rollup sink is exactly-once: two micro-batches == one rescan, replay no-ops") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
