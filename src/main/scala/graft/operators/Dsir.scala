@@ -103,23 +103,27 @@ object Dsir {
         count(lit(1)).as("cr"),
         sum(when(col("source") === TargetSource, 1L).otherwise(0L)).as("ct"))
 
-  /** Memoized trained models: the ratio table is a deterministic pure
-    * function of the corpus, and C65/C65b both start from it — one
-    * session trains once per distinct corpus plan (the k-means codebook
-    * rule), keyed by the canonicalized logical plan.
-    */
-  private val lrMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Array[Long]]()
-
   /** Train the model: the 64 per-bucket fixed-point likelihood ratios,
     * exact via BigInt (never overflows regardless of corpus size).
     * Buckets no raw feature hashes into keep lr = 0 — they can never be
-    * looked up. A constant-size driver artifact, like the codebooks.
+    * looked up. A constant-size driver artifact memoized through
+    * [[GraftCache.memoArtifact]] exactly like the k-means codebooks —
+    * C65/C65b/C67 share one training per corpus plan per session, and
+    * `releaseAll` re-trains on session reset (the codebook rule).
     */
-  def lrTable(documents: DataFrame): Array[Long] =
-    lrMemo.computeIfAbsent(
-      (documents.sparkSession, documents.queryExecution.analyzed.canonicalized),
-      _ => lrTableUncached(documents))
+  def lrTable(documents: DataFrame): Array[Long] = {
+    val spark = documents.sparkSession
+    val memo = GraftCache.memoArtifact(spark,
+      ("dsirLr", documents.queryExecution.analyzed.canonicalized)) {
+      val s = spark
+      import s.implicits._
+      lrTableUncached(documents).toIndexedSeq.zipWithIndex
+        .map { case (v, k) => (k, v) }.toDF("bkt", "lr")
+    }
+    // a 64-row LocalRelation: this collect is driver-local, no job
+    val m = memo.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until NumBuckets).map(m).toArray
+  }
 
   /** The pure per-bucket ratio kernel: ⌊Scale·(ct+1)·(Nr+B) /
     * ((cr+1)·(Nt+B))⌋ in unbounded integers. PropertySpec pins the
@@ -296,19 +300,6 @@ object Dsir {
     */
   val ShareScale = 1000000000L
 
-  /** C67: corpus drift between two snapshots — the monitoring check a
-    * continuously-ingesting pipeline runs after every extend (C66's
-    * admit loop, a new source landing, a scraper change): has the
-    * token distribution moved? Snapshot A/B here are the deterministic
-    * doc_id-parity halves (standing in for corpus version N vs N+1 —
-    * callers pass any two frames to [[driftBetween]]). Per hashed
-    * feature bucket (the C65 model's own feature space, so drift is
-    * measured exactly where selection decisions live): both snapshots'
-    * counts off ONE conditional scan, shares in exact fixed point,
-    * drift = |share_a − share_b| — the L1/total-variation distance per
-    * bucket, parts-per-billion. ≤ [[NumBuckets]] output rows at any
-    * corpus size; one map-side-combinable agg, zero joins.
-    */
   /** The pure drift kernel over two bucket-count maps — shared by the
     * batch monitor and the streaming mirror. BigInt share arithmetic
     * (the lrTable rule): 10⁹·c overflows int64 once a bucket passes
@@ -335,6 +326,20 @@ object Dsir {
       .groupBy("bkt").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** C67: corpus drift between two snapshots — the monitoring check a
+    * continuously-ingesting pipeline runs after every extend (C66's
+    * admit loop, a new source landing, a scraper change): has the
+    * token distribution moved? Per hashed feature bucket (the C65
+    * model's own feature space, so drift is measured exactly where
+    * selection decisions live): both snapshots' counts off ONE
+    * conditional scan, shares in exact fixed point, drift =
+    * |share_a − share_b| — the L1/total-variation distance per bucket,
+    * parts-per-billion. ≤ [[NumBuckets]] output rows at any corpus
+    * size; one map-side-combinable agg, zero joins. The registered
+    * query's snapshots are the deterministic doc_id-parity halves
+    * (standing in for corpus version N vs N+1); callers pass any two
+    * frames.
+    */
   def driftBetween(a: DataFrame, b: DataFrame): DataFrame = {
     val spark = a.sparkSession
     val both = a.select(col("text"), lit(true).as("in_a"))
