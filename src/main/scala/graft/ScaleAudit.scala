@@ -103,7 +103,11 @@ object ScaleAudit {
     "q_rollup_incremental",
     // round-8 batch 4: the resample draw (rides the memoized trainer)
     // and the drift monitor (≤64 rows out at any corpus size)
-    "q_dsir_resample", "q_corpus_drift")
+    "q_dsir_resample", "q_corpus_drift",
+    // round-8 batch 5: the WARC front door (length-framed record
+    // splitting must stay an embarrassingly-parallel mapPartitions
+    // walk — no shuffle beyond the file grouping)
+    "q_warc_ingest")
 
   def buildScaled(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
     // events.ts stays a raw nanos long end-to-end: the flag reads the

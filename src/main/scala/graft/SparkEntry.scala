@@ -24,7 +24,8 @@ object SparkEntry {
       Dedup.queries ++ Embeddings.queries ++ Temporal.queries ++
       Sketches.queries ++ Graph.queries ++ ImageDedup.queries ++
       AudioDedup.queries ++ VideoDedup.queries ++ Classify.queries ++
-      Retrieval.queries ++ graft.sources.Sinks.queries ++ Html.queries ++
+      Retrieval.queries ++ graft.sources.Sinks.queries ++
+      graft.sources.Warc.queries ++ Html.queries ++
       Curation.queries ++ Dsir.queries ++ DedupIndex.queries ++
       RollupIndex.queries
 
@@ -35,7 +36,8 @@ object SparkEntry {
       Dedup.oracle ++ Embeddings.oracle ++ Temporal.oracle ++
       Sketches.oracle ++ Graph.oracle ++ ImageDedup.oracle ++
       AudioDedup.oracle ++ VideoDedup.oracle ++ Classify.oracle ++
-      Retrieval.oracle ++ graft.sources.Sinks.oracle ++ Html.oracle ++
+      Retrieval.oracle ++ graft.sources.Sinks.oracle ++
+      graft.sources.Warc.oracle ++ Html.oracle ++
       Curation.oracle ++ Dsir.oracle ++ DedupIndex.oracle ++
       RollupIndex.oracle
 }

@@ -118,7 +118,7 @@ object Html {
         "<a href=\"/privacy\">Privacy</a><script>track();</script></div>"),
       lit("</body></html>"))
 
-  private val plantedHtmlSql: String =
+  private[graft] val plantedHtmlSql: String =
     """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
       |'</title><style>p{margin:0}</style><script>var a=1;</script></head><body>' ||
       |'<div id="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>' ||

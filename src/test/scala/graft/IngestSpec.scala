@@ -89,4 +89,22 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run3.count() == 0)
     assert(Ingest.advanceCursor(spark, cursor, run3, "event_id") == 130L)
   }
+
+  test("WARC split: a corrupt middle record is skipped, its neighbors survive") {
+    import graft.sources.Warc
+    val spark2 = spark
+    import spark2.implicits._
+    val good1 = Warc.encodeRecord(Warc.urlFor(1L), "<p>one</p>".getBytes("UTF-8"))
+    val good2 = Warc.encodeRecord(Warc.urlFor(2L), "<p>two</p>".getBytes("UTF-8"))
+    // middle record lies about its length: Content-Length far past EOF of
+    // its own framing - parseOne rejects it and resyncs at the next magic
+    val corrupt = ("WARC/1.0\r\nWARC-Target-URI: " + Warc.urlFor(9L) +
+      "\r\nContent-Length: 999999\r\n\r\nshort").getBytes("UTF-8")
+    val blob = good1 ++ corrupt ++ good2
+    val files = Seq((0L, blob)).toDF("file_id", "blob")
+    val out = Warc.splitWarc(files).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "<p>one</p>", 2L -> "<p>two</p>"),
+      s"expected the two intact records only, got $out")
+  }
 }

@@ -257,3 +257,48 @@ object DsirRatioProps extends Properties("dsir.lrOf") {
         Dsir.lrOf(ct, cr, BigInt(nt), BigInt(nr)))
     }
 }
+
+/** The WARC splitter (sources.Warc.parseRecords): never-throws /
+  * never-loops on arbitrary bytes, and writer∘splitter == identity for
+  * ADVERSARIAL payloads — including payloads embedding the record magic
+  * and blank lines, which is exactly what defeats delimiter splitting
+  * and what Content-Length framing exists to survive.
+  */
+object WarcProps extends Properties("warc.parseRecords") {
+  import graft.sources.Warc
+
+  private val rawBytes: Gen[Array[Byte]] =
+    Gen.containerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+
+  private val hostilePayload: Gen[Array[Byte]] = for {
+    pre <- rawBytes
+    mid <- Gen.oneOf("WARC/1.0\r\n", "\r\n\r\n", "Content-Length: 0\r\n\r\n",
+      "WARC/1.0\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+    post <- rawBytes
+  } yield pre ++ mid.getBytes("UTF-8") ++ post
+
+  property("never throws on random bytes") = forAll(rawBytes) { bs =>
+    Warc.parseRecords(bs); true
+  }
+
+  property("roundtrip == identity, even with magic/blank-lines inside payloads") =
+    forAll(Gen.listOfN(3, hostilePayload)) { payloads =>
+      val recs = payloads.zipWithIndex.map { case (p, i) => (s"https://x/$i", p) }
+      val parsed = Warc.parseRecords(Warc.encodeFile(recs))
+      Prop(parsed.length == recs.length) && Prop(
+        parsed.zip(recs).forall { case (got, (uri, p)) =>
+          got.headers.contains("WARC-Target-URI" -> uri) &&
+            java.util.Arrays.equals(got.payload, p)
+        })
+    }
+
+  property("garbage prefix/suffix never hides the intact records between them") =
+    forAll(rawBytes, rawBytes, hostilePayload) { (pre, post, p) =>
+      val blob = pre ++ Warc.encodeRecord("https://x/ok", p) ++ post
+      val hits = Warc.parseRecords(blob).filter(
+        _.headers.contains("WARC-Target-URI" -> "https://x/ok"))
+      // the record is still found (garbage may parse as extra records,
+      // never fewer) and its payload survives byte-for-byte
+      Prop(hits.exists(h => java.util.Arrays.equals(h.payload, p)))
+    }
+}
