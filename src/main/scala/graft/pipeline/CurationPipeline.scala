@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, Dsir, Html, TextOps}
+import graft.sources.Warc
+
+/** The end-to-end crawl→training-corpus DAG — the composition story the
+  * individual §2 lenses exist for, wired as one facade a 100 TB user
+  * calls once per crawl drop:
+  *
+  *   WARC blobs ── C68 split ──▶ (url, html)
+  *              ── C60 HTML extract ──▶ clean text (boilerplate gone)
+  *              ── C62 NFC normalize ──▶ canonical bytes
+  *              ── C23 quality rules ──▶ keep/drop
+  *              ── C22+C41 dedup clusters + canonical keep ──▶ one doc
+  *                   per near-dup cluster
+  *              ── C65 DSIR vs a trusted target slice ──▶ the curated
+  *                   corpus, importance-selected
+  *
+  * plus a per-stage FUNNEL report (stage, rows) — the telemetry a
+  * curation run ships so a distribution shift at any stage is visible
+  * (pair it with C67's drift monitor across drops).
+  *
+  * Ordering is load-bearing and matches production practice: normalize
+  * BEFORE dedup (the same logical text must fingerprint together —
+  * C62's reason to exist), dedup BEFORE DSIR (importance weights
+  * estimated on a dup-heavy pool over-weight whatever is duplicated),
+  * quality rules as early as clean text exists (everything downstream
+  * is cheaper on fewer docs).
+  *
+  * Every stage is one of the oracle-checked operators applied verbatim
+  * — this facade adds NO new semantics (PipelineSpec pins
+  * stage-by-stage equality), so its correctness is inherited from the
+  * per-stage DuckDB gates.
+  */
+object CurationPipeline {
+
+  /** The curated corpus plus the funnel. `target` marks the trusted
+    * docs (doc_id set) DSIR matches the pool against — the C65
+    * target-slice contract with the facade owning the labeling.
+    */
+  def curate(warcBlobs: Dataset[Row], targetIds: Set[Long]): (DataFrame, DataFrame) = {
+    val spark = warcBlobs.sparkSession
+
+    val split = Warc.splitWarc(warcBlobs)
+    val extracted = Html.htmlExtract(split, col("html"))
+      .select(col("doc_id"), col("clean_text"))
+    val normalized = Curation.textNormalize(extracted, col("clean_text"))
+      .select(col("doc_id"), col("norm_text").as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val qualityKept = normalized.join(
+      TextOps.qualityRules(normalized).filter(col("keep")).select("doc_id"), "doc_id")
+    val canonKept = qualityKept.join(
+      Dedup.canonicalKeep(qualityKept).filter(col("keep")).select("doc_id"), "doc_id")
+    val labeled = canonKept.withColumn("source",
+      when(col("doc_id").isInCollection(targetIds), lit(Dsir.TargetSource))
+        .otherwise(lit("pool")))
+    val curated = labeled.join(
+      Dsir.dsirWeights(labeled).filter(col("keep")).select("doc_id"), "doc_id")
+      .select("doc_id", "text", "n_chars")
+
+    val stages = Seq(
+      ("1_warc_records", split.count()),
+      ("2_html_extracted", extracted.count()),
+      ("3_normalized", normalized.count()),
+      ("4_quality_kept", qualityKept.count()),
+      ("5_canonical_kept", canonKept.count()),
+      ("6_dsir_selected", curated.count()))
+    val s = spark
+    import s.implicits._
+    (curated, stages.toDF("stage", "rows"))
+  }
+}

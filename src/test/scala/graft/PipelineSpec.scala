@@ -287,4 +287,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rolled = GraftPipeline.analyzeUserInterestsByParent(following, docs).collect()
     assert(rolled.length == 1 && rolled.head.getString(1) == "performance")
   }
+
+  test("curation pipeline: crawl blobs to curated corpus, funnel monotone, stages verbatim") {
+    import graft.pipeline.CurationPipeline
+    import graft.operators.{Curation, Html, TextOps}
+    import graft.sources.{Tables, Warc}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val targetIds = docs.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val blobs = Warc.warcFiles(docs.select(col("doc_id"), Html.plantedHtml.as("html")))
+    val (curated, funnel) = CurationPipeline.curate(blobs, targetIds)
+    val f = funnel.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = docs.count()
+    // the WARC round-trip loses nothing; each filter stage only narrows
+    assert(f("1_warc_records") == nDocs && f("2_html_extracted") == nDocs &&
+      f("3_normalized") == nDocs)
+    assert(f("4_quality_kept") <= f("3_normalized"))
+    assert(f("5_canonical_kept") <= f("4_quality_kept"))
+    assert(f("6_dsir_selected") <= f("5_canonical_kept"))
+    assert(f("6_dsir_selected") > 0, "the pipeline must keep something")
+    // curated ids are real input docs, and text survived extraction+normalization
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = curated.collect()
+    assert(out.map(_.getLong(0)).toSet.subsetOf(ids))
+    out.foreach(r => assert(r.getString(1).nonEmpty))
+    // stage verbatim: the facade's normalize stage == applying the
+    // operators by hand on the same blobs (no hidden semantics)
+    val byHand = Curation.textNormalize(
+      Html.htmlExtract(Warc.splitWarc(blobs), col("html"))
+        .select(col("doc_id"), col("clean_text")),
+      col("clean_text"))
+      .select("doc_id", "norm_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (curated2, funnel2) = CurationPipeline.curate(blobs, targetIds)
+    // determinism: a rerun reproduces the corpus exactly
+    assert(curated2.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      out.map(r => (r.getLong(0), r.getString(1))).sorted.toSeq)
+    out.foreach(r => assert(byHand(r.getLong(0)) == r.getString(1),
+      s"facade text for doc ${r.getLong(0)} diverged from the by-hand stages"))
+    assert(funnel2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      funnel.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    graft.GraftCache.releaseAll(spark)
+  }
 }
