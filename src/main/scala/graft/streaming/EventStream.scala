@@ -922,6 +922,63 @@ object EventStream {
       .start()
   }
 
+  /** The LIVE crawl-admission pipeline — [[graft.pipeline
+    * .CurationPipeline]]'s continuous twin, serving the artifacts the
+    * batch run committed: each arriving (doc_id, html) row is HTML-
+    * extracted (C60), NFC-normalized (C62), quality-gated (C23) and
+    * DSIR-gated (C65, committed ratio table + fixed threshold) — all
+    * stateless scan stages — then classified against the COMMITTED
+    * dedup index (C66): docs flagged `new` are ADMITTED — appended to
+    * the output corpus AND merged into the index — so a page arriving
+    * again in a LATER micro-batch is rejected as an exact duplicate of
+    * its admitted self. That cross-batch memory lives entirely in the
+    * transactional artifact (no Spark streaming state, no watermark):
+    * restart-safe because a replayed batch re-serves against an index
+    * that already contains its admissions (keyed latest-wins merge —
+    * idempotent) and rewrites the same (batch_id, doc_id) output rows
+    * (the [[streamingLmGate]] provenance contract).
+    *
+    * Single-admitter regime, like the batch ingest it mirrors.
+    */
+  def streamingCurationAdmission(docs: DataFrame, indexPath: String,
+                                 lr: Array[Long], dsirKeepMin: Long,
+                                 outPath: String, checkpoint: String): StreamingQuery = {
+    import graft.operators.{Curation, DedupIndex, Dsir, Html, TextOps}
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
+          val extracted = Html.htmlExtract(batch.toDF(), col("html"))
+            .select(col("doc_id"), col("clean_text"))
+          val normalized = Curation.textNormalize(extracted, col("clean_text"))
+            .select(col("doc_id"), col("norm_text").as("text"))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+          val gated = normalized
+            .join(TextOps.qualityRules(normalized).filter(col("keep"))
+              .select("doc_id"), "doc_id")
+            .join(Dsir.scoreAgainst(normalized, lr)
+              .filter(col("dsir_fp") >= dsirKeepMin).select("doc_id"), "doc_id")
+          // the artifact is re-read EVERY batch on purpose: earlier
+          // batches' admissions must be visible to this one
+          val verdicts = DedupIndex.serve(gated.select("doc_id", "text"), indexPath)
+          val admitted = gated.join(
+            verdicts.filter(col("kind") === "new").select("doc_id"), "doc_id")
+            .persist()
+          try {
+            val n = admitted.count()
+            if (n > 0) {
+              DedupIndex.extend(admitted.select("doc_id", "text"), indexPath,
+                buildV = batchId + 1)
+              admitted.withColumn("batch_id", lit(batchId))
+                .write.mode("append").parquet(outPath)
+            }
+          } finally admitted.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** Streaming BPE encode against the COMMITTED tokenizer
     * ([[graft.operators.TextOps.commitBpe]]): the k learned merges are
     * plan literals chained as greedy folds — a stateless zero-shuffle

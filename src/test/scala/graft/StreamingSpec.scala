@@ -951,6 +951,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(RollupIndex.read(spark, s"$dir/index")) == maintained)
   }
 
+  test("streaming curation admission: clean, gate, dedup-vs-index, admit, and remember across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{DedupIndex, Dsir, Html}
+    val dir = java.nio.file.Files.createTempDirectory("graft-admission").toString
+    // seed the corpus index with unrelated docs so the arrivals start novel
+    val seed = Seq((900001L, "seed corpus alpha beta gamma delta epsilon"),
+      (900002L, "another seed document with the usual words"))
+      .toDF("doc_id", "text")
+    DedupIndex.build(seed, s"$dir/index")
+    // a flat ratio table + zero threshold: the DSIR gate passes all (its
+    // own semantics are pinned elsewhere; here the admission loop is under test)
+    val lr = Array.fill(Dsir.NumBuckets)(Dsir.Scale)
+    // three pages whose text passes the quality rules (>=5 words, a stopword)
+    val texts = Map(
+      1L -> "the quick brown fox jumps over a lazy dog",
+      2L -> "a second page with the words to pass quality checks",
+      4L -> "or perhaps the fourth page also carries enough words here")
+    def htmlRows(ids: Seq[Long]) = {
+      val df = ids.map(i => (i, texts(i))).toDF("doc_id", "text")
+      df.select(col("doc_id"), Html.plantedHtml.as("html")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    }
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.streamingCurationAdmission(
+      in.toDF().toDF("doc_id", "html"), s"$dir/index", lr, dsirKeepMin = 0L,
+      s"$dir/out", s"$dir/ckpt")
+    in.addData(htmlRows(Seq(1L, 2L))); q.processAllAvailable()
+    // page 2 arrives AGAIN next batch (a re-crawl) alongside novel page 4
+    in.addData(htmlRows(Seq(2L, 4L))); q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("batch_id")))
+    assert(out.toSet == Set((1L, 0L), (2L, 0L), (4L, 1L)),
+      s"batch 0 admits 1+2, batch 1 must reject the re-crawled 2 and admit 4; got ${out.toSeq}")
+    // the admissions landed in the committed index: all three now exact dups
+    val again = DedupIndex.serve(
+      Seq(1L, 2L, 4L).map(i => (i + 100L, texts(i))).toDF("doc_id", "text"),
+      s"$dir/index").collect().map(r => r.getString(1)).toSet
+    assert(again == Set("exact"), s"re-serving admitted texts must flag exact, got $again")
+  }
+
   test("streaming dedup probe serves two micro-batches from one committed index == batch serve") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
