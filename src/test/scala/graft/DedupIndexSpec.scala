@@ -74,6 +74,33 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(verdicts(DedupIndex.serve(batch, path)) == before)
   }
 
+  test("maintenance: compact + vacuum after incremental extends leaves serving unchanged") {
+    import graft.sources.Sinks.VersionedTable
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("compact")
+    // four incremental ingests fragment every bucket (one file per merge)
+    (0L until 4L).foreach { i =>
+      DedupIndex.extend(docs.filter(pmod(col("doc_id"), lit(4L)) === i), path, buildV = i)
+    }
+    val batch = DedupIndex.plantedBatch(docs)
+    val before = verdicts(DedupIndex.serve(batch, path))
+    def parquetFiles(): Long = {
+      val base = java.nio.file.Paths.get(path)
+      val s = java.nio.file.Files.walk(base)
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val fragmented = parquetFiles()
+    Seq("fps", "sigs", "bands").foreach { t =>
+      VersionedTable.compact(spark, s"$path/$t")
+      VersionedTable.vacuumVersioned(spark, s"$path/$t", keep = 1, minAgeMs = 0L)
+    }
+    assert(parquetFiles() < fragmented,
+      s"compaction must shrink the file count (was $fragmented, now ${parquetFiles()})")
+    assert(verdicts(DedupIndex.serve(batch, path)) == before,
+      "compaction + vacuum must not change one serving verdict")
+  }
+
   test("crawl loop: admit the new docs, extend, and the re-served batch flags them exact") {
     val docs = Tables.documents(spark, sf)
     val path = tmp("loop")
