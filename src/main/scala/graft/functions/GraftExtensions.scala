@@ -25,6 +25,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * no input row and die with an opaque NPE/ClassCastException; fail
     * with a message that names the contract instead.
     */
+  private def literalString(fn: String, param: String, e: Expression): String = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: $param must be a literal string, got non-foldable expression ${e.sql}")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $param must be a literal string, got $other")
+    }
+  }
+
   private def literalInt(fn: String, param: String, e: Expression): Int = {
     if (!e.foldable)
       throw new IllegalArgumentException(
@@ -94,6 +105,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5bucket"),
+      info("graft_md5bucket",
+        "graft_md5bucket(str, salt, mod) - hashing-trick bucket: first 4 md5(salt || str) bytes as uint32, mod `mod`; value-identical to the portable hexPrefixVal SQL chain"),
+      (args: Seq[Expression]) => Exprs.Md5BucketMod(args(0),
+        literalString("graft_md5bucket", "salt", args(1)),
+        literalInt("graft_md5bucket", "mod", args(2)))))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "graft_minhash_sig(shingles, k) - k-permutation minhash signature"),

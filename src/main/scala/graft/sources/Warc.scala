@@ -109,11 +109,20 @@ object Warc {
     * the blank line (each needing ": "), a parseable in-bounds
     * Content-Length, then the framed payload. Any violation → None.
     */
+  /** Header-block byte cap per candidate: spec headers are tiny, and
+    * WITHOUT a cap an adversarial blob (many magics in front of a huge
+    * CRLF-less run) makes every candidate rescan the run — O(n²) total.
+    * With it, a rejected candidate costs O(MaxHeaderBytes) and the scan
+    * stays linear.
+    */
+  val MaxHeaderBytes = 8192
+
   private def parseOne(bytes: Array[Byte], at: Int): Option[(WarcRecord, Int)] = {
+    val headerLimit = math.min(bytes.length.toLong, at.toLong + MaxHeaderBytes).toInt
     def lineEnd(from: Int): Int = {
       var i = from
-      while (i + 1 < bytes.length && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
-      if (i + 1 < bytes.length) i else -1
+      while (i + 1 < headerLimit && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 < headerLimit) i else -1
     }
     var p = at + MagicBytes.length
     if (p + 1 >= bytes.length || bytes(p) != '\r' || bytes(p + 1) != '\n') return None
@@ -163,7 +172,7 @@ object Warc {
     */
   def warcFiles(docsHtml: DataFrame): Dataset[Row] =
     docsHtml
-      .groupBy((col("doc_id") / lit(RecordsPerFile)).cast("long").as("file_id"))
+      .groupBy(expr(s"doc_id div $RecordsPerFile").as("file_id"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("html")))).as("recs"))
       .mapPartitions { rows =>
         rows.map { r =>

@@ -903,7 +903,7 @@ object EventStream {
     import graft.operators.Dsir
     val counts = docs
       .select(explode(Dsir.featsCol).as("feat"))
-      .select(expr(Dsir.bucketSql("feat")).as("bkt"))
+      .select(Dsir.bucketCol(col("feat")).as("bkt"))
       .groupBy("bkt").agg(count(lit(1)).as("c"))
     counts.writeStream
       .outputMode(OutputMode.Complete)

@@ -224,4 +224,27 @@ class ExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count()
     assert(n > 0)
   }
+
+  test("Md5BucketMod == the portable hexPrefixVal SQL chain; eval == codegen; SQL-registered") {
+    val s2 = spark
+    import s2.implicits._
+    val rows = Seq("alpha", "the_quick", "", "unicode\u00e9\u4e2d", "x" * 200)
+      .toDF("t")
+    val viaExpr = rows.select(Exprs.md5Bucket(col("t"), "ds_", 64)).collect().map(_.getLong(0))
+    // the oracle-side definition, evaluated by Spark itself
+    val chain = graft.operators.TextOps.hexPrefixValSql("md5(concat('ds_', t))")
+    val viaChain = rows.selectExpr(s"$chain % 64").collect().map(_.getLong(0))
+    assert(viaExpr.toSeq == viaChain.toSeq,
+      "the native bucket must be value-identical to the portable SQL chain")
+    // interpreted eval path agrees with the codegen'd dataframe path
+    val viaEval = rows.collect().map { r =>
+      Exprs.Md5BucketMod(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))),
+        "ds_", 64).eval(null).asInstanceOf[Long]
+    }
+    assert(viaEval.toSeq == viaExpr.toSeq)
+    // and the session-registered SQL name resolves to the same values
+    assert(rows.selectExpr("graft_md5bucket(t, 'ds_', 64)")
+      .collect().map(_.getLong(0)).toSeq == viaExpr.toSeq)
+  }
 }
