@@ -959,6 +959,16 @@ object Exprs {
   // Column-level API
   def md5Bucket(s: Column, salt: String, mod: Int): Column =
     ColumnBridge.column(Md5BucketMod(ColumnBridge.expression(s), salt, mod))
+  /** A TRUE pre-converted array literal. `typedLit(seq)` builds an
+    * encoder-backed expression that re-converts the whole Seq on every
+    * evaluation — catastrophic inside an interpreted HOF lambda (a
+    * 4096-entry weight table re-materialized PER FEATURE measured 6×
+    * slower than the string chain it replaced); `Literal.create`
+    * converts once at plan build.
+    */
+  def litLongArray(a: Seq[Long]): Column =
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.Literal.create(
+      a.toArray, ArrayType(LongType, containsNull = false)))
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.column(DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def minhashSig(shingles: Column, numHashes: Int): Column =

@@ -52,7 +52,14 @@ object Classify {
 
   /** C53: (doc_id, n_features, score, keep) — unigrams + bigrams
     * hashed into [[NumBuckets]], score = Σ bucket weight (exact
-    * BIGINT), keep = score > 0.
+    * BIGINT), keep = score > 0. The weight chain stays the pure
+    * builtin-expression form ON PURPOSE: Spark 4 whole-stage-codegens
+    * this lambda body into tight Java (0.67 s flat from 50k to 500k
+    * docs at scale audit), and a round-8 experiment replacing it with
+    * a native reference-object expression + literal weight table
+    * measured 6× SLOWER — the ref call defeats the lambda's codegen.
+    * (The DSIR scorer is the opposite case: its old chain built a
+    * 64-element array per evaluation, so the native bucket won there.)
     */
   def qualityClassifier(documents: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")

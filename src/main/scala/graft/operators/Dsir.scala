@@ -169,7 +169,7 @@ object Dsir {
     * streaming gate reuses this body verbatim).
     */
   def scoreAgainst(documents: DataFrame, lr: Array[Long]): DataFrame = {
-    val lrLit = typedLit(lr.toIndexedSeq)
+    val lrLit = Exprs.litLongArray(lr.toIndexedSeq)
     documents
       .select(col("doc_id"), featsCol.as("feats"))
       .select(
