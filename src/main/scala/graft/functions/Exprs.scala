@@ -914,6 +914,85 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** NFKC + confusable folding — the aggressive sibling of
+    * [[NfcNormalize]] for SPAM-robust fingerprinting: NFC preserves
+    * compatibility variants (fullwidth ＡＢＣ, ligature ﬁ, superscript ²)
+    * and cross-script homoglyphs (Cyrillic а/е/о for Latin a/e/o) as
+    * DISTINCT codepoints, so "pаypal" with one Cyrillic а fingerprints
+    * apart from "paypal" — exactly what evasive duplicates exploit.
+    * This pass runs JDK NFKC (compatibility decomposition folds the
+    * width/ligature/super-script variants) and then a FIXED confusable
+    * map for the classic single-codepoint lookalikes (the high-traffic
+    * subset of Unicode TR39's confusables table — a full TR39 table is
+    * a data file, not an algorithm; the map here is the stable
+    * documented core). Spec-pinned (CurationSpec): DuckDB 1.0 has no
+    * NFKC, so there is no SQL oracle — the C58 convention.
+    *
+    * Use for dedup/fingerprint KEYS, not for stored text: NFKC is
+    * lossy by design (it erases formatting distinctions).
+    */
+  case class NfkcFold(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == NullType || child.dataType.isInstanceOf[StringType])
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs string input")
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_nfkc_fold"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val k =
+        if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFKC)) s
+        else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+      var i = 0
+      var changed = false
+      val n = k.length
+      while (i < n && !changed) { changed = NfkcFold.fold(k.charAt(i)) != k.charAt(i); i += 1 }
+      if (!changed && (k eq s)) input.asInstanceOf[UTF8String]
+      else if (!changed) UTF8String.fromString(k)
+      else {
+        val b = new java.lang.StringBuilder(n)
+        var j = 0
+        while (j < n) { b.append(NfkcFold.fold(k.charAt(j))); j += 1 }
+        UTF8String.fromString(b.toString)
+      }
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nfkcFoldExpr", this, classOf[NfkcFold].getName)
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object NfkcFold {
+    /** The high-traffic single-codepoint confusables: Cyrillic and
+      * Greek letters visually identical to Latin in most fonts — the
+      * ones homoglyph spam actually uses. Both cases where both exist.
+      */
+    private val Confusables: Map[Char, Char] = Map(
+      // Cyrillic lowercase → Latin
+      'а' -> 'a', 'е' -> 'e', 'о' -> 'o', 'р' -> 'p',
+      'с' -> 'c', 'х' -> 'x', 'у' -> 'y', 'і' -> 'i',
+      'ѕ' -> 's', 'ј' -> 'j',
+      // Cyrillic uppercase → Latin
+      'А' -> 'A', 'В' -> 'B', 'Е' -> 'E', 'К' -> 'K',
+      'М' -> 'M', 'Н' -> 'H', 'О' -> 'O', 'Р' -> 'P',
+      'С' -> 'C', 'Т' -> 'T', 'Х' -> 'X', 'І' -> 'I',
+      'Ѕ' -> 'S', 'Ј' -> 'J',
+      // Greek lookalikes (the unambiguous identical-glyph set)
+      'ο' -> 'o', 'Ο' -> 'O', 'Α' -> 'A', 'Β' -> 'B',
+      'Ε' -> 'E', 'Ζ' -> 'Z', 'Η' -> 'H', 'Ι' -> 'I',
+      'Κ' -> 'K', 'Μ' -> 'M', 'Ν' -> 'N', 'Ρ' -> 'P',
+      'Τ' -> 'T', 'Υ' -> 'Y', 'Χ' -> 'X')
+
+    def fold(c: Char): Char = Confusables.getOrElse(c, c)
+  }
+
   /** The hashing-trick bucket: (first 4 bytes of md5(salt ‖ str) as a
     * big-endian uint32) mod `mod` — VALUE-identical to the SQL oracles'
     * `hexPrefixValSql(md5(concat(salt, str))) % mod` chain (the first 8
@@ -995,6 +1074,8 @@ object Exprs {
     ColumnBridge.column(BpeMergePair(ColumnBridge.expression(seg), l, r))
   def nfc(s: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(s)))
+  def nfkcFold(s: Column): Column =
+    ColumnBridge.column(NfkcFold(ColumnBridge.expression(s)))
   def gramUpper(qv: Column, dim: Int): Column =
     ColumnBridge.column(
       GramUpper(ColumnBridge.expression(qv), dim).toAggregateExpression())

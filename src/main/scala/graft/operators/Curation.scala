@@ -186,6 +186,27 @@ object Curation {
        |FROM r WHERE host_rank <= $HostCap""".stripMargin
   }
 
+  // ------------------------------------------------- C62b: NFKC fold
+
+  /** C62b (spec-pinned — DuckDB 1.0 has no NFKC, so no SQL oracle, the
+    * C58 convention): the AGGRESSIVE normalization for spam-robust
+    * dedup KEYS — C62's NFC pass plus NFKC compatibility folding
+    * (fullwidth ＡＢＣ, ligature ﬁ, superscript ²) and the fixed
+    * cross-script confusable map (Cyrillic/Greek homoglyphs), via the
+    * native [[Exprs.NfkcFold]] expression. Evasive duplicates swap a
+    * Latin letter for its identical-glyph Cyrillic twin precisely so
+    * NFC-normalized fingerprints DON'T match; this pass makes the two
+    * spellings C1-fingerprint together. Key derivation only — NFKC is
+    * lossy by design, so stored text keeps the C62 output.
+    * Shuffle-free scan projection, stateless on streams, like C62.
+    */
+  def nfkcFoldKeys(docs: DataFrame, text: Column): DataFrame =
+    docs.select(
+      col("doc_id"),
+      Exprs.nfkcFold(
+        Exprs.nfc(translate(regexp_replace(text, StripClass, ""), "\u00A0", " ")))
+        .as("fold_key"))
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -186,4 +186,54 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == expect)
   }
+
+  test("NFKC fold: homoglyph spam, fullwidth, ligatures, superscripts collapse; idempotent") {
+    val s2 = spark
+    import s2.implicits._
+    // "p<cyrillic a>ypal" must fold to plain "paypal"; fullwidth/ligature/
+    // superscript variants fold via NFKC compatibility decomposition
+    val rows = Seq(
+      ("p\u0430ypal", "paypal"),               // Cyrillic a -> Latin a
+      ("\u0421\u041e\u0420\u0415", "COPE"), // Cyrillic C O P E -> Latin
+      ("\uff21\uff22\uff23", "ABC"),          // fullwidth -> ASCII
+      ("\ufb01le", "file"),                     // fi ligature
+      ("x\u00b2", "x2"),                        // superscript two
+      ("\u03bf\u03a1", "oP"),                  // Greek omicron + Rho
+      ("plain ascii", "plain ascii"))
+      .toDF("raw", "expected")
+    val out = rows.select(col("expected"),
+      graft.functions.Exprs.nfkcFold(col("raw")).as("folded")).collect()
+    out.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"folded '" + r.getString(1) + "' != expected '" + r.getString(0) + "'"))
+    // idempotence: folding a folded key changes nothing
+    val twice = rows.select(graft.functions.Exprs.nfkcFold(
+      graft.functions.Exprs.nfkcFold(col("raw"))).as("f2")).collect().map(_.getString(0))
+    assert(twice.toSeq == out.map(_.getString(1)).toSeq)
+  }
+
+  test("NFKC fold keys make evasive homoglyph duplicates C1-fingerprint together") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.operators.Curation
+    // two spellings of the same spam: pure Latin vs Cyrillic-substituted
+    val docs = Seq(
+      (1L, "buy cheap meds at paypal dot com now"),
+      (2L, "buy cheap meds at p\u0430yp\u0430l dot com now"),
+      (3L, "a genuinely different document entirely"))
+      .toDF("doc_id", "text")
+    val keys = Curation.nfkcFoldKeys(docs, col("text"))
+    // C1 exact dedup over the FOLD KEY catches the evasion
+    val fp = keys.select(col("doc_id"), md5(col("fold_key")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L), "homoglyph twin must fingerprint with its Latin original")
+    assert(fp(1L) != fp(3L))
+    // while plain NFC (C62) does NOT catch it - the reason C62b exists
+    val nfcKeys = Curation.textNormalize(docs, col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(nfcKeys(1L) != nfcKeys(2L),
+      "sanity: NFC alone must NOT equate the homoglyph spellings")
+    // and the fold stays a shuffle-free scan projection
+    val plan = Curation.nfkcFoldKeys(docs, col("text")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }
