@@ -373,13 +373,20 @@ object Dsir {
     rows.toIndexedSeq.toDF("bkt", "c_a", "c_b", "share_a_fp", "share_b_fp", "drift_fp")
   }
 
+  // Null doc_ids are dropped EXPLICITLY on both engines: Spark's
+  // pmod === 0/1 predicates are null-false (dropping such rows), but
+  // the oracle's CASE WHEN doc_id % 2 = 0 would route a NULL id into
+  // the ELSE branch (c_b) — a silent divergence on any corpus with
+  // null ids unless both sides agree up front.
   def corpusDrift(documents: DataFrame): DataFrame =
     driftBetween(
-      documents.filter(pmod(col("doc_id"), lit(2L)) === 0L),
-      documents.filter(pmod(col("doc_id"), lit(2L)) === 1L))
+      documents.filter(col("doc_id").isNotNull &&
+        pmod(col("doc_id"), lit(2L)) === 0L),
+      documents.filter(col("doc_id").isNotNull &&
+        pmod(col("doc_id"), lit(2L)) === 1L))
 
   val corpusDriftSql: String =
-    s"""WITH t AS (SELECT doc_id % 2 = 0 AS in_a, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id % 2 = 0 AS in_a, string_split(text, ' ') AS toks FROM documents WHERE doc_id IS NOT NULL),
        |f AS (
        |  SELECT in_a, unnest(toks) AS feat FROM t
        |  UNION ALL

@@ -44,32 +44,42 @@ object CurationPipeline {
   def curate(warcBlobs: Dataset[Row], targetIds: Set[Long]): (DataFrame, DataFrame) = {
     val spark = warcBlobs.sparkSession
 
-    val split = Warc.splitWarc(warcBlobs)
-    val extracted = Html.htmlExtract(split, col("html"))
-      .select(col("doc_id"), col("clean_text"))
-    val normalized = Curation.textNormalize(extracted, col("clean_text"))
-      .select(col("doc_id"), col("norm_text").as("text"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-    val qualityKept = normalized.join(
-      TextOps.qualityRules(normalized).filter(col("keep")).select("doc_id"), "doc_id")
-    val canonKept = qualityKept.join(
-      Dedup.canonicalKeep(qualityKept).filter(col("keep")).select("doc_id"), "doc_id")
-    val labeled = canonKept.withColumn("source",
-      when(col("doc_id").isInCollection(targetIds), lit(Dsir.TargetSource))
-        .otherwise(lit("pool")))
-    val curated = labeled.join(
-      Dsir.dsirWeights(labeled).filter(col("keep")).select("doc_id"), "doc_id")
-      .select("doc_id", "text", "n_chars")
+    // The funnel issues six count() actions; without persists each
+    // would re-execute the WARC split, HTML extraction, normalization
+    // and the gate joins (up to six full re-runs per curate() call —
+    // not a 100 TB-shaped facade). Persist each stage boundary via the
+    // session registry and release before returning: the counts reuse
+    // each other, and the caller's one action on `curated` re-derives
+    // the (now released) chain exactly once.
+    graft.GraftCache.releaseCreatedDuring(spark) {
+      val split = graft.GraftCache.persistTracked(Warc.splitWarc(warcBlobs))
+      val extracted = Html.htmlExtract(split, col("html"))
+        .select(col("doc_id"), col("clean_text"))
+      val normalized = graft.GraftCache.persistTracked(
+        Curation.textNormalize(extracted, col("clean_text"))
+          .select(col("doc_id"), col("norm_text").as("text"))
+          .withColumn("n_chars", length(col("text")).cast("long")))
+      val qualityKept = graft.GraftCache.persistTracked(normalized.join(
+        TextOps.qualityRules(normalized).filter(col("keep")).select("doc_id"), "doc_id"))
+      val canonKept = graft.GraftCache.persistTracked(qualityKept.join(
+        Dedup.canonicalKeep(qualityKept).filter(col("keep")).select("doc_id"), "doc_id"))
+      val labeled = canonKept.withColumn("source",
+        when(col("doc_id").isInCollection(targetIds), lit(Dsir.TargetSource))
+          .otherwise(lit("pool")))
+      val curated = labeled.join(
+        Dsir.dsirWeights(labeled).filter(col("keep")).select("doc_id"), "doc_id")
+        .select("doc_id", "text", "n_chars")
 
-    val stages = Seq(
-      ("1_warc_records", split.count()),
-      ("2_html_extracted", extracted.count()),
-      ("3_normalized", normalized.count()),
-      ("4_quality_kept", qualityKept.count()),
-      ("5_canonical_kept", canonKept.count()),
-      ("6_dsir_selected", curated.count()))
-    val s = spark
-    import s.implicits._
-    (curated, stages.toDF("stage", "rows"))
+      val stages = Seq(
+        ("1_warc_records", split.count()),
+        ("2_html_extracted", extracted.count()),
+        ("3_normalized", normalized.count()),
+        ("4_quality_kept", qualityKept.count()),
+        ("5_canonical_kept", canonKept.count()),
+        ("6_dsir_selected", curated.count()))
+      val s = spark
+      import s.implicits._
+      (curated, stages.toDF("stage", "rows"))
+    }
   }
 }

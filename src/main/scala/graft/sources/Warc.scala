@@ -145,7 +145,10 @@ object Warc {
     val len = hs.collectFirst { case ("Content-Length", v) => v }
       .flatMap(v => scala.util.Try(v.toInt).toOption)
       .getOrElse(-1)
-    if (len < 0 || p + len + 4 > bytes.length) return None
+    // Long arithmetic: a near-Int.MaxValue Content-Length would wrap
+    // p + len + 4 negative and sneak past the bound, breaking the
+    // never-throws resync contract on adversarial records.
+    if (len < 0 || p.toLong + len + 4 > bytes.length) return None
     val payload = java.util.Arrays.copyOfRange(bytes, p, p + len)
     val t = p + len
     if (bytes(t) != '\r' || bytes(t + 1) != '\n' ||

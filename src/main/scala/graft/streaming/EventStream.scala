@@ -932,51 +932,78 @@ object EventStream {
     * the output corpus AND merged into the index — so a page arriving
     * again in a LATER micro-batch is rejected as an exact duplicate of
     * its admitted self. That cross-batch memory lives entirely in the
-    * transactional artifact (no Spark streaming state, no watermark):
-    * restart-safe because a replayed batch re-serves against an index
-    * that already contains its admissions (keyed latest-wins merge —
-    * idempotent) and rewrites the same (batch_id, doc_id) output rows
-    * (the [[streamingLmGate]] provenance contract).
+    * transactional artifact (no Spark streaming state, no watermark).
+    *
+    * Restart safety hinges on the ORDER of the two effects: the corpus
+    * append lands BEFORE the index extend. A crash between them means a
+    * replayed batch re-serves against an index that does NOT yet hold
+    * its admissions, classifies them `new` again, and appends the same
+    * (batch_id, doc_id) rows a second time — a duplicate the stated
+    * at-least-once provenance contract (the [[streamingLmGate]] rule)
+    * already absorbs, and the re-extend is an idempotent latest-wins
+    * merge. The reverse order would be unsound: extend-then-crash
+    * leaves the admissions in the index, so the replay classifies them
+    * `exact` and admits nothing — docs permanently indexed but never
+    * written to the corpus. StreamingSpec pins the replay path.
     *
     * Single-admitter regime, like the batch ingest it mirrors.
     */
   def streamingCurationAdmission(docs: DataFrame, indexPath: String,
                                  lr: Array[Long], dsirKeepMin: Long,
-                                 outPath: String, checkpoint: String): StreamingQuery = {
-    import graft.operators.{Curation, DedupIndex, Dsir, Html, TextOps}
+                                 outPath: String, checkpoint: String): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
-          val extracted = Html.htmlExtract(batch.toDF(), col("html"))
-            .select(col("doc_id"), col("clean_text"))
-          val normalized = Curation.textNormalize(extracted, col("clean_text"))
-            .select(col("doc_id"), col("norm_text").as("text"))
-            .withColumn("n_chars", length(col("text")).cast("long"))
-          val gated = normalized
-            .join(TextOps.qualityRules(normalized).filter(col("keep"))
-              .select("doc_id"), "doc_id")
-            .join(Dsir.scoreAgainst(normalized, lr)
-              .filter(col("dsir_fp") >= dsirKeepMin).select("doc_id"), "doc_id")
-          // the artifact is re-read EVERY batch on purpose: earlier
-          // batches' admissions must be visible to this one
-          val verdicts = DedupIndex.serve(gated.select("doc_id", "text"), indexPath)
-          val admitted = gated.join(
-            verdicts.filter(col("kind") === "new").select("doc_id"), "doc_id")
-            .persist()
-          try {
-            val n = admitted.count()
-            if (n > 0) {
-              DedupIndex.extend(admitted.select("doc_id", "text"), indexPath,
-                buildV = batchId + 1)
-              admitted.withColumn("batch_id", lit(batchId))
-                .write.mode("append").parquet(outPath)
-            }
-          } finally admitted.unpersist()
-        }
+        if (!batch.isEmpty)
+          curationAdmitBatch(batch.toDF(), batchId, indexPath, lr,
+            dsirKeepMin, outPath)
       }
       .start()
+
+  /** One micro-batch of the admission loop — the foreachBatch body,
+    * factored out so the replay path is testable without a live stream.
+    * `crashBeforeExtend` is a TEST FAILPOINT simulating a job death in
+    * the window between the two effects (corpus append landed, index
+    * extend did not) — the exact state a streaming restart then replays
+    * against; production callers never set it.
+    */
+  private[graft] def curationAdmitBatch(batch: DataFrame, batchId: Long,
+                                        indexPath: String, lr: Array[Long],
+                                        dsirKeepMin: Long, outPath: String,
+                                        crashBeforeExtend: Boolean = false): Unit = {
+    import graft.operators.{Curation, DedupIndex, Dsir, Html, TextOps}
+    graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
+      val extracted = Html.htmlExtract(batch, col("html"))
+        .select(col("doc_id"), col("clean_text"))
+      val normalized = Curation.textNormalize(extracted, col("clean_text"))
+        .select(col("doc_id"), col("norm_text").as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val gated = normalized
+        .join(TextOps.qualityRules(normalized).filter(col("keep"))
+          .select("doc_id"), "doc_id")
+        .join(Dsir.scoreAgainst(normalized, lr)
+          .filter(col("dsir_fp") >= dsirKeepMin).select("doc_id"), "doc_id")
+      // the artifact is re-read EVERY batch on purpose: earlier
+      // batches' admissions must be visible to this one
+      val verdicts = DedupIndex.serve(gated.select("doc_id", "text"), indexPath)
+      val admitted = gated.join(
+        verdicts.filter(col("kind") === "new").select("doc_id"), "doc_id")
+        .persist()
+      try {
+        val n = admitted.count()
+        if (n > 0) {
+          // corpus append FIRST, index extend SECOND — see the
+          // restart-safety note in the doc comment.
+          admitted.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+          if (crashBeforeExtend) throw new RuntimeException(
+            "test failpoint: crashed between corpus append and index extend")
+          DedupIndex.extend(admitted.select("doc_id", "text"), indexPath,
+            buildV = batchId + 1)
+        }
+      } finally admitted.unpersist()
+    }
   }
 
   /** Streaming BPE encode against the COMMITTED tokenizer

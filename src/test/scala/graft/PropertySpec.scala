@@ -292,6 +292,22 @@ object WarcProps extends Properties("warc.parseRecords") {
         })
     }
 
+  property("near-Int.MaxValue Content-Length: skipped via resync, no overflow throw") =
+    forAll(Gen.oneOf("2147483600", "2147483647", s"${Int.MaxValue - 6}"),
+      hostilePayload) { (hugeLen, p) =>
+      // p(record start) + len + 4 wraps negative in Int arithmetic, so a
+      // 32-bit bounds check would pass and copyOfRange would throw —
+      // breaking the never-throws resync contract. The Long-arithmetic
+      // check must reject the record and still find the intact one after.
+      val evil = ("WARC/1.0\r\nWARC-Target-URI: https://x/evil\r\n" +
+        s"Content-Length: $hugeLen\r\n\r\n").getBytes("UTF-8") ++
+        "tiny actual payload".getBytes("UTF-8")
+      val blob = evil ++ Warc.encodeRecord("https://x/ok", p)
+      val hits = Warc.parseRecords(blob).filter(
+        _.headers.contains("WARC-Target-URI" -> "https://x/ok"))
+      Prop(hits.exists(h => java.util.Arrays.equals(h.payload, p)))
+    }
+
   property("garbage prefix/suffix never hides the intact records between them") =
     forAll(rawBytes, rawBytes, hostilePayload) { (pre, post, p) =>
       val blob = pre ++ Warc.encodeRecord("https://x/ok", p) ++ post

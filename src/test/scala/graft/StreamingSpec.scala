@@ -993,6 +993,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == Set("exact"), s"re-serving admitted texts must flag exact, got $again")
   }
 
+  test("curation admission replay: a crash between corpus append and index extend recovers, loses nothing") {
+    import spark.implicits._
+    import graft.operators.{DedupIndex, Dsir, Html}
+    val dir = java.nio.file.Files.createTempDirectory("graft-admission-replay").toString
+    DedupIndex.build(
+      Seq((900001L, "seed corpus alpha beta gamma delta epsilon"))
+        .toDF("doc_id", "text"),
+      s"$dir/index")
+    val lr = Array.fill(Dsir.NumBuckets)(Dsir.Scale)
+    val texts = Map(
+      1L -> "the quick brown fox jumps over a lazy dog",
+      2L -> "a second page with the words to pass quality checks",
+      4L -> "or perhaps the fourth page also carries enough words here")
+    def htmlDf(ids: Seq[Long]) = ids.map(i => (i, texts(i))).toDF("doc_id", "text")
+      .select(col("doc_id"), Html.plantedHtml.as("html"))
+    def serveKind(id: Long): String = DedupIndex.serve(
+      Seq((id + 100L, texts(id))).toDF("doc_id", "text"), s"$dir/index")
+      .head().getString(1)
+    // batch 0 lands normally; batch 1 (re-crawl of 2 + novel 4) dies in
+    // the window between its two effects
+    EventStream.curationAdmitBatch(htmlDf(Seq(1L, 2L)), 0L,
+      s"$dir/index", lr, 0L, s"$dir/out")
+    intercept[RuntimeException] {
+      EventStream.curationAdmitBatch(htmlDf(Seq(2L, 4L)), 1L,
+        s"$dir/index", lr, 0L, s"$dir/out", crashBeforeExtend = true)
+    }
+    // the crash state the ordering guarantees: the admission is in the
+    // corpus but NOT yet in the index (the reverse order would leave the
+    // unrecoverable opposite — indexed forever, never written)
+    val crashed = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("batch_id")))
+    assert(crashed.count(_ == ((4L, 1L))) == 1, s"doc 4's append landed before the crash: ${crashed.toSeq}")
+    assert(serveKind(4L) == "new", "the extend must NOT have happened yet")
+    // the streaming restart replays the SAME micro-batch id
+    EventStream.curationAdmitBatch(htmlDf(Seq(2L, 4L)), 1L,
+      s"$dir/index", lr, 0L, s"$dir/out")
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("batch_id")))
+    assert(out.toSet == Set((1L, 0L), (2L, 0L), (4L, 1L)),
+      s"replay adds no NEW (batch_id, doc_id) pairs: ${out.toSeq}")
+    assert(out.count(_ == ((4L, 1L))) == 2,
+      "the replay's only artifact is a duplicate of the same provenance key — " +
+        "the at-least-once contract consumers already dedup by (batch_id, doc_id)")
+    // converged: everything admitted is in BOTH the corpus and the index
+    assert(Seq(1L, 2L, 4L).map(serveKind).toSet == Set("exact"))
+  }
+
   test("streaming dedup probe serves two micro-batches from one committed index == batch serve") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
