@@ -63,6 +63,23 @@ import org.apache.spark.sql.SparkSession
   *     cold-ratio queries. `reruns` carries the rerun numbers, so the
   *     verdict is auditable in-artifact.
   *
+  * Round-9 lesson — the r08 driver artifact said `contended:false` while
+  * its own per-query loadavg peaked at 20, and its rerun pass (the
+  * exoneration mechanism itself) ran under the same band and "confirmed"
+  * five phantoms the judge then had to clear by hand. Three fixes:
+  *  1. the rerun pass gets the SAME wait-for-idle gate as the main pass;
+  *  2. an all-cores ~50 ms spin probe ([[calibProbe]]) is timed between
+  *     queries (and around every rerun) — Spark is idle at those
+  *     moments, so the probe's inflation over the run-min sample
+  *     measures EXTERNAL CPU pressure directly (`per_query_calib`, and
+  *     `reruns` entries carry [cold, warm, calib]); `contended` is now
+  *     max-over-the-run, not one pre-pass sample;
+  *  3. a rerun that still breaches under a measured-contended box CANNOT
+  *     confirm a regression ([[adjudicate]]): it lands in `load_noise`
+  *     with its calibration factor as in-artifact evidence, so a loaded
+  *     driver box produces `regressions:{}` + `contended:true` instead
+  *     of phantom red gates.
+  *
   * Output: ONE compact JSON line on stdout (3-decimal per-query cold
   * seconds — round-3's full-precision line overflowed the driver's
   * tail-capture window and parsed as null) plus the full-precision
@@ -99,6 +116,54 @@ object Bench {
   // decide whether a total-level breach is load or real (mirrors the
   // round-6 judge's manual procedure, which settled the question with 10).
   private val RunLevelRerunN = 10
+  // Calibration-probe contention threshold (round-8 lesson: the ONLY
+  // red gate that round was a phantom from a loaded box, and `contended`
+  // was sampled once before the pass, so a mid-run load band never
+  // flipped it). The probe saturates every core for ~50 ms, so its
+  // wall-time inflation over the run minimum estimates
+  // (cores + external_runnables) / cores — the same factor by which
+  // external load slows a saturating Spark stage. 1.2 ≈ external load 6
+  // on 32 cores, comfortably past idle-box scheduler noise (~1.1).
+  private[graft] val CalibContendedFactor = 1.2
+
+  /** Fixed spin+hash workload, one thread per core, ~50 ms wall on an
+    * idle box. Run BETWEEN queries (Spark idle), so any inflation is
+    * external CPU pressure, not our own executor threads. All-cores
+    * rather than single-thread on purpose: a box with external load L <
+    * cores still schedules one lone spinner instantly (the r08 driver
+    * box sat at loadavg 20 on 32 CPUs — a single-thread probe would
+    * have measured 1.0x while queries ran 3-30x slow), but cores+L
+    * runnables over cores cannot hide from a probe that wants every
+    * core at once. Returns wall seconds.
+    */
+  private[graft] def calibProbe(cpus: Int): Double = {
+    val iters = 12 * 1000 * 1000
+    val t0 = System.nanoTime()
+    val threads = (0 until cpus).map { t =>
+      new Thread(() => {
+        var h = 1125899906842597L + t
+        var i = 0
+        while (i < iters) {
+          h = h * 6364136223846793005L + 1442695040888963407L
+          h ^= h >>> 33
+          i += 1
+        }
+        if (h == 42L) System.err.print("") // defeat dead-code elimination
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Adjudicate a gate-flagged query from its rerun: `real` only when
+    * the rerun ALSO breaches AND the rerun's calibration factor shows a
+    * quiet box — a contended rerun cannot confirm a regression (it can
+    * only repeat the main pass's mistake), so it self-exonerates to
+    * load noise carrying its calibration evidence. */
+  private[graft] def adjudicate(rerunBreach: Boolean, rerunCalibFactor: Double): String =
+    if (!rerunBreach) "noise"
+    else if (rerunCalibFactor > CalibContendedFactor) "contended_noise"
+    else "real"
 
   /** The per-query regression gate, shared between the main (normalized)
     * pass and the unnormalized rerun pass. Returns the flag kind. */
@@ -237,13 +302,29 @@ object Bench {
     // budget -> run anyway but say so in the artifact, so the headline
     // ratio carries its own health bit.
     val IdleLoadMax = 2.0
-    val IdleWaitBudgetSec = 180
-    var idleWaited = 0
-    while (load1() > IdleLoadMax && idleWaited < IdleWaitBudgetSec) {
-      System.err.println(f"[bench] box contended (loadavg ${load1()}%.1f > $IdleLoadMax%.1f); waiting...")
-      Thread.sleep(10000); idleWaited += 10
+    // Overridable so a deliberately-contended validation run (busy-loop
+    // + bench) doesn't have to sit out two full wait budgets.
+    val IdleWaitBudgetSec =
+      sys.env.get("SPARK_GRAFT_IDLE_BUDGET").map(_.toInt).getOrElse(180)
+    def idleGate(budgetSec: Int, phase: String): Int = {
+      var waited = 0
+      while (load1() > IdleLoadMax && waited < budgetSec) {
+        System.err.println(
+          f"[bench] box contended before $phase (loadavg ${load1()}%.1f > $IdleLoadMax%.1f); waiting...")
+        Thread.sleep(10000); waited += 10
+      }
+      waited
     }
-    val contended = load1() > IdleLoadMax
+    val idleWaited = idleGate(IdleWaitBudgetSec, "main pass")
+    val contendedAtStart = load1() > IdleLoadMax
+
+    // Calibration probe samples (raw seconds). Factors are computed at
+    // the end against the RUN MINIMUM — the closest this box came to
+    // idle — so a contended start can't launder later pressure by
+    // inflating the reference.
+    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def probe(): Double = { val s = calibProbe(cpus); calibSamples += s; s }
+    probe(); probe() // reference samples (also JIT-warms the probe loop)
 
     order.foreach(runOnce) // warmup: codegen + JIT + IO caches
     val wall0 = System.nanoTime()
@@ -251,7 +332,9 @@ object Bench {
       val ts = (System.nanoTime() - wall0) / 1e9
       val la = load1()
       val (cold, warm) = measure(n)
-      (n, cold, warm, ts, la)
+      // probe AFTER the query: Spark is idle again, so inflation here is
+      // external pressure present around this query's measurement window
+      (n, cold, warm, ts, la, probe())
     }
     GraftCache.releaseAll(spark)
 
@@ -282,7 +365,7 @@ object Bench {
     val nowWarm = results.map(r => r._1 -> r._3).toMap
     val normC = math.min(medianRatio(nowCold, priorCold), NormCap)
     val normW = math.min(medianRatio(nowWarm, priorWarm), NormCap)
-    val flagged = results.flatMap { case (n, cold, warm, _, _) =>
+    val flagged = results.flatMap { case (n, cold, warm, _, _, _) =>
       (priorCold.get(n), priorWarm.get(n)) match {
         case (Some(oc), Some(ow)) =>
           gateKind(cold, warm, oc, ow, normC, normW).map { kind =>
@@ -301,7 +384,7 @@ object Bench {
     // so past RegressionFactor the run itself is flagged. Uses the same
     // dual cold+warm rule as per-query gating.
     val shared = results.collect {
-      case (n, c, w, _, _) if c > 0 && w > 0 &&
+      case (n, c, w, _, _, _) if c > 0 && w > 0 &&
         priorCold.get(n).exists(_ > 0) && priorWarm.get(n).exists(_ > 0) => n
     }
     val runLevelFired = {
@@ -315,42 +398,69 @@ object Bench {
       } else None
     }
 
-    // ---- Self-exoneration pass (round-6 lesson #3) ----------------------
+    // ---- Self-exoneration pass (round-6 lesson #3, hardened round 9) ----
     // Rerun every flagged query once the main pass is over: a load band
     // during the pass has drained by now, so a rerun that clears the
     // UNNORMALIZED gate proves the flag was noise. The run-level guard is
     // adjudicated by rerunning its worst cold-ratio queries (exactly the
-    // round-6 judge's manual procedure, automated).
+    // round-6 judge's manual procedure, automated). Round-8 taught that
+    // the rerun pass itself had NO idle gate — the very mechanism meant
+    // to exonerate load noise ran under the same load band and
+    // "confirmed" five phantoms — so the rerun pass now (a) waits for
+    // the box to drain first, and (b) times the calibration probe
+    // around every rerun: a rerun that still breaches under a measured-
+    // contended box CANNOT confirm (adjudicate() sends it to load_noise
+    // with its calibration factor as in-artifact evidence).
     val runLevelProbe: Seq[String] =
       if (runLevelFired.isEmpty) Seq.empty
       else shared.sortBy(n => -(nowCold(n) / priorCold(n))).take(RunLevelRerunN)
     val toRerun = (flagged.map(_._1) ++ runLevelProbe).distinct
-    val reruns = toRerun.map { n => n -> measure(n) }.toMap
-    def rerunClean(n: String): Boolean = {
-      val (c, w) = reruns(n)
+    val rerunIdleWaited = if (toRerun.nonEmpty) idleGate(IdleWaitBudgetSec, "rerun pass") else 0
+    val reruns = toRerun.map { n =>
+      val (c, w) = measure(n)
+      n -> ((c, w, probe()))
+    }.toMap
+    // factor vs the best (most idle) probe sample the whole run saw
+    val calibRef = calibSamples.min
+    def cf(raw: Double): Double = raw / calibRef
+    def rerunBreach(n: String): Boolean = {
+      val (c, w, _) = reruns(n)
       // a rerun that ERRORS (-1) must confirm the flag, not exonerate
       // it — gateKind returns None on non-positive inputs, which would
       // otherwise read as "clean" (the run-level path already treats a
       // failed rerun as a breach; same polarity here)
-      c > 0 && w > 0 && gateKind(c, w, priorCold(n), priorWarm(n), 1.0, 1.0).isEmpty
+      !(c > 0 && w > 0) || gateKind(c, w, priorCold(n), priorWarm(n), 1.0, 1.0).nonEmpty
     }
-    val (noise, real) = flagged.partition { case (n, _) => rerunClean(n) }
-    noise.foreach { case (n, _) =>
-      System.err.println(s"[bench] $n exonerated by rerun (load noise)") }
+    val verdictByQuery = flagged.map { case (n, r) =>
+      (n, r, adjudicate(rerunBreach(n), cf(reruns(n)._3)))
+    }
+    val noise = verdictByQuery.collect { case (n, r, v) if v != "real" => (n, r, v) }
+    val real = verdictByQuery.collect { case (n, r, "real") => (n, r) }
+    noise.foreach { case (n, _, v) =>
+      if (v == "contended_noise") System.err.println(
+        f"[bench] $n rerun still breached but the box was measurably contended " +
+          f"(calib ${cf(reruns(n)._3)}%.2fx) — load noise, not confirmable")
+      else System.err.println(s"[bench] $n exonerated by rerun (load noise)")
+    }
     real.foreach { case (n, r) =>
-      System.err.println(f"[bench] REGRESSION $n confirmed by rerun (${r}%.2fx)") }
+      System.err.println(f"[bench] REGRESSION $n confirmed by clean-box rerun (${r}%.2fx, " +
+        f"calib ${cf(reruns(n)._3)}%.2fx)") }
     // Run-level verdict: real iff the probe queries' rerun cold/warm
-    // totals ALSO exceed their baseline totals by the regression factor.
+    // totals ALSO exceed their baseline totals by the regression factor
+    // AND those reruns happened on a measurably quiet box.
     val runLevelReal = runLevelFired.exists { _ =>
       val rc = runLevelProbe.map(n => reruns(n)._1)
       val rw = runLevelProbe.map(n => reruns(n)._2)
       val ok = rc.forall(_ > 0) && rw.forall(_ > 0)
       val bc = runLevelProbe.map(priorCold).sum; val bw = runLevelProbe.map(priorWarm).sum
       val breach = !ok || (rc.sum > bc * RegressionFactor && rw.sum > bw * RegressionFactor)
+      val calmMax = runLevelProbe.map(n => cf(reruns(n)._3)).maxOption.getOrElse(1.0)
       if (!breach) System.err.println(
         f"[bench] run-level flag exonerated: $RunLevelRerunN worst reruns " +
           f"cold ${rc.sum}%.2fs vs baseline $bc%.2fs")
-      breach
+      else if (calmMax > CalibContendedFactor) System.err.println(
+        f"[bench] run-level breach under measured contention (calib $calmMax%.2fx) — load noise")
+      breach && calmMax <= CalibContendedFactor
     }
     def r2(v: Double): Double = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
     val runLevelEntries = runLevelFired match {
@@ -359,17 +469,24 @@ object Bench {
       case _ => Seq.empty
     }
     val regressions = real ++ runLevelEntries
-    val loadNoise = noise ++ (runLevelFired match {
+    val loadNoise = noise.map { case (n, r, _) => (n, r) } ++ (runLevelFired match {
       case Some((cr, wr)) if !runLevelReal =>
         Seq("__total_cold__" -> r2(cr), "__total_warm__" -> r2(wr))
       case _ => Seq.empty
     })
+    // `contended` is no longer a single pre-pass sample (round-8 lesson:
+    // load arriving DURING the 13-minute pass never flipped it, so the
+    // artifact claimed contended:false while its own per_query_load
+    // peaked at 20): the flag is now the max calibration factor any
+    // query's window saw, so a mid-run band self-identifies.
+    val maxCalib = results.map(r => cf(r._6)).maxOption.getOrElse(1.0)
+    val contended = contendedAtStart || maxCalib > CalibContendedFactor
 
     // Informational drift vs the FROZEN first-landing numbers: not a
     // gate (warm noise at this SF reaches ~1.7x), but creep that
     // successive baseline rebases would otherwise launder shows up here
     // round after round until addressed.
-    val drift = results.flatMap { case (n, _, warm, _, _) =>
+    val drift = results.flatMap { case (n, _, warm, _, _, _) =>
       firstWarm.get(n).filter(_ > 0) match {
         case Some(fw) if warm > 0 && warm > fw * normW * DriftFactor &&
           warm - fw * normW > DriftDeltaSec =>
@@ -387,8 +504,10 @@ object Bench {
     def r3(v: Double): Double = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     val totalCold = results.map(_._2).filter(_ >= 0).sum
     val totalWarm = results.map(_._3).filter(_ >= 0).sum
-    val rerunsJson = reruns.toSeq.sortBy(_._1).map { case (n, (c, w)) =>
-      "\"" + n + "\":[" + r3(c) + "," + r3(w) + "]"
+    // rerun entries carry [cold, warm, calib_factor] — the third element
+    // is the contention evidence adjudicate() ruled on
+    val rerunsJson = reruns.toSeq.sortBy(_._1).map { case (n, (c, w, cal)) =>
+      "\"" + n + "\":[" + r3(c) + "," + r3(w) + "," + r2(cf(cal)) + "]"
     }.mkString("{", ",", "}")
     // Full-precision document (incl. per-query warm) for baseline rebases.
     val byName = results.sortBy(_._1)
@@ -404,8 +523,12 @@ object Bench {
       s""","order_seed":$orderSeed""" +
       s""","per_query_ts":${obj(byName.map(r => r._1 -> r3(r._4)))}""" +
       s""","per_query_load":${obj(byName.map(r => r._1 -> r._5))}""" +
+      s""","per_query_calib":${obj(byName.map(r => r._1 -> r2(cf(r._6))))}""" +
+      s""","calib_ref_ms":${r2(calibRef * 1000)}""" +
+      s""","max_calib":${r2(maxCalib)}""" +
       s""","loadavg":[${loadavg.mkString(",")}]""" +
       s""","contended":$contended,"idle_wait_s":$idleWaited""" +
+      s""","rerun_idle_wait_s":$rerunIdleWaited""" +
       s""","sf":"$sfDir"}""" + "\n"
     Files.writeString(Paths.get("bench_last.json"), full)
     // Compact stdout line: the driver tail-captures ~4 KB of output. At
@@ -423,7 +546,10 @@ object Bench {
     // artifact alone (full map in bench_last.json).
     val shownReruns = (regressions ++ loadNoise).sortBy(-_._2).take(10)
       .map(_._1).filter(reruns.contains)
-      .map { n => "\"" + n + "\":[" + r3(reruns(n)._1) + "," + r3(reruns(n)._2) + "]" }
+      .map { n =>
+        "\"" + n + "\":[" + r3(reruns(n)._1) + "," + r3(reruns(n)._2) +
+          "," + r2(cf(reruns(n)._3)) + "]"
+      }
       .mkString("{", ",", "}")
     val slowest = results.filter(_._2 > 0).sortBy(-_._2).take(12)
     val verdictLine = s"""{"metric":"total","value":${r3(totalCold)},"unit":"sec"""" +
@@ -440,7 +566,9 @@ object Bench {
       s""","norm":[${r3(normC)},${r3(normW)}]""" +
       s""","order_seed":$orderSeed""" +
       s""","loadavg":[${loadavg.mkString(",")}]""" +
+      s""","max_calib":${r2(maxCalib)}""" +
       s""","contended":$contended,"idle_wait_s":$idleWaited""" +
+      s""","rerun_idle_wait_s":$rerunIdleWaited""" +
       s""","queries_full":"bench_last.json"""" +
       s""","sf":"$sfDir"}"""
     // The verdict goes to THREE places: (1) a bare stdout line — last

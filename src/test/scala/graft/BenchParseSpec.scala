@@ -87,4 +87,46 @@ class BenchParseSpec extends AnyFunSuite {
       assert(cold.values.forall(_ > 0))
     }
   }
+
+  test("adjudicate: only a clean-box rerun breach confirms a regression") {
+    // rerun cleared the gate -> noise, whatever the box looked like
+    assert(Bench.adjudicate(rerunBreach = false, rerunCalibFactor = 1.0) === "noise")
+    assert(Bench.adjudicate(rerunBreach = false, rerunCalibFactor = 9.0) === "noise")
+    // rerun breached on a quiet box -> the one confirmable case
+    assert(Bench.adjudicate(rerunBreach = true, rerunCalibFactor = 1.0) === "real")
+    assert(Bench.adjudicate(rerunBreach = true,
+      rerunCalibFactor = Bench.CalibContendedFactor) === "real")
+    // rerun breached but the probe measured external pressure -> the
+    // round-8 phantom case: load noise with evidence, NOT a regression
+    assert(Bench.adjudicate(rerunBreach = true,
+      rerunCalibFactor = Bench.CalibContendedFactor + 0.01) === "contended_noise")
+    assert(Bench.adjudicate(rerunBreach = true, rerunCalibFactor = 20.0)
+      === "contended_noise")
+  }
+
+  test("calibration probe measures external CPU pressure") {
+    val cpus = Runtime.getRuntime.availableProcessors()
+    // idle reference: best of three (first run also JIT-warms the loop)
+    val ref = Seq.fill(3)(Bench.calibProbe(cpus)).min
+    assert(ref > 0)
+    // deliberate contention: 2x-cores busy-loop threads while probing.
+    // With 3x cores runnable the probe must take >= ~3x; assert a loose
+    // 1.5x so the pin survives scheduler variance on a shared test box.
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val busy = (0 until 2 * cpus).map { t =>
+      val th = new Thread(() => {
+        var h = t.toLong
+        while (!stop.get()) { h = h * 6364136223846793005L + 1442695040888963407L }
+        if (h == 42L) System.err.print("")
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    try {
+      val contendedTime = Bench.calibProbe(cpus)
+      assert(contendedTime / ref > 1.5,
+        f"probe under 3x-subscription measured only ${contendedTime / ref}%.2fx inflation")
+      assert(contendedTime / ref > Bench.CalibContendedFactor,
+        "a deliberately loaded box must cross the contended threshold")
+    } finally { stop.set(true); busy.foreach(_.join(1000)) }
+  }
 }
