@@ -464,6 +464,58 @@ object ScaleAudit {
         }
       }
     }
+    // BPE trainer at REAL vocab scale (round-9): the trainer is one
+    // distributed vocab aggregation + a driver-side incremental merge
+    // loop, so k=1024 must cost roughly what k=256 costs plus a few
+    // driver-seconds — NOT 4x (the round-8 chained-plans shape would be
+    // linear-in-k full Spark jobs, and 32k merges would be unusable).
+    if (names.contains("q_bpe_train") || names == defaultQueries) {
+      GraftCache.releaseAll(spark)
+      val docs = sources.Tables.documents(spark, out)
+      def train(k: Int): Double = {
+        val t0 = System.nanoTime()
+        // fresh limit-n plan per k defeats nothing (memo keys include k)
+        val m = operators.TextOps.bpeTrain(docs, k)
+        val rows = m.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] bpeTrain(k=$k%4d) $sec%7.2fs merges=$rows")
+        sec
+      }
+      val t256 = train(256)
+      val t1024 = train(1024)
+      // The replica corpus's synthetic vocab dries up after <100 merges,
+      // so ALSO drive the full 1024 rounds against a 500k-distinct-word
+      // hex vocab (16-char alphabet -> dense pair space that never dries
+      // this early) through the same distributed-agg + driver-loop path.
+      val rich = spark.range(0L, 500000L, 1L, 32)
+        .select(substring(md5(col("id").cast("string")), 1, 8).as("text"))
+      val tRich0 = System.nanoTime()
+      val richMerges = operators.TextOps.bpeTrain(rich, 1024).count()
+      val tRich = (System.nanoTime() - tRich0) / 1e9
+      println(f"[scale] bpeTrain(k=1024, 500k-word vocab) $tRich%7.2fs merges=$richMerges")
+      if (richMerges < 1024 || tRich > 120.0) {
+        bad += 1
+        println(f"[scale] FAIL bpeTrain rich-vocab: $richMerges merges in $tRich%.2fs " +
+          "(want 1024 merges, seconds not minutes)")
+      }
+      // generous absolute ceiling (seconds-not-minutes is the contract)
+      // plus a shape bound: quadrupling k may add driver-loop time but
+      // must not re-pay the distributed pass 4x. Same contended-box
+      // hygiene as the crossover lens.
+      val shapeOk = t1024 <= math.max(t256 * 2.5, t256 + 20.0)
+      if (t1024 > 120.0 || !shapeOk) {
+        val load1 = try java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")(0).toDouble
+        catch { case _: Throwable => 0.0 }
+        if (load1 > Runtime.getRuntime.availableProcessors() / 2.0) {
+          println(f"[scale] WARN bpeTrain k-scaling breach under load (loadavg $load1%.2f)")
+        } else {
+          bad += 1
+          println(f"[scale] FAIL bpeTrain k-scaling: k=256 $t256%.2fs vs k=1024 $t1024%.2fs")
+        }
+      }
+    }
+
     println(s"[scale] == $bad violations ==")
     spark.stop()
     if (bad > 0) sys.exit(1)

@@ -469,44 +469,31 @@ object TextOps {
   private val BpeSep = "\u001f"
   private val BpeRounds = 8
 
-  /** C43 full trainer: k BPE merge rounds with corpus re-segmentation
-    * between rounds (the fixpoint [[bpeMerges]] computes only round 1
-    * of). Classic formulation: train on the DISTINCT-token frequency
-    * table (vocab-sized, not corpus-sized — the aggregation is the one
-    * corpus-wide shuffle; every round after it touches only the vocab),
-    * count adjacent symbol pairs weighted by token frequency, merge the
-    * most frequent pair everywhere, repeat.
+  /** C43 full trainer: k BPE merge rounds with re-segmentation between
+    * rounds (the fixpoint [[bpeMerges]] computes only round 1 of).
+    * Classic two-tier formulation — the shape every production BPE
+    * trainer has: ONE distributed pass aggregates the corpus to the
+    * distinct-token frequency table (vocab-sized, not corpus-sized —
+    * the only corpus-wide shuffle), and the k merge rounds run
+    * DRIVER-SIDE over that collected table with incremental pair
+    * counting ([[bpeTrainDriver]]). The round-8 formulation kept the
+    * rounds distributed — one Spark job + 1-row collect per round —
+    * which is the right algebra but the wrong shape past k≈100: a
+    * 32k-merge tokenizer would be 32k chained plans. The vocab table is
+    * the model-artifact boundary (the codebook rule): everything after
+    * the collect is bounded by vocabulary, not corpus.
     *
-    * Per-round mechanics, all codegen builtins:
-    *  - segmentation state is ONE string per token: `␟s1␟s2␟…␟` with
-    *    U+001F around every symbol;
-    *  - pair counts: split + adjacent-pair transform (map-side explode)
-    *    into a partial+final hash agg on the bounded symbol-pair space;
-    *  - the winning pair (ties broken by (left, right) byte order, same
-    *    collation both engines) is a 1-row collect — a constant-size
-    *    model artifact per round, exactly like the k-means codebook;
-    *  - re-segmentation is a LEFT FOLD over the symbol sequence
-    *    (`aggregate` HOF): append each symbol, except when the
-    *    accumulator's last symbol is `l` and the incoming symbol is `r`
-    *    — then append `r` WITHOUT a separator, turning the tail into
-    *    the merged `lr`. A freshly merged symbol can never re-merge as
-    *    a left side (`l+r ≠ l`, `r` nonempty), so the fold is EXACTLY
-    *    greedy left-to-right BPE merging — exhaustively fuzzed against
-    *    a direct scan-merge reference (PropertySpec), including the
-    *    self-pair runs where the tempting `replace(␟a␟a␟, ␟aa␟)`
-    *    twice formulation silently under-merges (`aaaaaa` → 2 merges
-    *    instead of greedy's 3: a string replace cannot re-match across
-    *    the boundary separator it just consumed). DuckDB mirrors the
-    *    fold verbatim via `list_reduce`.
-    *
-    * Iterative hygiene matches the CC/pageRank fixpoints: per-round
-    * persist + lineage cut (LogicalRDD leaf), superseded rounds
-    * unpersisted immediately, the whole merge table memoized per
-    * (input, k) — it is vocab-derived but CONSTANT-size (k rows), so it
-    * lives as a driver-local relation, not a tracked distributed frame.
-    * If the pair space dries up before k rounds (fully merged corpus)
-    * the trainer stops early; the generated oracle's empty-CTE cascade
-    * degrades identically.
+    * Greedy-merge semantics are unchanged and still fuzz-pinned
+    * (exactly greedy left-to-right, overlapping self-pair runs merge
+    * `aaaaaa`→3 not 2; ties by (n_occ DESC, left, right) under the
+    * UTF-8 byte collation both engines sort varchars by); the DuckDB
+    * oracle mirrors them via its per-round replace/list_reduce CTE
+    * chain. If the pair space dries up before k rounds the trainer
+    * stops early; the generated oracle's empty-CTE cascade degrades
+    * identically. The merge table is memoized per (input, k) — k rows,
+    * a driver-local relation. The distributed fold kernel
+    * ([[graft.functions.Exprs.bpeMerge]]) remains the ENCODE path: the
+    * corpus-sized side of tokenization stays on the cluster.
     */
   /** One greedy merge round over a ␟-wrapped symbol string — the
     * codegen'd single-pass kernel [[graft.functions.Exprs.bpeMergeGreedy]]
@@ -522,59 +509,165 @@ object TextOps {
     val spark = documents.sparkSession
     GraftCache.memoArtifact(spark,
       ("bpeTrain", documents.queryExecution.analyzed.canonicalized, k)) {
-      import org.apache.spark.storage.StorageLevel
-      val sep = lit(BpeSep)
-      val init = documents
+      // The ONE corpus-wide pass: aggregate to the distinct-token
+      // frequency table and collect it. The collect is VOCABULARY-sized
+      // — distinct whitespace tokens grow sublinearly in corpus size
+      // (Heaps' law), and holding the word-frequency table in trainer
+      // memory is the standard shape of every production BPE trainer —
+      // so this is a model-artifact collect (the codebook rule), not a
+      // data-proportional one. Everything after it is driver-local.
+      val vocab = documents
         .select(explode(toks).as("tok"))
         .filter(length(col("tok")) > 0)
         .groupBy("tok")
         .agg(count(lit(1)).as("cnt"))
-        .select(col("cnt"),
-          concat(sep, concat_ws(BpeSep,
-            filter(split(col("tok"), ""), s => s =!= lit(""))), sep).as("seg"))
-      var persisted = init.persist(StorageLevel.MEMORY_AND_DISK)
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-      try {
-        persisted.count()
-        var seg = spark.createDataFrame(persisted.rdd, persisted.schema)
-        var round = 1
-        var dried = false
-        while (round <= k && !dried) {
-          val withSyms = seg
-            .select(col("cnt"),
-              filter(split(col("seg"), BpeSep), s => s =!= lit("")).as("syms"))
-            .filter(size(col("syms")) >= 2)
-          val top = withSyms
-            .select(col("cnt"),
-              explode(transform(sequence(lit(1), size(col("syms")) - 1),
-                i => struct(element_at(col("syms"), i).as("l"),
-                  element_at(col("syms"), i + 1).as("r")))).as("p"))
-            .groupBy(col("p.l").as("lft"), col("p.r").as("rgt"))
-            .agg(sum(col("cnt")).as("n_occ"))
-            .orderBy(col("n_occ").desc, col("lft"), col("rgt"))
-            .limit(1)
-            .collect() // 1 row: the round's winning pair (model artifact)
-          if (top.isEmpty) dried = true
-          else {
-            val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-            merges += ((round, l, r, l + r, n))
-            val next = seg
-              .withColumn("seg", foldMergePair(col("seg"), l, r))
-              .persist(StorageLevel.MEMORY_AND_DISK)
-            next.count()
-            persisted.unpersist(blocking = true)
-            persisted = next
-            seg = spark.createDataFrame(next.rdd, next.schema)
-            round += 1
-          }
-        }
-        import spark.implicits._
-        merges.toSeq.toDF("round", "left_sym", "right_sym", "merged", "n_occ")
-          .orderBy("round")
-      } finally {
-        persisted.unpersist(blocking = true)
+        .collect()
+        .map(r => (toSymbols(r.getString(0)), r.getLong(1)))
+      val merges = bpeTrainDriver(vocab, k)
+      import spark.implicits._
+      merges.toDF("round", "left_sym", "right_sym", "merged", "n_occ")
+        .orderBy("round")
+    }
+  }
+
+  /** Code-point symbols (a surrogate pair is ONE symbol, matching
+    * DuckDB's `string_split(tok, '')` over UTF-8 varchars — a UTF-16
+    * code-unit split would tear emoji into unpaired surrogates). */
+  private def toSymbols(tok: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < tok.length) {
+      val n = Character.charCount(tok.codePointAt(i))
+      out += tok.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** UTF-8 byte comparison — the collation BOTH engines sort varchars
+    * by (Spark UTF8String, DuckDB binary). Driver-side `String.compareTo`
+    * is UTF-16 code-unit order, which disagrees above U+FFFF. */
+  private def u8cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** The driver-side greedy BPE loop over the collected word-frequency
+    * table — classic incremental pair counting (the subword-nmt shape):
+    * a pair→count map plus a pair→word-ids occurrence index, updated by
+    * subtracting a touched word's old adjacencies and adding its merged
+    * ones, so each round costs O(words containing the winning pair),
+    * not O(vocab). This replaced the round-8 formulation (one
+    * distributed job + 1-row collect PER ROUND): right algebra, wrong
+    * shape past k≈100 — a 32k-merge tokenizer is 32k chained Spark
+    * plans, while here k=1024 over an sf0.1 vocab trains in seconds.
+    *
+    * Exactness contract (the oracle recomputes counts from scratch per
+    * round, so the increments must be exact):
+    *  - counts weight every adjacent occurrence by word frequency,
+    *    overlapping self-pairs included ([a,a,a] contributes 2), the
+    *    same position-based count as the SQL pair explode;
+    *  - ties break by (n_occ DESC, left, right) under UTF-8 byte order
+    *    ([[u8cmp]]) — both engines' varchar collation;
+    *  - the merge is exactly-greedy left-to-right ([a,a,a]→[aa,a]),
+    *    the [[graft.functions.Exprs.bpeMerge]] semantics the encode
+    *    path still applies distributed;
+    *  - a merged pair CAN re-form in a later round (merging (b,c)
+    *    mints new "bc" symbols that may land next to an "x" whose
+    *    (x,bc) pair an earlier round already consumed) — the occurrence
+    *    index is rebuilt on re-add, so the loop handles it; the
+    *    fuzz pin (BpeTrainProps) checks against a from-scratch
+    *    reference per round.
+    */
+  private[graft] def bpeTrainDriver(vocab: Array[(Array[String], Long)], k: Int)
+      : IndexedSeq[(Int, String, String, String, Long)] = {
+    import scala.collection.mutable
+    // Intern symbols into one pool: a naive per-word Array of singleton
+    // Strings costs ~60 bytes per occurrence (500k 32-char words ≈ 1 GB
+    // and an OOM, measured); interned, a word is 8-byte references into
+    // a pool bounded by |alphabet| + |merges|.
+    val pool = mutable.HashMap.empty[String, String]
+    def intern(s: String): String = pool.getOrElseUpdate(s, s)
+    val words: Array[Array[String]] = vocab.map(_._1.map(intern))
+    val cnts: Array[Long] = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // Exact occurrence index (add on +1, remove on -1): total entries
+    // stay bounded by the CURRENT number of adjacencies — an append-only
+    // index would re-accumulate a hot word's full pair list on every
+    // touch across thousands of rounds.
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def index(wi: Int, sign: Long): Unit = {
+      val w = words(wi)
+      val c = cnts(wi) * sign
+      var i = 0
+      while (i + 1 < w.length) {
+        val p = (w(i), w(i + 1))
+        val nc = counts.getOrElse(p, 0L) + c
+        if (nc == 0L) counts.remove(p) else counts.update(p, nc)
+        if (sign > 0L) where.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        else where.get(p).foreach { s => s -= wi; if (s.isEmpty) where.remove(p) }
+        i += 1
       }
     }
+    var wi = 0
+    while (wi < words.length) { index(wi, 1L); wi += 1 }
+    // `lr` is the ROUND's one interned merged symbol — building l + r
+    // per occurrence would mint millions of equal strings per round
+    def mergeWord(w: Array[String], l: String, r: String, lr: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      out.sizeHint(w.length)
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && (w(i) eq l) && (w(i + 1) eq r)) { out += lr; i += 2 }
+        else { out += w(i); i += 1 }
+      }
+      out.result()
+    }
+    val merges = IndexedSeq.newBuilder[(Int, String, String, String, Long)]
+    var round = 1
+    while (round <= k && counts.nonEmpty) {
+      // max by (count, then lexicographically-least pair): a linear scan
+      // of the live pair map — at 1M+ distinct pairs an indexed heap
+      // would win, but the scan is exact-tie-break-simple and k·|pairs|
+      // stays comfortably sub-second at the vocab sizes a single
+      // trainer node holds
+      var bestL: String = null; var bestR: String = null
+      var bestN = Long.MinValue
+      counts.foreach { case ((l, r), n) =>
+        if (n > bestN) { bestL = l; bestR = r; bestN = n }
+        else if (n == bestN) {
+          val c = u8cmp(l, bestL)
+          if (c < 0 || (c == 0 && u8cmp(r, bestR) < 0)) { bestL = l; bestR = r }
+        }
+      }
+      val merged = intern(bestL + bestR)
+      merges += ((round, bestL, bestR, merged, bestN))
+      // snapshot before mutating (index() edits these sets); the recheck
+      // below keeps the loop correct even for duplicate/stale entries
+      val hits = where.get((bestL, bestR)).map(_.toArray).getOrElse(Array.empty[Int])
+      hits.foreach { w0 =>
+        val w = words(w0)
+        var has = false
+        var i = 0
+        while (!has && i + 1 < w.length) { has = (w(i) eq bestL) && (w(i + 1) eq bestR); i += 1 }
+        if (has) {
+          index(w0, -1L)
+          words(w0) = mergeWord(w, bestL, bestR, merged)
+          index(w0, 1L)
+        }
+      }
+      where.remove((bestL, bestR))
+      round += 1
+    }
+    merges.result()
   }
 
   /** Unrolled-round oracle (pageRankSql pattern): the winning pair is

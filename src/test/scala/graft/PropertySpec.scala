@@ -258,6 +258,73 @@ object DsirRatioProps extends Properties("dsir.lrOf") {
     }
 }
 
+/** The driver-side BPE trainer (TextOps.bpeTrainDriver): its
+  * incremental pair-count bookkeeping (subtract a touched word's old
+  * adjacencies, add its merged ones; stale-tolerant occurrence index)
+  * must equal a from-scratch per-round recount — including overlapping
+  * self-pair runs, frequency weighting, the UTF-8 tie-break, and the
+  * subtle case where a previously-merged pair RE-FORMS after a later
+  * round mints its right symbol anew.
+  */
+object BpeTrainProps extends Properties("bpe.trainDriver") {
+  import graft.operators.TextOps
+  import scala.math.Ordering.Implicits._
+
+  // a tiny alphabet forces dense pair collisions, ties, and re-forming
+  // pairs; the astral symbol exercises the UTF-8-vs-UTF-16 collation
+  private val sym: Gen[String] = Gen.oneOf("a", "b", "c", "😀")
+  private val word: Gen[Array[String]] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, sym).map(_.toArray))
+  private val vocabGen: Gen[Array[(Array[String], Long)]] = for {
+    n <- Gen.chooseNum(1, 12)
+    ws <- Gen.listOfN(n, word)
+    cs <- Gen.listOfN(n, Gen.chooseNum(1L, 5L))
+  } yield ws.zip(cs).toArray
+
+  private def u8(s: String): Seq[Int] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq.map(_ & 0xff)
+
+  private def mergeGreedy(w: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      if (i + 1 < w.length && w(i) == l && w(i + 1) == r) { out += l + r; i += 2 }
+      else { out += w(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** From-scratch reference: recount every pair every round. */
+  private def reference(vocab: Array[(Array[String], Long)], k: Int)
+      : IndexedSeq[(Int, String, String, String, Long)] = {
+    var words = vocab.map(_._1)
+    val cnts = vocab.map(_._2)
+    val out = IndexedSeq.newBuilder[(Int, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((w, wi) <- words.zipWithIndex; i <- 0 until w.length - 1)
+        counts((w(i), w(i + 1))) = counts.getOrElse((w(i), w(i + 1)), 0L) + cnts(wi)
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, u8(l), u8(r)) }
+        out += ((round, l, r, l + r, n))
+        words = words.map(mergeGreedy(_, l, r))
+        round += 1
+      }
+    }
+    out.result()
+  }
+
+  property("incremental trainer == from-scratch per-round reference") =
+    forAll(vocabGen, Gen.chooseNum(1, 12)) { (vocab, k) =>
+      val got = TextOps.bpeTrainDriver(vocab.map { case (w, c) => (w.clone, c) }, k)
+      val want = reference(vocab.map { case (w, c) => (w.clone, c) }, k)
+      Prop(got == want) :| s"got=$got want=$want"
+    }
+}
+
 /** The WARC splitter (sources.Warc.parseRecords): never-throws /
   * never-loops on arbitrary bytes, and writer∘splitter == identity for
   * ADVERSARIAL payloads — including payloads embedding the record magic
