@@ -580,6 +580,70 @@ object Sinks {
       }
     }
 
+    /** Optimistic LOGICAL rewrite: replace the table's entire logical
+      * content with `fold(snapshot)`, committed as one new version whose
+      * manifest references ONLY the rewritten buckets (prior buckets
+      * drop out of the manifest; their files stay for pinned readers
+      * until [[vacuumVersioned]]). The row-level complement to
+      * [[compact]] (which rewrites files but never rows) — the
+      * primitive behind merge-on-read compaction and retention GC,
+      * where rows must logically disappear and mergeUpsert, being
+      * upsert-only, cannot express that.
+      *
+      * Concurrency: the same optimistic protocol as every other commit
+      * here. Each attempt folds the LATEST snapshot; losing the race
+      * discards the attempt's dirs and refolds against the winner's
+      * snapshot, so a fold never erases a concurrent writer's committed
+      * rows, and a writer losing to a fold redoes its merge on top of
+      * the folded state (both directions exercised in RollupIndexSpec).
+      * `fold` must be a pure function of the snapshot and must return a
+      * non-empty frame carrying the key columns.
+      */
+    def replaceAll(spark: SparkSession, path: String, keys: Seq[String],
+                   maxRetries: Int = 20)(fold: DataFrame => DataFrame): Unit = {
+      val fs = fsFor(spark, path)
+      commitStoreFor(new Path(path).toUri.getScheme) // refuse unsupported stores up front
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new java.io.IOException(
+            s"VersionedTable.replaceAll: lost the commit race $maxRetries times at $path")
+        val (baseVersion, _) = latestManifest(spark, path).getOrElse(
+          throw new IllegalStateException(s"VersionedTable: no commits at $path"))
+        val nb = storedNumBuckets(spark, path).getOrElse(64)
+        // fold the attempt's pinned snapshot (retry re-reads the winner's)
+        val folded = fold(read(spark, path, Some(baseVersion)).drop("bucket"))
+          .withColumn("bucket", pmod(hash(keys.map(col): _*), lit(nb)))
+        val next = baseVersion + 1
+        val stamp = java.util.UUID.randomUUID().toString.take(8)
+        val staging = new Path(path, s".staging-$stamp")
+        folded.withColumn("__pb", col("bucket"))
+          .repartition(col("__pb"), hash(keys.map(col): _*))
+          .write.mode(SaveMode.Overwrite).partitionBy("__pb").parquet(staging.toString)
+        val newDirs = fs.listStatus(staging)
+          .map(_.getPath.getName)
+          .filter(_.startsWith("__pb="))
+          .map { dirName =>
+            val b = dirName.stripPrefix("__pb=").toInt
+            val rel = f"$DataDir/v$next%08d-b$b%04d-$stamp"
+            fs.mkdirs(new Path(path, DataDir))
+            if (!fs.rename(new Path(staging, dirName), new Path(path, rel)))
+              throw new java.io.IOException(s"VersionedTable: rename $dirName failed")
+            b -> rel
+          }.toMap
+        fs.delete(staging, true)
+        require(newDirs.nonEmpty,
+          "VersionedTable.replaceAll: fold returned an empty frame (use vacuum/drop instead)")
+        beforePublishHook()
+        committed = publish(spark, path, next, newDirs, nb)
+        if (!committed) {
+          newDirs.values.foreach(d => fs.delete(new Path(path, d), true))
+        }
+      }
+    }
+
     /** Drop manifests older than the newest `keep` and every data dir no
       * surviving manifest references. Readers pinned to vacuumed
       * versions fail cleanly (missing manifest), never see partial data.
