@@ -464,6 +464,54 @@ object ScaleAudit {
         }
       }
     }
+    // DistributedRank equal-DEPTH buckets under order-value skew
+    // (round-9): equal-WIDTH range buckets degenerate when the order
+    // column's VALUES skew — a corpus where 90% of docs share one
+    // n_chars value plus a 10% tail collapses into one bucket and
+    // re-creates the unsplittable local window the scaffold exists to
+    // kill. Equal-depth approx-percentile cuts must bound every bucket
+    // at ~2n/buckets PLUS the largest tie class (ties must share a
+    // bucket — the offset algebra needs earlier buckets strictly
+    // smaller, so a dominant value is irreducibly one bucket).
+    // Deterministic row-count assertions, no wall-clock.
+    if (names.contains("q_percentile_norm") || names == defaultQueries) {
+      val n = 2000000L
+      val buckets = 1024
+      val tieVal = 900000000000L // far above the tail: equal width would collapse
+      val planted = spark.range(0L, n, 1L, 32).select(
+        col("id").as("doc_id"), lit("all").as("g"),
+        when(pmod(col("id"), lit(10L)) < 9L, lit(tieVal))
+          .otherwise(col("id")).as("ordv"))
+      val occ = operators.DistributedRank
+        .withBucketOffsets(planted, "g", "ordv", lit(1L), buckets)
+        .groupBy(col(operators.DistributedRank.BucketCol), col("ordv") === tieVal)
+        .count().collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      val tieClass = occ.filter(_._2).map(_._3).sum
+      val perBucket = occ.groupBy(_._1).map { case (_, rs) => rs.map(_._3).sum }
+      val ideal = math.ceil(2.0 * n / buckets).toLong
+      val maxB = perBucket.max
+      val nonTieBuckets = occ.filter(!_._2).map(_._1).distinct.length
+      val maxNonTie = occ.filter(!_._2).groupBy(_._1)
+        .map { case (_, rs) => rs.map(_._3).sum }.max
+      println(f"[scale] DistributedRank 90%%-tie occupancy: max=$maxB " +
+        f"(tie class=$tieClass, bound=${tieClass + ideal}), " +
+        f"tail spread over $nonTieBuckets buckets (max non-tie $maxNonTie)")
+      if (maxB > tieClass + ideal) {
+        bad += 1
+        println(s"[scale] FAIL equal-depth occupancy: $maxB > tie+2n/buckets")
+      }
+      if (nonTieBuckets < buckets / 20) {
+        bad += 1
+        println(s"[scale] FAIL tail collapsed into $nonTieBuckets buckets " +
+          "(equal-width degeneration)")
+      }
+      if (maxNonTie > 3L * n / buckets) {
+        bad += 1
+        println(s"[scale] FAIL non-tie bucket occupancy $maxNonTie > 3n/buckets")
+      }
+    }
+
     // BPE trainer at REAL vocab scale (round-9): the trainer is one
     // distributed vocab aggregation + a driver-side incremental merge
     // loop, so k=1024 must cost roughly what k=256 costs plus a few

@@ -1035,9 +1035,65 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Equal-depth bucket id: upper-bound binary search over a
+    * strictly-increasing cut-point array — returns the number of cuts
+    * ≤ value, so the bucket is a PURE function of the value
+    * (order-preserving, and ties can never straddle a boundary — the
+    * property [[graft.operators.DistributedRank]]'s offset algebra
+    * requires). Native codegen because the cut array is plan-constant:
+    * `addReferenceObj` pins it once per generated class and the loop is
+    * ~log₂(buckets) primitive compares per row — a builtin formulation
+    * would be either a 1024-way CASE chain (codegen method-size blowup)
+    * or a HOF fold over a literal array re-converted per eval (the
+    * [[litLongArray]] lesson).
+    */
+  case class SearchSortedLong(child: Expression, cuts: Array[Long])
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == NullType || child.dataType == LongType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs bigint input")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_searchsorted"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[Long]
+      var lo = 0
+      var hi = cuts.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cuts(mid) <= v) lo = mid + 1 else hi = mid
+      }
+      lo.toLong
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val arr = ctx.addReferenceObj("searchSortedCuts", cuts, "long[]")
+      nullSafeCodeGen(ctx, ev, c => {
+        val lo = ctx.freshName("lo")
+        val hi = ctx.freshName("hi")
+        val mid = ctx.freshName("mid")
+        s"""
+           |int $lo = 0;
+           |int $hi = $arr.length;
+           |while ($lo < $hi) {
+           |  int $mid = ($lo + $hi) >>> 1;
+           |  if ($arr[$mid] <= $c) $lo = $mid + 1; else $hi = $mid;
+           |}
+           |${ev.value} = (long) $lo;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column-level API
   def md5Bucket(s: Column, salt: String, mod: Int): Column =
     ColumnBridge.column(Md5BucketMod(ColumnBridge.expression(s), salt, mod))
+  def searchSorted(v: Column, cuts: Array[Long]): Column =
+    ColumnBridge.column(SearchSortedLong(ColumnBridge.expression(v), cuts))
   /** A TRUE pre-converted array literal. `typedLit(seq)` builds an
     * encoder-backed expression that re-converts the whole Seq on every
     * evaluation — catastrophic inside an interpreted HOF lambda (a

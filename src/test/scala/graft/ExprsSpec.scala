@@ -247,4 +247,33 @@ class ExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.selectExpr("graft_md5bucket(t, 'ds_', 64)")
       .collect().map(_.getLong(0)).toSeq == viaExpr.toSeq)
   }
+
+  test("SearchSortedLong == linear upper-bound count; eval == codegen; edge cases") {
+    val s = spark
+    import s.implicits._
+    val cuts = Array(-5L, 0L, 0L, 7L, 100L).distinct.sorted // dedup like the caller
+    val vals = Seq(Long.MinValue, -6L, -5L, -1L, 0L, 1L, 6L, 7L, 8L, 99L, 100L, 101L,
+      Long.MaxValue)
+    val df = vals.toDF("v")
+    val viaExpr = df.select(Exprs.searchSorted(col("v"), cuts)).as[Long].collect().toSeq
+    val linear = vals.map(v => cuts.count(_ <= v).toLong)
+    assert(viaExpr == linear, "binary search must equal the linear upper-bound count")
+    // interpreted eval agrees with the codegen'd dataframe path
+    val viaEval = vals.map(v => Exprs.SearchSortedLong(
+      org.apache.spark.sql.catalyst.expressions.Literal(v), cuts)
+      .eval(null).asInstanceOf[Long])
+    assert(viaEval == linear)
+    // empty cut array: everything lands in bucket 0 (constant column case)
+    assert(df.select(Exprs.searchSorted(col("v"), Array.empty[Long]))
+      .as[Long].collect().forall(_ == 0L))
+    // nulls propagate
+    assert(Seq[Option[Long]](None).toDF("v")
+      .select(Exprs.searchSorted(col("v"), cuts)).collect().head.isNullAt(0))
+    // order preservation + ties-share-a-bucket (the DistributedRank contract)
+    val b = viaExpr
+    vals.zip(b).combinations(2).foreach { case Seq((v1, b1), (v2, b2)) =>
+      if (v1 < v2) assert(b1 <= b2)
+      if (v1 == v2) assert(b1 == b2)
+    }
+  }
 }
