@@ -99,6 +99,30 @@ object DedupIndex {
   def extend(newDocs: DataFrame, path: String, buildV: Long): Unit =
     build(newDocs, path, buildV)
 
+  /** Storage maintenance for the three state tables — what a
+    * long-running admission stream must run on a cadence or the index
+    * directory grows WITHOUT BOUND: every extend commits a new version,
+    * and the superseded versions' data dirs stay on disk for pinned
+    * readers (plus multi-file buckets from parallel writes). Per
+    * sub-table: [[VersionedTable.compact]] collapses fragmented buckets
+    * (optimistic snapshot-isolated commit, no-op when nothing is
+    * fragmented), then [[VersionedTable.vacuumVersioned]] reclaims
+    * manifests/dirs older than the newest `keepVersions`.
+    *
+    * `minAgeMs = 0` is correct ONLY in the single-admitter regime this
+    * loop runs (the admitter is quiescent while maintaining — no live
+    * writer's staged-but-unpublished dirs can exist); size
+    * `keepVersions` to the longest concurrent SERVE: a reader pinned
+    * more than `keepVersions` extends back fails cleanly (missing
+    * manifest), never sees partial data.
+    */
+  def maintain(spark: SparkSession, path: String, maxFilesPerBucket: Int = 1,
+               keepVersions: Int = 8, minAgeMs: Long = 0L): Unit =
+    for (p <- Seq(fpsPath(path), sigsPath(path), bandsPath(path))) {
+      VersionedTable.compact(spark, p, maxFilesPerBucket)
+      VersionedTable.vacuumVersioned(spark, p, keep = keepVersions, minAgeMs = minAgeMs)
+    }
+
   /** Classify a (doc_id, text) batch against corpus index FRAMES:
     * (doc_id, kind, match_id) with kind ∈ exact|near|new, match_id the
     * smallest matching corpus doc_id (exact wins over near; −1 when

@@ -947,17 +947,30 @@ object EventStream {
     * written to the corpus. StreamingSpec pins the replay path.
     *
     * Single-admitter regime, like the batch ingest it mirrors.
+    *
+    * Maintenance cadence: every extend commits a new index version and
+    * the superseded versions' dirs stay on disk for pinned readers —
+    * thousands of micro-batches would grow the index directory without
+    * bound (the upsert-heavy table's small-file/stale-version storm).
+    * Every `compactEvery` batches the loop runs
+    * [[graft.operators.DedupIndex.maintain]] (bucket compaction +
+    * version vacuum, both optimistic snapshot-isolated commits), so
+    * in-flight serves are never torn and classifications are
+    * byte-identical across it (StreamingSpec drives 3 cadences and
+    * pins both the bounded on-disk file count and the verdict equality
+    * against an unmaintained control).
     */
   def streamingCurationAdmission(docs: DataFrame, indexPath: String,
                                  lr: Array[Long], dsirKeepMin: Long,
-                                 outPath: String, checkpoint: String): StreamingQuery =
+                                 outPath: String, checkpoint: String,
+                                 compactEvery: Int = 16): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           curationAdmitBatch(batch.toDF(), batchId, indexPath, lr,
-            dsirKeepMin, outPath)
+            dsirKeepMin, outPath, compactEvery = compactEvery)
       }
       .start()
 
@@ -971,7 +984,8 @@ object EventStream {
   private[graft] def curationAdmitBatch(batch: DataFrame, batchId: Long,
                                         indexPath: String, lr: Array[Long],
                                         dsirKeepMin: Long, outPath: String,
-                                        crashBeforeExtend: Boolean = false): Unit = {
+                                        crashBeforeExtend: Boolean = false,
+                                        compactEvery: Int = 0): Unit = {
     import graft.operators.{Curation, DedupIndex, Dsir, Html, TextOps}
     graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
       val extracted = Html.htmlExtract(batch, col("html"))
@@ -1003,6 +1017,12 @@ object EventStream {
             buildV = batchId + 1)
         }
       } finally admitted.unpersist()
+      // cadence AFTER the batch's own effects: a crash inside
+      // maintenance loses nothing (compaction is a pure file rewrite
+      // behind a new manifest version, vacuum only drops superseded
+      // versions; the replay re-runs both as cheap no-ops)
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        DedupIndex.maintain(batch.sparkSession, indexPath)
     }
   }
 

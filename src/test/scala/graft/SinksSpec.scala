@@ -413,6 +413,25 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
     val p1 = Sinks.VersionedTable.readForKey(spark, path, Seq("id"), Seq(2L))
     assert(p1.columns.contains("lang") &&
       p1.select("lang").as[String].collect().toSeq == Seq("fr"))
+    // merges AFTER the evolution stay bucket-pruned: a delta touching
+    // one key rewrites only that key's bucket — every other manifest
+    // entry carries over BY REFERENCE (same dir string), including
+    // pre-evolution dirs whose footers lack the new column
+    val before = Sinks.VersionedTable.latestManifest(spark, path).get._2
+    Sinks.VersionedTable.mergeUpsert(spark, path,
+      Seq((2L, "b3", 3L, "it")).toDF("id", "v", "ver", "lang"),
+      Seq("id"), "ver", numBuckets = 4)
+    val after = Sinks.VersionedTable.latestManifest(spark, path).get._2
+    val rewritten = after.filter { case (b, d) => before.get(b) != Some(d) }
+    assert(rewritten.size == 1,
+      s"post-evolution merge must rewrite exactly the touched bucket, got $rewritten")
+    assert((before.keySet -- rewritten.keySet).forall(b => after(b) == before(b)),
+      "untouched buckets (incl. pre-evolution footers) must carry over by reference")
+    val evolved = Sinks.VersionedTable.read(spark, path)
+      .select("id", "v", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getString(2)))
+      .sortBy(_._1)
+    assert(evolved.toSeq == Seq((1L, "a", null), (2L, "b3", "it"), (3L, "c", "de")))
   }
 
   test("VersionedTable: vacuum reclaims crash orphans (unreferenced data dirs + staging)") {

@@ -1040,6 +1040,91 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Seq(1L, 2L, 4L).map(serveKind).toSet == Set("exact"))
   }
 
+  test("admission compaction cadence: state files bounded, classifications identical through it") {
+    import spark.implicits._
+    import graft.operators.{DedupIndex, Dsir, Html}
+    val dirA = java.nio.file.Files.createTempDirectory("graft-admit-compact").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-admit-control").toString
+    val seed = Seq((900001L, "seed corpus alpha beta gamma delta epsilon"))
+    for (d <- Seq(dirA, dirB)) DedupIndex.build(seed.toDF("doc_id", "text"), s"$d/index")
+    val lr = Array.fill(Dsir.NumBuckets)(Dsir.Scale)
+    val vocab = Vector("amber", "birch", "cedar", "dune", "ember", "fjord", "grove",
+      "heath", "inlet", "juniper", "kelp", "lagoon", "meadow", "nectar", "onyx",
+      "prairie", "quartz", "reef", "summit", "tundra")
+    // distinct shuffled-vocab sentences (one stopword for the quality
+    // gate), different enough that every doc is admitted as `new`
+    def text(n: Int): String =
+      "the " + new scala.util.Random(n * 7919 + 13).shuffle(vocab).take(9).mkString(" ")
+    def htmlDf(b: Int) = (0 until 3).map(i => (b * 10L + i, text(b * 3 + i)))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Html.plantedHtml.as("html"))
+    val cadence = 3
+    val rounds = 4 // 12 batches = 4 full cadences
+    def bucketFiles(root: String): Seq[Int] =
+      Seq("fps", "sigs", "bands").flatMap { t =>
+        graft.sources.Sinks.VersionedTable
+          .latestManifest(spark, s"$root/index/$t").get._2.values.map { rel =>
+            new java.io.File(s"$root/index/$t/$rel").listFiles
+              .count(_.getName.endsWith(".parquet"))
+          }
+      }
+    // the UNBOUNDED quantity without maintenance: every extend commits
+    // a new version and the superseded versions' dirs stay on disk
+    def diskParquet(root: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$root/index"))
+    }
+    def manifests(root: String): Seq[Int] =
+      Seq("fps", "sigs", "bands").map { t =>
+        new java.io.File(s"$root/index/$t/_commits").listFiles
+          .count(_.getName.endsWith(".json"))
+      }
+    def verdicts(root: String, probe: org.apache.spark.sql.DataFrame) =
+      DedupIndex.serve(probe, s"$root/index").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // drive the cadences through BOTH loops (A maintains, B never)
+    for (b <- 0 until rounds * cadence) {
+      EventStream.curationAdmitBatch(htmlDf(b), b, s"$dirA/index", lr, 0L,
+        s"$dirA/out", compactEvery = cadence)
+      EventStream.curationAdmitBatch(htmlDf(b), b, s"$dirB/index", lr, 0L,
+        s"$dirB/out")
+      if (b == 2 * cadence - 1) {
+        // mid-stream, right after the second maintenance: replayed
+        // admitted texts + a novel one classify identically to the
+        // unmaintained control
+        val probe = ((0 until 3).map(i => (5000L + i, text(cadence + i))) :+
+          ((6000L, "the wholly novel page nothing has indexed yet")))
+          .toDF("doc_id", "text")
+        assert(verdicts(dirA, probe) == verdicts(dirB, probe),
+          "mid-stream maintenance must not change classifications")
+      }
+    }
+    // every batch really extended the index (the growth premise is real)
+    val outA = spark.read.parquet(s"$dirA/out").select("doc_id", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val outB = spark.read.parquet(s"$dirB/out").select("doc_id", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(outA == outB && outA.size == 3 * rounds * cadence,
+      s"all ${3 * rounds * cadence} docs admitted in both: ${outA.size}")
+    // bounded: the final cadence just compacted (single-file buckets)
+    // and vacuumed (manifests capped at keepVersions), while the
+    // control retains every superseded version's dirs
+    assert(bucketFiles(dirA).max == 1,
+      s"post-compaction buckets must be single-file, got ${bucketFiles(dirA)}")
+    assert(manifests(dirA).forall(_ <= 8),
+      s"vacuum must cap retained versions at keepVersions, got ${manifests(dirA)}")
+    assert(manifests(dirB).forall(_ > 8), s"control retains all versions: ${manifests(dirB)}")
+    assert(diskParquet(dirA) < diskParquet(dirB),
+      s"maintenance must bound on-disk files: A=${diskParquet(dirA)} B=${diskParquet(dirB)}")
+    // end-state classifications still identical
+    val finalProbe = ((0 until 9).map(i => (7000L + i, text(i))) :+
+      ((8000L, "the final novel probe page never indexed anywhere")))
+      .toDF("doc_id", "text")
+    assert(verdicts(dirA, finalProbe) == verdicts(dirB, finalProbe))
+  }
+
   test("streaming dedup probe serves two micro-batches from one committed index == batch serve") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
