@@ -79,6 +79,17 @@ import org.apache.spark.sql.SparkSession
   *     with its calibration factor as in-artifact evidence, so a loaded
   *     driver box produces `regressions:{}` + `contended:true` instead
   *     of phantom red gates.
+  * Hardened further the same round: the spin probe SELF-INFLATES right
+  * after allocation-heavy queries (our own G1 workers sweeping read as
+  * contention — audio-codec probes measured 2.5x on a box with zero
+  * external processes), which both cried contended on idle boxes and
+  * would let a genuinely-regressed allocation-heavy query exonerate
+  * itself. The load evidence that GATES is therefore the /proc-delta
+  * external-CPU measure ([[extCores]]: busy-jiffies minus self-jiffies
+  * over each query's own window — our GC is self, another process is
+  * other, steal is other), reported as `per_query_ext`/`max_ext` and as
+  * the 4th element of `reruns` entries; the probe factor stays in the
+  * artifact as corroboration and as the fallback where /proc is absent.
   *
   * Output: ONE compact JSON line on stdout (3-decimal per-query cold
   * seconds — round-3's full-precision line overflowed the driver's
@@ -155,14 +166,59 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** (busy jiffies summed over every cpu, THIS process's jiffies), or
+    * (-1,-1) where /proc is unavailable. Busy excludes idle+iowait and
+    * includes steal (hypervisor pressure IS external pressure).
+    */
+  private[graft] def jiffies(): (Long, Long) =
+    try {
+      val cpu = Files.readString(Paths.get("/proc/stat")).linesIterator.next()
+      val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+      val busy = f.indices.collect { case i if i != 3 && i != 4 => f(i) }.sum
+      val self0 = Files.readString(Paths.get("/proc/self/stat"))
+      val rest = self0.substring(self0.lastIndexOf(')') + 2).trim.split(" ")
+      (busy, rest(11).toLong + rest(12).toLong) // utime + stime
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  private val UserHz = 100.0 // Linux USER_HZ, the /proc jiffy unit
+
+  /** External runnable-cores over a measurement window: CPU seconds
+    * consumed by processes OTHER than this JVM, over wall seconds.
+    * THE load evidence the round-9 hardening gates on — the spin probe
+    * ([[calibProbe]]) measures total scheduling pressure and therefore
+    * SELF-INFLATES right after an allocation-heavy query (our own G1
+    * workers sweeping read as "contention": audio-codec probes measured
+    * 2.5x on a box with zero external processes), which would let a
+    * genuinely-regressed allocation-heavy query exonerate itself. /proc
+    * deltas attribute self vs other exactly: GC is self, another
+    * process's build is other, steal is other. −1 when unmeasurable
+    * (adjudication then falls back to the probe factor).
+    */
+  private[graft] def extCores(before: (Long, Long), after: (Long, Long),
+                              wallSec: Double): Double =
+    if (before._1 < 0 || after._1 < 0 || wallSec <= 0) -1.0
+    else math.max(0.0,
+      ((after._1 - before._1) - (after._2 - before._2)) / UserHz / wallSec)
+
+  /** Contended past external pressure of 20% of the cores — on 32 cores
+    * ≈6.4 external runnables, the same (cores+L)/cores ≈ 1.2x
+    * saturating-stage slowdown [[CalibContendedFactor]] encodes. */
+  private[graft] def extContended(ext: Double, cpus: Int): Boolean =
+    ext > 0.2 * cpus
+
   /** Adjudicate a gate-flagged query from its rerun: `real` only when
-    * the rerun ALSO breaches AND the rerun's calibration factor shows a
-    * quiet box — a contended rerun cannot confirm a regression (it can
-    * only repeat the main pass's mistake), so it self-exonerates to
-    * load noise carrying its calibration evidence. */
-  private[graft] def adjudicate(rerunBreach: Boolean, rerunCalibFactor: Double): String =
+    * the rerun ALSO breaches AND the rerun's window shows a quiet box —
+    * a contended rerun cannot confirm a regression (it can only repeat
+    * the main pass's mistake), so it self-exonerates to load noise
+    * carrying its evidence. Quietness is judged on the /proc external-
+    * CPU measure when available (immune to our own GC — see
+    * [[extCores]]); the spin-probe factor is the fallback where /proc
+    * is not a thing. */
+  private[graft] def adjudicate(rerunBreach: Boolean, rerunExtCores: Double,
+                                rerunCalibFactor: Double, cpus: Int): String =
     if (!rerunBreach) "noise"
-    else if (rerunCalibFactor > CalibContendedFactor) "contended_noise"
+    else if (if (rerunExtCores >= 0) extContended(rerunExtCores, cpus)
+             else rerunCalibFactor > CalibContendedFactor) "contended_noise"
     else "real"
 
   /** The per-query regression gate, shared between the main (normalized)
@@ -331,10 +387,14 @@ object Bench {
     val results = order.map { n =>
       val ts = (System.nanoTime() - wall0) / 1e9
       val la = load1()
+      val j0 = jiffies()
+      val w0 = System.nanoTime()
       val (cold, warm) = measure(n)
-      // probe AFTER the query: Spark is idle again, so inflation here is
-      // external pressure present around this query's measurement window
-      (n, cold, warm, ts, la, probe())
+      // external CPU over the query's OWN window (/proc deltas: our GC
+      // is self, another process is other — see extCores), plus the
+      // spin probe AFTER the query as scheduling-pressure corroboration
+      val ext = extCores(j0, jiffies(), (System.nanoTime() - w0) / 1e9)
+      (n, cold, warm, ts, la, probe(), ext)
     }
     GraftCache.releaseAll(spark)
 
@@ -365,7 +425,7 @@ object Bench {
     val nowWarm = results.map(r => r._1 -> r._3).toMap
     val normC = math.min(medianRatio(nowCold, priorCold), NormCap)
     val normW = math.min(medianRatio(nowWarm, priorWarm), NormCap)
-    val flagged = results.flatMap { case (n, cold, warm, _, _, _) =>
+    val flagged = results.flatMap { case (n, cold, warm, _, _, _, _) =>
       (priorCold.get(n), priorWarm.get(n)) match {
         case (Some(oc), Some(ow)) =>
           gateKind(cold, warm, oc, ow, normC, normW).map { kind =>
@@ -384,7 +444,7 @@ object Bench {
     // so past RegressionFactor the run itself is flagged. Uses the same
     // dual cold+warm rule as per-query gating.
     val shared = results.collect {
-      case (n, c, w, _, _, _) if c > 0 && w > 0 &&
+      case (n, c, w, _, _, _, _) if c > 0 && w > 0 &&
         priorCold.get(n).exists(_ > 0) && priorWarm.get(n).exists(_ > 0) => n
     }
     val runLevelFired = {
@@ -417,14 +477,17 @@ object Bench {
     val toRerun = (flagged.map(_._1) ++ runLevelProbe).distinct
     val rerunIdleWaited = if (toRerun.nonEmpty) idleGate(IdleWaitBudgetSec, "rerun pass") else 0
     val reruns = toRerun.map { n =>
+      val j0 = jiffies()
+      val w0 = System.nanoTime()
       val (c, w) = measure(n)
-      n -> ((c, w, probe()))
+      val ext = extCores(j0, jiffies(), (System.nanoTime() - w0) / 1e9)
+      n -> ((c, w, probe(), ext))
     }.toMap
     // factor vs the best (most idle) probe sample the whole run saw
     val calibRef = calibSamples.min
     def cf(raw: Double): Double = raw / calibRef
     def rerunBreach(n: String): Boolean = {
-      val (c, w, _) = reruns(n)
+      val (c, w, _, _) = reruns(n)
       // a rerun that ERRORS (-1) must confirm the flag, not exonerate
       // it — gateKind returns None on non-positive inputs, which would
       // otherwise read as "clean" (the run-level path already treats a
@@ -432,19 +495,20 @@ object Bench {
       !(c > 0 && w > 0) || gateKind(c, w, priorCold(n), priorWarm(n), 1.0, 1.0).nonEmpty
     }
     val verdictByQuery = flagged.map { case (n, r) =>
-      (n, r, adjudicate(rerunBreach(n), cf(reruns(n)._3)))
+      (n, r, adjudicate(rerunBreach(n), reruns(n)._4, cf(reruns(n)._3), cpus))
     }
     val noise = verdictByQuery.collect { case (n, r, v) if v != "real" => (n, r, v) }
     val real = verdictByQuery.collect { case (n, r, "real") => (n, r) }
     noise.foreach { case (n, _, v) =>
       if (v == "contended_noise") System.err.println(
         f"[bench] $n rerun still breached but the box was measurably contended " +
-          f"(calib ${cf(reruns(n)._3)}%.2fx) — load noise, not confirmable")
+          f"(ext ${reruns(n)._4}%.1f cores, calib ${cf(reruns(n)._3)}%.2fx) — " +
+          "load noise, not confirmable")
       else System.err.println(s"[bench] $n exonerated by rerun (load noise)")
     }
     real.foreach { case (n, r) =>
       System.err.println(f"[bench] REGRESSION $n confirmed by clean-box rerun (${r}%.2fx, " +
-        f"calib ${cf(reruns(n)._3)}%.2fx)") }
+        f"ext ${reruns(n)._4}%.1f cores, calib ${cf(reruns(n)._3)}%.2fx)") }
     // Run-level verdict: real iff the probe queries' rerun cold/warm
     // totals ALSO exceed their baseline totals by the regression factor
     // AND those reruns happened on a measurably quiet box.
@@ -454,13 +518,19 @@ object Bench {
       val ok = rc.forall(_ > 0) && rw.forall(_ > 0)
       val bc = runLevelProbe.map(priorCold).sum; val bw = runLevelProbe.map(priorWarm).sum
       val breach = !ok || (rc.sum > bc * RegressionFactor && rw.sum > bw * RegressionFactor)
-      val calmMax = runLevelProbe.map(n => cf(reruns(n)._3)).maxOption.getOrElse(1.0)
+      // a rerun window is quiet when its /proc external-CPU measure
+      // says so (fallback: the probe factor where /proc is absent)
+      def quiet(n: String): Boolean = {
+        val (_, _, cal, ext) = reruns(n)
+        if (ext >= 0) !extContended(ext, cpus) else cf(cal) <= CalibContendedFactor
+      }
+      val allQuiet = runLevelProbe.forall(quiet)
       if (!breach) System.err.println(
         f"[bench] run-level flag exonerated: $RunLevelRerunN worst reruns " +
           f"cold ${rc.sum}%.2fs vs baseline $bc%.2fs")
-      else if (calmMax > CalibContendedFactor) System.err.println(
-        f"[bench] run-level breach under measured contention (calib $calmMax%.2fx) — load noise")
-      breach && calmMax <= CalibContendedFactor
+      else if (!allQuiet) System.err.println(
+        "[bench] run-level breach under measured contention — load noise")
+      breach && allQuiet
     }
     def r2(v: Double): Double = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
     val runLevelEntries = runLevelFired match {
@@ -480,13 +550,20 @@ object Bench {
     // peaked at 20): the flag is now the max calibration factor any
     // query's window saw, so a mid-run band self-identifies.
     val maxCalib = results.map(r => cf(r._6)).maxOption.getOrElse(1.0)
-    val contended = contendedAtStart || maxCalib > CalibContendedFactor
+    val exts = results.map(_._7).filter(_ >= 0)
+    val maxExt = exts.maxOption.getOrElse(-1.0)
+    // external-CPU measure decides when available (the probe factor
+    // self-inflates behind our own GC after allocation-heavy queries —
+    // see extCores — so it is corroboration, not the verdict)
+    val contended = contendedAtStart ||
+      (if (exts.nonEmpty) extContended(maxExt, cpus)
+       else maxCalib > CalibContendedFactor)
 
     // Informational drift vs the FROZEN first-landing numbers: not a
     // gate (warm noise at this SF reaches ~1.7x), but creep that
     // successive baseline rebases would otherwise launder shows up here
     // round after round until addressed.
-    val drift = results.flatMap { case (n, _, warm, _, _, _) =>
+    val drift = results.flatMap { case (n, _, warm, _, _, _, _) =>
       firstWarm.get(n).filter(_ > 0) match {
         case Some(fw) if warm > 0 && warm > fw * normW * DriftFactor &&
           warm - fw * normW > DriftDeltaSec =>
@@ -506,8 +583,8 @@ object Bench {
     val totalWarm = results.map(_._3).filter(_ >= 0).sum
     // rerun entries carry [cold, warm, calib_factor] — the third element
     // is the contention evidence adjudicate() ruled on
-    val rerunsJson = reruns.toSeq.sortBy(_._1).map { case (n, (c, w, cal)) =>
-      "\"" + n + "\":[" + r3(c) + "," + r3(w) + "," + r2(cf(cal)) + "]"
+    val rerunsJson = reruns.toSeq.sortBy(_._1).map { case (n, (c, w, cal, ext)) =>
+      "\"" + n + "\":[" + r3(c) + "," + r3(w) + "," + r2(cf(cal)) + "," + r2(ext) + "]"
     }.mkString("{", ",", "}")
     // Full-precision document (incl. per-query warm) for baseline rebases.
     val byName = results.sortBy(_._1)
@@ -524,8 +601,10 @@ object Bench {
       s""","per_query_ts":${obj(byName.map(r => r._1 -> r3(r._4)))}""" +
       s""","per_query_load":${obj(byName.map(r => r._1 -> r._5))}""" +
       s""","per_query_calib":${obj(byName.map(r => r._1 -> r2(cf(r._6))))}""" +
+      s""","per_query_ext":${obj(byName.map(r => r._1 -> r2(r._7)))}""" +
       s""","calib_ref_ms":${r2(calibRef * 1000)}""" +
       s""","max_calib":${r2(maxCalib)}""" +
+      s""","max_ext":${r2(maxExt)}""" +
       s""","loadavg":[${loadavg.mkString(",")}]""" +
       s""","contended":$contended,"idle_wait_s":$idleWaited""" +
       s""","rerun_idle_wait_s":$rerunIdleWaited""" +

@@ -72,11 +72,14 @@ object BandedPairs {
     val bandStruct = (0 until numBands).map { b =>
       struct(lit(b).as("b"), substring(col(fpCol), b * bandBits + 1, bandBits).as("band"))
     }
+    // rkey BEFORE the band explode: the md5 rank is per-id, and the
+    // ~24-node hex chain evaluated per (id × band) row would cost
+    // numBands× for the same value
     val banded = fps.select(col(idCol), col(fpCol),
+      expr(TextOps.hexPrefixValSql(s"md5(CAST($idCol AS STRING))")).as("rkey"),
       explode(array(bandStruct: _*)).as("tb"))
-      .select(col(idCol), col(fpCol), col("tb.b").as("b"), col("tb.band").as("band"))
-      .withColumn("rkey", expr(
-        TextOps.hexPrefixValSql(s"md5(CAST($idCol AS STRING))")))
+      .select(col(idCol), col(fpCol), col("rkey"),
+        col("tb.b").as("b"), col("tb.band").as("band"))
     // bounded per-bucket survivors: min-k by (md5 rank, id)
     val kept = banded.groupBy("b", "band")
       .agg(Exprs.maxKScored(-col("rkey").cast("double"), col(idCol), bucketCap).as("keep"))

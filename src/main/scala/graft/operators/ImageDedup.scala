@@ -50,6 +50,15 @@ import graft.sources.Tables
   */
 object ImageDedup {
 
+  // ImageIO stream caches default to FILE-backed: every encode/decode
+  // of an in-memory byte[] creates and deletes a temp file — thousands
+  // of avoidable syscalls per phash run, and the cold-run noise
+  // amplifier on a contended disk. Payload sizes here are bounded
+  // (ImgDim² pixels), so memory-backed caches are strictly better.
+  // JVM-global and idempotent; object init runs on first access in
+  // every executor JVM, i.e. before any kernel's first codec call.
+  ImageIO.setUseCache(false)
+
   val ImgDim = 8
   val NumGroups = 50
   val NumBands = 4

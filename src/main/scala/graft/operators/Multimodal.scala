@@ -38,6 +38,11 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // Memory-backed ImageIO stream caches (see the ImageDedup init note:
+  // the file-backed default costs a temp-file create+delete per codec
+  // call on pure in-memory payloads). Idempotent, per executor JVM.
+  ImageIO.setUseCache(false)
+
   val FeatureDim = 16
   val DefaultBatchSize = 64
 

@@ -89,19 +89,83 @@ class BenchParseSpec extends AnyFunSuite {
   }
 
   test("adjudicate: only a clean-box rerun breach confirms a regression") {
+    val cpus = 32
+    val quietExt = 0.5
+    val loadedExt = 0.2 * cpus + 1
     // rerun cleared the gate -> noise, whatever the box looked like
-    assert(Bench.adjudicate(rerunBreach = false, rerunCalibFactor = 1.0) === "noise")
-    assert(Bench.adjudicate(rerunBreach = false, rerunCalibFactor = 9.0) === "noise")
+    assert(Bench.adjudicate(rerunBreach = false, quietExt, 1.0, cpus) === "noise")
+    assert(Bench.adjudicate(rerunBreach = false, loadedExt, 9.0, cpus) === "noise")
     // rerun breached on a quiet box -> the one confirmable case
-    assert(Bench.adjudicate(rerunBreach = true, rerunCalibFactor = 1.0) === "real")
-    assert(Bench.adjudicate(rerunBreach = true,
-      rerunCalibFactor = Bench.CalibContendedFactor) === "real")
-    // rerun breached but the probe measured external pressure -> the
-    // round-8 phantom case: load noise with evidence, NOT a regression
-    assert(Bench.adjudicate(rerunBreach = true,
-      rerunCalibFactor = Bench.CalibContendedFactor + 0.01) === "contended_noise")
-    assert(Bench.adjudicate(rerunBreach = true, rerunCalibFactor = 20.0)
+    assert(Bench.adjudicate(rerunBreach = true, quietExt, 1.0, cpus) === "real")
+    assert(Bench.adjudicate(rerunBreach = true, 0.2 * cpus, 1.0, cpus) === "real")
+    // rerun breached under measured external pressure -> the round-8
+    // phantom case: load noise with evidence, NOT a regression
+    assert(Bench.adjudicate(rerunBreach = true, loadedExt, 1.0, cpus)
       === "contended_noise")
+    assert(Bench.adjudicate(rerunBreach = true, 20.0 * cpus, 1.0, cpus)
+      === "contended_noise")
+    // the /proc measure DECIDES when available: a probe factor inflated
+    // by our own GC cannot veto a quiet external measure (the round-9
+    // self-inflation fix), and vice versa a quiet probe cannot launder
+    // measured external load
+    assert(Bench.adjudicate(rerunBreach = true, quietExt, 5.0, cpus) === "real")
+    assert(Bench.adjudicate(rerunBreach = true, loadedExt,
+      Bench.CalibContendedFactor - 0.1, cpus) === "contended_noise")
+    // /proc unavailable (-1): fall back to the probe factor
+    assert(Bench.adjudicate(rerunBreach = true, -1.0, 1.0, cpus) === "real")
+    assert(Bench.adjudicate(rerunBreach = true, -1.0,
+      Bench.CalibContendedFactor + 0.01, cpus) === "contended_noise")
+  }
+
+  test("extCores: /proc-delta external CPU attributes self vs other") {
+    // synthetic jiffy tuples: 10s window on a 100 Hz clock; the box
+    // burned 5000 busy jiffies of which we burned 3000 -> 2 ext cores
+    assert(Bench.extCores((1000L, 500L), (6000L, 3500L), 10.0) === 2.0)
+    // everything was us -> zero external
+    assert(Bench.extCores((1000L, 500L), (6000L, 5500L), 10.0) === 0.0)
+    // clock skew can make self exceed total busy; clamp at zero
+    assert(Bench.extCores((1000L, 500L), (2000L, 2500L), 10.0) === 0.0)
+    // unmeasurable inputs propagate as -1 (fallback to the probe)
+    assert(Bench.extCores((-1L, -1L), (6000L, 3500L), 10.0) === -1.0)
+    assert(Bench.extCores((1000L, 500L), (6000L, 3500L), 0.0) === -1.0)
+    // the live reader returns plausible values on this (Linux) box
+    val (busy, self) = Bench.jiffies()
+    assert(busy > 0 && self > 0 && self <= busy)
+  }
+
+  test("extCores ignores own-JVM load (the GC self-inflation fix) but sees other processes") {
+    val cpus = Runtime.getRuntime.availableProcessors()
+    def window(sec: Double)(body: => Unit): Double = {
+      val j0 = Bench.jiffies()
+      val t0 = System.nanoTime()
+      body
+      Thread.sleep(math.max(0L, (sec * 1000).toLong -
+        (System.nanoTime() - t0) / 1000000L))
+      Bench.extCores(j0, Bench.jiffies(), (System.nanoTime() - t0) / 1e9)
+    }
+    // own-JVM busy threads (standing in for our GC workers) are SELF:
+    // the external measure must stay quiet — exactly where the spin
+    // probe self-inflates
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val busy = (0 until cpus).map { t =>
+      val th = new Thread(() => {
+        var h = t.toLong
+        while (!stop.get()) { h = h * 6364136223846793005L + 1442695040888963407L }
+        if (h == 42L) System.err.print("")
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    val selfLoaded =
+      try window(1.0) {} finally { stop.set(true); busy.foreach(_.join(1000)) }
+    assert(selfLoaded >= 0 && !Bench.extContended(selfLoaded, cpus),
+      f"own-JVM load must not read as external contention (got $selfLoaded%.1f cores)")
+    // a genuinely external busy process IS seen (spawned, then killed)
+    val procs = (0 until math.min(8, cpus)).map { _ =>
+      new ProcessBuilder("sh", "-c", "while : ; do : ; done").start()
+    }
+    val extLoaded = try window(1.5) {} finally procs.foreach(_.destroyForcibly())
+    assert(extLoaded > math.min(8, cpus) * 0.5,
+      f"external busy-loops must register (got $extLoaded%.1f cores)")
   }
 
   test("calibration probe measures external CPU pressure") {
