@@ -105,4 +105,92 @@ object Ingest {
       throw new java.io.IOException(s"advanceCursor: rename $tmp -> $p failed")
     nv
   }
+
+  /** Failure-aware replica rotation — the reference's proxy pool
+    * (scraper/proxy_manager.py:9-65: round-robin `get_proxy`, failures
+    * removed from the pool, a depleted pool reloaded) re-expressed for
+    * the failure surface a Spark ingest actually has: INPUT REPLICAS.
+    * A 100 TB pipeline reads the same logical dataset from one of
+    * several physical locations (mirror buckets, a warm cache tier, a
+    * secondary region), and transient location failures — throttling,
+    * a cold mirror, a torn sync — should rotate to the next replica,
+    * not kill the job.
+    *
+    * Differences from the reference, on purpose:
+    *  - failures COOL DOWN instead of being removed: a throttled
+    *    bucket heals, and cooldown-expiry is the honest analog of the
+    *    reference's pool reload (which re-adds everything);
+    *  - rotation prefers the replica with the fewest consecutive
+    *    failures (stable order tiebreak), so a flaky mirror degrades
+    *    to last resort instead of taking every Nth read;
+    *  - when EVERY replica is cooling down, the least-recently-failed
+    *    one is tried anyway (an all-cold pool must degrade to retry,
+    *    never to silent no-op — the reference logs "No proxies" and
+    *    returns None, which is the unsound branch).
+    *
+    * Spark wrinkle the wrapper owns: `spark.read.*` is LAZY — a bad
+    * path surfaces at action time, deep in a job. [[ReplicaSet.read]]
+    * therefore PROBES the chosen replica eagerly (schema resolution +
+    * a one-row action: footer/header reads, not a scan) before handing
+    * the frame out, so rotation happens at ingest time and a returned
+    * frame is known-readable. Driver-local mutable state, like the
+    * reference's in-process pool; clock injectable for tests.
+    */
+  final class ReplicaSet(paths: Seq[String], cooldownMs: Long = 60000L,
+                         now: () => Long = System.currentTimeMillis) {
+    require(paths.nonEmpty, "ReplicaSet needs at least one replica path")
+    private case class Health(consecutiveFailures: Int = 0, lastFailureMs: Long = Long.MinValue)
+    private val health = scala.collection.mutable.LinkedHashMap(
+      paths.map(_ -> Health()): _*)
+
+    private def coolingDown(h: Health): Boolean =
+      h.consecutiveFailures > 0 && now() - h.lastFailureMs < cooldownMs
+
+    /** Replicas in try-order: healthy ones first (fewest consecutive
+      * failures, then declaration order), then — only as last resort —
+      * the cooling-down ones, least-recently-failed first. */
+    def tryOrder: Seq[String] = {
+      val (cold, warm) = health.toSeq.partition { case (_, h) => coolingDown(h) }
+      warm.sortBy { case (p, h) => (h.consecutiveFailures, paths.indexOf(p)) }.map(_._1) ++
+        cold.sortBy { case (_, h) => h.lastFailureMs }.map(_._1)
+    }
+
+    def markFailure(path: String): Unit = health.get(path).foreach { h =>
+      health.update(path, Health(h.consecutiveFailures + 1, now()))
+    }
+    def markSuccess(path: String): Unit =
+      if (health.contains(path)) health.update(path, Health())
+    def failures(path: String): Int =
+      health.get(path).map(_.consecutiveFailures).getOrElse(0)
+
+    /** Open the dataset from the first replica that proves readable:
+      * for each candidate in [[tryOrder]], build the frame and probe it
+      * (`limit(1).count()` — schema + one row, not a scan); a probe
+      * failure marks the replica and rotates on. Throws the LAST
+      * failure only after every replica refused. */
+    def read(reader: String => DataFrame): DataFrame = {
+      var lastErr: Throwable = null
+      // explicit loop, no return-inside-lambda: a non-local return is a
+      // control THROWABLE and the failure handler would swallow it,
+      // turning every success into a marked failure
+      val it = tryOrder.iterator
+      while (it.hasNext) {
+        val p = it.next()
+        val probed =
+          try {
+            val df = reader(p)
+            df.limit(1).count() // eager readability probe
+            Some(df)
+          } catch {
+            case scala.util.control.NonFatal(e) => markFailure(p); lastErr = e; None
+          }
+        probed match {
+          case Some(df) => markSuccess(p); return df
+          case None =>
+        }
+      }
+      throw new java.io.IOException(
+        s"ReplicaSet: every replica of ${paths.size} refused", lastErr)
+    }
+  }
 }

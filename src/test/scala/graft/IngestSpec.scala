@@ -107,4 +107,62 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> "<p>one</p>", 2L -> "<p>two</p>"),
       s"expected the two intact records only, got $out")
   }
+
+  test("ReplicaSet: rotates past failed replicas, cools them down, heals on expiry") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-replicas").toString
+    val good = s"$base/good"
+    val missing = s"$base/missing" // never created
+    val corrupt = s"$base/corrupt"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(good)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(corrupt))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$corrupt/part-00000.parquet"),
+      "not a parquet footer".getBytes("UTF-8"))
+    var clock = 1000L
+    val rs = new graft.sources.Ingest.ReplicaSet(
+      Seq(missing, corrupt, good), cooldownMs = 60000L, now = () => clock)
+    // first read rotates past the two bad replicas and lands on good
+    val df = rs.read(p => spark.read.schema("id BIGINT, v STRING").parquet(p))
+    assert(df.count() == 2)
+    assert(rs.failures(missing) == 1 && rs.failures(corrupt) == 1 &&
+      rs.failures(good) == 0)
+    // failed replicas are cooling down: good is now FIRST in try order,
+    // so the next read probes only it (no re-hammering of bad mirrors)
+    assert(rs.tryOrder.head == good)
+    // cooldown expiry re-admits the failed replicas ahead of the
+    // last-resort tier (the reference's pool-reload analog) ...
+    clock += 61000L
+    assert(rs.tryOrder.take(3).toSet == Set(missing, corrupt, good))
+    // ... though a clean replica still outranks an expired-cooldown one
+    // (fewest consecutive failures first)
+    val ranked = new graft.sources.Ingest.ReplicaSet(
+      Seq(missing, good), cooldownMs = 60000L, now = () => clock)
+    ranked.markFailure(missing)
+    clock += 61000L
+    assert(ranked.tryOrder == Seq(good, missing))
+    // and a replica that heals (missing dir appears) is read again
+    // after its cooldown, resetting its failure count
+    Seq((3L, "c")).toDF("id", "v").write.parquet(missing)
+    val healed = new graft.sources.Ingest.ReplicaSet(
+      Seq(missing), cooldownMs = 60000L, now = () => clock)
+    healed.markFailure(missing)
+    clock += 61000L
+    assert(healed.read(p => spark.read.schema("id BIGINT, v STRING").parquet(p))
+      .count() == 1)
+    assert(healed.failures(missing) == 0, "success must reset the failure count")
+    // all replicas cooling down: degrade to least-recently-failed, not no-op
+    val allBad = new graft.sources.Ingest.ReplicaSet(
+      Seq(missing, good), cooldownMs = 60000L, now = () => clock)
+    allBad.markFailure(missing); clock += 1; allBad.markFailure(good)
+    assert(allBad.tryOrder == Seq(missing, good),
+      "all-cold pool must order by least-recently-failed, never go empty")
+    // and every-replica-refused surfaces the last error, not a silent None
+    val hopeless = new graft.sources.Ingest.ReplicaSet(
+      Seq(s"$base/nope1", s"$base/nope2"), now = () => clock)
+    intercept[java.io.IOException] {
+      hopeless.read(p => spark.read.schema("id BIGINT").parquet(p))
+    }
+  }
 }
