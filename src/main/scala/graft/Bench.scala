@@ -137,6 +137,31 @@ object Bench {
   // on 32 cores, comfortably past idle-box scheduler noise (~1.1).
   private[graft] val CalibContendedFactor = 1.2
 
+  /** The shared model artifacts that per-query colds re-pay after each
+    * `releaseAll` (the round-8 verdict's "cold entangles shared
+    * training" note): e.g. q_bpe_encode's cold includes the BPE train,
+    * q_dsir_resample's the DSIR table, the ANN family's the k-means /
+    * PQ codebooks. Timed SEPARATELY here — after the gated passes, so
+    * the section never perturbs them — as `artifact_train`, giving the
+    * round artifact an explicit train-vs-serve-cold split instead of
+    * double-charging the same training across every dependent query.
+    * Informational (no gate): training cost is governed by its own
+    * ScaleAudit lenses.
+    */
+  private def artifactTrainers: Seq[(String, (SparkSession, String) => Unit)] = {
+    import graft.{operators => op}
+    import graft.sources.Tables
+    Seq(
+      "bpe_merges" -> ((s, d) => { op.TextOps.bpeTrain(Tables.documents(s, d)).count(); () }),
+      "dsir_lr" -> ((s, d) => { op.Dsir.lrTable(Tables.documents(s, d)); () }),
+      "ivf_codebook" -> ((s, d) => { op.Embeddings.kmeansCodebook(
+        op.Embeddings.quantized(Tables.embeddings(s, d))).count(); () }),
+      "pq_codebooks" -> ((s, d) => { op.Embeddings.pqCodebooks(
+        op.Embeddings.quantized(Tables.embeddings(s, d))).foreach(_.count()); () }),
+      "cc_labels" -> ((s, d) => { op.Dedup.dedupClusters(Tables.documents(s, d)).count(); () }),
+      "pagerank_fixpoint" -> ((s, d) => { op.Graph.pageRank(Tables.events(s, d)).count(); () }))
+  }
+
   /** Fixed spin+hash workload, one thread per core, ~50 ms wall on an
     * idle box. Run BETWEEN queries (Spark idle), so any inflation is
     * external CPU pressure, not our own executor threads. All-cores
@@ -572,6 +597,17 @@ object Bench {
       }
     }
 
+    // ---- Artifact-train section (informational; AFTER the gated
+    // passes so it can never perturb them) ----
+    val artifactTimes = artifactTrainers.map { case (n, f) =>
+      GraftCache.releaseAll(spark)
+      val t0 = System.nanoTime()
+      val sec =
+        try { f(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      n -> sec
+    }
+
     val loadavg =
       try Files.readString(Paths.get("/proc/loadavg")).trim.split(" ").take(3).toSeq
       catch { case _: Throwable => Seq("-1", "-1", "-1") }
@@ -602,6 +638,7 @@ object Bench {
       s""","per_query_load":${obj(byName.map(r => r._1 -> r._5))}""" +
       s""","per_query_calib":${obj(byName.map(r => r._1 -> r2(cf(r._6))))}""" +
       s""","per_query_ext":${obj(byName.map(r => r._1 -> r2(r._7)))}""" +
+      s""","artifact_train":${obj(artifactTimes.map { case (n, v) => n -> r3(v) })}""" +
       s""","calib_ref_ms":${r2(calibRef * 1000)}""" +
       s""","max_calib":${r2(maxCalib)}""" +
       s""","max_ext":${r2(maxExt)}""" +
@@ -646,6 +683,7 @@ object Bench {
       s""","order_seed":$orderSeed""" +
       s""","loadavg":[${loadavg.mkString(",")}]""" +
       s""","max_calib":${r2(maxCalib)}""" +
+      s""","artifact_train":${obj(artifactTimes.map { case (n, v) => n -> r3(v) })}""" +
       s""","contended":$contended,"idle_wait_s":$idleWaited""" +
       s""","rerun_idle_wait_s":$rerunIdleWaited""" +
       s""","queries_full":"bench_last.json"""" +

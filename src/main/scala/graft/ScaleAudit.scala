@@ -564,6 +564,52 @@ object ScaleAudit {
       }
     }
 
+    // Multi-writer rollup at replica scale (round-9): the per-delta
+    // partial-row layout must keep BOTH invariants that make it a
+    // 100 TB design — (a) applying a small delta rewrites only the
+    // buckets its own rows hash to (manifest-dir diff, never the full
+    // state), and (b) foldPartials caps merge-on-read row count at one
+    // row per key regardless of how many deltas have landed.
+    // Deterministic manifest/row-count assertions, no wall-clock.
+    if (names.contains("q_rollup_incremental") || names == defaultQueries) {
+      import graft.operators.RollupIndex
+      import graft.sources.Sinks.VersionedTable
+      val li = spark.read.parquet(s"$out/lineitem.parquet")
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale-rollup").toString
+      RollupIndex.build(li.filter(pmod(col("l_orderkey"), lit(4L)) =!= 0L),
+        dir, "bootstrap")
+      RollupIndex.applyDelta(li.filter(pmod(col("l_orderkey"), lit(4L)) === 0L),
+        dir, "batch-1")
+      val before = VersionedTable.latestManifest(spark, s"$dir/state").get._2
+      // a 3-key delta against the replica-scale state
+      val tiny = li.filter(col("l_suppkey").isin(1L, 2L, 3L))
+      RollupIndex.applyDelta(tiny, dir, "tiny")
+      val after = VersionedTable.latestManifest(spark, s"$dir/state").get._2
+      val rewritten = after.count { case (b, d) => before.get(b) != Some(d) }
+      // ≤ 3 keys × |flags| partial rows + 1 ledger row → at most a
+      // handful of the 16 buckets; full-state rewrite would be all 16
+      println(s"[scale] rollup tiny-delta rewrote $rewritten/16 buckets")
+      if (rewritten > 10) {
+        bad += 1
+        println(s"[scale] FAIL rollup apply not bucket-pruned: $rewritten buckets rewritten")
+      }
+      val keysN = RollupIndex.read(spark, dir).count()
+      def partials(): Long = VersionedTable.read(spark, s"$dir/state")
+        .filter(col("row_kind") === "p").count()
+      val frag = partials()
+      RollupIndex.foldPartials(spark, dir)
+      val folded = partials()
+      println(s"[scale] rollup fold: $frag partial rows -> $folded ($keysN keys)")
+      if (folded != keysN) {
+        bad += 1
+        println(s"[scale] FAIL fold must leave one partial row per key: $folded != $keysN")
+      }
+      if (RollupIndex.read(spark, dir).count() != keysN) {
+        bad += 1
+        println("[scale] FAIL fold changed the presented rollup")
+      }
+    }
+
     println(s"[scale] == $bad violations ==")
     spark.stop()
     if (bad > 0) sys.exit(1)
