@@ -209,12 +209,57 @@ object Curation {
 
   // ------------------------------------------------------------ registry
 
+  // ------------------------------------------------ C70: host-level split
+
+  /** C70: leakage-free train/val/test split at HOST granularity — C35's
+    * md5-bucket split re-keyed on the url host. Template pages, site
+    * mirrors, and near-duplicates cluster BY SITE, so a doc-keyed split
+    * (C35) routinely puts members of the same near-dup cluster on both
+    * sides of the train/test fence — the classic web-corpus eval leak;
+    * the standard hygiene rule is to carve the split at the host (or
+    * domain) level so every page of a site lands in ONE split. Same
+    * planted-url synthesis as C63, same two-nibble 240/8/8 carve as
+    * C35 under a distinct salt ('hsplit:') so host buckets are
+    * independent of doc buckets. The leakage guarantee is BY
+    * CONSTRUCTION: split is a pure function of host, which the
+    * row-identical oracle hash-compare therefore pins. Scan-shaped —
+    * one projection, zero shuffle, zero state; reruns, engines, and
+    * partitionings all agree (the C35 determinism contract).
+    */
+  def hostSplit(docs: DataFrame,
+                trainUpto: Int = 240, valUpto: Int = 248): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_extract(plantedUrl, "^https://([^/]+)/", 1).as("host"))
+      .withColumn("bucket",
+        expr(TextOps.hexPrefixValSql("md5('hsplit:' || host)", 2)))
+      .withColumn("split",
+        when(col("bucket") < trainUpto, "train")
+          .when(col("bucket") < valUpto, "val")
+          .otherwise("test"))
+
+  def hostSplitSql(trainUpto: Int = 240, valUpto: Int = 248): String = {
+    val bucket = TextOps.hexPrefixValSql("md5('hsplit:' || host)", 2)
+    s"""WITH u AS (SELECT doc_id,
+       |  'https://' || source || '-' || CAST(doc_id % 7 AS VARCHAR) ||
+       |  '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+       |h AS (SELECT doc_id,
+       |  regexp_extract(url, '^https://([^/]+)/', 1) AS host FROM u),
+       |b AS (SELECT doc_id, host, $bucket AS bucket FROM h)
+       |SELECT doc_id, host, bucket,
+       |  CASE WHEN bucket < $trainUpto THEN 'train'
+       |       WHEN bucket < $valUpto THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_normalize" -> ((s, d) =>
       textNormalize(Tables.documents(s, d), plantedDirty)),
-    "q_url_host_cap" -> ((s, d) => urlHostCap(Tables.documents(s, d))))
+    "q_url_host_cap" -> ((s, d) => urlHostCap(Tables.documents(s, d))),
+    "q_host_split" -> ((s, d) => hostSplit(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_text_normalize" -> textNormalizeSql,
-    "q_url_host_cap" -> urlHostCapSql)
+    "q_url_host_cap" -> urlHostCapSql,
+    "q_host_split" -> hostSplitSql())
 }

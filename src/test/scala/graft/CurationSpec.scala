@@ -236,4 +236,20 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = Curation.nfkcFoldKeys(docs, col("text")).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("host split: every page of a host lands in ONE split; carve near 240/8/8; no shuffle") {
+    val docs = Tables.documents(spark, sf)
+    val rows = Curation.hostSplit(docs).collect()
+      .map(r => (r.getString(1), r.getString(3))) // (host, split)
+    // the leakage guarantee: split is constant per host
+    rows.groupBy(_._1).foreach { case (h, rs) =>
+      assert(rs.map(_._2).distinct.length == 1,
+        s"host $h straddles splits: ${rs.map(_._2).distinct.toSeq} — the eval leak this operator kills")
+    }
+    // all three splits materialize over the synthetic host population
+    assert(rows.map(_._2).distinct.toSet == Set("train", "val", "test"))
+    // and the projection is scan-shaped (zero Exchange)
+    val plan = Curation.hostSplit(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "host split must stay a shuffle-free projection")
+  }
 }
