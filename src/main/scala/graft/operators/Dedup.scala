@@ -791,6 +791,110 @@ object Dedup {
        |FROM g JOIN df ON g.fp = df.fp
        |GROUP BY g.doc_id""".stripMargin
 
+  // ---------------- C71: containment dedup (doc ⊆ doc) ----------------
+
+  /** Bottom-k sample size of the probe (potentially-contained) side,
+    * sampled-hit threshold to become a candidate (hits/k estimates
+    * containment, so minHits/k is the detection floor — the recall
+    * contract, same trade as C2's banding), per-shingle-hash occupancy
+    * cap (a boilerplate shingle carried by a million docs would fan
+    * every probe hit into a million candidates — C2b's sampled-overflow
+    * rule bounds it), and the exact-containment report threshold.
+    */
+  val ContainK = 8
+  val ContainMinHits = 3
+  val ContainShingleCap = 64
+  val ContainThreshold = 0.5
+
+  /** C71: containment near-dup pairs — docs whose shingle set is mostly
+    * INSIDE another doc's (quote farms, doc concatenations, page-plus-
+    * boilerplate wrappers). Symmetric Jaccard misses exactly these:
+    * A ⊆ B with |B| ≫ |A| has J = |A|/|B| ≈ 0 while containment
+    * C(A,B) = |A∩B|/|A| = 1, so the C2 LSH family never surfaces the
+    * pair. Asymmetric candidates need an asymmetric index:
+    *  1. per-doc DISTINCT shingle-hash set (int64 of the md5 prefix —
+    *     one cheap projection, hash collisions identical cross-engine);
+    *  2. each doc's BOTTOM-K hashes form its probe sample (if A ⊆ B,
+    *     every sampled hash of A is in B's set, so expected hits ≈
+    *     k·C(A,B) — the classic bottom-k containment estimator);
+    *  3. probes join an INVERTED shingle→docs index whose per-hash
+    *     occupancy is capped at [[ContainShingleCap]] by the C2b
+    *     md5-rank rule (bounded fan-out under boilerplate);
+    *  4. pairs with ≥ [[ContainMinHits]] sampled hits are verified
+    *     EXACTLY — |A∩B|/|A| via one candidate-bounded hash join —
+    *     and reported at ≥ [[ContainThreshold]].
+    * Scale shape: every join is keyed (h or candidate pair), the probe
+    * side is k rows/doc, index fan-out ≤ cap, verify touches candidates
+    * only; no all-pairs anywhere. Oracle mirrors every stage (bottom-k
+    * and cap as row_number windows — fine single-node).
+    */
+  def containmentDups(documents: DataFrame,
+                      k: Int = ContainK, minHits: Int = ContainMinHits,
+                      cap: Int = ContainShingleCap,
+                      threshold: Double = ContainThreshold): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), explode(Exprs.shingles(toks, 3)).as("s"))
+      .select(col("doc_id"), expr(hexPrefixValSql("md5(s)")).as("h"))
+      .distinct() // distinct (doc, hash): set semantics, identical both engines
+      .transform(GraftCache.persistTracked) // probe, index, and verify all read it
+    val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val probe = sh.groupBy("doc_id").agg(Exprs.minK(col("h"), k).as("hs"))
+      .select(col("doc_id").as("doc_a"), explode(col("hs")).as("h"))
+    val index = sh
+      .withColumn("rh", md5(concat(col("h").cast("string"), lit("|"),
+        col("doc_id").cast("string"))))
+      .withColumn("rkey", expr(hexPrefixValSql("rh")))
+      .groupBy("h")
+      .agg(Exprs.maxKScored(col("rkey").cast("double") * -1d, col("doc_id"), cap).as("keep"))
+      .select(col("h"), explode(col("keep")).as("t"))
+      .select(col("h"), col("t.id").as("doc_b"))
+    val cand = probe.join(index, "h")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+      .select("doc_a", "doc_b")
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(nsh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") / col("n_a").cast("double"), 4)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  def containmentDupsSql(k: Int = ContainK, minHits: Int = ContainMinHits,
+                         cap: Int = ContainShingleCap,
+                         threshold: Double = ContainThreshold): String =
+    s"""WITH sh0 AS (SELECT doc_id, unnest(${TextOps.shinglesSqlExpr(3)}) AS s
+       |  FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ${hexPrefixValSql("md5(s)")} AS h FROM sh0),
+       |nsh AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |probe AS (SELECT doc_id AS doc_a, h FROM (
+       |    SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+       |    FROM sh)
+       |  WHERE rn <= $k),
+       |rk AS (SELECT h, doc_id,
+       |    ${hexPrefixValSql("md5(CAST(h AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))")} AS rkey
+       |  FROM sh),
+       |idx AS (SELECT h, doc_id AS doc_b FROM (
+       |    SELECT h, doc_id, row_number() OVER (PARTITION BY h ORDER BY rkey, doc_id) AS rn
+       |    FROM rk)
+       |  WHERE rn <= $cap),
+       |hits AS (SELECT doc_a, doc_b FROM probe JOIN idx USING (h)
+       |  WHERE doc_a <> doc_b GROUP BY 1, 2 HAVING count(*) >= $minHits),
+       |inter AS (SELECT hits.doc_a, hits.doc_b, count(*) AS n_inter
+       |  FROM hits
+       |  JOIN sh sa ON sa.doc_id = hits.doc_a
+       |  JOIN sh sb ON sb.doc_id = hits.doc_b AND sb.h = sa.h
+       |  GROUP BY 1, 2)
+       |SELECT inter.doc_a, inter.doc_b,
+       |  round(CAST(n_inter AS DOUBLE) / CAST(n_sh AS DOUBLE), 4) AS containment
+       |FROM inter JOIN nsh ON nsh.doc_id = inter.doc_a
+       |WHERE round(CAST(n_inter AS DOUBLE) / CAST(n_sh AS DOUBLE), 4) >= $threshold""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_canonical_keep" -> ((s, d) => canonicalKeep(Tables.documents(s, d))),
     "q_substring_dups" -> ((s, d) => substringDups(Tables.documents(s, d))),
@@ -800,7 +904,8 @@ object Dedup {
     "q_dedup_simhash" -> ((s, d) => dedupSimhash(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(Tables.documents(s, d))),
     "q_dedup_clusters_ls" -> ((s, d) => dedupClustersLogStar(Tables.documents(s, d))),
-    "q_dedup_edit_distance" -> ((s, d) => dedupEditDistance(Tables.documents(s, d))))
+    "q_dedup_edit_distance" -> ((s, d) => dedupEditDistance(Tables.documents(s, d))),
+    "q_containment_dups" -> ((s, d) => containmentDups(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_canonical_keep" -> canonicalKeepSql,
@@ -812,5 +917,6 @@ object Dedup {
     "q_dedup_clusters" -> dedupClustersSql,
     // same oracle on purpose: two independent CC engines, one contract
     "q_dedup_clusters_ls" -> dedupClustersSql,
-    "q_dedup_edit_distance" -> dedupEditDistanceSql())
+    "q_dedup_edit_distance" -> dedupEditDistanceSql(),
+    "q_containment_dups" -> containmentDupsSql())
 }

@@ -1122,14 +1122,16 @@ object EventStream {
     * streaming state, no watermark, and the fact rows never stored.
     */
   def streamingRollupSink(facts: DataFrame, indexPath: String,
-                          checkpoint: String): StreamingQuery =
+                          checkpoint: String,
+                          shape: graft.operators.RollupIndex.RollupShape =
+                            graft.operators.RollupIndex.LineitemShape): StreamingQuery =
     facts.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.RollupIndex.applyDelta(
-            batch.toDF(), indexPath, s"stream-batch-$batchId")
+            batch.toDF(), indexPath, s"stream-batch-$batchId", shape)
       }
       .start()
 

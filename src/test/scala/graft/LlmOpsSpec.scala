@@ -148,6 +148,33 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rescaled scores must be base * 4^(b-shift) exactly (shift=$shift)")
   }
 
+  test("containment finds the contained-in-bigger pair symmetric LSH structurally misses") {
+    val s = spark
+    import s.implicits._
+    // A (20 tokens) verbatim inside B (200 tokens): containment(A,B)=~1
+    // while Jaccard ~ 0.1 — below any LSH band's practical floor
+    val aTok = (0 until 20).map(i => s"core$i")
+    val bTok = (0 until 90).map(i => s"pre$i") ++ aTok ++ (0 until 90).map(i => s"post$i")
+    val cTok = (0 until 200).map(i => s"other$i") // unrelated control
+    val docs = Seq(
+      (1L, aTok.mkString(" ")), (2L, bTok.mkString(" ")), (3L, cTok.mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, c) => a == 1L && b == 2L && c > 0.85 },
+      s"A⊆B must be reported with near-1 containment, got ${pairs.toSeq}")
+    assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L },
+      "the unrelated doc must not pair with anything")
+    assert(!pairs.exists { case (a, b, _) => a == 2L && b == 1L },
+      "B is not contained in A at threshold (direction matters)")
+    // the symmetric candidate graph indeed misses the pair (the gap
+    // this operator exists for)
+    val sym = Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sym.contains((1L, 2L)),
+      "sanity: the symmetric LSH family must miss the low-Jaccard containment pair")
+  }
+
   test("exact dedup: keeper is group-min, singleton docs are their own keeper") {
     val d = TextOps.dedupExact(Tables.documents(spark, sf))
     assert(d.filter(col("keeper_id") > col("doc_id")).count() == 0)
