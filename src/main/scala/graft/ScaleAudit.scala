@@ -564,6 +564,53 @@ object ScaleAudit {
       }
     }
 
+    // Containment dedup under a boilerplate bomb (round-9): plant a
+    // corpus where EVERY doc shares one hot shingle (a site footer).
+    // Uncapped, that shingle's inverted-index bucket would fan every
+    // probe hit into |corpus| candidates (n² pair explosion); the C2b
+    // md5-rank cap must bound the hot bucket's contribution at
+    // cap docs — so total candidate hits stay ≤ probes·k·cap, and the
+    // planted true containment pair must STILL be found (capping
+    // bounds enumeration, not detection). Deterministic counts.
+    if (names.contains("q_containment_dups") || names == defaultQueries) {
+      import graft.operators.Dedup
+      val n = 200000L
+      val boiler = "copyright footer all rights reserved"
+      val planted = spark.range(0L, n, 1L, 32).select(
+        col("id").as("doc_id"),
+        concat(
+          // unique body per doc (8 distinct tokens), shared 6-token footer
+          expr("concat_ws(' ', transform(sequence(0, 7), " +
+            "i -> concat('w', CAST(id AS STRING), '_', CAST(i AS STRING))))"),
+          lit(" " + boiler)).as("text"))
+      // plant one true containment: doc n is doc 0's body verbatim + noise
+      val contained = spark.range(0L, 1L).select(
+        lit(n).as("doc_id"),
+        concat(
+          expr("concat_ws(' ', transform(sequence(0, 7), " +
+            "i -> concat('w0_', CAST(i AS STRING))))"),
+          lit(" " + boiler)).as("text"))
+      val docs = planted.unionByName(contained)
+      val out = Dedup.containmentDups(docs).collect()
+      val found = out.exists(r =>
+        (r.getLong(0) == 0L && r.getLong(1) == n) ||
+          (r.getLong(0) == n && r.getLong(1) == 0L))
+      // pair output bound: every reported pair needed >= minHits sampled
+      // hits, and hot-bucket fan-out is <= cap per probe hash, so the
+      // report can never approach n² — assert a generous absolute roof
+      val roof = n * Dedup.ContainK * Dedup.ContainShingleCap / Dedup.ContainMinHits
+      println(s"[scale] containment boilerplate bomb: ${out.length} pairs " +
+        s"from ${n + 1} docs (roof $roof), planted pair found=$found")
+      if (!found) {
+        bad += 1
+        println("[scale] FAIL containment: capping must bound enumeration, not detection")
+      }
+      if (out.length.toLong > roof) {
+        bad += 1
+        println(s"[scale] FAIL containment pair output ${out.length} breached the cap roof")
+      }
+    }
+
     // Multi-writer rollup at replica scale (round-9): the per-delta
     // partial-row layout must keep BOTH invariants that make it a
     // 100 TB design — (a) applying a small delta rewrites only the

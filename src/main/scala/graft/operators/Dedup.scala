@@ -814,19 +814,29 @@ object Dedup {
     * pair. Asymmetric candidates need an asymmetric index:
     *  1. per-doc DISTINCT shingle-hash set (int64 of the md5 prefix —
     *     one cheap projection, hash collisions identical cross-engine);
-    *  2. each doc's BOTTOM-K hashes form its probe sample (if A ⊆ B,
-    *     every sampled hash of A is in B's set, so expected hits ≈
-    *     k·C(A,B) — the classic bottom-k containment estimator);
-    *  3. probes join an INVERTED shingle→docs index whose per-hash
-    *     occupancy is capped at [[ContainShingleCap]] by the C2b
-    *     md5-rank rule (bounded fan-out under boilerplate);
+    *  2. STOP-SHINGLE removal: a hash carried by more than
+    *     [[ContainShingleCap]] docs is boilerplate (site footers, legal
+    *     text) — it carries no containment signal and would fan every
+    *     probe into its whole bucket, so the over-cap buckets are
+    *     DROPPED from probing and indexing outright, the [[capBands]]
+    *     drop-mode rule (detection of boilerplate-only "containment" is
+    *     deliberately out of scope — that is noise, not signal);
+    *  3. each doc's BOTTOM-K surviving hashes form its probe sample
+    *     (if A ⊆ B, every sampled hash of A is in B's set, so expected
+    *     hits ≈ k·C(A,B) — the classic bottom-k containment
+    *     estimator), joined against the rare-shingle inverted index —
+    *     fan-out ≤ cap per probe row by construction;
     *  4. pairs with ≥ [[ContainMinHits]] sampled hits are verified
-    *     EXACTLY — |A∩B|/|A| via one candidate-bounded hash join —
-    *     and reported at ≥ [[ContainThreshold]].
+    *     EXACTLY — |A∩B|/|A| over the FULL sets (the denominator must
+    *     not shrink with stop-shingle removal, or boilerplate-heavy
+    *     docs would inflate) via one candidate-bounded hash join — and
+    *     reported at ≥ [[ContainThreshold]].
     * Scale shape: every join is keyed (h or candidate pair), the probe
-    * side is k rows/doc, index fan-out ≤ cap, verify touches candidates
-    * only; no all-pairs anywhere. Oracle mirrors every stage (bottom-k
-    * and cap as row_number windows — fine single-node).
+    * side is ≤ k rows/doc, index fan-out ≤ cap, verify touches
+    * candidates only; no all-pairs anywhere. ScaleAudit plants a
+    * corpus-wide footer and pins both the bounded pair output and the
+    * planted pair's survival. Oracle mirrors every stage (bottom-k as
+    * a row_number window — fine single-node).
     */
   def containmentDups(documents: DataFrame,
                       k: Int = ContainK, minHits: Int = ContainMinHits,
@@ -838,16 +848,18 @@ object Dedup {
       .distinct() // distinct (doc, hash): set semantics, identical both engines
       .transform(GraftCache.persistTracked) // probe, index, and verify all read it
     val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val probe = sh.groupBy("doc_id").agg(Exprs.minK(col("h"), k).as("hs"))
+    // stop-shingle removal: document frequency as a PARTIAL hash agg
+    // (map-side combine absorbs the hot footer key — a count window
+    // over h would single-task that key's whole partition at scale),
+    // then a semi-join keeps the signal-bearing rows; the hot keys are
+    // absent from the filtered side, so the join cannot skew on them
+    val rareHs = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("h")
+    val rare = sh.join(rareHs, Seq("h"), "left_semi")
+      .transform(GraftCache.persistTracked)
+    val probe = rare.groupBy("doc_id").agg(Exprs.minK(col("h"), k).as("hs"))
       .select(col("doc_id").as("doc_a"), explode(col("hs")).as("h"))
-    val index = sh
-      .withColumn("rh", md5(concat(col("h").cast("string"), lit("|"),
-        col("doc_id").cast("string"))))
-      .withColumn("rkey", expr(hexPrefixValSql("rh")))
-      .groupBy("h")
-      .agg(Exprs.maxKScored(col("rkey").cast("double") * -1d, col("doc_id"), cap).as("keep"))
-      .select(col("h"), explode(col("keep")).as("t"))
-      .select(col("h"), col("t.id").as("doc_b"))
+    val index = rare.select(col("h"), col("doc_id").as("doc_b"))
     val cand = probe.join(index, "h")
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("hits"))
@@ -872,19 +884,16 @@ object Dedup {
        |  FROM documents),
        |sh AS (SELECT DISTINCT doc_id, ${hexPrefixValSql("md5(s)")} AS h FROM sh0),
        |nsh AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |rare AS (SELECT sh.doc_id, sh.h FROM sh
+       |  JOIN (SELECT h FROM sh GROUP BY h HAVING count(*) <= $cap) rh
+       |    ON sh.h = rh.h),
        |probe AS (SELECT doc_id AS doc_a, h FROM (
        |    SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
-       |    FROM sh)
+       |    FROM rare)
        |  WHERE rn <= $k),
-       |rk AS (SELECT h, doc_id,
-       |    ${hexPrefixValSql("md5(CAST(h AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))")} AS rkey
-       |  FROM sh),
-       |idx AS (SELECT h, doc_id AS doc_b FROM (
-       |    SELECT h, doc_id, row_number() OVER (PARTITION BY h ORDER BY rkey, doc_id) AS rn
-       |    FROM rk)
-       |  WHERE rn <= $cap),
-       |hits AS (SELECT doc_a, doc_b FROM probe JOIN idx USING (h)
-       |  WHERE doc_a <> doc_b GROUP BY 1, 2 HAVING count(*) >= $minHits),
+       |hits AS (SELECT doc_a, idx.doc_id AS doc_b FROM probe
+       |  JOIN rare idx USING (h)
+       |  WHERE doc_a <> idx.doc_id GROUP BY 1, 2 HAVING count(*) >= $minHits),
        |inter AS (SELECT hits.doc_a, hits.doc_b, count(*) AS n_inter
        |  FROM hits
        |  JOIN sh sa ON sa.doc_id = hits.doc_a
