@@ -838,15 +838,23 @@ object Dedup {
     * planted pair's survival. Oracle mirrors every stage (bottom-k as
     * a row_number window — fine single-node).
     */
+  /** Per-doc DISTINCT shingle-hash set (int64 of the md5 prefix) — the
+    * shared input of the containment family: C71's pair mining and
+    * C72's committed corpus index both read it. Tracked: one session
+    * materializes it once.
+    */
+  def shingleHashes(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(Exprs.shingles(toks, 3)).as("s"))
+      .select(col("doc_id"), expr(hexPrefixValSql("md5(s)")).as("h"))
+      .distinct() // distinct (doc, hash): set semantics, identical both engines
+      .transform(GraftCache.persistTracked)
+
   def containmentDups(documents: DataFrame,
                       k: Int = ContainK, minHits: Int = ContainMinHits,
                       cap: Int = ContainShingleCap,
                       threshold: Double = ContainThreshold): DataFrame = {
-    val sh = documents
-      .select(col("doc_id"), explode(Exprs.shingles(toks, 3)).as("s"))
-      .select(col("doc_id"), expr(hexPrefixValSql("md5(s)")).as("h"))
-      .distinct() // distinct (doc, hash): set semantics, identical both engines
-      .transform(GraftCache.persistTracked) // probe, index, and verify all read it
+    val sh = shingleHashes(documents) // probe, index, and verify all read it
     val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // stop-shingle removal: document frequency as a PARTIAL hash agg
     // (map-side combine absorbs the hot footer key — a count window
@@ -876,6 +884,11 @@ object Dedup {
           .as("containment"))
       .filter(col("containment") >= threshold)
   }
+
+  /** DuckDB mirror of [[shingleHashes]] over a named relation, as a CTE. */
+  def shingleHashesSqlCte(rel: String, cteName: String): String =
+    s"""$cteName AS (SELECT DISTINCT doc_id, ${hexPrefixValSql("md5(s)")} AS h
+       |  FROM (SELECT doc_id, unnest(${TextOps.shinglesSqlExpr(3)}) AS s FROM $rel) t)""".stripMargin
 
   def containmentDupsSql(k: Int = ContainK, minHits: Int = ContainMinHits,
                          cap: Int = ContainShingleCap,

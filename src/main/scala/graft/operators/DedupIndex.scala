@@ -269,9 +269,154 @@ object DedupIndex {
        |LEFT JOIN near n ON b.doc_id = n.doc_id""".stripMargin
   }
 
+  // ------------------- C72: committed containment lens -------------------
+
+  private def rshPath(path: String) = s"$path/rsh"
+
+  /** C72 — the CONTAINMENT verdict the exact/near serve structurally
+    * lacks: an arriving doc that is a QUOTE of an existing corpus doc
+    * (a prefix, an excerpt, a pull-quote page) has Jaccard ≈ |A|/|B|
+    * against its source, far below the near threshold, so [[serve]]
+    * admits it as `new`. The committed containment lens persists the
+    * corpus's distinct shingle-hash sets ([[Dedup.shingleHashes]],
+    * UNCAPPED — like the band table, the stop-shingle df gate is
+    * applied at SERVE against current occupancy, so incremental extends
+    * cannot drift from a fresh rebuild) and classifies a probe by the
+    * bottom-k containment estimator: sample the probe's k smallest
+    * corpus-rare hashes, count how many land in a corpus doc's set —
+    * expected hits ≈ k·containment — and flag `contained` at
+    * ≥ [[Dedup.ContainMinHits]] hits. An ESTIMATOR verdict by design
+    * (like `near`'s 4-of-8 signature agreement): the committed serve
+    * path never reads corpus text, so there is no exact-verify stage —
+    * the estimator's floor (minHits/k) is the documented contract.
+    * Storage honesty: rsh is the EXPENSIVE sub-table (~hundreds of
+    * rows/doc vs 4 band rows) — it is a separate opt-in lifecycle
+    * ([[buildContain]]/[[extendContain]]/[[serveContain]]), not part of
+    * [[build]], so exact/near-only deployments never pay for it.
+    */
+  def buildContain(documents: DataFrame, path: String, buildV: Long = 0L): Unit = {
+    val spark = documents.sparkSession
+    VersionedTable.mergeUpsert(spark, rshPath(path),
+      Dedup.shingleHashes(documents).withColumn("build_v", lit(buildV)),
+      Seq("doc_id", "h"), "build_v", numBuckets = 16)
+  }
+
+  /** Incremental ingest of the containment lens — same keyed merge. */
+  def extendContain(newDocs: DataFrame, path: String, buildV: Long): Unit =
+    buildContain(newDocs, path, buildV)
+
+  /** Classify a (doc_id, text) batch against corpus shingle-set FRAMES —
+    * the core both the committed serve and the oracle query run:
+    * (doc_id, kind ∈ contained|new, match_id, n_hits) with match_id the
+    * best-estimate corpus doc (most sampled hits, ties to the smallest
+    * id; −1 when new) and n_hits that best match's sampled-hit count.
+    * Scale: df is one partial hash agg on h; the hot (boilerplate)
+    * hashes drop out of BOTH join sides (the C71 drop-mode rule), so no
+    * join can skew on them; probe side ≤ k rows/doc; per-probe-row
+    * fan-out ≤ cap; the argmax is a bounded struct-max hash agg, no
+    * window over the batch.
+    */
+  def matchContainment(batch: DataFrame, corpusSh: DataFrame,
+                       k: Int = Dedup.ContainK,
+                       minHits: Int = Dedup.ContainMinHits,
+                       cap: Int = Dedup.ContainShingleCap): DataFrame = {
+    import graft.functions.Exprs
+    val df = corpusSh.groupBy("h").agg(count(lit(1)).as("df"))
+    val hotHs = df.filter(col("df") > cap).select("h")
+    val cIndex = corpusSh.join(hotHs, Seq("h"), "left_anti")
+    // probe rarity is judged by CORPUS df: a hash absent from the
+    // corpus is rare by definition (df 0) and stays in the sample
+    val bRare = Dedup.shingleHashes(batch).join(hotHs, Seq("h"), "left_anti")
+    val probe = bRare.groupBy("doc_id").agg(Exprs.minK(col("h"), k).as("hs"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val hits = probe
+      .join(cIndex.select(col("h"), col("doc_id").as("c_id")), "h")
+      .groupBy("doc_id", "c_id").agg(count(lit(1)).as("h_n"))
+    val best = hits.groupBy("doc_id")
+      .agg(max(struct(col("h_n"), (-col("c_id")).as("neg"))).as("m"))
+      .select(col("doc_id"), col("m.h_n").as("best_n"), (-col("m.neg")).as("best_id"))
+    batch.select("doc_id").distinct()
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("best_n"), lit(0L)) >= minHits, lit("contained"))
+          .otherwise(lit("new")).as("kind"),
+        when(coalesce(col("best_n"), lit(0L)) >= minHits, col("best_id"))
+          .otherwise(lit(-1L)).as("match_id"),
+        coalesce(col("best_n"), lit(0L)).as("n_hits"))
+  }
+
+  /** Serve the containment verdicts from the COMMITTED lens. */
+  def serveContain(batch: DataFrame, path: String): DataFrame =
+    matchContainment(batch,
+      VersionedTable.read(batch.sparkSession, rshPath(path)).select("doc_id", "h"))
+
+  /** C72's planted batch: quotes (first 10 tokens of a corpus doc — the
+    * signature case: contained, Jaccard ≈ 0), verbatim copies
+    * (containment 1), and per-doc-salted novels (no corpus hash).
+    */
+  def plantedContainBatch(documents: DataFrame): DataFrame =
+    documents
+      .filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select(
+        (col("doc_id") + BatchIdOffset).as("doc_id"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L,
+          array_join(slice(split(col("text"), " "), 1, 10), " "))
+          .when(pmod(col("doc_id"), lit(3L)) === 1L, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit("~"), col("doc_id").cast("string"))), " "))
+          .as("text"))
+
+  /** C72's registered query: the planted batch against the corpus
+    * through the SAME core the committed lens serves (DedupIndexSpec
+    * pins serveContain(path) == this, row for row).
+    */
+  def containVsCorpus(documents: DataFrame): DataFrame =
+    matchContainment(plantedContainBatch(documents), Dedup.shingleHashes(documents))
+
+  val containVsCorpusSql: String = {
+    val k = Dedup.ContainK
+    val minHits = Dedup.ContainMinHits
+    val cap = Dedup.ContainShingleCap
+    s"""WITH batch AS (
+       |  SELECT doc_id + $BatchIdOffset AS doc_id,
+       |    CASE WHEN doc_id % 3 = 0
+       |           THEN array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
+       |         WHEN doc_id % 3 = 1 THEN text
+       |         ELSE array_to_string(list_transform(string_split(text, ' '),
+       |                t -> t || '~' || CAST(doc_id AS VARCHAR)), ' ')
+       |    END AS text
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |${Dedup.shingleHashesSqlCte("documents", "csh")},
+       |${Dedup.shingleHashesSqlCte("batch", "bsh")},
+       |cdf AS (SELECT h, count(*) AS df FROM csh GROUP BY 1),
+       |cidx AS (SELECT csh.doc_id, csh.h FROM csh
+       |  JOIN cdf ON csh.h = cdf.h AND cdf.df <= $cap),
+       |brare AS (SELECT bsh.doc_id, bsh.h FROM bsh
+       |  LEFT JOIN cdf ON bsh.h = cdf.h WHERE coalesce(cdf.df, 0) <= $cap),
+       |probe AS (SELECT doc_id, h FROM (
+       |    SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+       |    FROM brare)
+       |  WHERE rn <= $k),
+       |hits AS (SELECT probe.doc_id, cidx.doc_id AS c_id, count(*) AS h_n
+       |  FROM probe JOIN cidx USING (h) GROUP BY 1, 2),
+       |best AS (SELECT doc_id, c_id AS best_id, h_n AS best_n FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY h_n DESC, c_id) AS rn
+       |    FROM hits)
+       |  WHERE rn = 1)
+       |SELECT b.doc_id,
+       |  CASE WHEN coalesce(best_n, 0) >= $minHits THEN 'contained' ELSE 'new' END AS kind,
+       |  CAST(CASE WHEN coalesce(best_n, 0) >= $minHits THEN best_id ELSE -1 END AS BIGINT) AS match_id,
+       |  CAST(coalesce(best_n, 0) AS BIGINT) AS n_hits
+       |FROM (SELECT DISTINCT doc_id FROM batch) b
+       |LEFT JOIN best USING (doc_id)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dedup_vs_corpus" -> ((s, d) => dedupVsCorpus(Tables.documents(s, d))))
+    "q_dedup_vs_corpus" -> ((s, d) => dedupVsCorpus(Tables.documents(s, d))),
+    "q_contain_vs_corpus" -> ((s, d) => containVsCorpus(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
-    "q_dedup_vs_corpus" -> dedupVsCorpusSql)
+    "q_dedup_vs_corpus" -> dedupVsCorpusSql,
+    "q_contain_vs_corpus" -> containVsCorpusSql)
 }

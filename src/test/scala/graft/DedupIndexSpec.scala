@@ -49,6 +49,53 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kinds == Set("exact", "near", "new"), s"planted batch hit only $kinds")
   }
 
+  test("containment lens: served == in-session core; extend == rebuild; quote flagged that serve misses") {
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("contain")
+    DedupIndex.buildContain(docs, path)
+    val batch = DedupIndex.plantedContainBatch(docs)
+    def rows(df: DataFrame): Map[Long, (String, Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val served = rows(DedupIndex.serveContain(batch, path))
+    val direct = rows(DedupIndex.containVsCorpus(docs))
+    assert(served.nonEmpty && served == direct,
+      "committed containment round-trip must not change one verdict")
+    assert(served.values.map(_._1).toSet == Set("contained", "new"))
+    // the signature case: a QUOTE is contained here but `new` to the
+    // exact/near serve (the gap C72 exists for)
+    val quoteIds = batch
+      .filter(pmod(col("doc_id") - DedupIndex.BatchIdOffset, lit(3L)) === 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(quoteIds.nonEmpty && quoteIds.forall(id => served(id)._1 == "contained"),
+      "every planted quote must be flagged contained")
+    DedupIndex.build(docs, path) // exact/near tables alongside
+    val exactNear = verdicts(DedupIndex.serve(batch, path))
+    // quotes of LONG docs (10 of 40+ tokens → Jaccard ≲ 0.25): contained
+    // here, invisible to the exact/near serve — the gap C72 closes. (A
+    // quote of a short doc can legitimately band-collide as near.)
+    val longQuoteIds = docs
+      .filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .filter(pmod(col("doc_id"), lit(3L)) === 0L)
+      .filter(size(split(col("text"), " ")) >= 40)
+      .select((col("doc_id") + DedupIndex.BatchIdOffset).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(longQuoteIds.nonEmpty, "need at least one long-doc quote at this SF")
+    assert(longQuoteIds.forall(id => exactNear(id)._1 == "new"),
+      "sanity: the exact/near serve must miss long-doc quotes (Jaccard ≈ |A|/|B|)")
+    assert(longQuoteIds.forall(id => served(id)._1 == "contained"))
+    // extend∘build == build(union), and replay is a no-op
+    val half1 = docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+    val half2 = docs.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+    val inc = tmp("contain-inc")
+    DedupIndex.buildContain(half1, inc, buildV = 0L)
+    DedupIndex.extendContain(half2, inc, buildV = 1L)
+    assert(rows(DedupIndex.serveContain(batch, inc)) == served,
+      "incremental containment extend must equal the fresh full build")
+    DedupIndex.extendContain(half2, inc, buildV = 1L) // replayed ingest
+    assert(rows(DedupIndex.serveContain(batch, inc)) == served,
+      "re-ingest must be an idempotent no-op")
+  }
+
   test("incremental extend == fresh full rebuild (no drift from merge order)") {
     val docs = Tables.documents(spark, sf)
     val (halfA, halfB) =
