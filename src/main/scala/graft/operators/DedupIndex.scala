@@ -345,10 +345,14 @@ object DedupIndex {
         coalesce(col("best_n"), lit(0L)).as("n_hits"))
   }
 
+  /** The committed corpus shingle frame (snapshot read) — the streaming
+    * twin pins one snapshot at stream start. */
+  def loadContainFrame(spark: SparkSession, path: String): DataFrame =
+    VersionedTable.read(spark, rshPath(path)).select("doc_id", "h")
+
   /** Serve the containment verdicts from the COMMITTED lens. */
   def serveContain(batch: DataFrame, path: String): DataFrame =
-    matchContainment(batch,
-      VersionedTable.read(batch.sparkSession, rshPath(path)).select("doc_id", "h"))
+    matchContainment(batch, loadContainFrame(batch.sparkSession, path))
 
   /** C72's planted batch: quotes (first 10 tokens of a corpus doc — the
     * signature case: contained, Jaccard ≈ 0), verbatim copies

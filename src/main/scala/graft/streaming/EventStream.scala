@@ -1077,6 +1077,36 @@ object EventStream {
       .start()
   }
 
+  /** Streaming CONTAINMENT probe against the committed corpus shingle
+    * lens (C72's continuous twin, the [[streamingDedupCommittedProbe]]
+    * pattern): each arriving (doc_id, text) micro-batch is classified
+    * contained/new by [[graft.operators.DedupIndex.matchContainment]]
+    * from the rsh table SNAPSHOTTED at stream start (manifest read — a
+    * concurrent extend never tears mid-stream; restart to see it), with
+    * batch_id replay provenance. Runs in foreachBatch because the
+    * estimator needs per-batch-complete aggregates (bottom-k sample,
+    * per-pair hit counts, argmax) — no streaming state, no watermark,
+    * corpus text never read.
+    */
+  def streamingContainProbe(docs: DataFrame, indexPath: String,
+                            outPath: String, checkpoint: String): StreamingQuery = {
+    val corpusSh = graft.operators.DedupIndex
+      .loadContainFrame(docs.sparkSession, indexPath)
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
+            graft.operators.DedupIndex
+              .matchContainment(batch.toDF(), corpusSh)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(outPath)
+          }
+      }
+      .start()
+  }
+
   /** Streaming LM fluency gate (C55's continuous twin): incoming
     * (doc_id, text) rows are scored per micro-batch against a COMMITTED
     * bigram model (the batch [[graft.operators.Classify.lmTrain]]

@@ -1156,6 +1156,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_._4).toSet == Set(0L, 1L))
   }
 
+  test("streaming containment probe over two micro-batches == committed batch serve") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.DedupIndex
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain-probe").toString
+    DedupIndex.buildContain(docs, s"$dir/index")
+    val batch = DedupIndex.plantedContainBatch(docs)
+    val expected = DedupIndex.serveContain(batch, s"$dir/index").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val rows: Seq[(Long, String)] = batch.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.streamingContainProbe(
+      in.toDF().toDF("doc_id", "text"), s"$dir/index",
+      s"$dir/out", s"$dir/ckpt")
+    val half = rows.length / 2
+    in.addData(rows.take(half)); q.processAllAvailable()
+    in.addData(rows.drop(half)); q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("kind"),
+        r.getAs[Long]("match_id"), r.getAs[Long]("n_hits"), r.getAs[Long]("batch_id")))
+    assert(out.length == rows.length, "every arriving doc gets exactly one verdict")
+    out.foreach { case (id, kind, m, n, _) =>
+      assert(expected(id) == ((kind, m, n)),
+        s"doc $id: stream ($kind,$m,$n) != batch ${expected(id)}")
+    }
+    assert(out.map(_._2).toSet == Set("contained", "new"),
+      "both verdict classes must be exercised by the planted batch")
+    assert(out.map(_._5).toSet == Set(0L, 1L))
+  }
+
   test("EQUIVALENCE: streaming DSIR gate against a committed ratio table == batch scorer") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
