@@ -117,11 +117,15 @@ object DedupIndex {
     * manifest), never sees partial data.
     */
   def maintain(spark: SparkSession, path: String, maxFilesPerBucket: Int = 1,
-               keepVersions: Int = 8, minAgeMs: Long = 0L): Unit =
-    for (p <- Seq(fpsPath(path), sigsPath(path), bandsPath(path))) {
+               keepVersions: Int = 8, minAgeMs: Long = 0L): Unit = {
+    // rsh only when the opt-in containment lens exists at this path
+    val sub = Seq(fpsPath(path), sigsPath(path), bandsPath(path)) ++
+      Some(rshPath(path)).filter(p => VersionedTable.latestManifest(spark, p).isDefined)
+    for (p <- sub) {
       VersionedTable.compact(spark, p, maxFilesPerBucket)
       VersionedTable.vacuumVersioned(spark, p, keep = keepVersions, minAgeMs = minAgeMs)
     }
+  }
 
   /** Classify a (doc_id, text) batch against corpus index FRAMES:
     * (doc_id, kind, match_id) with kind ∈ exact|near|new, match_id the

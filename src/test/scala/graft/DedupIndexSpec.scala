@@ -94,6 +94,11 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     DedupIndex.extendContain(half2, inc, buildV = 1L) // replayed ingest
     assert(rows(DedupIndex.serveContain(batch, inc)) == served,
       "re-ingest must be an idempotent no-op")
+    // maintenance covers the opt-in rsh table too (compact + vacuum),
+    // and serving through it is unchanged
+    DedupIndex.maintain(spark, inc, keepVersions = 1)
+    assert(rows(DedupIndex.serveContain(batch, inc)) == served,
+      "maintenance must not change containment verdicts")
   }
 
   test("incremental extend == fresh full rebuild (no drift from merge order)") {
