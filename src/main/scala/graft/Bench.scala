@@ -341,9 +341,24 @@ object Bench {
     // driver parse (BENCH_r01.json has parsed:null, tail full of WARNs).
     spark.sparkContext.setLogLevel("ERROR")
 
+    // FULL-EVALUATION action (round-9 methodology fix): `count()` let
+    // Catalyst PRUNE every computed column a query's consumer would
+    // actually read — a pure-projection query (classifier scores, BPE
+    // encodes, PII redaction, fingerprints) benched as a bare scan.
+    // Measured: q_quality_classifier "0.14 s" under count() vs ~30 s
+    // of real md5-chain evaluation at sf0.1 — a 200× blind spot that
+    // also mis-graded a round-8 A/B experiment (see Classify.scala).
+    // The noop sink evaluates every output column with zero I/O, so
+    // cold/warm now price what a consumer pays. The entire baseline
+    // was rebased in one logged step when this landed (rebase_log:
+    // "noop-evaluation methodology"); first-landing numbers stay
+    // frozen in queries_first as always.
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
