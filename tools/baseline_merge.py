@@ -16,10 +16,18 @@ cross-round drift):
   reports (informational `drift` key) any query whose warm time has
   crept past 2x its first-landing number — visible round after round no
   matter how often the gating baseline is rebased.
+- `--new-epoch "<reason>"` is the ONE exception to first-landing
+  immutability, for a MEASUREMENT-UNIT change (round 9: count() →
+  noop-sink full evaluation made every pruned-projection number
+  incomparable, so drift-vs-first would be permanent noise). It rebases
+  everything AND re-freezes the first-landing maps from the run; the
+  ENTIRE old first maps are archived verbatim in the rebase_log entry,
+  so nothing is laundered — the old epoch stays auditable in-file.
 
 Usage:
   python3 tools/baseline_merge.py                        # append-only
   python3 tools/baseline_merge.py --rebase "reason" [--only a,b]
+  python3 tools/baseline_merge.py --new-epoch "reason"   # unit change
 """
 import argparse
 import json
@@ -34,7 +42,14 @@ def main() -> int:
                     help="overwrite existing gating entries, logging REASON")
     ap.add_argument("--only", metavar="Q1,Q2",
                     help="with --rebase: restrict the overwrite to these queries")
+    ap.add_argument("--new-epoch", metavar="REASON", dest="new_epoch",
+                    help="measurement-unit change: rebase everything AND re-freeze "
+                         "the first-landing maps (old maps archived in rebase_log)")
     args = ap.parse_args()
+    if args.new_epoch:
+        if args.rebase or args.only:
+            ap.error("--new-epoch excludes --rebase/--only")
+        args.rebase = args.new_epoch
 
     with open(args.last) as f:
         last = json.load(f)
@@ -70,6 +85,15 @@ def main() -> int:
                 rebased.append({"q": q, "cold": [bc[q], lc[q]], "warm": [bw[q], lw[q]]})
                 bc[q], bw[q] = lc[q], lw[q]
 
+    old_first = None
+    if args.new_epoch:
+        # archive, then re-freeze the first-landing maps from this run:
+        # the measurement unit changed, so cross-epoch drift would be
+        # permanent noise — and the old epoch must stay auditable
+        old_first = {"queries_first": fc, "queries_warm_first": fw}
+        fc = {q: lc[q] for q in sorted(lc) if lc[q] >= 0 and q in bc}
+        fw = {q: lw[q] for q in sorted(lw) if lw.get(q, -1) >= 0 and q in bw}
+
     if args.rebase and not rebased:
         print("note: --rebase given but no shared entry changed", file=sys.stderr)
 
@@ -89,7 +113,11 @@ def main() -> int:
         "rebase_log": base.get("rebase_log", []),
     }
     if args.rebase and rebased:
-        out["rebase_log"].append({"reason": args.rebase, "changes": rebased})
+        entry = {"reason": args.rebase, "changes": rebased}
+        if old_first is not None:
+            entry["epoch"] = "first-landing maps re-frozen"
+            entry["archived_first"] = old_first
+        out["rebase_log"].append(entry)
 
     with open(args.baseline, "w") as f:
         json.dump(out, f, separators=(",", ":"))
