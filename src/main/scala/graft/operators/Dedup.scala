@@ -767,6 +767,10 @@ object Dedup {
       .select(col("doc_id"), explode(Exprs.shingles(toks, k)).as("gram"))
       .filter(size(split(col("gram"), " ")) === k) // drop short-doc remainders
       .select(col("doc_id"), md5(col("gram")).as("fp"))
+      // both the doc-frequency agg and the join re-read the gram frame;
+      // fingerprints are ~50 B/row vs re-shingling + re-hashing the full
+      // text — the minhashSignature checkpoint-before-self-join pattern
+      .transform(GraftCache.persistTracked)
     // shingles are per-doc distinct, so count(*) per fp == containing docs
     val docFreq = grams.groupBy("fp").agg(count(lit(1)).as("n_docs"))
     grams.join(docFreq, "fp")

@@ -84,15 +84,26 @@ object Html {
           (btxt =!= "" &&
             lit(DensityNum) * linkChars <= lit(DensityDen) * length(btxt)).as("keep"))
       })
-    val kept = filter(parts, p => p.getField("keep"))
-    val dropped = filter(parts, p => !p.getField("keep"))
-    docs.select(
-      col("doc_id"),
-      array_join(transform(kept, p => p.getField("btxt")), " ").as("clean_text"),
-      size(kept).cast("long").as("n_kept"),
-      size(filter(dropped, p => p.getField("btxt") =!= "")).cast("long").as("n_dropped"),
-      aggregate(dropped, lit(0L),
-        (acc, p) => acc + length(p.getField("btxt"))).as("boiler_chars"))
+    // STAGED projections, not one: lambda-bearing subtrees are exempt
+    // from codegen subexpression elimination, so a single Project that
+    // names `parts` in five output columns re-runs the whole
+    // regex-extraction transform five times per row. Aliasing it once
+    // per stage makes CollapseProject keep the stages separate (a
+    // non-cheap alias referenced more than once is never inlined) —
+    // the regex pass runs exactly once per document.
+    docs.select(col("doc_id"), parts.as("parts"))
+      .select(
+        col("doc_id"),
+        filter(col("parts"), p => p.getField("keep")).as("kept"),
+        filter(col("parts"), p => !p.getField("keep")).as("dropped"))
+      .select(
+        col("doc_id"),
+        array_join(transform(col("kept"), p => p.getField("btxt")), " ").as("clean_text"),
+        size(col("kept")).cast("long").as("n_kept"),
+        size(filter(col("dropped"), p => p.getField("btxt") =!= ""))
+          .cast("long").as("n_dropped"),
+        aggregate(col("dropped"), lit(0L),
+          (acc, p) => acc + length(p.getField("btxt"))).as("boiler_chars"))
   }
 
   /** The planted-markup corpus: `documents` wrapped in a deterministic
