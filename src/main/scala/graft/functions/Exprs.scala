@@ -241,6 +241,200 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Per-document repetition statistics in one native pass:
+    * `struct(top_tok, top_bg, nd_bg)` over a space-split token array —
+    * max token multiplicity, max bigram multiplicity, distinct bigram
+    * count. Semantics locked to the HOF/DuckDB formulation (C34/C23):
+    * bigram i = (tok(i), tok(i+1)) for i < n-1, and a single-token doc
+    * contributes its lone token as its one "bigram" (the
+    * `slice(toks, i, 2)` tail behavior). Tokens never contain spaces
+    * (they come from `split(text, ' ')`), so componentwise pair
+    * equality == the oracle's `concat_ws(' ', pair)` string equality.
+    *
+    * Multiplicities come from run lengths over a sort — O(L log L)
+    * UTF8String binary compares — replacing the
+    * `transform(array_distinct, t -> size(filter(= t)))` builtin shape:
+    * O(distinct·L) interpreted lambda calls per doc, which dominated
+    * the whole bench once the noop sink charged projection compute.
+    * Like the hash signatures, eval-only: one virtual call per row
+    * doing the row's entire work (NOT the per-element ref-call inside a
+    * hot lambda that measured 6× slow — see Md5BucketMod's note).
+    */
+  case class RepStats(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == NullType ||
+        (child.dataType.isInstanceOf[ArrayType] &&
+          child.dataType.asInstanceOf[ArrayType].elementType == StringType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string> input")
+    override def dataType: DataType = StructType(Seq(
+      StructField("top_tok", LongType, nullable = false),
+      StructField("top_bg", LongType, nullable = false),
+      StructField("nd_bg", LongType, nullable = false)))
+    override def prettyName: String = "graft_rep_stats"
+
+    private def maxRun(sorted: Array[UTF8String]): Long = {
+      var best = 1L; var run = 1L; var i = 1
+      while (i < sorted.length) {
+        if (sorted(i) == sorted(i - 1)) { run += 1; if (run > best) best = run }
+        else run = 1L
+        i += 1
+      }
+      best
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val toks = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val sortedT = toks.clone()
+      java.util.Arrays.sort(sortedT.asInstanceOf[Array[AnyRef]])
+      val topTok = if (n == 0) 1L else maxRun(sortedT)
+      var topBg = 1L
+      var ndBg = 1L
+      if (n > 2) {
+        // sort bigram indices by (tok(i), tok(i+1)); runs give both stats
+        val idx = new Array[Integer](n - 1)
+        i = 0
+        while (i < n - 1) { idx(i) = Integer.valueOf(i); i += 1 }
+        java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+          override def compare(a: Integer, b: Integer): Int = {
+            val c = toks(a).compareTo(toks(b))
+            if (c != 0) c else toks(a + 1).compareTo(toks(b + 1))
+          }
+        })
+        var best = 1L; var run = 1L
+        i = 1
+        while (i < n - 1) {
+          val a = idx(i - 1); val b = idx(i)
+          if (toks(a) == toks(b) && toks(a + 1) == toks(b + 1)) {
+            run += 1; if (run > best) best = run
+          } else { run = 1L; ndBg += 1 }
+          i += 1
+        }
+        topBg = best
+      }
+      // n <= 2: one bigram (the pair, or the lone/empty-doc token tail)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](topTok, topBg, ndBg))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("repStatsExpr", this, classOf[RepStats].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (InternalRow) $ref.nullSafeEval($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Mojibake repair (the ftfy heuristic, C75): text that went through
+    * a UTF-8 → Latin-1 misdecode ("café" → "cafÃ©") is detected and
+    * reversed by the roundtrip test — if every char fits Latin-1 and
+    * the Latin-1 re-encoding parses as STRICT UTF-8, the misdecode is
+    * undone; iterate (bounded) for doubly-mangled text. The guard is
+    * load-bearing in both directions: genuinely-Latin-1 text ("café"
+    * itself) re-encodes to bytes that are NOT valid UTF-8 (0xE9
+    * followed by ASCII), so it is never falsely "repaired", and pure
+    * ASCII short-circuits untouched. Strict decode via CharsetDecoder
+    * REPORT — the lenient String constructor would substitute U+FFFD
+    * and "succeed" on garbage.
+    */
+  case class FixMojibake(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == NullType || child.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs string input")
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_fix_mojibake"
+
+    override def nullSafeEval(input: Any): Any = {
+      var cur = input.asInstanceOf[UTF8String].toString
+      var rounds = 0
+      var done = false
+      while (!done && rounds < 3) {
+        var hasHigh = false
+        var allLatin1 = true
+        var i = 0
+        while (i < cur.length && allLatin1) {
+          val c = cur.charAt(i)
+          if (c > 0x7f) hasHigh = true
+          if (c > 0xff) allLatin1 = false
+          i += 1
+        }
+        if (!hasHigh || !allLatin1) done = true
+        else {
+          val bytes = cur.getBytes(StandardCharsets.ISO_8859_1)
+          try {
+            val dec = StandardCharsets.UTF_8.newDecoder()
+              .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+              .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+            cur = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+            rounds += 1
+          } catch {
+            case _: java.nio.charset.CharacterCodingException => done = true
+          }
+        }
+      }
+      UTF8String.fromString(cur)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("fixMojiExpr", this, classOf[FixMojibake].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = (UTF8String) $ref.nullSafeEval($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Count of array elements that are members of a fixed string set —
+    * the stopword tally, one hash probe per token instead of an
+    * interpreted `filter(isInCollection)` lambda. The set is a
+    * plan-build-time constant (the Literal.create pattern): converted
+    * to UTF8String ONCE here, never per eval.
+    */
+  case class CountInSet(child: Expression, set: Seq[String]) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == NullType ||
+        (child.dataType.isInstanceOf[ArrayType] &&
+          child.dataType.asInstanceOf[ArrayType].elementType == StringType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string> input")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_count_in_set"
+
+    @transient private lazy val members: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String](set.size * 2)
+      set.foreach(x => s.add(UTF8String.fromString(x)))
+      s
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var c = 0L
+      var i = 0
+      while (i < n) {
+        if (members.contains(arr.getUTF8String(i))) c += 1
+        i += 1
+      }
+      c
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("countInSetExpr", this, classOf[CountInSet].getName)
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = ((Long) $ref.nullSafeEval($c)).longValue();")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Hamming distance between two equal-length ASCII strings (codegen). */
   case class HammingStr(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -1112,6 +1306,12 @@ object Exprs {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(shingles)))
   def shingles(tokens: Column, w: Int): Column =
     ColumnBridge.column(Shingles(ColumnBridge.expression(tokens), w))
+  def repStats(tokens: Column): Column =
+    ColumnBridge.column(RepStats(ColumnBridge.expression(tokens)))
+  def fixMojibake(s: Column): Column =
+    ColumnBridge.column(FixMojibake(ColumnBridge.expression(s)))
+  def countInSet(tokens: Column, set: Seq[String]): Column =
+    ColumnBridge.column(CountInSet(ColumnBridge.expression(tokens), set))
   def hamming(a: Column, b: Column): Column =
     ColumnBridge.column(HammingStr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def minK(v: Column, k: Int): Column =

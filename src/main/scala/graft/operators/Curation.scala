@@ -252,14 +252,86 @@ object Curation {
        |FROM b""".stripMargin
   }
 
+  // --------------------------------------------- C75: mojibake repair
+
+  /** The clean suffix every doc gets (Latin-1 letters é ï ñ ü — chars
+    * whose Latin-1 re-encoding is INVALID UTF-8 next to ASCII, the
+    * repair guard's negative case), and its single/double UTF-8→Latin-1
+    * misdecodes, computed by the real encoding roundtrip at plan build.
+    */
+  private[graft] val MojiClean = " caf\u00E9 na\u00EFve jalape\u00F1o \u00FCber"
+  private[graft] val Moji1 = new String(
+    MojiClean.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    java.nio.charset.StandardCharsets.ISO_8859_1)
+  private[graft] val Moji2 = new String(
+    Moji1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Planted corruption: every doc carries the suffix; every 3rd doc
+    * gets it UTF-8→Latin-1 misdecoded once, every 9th twice (the
+    * iterated-repair case). Deterministic, mirrored chr-for-chr in SQL.
+    */
+  private[graft] def plantedMoji: Column =
+    concat(col("text"),
+      when(pmod(col("doc_id"), lit(9L)) === 0L, lit(Moji2))
+        .when(pmod(col("doc_id"), lit(3L)) === 0L, lit(Moji1))
+        .otherwise(lit(MojiClean)))
+
+  /** C75: mojibake detection + repair — the encoding-hygiene pass a real
+    * crawl corpus needs BEFORE C62 (a UTF-8→Latin-1 misdecode survives
+    * NFC untouched and fingerprints apart from its clean twin in every
+    * dedup lens). Detection is the classic 0xC3-lead-byte signature
+    * (`Ã` followed by a continuation-range char); repair is the native
+    * [[Exprs.FixMojibake]] roundtrip heuristic, iterated for
+    * doubly-mangled text.
+    *
+    * Oracle strategy is the C12b codec-roundtrip trick: the corruption
+    * is planted by the REAL encoding roundtrip, so the oracle simply
+    * constructs the clean text directly — `fixed_md5` hash-matching
+    * pins repair∘corrupt == identity (single and double), and `changed`
+    * pins the no-false-repair guard on the clean-but-accented docs.
+    * Staged projections (the C60 lesson): `dirty`/`fixed` are each
+    * aliased once, so the repair pass runs once per row. Scan-shaped,
+    * zero shuffle, stateless on streams.
+    */
+  def mojibakeRepair(docs: DataFrame, dirty: Column): DataFrame =
+    docs.select(col("doc_id"), dirty.as("dirty"))
+      .select(col("doc_id"), col("dirty"),
+        Exprs.fixMojibake(col("dirty")).as("fixed"))
+      .select(col("doc_id"),
+        regexp_count(col("dirty"), lit("\u00C3[\u0080-\u00BF]"))
+          .cast("long").as("n_moji"),
+        md5(col("fixed")).as("fixed_md5"),
+        (col("fixed") =!= col("dirty")).as("changed"))
+
+  private def chrConcat(s: String): String =
+    s.map(c => s"chr(${c.toInt})").mkString(" || ")
+
+  def mojibakeRepairSql: String =
+    s"""WITH d AS (SELECT doc_id, text,
+       |  text || CASE WHEN doc_id % 9 = 0 THEN ${chrConcat(Moji2)}
+       |    WHEN doc_id % 3 = 0 THEN ${chrConcat(Moji1)}
+       |    ELSE ${chrConcat(MojiClean)} END AS dirty
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(dirty,
+       |    chr(195) || '[' || chr(128) || '-' || chr(191) || ']')) AS BIGINT)
+       |    AS n_moji,
+       |  md5(text || ${chrConcat(MojiClean)}) AS fixed_md5,
+       |  (doc_id % 3 = 0) AS changed
+       |FROM d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_normalize" -> ((s, d) =>
       textNormalize(Tables.documents(s, d), plantedDirty)),
     "q_url_host_cap" -> ((s, d) => urlHostCap(Tables.documents(s, d))),
-    "q_host_split" -> ((s, d) => hostSplit(Tables.documents(s, d))))
+    "q_host_split" -> ((s, d) => hostSplit(Tables.documents(s, d))),
+    "q_mojibake_repair" -> ((s, d) =>
+      mojibakeRepair(Tables.documents(s, d), plantedMoji)))
 
   def oracle: Map[String, String] = Map(
     "q_text_normalize" -> textNormalizeSql,
     "q_url_host_cap" -> urlHostCapSql,
-    "q_host_split" -> hostSplitSql())
+    "q_host_split" -> hostSplitSql(),
+    "q_mojibake_repair" -> mojibakeRepairSql)
 }

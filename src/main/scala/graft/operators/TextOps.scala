@@ -368,11 +368,14 @@ object TextOps {
                    minStopwords: Int = 1,
                    maxDupBigramRatio: Double = 0.5): DataFrame = {
     val n = size(toks).cast("long")
-    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    // sum of token lengths == len(text) - (n-1): split(text, ' ') removes
+    // exactly n-1 single-space separators (empty tokens from runs of
+    // spaces included) — same long, same IEEE division, no HOF fold
+    val meanLen = (length(col("text")).cast("long") - (n - 1L))
       .cast("double") / n.cast("double")
-    val stops = size(filter(toks, t => t.isInCollection(enStopwords))).cast("long")
+    val stops = Exprs.countInSet(toks, enStopwords)
     val totalBigrams = greatest(n - 1, lit(1L))
-    val distinctBigrams = size(shingles(toks, 2)).cast("long")
+    val distinctBigrams = size(Exprs.shingles(toks, 2)).cast("long")
     val dupRatio = lit(1.0) - distinctBigrams.cast("double") / totalBigrams.cast("double")
     documents
       .select(col("doc_id"), n.as("n_words"), meanLen.as("mean_word_len"),
@@ -1232,23 +1235,14 @@ object TextOps {
                         dupBigramThresh: Double = 0.05): DataFrame = {
     val n = size(toks).cast("long")
     val nb = greatest(size(toks) - 1, lit(1)).cast("long")
-    val bg = transform(
-      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
-    val topTok = array_max(
-      transform(array_distinct(toks), t => size(filter(toks, x => x === t)))).cast("long")
     documents
       .select(col("doc_id"), n.as("n_tokens"), nb.as("nb"),
-        topTok.as("top_tok"), bg.as("bg"))
-      .select(col("doc_id"), col("n_tokens"), col("nb"), col("top_tok"),
-        array_max(transform(array_distinct(col("bg")),
-          t => size(filter(col("bg"), x => x === t)))).cast("long").as("top_bg"),
-        size(array_distinct(col("bg"))).cast("long").as("nd_bg"))
+        Exprs.repStats(toks).as("rs"))
       // raw IEEE doubles, same rationale as qualityScore
       .select(col("doc_id"), col("n_tokens"),
-        (col("top_tok").cast("double") / col("n_tokens")).as("top_tok_share"),
-        (col("top_bg").cast("double") / col("nb")).as("top_bigram_share"),
-        (lit(1.0) - col("nd_bg").cast("double") / col("nb")).as("dup_bigram_frac"))
+        (col("rs.top_tok").cast("double") / col("n_tokens")).as("top_tok_share"),
+        (col("rs.top_bg").cast("double") / col("nb")).as("top_bigram_share"),
+        (lit(1.0) - col("rs.nd_bg").cast("double") / col("nb")).as("dup_bigram_frac"))
       .withColumn("repetitive",
         col("top_bigram_share") > topBigramThresh ||
           col("dup_bigram_frac") > dupBigramThresh)
@@ -1488,6 +1482,75 @@ object TextOps {
       |FROM (SELECT doc_id, lang, source,
       |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS epochs
       |  FROM documents)""".stripMargin
+
+  /** C73: temperature-smoothed source mixing — the mT5/PaLM sampling
+    * knob. Where C14/C39 apply FIXED per-group rates, temperature
+    * mixing derives the rate from the corpus itself: target share
+    * q_s ∝ n_s^α (token mass n_s, α = 1/2 here — "temperature 2"),
+    * flattening the source distribution so a dominant crawl can't
+    * drown the small high-quality sources. With the standard
+    * no-upsampling normalization (largest rate = 1, i.e. the smallest
+    * source keeps everything) the per-source keep rate collapses to
+    * r_s = √(n_min / n_s) — realized share after sampling is exactly
+    * the α-smoothed target.
+    *
+    * Exactness: α = 1/2 means the draw rule u/10⁶ < √(n_min/n_s)
+    * squares into pure integers — u²·n_s < 10¹²·n_min — evaluated in
+    * DECIMAL(38,0) (DuckDB HUGEINT), so there is no pow/sqrt anywhere
+    * and no float in the decision: the same doc draws the same verdict
+    * on every engine, partitioning and rerun (C35's property). The
+    * per-doc u is the C65b md5-prefix draw with its own salt.
+    *
+    * Shape at 100 TB: one bounded per-source token agg (catalog-sized,
+    * broadcast back), a 1-row min broadcast, the map-side decision,
+    * and one bounded per-source summary agg — the corpus is scanned
+    * once and never shuffled.
+    */
+  def temperatureMix(documents: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val masses = documents
+      .groupBy("source")
+      .agg(sum(size(toks).cast("long")).as("src_tok"))
+    val minMass = masses.agg(min("src_tok").as("min_tok"))
+    val u = expr(hexPrefixValSql("md5(concat('tm_', CAST(doc_id AS STRING)))")) % lit(1000000L)
+    documents
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"), u.as("u"))
+      .join(broadcast(masses), "source")
+      .crossJoin(broadcast(minMass))
+      .select(col("source"), col("n_tok"),
+        ((col("u") * col("u")).cast(dec) * col("src_tok").cast(dec) <
+          lit(1000000000000L).cast(dec) * col("min_tok").cast(dec)).as("kept"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tok"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tok"))
+      .select(col("source"), col("n_docs"), col("n_tok"), col("n_kept"), col("kept_tok"),
+        round(col("n_kept").cast("double") / col("n_docs"), 4).as("kept_rate"))
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH m AS (SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tok
+       |  FROM documents GROUP BY source),
+       |mn AS (SELECT min(src_tok) AS min_tok FROM m),
+       |d AS (SELECT d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       |    (${hexPrefixValSql("md5('tm_' || CAST(doc_id AS VARCHAR))")} % 1000000) AS u,
+       |    m.src_tok, mn.min_tok
+       |  FROM documents d JOIN m ON d.source = m.source CROSS JOIN mn),
+       |k AS (SELECT source, n_tok,
+       |    CAST(u * u AS HUGEINT) * src_tok
+       |      < CAST(1000000000000 AS HUGEINT) * min_tok AS kept
+       |  FROM d)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tok,
+       |  round(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+       |    AS kept_rate
+       |FROM k GROUP BY source""".stripMargin
 
   /** C40: per-source duplication telemetry — the dashboard number behind
     * C36's pair matrix: how internally redundant each source is
@@ -1784,6 +1847,7 @@ object TextOps {
     "q_reservoir_sample" -> ((s, d) => reservoirSample(Tables.documents(s, d))),
     "q_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "q_epoch_mix" -> ((s, d) => epochMix(Tables.documents(s, d))),
+    "q_temperature_mix" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
     "q_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
@@ -1825,6 +1889,7 @@ object TextOps {
     "q_reservoir_sample" -> reservoirSampleSql(),
     "q_stratified_sample" -> stratifiedSampleSql(),
     "q_epoch_mix" -> epochMixSql,
+    "q_temperature_mix" -> temperatureMixSql,
     "q_heavy_hitters" -> heavyHittersSql(),
     "q_split_assign" -> splitAssignSql(),
     "q_source_overlap" -> sourceOverlapSql(),

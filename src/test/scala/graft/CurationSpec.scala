@@ -252,4 +252,66 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = Curation.hostSplit(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "host split must stay a shuffle-free projection")
   }
+
+  private def fixOf(input: String): String = {
+    val s = spark
+    import s.implicits._
+    Seq(input).toDF("s").select(Exprs.fixMojibake(col("s")).as("f"))
+      .collect()(0).getString(0)
+  }
+
+  test("mojibake repair: single and double misdecodes reverse; guards never false-fire") {
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    val clean = "café naïve jalapeño über text"
+    val moji1 = new String(clean.getBytes(UTF_8), ISO_8859_1)
+    val moji2 = new String(moji1.getBytes(UTF_8), ISO_8859_1)
+    assert(moji1 != clean && moji2 != moji1)
+    assert(fixOf(moji1) == clean, "single misdecode reverses")
+    assert(fixOf(moji2) == clean, "double misdecode reverses via iteration")
+    // the no-false-repair guard, both directions:
+    assert(fixOf(clean) == clean,
+      "genuine Latin-1 text re-encodes to invalid UTF-8 and stays untouched")
+    assert(fixOf("plain ascii only") == "plain ascii only")
+    val cjk = "日本語 text 😀"
+    assert(fixOf(cjk) == cjk, "chars beyond Latin-1 stop the heuristic")
+    assert(fixOf("") == "")
+    // idempotent on its own output
+    assert(fixOf(fixOf(moji2)) == clean)
+  }
+
+  test("mojibake repair: interpreted eval and whole-stage codegen agree") {
+    val s = spark
+    import s.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    val clean = "résumés"
+    val moji = new String(clean.getBytes(UTF_8), ISO_8859_1)
+    val df = Seq(moji, clean, "ascii").toDF("s")
+      .select(Exprs.fixMojibake(col("s")).as("f"))
+    val on = df.collect().map(_.getString(0)).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val off = df.collect().map(_.getString(0)).toSeq
+      assert(on == off)
+      assert(on == Seq(clean, clean, "ascii"))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("q_mojibake_repair: corrupted docs flagged+changed, clean docs untouched, repair restores the planted clean text") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.mojibakeRepair(docs, Curation.plantedMoji).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    val expectedMd5 = docs.select(col("doc_id"),
+        md5(concat(col("text"), lit(Curation.MojiClean))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, nMoji, fixedMd5, changed) =>
+      assert(changed == (id % 3 == 0), s"doc $id: changed must mark exactly the corrupted docs")
+      assert((nMoji > 0) == (id % 3 == 0), s"doc $id: detection count must fire iff corrupted")
+      assert(fixedMd5 == expectedMd5(id), s"doc $id: repair must restore the planted clean text")
+    }
+    // scan-shaped: zero Exchange
+    val plan = Curation.mojibakeRepair(docs, Curation.plantedMoji)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "mojibake repair must stay a shuffle-free projection")
+  }
 }
