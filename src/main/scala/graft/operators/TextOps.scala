@@ -1506,20 +1506,38 @@ object TextOps {
     * and one bounded per-source summary agg — the corpus is scanned
     * once and never shuffled.
     */
-  def temperatureMix(documents: DataFrame): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+  /** The per-source rate table the temperature draw needs:
+    * (source, src_tok, min_tok) — one bounded agg plus a 1-row min
+    * broadcast, catalog-sized, and therefore a committable model
+    * artifact ([[commitTemperature]]) exactly like the DSIR ratio
+    * table: train once on the trusted corpus snapshot, gate live
+    * ingest from the committed table without rescanning the corpus.
+    */
+  def temperatureRates(documents: DataFrame): DataFrame = {
     val masses = documents
       .groupBy("source")
       .agg(sum(size(toks).cast("long")).as("src_tok"))
-    val minMass = masses.agg(min("src_tok").as("min_tok"))
+    masses.crossJoin(broadcast(masses.agg(min("src_tok").as("min_tok"))))
+  }
+
+  /** Per-doc temperature verdicts against a rate table (in-session or
+    * committed): broadcast join + the exact integer draw — stateless,
+    * zero-shuffle beyond the broadcast, the same body batch and
+    * streaming ([[graft.streaming.EventStream.streamingTemperatureGate]]).
+    */
+  def temperatureDecisions(documents: DataFrame, rates: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val u = expr(hexPrefixValSql("md5(concat('tm_', CAST(doc_id AS STRING)))")) % lit(1000000L)
     documents
       .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"), u.as("u"))
-      .join(broadcast(masses), "source")
-      .crossJoin(broadcast(minMass))
-      .select(col("source"), col("n_tok"),
+      .join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("n_tok"),
         ((col("u") * col("u")).cast(dec) * col("src_tok").cast(dec) <
           lit(1000000000000L).cast(dec) * col("min_tok").cast(dec)).as("kept"))
+  }
+
+  def temperatureMix(documents: DataFrame): DataFrame =
+    temperatureDecisions(documents, temperatureRates(documents))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1528,7 +1546,24 @@ object TextOps {
         sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tok"))
       .select(col("source"), col("n_docs"), col("n_tok"), col("n_kept"), col("kept_tok"),
         round(col("n_kept").cast("double") / col("n_docs"), 4).as("kept_rate"))
+
+  /** Commit the temperature rate table through the transactional
+    * format (the DSIR `commit`/`loadLr` promotion): keyed by source,
+    * single bucket (catalog-sized), latest build_v wins — a retrain on
+    * corpus growth commits atomically under live readers and rewrites
+    * every source row (min_tok is global, so a retrain is always a
+    * full-table upsert, never a partial one).
+    */
+  def commitTemperature(rates: DataFrame, path: String, buildV: Long = 0L): Unit = {
+    val spark = rates.sparkSession
+    graft.sources.Sinks.VersionedTable.mergeUpsert(spark, path + "/temp_rates",
+      rates.withColumn("build_v", lit(buildV)),
+      Seq("source"), "build_v", numBuckets = 1)
   }
+
+  def loadTemperature(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Sinks.VersionedTable.read(spark, path + "/temp_rates")
+      .select("source", "src_tok", "min_tok")
 
   val temperatureMixSql: String =
     s"""WITH m AS (SELECT source,

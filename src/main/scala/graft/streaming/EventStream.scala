@@ -882,6 +882,19 @@ object EventStream {
     * against a FIXED threshold chosen offline (a stream cannot know the
     * corpus mean; production picks the batch run's mean or a quantile).
     */
+  /** Streaming temperature gate (C74's continuous twin): arriving
+    * (doc_id, source, text) rows draw their keep verdict against the
+    * COMMITTED per-source rate table ([[graft.operators.TextOps
+    * .loadTemperature]]) — a stream-static broadcast join plus the
+    * exact integer draw, stateless, append mode, no watermark. The
+    * verdict is a pure function of (doc_id, source, rate row), so a
+    * doc admitted by the live gate is exactly the doc the batch mix
+    * would keep at the committed snapshot (StreamingSpec pins
+    * batch == stream verdict-for-verdict).
+    */
+  def streamingTemperatureGate(docs: DataFrame, rates: DataFrame): DataFrame =
+    graft.operators.TextOps.temperatureDecisions(docs, rates)
+
   def streamingDsirGate(docs: DataFrame, lr: Array[Long], keepMin: Long): DataFrame =
     graft.operators.Dsir.scoreAgainst(docs, lr)
       .withColumn("keep", col("dsir_fp") >= lit(keepMin))

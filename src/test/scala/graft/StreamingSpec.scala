@@ -1216,6 +1216,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     streamed.foreach(t => assert(t._4 == (t._3 >= keepMin)))
   }
 
+  test("EQUIVALENCE: streaming temperature gate against a committed rate table == batch mix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    // rate table trained offline on the full corpus, committed, reloaded
+    val dir = java.nio.file.Files.createTempDirectory("graft-temp-rates").toString
+    TextOps.commitTemperature(TextOps.temperatureRates(docs), s"$dir/model")
+    val rates = TextOps.loadTemperature(spark, s"$dir/model")
+    // committed == in-session row-for-row (the artifact promotion pin)
+    val served = rates.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val trained = TextOps.temperatureRates(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(served == trained, "committed rate table must equal the in-session one")
+    val batch = TextOps.temperatureDecisions(docs, rates).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))).sorted.toSeq
+    val rows: Seq[(Long, String, String)] = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toIndexedSeq
+    val in = MemoryStream[(Long, String, String)]
+    val q = EventStream.streamingTemperatureGate(
+        in.toDF().toDF("doc_id", "source", "text"), rates)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("temp_gate_stream").start()
+    in.addData(rows.take(20)); q.processAllAvailable()
+    in.addData(rows.drop(20)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("temp_gate_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))).sorted.toSeq
+    assert(streamed.length == rows.length)
+    assert(streamed == batch,
+      "a doc admitted live must be exactly the doc the batch mix keeps at the committed snapshot")
+    // the small source keeps everything under the no-upsampling normalization
+    val minSrc = trained.minBy(_._2)
+    assert(streamed.filter(_._2 == minSrc._1).forall(_._4),
+      "the smallest source's docs must all be kept (rate 1)")
+  }
+
   test("LM gate scores from a COMMITTED model artifact == from the trained frames") {
     import graft.operators.Classify
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
