@@ -1587,6 +1587,96 @@ object TextOps {
        |    AS kept_rate
        |FROM k GROUP BY source""".stripMargin
 
+  /** The UniMax waterfill over a collected per-source mass table
+    * (Chung et al. 2023): sources ascending by (mass, name); each takes
+    * the uniform share of the REMAINING budget over the REMAINING
+    * sources, capped at `epochCap` epochs of its own mass. Pure integer
+    * floor arithmetic — deterministic, engine-portable (the oracle runs
+    * the identical fold as a recursive CTE). Driver-side over the
+    * catalog-sized mass list (the codebook convention: constant-size
+    * model artifacts may collect; the corpus never does).
+    */
+  private[graft] def unimaxAlloc(masses: Seq[(String, Long)], budget: Long,
+                                 epochCap: Long): Seq[(String, Long, Long)] = {
+    var brem = budget
+    var k = masses.length
+    masses.sortBy { case (s, n) => (n, s) }.map { case (s, n) =>
+      val t = math.min(epochCap * n, brem / k)
+      brem -= t
+      k -= 1
+      (s, n, t)
+    }
+  }
+
+  /** C76: UniMax epoch-capped uniform mixing — the OTHER principled
+    * mixer next to C74's temperature smoothing (Chung et al. 2023:
+    * temperature sampling still over-allocates head sources and
+    * over-epochs tail ones; UniMax instead spreads the token budget as
+    * UNIFORMLY as possible subject to a per-source repetition cap).
+    * Ascending waterfill: small sources hit the epoch cap (every token
+    * used, ≤ cap repeats), large ones get the uniform share of what
+    * remains. Output per source: the allocation, its exact
+    * full-epoch/remainder split (`alloc div n`, `alloc mod n` — what
+    * C39's replicator and C19's budget truncation realize downstream),
+    * and the fractional epochs for telemetry.
+    *
+    * Budget defaults to (27·total) div 10 tokens with cap 3 — chosen so
+    * BOTH waterfill branches fire on the near-uniform synthetic source
+    * masses (LlmOpsSpec plants a skewed table to pin the branch
+    * algebra; the budget-conservation property Σalloc == B holds unless
+    * even the largest source capped, which the spec also pins).
+    *
+    * Scale shape: ONE bounded per-source agg (partial+final, keyed on
+    * the catalog-sized source column); the fold itself touches k rows
+    * on the driver and the corpus is never collected, shuffled, or
+    * rescanned. The oracle mirrors the fold with a recursive CTE over
+    * the same ordered mass table.
+    */
+  def unimaxMix(documents: DataFrame, epochCap: Long = 3L,
+                budgetNum: Long = 27L, budgetDen: Long = 10L): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val masses = documents
+      .groupBy("source")
+      .agg(sum(size(toks).cast("long")).as("n_tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+    val budget = budgetNum * masses.map(_._2).sum / budgetDen
+    unimaxAlloc(masses, budget, epochCap)
+      .toDF("source", "n_tok", "alloc_tok")
+      .select(col("source"), col("n_tok"), col("alloc_tok"),
+        expr("alloc_tok div n_tok").as("full_epochs"),
+        (col("alloc_tok") % col("n_tok")).as("rem_tok"),
+        round(col("alloc_tok").cast("double") / col("n_tok"), 4).as("epochs"))
+  }
+
+  def unimaxMixSql(epochCap: Long = 3L,
+                   budgetNum: Long = 27L, budgetDen: Long = 10L): String =
+    s"""WITH RECURSIVE
+       |m AS (SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+       |  FROM documents GROUP BY source),
+       |o AS (SELECT source, n_tok,
+       |    row_number() OVER (ORDER BY n_tok, source) AS rn FROM m),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(n_tok) AS BIGINT) AS tot FROM m),
+       |w AS (
+       |  SELECT CAST(0 AS BIGINT) AS rn,
+       |    ($budgetNum * tot) // $budgetDen AS brem, k AS krem,
+       |    CAST(NULL AS VARCHAR) AS source,
+       |    CAST(0 AS BIGINT) AS n_tok, CAST(0 AS BIGINT) AS alloc_tok
+       |  FROM t
+       |  UNION ALL
+       |  SELECT o.rn,
+       |    w.brem - least($epochCap * o.n_tok, w.brem // w.krem),
+       |    w.krem - 1, o.source, o.n_tok,
+       |    least($epochCap * o.n_tok, w.brem // w.krem)
+       |  FROM w JOIN o ON o.rn = w.rn + 1)
+       |SELECT source, n_tok, alloc_tok,
+       |  alloc_tok // n_tok AS full_epochs,
+       |  alloc_tok % n_tok AS rem_tok,
+       |  round(CAST(alloc_tok AS DOUBLE) / n_tok, 4) AS epochs
+       |FROM w WHERE rn > 0""".stripMargin
+
   /** C40: per-source duplication telemetry — the dashboard number behind
     * C36's pair matrix: how internally redundant each source is
     * (1 − distinct texts / docs). Exact count-distinct compiles to
@@ -1883,6 +1973,7 @@ object TextOps {
     "q_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "q_epoch_mix" -> ((s, d) => epochMix(Tables.documents(s, d))),
     "q_temperature_mix" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
+    "q_unimax_mix" -> ((s, d) => unimaxMix(Tables.documents(s, d))),
     "q_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
@@ -1925,6 +2016,7 @@ object TextOps {
     "q_stratified_sample" -> stratifiedSampleSql(),
     "q_epoch_mix" -> epochMixSql,
     "q_temperature_mix" -> temperatureMixSql,
+    "q_unimax_mix" -> unimaxMixSql(),
     "q_heavy_hitters" -> heavyHittersSql(),
     "q_split_assign" -> splitAssignSql(),
     "q_source_overlap" -> sourceOverlapSql(),

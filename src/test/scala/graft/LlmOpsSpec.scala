@@ -1144,4 +1144,59 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"rrf ${r.getDouble(2)} not a valid two-rank fusion")
     }
   }
+
+  // ---------------- C76: UniMax waterfill algebra ----------------
+
+  test("unimax waterfill: skewed masses exercise both branches; cap, conservation, uniformity hold") {
+    // 3 tiny sources, 2 medium, 1 giant; cap 2, budget 60% of 2x total
+    val masses = Seq(
+      "tiny_a" -> 10L, "tiny_b" -> 12L, "tiny_c" -> 15L,
+      "mid_a" -> 100L, "mid_b" -> 120L, "giant" -> 2000L)
+    val total = masses.map(_._2).sum
+    val cap = 2L
+    val budget = 2L * total * 6 / 10 // 2714
+    val alloc = TextOps.unimaxAlloc(masses, budget, cap)
+    val byName = alloc.map(a => a._1 -> a._3).toMap
+    // every tiny/mid source hits the epoch cap (uniform share >> cap*n)
+    Seq("tiny_a", "tiny_b", "tiny_c", "mid_a", "mid_b").foreach { s =>
+      val n = masses.toMap.apply(s)
+      assert(byName(s) == cap * n, s"$s must be epoch-capped")
+    }
+    // the giant is share-bound: takes everything left, NOT cap*n
+    assert(byName("giant") == budget - (masses.toMap - "giant").values.map(_ * cap).sum)
+    assert(byName("giant") < cap * 2000L)
+    // invariants: alloc <= cap*n everywhere; total == budget when the
+    // largest source is share-bound (floor leftovers only exist if even
+    // the last source capped)
+    alloc.foreach { case (s, n, t) => assert(t <= cap * n && t >= 0, s) }
+    assert(alloc.map(_._3).sum == budget)
+    // processing order is ascending (n, source): allocations of
+    // share-bound sources never decrease in that order
+    val shareBound = alloc.filter { case (_, n, t) => t < cap * n }.map(_._3)
+    assert(shareBound == shareBound.sorted)
+  }
+
+  test("unimax waterfill: budget above the full cap leaves a remainder and caps everything") {
+    val masses = Seq("a" -> 10L, "b" -> 20L)
+    val alloc = TextOps.unimaxAlloc(masses, 1000L, 3L)
+    assert(alloc.map(_._3) == Seq(30L, 60L), "everything capped")
+    assert(alloc.map(_._3).sum < 1000L, "unspendable budget remains")
+  }
+
+  test("q_unimax_mix: registered defaults fire both branches on the real corpus and conserve the budget") {
+    val docs = Tables.documents(spark, sf)
+    val rows = TextOps.unimaxMix(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length >= 2)
+    val total = rows.map(_._2).sum
+    val budget = 27L * total / 10L
+    assert(rows.map(_._3).sum == budget, "ascending waterfill spends the whole budget")
+    val capped = rows.count(t => t._3 == 3L * t._2)
+    assert(capped > 0, "some source must hit the 3-epoch cap at sf0.01")
+    assert(capped < rows.length, "some source must be share-bound at sf0.01")
+    rows.foreach { case (s, n, t, fe, rem) =>
+      assert(t <= 3L * n, s)
+      assert(fe == t / n && rem == t % n, s"$s: epoch split must be exact")
+    }
+  }
 }
