@@ -12,6 +12,10 @@ import graft.sources.Warc
   *
   *   WARC blobs ── C68 split ──▶ (url, html)
   *              ── C60 HTML extract ──▶ clean text (boilerplate gone)
+  *              ── C75 mojibake repair ──▶ encoding fixed (a
+  *                   UTF-8→Latin-1 misdecode survives NFC untouched and
+  *                   fingerprints apart from its clean twin, so repair
+  *                   must run BEFORE normalize/dedup)
   *              ── C62 NFC normalize ──▶ canonical bytes
   *              ── C23 quality rules ──▶ keep/drop
   *              ── C22+C41 dedup clusters + canonical keep ──▶ one doc
@@ -54,7 +58,10 @@ object CurationPipeline {
     graft.GraftCache.releaseCreatedDuring(spark) {
       val split = graft.GraftCache.persistTracked(Warc.splitWarc(warcBlobs))
       val extracted = Html.htmlExtract(split, col("html"))
-        .select(col("doc_id"), col("clean_text"))
+        .select(col("doc_id"),
+          // C75: same row count as extraction (a repair, not a filter),
+          // so it shares the extract funnel stage
+          graft.functions.Exprs.fixMojibake(col("clean_text")).as("clean_text"))
       val normalized = graft.GraftCache.persistTracked(
         Curation.textNormalize(extracted, col("clean_text"))
           .select(col("doc_id"), col("norm_text").as("text"))

@@ -1002,7 +1002,9 @@ object EventStream {
     import graft.operators.{Curation, DedupIndex, Dsir, Html, TextOps}
     graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
       val extracted = Html.htmlExtract(batch, col("html"))
-        .select(col("doc_id"), col("clean_text"))
+        .select(col("doc_id"),
+          // C75 repair before normalize — the batch facade's ordering
+          graft.functions.Exprs.fixMojibake(col("clean_text")).as("clean_text"))
       val normalized = Curation.textNormalize(extracted, col("clean_text"))
         .select(col("doc_id"), col("norm_text").as("text"))
         .withColumn("n_chars", length(col("text")).cast("long"))

@@ -292,7 +292,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     import graft.pipeline.CurationPipeline
     import graft.operators.{Curation, Html, TextOps}
     import graft.sources.{Tables, Warc}
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs0 = Tables.documents(spark, "/root/testdata/sf0.001")
+    // every 3rd doc's text arrives UTF-8->Latin-1 misdecoded (the crawl
+    // reality C75 exists for); the facade must repair it before
+    // normalize/dedup see it
+    val docs = docs0.withColumn("text",
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L, lit(Curation.Moji1))
+          .otherwise(lit(Curation.MojiClean))))
     val targetIds = docs.filter(col("source") === "src0")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val blobs = Warc.warcFiles(docs.select(col("doc_id"), Html.plantedHtml.as("html")))
@@ -311,11 +318,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = curated.collect()
     assert(out.map(_.getLong(0)).toSet.subsetOf(ids))
     out.foreach(r => assert(r.getString(1).nonEmpty))
+    // the repair stage actually fired: no curated text retains the
+    // 0xC3-lead mojibake signature the corrupted third would carry
+    out.foreach(r => assert(!r.getString(1).contains("Ã"),
+      s"doc ${r.getLong(0)} kept mojibake through the facade"))
     // stage verbatim: the facade's normalize stage == applying the
     // operators by hand on the same blobs (no hidden semantics)
     val byHand = Curation.textNormalize(
       Html.htmlExtract(Warc.splitWarc(blobs), col("html"))
-        .select(col("doc_id"), col("clean_text")),
+        .select(col("doc_id"),
+          graft.functions.Exprs.fixMojibake(col("clean_text")).as("clean_text")),
       col("clean_text"))
       .select("doc_id", "norm_text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
