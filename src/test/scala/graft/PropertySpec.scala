@@ -385,3 +385,65 @@ object WarcProps extends Properties("warc.parseRecords") {
       Prop(hits.exists(h => java.util.Arrays.equals(h.payload, p)))
     }
 }
+
+/** The C75 repair heuristic must never throw, must reverse the real
+  * UTF-8→Latin-1 misdecode (once and twice), and must be the identity
+  * on text that is already a repair fixpoint — fuzzing across ASCII,
+  * Latin-1, CJK and supplementary-plane content, the populations where
+  * a too-eager heuristic would corrupt clean text.
+  */
+object MojibakeProps extends Properties("mojibake.fix") {
+  import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.Exprs
+
+  private val expr = Exprs.FixMojibake(
+    org.apache.spark.sql.catalyst.expressions.Literal("x"))
+  private def fix(s: String): String =
+    expr.nullSafeEval(UTF8String.fromString(s)).asInstanceOf[UTF8String].toString
+  private def mangle(s: String): String = new String(s.getBytes(UTF_8), ISO_8859_1)
+  // repair-stable form of an arbitrary string (fix is a contraction to
+  // its own fixpoint within the round cap for <=2-mangled inputs)
+  private def fixpoint(s: String): String = {
+    var cur = s; var i = 0
+    while (i < 6) { val n = fix(cur); if (n == cur) i = 6 else { cur = n; i += 1 } }
+    cur
+  }
+
+  private val anyText: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar,
+    Gen.oneOf(' ', '.', ','),
+    Gen.choose(0xa0.toChar, 0xff.toChar),            // Latin-1 letters
+    Gen.choose(0x4e00.toChar, 0x4eff.toChar),        // CJK
+    Gen.const('\uD83D'), Gen.const('\uDE00')         // loose surrogates too
+  )).map(_.mkString)
+
+  private val cleanText: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf(' ', '.'),
+    Gen.oneOf('é', 'ï', 'ñ', 'ü', '中')
+  )).map(_.mkString)
+
+  property("never throws, never nulls, on arbitrary UTF-16 content") =
+    forAll(anyText) { s => fix(s) != null }
+
+  property("single and double misdecodes reverse to the repair fixpoint") =
+    forAll(cleanText) { s0 =>
+      val c = fixpoint(s0)
+      Prop(fix(mangle(c)) == c && fix(mangle(mangle(c))) == c)
+    }
+
+  property("identity on repair fixpoints (no false repair)") =
+    forAll(cleanText) { s0 =>
+      val c = fixpoint(s0)
+      Prop(fix(c) == c)
+    }
+
+  property("idempotent within the round cap on <=2-mangled inputs") =
+    forAll(cleanText, Gen.choose(0, 2)) { (s0, k) =>
+      val s = (0 until k).foldLeft(fixpoint(s0))((a, _) => mangle(a))
+      Prop(fix(fix(s)) == fix(s))
+    }
+
+  property("pure ASCII is untouched") =
+    forAll(Gen.asciiPrintableStr) { s => Prop(fix(s) == s) }
+}
