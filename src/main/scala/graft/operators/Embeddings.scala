@@ -133,6 +133,52 @@ object Embeddings {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
        |  FROM scored) WHERE rn <= $TopK""".stripMargin
 
+  /** C77 semi-hard band: negatives with cosine in [NegLo, NegHi) — below
+    * the band the negative is too easy to carry gradient signal, above
+    * it the "negative" is likely an unlabeled positive (a near-dup or a
+    * true neighbor) that would poison the contrastive loss. Bounds sit
+    * inside this corpus's neighbor-similarity profile (p50 ≈ 0.0,
+    * p99 ≈ 0.29, max ≈ 0.49) so both exclusion directions fire at every
+    * SF.
+    */
+  val NegLo = 0.25
+  val NegHi = 0.45
+
+  /** C77: hard-negative mining for retrieval/embedding training (the
+    * DPR/ANCE data-prep step, with FaceNet's semi-hard band): for each
+    * probe, the top-k highest-cosine corpus docs WITHIN [NegLo, NegHi)
+    * — self excluded by construction, near-positives excluded by the hi
+    * bound. Same broadcast-probe scoring kernel and bounded top-k heap
+    * as C6; the band filter is map-side, so the mined pairs cost one
+    * corpus stream. At 100 TB the scorer swaps for `annIvfPq`'s
+    * candidates with the (q_id, n_id, cos) contract unchanged — the
+    * C54 composition rule.
+    */
+  def hardNegatives(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val q = quantized(embeddings)
+    val probes = q.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val scored = q
+      .join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_qv"), col("qv"), col("q_nrm"), col("nrm")).as("cos"))
+      .filter(col("cos") >= NegLo && col("cos") < NegHi)
+    topKByCos(scored, k)
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
+       |scored AS (
+       |  SELECT p.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${dotSqlFmt.format("p.qv", "c.qv")} / (sqrt(p.nrm) * sqrt(c.nrm)) AS cos
+       |  FROM n p JOIN n c ON c.vec_id <> p.vec_id
+       |  WHERE p.vec_id < $NumProbes),
+       |band AS (SELECT * FROM scored WHERE cos >= $NegLo AND cos < $NegHi)
+       |SELECT q_id, n_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+       |  FROM band) WHERE rn <= $TopK""".stripMargin
+
   /** (vec_id, table, bucket) LSH assignment: per table, a 4-bit sign
     * pattern of the quantized vector against 4 md5-derived hyperplanes.
     */
@@ -1365,6 +1411,7 @@ object Embeddings {
     "q_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d))),
     "q_ann_ivfpq" -> ((s, d) => annIvfPq(Tables.embeddings(s, d))),
     "q_ann_topk" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
+    "q_hard_negatives" -> ((s, d) => hardNegatives(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d))),
     "q_ann_multiprobe" -> ((s, d) => annMultiProbe(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => annIvf(Tables.embeddings(s, d))),
@@ -1380,6 +1427,7 @@ object Embeddings {
     "q_ann_pq" -> annPqSql,
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_ann_topk" -> annTopKSql,
+    "q_hard_negatives" -> hardNegativesSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_multiprobe" -> annMultiProbeSql,
     "q_ann_ivf" -> annIvfSql,
