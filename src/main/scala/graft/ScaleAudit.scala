@@ -107,7 +107,16 @@ object ScaleAudit {
     // round-8 batch 5: the WARC front door (length-framed record
     // splitting must stay an embarrassingly-parallel mapPartitions
     // walk — no shuffle beyond the file grouping)
-    "q_warc_ingest")
+    "q_warc_ingest",
+    // round-9 additions: the two data-derived mixers (bounded
+    // source-catalog aggs — the rate table and the waterfill input must
+    // stay catalog-sized however big the corpus), the encoding-repair
+    // scan rider, the native repetition profile (replaced an
+    // O(distinct·len) per-doc quadratic — must stay scan-shaped), and
+    // semi-hard negative mining (broadcast probes + bounded heap, band
+    // filter map-side)
+    "q_temperature_mix", "q_unimax_mix", "q_mojibake_repair",
+    "q_repetition_profile", "q_hard_negatives")
 
   def buildScaled(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
     // events.ts stays a raw nanos long end-to-end: the flag reads the
