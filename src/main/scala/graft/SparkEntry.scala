@@ -25,7 +25,8 @@ object SparkEntry {
       Sketches.queries ++ Graph.queries ++ ImageDedup.queries ++
       AudioDedup.queries ++ VideoDedup.queries ++ Classify.queries ++
       Retrieval.queries ++ graft.sources.Sinks.queries ++
-      graft.sources.Warc.queries ++ Html.queries ++
+      graft.sources.Warc.queries ++ graft.sources.Jsonl.queries ++
+      Html.queries ++
       Curation.queries ++ Dsir.queries ++ DedupIndex.queries ++
       RollupIndex.queries
 
@@ -37,7 +38,8 @@ object SparkEntry {
       Sketches.oracle ++ Graph.oracle ++ ImageDedup.oracle ++
       AudioDedup.oracle ++ VideoDedup.oracle ++ Classify.oracle ++
       Retrieval.oracle ++ graft.sources.Sinks.oracle ++
-      graft.sources.Warc.oracle ++ Html.oracle ++
+      graft.sources.Warc.oracle ++ graft.sources.Jsonl.oracle ++
+      Html.oracle ++
       Curation.oracle ++ Dsir.oracle ++ DedupIndex.oracle ++
       RollupIndex.oracle
 }
