@@ -771,7 +771,8 @@ object TextOps {
     * safe (no shuffle, no state). Merge ORDER is the model: BPE applies
     * rules in learned order, so callers must pass the round-sorted list.
     */
-  def bpeEncodeWith(documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def bpeEncodeWith(documents: DataFrame, merges: Seq[(String, String)],
+                    extraCols: Seq[String] = Nil): DataFrame = {
     val sep = lit(BpeSep)
     val seg0 = concat(sep, concat_ws(BpeSep,
       filter(split(col("text"), ""), s => s =!= lit(""))), sep)
@@ -779,10 +780,53 @@ object TextOps {
       foldMergePair(acc, l, r)
     }
     documents.select(
-      col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
-      size(filter(split(segFinal, BpeSep),
-        s => s =!= lit("") && s =!= lit(" "))).cast("long").as("n_bpe_tokens"))
+      Seq(col("doc_id")) ++ extraCols.map(col) ++ Seq(
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(filter(split(segFinal, BpeSep),
+          s => s =!= lit("") && s =!= lit(" "))).cast("long").as("n_bpe_tokens")): _*)
+  }
+
+  /** C79: per-language tokenizer fertility — BPE tokens per whitespace
+    * word by language, the tokenizer-quality dashboard number every
+    * multilingual pretraining run watches (a tokenizer trained on the
+    * majority language over-fragments the minority ones; fertility per
+    * lang is how that shows up before any training loss does). The
+    * encode is C43c's zero-shuffle fold with the lang column riding
+    * along; the rollup is one bounded lang-keyed agg. Fertility =
+    * round(Σbpe / Σws, 4) — exact int sums, one IEEE division.
+    */
+  def tokenizerFertility(documents: DataFrame, k: Int = BpeRounds): DataFrame =
+    bpeEncodeWith(documents,
+      bpeTrain(documents, k)
+        .select("left_sym", "right_sym").collect()
+        .map(r => (r.getString(0), r.getString(1))).toIndexedSeq,
+      Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_ws_tokens").as("ws_tokens"),
+        sum("n_bpe_tokens").as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        round(col("bpe_tokens").cast("double") / col("ws_tokens"), 4).as("fertility"))
+
+  def tokenizerFertilitySql(k: Int = BpeRounds): String = {
+    val rounds = (1 to k).map(bpeRoundCtes(_, withDoc = true)).mkString(",\n")
+    s"""$bpeVocabSeedSql,
+       |d0 AS (SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |         chr(31) || array_to_string(string_split(text, ''), chr(31)) || chr(31) AS dseg
+       |       FROM documents),
+       |$rounds,
+       |enc AS (SELECT doc_id, n_ws_tokens,
+       |    CAST(len(list_filter(string_split(dseg, chr(31)),
+       |         x -> x <> '' AND x <> ' ')) AS BIGINT) AS n_bpe_tokens
+       |  FROM d$k)
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(e.n_ws_tokens) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(e.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+       |  round(CAST(sum(e.n_bpe_tokens) AS DOUBLE) / sum(e.n_ws_tokens), 4) AS fertility
+       |FROM enc e JOIN documents d ON e.doc_id = d.doc_id
+       |GROUP BY d.lang""".stripMargin
   }
 
   /** Commit the trained tokenizer through the transactional format —
@@ -1974,6 +2018,7 @@ object TextOps {
     "q_epoch_mix" -> ((s, d) => epochMix(Tables.documents(s, d))),
     "q_temperature_mix" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
     "q_unimax_mix" -> ((s, d) => unimaxMix(Tables.documents(s, d))),
+    "q_tokenizer_fertility" -> ((s, d) => tokenizerFertility(Tables.documents(s, d))),
     "q_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
@@ -2017,6 +2062,7 @@ object TextOps {
     "q_epoch_mix" -> epochMixSql,
     "q_temperature_mix" -> temperatureMixSql,
     "q_unimax_mix" -> unimaxMixSql(),
+    "q_tokenizer_fertility" -> tokenizerFertilitySql(),
     "q_heavy_hitters" -> heavyHittersSql(),
     "q_split_assign" -> splitAssignSql(),
     "q_source_overlap" -> sourceOverlapSql(),
