@@ -127,7 +127,25 @@ object AnnIndex {
     * stores codes, not raw vectors — Faiss IndexRefine's split).
     * Output schema matches annIvfPq: (q_id, n_id, cos, rn).
     */
-  def serve(embeddings: DataFrame, path: String): DataFrame = {
+  def serve(embeddings: DataFrame, path: String): DataFrame =
+    Embeddings.topKByCos(refinedPairs(embeddings, path))
+
+  /** C77b's committed twin: semi-hard negatives mined from the
+    * ARTIFACT's candidate stream — the same band rule as
+    * [[Embeddings.annHardNegatives]] over the same ADC-shortlist +
+    * exact-refine pairs, with codebooks and codes loading from `path`;
+    * nothing trains. AnnIndexSpec pins served == in-session
+    * row-for-row.
+    */
+  def serveHardNegatives(embeddings: DataFrame, path: String): DataFrame =
+    Embeddings.topKByCos(refinedPairs(embeddings, path)
+      .filter(col("cos") >= Embeddings.NegLo && col("cos") < Embeddings.NegHi))
+
+  /** The artifact-served candidate core: identical routing/ADC/refine
+    * to [[Embeddings.ivfPqRefinedPairs]], codebooks+codes from the
+    * committed index.
+    */
+  private def refinedPairs(embeddings: DataFrame, path: String): DataFrame = {
     val spark = embeddings.sparkSession
     val ix = load(spark, path)
     val q = Embeddings.quantized(embeddings)
@@ -157,6 +175,6 @@ object AnnIndex {
       .agg(Exprs.maxKScored(col("approx_cos"), col("n_id"), RefineK).as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))
       .select(col("q_id"), col("t.id").as("n_id"))
-    Embeddings.topKByCos(Embeddings.scorePairs(shortlist, q))
+    Embeddings.scorePairs(shortlist, q)
   }
 }

@@ -827,7 +827,29 @@ object Embeddings {
     * rows — at 100 TB the exact re-rank is a broadcast-joined
     * constant-size tail, not a scan.
     */
-  def annIvfPq(embeddings: DataFrame): DataFrame = {
+  def annIvfPq(embeddings: DataFrame): DataFrame =
+    topKByCos(ivfPqRefinedPairs(embeddings))
+
+  /** C77b: hard negatives mined from the IVF-PQ candidate stream — the
+    * C77 band rule applied AFTER the exact-cosine refine of the C7e
+    * shortlist, i.e. the scale path: the brute scorer's one-corpus
+    * stream is replaced by partition-pruned probe lists + ADC, and the
+    * (q_id, n_id, cos) contract is unchanged (C54's composition rule,
+    * made concrete). Negatives are a SUBSET of C77's brute band set by
+    * construction (same exact cosine on a shortlist ⊆ all pairs); the
+    * committed twin [[AnnIndex.serveHardNegatives]] mines the same
+    * band from the artifact without training.
+    */
+  def annHardNegatives(embeddings: DataFrame): DataFrame =
+    topKByCos(ivfPqRefinedPairs(embeddings)
+      .filter(col("cos") >= NegLo && col("cos") < NegHi))
+
+  /** The shared IVF-PQ candidate core: coarse routing → ADC shortlist
+    * (RefineK) → exact-cosine rescore, returning refined
+    * (q_id, n_id, cos) pairs for [[annIvfPq]]'s top-k and
+    * [[annHardNegatives]]' band mining.
+    */
+  private[operators] def ivfPqRefinedPairs(embeddings: DataFrame): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -877,10 +899,10 @@ object Embeddings {
       .agg(Exprs.maxKScored(col("approx_cos"), col("n_id"), RefineK).as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))
       .select(col("q_id"), col("t.id").as("n_id"))
-    topKByCos(scorePairs(shortlist, q))
+    scorePairs(shortlist, q)
   }
 
-  val annIvfPqSql: String = {
+  private def ivfPqSqlWith(rescoredFilter: String): String = {
     val codeJoins = (0 until PqM).map { m =>
       s"  JOIN asg$m a$m ON c.n_id = a$m.vec_id\n" +
         s"  JOIN centf$m c$m ON a$m.code = c$m.c_id"
@@ -924,8 +946,13 @@ object Embeddings {
        |  FROM short s JOIN n a ON s.q_id = a.vec_id JOIN n b ON s.n_id = b.vec_id)
        |SELECT q_id, n_id, cos, rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
-       |  FROM rescored) WHERE rn <= $TopK""".stripMargin
+       |  FROM rescored $rescoredFilter) WHERE rn <= $TopK""".stripMargin
   }
+
+  val annIvfPqSql: String = ivfPqSqlWith("")
+
+  val annHardNegativesSql: String =
+    ivfPqSqlWith(s"WHERE cos >= $NegLo AND cos < $NegHi")
 
   // ---------------- C44: SemDeDup (semantic dedup) ----------------
 
@@ -1412,6 +1439,7 @@ object Embeddings {
     "q_ann_ivfpq" -> ((s, d) => annIvfPq(Tables.embeddings(s, d))),
     "q_ann_topk" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
     "q_hard_negatives" -> ((s, d) => hardNegatives(Tables.embeddings(s, d))),
+    "q_ann_hard_negatives" -> ((s, d) => annHardNegatives(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d))),
     "q_ann_multiprobe" -> ((s, d) => annMultiProbe(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => annIvf(Tables.embeddings(s, d))),
@@ -1428,6 +1456,7 @@ object Embeddings {
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_ann_topk" -> annTopKSql,
     "q_hard_negatives" -> hardNegativesSql,
+    "q_ann_hard_negatives" -> annHardNegativesSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_multiprobe" -> annMultiProbeSql,
     "q_ann_ivf" -> annIvfSql,

@@ -36,6 +36,33 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"served-from-artifact must equal trained-in-session; diff=${(served diff trained) ++ (trained diff served)}")
   }
 
+  test("hard negatives served from the committed index == in-session IVF-PQ band mining") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = s"$tmp/ix_neg"
+    AnnIndex.build(emb, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e12), r.getInt(3))).toSet
+    val served = AnnIndex.serveHardNegatives(emb, path)
+    val servedRows = served.collect()
+    assert(servedRows.nonEmpty, "the band must be populated at sf0.001")
+    // band + self-exclusion invariants on every served negative
+    servedRows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1), "self can never be a negative")
+      val cos = r.getDouble(2)
+      assert(cos >= Embeddings.NegLo && cos < Embeddings.NegHi,
+        s"cos $cos escaped the semi-hard band")
+    }
+    assert(rows(served) == rows(Embeddings.annHardNegatives(emb)),
+      "artifact-served negatives must equal the in-session IVF-PQ band mining")
+    // subset of the brute band pairs: same exact cosine, shortlist ⊆ all
+    // k = corpus size: the heap keeps every band member per probe
+    val brute = Embeddings.hardNegatives(emb, k = emb.count().toInt).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    servedRows.foreach(r => assert(brute.contains((r.getLong(0), r.getLong(1))),
+      "a served negative must exist in the brute-force band set"))
+  }
+
   test("rebuilds commit as new versions; the artifact tables are versioned and intact") {
     val emb = Tables.embeddings(spark, sf)
     val path = s"$tmp/ix_v"
