@@ -116,7 +116,12 @@ object ScaleAudit {
     // semi-hard negative mining (broadcast probes + bounded heap, band
     // filter map-side)
     "q_temperature_mix", "q_unimax_mix", "q_mojibake_repair",
-    "q_repetition_profile", "q_hard_negatives")
+    "q_repetition_profile", "q_hard_negatives",
+    // round-9 batch 2: the native-JSON front door (per-file parallel,
+    // in-band quarantine), the lang-keyed fertility rollup riding the
+    // zero-shuffle encode, and the artifact-shaped negative miner
+    // (partition-pruned probe lists, never a corpus pair join)
+    "q_jsonl_ingest", "q_tokenizer_fertility", "q_ann_hard_negatives")
 
   def buildScaled(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
     // events.ts stays a raw nanos long end-to-end: the flag reads the

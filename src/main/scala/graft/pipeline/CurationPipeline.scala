@@ -77,16 +77,26 @@ object CurationPipeline {
         Dsir.dsirWeights(labeled).filter(col("keep")).select("doc_id"), "doc_id")
         .select("doc_id", "text", "n_chars")
 
+      // stage seconds ride the funnel (each count materializes its
+      // stage on top of the already-persisted upstream, so the delta is
+      // that stage's own cost — the complete telemetry a curation run
+      // ships next to the row counts)
+      def timed(rows: => Long): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = rows
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
       val stages = Seq(
-        ("1_warc_records", split.count()),
-        ("2_html_extracted", extracted.count()),
-        ("3_normalized", normalized.count()),
-        ("4_quality_kept", qualityKept.count()),
-        ("5_canonical_kept", canonKept.count()),
-        ("6_dsir_selected", curated.count()))
+        "1_warc_records" -> timed(split.count()),
+        "2_html_extracted" -> timed(extracted.count()),
+        "3_normalized" -> timed(normalized.count()),
+        "4_quality_kept" -> timed(qualityKept.count()),
+        "5_canonical_kept" -> timed(canonKept.count()),
+        "6_dsir_selected" -> timed(curated.count()))
+        .map { case (n, (rows, secs)) => (n, rows, secs) }
       val s = spark
       import s.implicits._
-      (curated, stages.toDF("stage", "rows"))
+      (curated, stages.toDF("stage", "rows", "secs"))
     }
   }
 }

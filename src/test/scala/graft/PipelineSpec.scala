@@ -305,6 +305,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val blobs = Warc.warcFiles(docs.select(col("doc_id"), Html.plantedHtml.as("html")))
     val (curated, funnel) = CurationPipeline.curate(blobs, targetIds)
     val f = funnel.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stage seconds present and sane on every funnel row
+    funnel.collect().foreach(r => assert(r.getDouble(2) >= 0.0, r.getString(0)))
     val nDocs = docs.count()
     // the WARC round-trip loses nothing; each filter stage only narrows
     assert(f("1_warc_records") == nDocs && f("2_html_extracted") == nDocs &&
