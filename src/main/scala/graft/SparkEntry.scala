@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AudioDedup, Classify, Curation, Dedup, DedupIndex, Dsir, Embeddings, Graph, Html, ImageDedup, Reference, Retrieval, RollupIndex, Sketches, Temporal, TextOps, VideoDedup}
+import graft.operators.{Analytics, AudioDedup, Classify, Curation, Dedup, DedupIndex, Dsir, Embeddings, EvalRegistry, Graph, Html, ImageDedup, Reference, Retrieval, RollupIndex, Sketches, Temporal, TextOps, VideoDedup}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,7 +28,7 @@ object SparkEntry {
       graft.sources.Warc.queries ++ graft.sources.Jsonl.queries ++
       Html.queries ++
       Curation.queries ++ Dsir.queries ++ DedupIndex.queries ++
-      RollupIndex.queries
+      RollupIndex.queries ++ EvalRegistry.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +41,5 @@ object SparkEntry {
       graft.sources.Warc.oracle ++ graft.sources.Jsonl.oracle ++
       Html.oracle ++
       Curation.oracle ++ Dsir.oracle ++ DedupIndex.oracle ++
-      RollupIndex.oracle
+      RollupIndex.oracle ++ EvalRegistry.oracle
 }

@@ -895,6 +895,32 @@ object EventStream {
   def streamingTemperatureGate(docs: DataFrame, rates: DataFrame): DataFrame =
     graft.operators.TextOps.temperatureDecisions(docs, rates)
 
+  /** Streaming decontamination gate (C80's continuous twin): each
+    * micro-batch gets its keep verdicts against the COMMITTED
+    * eval-protection registry ([[graft.operators.EvalRegistry.load]]) —
+    * a broadcast semi-join over eval-suite-sized fingerprints plus one
+    * doc-keyed agg, so the per-doc verdict needs the
+    * [[streamingLmGate]] foreachBatch shape (a streaming agg can't
+    * emit per-row in append mode), and inherits its at-least-once
+    * contract: every verdict row carries `batch_id`, a replayed batch
+    * rewrites the same (batch_id, doc_id) pairs. No eval TEXT is ever
+    * present at the gate; a benchmark registered mid-stream is picked
+    * up by the next gate restart (the committed-snapshot contract all
+    * artifact gates share).
+    */
+  def streamingDecontaminateGate(docs: DataFrame, registry: DataFrame,
+                                 outPath: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.EvalRegistry.decontaminate(batch.toDF(), registry)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   def streamingDsirGate(docs: DataFrame, lr: Array[Long], keepMin: Long): DataFrame =
     graft.operators.Dsir.scoreAgainst(docs, lr)
       .withColumn("keep", col("dsir_fp") >= lit(keepMin))

@@ -1253,6 +1253,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the smallest source's docs must all be kept (rate 1)")
   }
 
+  test("EQUIVALENCE: streaming decontamination gate against a committed registry == batch verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.EvalRegistry
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-evalreg-stream").toString
+    EvalRegistry.register(docs.filter(col("doc_id") % 10 === 0), s"$dir/reg")
+    val registry = EvalRegistry.load(spark, s"$dir/reg")
+    val train = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val batch = EvalRegistry.decontaminate(train, registry).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+    // the benchmark slice contaminates at least one train doc on this corpus
+    assert(batch.exists(!_._3) && batch.exists(_._3))
+    val rows: Seq[(Long, String)] = train.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val out = java.nio.file.Files.createTempDirectory("graft-evalreg-out").toString
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.streamingDecontaminateGate(
+      in.toDF().toDF("doc_id", "text"), registry, s"$out/verdicts", s"$out/ckpt")
+    in.addData(rows.take(25)); q.processAllAvailable()
+    in.addData(rows.drop(25)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$out/verdicts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+    assert(streamed == batch,
+      "a doc the live gate rejects must be exactly the doc the batch pass rejects")
+    // re-registering the same suite is a no-op: registry is a set
+    EvalRegistry.register(docs.filter(col("doc_id") % 10 === 0), s"$dir/reg", buildV = 1L)
+    val again = EvalRegistry.decontaminate(train, EvalRegistry.load(spark, s"$dir/reg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+    assert(again == batch)
+  }
+
   test("LM gate scores from a COMMITTED model artifact == from the trained frames") {
     import graft.operators.Classify
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
