@@ -121,7 +121,10 @@ object ScaleAudit {
     // in-band quarantine), the lang-keyed fertility rollup riding the
     // zero-shuffle encode, and the artifact-shaped negative miner
     // (partition-pruned probe lists, never a corpus pair join)
-    "q_jsonl_ingest", "q_tokenizer_fertility", "q_ann_hard_negatives")
+    "q_jsonl_ingest", "q_tokenizer_fertility", "q_ann_hard_negatives",
+    // the eval-registry probe join must stay broadcast (registry is
+    // eval-suite-sized) and the verdict agg doc-keyed as the corpus grows
+    "q_decontaminate")
 
   def buildScaled(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
     // events.ts stays a raw nanos long end-to-end: the flag reads the
