@@ -81,6 +81,55 @@ object Sketches {
           .as("p90_within_bound"))
   }
 
+  /** The 100 TB twin of [[approxOrderQuantiles]]' EXACT columns:
+    * per-group discrete quantiles via [[DistributedRank]] instead of
+    * sort-buffering aggregates. `percentile_disc(q)` buffers every
+    * group value in one aggregation buffer and sorts it at eval — six
+    * of them here means six copies of the group in memory, the
+    * documented exact-baseline-at-test-SF trade. This twin computes
+    * the same values with NO per-group buffering: rank every row once
+    * (equal-depth buckets + local windows — per-task work is one
+    * bucket of one key), then pick the rows whose rank hits
+    * ceil(q·n) — `percentile_disc`'s "smallest value with cume_dist
+    * ≥ q" is exactly the value at row position ceil(q·n) of the
+    * ordered group, ties included (tied rows carry the same value, so
+    * any tie order yields the same answer). Two passes over the fact
+    * frame, one bounded-frame window, one broadcast join.
+    * LlmOpsSpec pins it value-for-value against percentile_disc.
+    */
+  def orderQuantilesScalable(orders: DataFrame,
+                             qs: Seq[Double] = Seq(0.5, 0.9),
+                             buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // prices scale to exact long cents — integral, order-preserving.
+    // The decimal(18,2) hop is load-bearing when the column arrives as
+    // DOUBLE: 12345.67 * 100 is 1234566.999… in binary, and a straight
+    // long cast would truncate it into the wrong rank key; the decimal
+    // cast rounds to the intended cents first.
+    val base = orders.select(col("o_orderstatus").as("g"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val wLocal = Window.partitionBy("g", DistributedRank.BucketCol)
+      .orderBy("cents")
+    val ranked = DistributedRank
+      .withBucketOffsets(base, "g", "cents", lit(1L), buckets)
+      .withColumn("r",
+        col(DistributedRank.OffsetCol) + row_number().over(wLocal).cast("long"))
+    // alias the group column: targets shares base's lineage, and a
+    // ranked("g") === targets("g") condition would resolve both sides
+    // to the same attribute (a trivially-true predicate)
+    val counts = base.groupBy("g").agg(count(lit(1)).as("n"))
+    val targets = counts.select(
+      col("g").as("tg"), col("n"),
+      explode(array(qs.map(q =>
+        struct(lit(q).as("q"), ceil(lit(q) * col("n")).cast("long").as("pos"))): _*))
+        .as("t"))
+      .select(col("tg"), col("n"), col("t.q").as("q"), col("t.pos").as("pos"))
+    ranked
+      .join(broadcast(targets), col("g") === col("tg") && col("r") === col("pos"))
+      .select(col("g").as("o_orderstatus"), col("n"), col("q"),
+        (col("cents").cast("double") / 100.0).as("value"))
+  }
+
   val approxOrderQuantilesSql: String =
     """SELECT o_orderstatus, count(*) AS n,
       |  quantile_disc(o_totalprice, 0.5) AS p50,

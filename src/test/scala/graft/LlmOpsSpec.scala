@@ -645,6 +645,31 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aq.filter(!col("p50_within_bound") || !col("p90_within_bound")).count() == 0)
   }
 
+  test("rank-based multi-quantile twin == percentile_disc value for value") {
+    val orders = Tables.orders(spark, sf)
+    val scal = graft.operators.Sketches.orderQuantilesScalable(orders)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(2)) -> r.getDouble(3)).toMap
+    def exact(q: Double) =
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY o_totalprice)")
+    val buf = orders.groupBy("o_orderstatus")
+      .agg(exact(0.5).as("p50"), exact(0.9).as("p90")).collect()
+    assert(buf.nonEmpty)
+    buf.foreach { r =>
+      val g = r.getString(0)
+      // the rank twin must reproduce the buffered sort-agg exactly
+      // (same long cents, so doubles compare exactly)
+      def asDouble(i: Int): Double = r.get(i) match {
+        case d: java.math.BigDecimal => d.doubleValue()
+        case d: Double => d
+        case x => throw new IllegalStateException(s"unexpected $x")
+      }
+      assert(scal((g, 0.5)) == asDouble(1), s"$g p50")
+      assert(scal((g, 0.9)) == asDouble(2), s"$g p90")
+    }
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("edit-distance verify: bounded by prefix, zero only for identical prefixes") {
     val docs = Tables.documents(spark, sf)
     val ed = Dedup.dedupEditDistance(docs)
