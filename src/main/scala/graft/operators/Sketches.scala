@@ -118,11 +118,18 @@ object Sketches {
     // ranked("g") === targets("g") condition would resolve both sides
     // to the same attribute (a trivially-true predicate)
     val counts = base.groupBy("g").agg(count(lit(1)).as("n"))
+    // pos = ceil(q*n) in EXACT integer arithmetic: ceil(double(q)*n)
+    // rounds past the true rank whenever q*n lands just above an
+    // integer in binary (0.07*100 = 7.000000000000001 → rank 8, one
+    // above percentile_disc). q is treated as a 6-dp rational — num*n
+    // ≤ 10^6 * 10^12 stays inside int64 at any corpus size.
     val targets = counts.select(
       col("g").as("tg"), col("n"),
-      explode(array(qs.map(q =>
-        struct(lit(q).as("q"), ceil(lit(q) * col("n")).cast("long").as("pos"))): _*))
-        .as("t"))
+      explode(array(qs.map { q =>
+        val num = math.round(q * 1000000.0)
+        struct(lit(q).as("q"),
+          expr(s"(($num * n) + 999999) div 1000000").as("pos"))
+      }: _*)).as("t"))
       .select(col("tg"), col("n"), col("t.q").as("q"), col("t.pos").as("pos"))
     ranked
       .join(broadcast(targets), col("g") === col("tg") && col("r") === col("pos"))

@@ -759,11 +759,19 @@ object TextOps {
     * only), so whole-doc application ≡ per-token application without
     * exploding the corpus. Map-side only; plan-pinned shuffle-free.
     */
+  /** Train-and-collect the ordered merge list — the ONE place the
+    * collect lives: merge order IS the model, guaranteed only by
+    * bpeTrain's trailing round sort, so every consumer must share this
+    * exact collect (a re-select that dropped the sort in one copy
+    * would silently desynchronize the tokenizer).
+    */
+  private def collectMerges(documents: DataFrame, k: Int): Seq[(String, String)] =
+    bpeTrain(documents, k)
+      .select("left_sym", "right_sym").collect()
+      .map(r => (r.getString(0), r.getString(1))).toIndexedSeq
+
   def bpeEncode(documents: DataFrame, k: Int = BpeRounds): DataFrame =
-    bpeEncodeWith(documents,
-      bpeTrain(documents, k)
-        .select("left_sym", "right_sym").collect()
-        .map(r => (r.getString(0), r.getString(1))).toIndexedSeq)
+    bpeEncodeWith(documents, collectMerges(documents, k))
 
   /** Encode against an EXPLICIT ordered merge list (the tokenizer
     * model) — the body [[bpeEncode]] and the committed-tokenizer serve
@@ -796,11 +804,7 @@ object TextOps {
     * round(Σbpe / Σws, 4) — exact int sums, one IEEE division.
     */
   def tokenizerFertility(documents: DataFrame, k: Int = BpeRounds): DataFrame =
-    bpeEncodeWith(documents,
-      bpeTrain(documents, k)
-        .select("left_sym", "right_sym").collect()
-        .map(r => (r.getString(0), r.getString(1))).toIndexedSeq,
-      Seq("lang"))
+    bpeEncodeWith(documents, collectMerges(documents, k), Seq("lang"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -647,13 +647,19 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("rank-based multi-quantile twin == percentile_disc value for value") {
     val orders = Tables.orders(spark, sf)
-    val scal = graft.operators.Sketches.orderQuantilesScalable(orders)
+    // 0.07 and 0.55 are the float-ceil hazard cases: double(q)*n lands
+    // just ABOVE the integer rank (0.07*100 = 7.000000000000001), so a
+    // ceil-on-doubles position picks the rank above percentile_disc's —
+    // the exact 6-dp-rational position must not
+    val qs = Seq(0.07, 0.5, 0.55, 0.9)
+    val scal = graft.operators.Sketches.orderQuantilesScalable(orders, qs)
       .collect()
       .map(r => (r.getString(0), r.getDouble(2)) -> r.getDouble(3)).toMap
     def exact(q: Double) =
       expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY o_totalprice)")
+    val aggCols = qs.map(q => exact(q).as(s"p$q"))
     val buf = orders.groupBy("o_orderstatus")
-      .agg(exact(0.5).as("p50"), exact(0.9).as("p90")).collect()
+      .agg(aggCols.head, aggCols.tail: _*).collect()
     assert(buf.nonEmpty)
     buf.foreach { r =>
       val g = r.getString(0)
@@ -664,8 +670,9 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         case d: Double => d
         case x => throw new IllegalStateException(s"unexpected $x")
       }
-      assert(scal((g, 0.5)) == asDouble(1), s"$g p50")
-      assert(scal((g, 0.9)) == asDouble(2), s"$g p90")
+      qs.zipWithIndex.foreach { case (q, i) =>
+        assert(scal((g, q)) == asDouble(i + 1), s"$g p$q")
+      }
     }
     graft.GraftCache.releaseAll(spark)
   }

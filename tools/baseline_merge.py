@@ -86,6 +86,7 @@ def main() -> int:
                 bc[q], bw[q] = lc[q], lw[q]
 
     old_first = None
+    dropped = []
     if args.new_epoch:
         # archive, then re-freeze the first-landing maps from this run:
         # the measurement unit changed, so cross-epoch drift would be
@@ -93,8 +94,21 @@ def main() -> int:
         old_first = {"queries_first": fc, "queries_warm_first": fw}
         fc = {q: lc[q] for q in sorted(lc) if lc[q] >= 0 and q in bc}
         fw = {q: lw[q] for q in sorted(lw) if lw.get(q, -1) >= 0 and q in bw}
+        # UNIT PURITY: a query that failed or was absent in the epoch
+        # run must not keep an old-unit gating entry (its regression
+        # gate would compare across units forever, and the next plain
+        # merge would re-seed its "first landing" from the old unit).
+        # Drop it outright — it re-enters as a new query on its next
+        # successful run.
+        dropped = [q for q in sorted(bc) if q not in fc]
+        for q in dropped:
+            bc.pop(q, None)
+            bw.pop(q, None)
+            print(f"note: --new-epoch dropped '{q}' (failed/absent in the "
+                  "epoch run; re-lands as new on its next success)",
+                  file=sys.stderr)
 
-    if args.rebase and not rebased:
+    if args.rebase and not rebased and not args.new_epoch:
         print("note: --rebase given but no shared entry changed", file=sys.stderr)
 
     out = {
@@ -112,11 +126,16 @@ def main() -> int:
         "sf": last.get("sf", base.get("sf", "")),
         "rebase_log": base.get("rebase_log", []),
     }
-    if args.rebase and rebased:
+    # an epoch reset ALWAYS logs (the archived first maps are the audit
+    # trail — even a no-gating-change epoch must preserve them); a plain
+    # rebase logs only when something actually changed
+    if (args.rebase and rebased) or old_first is not None:
         entry = {"reason": args.rebase, "changes": rebased}
         if old_first is not None:
             entry["epoch"] = "first-landing maps re-frozen"
             entry["archived_first"] = old_first
+            if dropped:
+                entry["dropped"] = dropped
         out["rebase_log"].append(entry)
 
     with open(args.baseline, "w") as f:
