@@ -127,6 +127,41 @@ object DedupIndex {
     }
   }
 
+  /** Takedown / retraction — the compliance op that completes the
+    * artifact lifecycle (build / extend / serve / compact / vacuum /
+    * RETRACT): remove every index row belonging to `docIds` from every
+    * sub-table present (fps/sigs/bands, plus the opt-in containment
+    * lens when it exists at this path), via [[VersionedTable
+    * .replaceAll]]'s optimistic full-snapshot logical rewrite — so the
+    * removal is ATOMIC per sub-table (readers see the old or the new
+    * version, never a half-retracted table), race-safe against a
+    * concurrent extend (the loser refolds the winner's snapshot), and
+    * IDEMPOTENT (retracting an absent id rewrites identically; a
+    * replayed takedown job is a no-op). Effective at serve immediately:
+    * serve reads only committed rows, so a probe that matched a
+    * retracted doc stops matching it — a duplicate of removed content
+    * is ADMITTED afterwards, which is exactly the takedown semantics
+    * (the content is no longer in the corpus, so its next arrival is
+    * legitimately new). The ids list is takedown-request-sized (a
+    * constant-size argument, not a corpus collect). replaceAll refuses
+    * an empty fold by contract, so retracting the ENTIRE index is
+    * rejected — drop the table instead.
+    */
+  def retract(spark: SparkSession, path: String, docIds: Seq[Long]): Unit = {
+    require(docIds.nonEmpty, "DedupIndex.retract: empty takedown list")
+    val ids = docIds.toSet
+    val sub: Seq[(String, Seq[String])] = Seq(
+      fpsPath(path) -> Seq("doc_id"),
+      sigsPath(path) -> Seq("doc_id"),
+      bandsPath(path) -> Seq("doc_id", "b")) ++
+      Some(rshPath(path) -> Seq("doc_id", "h"))
+        .filter(p => VersionedTable.latestManifest(spark, p._1).isDefined)
+    for ((p, keys) <- sub)
+      VersionedTable.replaceAll(spark, p, keys) { snap =>
+        snap.filter(!col("doc_id").isInCollection(ids))
+      }
+  }
+
   /** Classify a (doc_id, text) batch against corpus index FRAMES:
     * (doc_id, kind, match_id) with kind ∈ exact|near|new, match_id the
     * smallest matching corpus doc_id (exact wins over near; −1 when

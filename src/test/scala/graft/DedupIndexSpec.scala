@@ -175,4 +175,48 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     batch.unpersist()
   }
+
+  test("takedown: retracted docs stop matching at serve, retract is idempotent, extend re-admits") {
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("retract")
+    DedupIndex.build(docs, path, buildV = 0L)
+    DedupIndex.buildContain(docs, path, buildV = 0L) // opt-in lens present too
+    val batch = DedupIndex.plantedBatch(docs).cache()
+    val before = verdicts(DedupIndex.serve(batch, path))
+    // pick probes flagged exact — their match_id is the corpus doc to take down
+    val exactHits = before.collect { case (pid, ("exact", mid)) => (pid, mid) }
+    assert(exactHits.nonEmpty, "need exact matches to exercise the takedown")
+    val takedown = exactHits.map(_._2).toSet.toSeq
+    DedupIndex.retract(spark, path, takedown)
+    val after = verdicts(DedupIndex.serve(batch, path))
+    exactHits.foreach { case (pid, mid) =>
+      assert(after(pid)._2 != mid,
+        s"probe $pid still matches retracted corpus doc $mid at serve")
+    }
+    // untouched corpus docs keep serving: verdicts not involving the
+    // retracted ids are unchanged
+    before.foreach { case (pid, v @ (kind, mid)) =>
+      if (!takedown.contains(mid)) assert(after(pid) == v,
+        s"probe $pid verdict drifted though its match $mid was not retracted")
+    }
+    // idempotent: replaying the takedown job changes nothing
+    DedupIndex.retract(spark, path, takedown)
+    assert(verdicts(DedupIndex.serve(batch, path)) == after)
+    // the containment lens forgot them too: its sub-table holds no
+    // retracted ids
+    val rshIds = graft.sources.Sinks.VersionedTable
+      .read(spark, s"$path/rsh").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    takedown.foreach(id => assert(!rshIds.contains(id), s"rsh kept retracted $id"))
+    // re-ingesting removed content is legitimately NEW again — and once
+    // extended, it serves as exact against its new identity
+    val readd = docs.filter(col("doc_id").isInCollection(takedown.toSet))
+    DedupIndex.extend(readd, path, buildV = 2L)
+    val reserved = verdicts(DedupIndex.serve(batch, path))
+    exactHits.foreach { case (pid, mid) =>
+      assert(reserved(pid) == (("exact", mid)),
+        s"re-admitted doc $mid must match probe $pid exactly again")
+    }
+    batch.unpersist()
+  }
 }
