@@ -97,11 +97,23 @@ object Dedup {
     * reflect the corpus as merged, not as first written, or incremental
     * extends would drift from a fresh rebuild).
     */
-  def capBands(bands: DataFrame): DataFrame =
-    bands
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy("b", "band_key")))
-      .filter(col("occ") <= MaxBucketOccupancy)
-      .drop("occ")
+  def capBands(bands: DataFrame): DataFrame = {
+    // Two-phase occupancy, NOT a window: the cap exists precisely
+    // because megabuckets exist, and count().over(partitionBy(b,
+    // band_key)) would funnel the hottest boilerplate bucket's entire
+    // row set into ONE WindowExec partition — AQE can skew-split
+    // shuffle joins but never window partitions. groupBy's map-side
+    // partial aggregation absorbs the hot key (each task contributes
+    // one partial row per bucket it sees), and the join-back is a
+    // plain equi-join AQE can skew-split. Same filter semantics as the
+    // window form; the DuckDB oracle keeps its window (correctness
+    // only, small SF).
+    val keep = bands
+      .groupBy("b", "band_key").count()
+      .filter(col("count") <= MaxBucketOccupancy)
+      .select("b", "band_key")
+    bands.join(keep, Seq("b", "band_key"), "left_semi")
+  }
 
   /** Candidate near-dup pairs: docs sharing at least one (occupancy-
     * capped) band bucket. Tracked: the pair graph is the shared input of

@@ -131,34 +131,52 @@ object DedupIndex {
     * artifact lifecycle (build / extend / serve / compact / vacuum /
     * RETRACT): remove every index row belonging to `docIds` from every
     * sub-table present (fps/sigs/bands, plus the opt-in containment
-    * lens when it exists at this path), via [[VersionedTable
-    * .replaceAll]]'s optimistic full-snapshot logical rewrite — so the
-    * removal is ATOMIC per sub-table (readers see the old or the new
-    * version, never a half-retracted table), race-safe against a
-    * concurrent extend (the loser refolds the winner's snapshot), and
-    * IDEMPOTENT (retracting an absent id rewrites identically; a
-    * replayed takedown job is a no-op). Effective at serve immediately:
-    * serve reads only committed rows, so a probe that matched a
-    * retracted doc stops matching it — a duplicate of removed content
-    * is ADMITTED afterwards, which is exactly the takedown semantics
-    * (the content is no longer in the corpus, so its next arrival is
-    * legitimately new). The ids list is takedown-request-sized (a
-    * constant-size argument, not a corpus collect). replaceAll refuses
-    * an empty fold by contract, so retracting the ENTIRE index is
-    * rejected — drop the table instead.
+    * lens when it exists at this path). BUCKET-PRUNED via
+    * [[VersionedTable.replaceBuckets]]: each sub-table's bucket id is a
+    * pure function of keys the takedown list determines — doc_id for
+    * fps/sigs/rsh, (doc_id, b) with b < [[Dedup.NumBands]] for bands —
+    * so the touched-bucket set is computed FROM the id list (a bounded
+    * one-row-per-id plan, hashed exactly as the writer hashed) and a
+    * 10-doc takedown on a multi-TB index rewrites a handful of bucket
+    * dirs, never the table. Still ATOMIC per sub-table (readers see the
+    * old or the new version, never a half-retracted table), race-safe
+    * against a concurrent extend (the loser refolds the winner's
+    * buckets), and IDEMPOTENT (retracting an absent id is a no-op —
+    * not even a version bump when its buckets were never written).
+    * Effective at serve immediately: serve reads only committed rows,
+    * so a probe that matched a retracted doc stops matching it — a
+    * duplicate of removed content is ADMITTED afterwards, which is
+    * exactly the takedown semantics (the content is no longer in the
+    * corpus, so its next arrival is legitimately new). The ids list is
+    * takedown-request-sized (a constant-size argument, not a corpus
+    * collect).
     */
   def retract(spark: SparkSession, path: String, docIds: Seq[Long]): Unit = {
     require(docIds.nonEmpty, "DedupIndex.retract: empty takedown list")
     val ids = docIds.toSet
-    val sub: Seq[(String, Seq[String])] = Seq(
-      fpsPath(path) -> Seq("doc_id"),
-      sigsPath(path) -> Seq("doc_id"),
-      bandsPath(path) -> Seq("doc_id", "b")) ++
-      Some(rshPath(path) -> Seq("doc_id", "h"))
-        .filter(p => VersionedTable.latestManifest(spark, p._1).isDefined)
-    for ((p, keys) <- sub)
-      VersionedTable.replaceAll(spark, p, keys) { snap =>
-        snap.filter(!col("doc_id").isInCollection(ids))
+    import spark.implicits._
+    // LongType column, matching the writers' doc_id type — hash() is
+    // type-sensitive, so an Int-typed probe would compute wrong buckets
+    val idDf = docIds.toDF("doc_id")
+    // bands buckets hash (doc_id, b): b is bounded by NumBands, so the
+    // touched set enumerates ids × bands — still takedown-request-sized
+    val bandKeyDf = idDf.crossJoin(
+      spark.range(Dedup.NumBands).select(col("id").cast("int").as("b")))
+    def touched(sub: String, keyFrame: DataFrame, bucketKeys: Seq[String]): Seq[Int] = {
+      val nb = VersionedTable.storedNumBuckets(spark, sub).getOrElse(16)
+      keyFrame.select(pmod(hash(bucketKeys.map(col): _*), lit(nb)).as("bk"))
+        .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    }
+    val sub: Seq[(String, Seq[String], DataFrame)] = Seq(
+      (fpsPath(path), Seq("doc_id"), idDf),
+      (sigsPath(path), Seq("doc_id"), idDf),
+      (bandsPath(path), Seq("doc_id", "b"), bandKeyDf)) ++
+      Some((rshPath(path), Seq("doc_id"), idDf))
+        .filter(t => VersionedTable.latestManifest(spark, t._1).isDefined)
+    for ((p, bucketKeys, keyFrame) <- sub)
+      VersionedTable.replaceBuckets(spark, p, bucketKeys,
+        touched(p, keyFrame, bucketKeys)) { slice =>
+        slice.filter(!col("doc_id").isInCollection(ids))
       }
   }
 
@@ -335,9 +353,14 @@ object DedupIndex {
     */
   def buildContain(documents: DataFrame, path: String, buildV: Long = 0L): Unit = {
     val spark = documents.sparkSession
+    // bucketKeys = doc_id (a PREFIX of the (doc_id, h) merge key): all of
+    // a doc's shingle rows land in one bucket, so [[retract]] can compute
+    // the touched buckets from the takedown id list alone — the h values
+    // (unbounded, known only to the data) never need enumerating.
     VersionedTable.mergeUpsert(spark, rshPath(path),
       Dedup.shingleHashes(documents).withColumn("build_v", lit(buildV)),
-      Seq("doc_id", "h"), "build_v", numBuckets = 16)
+      Seq("doc_id", "h"), "build_v", numBuckets = 16,
+      bucketKeys = Seq("doc_id"))
   }
 
   /** Incremental ingest of the containment lens — same keyed merge. */

@@ -465,9 +465,25 @@ object Sinks {
       * version (no torn read). SinksSpec proves both under real
       * concurrent writers.
       */
+    /** `bucketKeys`: the subset of `keys` the bucket id hashes (default:
+      * all of them). Bucketing by a PREFIX of the merge key — e.g. a
+      * (doc_id, h) shingle table bucketed by doc_id alone — keeps the
+      * merge exactly as correct (a row's bucket is still a pure function
+      * of its identity, so latest-wins always finds the old copy) while
+      * making every doc_id-scoped operation bucket-PRUNABLE: point reads
+      * and takedowns ([[replaceBuckets]]) can compute the touched-bucket
+      * set from the doc_id list without knowing the h values. Must stay
+      * the same for the table's lifetime, like numBuckets.
+      */
     def mergeUpsert(spark: SparkSession, path: String, delta: DataFrame,
                     keys: Seq[String], versionCol: String,
-                    numBuckets: Int = 64, maxRetries: Int = 20): Unit = {
+                    numBuckets: Int = 64, maxRetries: Int = 20,
+                    bucketKeys: Seq[String] = Seq.empty): Unit = {
+      val bk = if (bucketKeys.isEmpty) keys else bucketKeys
+      require(bk.forall(keys.contains),
+        s"mergeUpsert: bucketKeys $bk must be a subset of the merge keys $keys " +
+          "(a bucket id that is not a function of the row's identity would let an " +
+          "upsert leave the old copy in a bucket the merge never reads)")
       val fs = fsFor(spark, path)
       // Fail an unsupported store BEFORE the attempt stages/moves any
       // data, not at publish time with orphan dirs already on disk.
@@ -489,7 +505,7 @@ object Sinks {
         // sizes a brand-new table.
         val nb = storedNumBuckets(spark, path).getOrElse(numBuckets)
         val deltaB = delta.withColumn("bucket",
-          pmod(hash(keys.map(col): _*), lit(nb)))
+          pmod(hash(bk.map(col): _*), lit(nb)))
         val next = baseVersion + 1
         // affected-bucket ids: bounded by numBuckets — partition
         // metadata, not data (constant-size driver collect).
@@ -638,6 +654,90 @@ object Sinks {
           "VersionedTable.replaceAll: fold returned an empty frame (use vacuum/drop instead)")
         beforePublishHook()
         committed = publish(spark, path, next, newDirs, nb)
+        if (!committed) {
+          newDirs.values.foreach(d => fs.delete(new Path(path, d), true))
+        }
+      }
+    }
+
+    /** Bucket-PRUNED logical rewrite — [[replaceAll]]'s point complement,
+      * the primitive behind O(touched-buckets) takedown: apply `fold` to
+      * the slice of ONLY the `touched` buckets and commit a new version
+      * in which every other bucket carries over by manifest reference —
+      * zero data movement, its files are never even read. The caller
+      * computes `touched` from the retraction keys (a row's bucket id is
+      * a pure function of its bucket key — see [[mergeUpsert]]'s
+      * bucketKeys), so a 10-doc compliance takedown on a multi-TB index
+      * rewrites a handful of bucket dirs, not the table.
+      *
+      * `fold` receives the touched slice WITH its `bucket` column and
+      * must preserve each surviving row's value (filter and in-place
+      * update folds do this for free). Moving a row across buckets is
+      * checked and refused — it would strand the row where key probes
+      * and later merges never look. A bucket whose fold output is empty
+      * drops out of the manifest (its rows logically disappear — the
+      * thing upsert-only merges cannot express). Same optimistic
+      * protocol as every other commit here: losing the race refolds the
+      * winner's snapshot, so a retraction never erases a concurrent
+      * extend's rows and vice versa.
+      */
+    def replaceBuckets(spark: SparkSession, path: String, keys: Seq[String],
+                       touched: Seq[Int], maxRetries: Int = 20)
+                      (fold: DataFrame => DataFrame): Unit = {
+      val fs = fsFor(spark, path)
+      commitStoreFor(new Path(path).toUri.getScheme) // refuse unsupported stores up front
+      val want = touched.toSet
+      if (want.isEmpty) return
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new java.io.IOException(
+            s"VersionedTable.replaceBuckets: lost the commit race $maxRetries times at $path")
+        val (baseVersion, baseBuckets) = latestManifest(spark, path).getOrElse(
+          throw new IllegalStateException(s"VersionedTable: no commits at $path"))
+        // Touched buckets never written stay unwritten — the fold has
+        // nothing to see there. All-absent means the keys were never in
+        // the table at all: a pure no-op, not even a version bump.
+        val present = want.intersect(baseBuckets.keySet)
+        if (present.isEmpty) return
+        val dirs = present.toSeq.sorted.map(b => new Path(path, baseBuckets(b)).toString)
+        val folded = fold(
+          spark.read.option("mergeSchema", "true").parquet(dirs: _*))
+        val next = baseVersion + 1
+        val stamp = java.util.UUID.randomUUID().toString.take(8)
+        val staging = new Path(path, s".staging-$stamp")
+        folded.withColumn("__pb", col("bucket"))
+          .repartition(col("__pb"), hash(keys.map(col): _*))
+          .write.mode(SaveMode.Overwrite).partitionBy("__pb").parquet(staging.toString)
+        val staged = fs.listStatus(staging)
+          .map(_.getPath.getName).filter(_.startsWith("__pb=")).toSeq
+        val stagedIds = staged.map(_.stripPrefix("__pb=").toInt).toSet
+        val escaped = stagedIds.diff(present)
+        if (escaped.nonEmpty) {
+          fs.delete(staging, true)
+          throw new IllegalArgumentException(
+            s"VersionedTable.replaceBuckets: fold moved rows into untouched buckets " +
+              s"$escaped — the bucket column must be preserved")
+        }
+        val newDirs = staged.map { dirName =>
+          val b = dirName.stripPrefix("__pb=").toInt
+          val rel = f"$DataDir/v$next%08d-b$b%04d-$stamp"
+          fs.mkdirs(new Path(path, DataDir))
+          if (!fs.rename(new Path(staging, dirName), new Path(path, rel)))
+            throw new java.io.IOException(s"VersionedTable: rename $dirName failed")
+          b -> rel
+        }.toMap
+        fs.delete(staging, true)
+        // present-but-unstaged buckets folded to empty: drop them from
+        // the manifest (that is the retraction taking effect)
+        val nextBuckets = (baseBuckets -- present) ++ newDirs
+        require(nextBuckets.nonEmpty,
+          "VersionedTable.replaceBuckets: fold emptied the whole table (drop it instead)")
+        beforePublishHook()
+        committed = publish(spark, path, next, nextBuckets,
+          storedNumBuckets(spark, path).getOrElse(-1))
         if (!committed) {
           newDirs.values.foreach(d => fs.delete(new Path(path, d), true))
         }

@@ -219,4 +219,72 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     batch.unpersist()
   }
+
+  test("takedown is bucket-pruned: a 1-doc retract rewrites a handful of buckets, untouched dirs carry over byte-identical (r10)") {
+    import graft.sources.Sinks.VersionedTable
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("pruned")
+    DedupIndex.build(docs, path, buildV = 0L)
+    DedupIndex.buildContain(docs, path, buildV = 0L)
+    val one = Seq(docs.select("doc_id").head().getLong(0))
+    val subs = Seq("fps", "sigs", "bands", "rsh")
+    val before: Map[String, Map[Int, String]] =
+      subs.map(t => t -> VersionedTable.latestManifest(spark, s"$path/$t").get._2).toMap
+    // every data file's mtime before the takedown
+    import scala.jdk.CollectionConverters._
+    def mtimes(): Map[String, Long] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try s.filter(p => p.toString.endsWith(".parquet"))
+        .iterator().asScala
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+      finally s.close()
+    }
+    val mtBefore = mtimes()
+    DedupIndex.retract(spark, path, one)
+    var rewritten = 0
+    var total = 0
+    subs.foreach { t =>
+      val after = VersionedTable.latestManifest(spark, s"$path/$t").get._2
+      val all = before(t).keySet ++ after.keySet
+      total += before(t).size
+      val changed = all.filter(b => before(t).get(b) != after.get(b))
+      rewritten += changed.size
+      // carried-over buckets reference the SAME dirs — and those dirs'
+      // files were not rewritten in place either (mtime unchanged)
+      (all -- changed).foreach { b =>
+        val dir = new java.io.File(s"$path/$t", before(t)(b))
+        assert(dir.isDirectory, s"$t bucket $b carried over but its dir vanished")
+        dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          assert(mtBefore.get(f.getPath).contains(f.lastModified()),
+            s"untouched $t bucket $b file ${f.getName} was rewritten in place")
+        }
+      }
+    }
+    // 1 doc: one bucket each of fps/sigs/rsh + ≤ NumBands band buckets —
+    // of 64 committed buckets a full-snapshot rewrite would touch
+    val bound = 3 + graft.operators.Dedup.NumBands
+    assert(rewritten <= bound && rewritten >= 1,
+      s"1-doc takedown rewrote $rewritten of $total buckets (bound $bound)")
+    assert(total >= 32, s"expected a well-populated index, got $total buckets")
+    // verdict parity with the unpruned path: a second identical index
+    // retracted via the full-snapshot fold serves identically
+    val pathAll = tmp("pruned-vs-all")
+    DedupIndex.build(docs, pathAll, buildV = 0L)
+    DedupIndex.buildContain(docs, pathAll, buildV = 0L)
+    for ((t, keys) <- Seq("fps" -> Seq("doc_id"), "sigs" -> Seq("doc_id"),
+      "bands" -> Seq("doc_id", "b"), "rsh" -> Seq("doc_id")))
+      VersionedTable.replaceAll(spark, s"$pathAll/$t", keys) { snap =>
+        snap.filter(!col("doc_id").isInCollection(one.toSet))
+      }
+    val batch = DedupIndex.plantedBatch(docs)
+    assert(verdicts(DedupIndex.serve(batch, path)) ==
+      verdicts(DedupIndex.serve(batch, pathAll)),
+      "bucket-pruned retract must serve identically to the full-snapshot rewrite")
+    def contain(p: String): Map[Long, (String, Long, Long)] =
+      DedupIndex.serveContain(DedupIndex.plantedContainBatch(docs), p)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(contain(path) == contain(pathAll),
+      "bucket-pruned rsh retract must serve containment identically too")
+  }
 }

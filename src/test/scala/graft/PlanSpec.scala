@@ -143,6 +143,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_image_phash: pair mining must stay an equi-join on band buckets")
   }
 
+  test("band occupancy cap is two-phase groupBy + semi-join, never a window (r10)") {
+    // The cap exists BECAUSE megabuckets exist: a count-over-window on
+    // (b, band_key) would buffer the hottest boilerplate bucket's whole
+    // row set in one WindowExec task, and AQE can skew-split joins but
+    // never window partitions. Pin the helper itself window-free...
+    graft.GraftCache.releaseAll(spark)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val capped = graft.operators.Dedup.capBands(
+      graft.operators.Dedup.minhashBands(graft.operators.Dedup.minhashSignature(docs)))
+    assert(capped.queryExecution.executedPlan.collect { case w: WindowExec => w }.isEmpty,
+      "capBands: occupancy guard must be groupBy + semi-join, not a window")
+    // ...and the two consumers end to end: the C2 candidate miner and
+    // the committed-index serve path (which re-caps the persisted band
+    // table against current occupancy).
+    for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_vs_corpus")) {
+      graft.GraftCache.releaseAll(spark)
+      assert(plan(q).collect { case w: WindowExec => w }.isEmpty,
+        s"$q: a window crept back into the capped-bands path")
+    }
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("chunking is shuffle-free: q_chunk_docs has no Exchange at all") {
     val exchanges = plan("q_chunk_docs").collect {
       case e: org.apache.spark.sql.execution.exchange.Exchange => e
