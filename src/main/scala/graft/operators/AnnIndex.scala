@@ -92,6 +92,37 @@ object AnnIndex {
       (0 until PqM).map(m => rows(s"pq$m").map(_._3).toSeq))
   }
 
+  /** Takedown — the compliance op that completes the vector artifact's
+    * lifecycle (build / extend / serve / rebuild / RETRACT): remove the
+    * given vectors' rows from the codes table, so removed content stops
+    * being servable as a neighbor (plain serve AND hard-negative
+    * mining — both read the same candidate core) at the next snapshot.
+    * BUCKET-PRUNED via [[VersionedTable.replaceBuckets]]: codes bucket
+    * by vec_id, so the touched set comes straight from the id list and
+    * a takedown rewrites a handful of bucket dirs, never the corpus-
+    * proportional code table. Atomic (a concurrent serve sees the old
+    * or the new version), idempotent (absent ids are a no-op).
+    *
+    * The CODEBOOKS are deliberately untouched: they are a trained model
+    * artifact ((1+PqM)×NumCentroids centroids), not content — a
+    * retracted vector's marginal pull on a centroid is not retrievable
+    * data, the same boundary every production vector store draws
+    * (Faiss `remove_ids` drops postings, never retrains quantizers).
+    */
+  def retract(spark: SparkSession, path: String, vecIds: Seq[Long]): Unit = {
+    require(vecIds.nonEmpty, "AnnIndex.retract: empty takedown list")
+    val ids = vecIds.toSet
+    import spark.implicits._
+    val idDf = vecIds.toDF("vec_id") // LongType, matching the writer's key
+    val nb = VersionedTable.storedNumBuckets(spark, codesPath(path)).getOrElse(16)
+    val touched = idDf
+      .select(pmod(hash(col("vec_id")), lit(nb)).as("bk"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    VersionedTable.replaceBuckets(spark, codesPath(path), Seq("vec_id"), touched) {
+      slice => slice.filter(!col("vec_id").isInCollection(ids))
+    }
+  }
+
   /** The committed code table (vec_id, c_id, code_0..code_{PqM−1}) at
     * the latest committed version — snapshot-isolated, bucket-prunable.
     */

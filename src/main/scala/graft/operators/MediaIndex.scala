@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sinks.VersionedTable
+
+/** The COMMITTED perceptual-fingerprint index (C12e) — the artifact the
+  * streaming media probes were missing: until round 10 the continuous
+  * image/video dedup twins probed a CALLER-PASSED fingerprint frame
+  * (whatever the session had in memory), which is not an artifact
+  * boundary — no versioned commits, no incremental extend, no takedown.
+  * This object gives the perceptual lenses the same lifecycle the text
+  * dedup corpus has in [[DedupIndex]] and the vector corpus has in
+  * [[AnnIndex]]: fingerprints persisted through the transactional table
+  * format, so
+  *  (a) a serving job — batch or streaming — LOADS the corpus
+  *      fingerprints instead of recomputing them (the decode kernels
+  *      never touch committed media again),
+  *  (b) new crawl batches extend incrementally (keyed latest-wins merge
+  *      touching only the delta's buckets),
+  *  (c) commits are atomic + snapshot-isolated (a probe never sees half
+  *      an ingest), and
+  *  (d) takedown is first-class and BUCKET-PRUNED: retracting a media
+  *      id rewrites only the bucket its fingerprint row hashes into
+  *      ([[VersionedTable.replaceBuckets]]), after which the retracted
+  *      content stops matching at serve immediately.
+  *
+  * Layout under `path/` (each sub-table opt-in, keyed and BUCKETED by
+  * doc_id so the takedown bucket set is computable from the id list):
+  *  - `img` — (doc_id, phash, build_v): [[ImageDedup]]'s 64-bit aHash.
+  *  - `vid` — (doc_id, vhash, build_v): [[VideoDedup]]'s temporal hash.
+  *
+  * Scale: fingerprints are ~64 chars/doc — the index is orders of
+  * magnitude smaller than the media it summarizes, and serve is the
+  * shared [[BandedPairs.probeJoin]] (banded equi-join, occupancy-capped
+  * index side, codegen Hamming verify) — no all-pairs anywhere, probe
+  * cost independent of corpus size past the band cap.
+  */
+object MediaIndex {
+
+  private def imgPath(path: String) = s"$path/img"
+  private def vidPath(path: String) = s"$path/vid"
+
+  private def commitFps(fps: DataFrame, sub: String, fpCol: String,
+                        buildV: Long): Unit =
+    VersionedTable.mergeUpsert(fps.sparkSession, sub,
+      fps.select(col("doc_id"), col(fpCol), lit(buildV).as("build_v")),
+      Seq("doc_id"), "build_v", numBuckets = 16)
+
+  /** Fingerprint `media` (doc_id, payload — real decode kernel,
+    * undecodable payloads quarantined by the kernel's null filter) and
+    * commit into the image sub-table as version `buildV`. Keyed merge:
+    * a new batch extends incrementally; a replayed batch is an
+    * idempotent no-op rewrite.
+    */
+  def buildImages(media: DataFrame, path: String, buildV: Long = 0L): Unit =
+    commitFps(ImageDedup.phashPayloads(media), imgPath(path), "phash", buildV)
+
+  /** Incremental image ingest — the same keyed merge, named for the
+    * call site. */
+  def extendImages(media: DataFrame, path: String, buildV: Long): Unit =
+    buildImages(media, path, buildV)
+
+  /** Fingerprint and commit video clips — [[buildImages]]' twin over
+    * the temporal-hash kernel. */
+  def buildVideos(media: DataFrame, path: String, buildV: Long = 0L): Unit =
+    commitFps(VideoDedup.vhashPayloads(media), vidPath(path), "vhash", buildV)
+
+  def extendVideos(media: DataFrame, path: String, buildV: Long): Unit =
+    buildVideos(media, path, buildV)
+
+  /** The committed image fingerprints at the latest version (a
+    * streaming probe snapshots this at stream start — restart the
+    * stream to pick up a newer index version).
+    */
+  def loadImageFps(spark: SparkSession, path: String): DataFrame =
+    VersionedTable.read(spark, imgPath(path)).select("doc_id", "phash")
+
+  def loadVideoFps(spark: SparkSession, path: String): DataFrame =
+    VersionedTable.read(spark, vidPath(path)).select("doc_id", "vhash")
+
+  /** Probe (media_id, payload) against the COMMITTED image index:
+    * (media_id, doc_id, hamming ≤ threshold). Same kernel + banded
+    * probe join as the in-session path; `media` may be a streaming
+    * frame (stream-static join — see EventStream.streamingImagePhashServe).
+    */
+  def serveImages(media: DataFrame, path: String,
+                  threshold: Int = ImageDedup.HammingThreshold): DataFrame =
+    BandedPairs.probeJoin(
+      ImageDedup.phashPayloads(media, "media_id"), "media_id",
+      loadImageFps(media.sparkSession, path), "doc_id", "phash",
+      ImageDedup.NumBands, ImageDedup.BandBits, threshold)
+
+  def serveVideos(media: DataFrame, path: String,
+                  threshold: Int = VideoDedup.HammingThreshold): DataFrame =
+    BandedPairs.probeJoin(
+      VideoDedup.vhashPayloads(media, "media_id"), "media_id",
+      loadVideoFps(media.sparkSession, path), "doc_id", "vhash",
+      VideoDedup.NumBands, VideoDedup.BandBits, threshold)
+
+  /** Takedown — BUCKET-PRUNED like [[DedupIndex.retract]]: both
+    * sub-tables bucket by doc_id, so the touched-bucket set comes
+    * straight from the id list; a handful of bucket dirs rewrite, the
+    * rest carry over by manifest reference. Atomic per sub-table,
+    * idempotent (absent ids are a no-op), effective at the next serve
+    * snapshot: the retracted media's fingerprint is gone, so a copy of
+    * removed content legitimately probes as novel afterwards.
+    */
+  def retract(spark: SparkSession, path: String, docIds: Seq[Long]): Unit = {
+    require(docIds.nonEmpty, "MediaIndex.retract: empty takedown list")
+    val ids = docIds.toSet
+    import spark.implicits._
+    val idDf = docIds.toDF("doc_id")
+    for (sub <- Seq(imgPath(path), vidPath(path))
+         if VersionedTable.latestManifest(spark, sub).isDefined) {
+      val nb = VersionedTable.storedNumBuckets(spark, sub).getOrElse(16)
+      val touched = idDf
+        .select(pmod(hash(col("doc_id")), lit(nb)).as("bk"))
+        .distinct().collect().map(_.getInt(0)).toIndexedSeq
+      VersionedTable.replaceBuckets(spark, sub, Seq("doc_id"), touched) { slice =>
+        slice.filter(!col("doc_id").isInCollection(ids))
+      }
+    }
+  }
+
+  /** Storage maintenance on the ingest cadence — compact fragmented
+    * buckets, vacuum superseded versions; same contract as
+    * [[DedupIndex.maintain]]. */
+  def maintain(spark: SparkSession, path: String, maxFilesPerBucket: Int = 1,
+               keepVersions: Int = 8, minAgeMs: Long = 0L): Unit =
+    for (sub <- Seq(imgPath(path), vidPath(path))
+         if VersionedTable.latestManifest(spark, sub).isDefined) {
+      VersionedTable.compact(spark, sub, maxFilesPerBucket)
+      VersionedTable.vacuumVersioned(spark, sub, keep = keepVersions, minAgeMs = minAgeMs)
+    }
+}

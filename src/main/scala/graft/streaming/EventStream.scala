@@ -799,6 +799,28 @@ object EventStream {
       VideoDedup.NumBands, VideoDedup.BandBits, threshold)
   }
 
+  /** [[streamingImagePhashMatches]] probing the COMMITTED
+    * [[graft.operators.MediaIndex]] at `indexPath` — the production
+    * form: the fingerprint frame loads from the versioned artifact
+    * (snapshot pinned at stream start; restart to pick up newer
+    * versions), so a takedown ([[graft.operators.MediaIndex.retract]])
+    * is reflected at the next stream start without touching the probe
+    * plan. Same stateless stream-static contract.
+    */
+  def streamingImagePhashServe(media: DataFrame, indexPath: String,
+                               threshold: Int =
+                                 graft.operators.ImageDedup.HammingThreshold): DataFrame =
+    streamingImagePhashMatches(media,
+      graft.operators.MediaIndex.loadImageFps(media.sparkSession, indexPath), threshold)
+
+  /** [[streamingVideoPhashMatches]] probing the committed MediaIndex —
+    * see [[streamingImagePhashServe]]. */
+  def streamingVideoPhashServe(media: DataFrame, indexPath: String,
+                               threshold: Int =
+                                 graft.operators.VideoDedup.HammingThreshold): DataFrame =
+    streamingVideoPhashMatches(media,
+      graft.operators.MediaIndex.loadVideoFps(media.sparkSession, indexPath), threshold)
+
   /** Streaming HTML extraction (C60's continuous twin): the link-
     * density extractor is regexp/split/explode expressions plus one
     * doc_id-keyed agg whose groups are complete within a micro-batch

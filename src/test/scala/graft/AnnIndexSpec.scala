@@ -82,6 +82,49 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"codebooks table must stay (1+PqM)*NumCentroids rows, got $cbRows")
   }
 
+  test("takedown: retracted vectors stop serving (plain + hard negatives), bucket-pruned, parity with full rewrite (r10)") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = s"$tmp/ix_rt"
+    AnnIndex.build(emb, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e12), r.getInt(3))).toSet
+    val before = AnnIndex.serve(emb, path).collect()
+    assert(before.nonEmpty)
+    // take down the two most-served neighbors — removal must be visible
+    val takedown = before.map(_.getLong(1)).groupBy(identity)
+      .toSeq.sortBy { case (id, g) => (-g.length, id) }.take(2).map(_._1)
+    val mBefore = Sinks.VersionedTable.latestManifest(spark, s"$path/codes").get._2
+    AnnIndex.retract(spark, path, takedown)
+    val mAfter = Sinks.VersionedTable.latestManifest(spark, s"$path/codes").get._2
+    val rewritten = (mBefore.keySet ++ mAfter.keySet)
+      .count(b => mBefore.get(b) != mAfter.get(b))
+    assert(rewritten <= takedown.size && rewritten >= 1,
+      s"2-vec takedown rewrote $rewritten of ${mBefore.size} code buckets")
+    // removed content is no longer servable — by EITHER reader of the
+    // candidate core
+    val served = AnnIndex.serve(emb, path).collect()
+    assert(!served.exists(r => takedown.contains(r.getLong(1))),
+      "a retracted vector was served as a neighbor")
+    assert(!AnnIndex.serveHardNegatives(emb, path).collect()
+      .exists(r => takedown.contains(r.getLong(1))),
+      "a retracted vector was mined as a hard negative")
+    // codebooks untouched: the model artifact is not content
+    assert(Sinks.VersionedTable.read(spark, s"$path/codebooks").count() ==
+      (1 + Embeddings.PqM) * Embeddings.NumCentroids)
+    // verdict parity with an unpruned full-snapshot rewrite of a twin
+    val twin = s"$tmp/ix_rt_all"
+    AnnIndex.build(emb, twin)
+    Sinks.VersionedTable.replaceAll(spark, s"$twin/codes", Seq("vec_id")) { snap =>
+      snap.filter(!col("vec_id").isInCollection(takedown.toSet))
+    }
+    assert(rows(AnnIndex.serve(emb, path)) == rows(AnnIndex.serve(emb, twin)),
+      "bucket-pruned retract must serve identically to the full rewrite")
+    // idempotent: replaying the takedown changes nothing
+    AnnIndex.retract(spark, path, takedown)
+    assert(rows(AnnIndex.serve(emb, path)) == rows(AnnIndex.serve(emb, twin)))
+  }
+
   test("streaming ANN serves from the committed index across two micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

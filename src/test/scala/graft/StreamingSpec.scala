@@ -868,6 +868,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     index.unpersist()
   }
 
+  test("committed MediaIndex: streaming probes load the artifact, takedown stops matching at the next snapshot (r10)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{ImageDedup, MediaIndex, VideoDedup}
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediaix").toString
+    // commit real PNG + AVI fingerprints through the versioned artifact
+    MediaIndex.buildImages(ImageDedup.imageCorpus(docs.limit(200)), dir, buildV = 0L)
+    MediaIndex.buildVideos(VideoDedup.videoCorpus(docs.limit(200)), dir, buildV = 0L)
+    // incoming media: shifted id range, same pixel groups (genuine near-dups)
+    val incoming: Seq[(Long, Array[Byte])] =
+      ImageDedup.imageCorpus(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000L).as("doc_id")))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toIndexedSeq
+    def streamOnce(name: String): Seq[(Long, Long, Long)] = {
+      val in = MemoryStream[(Long, Array[Byte])]
+      val q = EventStream.streamingImagePhashServe(
+        in.toDF().toDF("media_id", "payload"), dir)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      in.addData(incoming.take(20)); q.processAllAvailable()
+      in.addData(incoming.drop(20)); q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toIndexedSeq.sorted
+    }
+    val streamed = streamOnce("mediaix_before")
+    assert(streamed.nonEmpty, "shifted ids share pixel groups — matches must exist")
+    val batch = MediaIndex.serveImages(incoming.toDF("media_id", "payload"), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toIndexedSeq.sorted
+    assert(streamed == batch,
+      s"stream-from-artifact(${streamed.length}) != batch serve(${batch.length})")
+    // takedown every matched corpus doc; a fresh stream (new snapshot)
+    // must stop matching them — and ONLY them
+    val hit = streamed.map(_._2).distinct
+    MediaIndex.retract(spark, dir, hit)
+    val after = streamOnce("mediaix_after")
+    assert(after.isEmpty || !after.exists(m => hit.contains(m._2)),
+      "a retracted media doc still matches at serve")
+    assert(after == streamed.filterNot(m => hit.contains(m._2)),
+      "retraction must not disturb matches against untouched docs")
+    // the video sub-table serves and retracts through the same artifact
+    val clips: Seq[(Long, Array[Byte])] =
+      VideoDedup.videoCorpus(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 10000L).as("doc_id")))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toIndexedSeq
+    val vBefore = MediaIndex.serveVideos(clips.toDF("media_id", "payload"), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq.sorted
+    assert(vBefore.nonEmpty, "video probes must match the committed fingerprints")
+    MediaIndex.retract(spark, dir, vBefore.map(_._2).distinct)
+    assert(MediaIndex.serveVideos(clips.toDF("media_id", "payload"), dir).count() == 0L,
+      "retracted clips still match")
+    // maintenance keeps the artifact serving
+    MediaIndex.maintain(spark, dir, keepVersions = 1)
+    assert(MediaIndex.serveImages(incoming.toDF("media_id", "payload"), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toIndexedSeq.sorted
+      == after, "maintain must not change serve results")
+  }
+
   test("EQUIVALENCE: streaming quality gate matches the batch classifier row for row") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
