@@ -18,6 +18,9 @@ import graft.sources.Warc
   *                   must run BEFORE normalize/dedup)
   *              ── C62 NFC normalize ──▶ canonical bytes
   *              ── C23 quality rules ──▶ keep/drop
+  *              ── C80 decontaminate (opt-in registry) ──▶ benchmark-
+  *                   contaminated docs out — BEFORE dedup and DSIR, the
+  *                   two stages a surviving benchmark doc would poison
   *              ── C22+C41 dedup clusters + canonical keep ──▶ one doc
   *                   per near-dup cluster
   *              ── C65 DSIR vs a trusted target slice ──▶ the curated
@@ -44,8 +47,15 @@ object CurationPipeline {
   /** The curated corpus plus the funnel. `target` marks the trusted
     * docs (doc_id set) DSIR matches the pool against — the C65
     * target-slice contract with the facade owning the labeling.
+    * `registry`: optional C80 eval-protection fingerprints (committed
+    * or in-session) — when present, contaminated docs drop at stage 5,
+    * BEFORE dedup canonical-keep and DSIR (a benchmark doc must not be
+    * the survivor its near-dup cluster keeps, nor weight the selection
+    * model). The stage row is always in the funnel (a pass-through
+    * when no registry), so downstream stage names never shift.
     */
-  def curate(warcBlobs: Dataset[Row], targetIds: Set[Long]): (DataFrame, DataFrame) = {
+  def curate(warcBlobs: Dataset[Row], targetIds: Set[Long],
+             registry: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val spark = warcBlobs.sparkSession
 
     // The funnel issues six count() actions; without persists each
@@ -68,8 +78,14 @@ object CurationPipeline {
           .withColumn("n_chars", length(col("text")).cast("long")))
       val qualityKept = graft.GraftCache.persistTracked(normalized.join(
         TextOps.qualityRules(normalized).filter(col("keep")).select("doc_id"), "doc_id"))
-      val canonKept = graft.GraftCache.persistTracked(qualityKept.join(
-        Dedup.canonicalKeep(qualityKept).filter(col("keep")).select("doc_id"), "doc_id"))
+      val decon = registry match {
+        case None => qualityKept
+        case Some(reg) => graft.GraftCache.persistTracked(qualityKept.join(
+          graft.operators.EvalRegistry.decontaminate(qualityKept, reg)
+            .filter(col("keep")).select("doc_id"), "doc_id"))
+      }
+      val canonKept = graft.GraftCache.persistTracked(decon.join(
+        Dedup.canonicalKeep(decon).filter(col("keep")).select("doc_id"), "doc_id"))
       val labeled = canonKept.withColumn("source",
         when(col("doc_id").isInCollection(targetIds), lit(Dsir.TargetSource))
           .otherwise(lit("pool")))
@@ -91,8 +107,9 @@ object CurationPipeline {
         "2_html_extracted" -> timed(extracted.count()),
         "3_normalized" -> timed(normalized.count()),
         "4_quality_kept" -> timed(qualityKept.count()),
-        "5_canonical_kept" -> timed(canonKept.count()),
-        "6_dsir_selected" -> timed(curated.count()))
+        "5_decontaminated" -> timed(decon.count()),
+        "6_canonical_kept" -> timed(canonKept.count()),
+        "7_dsir_selected" -> timed(curated.count()))
         .map { case (n, (rows, secs)) => (n, rows, secs) }
       val s = spark
       import s.implicits._

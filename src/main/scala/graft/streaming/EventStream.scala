@@ -988,7 +988,10 @@ object EventStream {
     * batch run committed: each arriving (doc_id, html) row is HTML-
     * extracted (C60), NFC-normalized (C62), quality-gated (C23) and
     * DSIR-gated (C65, committed ratio table + fixed threshold) — all
-    * stateless scan stages — then classified against the COMMITTED
+    * stateless scan stages — optionally DECONTAMINATED against the
+    * committed eval registry (C80, `registryPath`; see
+    * [[curationAdmitBatch]] for why this must precede the extend) —
+    * then classified against the COMMITTED
     * dedup index (C66): docs flagged `new` are ADMITTED — appended to
     * the output corpus AND merged into the index — so a page arriving
     * again in a LATER micro-batch is rejected as an exact duplicate of
@@ -1021,17 +1024,27 @@ object EventStream {
     * pins both the bounded on-disk file count and the verdict equality
     * against an unmaintained control).
     */
+  /** `registryPath`: when set, the C80 eval-protection registry gates
+    * admission too — a doc sharing any committed benchmark fingerprint
+    * is REJECTED before it can reach the corpus or the index. The one
+    * curation stage whose absence is invisible to every other gate
+    * (a benchmark answer is high-quality, in-distribution, and novel —
+    * quality, DSIR, and dedup all wave it through), so the production
+    * admission path must carry it, not just the standalone gate.
+    */
   def streamingCurationAdmission(docs: DataFrame, indexPath: String,
                                  lr: Array[Long], dsirKeepMin: Long,
                                  outPath: String, checkpoint: String,
-                                 compactEvery: Int = 16): StreamingQuery =
+                                 compactEvery: Int = 16,
+                                 registryPath: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           curationAdmitBatch(batch.toDF(), batchId, indexPath, lr,
-            dsirKeepMin, outPath, compactEvery = compactEvery)
+            dsirKeepMin, outPath, compactEvery = compactEvery,
+            registryPath = registryPath)
       }
       .start()
 
@@ -1046,8 +1059,9 @@ object EventStream {
                                         indexPath: String, lr: Array[Long],
                                         dsirKeepMin: Long, outPath: String,
                                         crashBeforeExtend: Boolean = false,
-                                        compactEvery: Int = 0): Unit = {
-    import graft.operators.{Curation, DedupIndex, Dsir, Html, TextOps}
+                                        compactEvery: Int = 0,
+                                        registryPath: Option[String] = None): Unit = {
+    import graft.operators.{Curation, DedupIndex, Dsir, EvalRegistry, Html, TextOps}
     graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
       val extracted = Html.htmlExtract(batch, col("html"))
         .select(col("doc_id"),
@@ -1056,11 +1070,25 @@ object EventStream {
       val normalized = Curation.textNormalize(extracted, col("clean_text"))
         .select(col("doc_id"), col("norm_text").as("text"))
         .withColumn("n_chars", length(col("text")).cast("long"))
-      val gated = normalized
+      val preDecon = normalized
         .join(TextOps.qualityRules(normalized).filter(col("keep"))
           .select("doc_id"), "doc_id")
         .join(Dsir.scoreAgainst(normalized, lr)
           .filter(col("dsir_fp") >= dsirKeepMin).select("doc_id"), "doc_id")
+      // C80 decontamination BEFORE the dedup serve: a contaminated doc
+      // must never reach the extend (once indexed, later copies of the
+      // benchmark would be rejected as dups of an admitted doc — the
+      // verdict would look right while the corpus stayed poisoned).
+      // The registry is re-read each batch like the dedup index: a
+      // benchmark registered mid-stream protects the NEXT batch.
+      val gated = registryPath match {
+        case None => preDecon
+        case Some(rp) =>
+          preDecon.join(
+            EvalRegistry.decontaminate(preDecon,
+              EvalRegistry.load(batch.sparkSession, rp))
+              .filter(col("keep")).select("doc_id"), "doc_id")
+      }
       // the artifact is re-read EVERY batch on purpose: earlier
       // batches' admissions must be visible to this one
       val verdicts = DedupIndex.serve(gated.select("doc_id", "text"), indexPath)

@@ -312,9 +312,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f("1_warc_records") == nDocs && f("2_html_extracted") == nDocs &&
       f("3_normalized") == nDocs)
     assert(f("4_quality_kept") <= f("3_normalized"))
-    assert(f("5_canonical_kept") <= f("4_quality_kept"))
-    assert(f("6_dsir_selected") <= f("5_canonical_kept"))
-    assert(f("6_dsir_selected") > 0, "the pipeline must keep something")
+    // no registry passed: the decontamination stage is a pass-through
+    assert(f("5_decontaminated") == f("4_quality_kept"))
+    assert(f("6_canonical_kept") <= f("5_decontaminated"))
+    assert(f("7_dsir_selected") <= f("6_canonical_kept"))
+    assert(f("7_dsir_selected") > 0, "the pipeline must keep something")
     // curated ids are real input docs, and text survived extraction+normalization
     val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
     val out = curated.collect()
@@ -341,6 +343,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"facade text for doc ${r.getLong(0)} diverged from the by-hand stages"))
     assert(funnel2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
       funnel.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // with a registry: a curated doc's text registered as a "benchmark"
+    // drops at the decontamination stage — the ONLY stage that can see
+    // it (it already passed quality, dedup keeps it as its cluster's
+    // canonical, DSIR has no reason to drop it)
+    val planted = curated.limit(1).collect()(0)
+    import spark.implicits._
+    val reg = graft.operators.EvalRegistry.shingleHashes(
+      Seq((planted.getLong(0), planted.getString(1)))
+        .toDF("doc_id", "text"))
+    val (curated3, funnel3) = CurationPipeline.curate(blobs, targetIds, Some(reg))
+    val f3 = funnel3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f3("5_decontaminated") < f3("4_quality_kept"),
+      "the planted benchmark doc must drop at the decontamination stage")
+    assert(!curated3.collect().map(_.getLong(0)).contains(planted.getLong(0)),
+      "a benchmark-contaminated doc escaped into the curated corpus")
     graft.GraftCache.releaseAll(spark)
   }
 }

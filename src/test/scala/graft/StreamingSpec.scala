@@ -1051,6 +1051,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == Set("exact"), s"re-serving admitted texts must flag exact, got $again")
   }
 
+  test("admission decontamination: a registered benchmark doc is rejected at admission across micro-batches (r10)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{DedupIndex, Dsir, EvalRegistry, Html}
+    val dir = java.nio.file.Files.createTempDirectory("graft-admit-decon").toString
+    DedupIndex.build(
+      Seq((900001L, "seed corpus alpha beta gamma delta epsilon"))
+        .toDF("doc_id", "text"),
+      s"$dir/index")
+    val lr = Array.fill(Dsir.NumBuckets)(Dsir.Scale)
+    // the "benchmark": a long-enough passage that passes every other
+    // gate; doc 2 carries it verbatim, docs 1 and 4 are clean
+    val bench = "what is the capital of france the capital of france is paris " +
+      "and this sentence continues long enough to shingle"
+    val texts = Map(
+      1L -> "the quick brown fox jumps over a lazy dog",
+      2L -> bench,
+      4L -> "or perhaps the fourth page also carries enough words here")
+    EvalRegistry.register(Seq((77L, bench)).toDF("doc_id", "text"), s"$dir/registry")
+    def htmlRows(ids: Seq[Long]) =
+      ids.map(i => (i, texts(i))).toDF("doc_id", "text")
+        .select(col("doc_id"), Html.plantedHtml.as("html")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.streamingCurationAdmission(
+      in.toDF().toDF("doc_id", "html"), s"$dir/index", lr, dsirKeepMin = 0L,
+      s"$dir/out", s"$dir/ckpt", registryPath = Some(s"$dir/registry"))
+    // the contaminated doc arrives in BOTH micro-batches — rejected each
+    // time (not admitted once and then deduped: it must never extend the
+    // index at all)
+    in.addData(htmlRows(Seq(1L, 2L))); q.processAllAvailable()
+    in.addData(htmlRows(Seq(2L, 4L))); q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("batch_id")))
+    assert(out.toSet == Set((1L, 0L), (4L, 1L)),
+      s"clean docs admitted, benchmark doc rejected in both batches; got ${out.toSeq}")
+    // the contaminated doc never reached the committed index: a fresh
+    // probe of the benchmark text still classifies as new there
+    val probe = DedupIndex.serve(
+      Seq((555L, texts(2L))).toDF("doc_id", "text"), s"$dir/index")
+      .head().getString(1)
+    assert(probe == "new",
+      s"benchmark text must be absent from the index, served $probe")
+  }
+
   test("curation admission replay: a crash between corpus append and index extend recovers, loses nothing") {
     import spark.implicits._
     import graft.operators.{DedupIndex, Dsir, Html}
