@@ -1241,18 +1241,38 @@ object EventStream {
     * and no-ops — additive state plus an idempotence ledger turns
     * foreachBatch's at-least-once into exactly-once counting, with no
     * streaming state, no watermark, and the fact rows never stored.
+    *
+    * Fold cadence: every delta adds one partial-row set per touched
+    * key, so a sink applying one delta per micro-batch grows the
+    * merge-on-read row count LINEARLY IN BATCHES forever — after a
+    * week at a 10 s trigger, every read would be merging ~60k partials
+    * per key. Every `foldEvery` batches the sink runs
+    * [[graft.operators.RollupIndex.foldPartials]] (the optimistic
+    * logical rewrite that collapses partials to one row per key while
+    * PRESERVING the ledger, so replays stay no-ops across the fold) —
+    * exactly the [[streamingCurationAdmission]] `compactEvery`
+    * discipline, state-size maintenance on the ingest cadence. The
+    * fold runs AFTER the batch's own applyDelta: a crash inside it
+    * loses nothing (the fold is a pure logical rewrite; the replayed
+    * batch re-applies against whichever snapshot won and the ledger
+    * no-ops it).
     */
   def streamingRollupSink(facts: DataFrame, indexPath: String,
                           checkpoint: String,
                           shape: graft.operators.RollupIndex.RollupShape =
-                            graft.operators.RollupIndex.LineitemShape): StreamingQuery =
+                            graft.operators.RollupIndex.LineitemShape,
+                          foldEvery: Int = 16): StreamingQuery =
     facts.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.operators.RollupIndex.applyDelta(
             batch.toDF(), indexPath, s"stream-batch-$batchId", shape)
+          if (foldEvery > 0 && batchId % foldEvery == foldEvery - 1)
+            graft.operators.RollupIndex.foldPartials(
+              batch.sparkSession, indexPath, shape)
+        }
       }
       .start()
 

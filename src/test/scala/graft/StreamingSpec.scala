@@ -981,6 +981,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mid.count() > 0, "each micro-batch emits a full drift table")
   }
 
+  test("streaming rollup fold cadence: partials stay key-bounded over many batches, reads identical through folds (r10)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.RollupIndex
+    import graft.sources.Sinks.VersionedTable
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_suppkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .limit(400)
+    val rows: Seq[(Long, String, Double, Double)] = li.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toIndexedSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-fold").toString
+    val in = MemoryStream[(Long, String, Double, Double)]
+    val q = EventStream.streamingRollupSink(
+      in.toDF().toDF("l_suppkey", "l_returnflag", "l_quantity", "l_extendedprice"),
+      s"$dir/index", s"$dir/ckpt", foldEvery = 3)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def partials(): Long = VersionedTable.read(spark, s"$dir/index/state")
+      .filter(col("row_kind") === "p").count()
+    def keysOf(n: Int): Long = rows.take(n).map(r => (r._1, r._2)).distinct.size.toLong
+    // 10 micro-batches of 40 — folds fire after batches 2, 5, 8
+    val chunks = rows.grouped(40).toSeq
+    chunks.take(6).foreach { c => in.addData(c); q.processAllAvailable() }
+    // mid-stream (one fold behind + one unfolded batch): the presented
+    // rollup equals the one-pass rescan of everything arrived so far
+    assert(m(RollupIndex.read(spark, s"$dir/index")) ==
+      m(RollupIndex.present(RollupIndex.partialAgg(
+        rows.take(240).toDF("l_suppkey", "l_returnflag", "l_quantity", "l_extendedprice")))),
+      "mid-stream read through a fold must equal the rescan")
+    chunks.drop(6).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    // bounded: last fold at batch 8 collapsed to ≤1 row/key; batch 9
+    // added at most one more partial set — NOT one per batch forever
+    val p = partials()
+    assert(p <= 2 * keysOf(400),
+      s"partials $p exceed the fold bound ${2 * keysOf(400)} — cadence not folding")
+    assert(m(RollupIndex.read(spark, s"$dir/index")) ==
+      m(RollupIndex.present(RollupIndex.partialAgg(li))),
+      "final read through three folds must equal the one-pass rescan")
+    // the ledger survives folds: a replayed early delta still no-ops
+    RollupIndex.applyDelta(
+      rows.take(40).toDF("l_suppkey", "l_returnflag", "l_quantity", "l_extendedprice"),
+      s"$dir/index", "stream-batch-0")
+    assert(m(RollupIndex.read(spark, s"$dir/index")) ==
+      m(RollupIndex.present(RollupIndex.partialAgg(li))),
+      "replay of a pre-fold delta id must no-op against the preserved ledger")
+  }
+
   test("streaming rollup sink is exactly-once: two micro-batches == one rescan, replay no-ops") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
