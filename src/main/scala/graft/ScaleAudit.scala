@@ -552,16 +552,52 @@ object ScaleAudit {
       // so ALSO drive the full 1024 rounds against a 500k-distinct-word
       // hex vocab (16-char alphabet -> dense pair space that never dries
       // this early) through the same distributed-agg + driver-loop path.
+      // every word is a singleton here, so the driver-capacity lens
+      // opts out of the production floor (minCount = 1) — its job is
+      // the 500k-word driver loop, not the prune
       val rich = spark.range(0L, 500000L, 1L, 32)
         .select(substring(md5(col("id").cast("string")), 1, 8).as("text"))
       val tRich0 = System.nanoTime()
-      val richMerges = operators.TextOps.bpeTrain(rich, 1024).count()
+      val richMerges = operators.TextOps.bpeTrain(rich, 1024, minCount = 1L).count()
       val tRich = (System.nanoTime() - tRich0) / 1e9
       println(f"[scale] bpeTrain(k=1024, 500k-word vocab) $tRich%7.2fs merges=$richMerges")
       if (richMerges < 1024 || tRich > 120.0) {
         bad += 1
         println(f"[scale] FAIL bpeTrain rich-vocab: $richMerges merges in $tRich%.2fs " +
           "(want 1024 merges, seconds not minutes)")
+      }
+      // Round-10: the Heaps'-law singleton bomb — every doc carries 8
+      // core-vocab words (count >> floor) plus one doc-unique typo/hash
+      // token. The RAW distinct vocab grows linearly with the corpus
+      // (200k singletons here, billions on a crawl); the FLOORED vocab
+      // the driver collects must stay core-sized. Pins both the bound
+      // (kept == 2000 core words, tail-independent) and that training
+      // still runs over the floored table.
+      {
+        val n = 200000L
+        val heavy = spark.range(0L, n, 1L, 32).select(
+          concat(
+            expr("concat_ws(' ', transform(sequence(0, 7), " +
+              "i -> concat('w', CAST((id * 7 + i * 13) % 2000 AS STRING))))"),
+            lit(" zz"), md5(col("id").cast("string"))).as("text"))
+        val vocabAll = heavy.select(explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val raw = vocabAll.count()
+        val kept = vocabAll.filter(col("cnt") >= operators.TextOps.BpeMinCount).count()
+        val t0 = System.nanoTime()
+        val hm = operators.TextOps.bpeTrain(heavy, 64).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] bpe singleton bomb: raw vocab $raw, floored collect $kept, " +
+          f"$hm merges in $sec%.2fs")
+        if (kept > 4000 || raw < n) {
+          bad += 1
+          println(s"[scale] FAIL bpe floor: collect $kept not tail-independent (raw $raw)")
+        }
+        if (hm < 16) {
+          bad += 1
+          println(s"[scale] FAIL bpe floor: training dried up over the floored vocab ($hm merges)")
+        }
       }
       // generous absolute ceiling (seconds-not-minutes is the contract)
       // plus a shape bound: quadrupling k may add driver-loop time but

@@ -472,6 +472,31 @@ object TextOps {
   private val BpeSep = "\u001f"
   private val BpeRounds = 8
 
+  /** Vocab-table admission floor: a whitespace token must occur at
+    * least this many times in the corpus to enter the trainer's
+    * collected frequency table (SQL-mirrored in [[bpeVocabSeedSql]], so
+    * the oracle trains on the identical vocab). The collect is
+    * Heaps'-law-sized WITHOUT a floor — a 100 TB web crawl's raw
+    * whitespace vocabulary (typos, URLs, hex hashes) reaches billions
+    * of distinct SINGLETON strings, and the driver would hold all of
+    * them for merge rounds they can barely influence. Production
+    * trainers prune at count ≥ 2 (subword-nmt's min-frequency); the
+    * floor is a semantic parameter of the tokenizer, not a silent cap —
+    * pass `minCount = 1` for exact-tail training on bounded corpora,
+    * and the trainer logs the dropped token mass whenever the floor
+    * binds.
+    */
+  val BpeMinCount = 2L
+
+  /** Hard ceiling on the collected vocab rows — the fail-loudly guard
+    * behind the floor: if the floored vocab still exceeds this, the
+    * trainer REFUSES before collecting (raise `minCount`) rather than
+    * silently truncating the tokenizer's view of the corpus or OOMing
+    * the driver mid-collect. 8M rows ≈ low hundreds of MB of driver
+    * heap — the same order as the committed codebook artifacts.
+    */
+  val BpeMaxVocab = 8000000L
+
   /** C43 full trainer: k BPE merge rounds with re-segmentation between
     * rounds (the fixpoint [[bpeMerges]] computes only round 1 of).
     * Classic two-tier formulation — the shape every production BPE
@@ -508,22 +533,43 @@ object TextOps {
   private def foldMergePair(seg: Column, l: String, r: String): Column =
     Exprs.bpeMerge(seg, l, r)
 
-  def bpeTrain(documents: DataFrame, k: Int = BpeRounds): DataFrame = {
+  def bpeTrain(documents: DataFrame, k: Int = BpeRounds,
+               minCount: Long = BpeMinCount): DataFrame = {
     val spark = documents.sparkSession
     GraftCache.memoArtifact(spark,
-      ("bpeTrain", documents.queryExecution.analyzed.canonicalized, k)) {
+      ("bpeTrain", documents.queryExecution.analyzed.canonicalized, k, minCount)) {
       // The ONE corpus-wide pass: aggregate to the distinct-token
-      // frequency table and collect it. The collect is VOCABULARY-sized
-      // — distinct whitespace tokens grow sublinearly in corpus size
-      // (Heaps' law), and holding the word-frequency table in trainer
-      // memory is the standard shape of every production BPE trainer —
-      // so this is a model-artifact collect (the codebook rule), not a
-      // data-proportional one. Everything after it is driver-local.
-      val vocab = documents
+      // frequency table, apply the [[BpeMinCount]] admission floor, and
+      // collect WHAT SURVIVES. Distinct tokens grow sublinearly in
+      // corpus size (Heaps' law) but the law's tail is almost entirely
+      // singletons — the floor is what makes the collect a genuinely
+      // bounded model-artifact collect (the codebook rule) instead of a
+      // tail-proportional one. Everything after it is driver-local.
+      val vocabAll = GraftCache.persistTracked(documents
         .select(explode(toks).as("tok"))
         .filter(length(col("tok")) > 0)
         .groupBy("tok")
-        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("cnt")))
+      // no-silent-caps: measure what the floor drops, log when it binds
+      val st = vocabAll.agg(
+        count(lit(1)).as("n_all"),
+        sum(col("cnt")).as("m_all"),
+        count(when(col("cnt") >= minCount, 1)).as("n_kept"),
+        sum(when(col("cnt") >= minCount, col("cnt")).otherwise(0L)).as("m_kept"))
+        .head()
+      val (nAll, nKept) = (st.getLong(0), st.getLong(2))
+      val (mAll, mKept) =
+        (if (st.isNullAt(1)) 0L else st.getLong(1),
+          if (st.isNullAt(3)) 0L else st.getLong(3))
+      if (nKept < nAll)
+        println(s"[bpe] vocab floor cnt>=$minCount: kept $nKept of $nAll distinct " +
+          s"tokens (dropped ${mAll - mKept} of $mAll corpus occurrences)")
+      require(nKept <= BpeMaxVocab,
+        s"bpeTrain: floored vocab $nKept exceeds BpeMaxVocab $BpeMaxVocab — " +
+          s"raise minCount (currently $minCount) rather than collecting an " +
+          "unbounded table to the driver")
+      val vocab = vocabAll
+        .filter(col("cnt") >= minCount)
         .collect()
         .map(r => (toSymbols(r.getString(0)), r.getLong(1)))
       val merges = bpeTrainDriver(vocab, k)
@@ -723,10 +769,14 @@ object TextOps {
          |  FROM d${i - 1} LEFT JOIN b$i ON TRUE)""".stripMargin
   }
 
+  /** The oracle's vocab seed — including the [[BpeMinCount]] admission
+    * floor, so Spark and DuckDB train over the identical token table
+    * (the floor is tokenizer semantics, mirrored like every other rule).
+    */
   private val bpeVocabSeedSql: String =
-    """WITH tokx AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    s"""WITH tokx AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
       |t0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tokx
-      |       WHERE len(tok) > 0 GROUP BY tok),
+      |       WHERE len(tok) > 0 GROUP BY tok HAVING count(*) >= $BpeMinCount),
       |s0 AS (SELECT cnt,
       |         chr(31) || array_to_string(string_split(tok, ''), chr(31)) || chr(31) AS seg
       |       FROM t0)""".stripMargin

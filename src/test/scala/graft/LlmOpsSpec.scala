@@ -527,7 +527,9 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = Seq(
       (1L, "ababab ababab"), (2L, "ababab"), (3L, "aaab"), (4L, "xy"))
       .toDF("doc_id", "text")
-    val m = TextOps.bpeTrain(docs, k = 3).collect()
+    // minCount = 1: this corpus deliberately weights count-1 words
+    // ("aaab", "xy") into the pair counts under test
+    val m = TextOps.bpeTrain(docs, k = 3, minCount = 1L).collect()
     assert(m.length == 3)
     val r1 = m.find(_.getInt(0) == 1).get
     // (a,b) occurs 3+3+3+1 = 10 times (weighted by token multiplicity:
@@ -618,6 +620,29 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pairs remain, so rounds 2..5 must not exist
     val m = TextOps.bpeTrain(docs, k = 5).collect()
     assert(m.length == 1 && m.head.getString(3) == "ab")
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("bpe vocab floor: filtering == training on the floored sub-vocab; no-op when nothing is under it (r10)") {
+    val s = spark
+    import s.implicits._
+    // base corpus listed twice: every token count >= 2, so the default
+    // floor drops NOTHING and minCount 2 == minCount 1 exactly
+    val words = Seq("abc abd bcd", "abd bcd bce bce", "cab abc abd")
+    val base = (words ++ words).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def merges(df: org.apache.spark.sql.DataFrame, mc: Long) =
+      TextOps.bpeTrain(df, 8, minCount = mc).collect().map(_.toSeq).toSeq
+    assert(merges(base, 2L) == merges(base, 1L),
+      "a floor that drops nothing must be the identity")
+    // singleton junk appended (unique multi-symbol tokens): the floored
+    // train must equal training on the corpus WITHOUT the junk — the
+    // floor is exactly 'train on the sub-vocab', not an approximation
+    val junk = (0 until 20)
+      .map(i => (100L + i, s"zq${i}xx${i}y qq${i}zz"))
+      .toDF("doc_id", "text")
+    assert(merges(base.unionByName(junk), 2L) == merges(base, 2L),
+      "floored training must ignore the singleton tail entirely")
     graft.GraftCache.releaseAll(spark)
   }
 

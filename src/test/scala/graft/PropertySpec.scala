@@ -323,6 +323,17 @@ object BpeTrainProps extends Properties("bpe.trainDriver") {
       val want = reference(vocab.map { case (w, c) => (w.clone, c) }, k)
       Prop(got == want) :| s"got=$got want=$want"
     }
+
+  // the r10 vocab floor's safety base case: words that contribute no
+  // adjacency (single-symbol, any count) can never influence a merge —
+  // so a floor that only ever drops such words is exactly the identity
+  property("pairless words never affect the merge sequence") =
+    forAll(vocabGen, Gen.listOf(sym), Gen.chooseNum(1, 12)) { (vocab, noise, k) =>
+      val noisy = vocab ++ noise.map(s => (Array(s), 1L))
+      val got = TextOps.bpeTrainDriver(noisy.map { case (w, c) => (w.clone, c) }, k)
+      val want = TextOps.bpeTrainDriver(vocab.map { case (w, c) => (w.clone, c) }, k)
+      Prop(got == want) :| s"noise=${noise.mkString("|")}"
+    }
 }
 
 /** The WARC splitter (sources.Warc.parseRecords): never-throws /
