@@ -1747,10 +1747,14 @@ object TextOps {
         round(col("alloc_tok").cast("double") / col("n_tok"), 4).as("epochs"))
   }
 
-  def unimaxMixSql(epochCap: Long = 3L,
-                   budgetNum: Long = 27L, budgetDen: Long = 10L): String =
-    s"""WITH RECURSIVE
-       |m AS (SELECT source,
+  /** The waterfill fold as a reusable recursive-CTE chain (ends with
+    * `w`) — the SINGLE SQL definition of the allocation rule, spliced
+    * by both C76's summary oracle and C76b's realization oracle so the
+    * two can never disagree on an allocation.
+    */
+  private def unimaxAllocCtes(epochCap: Long, budgetNum: Long,
+                              budgetDen: Long): String =
+    s"""m AS (SELECT source,
        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
        |  FROM documents GROUP BY source),
        |o AS (SELECT source, n_tok,
@@ -1768,12 +1772,98 @@ object TextOps {
        |    w.brem - least($epochCap * o.n_tok, w.brem // w.krem),
        |    w.krem - 1, o.source, o.n_tok,
        |    least($epochCap * o.n_tok, w.brem // w.krem)
-       |  FROM w JOIN o ON o.rn = w.rn + 1)
+       |  FROM w JOIN o ON o.rn = w.rn + 1)""".stripMargin
+
+  def unimaxMixSql(epochCap: Long = 3L,
+                   budgetNum: Long = 27L, budgetDen: Long = 10L): String =
+    s"""WITH RECURSIVE
+       |${unimaxAllocCtes(epochCap, budgetNum, budgetDen)}
        |SELECT source, n_tok, alloc_tok,
        |  alloc_tok // n_tok AS full_epochs,
        |  alloc_tok % n_tok AS rem_tok,
        |  round(CAST(alloc_tok AS DOUBLE) / n_tok, 4) AS epochs
        |FROM w WHERE rn > 0""".stripMargin
+
+  /** C76b: REALIZE the UniMax allocation — the doc-level epoch-stamped
+    * stream C76's summary promises, composed from the pieces that
+    * already exist: the waterfill's exact (full_epochs, rem_tok) split,
+    * C39's epoch replication for the full epochs, and C19's
+    * budget-prefix truncation for the remainder epoch. Every doc row
+    * carries `emit_tok` — the tokens this copy contributes (= n_tok on
+    * full epochs; the remainder epoch's BOUNDARY doc is truncated
+    * mid-doc to land the allocation exactly) — so conservation is an
+    * algebraic identity the oracle pins: Σ emit_tok per source =
+    * full_epochs·n_tok + rem_tok = alloc_tok. Exact integer arithmetic
+    * end to end; deterministic doc order (doc_id) for the remainder
+    * prefix, C35's rerun-stability property.
+    *
+    * Scale shape: the allocation is a catalog-sized broadcast; full
+    * epochs are a map-side explode (no shuffle beyond the source agg
+    * the waterfill already paid); the remainder epoch is C19's
+    * DistributedRank prefix — range-bucketed offsets on a bounded agg,
+    * local running sums per (source, bucket), buckets past the
+    * remainder pruned BEFORE the window, so at 100 TB the plan touches
+    * only each source's remainder-sized prefix, never the corpus-wide
+    * running sum in one task.
+    */
+  def unimaxApply(documents: DataFrame, epochCap: Long = 3L,
+                  budgetNum: Long = 27L, budgetDen: Long = 10L,
+                  buckets: Int = 1024): DataFrame = {
+    val alloc = unimaxMix(documents, epochCap, budgetNum, budgetDen)
+      .select(col("source"), col("full_epochs"), col("rem_tok"))
+    val base = documents
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"))
+    val fullRep = base.join(broadcast(alloc), "source")
+      // the >= 1 guard is load-bearing: sequence(1, 0) is the DESCENDING
+      // two-element array [1, 0], not empty
+      .filter(col("full_epochs") >= 1L)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("full_epochs"))).as("epoch"),
+        col("n_tok"), col("n_tok").as("emit_tok"))
+    val wLocal = Window.partitionBy("source", DistributedRank.BucketCol)
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val part = DistributedRank
+      .withBucketOffsets(base, "source", "doc_id", col("n_tok"), buckets)
+      .join(broadcast(alloc), "source")
+      .filter(col(DistributedRank.OffsetCol) < col("rem_tok"))
+      .withColumn("cum_tok",
+        col(DistributedRank.OffsetCol) + sum(col("n_tok")).over(wLocal))
+      .filter(col("cum_tok") - col("n_tok") < col("rem_tok"))
+      .select(col("doc_id"), col("source"),
+        (col("full_epochs") + 1L).as("epoch"), col("n_tok"),
+        least(col("n_tok"),
+          col("rem_tok") - (col("cum_tok") - col("n_tok"))).as("emit_tok"))
+    fullRep.unionByName(part)
+  }
+
+  def unimaxApplySql(epochCap: Long = 3L,
+                     budgetNum: Long = 27L, budgetDen: Long = 10L): String =
+    s"""WITH RECURSIVE
+       |${unimaxAllocCtes(epochCap, budgetNum, budgetDen)},
+       |alloc AS (SELECT source, alloc_tok // n_tok AS full_epochs,
+       |    alloc_tok % n_tok AS rem_tok
+       |  FROM w WHERE rn > 0),
+       |d AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |full_rep AS (
+       |  SELECT d.doc_id, d.source,
+       |    unnest(range(1, a.full_epochs + 1)) AS epoch, d.n_tok,
+       |    d.n_tok AS emit_tok
+       |  FROM d JOIN alloc a USING (source) WHERE a.full_epochs >= 1),
+       |cum AS (SELECT d.*,
+       |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM d),
+       |part AS (
+       |  SELECT c.doc_id, c.source, a.full_epochs + 1 AS epoch, c.n_tok,
+       |    least(c.n_tok, a.rem_tok - (c.cum_tok - c.n_tok)) AS emit_tok
+       |  FROM cum c JOIN alloc a USING (source)
+       |  WHERE c.cum_tok - c.n_tok < a.rem_tok)
+       |SELECT doc_id, source, epoch, n_tok, emit_tok FROM full_rep
+       |UNION ALL
+       |SELECT doc_id, source, epoch, n_tok, emit_tok FROM part""".stripMargin
 
   /** C40: per-source duplication telemetry — the dashboard number behind
     * C36's pair matrix: how internally redundant each source is
@@ -2072,6 +2162,7 @@ object TextOps {
     "q_epoch_mix" -> ((s, d) => epochMix(Tables.documents(s, d))),
     "q_temperature_mix" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
     "q_unimax_mix" -> ((s, d) => unimaxMix(Tables.documents(s, d))),
+    "q_unimax_apply" -> ((s, d) => unimaxApply(Tables.documents(s, d))),
     "q_tokenizer_fertility" -> ((s, d) => tokenizerFertility(Tables.documents(s, d))),
     "q_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
@@ -2116,6 +2207,7 @@ object TextOps {
     "q_epoch_mix" -> epochMixSql,
     "q_temperature_mix" -> temperatureMixSql,
     "q_unimax_mix" -> unimaxMixSql(),
+    "q_unimax_apply" -> unimaxApplySql(),
     "q_tokenizer_fertility" -> tokenizerFertilitySql(),
     "q_heavy_hitters" -> heavyHittersSql(),
     "q_split_assign" -> splitAssignSql(),

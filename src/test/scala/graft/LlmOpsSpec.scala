@@ -1256,4 +1256,31 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fe == t / n && rem == t % n, s"$s: epoch split must be exact")
     }
   }
+
+  test("q_unimax_apply: realization conserves the allocation exactly per source; truncation only at the boundary (r10)") {
+    val docs = Tables.documents(spark, sf)
+    val alloc = TextOps.unimaxMix(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val emitted = TextOps.unimaxApply(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // conservation: Σ emit_tok per source == the waterfill's allocation
+    val bySource = emitted.groupBy(_._1).map { case (s, g) => s -> g.map(_._4).sum }
+    alloc.foreach { case (s, (a, _, _)) =>
+      assert(bySource.getOrElse(s, 0L) == a,
+        s"$s: emitted ${bySource.getOrElse(s, 0L)} tokens != allocation $a")
+    }
+    assert(bySource.keySet == alloc.keySet)
+    emitted.foreach { case (s, epoch, nTok, emitTok) =>
+      val (_, fe, _) = alloc(s)
+      assert(epoch >= 1 && epoch <= fe + 1, s"$s epoch $epoch out of range")
+      assert(emitTok > 0 && emitTok <= nTok, s"$s emit $emitTok vs $nTok")
+      if (epoch <= fe)
+        assert(emitTok == nTok, s"$s: full epochs must emit whole docs")
+    }
+    // at most ONE truncated doc per source (the remainder boundary)
+    emitted.filter(e => e._4 < e._3).groupBy(_._1).foreach { case (s, g) =>
+      assert(g.length == 1, s"$s: ${g.length} truncated docs, want 1")
+    }
+    graft.GraftCache.releaseAll(spark)
+  }
 }
