@@ -170,7 +170,9 @@ object ScaleAudit {
     }
 
     var bad = 0
-    val results = names.map { n =>
+    // pseudo-names (e.g. "admission_loop") target composite lenses below
+    // without a registered query of their own
+    val results = names.filter(SparkEntry.queries.contains).map { n =>
       GraftCache.releaseAll(spark)
       // construction inside the timer: the memoized iterative queries
       // (BPE trainer, PageRank, CC) run their fixpoints at
@@ -708,6 +710,75 @@ object ScaleAudit {
         bad += 1
         println("[scale] FAIL fold changed the presented rollup")
       }
+    }
+
+    // Admission loop END TO END (round-10): the per-op lenses pin each
+    // stage (HTML extract scan-shaped, dedup serve capped, registry
+    // broadcast, rollup bucket-pruned) but none can see an accidental
+    // index-proportional or batch-superlinear term the COMPOSITION
+    // introduces. Drive the full 7-stage loop (extract → mojibake →
+    // NFC → quality → DSIR → decontaminate → dedup-serve-admit-extend)
+    // and pin per-batch wall time (a) flat in INDEX size — admitting B
+    // docs against a 10×-bigger committed index must not cost ~10×
+    // (serve is the capped probe join; extend touches the delta's
+    // buckets) — and (b) scan-shaped in BATCH size — 8× the docs may
+    // cost ~8×, never quadratic. Same contended-box hygiene as the
+    // bpeTrain lens.
+    if (names.contains("admission_loop") || names == defaultQueries) {
+      import graft.operators.{DedupIndex, Dsir, EvalRegistry, Html}
+      import graft.streaming.EventStream
+      GraftCache.releaseAll(spark)
+      val docs = sources.Tables.documents(spark, out)
+      val nCorpus = docs.count()
+      val lr = Array.fill(Dsir.NumBuckets)(Dsir.Scale)
+      val work = java.nio.file.Files.createTempDirectory("graft-scale-admit").toString
+      EvalRegistry.register(
+        docs.filter(pmod(col("doc_id"), lit(997L)) === 0L)
+          .select(col("doc_id"), col("text")),
+        s"$work/registry")
+      def buildIndex(tag: String, corpus: org.apache.spark.sql.DataFrame): String = {
+        val p = s"$work/ix_$tag"
+        DedupIndex.build(corpus.select("doc_id", "text"), p)
+        p
+      }
+      // a 1/10 slice vs the whole scaled corpus: a genuine 10× index gap
+      val ixSmall = buildIndex("small",
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 0L))
+      val ixBig = buildIndex("big", docs)
+      def batchOf(n: Long, salt: String): org.apache.spark.sql.DataFrame =
+        docs.filter(col("doc_id") < n)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            concat(col("text"), lit(" " + salt)).as("text"))
+          .select(col("doc_id"), Html.plantedHtml.as("html"))
+      def admit(ix: String, batch: org.apache.spark.sql.DataFrame,
+                id: Long): Double = {
+        val t0 = System.nanoTime()
+        EventStream.curationAdmitBatch(batch, id, ix, lr, 0L,
+          s"$work/out_${ix.split('_').last}_$id",
+          registryPath = Some(s"$work/registry"))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val b = math.max(nCorpus / 25L, 500L)
+      // warm both paths once (JIT + codegen), then measure
+      admit(ixSmall, batchOf(b, "w0"), 100L)
+      val tSmallIx = admit(ixSmall, batchOf(b, "m1"), 101L)
+      admit(ixBig, batchOf(b, "w1"), 200L)
+      val tBigIx = admit(ixBig, batchOf(b, "m2"), 201L)
+      val tBigBatch = admit(ixBig, batchOf(8L * b, "m3"), 202L)
+      println(f"[scale] admission loop: B=$b%d  small-ix $tSmallIx%.2fs  " +
+        f"big-ix $tBigIx%.2fs  8B-big-ix $tBigBatch%.2fs")
+      def flag(cond: Boolean, msg: String): Unit = if (cond) {
+        val load1 = try java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")(0).toDouble
+        catch { case _: Throwable => 0.0 }
+        if (load1 > Runtime.getRuntime.availableProcessors() / 2.0)
+          println(s"[scale] WARN (contended, loadavg $load1) $msg")
+        else { bad += 1; println(s"[scale] FAIL $msg") }
+      }
+      flag(tBigIx > math.max(3.0 * tSmallIx, tSmallIx + 10.0),
+        f"admission batch cost grew with INDEX size: $tSmallIx%.2fs -> $tBigIx%.2fs")
+      flag(tBigBatch > math.max(16.0 * tBigIx, tBigIx + 30.0),
+        f"admission batch cost superlinear in BATCH size: $tBigIx%.2fs -> $tBigBatch%.2fs for 8x docs")
     }
 
     println(s"[scale] == $bad violations ==")
