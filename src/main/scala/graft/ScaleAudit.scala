@@ -170,8 +170,18 @@ object ScaleAudit {
     }
 
     var bad = 0
-    // pseudo-names (e.g. "admission_loop") target composite lenses below
-    // without a registered query of their own
+    // pseudo-names target composite lenses below without a registered
+    // query of their own; anything else unknown is a typo and must fail
+    // LOUDLY — a silently-dropped name would print "0 violations" for a
+    // benchmark that never ran
+    val pseudoNames = Set("admission_loop")
+    val unknown = names.filterNot(n =>
+      SparkEntry.queries.contains(n) || pseudoNames.contains(n))
+    if (unknown.nonEmpty) {
+      println(s"[scale] FAIL unknown query/lens names: ${unknown.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
+    }
     val results = names.filter(SparkEntry.queries.contains).map { n =>
       GraftCache.releaseAll(spark)
       // construction inside the timer: the memoized iterative queries
@@ -745,28 +755,51 @@ object ScaleAudit {
       val ixSmall = buildIndex("small",
         docs.filter(pmod(col("doc_id"), lit(10L)) === 0L))
       val ixBig = buildIndex("big", docs)
-      def batchOf(n: Long, salt: String): org.apache.spark.sql.DataFrame =
-        docs.filter(col("doc_id") < n)
-          .select((col("doc_id") + 5000000L).as("doc_id"),
-            concat(col("text"), lit(" " + salt)).as("text"))
+      // NOVEL batch docs that pass every gate — three stopwords (length
+      // + stopword + word-len rules) INTERLEAVED with five doc-unique
+      // salted words, so every 3-token shingle carries a salted token
+      // and no two docs (nor any corpus doc) share a single shingle:
+      // dedup classifies `new` and the ADMIT + EXTEND stages genuinely
+      // run. (The earlier drafts got this wrong twice: corpus near-dups
+      // timed only the reject path, and a shared "the and for" PREFIX
+      // trigram let the one common shingle win enough minhashes to
+      // near-match ~1% of docs against prior batches' admissions.)
+      // Distinct id base + salt per call so no batch collides with a
+      // prior call's admissions.
+      def batchOf(n: Long, base: Long, salt: String): org.apache.spark.sql.DataFrame = {
+        def w(i: Int) = s"concat('nv$salt', CAST(id AS STRING), 'x', '$i')"
+        spark.range(0L, n, 1L, 32).select(
+          (col("id") + base).as("doc_id"),
+          expr(s"concat_ws(' ', 'the', ${w(0)}, 'and', ${w(1)}, 'for', " +
+            s"${w(2)}, ${w(3)}, ${w(4)})").as("text"))
           .select(col("doc_id"), Html.plantedHtml.as("html"))
-      def admit(ix: String, batch: org.apache.spark.sql.DataFrame,
-                id: Long): Double = {
-        val t0 = System.nanoTime()
-        EventStream.curationAdmitBatch(batch, id, ix, lr, 0L,
-          s"$work/out_${ix.split('_').last}_$id",
-          registryPath = Some(s"$work/registry"))
-        (System.nanoTime() - t0) / 1e9
       }
-      val b = math.max(nCorpus / 25L, 500L)
+      def admit(ix: String, batch: org.apache.spark.sql.DataFrame,
+                id: Long): (Double, Long, Long) = {
+        val nIn = batch.count() // materialize inputs outside the timer
+        val outP = s"$work/out_${ix.split('_').last}_$id"
+        val t0 = System.nanoTime()
+        EventStream.curationAdmitBatch(batch, id, ix, lr, 0L, outP,
+          registryPath = Some(s"$work/registry"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, nIn, spark.read.parquet(outP).count())
+      }
+      // clamp so the 8x batch is genuinely 8x (never corpus-capped)
+      val b = math.max(math.min(nCorpus / 8L, 500L), nCorpus / 25L)
       // warm both paths once (JIT + codegen), then measure
-      admit(ixSmall, batchOf(b, "w0"), 100L)
-      val tSmallIx = admit(ixSmall, batchOf(b, "m1"), 101L)
-      admit(ixBig, batchOf(b, "w1"), 200L)
-      val tBigIx = admit(ixBig, batchOf(b, "m2"), 201L)
-      val tBigBatch = admit(ixBig, batchOf(8L * b, "m3"), 202L)
+      admit(ixSmall, batchOf(b, 5000000L, "w0"), 100L)
+      val (tSmallIx, n1, a1) = admit(ixSmall, batchOf(b, 6000000L, "m1"), 101L)
+      admit(ixBig, batchOf(b, 7000000L, "w1"), 200L)
+      val (tBigIx, n2, a2) = admit(ixBig, batchOf(b, 8000000L, "m2"), 201L)
+      val (tBigBatch, n3, a3) = admit(ixBig, batchOf(8L * b, 9000000L, "m3"), 202L)
       println(f"[scale] admission loop: B=$b%d  small-ix $tSmallIx%.2fs  " +
-        f"big-ix $tBigIx%.2fs  8B-big-ix $tBigBatch%.2fs")
+        f"big-ix $tBigIx%.2fs  8B-big-ix $tBigBatch%.2fs  " +
+        f"admitted $a1%d/$n1%d $a2%d/$n2%d $a3%d/$n3%d")
+      if (a1 != n1 || a2 != n2 || a3 != n3) {
+        bad += 1
+        println(s"[scale] FAIL admission lens: novel docs not fully admitted " +
+          s"($a1/$n1, $a2/$n2, $a3/$n3) — the lens is no longer timing the admit/extend path")
+      }
       def flag(cond: Boolean, msg: String): Unit = if (cond) {
         val load1 = try java.nio.file.Files.readString(
           java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")(0).toDouble

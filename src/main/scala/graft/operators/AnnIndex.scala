@@ -118,9 +118,18 @@ object AnnIndex {
     val touched = idDf
       .select(pmod(hash(col("vec_id")), lit(nb)).as("bk"))
       .distinct().collect().map(_.getInt(0)).toIndexedSeq
-    VersionedTable.replaceBuckets(spark, codesPath(path), Seq("vec_id"), touched) {
-      slice => slice.filter(!col("vec_id").isInCollection(ids))
-    }
+    // prune only under a verified bucket contract; a legacy table (no
+    // recorded contract — same vec_id bucketing, but unprovable from
+    // the manifest) takes the full-snapshot rewrite: slower, never wrong
+    if (VersionedTable.storedBucketKeys(spark, codesPath(path))
+        .contains(Seq("vec_id")))
+      VersionedTable.replaceBuckets(spark, codesPath(path), Seq("vec_id"), touched) {
+        slice => slice.filter(!col("vec_id").isInCollection(ids))
+      }
+    else
+      VersionedTable.replaceAll(spark, codesPath(path), Seq("vec_id")) {
+        snap => snap.filter(!col("vec_id").isInCollection(ids))
+      }
   }
 
   /** The committed code table (vec_id, c_id, code_0..code_{PqM−1}) at

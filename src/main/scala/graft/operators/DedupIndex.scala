@@ -167,17 +167,30 @@ object DedupIndex {
       keyFrame.select(pmod(hash(bucketKeys.map(col): _*), lit(nb)).as("bk"))
         .distinct().collect().map(_.getInt(0)).toIndexedSeq
     }
-    val sub: Seq[(String, Seq[String], DataFrame)] = Seq(
-      (fpsPath(path), Seq("doc_id"), idDf),
-      (sigsPath(path), Seq("doc_id"), idDf),
-      (bandsPath(path), Seq("doc_id", "b"), bandKeyDf)) ++
-      Some((rshPath(path), Seq("doc_id"), idDf))
+    // (path, prunable bucket cols, their probe frame, legacy merge keys)
+    val sub: Seq[(String, Seq[String], DataFrame, Seq[String])] = Seq(
+      (fpsPath(path), Seq("doc_id"), idDf, Seq("doc_id")),
+      (sigsPath(path), Seq("doc_id"), idDf, Seq("doc_id")),
+      (bandsPath(path), Seq("doc_id", "b"), bandKeyDf, Seq("doc_id", "b"))) ++
+      Some((rshPath(path), Seq("doc_id"), idDf, Seq("doc_id", "h")))
         .filter(t => VersionedTable.latestManifest(spark, t._1).isDefined)
-    for ((p, bucketKeys, keyFrame) <- sub)
-      VersionedTable.replaceBuckets(spark, p, bucketKeys,
-        touched(p, keyFrame, bucketKeys)) { slice =>
-        slice.filter(!col("doc_id").isInCollection(ids))
-      }
+    for ((p, bucketKeys, keyFrame, legacyKeys) <- sub) {
+      // Prune ONLY when the table's recorded bucket contract says these
+      // buckets are where the ids live. An rsh table committed before
+      // the contract existed was bucketed by (doc_id, h) — pruning by
+      // doc_id there would miss rows and report a takedown done that
+      // wasn't (the silent compliance failure). Legacy tables take the
+      // full-snapshot rewrite: slower, never wrong.
+      if (VersionedTable.storedBucketKeys(spark, p).contains(bucketKeys))
+        VersionedTable.replaceBuckets(spark, p, bucketKeys,
+          touched(p, keyFrame, bucketKeys)) { slice =>
+          slice.filter(!col("doc_id").isInCollection(ids))
+        }
+      else
+        VersionedTable.replaceAll(spark, p, legacyKeys) { snap =>
+          snap.filter(!col("doc_id").isInCollection(ids))
+        }
+    }
   }
 
   /** Classify a (doc_id, text) batch against corpus index FRAMES:

@@ -112,15 +112,26 @@ object MediaIndex {
     val ids = docIds.toSet
     import spark.implicits._
     val idDf = docIds.toDF("doc_id")
-    for (sub <- Seq(imgPath(path), vidPath(path))
-         if VersionedTable.latestManifest(spark, sub).isDefined) {
+    val present = Seq(imgPath(path), vidPath(path))
+      .filter(sub => VersionedTable.latestManifest(spark, sub).isDefined)
+    // fail LOUDLY on a path with no index at all — a typo'd takedown
+    // that "succeeds" while the fingerprints stay servable is the one
+    // outcome a compliance op must never have
+    require(present.nonEmpty,
+      s"MediaIndex.retract: no committed img/vid sub-table at $path")
+    for (sub <- present) {
       val nb = VersionedTable.storedNumBuckets(spark, sub).getOrElse(16)
       val touched = idDf
         .select(pmod(hash(col("doc_id")), lit(nb)).as("bk"))
         .distinct().collect().map(_.getInt(0)).toIndexedSeq
-      VersionedTable.replaceBuckets(spark, sub, Seq("doc_id"), touched) { slice =>
-        slice.filter(!col("doc_id").isInCollection(ids))
-      }
+      if (VersionedTable.storedBucketKeys(spark, sub).contains(Seq("doc_id")))
+        VersionedTable.replaceBuckets(spark, sub, Seq("doc_id"), touched) { slice =>
+          slice.filter(!col("doc_id").isInCollection(ids))
+        }
+      else // legacy table without a recorded contract: slower, never wrong
+        VersionedTable.replaceAll(spark, sub, Seq("doc_id")) { snap =>
+          snap.filter(!col("doc_id").isInCollection(ids))
+        }
     }
   }
 

@@ -333,6 +333,10 @@ object Sinks {
     private def parseNumBuckets(txt: String): Option[Int] =
       "\"numBuckets\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
 
+    private def parseBucketCols(txt: String): Option[Seq[String]] =
+      "\"bucketCols\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(',').toIndexedSeq.filter(_.nonEmpty))
+
     /** Structural completeness check for a manifest body. [[publish]]
       * never exposes a partially-written manifest on a correct
       * filesystem (full temp write + atomic link/rename), but a
@@ -387,14 +391,24 @@ object Sinks {
       * (temp write + atomic link/rename-style create), so a reader that
       * sees the manifest sees all of it.
       */
+    /** `bucketCols`: the bucket-hash column contract, recorded in the
+      * manifest like numBuckets — readers and later writers verify
+      * against it, so a caller bucketing differently from the table's
+      * builder fails LOUDLY instead of silently stranding rows in
+      * buckets merges and takedowns never read. Empty = omit the field
+      * (legacy tables, whose contract is keys-as-bucket-cols).
+      */
     private def publish(spark: SparkSession, path: String, v: Long,
-                        buckets: Map[Int, String], numBuckets: Int): Boolean = {
+                        buckets: Map[Int, String], numBuckets: Int,
+                        bucketCols: Seq[String]): Boolean = {
       val fs = fsFor(spark, path)
       val cdir = new Path(path, CommitsDir)
       fs.mkdirs(cdir)
+      val bc = if (bucketCols.isEmpty) ""
+        else s""""bucketCols":"${bucketCols.mkString(",")}","""
       val body = buckets.toSeq.sorted
         .map { case (b, d) => s""""$b":"$d"""" }
-        .mkString(s"""{"version":$v,"numBuckets":$numBuckets,"buckets":{""", ",", "}}")
+        .mkString(s"""{"version":$v,"numBuckets":$numBuckets,$bc"buckets":{""", ",", "}}")
       val dst = new Path(cdir, manifestName(v))
       val tmp = new Path(cdir, s".tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
@@ -500,10 +514,22 @@ object Sinks {
         // The bucket function must stay stable for the table's lifetime:
         // a merge bucketed differently from the base would leave a key's
         // older versions in dirs the merge never reads (silent
-        // duplicates). The manifest records numBuckets at creation and
-        // every later merge USES the recorded value — the parameter only
-        // sizes a brand-new table.
+        // duplicates). The manifest records numBuckets AND the bucket
+        // columns at creation; every later merge is VERIFIED against
+        // the recorded contract — the parameters only shape a brand-new
+        // table. A legacy table (no recorded bucketCols) was by
+        // construction bucketed by its merge keys, so a caller passing
+        // anything else is refused rather than silently corrupting it.
         val nb = storedNumBuckets(spark, path).getOrElse(numBuckets)
+        storedBucketKeys(spark, path) match {
+          case Some(cols) => require(cols == bk,
+            s"VersionedTable.mergeUpsert: $path is bucketed by $cols, caller passed $bk")
+          case None if current.isDefined => require(bk == keys,
+            s"VersionedTable.mergeUpsert: legacy table $path (no recorded bucketCols) " +
+              s"was bucketed by its merge keys $keys; caller passed $bk — rebuild the " +
+              "table to change its bucket contract")
+          case None => // brand-new table: bk becomes the recorded contract
+        }
         val deltaB = delta.withColumn("bucket",
           pmod(hash(bk.map(col): _*), lit(nb)))
         val next = baseVersion + 1
@@ -545,7 +571,8 @@ object Sinks {
         }.toMap
         fs.delete(staging, true)
         beforePublishHook()
-        committed = publish(spark, path, next, baseBuckets ++ newDirs, nb)
+        committed = publish(spark, path, next, baseBuckets ++ newDirs, nb,
+          bucketCols = bk)
         if (!committed) {
           // lost the race: drop this attempt's orphan dirs and retry
           // against the winner's snapshot
@@ -591,7 +618,8 @@ object Sinks {
           b -> out
         }
         done = publish(spark, path, next, buckets ++ newDirs,
-          storedNumBuckets(spark, path).getOrElse(-1))
+          storedNumBuckets(spark, path).getOrElse(-1),
+          bucketCols = storedBucketKeys(spark, path).getOrElse(Nil))
         if (!done) newDirs.values.foreach(d => fs.delete(new Path(path, d), true))
       }
     }
@@ -629,6 +657,11 @@ object Sinks {
         val (baseVersion, _) = latestManifest(spark, path).getOrElse(
           throw new IllegalStateException(s"VersionedTable: no commits at $path"))
         val nb = storedNumBuckets(spark, path).getOrElse(64)
+        // `keys` re-buckets the folded rows, so it must be the table's
+        // bucket contract — verified when recorded (a mismatch would
+        // strand every row where key probes and merges never look)
+        storedBucketKeys(spark, path).foreach(cols => require(cols == keys,
+          s"VersionedTable.replaceAll: $path is bucketed by $cols, caller passed $keys"))
         // fold the attempt's pinned snapshot (retry re-reads the winner's)
         val folded = fold(read(spark, path, Some(baseVersion)).drop("bucket"))
           .withColumn("bucket", pmod(hash(keys.map(col): _*), lit(nb)))
@@ -653,7 +686,8 @@ object Sinks {
         require(newDirs.nonEmpty,
           "VersionedTable.replaceAll: fold returned an empty frame (use vacuum/drop instead)")
         beforePublishHook()
-        committed = publish(spark, path, next, newDirs, nb)
+        committed = publish(spark, path, next, newDirs, nb,
+          bucketCols = storedBucketKeys(spark, path).getOrElse(keys))
         if (!committed) {
           newDirs.values.foreach(d => fs.delete(new Path(path, d), true))
         }
@@ -673,8 +707,11 @@ object Sinks {
       * `fold` receives the touched slice WITH its `bucket` column and
       * must preserve each surviving row's value (filter and in-place
       * update folds do this for free). Moving a row across buckets is
-      * checked and refused — it would strand the row where key probes
-      * and later merges never look. A bucket whose fold output is empty
+      * checked and refused — hash-verified against the table's recorded
+      * bucket contract (on a legacy table without one, only moves into
+      * UNTOUCHED buckets are structurally detectable) — it would strand
+      * the row where key probes and later merges never look. A bucket
+      * whose fold output is empty
       * drops out of the manifest (its rows logically disappear — the
       * thing upsert-only merges cannot express). Same optimistic
       * protocol as every other commit here: losing the race refolds the
@@ -705,6 +742,21 @@ object Sinks {
         val dirs = present.toSeq.sorted.map(b => new Path(path, baseBuckets(b)).toString)
         val folded = fold(
           spark.read.option("mergeSchema", "true").parquet(dirs: _*))
+        // Strong bucket-identity check (possible when the table records
+        // its bucket contract): every surviving row's `bucket` must
+        // still equal hash(bucketCols) % nb — catching a fold that
+        // relocated rows even BETWEEN touched buckets, which the
+        // staging-dir check below structurally cannot see. One bounded
+        // job over the touched slice; takedowns are rare.
+        storedBucketKeys(spark, path).foreach { cols =>
+          val nbStored = storedNumBuckets(spark, path).getOrElse(-1)
+          val moved = folded.filter(
+            pmod(hash(cols.map(col): _*), lit(nbStored)) =!= col("bucket"))
+            .limit(1).count()
+          require(moved == 0L,
+            s"VersionedTable.replaceBuckets: fold changed rows' bucket identity at $path " +
+              "— the bucket column must be preserved")
+        }
         val next = baseVersion + 1
         val stamp = java.util.UUID.randomUUID().toString.take(8)
         val staging = new Path(path, s".staging-$stamp")
@@ -737,7 +789,8 @@ object Sinks {
           "VersionedTable.replaceBuckets: fold emptied the whole table (drop it instead)")
         beforePublishHook()
         committed = publish(spark, path, next, nextBuckets,
-          storedNumBuckets(spark, path).getOrElse(-1))
+          storedNumBuckets(spark, path).getOrElse(-1),
+          bucketCols = storedBucketKeys(spark, path).getOrElse(Nil))
         if (!committed) {
           newDirs.values.foreach(d => fs.delete(new Path(path, d), true))
         }
@@ -792,6 +845,13 @@ object Sinks {
       */
     def storedNumBuckets(spark: SparkSession, path: String): Option[Int] =
       latestIntact(spark, path).flatMap(t => parseNumBuckets(t._2).filter(_ > 0))
+
+    /** The bucket-hash column contract recorded by the latest manifest
+      * (None for legacy tables, whose implicit contract is the merge
+      * keys, and for uninitialized paths).
+      */
+    def storedBucketKeys(spark: SparkSession, path: String): Option[Seq[String]] =
+      latestIntact(spark, path).flatMap(t => parseBucketCols(t._2)).filter(_.nonEmpty)
 
     /** Point lookup with BUCKET PRUNING: read only the one bucket dir
       * the key hashes into — O(1/numBuckets) of the table, the reason

@@ -1266,13 +1266,18 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty)
           graft.operators.RollupIndex.applyDelta(
             batch.toDF(), indexPath, s"stream-batch-$batchId", shape)
-          if (foldEvery > 0 && batchId % foldEvery == foldEvery - 1)
-            graft.operators.RollupIndex.foldPartials(
-              batch.sparkSession, indexPath, shape)
-        }
+        // the fold fires on its cadence even when THIS batch is empty —
+        // a source systematically idle on the cadence-designated batch
+        // id would otherwise never fold and partials would grow
+        // unbounded again (it needs only an initialized table)
+        if (foldEvery > 0 && batchId % foldEvery == foldEvery - 1 &&
+            graft.sources.Sinks.VersionedTable.latestManifest(
+              batch.sparkSession, s"$indexPath/state").isDefined)
+          graft.operators.RollupIndex.foldPartials(
+            batch.sparkSession, indexPath, shape)
       }
       .start()
 

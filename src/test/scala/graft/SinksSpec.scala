@@ -575,6 +575,54 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(v == 1L, s"two merges -> versions 0 and 1, got latest $v")
   }
 
+  test("VersionedTable: the bucket contract is recorded, verified, and legacy tables refuse a changed contract (r10)") {
+    val s = spark
+    import s.implicits._
+    val path = s"$tmp/vt_contract"
+    // bucket by a PREFIX of the merge key
+    Sinks.VersionedTable.mergeUpsert(spark, path,
+      Seq((1L, "x", "a", 1L), (1L, "y", "b", 1L), (2L, "x", "c", 1L))
+        .toDF("id", "sub", "v", "ver"),
+      Seq("id", "sub"), "ver", numBuckets = 4, bucketKeys = Seq("id"))
+    assert(Sinks.VersionedTable.storedBucketKeys(spark, path).contains(Seq("id")),
+      "the manifest must record the bucket contract")
+    // a later writer with a DIFFERENT contract is refused loudly
+    intercept[IllegalArgumentException] {
+      Sinks.VersionedTable.mergeUpsert(spark, path,
+        Seq((3L, "z", "d", 2L)).toDF("id", "sub", "v", "ver"),
+        Seq("id", "sub"), "ver")
+    }
+    // the matching contract merges fine, and compaction carries the
+    // contract through to its new manifest version
+    Sinks.VersionedTable.mergeUpsert(spark, path,
+      Seq((3L, "z", "d", 2L)).toDF("id", "sub", "v", "ver"),
+      Seq("id", "sub"), "ver", bucketKeys = Seq("id"))
+    Sinks.VersionedTable.compact(spark, path)
+    assert(Sinks.VersionedTable.storedBucketKeys(spark, path).contains(Seq("id")))
+    assert(Sinks.VersionedTable.read(spark, path).count() == 4)
+    // legacy table (manifest predates the field): contract is keys-as-
+    // bucket-cols — a prefix-bucketing caller is refused, keys-caller ok
+    val legacy = s"$tmp/vt_legacy"
+    Sinks.VersionedTable.mergeUpsert(spark, legacy,
+      Seq((1L, "x", "a", 1L)).toDF("id", "sub", "v", "ver"),
+      Seq("id", "sub"), "ver", numBuckets = 4)
+    val cdir = new java.io.File(s"$legacy/_commits")
+    val mf = cdir.listFiles().filter(_.getName.endsWith(".json")).head
+    java.nio.file.Files.writeString(mf.toPath,
+      java.nio.file.Files.readString(mf.toPath)
+        .replaceAll("\"bucketCols\":\"[^\"]*\",", ""))
+    assert(Sinks.VersionedTable.storedBucketKeys(spark, legacy).isEmpty)
+    intercept[IllegalArgumentException] {
+      Sinks.VersionedTable.mergeUpsert(spark, legacy,
+        Seq((2L, "y", "b", 1L)).toDF("id", "sub", "v", "ver"),
+        Seq("id", "sub"), "ver", bucketKeys = Seq("id"))
+    }
+    Sinks.VersionedTable.mergeUpsert(spark, legacy,
+      Seq((2L, "y", "b", 1L)).toDF("id", "sub", "v", "ver"),
+      Seq("id", "sub"), "ver")
+    assert(Sinks.VersionedTable.read(spark, legacy).count() == 2)
+  }
+
   test("non-bucketed join of the same data DOES shuffle both sides (control)") {
     val joined = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
       .join(Tables.customer(spark, sf).select("c_custkey", "c_name"),
