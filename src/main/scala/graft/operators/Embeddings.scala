@@ -179,6 +179,108 @@ object Embeddings {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
        |  FROM band) WHERE rn <= $TopK""".stripMargin
 
+  /** C81 margin-mining constants. `MarginK = 4` is load-bearing for
+    * exactness: the margin denominator averages the two directions'
+    * top-k neighbor cosines, i.e. divides their sum by 2k = 8 — a
+    * power of two, so the division is IEEE-exact and the margin is a
+    * pure deterministic function of the cosines on every engine.
+    * Threshold 1.1 sits mid-distribution on the synthetic corpus
+    * (best-pair margins: median ≈ 1.08, p90 ≈ 1.24), so both the
+    * mined and rejected branches fire at every SF.
+    */
+  val MarginK = 4
+  val MarginThreshold = 1.1
+
+  /** C81: margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix data-prep step that builds parallel corpora for
+    * translation training): for every non-pivot-language doc y, find
+    * the pivot-language doc x maximizing the RATIO margin
+    * cos(y,x) / ((Σ top-k cos(y,·→X) + Σ top-k cos(x,·→Y)) / 2k) —
+    * absolute cosine is uncalibrated across language pairs (hubness:
+    * some vectors are near everything), so the margin normalizes each
+    * pair's similarity by both endpoints' neighborhood density, and
+    * only pairs clearing [[MarginThreshold]] are mined.
+    *
+    * Exactness: cosines are the shared integer-dot kernel; each top-k
+    * sum is a LEFT FOLD over the (cos desc, id asc)-ordered list from
+    * the bounded heap — the oracle folds the identically-ordered
+    * DuckDB list — so every double is bit-identical cross-engine and
+    * the 6-dp rounding can never straddle.
+    *
+    * Scale shape: this is the BRUTE correctness baseline (the C6 role)
+    * — X broadcast, Y streamed once, both top-k sums are bounded heap
+    * aggs, the best-pair pick is a 1-deep heap, no window anywhere. At
+    * 100 TB the Y×X scorer swaps for the IVF-PQ candidate stream with
+    * the (y_id, x_id, cos) contract unchanged — the C6→C7e / C77→C77b
+    * composition rule; margins are then computed over candidates only
+    * (the CCMatrix production shape).
+    */
+  def bitextMine(documents: DataFrame, embeddings: DataFrame,
+                 pivot: String = "en", k: Int = MarginK,
+                 threshold: Double = MarginThreshold): DataFrame = {
+    val q = quantized(embeddings)
+    val v = q.join(documents.select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+    val x = v.filter(col("lang") === pivot)
+      .select(col("vec_id").as("x_id"), col("qv").as("x_qv"), col("nrm").as("x_nrm"))
+    val scored = GraftCache.persistTracked(
+      v.filter(col("lang") =!= pivot)
+        .select(col("vec_id").as("y_id"), col("lang"),
+          col("qv").as("y_qv"), col("nrm").as("y_nrm"))
+        .crossJoin(broadcast(x))
+        .select(col("y_id"), col("lang"), col("x_id"),
+          cosine(col("y_qv"), col("x_qv"), col("y_nrm"), col("x_nrm")).as("cos")))
+    // Σ of each side's top-k cross-lingual cosines, summed in heap
+    // order (desc, ties id asc) — the deterministic left fold
+    def topSum(g: String, other: String) = scored
+      .groupBy(g)
+      .agg(aggregate(
+        transform(Exprs.maxKScored(col("cos"), col(other), k), t => t.getField("score")),
+        lit(0.0), (acc, s) => acc + s).as(s"${g}_sum"))
+    val m = scored
+      .join(topSum("y_id", "x_id"), "y_id")
+      .join(topSum("x_id", "y_id"), "x_id")
+      .select(col("y_id"), col("lang"), col("x_id"), col("cos"),
+        (col("cos") / ((col("y_id_sum") + col("x_id_sum")) / lit((2 * k).toDouble)))
+          .as("margin"))
+    m.groupBy("y_id")
+      .agg(Exprs.maxKScored(col("margin"), col("x_id"), 1).as("top"))
+      .select(col("y_id"), explode(col("top")).as("t"))
+      .select(col("y_id"), col("t.id").as("x_id"), col("t.score").as("margin"))
+      .join(m.select(col("y_id"), col("x_id"), col("lang"), col("cos")),
+        Seq("y_id", "x_id"))
+      .filter(col("margin") >= threshold)
+      .select(col("y_id").as("doc_id"), col("lang"), col("x_id").as("en_id"),
+        round(col("cos"), 6).as("cos"), round(col("margin"), 6).as("margin"))
+  }
+
+  def bitextMineSql(pivot: String = "en", k: Int = MarginK,
+                    threshold: Double = MarginThreshold): String =
+    s"""WITH q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
+       |v AS (SELECT n.*, d.lang FROM n JOIN documents d ON n.vec_id = d.doc_id),
+       |x AS (SELECT * FROM v WHERE lang = '$pivot'),
+       |y AS (SELECT * FROM v WHERE lang <> '$pivot'),
+       |scored AS (
+       |  SELECT y.vec_id AS y_id, y.lang, x.vec_id AS x_id,
+       |    ${dotSqlFmt.format("y.qv", "x.qv")} / (sqrt(y.nrm) * sqrt(x.nrm)) AS cos
+       |  FROM y, x),
+       |ay AS (SELECT y_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(cos ORDER BY cos DESC, x_id)[1:$k]), (acc, s) -> acc + s) AS y_sum
+       |  FROM scored GROUP BY y_id),
+       |bx AS (SELECT x_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(cos ORDER BY cos DESC, y_id)[1:$k]), (acc, s) -> acc + s) AS x_sum
+       |  FROM scored GROUP BY x_id),
+       |m AS (SELECT s.*, s.cos / ((ay.y_sum + bx.x_sum) / ${2 * k}) AS margin
+       |  FROM scored s JOIN ay USING (y_id) JOIN bx USING (x_id)),
+       |best AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS rn
+       |    FROM m) WHERE rn = 1)
+       |SELECT y_id AS doc_id, lang, x_id AS en_id,
+       |  round(cos, 6) AS cos, round(margin, 6) AS margin
+       |FROM best WHERE margin >= $threshold""".stripMargin
+
   /** (vec_id, table, bucket) LSH assignment: per table, a 4-bit sign
     * pattern of the quantized vector against 4 md5-derived hyperplanes.
     */
@@ -1443,7 +1545,9 @@ object Embeddings {
     "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d))),
     "q_ann_multiprobe" -> ((s, d) => annMultiProbe(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => annIvf(Tables.embeddings(s, d))),
-    "q_neardup_cosine" -> ((s, d) => nearDupCosine(Tables.embeddings(s, d))))
+    "q_neardup_cosine" -> ((s, d) => nearDupCosine(Tables.embeddings(s, d))),
+    "q_bitext_mine" -> ((s, d) =>
+      bitextMine(Tables.documents(s, d), Tables.embeddings(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_embed_outliers" -> embedOutliersSql(),
@@ -1460,5 +1564,6 @@ object Embeddings {
     "q_ann_lsh" -> annLshSql,
     "q_ann_multiprobe" -> annMultiProbeSql,
     "q_ann_ivf" -> annIvfSql,
-    "q_neardup_cosine" -> nearDupCosineSql)
+    "q_neardup_cosine" -> nearDupCosineSql,
+    "q_bitext_mine" -> bitextMineSql())
 }
