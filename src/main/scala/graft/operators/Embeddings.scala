@@ -222,13 +222,49 @@ object Embeddings {
     val v = q.join(documents.select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
     val x = v.filter(col("lang") === pivot)
       .select(col("vec_id").as("x_id"), col("qv").as("x_qv"), col("nrm").as("x_nrm"))
-    val scored = GraftCache.persistTracked(
+    val scored =
       v.filter(col("lang") =!= pivot)
         .select(col("vec_id").as("y_id"), col("lang"),
           col("qv").as("y_qv"), col("nrm").as("y_nrm"))
         .crossJoin(broadcast(x))
         .select(col("y_id"), col("lang"), col("x_id"),
-          cosine(col("y_qv"), col("x_qv"), col("y_nrm"), col("x_nrm")).as("cos")))
+          cosine(col("y_qv"), col("x_qv"), col("y_nrm"), col("x_nrm")).as("cos"))
+    marginMine(scored, k, threshold)
+  }
+
+  /** C81b: bitext mining over the IVF-PQ candidate stream — the SCALE
+    * path, exactly the C77→C77b promotion: the brute Y×X scorer is
+    * replaced by [[ivfPqRefinedPairs]]' routed + ADC-shortlisted +
+    * exact-refined (q_id, n_id, cos) pairs, cross-lingual-filtered by a
+    * lang join, and the SAME margin core runs over candidates only —
+    * the CCMatrix production shape (margins over each side's ANN list;
+    * a short candidate list under-fills the fixed /2k denominator,
+    * which only makes the estimator conservative-in-reverse: margins
+    * can only grow, so no true pair is lost to the swap). Probe set
+    * bounded like every ANN lens.
+    */
+  def bitextMineAnn(documents: DataFrame, embeddings: DataFrame,
+                    pivot: String = "en", k: Int = MarginK,
+                    threshold: Double = MarginThreshold): DataFrame = {
+    val langF = documents.select(col("doc_id"), col("lang"))
+    val pairs = ivfPqRefinedPairs(embeddings)
+      .select(col("q_id").as("y_id"), col("n_id").as("x_id"), col("cos"))
+      .join(langF.select(col("doc_id").as("y_id"), col("lang")), "y_id")
+      .join(langF.select(col("doc_id").as("x_id"), col("lang").as("x_lang")), "x_id")
+      .filter(col("lang") =!= pivot && col("x_lang") === pivot)
+      .select(col("y_id"), col("lang"), col("x_id"), col("cos"))
+    marginMine(pairs, k, threshold)
+  }
+
+  /** The shared margin core over any cross-lingual candidate frame
+    * (y_id, lang, x_id, cos) — brute (C81) and ANN-candidate (C81b)
+    * mining differ ONLY in how the pairs were generated. Persisted:
+    * three consumers (two direction sums + the best-pair join-back)
+    * read the pair frame.
+    */
+  private def marginMine(pairFrame: DataFrame, k: Int,
+                         threshold: Double): DataFrame = {
+    val scored = GraftCache.persistTracked(pairFrame)
     // Σ of each side's top-k cross-lingual cosines, summed in heap
     // order (desc, ties id asc) — the deterministic left fold
     def topSum(g: String, other: String) = scored
@@ -253,6 +289,28 @@ object Embeddings {
         round(col("cos"), 6).as("cos"), round(col("margin"), 6).as("margin"))
   }
 
+  /** The margin tail as SQL, expecting a prior CTE
+    * `pairs(y_id, lang, x_id, cos)` — the single SQL definition both
+    * C81 and C81b splice (the candSqlCte convention).
+    */
+  private def marginSqlTail(k: Int, threshold: Double): String =
+    s"""ay AS (SELECT y_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(cos ORDER BY cos DESC, x_id)[1:$k]), (acc, s) -> acc + s) AS y_sum
+       |  FROM pairs GROUP BY y_id),
+       |bx AS (SELECT x_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(cos ORDER BY cos DESC, y_id)[1:$k]), (acc, s) -> acc + s) AS x_sum
+       |  FROM pairs GROUP BY x_id),
+       |mm AS (SELECT p.*, p.cos / ((ay.y_sum + bx.x_sum) / ${2 * k}) AS margin
+       |  FROM pairs p JOIN ay USING (y_id) JOIN bx USING (x_id)),
+       |best AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS rn
+       |    FROM mm) WHERE rn = 1)
+       |SELECT y_id AS doc_id, lang, x_id AS en_id,
+       |  round(cos, 6) AS cos, round(margin, 6) AS margin
+       |FROM best WHERE margin >= $threshold""".stripMargin
+
   def bitextMineSql(pivot: String = "en", k: Int = MarginK,
                     threshold: Double = MarginThreshold): String =
     s"""WITH q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
@@ -260,26 +318,23 @@ object Embeddings {
        |v AS (SELECT n.*, d.lang FROM n JOIN documents d ON n.vec_id = d.doc_id),
        |x AS (SELECT * FROM v WHERE lang = '$pivot'),
        |y AS (SELECT * FROM v WHERE lang <> '$pivot'),
-       |scored AS (
+       |pairs AS (
        |  SELECT y.vec_id AS y_id, y.lang, x.vec_id AS x_id,
        |    ${dotSqlFmt.format("y.qv", "x.qv")} / (sqrt(y.nrm) * sqrt(x.nrm)) AS cos
        |  FROM y, x),
-       |ay AS (SELECT y_id,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list(cos ORDER BY cos DESC, x_id)[1:$k]), (acc, s) -> acc + s) AS y_sum
-       |  FROM scored GROUP BY y_id),
-       |bx AS (SELECT x_id,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list(cos ORDER BY cos DESC, y_id)[1:$k]), (acc, s) -> acc + s) AS x_sum
-       |  FROM scored GROUP BY x_id),
-       |m AS (SELECT s.*, s.cos / ((ay.y_sum + bx.x_sum) / ${2 * k}) AS margin
-       |  FROM scored s JOIN ay USING (y_id) JOIN bx USING (x_id)),
-       |best AS (SELECT * FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS rn
-       |    FROM m) WHERE rn = 1)
-       |SELECT y_id AS doc_id, lang, x_id AS en_id,
-       |  round(cos, 6) AS cos, round(margin, 6) AS margin
-       |FROM best WHERE margin >= $threshold""".stripMargin
+       |${marginSqlTail(k, threshold)}""".stripMargin
+
+  def bitextMineAnnSql(pivot: String = "en", k: Int = MarginK,
+                       threshold: Double = MarginThreshold): String =
+    s"""$ivfPqRescoredCtes,
+       |lng AS (SELECT doc_id, lang FROM documents),
+       |pairs AS (
+       |  SELECT r.q_id AS y_id, ly.lang, r.n_id AS x_id, r.cos
+       |  FROM rescored r
+       |  JOIN lng ly ON r.q_id = ly.doc_id
+       |  JOIN lng lx ON r.n_id = lx.doc_id
+       |  WHERE ly.lang <> '$pivot' AND lx.lang = '$pivot'),
+       |${marginSqlTail(k, threshold)}""".stripMargin
 
   /** (vec_id, table, bucket) LSH assignment: per table, a 4-bit sign
     * pattern of the quantized vector against 4 md5-derived hyperplanes.
@@ -1004,7 +1059,12 @@ object Embeddings {
     scorePairs(shortlist, q)
   }
 
-  private def ivfPqSqlWith(rescoredFilter: String): String = {
+  /** The full IVF-PQ candidate chain ending in `rescored(q_id, n_id,
+    * cos)` — the SINGLE SQL definition of the routed + ADC-shortlisted
+    * + exact-refined candidate stream, spliced by the C7e/C77b oracles
+    * (via [[ivfPqSqlWith]]) and C81b's margin tail.
+    */
+  private def ivfPqRescoredCtes: String = {
     val codeJoins = (0 until PqM).map { m =>
       s"  JOIN asg$m a$m ON c.n_id = a$m.vec_id\n" +
         s"  JOIN centf$m c$m ON a$m.code = c$m.c_id"
@@ -1045,11 +1105,14 @@ object Embeddings {
        |rescored AS (
        |  SELECT s.q_id, s.n_id,
        |    ${dotSqlFmt.format("a.qv", "b.qv")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
-       |  FROM short s JOIN n a ON s.q_id = a.vec_id JOIN n b ON s.n_id = b.vec_id)
+       |  FROM short s JOIN n a ON s.q_id = a.vec_id JOIN n b ON s.n_id = b.vec_id)""".stripMargin
+  }
+
+  private def ivfPqSqlWith(rescoredFilter: String): String =
+    s"""$ivfPqRescoredCtes
        |SELECT q_id, n_id, cos, rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
        |  FROM rescored $rescoredFilter) WHERE rn <= $TopK""".stripMargin
-  }
 
   val annIvfPqSql: String = ivfPqSqlWith("")
 
@@ -1547,7 +1610,9 @@ object Embeddings {
     "q_ann_ivf" -> ((s, d) => annIvf(Tables.embeddings(s, d))),
     "q_neardup_cosine" -> ((s, d) => nearDupCosine(Tables.embeddings(s, d))),
     "q_bitext_mine" -> ((s, d) =>
-      bitextMine(Tables.documents(s, d), Tables.embeddings(s, d))))
+      bitextMine(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "q_bitext_mine_ann" -> ((s, d) =>
+      bitextMineAnn(Tables.documents(s, d), Tables.embeddings(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_embed_outliers" -> embedOutliersSql(),
@@ -1565,5 +1630,6 @@ object Embeddings {
     "q_ann_multiprobe" -> annMultiProbeSql,
     "q_ann_ivf" -> annIvfSql,
     "q_neardup_cosine" -> nearDupCosineSql,
-    "q_bitext_mine" -> bitextMineSql())
+    "q_bitext_mine" -> bitextMineSql(),
+    "q_bitext_mine_ann" -> bitextMineAnnSql())
 }
