@@ -782,7 +782,12 @@ object ScaleAudit {
         EventStream.curationAdmitBatch(batch, id, ix, lr, 0L, outP,
           registryPath = Some(s"$work/registry"))
         val sec = (System.nanoTime() - t0) / 1e9
-        (sec, nIn, spark.read.parquet(outP).count())
+        // zero admissions never write outP — the exact case the count
+        // exists to FLAG, so it must read as 0, not crash the audit
+        val admitted =
+          if (new java.io.File(outP).exists()) spark.read.parquet(outP).count()
+          else 0L
+        (sec, nIn, admitted)
       }
       // clamp so the 8x batch is genuinely 8x (never corpus-capped)
       val b = math.max(math.min(nCorpus / 8L, 500L), nCorpus / 25L)

@@ -114,19 +114,19 @@ object AnnIndex {
     val ids = vecIds.toSet
     import spark.implicits._
     val idDf = vecIds.toDF("vec_id") // LongType, matching the writer's key
-    val nb = VersionedTable.storedNumBuckets(spark, codesPath(path)).getOrElse(16)
-    val touched = idDf
-      .select(pmod(hash(col("vec_id")), lit(nb)).as("bk"))
-      .distinct().collect().map(_.getInt(0)).toIndexedSeq
     // prune only under a verified bucket contract; a legacy table (no
     // recorded contract — same vec_id bucketing, but unprovable from
     // the manifest) takes the full-snapshot rewrite: slower, never wrong
     if (VersionedTable.storedBucketKeys(spark, codesPath(path))
-        .contains(Seq("vec_id")))
+        .contains(Seq("vec_id"))) {
+      val nb = VersionedTable.storedNumBuckets(spark, codesPath(path)).getOrElse(16)
+      val touched = idDf
+        .select(pmod(hash(col("vec_id")), lit(nb)).as("bk"))
+        .distinct().collect().map(_.getInt(0)).toIndexedSeq
       VersionedTable.replaceBuckets(spark, codesPath(path), Seq("vec_id"), touched) {
         slice => slice.filter(!col("vec_id").isInCollection(ids))
       }
-    else
+    } else
       VersionedTable.replaceAll(spark, codesPath(path), Seq("vec_id")) {
         snap => snap.filter(!col("vec_id").isInCollection(ids))
       }

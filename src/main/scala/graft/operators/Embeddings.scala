@@ -237,11 +237,14 @@ object Embeddings {
     * replaced by [[ivfPqRefinedPairs]]' routed + ADC-shortlisted +
     * exact-refined (q_id, n_id, cos) pairs, cross-lingual-filtered by a
     * lang join, and the SAME margin core runs over candidates only —
-    * the CCMatrix production shape (margins over each side's ANN list;
-    * a short candidate list under-fills the fixed /2k denominator,
-    * which only makes the estimator conservative-in-reverse: margins
-    * can only grow, so no true pair is lost to the swap). Probe set
-    * bounded like every ANN lens.
+    * the CCMatrix production shape (margins over each side's ANN list).
+    * Recall boundary is the honest ANN trade, same as C7e vs C6: a
+    * true pair whose pivot doc falls outside the probe's coarse lists
+    * or ADC shortlist is not scored at all. For pairs that DO survive
+    * routing, an under-filled /2k denominator typically inflates the
+    * margin on this corpus's positive-cosine candidate lists (negative
+    * cosines shrink it) — an estimator property, not a guarantee.
+    * Probe set bounded like every ANN lens.
     */
   def bitextMineAnn(documents: DataFrame, embeddings: DataFrame,
                     pivot: String = "en", k: Int = MarginK,
@@ -272,12 +275,15 @@ object Embeddings {
       .agg(aggregate(
         transform(Exprs.maxKScored(col("cos"), col(other), k), t => t.getField("score")),
         lit(0.0), (acc, s) => acc + s).as(s"${g}_sum"))
-    val m = scored
+    // persisted: the best-pair aggregation AND its cos/lang join-back
+    // both read the margin frame — without the persist the heap aggs
+    // and the three-way join over the pair frame would run twice
+    val m = GraftCache.persistTracked(scored
       .join(topSum("y_id", "x_id"), "y_id")
       .join(topSum("x_id", "y_id"), "x_id")
       .select(col("y_id"), col("lang"), col("x_id"), col("cos"),
         (col("cos") / ((col("y_id_sum") + col("x_id_sum")) / lit((2 * k).toDouble)))
-          .as("margin"))
+          .as("margin")))
     m.groupBy("y_id")
       .agg(Exprs.maxKScored(col("margin"), col("x_id"), 1).as("top"))
       .select(col("y_id"), explode(col("top")).as("t"))

@@ -120,15 +120,15 @@ object MediaIndex {
     require(present.nonEmpty,
       s"MediaIndex.retract: no committed img/vid sub-table at $path")
     for (sub <- present) {
-      val nb = VersionedTable.storedNumBuckets(spark, sub).getOrElse(16)
-      val touched = idDf
-        .select(pmod(hash(col("doc_id")), lit(nb)).as("bk"))
-        .distinct().collect().map(_.getInt(0)).toIndexedSeq
-      if (VersionedTable.storedBucketKeys(spark, sub).contains(Seq("doc_id")))
+      if (VersionedTable.storedBucketKeys(spark, sub).contains(Seq("doc_id"))) {
+        val nb = VersionedTable.storedNumBuckets(spark, sub).getOrElse(16)
+        val touched = idDf
+          .select(pmod(hash(col("doc_id")), lit(nb)).as("bk"))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
         VersionedTable.replaceBuckets(spark, sub, Seq("doc_id"), touched) { slice =>
           slice.filter(!col("doc_id").isInCollection(ids))
         }
-      else // legacy table without a recorded contract: slower, never wrong
+      } else // legacy table without a recorded contract: slower, never wrong
         VersionedTable.replaceAll(spark, sub, Seq("doc_id")) { snap =>
           snap.filter(!col("doc_id").isInCollection(ids))
         }

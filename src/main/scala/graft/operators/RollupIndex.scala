@@ -91,7 +91,9 @@ object RollupIndex {
   private def dec(c: Column): Column = c.cast("decimal(18,4)")
   private def money(c: Column): Column = round(c, 2).cast("double")
   private def dec28(c: Column): Column = c.cast("decimal(28,4)")
-  private def statePath(path: String) = s"$path/state"
+  // private[graft]: the streaming sink's fold-cadence guard probes the
+  // state sub-table's manifest through this ONE definition of the layout
+  private[graft] def statePath(path: String) = s"$path/state"
 
   /** The mergeable partial-aggregate state of a fact slice: one row per
     * key — each measure in its stable state type (BIGINT / exact

@@ -524,10 +524,27 @@ object Sinks {
         storedBucketKeys(spark, path) match {
           case Some(cols) => require(cols == bk,
             s"VersionedTable.mergeUpsert: $path is bucketed by $cols, caller passed $bk")
-          case None if current.isDefined => require(bk == keys,
-            s"VersionedTable.mergeUpsert: legacy table $path (no recorded bucketCols) " +
-              s"was bucketed by its merge keys $keys; caller passed $bk — rebuild the " +
-              "table to change its bucket contract")
+          case None if current.isDefined =>
+            require(bk == keys,
+              s"VersionedTable.mergeUpsert: table $path has no recorded bucketCols; " +
+                s"caller passed $bk — rebuild the table to use a prefix bucket contract")
+            // A contract-less table ASSUMED keys-bucketed could still have
+            // been written with prefix bucketKeys by pre-recording code —
+            // merging by keys would then read the wrong base buckets and
+            // commit silent duplicates. VERIFY empirically before trusting
+            // the assumption: committed rows carry their bucket column, so
+            // a bounded sample from one bucket dir proves (or refutes) the
+            // keys-bucketing physically.
+            baseBuckets.values.headOption.foreach { rel =>
+              val bad = spark.read.parquet(new Path(path, rel).toString)
+                .limit(100)
+                .filter(pmod(hash(keys.map(col): _*), lit(nb)) =!= col("bucket"))
+                .limit(1).count()
+              require(bad == 0L,
+                s"VersionedTable.mergeUpsert: $path has no recorded bucketCols and its " +
+                  s"committed rows are NOT bucketed by the merge keys $keys — it was " +
+                  "built with a prefix bucket contract by pre-recording code; rebuild it")
+            }
           case None => // brand-new table: bk becomes the recorded contract
         }
         val deltaB = delta.withColumn("bucket",
@@ -865,8 +882,23 @@ object Sinks {
                    keyVals: Seq[Any]): DataFrame = {
       require(keys.length == keyVals.length, "one value per key column")
       val eq = keys.zip(keyVals).map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
-      // ONE manifest read supplies both numBuckets and the bucket map
+      // ONE manifest read supplies numBuckets, the bucket map, AND the
+      // bucket contract. On a prefix-bucketed table the probe must hash
+      // the CONTRACT columns only — hashing the full merge key would
+      // land in a bucket that never held the row and silently return
+      // empty for an existing key. The caller must supply every
+      // contract column (verified loudly).
       val intact = latestIntact(spark, path)
+      val contract = intact.flatMap(t => parseBucketCols(t._2)).filter(_.nonEmpty)
+      val (probeKeys, probeVals) = contract match {
+        case None => (keys, keyVals)
+        case Some(cols) =>
+          require(cols.forall(keys.contains),
+            s"VersionedTable.readForKey: $path is bucketed by $cols; the probe " +
+              s"must include every contract column (got $keys)")
+          val byName = keys.zip(keyVals).toMap
+          (cols, cols.map(byName))
+      }
       intact.flatMap(t => parseNumBuckets(t._2).filter(_ > 0)) match {
         case None => read(spark, path).filter(eq)
         case Some(nb) =>
@@ -882,7 +914,7 @@ object Sinks {
               spark.read.parquet(new Path(path, rel).toString)
                 .schema.fields.map(f => f.name -> f.dataType).toMap
             }.getOrElse(Map.empty)
-          val typedLits = keys.zip(keyVals).map { case (k, v) =>
+          val typedLits = probeKeys.zip(probeVals).map { case (k, v) =>
             keyTypes.get(k).map(lit(v).cast).getOrElse(lit(v))
           }
           // same hash, computed the same way (1-row plan, not driver math)

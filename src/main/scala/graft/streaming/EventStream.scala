@@ -1275,7 +1275,8 @@ object EventStream {
         // unbounded again (it needs only an initialized table)
         if (foldEvery > 0 && batchId % foldEvery == foldEvery - 1 &&
             graft.sources.Sinks.VersionedTable.latestManifest(
-              batch.sparkSession, s"$indexPath/state").isDefined)
+              batch.sparkSession,
+              graft.operators.RollupIndex.statePath(indexPath)).isDefined)
           graft.operators.RollupIndex.foldPartials(
             batch.sparkSession, indexPath, shape)
       }
