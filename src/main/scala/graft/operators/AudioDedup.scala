@@ -155,24 +155,31 @@ object AudioDedup {
     } catch { case _: Exception => None }
   }
 
-  private val fpSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("afp", StringType, nullable = true)))
-
-  /** (doc_id, 64-char fingerprint) via the batched decode kernel;
-    * persisted for the band self-join branches.
+  /** Stateless payload→fingerprint kernel over any (idCol: Long,
+    * payload: binary) frame — pure mapPartitions + filter, no persist,
+    * no shuffle, so it runs UNCHANGED on batch and STREAMING frames
+    * (the [[ImageDedup.phashPayloads]] contract; undecodable payloads
+    * quarantine in the null filter).
     */
-  def audioFingerprint(documents: DataFrame): DataFrame = {
-    val enc = RowEncoder.encoderFor(fpSchema)
-    val fps = audioCorpus(documents)
+  def fpPayloads(media: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("afp", StringType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select(col(idCol), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
           Row(r.getLong(0), fingerprint64(r.getAs[Array[Byte]](1)).orNull)
         }
       }(enc)
       .filter(col("afp").isNotNull)
-    GraftCache.persistTracked(fps)
   }
+
+  /** (doc_id, 64-char fingerprint) via the batched decode kernel;
+    * persisted for the band self-join branches.
+    */
+  def audioFingerprint(documents: DataFrame): DataFrame =
+    GraftCache.persistTracked(fpPayloads(audioCorpus(documents)))
 
   /** C12c: near-duplicate audio pairs — the shared [[BandedPairs]]
     * machinery (see there for the recall contract past numBands − 1

@@ -30,6 +30,7 @@ import graft.sources.Sinks.VersionedTable
   * doc_id so the takedown bucket set is computable from the id list):
   *  - `img` — (doc_id, phash, build_v): [[ImageDedup]]'s 64-bit aHash.
   *  - `vid` — (doc_id, vhash, build_v): [[VideoDedup]]'s temporal hash.
+  *  - `aud` — (doc_id, afp, build_v): [[AudioDedup]]'s energy signs.
   *
   * Scale: fingerprints are ~64 chars/doc — the index is orders of
   * magnitude smaller than the media it summarizes, and serve is the
@@ -41,6 +42,10 @@ object MediaIndex {
 
   private def imgPath(path: String) = s"$path/img"
   private def vidPath(path: String) = s"$path/vid"
+  private def audPath(path: String) = s"$path/aud"
+
+  private def subTables(path: String) =
+    Seq(imgPath(path), vidPath(path), audPath(path))
 
   private def commitFps(fps: DataFrame, sub: String, fpCol: String,
                         buildV: Long): Unit =
@@ -70,6 +75,14 @@ object MediaIndex {
   def extendVideos(media: DataFrame, path: String, buildV: Long): Unit =
     buildVideos(media, path, buildV)
 
+  /** Fingerprint and commit audio clips — the energy-sign kernel over a
+    * real WAV decode, completing per-modality takedown parity. */
+  def buildAudio(media: DataFrame, path: String, buildV: Long = 0L): Unit =
+    commitFps(AudioDedup.fpPayloads(media), audPath(path), "afp", buildV)
+
+  def extendAudio(media: DataFrame, path: String, buildV: Long): Unit =
+    buildAudio(media, path, buildV)
+
   /** The committed image fingerprints at the latest version (a
     * streaming probe snapshots this at stream start — restart the
     * stream to pick up a newer index version).
@@ -79,6 +92,9 @@ object MediaIndex {
 
   def loadVideoFps(spark: SparkSession, path: String): DataFrame =
     VersionedTable.read(spark, vidPath(path)).select("doc_id", "vhash")
+
+  def loadAudioFps(spark: SparkSession, path: String): DataFrame =
+    VersionedTable.read(spark, audPath(path)).select("doc_id", "afp")
 
   /** Probe (media_id, payload) against the COMMITTED image index:
     * (media_id, doc_id, hamming ≤ threshold). Same kernel + banded
@@ -99,8 +115,15 @@ object MediaIndex {
       loadVideoFps(media.sparkSession, path), "doc_id", "vhash",
       VideoDedup.NumBands, VideoDedup.BandBits, threshold)
 
-  /** Takedown — BUCKET-PRUNED like [[DedupIndex.retract]]: both
-    * sub-tables bucket by doc_id, so the touched-bucket set comes
+  def serveAudio(media: DataFrame, path: String,
+                 threshold: Int = AudioDedup.HammingThreshold): DataFrame =
+    BandedPairs.probeJoin(
+      AudioDedup.fpPayloads(media, "media_id"), "media_id",
+      loadAudioFps(media.sparkSession, path), "doc_id", "afp",
+      AudioDedup.NumBands, AudioDedup.BandBits, threshold)
+
+  /** Takedown — BUCKET-PRUNED like [[DedupIndex.retract]]: every
+    * sub-table buckets by doc_id, so the touched-bucket set comes
     * straight from the id list; a handful of bucket dirs rewrite, the
     * rest carry over by manifest reference. Atomic per sub-table,
     * idempotent (absent ids are a no-op), effective at the next serve
@@ -112,13 +135,13 @@ object MediaIndex {
     val ids = docIds.toSet
     import spark.implicits._
     val idDf = docIds.toDF("doc_id")
-    val present = Seq(imgPath(path), vidPath(path))
+    val present = subTables(path)
       .filter(sub => VersionedTable.latestManifest(spark, sub).isDefined)
     // fail LOUDLY on a path with no index at all — a typo'd takedown
     // that "succeeds" while the fingerprints stay servable is the one
     // outcome a compliance op must never have
     require(present.nonEmpty,
-      s"MediaIndex.retract: no committed img/vid sub-table at $path")
+      s"MediaIndex.retract: no committed img/vid/aud sub-table at $path")
     for (sub <- present) {
       if (VersionedTable.storedBucketKeys(spark, sub).contains(Seq("doc_id"))) {
         val nb = VersionedTable.storedNumBuckets(spark, sub).getOrElse(16)
@@ -140,7 +163,7 @@ object MediaIndex {
     * [[DedupIndex.maintain]]. */
   def maintain(spark: SparkSession, path: String, maxFilesPerBucket: Int = 1,
                keepVersions: Int = 8, minAgeMs: Long = 0L): Unit =
-    for (sub <- Seq(imgPath(path), vidPath(path))
+    for (sub <- subTables(path)
          if VersionedTable.latestManifest(spark, sub).isDefined) {
       VersionedTable.compact(spark, sub, maxFilesPerBucket)
       VersionedTable.vacuumVersioned(spark, sub, keep = keepVersions, minAgeMs = minAgeMs)

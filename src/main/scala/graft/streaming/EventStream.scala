@@ -799,6 +799,31 @@ object EventStream {
       VideoDedup.NumBands, VideoDedup.BandBits, threshold)
   }
 
+  /** Streaming perceptual AUDIO dedup (C12c's continuous twin) — the
+    * same stateless contract as [[streamingImagePhashMatches]]: the
+    * batch energy-sign kernel (real javax.sound WAV decode in
+    * mapPartitions) runs unchanged on the streaming frame, then the
+    * banded probe join checks incoming clips against a static committed
+    * fingerprint index. Append mode, no state store; undecodable clips
+    * quarantine in the kernel's null filter.
+    */
+  def streamingAudioFpMatches(media: DataFrame, indexFps: DataFrame,
+                              threshold: Int =
+                                graft.operators.AudioDedup.HammingThreshold): DataFrame = {
+    import graft.operators.{AudioDedup, BandedPairs}
+    val probe = AudioDedup.fpPayloads(media, "media_id")
+    BandedPairs.probeJoin(probe, "media_id", indexFps, "doc_id", "afp",
+      AudioDedup.NumBands, AudioDedup.BandBits, threshold)
+  }
+
+  /** [[streamingAudioFpMatches]] probing the committed MediaIndex —
+    * see [[streamingImagePhashServe]]. */
+  def streamingAudioFpServe(media: DataFrame, indexPath: String,
+                            threshold: Int =
+                              graft.operators.AudioDedup.HammingThreshold): DataFrame =
+    streamingAudioFpMatches(media,
+      graft.operators.MediaIndex.loadAudioFps(media.sparkSession, indexPath), threshold)
+
   /** [[streamingImagePhashMatches]] probing the COMMITTED
     * [[graft.operators.MediaIndex]] at `indexPath` — the production
     * form: the fingerprint frame loads from the versioned artifact

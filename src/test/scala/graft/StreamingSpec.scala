@@ -871,12 +871,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("committed MediaIndex: streaming probes load the artifact, takedown stops matching at the next snapshot (r10)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    import graft.operators.{ImageDedup, MediaIndex, VideoDedup}
+    import graft.operators.{AudioDedup, ImageDedup, MediaIndex, VideoDedup}
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-mediaix").toString
-    // commit real PNG + AVI fingerprints through the versioned artifact
+    // commit real PNG + AVI + WAV fingerprints through the versioned artifact
     MediaIndex.buildImages(ImageDedup.imageCorpus(docs.limit(200)), dir, buildV = 0L)
     MediaIndex.buildVideos(VideoDedup.videoCorpus(docs.limit(200)), dir, buildV = 0L)
+    MediaIndex.buildAudio(AudioDedup.audioCorpus(docs.limit(200)), dir, buildV = 0L)
     // incoming media: shifted id range, same pixel groups (genuine near-dups)
     val incoming: Seq[(Long, Array[Byte])] =
       ImageDedup.imageCorpus(docs.filter(col("doc_id") < 50)
@@ -899,6 +900,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toIndexedSeq.sorted
     assert(streamed == batch,
       s"stream-from-artifact(${streamed.length}) != batch serve(${batch.length})")
+    // the audio sub-table: streaming serve == batch serve — measured
+    // BEFORE any takedown (retract removes an id from EVERY sub-table,
+    // so the image/video takedowns below also forget these docs' audio)
+    val wavs: Seq[(Long, Array[Byte])] =
+      AudioDedup.audioCorpus(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 10000L).as("doc_id")))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toIndexedSeq
+    val aIn = MemoryStream[(Long, Array[Byte])]
+    val aq = EventStream.streamingAudioFpServe(
+      aIn.toDF().toDF("media_id", "payload"), dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mediaix_audio").start()
+    aIn.addData(wavs); aq.processAllAvailable(); aq.stop()
+    val aStreamed = spark.table("mediaix_audio").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toIndexedSeq.sorted
+    val aBatch = MediaIndex.serveAudio(wavs.toDF("media_id", "payload"), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toIndexedSeq.sorted
+    assert(aStreamed.nonEmpty, "audio probes must match the committed fingerprints")
+    assert(aStreamed == aBatch, "audio stream-from-artifact != batch serve")
     // takedown every matched corpus doc; a fresh stream (new snapshot)
     // must stop matching them — and ONLY them
     val hit = streamed.map(_._2).distinct
@@ -919,6 +939,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     MediaIndex.retract(spark, dir, vBefore.map(_._2).distinct)
     assert(MediaIndex.serveVideos(clips.toDF("media_id", "payload"), dir).count() == 0L,
       "retracted clips still match")
+    // audio retract: forget whatever its matches were (some ids may
+    // already be gone via the image/video takedowns — idempotent)
+    MediaIndex.retract(spark, dir, aStreamed.map(_._2).distinct)
+    assert(MediaIndex.serveAudio(wavs.toDF("media_id", "payload"), dir).count() == 0L,
+      "retracted audio still matches")
     // maintenance keeps the artifact serving
     MediaIndex.maintain(spark, dir, keepVersions = 1)
     assert(MediaIndex.serveImages(incoming.toDF("media_id", "payload"), dir)
