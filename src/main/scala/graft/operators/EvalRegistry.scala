@@ -40,18 +40,49 @@ object EvalRegistry {
       .select(substring(md5(col("s")), 1, 16).as("h"))
       .distinct()
 
-  /** Register a benchmark: commit its fingerprints. Extending with a
-    * NEW benchmark is the same call — the hash-keyed upsert is set
-    * union, and re-registering the same suite is a no-op.
+  /** Register a benchmark SUITE: commit its fingerprints under the
+    * suite name. Extending with a NEW benchmark is the same call — the
+    * (suite, hash)-keyed upsert is set union, and re-registering the
+    * same suite is a no-op. The suite column exists for the LIFECYCLE:
+    * benchmarks get retired and rotated, and a registry of bare hashes
+    * could never unregister one safely (a dropped hash might also
+    * belong to a still-protected suite). Rows are keyed (suite, h) and
+    * BUCKETED by suite, so [[unregister]] is a bucket-pruned rewrite
+    * and a hash shared by two suites keeps protecting until its LAST
+    * registrant leaves.
     */
-  def register(benchDocs: DataFrame, path: String, buildV: Long = 0L): Unit =
+  def register(benchDocs: DataFrame, path: String, buildV: Long = 0L,
+               suite: String = "default"): Unit =
     graft.sources.Sinks.VersionedTable.mergeUpsert(
       benchDocs.sparkSession, regPath(path),
-      shingleHashes(benchDocs).withColumn("build_v", lit(buildV)),
-      Seq("h"), "build_v", numBuckets = 16)
+      shingleHashes(benchDocs)
+        .withColumn("suite", lit(suite))
+        .withColumn("build_v", lit(buildV)),
+      Seq("suite", "h"), "build_v", numBuckets = 16,
+      bucketKeys = Seq("suite"))
+
+  /** Retire a benchmark suite — the registry's takedown: drop the
+    * suite's rows (bucket-pruned: suites bucket whole, so the touched
+    * set is one bucket per named suite), leaving every OTHER suite's
+    * rows — including hashes the retired suite shared — still
+    * protecting. Idempotent; refuses to empty the registry (drop the
+    * table to retire the last suite).
+    */
+  def unregister(spark: SparkSession, path: String, suite: String): Unit = {
+    import graft.sources.Sinks.VersionedTable
+    val p = regPath(path)
+    val nb = VersionedTable.storedNumBuckets(spark, p).getOrElse(16)
+    val touched = spark.range(1)
+      .select(pmod(hash(lit(suite)), lit(nb)).as("bk"))
+      .head().getInt(0)
+    VersionedTable.replaceBuckets(spark, p, Seq("suite"), Seq(touched)) {
+      slice => slice.filter(col("suite") =!= suite)
+    }
+  }
 
   def load(spark: SparkSession, path: String): DataFrame =
-    graft.sources.Sinks.VersionedTable.read(spark, regPath(path)).select("h")
+    graft.sources.Sinks.VersionedTable.read(spark, regPath(path))
+      .select("h").distinct()
 
   /** Per-doc decontamination verdict against a registry frame
     * (committed or in-session): n_shared distinct fingerprint hits and

@@ -1462,6 +1462,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = EvalRegistry.decontaminate(train, EvalRegistry.load(spark, s"$dir/reg"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
     assert(again == batch)
+    // suite lifecycle (r10): a SECOND suite registers, shares hashes
+    // with the first (overlapping slice), and unregistering it must
+    // restore EXACTLY the first suite's protection — shared hashes
+    // keep protecting until their last registrant leaves
+    EvalRegistry.register(docs.filter(col("doc_id") % 5 === 0), s"$dir/reg",
+      buildV = 2L, suite = "suiteB")
+    val both = EvalRegistry.decontaminate(train, EvalRegistry.load(spark, s"$dir/reg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+    assert(both.count(!_._3) > batch.count(!_._3),
+      "the wider second suite must contaminate more train docs")
+    EvalRegistry.unregister(spark, s"$dir/reg", "suiteB")
+    val afterRetire = EvalRegistry.decontaminate(train, EvalRegistry.load(spark, s"$dir/reg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+    assert(afterRetire == batch,
+      "retiring suiteB must restore exactly the default suite's verdicts")
+    // idempotent retire
+    EvalRegistry.unregister(spark, s"$dir/reg", "suiteB")
+    assert(EvalRegistry.decontaminate(train, EvalRegistry.load(spark, s"$dir/reg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq == batch)
   }
 
   test("LM gate scores from a COMMITTED model artifact == from the trained frames") {
