@@ -186,6 +186,117 @@ object Curation {
        |FROM r WHERE host_rank <= $HostCap""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C82
+
+  /** Deterministic MESSY URL synthesis — the same page reached through
+    * the representational noise real crawls carry: upper/lower scheme
+    * and host case, a `www.` prefix, an explicit default port,
+    * duplicated and trailing slashes, tracking parameters in varying
+    * order, and a fragment. doc_id % 10 is the page key, so several
+    * docs per (source, page) arrive as DIFFERENT strings naming the
+    * SAME resource. Mirrored verbatim in SQL.
+    */
+  private[graft] def plantedMessyUrl: Column =
+    concat(
+      when(pmod(col("doc_id"), lit(2L)) === 0L, lit("HTTPS://")).otherwise(lit("https://")),
+      when(pmod(col("doc_id"), lit(3L)) === 0L, lit("WWW.")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4L)) === 0L, upper(col("source"))).otherwise(col("source")),
+      lit(".Example.COM"),
+      when(pmod(col("doc_id"), lit(2L)) === 0L, lit(":443")).otherwise(lit("")),
+      lit("/p//"),
+      pmod(col("doc_id"), lit(10L)).cast("string"),
+      when(pmod(col("doc_id"), lit(2L)) === 1L, lit("/")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3L)) === 0L, lit("?utm_source=feed&ref=1"))
+        .when(pmod(col("doc_id"), lit(3L)) === 1L, lit("?ref=1&utm_campaign=x"))
+        .otherwise(lit("?ref=1")),
+      when(pmod(col("doc_id"), lit(5L)) === 0L, lit("#section")).otherwise(lit("")))
+
+  /** RFC-3986-style URL canonicalization as one codegen projection —
+    * the crawl-dedup prep stage every CommonCrawl-scale pipeline runs
+    * BEFORE content dedup (the same page re-crawled through referral
+    * links, session params, or a www alias would otherwise be fetched
+    * and fingerprinted once per spelling): lowercase scheme+host, strip
+    * `www.` and the https default port, collapse duplicate slashes,
+    * strip the trailing slash (root kept), drop `utm_*` tracking
+    * params, SORT the surviving query params (order never identifies a
+    * resource), drop the fragment. Pure builtin regexp/array
+    * expressions — engine-portable, whole-stage codegen, zero shuffle.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)),
+        "^www\\.", ""),
+      ":443$", "")
+    val path1 = regexp_replace(
+      regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/{2,}", "/")
+    val path = when(path1 === "", lit("/"))
+      .otherwise(regexp_replace(path1, "(.)/$", "$1"))
+    val params = filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.startsWith("utm_"))
+    val qs = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** C82: URL canonicalization + canonical-URL dedup — (doc_id, url,
+    * canon_url, keep_id, is_dup) with keep_id the smallest doc_id
+    * sharing the canonical form ("first crawled wins", C41's rule).
+    * The canonicalizer rides the scan; the keeper pick is a
+    * groupBy(canon).min + join-back — the skew-safe two-phase shape
+    * ([[Dedup.capBands]]'s reasoning: a mega-page crawled 10⁸ times is
+    * absorbed by map-side partials, and AQE can skew-split the join,
+    * never a window partition).
+    */
+  def urlCanonicalize(docs: DataFrame): DataFrame = {
+    val canon = docs
+      .select(col("doc_id"), plantedMessyUrl.as("url"))
+      .withColumn("canon_url", canonicalizeUrl(col("url")))
+    val keepers = canon.groupBy("canon_url").agg(min("doc_id").as("keep_id"))
+    canon.join(keepers, "canon_url")
+      .select(col("doc_id"), col("url"), col("canon_url"), col("keep_id"),
+        (col("doc_id") =!= col("keep_id")).as("is_dup"))
+  }
+
+  val urlCanonicalizeSql: String =
+    """WITH u AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END) ||
+      |  '.Example.COM' ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END) ||
+      |  '/p//' || CAST(doc_id % 10 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=1'
+      |        WHEN doc_id % 3 = 1 THEN '?ref=1&utm_campaign=x'
+      |        ELSE '?ref=1' END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN '#section' ELSE '' END) AS url
+      |  FROM documents),
+      |c AS (SELECT doc_id, url,
+      |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+      |  regexp_replace(regexp_replace(
+      |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+      |    '^www\.', ''), ':443$', '') ||
+      |  (CASE WHEN regexp_replace(regexp_extract(url,
+      |           '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/{2,}', '/', 'g') = ''
+      |        THEN '/'
+      |        ELSE regexp_replace(regexp_replace(regexp_extract(url,
+      |           '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/{2,}', '/', 'g'),
+      |           '(.)/$', '\1') END) ||
+      |  (CASE WHEN array_to_string(list_sort(list_filter(
+      |          string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |          p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') = ''
+      |        THEN ''
+      |        ELSE '?' || array_to_string(list_sort(list_filter(
+      |          string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |          p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') END)
+      |  AS canon_url FROM u),
+      |k AS (SELECT canon_url, min(doc_id) AS keep_id FROM c GROUP BY 1)
+      |SELECT c.doc_id, c.url, c.canon_url, k.keep_id,
+      |  c.doc_id <> k.keep_id AS is_dup
+      |FROM c JOIN k USING (canon_url)""".stripMargin
+
   // ------------------------------------------------- C62b: NFKC fold
 
   /** C62b (spec-pinned — DuckDB 1.0 has no NFKC, so no SQL oracle, the
@@ -325,6 +436,7 @@ object Curation {
     "q_text_normalize" -> ((s, d) =>
       textNormalize(Tables.documents(s, d), plantedDirty)),
     "q_url_host_cap" -> ((s, d) => urlHostCap(Tables.documents(s, d))),
+    "q_url_canonicalize" -> ((s, d) => urlCanonicalize(Tables.documents(s, d))),
     "q_host_split" -> ((s, d) => hostSplit(Tables.documents(s, d))),
     "q_mojibake_repair" -> ((s, d) =>
       mojibakeRepair(Tables.documents(s, d), plantedMoji)))
@@ -332,6 +444,7 @@ object Curation {
   def oracle: Map[String, String] = Map(
     "q_text_normalize" -> textNormalizeSql,
     "q_url_host_cap" -> urlHostCapSql,
+    "q_url_canonicalize" -> urlCanonicalizeSql,
     "q_host_split" -> hostSplitSql(),
     "q_mojibake_repair" -> mojibakeRepairSql)
 }
