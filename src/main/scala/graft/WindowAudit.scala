@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Month, TruncDate, TruncTimestamp, Year}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Crc32, Expression, Md5, Month, Murmur3Hash, Pmod, Remainder, Sha1, Sha2, TruncDate, TruncTimestamp, XxHash64, Year}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Window => LogicalWindow}
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -76,6 +76,30 @@ object WindowAudit {
     val attrs = e.collect { case a: Attribute => a }
     attrs.nonEmpty && attrs.forall(a => boundedCatalog.contains(a.name.toLowerCase))
   }
+
+  /** True if the expression computes a full-width content fingerprint —
+    * md5 / sha / crc32 / murmur3 / xxhash64 over data columns. A window
+    * partitioned by such a key groups ALL identical content into one
+    * partition: a boilerplate page duplicated 10⁸ times (empty pages,
+    * cookie banners) is ONE unsplittable WindowExec task at crawl scale
+    * (the r10 C1-keeper finding). The two-phase `groupBy(fp)` + join-back
+    * shape computes the same answer with map-side partials and AQE
+    * skew-splittable joins.
+    */
+  private def isFingerprint(e: Expression): Boolean =
+    e.exists {
+      case _: Md5 | _: Sha1 | _: Sha2 | _: Crc32 | _: Murmur3Hash | _: XxHash64 => true
+      case _ => false
+    }
+
+  /** True if the expression is bounded by a modulo — a salt / bucket key
+    * (`pmod(hash(...), n)`). Those exist to SPLIT hot keys across tasks
+    * and are the fix, not the hazard; they are excluded from the
+    * fingerprint check (and a bucket key that dominates is already the
+    * bounded-key hazard class below).
+    */
+  private def isModBounded(e: Expression): Boolean =
+    e.exists { case _: Pmod | _: Remainder => true; case _ => false }
 
   /** True if every path from this window's child to the leaves passes
     * through an aggregate or limit — i.e. the window runs over an
@@ -156,6 +180,26 @@ object WindowAudit {
     }.size
   }
 
+  /** Count of logical Window nodes whose partition spec includes a
+    * non-mod-bounded content-fingerprint key over a non-reduced (raw)
+    * frame — the r10 C1-keeper shape (`Window.partitionBy("fp")` with
+    * `fp = md5(text)` over raw documents). Salted windows
+    * (`partitionBy(key, pmod(hash(...), n))`) are exempt: the salt
+    * element is mod-bounded and the remaining elements carry no hash.
+    */
+  def fingerprintKeyWindows(df: org.apache.spark.sql.DataFrame): Int = {
+    val analyzed = df.queryExecution.analyzed
+    val aliases = aliasMap(analyzed)
+    analyzed.collect {
+      case w: LogicalWindow
+          if w.partitionSpec.nonEmpty && {
+            val expanded = w.partitionSpec.map(ps => expand(ps, aliases))
+            expanded.filterNot(isModBounded).exists(isFingerprint)
+          } && !reducedBelow(w.child) =>
+        w
+    }.size
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = GraftSession.local(4)
@@ -186,6 +230,14 @@ object WindowAudit {
         println(s"BOUNDED-KEY-WINDOW $name: $nBoundedKey window(s) partitioned only " +
           "by bounded catalog attributes over a raw frame (one dominant value = " +
           "one unsplittable task at scale)")
+      }
+
+      val nFingerprint = fingerprintKeyWindows(df)
+      if (nFingerprint > 0) {
+        bad += 1
+        println(s"FINGERPRINT-KEY-WINDOW $name: $nFingerprint window(s) partitioned " +
+          "by a content fingerprint over a raw frame (a 10^8-duplicated boilerplate " +
+          "doc = one unsplittable task at scale; use groupBy(fp) + join-back)")
       }
     }
     println(s"== $bad queries with scale-hazard windows ==")

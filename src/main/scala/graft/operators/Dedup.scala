@@ -107,11 +107,20 @@ object Dedup {
     // plain equi-join AQE can skew-split. Same filter semantics as the
     // window form; the DuckDB oracle keeps its window (correctness
     // only, small SF).
+    // Null-safe (<=>) join keys: groupBy puts null band_keys in their own
+    // group exactly like the window form's partition did, and the
+    // semi-join must not silently drop them (a plain equi-join would —
+    // null never equi-matches). Current producers emit non-null keys, but
+    // the helper is generic and the DuckDB oracle keeps window semantics,
+    // so the rewrite stays bit-identical either way. EqualNullSafe is
+    // still a hash-joinable key — no plan downgrade.
     val keep = bands
       .groupBy("b", "band_key").count()
       .filter(col("count") <= MaxBucketOccupancy)
-      .select("b", "band_key")
-    bands.join(keep, Seq("b", "band_key"), "left_semi")
+      .select(col("b").as("keep_b"), col("band_key").as("keep_band_key"))
+    bands.join(keep,
+      col("b") <=> col("keep_b") && col("band_key") <=> col("keep_band_key"),
+      "left_semi")
   }
 
   /** Candidate near-dup pairs: docs sharing at least one (occupancy-

@@ -51,6 +51,13 @@ object EvalRegistry {
     * and a hash shared by two suites keeps protecting until its LAST
     * registrant leaves.
     */
+  // Size assumption: bucketing by suite alone puts a whole suite's
+  // fingerprints in ONE bucket dir, so register() rewrites that suite's
+  // rows in one hot bucket — fine for eval registries (benchmarks are
+  // thousands of docs, not corpora; the registry is catalog-sized by
+  // nature). If registries ever grow corpus-shaped, move to a
+  // (suite, h-range) bucket scheme with unregister enumerating the
+  // suite's bucket range — the replaceBuckets contract already allows it.
   def register(benchDocs: DataFrame, path: String, buildV: Long = 0L,
                suite: String = "default"): Unit =
     graft.sources.Sinks.VersionedTable.mergeUpsert(
@@ -83,6 +90,15 @@ object EvalRegistry {
   def load(spark: SparkSession, path: String): DataFrame =
     graft.sources.Sinks.VersionedTable.read(spark, regPath(path))
       .select("h").distinct()
+
+  /** True iff the registry at `path` has at least one committed version —
+    * the cheap existence probe stream starters use to fail fast on a
+    * typo'd / not-yet-registered path instead of crash-looping the first
+    * micro-batch ([[load]] throws on an uncommitted table).
+    */
+  def isRegistered(spark: SparkSession, path: String): Boolean =
+    graft.sources.Sinks.VersionedTable
+      .latestManifest(spark, regPath(path)).isDefined
 
   /** Per-doc decontamination verdict against a registry frame
     * (committed or in-session): n_shared distinct fingerprint hits and

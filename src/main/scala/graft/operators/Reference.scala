@@ -62,22 +62,31 @@ object Reference {
 
   /** A1: latest-wins upsert — the reference upserts user profiles with
     * `ON CONFLICT DO UPDATE` keeping the newest row
-    * (scraper/instagram_scraper.py:203-227). Spark-first: window
-    * row_number over the key, newest first. At scale this is a single
-    * hash-partitioned window — no global sort.
+    * (scraper/instagram_scraper.py:203-227). Spark-first: ONE
+    * `max(struct(event_id, payload…))` hash aggregate per key — the same
+    * shape as [[cdcApply]], its generalization below. Map-side partial
+    * aggregation ships one struct per key per map partition and nothing
+    * is ever sorted; at 100× a hot key (bot account with 10⁸ events) is a
+    * merged partial, not one per-key window-sort task. event_id is unique
+    * per event, so the lexicographic struct max is deterministic and the
+    * trailing payload fields never tie-break.
     */
-  def upsertLatest(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+  def upsertLatest(events: DataFrame): DataFrame =
     events
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        struct(
+          col("event_id"),
+          col("event_type"),
+          col("value"),
+          tUs(col("ts")).as("ts_us")).as("op"))
+      .groupBy("user_id")
+      .agg(max("op").as("op"))
       .select(
         col("user_id"),
-        col("event_id").as("last_event_id"),
-        col("event_type").as("last_type"),
-        col("value").as("last_value"),
-        tUs(col("ts")).as("last_ts_us"))
-  }
+        col("op.event_id").as("last_event_id"),
+        col("op.event_type").as("last_type"),
+        col("op.value").as("last_value"),
+        col("op.ts_us").as("last_ts_us"))
 
   val upsertLatestSql: String =
     """SELECT user_id, event_id AS last_event_id, event_type AS last_type,

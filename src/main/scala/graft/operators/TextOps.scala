@@ -22,16 +22,20 @@ object TextOps {
   private val toks: Column = split(col("text"), " ")
 
   /** C1: exact dedup. Fingerprint = md5(text); keeper = min doc_id in the
-    * group (a window over the fingerprint hash-partition — no global
-    * sort). Emits every doc with its keeper so downstream can either drop
-    * dups or remap references.
+    * group, computed as a `groupBy(fp).min` + join-back (the C82
+    * [[Curation.urlCanonicalize]] shape) — NEVER a window over the
+    * fingerprint: at crawl scale a boilerplate page duplicated 10⁸ times
+    * (empty pages, cookie banners) would be ONE unsplittable WindowExec
+    * partition, whereas the two-phase agg absorbs it in map-side partials
+    * and AQE can skew-split the join-back. Emits every doc with its keeper
+    * so downstream can either drop dups or remap references.
     */
   def dedupExact(documents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("fp")
-    documents
-      .select(col("doc_id"), md5(col("text")).as("fp"))
-      .withColumn("keeper_id", min(col("doc_id")).over(w))
-      .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("boolean"))
+    val fps = documents.select(col("doc_id"), md5(col("text")).as("fp"))
+    val keepers = fps.groupBy("fp").agg(min("doc_id").as("keeper_id"))
+    fps.join(keepers, "fp")
+      .select(col("doc_id"), col("fp"), col("keeper_id"),
+        (col("doc_id") =!= col("keeper_id")).cast("boolean").as("is_dup"))
   }
 
   val dedupExactSql: String =

@@ -1061,7 +1061,18 @@ object EventStream {
                                  lr: Array[Long], dsirKeepMin: Long,
                                  outPath: String, checkpoint: String,
                                  compactEvery: Int = 16,
-                                 registryPath: Option[String] = None): StreamingQuery =
+                                 registryPath: Option[String] = None): StreamingQuery = {
+    // Fail fast at START, not in batch 0: with a registryPath set, every
+    // micro-batch re-reads the registry, and an uncommitted table (stream
+    // configured before the first register(), or a typo'd path) would
+    // otherwise crash-loop the foreachBatch with an opaque read error.
+    // Registering BEFORE starting the gated stream is the contract.
+    registryPath.foreach { rp =>
+      require(graft.operators.EvalRegistry.isRegistered(docs.sparkSession, rp),
+        s"streamingCurationAdmission: registryPath=$rp has no committed eval " +
+          "registry — call EvalRegistry.register(...) before starting the " +
+          "stream (or omit registryPath to run without decontamination)")
+    }
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -1072,6 +1083,7 @@ object EventStream {
             registryPath = registryPath)
       }
       .start()
+  }
 
   /** One micro-batch of the admission loop — the foreachBatch body,
     * factored out so the replay path is testable without a live stream.

@@ -404,6 +404,58 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("no query windows over a content fingerprint of a raw frame; detector catches the r10 C1 keeper (r11)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+
+    // Positive control: the pre-round-11 dedupExact keeper — min over
+    // (partition by md5(text)) on the raw documents frame. A boilerplate
+    // doc duplicated 10^8 times is ONE WindowExec partition here.
+    val oldShape = docs
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("keeper_id", min(col("doc_id")).over(Window.partitionBy("fp")))
+    assert(WindowAudit.fingerprintKeyWindows(oldShape) == 1,
+      "detector missed the per-fingerprint window over raw documents")
+
+    // Laundered through two chained projects — alias expansion must reach it.
+    val laundered = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .select(col("doc_id"), col("h").as("fp"))
+      .withColumn("keeper_id", min(col("doc_id")).over(Window.partitionBy("fp")))
+    assert(WindowAudit.fingerprintKeyWindows(laundered) == 1,
+      "detector missed a fingerprint key aliased through two projects")
+
+    // A SALTED window — partitionBy(key, pmod(hash, n)) — is the fix for
+    // hot keys, not the hazard, and must NOT trip it.
+    val salted = docs
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source", "salt").orderBy("doc_id")))
+    assert(WindowAudit.fingerprintKeyWindows(salted) == 0,
+      "detector false-positives on a salt (mod-bounded hash) partition key")
+
+    // A per-key window over a natural high-cardinality key must NOT trip it.
+    val keyed = docs
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id").orderBy("source")))
+    assert(WindowAudit.fingerprintKeyWindows(keyed) == 0,
+      "detector false-positives on a plain high-cardinality key window")
+
+    // The de-windowed queries execute window-free end to end...
+    for (q <- Seq("q_dedup_exact", "q_upsert_latest")) {
+      graft.GraftCache.releaseAll(spark)
+      assert(plan(q).collect { case w: WindowExec => w }.isEmpty,
+        s"$q: a window crept back into the de-windowed path (r11)")
+    }
+    graft.GraftCache.releaseAll(spark)
+
+    // ...and every registered query is clean under the new detector.
+    SparkEntry.queries.keys.foreach { q =>
+      val n = WindowAudit.fingerprintKeyWindows(SparkEntry.queries(q)(spark, sf))
+      assert(n == 0, s"$q: $n fingerprint-key window(s) over a raw frame")
+    }
+  }
+
   test("q6: every predicate reaches the parquet scan; no shuffle beyond the scalar reduce") {
     val leaves = leafStrings("q6_revenue_forecast")
     for (c <- Seq("l_shipdate", "l_quantity"))
