@@ -174,7 +174,7 @@ object ScaleAudit {
     // query of their own; anything else unknown is a typo and must fail
     // LOUDLY — a silently-dropped name would print "0 violations" for a
     // benchmark that never ran
-    val pseudoNames = Set("admission_loop")
+    val pseudoNames = Set("admission_loop", "media_admission_loop", "hotkey_dewindow")
     val unknown = names.filterNot(n =>
       SparkEntry.queries.contains(n) || pseudoNames.contains(n))
     if (unknown.nonEmpty) {
@@ -817,6 +817,166 @@ object ScaleAudit {
         f"admission batch cost grew with INDEX size: $tSmallIx%.2fs -> $tBigIx%.2fs")
       flag(tBigBatch > math.max(16.0 * tBigIx, tBigIx + 30.0),
         f"admission batch cost superlinear in BATCH size: $tBigIx%.2fs -> $tBigBatch%.2fs for 8x docs")
+    }
+
+    def loadFlag(cond: Boolean, msg: String): Unit = if (cond) {
+      val load1 = try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")(0).toDouble
+      catch { case _: Throwable => 0.0 }
+      if (load1 > Runtime.getRuntime.availableProcessors() / 2.0)
+        println(s"[scale] WARN (contended, loadavg $load1) $msg")
+      else { bad += 1; println(s"[scale] FAIL $msg") }
+    }
+
+    // MEDIA admission loop (round-11): same composition hazard as the
+    // text loop — the per-op lenses pin the probe join and the keyed
+    // extend, but only driving mediaAdmitBatch end to end can see an
+    // accidental index-proportional term. Pin per-batch wall time flat
+    // in INDEX size (10× more committed fingerprints, ~same batch cost)
+    // and scan-shaped in BATCH size. Novel payloads come from a
+    // FULL-id-keyed pixel hash (the synthetic imageCorpus keys pixels
+    // off doc_id % 50, so its content space saturates at 50 families —
+    // a big index built from it would near-match EVERY arrival and the
+    // lens would time only the reject path).
+    if (names.contains("media_admission_loop") || names == defaultQueries) {
+      import graft.operators.{ImageDedup, MediaIndex}
+      import graft.streaming.EventStream
+      GraftCache.releaseAll(spark)
+      val work = java.nio.file.Files.createTempDirectory("graft-scale-media").toString
+      val dim = ImageDedup.ImgDim
+      def novelImages(from: Long, n: Long): org.apache.spark.sql.DataFrame = {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("media_id", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = false)))
+        val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+        spark.range(from, from + n, 1L, 32).toDF("media_id")
+          .mapPartitions { rows =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            rows.map { r =>
+              val id = r.getLong(0)
+              val img = new java.awt.image.BufferedImage(
+                dim, dim, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < dim) {
+                var x = 0
+                while (x < dim) {
+                  // full-id key: every media id is an independent random
+                  // image — expected pairwise Hamming ~32, far above the
+                  // ≤10 match bar, so arrivals are genuinely novel
+                  md.reset()
+                  val v = md.digest(
+                    s"scl_${id}_${x}_$y".getBytes("UTF-8"))(0) & 0xff
+                  img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              org.apache.spark.sql.Row(id, bos.toByteArray)
+            }
+          }(enc)
+      }
+      def buildIx(tag: String, from: Long, n: Long): String = {
+        val p = s"$work/mix_$tag"
+        MediaIndex.buildImages(
+          novelImages(from, n).withColumnRenamed("media_id", "doc_id"), p)
+        p
+      }
+      val ixSmall = buildIx("small", 10000000L, 400L)
+      val ixBig = buildIx("big", 20000000L, 4000L)
+      def admit(ix: String, from: Long, n: Long, id: Long): (Double, Long, Long) = {
+        val batch = novelImages(from, n)
+        val nIn = batch.count() // materialize decode inputs outside the timer
+        val outP = s"$work/mout_${ix.split('_').last}_$id"
+        val t0 = System.nanoTime()
+        EventStream.mediaAdmitBatch(batch, id, ix, outP, "img")
+        val sec = (System.nanoTime() - t0) / 1e9
+        val admitted =
+          if (new java.io.File(outP).exists()) spark.read.parquet(outP).count()
+          else 0L
+        (sec, nIn, admitted)
+      }
+      val b = 200L
+      admit(ixSmall, 30000000L, b, 100L) // warm (JIT + codegen)
+      val (tSmallIx, n1, a1) = admit(ixSmall, 31000000L, b, 101L)
+      admit(ixBig, 32000000L, b, 200L)
+      val (tBigIx, n2, a2) = admit(ixBig, 33000000L, b, 201L)
+      val (tBigBatch, n3, a3) = admit(ixBig, 34000000L, 8L * b, 202L)
+      println(f"[scale] media admission loop: B=$b%d  small-ix $tSmallIx%.2fs  " +
+        f"big-ix $tBigIx%.2fs  8B-big-ix $tBigBatch%.2fs  " +
+        f"admitted $a1%d/$n1%d $a2%d/$n2%d $a3%d/$n3%d")
+      if (a1 != n1 || a2 != n2 || a3 != n3) {
+        bad += 1
+        println(s"[scale] FAIL media admission lens: novel payloads not fully " +
+          s"admitted ($a1/$n1, $a2/$n2, $a3/$n3) — the lens is no longer timing " +
+          "the admit/extend path")
+      }
+      loadFlag(tBigIx > math.max(3.0 * tSmallIx, tSmallIx + 10.0),
+        f"media admission batch cost grew with INDEX size: $tSmallIx%.2fs -> $tBigIx%.2fs")
+      loadFlag(tBigBatch > math.max(16.0 * tBigIx, tBigIx + 30.0),
+        f"media admission batch cost superlinear in BATCH size: $tBigIx%.2fs -> $tBigBatch%.2fs for 8x payloads")
+    }
+
+    // Hot-key lens for the two round-11 de-windows (C1 dedupExact, A1
+    // upsertLatest): plant a boilerplate doc duplicated 10⁶× and a bot
+    // user with 10⁶ events — the EXACT skew the old per-key windows
+    // funneled into one unsplittable task — and pin wall time at
+    // scan-growth, not sort-growth. Map-side partial aggregation must
+    // absorb the hot group (each task emits ONE partial row for it), so
+    // the hot run costs the extra SCAN of 10⁶ short rows, never a
+    // single-task 10⁶-row sort. This lens is the one that would have
+    // caught both items rounds ago.
+    if (names.contains("hotkey_dewindow") || names == defaultQueries) {
+      import graft.operators.{Reference, TextOps}
+      GraftCache.releaseAll(spark)
+      val hotN = 1000000L
+      val docs = sources.Tables.documents(spark, out)
+        .select("doc_id", "text")
+      val hotDocs = docs.unionAll(
+        spark.range(0L, hotN, 1L, 32).select(
+          (col("id") + 50000000L).as("doc_id"),
+          lit("cookie banner accept all cookies to continue").as("text")))
+      val events = sources.Tables.events(spark, out)
+        .select("user_id", "event_id", "event_type", "value", "ts")
+      val hotEvents = events.unionAll(
+        spark.range(0L, hotN, 1L, 32).select(
+          lit(77777777L).as("user_id"),
+          (col("id") + 60000000L).as("event_id"),
+          lit("click").as("event_type"),
+          (col("id") % 100L).cast("double").as("value"),
+          timestamp_micros(lit(1700000000000000L) + col("id")).as("ts")))
+      def time(df: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (tBaseD, _) = time(TextOps.dedupExact(docs))
+      val (tHotD, nHotD) = time(TextOps.dedupExact(hotDocs))
+      val keeper = TextOps.dedupExact(hotDocs)
+        .filter(col("doc_id") >= 50000000L).agg(
+          min("keeper_id").cast("long"), max("keeper_id").cast("long"),
+          sum(when(col("is_dup"), 0L).otherwise(1L))).head()
+      println(f"[scale] hotkey dedupExact: base $tBaseD%.2fs  +10^6-dup $tHotD%.2fs  rows=$nHotD")
+      if (keeper.getLong(0) != 50000000L || keeper.getLong(1) != 50000000L ||
+          keeper.getLong(2) != 1L) {
+        bad += 1
+        println(s"[scale] FAIL hotkey dedupExact: hot group keeper wrong ($keeper)")
+      }
+      loadFlag(tHotD > math.max(4.0 * tBaseD, tBaseD + 20.0),
+        f"dedupExact hot fingerprint not absorbed by partials: $tBaseD%.2fs -> $tHotD%.2fs")
+      val (tBaseU, _) = time(Reference.upsertLatest(events))
+      val (tHotU, _) = time(Reference.upsertLatest(hotEvents))
+      val botRow = Reference.upsertLatest(hotEvents)
+        .filter(col("user_id") === 77777777L).head()
+      println(f"[scale] hotkey upsertLatest: base $tBaseU%.2fs  +10^6-event user $tHotU%.2fs")
+      if (botRow.getAs[Long]("last_event_id") != 60000000L + hotN - 1L) {
+        bad += 1
+        println(s"[scale] FAIL hotkey upsertLatest: bot user's latest row wrong ($botRow)")
+      }
+      loadFlag(tHotU > math.max(4.0 * tBaseU, tBaseU + 20.0),
+        f"upsertLatest hot user not absorbed by partials: $tBaseU%.2fs -> $tHotU%.2fs")
     }
 
     println(s"[scale] == $bad violations ==")

@@ -47,6 +47,61 @@ object MediaIndex {
   private def subTables(path: String) =
     Seq(imgPath(path), vidPath(path), audPath(path))
 
+  /** Per-modality descriptor — the one place a sub-table's fingerprint
+    * column, decode kernel, and banding parameters live, so the
+    * admission loop ([[graft.streaming.EventStream.mediaAdmitBatch]])
+    * and the serve/extend facades dispatch off the same row instead of
+    * three hand-kept copies.
+    */
+  private[graft] final case class Mode(name: String, fpCol: String,
+      kernel: (DataFrame, String) => DataFrame,
+      numBands: Int, bandBits: Int, threshold: Int) {
+    def sub(path: String): String = s"$path/$name"
+  }
+
+  private[graft] val modes: Map[String, Mode] = Map(
+    "img" -> Mode("img", "phash",
+      (df, id) => ImageDedup.phashPayloads(df, id),
+      ImageDedup.NumBands, ImageDedup.BandBits, ImageDedup.HammingThreshold),
+    "vid" -> Mode("vid", "vhash",
+      (df, id) => VideoDedup.vhashPayloads(df, id),
+      VideoDedup.NumBands, VideoDedup.BandBits, VideoDedup.HammingThreshold),
+    "aud" -> Mode("aud", "afp",
+      (df, id) => AudioDedup.fpPayloads(df, id),
+      AudioDedup.NumBands, AudioDedup.BandBits, AudioDedup.HammingThreshold))
+
+  private[graft] def mode(modality: String): Mode =
+    modes.getOrElse(modality, throw new IllegalArgumentException(
+      s"MediaIndex: unknown modality '$modality' (expected one of ${modes.keys.mkString("/")})"))
+
+  /** Extend a modality's sub-table from an ALREADY-FINGERPRINTED
+    * (doc_id, fpCol) frame — the admission loop decodes each batch's
+    * payloads exactly once and feeds the same fps frame to both the
+    * serve probe and this extend (re-running the codec kernel per
+    * effect would double the dominant per-batch cost).
+    */
+  private[graft] def extendFps(fps: DataFrame, path: String,
+                               modality: String, buildV: Long): Unit = {
+    val m = mode(modality)
+    commitFps(fps, m.sub(path), m.fpCol, buildV)
+  }
+
+  /** The committed (doc_id, fpCol) fingerprints for one modality at the
+    * latest version. */
+  private[graft] def loadFps(spark: SparkSession, path: String,
+                             modality: String): DataFrame = {
+    val m = mode(modality)
+    VersionedTable.read(spark, m.sub(path)).select("doc_id", m.fpCol)
+  }
+
+  /** True iff the modality's sub-table has at least one committed
+    * version — the fail-fast probe stream starters use (reading an
+    * uncommitted table throws; a stream must refuse at start, not
+    * crash-loop batch 0).
+    */
+  def isBuilt(spark: SparkSession, path: String, modality: String): Boolean =
+    VersionedTable.latestManifest(spark, mode(modality).sub(path)).isDefined
+
   private def commitFps(fps: DataFrame, sub: String, fpCol: String,
                         buildV: Long): Unit =
     VersionedTable.mergeUpsert(fps.sparkSession, sub,

@@ -1154,6 +1154,118 @@ object EventStream {
     }
   }
 
+  /** The MEDIA admission loop — [[streamingCurationAdmission]]'s
+    * per-modality twin over the committed [[graft.operators.MediaIndex]]
+    * (C12e): until round 11 the streaming media probes were serve-ONLY
+    * (`streamingImagePhashServe` et al. classified arrivals against a
+    * static index snapshot), so a novel image admitted in one batch was
+    * NOT probed against by the next — re-crawls of this hour's uploads
+    * slipped through until someone manually re-built the index. This
+    * loop closes it with the C66 pattern: serve → admit novel
+    * fingerprints → extend the modality's sub-table → maintain every N
+    * batches. Cross-batch memory lives entirely in the transactional
+    * artifact (re-read EVERY batch — earlier batches' admissions and
+    * mid-stream takedowns are both visible to this one); no Spark
+    * streaming state, no watermark.
+    *
+    * Same restart-safety ordering as the text loop: corpus append FIRST,
+    * index extend SECOND — a crash between them replays as a duplicate
+    * (batch_id, media_id) provenance row (at-least-once, consumers dedup
+    * by that key) and an idempotent re-extend; the reverse order would
+    * leave payloads indexed forever but never written.
+    *
+    * `modality` ∈ img/vid/aud; the seed sub-table must be committed
+    * before start (build with the seed crawl, or an empty frame to
+    * bootstrap) — validated here so a typo'd path fails at start, not
+    * as a batch-0 crash-loop.
+    */
+  def streamingMediaAdmission(media: DataFrame, indexPath: String,
+                              outPath: String, checkpoint: String,
+                              modality: String,
+                              compactEvery: Int = 16): StreamingQuery = {
+    val m = graft.operators.MediaIndex.mode(modality) // validates the name
+    require(graft.operators.MediaIndex.isBuilt(media.sparkSession, indexPath, m.name),
+      s"streamingMediaAdmission: no committed '${m.name}' sub-table at $indexPath — " +
+        "commit the seed index first (MediaIndex.buildImages/buildVideos/buildAudio " +
+        "with the seed crawl, or an empty frame to bootstrap)")
+    media.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          mediaAdmitBatch(batch.toDF(), batchId, indexPath, outPath, m.name,
+            compactEvery = compactEvery)
+      }
+      .start()
+  }
+
+  /** One micro-batch of the media admission loop — the foreachBatch
+    * body, factored out so the replay path is testable without a live
+    * stream (the [[curationAdmitBatch]] convention, including the
+    * `crashBeforeExtend` test failpoint). `batch` is (media_id: Long,
+    * payload: binary).
+    *
+    * Per-batch cost shape: the codec kernel (the dominant cost — real
+    * image/video/audio decode) runs ONCE per batch; the resulting
+    * fingerprint frame feeds the within-batch collapse, the serve
+    * probe, AND the extend. The serve is the shared banded probe join
+    * (occupancy-capped index side), so batch cost is O(batch) in the
+    * index — flat as admissions accumulate (ScaleAudit pins it).
+    * Undecodable payloads quarantine in the kernel's null filter and
+    * are neither admitted nor appended.
+    */
+  private[graft] def mediaAdmitBatch(batch: DataFrame, batchId: Long,
+                                     indexPath: String, outPath: String,
+                                     modality: String,
+                                     compactEvery: Int = 0,
+                                     crashBeforeExtend: Boolean = false): Unit = {
+    import graft.operators.{BandedPairs, MediaIndex}
+    val m = MediaIndex.mode(modality)
+    graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
+      val fps = m.kernel(batch.select(col("media_id"), col("payload")), "media_id")
+        .persist()
+      try {
+        // Within-batch exact collapse FIRST: two copies of the same novel
+        // image in one batch are both novel vs the index — without this,
+        // both would be admitted. Identical fingerprints keep the
+        // smallest media_id (the de-windowed groupBy + semi-join keeper
+        // shape; within-batch NEAR-dups below the exact-match bar are
+        // admitted together by design — the arrival stream's batch
+        // boundaries must not change which near-dups a corpus keeps).
+        val keepers = fps.groupBy(m.fpCol)
+          .agg(min("media_id").as("media_id")).select("media_id")
+        val kept = fps.join(keepers, Seq("media_id"), "left_semi")
+        // The artifact is re-read EVERY batch on purpose: earlier
+        // batches' admissions must reject this batch's re-crawls, and a
+        // mid-stream retract() must re-open its slot at the next batch.
+        val index = MediaIndex.loadFps(batch.sparkSession, indexPath, m.name)
+        val matches = BandedPairs.probeJoin(kept, "media_id",
+          index, "doc_id", m.fpCol, m.numBands, m.bandBits, m.threshold)
+        val admitted = kept.join(
+          matches.select("media_id").distinct(), Seq("media_id"), "left_anti")
+          .persist()
+        try {
+          val n = admitted.count()
+          if (n > 0) {
+            // corpus append FIRST, index extend SECOND — the
+            // streamingCurationAdmission restart-safety ordering
+            batch.join(admitted.select("media_id"), "media_id")
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(outPath)
+            if (crashBeforeExtend) throw new RuntimeException(
+              "test failpoint: crashed between corpus append and index extend")
+            MediaIndex.extendFps(
+              admitted.withColumnRenamed("media_id", "doc_id"),
+              indexPath, m.name, buildV = batchId + 1)
+          }
+        } finally admitted.unpersist()
+      } finally fps.unpersist()
+      // cadence AFTER the batch's own effects — see curationAdmitBatch
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        MediaIndex.maintain(batch.sparkSession, indexPath)
+    }
+  }
+
   /** Streaming BPE encode against the COMMITTED tokenizer
     * ([[graft.operators.TextOps.commitBpe]]): the k learned merges are
     * plan literals chained as greedy folds — a stateless zero-shuffle

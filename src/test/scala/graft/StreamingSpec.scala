@@ -1543,4 +1543,104 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) == "x y a b", "earlier batch must not be retro-cleaned")
     assert(out(2L) == "c d", s"later batch must strip the now-boilerplate line: ${out(2L)}")
   }
+
+  /** Arrival rows for the media admission tests: (media_id, payload)
+    * where the payload is the REAL PNG of `contentId`'s synthetic image —
+    * distinct media ids can carry identical content (a re-crawl).
+    */
+  private def imageArrivals(pairs: Seq[(Long, Long)]): Seq[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val imgs = graft.operators.ImageDedup.imageCorpus(
+      pairs.map(_._2).distinct.toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    pairs.map { case (mid, cid) => (mid, imgs(cid)) }
+  }
+
+  test("streaming MEDIA admission: within-batch collapse, remember across batches, takedown re-opens mid-stream (r11)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{ImageDedup, MediaIndex}
+    val dir = java.nio.file.Files.createTempDirectory("graft-media-admit").toString
+    // seed the committed image index with unrelated content
+    MediaIndex.buildImages(
+      ImageDedup.imageCorpus(Seq(900010L, 900021L).toDF("doc_id")), s"$dir/index")
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = EventStream.streamingMediaAdmission(
+      in.toDF().toDF("media_id", "payload"),
+      s"$dir/index", s"$dir/out", s"$dir/ckpt", "img")
+    // batch 0: 101 carries novel content 1; 102 is a dup of seed 900021
+    // (content ids share an image group mod 50 — 900021 % 50 == 21 % 50;
+    // seeds sit in groups 10/21, arrivals in 1/2, so only planted dups match)
+    // (rejected by the serve); 103 repeats content 1 IN the same batch
+    // (within-batch exact collapse keeps the smallest media_id only)
+    in.addData(imageArrivals(Seq((101L, 1L), (102L, 900021L), (103L, 1L))))
+    q.processAllAvailable()
+    // batch 1: 201 re-crawls batch 0's admitted content 1 — the loop's
+    // whole point: it must be rejected against the EXTENDED index;
+    // 202 is novel
+    in.addData(imageArrivals(Seq((201L, 1L), (202L, 2L))))
+    q.processAllAvailable()
+    // mid-stream takedown of media 101, same running query: the next
+    // batch re-reads the artifact, so content 1's slot re-opens and a
+    // fresh copy legitimately re-admits
+    MediaIndex.retract(spark, s"$dir/index", Seq(101L))
+    in.addData(imageArrivals(Seq((301L, 1L))))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("batch_id"))).toSet
+    assert(out == Set((101L, 0L), (202L, 1L), (301L, 2L)),
+      s"expected admits {101@0, 202@1, 301@2}; got $out")
+    // the admitted fingerprints are servable: a copy of content 2 matches 202
+    val again = MediaIndex.serveImages(
+      imageArrivals(Seq((999L, 2L))).toDF("media_id", "payload"), s"$dir/index")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again.contains(202L), s"admitted 202 must serve; matched $again")
+    // and an unbuilt modality refuses at START, not as a batch-0 crash-loop
+    val err = intercept[IllegalArgumentException] {
+      EventStream.streamingMediaAdmission(
+        in.toDF().toDF("media_id", "payload"),
+        s"$dir/index", s"$dir/out2", s"$dir/ckpt2", "aud")
+    }
+    assert(err.getMessage.contains("no committed 'aud' sub-table"))
+  }
+
+  test("media admission replay: a crash between corpus append and index extend recovers, loses nothing (r11)") {
+    import spark.implicits._
+    import graft.operators.{ImageDedup, MediaIndex}
+    val dir = java.nio.file.Files.createTempDirectory("graft-media-replay").toString
+    MediaIndex.buildImages(
+      ImageDedup.imageCorpus(Seq(900010L).toDF("doc_id")), s"$dir/index")
+    def batchDf(pairs: Seq[(Long, Long)]) =
+      imageArrivals(pairs).toDF("media_id", "payload")
+    def servedDocs(contentId: Long): Set[Long] = MediaIndex.serveImages(
+      batchDf(Seq((888L, contentId))), s"$dir/index")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch 0 lands normally; batch 1 (re-crawl of 1 + novel 2) dies in
+    // the window between its two effects
+    EventStream.mediaAdmitBatch(batchDf(Seq((101L, 1L))), 0L,
+      s"$dir/index", s"$dir/out", "img")
+    intercept[RuntimeException] {
+      EventStream.mediaAdmitBatch(batchDf(Seq((201L, 1L), (202L, 2L))), 1L,
+        s"$dir/index", s"$dir/out", "img", crashBeforeExtend = true)
+    }
+    // the ordering's crash state: 202's append landed, its extend did not
+    val crashed = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("batch_id")))
+    assert(crashed.count(_ == ((202L, 1L))) == 1,
+      s"202's append lands before the crash: ${crashed.toSeq}")
+    assert(servedDocs(2L).isEmpty, "the extend must NOT have happened yet")
+    // the streaming restart replays the SAME micro-batch id
+    EventStream.mediaAdmitBatch(batchDf(Seq((201L, 1L), (202L, 2L))), 1L,
+      s"$dir/index", s"$dir/out", "img")
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("batch_id")))
+    assert(out.toSet == Set((101L, 0L), (202L, 1L)),
+      s"replay adds no NEW (batch_id, media_id) pairs: ${out.toSeq}")
+    assert(out.count(_ == ((202L, 1L))) == 2,
+      "the replay's only artifact duplicates the same provenance key " +
+        "(at-least-once; consumers dedup by (batch_id, media_id))")
+    // converged: both admissions servable, the re-crawl never admitted
+    assert(servedDocs(1L) == Set(101L) && servedDocs(2L) == Set(202L))
+  }
 }
