@@ -109,27 +109,37 @@ object AnnIndex {
     * data, the same boundary every production vector store draws
     * (Faiss `remove_ids` drops postings, never retrains quantizers).
     */
-  def retract(spark: SparkSession, path: String, vecIds: Seq[Long]): Unit = {
+  def retract(spark: SparkSession, path: String,
+              vecIds: Seq[Long]): Seq[TakedownReceipt] = {
     require(vecIds.nonEmpty, "AnnIndex.retract: empty takedown list")
     val ids = vecIds.toSet
     import spark.implicits._
     val idDf = vecIds.toDF("vec_id") // LongType, matching the writer's key
+    val hit = col("vec_id").isInCollection(ids)
     // prune only under a verified bucket contract; a legacy table (no
     // recorded contract — same vec_id bucketing, but unprovable from
     // the manifest) takes the full-snapshot rewrite: slower, never wrong
-    if (VersionedTable.storedBucketKeys(spark, codesPath(path))
-        .contains(Seq("vec_id"))) {
-      val nb = VersionedTable.storedNumBuckets(spark, codesPath(path)).getOrElse(16)
-      val touched = idDf
-        .select(pmod(hash(col("vec_id")), lit(nb)).as("bk"))
-        .distinct().collect().map(_.getInt(0)).toIndexedSeq
-      VersionedTable.replaceBuckets(spark, codesPath(path), Seq("vec_id"), touched) {
-        slice => slice.filter(!col("vec_id").isInCollection(ids))
-      }
-    } else
-      VersionedTable.replaceAll(spark, codesPath(path), Seq("vec_id")) {
-        snap => snap.filter(!col("vec_id").isInCollection(ids))
-      }
+    val receipt =
+      if (VersionedTable.storedBucketKeys(spark, codesPath(path))
+          .contains(Seq("vec_id"))) {
+        val nb = VersionedTable.storedNumBuckets(spark, codesPath(path)).getOrElse(16)
+        val touched = idDf
+          .select(pmod(hash(col("vec_id")), lit(nb)).as("bk"))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
+        Takedown.receipted(spark, path, codesPath(path), "codes", ids.size,
+          hit, Some(touched)) {
+          VersionedTable.replaceBuckets(spark, codesPath(path), Seq("vec_id"), touched) {
+            slice => slice.filter(!col("vec_id").isInCollection(ids))
+          }
+        }
+      } else
+        Takedown.receipted(spark, path, codesPath(path), "codes", ids.size,
+          hit, None) {
+          VersionedTable.replaceAll(spark, codesPath(path), Seq("vec_id")) {
+            snap => snap.filter(!col("vec_id").isInCollection(ids))
+          }
+        }
+    Seq(receipt)
   }
 
   /** The committed code table (vec_id, c_id, code_0..code_{PqM−1}) at

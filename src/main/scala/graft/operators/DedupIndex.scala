@@ -151,7 +151,8 @@ object DedupIndex {
     * takedown-request-sized (a constant-size argument, not a corpus
     * collect).
     */
-  def retract(spark: SparkSession, path: String, docIds: Seq[Long]): Unit = {
+  def retract(spark: SparkSession, path: String,
+              docIds: Seq[Long]): Seq[TakedownReceipt] = {
     require(docIds.nonEmpty, "DedupIndex.retract: empty takedown list")
     val ids = docIds.toSet
     import spark.implicits._
@@ -174,21 +175,28 @@ object DedupIndex {
       (bandsPath(path), Seq("doc_id", "b"), bandKeyDf, Seq("doc_id", "b"))) ++
       Some((rshPath(path), Seq("doc_id"), idDf, Seq("doc_id", "h")))
         .filter(t => VersionedTable.latestManifest(spark, t._1).isDefined)
-    for ((p, bucketKeys, keyFrame, legacyKeys) <- sub) {
+    sub.map { case (p, bucketKeys, keyFrame, legacyKeys) =>
       // Prune ONLY when the table's recorded bucket contract says these
       // buckets are where the ids live. An rsh table committed before
       // the contract existed was bucketed by (doc_id, h) — pruning by
       // doc_id there would miss rows and report a takedown done that
       // wasn't (the silent compliance failure). Legacy tables take the
       // full-snapshot rewrite: slower, never wrong.
-      if (VersionedTable.storedBucketKeys(spark, p).contains(bucketKeys))
-        VersionedTable.replaceBuckets(spark, p, bucketKeys,
-          touched(p, keyFrame, bucketKeys)) { slice =>
-          slice.filter(!col("doc_id").isInCollection(ids))
+      val subName = p.substring(p.lastIndexOf('/') + 1)
+      if (VersionedTable.storedBucketKeys(spark, p).contains(bucketKeys)) {
+        val t = touched(p, keyFrame, bucketKeys)
+        Takedown.receipted(spark, path, p, subName, ids.size,
+          col("doc_id").isInCollection(ids), Some(t)) {
+          VersionedTable.replaceBuckets(spark, p, bucketKeys, t) { slice =>
+            slice.filter(!col("doc_id").isInCollection(ids))
+          }
         }
-      else
-        VersionedTable.replaceAll(spark, p, legacyKeys) { snap =>
-          snap.filter(!col("doc_id").isInCollection(ids))
+      } else
+        Takedown.receipted(spark, path, p, subName, ids.size,
+          col("doc_id").isInCollection(ids), None) {
+          VersionedTable.replaceAll(spark, p, legacyKeys) { snap =>
+            snap.filter(!col("doc_id").isInCollection(ids))
+          }
         }
     }
   }

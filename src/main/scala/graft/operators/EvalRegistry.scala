@@ -75,15 +75,22 @@ object EvalRegistry {
     * protecting. Idempotent; refuses to empty the registry (drop the
     * table to retire the last suite).
     */
-  def unregister(spark: SparkSession, path: String, suite: String): Unit = {
+  def unregister(spark: SparkSession, path: String,
+                 suite: String): TakedownReceipt = {
     import graft.sources.Sinks.VersionedTable
     val p = regPath(path)
     val nb = VersionedTable.storedNumBuckets(spark, p).getOrElse(16)
     val touched = spark.range(1)
       .select(pmod(hash(lit(suite)), lit(nb)).as("bk"))
       .head().getInt(0)
-    VersionedTable.replaceBuckets(spark, p, Seq("suite"), Seq(touched)) {
-      slice => slice.filter(col("suite") =!= suite)
+    // idsRequested = 1 named suite; idsFound counts the suite's
+    // fingerprint rows actually present (0 = retiring a never-registered
+    // suite, the idempotent re-run)
+    Takedown.receipted(spark, path, p, "eval_shingles", 1L,
+      col("suite") === suite, Some(Seq(touched))) {
+      VersionedTable.replaceBuckets(spark, p, Seq("suite"), Seq(touched)) {
+        slice => slice.filter(col("suite") =!= suite)
+      }
     }
   }
 

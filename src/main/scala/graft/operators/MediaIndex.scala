@@ -185,7 +185,8 @@ object MediaIndex {
     * snapshot: the retracted media's fingerprint is gone, so a copy of
     * removed content legitimately probes as novel afterwards.
     */
-  def retract(spark: SparkSession, path: String, docIds: Seq[Long]): Unit = {
+  def retract(spark: SparkSession, path: String,
+              docIds: Seq[Long]): Seq[TakedownReceipt] = {
     require(docIds.nonEmpty, "MediaIndex.retract: empty takedown list")
     val ids = docIds.toSet
     import spark.implicits._
@@ -197,18 +198,24 @@ object MediaIndex {
     // outcome a compliance op must never have
     require(present.nonEmpty,
       s"MediaIndex.retract: no committed img/vid/aud sub-table at $path")
-    for (sub <- present) {
+    val hit = col("doc_id").isInCollection(ids)
+    present.map { sub =>
+      val subName = sub.substring(sub.lastIndexOf('/') + 1)
       if (VersionedTable.storedBucketKeys(spark, sub).contains(Seq("doc_id"))) {
         val nb = VersionedTable.storedNumBuckets(spark, sub).getOrElse(16)
         val touched = idDf
           .select(pmod(hash(col("doc_id")), lit(nb)).as("bk"))
           .distinct().collect().map(_.getInt(0)).toIndexedSeq
-        VersionedTable.replaceBuckets(spark, sub, Seq("doc_id"), touched) { slice =>
-          slice.filter(!col("doc_id").isInCollection(ids))
+        Takedown.receipted(spark, path, sub, subName, ids.size, hit, Some(touched)) {
+          VersionedTable.replaceBuckets(spark, sub, Seq("doc_id"), touched) { slice =>
+            slice.filter(!col("doc_id").isInCollection(ids))
+          }
         }
       } else // legacy table without a recorded contract: slower, never wrong
-        VersionedTable.replaceAll(spark, sub, Seq("doc_id")) { snap =>
-          snap.filter(!col("doc_id").isInCollection(ids))
+        Takedown.receipted(spark, path, sub, subName, ids.size, hit, None) {
+          VersionedTable.replaceAll(spark, sub, Seq("doc_id")) { snap =>
+            snap.filter(!col("doc_id").isInCollection(ids))
+          }
         }
     }
   }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+
+import graft.sources.Sinks.VersionedTable
+
+/** Compliance receipt for one sub-table of a takedown
+  * ([[DedupIndex.retract]] / [[AnnIndex.retract]] / [[MediaIndex.retract]]
+  * / [[EvalRegistry.unregister]]). The retracts were atomic and
+  * idempotent before round 11 but emitted no telemetry — a compliance
+  * job that must EVIDENCE a removal ("which ids were actually present,
+  * what physically rewrote, which version carries the change") had
+  * nothing to file. Every field is assembled from the artifact's own
+  * manifests bracketing the rewrite, so the receipt reports what
+  * HAPPENED, not what the caller intended:
+  *
+  *  - `idsFound` counts matching rows in the PRE-op snapshot — read from
+  *    the touched buckets only on the pruned branch (an id can live
+  *    nowhere else under a verified bucket contract), the full snapshot
+  *    on the legacy branch (which rewrites everything anyway). A
+  *    requested id that was never indexed shows up here as found = 0,
+  *    the "nothing to take down" evidence.
+  *  - `bucketsRewritten` is the MANIFEST DELTA — buckets whose data dir
+  *    changed (or disappeared) between the bracketing versions — not the
+  *    touched-set size the caller computed.
+  *  - `oldVersion == newVersion` records the true no-op (ids hashed only
+  *    to never-written buckets: not even a version bump).
+  *  - `pruned` distinguishes the bucket-pruned fast path from the
+  *    legacy full-snapshot rewrite ("slower, never wrong").
+  */
+final case class TakedownReceipt(
+    artifact: String,
+    subTable: String,
+    idsRequested: Long,
+    idsFound: Long,
+    bucketsRewritten: Int,
+    oldVersion: Long,
+    newVersion: Long,
+    pruned: Boolean)
+
+private[operators] object Takedown {
+
+  /** Bracket one sub-table rewrite `op` with manifest reads and a
+    * pre-op hit count; returns the receipt. `touched` = Some(buckets)
+    * on the pruned branch (the hit count reads only those), None on the
+    * legacy full-rewrite branch. `hit` is the row predicate the rewrite
+    * removes (the receipt counts what the fold is about to drop).
+    */
+  def receipted(spark: SparkSession, artifact: String, sub: String,
+                subTable: String, idsRequested: Long, hit: Column,
+                touched: Option[Seq[Int]])(op: => Unit): TakedownReceipt = {
+    val (oldV, oldMap) = VersionedTable.latestManifest(spark, sub).getOrElse(
+      throw new IllegalStateException(s"Takedown receipt: no commits at $sub"))
+    val dirs = (touched match {
+      case Some(t) => t.toSet.intersect(oldMap.keySet).toSeq.sorted
+      case None => oldMap.keySet.toSeq.sorted
+    }).map(b => s"$sub/${oldMap(b)}")
+    val found =
+      if (dirs.isEmpty) 0L
+      else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        .filter(hit).count()
+    op
+    val (newV, newMap) = VersionedTable.latestManifest(spark, sub).getOrElse(
+      throw new IllegalStateException(s"Takedown receipt: $sub lost its manifest"))
+    val rewritten =
+      newMap.count { case (b, rel) => !oldMap.get(b).contains(rel) } +
+        (oldMap.keySet -- newMap.keySet).size
+    TakedownReceipt(artifact, subTable, idsRequested, found, rewritten,
+      oldV, newV, pruned = touched.isDefined)
+  }
+}

@@ -95,12 +95,19 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val takedown = before.map(_.getLong(1)).groupBy(identity)
       .toSeq.sortBy { case (id, g) => (-g.length, id) }.take(2).map(_._1)
     val mBefore = Sinks.VersionedTable.latestManifest(spark, s"$path/codes").get._2
-    AnnIndex.retract(spark, path, takedown)
+    val Seq(receipt) = AnnIndex.retract(spark, path, takedown)
     val mAfter = Sinks.VersionedTable.latestManifest(spark, s"$path/codes").get._2
     val rewritten = (mBefore.keySet ++ mAfter.keySet)
       .count(b => mBefore.get(b) != mAfter.get(b))
     assert(rewritten <= takedown.size && rewritten >= 1,
       s"2-vec takedown rewrote $rewritten of ${mBefore.size} code buckets")
+    // r11 receipt: what the compliance job files must equal the delta
+    assert(receipt.subTable == "codes" && receipt.pruned &&
+      receipt.bucketsRewritten == rewritten &&
+      receipt.idsRequested == takedown.size.toLong &&
+      receipt.idsFound == takedown.size.toLong &&
+      receipt.newVersion == receipt.oldVersion + 1L,
+      s"retract receipt must evidence the rewrite: $receipt")
     // removed content is no longer servable — by EITHER reader of the
     // candidate core
     val served = AnnIndex.serve(emb, path).collect()

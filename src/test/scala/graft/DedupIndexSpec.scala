@@ -241,7 +241,9 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       finally s.close()
     }
     val mtBefore = mtimes()
-    DedupIndex.retract(spark, path, one)
+    val receipts = DedupIndex.retract(spark, path, one)
+    assert(receipts.map(_.subTable) == subs,
+      s"one receipt per sub-table in order: ${receipts.map(_.subTable)}")
     var rewritten = 0
     var total = 0
     subs.foreach { t =>
@@ -250,6 +252,11 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       total += before(t).size
       val changed = all.filter(b => before(t).get(b) != after.get(b))
       rewritten += changed.size
+      // the r11 receipt reports exactly this independently-computed delta
+      val r = receipts.find(_.subTable == t).get
+      assert(r.bucketsRewritten == changed.size && r.pruned &&
+        r.idsRequested == 1L && r.idsFound >= 1L,
+        s"$t receipt must match the manifest delta: $r vs ${changed.size}")
       // carried-over buckets reference the SAME dirs — and those dirs'
       // files were not rewritten in place either (mtime unchanged)
       (all -- changed).foreach { b =>
