@@ -124,7 +124,13 @@ object ScaleAudit {
     "q_jsonl_ingest", "q_tokenizer_fertility", "q_ann_hard_negatives",
     // the eval-registry probe join must stay broadcast (registry is
     // eval-suite-sized) and the verdict agg doc-keyed as the corpus grows
-    "q_decontaminate")
+    "q_decontaminate",
+    // round-11: corpus-wide bitext mining — candidate generation must
+    // stay a co-routed block join (per-block cost = |routed y| × |x in
+    // list|, bounded by list occupancy) with the ADC shortlist bounding
+    // the exact rescore; no corpus cross product may creep in as the
+    // non-pivot side grows 10×
+    "q_bitext_mine_corpus")
 
   def buildScaled(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
     // events.ts stays a raw nanos long end-to-end: the flag reads the

@@ -259,6 +259,123 @@ object Embeddings {
     marginMine(pairs, k, threshold)
   }
 
+  /** C81c: CORPUS-WIDE bitext mining — C81b unbounded on the mined
+    * side. C81b keeps the ANN-lens probe convention (mined docs =
+    * `vec_id < NumProbes`); the production CCMatrix job mines EVERY
+    * non-pivot doc, so here the whole non-pivot side routes through the
+    * IVF chain: each y picks its NProbe nearest coarse lists (per-key
+    * bounded routing rank — ≤ NumCentroids rows per vector, the model-
+    * size window the C7e family already carries), and candidates are
+    * generated ONLY within co-routed blocks — a plain equi-join on the
+    * list id between routed-y and pivot-side assignments, so per-block
+    * cost is |y routed to list| × |x in list|, bounded by list
+    * occupancy and never all-pairs ([[clusterSample]]'s C50 cluster
+    * machinery composed with the shared [[marginMine]] core). The
+    * pivot-side restriction lands BEFORE the ADC, so no same-language
+    * pair is ever scored. ADC shortlist (RefineK per y) bounds the
+    * exact rescore; margins run over candidates only, unchanged.
+    *
+    * Candidate coverage ⊇ C81b on the shared probe ids (spec-pinned):
+    * same routing and the same per-y shortlist rule over pivot-only
+    * candidates, whose ranks can only IMPROVE when same-language
+    * candidates leave the shortlist race — so every cross-lingual pair
+    * C81b scores is scored here too, at the bit-identical cosine. The
+    * MINED set is deliberately not a superset: margins re-normalize
+    * over the richer candidate frame, and C81b's under-filled /2k
+    * denominators inflate its margins (its own documented estimator
+    * property) — a borderline C81b pair can legitimately fall under
+    * the threshold once its endpoints' neighborhoods are fully
+    * populated. Corpus-wide margins are the better-calibrated ones.
+    *
+    * SCALE KNOB: the block join keys on c_id — NumCentroids values. At
+    * test scale (16 lists) that is a low-cardinality shuffle, fine for
+    * a co-routed block design because AQE skew-splits a JOIN (unlike a
+    * window); production sizes NumCentroids ~ √n (the Faiss IVF rule),
+    * so lists stay small and the key space wide.
+    */
+  def bitextMineCorpus(documents: DataFrame, embeddings: DataFrame,
+                       pivot: String = "en", k: Int = MarginK,
+                       threshold: Double = MarginThreshold): DataFrame =
+    marginMine(corpusCrossLingualPairs(documents, embeddings, pivot),
+      k, threshold)
+
+  /** C81c's candidate core, exposed at package level so the spec can
+    * pin its coverage against [[ivfPqRefinedPairs]] directly: the
+    * rescored cross-lingual (y_id, lang, x_id, cos) frame over every
+    * non-pivot doc.
+    */
+  private[graft] def corpusCrossLingualPairs(documents: DataFrame,
+                                             embeddings: DataFrame,
+                                             pivot: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val langF = documents.select(col("doc_id"), col("lang"))
+    val q = quantized(embeddings)
+    q.count()
+    val coarseF = Future(kmeansCodebook(q))
+    val cbs = pqCodebooks(q)
+    val coarse = Await.result(coarseF, Duration.Inf)
+    val assign = ivfAssign(q, coarse)
+    val codes = pqEncode(q, cbs)
+    val cbRows = cbs.map(_.orderBy("c_id").collect())
+    cbRows.foreach { rows =>
+      require(rows.map(_.getLong(0)).toSeq == (0 until NumCentroids).map(_.toLong),
+        "bitextMineCorpus: codebook c_ids must be contiguous 0..NumCentroids-1")
+    }
+    val centArr = cbRows.map(rows => typedLit(rows.map(_.getSeq[Long](1)).toSeq))
+    val cnrmArr = cbRows.map(rows => typedLit(rows.map(_.getLong(2)).toSeq))
+    // corpus-wide routing: every NON-PIVOT doc is a probe
+    val yRouted = q
+      .join(langF.select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+      .filter(col("lang") =!= pivot)
+      .crossJoin(broadcast(coarse))
+      .withColumn("d2", col("nrm") - lit(2L) * dot(col("qv"), col("cqv")) + col("cnrm"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"), col("c_id"))
+    // pivot-side inverted lists, codes attached once
+    val xCodes = assign
+      .join(langF.filter(col("lang") === pivot)
+        .select(col("doc_id").as("vec_id")), "vec_id")
+      .join(codes, Seq("vec_id"))
+    val adot = (0 until PqM).map { m =>
+      dot(slice(col("q_qv"), m * PqSubDim + 1, PqSubDim),
+        element_at(centArr(m), col(s"code_$m").cast("int") + 1))
+    }.reduce(_ + _)
+    val anrm = (0 until PqM).map { m =>
+      element_at(cnrmArr(m), col(s"code_$m").cast("int") + 1)
+    }.reduce(_ + _)
+    // the co-routed block join: y side is corpus-sized, so this is a
+    // shuffle join on the list id, NOT a broadcast of the probe set
+    val scored = xCodes.join(yRouted, Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (adot.cast("double") /
+          (sqrt(col("q_nrm").cast("double")) * sqrt(anrm.cast("double"))))
+          .as("approx_cos"))
+    val shortlist = scored
+      .groupBy("q_id")
+      .agg(Exprs.maxKScored(col("approx_cos"), col("n_id"), RefineK).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("n_id"))
+    // corpus-wide exact rescore: both sides joined back from the one
+    // persisted quantized frame (scorePairs broadcasts a bounded probe
+    // set — inapplicable here)
+    val rescored = shortlist
+      .join(q.select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm")), "q_id")
+      .join(q.select(col("vec_id").as("n_id"), col("qv"), col("nrm")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_qv"), col("qv"), col("q_nrm"), col("nrm")).as("cos"))
+    rescored
+      .select(col("q_id").as("y_id"), col("n_id").as("x_id"), col("cos"))
+      .join(langF.select(col("doc_id").as("y_id"), col("lang")), "y_id")
+      .select(col("y_id"), col("lang"), col("x_id"), col("cos"))
+  }
+
   /** The shared margin core over any cross-lingual candidate frame
     * (y_id, lang, x_id, cos) — brute (C81) and ANN-candidate (C81b)
     * mining differ ONLY in how the pairs were generated. Persisted:
@@ -340,6 +457,24 @@ object Embeddings {
        |  JOIN lng ly ON r.q_id = ly.doc_id
        |  JOIN lng lx ON r.n_id = lx.doc_id
        |  WHERE ly.lang <> '$pivot' AND lx.lang = '$pivot'),
+       |${marginSqlTail(k, threshold)}""".stripMargin
+
+  /** C81c oracle: the SAME spliced chain with the two scope knobs
+    * opened — probes = every non-pivot doc, candidates = pivot side
+    * only — then the shared margin tail. (The y-side lang filter in
+    * `pairs` is implied by the probe scope; the join only attaches the
+    * lang column.)
+    */
+  def bitextMineCorpusSql(pivot: String = "en", k: Int = MarginK,
+                          threshold: Double = MarginThreshold): String =
+    s"""${ivfPqRescoredCtesWith(
+          s"n.vec_id IN (SELECT doc_id FROM documents WHERE lang <> '$pivot')",
+          s" AND a.vec_id IN (SELECT doc_id FROM documents WHERE lang = '$pivot')")},
+       |lng AS (SELECT doc_id, lang FROM documents),
+       |pairs AS (
+       |  SELECT r.q_id AS y_id, ly.lang, r.n_id AS x_id, r.cos
+       |  FROM rescored r
+       |  JOIN lng ly ON r.q_id = ly.doc_id),
        |${marginSqlTail(k, threshold)}""".stripMargin
 
   /** (vec_id, table, bucket) LSH assignment: per table, a 4-bit sign
@@ -1012,7 +1147,7 @@ object Embeddings {
     * (q_id, n_id, cos) pairs for [[annIvfPq]]'s top-k and
     * [[annHardNegatives]]' band mining.
     */
-  private[operators] def ivfPqRefinedPairs(embeddings: DataFrame): DataFrame = {
+  private[graft] def ivfPqRefinedPairs(embeddings: DataFrame): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -1070,7 +1205,18 @@ object Embeddings {
     * + exact-refined candidate stream, spliced by the C7e/C77b oracles
     * (via [[ivfPqSqlWith]]) and C81b's margin tail.
     */
-  private def ivfPqRescoredCtes: String = {
+  private def ivfPqRescoredCtes: String =
+    ivfPqRescoredCtesWith(s"n.vec_id < $NumProbes", "")
+
+  /** The same chain with the two scope knobs exposed: `probeWhere`
+    * selects the probe set (the C7e family bounds it to the first
+    * NumProbes ids; C81c opens it to every non-pivot doc) and `candAnd`
+    * appends a candidate-side restriction (C81c keeps only pivot-side
+    * docs so the ADC never scores a same-language pair). Everything
+    * else — routing rank, ADC, shortlist, rescore — is byte-identical
+    * across all splices.
+    */
+  private def ivfPqRescoredCtesWith(probeWhere: String, candAnd: String): String = {
     val codeJoins = (0 until PqM).map { m =>
       s"  JOIN asg$m a$m ON c.n_id = a$m.vec_id\n" +
         s"  JOIN centf$m c$m ON a$m.code = c$m.c_id"
@@ -1090,7 +1236,7 @@ object Embeddings {
        |    SELECT n.vec_id, cent.c_id,
        |      row_number() OVER (PARTITION BY n.vec_id
        |        ORDER BY n.nrm - 2 * ${dotSqlFmt.format("n.qv", "cent.cqv")} + cent.cnrm, cent.c_id) AS rn
-       |    FROM n, cent WHERE n.vec_id < $NumProbes) WHERE rn <= $NProbe),
+       |    FROM n, cent WHERE $probeWhere) WHERE rn <= $NProbe),
        |$pqSubCtes,
        |$pqTrainCtes,
        |$pqCentfCtes,
@@ -1098,7 +1244,7 @@ object Embeddings {
        |cand AS (
        |  SELECT p.q_id, a.vec_id AS n_id
        |  FROM probe_lists p JOIN assign a ON p.c_id = a.c_id
-       |  WHERE a.vec_id <> p.q_id),
+       |  WHERE a.vec_id <> p.q_id$candAnd),
        |adc AS (
        |  SELECT c.q_id, c.n_id,
        |    CAST($pqAdotSql AS DOUBLE) / (sqrt(p.nrm) * sqrt($pqAnrmSql)) AS approx_cos
@@ -1618,7 +1764,9 @@ object Embeddings {
     "q_bitext_mine" -> ((s, d) =>
       bitextMine(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q_bitext_mine_ann" -> ((s, d) =>
-      bitextMineAnn(Tables.documents(s, d), Tables.embeddings(s, d))))
+      bitextMineAnn(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "q_bitext_mine_corpus" -> ((s, d) =>
+      bitextMineCorpus(Tables.documents(s, d), Tables.embeddings(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_embed_outliers" -> embedOutliersSql(),
@@ -1637,5 +1785,6 @@ object Embeddings {
     "q_ann_ivf" -> annIvfSql,
     "q_neardup_cosine" -> nearDupCosineSql,
     "q_bitext_mine" -> bitextMineSql(),
-    "q_bitext_mine_ann" -> bitextMineAnnSql())
+    "q_bitext_mine_ann" -> bitextMineAnnSql(),
+    "q_bitext_mine_corpus" -> bitextMineCorpusSql())
 }

@@ -1283,4 +1283,52 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     graft.GraftCache.releaseAll(spark)
   }
+
+  test("corpus-wide bitext candidates cover C81b's pairs bit-identically; mining reaches past the probe window (r11)") {
+    graft.GraftCache.releaseAll(spark)
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // C81b's pair frame: the shared refined candidate stream, filtered
+    // cross-lingual exactly as bitextMineAnn does
+    val annPairs = Embeddings.ivfPqRefinedPairs(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (y, x, _) => langOf(y) != "en" && langOf(x) == "en" }
+      .map { case (y, x, c) => (y, x) -> c }.toMap
+    assert(annPairs.nonEmpty)
+    graft.GraftCache.releaseAll(spark)
+    val corpusPairs = Embeddings.corpusCrossLingualPairs(docs, emb, "en")
+      .collect().map(r => (r.getAs[Long]("y_id"), r.getAs[Long]("x_id")) ->
+        r.getAs[Double]("cos")).toMap
+    // COVERAGE: a pivot-side candidate's shortlist rank can only improve
+    // when same-language candidates leave the race, so every pair C81b
+    // scores is scored corpus-wide too — at the bit-identical cosine
+    annPairs.foreach { case (pair, cos) =>
+      assert(corpusPairs.contains(pair),
+        s"C81b pair $pair missing from the corpus-wide candidate frame")
+      assert(corpusPairs(pair) == cos,
+        s"pair $pair cosine drifted: ${corpusPairs(pair)} vs $cos")
+    }
+    // the corpus-wide frame genuinely mines past the probe window
+    assert(corpusPairs.keys.exists(_._1 >= Embeddings.NumProbes),
+      "no candidate outside the probe window — the miner is still bounded")
+    graft.GraftCache.releaseAll(spark)
+    // mined output: reaches past the window; honest NON-superset at the
+    // margin level (C81b's under-filled /2k denominators inflate its
+    // margins — the corpus-wide frame is the better-calibrated one)
+    val corpusRows = Embeddings.bitextMineCorpus(docs, emb).collect()
+    val minedYs = corpusRows.map(_.getAs[Long]("doc_id"))
+    assert(minedYs.exists(_ >= Embeddings.NumProbes),
+      "corpus-wide mining must emit docs the probe-bounded miner cannot")
+    // semantic pins: y non-pivot, x pivot, one best pair per y, margins clear
+    corpusRows.foreach { r =>
+      val y = r.getAs[Long]("doc_id"); val x = r.getAs[Long]("en_id")
+      assert(langOf(y) != "en" && langOf(x) == "en",
+        s"mined pair ($y -> $x) violates the cross-lingual contract")
+      assert(r.getAs[Double]("margin") >= Embeddings.MarginThreshold)
+    }
+    assert(minedYs.distinct.length == minedYs.length, "one best pair per mined doc")
+    graft.GraftCache.releaseAll(spark)
+  }
 }
