@@ -217,19 +217,95 @@ object Embeddings {
     */
   def bitextMine(documents: DataFrame, embeddings: DataFrame,
                  pivot: String = "en", k: Int = MarginK,
-                 threshold: Double = MarginThreshold): DataFrame = {
+                 threshold: Double = MarginThreshold): DataFrame =
+    marginMine(bruteCrossLingualPairs(documents, embeddings, pivot), k, threshold)
+
+  /** C81's brute pair generator — every (y, x) cross-lingual pair with
+    * its exact cosine; shared by the miner and C84's calibration.
+    */
+  private[graft] def bruteCrossLingualPairs(documents: DataFrame,
+                                            embeddings: DataFrame,
+                                            pivot: String): DataFrame = {
     val q = quantized(embeddings)
     val v = q.join(documents.select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
     val x = v.filter(col("lang") === pivot)
       .select(col("vec_id").as("x_id"), col("qv").as("x_qv"), col("nrm").as("x_nrm"))
-    val scored =
-      v.filter(col("lang") =!= pivot)
-        .select(col("vec_id").as("y_id"), col("lang"),
-          col("qv").as("y_qv"), col("nrm").as("y_nrm"))
-        .crossJoin(broadcast(x))
-        .select(col("y_id"), col("lang"), col("x_id"),
-          cosine(col("y_qv"), col("x_qv"), col("y_nrm"), col("x_nrm")).as("cos"))
-    marginMine(scored, k, threshold)
+    v.filter(col("lang") =!= pivot)
+      .select(col("vec_id").as("y_id"), col("lang"),
+        col("qv").as("y_qv"), col("nrm").as("y_nrm"))
+      .crossJoin(broadcast(x))
+      .select(col("y_id"), col("lang"), col("x_id"),
+        cosine(col("y_qv"), col("x_qv"), col("y_nrm"), col("x_nrm")).as("cos"))
+  }
+
+  /** C84: margin calibration — C73's reliability-diagram treatment
+    * applied to C81's bitext margins, so the [[MarginThreshold]] = 1.1
+    * constant becomes a MEASURED operating point. Ground truth comes
+    * from a PLANTED bitext corpus derived in-query (the C82 planted-URL
+    * convention — the synthetic embeddings' `label` column carries no
+    * cosine structure, measured flat at the 10% base rate, so real
+    * pseudo-truth has to be planted): even vec_ids form the pivot side,
+    * odd ids the mined side, and every odd id ≡ 1 (mod 4) becomes a
+    * "translation" — its vector replaced by its `id−1` partner's with a
+    * ±1 deterministic per-coordinate perturbation; odd ids ≡ 3 (mod 4)
+    * keep their own noise vector as the non-translation control. The
+    * full margin population (every cross-lingual pair BEFORE best-pair
+    * selection and thresholding — selection would censor exactly the
+    * low-margin mass the diagram needs) bins at fixed width; each bin
+    * reports agreement with planted-pair membership. A rising curve
+    * means the margin ranks true pairs above false ones and the 1.1 bin
+    * is a real operating point; a flat curve means the margin carries
+    * no signal (LlmOpsSpec asserts the rise and pins above-vs-below-
+    * threshold separation).
+    *
+    * Exactness: margins are the bit-identical C81 arithmetic over
+    * integer-planted vectors; the bin is floor(margin / width) on the
+    * same double both engines compute; per-bin margin mass sums as
+    * fixed-point longs (round(margin·10⁶)) — order-independent, so
+    * parity cannot drift on sum order. Scale: the planted corpus is a
+    * scan + one self-equi-join on `vec_id−1`; pairs are C81's brute
+    * frame (the declared correctness baseline — swap in
+    * [[corpusCrossLingualPairs]] for the routed production shape), then
+    * one bounded hash agg (≈ range/width bins); no window, no collect.
+    */
+  def marginCalibration(embeddings: DataFrame, k: Int = MarginK,
+                        width: Double = 0.05): DataFrame = {
+    val q = quantized(embeddings).select("vec_id", "qv")
+    val partner = q.select(col("vec_id").as("p_id"), col("qv").as("p_qv"))
+    val planted = q
+      .join(partner, col("p_id") === col("vec_id") - 1, "left")
+      .select(col("vec_id"),
+        when(col("vec_id") % 2 === 0, lit("en")).otherwise(lit("xx")).as("lang"),
+        when(col("vec_id") % 4 === 1,
+          // 0-based Spark lambda index i ↔ the oracle's 1-based p[2]:
+          // both perturb coordinate j (1-based) by (vec_id + j) % 3 − 1
+          transform(col("p_qv"), (x, i) => x + (col("vec_id") + i + lit(1)) % 3 - 1))
+          .otherwise(col("qv")).as("qv"))
+      .withColumn("nrm", dot(col("qv"), col("qv")))
+      .transform(GraftCache.persistTracked)
+    val x = planted.filter(col("lang") === "en")
+      .select(col("vec_id").as("x_id"), col("qv").as("x_qv"), col("nrm").as("x_nrm"))
+    val pairs = planted.filter(col("lang") =!= "en")
+      .select(col("vec_id").as("y_id"), col("lang"),
+        col("qv").as("y_qv"), col("nrm").as("y_nrm"))
+      .crossJoin(broadcast(x))
+      .select(col("y_id"), col("lang"), col("x_id"),
+        cosine(col("y_qv"), col("x_qv"), col("y_nrm"), col("x_nrm")).as("cos"))
+    marginFrame(pairs, k)
+      .select(
+        floor(col("margin") / lit(width)).cast("long").as("bin"),
+        when(col("y_id") % 4 === 1 && col("x_id") === col("y_id") - 1, 1L)
+          .otherwise(0L).as("is_match"),
+        expr("CAST(round(margin * 1000000, 0) AS BIGINT)").as("margin_fp"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("is_match")).as("n_planted"),
+        sum(col("margin_fp")).as("sum_margin_fp"))
+      .select(col("bin"), col("n"), col("n_planted"),
+        round(col("n_planted").cast("double") / col("n").cast("double"), 4)
+          .as("planted_rate"),
+        round(col("sum_margin_fp").cast("double") / lit(1e6) /
+          col("n").cast("double"), 4).as("avg_margin"))
   }
 
   /** C81b: bitext mining over the IVF-PQ candidate stream — the SCALE
@@ -376,14 +452,15 @@ object Embeddings {
       .select(col("y_id"), col("lang"), col("x_id"), col("cos"))
   }
 
-  /** The shared margin core over any cross-lingual candidate frame
-    * (y_id, lang, x_id, cos) — brute (C81) and ANN-candidate (C81b)
-    * mining differ ONLY in how the pairs were generated. Persisted:
-    * three consumers (two direction sums + the best-pair join-back)
-    * read the pair frame.
+  /** The margin frame over any cross-lingual candidate frame
+    * (y_id, lang, x_id, cos): every pair with its ratio margin, BEFORE
+    * best-pair selection and thresholding — [[marginMine]]'s working
+    * set, exposed at package level for C84's calibration binning (the
+    * reliability diagram needs the full margin population, not just the
+    * mined survivors). Persisted: three consumers (two direction sums +
+    * the best-pair join-back) read the pair frame.
     */
-  private def marginMine(pairFrame: DataFrame, k: Int,
-                         threshold: Double): DataFrame = {
+  private[graft] def marginFrame(pairFrame: DataFrame, k: Int): DataFrame = {
     val scored = GraftCache.persistTracked(pairFrame)
     // Σ of each side's top-k cross-lingual cosines, summed in heap
     // order (desc, ties id asc) — the deterministic left fold
@@ -392,15 +469,23 @@ object Embeddings {
       .agg(aggregate(
         transform(Exprs.maxKScored(col("cos"), col(other), k), t => t.getField("score")),
         lit(0.0), (acc, s) => acc + s).as(s"${g}_sum"))
-    // persisted: the best-pair aggregation AND its cos/lang join-back
-    // both read the margin frame — without the persist the heap aggs
-    // and the three-way join over the pair frame would run twice
-    val m = GraftCache.persistTracked(scored
+    GraftCache.persistTracked(scored
       .join(topSum("y_id", "x_id"), "y_id")
       .join(topSum("x_id", "y_id"), "x_id")
       .select(col("y_id"), col("lang"), col("x_id"), col("cos"),
         (col("cos") / ((col("y_id_sum") + col("x_id_sum")) / lit((2 * k).toDouble)))
           .as("margin")))
+  }
+
+  /** The shared margin core over any cross-lingual candidate frame
+    * (y_id, lang, x_id, cos) — brute (C81) and ANN-candidate (C81b)
+    * mining differ ONLY in how the pairs were generated. Persisted:
+    * three consumers (two direction sums + the best-pair join-back)
+    * read the pair frame.
+    */
+  private def marginMine(pairFrame: DataFrame, k: Int,
+                         threshold: Double): DataFrame = {
+    val m = marginFrame(pairFrame, k)
     m.groupBy("y_id")
       .agg(Exprs.maxKScored(col("margin"), col("x_id"), 1).as("top"))
       .select(col("y_id"), explode(col("top")).as("t"))
@@ -416,7 +501,11 @@ object Embeddings {
     * `pairs(y_id, lang, x_id, cos)` — the single SQL definition both
     * C81 and C81b splice (the candSqlCte convention).
     */
-  private def marginSqlTail(k: Int, threshold: Double): String =
+  /** The margin-frame CTEs alone (ay/bx/mm) — shared by the mining tail
+    * and C84's calibration, which bins mm directly (no best-pair, no
+    * threshold).
+    */
+  private def marginFrameSqlCtes(k: Int): String =
     s"""ay AS (SELECT y_id,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list(cos ORDER BY cos DESC, x_id)[1:$k]), (acc, s) -> acc + s) AS y_sum
@@ -426,7 +515,10 @@ object Embeddings {
        |      list(cos ORDER BY cos DESC, y_id)[1:$k]), (acc, s) -> acc + s) AS x_sum
        |  FROM pairs GROUP BY x_id),
        |mm AS (SELECT p.*, p.cos / ((ay.y_sum + bx.x_sum) / ${2 * k}) AS margin
-       |  FROM pairs p JOIN ay USING (y_id) JOIN bx USING (x_id)),
+       |  FROM pairs p JOIN ay USING (y_id) JOIN bx USING (x_id))""".stripMargin
+
+  private def marginSqlTail(k: Int, threshold: Double): String =
+    s"""${marginFrameSqlCtes(k)},
        |best AS (SELECT * FROM (
        |    SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS rn
        |    FROM mm) WHERE rn = 1)
@@ -434,9 +526,11 @@ object Embeddings {
        |  round(cos, 6) AS cos, round(margin, 6) AS margin
        |FROM best WHERE margin >= $threshold""".stripMargin
 
-  def bitextMineSql(pivot: String = "en", k: Int = MarginK,
-                    threshold: Double = MarginThreshold): String =
-    s"""WITH q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
+  /** C81's brute pair CTEs — the single SQL definition of the
+    * cross-lingual pair frame, spliced by the miner and C84.
+    */
+  private def brutePairsSqlCtes(pivot: String): String =
+    s"""q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
        |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
        |v AS (SELECT n.*, d.lang FROM n JOIN documents d ON n.vec_id = d.doc_id),
        |x AS (SELECT * FROM v WHERE lang = '$pivot'),
@@ -444,8 +538,46 @@ object Embeddings {
        |pairs AS (
        |  SELECT y.vec_id AS y_id, y.lang, x.vec_id AS x_id,
        |    ${dotSqlFmt.format("y.qv", "x.qv")} / (sqrt(y.nrm) * sqrt(x.nrm)) AS cos
-       |  FROM y, x),
+       |  FROM y, x)""".stripMargin
+
+  def bitextMineSql(pivot: String = "en", k: Int = MarginK,
+                    threshold: Double = MarginThreshold): String =
+    s"""WITH ${brutePairsSqlCtes(pivot)},
        |${marginSqlTail(k, threshold)}""".stripMargin
+
+  /** C84 oracle: the planted corpus (even = pivot, odd ≡ 1 mod 4 =
+    * perturbed copy of its `id−1` partner), the brute pair frame over
+    * it, the spliced margin-frame CTEs, and the fixed-width binning
+    * with planted-pair membership as truth.
+    */
+  def marginCalibrationSql(k: Int = MarginK, width: Double = 0.05): String =
+    s"""WITH q0 AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
+       |pl AS (
+       |  SELECT a.vec_id,
+       |    CASE WHEN a.vec_id % 2 = 0 THEN 'en' ELSE 'xx' END AS lang,
+       |    CASE WHEN a.vec_id % 4 = 1 THEN
+       |      list_transform(list_zip(b.qv, range(1, len(b.qv) + 1)),
+       |        p -> p[1] + (a.vec_id + p[2]) % 3 - 1)
+       |    ELSE a.qv END AS qv
+       |  FROM q0 a LEFT JOIN q0 b ON b.vec_id = a.vec_id - 1),
+       |n AS (SELECT vec_id, lang, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM pl),
+       |x AS (SELECT * FROM n WHERE lang = 'en'),
+       |y AS (SELECT * FROM n WHERE lang <> 'en'),
+       |pairs AS (
+       |  SELECT y.vec_id AS y_id, y.lang, x.vec_id AS x_id,
+       |    ${dotSqlFmt.format("y.qv", "x.qv")} / (sqrt(y.nrm) * sqrt(x.nrm)) AS cos
+       |  FROM y, x),
+       |${marginFrameSqlCtes(k)},
+       |jm AS (
+       |  SELECT CAST(floor(margin / $width) AS BIGINT) AS bin,
+       |    CASE WHEN y_id % 4 = 1 AND x_id = y_id - 1 THEN 1 ELSE 0 END AS is_match,
+       |    CAST(round(margin * 1000000, 0) AS BIGINT) AS margin_fp
+       |  FROM mm)
+       |SELECT bin, count(*) AS n,
+       |  CAST(sum(is_match) AS BIGINT) AS n_planted,
+       |  round(CAST(sum(is_match) AS DOUBLE) / count(*), 4) AS planted_rate,
+       |  round(CAST(sum(margin_fp) AS DOUBLE) / 1000000.0 / count(*), 4) AS avg_margin
+       |FROM jm GROUP BY 1""".stripMargin
 
   def bitextMineAnnSql(pivot: String = "en", k: Int = MarginK,
                        threshold: Double = MarginThreshold): String =
@@ -1766,7 +1898,9 @@ object Embeddings {
     "q_bitext_mine_ann" -> ((s, d) =>
       bitextMineAnn(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q_bitext_mine_corpus" -> ((s, d) =>
-      bitextMineCorpus(Tables.documents(s, d), Tables.embeddings(s, d))))
+      bitextMineCorpus(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "q_margin_calibration" -> ((s, d) =>
+      marginCalibration(Tables.embeddings(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_embed_outliers" -> embedOutliersSql(),
@@ -1786,5 +1920,6 @@ object Embeddings {
     "q_neardup_cosine" -> nearDupCosineSql,
     "q_bitext_mine" -> bitextMineSql(),
     "q_bitext_mine_ann" -> bitextMineAnnSql(),
-    "q_bitext_mine_corpus" -> bitextMineCorpusSql())
+    "q_bitext_mine_corpus" -> bitextMineCorpusSql(),
+    "q_margin_calibration" -> marginCalibrationSql())
 }

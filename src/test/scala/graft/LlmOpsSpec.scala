@@ -1331,4 +1331,41 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(minedYs.distinct.length == minedYs.length, "one best pair per mined doc")
     graft.GraftCache.releaseAll(spark)
   }
+
+  test("margin calibration: planted pairs separate cleanly above the noise, curve is NOT flat, 1.1 is a measured point (r11)") {
+    graft.GraftCache.releaseAll(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val rows = Embeddings.marginCalibration(emb).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_planted"), r.getAs[Double]("planted_rate")))
+      .sortBy(_._1)
+    val noiseBins = rows.filter(_._3 == 0L).map(_._1)
+    val plantedBins = rows.filter(_._3 > 0L)
+    assert(noiseBins.nonEmpty && plantedBins.nonEmpty,
+      "the diagram needs both noise and planted mass")
+    // FLAT-CURVE DETECTION: a margin with no signal would mix planted
+    // pairs through the noise bins at the ~base rate everywhere. Here
+    // the planted pairs must separate COMPLETELY: every bin containing
+    // a planted pair is pure (rate 1.0) and sits strictly above every
+    // noise bin.
+    assert(plantedBins.forall(_._4 == 1.0),
+      s"planted bins must be pure: ${plantedBins.mkString(", ")}")
+    assert(plantedBins.map(_._1).min > noiseBins.max,
+      s"planted mass (bins >= ${plantedBins.map(_._1).min}) must clear the " +
+        s"noise ceiling (bin ${noiseBins.max}) — a flat curve fails here")
+    // every planted pair is accounted for and clears the 1.1 threshold
+    // bin — the constant is a measured operating point, not a guess
+    val nPlantedIds = emb.select("vec_id").collect().map(_.getLong(0))
+      .count(id => id % 4 == 1 && id > 0)
+    assert(plantedBins.map(_._3).sum == nPlantedIds.toLong,
+      s"all $nPlantedIds planted pairs must appear in the diagram")
+    val thresholdBin = math.floor(Embeddings.MarginThreshold / 0.05).toLong
+    assert(plantedBins.map(_._1).min >= thresholdBin,
+      "every planted pair clears the 1.1 operating point")
+    // ...and the diagram also documents WHY mining is best-pair +
+    // threshold, not threshold alone: some noise pairs clear 1.1 too
+    assert(noiseBins.exists(_ >= thresholdBin),
+      "expected noise mass above 1.1 (threshold alone is not precision-1)")
+    graft.GraftCache.releaseAll(spark)
+  }
 }
