@@ -543,17 +543,31 @@ object TextOps {
     GraftCache.memoArtifact(spark,
       ("bpeTrain", documents.queryExecution.analyzed.canonicalized, k, minCount)) {
       // The ONE corpus-wide pass: aggregate to the distinct-token
-      // frequency table, apply the [[BpeMinCount]] admission floor, and
-      // collect WHAT SURVIVES. Distinct tokens grow sublinearly in
-      // corpus size (Heaps' law) but the law's tail is almost entirely
-      // singletons — the floor is what makes the collect a genuinely
-      // bounded model-artifact collect (the codebook rule) instead of a
-      // tail-proportional one. Everything after it is driver-local.
-      val vocabAll = GraftCache.persistTracked(documents
-        .select(explode(toks).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .groupBy("tok")
-        .agg(count(lit(1)).as("cnt")))
+      // frequency table, then train from it ([[bpeTrainFromCounts]] —
+      // the same core the committed vocab artifact feeds).
+      bpeTrainFromCounts(spark,
+        GraftCache.persistTracked(bpeTokFacts(documents)
+          .groupBy("tok")
+          .agg(count(lit(1)).as("cnt"))), k, minCount)
+    }
+  }
+
+  /** The trainer core over an already-aggregated (tok, cnt) frequency
+    * frame — fed by [[bpeTrain]]'s fresh corpus pass OR by the
+    * committed vocab artifact ([[loadBpeVocab]]). The [[BpeMinCount]]
+    * admission floor binds HERE, on the (possibly cross-crawl MERGED)
+    * counts — flooring earlier would break extend∘train == train(union)
+    * (a token appearing once in each of two crawls must survive a
+    * floor of 2).
+    */
+  private def bpeTrainFromCounts(spark: SparkSession, vocabAll: DataFrame,
+                                 k: Int, minCount: Long): DataFrame = {
+      // Apply the floor and collect WHAT SURVIVES. Distinct tokens grow
+      // sublinearly in corpus size (Heaps' law) but the law's tail is
+      // almost entirely singletons — the floor is what makes the
+      // collect a genuinely bounded model-artifact collect (the
+      // codebook rule) instead of a tail-proportional one. Everything
+      // after it is driver-local.
       // no-silent-caps: measure what the floor drops, log when it binds
       val st = vocabAll.agg(
         count(lit(1)).as("n_all"),
@@ -580,7 +594,6 @@ object TextOps {
       import spark.implicits._
       merges.toDF("round", "left_sym", "right_sym", "merged", "n_occ")
         .orderBy("round")
-    }
   }
 
   /** Code-point symbols (a surrogate pair is ONE symbol, matching
@@ -916,6 +929,66 @@ object TextOps {
       .select("m").head().getSeq[org.apache.spark.sql.Row](0)
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+
+  // ------------------------------------- committed vocab artifact (C43d)
+
+  /** The committed BPE VOCAB artifact's shape: per-token occurrence
+    * counts — a pure count monoid, so it rides [[RollupIndex]]'s
+    * generic maintained-rollup machinery verbatim (per-delta partial
+    * rows + ledger replay guard + fold compaction). This is what makes
+    * [[bpeTrain]] resumable across crawls: each crawl commits ONE
+    * token-count delta (its own corpus scan), and a retrain reads the
+    * merged counts instead of rescanning every crawl ever ingested.
+    *
+    * The artifact stores RAW counts, not floored ones — the
+    * [[BpeMinCount]] floor is a TRAIN-TIME parameter that must bind on
+    * the cross-crawl MERGED counts ([[bpeTrainFromCounts]]), or
+    * extend∘train would diverge from train(union): a token appearing
+    * once in each of two crawls survives a floor of 2 only if the
+    * counts merge first. Raw counts are fine AS A TABLE (bucketed,
+    * distributed — Heaps' tail is data, not driver state); the floor
+    * still guards the one driver collect, exactly as before.
+    */
+  val BpeVocabShape: RollupIndex.RollupShape = RollupIndex.RollupShape(
+    Seq("tok"), Seq(RollupIndex.AggSpec("count", "", "cnt")))
+
+  /** The whitespace-token fact rows [[bpeTrain]]'s corpus pass and the
+    * vocab artifact's deltas both aggregate — ONE definition, so the
+    * committed path can never count differently from the fresh path.
+    */
+  private[graft] def bpeTokFacts(documents: DataFrame): DataFrame =
+    documents.select(explode(toks).as("tok")).filter(length(col("tok")) > 0)
+
+  private def vocabPath(path: String) = s"$path/vocab"
+
+  /** Commit one crawl's token counts into the vocab artifact (idempotent
+    * per deltaId — the rollup ledger makes a replayed ingest a no-op).
+    */
+  def commitBpeVocab(documents: DataFrame, path: String, deltaId: String): Unit =
+    RollupIndex.applyDelta(bpeTokFacts(documents), vocabPath(path), deltaId,
+      BpeVocabShape)
+
+  /** The merged (tok, cnt) table at the latest committed version. */
+  def loadBpeVocab(spark: SparkSession, path: String): DataFrame =
+    RollupIndex.read(spark, vocabPath(path), BpeVocabShape)
+
+  /** Fold the per-crawl partial rows (run on the ingest cadence; train
+    * results are identical across it — the count monoid is associative).
+    */
+  def maintainBpeVocab(spark: SparkSession, path: String): Unit =
+    RollupIndex.foldPartials(spark, vocabPath(path), BpeVocabShape)
+
+  /** Train from the COMMITTED vocab: bit-identical merge sequence to a
+    * fresh [[bpeTrain]] over the union of every committed crawl
+    * (spec-pinned) — the resume path a 100 TB deployment actually runs:
+    * no re-scan of historical corpora, just the vocab-sized merged
+    * counts. Pair with [[commitBpe]] to commit the trained merges.
+    */
+  def bpeTrainCommitted(spark: SparkSession, path: String,
+                        k: Int = BpeRounds,
+                        minCount: Long = BpeMinCount): DataFrame =
+    bpeTrainFromCounts(spark,
+      GraftCache.persistTracked(loadBpeVocab(spark, path)), k, minCount)
 
   /** Oracle: re-derive the merge table with [[bpeTrainSql]]'s CTE chain,
     * then thread a doc-level segmentation column through the same k

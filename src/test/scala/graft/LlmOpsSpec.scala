@@ -1368,4 +1368,51 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected noise mass above 1.1 (threshold alone is not precision-1)")
     graft.GraftCache.releaseAll(spark)
   }
+
+  test("committed BPE vocab: train-from-artifact == fresh train(union) bit-identically; replay and fold no-ops (r11)") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    graft.GraftCache.releaseAll(spark)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-vocab").toString
+    TextOps.commitBpeVocab(a, dir, "crawl-a")
+    TextOps.commitBpeVocab(b, dir, "crawl-b")
+    def merges(df: DataFrame): Seq[(Int, String, String, String, Long)] =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val k = 24
+    val fromArtifact = merges(TextOps.bpeTrainCommitted(spark, dir, k))
+    val fresh = merges(TextOps.bpeTrain(docs, k))
+    assert(fromArtifact.nonEmpty && fromArtifact == fresh,
+      "extend∘train must equal train(union) merge for merge, bit-identically")
+    // replayed ingest: the rollup ledger no-ops it, counts do not double
+    TextOps.commitBpeVocab(b, dir, "crawl-b")
+    graft.GraftCache.releaseAll(spark)
+    assert(merges(TextOps.bpeTrainCommitted(spark, dir, k)) == fresh,
+      "a replayed crawl delta must not change the trained merges")
+    // fold compaction: associative count monoid, train unchanged
+    TextOps.maintainBpeVocab(spark, dir)
+    graft.GraftCache.releaseAll(spark)
+    assert(merges(TextOps.bpeTrainCommitted(spark, dir, k)) == fresh,
+      "foldPartials must not change the trained merges")
+    // the floor binds on MERGED counts: a token occurring once in each
+    // of two crawls survives minCount=2 — committing floored per-crawl
+    // counts would have dropped it and trained nothing here
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-bpe-vocab2").toString
+    val ta = Seq((1L, "zzcross unique1")).toDF("doc_id", "text")
+    val tb = Seq((2L, "zzcross unique2")).toDF("doc_id", "text")
+    TextOps.commitBpeVocab(ta, dir2, "a")
+    TextOps.commitBpeVocab(tb, dir2, "b")
+    val vocab2 = TextOps.loadBpeVocab(spark, dir2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab2("zzcross") == 2L && vocab2("unique1") == 1L)
+    val cross = merges(TextOps.bpeTrainCommitted(spark, dir2, 4, minCount = 2L))
+    graft.GraftCache.releaseAll(spark)
+    assert(cross.nonEmpty && cross == merges(
+      TextOps.bpeTrain(ta.unionAll(tb), 4, minCount = 2L)),
+      "the cross-crawl token must train identically to train(union)")
+    graft.GraftCache.releaseAll(spark)
+  }
 }
