@@ -893,12 +893,18 @@ object ScaleAudit {
       val ixSmall = buildIx("small", 10000000L, 400L)
       val ixBig = buildIx("big", 20000000L, 4000L)
       def admit(ix: String, from: Long, n: Long, id: Long): (Double, Long, Long) = {
-        val batch = novelImages(from, n)
-        val nIn = batch.count() // materialize decode inputs outside the timer
+        // persist + count BEFORE the timer, or the count would discard
+        // the synthesized PNGs and the timed admit would re-pay the
+        // whole MD5+ImageIO synthesis — an index-independent constant
+        // fat enough to hide a real index-proportional regression
+        // behind the 3x gate
+        val batch = novelImages(from, n).persist()
+        val nIn = batch.count()
         val outP = s"$work/mout_${ix.split('_').last}_$id"
         val t0 = System.nanoTime()
         EventStream.mediaAdmitBatch(batch, id, ix, outP, "img")
         val sec = (System.nanoTime() - t0) / 1e9
+        batch.unpersist()
         val admitted =
           if (new java.io.File(outP).exists()) spark.read.parquet(outP).count()
           else 0L

@@ -92,14 +92,21 @@ object WindowAudit {
       case _ => false
     }
 
-  /** True if the expression is bounded by a modulo — a salt / bucket key
-    * (`pmod(hash(...), n)`). Those exist to SPLIT hot keys across tasks
-    * and are the fix, not the hazard; they are excluded from the
-    * fingerprint check (and a bucket key that dominates is already the
-    * bounded-key hazard class below).
+  /** True if the expression is bounded by a modulo or an equal-depth
+    * bucketing — a salt / bucket key (`pmod(hash(...), n)`, or
+    * [[graft.functions.Exprs.SearchSortedLong]] over the DistributedRank
+    * cut points). Those exist to SPLIT hot keys across a bounded task
+    * space and are the fix, not the hazard; they are excluded from the
+    * fingerprint check (a bucket key whose one value dominates is the
+    * bounded-key hazard class, and DistributedRank's local windows rank
+    * WITHIN a bucket by construction).
     */
   private def isModBounded(e: Expression): Boolean =
-    e.exists { case _: Pmod | _: Remainder => true; case _ => false }
+    e.exists {
+      case _: Pmod | _: Remainder => true
+      case _: graft.functions.Exprs.SearchSortedLong => true
+      case _ => false
+    }
 
   /** True if every path from this window's child to the leaves passes
     * through an aggregate or limit — i.e. the window runs over an

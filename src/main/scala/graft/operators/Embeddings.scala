@@ -276,9 +276,13 @@ object Embeddings {
       .join(partner, col("p_id") === col("vec_id") - 1, "left")
       .select(col("vec_id"),
         when(col("vec_id") % 2 === 0, lit("en")).otherwise(lit("xx")).as("lang"),
-        when(col("vec_id") % 4 === 1,
+        when(col("vec_id") % 4 === 1 && col("p_qv").isNotNull,
           // 0-based Spark lambda index i ↔ the oracle's 1-based p[2]:
-          // both perturb coordinate j (1-based) by (vec_id + j) % 3 − 1
+          // both perturb coordinate j (1-based) by (vec_id + j) % 3 − 1.
+          // The isNotNull guard (mirrored in the oracle) keeps a
+          // partnerless planted id (non-contiguous vec_ids — e.g. after
+          // a takedown) on its own vector instead of poisoning margins
+          // with a NULL qv the two engines would fold differently.
           transform(col("p_qv"), (x, i) => x + (col("vec_id") + i + lit(1)) % 3 - 1))
           .otherwise(col("qv")).as("qv"))
       .withColumn("nrm", dot(col("qv"), col("qv")))
@@ -378,75 +382,22 @@ object Embeddings {
   /** C81c's candidate core, exposed at package level so the spec can
     * pin its coverage against [[ivfPqRefinedPairs]] directly: the
     * rescored cross-lingual (y_id, lang, x_id, cos) frame over every
-    * non-pivot doc.
+    * non-pivot doc — the shared [[ivfPqCandidateChain]] with its two
+    * scope knobs opened (probes = all non-pivot docs, candidate side =
+    * pivot docs, corpus-sized probe set so no broadcast).
     */
   private[graft] def corpusCrossLingualPairs(documents: DataFrame,
                                              embeddings: DataFrame,
                                              pivot: String): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
     val langF = documents.select(col("doc_id"), col("lang"))
-    val q = quantized(embeddings)
-    q.count()
-    val coarseF = Future(kmeansCodebook(q))
-    val cbs = pqCodebooks(q)
-    val coarse = Await.result(coarseF, Duration.Inf)
-    val assign = ivfAssign(q, coarse)
-    val codes = pqEncode(q, cbs)
-    val cbRows = cbs.map(_.orderBy("c_id").collect())
-    cbRows.foreach { rows =>
-      require(rows.map(_.getLong(0)).toSeq == (0 until NumCentroids).map(_.toLong),
-        "bitextMineCorpus: codebook c_ids must be contiguous 0..NumCentroids-1")
-    }
-    val centArr = cbRows.map(rows => typedLit(rows.map(_.getSeq[Long](1)).toSeq))
-    val cnrmArr = cbRows.map(rows => typedLit(rows.map(_.getLong(2)).toSeq))
-    // corpus-wide routing: every NON-PIVOT doc is a probe
-    val yRouted = q
-      .join(langF.select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
-      .filter(col("lang") =!= pivot)
-      .crossJoin(broadcast(coarse))
-      .withColumn("d2", col("nrm") - lit(2L) * dot(col("qv"), col("cqv")) + col("cnrm"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
-      .filter(col("rn") <= NProbe)
-      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-        col("nrm").as("q_nrm"), col("c_id"))
-    // pivot-side inverted lists, codes attached once
-    val xCodes = assign
-      .join(langF.filter(col("lang") === pivot)
-        .select(col("doc_id").as("vec_id")), "vec_id")
-      .join(codes, Seq("vec_id"))
-    val adot = (0 until PqM).map { m =>
-      dot(slice(col("q_qv"), m * PqSubDim + 1, PqSubDim),
-        element_at(centArr(m), col(s"code_$m").cast("int") + 1))
-    }.reduce(_ + _)
-    val anrm = (0 until PqM).map { m =>
-      element_at(cnrmArr(m), col(s"code_$m").cast("int") + 1)
-    }.reduce(_ + _)
-    // the co-routed block join: y side is corpus-sized, so this is a
-    // shuffle join on the list id, NOT a broadcast of the probe set
-    val scored = xCodes.join(yRouted, Seq("c_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        (adot.cast("double") /
-          (sqrt(col("q_nrm").cast("double")) * sqrt(anrm.cast("double"))))
-          .as("approx_cos"))
-    val shortlist = scored
-      .groupBy("q_id")
-      .agg(Exprs.maxKScored(col("approx_cos"), col("n_id"), RefineK).as("top"))
-      .select(col("q_id"), explode(col("top")).as("t"))
-      .select(col("q_id"), col("t.id").as("n_id"))
-    // corpus-wide exact rescore: both sides joined back from the one
-    // persisted quantized frame (scorePairs broadcasts a bounded probe
-    // set — inapplicable here)
-    val rescored = shortlist
-      .join(q.select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-        col("nrm").as("q_nrm")), "q_id")
-      .join(q.select(col("vec_id").as("n_id"), col("qv"), col("nrm")), "n_id")
-      .select(col("q_id"), col("n_id"),
-        cosine(col("q_qv"), col("qv"), col("q_nrm"), col("nrm")).as("cos"))
-    rescored
+    ivfPqCandidateChain(embeddings,
+      probeVecs = _.join(
+        langF.filter(col("lang") =!= pivot)
+          .select(col("doc_id").as("vec_id")), "vec_id"),
+      candRestrict = _.join(
+        langF.filter(col("lang") === pivot)
+          .select(col("doc_id").as("vec_id")), "vec_id"),
+      boundedProbes = false)
       .select(col("q_id").as("y_id"), col("n_id").as("x_id"), col("cos"))
       .join(langF.select(col("doc_id").as("y_id"), col("lang")), "y_id")
       .select(col("y_id"), col("lang"), col("x_id"), col("cos"))
@@ -555,7 +506,7 @@ object Embeddings {
        |pl AS (
        |  SELECT a.vec_id,
        |    CASE WHEN a.vec_id % 2 = 0 THEN 'en' ELSE 'xx' END AS lang,
-       |    CASE WHEN a.vec_id % 4 = 1 THEN
+       |    CASE WHEN a.vec_id % 4 = 1 AND b.qv IS NOT NULL THEN
        |      list_transform(list_zip(b.qv, range(1, len(b.qv) + 1)),
        |        p -> p[1] + (a.vec_id + p[2]) % 3 - 1)
        |    ELSE a.qv END AS qv
@@ -1279,7 +1230,30 @@ object Embeddings {
     * (q_id, n_id, cos) pairs for [[annIvfPq]]'s top-k and
     * [[annHardNegatives]]' band mining.
     */
-  private[graft] def ivfPqRefinedPairs(embeddings: DataFrame): DataFrame = {
+  private[graft] def ivfPqRefinedPairs(embeddings: DataFrame): DataFrame =
+    ivfPqCandidateChain(embeddings,
+      probeVecs = _.filter(col("vec_id") < NumProbes),
+      candRestrict = identity,
+      boundedProbes = true)
+
+  /** The ONE Scala definition of the routed → ADC-shortlisted →
+    * exact-refined chain, with the SAME two scope knobs as its SQL twin
+    * [[ivfPqRescoredCtesWith]]: `probeVecs` selects which (vec_id, qv,
+    * nrm) rows route (the C7e family bounds it to the first NumProbes
+    * ids; C81c opens it to every non-pivot doc), `candRestrict` narrows
+    * the inverted-list side BEFORE the ADC (C81c keeps only pivot
+    * docs). `boundedProbes` records whether the probe set is
+    * lens-bounded — it gates the probe-list broadcast and the
+    * broadcast-probes rescore ([[scorePairs]]); a corpus-sized probe
+    * set takes the shuffle block join and the two-sided rescore
+    * instead. Factored in round 11 so the C81b↔C81c coverage pin can
+    * never drift: routing tie-order, ADC arithmetic, and the RefineK
+    * shortlist rule exist exactly once.
+    */
+  private def ivfPqCandidateChain(embeddings: DataFrame,
+                                  probeVecs: DataFrame => DataFrame,
+                                  candRestrict: DataFrame => DataFrame,
+                                  boundedProbes: Boolean): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -1301,7 +1275,7 @@ object Embeddings {
     }
     val centArr = cbRows.map(rows => typedLit(rows.map(_.getSeq[Long](1)).toSeq))
     val cnrmArr = cbRows.map(rows => typedLit(rows.map(_.getLong(2)).toSeq))
-    val probeLists = q.filter(col("vec_id") < NumProbes)
+    val probeLists = probeVecs(q)
       .crossJoin(broadcast(coarse))
       .withColumn("d2", col("nrm") - lit(2L) * dot(col("qv"), col("cqv")) + col("cnrm"))
       .withColumn("rn", row_number().over(
@@ -1316,8 +1290,8 @@ object Embeddings {
     val anrm = (0 until PqM).map { m =>
       element_at(cnrmArr(m), col(s"code_$m").cast("int") + 1)
     }.reduce(_ + _)
-    val scored = assign
-      .join(broadcast(probeLists), Seq("c_id"))
+    val scored = candRestrict(assign)
+      .join(if (boundedProbes) broadcast(probeLists) else probeLists, Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(codes, Seq("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
@@ -1329,7 +1303,17 @@ object Embeddings {
       .agg(Exprs.maxKScored(col("approx_cos"), col("n_id"), RefineK).as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))
       .select(col("q_id"), col("t.id").as("n_id"))
-    scorePairs(shortlist, q)
+    if (boundedProbes) scorePairs(shortlist, q)
+    else
+      // corpus-wide exact rescore: both sides joined back from the one
+      // persisted quantized frame (scorePairs broadcasts a bounded
+      // probe set — inapplicable here)
+      shortlist
+        .join(q.select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("nrm").as("q_nrm")), "q_id")
+        .join(q.select(col("vec_id").as("n_id"), col("qv"), col("nrm")), "n_id")
+        .select(col("q_id"), col("n_id"),
+          cosine(col("q_qv"), col("qv"), col("q_nrm"), col("nrm")).as("cos"))
   }
 
   /** The full IVF-PQ candidate chain ending in `rescored(q_id, n_id,

@@ -31,9 +31,15 @@ object TextOps {
     * so downstream can either drop dups or remap references.
     */
   def dedupExact(documents: DataFrame): DataFrame = {
+    // Null-safe (<=>) join-back, the capBands rule: md5(NULL text) is
+    // NULL, groupBy keeps the NULL-fp group exactly like the old window
+    // partition did, and a plain equi-join would silently DROP those
+    // docs (the oracle keeps window semantics and would emit them).
     val fps = documents.select(col("doc_id"), md5(col("text")).as("fp"))
-    val keepers = fps.groupBy("fp").agg(min("doc_id").as("keeper_id"))
-    fps.join(keepers, "fp")
+    val keepers = fps.groupBy("fp")
+      .agg(min("doc_id").as("keeper_id"))
+      .withColumnRenamed("fp", "keep_fp")
+    fps.join(keepers, col("fp") <=> col("keep_fp"))
       .select(col("doc_id"), col("fp"), col("keeper_id"),
         (col("doc_id") =!= col("keeper_id")).cast("boolean").as("is_dup"))
   }

@@ -1246,6 +1246,22 @@ object EventStream {
           .persist()
         try {
           val n = admitted.count()
+          // ID-collision guard: an admitted row is NOVEL CONTENT, so if
+          // its media_id already exists in the index, the crawl re-used
+          // an id for different bytes — extending would latest-wins
+          // OVERWRITE the committed fingerprint, silently un-indexing
+          // the old content (a takedown-audit gap: its next re-crawl
+          // would probe as novel). Ids are the global identity contract;
+          // fail the batch loudly instead of corrupting the artifact.
+          val collisions = admitted.select("media_id")
+            .join(index.select(col("doc_id").as("media_id")), Seq("media_id"),
+              "left_semi")
+            .count()
+          require(collisions == 0L,
+            s"mediaAdmitBatch($modality, batch $batchId): $collisions admitted " +
+              "media_id(s) already exist in the index with DIFFERENT content — " +
+              "id re-use would overwrite committed fingerprints; fix the crawl's " +
+              "id assignment (or retract the old ids first)")
           if (n > 0) {
             // corpus append FIRST, index extend SECOND — the
             // streamingCurationAdmission restart-safety ordering

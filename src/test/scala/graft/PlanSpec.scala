@@ -165,6 +165,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("corpus bitext miner: bounded-heap shortlist, only the per-vector routing rank windows; calibration is window-free (r11)") {
+    // q_bitext_mine_corpus: the ADC shortlist and the margin top-k sums
+    // are MaxKScored aggregates; the only window allowed is the
+    // per-vector coarse routing rank (≤ NumCentroids rows per key — the
+    // same exemption as q_ann_ivf/q_ann_ivfpq). A window anywhere else
+    // would sort a co-routed block or a margin frame in one task.
+    graft.GraftCache.releaseAll(spark)
+    val corpus = plan("q_bitext_mine_corpus")
+    assert(corpus.toString.contains("graft_max_k_scored"),
+      "q_bitext_mine_corpus: expected the MaxKScored shortlist/margin aggregates")
+    assert(corpus.collect { case w: WindowExec => w }.size <= 1,
+      "q_bitext_mine_corpus: only the bounded routing-rank window is allowed")
+    assert(!corpus.toString.contains("CartesianProduct"),
+      "q_bitext_mine_corpus: candidates must come from the co-routed block join")
+    // q_margin_calibration bins the margin frame — nothing to rank
+    graft.GraftCache.releaseAll(spark)
+    assert(plan("q_margin_calibration").collect { case w: WindowExec => w }.isEmpty,
+      "q_margin_calibration: expected no window")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("chunking is shuffle-free: q_chunk_docs has no Exchange at all") {
     val exchanges = plan("q_chunk_docs").collect {
       case e: org.apache.spark.sql.execution.exchange.Exchange => e

@@ -1642,5 +1642,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "(at-least-once; consumers dedup by (batch_id, media_id))")
     // converged: both admissions servable, the re-crawl never admitted
     assert(servedDocs(1L) == Set(101L) && servedDocs(2L) == Set(202L))
+    // id-collision guard: NOVEL content arriving under an id the index
+    // already holds (different bytes) must fail the batch loudly — a
+    // latest-wins extend would silently un-index the old content
+    val err = intercept[IllegalArgumentException] {
+      EventStream.mediaAdmitBatch(batchDf(Seq((900010L, 3L))), 9L,
+        s"$dir/index", s"$dir/out", "img")
+    }
+    assert(err.getMessage.contains("id re-use"), err.getMessage)
   }
 }
