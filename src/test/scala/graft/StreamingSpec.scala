@@ -1651,4 +1651,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(err.getMessage.contains("id re-use"), err.getMessage)
   }
+
+  test("media admission loop covers the VIDEO and AUDIO kernels end to end (r11)") {
+    import spark.implicits._
+    import graft.operators.{AudioDedup, MediaIndex, VideoDedup}
+    // the loop is modality-generic and the live-stream facade is pinned
+    // by the image test; here the other two decode kernels drive the
+    // same two-batch admit/remember contract through the batch body.
+    // Content ids share a group mod 50 per kernel — seeds sit in group
+    // 10, arrivals in 1/2, so only planted dups match.
+    val cases: Seq[(String, Seq[Long] => org.apache.spark.sql.DataFrame,
+        (org.apache.spark.sql.DataFrame, String) => Unit)] = Seq(
+      ("vid", (ids: Seq[Long]) => VideoDedup.videoCorpus(ids.toDF("doc_id")),
+        (m: org.apache.spark.sql.DataFrame, p: String) => MediaIndex.buildVideos(m, p)),
+      ("aud", (ids: Seq[Long]) => AudioDedup.audioCorpus(ids.toDF("doc_id")),
+        (m: org.apache.spark.sql.DataFrame, p: String) => MediaIndex.buildAudio(m, p)))
+    for ((modality, corpus, build) <- cases) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-media-$modality").toString
+      def arrivals(pairs: Seq[(Long, Long)]) = {
+        val m = corpus(pairs.map(_._2).distinct).collect()
+          .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+        pairs.map { case (mid, cid) => (mid, m(cid)) }.toDF("media_id", "payload")
+      }
+      build(corpus(Seq(900010L)), s"$dir/index")
+      // batch 0: 101 novel (content 1), 102 dup of the seed
+      EventStream.mediaAdmitBatch(arrivals(Seq((101L, 1L), (102L, 900010L))),
+        0L, s"$dir/index", s"$dir/out", modality)
+      // batch 1: 201 re-crawls batch 0's admit, 202 novel
+      EventStream.mediaAdmitBatch(arrivals(Seq((201L, 1L), (202L, 2L))),
+        1L, s"$dir/index", s"$dir/out", modality)
+      val out = spark.read.parquet(s"$dir/out").collect()
+        .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("batch_id"))).toSet
+      assert(out == Set((101L, 0L), (202L, 1L)),
+        s"$modality: expected admits {101@0, 202@1}; got $out")
+    }
+  }
 }
