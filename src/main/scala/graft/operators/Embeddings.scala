@@ -269,7 +269,36 @@ object Embeddings {
     * one bounded hash agg (≈ range/width bins); no window, no collect.
     */
   def marginCalibration(embeddings: DataFrame, k: Int = MarginK,
-                        width: Double = 0.05): DataFrame = {
+                        width: Double = 0.05): DataFrame =
+    marginFrame(plantedBitextPairs(embeddings), k)
+      .select(
+        floor(col("margin") / lit(width)).cast("long").as("bin"),
+        plantedIsMatch.as("is_match"),
+        expr("CAST(round(margin * 1000000, 0) AS BIGINT)").as("margin_fp"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("is_match")).as("n_planted"),
+        sum(col("margin_fp")).as("sum_margin_fp"))
+      .select(col("bin"), col("n"), col("n_planted"),
+        round(col("n_planted").cast("double") / col("n").cast("double"), 4)
+          .as("planted_rate"),
+        round(col("sum_margin_fp").cast("double") / lit(1e6) /
+          col("n").cast("double"), 4).as("avg_margin"))
+
+  /** Planted-pair membership over the margin/pair frame's (y_id, x_id)
+    * — C84/C85's shared pseudo-truth column (ONE definition). */
+  private def plantedIsMatch: Column =
+    when(col("y_id") % 4 === 1 && col("x_id") === col("y_id") - 1, 1L)
+      .otherwise(0L)
+
+  /** The planted bitext corpus' cross-lingual pair frame — C84's ground
+    * truth generator, shared with C85's threshold measurement and
+    * calibrated miner (ONE definition, the SQL twin is
+    * [[plantedPairsSqlCtes]]). Even vec_ids form the pivot side, odd
+    * the mined side; odd ≡ 1 (mod 4) ids become "translations" — their
+    * vector a ±1-perturbed copy of the `id−1` partner's.
+    */
+  private[graft] def plantedBitextPairs(embeddings: DataFrame): DataFrame = {
     val q = quantized(embeddings).select("vec_id", "qv")
     val partner = q.select(col("vec_id").as("p_id"), col("qv").as("p_qv"))
     val planted = q
@@ -289,28 +318,91 @@ object Embeddings {
       .transform(GraftCache.persistTracked)
     val x = planted.filter(col("lang") === "en")
       .select(col("vec_id").as("x_id"), col("qv").as("x_qv"), col("nrm").as("x_nrm"))
-    val pairs = planted.filter(col("lang") =!= "en")
+    planted.filter(col("lang") =!= "en")
       .select(col("vec_id").as("y_id"), col("lang"),
         col("qv").as("y_qv"), col("nrm").as("y_nrm"))
       .crossJoin(broadcast(x))
       .select(col("y_id"), col("lang"), col("x_id"),
         cosine(col("y_qv"), col("x_qv"), col("y_nrm"), col("x_nrm")).as("cos"))
-    marginFrame(pairs, k)
-      .select(
-        floor(col("margin") / lit(width)).cast("long").as("bin"),
-        when(col("y_id") % 4 === 1 && col("x_id") === col("y_id") - 1, 1L)
-          .otherwise(0L).as("is_match"),
-        expr("CAST(round(margin * 1000000, 0) AS BIGINT)").as("margin_fp"))
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n"),
-        sum(col("is_match")).as("n_planted"),
-        sum(col("margin_fp")).as("sum_margin_fp"))
-      .select(col("bin"), col("n"), col("n_planted"),
-        round(col("n_planted").cast("double") / col("n").cast("double"), 4)
-          .as("planted_rate"),
-        round(col("sum_margin_fp").cast("double") / lit(1e6) /
-          col("n").cast("double"), 4).as("avg_margin"))
   }
+
+  /** C85: the MEASURED mining threshold — the smallest margin bin whose
+    * planted agreement reaches `purity`, returned as its bin index (the
+    * threshold VALUE is `bin * width`, recomputed from the integer at
+    * every use so artifact round-trips can never drift by an ulp). One
+    * bounded agg over the calibration frame + a 1-row collect — a
+    * model-artifact scalar, the DSIR-threshold discipline.
+    */
+  def measuredMarginBin(embeddings: DataFrame, k: Int = MarginK,
+                        width: Double = 0.05, purity: Double = 0.99): Long = {
+    val m = marginFrame(plantedBitextPairs(embeddings), k)
+    val row = m
+      .select(floor(col("margin") / lit(width)).cast("long").as("bin"),
+        plantedIsMatch.as("is_match"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("is_match")).as("np"))
+      .filter(col("np").cast("double") / col("n").cast("double") >= purity)
+      .agg(min("bin")).head()
+    require(!row.isNullAt(0),
+      s"measuredMarginBin: no margin bin reaches purity $purity — the margin " +
+        "carries no signal on this corpus (flat curve); refusing to emit a cut")
+    row.getLong(0)
+  }
+
+  /** C85: mining over the planted corpus at the MEASURED operating
+    * point instead of the 1.1 constant — the full feedback loop:
+    * calibrate (C84) → choose the purity-`0.99` cut → mine with it.
+    * On the planted corpus this provably tightens the constant: every
+    * planted pair still clears (the cut is below the planted mass by
+    * construction of the purity rule) while noise best-pairs between
+    * 1.1 and the cut are rejected (LlmOpsSpec pins mined == exactly the
+    * planted set, and ⊆ the 1.1-constant mining).
+    */
+  def bitextMineCalibrated(embeddings: DataFrame, k: Int = MarginK,
+                           width: Double = 0.05,
+                           purity: Double = 0.99): DataFrame = {
+    val pairs = plantedBitextPairs(embeddings)
+    val thr = measuredMarginBin(embeddings, k, width, purity) * width
+    marginMine(pairs, k, thr)
+  }
+
+  /** C85's COMMITTED operating point — the DSIR-ratio-table discipline
+    * for the mining threshold: calibrate once, commit the cut, every
+    * later mining job loads it instead of hardcoding 1.1. The artifact
+    * stores the measured BIN INDEX as an integer; the threshold VALUE
+    * is `bin × width` recomputed at every load, so a float round-trip
+    * can never drift an ulp across the `margin >= thr` filter.
+    */
+  def commitMarginThreshold(embeddings: DataFrame, path: String,
+                            buildV: Long = 0L, k: Int = MarginK,
+                            width: Double = 0.05,
+                            purity: Double = 0.99): Long = {
+    val bin = measuredMarginBin(embeddings, k, width, purity)
+    val spark = embeddings.sparkSession
+    graft.sources.Sinks.VersionedTable.mergeUpsert(spark,
+      s"$path/margin_threshold",
+      spark.range(1).select(lit("model").as("id"), lit(bin).as("bin"),
+        lit(buildV).as("build_v")),
+      Seq("id"), "build_v", numBuckets = 1)
+    bin
+  }
+
+  def loadMarginThresholdBin(spark: SparkSession, path: String): Long =
+    graft.sources.Sinks.VersionedTable.read(spark, s"$path/margin_threshold")
+      .select("bin").head().getLong(0)
+
+  /** Mine any REAL corpus at the committed operating point — the
+    * production composition: C84 calibrates on the planted corpus, C85
+    * commits the cut, and this applies it to live cross-lingual pairs
+    * (brute baseline frame; swap [[corpusCrossLingualPairs]] in for the
+    * routed production shape).
+    */
+  def bitextMineWithCommitted(documents: DataFrame, embeddings: DataFrame,
+                              path: String, pivot: String = "en",
+                              k: Int = MarginK,
+                              width: Double = 0.05): DataFrame =
+    marginMine(bruteCrossLingualPairs(documents, embeddings, pivot), k,
+      loadMarginThresholdBin(documents.sparkSession, path) * width)
 
   /** C81b: bitext mining over the IVF-PQ candidate stream — the SCALE
     * path, exactly the C77→C77b promotion: the brute Y×X scorer is
@@ -434,7 +526,7 @@ object Embeddings {
     * three consumers (two direction sums + the best-pair join-back)
     * read the pair frame.
     */
-  private def marginMine(pairFrame: DataFrame, k: Int,
+  private[graft] def marginMine(pairFrame: DataFrame, k: Int,
                          threshold: Double): DataFrame = {
     val m = marginFrame(pairFrame, k)
     m.groupBy("y_id")
@@ -501,8 +593,11 @@ object Embeddings {
     * it, the spliced margin-frame CTEs, and the fixed-width binning
     * with planted-pair membership as truth.
     */
-  def marginCalibrationSql(k: Int = MarginK, width: Double = 0.05): String =
-    s"""WITH q0 AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
+  /** The planted-corpus pair CTEs (q0 → pairs) — C84/C85's single SQL
+    * definition of the ground-truth corpus, the [[plantedBitextPairs]]
+    * twin. */
+  private def plantedPairsSqlCtes: String =
+    s"""q0 AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
        |pl AS (
        |  SELECT a.vec_id,
        |    CASE WHEN a.vec_id % 2 = 0 THEN 'en' ELSE 'xx' END AS lang,
@@ -517,7 +612,10 @@ object Embeddings {
        |pairs AS (
        |  SELECT y.vec_id AS y_id, y.lang, x.vec_id AS x_id,
        |    ${dotSqlFmt.format("y.qv", "x.qv")} / (sqrt(y.nrm) * sqrt(x.nrm)) AS cos
-       |  FROM y, x),
+       |  FROM y, x)""".stripMargin
+
+  def marginCalibrationSql(k: Int = MarginK, width: Double = 0.05): String =
+    s"""WITH $plantedPairsSqlCtes,
        |${marginFrameSqlCtes(k)},
        |jm AS (
        |  SELECT CAST(floor(margin / $width) AS BIGINT) AS bin,
@@ -529,6 +627,28 @@ object Embeddings {
        |  round(CAST(sum(is_match) AS DOUBLE) / count(*), 4) AS planted_rate,
        |  round(CAST(sum(margin_fp) AS DOUBLE) / 1000000.0 / count(*), 4) AS avg_margin
        |FROM jm GROUP BY 1""".stripMargin
+
+  /** C85 oracle: the same planted + margin-frame splice, the measured
+    * cut re-derived in SQL (min qualifying bin × width — the identical
+    * BIGINT × DOUBLE product, so the filter compares the same double),
+    * then the mining tail's best-pair rule at that cut.
+    */
+  def bitextMineCalibratedSql(k: Int = MarginK, width: Double = 0.05,
+                              purity: Double = 0.99): String =
+    s"""WITH $plantedPairsSqlCtes,
+       |${marginFrameSqlCtes(k)},
+       |th AS (SELECT MIN(bin) * $width AS thr FROM (
+       |    SELECT CAST(floor(margin / $width) AS BIGINT) AS bin,
+       |      sum(CASE WHEN y_id % 4 = 1 AND x_id = y_id - 1 THEN 1 ELSE 0 END) AS np,
+       |      count(*) AS n
+       |    FROM mm GROUP BY 1)
+       |  WHERE CAST(np AS DOUBLE) / n >= $purity),
+       |best AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS rn
+       |    FROM mm) WHERE rn = 1)
+       |SELECT y_id AS doc_id, lang, x_id AS en_id,
+       |  round(cos, 6) AS cos, round(margin, 6) AS margin
+       |FROM best, th WHERE margin >= thr""".stripMargin
 
   def bitextMineAnnSql(pivot: String = "en", k: Int = MarginK,
                        threshold: Double = MarginThreshold): String =
@@ -1884,7 +2004,9 @@ object Embeddings {
     "q_bitext_mine_corpus" -> ((s, d) =>
       bitextMineCorpus(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q_margin_calibration" -> ((s, d) =>
-      marginCalibration(Tables.embeddings(s, d))))
+      marginCalibration(Tables.embeddings(s, d))),
+    "q_bitext_mine_calibrated" -> ((s, d) =>
+      bitextMineCalibrated(Tables.embeddings(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_embed_outliers" -> embedOutliersSql(),
@@ -1905,5 +2027,6 @@ object Embeddings {
     "q_bitext_mine" -> bitextMineSql(),
     "q_bitext_mine_ann" -> bitextMineAnnSql(),
     "q_bitext_mine_corpus" -> bitextMineCorpusSql(),
-    "q_margin_calibration" -> marginCalibrationSql())
+    "q_margin_calibration" -> marginCalibrationSql(),
+    "q_bitext_mine_calibrated" -> bitextMineCalibratedSql())
 }

@@ -1369,6 +1369,37 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("calibrated mining threshold: measured cut mines exactly the planted pairs, tightens the 1.1 constant, commits and serves (r11)") {
+    graft.GraftCache.releaseAll(spark)
+    val emb = Tables.embeddings(spark, sf)
+    def minedSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("en_id"))).toSet
+    val bin = Embeddings.measuredMarginBin(emb)
+    val calibrated = minedSet(Embeddings.bitextMineCalibrated(emb))
+    val atConstant = minedSet(Embeddings.marginMine(
+      Embeddings.plantedBitextPairs(emb), Embeddings.MarginK,
+      Embeddings.MarginThreshold))
+    val plantedTruth = emb.select("vec_id").collect().map(_.getLong(0))
+      .filter(id => id % 4 == 1 && id > 0).map(id => (id, id - 1)).toSet
+    // the measured cut recovers EXACTLY the planted truth: full recall
+    // (the purity rule sits below the planted mass) and full precision
+    // (noise best-pairs between 1.1 and the cut are rejected)
+    assert(calibrated == plantedTruth,
+      s"calibrated mining must equal the planted truth; diff +${
+        (calibrated -- plantedTruth).size} -${(plantedTruth -- calibrated).size}")
+    // ...which strictly tightens the 1.1 constant on this corpus
+    assert(calibrated.subsetOf(atConstant),
+      "raising the cut must only remove pairs")
+    assert(atConstant.size > calibrated.size,
+      "expected the constant to admit noise best-pairs the measured cut rejects")
+    // committed operating point: integer bin round-trips exactly and the
+    // served mining is row-identical to the in-session calibrated run
+    val dir = java.nio.file.Files.createTempDirectory("graft-margin-thr").toString
+    assert(Embeddings.commitMarginThreshold(emb, dir) == bin)
+    assert(Embeddings.loadMarginThresholdBin(spark, dir) == bin)
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("committed BPE vocab: train-from-artifact == fresh train(union) bit-identically; replay and fold no-ops (r11)") {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
