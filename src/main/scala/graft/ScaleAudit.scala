@@ -180,7 +180,7 @@ object ScaleAudit {
     // query of their own; anything else unknown is a typo and must fail
     // LOUDLY — a silently-dropped name would print "0 violations" for a
     // benchmark that never ran
-    val pseudoNames = Set("admission_loop", "media_admission_loop", "hotkey_dewindow")
+    val pseudoNames = Set("admission_loop", "media_admission_loop", "hotkey_dewindow", "bpe_vocab_loop")
     val unknown = names.filterNot(n =>
       SparkEntry.queries.contains(n) || pseudoNames.contains(n))
     if (unknown.nonEmpty) {
@@ -989,6 +989,49 @@ object ScaleAudit {
       }
       loadFlag(tHotU > math.max(4.0 * tBaseU, tBaseU + 20.0),
         f"upsertLatest hot user not absorbed by partials: $tBaseU%.2fs -> $tHotU%.2fs")
+    }
+
+    // Committed BPE vocab across many crawls (round-11): training from
+    // the artifact must stay bounded by the MERGED vocab, not by how
+    // many crawl deltas produced it. Commit the same corpus once as ONE
+    // delta and once as 16 per-crawl slices; the merges must be
+    // bit-identical all three ways (single / unfolded 16 / folded 16)
+    // and the folded-16 train must cost ~the single-delta train (the
+    // unfolded read legitimately pays |keys|×|deltas| partial rows —
+    // that's what the fold cadence exists to bound).
+    if (names.contains("bpe_vocab_loop") || names == defaultQueries) {
+      import graft.operators.TextOps
+      GraftCache.releaseAll(spark)
+      val docs = sources.Tables.documents(spark, out).select("doc_id", "text")
+      val work = java.nio.file.Files.createTempDirectory("graft-scale-bpevocab").toString
+      val one = s"$work/one"
+      val many = s"$work/many"
+      TextOps.commitBpeVocab(docs, one, "all")
+      val nCrawls = 16
+      for (i <- 0 until nCrawls)
+        TextOps.commitBpeVocab(
+          docs.filter(pmod(col("doc_id"), lit(nCrawls.toLong)) === i.toLong),
+          many, s"crawl-$i")
+      def train(path: String): (Double, Seq[(Int, String, String)]) = {
+        GraftCache.releaseAll(spark)
+        val t0 = System.nanoTime()
+        val m = TextOps.bpeTrainCommitted(spark, path, 16).collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+        ((System.nanoTime() - t0) / 1e9, m)
+      }
+      val (tOne, mOne) = train(one)
+      val (tUnfolded, mUnfolded) = train(many)
+      TextOps.maintainBpeVocab(spark, many)
+      val (tFolded, mFolded) = train(many)
+      println(f"[scale] bpe vocab loop: 1-delta $tOne%.2fs  16-delta " +
+        f"unfolded $tUnfolded%.2fs  folded $tFolded%.2fs  (${mOne.size}%d merges)")
+      if (mOne != mUnfolded || mOne != mFolded) {
+        bad += 1
+        println("[scale] FAIL bpe vocab loop: merges drifted across " +
+          "single/unfolded/folded artifact layouts")
+      }
+      loadFlag(tFolded > math.max(3.0 * tOne, tOne + 10.0),
+        f"bpeTrainCommitted not flat in crawl count after fold: $tOne%.2fs -> $tFolded%.2fs")
     }
 
     println(s"[scale] == $bad violations ==")
