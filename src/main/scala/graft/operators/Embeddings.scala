@@ -404,6 +404,21 @@ object Embeddings {
     marginMine(bruteCrossLingualPairs(documents, embeddings, pivot), k,
       loadMarginThresholdBin(documents.sparkSession, path) * width)
 
+  /** The committed cut on the ROUTED candidate core — the complete
+    * production composition C84 → C85 → C81c: calibrate on the planted
+    * corpus, commit the operating point, mine the WHOLE corpus through
+    * the IVF chain at that cut. Margins are computed over the routed
+    * candidate frame (the CCMatrix shape), so raising the cut can only
+    * REMOVE pairs relative to [[bitextMineCorpus]] at the constant
+    * (spec-pinned).
+    */
+  def bitextMineCorpusCommitted(documents: DataFrame, embeddings: DataFrame,
+                                path: String, pivot: String = "en",
+                                k: Int = MarginK,
+                                width: Double = 0.05): DataFrame =
+    marginMine(corpusCrossLingualPairs(documents, embeddings, pivot), k,
+      loadMarginThresholdBin(documents.sparkSession, path) * width)
+
   /** C81b: bitext mining over the IVF-PQ candidate stream — the SCALE
     * path, exactly the C77→C77b promotion: the brute Y×X scorer is
     * replaced by [[ivfPqRefinedPairs]]' routed + ADC-shortlisted +

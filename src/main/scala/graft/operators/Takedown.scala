@@ -38,6 +38,32 @@ final case class TakedownReceipt(
     newVersion: Long,
     pruned: Boolean)
 
+/** The compliance LOG for takedown receipts — receipts are return
+  * values, but a compliance program needs them FILED: an append-only
+  * parquet ledger a retention job can query ("show every takedown of
+  * artifact X and what it physically rewrote"). Append-only on purpose
+  * (evidence is never rewritten); `asOfUs` comes from the caller so
+  * replays of the same compliance job file identical rows (and tests
+  * stay deterministic). One coalesced file per takedown — a takedown is
+  * a handful of receipt rows, not a dataset.
+  */
+object TakedownLog {
+
+  def append(spark: SparkSession, logPath: String,
+             receipts: Seq[TakedownReceipt], asOfUs: Long): Unit = {
+    require(receipts.nonEmpty, "TakedownLog.append: no receipts to file")
+    import spark.implicits._
+    receipts.toDF()
+      .withColumn(
+        "as_of_us", org.apache.spark.sql.functions.lit(asOfUs))
+      .coalesce(1)
+      .write.mode("append").parquet(logPath)
+  }
+
+  def read(spark: SparkSession, logPath: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(logPath)
+}
+
 private[operators] object Takedown {
 
   /** Bracket one sub-table rewrite `op` with manifest reads and a

@@ -1397,6 +1397,20 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = java.nio.file.Files.createTempDirectory("graft-margin-thr").toString
     assert(Embeddings.commitMarginThreshold(emb, dir) == bin)
     assert(Embeddings.loadMarginThresholdBin(spark, dir) == bin)
+    // the full production composition C84 -> C85 -> C81c: the committed
+    // cut applied to the ROUTED corpus miner only removes pairs vs the
+    // constant, and every survivor clears the cut
+    val docs = Tables.documents(spark, sf)
+    graft.GraftCache.releaseAll(spark)
+    val atConstantRouted = Embeddings.bitextMineCorpus(docs, emb).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("en_id"))).toSet
+    graft.GraftCache.releaseAll(spark)
+    val routed = Embeddings.bitextMineCorpusCommitted(docs, emb, dir).collect()
+    val routedSet = routed.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("en_id"))).toSet
+    assert(routedSet.subsetOf(atConstantRouted),
+      "raising the routed cut must only remove pairs")
+    routed.foreach(r => assert(r.getAs[Double]("margin") >= bin * 0.05))
     graft.GraftCache.releaseAll(spark)
   }
 

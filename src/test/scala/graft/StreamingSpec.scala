@@ -1652,6 +1652,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("id re-use"), err.getMessage)
   }
 
+  test("media admission maintain cadence: files bounded, serves identical through compaction (r11)") {
+    import graft.operators.MediaIndex
+    // 12 batches x 2 novel images each; every content id takes its own
+    // mod-50 image group (1..24), so nothing cross-matches and every
+    // batch genuinely extends the index — the growth premise the
+    // maintenance exists to bound. A maintains every 3 batches, B never.
+    val dirA = java.nio.file.Files.createTempDirectory("graft-media-compact").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-media-control").toString
+    import spark.implicits._
+    for (d <- Seq(dirA, dirB))
+      MediaIndex.buildImages(
+        graft.operators.ImageDedup.imageCorpus(Seq(900030L).toDF("doc_id")),
+        s"$d/index")
+    val cadence = 3
+    val rounds = 4
+    def batchDf(b: Int) = imageArrivals(
+      (0 until 2).map(i => (b * 100L + i, (b * 2 + i + 1).toLong)))
+      .toDF("media_id", "payload")
+    def serveSet(root: String, probe: org.apache.spark.sql.DataFrame) =
+      MediaIndex.serveImages(probe, s"$root/index").collect()
+        .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("doc_id"))).toSet
+    for (b <- 0 until rounds * cadence) {
+      EventStream.mediaAdmitBatch(batchDf(b), b, s"$dirA/index", s"$dirA/out",
+        "img", compactEvery = cadence)
+      EventStream.mediaAdmitBatch(batchDf(b), b, s"$dirB/index", s"$dirB/out", "img")
+      if (b == 2 * cadence - 1) {
+        // right after the second maintenance: copies of admitted content
+        // + a genuinely novel group probe identically to the control
+        val probe = imageArrivals(Seq((5001L, 2L), (5002L, 5L), (5003L, 40L)))
+          .toDF("media_id", "payload")
+        assert(serveSet(dirA, probe) == serveSet(dirB, probe),
+          "mid-stream maintenance must not change media serves")
+      }
+    }
+    def outSet(d: String) = spark.read.parquet(s"$d/out").collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("batch_id"))).toSet
+    assert(outSet(dirA) == outSet(dirB) &&
+      outSet(dirA).size == 2 * rounds * cadence,
+      s"all ${2 * rounds * cadence} images admitted in both loops")
+    def manifests(root: String): Int =
+      new java.io.File(s"$root/index/img/_commits").listFiles
+        .count(_.getName.endsWith(".json"))
+    def bucketFiles(root: String): Seq[Int] =
+      graft.sources.Sinks.VersionedTable
+        .latestManifest(spark, s"$root/index/img").get._2.values.map { rel =>
+          new java.io.File(s"$root/index/img/$rel").listFiles
+            .count(_.getName.endsWith(".parquet"))
+        }.toSeq
+    assert(bucketFiles(dirA).max == 1,
+      s"post-compaction buckets must be single-file: ${bucketFiles(dirA)}")
+    assert(manifests(dirA) <= 8 && manifests(dirB) > 8,
+      s"vacuum caps retained versions (A=${manifests(dirA)}, control B=${manifests(dirB)})")
+    // end state: serves still identical, incl. a never-admitted group
+    val fin = imageArrivals(
+      Seq((7001L, 1L), (7002L, 12L), (7003L, 24L), (7004L, 41L)))
+      .toDF("media_id", "payload")
+    assert(serveSet(dirA, fin) == serveSet(dirB, fin))
+  }
+
   test("media admission loop covers the VIDEO and AUDIO kernels end to end (r11)") {
     import spark.implicits._
     import graft.operators.{AudioDedup, MediaIndex, VideoDedup}

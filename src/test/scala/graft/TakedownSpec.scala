@@ -138,4 +138,30 @@ class TakedownSpec extends AnyFunSuite with BeforeAndAfterAll {
     val replay = EvalRegistry.unregister(spark, path, "suiteB")
     assert(replay.idsFound == 0L, s"replay must find nothing: $replay")
   }
+
+  test("takedown log files receipts append-only; two jobs accumulate, fields survive the round-trip (r11)") {
+    import spark.implicits._
+    import graft.operators.TakedownLog
+    val path = tmp("log")
+    MediaIndex.buildImages(
+      ImageDedup.imageCorpus(Seq(1L, 2L, 3L).toDF("doc_id")), path)
+    val log = s"$path/takedown_log"
+    val r1 = MediaIndex.retract(spark, path, Seq(1L))
+    TakedownLog.append(spark, log, r1, asOfUs = 1000L)
+    val r2 = MediaIndex.retract(spark, path, Seq(2L, 99L))
+    TakedownLog.append(spark, log, r2, asOfUs = 2000L)
+    val filed = TakedownLog.read(spark, log).collect()
+      .map(r => (r.getAs[Long]("as_of_us"), r.getAs[String]("subTable"),
+        r.getAs[Long]("idsRequested"), r.getAs[Long]("idsFound"),
+        r.getAs[Int]("bucketsRewritten"), r.getAs[Long]("oldVersion"),
+        r.getAs[Long]("newVersion"), r.getAs[Boolean]("pruned"))).toSet
+    val expect = (r1.map(r => (1000L, r.subTable, r.idsRequested, r.idsFound,
+      r.bucketsRewritten, r.oldVersion, r.newVersion, r.pruned)) ++
+      r2.map(r => (2000L, r.subTable, r.idsRequested, r.idsFound,
+        r.bucketsRewritten, r.oldVersion, r.newVersion, r.pruned))).toSet
+    assert(filed == expect,
+      s"the filed ledger must equal the returned receipts: $filed vs $expect")
+    // the second filing did not rewrite the first (append-only evidence)
+    assert(filed.count(_._1 == 1000L) == r1.size)
+  }
 }
