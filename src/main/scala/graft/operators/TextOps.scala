@@ -877,7 +877,15 @@ object TextOps {
     * round(Σbpe / Σws, 4) — exact int sums, one IEEE division.
     */
   def tokenizerFertility(documents: DataFrame, k: Int = BpeRounds): DataFrame =
-    bpeEncodeWith(documents, collectMerges(documents, k), Seq("lang"))
+    fertilityWith(documents, collectMerges(documents, k))
+
+  /** The fertility rollup against an EXPLICIT merge list — the shape
+    * the tokenizer bundle commits (stats measured with the COMMITTED
+    * merges, never a fresh train's).
+    */
+  private[graft] def fertilityWith(documents: DataFrame,
+                                   merges: Seq[(String, String)]): DataFrame =
+    bpeEncodeWith(documents, merges, Seq("lang"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -995,6 +1003,52 @@ object TextOps {
                         minCount: Long = BpeMinCount): DataFrame =
     bpeTrainFromCounts(spark,
       GraftCache.persistTracked(loadBpeVocab(spark, path)), k, minCount)
+
+  // -------------------------------------------- tokenizer bundle (C43e)
+
+  /** C43e: the tokenizer as ONE deployable versioned unit under
+    * `path/` — what actually ships to a training run:
+    *  - `vocab` — the C43d count rollup (cross-crawl resumable),
+    *  - `merges` — the ordered merge list ([[commitBpe]]'s row),
+    *  - `fertility` — per-lang fertility measured WITH the committed
+    *    merges over the committing crawl (the model card's numbers;
+    *    `build_v` records which tokenizer version measured each lang,
+    *    so staleness is visible, never silent).
+    * Bootstrap = [[commitTokenizer]]; each further crawl =
+    * [[extendTokenizer]] — its counts merge into the vocab artifact
+    * and the retrain reads MERGED counts, so by the C43d pin the new
+    * merges are bit-identical to a fresh train on the union corpus
+    * without rescanning history.
+    */
+  def commitTokenizer(documents: DataFrame, path: String, deltaId: String,
+                      k: Int = BpeRounds, minCount: Long = BpeMinCount,
+                      buildV: Long = 0L): Unit = {
+    val spark = documents.sparkSession
+    commitBpeVocab(documents, path, deltaId)
+    val merges = bpeTrainCommitted(spark, path, k, minCount)
+    commitBpe(merges, path, buildV)
+    val mergeSeq = merges.orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+    graft.sources.Sinks.VersionedTable.mergeUpsert(spark, s"$path/fertility",
+      fertilityWith(documents, mergeSeq).withColumn("build_v", lit(buildV)),
+      Seq("lang"), "build_v", numBuckets = 4)
+  }
+
+  /** Ingest one more crawl into the bundle and retrain from the merged
+    * vocab — train(union) semantics at delta cost. Same signature
+    * discipline as the other extends: a replayed deltaId is a vocab
+    * no-op (rollup ledger) and the retrain is deterministic.
+    */
+  def extendTokenizer(newDocs: DataFrame, path: String, deltaId: String,
+                      k: Int = BpeRounds, minCount: Long = BpeMinCount,
+                      buildV: Long = 1L): Unit =
+    commitTokenizer(newDocs, path, deltaId, k, minCount, buildV)
+
+  /** The committed per-lang fertility stats at the latest version
+    * (lang, n_docs, ws_tokens, bpe_tokens, fertility, build_v). */
+  def loadTokenizerFertility(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Sinks.VersionedTable.read(spark, s"$path/fertility")
+      .select("lang", "n_docs", "ws_tokens", "bpe_tokens", "fertility", "build_v")
 
   /** Oracle: re-derive the merge table with [[bpeTrainSql]]'s CTE chain,
     * then thread a doc-level segmentation column through the same k

@@ -1460,4 +1460,44 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the cross-crawl token must train identically to train(union)")
     graft.GraftCache.releaseAll(spark)
   }
+
+  test("tokenizer bundle: merges+vocab+fertility commit as one unit; extend retrains as train(union); fertility rides the committed merges (r11)") {
+    import spark.implicits._
+    graft.GraftCache.releaseAll(spark)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tokenizer").toString
+    val k = 24
+    TextOps.commitTokenizer(a, dir, "crawl-a", k)
+    // merges from the bundle == a fresh train on crawl A
+    val served = TextOps.loadBpeMerges(spark, dir)
+    val freshA = TextOps.bpeTrain(a.select("doc_id", "text"), k).collect()
+      .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+    assert(served == freshA, "bootstrap merges must equal a fresh train")
+    // fertility was measured WITH the committed merges, per lang
+    val filedFert = TextOps.loadTokenizerFertility(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val liveFert = TextOps.fertilityWith(a, served).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(filedFert == liveFert, "committed fertility must ride the committed merges")
+    // extend with crawl B: the retrain equals a fresh train on A ∪ B
+    graft.GraftCache.releaseAll(spark)
+    TextOps.extendTokenizer(b, dir, "crawl-b", k)
+    val extended = TextOps.loadBpeMerges(spark, dir)
+    val freshUnion = TextOps.bpeTrain(docs.select("doc_id", "text"), k).collect()
+      .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+    assert(extended == freshUnion,
+      "extend∘train must equal train(union) through the bundle")
+    // the encode path serves compatible ids: bundle merges encode B
+    // exactly as an in-session union-trained encoder would
+    val viaBundle = TextOps.bpeEncodeWith(b.select("doc_id", "text"), extended)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val viaFresh = TextOps.bpeEncodeWith(b.select("doc_id", "text"), freshUnion)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(viaBundle == viaFresh)
+    graft.GraftCache.releaseAll(spark)
+  }
 }
