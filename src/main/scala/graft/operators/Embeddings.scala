@@ -270,7 +270,42 @@ object Embeddings {
     */
   def marginCalibration(embeddings: DataFrame, k: Int = MarginK,
                         width: Double = 0.05): DataFrame =
-    marginFrame(plantedBitextPairs(embeddings), k)
+    calibrationBins(plantedBitextPairs(embeddings), k, width)
+
+  /** C84b: the SAME planted reliability diagram through the ROUTED
+    * candidate core — the measurement of what the ANN trade costs at
+    * each margin bin: the brute diagram (C84) sees every cross-lingual
+    * pair; this one sees only pairs surviving coarse routing + the ADC
+    * shortlist, so per-bin mass can only SHRINK. The planted pairs
+    * themselves survive routing by construction of the plant (a
+    * translation's vector is ≈ its partner's, so its nearest coarse
+    * lists include the partner's own list) — LlmOpsSpec pins FULL
+    * planted recall through the chain and noise-mass shrinkage, the
+    * per-bin evidence behind C81c's "honest ANN trade" claim.
+    */
+  def marginCalibrationAnn(embeddings: DataFrame, k: Int = MarginK,
+                           width: Double = 0.05): DataFrame =
+    calibrationBins(plantedRoutedPairs(embeddings), k, width)
+
+  /** The planted corpus routed through the shared IVF chain — C84b's
+    * pair source: odd ids probe, even ids form the inverted lists.
+    */
+  private[graft] def plantedRoutedPairs(embeddings: DataFrame): DataFrame =
+    ivfPqCandidateChainQ(
+      plantedQuantized(embeddings).select("vec_id", "qv", "nrm"),
+      probeVecs = _.filter(col("vec_id") % 2 === 1),
+      candRestrict = _.filter(col("vec_id") % 2 === 0),
+      boundedProbes = false)
+      .select(col("q_id").as("y_id"), lit("xx").as("lang"),
+        col("n_id").as("x_id"), col("cos"))
+
+  /** The shared fixed-width reliability binning over any planted pair
+    * frame — brute (C84) and routed (C84b) diagrams differ ONLY in how
+    * the pairs were generated (the marginMine composition rule again).
+    */
+  private def calibrationBins(pairs: DataFrame, k: Int,
+                              width: Double): DataFrame =
+    marginFrame(pairs, k)
       .select(
         floor(col("margin") / lit(width)).cast("long").as("bin"),
         plantedIsMatch.as("is_match"),
@@ -291,18 +326,14 @@ object Embeddings {
     when(col("y_id") % 4 === 1 && col("x_id") === col("y_id") - 1, 1L)
       .otherwise(0L)
 
-  /** The planted bitext corpus' cross-lingual pair frame — C84's ground
-    * truth generator, shared with C85's threshold measurement and
-    * calibrated miner (ONE definition, the SQL twin is
-    * [[plantedPairsSqlCtes]]). Even vec_ids form the pivot side, odd
-    * the mined side; odd ≡ 1 (mod 4) ids become "translations" — their
-    * vector a ±1-perturbed copy of the `id−1` partner's.
+  /** The planted corpus itself — (vec_id, lang, qv, nrm), persisted;
+    * [[plantedBitextPairs]] (brute) and C84b's routed chain both read
+    * it, so the two diagrams measure the SAME planted vectors.
     */
-  private[graft] def plantedBitextPairs(embeddings: DataFrame): DataFrame = {
+  private[graft] def plantedQuantized(embeddings: DataFrame): DataFrame = {
     val q = quantized(embeddings).select("vec_id", "qv")
     val partner = q.select(col("vec_id").as("p_id"), col("qv").as("p_qv"))
-    val planted = q
-      .join(partner, col("p_id") === col("vec_id") - 1, "left")
+    q.join(partner, col("p_id") === col("vec_id") - 1, "left")
       .select(col("vec_id"),
         when(col("vec_id") % 2 === 0, lit("en")).otherwise(lit("xx")).as("lang"),
         when(col("vec_id") % 4 === 1 && col("p_qv").isNotNull,
@@ -316,6 +347,17 @@ object Embeddings {
           .otherwise(col("qv")).as("qv"))
       .withColumn("nrm", dot(col("qv"), col("qv")))
       .transform(GraftCache.persistTracked)
+  }
+
+  /** The planted bitext corpus' cross-lingual pair frame — C84's ground
+    * truth generator, shared with C85's threshold measurement and
+    * calibrated miner (ONE definition, the SQL twin is
+    * [[plantedPairsSqlCtes]]). Even vec_ids form the pivot side, odd
+    * the mined side; odd ≡ 1 (mod 4) ids become "translations" — their
+    * vector a ±1-perturbed copy of the `id−1` partner's.
+    */
+  private[graft] def plantedBitextPairs(embeddings: DataFrame): DataFrame = {
+    val planted = plantedQuantized(embeddings)
     val x = planted.filter(col("lang") === "en")
       .select(col("vec_id").as("x_id"), col("qv").as("x_qv"), col("nrm").as("x_nrm"))
     planted.filter(col("lang") =!= "en")
@@ -611,7 +653,10 @@ object Embeddings {
   /** The planted-corpus pair CTEs (q0 → pairs) — C84/C85's single SQL
     * definition of the ground-truth corpus, the [[plantedBitextPairs]]
     * twin. */
-  private def plantedPairsSqlCtes: String =
+  /** Just the planted-CORPUS derivation (q0 → pl) — spliced standalone
+    * by C84b's routed oracle, where the IVF chain supplies its own
+    * n/x/y over `pl`. */
+  private def plantedCorpusSqlCtes: String =
     s"""q0 AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
        |pl AS (
        |  SELECT a.vec_id,
@@ -620,7 +665,10 @@ object Embeddings {
        |      list_transform(list_zip(b.qv, range(1, len(b.qv) + 1)),
        |        p -> p[1] + (a.vec_id + p[2]) % 3 - 1)
        |    ELSE a.qv END AS qv
-       |  FROM q0 a LEFT JOIN q0 b ON b.vec_id = a.vec_id - 1),
+       |  FROM q0 a LEFT JOIN q0 b ON b.vec_id = a.vec_id - 1)""".stripMargin
+
+  private def plantedPairsSqlCtes: String =
+    s"""$plantedCorpusSqlCtes,
        |n AS (SELECT vec_id, lang, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM pl),
        |x AS (SELECT * FROM n WHERE lang = 'en'),
        |y AS (SELECT * FROM n WHERE lang <> 'en'),
@@ -629,10 +677,10 @@ object Embeddings {
        |    ${dotSqlFmt.format("y.qv", "x.qv")} / (sqrt(y.nrm) * sqrt(x.nrm)) AS cos
        |  FROM y, x)""".stripMargin
 
-  def marginCalibrationSql(k: Int = MarginK, width: Double = 0.05): String =
-    s"""WITH $plantedPairsSqlCtes,
-       |${marginFrameSqlCtes(k)},
-       |jm AS (
+  /** The shared binning tail over `mm` — C84 and C84b splice it over
+    * their own pair sources. */
+  private def calibrationBinsSqlTail(width: Double): String =
+    s"""jm AS (
        |  SELECT CAST(floor(margin / $width) AS BIGINT) AS bin,
        |    CASE WHEN y_id % 4 = 1 AND x_id = y_id - 1 THEN 1 ELSE 0 END AS is_match,
        |    CAST(round(margin * 1000000, 0) AS BIGINT) AS margin_fp
@@ -642,6 +690,26 @@ object Embeddings {
        |  round(CAST(sum(is_match) AS DOUBLE) / count(*), 4) AS planted_rate,
        |  round(CAST(sum(margin_fp) AS DOUBLE) / 1000000.0 / count(*), 4) AS avg_margin
        |FROM jm GROUP BY 1""".stripMargin
+
+  def marginCalibrationSql(k: Int = MarginK, width: Double = 0.05): String =
+    s"""WITH $plantedPairsSqlCtes,
+       |${marginFrameSqlCtes(k)},
+       |${calibrationBinsSqlTail(width)}""".stripMargin
+
+  /** C84b oracle: the planted-corpus CTEs feed the SAME spliced IVF
+    * chain (its vector source re-pointed at `pl` via the third knob),
+    * parity selects the sides (odd probes, even lists), and the shared
+    * margin-frame + binning tails close it.
+    */
+  def marginCalibrationAnnSql(k: Int = MarginK, width: Double = 0.05): String =
+    s"""${ivfPqRescoredCtesWith(
+          "n.vec_id % 2 = 1", " AND a.vec_id % 2 = 0",
+          preCtes = plantedCorpusSqlCtes,
+          qSelect = "SELECT vec_id, qv FROM pl")},
+       |pairs AS (
+       |  SELECT q_id AS y_id, 'xx' AS lang, n_id AS x_id, cos FROM rescored),
+       |${marginFrameSqlCtes(k)},
+       |${calibrationBinsSqlTail(width)}""".stripMargin
 
   /** C85 oracle: the same planted + margin-frame splice, the measured
     * cut re-derived in SQL (min qualifying bin × width — the identical
@@ -1388,11 +1456,24 @@ object Embeddings {
   private def ivfPqCandidateChain(embeddings: DataFrame,
                                   probeVecs: DataFrame => DataFrame,
                                   candRestrict: DataFrame => DataFrame,
-                                  boundedProbes: Boolean): DataFrame = {
+                                  boundedProbes: Boolean): DataFrame =
+    ivfPqCandidateChainQ(quantized(embeddings), probeVecs, candRestrict,
+      boundedProbes)
+
+  /** The chain over an EXPLICIT prepared (vec_id, qv, nrm) frame — the
+    * Scala twin of the SQL `qSelect` knob: C84b routes the PLANTED
+    * corpus through it; everything else passes the raw quantized
+    * embeddings. `q0` must be persisted by the caller (both the
+    * trainings and the rescore re-read it).
+    */
+  private def ivfPqCandidateChainQ(q0: DataFrame,
+                                   probeVecs: DataFrame => DataFrame,
+                                   candRestrict: DataFrame => DataFrame,
+                                   boundedProbes: Boolean): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val q = quantized(embeddings)
+    val q = q0
     // Five independent trainings (coarse + 4 subspace codebooks) share
     // the one materialized quantized cache — run the coarse one
     // concurrently with pqCodebooks' own future pool instead of
@@ -1467,12 +1548,21 @@ object Embeddings {
     * else — routing rank, ADC, shortlist, rescore — is byte-identical
     * across all splices.
     */
-  private def ivfPqRescoredCtesWith(probeWhere: String, candAnd: String): String = {
+  private def ivfPqRescoredCtesWith(probeWhere: String, candAnd: String,
+                                    preCtes: String = "",
+                                    qSelect: String = ""): String = {
     val codeJoins = (0 until PqM).map { m =>
       s"  JOIN asg$m a$m ON c.n_id = a$m.vec_id\n" +
         s"  JOIN centf$m c$m ON a$m.code = c$m.c_id"
     }.mkString("\n")
-    s"""WITH q AS (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings),
+    // third knob, round-11: `preCtes` + `qSelect` re-point the chain's
+    // vector source (C84b runs it over the PLANTED corpus) — default is
+    // the raw embeddings table, byte-identical to every prior splice
+    val qDef =
+      if (qSelect.isEmpty) s"SELECT vec_id, $qvSqlExpr AS qv FROM embeddings"
+      else qSelect
+    val pre = if (preCtes.isEmpty) "" else preCtes + ",\n"
+    s"""WITH ${pre}q AS ($qDef),
        |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
        |${kmeansSqlCtes(KmeansIters)},
        |cent AS (SELECT c_id, cqv, ${dotSqlFmt.format("cqv", "cqv")} AS cnrm FROM cent$KmeansIters),
@@ -2020,6 +2110,8 @@ object Embeddings {
       bitextMineCorpus(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q_margin_calibration" -> ((s, d) =>
       marginCalibration(Tables.embeddings(s, d))),
+    "q_margin_calibration_ann" -> ((s, d) =>
+      marginCalibrationAnn(Tables.embeddings(s, d))),
     "q_bitext_mine_calibrated" -> ((s, d) =>
       bitextMineCalibrated(Tables.embeddings(s, d))))
 
@@ -2043,5 +2135,6 @@ object Embeddings {
     "q_bitext_mine_ann" -> bitextMineAnnSql(),
     "q_bitext_mine_corpus" -> bitextMineCorpusSql(),
     "q_margin_calibration" -> marginCalibrationSql(),
+    "q_margin_calibration_ann" -> marginCalibrationAnnSql(),
     "q_bitext_mine_calibrated" -> bitextMineCalibratedSql())
 }

@@ -1414,6 +1414,34 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("routed margin calibration: full planted recall through the IVF chain, noise mass shrinks, separation holds (r11)") {
+    graft.GraftCache.releaseAll(spark)
+    val emb = Tables.embeddings(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_planted"), r.getAs[Double]("planted_rate")))
+    val brute = rows(Embeddings.marginCalibration(emb))
+    graft.GraftCache.releaseAll(spark)
+    val routed = rows(Embeddings.marginCalibrationAnn(emb))
+    // the ANN trade: routing + the ADC shortlist drop noise pairs...
+    assert(routed.map(_._2).sum < brute.map(_._2).sum,
+      "the routed diagram must see strictly less pair mass than brute")
+    // ...but EVERY planted pair survives — a translation's vector is ≈
+    // its partner's, so its nearest coarse lists include the partner's
+    // own list: zero planted recall lost to the chain (the per-bin
+    // evidence behind C81c's honest-trade claim)
+    assert(routed.map(_._3).sum == brute.map(_._3).sum,
+      s"planted recall through the chain must be total " +
+        s"(${routed.map(_._3).sum} vs brute ${brute.map(_._3).sum})")
+    // separation is preserved on the routed frame
+    val rPlanted = routed.filter(_._3 > 0L)
+    val rNoise = routed.filter(_._3 == 0L)
+    assert(rPlanted.forall(_._4 == 1.0) && rNoise.nonEmpty &&
+      rPlanted.map(_._1).min > rNoise.map(_._1).max,
+      "routed planted bins must stay pure and above the noise ceiling")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("committed BPE vocab: train-from-artifact == fresh train(union) bit-identically; replay and fold no-ops (r11)") {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
