@@ -276,7 +276,9 @@ object Embeddings {
     * candidate core — the measurement of what the ANN trade costs at
     * each margin bin: the brute diagram (C84) sees every cross-lingual
     * pair; this one sees only pairs surviving coarse routing + the ADC
-    * shortlist, so per-bin mass can only SHRINK. The planted pairs
+    * shortlist, so TOTAL pair mass can only shrink (per-bin mass can
+    * GROW: margins are recomputed over the smaller routed lists, whose
+    * /2k sums shrink, so surviving pairs migrate to higher bins). The planted pairs
     * themselves survive routing by construction of the plant (a
     * translation's vector is ≈ its partner's, so its nearest coarse
     * lists include the partner's own list) — LlmOpsSpec pins FULL
@@ -378,17 +380,31 @@ object Embeddings {
   def measuredMarginBin(embeddings: DataFrame, k: Int = MarginK,
                         width: Double = 0.05, purity: Double = 0.99): Long = {
     val m = marginFrame(plantedBitextPairs(embeddings), k)
-    val row = m
+    // Monotone-safe rule (r11 review): qualify a cut B by the purity of
+    // the CUMULATIVE mass at-and-above B, not of any single bin — a
+    // per-bin rule would let one stray all-planted low bin (n=1, rate
+    // 1.0) drag the cut under the entire noise mass while still
+    // reporting a purity-0.99 operating point. The bin table is
+    // range/width rows (model-sized); the suffix scan is driver math.
+    val bins = m
       .select(floor(col("margin") / lit(width)).cast("long").as("bin"),
         plantedIsMatch.as("is_match"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum(col("is_match")).as("np"))
-      .filter(col("np").cast("double") / col("n").cast("double") >= purity)
-      .agg(min("bin")).head()
-    require(!row.isNullAt(0),
-      s"measuredMarginBin: no margin bin reaches purity $purity — the margin " +
-        "carries no signal on this corpus (flat curve); refusing to emit a cut")
-    row.getLong(0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    var cn = 0L
+    var cnp = 0L
+    var best: Option[Long] = None
+    for ((bin, n, np) <- bins) {
+      cn += n; cnp += np
+      if (cnp.toDouble / cn.toDouble >= purity) best = Some(bin)
+    }
+    require(best.isDefined,
+      s"measuredMarginBin: no cut reaches cumulative purity $purity — the " +
+        "margin carries no signal on this corpus (flat curve); refusing to " +
+        "emit a cut")
+    best.get
   }
 
   /** C85: mining over the planted corpus at the MEASURED operating
@@ -421,17 +437,32 @@ object Embeddings {
                             purity: Double = 0.99): Long = {
     val bin = measuredMarginBin(embeddings, k, width, purity)
     val spark = embeddings.sparkSession
+    // the row carries the CALIBRATION CONTEXT, not just the bin: a
+    // load-side width/k mismatch would silently shift the operating
+    // point (bin 13 at width 0.1 read back at width 0.05 = half the
+    // cut), so the loaders below consume the committed width and k
+    // instead of taking caller parameters at all (r11 review)
     graft.sources.Sinks.VersionedTable.mergeUpsert(spark,
       s"$path/margin_threshold",
       spark.range(1).select(lit("model").as("id"), lit(bin).as("bin"),
+        lit(width).as("width"), lit(k).cast("long").as("k"),
         lit(buildV).as("build_v")),
       Seq("id"), "build_v", numBuckets = 1)
     bin
   }
 
+  /** The committed operating point: (bin, width, k). The threshold
+    * VALUE is `bin * width` with the COMMITTED width. */
+  def loadMarginThreshold(spark: SparkSession,
+                          path: String): (Long, Double, Int) = {
+    val r = graft.sources.Sinks.VersionedTable
+      .read(spark, s"$path/margin_threshold")
+      .select("bin", "width", "k").head()
+    (r.getLong(0), r.getDouble(1), r.getLong(2).toInt)
+  }
+
   def loadMarginThresholdBin(spark: SparkSession, path: String): Long =
-    graft.sources.Sinks.VersionedTable.read(spark, s"$path/margin_threshold")
-      .select("bin").head().getLong(0)
+    loadMarginThreshold(spark, path)._1
 
   /** Mine any REAL corpus at the committed operating point — the
     * production composition: C84 calibrates on the planted corpus, C85
@@ -440,11 +471,12 @@ object Embeddings {
     * routed production shape).
     */
   def bitextMineWithCommitted(documents: DataFrame, embeddings: DataFrame,
-                              path: String, pivot: String = "en",
-                              k: Int = MarginK,
-                              width: Double = 0.05): DataFrame =
+                              path: String,
+                              pivot: String = "en"): DataFrame = {
+    val (bin, width, k) = loadMarginThreshold(documents.sparkSession, path)
     marginMine(bruteCrossLingualPairs(documents, embeddings, pivot), k,
-      loadMarginThresholdBin(documents.sparkSession, path) * width)
+      bin * width)
+  }
 
   /** The committed cut on the ROUTED candidate core — the complete
     * production composition C84 → C85 → C81c: calibrate on the planted
@@ -455,11 +487,12 @@ object Embeddings {
     * (spec-pinned).
     */
   def bitextMineCorpusCommitted(documents: DataFrame, embeddings: DataFrame,
-                                path: String, pivot: String = "en",
-                                k: Int = MarginK,
-                                width: Double = 0.05): DataFrame =
+                                path: String,
+                                pivot: String = "en"): DataFrame = {
+    val (bin, width, k) = loadMarginThreshold(documents.sparkSession, path)
     marginMine(corpusCrossLingualPairs(documents, embeddings, pivot), k,
-      loadMarginThresholdBin(documents.sparkSession, path) * width)
+      bin * width)
+  }
 
   /** C81b: bitext mining over the IVF-PQ candidate stream — the SCALE
     * path, exactly the C77→C77b promotion: the brute Y×X scorer is
@@ -650,9 +683,6 @@ object Embeddings {
     * it, the spliced margin-frame CTEs, and the fixed-width binning
     * with planted-pair membership as truth.
     */
-  /** The planted-corpus pair CTEs (q0 → pairs) — C84/C85's single SQL
-    * definition of the ground-truth corpus, the [[plantedBitextPairs]]
-    * twin. */
   /** Just the planted-CORPUS derivation (q0 → pl) — spliced standalone
     * by C84b's routed oracle, where the IVF chain supplies its own
     * n/x/y over `pl`. */
@@ -667,6 +697,9 @@ object Embeddings {
        |    ELSE a.qv END AS qv
        |  FROM q0 a LEFT JOIN q0 b ON b.vec_id = a.vec_id - 1)""".stripMargin
 
+  /** The planted-corpus pair CTEs (q0 → pairs) — C84/C85's single SQL
+    * definition of the brute ground-truth pair frame, the
+    * [[plantedBitextPairs]] twin. */
   private def plantedPairsSqlCtes: String =
     s"""$plantedCorpusSqlCtes,
        |n AS (SELECT vec_id, lang, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM pl),
@@ -720,12 +753,20 @@ object Embeddings {
                               purity: Double = 0.99): String =
     s"""WITH $plantedPairsSqlCtes,
        |${marginFrameSqlCtes(k)},
-       |th AS (SELECT MIN(bin) * $width AS thr FROM (
-       |    SELECT CAST(floor(margin / $width) AS BIGINT) AS bin,
-       |      sum(CASE WHEN y_id % 4 = 1 AND x_id = y_id - 1 THEN 1 ELSE 0 END) AS np,
-       |      count(*) AS n
-       |    FROM mm GROUP BY 1)
-       |  WHERE CAST(np AS DOUBLE) / n >= $purity),
+       |binstats AS (
+       |  SELECT CAST(floor(margin / $width) AS BIGINT) AS bin,
+       |    sum(CASE WHEN y_id % 4 = 1 AND x_id = y_id - 1 THEN 1 ELSE 0 END) AS np,
+       |    count(*) AS n
+       |  FROM mm GROUP BY 1),
+       |cum AS (
+       |  SELECT bin,
+       |    sum(np) OVER (ORDER BY bin DESC) AS cnp,
+       |    sum(n) OVER (ORDER BY bin DESC) AS cn
+       |  FROM binstats),
+       |th AS (SELECT COALESCE(MIN(bin),
+       |    error('bitext calibration: flat curve - no cumulative-purity cut'))
+       |    * $width AS thr
+       |  FROM cum WHERE CAST(cnp AS DOUBLE) / cn >= $purity),
        |best AS (SELECT * FROM (
        |    SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS rn
        |    FROM mm) WHERE rn = 1)
@@ -1114,6 +1155,42 @@ object Embeddings {
       .agg(min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("c_id"))
 
   def ivfAssign(q: DataFrame): DataFrame = ivfAssign(q, kmeansCodebook(q))
+
+  /** C86: per-list IVF occupancy — the index-balance diagnostic every
+    * Faiss-style deployment watches (an unbalanced IVF makes NProbe
+    * routing useless: one mega-list turns every probe into a near-full
+    * scan, and C81c's co-routed block join is bounded BY list
+    * occupancy, so this table IS the observable form of that bound).
+    * One row per centroid INCLUDING empty lists (an empty list is
+    * wasted routing resolution — the diagnostic must show it, so the
+    * counts left-join back onto the codebook):
+    * (c_id, n_vecs, share_pm, load_pct) where share_pm = floor
+    * per-mille share of the corpus and load_pct = floor percent of the
+    * perfectly-balanced load (100 = fair share, NumCentroids·100 =
+    * everything in one list).
+    *
+    * Exactness: counts are integers; both ratios are a single
+    * correctly-rounded double division of exact integers < 2⁵³ whose
+    * floor is engine-portable (a quotient that IS an integer divides
+    * exactly, so the floor boundary can't be crossed by rounding).
+    * Scale: assignment is the broadcast-codebook hash agg (no shuffle
+    * beyond the vec_id partial-agg), counts are one NumCentroids-sized
+    * agg, totals a 1-row broadcast — the corpus streams once.
+    */
+  def ivfOccupancy(embeddings: DataFrame): DataFrame = {
+    val q = quantized(embeddings)
+    val counts = ivfAssign(q, kmeansCodebook(q))
+      .groupBy("c_id").agg(count(lit(1)).as("n_vecs"))
+    val all = kmeansCodebook(q).select("c_id")
+      .join(counts, Seq("c_id"), "left")
+      .select(col("c_id"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+    val tot = all.agg(sum("n_vecs").as("total"))
+    all.crossJoin(broadcast(tot))
+      .select(col("c_id"), col("n_vecs"),
+        floor(col("n_vecs") * lit(1000.0) / col("total")).as("share_pm"),
+        floor(col("n_vecs") * lit(NumCentroids * 100.0) / col("total"))
+          .as("load_pct"))
+  }
 
   /** IVF search: each probe scans only its NProbe nearest inverted
     * lists. At 100 TB this is THE ANN layout: lists are partition-
@@ -1537,6 +1614,34 @@ object Embeddings {
     * + exact-refined candidate stream, spliced by the C7e/C77b oracles
     * (via [[ivfPqSqlWith]]) and C81b's margin tail.
     */
+  /** The chain's FRONT section (q → n → k-means → cent → assign) — the
+    * coarse-routing state every IVF consumer shares. The PQ chain
+    * splices probe_lists + the PQ CTEs after it; C86's occupancy
+    * diagnostic reads `assign` directly. ONE definition (the candSqlCte
+    * convention): a drifted copy would let the diagnostic report
+    * balance for lists the search never actually routes to. `preCtes` +
+    * `qSelect` re-point the vector source (C84b runs it over the
+    * PLANTED corpus) — default is the raw embeddings table,
+    * byte-identical to every prior splice.
+    */
+  private def ivfRoutingCtes(preCtes: String = "",
+                             qSelect: String = ""): String = {
+    val qDef =
+      if (qSelect.isEmpty) s"SELECT vec_id, $qvSqlExpr AS qv FROM embeddings"
+      else qSelect
+    val pre = if (preCtes.isEmpty) "" else preCtes + ",\n"
+    s"""WITH ${pre}q AS ($qDef),
+       |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
+       |${kmeansSqlCtes(KmeansIters)},
+       |cent AS (SELECT c_id, cqv, ${dotSqlFmt.format("cqv", "cqv")} AS cnrm FROM cent$KmeansIters),
+       |assign AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT n.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY n.nrm - 2 * ${dotSqlFmt.format("n.qv", "cent.cqv")} + cent.cnrm, cent.c_id) AS rn
+       |    FROM n, cent) WHERE rn = 1)""".stripMargin
+  }
+
   private def ivfPqRescoredCtes: String =
     ivfPqRescoredCtesWith(s"n.vec_id < $NumProbes", "")
 
@@ -1555,23 +1660,7 @@ object Embeddings {
       s"  JOIN asg$m a$m ON c.n_id = a$m.vec_id\n" +
         s"  JOIN centf$m c$m ON a$m.code = c$m.c_id"
     }.mkString("\n")
-    // third knob, round-11: `preCtes` + `qSelect` re-point the chain's
-    // vector source (C84b runs it over the PLANTED corpus) — default is
-    // the raw embeddings table, byte-identical to every prior splice
-    val qDef =
-      if (qSelect.isEmpty) s"SELECT vec_id, $qvSqlExpr AS qv FROM embeddings"
-      else qSelect
-    val pre = if (preCtes.isEmpty) "" else preCtes + ",\n"
-    s"""WITH ${pre}q AS ($qDef),
-       |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
-       |${kmeansSqlCtes(KmeansIters)},
-       |cent AS (SELECT c_id, cqv, ${dotSqlFmt.format("cqv", "cqv")} AS cnrm FROM cent$KmeansIters),
-       |assign AS (
-       |  SELECT vec_id, c_id FROM (
-       |    SELECT n.vec_id, cent.c_id,
-       |      row_number() OVER (PARTITION BY n.vec_id
-       |        ORDER BY n.nrm - 2 * ${dotSqlFmt.format("n.qv", "cent.cqv")} + cent.cnrm, cent.c_id) AS rn
-       |    FROM n, cent) WHERE rn = 1),
+    s"""${ivfRoutingCtes(preCtes, qSelect)},
        |probe_lists AS (
        |  SELECT vec_id AS q_id, c_id FROM (
        |    SELECT n.vec_id, cent.c_id,
@@ -1608,6 +1697,21 @@ object Embeddings {
        |  FROM rescored $rescoredFilter) WHERE rn <= $TopK""".stripMargin
 
   val annIvfPqSql: String = ivfPqSqlWith("")
+
+  /** Oracle: the SAME routing front (q → n → k-means → assign), then
+    * the count/left-join/ratio tail — `floor` on both engines because
+    * double→BIGINT casts round in DuckDB but truncate in Spark.
+    */
+  val ivfOccupancySql: String =
+    s"""${ivfRoutingCtes()},
+       |occ AS (SELECT c_id, count(*) AS n_vecs FROM assign GROUP BY 1),
+       |alln AS (SELECT c.c_id, COALESCE(o.n_vecs, 0) AS n_vecs
+       |  FROM cent c LEFT JOIN occ o ON c.c_id = o.c_id),
+       |tot AS (SELECT sum(n_vecs) AS total FROM alln)
+       |SELECT a.c_id, a.n_vecs,
+       |  CAST(floor(a.n_vecs * 1000.0 / t.total) AS BIGINT) AS share_pm,
+       |  CAST(floor(a.n_vecs * $NumCentroids * 100.0 / t.total) AS BIGINT) AS load_pct
+       |FROM alln a, tot t""".stripMargin
 
   val annHardNegativesSql: String =
     ivfPqSqlWith(s"WHERE cos >= $NegLo AND cos < $NegHi")
@@ -2113,7 +2217,8 @@ object Embeddings {
     "q_margin_calibration_ann" -> ((s, d) =>
       marginCalibrationAnn(Tables.embeddings(s, d))),
     "q_bitext_mine_calibrated" -> ((s, d) =>
-      bitextMineCalibrated(Tables.embeddings(s, d))))
+      bitextMineCalibrated(Tables.embeddings(s, d))),
+    "q_ivf_occupancy" -> ((s, d) => ivfOccupancy(Tables.embeddings(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_embed_outliers" -> embedOutliersSql(),
@@ -2136,5 +2241,6 @@ object Embeddings {
     "q_bitext_mine_corpus" -> bitextMineCorpusSql(),
     "q_margin_calibration" -> marginCalibrationSql(),
     "q_margin_calibration_ann" -> marginCalibrationAnnSql(),
-    "q_bitext_mine_calibrated" -> bitextMineCalibratedSql())
+    "q_bitext_mine_calibrated" -> bitextMineCalibratedSql(),
+    "q_ivf_occupancy" -> ivfOccupancySql)
 }

@@ -42,23 +42,37 @@ final case class TakedownReceipt(
   * values, but a compliance program needs them FILED: an append-only
   * parquet ledger a retention job can query ("show every takedown of
   * artifact X and what it physically rewrote"). Append-only on purpose
-  * (evidence is never rewritten); `asOfUs` comes from the caller so
-  * replays of the same compliance job file identical rows (and tests
-  * stay deterministic). One coalesced file per takedown — a takedown is
-  * a handful of receipt rows, not a dataset.
+  * (evidence is never rewritten). Every filing carries a caller-chosen
+  * `jobId`, and a jobId already present in the ledger makes the append
+  * a NO-OP — the same replay discipline as the rollup delta ledger: a
+  * compliance job that crashes after the parquet commit and reruns
+  * must not double-file its evidence (a retention query would
+  * double-count buckets rewritten). `asOfUs` comes from the caller so
+  * the rows themselves stay deterministic under retry.
   */
 object TakedownLog {
 
   def append(spark: SparkSession, logPath: String,
-             receipts: Seq[TakedownReceipt], asOfUs: Long): Unit = {
+             receipts: Seq[TakedownReceipt], asOfUs: Long,
+             jobId: String): Unit = {
     require(receipts.nonEmpty, "TakedownLog.append: no receipts to file")
+    require(jobId.nonEmpty, "TakedownLog.append: jobId is the replay guard")
+    if (filedJobs(spark, logPath).contains(jobId)) return
     import spark.implicits._
     receipts.toDF()
       .withColumn(
         "as_of_us", org.apache.spark.sql.functions.lit(asOfUs))
+      .withColumn(
+        "job_id", org.apache.spark.sql.functions.lit(jobId))
       .coalesce(1)
       .write.mode("append").parquet(logPath)
   }
+
+  /** The jobIds already filed — the ledger is takedown-count-sized. */
+  def filedJobs(spark: SparkSession, logPath: String): Set[String] =
+    try read(spark, logPath).select("job_id")
+      .distinct().collect().map(_.getString(0)).toSet
+    catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
 
   def read(spark: SparkSession, logPath: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(logPath)

@@ -1021,10 +1021,18 @@ object TextOps {
     * without rescanning history.
     */
   def commitTokenizer(documents: DataFrame, path: String, deltaId: String,
-                      k: Int = BpeRounds, minCount: Long = BpeMinCount,
-                      buildV: Long = 0L): Unit = {
+                      k: Int = BpeRounds, minCount: Long = BpeMinCount): Unit = {
     val spark = documents.sparkSession
     commitBpeVocab(documents, path, deltaId)
+    // buildV DERIVED from the vocab ledger's applied-delta count, never
+    // caller-supplied: a fixed default (r11 review) stamps every extend
+    // with the same version, so fertility rows measured under older
+    // merges become indistinguishable from fresh ones — exactly the
+    // silent staleness build_v exists to expose. The ledger count is
+    // monotone per NEW delta and flat on replays, so a replayed commit
+    // re-files byte-identical versions.
+    val buildV = graft.operators.RollupIndex
+      .appliedDeltas(spark, vocabPath(path)).size.toLong
     val merges = bpeTrainCommitted(spark, path, k, minCount)
     commitBpe(merges, path, buildV)
     val mergeSeq = merges.orderBy("round").collect()
@@ -1040,9 +1048,18 @@ object TextOps {
     * no-op (rollup ledger) and the retrain is deterministic.
     */
   def extendTokenizer(newDocs: DataFrame, path: String, deltaId: String,
-                      k: Int = BpeRounds, minCount: Long = BpeMinCount,
-                      buildV: Long = 1L): Unit =
-    commitTokenizer(newDocs, path, deltaId, k, minCount, buildV)
+                      k: Int = BpeRounds, minCount: Long = BpeMinCount): Unit =
+    commitTokenizer(newDocs, path, deltaId, k, minCount)
+
+  /** True iff the bundle at `path` has a committed merges table — the
+    * stream-start fail-fast probe (the [[EvalRegistry.isRegistered]]
+    * discipline): an encode stream pointed at an uncommitted or typo'd
+    * bundle must be a clear config error at start(), not a per-batch
+    * crash loop.
+    */
+  def isTokenizerCommitted(spark: SparkSession, path: String): Boolean =
+    graft.sources.Sinks.VersionedTable
+      .latestManifest(spark, s"$path/merges").isDefined
 
   /** The committed per-lang fertility stats at the latest version
     * (lang, n_docs, ws_tokens, bpe_tokens, fertility, build_v). */

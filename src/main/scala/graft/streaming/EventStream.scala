@@ -1293,6 +1293,25 @@ object EventStream {
   def streamingBpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     graft.operators.TextOps.bpeEncodeWith(docs, merges)
 
+  /** [[streamingBpeEncode]] served FROM the committed tokenizer bundle
+    * (C43e) — the artifact-serving twin the other gates already have:
+    * merges load ONCE at stream start from `bundlePath`, so every
+    * micro-batch encodes with that snapshot (a concurrent
+    * `extendTokenizer` never shifts token ids mid-stream — restart to
+    * adopt a new build, the [[streamingDedupCommittedProbe]] contract).
+    * Fails fast at start on an uncommitted or typo'd bundle (the
+    * registryPath discipline) instead of crash-looping batch 0.
+    */
+  def streamingBpeEncodeBundle(docs: DataFrame, bundlePath: String): DataFrame = {
+    val spark = docs.sparkSession
+    require(graft.operators.TextOps.isTokenizerCommitted(spark, bundlePath),
+      s"streamingBpeEncodeBundle: no committed tokenizer bundle at " +
+        s"$bundlePath — run commitTokenizer (or commitBpe) before starting " +
+        "the encode stream")
+    streamingBpeEncode(docs,
+      graft.operators.TextOps.loadBpeMerges(spark, bundlePath))
+  }
+
   /** Streaming dedup against the COMMITTED corpus index
     * ([[graft.operators.DedupIndex]]) — the crawl-admission topology a
     * production pipeline actually runs: an ingest job builds/extends

@@ -785,6 +785,30 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"IVF recalled only $hit/${Embeddings.NumProbes} top-1 neighbors")
   }
 
+  test("IVF occupancy: one row per centroid incl. empty lists, counts total, shares bounded (r11)") {
+    val occ = Embeddings.ivfOccupancy(Tables.embeddings(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly the codebook's rows — an empty list must appear as 0, not vanish
+    val cbIds = Embeddings.kmeansCodebook(
+      Embeddings.quantized(Tables.embeddings(spark, sf)))
+      .select("c_id").collect().map(_.getLong(0)).toSet
+    assert(occ.map(_._1).toSet == cbIds && occ.length == cbIds.size,
+      "occupancy must cover every centroid exactly once")
+    val n = Embeddings.quantized(Tables.embeddings(spark, sf)).count()
+    assert(occ.map(_._2).sum == n, "list populations must total the corpus")
+    // floor shares: per-mille sums to <= 1000, load 100 = fair share
+    assert(occ.map(_._3).sum <= 1000L && occ.forall(o => o._3 >= 0))
+    assert(occ.forall(o => o._4 <= Embeddings.NumCentroids * 100L))
+    // the diagnostic agrees with the assignment it claims to describe
+    val fromAssign = Embeddings.ivfAssign(
+      Embeddings.quantized(Tables.embeddings(spark, sf)))
+      .groupBy("c_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    occ.foreach { case (c, nv, _, _) =>
+      assert(fromAssign.getOrElse(c, 0L) == nv) }
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("IVF k-means codebook: recall >= untrained first-N codebook recall") {
     val bf = Embeddings.annTopK(Tables.embeddings(spark, sf))
       .filter(col("rn") === 1).select("q_id", "n_id")
@@ -1397,6 +1421,11 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = java.nio.file.Files.createTempDirectory("graft-margin-thr").toString
     assert(Embeddings.commitMarginThreshold(emb, dir) == bin)
     assert(Embeddings.loadMarginThresholdBin(spark, dir) == bin)
+    // the artifact carries its calibration context (r11 review): a
+    // load-side width/k mismatch would silently shift the operating
+    // point, so loaders consume the COMMITTED width/k, never parameters
+    assert(Embeddings.loadMarginThreshold(spark, dir) ==
+      ((bin, 0.05, Embeddings.MarginK)))
     // the full production composition C84 -> C85 -> C81c: the committed
     // cut applied to the ROUTED corpus miner only removes pairs vs the
     // constant, and every survivor clears the cut
@@ -1511,9 +1540,20 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4))).toSet
     assert(filedFert == liveFert, "committed fertility must ride the committed merges")
+    // build_v derives from the vocab ledger (r11 review): bootstrap = 1
+    // applied delta, extend = 2 — every extend is distinguishable, so
+    // fertility staleness is visible, never silent
+    def fertV() = TextOps.loadTokenizerFertility(spark, dir)
+      .select("lang", "build_v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(fertV().values.toSet == Set(1L),
+      "bootstrap fertility must file at build_v 1")
     // extend with crawl B: the retrain equals a fresh train on A ∪ B
     graft.GraftCache.releaseAll(spark)
     TextOps.extendTokenizer(b, dir, "crawl-b", k)
+    val langsB = b.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langsB.forall(l => fertV()(l) == 2L),
+      "extend must re-file fertility at a MONOTONE build_v, not a fixed default")
     val extended = TextOps.loadBpeMerges(spark, dir)
     val freshUnion = TextOps.bpeTrain(docs.select("doc_id", "text"), k).collect()
       .map(r => (r.getString(1), r.getString(2))).toIndexedSeq

@@ -1394,6 +1394,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     streamed.foreach(t => assert(t._4 == (t._3 >= keepMin)))
   }
 
+  test("EQUIVALENCE: streaming BPE encode from the committed bundle == batch encode; uncommitted bundle fails at start (r11)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bundle-serve").toString
+    // fail-fast BEFORE any stream starts: a typo'd/uncommitted bundle is
+    // a config error at start(), never a batch-0 crash loop
+    val err = intercept[IllegalArgumentException] {
+      EventStream.streamingBpeEncodeBundle(
+        spark.readStream.format("rate").load(), s"$dir/nope")
+    }
+    assert(err.getMessage.contains("no committed tokenizer bundle"))
+    TextOps.commitTokenizer(docs, dir, "crawl-a", k = 16)
+    val merges = TextOps.loadBpeMerges(spark, dir)
+    val batch = TextOps.bpeEncodeWith(docs.select("doc_id", "text"), merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val rows: Seq[(Long, String)] = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.streamingBpeEncodeBundle(
+        in.toDF().toDF("doc_id", "text"), dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpe_bundle_stream").start()
+    in.addData(rows.take(20)); q.processAllAvailable()
+    in.addData(rows.drop(20)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bpe_bundle_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(streamed == batch,
+      "every stream batch must encode exactly as the batch path at the committed snapshot")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("EQUIVALENCE: streaming temperature gate against a committed rate table == batch mix") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

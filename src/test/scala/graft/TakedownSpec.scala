@@ -147,9 +147,13 @@ class TakedownSpec extends AnyFunSuite with BeforeAndAfterAll {
       ImageDedup.imageCorpus(Seq(1L, 2L, 3L).toDF("doc_id")), path)
     val log = s"$path/takedown_log"
     val r1 = MediaIndex.retract(spark, path, Seq(1L))
-    TakedownLog.append(spark, log, r1, asOfUs = 1000L)
+    TakedownLog.append(spark, log, r1, asOfUs = 1000L, jobId = "job-1")
     val r2 = MediaIndex.retract(spark, path, Seq(2L, 99L))
-    TakedownLog.append(spark, log, r2, asOfUs = 2000L)
+    TakedownLog.append(spark, log, r2, asOfUs = 2000L, jobId = "job-2")
+    // a crashed-and-rerun compliance job must NOT double-file: same
+    // jobId, no new rows (the rollup-ledger replay discipline)
+    TakedownLog.append(spark, log, r2, asOfUs = 2000L, jobId = "job-2")
+    assert(TakedownLog.filedJobs(spark, log) == Set("job-1", "job-2"))
     val filed = TakedownLog.read(spark, log).collect()
       .map(r => (r.getAs[Long]("as_of_us"), r.getAs[String]("subTable"),
         r.getAs[Long]("idsRequested"), r.getAs[Long]("idsFound"),
