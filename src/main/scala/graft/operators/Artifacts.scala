@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.Sinks.VersionedTable
+
+/** The operational front door for committed-artifact upkeep: one sweep
+  * over every versioned table under a root with shared cadence and
+  * retention knobs.
+  *
+  * Every committed artifact in this library (DedupIndex, AnnIndex,
+  * MediaIndex, EvalRegistry, tokenizer bundles, rollups, DSIR/LM/
+  * temperature model tables) is ultimately one or more
+  * [[graft.sources.Sinks.VersionedTable]]s, and each accretes the same
+  * two kinds of debt under upsert traffic: bucket-file fragmentation
+  * (the small-file storm every object store punishes) and superseded
+  * manifest versions (kept for pinned readers, garbage afterwards).
+  * Each artifact already exposes its own `maintain`; what a deployment
+  * actually schedules is ONE job over the whole artifact root — this.
+  *
+  * [[maintainAll]] discovers every table under `root` (the walk stops
+  * at a commits dir, so composite artifacts are maintained at their
+  * sub-table granularity — exactly where compact/vacuum operate) and
+  * runs compact + vacuum on each, returning one receipt row per table
+  * (the TakedownLog discipline: an ops job leaves queryable evidence).
+  * Both primitives are optimistic-commit transactions, so the sweep is
+  * safe to run concurrently with live writers and readers; `minAgeMs`
+  * keeps versions a pinned reader might still hold.
+  *
+  * Deliberately NOT here: monoid folds ([[RollupIndex.foldPartials]]
+  * needs the artifact's RollupShape) and index-quality maintenance
+  * (retrains, re-banding) — those stay with the owning loop's cadence.
+  * This sweep is the artifact-agnostic storage layer only.
+  */
+object Artifacts {
+
+  /** One table's maintenance receipt: versions on disk before/after
+    * (vacuum's observable) and the latest version after the sweep
+    * (compaction bumps it only when something was fragmented).
+    */
+  final case class MaintainReport(table: String, latestVersion: Long,
+                                  versionsBefore: Long, versionsAfter: Long)
+
+  /** Every committed table under `root` — see
+    * [[graft.sources.Sinks.VersionedTable.discover]]. */
+  def discover(spark: SparkSession, root: String): Seq[String] =
+    VersionedTable.discover(spark, root)
+
+  def maintainAll(spark: SparkSession, root: String,
+                  maxFilesPerBucket: Int = 1, keepVersions: Int = 8,
+                  minAgeMs: Long = 0L): Seq[MaintainReport] =
+    discover(spark, root).map { t =>
+      val before = VersionedTable.versionCount(spark, t)
+      VersionedTable.compact(spark, t, maxFilesPerBucket)
+      VersionedTable.vacuumVersioned(spark, t, keep = keepVersions,
+        minAgeMs = minAgeMs)
+      val v = VersionedTable.latestManifest(spark, t).map(_._1).getOrElse(-1L)
+      MaintainReport(t, v, before, VersionedTable.versionCount(spark, t))
+    }
+}

@@ -386,6 +386,52 @@ object Sinks {
     def latestManifest(spark: SparkSession, path: String): Option[(Long, Map[Int, String])] =
       latestIntact(spark, path).map { case (v, txt) => (v, parseBuckets(txt)) }
 
+    /** Count of commit manifests currently on disk (intact or torn) —
+      * the retention observable [[vacuumVersioned]] bounds. */
+    def versionCount(spark: SparkSession, path: String): Long = {
+      val fs = fsFor(spark, path)
+      val cdir = new Path(path, CommitsDir)
+      if (!fs.exists(cdir)) 0L
+      else fs.listStatus(cdir).count { st =>
+        val n = st.getPath.getName
+        n.endsWith(".json") && n.stripSuffix(".json").toLongOption.isDefined
+      }.toLong
+    }
+
+    /** Every VersionedTable under `root`: any directory owning a
+      * `$CommitsDir` child with at least one intact manifest. The walk
+      * is driver-side and catalog-sized (artifact roots hold tens of
+      * tables, not data); it never descends INTO a discovered table
+      * (bucket dirs and commit metadata are the table's internals) nor
+      * into underscore-prefixed dirs, and `maxDepth` bounds a walk over
+      * a mistakenly-huge root. Composite artifacts (DedupIndex,
+      * AnnIndex, MediaIndex, tokenizer bundles, rollups) are therefore
+      * discovered as their constituent sub-tables — exactly the
+      * granularity compact/vacuum operate at.
+      */
+    def discover(spark: SparkSession, root: String,
+                 maxDepth: Int = 8): Seq[String] = {
+      val fs = fsFor(spark, root)
+      val rp = new Path(root)
+      if (!fs.exists(rp)) return Seq.empty
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      def walk(p: Path, depth: Int): Unit = {
+        if (fs.exists(new Path(p, CommitsDir))) {
+          if (latestManifest(spark, p.toString).isDefined) out += p.toString
+          return // table internals: never recurse past a commits dir
+        }
+        if (depth >= maxDepth) return
+        val kids =
+          try fs.listStatus(p)
+          catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+        kids.filter(_.isDirectory)
+          .filterNot(_.getPath.getName.startsWith("_"))
+          .foreach(k => walk(k.getPath, depth + 1))
+      }
+      walk(rp, 0)
+      out.sorted.toSeq
+    }
+
     /** Atomic-exclusive publish of manifest `v`; true iff this writer won
       * the version. Content is fully durable before the name appears
       * (temp write + atomic link/rename-style create), so a reader that

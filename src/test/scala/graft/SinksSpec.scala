@@ -623,6 +623,62 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(Sinks.VersionedTable.read(spark, legacy).count() == 2)
   }
 
+  test("Artifacts.maintainAll: discovers every table under a root, compacts, bounds versions, preserves rows (r11)") {
+    import spark.implicits._
+    import graft.operators.{Artifacts, TextOps}
+    val root = s"$tmp/artifact_root"
+    // heterogeneous artifacts under ONE root: a plain versioned table
+    // fragmented by repeated upserts, and a tokenizer bundle (merges
+    // table + vocab rollup + fertility table) — plus a decoy dir of
+    // loose parquet that must NOT be discovered as a table
+    val t1 = s"$root/plain/model"
+    for (i <- 1 to 5)
+      Sinks.VersionedTable.mergeUpsert(spark, t1,
+        Seq((i.toLong, s"payload$i", i.toLong)).toDF("id", "payload", "build_v"),
+        Seq("id"), "build_v", numBuckets = 2)
+    val docs = Seq((1L, "aa bb aa cc"), (2L, "bb bb dd aa"), (3L, "cc dd aa bb"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    TextOps.commitTokenizer(docs, s"$root/bundle", "crawl-a", k = 4)
+    docs.write.mode("overwrite").parquet(s"$root/loose/dump")
+    val before1 = Sinks.VersionedTable.read(spark, t1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val mergesBefore = TextOps.loadBpeMerges(spark, s"$root/bundle")
+    val vocabBefore = TextOps.loadBpeVocab(spark, s"$root/bundle").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // discover returns fully-qualified URIs (file:/...) — match by suffix
+    val found = Artifacts.discover(spark, root)
+    assert(found.exists(_.endsWith("/plain/model")),
+      s"discover missed the plain table: $found")
+    assert(found.exists(_.endsWith("/merges")) && found.exists(_.contains("vocab")),
+      s"discover missed bundle sub-tables: $found")
+    assert(!found.exists(_.contains("loose")),
+      s"loose parquet must not be discovered as a table: $found")
+    val reports = Artifacts.maintainAll(spark, root, keepVersions = 2)
+    assert(reports.map(_.table).sorted == found.sorted,
+      "one receipt row per discovered table")
+    // retention bound holds on every table (t1 had 5 versions)
+    assert(reports.forall(r => r.versionsAfter <= 3), // keep=2 (+1 compact commit)
+      s"vacuum must bound versions: $reports")
+    assert(reports.find(_.table.endsWith("/plain/model")).get.versionsBefore == 5L)
+    // compaction: every bucket of t1's latest manifest is one file
+    val (_, buckets) = Sinks.VersionedTable.latestManifest(spark, t1).get
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    buckets.values.foreach { rel =>
+      val n = fs.listStatus(new org.apache.hadoop.fs.Path(t1, rel))
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(n == 1, s"bucket $rel still fragmented: $n files")
+    }
+    // the sweep must never change logical content
+    assert(Sinks.VersionedTable.read(spark, t1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq == before1)
+    assert(TextOps.loadBpeMerges(spark, s"$root/bundle") == mergesBefore)
+    assert(TextOps.loadBpeVocab(spark, s"$root/bundle").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq == vocabBefore)
+    // idempotent: a second sweep is a version no-op (nothing fragmented)
+    val again = Artifacts.maintainAll(spark, root, keepVersions = 2)
+    assert(again.forall(r => r.versionsAfter <= 3))
+  }
+
   test("non-bucketed join of the same data DOES shuffle both sides (control)") {
     val joined = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
       .join(Tables.customer(spark, sf).select("c_custkey", "c_name"),
