@@ -50,6 +50,40 @@ final case class TakedownReceipt(
   * double-count buckets rewritten). `asOfUs` comes from the caller so
   * the rows themselves stay deterministic under retry.
   */
+/** The admission loops' funnel evidence — [[TakedownLog]]'s sibling on
+  * the INTAKE side: per micro-batch, per stage, how many rows survived
+  * ("show me every batch where decontamination rejected something" is a
+  * compliance query, and until round 11 the loops kept those counts to
+  * themselves). One parquet row per (loop, batch_id, stage).
+  *
+  * Replay discipline differs from TakedownLog BY DESIGN: a takedown is
+  * a compliance JOB (replay must no-op, hence the jobId guard); this is
+  * micro-batch telemetry under the loops' documented AT-LEAST-ONCE
+  * contract — a replayed batch re-files rows for the same batch_id and
+  * consumers dedup by (loop, batch_id, stage), exactly as they already
+  * dedup the verdict/corpus rows by (batch_id, doc_id). Counts are
+  * deterministic per batch, so replayed rows are byte-identical.
+  */
+object AdmissionLog {
+
+  def append(spark: SparkSession, logPath: String, loop: String,
+             batchId: Long, stages: Seq[(String, Long)]): Unit = {
+    require(stages.nonEmpty, "AdmissionLog.append: no stages to file")
+    import spark.implicits._
+    stages.toDF("stage", "n")
+      .select(
+        org.apache.spark.sql.functions.lit(loop).as("loop"),
+        org.apache.spark.sql.functions.lit(batchId).as("batch_id"),
+        org.apache.spark.sql.functions.col("stage"),
+        org.apache.spark.sql.functions.col("n"))
+      .coalesce(1)
+      .write.mode("append").parquet(logPath)
+  }
+
+  def read(spark: SparkSession, logPath: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(logPath)
+}
+
 object TakedownLog {
 
   def append(spark: SparkSession, logPath: String,

@@ -1061,7 +1061,8 @@ object EventStream {
                                  lr: Array[Long], dsirKeepMin: Long,
                                  outPath: String, checkpoint: String,
                                  compactEvery: Int = 16,
-                                 registryPath: Option[String] = None): StreamingQuery = {
+                                 registryPath: Option[String] = None,
+                                 funnelLogPath: Option[String] = None): StreamingQuery = {
     // Fail fast at START, not in batch 0: with a registryPath set, every
     // micro-batch re-reads the registry, and an uncommitted table (stream
     // configured before the first register(), or a typo'd path) would
@@ -1080,7 +1081,7 @@ object EventStream {
         if (!batch.isEmpty)
           curationAdmitBatch(batch.toDF(), batchId, indexPath, lr,
             dsirKeepMin, outPath, compactEvery = compactEvery,
-            registryPath = registryPath)
+            registryPath = registryPath, funnelLogPath = funnelLogPath)
       }
       .start()
   }
@@ -1097,7 +1098,8 @@ object EventStream {
                                         dsirKeepMin: Long, outPath: String,
                                         crashBeforeExtend: Boolean = false,
                                         compactEvery: Int = 0,
-                                        registryPath: Option[String] = None): Unit = {
+                                        registryPath: Option[String] = None,
+                                        funnelLogPath: Option[String] = None): Unit = {
     import graft.operators.{Curation, DedupIndex, Dsir, EvalRegistry, Html, TextOps}
     graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
       val extracted = Html.htmlExtract(batch, col("html"))
@@ -1144,6 +1146,22 @@ object EventStream {
           DedupIndex.extend(admitted.select("doc_id", "text"), indexPath,
             buildV = batchId + 1)
         }
+        // Funnel evidence AFTER the batch's effects (the compliance
+        // surface AdmissionLog documents): filed even for an all-
+        // rejected batch — "nothing admitted" is evidence too. Counts
+        // re-run the gate chain's scans, so the knob is opt-in; at
+        // micro-batch sizes the cost is the batch, not the corpus.
+        funnelLogPath.foreach { lp =>
+          val nPre = preDecon.count()
+          // without a registry, gated eq preDecon - don't re-scan for it
+          val nGated = if (registryPath.isEmpty) nPre else gated.count()
+          graft.operators.AdmissionLog.append(batch.sparkSession, lp,
+            "curation", batchId, Seq(
+              "1_arrived" -> batch.count(),
+              "2_quality_dsir_kept" -> nPre,
+              "3_decontaminated_kept" -> nGated,
+              "4_admitted" -> n))
+        }
       } finally admitted.unpersist()
       // cadence AFTER the batch's own effects: a crash inside
       // maintenance loses nothing (compaction is a pure file rewrite
@@ -1182,7 +1200,8 @@ object EventStream {
   def streamingMediaAdmission(media: DataFrame, indexPath: String,
                               outPath: String, checkpoint: String,
                               modality: String,
-                              compactEvery: Int = 16): StreamingQuery = {
+                              compactEvery: Int = 16,
+                              funnelLogPath: Option[String] = None): StreamingQuery = {
     val m = graft.operators.MediaIndex.mode(modality) // validates the name
     require(graft.operators.MediaIndex.isBuilt(media.sparkSession, indexPath, m.name),
       s"streamingMediaAdmission: no committed '${m.name}' sub-table at $indexPath — " +
@@ -1194,7 +1213,7 @@ object EventStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           mediaAdmitBatch(batch.toDF(), batchId, indexPath, outPath, m.name,
-            compactEvery = compactEvery)
+            compactEvery = compactEvery, funnelLogPath = funnelLogPath)
       }
       .start()
   }
@@ -1218,7 +1237,8 @@ object EventStream {
                                      indexPath: String, outPath: String,
                                      modality: String,
                                      compactEvery: Int = 0,
-                                     crashBeforeExtend: Boolean = false): Unit = {
+                                     crashBeforeExtend: Boolean = false,
+                                     funnelLogPath: Option[String] = None): Unit = {
     import graft.operators.{BandedPairs, MediaIndex}
     val m = MediaIndex.mode(modality)
     graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
@@ -1273,6 +1293,18 @@ object EventStream {
             MediaIndex.extendFps(
               admitted.withColumnRenamed("media_id", "doc_id"),
               indexPath, m.name, buildV = batchId + 1)
+          }
+          // Funnel evidence AFTER the effects (the curation-loop rule).
+          // decoded counts off the PERSISTED fps frame, so the codec
+          // kernel never re-runs for telemetry; arrived - decoded is
+          // the undecodable-quarantine count a compliance job watches.
+          funnelLogPath.foreach { lp =>
+            graft.operators.AdmissionLog.append(batch.sparkSession, lp,
+              s"media_${m.name}", batchId, Seq(
+                "1_arrived" -> batch.count(),
+                "2_decoded" -> fps.count(),
+                "3_batch_distinct" -> kept.count(),
+                "4_admitted" -> n))
           }
         } finally admitted.unpersist()
       } finally fps.unpersist()

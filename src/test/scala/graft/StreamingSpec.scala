@@ -1591,6 +1591,67 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     pairs.map { case (mid, cid) => (mid, imgs(cid)) }
   }
 
+  test("admission funnel ledger: per-batch stage evidence for both loops; replay refiles identical rows (r11)") {
+    import spark.implicits._
+    import graft.operators.{AdmissionLog, DedupIndex, Dsir, EvalRegistry, Html, ImageDedup, MediaIndex}
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    DedupIndex.build(
+      Seq((900001L, "seed corpus alpha beta gamma delta epsilon"))
+        .toDF("doc_id", "text"), s"$dir/index")
+    val lr = Array.fill(Dsir.NumBuckets)(Dsir.Scale)
+    val bench = "what is the capital of france the capital of france is paris " +
+      "and this sentence continues long enough to shingle"
+    val texts = Map(
+      1L -> "the quick brown fox jumps over a lazy dog",
+      2L -> bench, // falls at decontamination
+      3L -> "short", // falls at the quality gate
+      4L -> "or perhaps the fourth page also carries enough words here")
+    EvalRegistry.register(Seq((77L, bench)).toDF("doc_id", "text"), s"$dir/registry")
+    def htmlDf(ids: Seq[Long]) = ids.map(i => (i, texts(i))).toDF("doc_id", "text")
+      .select(col("doc_id"), Html.plantedHtml.as("html"))
+    val log = s"$dir/funnel"
+    EventStream.curationAdmitBatch(htmlDf(Seq(1L, 2L, 3L, 4L)), 0L,
+      s"$dir/index", lr, 0L, s"$dir/out",
+      registryPath = Some(s"$dir/registry"), funnelLogPath = Some(log))
+    // batch 1: a re-crawl survives every gate but dedup rejects it —
+    // an all-rejected batch still files ("nothing admitted" is evidence)
+    EventStream.curationAdmitBatch(htmlDf(Seq(4L)), 1L,
+      s"$dir/index", lr, 0L, s"$dir/out",
+      registryPath = Some(s"$dir/registry"), funnelLogPath = Some(log))
+    def rows() = AdmissionLog.read(spark, log).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rows().forall(_._1 == "curation"))
+    val b0 = rows().filter(_._2 == 0L).map(t => t._3 -> t._4).toMap
+    assert(b0 == Map("1_arrived" -> 4L, "2_quality_dsir_kept" -> 3L,
+      "3_decontaminated_kept" -> 2L, "4_admitted" -> 2L), s"batch-0 funnel: $b0")
+    val b1 = rows().filter(_._2 == 1L).map(t => t._3 -> t._4).toMap
+    assert(b1 == Map("1_arrived" -> 1L, "2_quality_dsir_kept" -> 1L,
+      "3_decontaminated_kept" -> 1L, "4_admitted" -> 0L), s"batch-1 funnel: $b1")
+    // a replayed micro-batch refiles byte-identical rows under its own
+    // batch_id — the loop's at-least-once contract, NOT the TakedownLog
+    // jobId no-op: consumers dedup by (loop, batch_id, stage)
+    EventStream.curationAdmitBatch(htmlDf(Seq(4L)), 1L,
+      s"$dir/index", lr, 0L, s"$dir/out",
+      registryPath = Some(s"$dir/registry"), funnelLogPath = Some(log))
+    assert(rows().size == 12 && rows().distinct.size == 8,
+      "replay must add only duplicate (loop, batch_id, stage) rows")
+    // media loop: an undecodable payload quarantines in the codec
+    // kernel — visible in the funnel as arrived - decoded
+    val mdir = java.nio.file.Files.createTempDirectory("graft-funnel-media").toString
+    MediaIndex.buildImages(
+      ImageDedup.imageCorpus(Seq(900010L).toDF("doc_id")), s"$mdir/index")
+    val arrivals = imageArrivals(Seq((101L, 1L), (102L, 2L)))
+      .toDF("media_id", "payload")
+      .unionByName(Seq((103L, Array[Byte](1, 2, 3))).toDF("media_id", "payload"))
+    EventStream.mediaAdmitBatch(arrivals, 0L, s"$mdir/index", s"$mdir/out",
+      "img", funnelLogPath = Some(s"$mdir/funnel"))
+    val m0 = AdmissionLog.read(spark, s"$mdir/funnel").collect()
+      .map(r => (r.getString(2), r.getLong(3))).toMap
+    assert(m0 == Map("1_arrived" -> 3L, "2_decoded" -> 2L,
+      "3_batch_distinct" -> 2L, "4_admitted" -> 2L), s"media funnel: $m0")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("streaming MEDIA admission: within-batch collapse, remember across batches, takedown re-opens mid-stream (r11)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
