@@ -92,6 +92,21 @@ object AnnIndex {
       (0 until PqM).map(m => rows(s"pq$m").map(_._3).toSeq))
   }
 
+  /** The committed codebooks as TRAINING-SHAPED frames — (coarse,
+    * per-subspace), each (c_id, cqv, cnrm) — the injection point for
+    * running any in-session chain FROM the production quantizer
+    * instead of retraining it (C84c's serve-path calibration). A
+    * model-sized read: (1 + PqM) × NumCentroids rows.
+    */
+  def loadCodebookFrames(spark: SparkSession,
+                         path: String): (DataFrame, Seq[DataFrame]) = {
+    val all = VersionedTable.read(spark, codebooksPath(path))
+      .select("kind", "c_id", "cqv", "cnrm")
+    (all.filter(col("kind") === "coarse").select("c_id", "cqv", "cnrm"),
+      (0 until PqM).map(m =>
+        all.filter(col("kind") === s"pq$m").select("c_id", "cqv", "cnrm")))
+  }
+
   /** Takedown — the compliance op that completes the vector artifact's
     * lifecycle (build / extend / serve / rebuild / RETRACT): remove the
     * given vectors' rows from the codes table, so removed content stops

@@ -301,6 +301,64 @@ object Embeddings {
       .select(col("q_id").as("y_id"), lit("xx").as("lang"),
         col("n_id").as("x_id"), col("cos"))
 
+  /** C84c: the planted diagram through the PRODUCTION quantizer — the
+    * serve-path calibration an actual deployment runs. C84b retrains
+    * the chain's five codebooks ON the planted corpus, which a live
+    * calibration job can never do (it cannot retrain the quantizer it
+    * is measuring); here the codebook source is re-pointed at the
+    * committed [[AnnIndex]] — trained on the REAL corpus — while
+    * probing, list formation, PQ encoding and the exact rescore all run
+    * over the planted corpus (the Scala chain's `coarseOf`/`pqOf`
+    * injection / the SQL chain's fourth knob, `applySelect`). The
+    * diagram then measures the trade the SERVING codebooks impose on a
+    * known ground truth: quantizer mismatch (codebooks that never saw
+    * the perturbed vectors) shows up as routed-away planted mass or
+    * blurred separation, per margin bin — the go/no-go evidence for
+    * "calibrate on planted, mine with the production index"
+    * (LlmOpsSpec pins planted recall and separation through the served
+    * codebooks on this corpus, where the plant's ±1 perturbation is
+    * well inside a coarse cell).
+    */
+  def marginCalibrationServed(embeddings: DataFrame, indexPath: String,
+                              k: Int = MarginK,
+                              width: Double = 0.05): DataFrame = {
+    val (coarse, cbs) = graft.operators.AnnIndex
+      .loadCodebookFrames(embeddings.sparkSession, indexPath)
+    calibrationBins(plantedServedPairs(embeddings, coarse, cbs), k, width)
+  }
+
+  /** C84b's pair source with the codebooks INJECTED instead of trained
+    * — everything else byte-identical to [[plantedRoutedPairs]]. */
+  private[graft] def plantedServedPairs(embeddings: DataFrame,
+                                        coarse: DataFrame,
+                                        cbs: Seq[DataFrame]): DataFrame =
+    ivfPqCandidateChainQ(
+      plantedQuantized(embeddings).select("vec_id", "qv", "nrm"),
+      probeVecs = _.filter(col("vec_id") % 2 === 1),
+      candRestrict = _.filter(col("vec_id") % 2 === 0),
+      boundedProbes = false,
+      coarseOf = _ => coarse, pqOf = _ => cbs)
+      .select(col("q_id").as("y_id"), lit("xx").as("lang"),
+        col("n_id").as("x_id"), col("cos"))
+
+  /** C84c's registered query: commit the production index off the real
+    * corpus ONCE per session (the memoized temp-artifact convention —
+    * a released cache re-pays the build on cold runs), then run the
+    * planted diagram through its committed codebooks — the full
+    * build→load→calibrate serve path under the oracle gate.
+    */
+  private def marginCalibrationServedQuery(s: SparkSession,
+                                           d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dirDf = GraftCache.memoArtifact(s, ("c84c_ann_index", d)) {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-c84c-ann").toString
+      graft.operators.AnnIndex.build(emb, dir)
+      Seq(dir).toDF("dir")
+    }
+    marginCalibrationServed(emb, dirDf.collect()(0).getString(0))
+  }
+
   /** The shared fixed-width reliability binning over any planted pair
     * frame — brute (C84) and routed (C84b) diagrams differ ONLY in how
     * the pairs were generated (the marginMine composition rule again).
@@ -739,6 +797,23 @@ object Embeddings {
           "n.vec_id % 2 = 1", " AND a.vec_id % 2 = 0",
           preCtes = plantedCorpusSqlCtes,
           qSelect = "SELECT vec_id, qv FROM pl")},
+       |pairs AS (
+       |  SELECT q_id AS y_id, 'xx' AS lang, n_id AS x_id, cos FROM rescored),
+       |${marginFrameSqlCtes(k)},
+       |${calibrationBinsSqlTail(width)}""".stripMargin
+
+  /** C84c oracle: the committed codebooks are the DETERMINISTIC
+    * training over the real corpus (the C7e parity already pinned), so
+    * the oracle re-derives them — train CTEs over the default `q` (the
+    * raw embeddings), apply frame re-pointed at the planted corpus via
+    * the chain's fourth knob — then the shared margin/binning tails.
+    */
+  def marginCalibrationServedSql(k: Int = MarginK,
+                                 width: Double = 0.05): String =
+    s"""${ivfPqRescoredCtesWith(
+          "napp.vec_id % 2 = 1", " AND a.vec_id % 2 = 0",
+          preCtes = plantedCorpusSqlCtes,
+          applySelect = "SELECT vec_id, qv FROM pl")},
        |pairs AS (
        |  SELECT q_id AS y_id, 'xx' AS lang, n_id AS x_id, cos FROM rescored),
        |${marginFrameSqlCtes(k)},
@@ -1400,22 +1475,25 @@ object Embeddings {
   // codebooks with norms, and per-subspace code assignments.
   private def pqSlSql(expr: String, m: Int): String =
     s"list_slice($expr, ${m * PqSubDim + 1}, ${(m + 1) * PqSubDim})"
-  private val pqSubCtes: String = (0 until PqM).map { m =>
-    s"""ns$m AS (SELECT vec_id, sub AS qv, ${dotSqlFmt.format("sub", "sub")} AS nrm
-       |  FROM (SELECT vec_id, ${pqSlSql("qv", m)} AS sub FROM q))""".stripMargin
-  }.mkString(",\n")
+  private def pqSubCtesOver(qname: String, prefix: String): String =
+    (0 until PqM).map { m =>
+      s"""$prefix$m AS (SELECT vec_id, sub AS qv, ${dotSqlFmt.format("sub", "sub")} AS nrm
+         |  FROM (SELECT vec_id, ${pqSlSql("qv", m)} AS sub FROM $qname))""".stripMargin
+    }.mkString(",\n")
+  private val pqSubCtes: String = pqSubCtesOver("q", "ns")
   private val pqTrainCtes: String =
     (0 until PqM).map(m => pqKmeansSqlCtes(m, KmeansIters)).mkString(",\n")
   private val pqCentfCtes: String = (0 until PqM).map { m =>
     s"centf$m AS (SELECT c_id, cqv, ${dotSqlFmt.format("cqv", "cqv")} AS cnrm FROM cent${m}_$KmeansIters)"
   }.mkString(",\n")
-  private val pqAsgCtes: String = (0 until PqM).map { m =>
+  private def pqAsgCtesOver(ns: String): String = (0 until PqM).map { m =>
     s"""asg$m AS (SELECT vec_id, c_id AS code FROM (
-       |  SELECT ns$m.vec_id, centf$m.c_id,
-       |    row_number() OVER (PARTITION BY ns$m.vec_id
-       |      ORDER BY ns$m.nrm - 2 * ${dotSqlFmt.format(s"ns$m.qv", s"centf$m.cqv")} + centf$m.cnrm, centf$m.c_id) AS rn
-       |  FROM ns$m, centf$m) WHERE rn = 1)""".stripMargin
+       |  SELECT $ns$m.vec_id, centf$m.c_id,
+       |    row_number() OVER (PARTITION BY $ns$m.vec_id
+       |      ORDER BY $ns$m.nrm - 2 * ${dotSqlFmt.format(s"$ns$m.qv", s"centf$m.cqv")} + centf$m.cnrm, centf$m.c_id) AS rn
+       |  FROM $ns$m, centf$m) WHERE rn = 1)""".stripMargin
   }.mkString(",\n")
+  private val pqAsgCtes: String = pqAsgCtesOver("ns")
   /** ADC numerator over probe expression `p.qv` and joined codebook rows
     * c0..c3, and the reconstructed norm from the same rows.
     */
@@ -1546,7 +1624,11 @@ object Embeddings {
   private def ivfPqCandidateChainQ(q0: DataFrame,
                                    probeVecs: DataFrame => DataFrame,
                                    candRestrict: DataFrame => DataFrame,
-                                   boundedProbes: Boolean): DataFrame = {
+                                   boundedProbes: Boolean,
+                                   coarseOf: DataFrame => DataFrame =
+                                     kmeansCodebook(_),
+                                   pqOf: DataFrame => Seq[DataFrame] =
+                                     pqCodebooks(_)): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -1555,9 +1637,13 @@ object Embeddings {
     // the one materialized quantized cache — run the coarse one
     // concurrently with pqCodebooks' own future pool instead of
     // serializing it in front (cold build ≈ one training, not two).
+    // `coarseOf`/`pqOf` are the codebook SOURCE (r11, C84c): default
+    // trains on q0 itself; the serve-path calibration injects the
+    // committed production quantizer's frames instead — assignment,
+    // encoding, probing, and rescore all run over q0 either way.
     q.count()
-    val coarseF = Future(kmeansCodebook(q))
-    val cbs = pqCodebooks(q)
+    val coarseF = Future(coarseOf(q))
+    val cbs = pqOf(q)
     val coarse = Await.result(coarseF, Duration.Inf)
     val assign = ivfAssign(q, coarse)
     val codes = pqEncode(q, cbs)
@@ -1625,21 +1711,35 @@ object Embeddings {
     * byte-identical to every prior splice.
     */
   private def ivfRoutingCtes(preCtes: String = "",
-                             qSelect: String = ""): String = {
+                             qSelect: String = "",
+                             applySelect: String = ""): String = {
     val qDef =
       if (qSelect.isEmpty) s"SELECT vec_id, $qvSqlExpr AS qv FROM embeddings"
       else qSelect
     val pre = if (preCtes.isEmpty) "" else preCtes + ",\n"
+    // fourth knob (r11, C84c): `applySelect` splits the chain's TRAIN
+    // frame from its APPLY frame — the codebooks keep training on
+    // `q`/`n` while assignment/probing/encoding run over `napp` (the
+    // committed-quantizer serve boundary a production deployment has: a
+    // calibration corpus cannot retrain the quantizer it is measuring).
+    // Empty = the apply frame IS the train frame, byte-identical to
+    // every prior splice.
+    val app = if (applySelect.isEmpty) "n" else "napp"
+    val appDefs =
+      if (applySelect.isEmpty) ""
+      else s"""qapp AS ($applySelect),
+              |napp AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM qapp),
+              |""".stripMargin
     s"""WITH ${pre}q AS ($qDef),
        |n AS (SELECT vec_id, qv, ${dotSqlFmt.format("qv", "qv")} AS nrm FROM q),
-       |${kmeansSqlCtes(KmeansIters)},
+       |$appDefs${kmeansSqlCtes(KmeansIters)},
        |cent AS (SELECT c_id, cqv, ${dotSqlFmt.format("cqv", "cqv")} AS cnrm FROM cent$KmeansIters),
        |assign AS (
        |  SELECT vec_id, c_id FROM (
-       |    SELECT n.vec_id, cent.c_id,
-       |      row_number() OVER (PARTITION BY n.vec_id
-       |        ORDER BY n.nrm - 2 * ${dotSqlFmt.format("n.qv", "cent.cqv")} + cent.cnrm, cent.c_id) AS rn
-       |    FROM n, cent) WHERE rn = 1)""".stripMargin
+       |    SELECT $app.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY $app.vec_id
+       |        ORDER BY $app.nrm - 2 * ${dotSqlFmt.format(s"$app.qv", "cent.cqv")} + cent.cnrm, cent.c_id) AS rn
+       |    FROM $app, cent) WHERE rn = 1)""".stripMargin
   }
 
   private def ivfPqRescoredCtes: String =
@@ -1655,22 +1755,35 @@ object Embeddings {
     */
   private def ivfPqRescoredCtesWith(probeWhere: String, candAnd: String,
                                     preCtes: String = "",
-                                    qSelect: String = ""): String = {
+                                    qSelect: String = "",
+                                    applySelect: String = ""): String = {
     val codeJoins = (0 until PqM).map { m =>
       s"  JOIN asg$m a$m ON c.n_id = a$m.vec_id\n" +
         s"  JOIN centf$m c$m ON a$m.code = c$m.c_id"
     }.mkString("\n")
-    s"""${ivfRoutingCtes(preCtes, qSelect)},
+    // `applySelect` (the routing front's fourth knob) carries through
+    // the whole chain: probes route, candidates encode, and the rescore
+    // reads exact vectors — all over the APPLY frame — while every
+    // training CTE (coarse + subspace k-means) stays on the train
+    // frame. `probeWhere` must qualify columns with the apply alias
+    // (napp) when the knob is set.
+    val app = if (applySelect.isEmpty) "n" else "napp"
+    val appSub =
+      if (applySelect.isEmpty) ""
+      else pqSubCtesOver("qapp", "nsapp") + ",\n"
+    val asgCtes =
+      if (applySelect.isEmpty) pqAsgCtes else pqAsgCtesOver("nsapp")
+    s"""${ivfRoutingCtes(preCtes, qSelect, applySelect)},
        |probe_lists AS (
        |  SELECT vec_id AS q_id, c_id FROM (
-       |    SELECT n.vec_id, cent.c_id,
-       |      row_number() OVER (PARTITION BY n.vec_id
-       |        ORDER BY n.nrm - 2 * ${dotSqlFmt.format("n.qv", "cent.cqv")} + cent.cnrm, cent.c_id) AS rn
-       |    FROM n, cent WHERE $probeWhere) WHERE rn <= $NProbe),
+       |    SELECT $app.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY $app.vec_id
+       |        ORDER BY $app.nrm - 2 * ${dotSqlFmt.format(s"$app.qv", "cent.cqv")} + cent.cnrm, cent.c_id) AS rn
+       |    FROM $app, cent WHERE $probeWhere) WHERE rn <= $NProbe),
        |$pqSubCtes,
-       |$pqTrainCtes,
+       |$appSub$pqTrainCtes,
        |$pqCentfCtes,
-       |$pqAsgCtes,
+       |$asgCtes,
        |cand AS (
        |  SELECT p.q_id, a.vec_id AS n_id
        |  FROM probe_lists p JOIN assign a ON p.c_id = a.c_id
@@ -1678,7 +1791,7 @@ object Embeddings {
        |adc AS (
        |  SELECT c.q_id, c.n_id,
        |    CAST($pqAdotSql AS DOUBLE) / (sqrt(p.nrm) * sqrt($pqAnrmSql)) AS approx_cos
-       |  FROM cand c JOIN n p ON c.q_id = p.vec_id
+       |  FROM cand c JOIN $app p ON c.q_id = p.vec_id
        |$codeJoins),
        |short AS (
        |  SELECT q_id, n_id FROM (
@@ -1687,7 +1800,7 @@ object Embeddings {
        |rescored AS (
        |  SELECT s.q_id, s.n_id,
        |    ${dotSqlFmt.format("a.qv", "b.qv")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
-       |  FROM short s JOIN n a ON s.q_id = a.vec_id JOIN n b ON s.n_id = b.vec_id)""".stripMargin
+       |  FROM short s JOIN $app a ON s.q_id = a.vec_id JOIN $app b ON s.n_id = b.vec_id)""".stripMargin
   }
 
   private def ivfPqSqlWith(rescoredFilter: String): String =
@@ -2216,6 +2329,7 @@ object Embeddings {
       marginCalibration(Tables.embeddings(s, d))),
     "q_margin_calibration_ann" -> ((s, d) =>
       marginCalibrationAnn(Tables.embeddings(s, d))),
+    "q_margin_calibration_served" -> marginCalibrationServedQuery _,
     "q_bitext_mine_calibrated" -> ((s, d) =>
       bitextMineCalibrated(Tables.embeddings(s, d))),
     "q_ivf_occupancy" -> ((s, d) => ivfOccupancy(Tables.embeddings(s, d))))
@@ -2241,6 +2355,7 @@ object Embeddings {
     "q_bitext_mine_corpus" -> bitextMineCorpusSql(),
     "q_margin_calibration" -> marginCalibrationSql(),
     "q_margin_calibration_ann" -> marginCalibrationAnnSql(),
+    "q_margin_calibration_served" -> marginCalibrationServedSql(),
     "q_bitext_mine_calibrated" -> bitextMineCalibratedSql(),
     "q_ivf_occupancy" -> ivfOccupancySql)
 }

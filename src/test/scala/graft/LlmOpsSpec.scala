@@ -1471,6 +1471,38 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("served margin calibration: planted recall and separation through the PRODUCTION index's codebooks (r11)") {
+    graft.GraftCache.releaseAll(spark)
+    val emb = Tables.embeddings(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_planted"), r.getAs[Double]("planted_rate")))
+    val brute = rows(Embeddings.marginCalibration(emb))
+    graft.GraftCache.releaseAll(spark)
+    // the production quantizer: an AnnIndex committed off the REAL
+    // corpus — the calibration job may load it, never retrain it
+    val dir = java.nio.file.Files.createTempDirectory("graft-served-cal").toString
+    graft.operators.AnnIndex.build(emb, dir)
+    val served = rows(Embeddings.marginCalibrationServed(emb, dir))
+    // the served chain still trades noise mass away...
+    assert(served.map(_._2).sum < brute.map(_._2).sum,
+      "the served diagram must see strictly less pair mass than brute")
+    // ...and codebooks that never saw the perturbed vectors still lose
+    // ZERO planted recall on this corpus — the ±1 plant sits well
+    // inside a coarse cell, so partner and translation co-route even
+    // under the real-corpus quantizer (the go/no-go evidence for
+    // calibrating on planted + mining with the production index)
+    assert(served.map(_._3).sum == brute.map(_._3).sum,
+      s"planted recall through the SERVED codebooks must be total " +
+        s"(${served.map(_._3).sum} vs brute ${brute.map(_._3).sum})")
+    val sPlanted = served.filter(_._3 > 0L)
+    val sNoise = served.filter(_._3 == 0L)
+    assert(sPlanted.forall(_._4 == 1.0) && sNoise.nonEmpty &&
+      sPlanted.map(_._1).min > sNoise.map(_._1).max,
+      "served planted bins must stay pure and above the noise ceiling")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("committed BPE vocab: train-from-artifact == fresh train(union) bit-identically; replay and fold no-ops (r11)") {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
