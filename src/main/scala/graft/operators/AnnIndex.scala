@@ -107,6 +107,20 @@ object AnnIndex {
         all.filter(col("kind") === s"pq$m").select("c_id", "cqv", "cnrm")))
   }
 
+  /** C86b: per-list occupancy of the COMMITTED codes table — the
+    * balance diagnostic of the index a deployment actually serves from,
+    * where [[Embeddings.ivfOccupancy]] (C86) measures an in-session
+    * assignment. One scan of the compressed codes (no raw vectors, no
+    * training), the committed coarse roster supplying empty lists; the
+    * ratio tail is the SHARED [[Embeddings.occupancyOf]], so artifact
+    * and in-session diagnostics can never disagree on arithmetic. This
+    * is also the takedown observable: a retract drops code rows, and
+    * the next occupancy read shows the freed slots.
+    */
+  def occupancy(spark: SparkSession, path: String): DataFrame =
+    Embeddings.occupancyOf(loadCodebookFrames(spark, path)._1,
+      codes(spark, path))
+
   /** Takedown — the compliance op that completes the vector artifact's
     * lifecycle (build / extend / serve / rebuild / RETRACT): remove the
     * given vectors' rows from the codes table, so removed content stops

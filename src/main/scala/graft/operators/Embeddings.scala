@@ -348,15 +348,24 @@ object Embeddings {
     * build→load→calibrate serve path under the oracle gate.
     */
   private def marginCalibrationServedQuery(s: SparkSession,
-                                           d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val dirDf = GraftCache.memoArtifact(s, ("c84c_ann_index", d)) {
+                                           d: String): DataFrame =
+    marginCalibrationServed(Tables.embeddings(s, d), tempAnnIndexDir(s, d))
+
+  /** The session's committed production index over `d`'s embeddings —
+    * built ONCE per (session, corpus) into a temp dir (the memoized
+    * temp-artifact convention) and shared by every committed-serve
+    * registered query (C84c's served calibration, C86b's artifact
+    * occupancy), so the oracle gate exercises the real build→load
+    * path without retraining per query.
+    */
+  private[graft] def tempAnnIndexDir(s: SparkSession, d: String): String = {
+    val dirDf = GraftCache.memoArtifact(s, ("ann_index_temp", d)) {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft-c84c-ann").toString
-      graft.operators.AnnIndex.build(emb, dir)
+      val dir = java.nio.file.Files.createTempDirectory("graft-temp-ann").toString
+      graft.operators.AnnIndex.build(Tables.embeddings(s, d), dir)
       Seq(dir).toDF("dir")
     }
-    marginCalibrationServed(emb, dirDf.collect()(0).getString(0))
+    dirDf.collect()(0).getString(0)
   }
 
   /** The shared fixed-width reliability binning over any planted pair
@@ -1254,9 +1263,20 @@ object Embeddings {
     */
   def ivfOccupancy(embeddings: DataFrame): DataFrame = {
     val q = quantized(embeddings)
-    val counts = ivfAssign(q, kmeansCodebook(q))
-      .groupBy("c_id").agg(count(lit(1)).as("n_vecs"))
-    val all = kmeansCodebook(q).select("c_id")
+    occupancyOf(kmeansCodebook(q), ivfAssign(q, kmeansCodebook(q)))
+  }
+
+  /** The shared occupancy ratio tail over (codebook, per-vector list
+    * assignments) — ONE definition for the in-session diagnostic (C86)
+    * and the committed-artifact one ([[AnnIndex.occupancy]], C86b), so
+    * the two can never disagree on the ratio arithmetic. `assign` needs
+    * only a `c_id` column; `cent` supplies the full centroid roster so
+    * empty lists surface as 0 rows.
+    */
+  private[graft] def occupancyOf(cent: DataFrame,
+                                 assign: DataFrame): DataFrame = {
+    val counts = assign.groupBy("c_id").agg(count(lit(1)).as("n_vecs"))
+    val all = cent.select("c_id")
       .join(counts, Seq("c_id"), "left")
       .select(col("c_id"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
     val tot = all.agg(sum("n_vecs").as("total"))
@@ -2332,7 +2352,9 @@ object Embeddings {
     "q_margin_calibration_served" -> marginCalibrationServedQuery _,
     "q_bitext_mine_calibrated" -> ((s, d) =>
       bitextMineCalibrated(Tables.embeddings(s, d))),
-    "q_ivf_occupancy" -> ((s, d) => ivfOccupancy(Tables.embeddings(s, d))))
+    "q_ivf_occupancy" -> ((s, d) => ivfOccupancy(Tables.embeddings(s, d))),
+    "q_ann_occupancy" -> ((s, d) =>
+      graft.operators.AnnIndex.occupancy(s, tempAnnIndexDir(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_embed_outliers" -> embedOutliersSql(),
@@ -2357,5 +2379,8 @@ object Embeddings {
     "q_margin_calibration_ann" -> marginCalibrationAnnSql(),
     "q_margin_calibration_served" -> marginCalibrationServedSql(),
     "q_bitext_mine_calibrated" -> bitextMineCalibratedSql(),
-    "q_ivf_occupancy" -> ivfOccupancySql)
+    "q_ivf_occupancy" -> ivfOccupancySql,
+    // the committed index IS the deterministic training's output, so
+    // the artifact diagnostic re-derives against the same oracle
+    "q_ann_occupancy" -> ivfOccupancySql)
 }

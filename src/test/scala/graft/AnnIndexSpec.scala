@@ -132,6 +132,33 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(AnnIndex.serve(emb, path)) == rows(AnnIndex.serve(emb, twin)))
   }
 
+  test("occupancy from the committed codes == in-session diagnostic; retract frees the slots (r11)") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = s"$tmp/ix_occ"
+    AnnIndex.build(emb, path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val committed = rows(AnnIndex.occupancy(spark, path))
+    val inSession = rows(Embeddings.ivfOccupancy(emb))
+    assert(committed == inSession,
+      "the artifact diagnostic must equal the in-session one row-for-row")
+    // the takedown observable: retracting vectors drops code rows, and
+    // the next occupancy read shows exactly those slots freed
+    val victims = AnnIndex.codes(spark, path)
+      .select("vec_id", "c_id").limit(3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    AnnIndex.retract(spark, path, victims.map(_._1).toSeq)
+    val after = rows(AnnIndex.occupancy(spark, path)).map(t => t._1 -> t._2).toMap
+    val expected = committed.map(t => t._1 -> t._2).toMap ++
+      victims.groupBy(_._2).map { case (c, vs) =>
+        c -> (committed.find(_._1 == c).get._2 - vs.length) }
+    assert(after == expected,
+      s"retract must free exactly the victims' slots: $after vs $expected")
+    assert(after.values.sum == committed.map(_._2).sum - victims.length)
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("streaming ANN serves from the committed index across two micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
