@@ -82,6 +82,21 @@ object AdmissionLog {
 
   def read(spark: SparkSession, logPath: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(logPath)
+
+  /** The compliance rollup a dashboard actually reads: replay-deduped
+    * on the ledger's (loop, batch_id, stage) key FIRST (the documented
+    * consumer discipline — at-least-once refiles are byte-identical, so
+    * dropDuplicates is exact), then one bounded agg per (loop, stage):
+    * batches seen and total rows through. Ledger-sized input, stage-
+    * catalog-sized output — safe at any cadence.
+    */
+  def rollup(spark: SparkSession, logPath: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    read(spark, logPath)
+      .dropDuplicates("loop", "batch_id", "stage")
+      .groupBy("loop", "stage")
+      .agg(count(lit(1)).as("n_batches"), sum("n").as("total"))
+  }
 }
 
 object TakedownLog {

@@ -1649,6 +1649,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(2), r.getLong(3))).toMap
     assert(m0 == Map("1_arrived" -> 3L, "2_decoded" -> 2L,
       "3_batch_distinct" -> 2L, "4_admitted" -> 2L), s"media funnel: $m0")
+    // the dashboard rollup: replay duplicates collapse exactly (the
+    // refiled batch-1 rows count once), batches and totals per stage
+    val ru = AdmissionLog.rollup(spark, log).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(ru == Map(
+      "1_arrived" -> ((2L, 5L)), "2_quality_dsir_kept" -> ((2L, 4L)),
+      "3_decontaminated_kept" -> ((2L, 3L)), "4_admitted" -> ((2L, 2L))),
+      s"rollup must collapse the replay and total both batches: $ru")
     graft.GraftCache.releaseAll(spark)
   }
 
