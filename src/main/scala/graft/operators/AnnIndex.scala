@@ -68,6 +68,33 @@ object AnnIndex {
       Seq("vec_id"), "build_v", numBuckets = 16)
   }
 
+  /** Incremental ingest — the append-codes-continuously half of the
+    * regime the layout was designed for (build codebooks rarely, append
+    * codes every crawl): new vectors are routed and PQ-encoded against
+    * the COMMITTED codebooks — nothing retrains, the serve boundary —
+    * and their code rows merge into the codes table (keyed vec_id,
+    * latest-wins, bucket-pruned by the upsert), so the ingest cost is
+    * O(new batch), never O(index). Existing probes' answers change only
+    * by the new candidates' presence. `buildV` is caller-threaded and
+    * must be MONOTONE per real ingest (the media loop's batchId + 1
+    * discipline — a fixed default would make re-encoded rows
+    * indistinguishable from stale ones); a replayed extend at the same
+    * buildV re-merges byte-identical rows. An existing vec_id
+    * latest-wins-replaces its codes (the re-embedding contract, shared
+    * with [[DedupIndex]]'s extend); takedown-sensitive id reuse is the
+    * admission loop's guard, not the artifact's.
+    */
+  def extend(newEmbeddings: DataFrame, path: String, buildV: Long): Unit = {
+    val spark = newEmbeddings.sparkSession
+    val q = Embeddings.quantized(newEmbeddings)
+    val (coarseDf, cbs) = loadCodebookFrames(spark, path)
+    val codes = Embeddings.ivfAssign(q, coarseDf)
+      .join(Embeddings.pqEncode(q, cbs), "vec_id")
+      .withColumn("build_v", lit(buildV))
+    VersionedTable.mergeUpsert(spark, codesPath(path), codes,
+      Seq("vec_id"), "build_v", numBuckets = 16)
+  }
+
   /** The loaded model artifact: coarse codebook rows plus per-subspace
     * centroid/norm arrays, all driver-side constants ((1 + PqM) ×
     * NumCentroids rows — never data-proportional).

@@ -132,6 +132,47 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(AnnIndex.serve(emb, path)) == rows(AnnIndex.serve(emb, twin)))
   }
 
+  test("extend: new vectors encode with the COMMITTED codebooks, serve, and retract back out byte-identically (r11)") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = s"$tmp/ix_ext"
+    // seed index on the id-prefix half (k-means init needs the first
+    // NumCentroids ids present); the tail arrives as a later crawl
+    val cut = 400L
+    val seedEmb = emb.filter(col("vec_id") < cut)
+    val newEmb = emb.filter(col("vec_id") >= cut)
+    assert(newEmb.count() > 0, "need a non-empty extension crawl")
+    AnnIndex.build(seedEmb, path)
+    def served() = AnnIndex.serve(emb, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val before = served()
+    assert(!before.exists(_._2 >= cut), "extension ids must not serve yet")
+    AnnIndex.extend(newEmb, path, buildV = 1L)
+    // the merged codes == what the committed codebooks assign the union
+    // (codebooks FROZEN — extend must never retrain the quantizer)
+    val (coarseDf, cbs) = AnnIndex.loadCodebookFrames(spark, path)
+    val qAll = Embeddings.quantized(emb)
+    val expect = Embeddings.ivfAssign(qAll, coarseDf)
+      .join(Embeddings.pqEncode(qAll, cbs), "vec_id")
+      .collect().map(_.toSeq).toSet
+    val got = AnnIndex.codes(spark, path).collect().map(_.toSeq).toSet
+    assert(got == expect,
+      "extended codes must equal the committed codebooks' assignment of the union")
+    // new vectors now SERVE as candidates
+    val after = served()
+    assert(after.exists(_._2 >= cut),
+      "an extension vector must be servable as a neighbor")
+    // replayed extend: byte-identical content (idempotent re-merge)
+    AnnIndex.extend(newEmb, path, buildV = 1L)
+    assert(served() == after, "a replayed extend must not change answers")
+    // retract the extension: serve returns byte-identical to pre-extend
+    val newIds = newEmb.select("vec_id").collect().map(_.getLong(0)).toSeq
+    AnnIndex.retract(spark, path, newIds)
+    assert(served() == before,
+      "retracting the extension must restore the seed index's answers")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("occupancy from the committed codes == in-session diagnostic; retract frees the slots (r11)") {
     val emb = Tables.embeddings(spark, sf)
     val path = s"$tmp/ix_occ"
