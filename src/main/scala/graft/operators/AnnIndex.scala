@@ -148,6 +148,38 @@ object AnnIndex {
     Embeddings.occupancyOf(loadCodebookFrames(spark, path)._1,
       codes(spark, path))
 
+  /** Quantized re-crawl verdict for explicit probe vectors — the probe
+    * ids that MATCH committed content, by two rules:
+    *  - CODE COLLISION (primary, deterministic): encoding is a pure
+    *    function of the vector, so a re-crawl of committed content
+    *    lands on the IDENTICAL (c_id, code_0..code_{PqM−1}) tuple — the
+    *    [[MediaIndex]] exact-fingerprint rule applied to the PQ sketch.
+    *    This is what makes the verdict reliable: the ADC self-cosine's
+    *    per-content tail can sink below the noise ceiling (PQ is
+    *    lossy), but the tuple equality cannot miss an exact re-crawl.
+    *  - ADC ≥ `tau` (near-dup extension): neighbors above the measured
+    *    ADC operating point also match; pass a tau above the ADC range
+    *    (> 1) to disable.
+    * Both rules are keyed joins against the codes table — batch-sized
+    * probe, bucket-prunable index side, no corpus scan.
+    */
+  private[graft] def matchedIds(probes: DataFrame, path: String,
+                                tau: Double): DataFrame = {
+    val spark = probes.sparkSession
+    val (coarseDf, cbs) = loadCodebookFrames(spark, path)
+    val arrCodes = Embeddings.ivfAssign(probes, coarseDf)
+      .join(Embeddings.pqEncode(probes, cbs), "vec_id")
+    val codeCols = Seq("c_id") ++ (0 until PqM).map(m => s"code_$m")
+    val collided = arrCodes
+      .join(codes(spark, path), codeCols, "left_semi")
+      .select("vec_id")
+    val near = adcScored(probes, path)
+      .groupBy("q_id").agg(max("approx_cos").as("b"))
+      .filter(col("b") >= tau)
+      .select(col("q_id").as("vec_id"))
+    collided.unionByName(near).distinct()
+  }
+
   /** Takedown — the compliance op that completes the vector artifact's
     * lifecycle (build / extend / serve / rebuild / RETRACT): remove the
     * given vectors' rows from the codes table, so removed content stops
@@ -252,15 +284,34 @@ object AnnIndex {
     * committed index.
     */
   private def refinedPairs(embeddings: DataFrame, path: String): DataFrame = {
-    val spark = embeddings.sparkSession
-    val ix = load(spark, path)
     val q = Embeddings.quantized(embeddings)
+    val scored = adcScored(q.filter(col("vec_id") < NumProbes), path)
+    val shortlist = scored
+      .groupBy("q_id")
+      .agg(Exprs.maxKScored(col("approx_cos"), col("n_id"), RefineK).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("n_id"))
+    Embeddings.scorePairs(shortlist, q)
+  }
+
+  /** ADC candidates for EXPLICIT probe vectors against the committed
+    * codes — (q_id, n_id, approx_cos), factored out of [[refinedPairs]]
+    * so the embedding admission loop can draw QUANTIZED verdicts from
+    * the artifact alone: the index stores codes, not raw vectors, so a
+    * verdict against committed content is an ADC cosine — the
+    * [[MediaIndex]] hash-verdict contract applied to embeddings.
+    * `probes` is (vec_id, qv, nrm), broadcast — bound it to a
+    * micro-batch / probe set, never a corpus.
+    */
+  private[graft] def adcScored(probes: DataFrame, path: String): DataFrame = {
+    val spark = probes.sparkSession
+    val ix = load(spark, path)
     val coarseDf = {
       val s = spark
       import s.implicits._
       ix.coarse.toSeq.toDF("c_id", "cqv", "cnrm")
     }
-    val probeLists = q.filter(col("vec_id") < NumProbes)
+    val probeLists = probes
       .crossJoin(broadcast(coarseDf))
       .withColumn("d2", col("nrm") - lit(2L) * Exprs.dotLong(col("qv"), col("cqv")) + col("cnrm"))
       .withColumn("rn", row_number().over(
@@ -269,18 +320,12 @@ object AnnIndex {
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
         col("nrm").as("q_nrm"), col("c_id"))
     val (adot, anrm) = adcColsFor(ix, col("q_qv"))
-    val scored = codes(spark, path)
+    codes(spark, path)
       .join(broadcast(probeLists), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (adot.cast("double") /
           (sqrt(col("q_nrm").cast("double")) * sqrt(anrm.cast("double"))))
           .as("approx_cos"))
-    val shortlist = scored
-      .groupBy("q_id")
-      .agg(Exprs.maxKScored(col("approx_cos"), col("n_id"), RefineK).as("top"))
-      .select(col("q_id"), explode(col("top")).as("t"))
-      .select(col("q_id"), col("t.id").as("n_id"))
-    Embeddings.scorePairs(shortlist, q)
   }
 }

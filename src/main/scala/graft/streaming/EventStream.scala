@@ -1314,6 +1314,115 @@ object EventStream {
     }
   }
 
+  /** The EMBEDDING admission loop — the C66 pattern over the committed
+    * [[graft.operators.AnnIndex]], closing the per-modality set (text →
+    * DedupIndex, media → MediaIndex, embeddings → AnnIndex): arriving
+    * (vec_id, embedding) rows draw a QUANTIZED verdict against the
+    * committed codes — the index stores PQ codes, not raw vectors, so
+    * the verdict is code-tuple collision (deterministic: an exact
+    * re-crawl always encodes to the identical tuple) plus an ADC-cosine
+    * near-dup extension at `tau` (measured on the ADC scale — pass
+    * > 1 to run collision-only; see [[graft.operators.AnnIndex
+    * .matchedIds]]) — novel
+    * vectors append to the output corpus and their codes EXTEND the
+    * index ([[graft.operators.AnnIndex.extend]]: encoded with the
+    * COMMITTED codebooks, nothing retrains mid-stream), so a re-crawl
+    * of this batch's admissions is rejected by the next batch.
+    * Cross-batch memory lives entirely in the transactional artifact
+    * (re-read every batch); no Spark streaming state, no watermark.
+    * Same restart-safety ordering, id-collision guard, maintain
+    * cadence ([[graft.operators.Artifacts.maintainAll]] — the unified
+    * GC sweeping codebooks + codes), and funnel telemetry as the other
+    * two loops.
+    */
+  def streamingEmbeddingAdmission(vecs: DataFrame, indexPath: String,
+                                  outPath: String, checkpoint: String,
+                                  tau: Double,
+                                  compactEvery: Int = 16,
+                                  funnelLogPath: Option[String] = None): StreamingQuery = {
+    require(graft.sources.Sinks.VersionedTable
+        .latestManifest(vecs.sparkSession, s"$indexPath/codes").isDefined,
+      s"streamingEmbeddingAdmission: no committed AnnIndex at $indexPath — " +
+        "build the seed index first (AnnIndex.build with the seed corpus)")
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          embeddingAdmitBatch(batch.toDF(), batchId, indexPath, outPath, tau,
+            compactEvery = compactEvery, funnelLogPath = funnelLogPath)
+      }
+      .start()
+  }
+
+  /** One micro-batch of the embedding admission loop — the foreachBatch
+    * body, factored out for replay testing (the [[curationAdmitBatch]]
+    * convention, including the `crashBeforeExtend` failpoint). `batch`
+    * is (vec_id: Long, embedding: array<float>), the embeddings-table
+    * shape.
+    */
+  private[graft] def embeddingAdmitBatch(batch: DataFrame, batchId: Long,
+                                         indexPath: String, outPath: String,
+                                         tau: Double,
+                                         compactEvery: Int = 0,
+                                         crashBeforeExtend: Boolean = false,
+                                         funnelLogPath: Option[String] = None): Unit = {
+    import graft.operators.AnnIndex
+    graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
+      val q = graft.operators.Embeddings.quantized(batch)
+      // within-batch exact collapse (the media loop's rule): identical
+      // quantized vectors keep the smallest vec_id; within-batch NEAR
+      // dups below the exact bar are admitted together by design —
+      // batch boundaries must not change which near-dups a corpus keeps
+      val keepers = q.groupBy("qv").agg(min("vec_id").as("vec_id"))
+        .select("vec_id")
+      val kept = q.join(keepers, Seq("vec_id"), "left_semi")
+      // quantized verdict vs the committed codes: code-tuple collision
+      // (deterministic — an exact re-crawl always matches) plus the
+      // ADC near-dup extension at the measured tau (see
+      // AnnIndex.matchedIds for why collision is the primary rule)
+      val admitted = kept
+        .join(AnnIndex.matchedIds(kept, indexPath, tau),
+          Seq("vec_id"), "left_anti")
+        .select("vec_id")
+        .join(batch, Seq("vec_id"))
+        .persist()
+      try {
+        val n = admitted.count()
+        // id-collision guard: an admitted row is novel CONTENT — if its
+        // vec_id already exists in the index, extending would
+        // latest-wins OVERWRITE committed codes (the media loop's rule)
+        val collisions = admitted.select("vec_id")
+          .join(AnnIndex.codes(batch.sparkSession, indexPath)
+            .select("vec_id"), Seq("vec_id"), "left_semi")
+          .count()
+        require(collisions == 0L,
+          s"embeddingAdmitBatch(batch $batchId): $collisions admitted " +
+            "vec_id(s) already exist in the index with DIFFERENT content — " +
+            "id re-use would overwrite committed codes; fix the crawl's id " +
+            "assignment (or retract the old ids first)")
+        if (n > 0) {
+          // corpus append FIRST, index extend SECOND — the shared
+          // restart-safety ordering (see curationAdmitBatch)
+          admitted.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+          if (crashBeforeExtend) throw new RuntimeException(
+            "test failpoint: crashed between corpus append and index extend")
+          AnnIndex.extend(admitted, indexPath, buildV = batchId + 1)
+        }
+        funnelLogPath.foreach { lp =>
+          graft.operators.AdmissionLog.append(batch.sparkSession, lp,
+            "embedding", batchId, Seq(
+              "1_arrived" -> batch.count(),
+              "2_batch_distinct" -> kept.count(),
+              "3_admitted" -> n))
+        }
+      } finally admitted.unpersist()
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        graft.operators.Artifacts.maintainAll(batch.sparkSession, indexPath)
+    }
+  }
+
   /** Streaming BPE encode against the COMMITTED tokenizer
     * ([[graft.operators.TextOps.commitBpe]]): the k learned merges are
     * plan literals chained as greedy folds — a stateless zero-shuffle

@@ -1660,6 +1660,73 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("EMBEDDING admission loop: quantized verdicts vs committed codes, within-batch collapse, remember across batches (r11)") {
+    import spark.implicits._
+    import graft.operators.{AnnIndex, Embeddings}
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-admit").toString
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val byId = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .toMap
+    AnnIndex.build(emb.filter(col("vec_id") < 350L), s"$dir/index") // ids 0..499 at sf0.001
+    def arrivals(rows: Seq[(Long, Long)]) = // (new id, content id)
+      rows.map { case (id, cid) => (id, byId(cid)) }.toDF("vec_id", "embedding")
+    // calibrate tau on the ADC scale THIS corpus + quantizer produce: a
+    // re-crawled vector's self-ADC (cos of the vector against its own
+    // PQ reconstruction — per-content, ~0.51..0.84 here) must separate
+    // from novel arrivals' best candidate (noise ceiling ~0.43). The
+    // margin is thin for the worst contents, which is exactly why tau
+    // is MEASURED per corpus+quantizer (the C84 lesson on the ADC
+    // scale): min self-ADC over a dup probe set, midpoint with the
+    // noise ceiling — separation asserted, never assumed.
+    val novelIds = (350L until 400L).map(i => (i, i))
+    val calib = Seq((9001L, 7L), (9002L, 100L), (9003L, 200L), (9004L, 300L))
+    val best0 = AnnIndex.adcScored(
+        Embeddings.quantized(arrivals(novelIds ++ calib)), s"$dir/index")
+      .groupBy("q_id").agg(max("approx_cos").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dupMin = calib.map(c => best0(c._1)).min
+    val noiseMax = best0.filter(_._1 < 9000L).values.max
+    assert(dupMin > noiseMax,
+      s"worst self-ADC $dupMin must separate from noise max $noiseMax")
+    val tau = (dupMin + noiseMax) / 2
+    // batch 0: 50 novel + a re-crawl of seed 7 (rejected) + an exact
+    // within-batch pair of novel content 450 (one admitted)
+    EventStream.embeddingAdmitBatch(
+      arrivals(novelIds ++ Seq((9001L, 7L), (9011L, 450L), (9012L, 450L))),
+      0L, s"$dir/index", s"$dir/out", tau,
+      funnelLogPath = Some(s"$dir/funnel"))
+    val out0 = spark.read.parquet(s"$dir/out").collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(!out0.contains(9001L), "the seed re-crawl must be rejected")
+    assert(out0.contains(9011L) && !out0.contains(9012L),
+      "within-batch exact dups collapse to the smallest id")
+    assert((350L until 400L).forall(out0.contains), "novel vectors admit")
+    // batch 1: a re-crawl of batch 0's admission 420 is rejected (the
+    // loop remembers through the ARTIFACT), novel 460 admits
+    EventStream.embeddingAdmitBatch(
+      arrivals(Seq((9100L, 370L), (9101L, 460L))),
+      1L, s"$dir/index", s"$dir/out", tau,
+      funnelLogPath = Some(s"$dir/funnel"))
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("batch_id"))).toSet
+    assert(!out.exists(_._1 == 9100L),
+      "a re-crawl of a prior batch's admission must be rejected")
+    assert(out.contains((9101L, 1L)))
+    // funnel evidence for both batches
+    val fu = graft.operators.AdmissionLog.read(spark, s"$dir/funnel")
+      .collect().map(r => (r.getLong(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(fu((0L, "1_arrived")) == 53L && fu((0L, "2_batch_distinct")) == 52L
+      && fu((0L, "3_admitted")) == 51L, s"batch-0 funnel: $fu")
+    assert(fu((1L, "3_admitted")) == 1L)
+    // id-collision guard: novel content under an existing index id fails
+    val err = intercept[IllegalArgumentException] {
+      EventStream.embeddingAdmitBatch(arrivals(Seq((370L, 470L))), 9L,
+        s"$dir/index", s"$dir/out", tau)
+    }
+    assert(err.getMessage.contains("id re-use"), err.getMessage)
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("streaming MEDIA admission: within-batch collapse, remember across batches, takedown re-opens mid-stream (r11)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
