@@ -180,7 +180,7 @@ object ScaleAudit {
     // query of their own; anything else unknown is a typo and must fail
     // LOUDLY — a silently-dropped name would print "0 violations" for a
     // benchmark that never ran
-    val pseudoNames = Set("admission_loop", "media_admission_loop", "hotkey_dewindow", "bpe_vocab_loop")
+    val pseudoNames = Set("admission_loop", "media_admission_loop", "embedding_admission_loop", "hotkey_dewindow", "bpe_vocab_loop")
     val unknown = names.filterNot(n =>
       SparkEntry.queries.contains(n) || pseudoNames.contains(n))
     if (unknown.nonEmpty) {
@@ -929,6 +929,69 @@ object ScaleAudit {
         f"media admission batch cost grew with INDEX size: $tSmallIx%.2fs -> $tBigIx%.2fs")
       loadFlag(tBigBatch > math.max(16.0 * tBigIx, tBigIx + 30.0),
         f"media admission batch cost superlinear in BATCH size: $tBigIx%.2fs -> $tBigBatch%.2fs for 8x payloads")
+    }
+
+    // EMBEDDING admission loop end to end (round-11, the media lens's
+    // sibling over AnnIndex): pin per-batch wall time flat in INDEX
+    // size and scan-shaped in BATCH size. Vectors are full-id-keyed
+    // deterministic pseudo-random floats (salted per corpus so small
+    // index, big index and arrivals occupy independent content), so
+    // arrivals are genuinely novel — up to the PQ sketch's resolution:
+    // a random arrival can legitimately land on a committed code tuple
+    // (16^(1+PqM) cells), so the lens tolerates a small collision-
+    // reject rate instead of requiring 100% admission.
+    if (names.contains("embedding_admission_loop") || names == defaultQueries) {
+      import graft.operators.AnnIndex
+      import graft.streaming.EventStream
+      GraftCache.releaseAll(spark)
+      val work = java.nio.file.Files.createTempDirectory("graft-scale-embadmit").toString
+      def synth(salt: Int, from: Long, n: Long): org.apache.spark.sql.DataFrame =
+        spark.range(from, from + n, 1L, 32).toDF("vec_id")
+          .select(col("vec_id"),
+            transform(sequence(lit(0), lit(63)),
+              j => ((pmod(hash(lit(salt), col("vec_id"), j), lit(1000)) - lit(500))
+                .cast("float") / lit(250.0f))).as("embedding"))
+      def buildIx(tag: String, salt: Int, n: Long): String = {
+        val p = s"$work/eix_$tag"
+        AnnIndex.build(synth(salt, 0L, n), p) // ids 0.. so k-means init has its seed rows
+        p
+      }
+      val ixSmall = buildIx("small", 11, 400L)
+      val ixBig = buildIx("big", 22, 4000L)
+      def admit(ix: String, salt: Int, from: Long, n: Long, id: Long): (Double, Long, Long) = {
+        // persist + count BEFORE the timer (the media lens rule): the
+        // timed section must be the admit/extend path, not synthesis
+        val batch = synth(salt, from, n).persist()
+        val nIn = batch.count()
+        val outP = s"$work/eout_${ix.split('_').last}_$id"
+        val t0 = System.nanoTime()
+        EventStream.embeddingAdmitBatch(batch, id, ix, outP, tau = 2.0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        batch.unpersist()
+        val admitted =
+          if (new java.io.File(outP).exists()) spark.read.parquet(outP).count()
+          else 0L
+        (sec, nIn, admitted)
+      }
+      val b = 200L
+      admit(ixSmall, 33, 30000000L, b, 100L) // warm (JIT + codegen)
+      val (tSmallIx, n1, a1) = admit(ixSmall, 34, 31000000L, b, 101L)
+      admit(ixBig, 35, 32000000L, b, 200L)
+      val (tBigIx, n2, a2) = admit(ixBig, 36, 33000000L, b, 201L)
+      val (tBigBatch, n3, a3) = admit(ixBig, 37, 34000000L, 8L * b, 202L)
+      println(f"[scale] embedding admission loop: B=$b%d  small-ix $tSmallIx%.2fs  " +
+        f"big-ix $tBigIx%.2fs  8B-big-ix $tBigBatch%.2fs  " +
+        f"admitted $a1%d/$n1%d $a2%d/$n2%d $a3%d/$n3%d")
+      if (a1 * 10 < n1 * 9 || a2 * 10 < n2 * 9 || a3 * 10 < n3 * 9) {
+        bad += 1
+        println(s"[scale] FAIL embedding admission lens: too few novel vectors " +
+          s"admitted ($a1/$n1, $a2/$n2, $a3/$n3) — beyond sketch-resolution " +
+          "collisions; the lens is no longer timing the admit/extend path")
+      }
+      loadFlag(tBigIx > math.max(3.0 * tSmallIx, tSmallIx + 10.0),
+        f"embedding admission batch cost grew with INDEX size: $tSmallIx%.2fs -> $tBigIx%.2fs")
+      loadFlag(tBigBatch > math.max(16.0 * tBigIx, tBigIx + 30.0),
+        f"embedding admission batch cost superlinear in BATCH size: $tBigIx%.2fs -> $tBigBatch%.2fs for 8x payloads")
     }
 
     // Hot-key lens for the two round-11 de-windows (C1 dedupExact, A1
