@@ -1727,6 +1727,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("embedding admission replay: a crash between corpus append and index extend recovers, loses nothing (r11)") {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-replay").toString
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val byId = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    AnnIndex.build(emb.filter(col("vec_id") < 350L), s"$dir/index")
+    def arrivals(rows: Seq[(Long, Long)]) =
+      rows.map { case (id, cid) => (id, byId(cid)) }.toDF("vec_id", "embedding")
+    // collision-only verdicts (tau > 1): deterministic at any margin
+    EventStream.embeddingAdmitBatch(arrivals(Seq((401L, 401L))), 0L,
+      s"$dir/index", s"$dir/out", tau = 2.0)
+    intercept[RuntimeException] {
+      EventStream.embeddingAdmitBatch(
+        arrivals(Seq((9100L, 401L), (410L, 410L))), 1L,
+        s"$dir/index", s"$dir/out", tau = 2.0, crashBeforeExtend = true)
+    }
+    // the ordering's crash state: 410's append landed, its extend did not
+    val crashed = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("batch_id")))
+    assert(crashed.count(_ == ((410L, 1L))) == 1,
+      s"410's append lands before the crash: ${crashed.toSeq}")
+    assert(!AnnIndex.codes(spark, s"$dir/index").collect()
+      .exists(_.getLong(0) == 410L), "the extend must NOT have happened yet")
+    // the streaming restart replays the SAME micro-batch id
+    EventStream.embeddingAdmitBatch(
+      arrivals(Seq((9100L, 401L), (410L, 410L))), 1L,
+      s"$dir/index", s"$dir/out", tau = 2.0)
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("batch_id")))
+    assert(out.toSet == Set((401L, 0L), (410L, 1L)),
+      s"replay adds no NEW (batch_id, vec_id) pairs and keeps rejecting " +
+        s"the 401-content re-crawl: ${out.toSeq}")
+    assert(out.count(_ == ((410L, 1L))) == 2,
+      "the replay's only artifact duplicates the same provenance key " +
+        "(at-least-once; consumers dedup by (batch_id, vec_id))")
+    // converged: both admissions indexed exactly once
+    val idx = AnnIndex.codes(spark, s"$dir/index").collect()
+      .map(_.getLong(0)).filter(id => id == 401L || id == 410L)
+    assert(idx.sorted.toSeq == Seq(401L, 410L))
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("streaming MEDIA admission: within-batch collapse, remember across batches, takedown re-opens mid-stream (r11)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
