@@ -159,9 +159,13 @@ object AnnIndex {
     *    lossy), but the tuple equality cannot miss an exact re-crawl.
     *  - ADC ≥ `tau` (near-dup extension): neighbors above the measured
     *    ADC operating point also match; pass a tau above the ADC range
-    *    (> 1) to disable.
-    * Both rules are keyed joins against the codes table — batch-sized
-    * probe, bucket-prunable index side, no corpus scan.
+    *    (> 1) to disable — the branch is then NOT BUILT at all (the ADC
+    *    pass is a per-batch scan of the corpus-proportional codes
+    *    table; dead work at production index sizes, r11 review).
+    * Both rules are keyed equi-joins with a broadcastable batch-sized
+    * probe side; the index side is one pass over the codes table (the
+    * compressed scan body — codes bucket by vec_id, so neither join is
+    * bucket-pruned; pruning is the point-lookup/takedown axis).
     */
   private[graft] def matchedIds(probes: DataFrame, path: String,
                                 tau: Double): DataFrame = {
@@ -173,11 +177,14 @@ object AnnIndex {
     val collided = arrCodes
       .join(codes(spark, path), codeCols, "left_semi")
       .select("vec_id")
-    val near = adcScored(probes, path)
-      .groupBy("q_id").agg(max("approx_cos").as("b"))
-      .filter(col("b") >= tau)
-      .select(col("q_id").as("vec_id"))
-    collided.unionByName(near).distinct()
+    if (tau > 1.0) collided.distinct()
+    else {
+      val near = adcScored(probes, path)
+        .groupBy("q_id").agg(max("approx_cos").as("b"))
+        .filter(col("b") >= tau)
+        .select(col("q_id").as("vec_id"))
+      collided.unionByName(near).distinct()
+    }
   }
 
   /** Takedown — the compliance op that completes the vector artifact's

@@ -46,9 +46,14 @@ object Artifacts {
   def discover(spark: SparkSession, root: String): Seq[String] =
     VersionedTable.discover(spark, root)
 
+  /** `minAgeMs` defaults to vacuumVersioned's own 1-hour guard — the
+    * concurrency claim above DEPENDS on it (a cutoff of now would
+    * reclaim a live writer's staged-but-unpublished dirs); pass 0 only
+    * from tests / offline maintenance where no writer can be live.
+    */
   def maintainAll(spark: SparkSession, root: String,
                   maxFilesPerBucket: Int = 1, keepVersions: Int = 8,
-                  minAgeMs: Long = 0L): Seq[MaintainReport] =
+                  minAgeMs: Long = 3600000L): Seq[MaintainReport] =
     discover(spark, root).map { t =>
       val before = VersionedTable.versionCount(spark, t)
       VersionedTable.compact(spark, t, maxFilesPerBucket)

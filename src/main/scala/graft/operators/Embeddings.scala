@@ -351,21 +351,32 @@ object Embeddings {
                                            d: String): DataFrame =
     marginCalibrationServed(Tables.embeddings(s, d), tempAnnIndexDir(s, d))
 
-  /** The session's committed production index over `d`'s embeddings —
-    * built ONCE per (session, corpus) into a temp dir (the memoized
-    * temp-artifact convention) and shared by every committed-serve
-    * registered query (C84c's served calibration, C86b's artifact
-    * occupancy), so the oracle gate exercises the real build→load
-    * path without retraining per query.
+  /** The committed production index over `d`'s embeddings, shared by
+    * every committed-serve registered query (C84c's served calibration,
+    * C86b's artifact occupancy). The dir is DETERMINISTIC — keyed by
+    * the corpus path plus a cheap file fingerprint (length + mtime of
+    * the embeddings parquet) — and the build is skipped when the index
+    * is already committed there: a memoArtifact entry would be dropped
+    * by the releaseAll between Verify's queries, re-training and
+    * leaking a fresh corpus-proportional temp dir per query (r11
+    * review). Deterministic training makes reuse exact; a regenerated
+    * corpus changes the fingerprint and gets a fresh dir.
     */
   private[graft] def tempAnnIndexDir(s: SparkSession, d: String): String = {
-    val dirDf = GraftCache.memoArtifact(s, ("ann_index_temp", d)) {
-      import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft-temp-ann").toString
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    def sig(x: java.io.File): String =
+      if (x.isDirectory)
+        x.listFiles().sortBy(_.getName).map(sig).mkString(",")
+      else s"${x.getName}:${x.length}:${x.lastModified}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|${sig(f)}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-temp-ann-$key").getAbsolutePath
+    if (graft.sources.Sinks.VersionedTable
+        .latestManifest(s, s"$dir/codes").isEmpty)
       graft.operators.AnnIndex.build(Tables.embeddings(s, d), dir)
-      Seq(dir).toDF("dir")
-    }
-    dirDf.collect()(0).getString(0)
+    dir
   }
 
   /** The shared fixed-width reliability binning over any planted pair
@@ -519,13 +530,21 @@ object Embeddings {
   }
 
   /** The committed operating point: (bin, width, k). The threshold
-    * VALUE is `bin * width` with the COMMITTED width. */
+    * VALUE is `bin * width` with the COMMITTED width. A pre-r11
+    * artifact carries only the bin; its calibration ran at the then-
+    * hardcoded defaults (width 0.05, k = MarginK), so those ARE its
+    * context — read them back explicitly instead of failing the load
+    * (migration: recommit to persist them).
+    */
   def loadMarginThreshold(spark: SparkSession,
                           path: String): (Long, Double, Int) = {
-    val r = graft.sources.Sinks.VersionedTable
+    val df = graft.sources.Sinks.VersionedTable
       .read(spark, s"$path/margin_threshold")
-      .select("bin", "width", "k").head()
-    (r.getLong(0), r.getDouble(1), r.getLong(2).toInt)
+    val hasCtx = df.columns.contains("width") && df.columns.contains("k")
+    if (hasCtx) {
+      val r = df.select("bin", "width", "k").head()
+      (r.getLong(0), r.getDouble(1), r.getLong(2).toInt)
+    } else (df.select("bin").head().getLong(0), 0.05, MarginK)
   }
 
   def loadMarginThresholdBin(spark: SparkSession, path: String): Long =

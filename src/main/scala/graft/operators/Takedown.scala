@@ -60,9 +60,14 @@ final case class TakedownReceipt(
   * a compliance JOB (replay must no-op, hence the jobId guard); this is
   * micro-batch telemetry under the loops' documented AT-LEAST-ONCE
   * contract — a replayed batch re-files rows for the same batch_id and
-  * consumers dedup by (loop, batch_id, stage), exactly as they already
-  * dedup the verdict/corpus rows by (batch_id, doc_id). Counts are
-  * deterministic per batch, so replayed rows are byte-identical.
+  * consumers resolve by (loop, batch_id, stage), exactly as they
+  * already dedup the verdict/corpus rows by (batch_id, doc_id). Gate
+  * counts are deterministic per batch; the ADMITTED stage is NOT under
+  * replay — a batch whose effects landed before the crash re-serves
+  * against an index already holding its own admissions and re-admits
+  * fewer (possibly zero). A replay can therefore only UNDER-count
+  * admissions, so the per-key resolution rule is MAX ([[rollup]]) —
+  * the original attempt's count is the true one.
   */
 object AdmissionLog {
 
@@ -83,17 +88,19 @@ object AdmissionLog {
   def read(spark: SparkSession, logPath: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(logPath)
 
-  /** The compliance rollup a dashboard actually reads: replay-deduped
-    * on the ledger's (loop, batch_id, stage) key FIRST (the documented
-    * consumer discipline — at-least-once refiles are byte-identical, so
-    * dropDuplicates is exact), then one bounded agg per (loop, stage):
-    * batches seen and total rows through. Ledger-sized input, stage-
-    * catalog-sized output — safe at any cadence.
+  /** The compliance rollup a dashboard actually reads: replays resolve
+    * per (loop, batch_id, stage) by MAX first — deterministic, and
+    * correct because gate counts are replay-invariant while a replayed
+    * batch can only UNDER-count its admissions (its own prior
+    * admissions now reject; see the header) — then one bounded agg per
+    * (loop, stage): batches seen and total rows through. Ledger-sized
+    * input, stage-catalog-sized output — safe at any cadence.
     */
   def rollup(spark: SparkSession, logPath: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     read(spark, logPath)
-      .dropDuplicates("loop", "batch_id", "stage")
+      .groupBy("loop", "batch_id", "stage")
+      .agg(max("n").as("n"))
       .groupBy("loop", "stage")
       .agg(count(lit(1)).as("n_batches"), sum("n").as("total"))
   }
@@ -117,11 +124,25 @@ object TakedownLog {
       .write.mode("append").parquet(logPath)
   }
 
-  /** The jobIds already filed — the ledger is takedown-count-sized. */
-  def filedJobs(spark: SparkSession, logPath: String): Set[String] =
-    try read(spark, logPath).select("job_id")
-      .distinct().collect().map(_.getString(0)).toSet
-    catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
+  /** The jobIds already filed — the ledger is takedown-count-sized. An
+    * ABSENT ledger is the empty set (first filing); an existing ledger
+    * without the job_id column (pre-guard schema) REFUSES instead of
+    * silently disabling the guard — a rerun against such a ledger would
+    * double-file, the exact bug the guard exists to stop.
+    */
+  def filedJobs(spark: SparkSession, logPath: String): Set[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(new org.apache.hadoop.fs.Path(logPath)
+        .toUri.getScheme match { case null => "file:///" case s => s + ":///" }),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(logPath))) return Set.empty
+    val df = read(spark, logPath)
+    require(df.columns.contains("job_id"),
+      s"TakedownLog at $logPath predates the jobId replay guard (no job_id " +
+        "column) — migrate the ledger (backfill a job_id) before appending; " +
+        "proceeding would silently disable replay protection")
+    df.select("job_id").distinct().collect().map(_.getString(0)).toSet
+  }
 
   def read(spark: SparkSession, logPath: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(logPath)

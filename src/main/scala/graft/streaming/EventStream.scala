@@ -1128,6 +1128,17 @@ object EventStream {
               EvalRegistry.load(batch.sparkSession, rp))
               .filter(col("keep")).select("doc_id"), "doc_id")
       }
+      // funnel gate counts are taken BEFORE the batch's effects so the
+      // filed evidence describes exactly the frames the verdicts used
+      // (counting after the effects leaves a window where concurrent
+      // artifact commits could make the funnel internally inconsistent;
+      // r11 review)
+      val funnelGates = funnelLogPath.map { _ =>
+        val nPre = preDecon.count()
+        // without a registry, gated eq preDecon - don't re-scan for it
+        val nGated = if (registryPath.isEmpty) nPre else gated.count()
+        (batch.count(), nPre, nGated)
+      }
       // the artifact is re-read EVERY batch on purpose: earlier
       // batches' admissions must be visible to this one
       val verdicts = DedupIndex.serve(gated.select("doc_id", "text"), indexPath)
@@ -1152,12 +1163,10 @@ object EventStream {
         // re-run the gate chain's scans, so the knob is opt-in; at
         // micro-batch sizes the cost is the batch, not the corpus.
         funnelLogPath.foreach { lp =>
-          val nPre = preDecon.count()
-          // without a registry, gated eq preDecon - don't re-scan for it
-          val nGated = if (registryPath.isEmpty) nPre else gated.count()
+          val (nArrived, nPre, nGated) = funnelGates.get
           graft.operators.AdmissionLog.append(batch.sparkSession, lp,
             "curation", batchId, Seq(
-              "1_arrived" -> batch.count(),
+              "1_arrived" -> nArrived,
               "2_quality_dsir_kept" -> nPre,
               "3_decontaminated_kept" -> nGated,
               "4_admitted" -> n))
@@ -1370,6 +1379,18 @@ object EventStream {
     import graft.operators.AnnIndex
     graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
       val q = graft.operators.Embeddings.quantized(batch)
+      // vec_id is the batch's identity contract: a duplicated id (same
+      // or different content) would cross-multiply through the verdict
+      // joins (assign x encode keyed on vec_id -> hybrid code tuples)
+      // and append conflicting corpus rows under one id — refuse loudly
+      // (the media loop's id discipline, applied within-batch; r11
+      // review)
+      val dupIds = q.groupBy("vec_id")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+      require(dupIds == 0L,
+        s"embeddingAdmitBatch(batch $batchId): $dupIds vec_id(s) appear more " +
+          "than once in the batch — ids must be unique per batch; collapse " +
+          "duplicates upstream")
       // within-batch exact collapse (the media loop's rule): identical
       // quantized vectors keep the smallest vec_id; within-batch NEAR
       // dups below the exact bar are admitted together by design —

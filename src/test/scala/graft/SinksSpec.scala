@@ -653,7 +653,9 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
       s"discover missed bundle sub-tables: $found")
     assert(!found.exists(_.contains("loose")),
       s"loose parquet must not be discovered as a table: $found")
-    val reports = Artifacts.maintainAll(spark, root, keepVersions = 2)
+    // minAgeMs = 0 is the no-live-writer testing mode; the default (1h)
+    // is the concurrent-writer guard and would keep fresh versions here
+    val reports = Artifacts.maintainAll(spark, root, keepVersions = 2, minAgeMs = 0L)
     assert(reports.map(_.table).sorted == found.sorted,
       "one receipt row per discovered table")
     // retention bound holds on every table (t1 had 5 versions)
@@ -675,7 +677,7 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(TextOps.loadBpeVocab(spark, s"$root/bundle").collect()
       .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq == vocabBefore)
     // idempotent: a second sweep is a version no-op (nothing fragmented)
-    val again = Artifacts.maintainAll(spark, root, keepVersions = 2)
+    val again = Artifacts.maintainAll(spark, root, keepVersions = 2, minAgeMs = 0L)
     assert(again.forall(r => r.versionsAfter <= 3))
   }
 

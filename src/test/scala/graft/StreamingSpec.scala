@@ -1724,6 +1724,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$dir/index", s"$dir/out", tau)
     }
     assert(err.getMessage.contains("id re-use"), err.getMessage)
+    // within-batch id discipline: a duplicated vec_id (any content)
+    // would cross-multiply through the verdict joins — refused loudly
+    val err2 = intercept[IllegalArgumentException] {
+      EventStream.embeddingAdmitBatch(
+        arrivals(Seq((9500L, 480L), (9500L, 481L))), 10L,
+        s"$dir/index", s"$dir/out", tau)
+    }
+    assert(err2.getMessage.contains("unique per batch"), err2.getMessage)
     graft.GraftCache.releaseAll(spark)
   }
 
