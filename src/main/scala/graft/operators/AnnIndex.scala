@@ -42,18 +42,39 @@ object AnnIndex {
 
   private def codebooksPath(path: String) = s"$path/codebooks"
   private def codesPath(path: String) = s"$path/codes"
+  private def vectorsPath(path: String) = s"$path/vectors"
 
   /** Train (memoized, deterministic) and COMMIT the IVF-PQ index for
     * `embeddings` as version `buildV`. Re-running with the same corpus
     * and a higher buildV commits an identical index as a new version —
     * the idempotent-rebuild property streaming replays rely on.
     */
-  def build(embeddings: DataFrame, path: String, buildV: Long = 0L): Unit = {
+  /** `storeVectors` opts into the Faiss IndexRefine split: the exact
+    * (vec_id, qv, nrm) rows persist as a third sub-table, so serving
+    * ([[serveWith]]) and rebuilds ([[rebalance]]) are SELF-CONTAINED —
+    * no caller-supplied corpus frame — at the storage cost the
+    * deployment chooses (~16× the codes table). Off by default: the
+    * compressed-codes-only layout is the 100 TB regime.
+    */
+  def build(embeddings: DataFrame, path: String, buildV: Long = 0L,
+            storeVectors: Boolean = false): Unit = {
     val spark = embeddings.sparkSession
     val q = Embeddings.quantized(embeddings)
     q.count() // materialize once under the five trainings
     val coarse = Embeddings.kmeansCodebook(q)
     val cbs = Embeddings.pqCodebooks(q)
+    commitTrained(spark, path, q, coarse, cbs, buildV)
+    if (storeVectors)
+      VersionedTable.mergeUpsert(spark, vectorsPath(path),
+        q.withColumn("build_v", lit(buildV)),
+        Seq("vec_id"), "build_v", numBuckets = 16)
+  }
+
+  /** Commit (codebooks, codes-from-assignment) as version `buildV` —
+    * shared by [[build]] and [[rebalance]]. */
+  private def commitTrained(spark: SparkSession, path: String, q: DataFrame,
+                            coarse: DataFrame, cbs: Seq[DataFrame],
+                            buildV: Long): Unit = {
     val codebooks = (coarse.withColumn("kind", lit("coarse")) +:
       cbs.zipWithIndex.map { case (cb, m) => cb.withColumn("kind", lit(s"pq$m")) })
       .reduce(_.unionByName(_))
@@ -67,6 +88,16 @@ object AnnIndex {
     VersionedTable.mergeUpsert(spark, codesPath(path), codes,
       Seq("vec_id"), "build_v", numBuckets = 16)
   }
+
+  /** True iff the index stores exact vectors (the IndexRefine split). */
+  def hasVectors(spark: SparkSession, path: String): Boolean =
+    VersionedTable.latestManifest(spark, vectorsPath(path)).isDefined
+
+  /** The committed exact vectors (vec_id, qv, nrm) at the latest
+    * version — present only when built/extended with `storeVectors`. */
+  def vectors(spark: SparkSession, path: String): DataFrame =
+    VersionedTable.read(spark, vectorsPath(path))
+      .select("vec_id", "qv", "nrm")
 
   /** Incremental ingest — the append-codes-continuously half of the
     * regime the layout was designed for (build codebooks rarely, append
@@ -93,6 +124,12 @@ object AnnIndex {
       .withColumn("build_v", lit(buildV))
     VersionedTable.mergeUpsert(spark, codesPath(path), codes,
       Seq("vec_id"), "build_v", numBuckets = 16)
+    // an IndexRefine-split index keeps its vectors COMPLETE: a code row
+    // without its exact twin would silently degrade serveWith/rebalance
+    if (hasVectors(spark, path))
+      VersionedTable.mergeUpsert(spark, vectorsPath(path),
+        q.withColumn("build_v", lit(buildV)),
+        Seq("vec_id"), "build_v", numBuckets = 16)
   }
 
   /** The loaded model artifact: coarse codebook rows plus per-subspace
@@ -134,6 +171,39 @@ object AnnIndex {
         all.filter(col("kind") === s"pq$m").select("c_id", "cqv", "cnrm")))
   }
 
+  /** SELF-CONTAINED serve — the IndexRefine composition: explicit probe
+    * rows (vec_id, embedding) route, ADC-shortlist against the
+    * committed codes, and exact-rescore against the committed VECTORS
+    * sub-table — no caller-supplied corpus frame anywhere ([[serve]]
+    * needs one because codes are lossy; this is what `storeVectors`
+    * buys). Output schema matches [[serve]]: (q_id, n_id, cos, rn).
+    * Probe side is batch-sized and broadcast; the vectors join is keyed
+    * on the shortlist's n_ids.
+    */
+  def serveWith(probes: DataFrame, path: String): DataFrame = {
+    val spark = probes.sparkSession
+    require(hasVectors(spark, path),
+      s"AnnIndex.serveWith: no vectors sub-table at $path — build/extend " +
+        "with storeVectors = true, or use serve(corpusFrame, path)")
+    val q = Embeddings.quantized(probes)
+    val shortlist = adcScored(q, path)
+      .groupBy("q_id")
+      .agg(Exprs.maxKScored(col("approx_cos"), col("n_id"), RefineK).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("n_id"))
+    val probeVecs = q.select(col("vec_id").as("q_id"),
+      col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val rescored = shortlist
+      .join(broadcast(probeVecs), "q_id")
+      .join(vectors(spark, path)
+        .select(col("vec_id").as("n_id"), col("qv"), col("nrm")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        (Exprs.dotLong(col("q_qv"), col("qv")).cast("double") /
+          (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double"))))
+          .as("cos"))
+    Embeddings.topKByCos(rescored)
+  }
+
   /** C86b: per-list occupancy of the COMMITTED codes table — the
     * balance diagnostic of the index a deployment actually serves from,
     * where [[Embeddings.ivfOccupancy]] (C86) measures an in-session
@@ -147,6 +217,51 @@ object AnnIndex {
   def occupancy(spark: SparkSession, path: String): DataFrame =
     Embeddings.occupancyOf(loadCodebookFrames(spark, path)._1,
       codes(spark, path))
+
+  /** Occupancy-triggered REBALANCE — the diagnostic-to-action loop over
+    * [[occupancy]]: when the committed lists skew past `maxLoadPct`
+    * (percent of fair share; 100 = balanced, NumCentroids·100 = one
+    * mega-list), retrain the coarse + subspace codebooks FROM THE
+    * STORED VECTORS and re-encode every code row, committed as one new
+    * version (serves are snapshot-isolated across it). Returns true iff
+    * a rebuild shipped. Requires the IndexRefine split — codes are
+    * lossy, retraining from them would compound quantization error.
+    *
+    * Training init detail: the in-session trainer seeds k-means from
+    * the literal vec_ids < NumCentroids, which takedowns may have
+    * REMOVED from a long-lived artifact — so the stored corpus is
+    * remapped for training only (the k smallest surviving ids become
+    * dense train ids 0..k−1, everything else shifts above k), keeping
+    * the committed c_ids contiguous, which every loader requires.
+    * Assignments and codes are computed on the ORIGINAL ids.
+    */
+  def rebalance(spark: SparkSession, path: String, buildV: Long,
+                maxLoadPct: Long = 400L): Boolean = {
+    val worst = occupancy(spark, path)
+      .agg(max("load_pct").as("m")).head().getLong(0)
+    if (worst <= maxLoadPct) return false
+    require(hasVectors(spark, path),
+      s"AnnIndex.rebalance: lists at $path skew to $worst% of fair share " +
+        "but there is no vectors sub-table to retrain from — rebuild from " +
+        "the source corpus (build with storeVectors = true to enable this)")
+    val q0 = graft.GraftCache.persistTracked(vectors(spark, path))
+    val chosen = q0.select("vec_id").orderBy("vec_id")
+      .limit(NumCentroids).collect().map(_.getLong(0))
+    require(chosen.length == NumCentroids,
+      s"AnnIndex.rebalance: only ${chosen.length} vectors remain (< " +
+        s"$NumCentroids centroids)")
+    val off = chosen.max + NumCentroids + 1L
+    val mapped = chosen.zipWithIndex.foldLeft(col("vec_id") + lit(off)) {
+      case (acc, (id, dense)) =>
+        when(col("vec_id") === lit(id), lit(dense.toLong)).otherwise(acc)
+    }
+    val qTrain = q0.select(mapped.as("vec_id"), col("qv"), col("nrm"))
+    qTrain.count()
+    val coarse = Embeddings.kmeansCodebook(qTrain)
+    val cbs = Embeddings.pqCodebooks(qTrain)
+    commitTrained(spark, path, q0, coarse, cbs, buildV)
+    true
+  }
 
   /** Quantized re-crawl verdict for explicit probe vectors — the probe
     * ids that MATCH committed content, by two rules:
@@ -214,27 +329,32 @@ object AnnIndex {
     // prune only under a verified bucket contract; a legacy table (no
     // recorded contract — same vec_id bucketing, but unprovable from
     // the manifest) takes the full-snapshot rewrite: slower, never wrong
-    val receipt =
-      if (VersionedTable.storedBucketKeys(spark, codesPath(path))
+    def retractSub(sub: String, name: String): TakedownReceipt =
+      if (VersionedTable.storedBucketKeys(spark, sub)
           .contains(Seq("vec_id"))) {
-        val nb = VersionedTable.storedNumBuckets(spark, codesPath(path)).getOrElse(16)
+        val nb = VersionedTable.storedNumBuckets(spark, sub).getOrElse(16)
         val touched = idDf
           .select(pmod(hash(col("vec_id")), lit(nb)).as("bk"))
           .distinct().collect().map(_.getInt(0)).toIndexedSeq
-        Takedown.receipted(spark, path, codesPath(path), "codes", ids.size,
+        Takedown.receipted(spark, path, sub, name, ids.size,
           hit, Some(touched)) {
-          VersionedTable.replaceBuckets(spark, codesPath(path), Seq("vec_id"), touched) {
+          VersionedTable.replaceBuckets(spark, sub, Seq("vec_id"), touched) {
             slice => slice.filter(!col("vec_id").isInCollection(ids))
           }
         }
       } else
-        Takedown.receipted(spark, path, codesPath(path), "codes", ids.size,
+        Takedown.receipted(spark, path, sub, name, ids.size,
           hit, None) {
-          VersionedTable.replaceAll(spark, codesPath(path), Seq("vec_id")) {
+          VersionedTable.replaceAll(spark, sub, Seq("vec_id")) {
             snap => snap.filter(!col("vec_id").isInCollection(ids))
           }
         }
-    Seq(receipt)
+    // the EXACT vectors sub-table is CONTENT in the strongest sense — a
+    // takedown that dropped only the lossy codes but kept raw vectors
+    // would not be a takedown at all (r11, the IndexRefine split)
+    val subs = Seq(codesPath(path) -> "codes") ++
+      (if (hasVectors(spark, path)) Seq(vectorsPath(path) -> "vectors") else Nil)
+    subs.map { case (sub, name) => retractSub(sub, name) }
   }
 
   /** The committed code table (vec_id, c_id, code_0..code_{PqM−1}) at

@@ -200,6 +200,49 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("IndexRefine split: self-contained serve == corpus serve; vectors retract with codes; rebalance survives seed-id takedown (r11)") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = s"$tmp/ix_refine"
+    AnnIndex.build(emb, path, storeVectors = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e12), r.getInt(3))).toSet
+    val probeRows = emb.filter(col("vec_id") < Embeddings.NumProbes)
+    // the split buys a serve with NO corpus frame: identical rows
+    assert(rows(AnnIndex.serveWith(probeRows, path)) ==
+      rows(AnnIndex.serve(emb, path)),
+      "self-contained serve must equal the corpus-frame serve")
+    // takedown completeness: the exact vectors are content in the
+    // strongest sense — retract must drop BOTH sub-tables
+    val victims = Seq(0L, 1L, 2L, 3L, 4L, 5L)
+    val receipts = AnnIndex.retract(spark, path, victims)
+    assert(receipts.map(_.subTable).sorted == Seq("codes", "vectors"),
+      s"one receipt per sub-table: $receipts")
+    assert(receipts.forall(r => r.idsFound == victims.size.toLong && r.pruned))
+    assert(AnnIndex.vectors(spark, path).filter(
+      col("vec_id").isInCollection(victims.toSet)).count() == 0)
+    // occupancy-triggered rebalance: forced (bar 0), and the k-means
+    // seed ids 0..5 are GONE — the dense-init remap must still produce
+    // contiguous committed c_ids or every loader breaks
+    assert(AnnIndex.rebalance(spark, path, buildV = 5L, maxLoadPct = 0L))
+    val occ = AnnIndex.occupancy(spark, path).collect()
+    assert(occ.map(_.getLong(0)).sorted.toSeq ==
+      (0L until Embeddings.NumCentroids.toLong).toSeq,
+      "rebalanced c_ids must stay contiguous despite retracted seed ids")
+    assert(occ.map(_.getLong(1)).sum == emb.count() - victims.size,
+      "re-encode must cover exactly the surviving corpus")
+    // below the bar: a no-op
+    assert(!AnnIndex.rebalance(spark, path, buildV = 6L,
+      maxLoadPct = Embeddings.NumCentroids * 100L))
+    // the rebuilt index still serves: k rows per probe, retracted
+    // content still excluded
+    val served = AnnIndex.serveWith(probeRows, path).collect()
+    assert(served.nonEmpty &&
+      !served.exists(r => victims.contains(r.getLong(1))),
+      "a retracted vector must not resurface through the rebalance")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("streaming ANN serves from the committed index across two micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
