@@ -218,6 +218,59 @@ object AnnIndex {
     Embeddings.occupancyOf(loadCodebookFrames(spark, path)._1,
       codes(spark, path))
 
+  /** The MEASURED admission operating point on the ADC scale — the
+    * C84 calibration discipline applied to the embedding admission
+    * loop's near-dup rule: per-content ADC self-cosine (a committed
+    * vector probed against its own code row) varies widely and its
+    * tail can approach the co-routed noise ceiling, so the tau the
+    * loop runs at must be measured against THIS index, never assumed.
+    * Probes are the `nProbes` smallest stored vec_ids (deterministic);
+    * self = each probe vs its own code row (always co-routed — a
+    * vector's own list is its rank-1 route), noise = the best
+    * co-routed non-self candidate. tau = midpoint of (min self, max
+    * noise); REFUSES when they don't separate (a tau in that regime
+    * would reject novel content or admit re-crawls at random — the
+    * measuredMarginBin refusal discipline). Requires the IndexRefine
+    * split (the probes are read from the stored vectors).
+    */
+  def measureAdmissionTau(spark: SparkSession, path: String,
+                          nProbes: Int = 64): Double = {
+    require(hasVectors(spark, path),
+      s"AnnIndex.measureAdmissionTau: no vectors sub-table at $path")
+    val probes = vectors(spark, path).orderBy("vec_id").limit(nProbes)
+    val sc = adcScored(probes, path, excludeSelf = false)
+      .transform(graft.GraftCache.persistTracked)
+    val selfMin = sc.filter(col("q_id") === col("n_id"))
+      .agg(min("approx_cos")).head().getDouble(0)
+    val noiseMax = sc.filter(col("q_id") =!= col("n_id"))
+      .agg(max("approx_cos")).head().getDouble(0)
+    require(selfMin > noiseMax,
+      f"measureAdmissionTau: no separation on this index (min self-ADC " +
+        f"$selfMin%.4f <= co-routed noise ceiling $noiseMax%.4f) — the ADC " +
+        "near-dup rule carries no signal here; run collision-only (tau > 1)")
+    (selfMin + noiseMax) / 2
+  }
+
+  /** Commit the measured tau WITH its calibration context (the C84c
+    * width/k lesson): fixed-point micro-units so the artifact
+    * round-trip can never drift the `>= tau` comparison by an ulp.
+    */
+  def commitAdmissionTau(spark: SparkSession, path: String,
+                         buildV: Long = 0L, nProbes: Int = 64): Double = {
+    val tau = measureAdmissionTau(spark, path, nProbes)
+    VersionedTable.mergeUpsert(spark, s"$path/admission_tau",
+      spark.range(1).select(lit("model").as("id"),
+        lit(math.round(tau * 1e6)).as("tau_fp"),
+        lit(nProbes.toLong).as("n_probes"),
+        lit(buildV).as("build_v")),
+      Seq("id"), "build_v", numBuckets = 1)
+    tau
+  }
+
+  def loadAdmissionTau(spark: SparkSession, path: String): Double =
+    VersionedTable.read(spark, s"$path/admission_tau")
+      .select("tau_fp").head().getLong(0) / 1e6
+
   /** Occupancy-triggered REBALANCE — the diagnostic-to-action loop over
     * [[occupancy]]: when the committed lists skew past `maxLoadPct`
     * (percent of fair share; 100 = balanced, NumCentroids·100 = one
@@ -430,7 +483,8 @@ object AnnIndex {
     * `probes` is (vec_id, qv, nrm), broadcast — bound it to a
     * micro-batch / probe set, never a corpus.
     */
-  private[graft] def adcScored(probes: DataFrame, path: String): DataFrame = {
+  private[graft] def adcScored(probes: DataFrame, path: String,
+                               excludeSelf: Boolean = true): DataFrame = {
     val spark = probes.sparkSession
     val ix = load(spark, path)
     val coarseDf = {
@@ -449,7 +503,7 @@ object AnnIndex {
     val (adot, anrm) = adcColsFor(ix, col("q_qv"))
     codes(spark, path)
       .join(broadcast(probeLists), Seq("c_id"))
-      .filter(col("vec_id") =!= col("q_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (adot.cast("double") /
           (sqrt(col("q_nrm").cast("double")) * sqrt(anrm.cast("double"))))

@@ -212,6 +212,30 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(AnnIndex.serveWith(probeRows, path)) ==
       rows(AnnIndex.serve(emb, path)),
       "self-contained serve must equal the corpus-frame serve")
+    // measured admission tau, REFUSAL branch: on this corpus the
+    // 64-probe min self-ADC (0.39) sits BELOW the co-routed noise
+    // ceiling (0.69) — a global ADC tau carries no signal, and the
+    // measurement must refuse rather than emit one (run collision-only)
+    val flat = intercept[IllegalArgumentException] {
+      AnnIndex.measureAdmissionTau(spark, path)
+    }
+    assert(flat.getMessage.contains("no separation"), flat.getMessage)
+    // separation branch: a 16-vector index has one centroid per vector
+    // in every subspace (k-means init = the vectors), so reconstruction
+    // is EXACT — self-ADC = 1.0 by construction, noise = the exact
+    // pairwise cosine < 1; the measurement separates and commits
+    val tiny = s"$tmp/ix_tau_tiny"
+    AnnIndex.build(emb.filter(col("vec_id") < 16L), tiny, storeVectors = true)
+    val tau = AnnIndex.commitAdmissionTau(spark, tiny, nProbes = 16)
+    assert(tau > 0.0 && tau < 1.0, s"tau $tau must sit inside the ADC range")
+    assert(AnnIndex.loadAdmissionTau(spark, tiny) == math.round(tau * 1e6) / 1e6,
+      "committed tau must round-trip through the fixed-point exactly")
+    // at the measured tau, every committed vector re-probed as an
+    // arrival MATCHES (self-ADC >= tau by construction of the midpoint)
+    val reprobe = AnnIndex.vectors(spark, tiny).orderBy("vec_id").limit(8)
+    assert(AnnIndex.matchedIds(reprobe, tiny,
+        AnnIndex.loadAdmissionTau(spark, tiny)).count() == 8L,
+      "a committed vector must match itself at the measured tau")
     // takedown completeness: the exact vectors are content in the
     // strongest sense — retract must drop BOTH sub-tables
     val victims = Seq(0L, 1L, 2L, 3L, 4L, 5L)
