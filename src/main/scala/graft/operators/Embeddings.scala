@@ -362,7 +362,35 @@ object Embeddings {
     * review). Deterministic training makes reuse exact; a regenerated
     * corpus changes the fingerprint and gets a fresh dir.
     */
-  private[graft] def tempAnnIndexDir(s: SparkSession, d: String): String = {
+  /** Seed-row count for the committed incremental-ingest query (C61c):
+    * the index trains on vec_ids < this cut and the rest arrive as an
+    * extend — small enough that every SF's corpus has a real extension
+    * tail, large enough to train all five codebooks. */
+  val ExtendCut = 400L
+
+  /** The committed SEED+EXTEND index over `d`'s embeddings (C61c):
+    * build on the id-prefix seed, extend the tail against the frozen
+    * codebooks — the deterministic-dir convention of
+    * [[tempAnnIndexDir]] with its own key, so the oracle gate exercises
+    * the real incremental-ingest path once per corpus.
+    */
+  private[graft] def tempAnnExtendDir(s: SparkSession, d: String): String = {
+    val dir = tempArtifactDir(s, d, "graft-temp-annext")
+    if (graft.sources.Sinks.VersionedTable
+        .latestManifest(s, s"$dir/codes").isEmpty) {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.AnnIndex.build(emb.filter(col("vec_id") < ExtendCut), dir)
+      graft.operators.AnnIndex.extend(
+        emb.filter(col("vec_id") >= ExtendCut), dir, buildV = 1L)
+    }
+    dir
+  }
+
+  /** Deterministic per-(corpus, purpose) temp dir — fingerprint-keyed
+    * so re-runs reuse the committed artifact (see [[tempAnnIndexDir]]).
+    */
+  private def tempArtifactDir(s: SparkSession, d: String,
+                              prefix: String): String = {
     val f = new java.io.File(s"$d/embeddings.parquet")
     def sig(x: java.io.File): String =
       if (x.isDirectory)
@@ -371,8 +399,12 @@ object Embeddings {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d|${sig(f)}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
-    val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft-temp-ann-$key").getAbsolutePath
+    new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"$prefix-$key").getAbsolutePath
+  }
+
+  private[graft] def tempAnnIndexDir(s: SparkSession, d: String): String = {
+    val dir = tempArtifactDir(s, d, "graft-temp-ann")
     if (graft.sources.Sinks.VersionedTable
         .latestManifest(s, s"$dir/codes").isEmpty)
       graft.operators.AnnIndex.build(Tables.embeddings(s, d), dir)
@@ -1850,6 +1882,21 @@ object Embeddings {
 
   val annIvfPqSql: String = ivfPqSqlWith("")
 
+  /** C61c oracle: the incremental-ingest contract in SQL — codebooks
+    * trained on the SEED slice only (`qSelect`), assignment/encoding/
+    * probing/rescore over the FULL corpus (`applySelect`) — exactly
+    * what build(seed) + extend(rest) commits, per the frozen-codebooks
+    * extend contract.
+    */
+  val annExtendServeSql: String =
+    s"""${ivfPqRescoredCtesWith(
+          s"napp.vec_id < $NumProbes", "",
+          qSelect = s"SELECT vec_id, $qvSqlExpr AS qv FROM embeddings WHERE vec_id < $ExtendCut",
+          applySelect = s"SELECT vec_id, qv FROM (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings)")}
+       |SELECT q_id, n_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+       |  FROM rescored) WHERE rn <= $TopK""".stripMargin
+
   /** Oracle: the SAME routing front (q → n → k-means → assign), then
     * the count/left-join/ratio tail — `floor` on both engines because
     * double→BIGINT casts round in DuckDB but truncate in Spark.
@@ -2373,7 +2420,10 @@ object Embeddings {
       bitextMineCalibrated(Tables.embeddings(s, d))),
     "q_ivf_occupancy" -> ((s, d) => ivfOccupancy(Tables.embeddings(s, d))),
     "q_ann_occupancy" -> ((s, d) =>
-      graft.operators.AnnIndex.occupancy(s, tempAnnIndexDir(s, d))))
+      graft.operators.AnnIndex.occupancy(s, tempAnnIndexDir(s, d))),
+    "q_ann_extend_serve" -> ((s, d) =>
+      graft.operators.AnnIndex.serve(
+        Tables.embeddings(s, d), tempAnnExtendDir(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_embed_outliers" -> embedOutliersSql(),
@@ -2401,5 +2451,6 @@ object Embeddings {
     "q_ivf_occupancy" -> ivfOccupancySql,
     // the committed index IS the deterministic training's output, so
     // the artifact diagnostic re-derives against the same oracle
-    "q_ann_occupancy" -> ivfOccupancySql)
+    "q_ann_occupancy" -> ivfOccupancySql,
+    "q_ann_extend_serve" -> annExtendServeSql)
 }
