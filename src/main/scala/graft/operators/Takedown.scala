@@ -88,6 +88,48 @@ object AdmissionLog {
   def read(spark: SparkSession, logPath: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(logPath)
 
+  /** The funnel rollup's COMMITTED shape: per (loop, stage) batch count
+    * + total rows through — the same numbers [[rollup]] derives on
+    * read, as a maintained [[RollupIndex]] artifact.
+    */
+  val FunnelShape: RollupIndex.RollupShape = RollupIndex.RollupShape(
+    Seq("loop", "stage"),
+    Seq(RollupIndex.AggSpec("count", "", "n_batches"),
+      RollupIndex.AggSpec("sum", "n", "total")))
+
+  /** Promote the parquet ledger into the committed rollup artifact:
+    * one delta per (loop, batch_id) — refiled ledger rows resolve by
+    * the same MAX rule as [[rollup]] BEFORE the delta applies, and a
+    * re-promotion no-ops per batch via the rollup ledger, so the
+    * compliance dashboard becomes a versioned artifact with
+    * exactly-once batch accounting (later promotions pick up only new
+    * batches — incremental). The driver loop is ledger-batch-sized:
+    * this runs on the compliance cadence, not in a data path. One
+    * at-least-once residue remains by construction: a batch whose
+    * ORIGINAL funnel row was lost to a crash before the append
+    * contributes its replay's (under-counted) admissions — the ledger
+    * can only promote evidence that was filed.
+    */
+  def promoteRollup(spark: SparkSession, logPath: String,
+                    rollupPath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val resolved = graft.GraftCache.persistTracked(
+      read(spark, logPath)
+        .groupBy("loop", "batch_id", "stage").agg(max("n").as("n")))
+    val batches = resolved.select("loop", "batch_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    batches.foreach { case (loop, bid) =>
+      RollupIndex.applyDelta(
+        resolved.filter(col("loop") === loop && col("batch_id") === bid)
+          .select("loop", "stage", "n"),
+        rollupPath, s"$loop#$bid", FunnelShape)
+    }
+  }
+
+  /** The committed funnel rollup at its latest version. */
+  def readRollup(spark: SparkSession, rollupPath: String): org.apache.spark.sql.DataFrame =
+    RollupIndex.read(spark, rollupPath, FunnelShape)
+
   /** The compliance rollup a dashboard actually reads: replays resolve
     * per (loop, batch_id, stage) by MAX first — deterministic, and
     * correct because gate counts are replay-invariant while a replayed

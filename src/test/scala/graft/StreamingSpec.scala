@@ -1657,6 +1657,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "1_arrived" -> ((2L, 5L)), "2_quality_dsir_kept" -> ((2L, 4L)),
       "3_decontaminated_kept" -> ((2L, 3L)), "4_admitted" -> ((2L, 2L))),
       s"rollup must collapse the replay and total both batches: $ru")
+    // the COMMITTED rollup: promotion applies one delta per batch, a
+    // re-promotion no-ops via the rollup ledger, and the artifact reads
+    // the same numbers as the on-read rollup
+    def committed() = AdmissionLog.readRollup(spark, s"$dir/funnel_rollup")
+      .collect().filter(_.getString(0) == "curation")
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    AdmissionLog.promoteRollup(spark, log, s"$dir/funnel_rollup")
+    assert(committed() == ru,
+      "the committed rollup must read the same numbers as the on-read rollup")
+    AdmissionLog.promoteRollup(spark, log, s"$dir/funnel_rollup")
+    assert(committed() == ru, "a re-promotion must be an exact no-op")
+    graft.operators.RollupIndex.foldPartials(
+      spark, s"$dir/funnel_rollup", AdmissionLog.FunnelShape)
+    assert(committed() == ru, "folding partials must not change the numbers")
     graft.GraftCache.releaseAll(spark)
   }
 
