@@ -63,11 +63,16 @@ object AnnIndex {
     q.count() // materialize once under the five trainings
     val coarse = Embeddings.kmeansCodebook(q)
     val cbs = Embeddings.pqCodebooks(q)
-    commitTrained(spark, path, q, coarse, cbs, buildV)
+    // vectors commit FIRST: a crash after codes-but-before-vectors
+    // would leave code rows whose exact twins never arrive — shortlist
+    // candidates that silently drop from every rescore; an orphan
+    // vector (the reversed residue) never surfaces and heals on replay
+    // (r11 review)
     if (storeVectors)
       VersionedTable.mergeUpsert(spark, vectorsPath(path),
         q.withColumn("build_v", lit(buildV)),
         Seq("vec_id"), "build_v", numBuckets = 16)
+    commitTrained(spark, path, q, coarse, cbs, buildV)
   }
 
   /** Commit (codebooks, codes-from-assignment) as version `buildV` —
@@ -119,17 +124,20 @@ object AnnIndex {
     val spark = newEmbeddings.sparkSession
     val q = Embeddings.quantized(newEmbeddings)
     val (coarseDf, cbs) = loadCodebookFrames(spark, path)
+    // an IndexRefine-split index keeps its vectors COMPLETE, and they
+    // commit FIRST (the build ordering rule): a crash leaving codes
+    // without exact twins would make those candidates silently drop
+    // from every rescore, while an orphan vector never surfaces and
+    // heals on replay (r11 review)
+    if (hasVectors(spark, path))
+      VersionedTable.mergeUpsert(spark, vectorsPath(path),
+        q.withColumn("build_v", lit(buildV)),
+        Seq("vec_id"), "build_v", numBuckets = 16)
     val codes = Embeddings.ivfAssign(q, coarseDf)
       .join(Embeddings.pqEncode(q, cbs), "vec_id")
       .withColumn("build_v", lit(buildV))
     VersionedTable.mergeUpsert(spark, codesPath(path), codes,
       Seq("vec_id"), "build_v", numBuckets = 16)
-    // an IndexRefine-split index keeps its vectors COMPLETE: a code row
-    // without its exact twin would silently degrade serveWith/rebalance
-    if (hasVectors(spark, path))
-      VersionedTable.mergeUpsert(spark, vectorsPath(path),
-        q.withColumn("build_v", lit(buildV)),
-        Seq("vec_id"), "build_v", numBuckets = 16)
   }
 
   /** The loaded model artifact: coarse codebook rows plus per-subspace
@@ -235,20 +243,35 @@ object AnnIndex {
     */
   def measureAdmissionTau(spark: SparkSession, path: String,
                           nProbes: Int = 64): Double = {
+    val (selfMin, noiseMax) = measureTauBounds(spark, path, nProbes)
+    (selfMin + noiseMax) / 2
+  }
+
+  private def measureTauBounds(spark: SparkSession, path: String,
+                               nProbes: Int): (Double, Double) = {
     require(hasVectors(spark, path),
       s"AnnIndex.measureAdmissionTau: no vectors sub-table at $path")
     val probes = vectors(spark, path).orderBy("vec_id").limit(nProbes)
     val sc = adcScored(probes, path, excludeSelf = false)
       .transform(graft.GraftCache.persistTracked)
-    val selfMin = sc.filter(col("q_id") === col("n_id"))
-      .agg(min("approx_cos")).head().getDouble(0)
-    val noiseMax = sc.filter(col("q_id") =!= col("n_id"))
-      .agg(max("approx_cos")).head().getDouble(0)
+    // empty aggregates reach the REFUSAL, never an NPE: a fully
+    // retracted index has no self rows; a corpus whose probed lists
+    // hold only the probe itself has no noise rows — in both regimes a
+    // global tau is meaningless (r11 review)
+    val selfRow = sc.filter(col("q_id") === col("n_id"))
+      .agg(min("approx_cos")).head()
+    val noiseRow = sc.filter(col("q_id") =!= col("n_id"))
+      .agg(max("approx_cos")).head()
+    require(!selfRow.isNullAt(0) && !noiseRow.isNullAt(0),
+      "measureAdmissionTau: empty self or co-routed-noise population — " +
+        "nothing to measure against; run collision-only (tau > 1)")
+    val selfMin = selfRow.getDouble(0)
+    val noiseMax = noiseRow.getDouble(0)
     require(selfMin > noiseMax,
       f"measureAdmissionTau: no separation on this index (min self-ADC " +
         f"$selfMin%.4f <= co-routed noise ceiling $noiseMax%.4f) — the ADC " +
         "near-dup rule carries no signal here; run collision-only (tau > 1)")
-    (selfMin + noiseMax) / 2
+    (selfMin, noiseMax)
   }
 
   /** Commit the measured tau WITH its calibration context (the C84c
@@ -257,19 +280,44 @@ object AnnIndex {
     */
   def commitAdmissionTau(spark: SparkSession, path: String,
                          buildV: Long = 0L, nProbes: Int = 64): Double = {
-    val tau = measureAdmissionTau(spark, path, nProbes)
+    val (selfMin, noiseMax) = measureTauBounds(spark, path, nProbes)
+    val tauFp = math.round((selfMin + noiseMax) / 2 * 1e6)
+    // the fixed-point round must LAND inside the verified interval —
+    // a separation narrower than the 1e-6 resolution would otherwise
+    // commit a tau at/below the noise ceiling or above the worst
+    // self-ADC (r11 review); refuse like any other flat measurement
+    val tau = tauFp / 1e6
+    require(tau > noiseMax && tau <= selfMin,
+      f"commitAdmissionTau: separation ($noiseMax%.7f, $selfMin%.7f] is " +
+        "narrower than the fixed-point resolution — refusing to commit; " +
+        "run collision-only (tau > 1)")
+    // the tau binds to the CODEBOOKS it was measured against (their
+    // manifest version): a rebalance retrains them and shifts the whole
+    // ADC scale, so a stale operating point must refuse to load, not
+    // silently mis-gate (r11 review)
+    val cbV = VersionedTable.latestManifest(spark, codebooksPath(path))
+      .map(_._1).getOrElse(-1L)
     VersionedTable.mergeUpsert(spark, s"$path/admission_tau",
       spark.range(1).select(lit("model").as("id"),
-        lit(math.round(tau * 1e6)).as("tau_fp"),
+        lit(tauFp).as("tau_fp"),
         lit(nProbes.toLong).as("n_probes"),
+        lit(cbV).as("codebooks_v"),
         lit(buildV).as("build_v")),
       Seq("id"), "build_v", numBuckets = 1)
     tau
   }
 
-  def loadAdmissionTau(spark: SparkSession, path: String): Double =
-    VersionedTable.read(spark, s"$path/admission_tau")
-      .select("tau_fp").head().getLong(0) / 1e6
+  def loadAdmissionTau(spark: SparkSession, path: String): Double = {
+    val r = VersionedTable.read(spark, s"$path/admission_tau")
+      .select("tau_fp", "codebooks_v").head()
+    val cbNow = VersionedTable.latestManifest(spark, codebooksPath(path))
+      .map(_._1).getOrElse(-1L)
+    require(r.getLong(1) == cbNow,
+      s"loadAdmissionTau: the committed tau was measured against codebooks " +
+        s"version ${r.getLong(1)} but the index now serves version $cbNow " +
+        "(a rebalance shifted the ADC scale) — re-run commitAdmissionTau")
+    r.getLong(0) / 1e6
+  }
 
   /** Occupancy-triggered REBALANCE — the diagnostic-to-action loop over
     * [[occupancy]]: when the committed lists skew past `maxLoadPct`
@@ -287,12 +335,35 @@ object AnnIndex {
     * dense train ids 0..k−1, everything else shifts above k), keeping
     * the committed c_ids contiguous, which every loader requires.
     * Assignments and codes are computed on the ORIGINAL ids.
+    *
+    * Atomicity contract (r11 review — codebooks and codes are two
+    * independent manifest transactions, so the rewrite is NOT one
+    * snapshot): `buildV` must exceed every committed code row's
+    * build_v (guarded — a lower version would lose the latest-wins
+    * merge to prior extends, silently keeping stale codes against the
+    * new codebooks), a serve landing between the two commits may score
+    * old codes against new centroids (transiently degraded scores,
+    * never a crash — both c_id spaces are 0..k−1; run rebalance from
+    * the maintenance role during a serve pause to exclude even that),
+    * and a crash between them leaves codebooks AHEAD of codes — a torn
+    * state this method detects on its next run and heals by rebuilding
+    * regardless of the occupancy bar (deterministic retrain, so the
+    * heal commits exactly what the interrupted run would have).
     */
   def rebalance(spark: SparkSession, path: String, buildV: Long,
                 maxLoadPct: Long = 400L): Boolean = {
+    val curMax = VersionedTable.read(spark, codesPath(path))
+      .agg(max("build_v")).head().getLong(0)
+    require(buildV > curMax,
+      s"AnnIndex.rebalance: buildV $buildV must exceed every committed code " +
+        s"row's build_v (max $curMax) — a lower version loses the latest-wins " +
+        "merge to prior extends, keeping stale codes against the new codebooks")
+    val cbMax = VersionedTable.read(spark, codebooksPath(path))
+      .agg(max("build_v")).head().getLong(0)
+    val torn = cbMax > curMax // interrupted rebalance: codebooks ahead
     val worst = occupancy(spark, path)
       .agg(max("load_pct").as("m")).head().getLong(0)
-    if (worst <= maxLoadPct) return false
+    if (!torn && worst <= maxLoadPct) return false
     require(hasVectors(spark, path),
       s"AnnIndex.rebalance: lists at $path skew to $worst% of fair share " +
         "but there is no vectors sub-table to retrain from — rebuild from " +

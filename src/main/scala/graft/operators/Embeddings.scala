@@ -376,8 +376,20 @@ object Embeddings {
     */
   private[graft] def tempAnnExtendDir(s: SparkSession, d: String): String = {
     val dir = tempArtifactDir(s, d, "graft-temp-annext")
-    if (graft.sources.Sinks.VersionedTable
-        .latestManifest(s, s"$dir/codes").isEmpty) {
+    // CONTENT-based completion guard: a manifest-exists (or version)
+    // check would let a crash between the build and the extend poison
+    // the cached artifact as seed-only forever — a machine-local parity
+    // failure masquerading as an algorithm bug (r11 review). Complete
+    // means the codes actually hold an extension row; a partial dir
+    // re-runs both steps (deterministic, so the heal commits
+    // identically).
+    val done = graft.sources.Sinks.VersionedTable
+      .latestManifest(s, s"$dir/codes").isDefined && {
+        val m = graft.sources.Sinks.VersionedTable
+          .read(s, s"$dir/codes").agg(max("vec_id")).head()
+        !m.isNullAt(0) && m.getLong(0) >= ExtendCut
+      }
+    if (!done) {
       val emb = Tables.embeddings(s, d)
       graft.operators.AnnIndex.build(emb.filter(col("vec_id") < ExtendCut), dir)
       graft.operators.AnnIndex.extend(

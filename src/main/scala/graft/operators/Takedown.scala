@@ -116,8 +116,15 @@ object AdmissionLog {
     val resolved = graft.GraftCache.persistTracked(
       read(spark, logPath)
         .groupBy("loop", "batch_id", "stage").agg(max("n").as("n")))
+    // ONE applied-deltas read up front, not one per batch inside
+    // applyDelta: without the pre-filter every promotion would pay
+    // O(total batches ever filed) ledger reads — quadratic over the
+    // ledger's life (r11 review); applyDelta's own guard stays as the
+    // race-safe backstop
+    val applied = RollupIndex.appliedDeltas(spark, rollupPath)
     val batches = resolved.select("loop", "batch_id").distinct()
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      .filterNot { case (loop, bid) => applied.contains(s"$loop#$bid") }
     batches.foreach { case (loop, bid) =>
       RollupIndex.applyDelta(
         resolved.filter(col("loop") === loop && col("batch_id") === bid)

@@ -236,6 +236,13 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(AnnIndex.matchedIds(reprobe, tiny,
         AnnIndex.loadAdmissionTau(spark, tiny)).count() == 8L,
       "a committed vector must match itself at the measured tau")
+    // the tau binds to the codebooks it measured: after a rebalance the
+    // ADC scale shifts, and the stale operating point must refuse
+    assert(AnnIndex.rebalance(spark, tiny, buildV = 1L, maxLoadPct = 0L))
+    val stale = intercept[IllegalArgumentException] {
+      AnnIndex.loadAdmissionTau(spark, tiny)
+    }
+    assert(stale.getMessage.contains("re-run commitAdmissionTau"), stale.getMessage)
     // takedown completeness: the exact vectors are content in the
     // strongest sense — retract must drop BOTH sub-tables
     val victims = Seq(0L, 1L, 2L, 3L, 4L, 5L)
@@ -258,6 +265,12 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // below the bar: a no-op
     assert(!AnnIndex.rebalance(spark, path, buildV = 6L,
       maxLoadPct = Embeddings.NumCentroids * 100L))
+    // a non-monotone buildV would lose the latest-wins merge to prior
+    // versions, silently keeping stale codes against new codebooks
+    val nonMono = intercept[IllegalArgumentException] {
+      AnnIndex.rebalance(spark, path, buildV = 5L, maxLoadPct = 0L)
+    }
+    assert(nonMono.getMessage.contains("must exceed"), nonMono.getMessage)
     // the rebuilt index still serves: k rows per probe, retracted
     // content still excluded
     val served = AnnIndex.serveWith(probeRows, path).collect()
