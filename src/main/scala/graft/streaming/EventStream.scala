@@ -1344,22 +1344,49 @@ object EventStream {
     * GC sweeping codebooks + codes), and funnel telemetry as the other
     * two loops.
     */
+  /** `rebalanceLoadPct`: when set (> 0), the maintain cadence also runs
+    * [[graft.operators.AnnIndex.rebalance]] at that occupancy bar —
+    * the C86b diagnostic-to-action loop running INSIDE the admission
+    * loop. Requires collision-only verdicts (tau > 1, enforced):
+    * a rebalance retrains the codebooks and shifts the whole ADC
+    * scale, so an in-loop rebuild under an ADC tau would silently
+    * mis-gate from that batch on (re-measuring is an operator action —
+    * `commitAdmissionTau` — not a cadence); the collision rule is
+    * rebalance-proof because probe and index re-encode with the SAME
+    * new codebooks. Version spacing makes the two writers safe: extends
+    * commit at even versions 2·(batchId+1), rebalances at odd
+    * 2·(batchId+1)+1 — monotone, disjoint, and a REPLAYED extend
+    * (even, lower) loses latest-wins to a rebalance that already
+    * re-encoded its rows, which is exactly right (the rebalanced codes
+    * are the ones consistent with the current codebooks).
+    */
   def streamingEmbeddingAdmission(vecs: DataFrame, indexPath: String,
                                   outPath: String, checkpoint: String,
                                   tau: Double,
                                   compactEvery: Int = 16,
-                                  funnelLogPath: Option[String] = None): StreamingQuery = {
+                                  funnelLogPath: Option[String] = None,
+                                  rebalanceLoadPct: Long = 0L): StreamingQuery = {
     require(graft.sources.Sinks.VersionedTable
         .latestManifest(vecs.sparkSession, s"$indexPath/codes").isDefined,
       s"streamingEmbeddingAdmission: no committed AnnIndex at $indexPath — " +
         "build the seed index first (AnnIndex.build with the seed corpus)")
+    require(rebalanceLoadPct <= 0L || tau > 1.0,
+      "streamingEmbeddingAdmission: in-loop rebalance requires collision-only " +
+        "verdicts (tau > 1) — a rebuild shifts the ADC scale under a fixed tau; " +
+        "re-measure with commitAdmissionTau as an operator action instead")
+    require(rebalanceLoadPct <= 0L ||
+        graft.operators.AnnIndex.hasVectors(vecs.sparkSession, indexPath),
+      s"streamingEmbeddingAdmission: in-loop rebalance needs the vectors " +
+        s"sub-table at $indexPath — build the seed with storeVectors = true " +
+        "(codes are lossy; a rebuild cannot retrain from them)")
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           embeddingAdmitBatch(batch.toDF(), batchId, indexPath, outPath, tau,
-            compactEvery = compactEvery, funnelLogPath = funnelLogPath)
+            compactEvery = compactEvery, funnelLogPath = funnelLogPath,
+            rebalanceLoadPct = rebalanceLoadPct)
       }
       .start()
   }
@@ -1375,7 +1402,8 @@ object EventStream {
                                          tau: Double,
                                          compactEvery: Int = 0,
                                          crashBeforeExtend: Boolean = false,
-                                         funnelLogPath: Option[String] = None): Unit = {
+                                         funnelLogPath: Option[String] = None,
+                                         rebalanceLoadPct: Long = 0L): Unit = {
     import graft.operators.AnnIndex
     graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
       val q = graft.operators.Embeddings.quantized(batch)
@@ -1429,7 +1457,9 @@ object EventStream {
             .write.mode("append").parquet(outPath)
           if (crashBeforeExtend) throw new RuntimeException(
             "test failpoint: crashed between corpus append and index extend")
-          AnnIndex.extend(admitted, indexPath, buildV = batchId + 1)
+          // even versions; the in-loop rebalance (below) takes the odd
+          // ones — see the stream starter's version-spacing note
+          AnnIndex.extend(admitted, indexPath, buildV = 2L * (batchId + 1))
         }
         funnelLogPath.foreach { lp =>
           graft.operators.AdmissionLog.append(batch.sparkSession, lp,
@@ -1439,8 +1469,12 @@ object EventStream {
               "3_admitted" -> n))
         }
       } finally admitted.unpersist()
-      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
         graft.operators.Artifacts.maintainAll(batch.sparkSession, indexPath)
+        if (rebalanceLoadPct > 0L)
+          AnnIndex.rebalance(batch.sparkSession, indexPath,
+            buildV = 2L * (batchId + 1) + 1L, maxLoadPct = rebalanceLoadPct)
+      }
     }
   }
 

@@ -1749,6 +1749,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("embedding admission with in-loop rebalance: memory survives the re-encode, codebooks version, guards fire (r11)") {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-rebal").toString
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val byId = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // the in-loop rebalance needs the IndexRefine split on the seed
+    AnnIndex.build(emb.filter(col("vec_id") < 350L), s"$dir/index",
+      storeVectors = true)
+    def arrivals(rows: Seq[(Long, Long)]) =
+      rows.map { case (id, cid) => (id, byId(cid)) }.toDF("vec_id", "embedding")
+    def run(b: Long, rows: Seq[(Long, Long)]): Unit =
+      EventStream.embeddingAdmitBatch(arrivals(rows), b,
+        s"$dir/index", s"$dir/out", tau = 2.0,
+        compactEvery = 2, rebalanceLoadPct = 1L) // bar 1% => every cadence
+    val cbV = () => graft.sources.Sinks.VersionedTable
+      .latestManifest(spark, s"$dir/index/codebooks").get._1
+    val v0 = cbV()
+    run(0L, Seq((401L, 401L)))
+    run(1L, Seq((410L, 410L))) // cadence batch: maintain + forced rebalance
+    assert(cbV() > v0, "the cadence rebalance must commit new codebooks")
+    // cross-batch memory SURVIVES the re-encode: probe and index both
+    // re-encode with the same new codebooks, so the collision rule
+    // still rejects a re-crawl of a pre-rebalance admission
+    run(2L, Seq((9100L, 401L), (9101L, 420L)))
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("batch_id"))).toSet
+    assert(out.contains((401L, 0L)) && out.contains((410L, 1L)) &&
+      out.contains((9101L, 2L)) && !out.exists(_._1 == 9100L),
+      s"re-crawl must stay rejected across the rebalance: $out")
+    // extends and the vectors sub-table stayed complete through it
+    assert(AnnIndex.vectors(spark, s"$dir/index")
+      .filter(col("vec_id").isInCollection(Set(401L, 410L, 9101L)))
+      .count() == 3)
+    // stream-start guards: ADC tau + rebalance is refused; a
+    // codes-only index is refused
+    val e1 = intercept[IllegalArgumentException] {
+      EventStream.streamingEmbeddingAdmission(
+        spark.readStream.format("rate").load(), s"$dir/index",
+        s"$dir/out2", s"$dir/ckpt2", tau = 0.5, rebalanceLoadPct = 400L)
+    }
+    assert(e1.getMessage.contains("collision-only"), e1.getMessage)
+    val codesOnly = java.nio.file.Files.createTempDirectory("graft-emb-co").toString
+    AnnIndex.build(emb.filter(col("vec_id") < 350L), s"$codesOnly/index")
+    val e2 = intercept[IllegalArgumentException] {
+      EventStream.streamingEmbeddingAdmission(
+        spark.readStream.format("rate").load(), s"$codesOnly/index",
+        s"$dir/out3", s"$dir/ckpt3", tau = 2.0, rebalanceLoadPct = 400L)
+    }
+    assert(e2.getMessage.contains("storeVectors"), e2.getMessage)
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("embedding admission replay: a crash between corpus append and index extend recovers, loses nothing (r11)") {
     import spark.implicits._
     import graft.operators.AnnIndex
