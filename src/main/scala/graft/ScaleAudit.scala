@@ -992,6 +992,64 @@ object ScaleAudit {
         f"embedding admission batch cost grew with INDEX size: $tSmallIx%.2fs -> $tBigIx%.2fs")
       loadFlag(tBigBatch > math.max(16.0 * tBigIx, tBigIx + 30.0),
         f"embedding admission batch cost superlinear in BATCH size: $tBigIx%.2fs -> $tBigBatch%.2fs for 8x payloads")
+
+      // EXACT-RESCORE leg (r11): IndexRefine-split indexes, the measured
+      // exact tau, and near-dup verdicts — the rescore join must stay
+      // flat in index size (probe side batch-sized and broadcast; the
+      // co-routed candidate stream is the same one the ADC pass scans),
+      // and an ADC-invisible planted near-dup must be REJECTED at scale.
+      def buildIxV(tag: String, salt: Int, n: Long): String = {
+        val p = s"$work/eixv_$tag"
+        AnnIndex.build(synth(salt, 0L, n), p, storeVectors = true)
+        p
+      }
+      val ixSv = buildIxV("small", 44, 400L)
+      val ixBv = buildIxV("big", 55, 4000L)
+      val tauS = AnnIndex.commitAdmissionTau(spark, ixSv, exact = true)
+      val tauB = AnnIndex.commitAdmissionTau(spark, ixBv, exact = true)
+      def admitX(ix: String, tau: Double, ixSalt: Int, salt: Int, from: Long,
+                 n: Long, id: Long): (Double, Long, Long, Boolean) = {
+        // batch = n novel vectors + ONE near-dup of committed content
+        // (index vector 7 with component 0 bumped 0.2 — cos ~0.9997,
+        // routing-preserving, code-shifting)
+        val ndId = from + n
+        val batch = synth(salt, from, n).unionByName(
+          synth(ixSalt, 7L, 1L).select(lit(ndId).as("vec_id"),
+            expr("transform(embedding, (x, i) -> IF(i = 0, CAST(x + 0.2 AS FLOAT), x))")
+              .as("embedding"))).persist()
+        val nIn = batch.count()
+        val outP = s"$work/exout_${ix.split('_').last}_$id"
+        val t0 = System.nanoTime()
+        EventStream.embeddingAdmitBatch(batch, id, ix, outP, tau = tau,
+          exactRescore = true)
+        val sec = (System.nanoTime() - t0) / 1e9
+        batch.unpersist()
+        val admittedIds =
+          if (new java.io.File(outP).exists())
+            spark.read.parquet(outP).select("vec_id").collect()
+              .map(_.getLong(0)).toSet
+          else Set.empty[Long]
+        (sec, nIn - 1L, admittedIds.size.toLong, !admittedIds.contains(ndId))
+      }
+      admitX(ixSv, tauS, 44, 66, 40000000L, b, 300L) // warm
+      val (xSmall, xn1, xa1, rej1) = admitX(ixSv, tauS, 44, 67, 41000000L, b, 301L)
+      admitX(ixBv, tauB, 55, 68, 42000000L, b, 400L)
+      val (xBig, xn2, xa2, rej2) = admitX(ixBv, tauB, 55, 69, 43000000L, b, 401L)
+      println(f"[scale] exact-rescore admission: B=$b%d  small-ix $xSmall%.2fs  " +
+        f"big-ix $xBig%.2fs  admitted $xa1%d/~$xn1%d $xa2%d/~$xn2%d  " +
+        f"taus $tauS%.3f/$tauB%.3f  near-dup rejected $rej1%b/$rej2%b")
+      if (!rej1 || !rej2) {
+        bad += 1
+        println("[scale] FAIL exact-rescore lens: a planted near-dup of " +
+          "committed content was ADMITTED — the exact verdict lost recall at scale")
+      }
+      if (xa1 * 10 < xn1 * 9 || xa2 * 10 < xn2 * 9) {
+        bad += 1
+        println(s"[scale] FAIL exact-rescore lens: too few novel vectors " +
+          s"admitted ($xa1/$xn1, $xa2/$xn2) — the exact rule is over-rejecting")
+      }
+      loadFlag(xBig > math.max(3.0 * xSmall, xSmall + 10.0),
+        f"exact-rescore admission cost grew with INDEX size: $xSmall%.2fs -> $xBig%.2fs")
     }
 
     // Hot-key lens for the two round-11 de-windows (C1 dedupExact, A1

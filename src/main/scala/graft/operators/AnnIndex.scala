@@ -44,6 +44,69 @@ object AnnIndex {
   private def codesPath(path: String) = s"$path/codes"
   private def vectorsPath(path: String) = s"$path/vectors"
 
+  // ------------- cross-table atomic snapshot (r11, the root manifest) -----
+  //
+  // The index's sub-tables commit as independent manifest transactions,
+  // so a multi-table mutation (build, extend, rebalance, retract) has a
+  // window where sub-table A's new version sits next to B's old one.
+  // Every READER below resolves sub-tables through the artifact's ROOT
+  // manifest ([[VersionedTable.latestGroup]]): one atomic commit pinning
+  // the (codebooks_v, codes_v, vectors_v, tau_v) tuple a mutator
+  // actually produced — a serve can no longer observe codes encoded
+  // with codebooks it isn't reading (the r10 "two-manifest window",
+  // closed for real). Mutators publish the new snapshot as their LAST
+  // step; a crash before it leaves readers on the previous consistent
+  // tuple, and the mutation's replay (every mutator here is replayable)
+  // re-lands the data and publishes. Artifacts built before this layer
+  // have no root manifest and fall back to per-table latest — the old
+  // behavior, unchanged.
+
+  /** Sub-table names as recorded in the root snapshot manifest. */
+  private val SubNames = Seq("codebooks", "codes", "vectors", "admission_tau")
+
+  private def pinnedVersion(spark: SparkSession, path: String,
+                            sub: String): Option[Long] =
+    graft.sources.Sinks.ArtifactSnapshot.pinnedVersion(spark, path, sub)
+
+  private def subRead(spark: SparkSession, path: String, sub: String): DataFrame =
+    graft.sources.Sinks.ArtifactSnapshot.read(spark, path, sub)
+
+  /** Publish the root snapshot after a mutation ([[graft.sources.Sinks
+    * .ArtifactSnapshot.commit]]'s policy). `refresh` names the
+    * sub-tables the mutation bumped; everything else KEEPS its existing
+    * pin — so a mutation that didn't touch codebooks can never
+    * accidentally expose a torn half-rebalance's codebooks-ahead
+    * version. `pin` overrides both (extend records the codebooks
+    * version it actually encoded with).
+    */
+  def commitSnapshot(spark: SparkSession, path: String,
+                     refresh: Seq[String] = SubNames,
+                     pin: Map[String, Long] = Map.empty): Long =
+    graft.sources.Sinks.ArtifactSnapshot.commit(spark, path, SubNames, refresh, pin)
+
+  /** Adopt a COMPLETED-but-unsnapshotted rebuild: a crash between a
+    * build/rebalance's last sub-table commit and its snapshot leaves
+    * the snapshot pinning the previous tuple while the raw sub-tables
+    * hold a finished, mutually-consistent rebuild (codes and codebooks
+    * at the SAME max build_v — a half rebuild has codebooks ahead and
+    * stays pinned-old until [[rebalance]]'s torn heal retrains). Every
+    * mutator calls this first, so an extend can never encode with the
+    * stale pinned codebooks against fully re-encoded codes and then
+    * publish that torn pair as a snapshot. Read-only serves never heal
+    * — they keep the previous consistent tuple until a mutator runs.
+    */
+  private def healSnapshot(spark: SparkSession, path: String): Unit = {
+    val latestCb = VersionedTable.latestManifest(spark, codebooksPath(path)).map(_._1)
+    val pinned = pinnedVersion(spark, path, "codebooks")
+    if (pinned.isDefined && latestCb.exists(_ > pinned.get)) {
+      val rawCb = VersionedTable.read(spark, codebooksPath(path))
+        .agg(max("build_v")).head().getLong(0)
+      val rawCodes = VersionedTable.read(spark, codesPath(path))
+        .agg(max("build_v")).head().getLong(0)
+      if (rawCb == rawCodes) commitSnapshot(spark, path)
+    }
+  }
+
   /** Train (memoized, deterministic) and COMMIT the IVF-PQ index for
     * `embeddings` as version `buildV`. Re-running with the same corpus
     * and a higher buildV commits an identical index as a new version —
@@ -73,6 +136,7 @@ object AnnIndex {
         q.withColumn("build_v", lit(buildV)),
         Seq("vec_id"), "build_v", numBuckets = 16)
     commitTrained(spark, path, q, coarse, cbs, buildV)
+    commitSnapshot(spark, path)
   }
 
   /** Commit (codebooks, codes-from-assignment) as version `buildV` —
@@ -98,10 +162,10 @@ object AnnIndex {
   def hasVectors(spark: SparkSession, path: String): Boolean =
     VersionedTable.latestManifest(spark, vectorsPath(path)).isDefined
 
-  /** The committed exact vectors (vec_id, qv, nrm) at the latest
+  /** The committed exact vectors (vec_id, qv, nrm) at the root-snapshot
     * version — present only when built/extended with `storeVectors`. */
   def vectors(spark: SparkSession, path: String): DataFrame =
-    VersionedTable.read(spark, vectorsPath(path))
+    subRead(spark, path, "vectors")
       .select("vec_id", "qv", "nrm")
 
   /** Incremental ingest — the append-codes-continuously half of the
@@ -123,6 +187,13 @@ object AnnIndex {
   def extend(newEmbeddings: DataFrame, path: String, buildV: Long): Unit = {
     val spark = newEmbeddings.sparkSession
     val q = Embeddings.quantized(newEmbeddings)
+    healSnapshot(spark, path)
+    // the codebooks version this extend ENCODES WITH (the snapshot pin,
+    // matching loadCodebookFrames' resolution) — the new snapshot pins
+    // it explicitly, so a torn half-rebalance's codebooks-ahead version
+    // can never be exposed by an extend landing after the crash
+    val usedCbV = pinnedVersion(spark, path, "codebooks")
+      .orElse(VersionedTable.latestManifest(spark, codebooksPath(path)).map(_._1))
     val (coarseDf, cbs) = loadCodebookFrames(spark, path)
     // an IndexRefine-split index keeps its vectors COMPLETE, and they
     // commit FIRST (the build ordering rule): a crash leaving codes
@@ -138,6 +209,8 @@ object AnnIndex {
       .withColumn("build_v", lit(buildV))
     VersionedTable.mergeUpsert(spark, codesPath(path), codes,
       Seq("vec_id"), "build_v", numBuckets = 16)
+    commitSnapshot(spark, path, refresh = Seq("codes", "vectors"),
+      pin = usedCbV.map("codebooks" -> _).toMap)
   }
 
   /** The loaded model artifact: coarse codebook rows plus per-subspace
@@ -150,7 +223,7 @@ object AnnIndex {
       cnrm: IndexedSeq[Seq[Long]])
 
   private[graft] def load(spark: SparkSession, path: String): Loaded = {
-    val cb = VersionedTable.read(spark, codebooksPath(path))
+    val cb = subRead(spark, path, "codebooks")
       .select("kind", "c_id", "cqv", "cnrm").collect()
     def rows(kind: String) = {
       val rs = cb.filter(_.getString(0) == kind).sortBy(_.getLong(1))
@@ -172,7 +245,7 @@ object AnnIndex {
     */
   def loadCodebookFrames(spark: SparkSession,
                          path: String): (DataFrame, Seq[DataFrame]) = {
-    val all = VersionedTable.read(spark, codebooksPath(path))
+    val all = subRead(spark, path, "codebooks")
       .select("kind", "c_id", "cqv", "cnrm")
     (all.filter(col("kind") === "coarse").select("c_id", "cqv", "cnrm"),
       (0 until PqM).map(m =>
@@ -199,9 +272,22 @@ object AnnIndex {
       .agg(Exprs.maxKScored(col("approx_cos"), col("n_id"), RefineK).as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))
       .select(col("q_id"), col("t.id").as("n_id"))
-    val probeVecs = q.select(col("vec_id").as("q_id"),
+    Embeddings.topKByCos(rescoreExact(shortlist, q, path))
+  }
+
+  /** Exact-cosine rescore of candidate pairs against the committed
+    * VECTORS sub-table — serveWith's join factored out so the admission
+    * verdict ([[matchedIds]] with `exactRescore`) and the exact tau
+    * measurement share it. `pairs` is (q_id, n_id, …); `qProbes` is the
+    * quantized probe frame (vec_id, qv, nrm), batch-sized, broadcast.
+    * Output: (q_id, n_id, cos) at exact integer-dot cosine.
+    */
+  private def rescoreExact(pairs: DataFrame, qProbes: DataFrame,
+                           path: String): DataFrame = {
+    val spark = qProbes.sparkSession
+    val probeVecs = qProbes.select(col("vec_id").as("q_id"),
       col("qv").as("q_qv"), col("nrm").as("q_nrm"))
-    val rescored = shortlist
+    pairs.select("q_id", "n_id")
       .join(broadcast(probeVecs), "q_id")
       .join(vectors(spark, path)
         .select(col("vec_id").as("n_id"), col("qv"), col("nrm")), "n_id")
@@ -209,7 +295,6 @@ object AnnIndex {
         (Exprs.dotLong(col("q_qv"), col("qv")).cast("double") /
           (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double"))))
           .as("cos"))
-    Embeddings.topKByCos(rescored)
   }
 
   /** C86b: per-list occupancy of the COMMITTED codes table — the
@@ -241,35 +326,50 @@ object AnnIndex {
     * measuredMarginBin refusal discipline). Requires the IndexRefine
     * split (the probes are read from the stored vectors).
     */
+  /** `exact = true` measures on the EXACT-cosine scale instead of the
+    * ADC scale (requires the IndexRefine split either way): self scores
+    * collapse to ~1.0 (a vector against its own stored twin), so the
+    * separation question reduces to "is the corpus's co-routed max
+    * pairwise cosine below 1" — which holds wherever content isn't
+    * already near-duplicated, INCLUDING indexes whose PQ is too lossy
+    * for an ADC tau (the refusal case). The exact scale is also
+    * CODEBOOK-INDEPENDENT: a rebalance shifts which candidates co-route
+    * (recall, the honest ANN trade) but never the score of a pair — so
+    * an exact tau survives rebuilds where an ADC tau must refuse.
+    */
   def measureAdmissionTau(spark: SparkSession, path: String,
-                          nProbes: Int = 64): Double = {
-    val (selfMin, noiseMax) = measureTauBounds(spark, path, nProbes)
+                          nProbes: Int = 64, exact: Boolean = false): Double = {
+    val (selfMin, noiseMax) = measureTauBounds(spark, path, nProbes, exact)
     (selfMin + noiseMax) / 2
   }
 
   private def measureTauBounds(spark: SparkSession, path: String,
-                               nProbes: Int): (Double, Double) = {
+                               nProbes: Int,
+                               exact: Boolean): (Double, Double) = {
     require(hasVectors(spark, path),
       s"AnnIndex.measureAdmissionTau: no vectors sub-table at $path")
     val probes = vectors(spark, path).orderBy("vec_id").limit(nProbes)
-    val sc = adcScored(probes, path, excludeSelf = false)
+    val pairs = adcScored(probes, path, excludeSelf = false)
+    val sc = (if (exact) rescoreExact(pairs, probes, path)
+              else pairs.withColumnRenamed("approx_cos", "cos"))
       .transform(graft.GraftCache.persistTracked)
+    val scale = if (exact) "exact self-cosine" else "self-ADC"
     // empty aggregates reach the REFUSAL, never an NPE: a fully
     // retracted index has no self rows; a corpus whose probed lists
     // hold only the probe itself has no noise rows — in both regimes a
     // global tau is meaningless (r11 review)
     val selfRow = sc.filter(col("q_id") === col("n_id"))
-      .agg(min("approx_cos")).head()
+      .agg(min("cos")).head()
     val noiseRow = sc.filter(col("q_id") =!= col("n_id"))
-      .agg(max("approx_cos")).head()
+      .agg(max("cos")).head()
     require(!selfRow.isNullAt(0) && !noiseRow.isNullAt(0),
       "measureAdmissionTau: empty self or co-routed-noise population — " +
         "nothing to measure against; run collision-only (tau > 1)")
     val selfMin = selfRow.getDouble(0)
     val noiseMax = noiseRow.getDouble(0)
     require(selfMin > noiseMax,
-      f"measureAdmissionTau: no separation on this index (min self-ADC " +
-        f"$selfMin%.4f <= co-routed noise ceiling $noiseMax%.4f) — the ADC " +
+      f"measureAdmissionTau: no separation on this index (min $scale " +
+        f"$selfMin%.4f <= co-routed noise ceiling $noiseMax%.4f) — the " +
         "near-dup rule carries no signal here; run collision-only (tau > 1)")
     (selfMin, noiseMax)
   }
@@ -279,45 +379,67 @@ object AnnIndex {
     * round-trip can never drift the `>= tau` comparison by an ulp.
     */
   def commitAdmissionTau(spark: SparkSession, path: String,
-                         buildV: Long = 0L, nProbes: Int = 64): Double = {
-    val (selfMin, noiseMax) = measureTauBounds(spark, path, nProbes)
+                         buildV: Long = 0L, nProbes: Int = 64,
+                         exact: Boolean = false): Double = {
+    healSnapshot(spark, path) // measure against the adopted rebuild, not a stale pin
+    val (selfMin, noiseMax) = measureTauBounds(spark, path, nProbes, exact)
     val tauFp = math.round((selfMin + noiseMax) / 2 * 1e6)
     // the fixed-point round must LAND inside the verified interval —
     // a separation narrower than the 1e-6 resolution would otherwise
     // commit a tau at/below the noise ceiling or above the worst
-    // self-ADC (r11 review); refuse like any other flat measurement
+    // self score (r11 review); refuse like any other flat measurement
     val tau = tauFp / 1e6
     require(tau > noiseMax && tau <= selfMin,
       f"commitAdmissionTau: separation ($noiseMax%.7f, $selfMin%.7f] is " +
         "narrower than the fixed-point resolution — refusing to commit; " +
         "run collision-only (tau > 1)")
-    // the tau binds to the CODEBOOKS it was measured against (their
-    // manifest version): a rebalance retrains them and shifts the whole
-    // ADC scale, so a stale operating point must refuse to load, not
-    // silently mis-gate (r11 review)
-    val cbV = VersionedTable.latestManifest(spark, codebooksPath(path))
-      .map(_._1).getOrElse(-1L)
+    // an ADC tau binds to the CODEBOOKS it was measured against (the
+    // snapshot-pinned version the measurement actually read): a
+    // rebalance retrains them and shifts the whole ADC scale, so a
+    // stale operating point must refuse to load, not silently mis-gate
+    // (r11 review). An EXACT tau records the version too (provenance)
+    // but survives rebuilds — the score of a pair never moves, only
+    // candidate recall does.
+    val cbV = pinnedVersion(spark, path, "codebooks")
+      .orElse(VersionedTable.latestManifest(spark, codebooksPath(path)).map(_._1))
+      .getOrElse(-1L)
     VersionedTable.mergeUpsert(spark, s"$path/admission_tau",
       spark.range(1).select(lit("model").as("id"),
         lit(tauFp).as("tau_fp"),
         lit(nProbes.toLong).as("n_probes"),
         lit(cbV).as("codebooks_v"),
+        lit(if (exact) 1L else 0L).as("exact_fl"),
         lit(buildV).as("build_v")),
       Seq("id"), "build_v", numBuckets = 1)
+    commitSnapshot(spark, path, refresh = Seq("admission_tau"))
     tau
   }
 
-  def loadAdmissionTau(spark: SparkSession, path: String): Double = {
-    val r = VersionedTable.read(spark, s"$path/admission_tau")
-      .select("tau_fp", "codebooks_v").head()
-    val cbNow = VersionedTable.latestManifest(spark, codebooksPath(path))
-      .map(_._1).getOrElse(-1L)
-    require(r.getLong(1) == cbNow,
-      s"loadAdmissionTau: the committed tau was measured against codebooks " +
-        s"version ${r.getLong(1)} but the index now serves version $cbNow " +
-        "(a rebalance shifted the ADC scale) — re-run commitAdmissionTau")
-    r.getLong(0) / 1e6
+  /** The committed admission operating point with its scale. */
+  final case class AdmissionTau(tau: Double, exact: Boolean)
+
+  def loadAdmission(spark: SparkSession, path: String): AdmissionTau = {
+    val df = subRead(spark, path, "admission_tau")
+    // additive schema: taus committed before the exact scale existed
+    // carry no exact_fl column (mergeSchema null-fills) — they are ADC
+    val r = df.select(col("tau_fp"), col("codebooks_v"),
+      (if (df.columns.contains("exact_fl"))
+         coalesce(col("exact_fl"), lit(0L)) else lit(0L)).as("e")).head()
+    val exact = r.getLong(2) == 1L
+    if (!exact) {
+      val cbNow = pinnedVersion(spark, path, "codebooks")
+        .orElse(VersionedTable.latestManifest(spark, codebooksPath(path)).map(_._1))
+        .getOrElse(-1L)
+      require(r.getLong(1) == cbNow,
+        s"loadAdmission: the committed ADC tau was measured against codebooks " +
+          s"version ${r.getLong(1)} but the index now serves version $cbNow " +
+          "(a rebalance shifted the ADC scale) — re-run commitAdmissionTau")
+    }
+    AdmissionTau(r.getLong(0) / 1e6, exact)
   }
+
+  def loadAdmissionTau(spark: SparkSession, path: String): Double =
+    loadAdmission(spark, path).tau
 
   /** Occupancy-triggered REBALANCE — the diagnostic-to-action loop over
     * [[occupancy]]: when the committed lists skew past `maxLoadPct`
@@ -352,14 +474,23 @@ object AnnIndex {
     */
   def rebalance(spark: SparkSession, path: String, buildV: Long,
                 maxLoadPct: Long = 400L): Boolean = {
+    healSnapshot(spark, path)
     val curMax = VersionedTable.read(spark, codesPath(path))
       .agg(max("build_v")).head().getLong(0)
+    val cbMax = VersionedTable.read(spark, codebooksPath(path))
+      .agg(max("build_v")).head().getLong(0)
+    // EXACT REPLAY of a completed rebuild — both sub-tables already
+    // carry this buildV (extends never bump codebooks, so codes+
+    // codebooks at the same version is a finished rebalance): a
+    // restarted stream re-running its cadence batch must no-op here,
+    // not trip the monotone guard below into a crash-loop; the retrain
+    // is deterministic, so re-running would commit identical bytes
+    // anyway (r11 review — the in-loop rebalance's replay discipline)
+    if (buildV == curMax && cbMax == buildV) return false
     require(buildV > curMax,
       s"AnnIndex.rebalance: buildV $buildV must exceed every committed code " +
         s"row's build_v (max $curMax) — a lower version loses the latest-wins " +
         "merge to prior extends, keeping stale codes against the new codebooks")
-    val cbMax = VersionedTable.read(spark, codebooksPath(path))
-      .agg(max("build_v")).head().getLong(0)
     val torn = cbMax > curMax // interrupted rebalance: codebooks ahead
     val worst = occupancy(spark, path)
       .agg(max("load_pct").as("m")).head().getLong(0)
@@ -384,6 +515,7 @@ object AnnIndex {
     val coarse = Embeddings.kmeansCodebook(qTrain)
     val cbs = Embeddings.pqCodebooks(qTrain)
     commitTrained(spark, path, q0, coarse, cbs, buildV)
+    commitSnapshot(spark, path)
     true
   }
 
@@ -406,8 +538,27 @@ object AnnIndex {
     * compressed scan body — codes bucket by vec_id, so neither join is
     * bucket-pruned; pruning is the point-lookup/takedown axis).
     */
+  /** `exactRescore` upgrades the near-dup rule from ADC to EXACT where
+    * storage allows (requires the IndexRefine split): routing still
+    * generates the candidates (the scale shape), but each probe's
+    * verdict is the max exact cosine of ALL its co-routed candidates
+    * against the stored vectors ([[rescoreExact]] — serveWith's join).
+    * Deliberately NOT the RefineK ADC shortlist serveWith uses: an ADC
+    * shortlist ranks by the lossy scale, and on a PQ-hostile corpus a
+    * true near-dup can fall out of the top-K behind ADC-inflated noise
+    * — a verdict that silently admits near-dups is worse than no
+    * verdict (and the tau measurement rescores the full co-routed
+    * frame, so the verdict must score the same frame it was calibrated
+    * on). Cost: the exact join processes the same candidate stream the
+    * ADC pass already scans — per probe bounded by NProbe × list
+    * occupancy, which [[rebalance]] keeps bounded. tau is on the exact
+    * scale ([[measureAdmissionTau]] with `exact`), which is codebook-
+    * independent: the verdict survives a rebalance with only the
+    * honest candidate-recall shift, never a scale shift.
+    */
   private[graft] def matchedIds(probes: DataFrame, path: String,
-                                tau: Double): DataFrame = {
+                                tau: Double,
+                                exactRescore: Boolean = false): DataFrame = {
     val spark = probes.sparkSession
     val (coarseDf, cbs) = loadCodebookFrames(spark, path)
     val arrCodes = Embeddings.ivfAssign(probes, coarseDf)
@@ -418,12 +569,75 @@ object AnnIndex {
       .select("vec_id")
     if (tau > 1.0) collided.distinct()
     else {
-      val near = adcScored(probes, path)
-        .groupBy("q_id").agg(max("approx_cos").as("b"))
-        .filter(col("b") >= tau)
-        .select(col("q_id").as("vec_id"))
+      val scored = adcScored(probes, path)
+      val near =
+        if (!exactRescore)
+          scored.groupBy("q_id").agg(max("approx_cos").as("b"))
+            .filter(col("b") >= tau)
+            .select(col("q_id").as("vec_id"))
+        else {
+          require(hasVectors(spark, path),
+            s"AnnIndex.matchedIds: exactRescore needs the vectors sub-table " +
+              s"at $path — build/extend with storeVectors = true")
+          rescoreExact(scored, probes, path)
+            .groupBy("q_id").agg(max("cos").as("b"))
+            .filter(col("b") >= tau)
+            .select(col("q_id").as("vec_id"))
+        }
       collided.unionByName(near).distinct()
     }
+  }
+
+  /** C44b: SemDeDup served from the COMMITTED index — C44's semantic
+    * near-duplicate gate promoted from "retrain a codebook in-session"
+    * to an artifact-served admission rule, the same promotion C66 did
+    * for text dedup: clusters come from the committed coarse codebook,
+    * the corpus side's cluster assignments from the CODES table (one
+    * scan, no raw-vector clustering), and exact cosines from the stored
+    * VECTORS (requires the IndexRefine split). A batch vector drops
+    * when (a) ANY committed co-clustered vector sits at cos ≥ tau —
+    * committed content always wins, it is already in the corpus — or
+    * (b) an EARLIER batch vector (smaller vec_id) co-clusters at ≥ tau,
+    * the paper's keep-first rule within the arrival (no transitive
+    * closure). Output matches C44's schema over the batch rows:
+    * (vec_id, c_id, max_prior_cos, is_kept) — max_prior_cos spans both
+    * prior populations, so the oracle hash-compares real numerics.
+    *
+    * Scale: both pair joins key on c_id — per-cluster cost is
+    * |batch ∩ cluster| × |corpus ∩ cluster|, bounded by list occupancy
+    * (which [[rebalance]] keeps bounded — SemDeDup's own k-scales-with-
+    * corpus rule, enforced by the artifact's maintenance loop instead
+    * of a per-job retrain); the within-batch quadratic is batch-sized.
+    * Nothing trains, nothing reads corpus text: the gate is two keyed
+    * joins against committed sub-tables.
+    */
+  def semDedupServe(batch: DataFrame, path: String,
+                    tau: Double = Embeddings.NearDupThreshold): DataFrame = {
+    val spark = batch.sparkSession
+    require(hasVectors(spark, path),
+      s"AnnIndex.semDedupServe: no vectors sub-table at $path — the gate " +
+        "rescores exactly; build/extend with storeVectors = true")
+    val q = Embeddings.quantized(batch)
+    val assign = Embeddings.ivfAssign(q, loadCodebookFrames(spark, path)._1)
+      .join(q, Seq("vec_id"))
+    val x = assign.select(col("c_id"), col("vec_id").as("ia"),
+      col("qv").as("qa"), col("nrm").as("na"))
+    val committedPrior = codes(spark, path).select("vec_id", "c_id")
+      .join(vectors(spark, path), Seq("vec_id"))
+      .select(col("c_id"), col("vec_id").as("ib"),
+        col("qv").as("qb"), col("nrm").as("nb"))
+    val batchPrior = assign.select(col("c_id"), col("vec_id").as("ib"),
+      col("qv").as("qb"), col("nrm").as("nb"))
+    val prior = x.join(committedPrior, Seq("c_id"))
+      .unionByName(x.join(batchPrior, Seq("c_id")).filter(col("ib") < col("ia")))
+      .select(col("ia").as("vec_id"),
+        Embeddings.cosine(col("qb"), col("qa"), col("nb"), col("na")).as("cos"))
+      .groupBy("vec_id")
+      .agg(max(col("cos")).as("max_prior_cos"))
+    assign.select("vec_id", "c_id")
+      .join(prior, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"), col("max_prior_cos"),
+        (coalesce(col("max_prior_cos"), lit(-1.0)) < tau).as("is_kept"))
   }
 
   /** Takedown — the compliance op that completes the vector artifact's
@@ -446,6 +660,10 @@ object AnnIndex {
   def retract(spark: SparkSession, path: String,
               vecIds: Seq[Long]): Seq[TakedownReceipt] = {
     require(vecIds.nonEmpty, "AnnIndex.retract: empty takedown list")
+    // a mutator: adopt any completed-unsnapshotted rebuild first, or the
+    // closing snapshot would pin post-retract codes against the stale
+    // pinned codebooks (see healSnapshot)
+    healSnapshot(spark, path)
     val ids = vecIds.toSet
     import spark.implicits._
     val idDf = vecIds.toDF("vec_id") // LongType, matching the writer's key
@@ -478,14 +696,18 @@ object AnnIndex {
     // would not be a takedown at all (r11, the IndexRefine split)
     val subs = Seq(codesPath(path) -> "codes") ++
       (if (hasVectors(spark, path)) Seq(vectorsPath(path) -> "vectors") else Nil)
-    subs.map { case (sub, name) => retractSub(sub, name) }
+    val receipts = subs.map { case (sub, name) => retractSub(sub, name) }
+    // the retract must be VISIBLE at the next snapshot — refresh the
+    // pins for exactly the sub-tables the takedown rewrote
+    commitSnapshot(spark, path, refresh = Seq("codes", "vectors"))
+    receipts
   }
 
   /** The committed code table (vec_id, c_id, code_0..code_{PqM−1}) at
-    * the latest committed version — snapshot-isolated, bucket-prunable.
+    * the root-snapshot version — snapshot-isolated, bucket-prunable.
     */
   def codes(spark: SparkSession, path: String): DataFrame =
-    VersionedTable.read(spark, codesPath(path))
+    subRead(spark, path, "codes")
       .select(Seq(col("vec_id"), col("c_id")) ++
         (0 until PqM).map(m => col(s"code_$m")): _*)
 

@@ -61,6 +61,20 @@ object DedupIndex {
   private def sigsPath(path: String) = s"$path/sigs"
   private def bandsPath(path: String) = s"$path/bands"
 
+  /** Sub-table names of the composite artifact, as recorded in its root
+    * snapshot (rsh is the opt-in containment lens). Readers resolve
+    * through [[graft.sources.Sinks.ArtifactSnapshot]] — one atomic
+    * (fps_v, sigs_v, bands_v, rsh_v) tuple per mutation, so a serve
+    * landing mid-extend can never match a doc's fingerprint in the new
+    * fps version while probing its bands in the old one (r11, the
+    * AnnIndex root-snapshot layer applied to all three index families).
+    */
+  private val SubNames = Seq("fps", "sigs", "bands", "rsh")
+
+  private def commitSnapshot(spark: SparkSession, path: String,
+                             refresh: Seq[String]): Unit =
+    graft.sources.Sinks.ArtifactSnapshot.commit(spark, path, SubNames, refresh)
+
   /** The three index frames of a (doc_id, text) corpus — shared by the
     * committed build and the in-session oracle query, so what the
     * artifact stores IS what the oracle checks.
@@ -91,6 +105,10 @@ object DedupIndex {
     VersionedTable.mergeUpsert(spark, bandsPath(path),
       bands(documents).select(col("doc_id"), col("b"), col("band_key"), v),
       Seq("doc_id", "b"), "build_v", numBuckets = 16)
+    // the root snapshot publishes LAST: a crash above leaves readers on
+    // the previous consistent (fps, sigs, bands) tuple, and the replay
+    // (this merge is idempotent) re-lands the data and publishes
+    commitSnapshot(spark, path, refresh = Seq("fps", "sigs", "bands"))
   }
 
   /** Incremental ingest — the same keyed merge as [[build]], named for
@@ -175,7 +193,7 @@ object DedupIndex {
       (bandsPath(path), Seq("doc_id", "b"), bandKeyDf, Seq("doc_id", "b"))) ++
       Some((rshPath(path), Seq("doc_id"), idDf, Seq("doc_id", "h")))
         .filter(t => VersionedTable.latestManifest(spark, t._1).isDefined)
-    sub.map { case (p, bucketKeys, keyFrame, legacyKeys) =>
+    val receipts = sub.map { case (p, bucketKeys, keyFrame, legacyKeys) =>
       // Prune ONLY when the table's recorded bucket contract says these
       // buckets are where the ids live. An rsh table committed before
       // the contract existed was bucketed by (doc_id, h) — pruning by
@@ -199,6 +217,10 @@ object DedupIndex {
           }
         }
     }
+    // the retract must be VISIBLE at the next snapshot-resolved serve —
+    // refresh exactly the sub-tables the takedown rewrote
+    commitSnapshot(spark, path, refresh = receipts.map(_.subTable))
+    receipts
   }
 
   /** Classify a (doc_id, text) batch against corpus index FRAMES:
@@ -261,10 +283,12 @@ object DedupIndex {
     * stream start, so a concurrent extend never tears mid-stream;
     * restart the stream to pick up a newer index version).
     */
-  def loadFrames(spark: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) =
-    (VersionedTable.read(spark, fpsPath(path)).select("doc_id", "fp"),
-      VersionedTable.read(spark, sigsPath(path)).select("doc_id", "mh"),
-      VersionedTable.read(spark, bandsPath(path)).select("doc_id", "b", "band_key"))
+  def loadFrames(spark: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
+    val snap = graft.sources.Sinks.ArtifactSnapshot
+    (snap.read(spark, path, "fps").select("doc_id", "fp"),
+      snap.read(spark, path, "sigs").select("doc_id", "mh"),
+      snap.read(spark, path, "bands").select("doc_id", "b", "band_key"))
+  }
 
   // ------------------------------------------------------ oracle query
 
@@ -382,6 +406,7 @@ object DedupIndex {
       Dedup.shingleHashes(documents).withColumn("build_v", lit(buildV)),
       Seq("doc_id", "h"), "build_v", numBuckets = 16,
       bucketKeys = Seq("doc_id"))
+    commitSnapshot(spark, path, refresh = Seq("rsh"))
   }
 
   /** Incremental ingest of the containment lens — same keyed merge. */
@@ -431,7 +456,8 @@ object DedupIndex {
   /** The committed corpus shingle frame (snapshot read) — the streaming
     * twin pins one snapshot at stream start. */
   def loadContainFrame(spark: SparkSession, path: String): DataFrame =
-    VersionedTable.read(spark, rshPath(path)).select("doc_id", "h")
+    graft.sources.Sinks.ArtifactSnapshot.read(spark, path, "rsh")
+      .select("doc_id", "h")
 
   /** Serve the containment verdicts from the COMMITTED lens. */
   def serveContain(batch: DataFrame, path: String): DataFrame =

@@ -79,7 +79,7 @@ object Embeddings {
       // entry; GraftCache.releaseAll frees it.
       .transform(GraftCache.persistTracked)
 
-  private def cosine(qa: Column, qb: Column, na: Column, nb: Column): Column =
+  private[operators] def cosine(qa: Column, qb: Column, na: Column, nb: Column): Column =
     dot(qa, qb).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
   val qvSqlExpr: String =
@@ -420,6 +420,26 @@ object Embeddings {
     if (graft.sources.Sinks.VersionedTable
         .latestManifest(s, s"$dir/codes").isEmpty)
       graft.operators.AnnIndex.build(Tables.embeddings(s, d), dir)
+    dir
+  }
+
+  /** The committed SEED index WITH stored vectors for the committed
+    * SemDeDup gate (C44b) — the [[tempAnnIndexDir]] convention with its
+    * own key: codebooks train on the id-prefix seed (vec_id <
+    * [[ExtendCut]]), vectors persist (the gate rescores exactly), and
+    * the tail NEVER extends in — it arrives as the gated batch.
+    * Completion = both codes and vectors committed (build commits
+    * vectors first, so codes-present implies vectors-present except for
+    * a vectors-only crash residue, which rebuilds — deterministic).
+    */
+  private[graft] def tempAnnSemDir(s: SparkSession, d: String): String = {
+    val dir = tempArtifactDir(s, d, "graft-temp-annsem")
+    val vt = graft.sources.Sinks.VersionedTable
+    if (vt.latestManifest(s, s"$dir/codes").isEmpty ||
+        vt.latestManifest(s, s"$dir/vectors").isEmpty)
+      graft.operators.AnnIndex.build(
+        Tables.embeddings(s, d).filter(col("vec_id") < ExtendCut), dir,
+        storeVectors = true)
     dir
   }
 
@@ -2021,6 +2041,35 @@ object Embeddings {
        |       coalesce(p.max_prior_cos, -1.0) < $NearDupThreshold AS is_kept
        |FROM j LEFT JOIN prior p ON j.vec_id = p.vec_id""".stripMargin
 
+  /** C44b oracle: the committed-gate semantics in SQL — the coarse
+    * k-means CTEs pinned to the SEED slice (`qSelect`, the frozen
+    * committed codebook), assignment over the FULL corpus
+    * (`applySelect` — committed rows re-derive the codes table's
+    * clusters, batch rows the gate's routing), prior = co-clustered
+    * smaller-id vectors (seed ids all precede the cut, so "committed
+    * always wins ∪ earlier-batch keep-first" collapses to the one id
+    * rule), output restricted to the batch. The same two scope knobs as
+    * the C61c oracle — a drift anywhere in the committed path (codebook
+    * retrain, assignment skew, inexact rescore) breaks hash parity.
+    */
+  val semDedupCommittedSql: String =
+    s"""${ivfRoutingCtes(
+          qSelect = s"SELECT vec_id, $qvSqlExpr AS qv FROM embeddings WHERE vec_id < $ExtendCut",
+          applySelect = s"SELECT vec_id, qv FROM (SELECT vec_id, $qvSqlExpr AS qv FROM embeddings)")},
+       |j AS (SELECT napp.vec_id, napp.qv, napp.nrm, a.c_id
+       |      FROM assign a JOIN napp ON a.vec_id = napp.vec_id),
+       |prior AS (
+       |  SELECT x.vec_id,
+       |         max(${dotSqlFmt.format("y.qv", "x.qv")}
+       |             / (sqrt(y.nrm) * sqrt(x.nrm))) AS max_prior_cos
+       |  FROM j x JOIN j y ON x.c_id = y.c_id AND y.vec_id < x.vec_id
+       |  WHERE x.vec_id >= $ExtendCut
+       |  GROUP BY 1)
+       |SELECT j.vec_id, j.c_id, p.max_prior_cos,
+       |       coalesce(p.max_prior_cos, -1.0) < $NearDupThreshold AS is_kept
+       |FROM j LEFT JOIN prior p ON j.vec_id = p.vec_id
+       |WHERE j.vec_id >= $ExtendCut""".stripMargin
+
   /** C46: k-NN label classification over the embedding column — the
     * label-propagation / quality-transfer step of a training-data
     * pipeline (score unlabeled docs from their labeled neighbors).
@@ -2408,6 +2457,10 @@ object Embeddings {
     "q_cluster_sample" -> ((s, d) => clusterSample(Tables.embeddings(s, d))),
     "q_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d))),
     "q_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d))),
+    "q_semdedup_committed" -> ((s, d) =>
+      graft.operators.AnnIndex.semDedupServe(
+        Tables.embeddings(s, d).filter(col("vec_id") >= ExtendCut),
+        tempAnnSemDir(s, d))),
     "q_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d))),
     "q_ann_ivfpq" -> ((s, d) => annIvfPq(Tables.embeddings(s, d))),
     "q_ann_topk" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
@@ -2444,6 +2497,7 @@ object Embeddings {
     "q_cluster_sample" -> clusterSampleSql(),
     "q_knn_classify" -> knnClassifySql,
     "q_semdedup" -> semDedupSql,
+    "q_semdedup_committed" -> semDedupCommittedSql,
     "q_ann_pq" -> annPqSql,
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_ann_topk" -> annTopKSql,

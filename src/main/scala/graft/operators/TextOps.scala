@@ -935,11 +935,15 @@ object TextOps {
       Seq("id"), "build_v", numBuckets = 1)
   }
 
-  /** The committed tokenizer at its latest version, round-ordered —
-    * ready for [[bpeEncodeWith]].
+  /** The committed tokenizer, round-ordered — ready for
+    * [[bpeEncodeWith]]. Resolves through the bundle's ROOT SNAPSHOT
+    * when one exists (a [[commitTokenizer]] bundle), so a reader
+    * loading merges next to [[loadTokenizerFertility]] mid-extend gets
+    * the pair ONE commit produced; a bare [[commitBpe]] artifact has no
+    * snapshot and reads per-table latest as before.
     */
   def loadBpeMerges(spark: SparkSession, path: String): Seq[(String, String)] =
-    graft.sources.Sinks.VersionedTable.read(spark, s"$path/merges")
+    graft.sources.Sinks.ArtifactSnapshot.read(spark, path, "merges")
       .select("m").head().getSeq[org.apache.spark.sql.Row](0)
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
@@ -1040,6 +1044,16 @@ object TextOps {
     graft.sources.Sinks.VersionedTable.mergeUpsert(spark, s"$path/fertility",
       fertilityWith(documents, mergeSeq).withColumn("build_v", lit(buildV)),
       Seq("lang"), "build_v", numBuckets = 4)
+    // the bundle's ROOT SNAPSHOT publishes LAST (the AnnIndex/DedupIndex
+    // discipline): merges and fertility pin as the pair THIS commit
+    // produced — a reader can no longer load retrained merges next to
+    // the previous crawl's fertility mid-extend. vocab/state is recorded
+    // for provenance (readers of the vocab are retrains, not serves).
+    // NOTE: a bare commitBpe deliberately does not refresh a bundle
+    // snapshot — on a bundle path, mutate through commitTokenizer.
+    graft.sources.Sinks.ArtifactSnapshot.commit(spark, path,
+      Seq("merges", "fertility", "vocab/state"),
+      refresh = Seq("merges", "fertility", "vocab/state"))
   }
 
   /** Ingest one more crawl into the bundle and retrain from the merged
@@ -1061,10 +1075,10 @@ object TextOps {
     graft.sources.Sinks.VersionedTable
       .latestManifest(spark, s"$path/merges").isDefined
 
-  /** The committed per-lang fertility stats at the latest version
-    * (lang, n_docs, ws_tokens, bpe_tokens, fertility, build_v). */
+  /** The committed per-lang fertility stats at the bundle's snapshot
+    * version (lang, n_docs, ws_tokens, bpe_tokens, fertility, build_v). */
   def loadTokenizerFertility(spark: SparkSession, path: String): DataFrame =
-    graft.sources.Sinks.VersionedTable.read(spark, s"$path/fertility")
+    graft.sources.Sinks.ArtifactSnapshot.read(spark, path, "fertility")
       .select("lang", "n_docs", "ws_tokens", "bpe_tokens", "fertility", "build_v")
 
   /** Oracle: re-derive the merge table with [[bpeTrainSql]]'s CTE chain,

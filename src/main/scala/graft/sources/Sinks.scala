@@ -368,9 +368,13 @@ object Sinks {
       * skipped, so a crashed writer can never make committed buckets
       * unreadable.
       */
-    private def latestIntact(spark: SparkSession, path: String): Option[(Long, String)] = {
+    private def latestIntact(spark: SparkSession, path: String): Option[(Long, String)] =
+      latestIntactIn(spark, path, CommitsDir)
+
+    private def latestIntactIn(spark: SparkSession, path: String,
+                               dirName: String): Option[(Long, String)] = {
       val fs = fsFor(spark, path)
-      val cdir = new Path(path, CommitsDir)
+      val cdir = new Path(path, dirName)
       if (!fs.exists(cdir)) return None
       fs.listStatus(cdir).flatMap { st =>
         val n = st.getPath.getName
@@ -396,6 +400,91 @@ object Sinks {
         val n = st.getPath.getName
         n.endsWith(".json") && n.stripSuffix(".json").toLongOption.isDefined
       }.toLong
+    }
+
+    /** True iff an INTACT manifest for version `v` exists at `path` —
+      * the pinned-reader probe: a snapshot holder checks whether its
+      * version survived [[vacuumVersioned]] before reading it, and
+      * falls forward to the latest when it didn't.
+      */
+    def manifestExists(spark: SparkSession, path: String, v: Long): Boolean =
+      manifestBody(fsFor(spark, path), new Path(path, CommitsDir), v).isDefined
+
+    // ------------- cross-table root manifest (group commits) -------------
+    //
+    // A composite artifact (AnnIndex = codebooks + codes + vectors,
+    // DedupIndex = fingerprints + signatures + bands, ...) commits each
+    // sub-table as its own manifest transaction, so a reader racing a
+    // multi-table mutation could see sub-table A's new version next to
+    // B's old one — the "two-manifest window". The root manifest closes
+    // it: ONE atomic commit at the artifact root pinning (sub-table ->
+    // version) pairs, published through the exact claim primitive the
+    // per-table manifests use. Readers resolve every sub-table through
+    // the latest intact group; writers publish a new group only after
+    // all sub-table commits land, so the pinned pair-set is always one
+    // a mutator actually produced. The group dir is underscore-prefixed
+    // ("_root_commits"), so [[discover]] still walks INTO the root and
+    // finds the sub-tables — compact/vacuum keep operating per table.
+
+    private val RootCommitsDir = "_root_commits"
+
+    private def parseParts(txt: String): Map[String, Long] =
+      "\"([^\"]+)\":(\\d+)".r.findAllMatchIn(
+          txt.substring(txt.indexOf("\"parts\":")))
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+
+    /** Latest intact group manifest at `root`: (group version,
+      * sub-table name -> pinned manifest version). None = the artifact
+      * predates group commits (readers fall back to per-table latest).
+      */
+    def latestGroup(spark: SparkSession,
+                    root: String): Option[(Long, Map[String, Long])] =
+      latestIntactIn(spark, root, RootCommitsDir)
+        .map { case (v, txt) => (v, parseParts(txt)) }
+
+    /** Atomically publish a cross-table snapshot at `root` pinning each
+      * named sub-table (path-relative to the root) at the given manifest
+      * version. Optimistic next-version protocol, same torn-occupant
+      * reclaim as the per-table publish. Returns the group version won.
+      *
+      * Retention: group manifests are metadata-only (one small JSON per
+      * mutation), but an admission loop commits one per batch — so the
+      * winner prunes groups older than the newest `keep`. Readers only
+      * ever resolve the LATEST intact group, so pruning history can
+      * never strand one (unlike per-table manifests, where a pinned
+      * group may still reference an old version — that is
+      * [[vacuumVersioned]]'s `keep` budget, and readers fall forward
+      * via [[manifestExists]] when it runs out).
+      */
+    def commitGroup(spark: SparkSession, root: String,
+                    parts: Map[String, Long], maxRetries: Int = 20,
+                    keep: Int = 64): Long = {
+      require(parts.nonEmpty, "commitGroup: empty sub-table pin set")
+      require(parts.values.forall(_ >= 0L),
+        s"commitGroup: negative pinned version in $parts")
+      val fs = fsFor(spark, root)
+      val cdir = new Path(root, RootCommitsDir)
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new java.io.IOException(
+            s"VersionedTable.commitGroup: lost the commit race $maxRetries times at $root")
+        val v = latestGroup(spark, root).map(_._1 + 1).getOrElse(0L)
+        val body = parts.toSeq.sorted
+          .map { case (n, pv) => s""""$n":$pv""" }
+          .mkString(s"""{"version":$v,"parts":{""", ",", "}}")
+        if (atomicPublish(fs, cdir, v, body)) {
+          fs.listStatus(cdir).foreach { st =>
+            val n = st.getPath.getName
+            n.stripSuffix(".json").toLongOption
+              .filter(old => n.endsWith(".json") && old <= v - keep)
+              .foreach(_ => fs.delete(st.getPath, false))
+          }
+          return v
+        }
+      }
+      -1L // unreachable
     }
 
     /** Every VersionedTable under `root`: any directory owning a
@@ -447,14 +536,23 @@ object Sinks {
     private def publish(spark: SparkSession, path: String, v: Long,
                         buckets: Map[Int, String], numBuckets: Int,
                         bucketCols: Seq[String]): Boolean = {
-      val fs = fsFor(spark, path)
-      val cdir = new Path(path, CommitsDir)
-      fs.mkdirs(cdir)
       val bc = if (bucketCols.isEmpty) ""
         else s""""bucketCols":"${bucketCols.mkString(",")}","""
       val body = buckets.toSeq.sorted
         .map { case (b, d) => s""""$b":"$d"""" }
         .mkString(s"""{"version":$v,"numBuckets":$numBuckets,$bc"buckets":{""", ",", "}}")
+      atomicPublish(fsFor(spark, path), new Path(path, CommitsDir), v, body)
+    }
+
+    /** Atomic-exclusive publish of a fully-written manifest body as
+      * version `v` under `cdir` — the claim + torn-occupant-reclaim
+      * protocol factored out of [[publish]] so the cross-table root
+      * manifest ([[commitGroup]]) commits through the exact same
+      * primitive. True iff this writer won the version.
+      */
+    private def atomicPublish(fs: org.apache.hadoop.fs.FileSystem,
+                              cdir: Path, v: Long, body: String): Boolean = {
+      fs.mkdirs(cdir)
       val dst = new Path(cdir, manifestName(v))
       val tmp = new Path(cdir, s".tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
@@ -981,6 +1079,64 @@ object Sinks {
       val p = new Path(new Path(path, CommitsDir), manifestName(v))
       if (!fs.exists(p)) Map.empty
       else parseBuckets(readUtf8(fs, p))
+    }
+  }
+
+  /** The root-snapshot POLICY composite artifacts share on top of
+    * [[VersionedTable.commitGroup]]/[[VersionedTable.latestGroup]]:
+    * readers resolve every sub-table through the latest root manifest
+    * (one atomic pin-set a mutator actually produced — a serve can
+    * never observe sub-table A's new version next to B's old one),
+    * mutators publish a new snapshot as their LAST step, refreshing
+    * only the sub-tables they wrote so a torn concurrent/crashed
+    * mutation's half-committed sub-table is never exposed by an
+    * unrelated writer. Artifacts with no root manifest (built before
+    * the layer, or mid-first-build) fall back to per-table latest —
+    * the pre-snapshot behavior, unchanged.
+    */
+  object ArtifactSnapshot {
+
+    /** The latest root snapshot's pin for `sub` under `root`. */
+    def pinnedVersion(spark: SparkSession, root: String,
+                      sub: String): Option[Long] =
+      VersionedTable.latestGroup(spark, root).flatMap(_._2.get(sub))
+
+    /** Snapshot-resolved sub-table read: the root-pinned version when
+      * one exists, falling FORWARD to per-table latest when the pin
+      * predates [[VersionedTable.vacuumVersioned]]'s retention
+      * (compaction bumps versions without new snapshots; every later
+      * version was committed after the pin, so falling forward is
+      * never worse than the pre-snapshot behavior).
+      */
+    def read(spark: SparkSession, root: String, sub: String): DataFrame = {
+      val full = s"$root/$sub"
+      pinnedVersion(spark, root, sub) match {
+        case Some(v) if VersionedTable.manifestExists(spark, full, v) =>
+          VersionedTable.read(spark, full, Some(v))
+        case _ => VersionedTable.read(spark, full)
+      }
+    }
+
+    /** Publish the root snapshot after a mutation. `refresh` names the
+      * sub-tables the mutation bumped (their pin moves to per-table
+      * latest); every other name in `subNames` KEEPS its existing pin
+      * when one exists. `pin` overrides both (a mutator records the
+      * exact version it read a dependency at). Sub-tables with no
+      * commits yet are skipped.
+      */
+    def commit(spark: SparkSession, root: String, subNames: Seq[String],
+               refresh: Seq[String],
+               pin: Map[String, Long] = Map.empty): Long = {
+      val existing = VersionedTable.latestGroup(spark, root)
+        .map(_._2).getOrElse(Map.empty[String, Long])
+      val parts = subNames.flatMap { n =>
+        val latest = VersionedTable.latestManifest(spark, s"$root/$n").map(_._1)
+        pin.get(n)
+          .orElse(if (refresh.contains(n)) latest
+                  else existing.get(n).orElse(latest))
+          .map(n -> _)
+      }.toMap
+      VersionedTable.commitGroup(spark, root, parts)
     }
   }
 

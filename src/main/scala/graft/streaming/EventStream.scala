@@ -1360,25 +1360,35 @@ object EventStream {
     * re-encoded its rows, which is exactly right (the rebalanced codes
     * are the ones consistent with the current codebooks).
     */
+  /** `exactRescore`: upgrade the near-dup verdict from the ADC scale to
+    * EXACT cosines against the stored vectors (requires the IndexRefine
+    * split; `tau` must then be measured with `commitAdmissionTau(…,
+    * exact = true)`). Because exact scores are codebook-independent,
+    * this is the ONE near-dup mode that composes with the in-loop
+    * rebalance: a rebuild shifts candidate recall (the honest ANN
+    * trade), never the verdict scale.
+    */
   def streamingEmbeddingAdmission(vecs: DataFrame, indexPath: String,
                                   outPath: String, checkpoint: String,
                                   tau: Double,
                                   compactEvery: Int = 16,
                                   funnelLogPath: Option[String] = None,
-                                  rebalanceLoadPct: Long = 0L): StreamingQuery = {
+                                  rebalanceLoadPct: Long = 0L,
+                                  exactRescore: Boolean = false): StreamingQuery = {
     require(graft.sources.Sinks.VersionedTable
         .latestManifest(vecs.sparkSession, s"$indexPath/codes").isDefined,
       s"streamingEmbeddingAdmission: no committed AnnIndex at $indexPath — " +
         "build the seed index first (AnnIndex.build with the seed corpus)")
-    require(rebalanceLoadPct <= 0L || tau > 1.0,
-      "streamingEmbeddingAdmission: in-loop rebalance requires collision-only " +
-        "verdicts (tau > 1) — a rebuild shifts the ADC scale under a fixed tau; " +
-        "re-measure with commitAdmissionTau as an operator action instead")
-    require(rebalanceLoadPct <= 0L ||
+    require(rebalanceLoadPct <= 0L || tau > 1.0 || exactRescore,
+      "streamingEmbeddingAdmission: in-loop rebalance requires rebuild-proof " +
+        "verdicts — collision-only (tau > 1) or exactRescore (exact cosines " +
+        "are codebook-independent); a rebuild shifts the ADC scale under a " +
+        "fixed ADC tau, so re-measure with commitAdmissionTau instead")
+    require((rebalanceLoadPct <= 0L && !(exactRescore && tau <= 1.0)) ||
         graft.operators.AnnIndex.hasVectors(vecs.sparkSession, indexPath),
-      s"streamingEmbeddingAdmission: in-loop rebalance needs the vectors " +
-        s"sub-table at $indexPath — build the seed with storeVectors = true " +
-        "(codes are lossy; a rebuild cannot retrain from them)")
+      s"streamingEmbeddingAdmission: in-loop rebalance and exactRescore both " +
+        s"need the vectors sub-table at $indexPath — build the seed with " +
+        "storeVectors = true (codes are lossy)")
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -1386,7 +1396,7 @@ object EventStream {
         if (!batch.isEmpty)
           embeddingAdmitBatch(batch.toDF(), batchId, indexPath, outPath, tau,
             compactEvery = compactEvery, funnelLogPath = funnelLogPath,
-            rebalanceLoadPct = rebalanceLoadPct)
+            rebalanceLoadPct = rebalanceLoadPct, exactRescore = exactRescore)
       }
       .start()
   }
@@ -1403,7 +1413,8 @@ object EventStream {
                                          compactEvery: Int = 0,
                                          crashBeforeExtend: Boolean = false,
                                          funnelLogPath: Option[String] = None,
-                                         rebalanceLoadPct: Long = 0L): Unit = {
+                                         rebalanceLoadPct: Long = 0L,
+                                         exactRescore: Boolean = false): Unit = {
     import graft.operators.AnnIndex
     graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
       val q = graft.operators.Embeddings.quantized(batch)
@@ -1431,7 +1442,7 @@ object EventStream {
       // ADC near-dup extension at the measured tau (see
       // AnnIndex.matchedIds for why collision is the primary rule)
       val admitted = kept
-        .join(AnnIndex.matchedIds(kept, indexPath, tau),
+        .join(AnnIndex.matchedIds(kept, indexPath, tau, exactRescore),
           Seq("vec_id"), "left_anti")
         .select("vec_id")
         .join(batch, Seq("vec_id"))
@@ -1571,6 +1582,40 @@ object EventStream {
           graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
             graft.operators.DedupIndex
               .matchContainment(batch.toDF(), corpusSh)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(outPath)
+          }
+      }
+      .start()
+  }
+
+  /** Streaming SEMANTIC-dedup gate from the COMMITTED index (C44b's
+    * continuous twin, the [[streamingDedupCommittedProbe]] pattern):
+    * each arriving (vec_id, embedding) micro-batch draws SemDeDup
+    * verdicts from [[graft.operators.AnnIndex.semDedupServe]] —
+    * committed coarse clusters, codes-table corpus assignments, exact
+    * cosines against the stored vectors (IndexRefine split required,
+    * checked at START so a codes-only index fails fast, not in batch 0).
+    * Runs in foreachBatch because the verdict needs per-batch-complete
+    * aggregates (max-prior, keep-first); the artifact's ROOT SNAPSHOT
+    * is resolved per batch like the admission loops — a concurrent
+    * extend lands atomically between batches. No streaming state, no
+    * watermark; batch_id replay provenance.
+    */
+  def streamingSemDedupGate(vecs: DataFrame, indexPath: String,
+                            outPath: String, checkpoint: String,
+                            tau: Double): StreamingQuery = {
+    require(graft.operators.AnnIndex.hasVectors(vecs.sparkSession, indexPath),
+      s"streamingSemDedupGate: no vectors sub-table at $indexPath — the gate " +
+        "rescores exactly; build the index with storeVectors = true")
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
+            graft.operators.AnnIndex
+              .semDedupServe(batch.toDF(), indexPath, tau)
               .withColumn("batch_id", lit(batchId))
               .write.mode("append").parquet(outPath)
           }

@@ -125,6 +125,9 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     Sinks.VersionedTable.replaceAll(spark, s"$twin/codes", Seq("vec_id")) { snap =>
       snap.filter(!col("vec_id").isInCollection(takedown.toSet))
     }
+    // the raw replaceAll bypassed the artifact's root snapshot — refresh
+    // it, as any real mutator does (readers resolve through the snapshot)
+    AnnIndex.commitSnapshot(spark, twin)
     assert(rows(AnnIndex.serve(emb, path)) == rows(AnnIndex.serve(emb, twin)),
       "bucket-pruned retract must serve identically to the full rewrite")
     // idempotent: replaying the takedown changes nothing
@@ -265,10 +268,14 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // below the bar: a no-op
     assert(!AnnIndex.rebalance(spark, path, buildV = 6L,
       maxLoadPct = Embeddings.NumCentroids * 100L))
-    // a non-monotone buildV would lose the latest-wins merge to prior
+    // an EXACT replay of the completed rebuild (same buildV) no-ops —
+    // the restart-before-checkpoint discipline (r11)
+    assert(!AnnIndex.rebalance(spark, path, buildV = 5L, maxLoadPct = 0L),
+      "a replayed completed rebuild must no-op")
+    // a genuinely STALE buildV would lose the latest-wins merge to prior
     // versions, silently keeping stale codes against new codebooks
     val nonMono = intercept[IllegalArgumentException] {
-      AnnIndex.rebalance(spark, path, buildV = 5L, maxLoadPct = 0L)
+      AnnIndex.rebalance(spark, path, buildV = 4L, maxLoadPct = 0L)
     }
     assert(nonMono.getMessage.contains("must exceed"), nonMono.getMessage)
     // the rebuilt index still serves: k rows per probe, retracted
@@ -277,6 +284,175 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served.nonEmpty &&
       !served.exists(r => victims.contains(r.getLong(1))),
       "a retracted vector must not resurface through the rebalance")
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("exact-rescore verdicts: tau separates where ADC refused, near-dups match, novel don't, survives a rebalance (r11)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val path = s"$tmp/ix_exact"
+    AnnIndex.build(emb.filter(col("vec_id") < 350L), path, storeVectors = true)
+    // the ADC scale REFUSES on this index (pinned by the IndexRefine
+    // test: min self-ADC 0.39 < noise ceiling 0.69); the EXACT scale
+    // separates — self collapses to ~1.0, noise is the true co-routed
+    // max pairwise cosine
+    val tau = AnnIndex.commitAdmissionTau(spark, path, exact = true)
+    assert(tau > 0.5 && tau < 1.0, s"exact tau $tau must sit between the " +
+      "corpus noise ceiling and the self line")
+    val a = AnnIndex.loadAdmission(spark, path)
+    assert(a.exact && a.tau == math.round(tau * 1e6) / 1e6)
+    // verdicts at the measured tau, all through the exact branch:
+    // a re-crawl, a perturbed near-dup, and a genuinely novel vector
+    val byId = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val perturbed = byId(5L).toArray.clone()
+    // one-component bump on the unit-norm corpus: cos ~0.88 — above the
+    // midpoint tau (corpus max pairwise is 0.47), below the self line
+    perturbed(0) = perturbed(0) + 0.5f
+    def probe(rows: Seq[(Long, Seq[Float])]) =
+      Embeddings.quantized(rows.toDF("vec_id", "embedding"))
+    val verdicts = AnnIndex.matchedIds(probe(Seq(
+      (9000L, byId(5L)),            // exact re-crawl of committed content
+      (9001L, perturbed.toSeq),     // near-dup: exact cos >= tau
+      (9002L, byId(400L)))),        // novel (a tail vector the seed never saw)
+      path, a.tau, exactRescore = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(verdicts == Set(9000L, 9001L),
+      s"re-crawl + near-dup must match, novel must not: $verdicts")
+    // the exact tau is CODEBOOK-INDEPENDENT: a forced rebalance
+    // retrains everything, and the operating point still loads and
+    // still gates (an ADC tau must refuse here — also pinned above)
+    assert(AnnIndex.rebalance(spark, path, buildV = 1L, maxLoadPct = 0L))
+    val a2 = AnnIndex.loadAdmission(spark, path)
+    assert(a2 == a, "the exact tau must survive the rebuild unchanged")
+    val after = AnnIndex.matchedIds(probe(Seq(
+      (9000L, byId(5L)), (9001L, perturbed.toSeq), (9002L, byId(400L)))),
+      path, a2.tau, exactRescore = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(after == Set(9000L, 9001L),
+      s"verdicts must hold across the rebuild (recall shift only): $after")
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("semDedupServe: committed semantic gate — re-crawls drop, planted near-dups drop, novel keep, committed always wins (r11)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val path = s"$tmp/ix_sem"
+    AnnIndex.build(emb.filter(col("vec_id") < 350L), path, storeVectors = true)
+    val byId = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def nearDupOf(id: Long): Seq[Float] = { // cos ~0.98, routing-preserving
+      val a = byId(id).toArray.clone(); a(0) = a(0) + 0.2f; a.toSeq
+    }
+    val batch = Seq(
+      (9000L, byId(5L)),        // verbatim re-crawl of committed content
+      (9001L, nearDupOf(7L)),   // near-dup of committed content
+      (9002L, byId(400L)),      // novel (tail vector the seed never saw)
+      (9003L, byId(400L)))      // within-batch dup of the earlier 9002
+      .toDF("vec_id", "embedding")
+    val out = AnnIndex.semDedupServe(batch, path, tau = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(3), if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toMap
+    assert(out.keySet == Set(9000L, 9001L, 9002L, 9003L),
+      "the gate must emit exactly the batch rows")
+    assert(!out(9000L)._1 && out(9000L)._2 > 0.999,
+      s"a verbatim re-crawl must drop at cos~1: ${out(9000L)}")
+    assert(!out(9001L)._1 && out(9001L)._2 >= 0.9,
+      s"a committed near-dup must drop: ${out(9001L)}")
+    assert(out(9002L)._1, s"novel content must keep: ${out(9002L)}")
+    assert(!out(9003L)._1 && out(9003L)._2 > 0.999,
+      s"keep-first: a within-batch dup of an earlier id must drop: ${out(9003L)}")
+    // committed ALWAYS wins, even when the batch id is smaller than the
+    // committed id it duplicates (the id rule is only the oracle's
+    // projection of it — the artifact contract is corpus-priority)
+    val small = Seq((1L, byId(349L))).toDF("vec_id", "embedding")
+    val sm = AnnIndex.semDedupServe(small, path, tau = 0.9).collect().head
+    assert(!sm.getBoolean(3) && sm.getDouble(2) > 0.999,
+      "a batch vector duplicating committed content must drop regardless of id order")
+    // deterministic: serving the same batch twice is bit-identical
+    val again = AnnIndex.semDedupServe(batch, path, tau = 0.9)
+      .collect().map(r => r.toSeq).toSet
+    assert(again == AnnIndex.semDedupServe(batch, path, tau = 0.9)
+      .collect().map(r => r.toSeq).toSet)
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("root snapshot: readers keep the last consistent tuple through a torn rebuild; mutators heal; replayed rebalance no-ops (r11)") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = s"$tmp/ix_snap"
+    val cut = 400L
+    AnnIndex.build(emb.filter(col("vec_id") < cut), path, storeVectors = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e12), r.getInt(3))).toSet
+    def cbManifestV() =
+      Sinks.VersionedTable.latestManifest(spark, s"$path/codebooks").get._1
+    val probes = emb.filter(col("vec_id") < Embeddings.NumProbes)
+    // build published a root snapshot pinning every sub-table at latest
+    val g0 = Sinks.VersionedTable.latestGroup(spark, path).get
+    Seq("codebooks", "codes", "vectors").foreach { n =>
+      assert(g0._2(n) ==
+        Sinks.VersionedTable.latestManifest(spark, s"$path/$n").get._1,
+        s"build's snapshot must pin $n at its latest manifest")
+    }
+    val before = rows(AnnIndex.serveWith(probes, path))
+    // HALF rebuild (crash after the codebooks commit, before codes):
+    // poison the raw codebooks sub-table directly — readers resolve
+    // through the snapshot and must NOT cross the torn window
+    val poisoned = Sinks.VersionedTable.read(spark, s"$path/codebooks")
+      .withColumn("cqv", expr("transform(cqv, x -> x + 1000000)"))
+      .withColumn("build_v", lit(99L))
+    Sinks.VersionedTable.mergeUpsert(spark, s"$path/codebooks", poisoned,
+      Seq("kind", "c_id"), "build_v", numBuckets = 4)
+    assert(rows(AnnIndex.serveWith(probes, path)) == before,
+      "a reader crossed the two-manifest window (saw half a rebuild)")
+    // an extend landing AFTER the crash encodes with — and pins — the
+    // OLD codebooks, so the snapshot stays a tuple a mutator produced
+    AnnIndex.extend(emb.filter(col("vec_id") >= cut), path, buildV = 2L)
+    val g1 = Sinks.VersionedTable.latestGroup(spark, path).get
+    assert(g1._2("codebooks") == g0._2("codebooks"),
+      "extend must pin the codebooks version it actually encoded with")
+    assert(cbManifestV() > g1._2("codebooks"),
+      "the torn window must be real: raw codebooks ahead of the pin")
+    // …and the whole torn artifact serves EXACTLY like a clean twin
+    val twin = s"$tmp/ix_snap_twin"
+    AnnIndex.build(emb.filter(col("vec_id") < cut), twin, storeVectors = true)
+    AnnIndex.extend(emb.filter(col("vec_id") >= cut), twin, buildV = 2L)
+    val extended = rows(AnnIndex.serveWith(probes, path))
+    assert(extended == rows(AnnIndex.serveWith(probes, twin)),
+      "pinned reads must serve as if the torn half-rebuild never happened")
+    // rebalance detects codebooks-ahead, retrains, and the snapshot
+    // adopts the completed rebuild (poisoned centroids replaced)
+    assert(AnnIndex.rebalance(spark, path, buildV = 100L,
+      maxLoadPct = Embeddings.NumCentroids * 100L),
+      "a torn artifact must rebuild regardless of the occupancy bar")
+    val g2 = Sinks.VersionedTable.latestGroup(spark, path).get
+    assert(g2._2("codebooks") == cbManifestV(),
+      "the heal's snapshot must pin the retrained codebooks")
+    val healed = rows(AnnIndex.serveWith(probes, path))
+    assert(healed.nonEmpty)
+    // REPLAY of the completed rebalance (restart before the stream
+    // checkpoint committed): same buildV must no-op, never crash-loop
+    assert(!AnnIndex.rebalance(spark, path, buildV = 100L, maxLoadPct = 0L),
+      "an exact replay of a completed rebuild must be a no-op")
+    assert(rows(AnnIndex.serveWith(probes, path)) == healed)
+    // crash BETWEEN a completed rebuild and its snapshot: simulate by
+    // deleting the groups the rebalance published — the next mutator
+    // must ADOPT the finished rebuild before touching anything
+    val gdir = new java.io.File(s"$path/_root_commits")
+    gdir.listFiles().foreach { f =>
+      f.getName.stripSuffix(".json").toLongOption
+        .filter(v => f.getName.endsWith(".json") && v > g1._1)
+        .foreach(_ => f.delete())
+    }
+    assert(Sinks.VersionedTable.latestGroup(spark, path).get._1 == g1._1)
+    assert(rows(AnnIndex.serveWith(probes, path)) == extended,
+      "with the rebuild's snapshot gone, readers fall back to the prior tuple")
+    AnnIndex.retract(spark, path, Seq(0L))
+    val g3 = Sinks.VersionedTable.latestGroup(spark, path).get
+    assert(g3._2("codebooks") == cbManifestV(),
+      "a mutator must adopt the completed-but-unsnapshotted rebuild")
+    val after = AnnIndex.serveWith(probes, path).collect()
+    assert(after.nonEmpty && !after.exists(_.getLong(1) == 0L),
+      "the retract must be visible at the adopted snapshot")
     graft.GraftCache.releaseAll(spark)
   }
 

@@ -49,6 +49,43 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kinds == Set("exact", "near", "new"), s"planted batch hit only $kinds")
   }
 
+  test("root snapshot: a serve never sees half an extend; retract + completed extends refresh the pins (r11)") {
+    import graft.sources.Sinks.{ArtifactSnapshot, VersionedTable}
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("snap")
+    DedupIndex.build(docs, path)
+    val g0 = VersionedTable.latestGroup(spark, path).get
+    Seq("fps", "sigs", "bands").foreach { n =>
+      assert(g0._2(n) ==
+        VersionedTable.latestManifest(spark, s"$path/$n").get._1,
+        s"build's snapshot must pin $n at its latest manifest")
+    }
+    // HALF an extend (crash after the fps merge, before sigs/bands):
+    // raw-merge one novel doc's fingerprint row only
+    import spark.implicits._
+    val novel = Seq((4999999L, "wholly novel text zq xv jkw")).toDF("doc_id", "text")
+    VersionedTable.mergeUpsert(spark, s"$path/fps",
+      DedupIndex.fps(novel).withColumn("build_v", lit(7L)),
+      Seq("doc_id"), "build_v", numBuckets = 16)
+    // a snapshot-resolved serve of that doc classifies it NEW — the
+    // torn fps version is invisible (pre-snapshot, serve would have
+    // flagged it exact from fps while its bands/sigs don't exist)
+    val v = verdicts(DedupIndex.serve(novel, path))
+    assert(v(4999999L)._1 == "new",
+      s"a reader crossed the half-extend window: $v")
+    assert(ArtifactSnapshot.read(spark, path, "fps")
+      .filter(col("doc_id") === 4999999L).count() == 0)
+    // the COMPLETED extend (replay) lands all three and refreshes pins
+    DedupIndex.extend(novel, path, buildV = 8L)
+    assert(verdicts(DedupIndex.serve(novel, path))(4999999L)._1 == "exact",
+      "the completed extend must serve at the refreshed snapshot")
+    // retract refreshes the pins too — immediately visible at serve
+    DedupIndex.retract(spark, path, Seq(4999999L))
+    assert(verdicts(DedupIndex.serve(novel, path))(4999999L)._1 == "new",
+      "the takedown must be visible at the next snapshot-resolved serve")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("containment lens: served == in-session core; extend == rebuild; quote flagged that serve misses") {
     val docs = Tables.documents(spark, sf)
     val path = tmp("contain")
@@ -284,6 +321,11 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       VersionedTable.replaceAll(spark, s"$pathAll/$t", keys) { snap =>
         snap.filter(!col("doc_id").isInCollection(one.toSet))
       }
+    // the raw replaceAll bypassed the artifact's root snapshot — refresh
+    // it, as the real retract does (readers resolve through the snapshot)
+    graft.sources.Sinks.ArtifactSnapshot.commit(spark, pathAll,
+      Seq("fps", "sigs", "bands", "rsh"),
+      refresh = Seq("fps", "sigs", "bands", "rsh"))
     val batch = DedupIndex.plantedBatch(docs)
     assert(verdicts(DedupIndex.serve(batch, path)) ==
       verdicts(DedupIndex.serve(batch, pathAll)),

@@ -1598,6 +1598,24 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaFresh = TextOps.bpeEncodeWith(b.select("doc_id", "text"), freshUnion)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(viaBundle == viaFresh)
+    // ROOT SNAPSHOT (r11): a crashed extend that committed new merges
+    // but died before fertility/snapshot is INVISIBLE to readers —
+    // simulate with a bare commitBpe (raw merges commit, no snapshot)
+    // at the LEDGER-derived buildV a real crashed extend would use
+    // (delta wins version ties, so the replay's re-commit overwrites)
+    val fertBefore = TextOps.loadTokenizerFertility(spark, dir).collect()
+      .map(_.toSeq).toSet
+    TextOps.commitBpe(
+      TextOps.bpeTrain(a.select("doc_id", "text"), 8), dir, buildV = 2L)
+    assert(TextOps.loadBpeMerges(spark, dir) == extended,
+      "a reader crossed the torn merges/fertility window")
+    assert(TextOps.loadTokenizerFertility(spark, dir).collect()
+      .map(_.toSeq).toSet == fertBefore)
+    // the completed mutation (replayed extend, same delta = vocab no-op
+    // but fresh retrain + snapshot) adopts the latest consistent pair
+    TextOps.extendTokenizer(b, dir, "crawl-b", k)
+    assert(TextOps.loadBpeMerges(spark, dir) == extended,
+      "the replayed extend must restore the k-merge bundle over the torn row")
     graft.GraftCache.releaseAll(spark)
   }
 }

@@ -186,6 +186,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("committed SemDeDup gate: c_id-keyed pair joins, only the routing-rank window (r11)") {
+    // q_semdedup_committed: both prior populations arrive through plain
+    // equi-joins on the cluster id (per-cluster cost bounded by list
+    // occupancy); the only window allowed is the per-vector coarse
+    // routing rank (≤ NumCentroids rows per key, the q_ann_ivf
+    // exemption). A window over the pair frame or a cartesian candidate
+    // source would be the all-pairs hazard the clustering exists to cut.
+    graft.GraftCache.releaseAll(spark)
+    val p = plan("q_semdedup_committed")
+    assert(p.collect { case w: WindowExec => w }.size <= 1,
+      "q_semdedup_committed: only the bounded routing-rank window is allowed")
+    assert(!p.toString.contains("CartesianProduct"),
+      "q_semdedup_committed: prior pairs must come from the c_id equi-join")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("chunking is shuffle-free: q_chunk_docs has no Exchange at all") {
     val exchanges = plan("q_chunk_docs").collect {
       case e: org.apache.spark.sql.execution.exchange.Exchange => e

@@ -681,6 +681,44 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(again.forall(r => r.versionsAfter <= 3))
   }
 
+  test("VersionedTable: cross-table group commits — roundtrip, torn skip + reclaim, retention prune (r11)") {
+    import Sinks.VersionedTable
+    val root = s"$tmp/grp"
+    assert(VersionedTable.latestGroup(spark, root).isEmpty,
+      "an artifact with no group commits must read as None (legacy fallback)")
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitGroup(spark, root, Map.empty)
+    }
+    assert(VersionedTable.commitGroup(spark, root,
+      Map("codebooks" -> 1L, "codes" -> 2L)) == 0L)
+    assert(VersionedTable.latestGroup(spark, root)
+      .contains((0L, Map("codebooks" -> 1L, "codes" -> 2L))),
+      "group parts must round-trip through the root manifest")
+    assert(VersionedTable.commitGroup(spark, root,
+      Map("codebooks" -> 1L, "codes" -> 3L)) == 1L)
+    assert(VersionedTable.latestGroup(spark, root).get._2("codes") == 3L)
+    // a TORN group manifest at a higher version is skipped by readers…
+    val cdir = java.nio.file.Paths.get(root, "_root_commits")
+    java.nio.file.Files.write(cdir.resolve("00000002.json"),
+      "{\"version\":2,\"parts\":{\"codeb".getBytes("UTF-8"))
+    assert(VersionedTable.latestGroup(spark, root).get ==
+      (1L, Map("codebooks" -> 1L, "codes" -> 3L)),
+      "a torn newest group manifest must not be read")
+    // …and RECLAIMED by the next committer (same protocol as per-table)
+    assert(VersionedTable.commitGroup(spark, root, Map("codes" -> 4L)) == 2L)
+    assert(VersionedTable.latestGroup(spark, root)
+      .contains((2L, Map("codes" -> 4L))))
+    // retention: the winner prunes groups older than the newest `keep`
+    (0 until 6).foreach(i =>
+      VersionedTable.commitGroup(spark, root, Map("codes" -> (5L + i)), keep = 3))
+    val files = java.nio.file.Files.list(cdir).iterator()
+    val names = Iterator.continually(files).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).filter(_.endsWith(".json")).toSeq
+    assert(names.size == 3, s"keep=3 must bound the group history: $names")
+    assert(VersionedTable.latestGroup(spark, root).get._1 == 8L,
+      "the newest group must survive the prune")
+  }
+
   test("non-bucketed join of the same data DOES shuffle both sides (control)") {
     val joined = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
       .join(Tables.customer(spark, sf).select("c_custkey", "c_name"),

@@ -1770,6 +1770,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     run(0L, Seq((401L, 401L)))
     run(1L, Seq((410L, 410L))) // cadence batch: maintain + forced rebalance
     assert(cbV() > v0, "the cadence rebalance must commit new codebooks")
+    // restart-before-checkpoint REPLAY of the completed cadence batch:
+    // the re-crawl is rejected (no extend lands) and the SAME-version
+    // rebalance must no-op instead of tripping the monotone guard into
+    // a crash-loop (r11 review — the replay discipline the even/odd
+    // version spacing promises)
+    val vAfterRebal = cbV()
+    run(1L, Seq((410L, 410L)))
+    assert(cbV() == vAfterRebal,
+      "a replayed cadence rebalance must no-op, not rebuild or throw")
     // cross-batch memory SURVIVES the re-encode: probe and index both
     // re-encode with the same new codebooks, so the collision rule
     // still rejects a re-crawl of a pre-rebalance admission
@@ -1799,6 +1808,100 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$dir/out3", s"$dir/ckpt3", tau = 2.0, rebalanceLoadPct = 400L)
     }
     assert(e2.getMessage.contains("storeVectors"), e2.getMessage)
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("embedding admission with EXACT near-dup verdicts composes with the in-loop rebalance (r11)") {
+    import spark.implicits._
+    import graft.operators.{AnnIndex, Embeddings}
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-exact").toString
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val byId = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // cos ~0.98 on the unit-norm corpus — inside the measured tau AND
+    // small enough that the perturbed probe still routes to its
+    // original's coarse list (a larger bump is an honest ANN recall
+    // miss: NProbe=4 of 16 lists; the verdict is candidates-only)
+    def nearDupOf(id: Long): Seq[Float] = {
+      val a = byId(id).toArray.clone(); a(0) = a(0) + 0.2f; a.toSeq
+    }
+    AnnIndex.build(emb.filter(col("vec_id") < 350L), s"$dir/index",
+      storeVectors = true)
+    // the measured EXACT operating point (the ADC scale refuses on this
+    // index — AnnIndexSpec pins that): near-dup gating AND the in-loop
+    // rebalance, a composition the ADC tau forbids
+    val tau = AnnIndex.commitAdmissionTau(spark, s"$dir/index", exact = true)
+    def run(b: Long, rows: Seq[(Long, Seq[Float])]): Unit =
+      EventStream.embeddingAdmitBatch(rows.toDF("vec_id", "embedding"), b,
+        s"$dir/index", s"$dir/out", tau = tau,
+        compactEvery = 2, rebalanceLoadPct = 1L, exactRescore = true)
+    // batch 0: a near-dup of COMMITTED content is rejected through the
+    // exact rule (no code collision — component 0 shifted subspace 0's
+    // code), a novel tail vector admits
+    run(0L, Seq((9000L, nearDupOf(5L)), (9001L, byId(400L))))
+    // batch 1 (cadence: maintain + forced rebalance): a near-dup of the
+    // BATCH-0 ADMISSION is rejected — cross-batch memory through the
+    // extended index, still on the exact scale
+    val cbV = () => graft.sources.Sinks.VersionedTable
+      .latestManifest(spark, s"$dir/index/codebooks").get._1
+    val v0 = cbV()
+    run(1L, Seq((9100L, nearDupOf(400L)), (9101L, byId(420L))))
+    assert(cbV() > v0, "the cadence rebalance must have rebuilt")
+    // batch 2, AFTER the rebuild: the tau needed no re-measure, and
+    // both re-crawls and near-dups of pre-rebuild admissions stay
+    // rejected (exact scores never moved; only candidate recall can)
+    run(2L, Seq((9200L, byId(400L)), (9201L, nearDupOf(420L)),
+      (9202L, byId(440L))))
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("batch_id"))).toSet
+    assert(out == Set((9001L, 0L), (9101L, 1L), (9202L, 2L)),
+      s"exact verdicts must gate across batches and the rebuild: $out")
+    // guard: exactRescore with a near-dup tau on a codes-only index is
+    // refused at stream start (no vectors to rescore against)
+    val codesOnly = java.nio.file.Files.createTempDirectory("graft-emb-exco").toString
+    AnnIndex.build(emb.filter(col("vec_id") < 350L), s"$codesOnly/index")
+    val e = intercept[IllegalArgumentException] {
+      EventStream.streamingEmbeddingAdmission(
+        spark.readStream.format("rate").load(), s"$codesOnly/index",
+        s"$dir/out2", s"$dir/ckpt2", tau = 0.7, exactRescore = true)
+    }
+    assert(e.getMessage.contains("storeVectors"), e.getMessage)
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("streaming semantic gate: C44b verdicts from the committed index across micro-batches (r11)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-semgate").toString
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val byId = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    AnnIndex.build(emb.filter(col("vec_id") < 350L), s"$dir/index",
+      storeVectors = true)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.streamingSemDedupGate(
+      in.toDF().toDF("vec_id", "embedding"), s"$dir/index",
+      s"$dir/out", s"$dir/ckpt", tau = 0.9)
+    in.addData(Seq((9000L, byId(5L)), (9001L, byId(400L)))) // copy + novel
+    q.processAllAvailable()
+    in.addData(Seq((9100L, byId(6L)))) // another committed copy, batch 2
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Boolean]("is_kept"), r.getAs[Long]("batch_id")))).toMap
+    assert(out(9000L) == ((false, 0L)), s"committed copy must drop: $out")
+    assert(out(9001L) == ((true, 0L)), s"novel must keep: $out")
+    assert(out(9100L) == ((false, 1L)),
+      s"batch 2 must gate from the same committed index: $out")
+    // a codes-only index is refused at stream START, not in batch 0
+    val codesOnly = java.nio.file.Files.createTempDirectory("graft-semgate-co").toString
+    AnnIndex.build(emb.filter(col("vec_id") < 350L), s"$codesOnly/index")
+    val e = intercept[IllegalArgumentException] {
+      EventStream.streamingSemDedupGate(
+        spark.readStream.format("rate").load(), s"$codesOnly/index",
+        s"$dir/out2", s"$dir/ckpt2", tau = 0.9)
+    }
+    assert(e.getMessage.contains("storeVectors"), e.getMessage)
     graft.GraftCache.releaseAll(spark)
   }
 
