@@ -100,10 +100,14 @@ object AnnIndex {
     val pinned = pinnedVersion(spark, path, "codebooks")
     if (pinned.isDefined && latestCb.exists(_ > pinned.get)) {
       val rawCb = VersionedTable.read(spark, codebooksPath(path))
-        .agg(max("build_v")).head().getLong(0)
+        .agg(max("build_v")).head()
       val rawCodes = VersionedTable.read(spark, codesPath(path))
-        .agg(max("build_v")).head().getLong(0)
-      if (rawCb == rawCodes) commitSnapshot(spark, path)
+        .agg(max("build_v")).head()
+      // a fully-retracted codes table aggregates to null — nothing to
+      // adopt (the heal is for completed rebuilds, which re-encode rows)
+      if (!rawCb.isNullAt(0) && !rawCodes.isNullAt(0) &&
+          rawCb.getLong(0) == rawCodes.getLong(0))
+        commitSnapshot(spark, path)
     }
   }
 

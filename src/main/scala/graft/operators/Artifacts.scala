@@ -50,16 +50,52 @@ object Artifacts {
     * concurrency claim above DEPENDS on it (a cutoff of now would
     * reclaim a live writer's staged-but-unpublished dirs); pass 0 only
     * from tests / offline maintenance where no writer can be live.
+    *
+    * SNAPSHOT-AWARE vacuum (r11): sub-tables of a composite artifact
+    * carry a root-snapshot pin ([[graft.sources.Sinks
+    * .ArtifactSnapshot]]); the sweep protects each pinned version from
+    * the `keep` budget, so a maintenance cadence can never force every
+    * snapshot reader into the fall-forward path at once (compaction
+    * bumps versions without new snapshots — without protection, enough
+    * idle cadences would age every pin out).
     */
   def maintainAll(spark: SparkSession, root: String,
                   maxFilesPerBucket: Int = 1, keepVersions: Int = 8,
-                  minAgeMs: Long = 3600000L): Seq[MaintainReport] =
+                  minAgeMs: Long = 3600000L): Seq[MaintainReport] = {
+    val pins: Map[String, Long] =
+      VersionedTable.discoverGroupRoots(spark, root).flatMap { r =>
+        VersionedTable.latestGroup(spark, r).map(_._2).getOrElse(Map.empty)
+          .map { case (sub, v) => s"$r/$sub" -> v }
+      }.toMap
     discover(spark, root).map { t =>
       val before = VersionedTable.versionCount(spark, t)
       VersionedTable.compact(spark, t, maxFilesPerBucket)
       VersionedTable.vacuumVersioned(spark, t, keep = keepVersions,
-        minAgeMs = minAgeMs)
+        minAgeMs = minAgeMs, protect = pins.get(t).toSet)
       val v = VersionedTable.latestManifest(spark, t).map(_._1).getOrElse(-1L)
       MaintainReport(t, v, before, VersionedTable.versionCount(spark, t))
+    }
+  }
+
+  /** One composite artifact's snapshot-health receipt: the latest group
+    * version, how many sub-tables it pins, and the pins whose manifest
+    * no longer exists (readers fall forward to latest for those — the
+    * observable the candidate vacuum protection keeps at zero).
+    */
+  final case class SnapshotReport(root: String, groupVersion: Long,
+                                  pinned: Int, fallenForward: Seq[String])
+
+  /** Root-snapshot health under `root` — run it on the maintenance
+    * cadence next to [[maintainAll]] so a crashed mutator's stale pin
+    * or a pruned pinned version is an observable, not a silent
+    * fall-forward at serve time.
+    */
+  def snapshotHealth(spark: SparkSession, root: String): Seq[SnapshotReport] =
+    VersionedTable.discoverGroupRoots(spark, root).map { r =>
+      val (gv, parts) = VersionedTable.latestGroup(spark, r).get
+      val fallen = parts.toSeq.sortBy(_._1).collect {
+        case (sub, v) if !VersionedTable.manifestExists(spark, s"$r/$sub", v) => sub
+      }
+      SnapshotReport(r, gv, parts.size, fallen)
     }
 }

@@ -283,11 +283,21 @@ object DedupIndex {
     * stream start, so a concurrent extend never tears mid-stream;
     * restart the stream to pick up a newer index version).
     */
-  def loadFrames(spark: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
+  /** `groupVersion`: pin the whole read to a NAMED root snapshot (the
+    * reproducible-serving knob — an audit or a replayed serving job
+    * resolves exactly the tuple that snapshot published, immune to
+    * concurrent extends); None = the latest snapshot.
+    */
+  def loadFrames(spark: SparkSession, path: String,
+                 groupVersion: Option[Long] = None): (DataFrame, DataFrame, DataFrame) = {
     val snap = graft.sources.Sinks.ArtifactSnapshot
-    (snap.read(spark, path, "fps").select("doc_id", "fp"),
-      snap.read(spark, path, "sigs").select("doc_id", "mh"),
-      snap.read(spark, path, "bands").select("doc_id", "b", "band_key"))
+    def rd(sub: String) = groupVersion match {
+      case Some(g) => snap.readAt(spark, path, sub, g)
+      case None => snap.read(spark, path, sub)
+    }
+    (rd("fps").select("doc_id", "fp"),
+      rd("sigs").select("doc_id", "mh"),
+      rd("bands").select("doc_id", "b", "band_key"))
   }
 
   // ------------------------------------------------------ oracle query

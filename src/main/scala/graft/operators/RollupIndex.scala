@@ -215,15 +215,18 @@ object RollupIndex {
       shape.keys ++ Seq("delta_id", "row_kind"), "build_v", numBuckets = 16)
   }
 
-  /** The presented rollup at the latest committed version: merge the
-    * per-delta partials per key on the fly. Merge-on-read touches
-    * |keys|·|unfolded deltas| rows; run [[foldPartials]] when that
-    * grows past a cadence.
+  /** The presented rollup at the latest committed version (or at an
+    * explicit state-table `version` — the knob that lets a composite
+    * artifact's root snapshot pin a rollup sub-table as a READ
+    * dependency, r11): merge the per-delta partials per key on the fly.
+    * Merge-on-read touches |keys|·|unfolded deltas| rows; run
+    * [[foldPartials]] when that grows past a cadence.
     */
   def read(spark: SparkSession, path: String,
-           shape: RollupShape = LineitemShape): DataFrame =
+           shape: RollupShape = LineitemShape,
+           version: Option[Long] = None): DataFrame =
     present(combinePartials(
-      VersionedTable.read(spark, statePath(path))
+      VersionedTable.read(spark, statePath(path), version)
         .filter(col("row_kind") === RowPartial), shape), shape)
 
   /** Logical compaction: fold every delta's partial rows into one row

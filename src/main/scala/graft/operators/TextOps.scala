@@ -986,9 +986,27 @@ object TextOps {
     RollupIndex.applyDelta(bpeTokFacts(documents), vocabPath(path), deltaId,
       BpeVocabShape)
 
-  /** The merged (tok, cnt) table at the latest committed version. */
+  /** The merged (tok, cnt) table at the latest committed version. This
+    * is the RETRAIN's read ([[bpeTrainCommitted]]) — a retrain must see
+    * every merged crawl, never a snapshot.
+    */
   def loadBpeVocab(spark: SparkSession, path: String): DataFrame =
     RollupIndex.read(spark, vocabPath(path), BpeVocabShape)
+
+  /** The vocab counts AT THE BUNDLE SNAPSHOT — the counts the currently
+    * served merges actually trained on (the bundle's root manifest pins
+    * `vocab/state` alongside merges+fertility). An audit reading vocab
+    * next to [[loadBpeMerges]] gets the tuple one [[commitTokenizer]]
+    * produced, even while a newer crawl's counts have merged in but its
+    * retrain hasn't committed yet. Falls back to latest when the path
+    * has no bundle snapshot (a bare C43d vocab artifact).
+    */
+  def loadBpeVocabPinned(spark: SparkSession, path: String): DataFrame =
+    RollupIndex.read(spark, vocabPath(path), BpeVocabShape,
+      version = graft.sources.Sinks.ArtifactSnapshot
+        .pinnedVersion(spark, path, "vocab/state")
+        .filter(v => graft.sources.Sinks.VersionedTable
+          .manifestExists(spark, RollupIndex.statePath(vocabPath(path)), v)))
 
   /** Fold the per-crawl partial rows (run on the ingest cadence; train
     * results are identical across it — the count monoid is associative).

@@ -442,6 +442,17 @@ object Sinks {
       latestIntactIn(spark, root, RootCommitsDir)
         .map { case (v, txt) => (v, parseParts(txt)) }
 
+    /** A SPECIFIC intact group manifest's pin-set — the reproducible-
+      * serving read: a job pinned to group version `v` resolves every
+      * sub-table exactly as the moment that snapshot was published.
+      * None when the version is absent or torn (group retention is
+      * [[commitGroup]]'s `keep` budget — pin recent snapshots).
+      */
+    def groupAt(spark: SparkSession, root: String,
+                v: Long): Option[Map[String, Long]] =
+      manifestBody(fsFor(spark, root), new Path(root, RootCommitsDir), v)
+        .map(parseParts)
+
     /** Atomically publish a cross-table snapshot at `root` pinning each
       * named sub-table (path-relative to the root) at the given manifest
       * version. Optimistic next-version protocol, same torn-occupant
@@ -485,6 +496,39 @@ object Sinks {
         }
       }
       -1L // unreachable
+    }
+
+    /** Every composite-artifact ROOT under `root`: any directory owning
+      * a `$RootCommitsDir` child with at least one intact group
+      * manifest. Same driver-side catalog-sized walk as [[discover]];
+      * an artifact root is recorded AND recursed into (its sub-tables
+      * are what [[discover]] finds below it).
+      */
+    def discoverGroupRoots(spark: SparkSession, root: String,
+                           maxDepth: Int = 8): Seq[String] = {
+      val fs = fsFor(spark, root)
+      // qualify the start path: listStatus children come back
+      // fully-qualified (file:/...), and [[Artifacts.maintainAll]] keys
+      // its pin map by s"$groupRoot/$sub" against [[discover]]'s child
+      // paths — an unqualified start (the maintainAll(artifactRoot)
+      // call shape) would silently disable pin protection
+      val rp = fs.makeQualified(new Path(root))
+      if (!fs.exists(rp)) return Seq.empty
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      def walk(p: Path, depth: Int): Unit = {
+        if (fs.exists(new Path(p, RootCommitsDir)) &&
+            latestGroup(spark, p.toString).isDefined)
+          out += p.toString
+        if (fs.exists(new Path(p, CommitsDir)) || depth >= maxDepth) return
+        val kids =
+          try fs.listStatus(p)
+          catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+        kids.filter(_.isDirectory)
+          .filterNot(_.getPath.getName.startsWith("_"))
+          .foreach(k => walk(k.getPath, depth + 1))
+      }
+      walk(rp, 0)
+      out.sorted.toSeq
     }
 
     /** Every VersionedTable under `root`: any directory owning a
@@ -971,15 +1015,25 @@ object Sinks {
       * race unreachable; pass 0 only when no writer can be live (tests,
       * offline maintenance).
       */
+    /** `protect`: manifest versions that must survive regardless of the
+      * `keep` budget — the root-snapshot pins of a composite artifact
+      * ([[Sinks.ArtifactSnapshot]]): a vacuum that dropped a pinned
+      * version would force every snapshot reader into the fall-forward
+      * path at once. Protected versions keep their manifests AND their
+      * referenced data dirs.
+      */
     def vacuumVersioned(spark: SparkSession, path: String, keep: Int = 2,
-                        minAgeMs: Long = 3600000L): Unit = {
+                        minAgeMs: Long = 3600000L,
+                        protect: Set[Long] = Set.empty): Unit = {
       val fs = fsFor(spark, path)
       val cdir = new Path(path, CommitsDir)
       if (!fs.exists(cdir)) return
       val versions = fs.listStatus(cdir).flatMap { st =>
         st.getPath.getName.stripSuffix(".json").toLongOption.map(_ -> st.getPath)
       }.sortBy(-_._1)
-      val (keepV, dropV) = versions.splitAt(math.max(keep, 1))
+      val (keepTop, rest) = versions.splitAt(math.max(keep, 1))
+      val keepV = keepTop ++ rest.filter(t => protect.contains(t._1))
+      val dropV = rest.filterNot(t => protect.contains(t._1))
       val live: Set[String] = keepV.flatMap { case (v, _) =>
         latestManifestAt(spark, path, v).values
       }.toSet
@@ -1108,9 +1162,32 @@ object Sinks {
       * version was committed after the pin, so falling forward is
       * never worse than the pre-snapshot behavior).
       */
-    def read(spark: SparkSession, root: String, sub: String): DataFrame = {
+    def read(spark: SparkSession, root: String, sub: String): DataFrame =
+      resolve(spark, root, sub, pinnedVersion(spark, root, sub))
+
+    /** Read `sub` as pinned by a NAMED group version — the reproducible
+      * serving knob ([[VersionedTable.groupAt]]): a job pinned to one
+      * snapshot serves its whole lifetime from that pin-set, immune to
+      * concurrent mutations. Fails loudly on an absent/torn group or a
+      * sub-table the snapshot never pinned (silently reading latest
+      * would defeat the reproducibility the caller asked for).
+      */
+    def readAt(spark: SparkSession, root: String, sub: String,
+               groupVersion: Long): DataFrame = {
+      val parts = VersionedTable.groupAt(spark, root, groupVersion)
+        .getOrElse(throw new IllegalArgumentException(
+          s"ArtifactSnapshot.readAt: no intact group manifest $groupVersion " +
+            s"at $root (group retention pruned it, or it never existed)"))
+      val v = parts.getOrElse(sub, throw new IllegalArgumentException(
+        s"ArtifactSnapshot.readAt: group $groupVersion at $root does not " +
+          s"pin '$sub' (pins: ${parts.keys.toSeq.sorted.mkString(", ")})"))
+      resolve(spark, root, sub, Some(v))
+    }
+
+    private def resolve(spark: SparkSession, root: String, sub: String,
+                        pin: Option[Long]): DataFrame = {
       val full = s"$root/$sub"
-      pinnedVersion(spark, root, sub) match {
+      pin match {
         case Some(v) if VersionedTable.manifestExists(spark, full, v) =>
           VersionedTable.read(spark, full, Some(v))
         case _ => VersionedTable.read(spark, full)

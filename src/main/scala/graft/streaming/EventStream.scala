@@ -1489,6 +1489,116 @@ object EventStream {
     }
   }
 
+  /** The SEMANTIC admission loop (C44c) — [[graft.operators.AnnIndex
+    * .semDedupServe]] as the gate inside the serve→admit→extend→
+    * maintain lifecycle, closing the loop symmetry for semantic dedup
+    * the way [[streamingEmbeddingAdmission]] did for the quantized
+    * verdict: arriving (vec_id, embedding) rows are SemDeDup-gated
+    * against the committed index (committed co-clustered content at
+    * exact cos ≥ tau always wins; keep-first within the batch — both
+    * rules are the gate's own, so the loop adds no second verdict),
+    * kept rows append to the output corpus and their vectors + codes
+    * EXTEND the index, so a semantic dup of this batch's admissions is
+    * dropped by the next batch. Requires the IndexRefine split (the
+    * gate rescores exactly; extends keep the vectors complete).
+    *
+    * The in-loop rebalance composes here WITHOUT any tau restriction:
+    * the gate's scores are exact cosines (codebook-independent), a
+    * rebuild only re-draws cluster boundaries — the honest recall
+    * shift, same as `exactRescore`'s contract. Same restart-safety
+    * ordering, id-collision guard, even/odd version spacing, funnel
+    * telemetry, and maintain cadence as the other loops.
+    */
+  def streamingSemDedupAdmission(vecs: DataFrame, indexPath: String,
+                                 outPath: String, checkpoint: String,
+                                 tau: Double,
+                                 compactEvery: Int = 16,
+                                 funnelLogPath: Option[String] = None,
+                                 rebalanceLoadPct: Long = 0L): StreamingQuery = {
+    require(graft.sources.Sinks.VersionedTable
+        .latestManifest(vecs.sparkSession, s"$indexPath/codes").isDefined,
+      s"streamingSemDedupAdmission: no committed AnnIndex at $indexPath — " +
+        "build the seed index first (AnnIndex.build with the seed corpus)")
+    require(graft.operators.AnnIndex.hasVectors(vecs.sparkSession, indexPath),
+      s"streamingSemDedupAdmission: no vectors sub-table at $indexPath — the " +
+        "semantic gate rescores exactly; build the seed with storeVectors = true")
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          semDedupAdmitBatch(batch.toDF(), batchId, indexPath, outPath, tau,
+            compactEvery = compactEvery, funnelLogPath = funnelLogPath,
+            rebalanceLoadPct = rebalanceLoadPct)
+      }
+      .start()
+  }
+
+  /** One micro-batch of the semantic admission loop — the foreachBatch
+    * body, factored out for replay testing (the [[embeddingAdmitBatch]]
+    * convention, including the `crashBeforeExtend` failpoint).
+    */
+  private[graft] def semDedupAdmitBatch(batch: DataFrame, batchId: Long,
+                                        indexPath: String, outPath: String,
+                                        tau: Double,
+                                        compactEvery: Int = 0,
+                                        crashBeforeExtend: Boolean = false,
+                                        funnelLogPath: Option[String] = None,
+                                        rebalanceLoadPct: Long = 0L): Unit = {
+    import graft.operators.AnnIndex
+    graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
+      // the shared within-batch id discipline (see embeddingAdmitBatch)
+      val dupIds = batch.groupBy("vec_id")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+      require(dupIds == 0L,
+        s"semDedupAdmitBatch(batch $batchId): $dupIds vec_id(s) appear more " +
+          "than once in the batch — ids must be unique per batch; collapse " +
+          "duplicates upstream")
+      // ONE verdict: the gate's own committed-wins + keep-first rules —
+      // an id re-crawl self-pairs at cos 1.0 and drops, so no separate
+      // exact-collapse stage is needed here
+      val admitted = batch
+        .join(AnnIndex.semDedupServe(batch, indexPath, tau)
+          .filter(col("is_kept")).select("vec_id"), Seq("vec_id"))
+        .persist()
+      try {
+        val n = admitted.count()
+        // id-collision guard (the media loop's rule): an admitted row is
+        // novel CONTENT — a committed vec_id under it means id re-use
+        val collisions = admitted.select("vec_id")
+          .join(AnnIndex.codes(batch.sparkSession, indexPath)
+            .select("vec_id"), Seq("vec_id"), "left_semi")
+          .count()
+        require(collisions == 0L,
+          s"semDedupAdmitBatch(batch $batchId): $collisions admitted " +
+            "vec_id(s) already exist in the index — id re-use would " +
+            "overwrite committed content; fix the crawl's id assignment " +
+            "(or retract the old ids first)")
+        if (n > 0) {
+          // corpus append FIRST, index extend SECOND — the shared
+          // restart-safety ordering (see curationAdmitBatch)
+          admitted.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+          if (crashBeforeExtend) throw new RuntimeException(
+            "test failpoint: crashed between corpus append and index extend")
+          AnnIndex.extend(admitted, indexPath, buildV = 2L * (batchId + 1))
+        }
+        funnelLogPath.foreach { lp =>
+          graft.operators.AdmissionLog.append(batch.sparkSession, lp,
+            "semantic", batchId, Seq(
+              "1_arrived" -> batch.count(),
+              "2_admitted" -> n))
+        }
+      } finally admitted.unpersist()
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+        graft.operators.Artifacts.maintainAll(batch.sparkSession, indexPath)
+        if (rebalanceLoadPct > 0L)
+          AnnIndex.rebalance(batch.sparkSession, indexPath,
+            buildV = 2L * (batchId + 1) + 1L, maxLoadPct = rebalanceLoadPct)
+      }
+    }
+  }
+
   /** Streaming BPE encode against the COMMITTED tokenizer
     * ([[graft.operators.TextOps.commitBpe]]): the k learned merges are
     * plan literals chained as greedy folds — a stateless zero-shuffle
@@ -1537,10 +1647,17 @@ object EventStream {
     * `batch_id`, so a replayed micro-batch rewrites the same
     * (batch_id, doc_id) pairs and consumers dedup exactly.
     */
+  /** `pinGroupVersion`: serve the stream's WHOLE lifetime from one
+    * NAMED root snapshot ([[graft.sources.Sinks.ArtifactSnapshot
+    * .readAt]]) — the reproducible-serving knob on top of the default
+    * stream-start snapshot (which is merely the latest at start).
+    */
   def streamingDedupCommittedProbe(docs: DataFrame, indexPath: String,
-                                   outPath: String, checkpoint: String): StreamingQuery = {
+                                   outPath: String, checkpoint: String,
+                                   pinGroupVersion: Option[Long] = None): StreamingQuery = {
     val (corpFps, corpSigs, corpBands) =
-      graft.operators.DedupIndex.loadFrames(docs.sparkSession, indexPath)
+      graft.operators.DedupIndex.loadFrames(docs.sparkSession, indexPath,
+        pinGroupVersion)
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)

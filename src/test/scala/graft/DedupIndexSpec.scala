@@ -83,6 +83,17 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     DedupIndex.retract(spark, path, Seq(4999999L))
     assert(verdicts(DedupIndex.serve(novel, path))(4999999L)._1 == "new",
       "the takedown must be visible at the next snapshot-resolved serve")
+    // REPRODUCIBLE serving: a job pinned to the pre-retract snapshot
+    // resolves exactly that moment's tuple (the doc still classifies
+    // exact there); an unknown group version refuses loudly
+    val gNow = VersionedTable.latestGroup(spark, path).get._1
+    val (pf, ps, pb) = DedupIndex.loadFrames(spark, path, Some(gNow - 1))
+    assert(verdicts(DedupIndex.matchAgainst(novel, pf, ps, pb))(4999999L)._1 == "exact",
+      "a serve pinned to the pre-retract group must see the pre-retract tuple")
+    val bad = intercept[IllegalArgumentException] {
+      DedupIndex.loadFrames(spark, path, Some(999999L))
+    }
+    assert(bad.getMessage.contains("no intact group manifest"), bad.getMessage)
     graft.GraftCache.releaseAll(spark)
   }
 

@@ -1616,6 +1616,19 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     TextOps.extendTokenizer(b, dir, "crawl-b", k)
     assert(TextOps.loadBpeMerges(spark, dir) == extended,
       "the replayed extend must restore the k-merge bundle over the torn row")
+    // PINNED vocab read (r11): a newer crawl's counts merged in WITHOUT
+    // a retrain — the audit read stays on the counts the served merges
+    // trained on, while the retrain's read sees everything
+    val pinnedCounts = TextOps.loadBpeVocabPinned(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    TextOps.commitBpeVocab(
+      Seq((99L, "zz zz zz")).toDF("doc_id", "text"), dir, "crawl-c-counts-only")
+    assert(TextOps.loadBpeVocab(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap.get("zz").contains(3L),
+      "the retrain read must see the new crawl's counts")
+    assert(TextOps.loadBpeVocabPinned(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq == pinnedCounts,
+      "the pinned read must stay on the counts the served merges trained on")
     graft.GraftCache.releaseAll(spark)
   }
 }

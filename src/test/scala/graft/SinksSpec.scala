@@ -681,6 +681,51 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(again.forall(r => r.versionsAfter <= 3))
   }
 
+  test("snapshot-aware maintenance: pinned versions survive the vacuum budget; snapshotHealth reports fall-forwards (r11)") {
+    import spark.implicits._
+    import graft.operators.{Artifacts, TextOps}
+    import Sinks.{ArtifactSnapshot, VersionedTable}
+    val root = s"$tmp/snap_maint"
+    val docs = Seq((1L, "aa bb aa cc"), (2L, "bb bb dd aa"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    TextOps.commitTokenizer(docs, s"$root/bundle", "crawl-a", k = 4)
+    val mergesP = s"$root/bundle/merges"
+    val pinned = ArtifactSnapshot.pinnedVersion(spark, s"$root/bundle", "merges").get
+    val served = TextOps.loadBpeMerges(spark, s"$root/bundle")
+    // crashed/raw mutations bump the raw merges table far past the pin
+    for (i <- 1 to 6)
+      TextOps.commitBpe(
+        Seq((0, s"x$i", "y")).toDF("round", "left_sym", "right_sym"),
+        s"$root/bundle", buildV = i.toLong)
+    assert(VersionedTable.latestManifest(spark, mergesP).get._1 > pinned + 4)
+    // keep=1 would normally drop the pinned version — the snapshot-aware
+    // sweep protects it, so pinned readers never mass-fall-forward
+    Artifacts.maintainAll(spark, root, keepVersions = 1, minAgeMs = 0L)
+    assert(VersionedTable.manifestExists(spark, mergesP, pinned),
+      "the root-snapshot pin must survive the vacuum budget")
+    assert(TextOps.loadBpeMerges(spark, s"$root/bundle") == served,
+      "snapshot readers must be unaffected by the sweep")
+    val h = Artifacts.snapshotHealth(spark, root)
+    assert(h.size == 1 && h.head.pinned == 3 && h.head.fallenForward.isEmpty,
+      s"healthy snapshot must report no fall-forwards: $h")
+    // the admission loops sweep the ARTIFACT ROOT directly — the pin
+    // must be protected through that call shape too (path-qualification
+    // regression guard)
+    Artifacts.maintainAll(spark, s"$root/bundle", keepVersions = 1, minAgeMs = 0L)
+    assert(VersionedTable.manifestExists(spark, mergesP, pinned),
+      "the pin must survive a sweep rooted at the artifact itself")
+    // a destroyed pinned manifest is the OBSERVABLE, and readers fall
+    // forward to latest instead of crashing
+    val mf = new java.io.File(s"$mergesP/_commits", f"$pinned%08d.json")
+    assert(mf.delete(), s"test setup: could not delete $mf")
+    val h2 = Artifacts.snapshotHealth(spark, root)
+    assert(h2.head.fallenForward == Seq("merges"),
+      s"the pruned pin must be reported: $h2")
+    assert(TextOps.loadBpeMerges(spark, s"$root/bundle") ==
+      Seq(("x6", "y")),
+      "with the pin gone, readers fall forward to the raw latest")
+  }
+
   test("VersionedTable: cross-table group commits — roundtrip, torn skip + reclaim, retention prune (r11)") {
     import Sinks.VersionedTable
     val root = s"$tmp/grp"

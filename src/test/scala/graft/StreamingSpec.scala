@@ -1868,6 +1868,75 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("semantic admission loop: committed-wins + keep-first gate, cross-batch memory, in-loop rebalance, crash replay (r11)") {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem-admit").toString
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val byId = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def nearDupOf(id: Long): Seq[Float] = { // cos ~0.98, routing-preserving
+      val a = byId(id).toArray.clone(); a(0) = a(0) + 0.2f; a.toSeq
+    }
+    AnnIndex.build(emb.filter(col("vec_id") < 350L), s"$dir/index",
+      storeVectors = true)
+    def run(b: Long, rows: Seq[(Long, Seq[Float])]): Unit =
+      EventStream.semDedupAdmitBatch(rows.toDF("vec_id", "embedding"), b,
+        s"$dir/index", s"$dir/out", tau = 0.9,
+        compactEvery = 2, rebalanceLoadPct = 1L,
+        funnelLogPath = Some(s"$dir/funnel"))
+    // batch 0: committed copy drops (committed wins), novel admits,
+    // a within-batch dup of the novel drops (keep-first)
+    run(0L, Seq((9000L, byId(5L)), (9001L, byId(400L)), (9002L, byId(400L))))
+    // batch 1 (cadence: maintain + forced rebalance): a verbatim copy
+    // of the batch-0 admission drops (identical qv => identical rank-1
+    // cluster, so the gate is guaranteed to see it) — cross-batch
+    // memory via the extend; the NEAR-dup-in-cluster case is pinned in
+    // AnnIndexSpec (the rank-1 gate legitimately misses near-dups that
+    // perturb across a cluster boundary — SemDeDup's documented trade)
+    val cbV = () => graft.sources.Sinks.VersionedTable
+      .latestManifest(spark, s"$dir/index/codebooks").get._1
+    val v0 = cbV()
+    run(1L, Seq((9100L, byId(400L)), (9101L, byId(420L))))
+    assert(cbV() > v0, "the cadence rebalance must have rebuilt")
+    // batch 2, post-rebuild: exact cosines never moved — copies of
+    // pre-rebuild admissions stay dropped, novel admits
+    run(2L, Seq((9200L, byId(400L)), (9201L, byId(420L)),
+      (9202L, byId(440L))))
+    val out = () => spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("batch_id"))).toSet
+    assert(out() == Set((9001L, 0L), (9101L, 1L), (9202L, 2L)),
+      s"the semantic gate must admit exactly the novel rows: ${out()}")
+    // funnel: per-batch arrived/admitted evidence
+    val funnel = spark.read.parquet(s"$dir/funnel")
+      .filter(col("loop") === "semantic" && col("batch_id") === 0L)
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n")).toMap
+    assert(funnel == Map("1_arrived" -> 3L, "2_admitted" -> 1L),
+      s"funnel must file the batch-0 gate evidence: $funnel")
+    // crash between corpus append and extend: replay admits nothing new
+    // (the appended row now reads as a committed copy is WRONG — the
+    // extend never landed, so the replay re-gates and re-extends)
+    intercept[RuntimeException] {
+      EventStream.semDedupAdmitBatch(
+        Seq((9300L, byId(460L))).toDF("vec_id", "embedding"), 3L,
+        s"$dir/index", s"$dir/out", tau = 0.9, crashBeforeExtend = true)
+    }
+    // the crash left the corpus row but not the index row; the replay
+    // re-runs the gate (9300 is still novel to the INDEX), re-appends,
+    // and lands the extend — at-least-once corpus semantics, the
+    // downstream dedup key is (vec_id, batch_id), same as the other loops
+    EventStream.semDedupAdmitBatch(
+      Seq((9300L, byId(460L))).toDF("vec_id", "embedding"), 3L,
+      s"$dir/index", s"$dir/out", tau = 0.9)
+    assert(AnnIndex.vectors(spark, s"$dir/index")
+      .filter(col("vec_id") === 9300L).count() == 1L,
+      "the replayed batch must land the extend")
+    // and a later copy of it is rejected
+    run(4L, Seq((9400L, byId(460L)), (9401L, byId(480L))))
+    assert(out().contains((9401L, 4L)) && !out().exists(_._1 == 9400L),
+      s"a copy of the replayed admission must drop: ${out()}")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("streaming semantic gate: C44b verdicts from the committed index across micro-batches (r11)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
