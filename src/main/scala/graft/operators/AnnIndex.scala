@@ -71,6 +71,20 @@ object AnnIndex {
   private def subRead(spark: SparkSession, path: String, sub: String): DataFrame =
     graft.sources.Sinks.ArtifactSnapshot.read(spark, path, sub)
 
+  /** ONE captured pin-set per logical multi-sub read (r11 review): an
+    * operation touching codebooks + codes + vectors must resolve them
+    * all through the same snapshot, or a group commit landing between
+    * two per-sub resolutions would hand it sub-tables from different
+    * snapshots — the tear the layer exists to close. Every multi-read
+    * entry point below captures this once and threads it through.
+    */
+  private def snapPins(spark: SparkSession, path: String): Map[String, Long] =
+    graft.sources.Sinks.ArtifactSnapshot.pins(spark, path)
+
+  private def subReadWith(spark: SparkSession, path: String, sub: String,
+                          pins: Map[String, Long]): DataFrame =
+    graft.sources.Sinks.ArtifactSnapshot.readWith(spark, path, sub, pins)
+
   /** Publish the root snapshot after a mutation ([[graft.sources.Sinks
     * .ArtifactSnapshot.commit]]'s policy). `refresh` names the
     * sub-tables the mutation bumped; everything else KEEPS its existing
@@ -172,6 +186,11 @@ object AnnIndex {
     subRead(spark, path, "vectors")
       .select("vec_id", "qv", "nrm")
 
+  private def vectorsWith(spark: SparkSession, path: String,
+                          pins: Map[String, Long]): DataFrame =
+    subReadWith(spark, path, "vectors", pins)
+      .select("vec_id", "qv", "nrm")
+
   /** Incremental ingest — the append-codes-continuously half of the
     * regime the layout was designed for (build codebooks rarely, append
     * codes every crawl): new vectors are routed and PQ-encoded against
@@ -192,13 +211,17 @@ object AnnIndex {
     val spark = newEmbeddings.sparkSession
     val q = Embeddings.quantized(newEmbeddings)
     healSnapshot(spark, path)
-    // the codebooks version this extend ENCODES WITH (the snapshot pin,
-    // matching loadCodebookFrames' resolution) — the new snapshot pins
-    // it explicitly, so a torn half-rebalance's codebooks-ahead version
-    // can never be exposed by an extend landing after the crash
-    val usedCbV = pinnedVersion(spark, path, "codebooks")
-      .orElse(VersionedTable.latestManifest(spark, codebooksPath(path)).map(_._1))
-    val (coarseDf, cbs) = loadCodebookFrames(spark, path)
+    // the codebooks version this extend ENCODES WITH — the RESOLVED
+    // version (raw pin only while its manifest exists, else latest —
+    // exactly what the read below resolves; recording a vacuumed pin
+    // would pair these codes with a version readers can't reach, r11
+    // review). The new snapshot pins it explicitly, so a torn
+    // half-rebalance's codebooks-ahead version can never be exposed by
+    // an extend landing after the crash.
+    val usedCbV = graft.sources.Sinks.ArtifactSnapshot
+      .resolvedVersion(spark, path, "codebooks")
+    val (coarseDf, cbs) = loadCodebookFramesWith(spark, path,
+      usedCbV.map("codebooks" -> _).toMap)
     // an IndexRefine-split index keeps its vectors COMPLETE, and they
     // commit FIRST (the build ordering rule): a crash leaving codes
     // without exact twins would make those candidates silently drop
@@ -226,8 +249,12 @@ object AnnIndex {
       cent: IndexedSeq[Seq[Seq[Long]]],
       cnrm: IndexedSeq[Seq[Long]])
 
-  private[graft] def load(spark: SparkSession, path: String): Loaded = {
-    val cb = subRead(spark, path, "codebooks")
+  private[graft] def load(spark: SparkSession, path: String): Loaded =
+    loadWith(spark, path, snapPins(spark, path))
+
+  private def loadWith(spark: SparkSession, path: String,
+                       pins: Map[String, Long]): Loaded = {
+    val cb = subReadWith(spark, path, "codebooks", pins)
       .select("kind", "c_id", "cqv", "cnrm").collect()
     def rows(kind: String) = {
       val rs = cb.filter(_.getString(0) == kind).sortBy(_.getLong(1))
@@ -248,8 +275,12 @@ object AnnIndex {
     * model-sized read: (1 + PqM) × NumCentroids rows.
     */
   def loadCodebookFrames(spark: SparkSession,
-                         path: String): (DataFrame, Seq[DataFrame]) = {
-    val all = subRead(spark, path, "codebooks")
+                         path: String): (DataFrame, Seq[DataFrame]) =
+    loadCodebookFramesWith(spark, path, snapPins(spark, path))
+
+  private def loadCodebookFramesWith(spark: SparkSession, path: String,
+                                     pins: Map[String, Long]): (DataFrame, Seq[DataFrame]) = {
+    val all = subReadWith(spark, path, "codebooks", pins)
       .select("kind", "c_id", "cqv", "cnrm")
     (all.filter(col("kind") === "coarse").select("c_id", "cqv", "cnrm"),
       (0 until PqM).map(m =>
@@ -270,13 +301,14 @@ object AnnIndex {
     require(hasVectors(spark, path),
       s"AnnIndex.serveWith: no vectors sub-table at $path — build/extend " +
         "with storeVectors = true, or use serve(corpusFrame, path)")
+    val pins = snapPins(spark, path)
     val q = Embeddings.quantized(probes)
-    val shortlist = adcScored(q, path)
+    val shortlist = adcScored(q, path, pins = Some(pins))
       .groupBy("q_id")
       .agg(Exprs.maxKScored(col("approx_cos"), col("n_id"), RefineK).as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))
       .select(col("q_id"), col("t.id").as("n_id"))
-    Embeddings.topKByCos(rescoreExact(shortlist, q, path))
+    Embeddings.topKByCos(rescoreExact(shortlist, q, path, pins))
   }
 
   /** Exact-cosine rescore of candidate pairs against the committed
@@ -287,13 +319,14 @@ object AnnIndex {
     * Output: (q_id, n_id, cos) at exact integer-dot cosine.
     */
   private def rescoreExact(pairs: DataFrame, qProbes: DataFrame,
-                           path: String): DataFrame = {
+                           path: String,
+                           pins: Map[String, Long]): DataFrame = {
     val spark = qProbes.sparkSession
     val probeVecs = qProbes.select(col("vec_id").as("q_id"),
       col("qv").as("q_qv"), col("nrm").as("q_nrm"))
     pairs.select("q_id", "n_id")
       .join(broadcast(probeVecs), "q_id")
-      .join(vectors(spark, path)
+      .join(vectorsWith(spark, path, pins)
         .select(col("vec_id").as("n_id"), col("qv"), col("nrm")), "n_id")
       .select(col("q_id"), col("n_id"),
         (Exprs.dotLong(col("q_qv"), col("qv")).cast("double") /
@@ -311,9 +344,11 @@ object AnnIndex {
     * is also the takedown observable: a retract drops code rows, and
     * the next occupancy read shows the freed slots.
     */
-  def occupancy(spark: SparkSession, path: String): DataFrame =
-    Embeddings.occupancyOf(loadCodebookFrames(spark, path)._1,
-      codes(spark, path))
+  def occupancy(spark: SparkSession, path: String): DataFrame = {
+    val pins = snapPins(spark, path)
+    Embeddings.occupancyOf(loadCodebookFramesWith(spark, path, pins)._1,
+      codesWith(spark, path, pins))
+  }
 
   /** The MEASURED admission operating point on the ADC scale — the
     * C84 calibration discipline applied to the embedding admission
@@ -352,9 +387,10 @@ object AnnIndex {
                                exact: Boolean): (Double, Double) = {
     require(hasVectors(spark, path),
       s"AnnIndex.measureAdmissionTau: no vectors sub-table at $path")
-    val probes = vectors(spark, path).orderBy("vec_id").limit(nProbes)
-    val pairs = adcScored(probes, path, excludeSelf = false)
-    val sc = (if (exact) rescoreExact(pairs, probes, path)
+    val pins = snapPins(spark, path)
+    val probes = vectorsWith(spark, path, pins).orderBy("vec_id").limit(nProbes)
+    val pairs = adcScored(probes, path, excludeSelf = false, pins = Some(pins))
+    val sc = (if (exact) rescoreExact(pairs, probes, path, pins)
               else pairs.withColumnRenamed("approx_cos", "cos"))
       .transform(graft.GraftCache.persistTracked)
     val scale = if (exact) "exact self-cosine" else "self-ADC"
@@ -404,9 +440,12 @@ object AnnIndex {
     // (r11 review). An EXACT tau records the version too (provenance)
     // but survives rebuilds — the score of a pair never moves, only
     // candidate recall does.
-    val cbV = pinnedVersion(spark, path, "codebooks")
-      .orElse(VersionedTable.latestManifest(spark, codebooksPath(path)).map(_._1))
-      .getOrElse(-1L)
+    // RESOLVED version, not the raw pin: if the pin was vacuumed the
+    // measurement actually read latest — recording the dangling pin
+    // would bind the tau to a version readers can no longer reach
+    // (r11 review)
+    val cbV = graft.sources.Sinks.ArtifactSnapshot
+      .resolvedVersion(spark, path, "codebooks").getOrElse(-1L)
     VersionedTable.mergeUpsert(spark, s"$path/admission_tau",
       spark.range(1).select(lit("model").as("id"),
         lit(tauFp).as("tau_fp"),
@@ -431,9 +470,8 @@ object AnnIndex {
          coalesce(col("exact_fl"), lit(0L)) else lit(0L)).as("e")).head()
     val exact = r.getLong(2) == 1L
     if (!exact) {
-      val cbNow = pinnedVersion(spark, path, "codebooks")
-        .orElse(VersionedTable.latestManifest(spark, codebooksPath(path)).map(_._1))
-        .getOrElse(-1L)
+      val cbNow = graft.sources.Sinks.ArtifactSnapshot
+        .resolvedVersion(spark, path, "codebooks").getOrElse(-1L)
       require(r.getLong(1) == cbNow,
         s"loadAdmission: the committed ADC tau was measured against codebooks " +
           s"version ${r.getLong(1)} but the index now serves version $cbNow " +
@@ -564,16 +602,17 @@ object AnnIndex {
                                 tau: Double,
                                 exactRescore: Boolean = false): DataFrame = {
     val spark = probes.sparkSession
-    val (coarseDf, cbs) = loadCodebookFrames(spark, path)
+    val pins = snapPins(spark, path)
+    val (coarseDf, cbs) = loadCodebookFramesWith(spark, path, pins)
     val arrCodes = Embeddings.ivfAssign(probes, coarseDf)
       .join(Embeddings.pqEncode(probes, cbs), "vec_id")
     val codeCols = Seq("c_id") ++ (0 until PqM).map(m => s"code_$m")
     val collided = arrCodes
-      .join(codes(spark, path), codeCols, "left_semi")
+      .join(codesWith(spark, path, pins), codeCols, "left_semi")
       .select("vec_id")
     if (tau > 1.0) collided.distinct()
     else {
-      val scored = adcScored(probes, path)
+      val scored = adcScored(probes, path, pins = Some(pins))
       val near =
         if (!exactRescore)
           scored.groupBy("q_id").agg(max("approx_cos").as("b"))
@@ -583,7 +622,7 @@ object AnnIndex {
           require(hasVectors(spark, path),
             s"AnnIndex.matchedIds: exactRescore needs the vectors sub-table " +
               s"at $path — build/extend with storeVectors = true")
-          rescoreExact(scored, probes, path)
+          rescoreExact(scored, probes, path, pins)
             .groupBy("q_id").agg(max("cos").as("b"))
             .filter(col("b") >= tau)
             .select(col("q_id").as("vec_id"))
@@ -621,13 +660,14 @@ object AnnIndex {
     require(hasVectors(spark, path),
       s"AnnIndex.semDedupServe: no vectors sub-table at $path — the gate " +
         "rescores exactly; build/extend with storeVectors = true")
+    val pins = snapPins(spark, path)
     val q = Embeddings.quantized(batch)
-    val assign = Embeddings.ivfAssign(q, loadCodebookFrames(spark, path)._1)
+    val assign = Embeddings.ivfAssign(q, loadCodebookFramesWith(spark, path, pins)._1)
       .join(q, Seq("vec_id"))
     val x = assign.select(col("c_id"), col("vec_id").as("ia"),
       col("qv").as("qa"), col("nrm").as("na"))
-    val committedPrior = codes(spark, path).select("vec_id", "c_id")
-      .join(vectors(spark, path), Seq("vec_id"))
+    val committedPrior = codesWith(spark, path, pins).select("vec_id", "c_id")
+      .join(vectorsWith(spark, path, pins), Seq("vec_id"))
       .select(col("c_id"), col("vec_id").as("ib"),
         col("qv").as("qb"), col("nrm").as("nb"))
     val batchPrior = assign.select(col("c_id"), col("vec_id").as("ib"),
@@ -711,7 +751,11 @@ object AnnIndex {
     * the root-snapshot version — snapshot-isolated, bucket-prunable.
     */
   def codes(spark: SparkSession, path: String): DataFrame =
-    subRead(spark, path, "codes")
+    codesWith(spark, path, snapPins(spark, path))
+
+  private def codesWith(spark: SparkSession, path: String,
+                        pins: Map[String, Long]): DataFrame =
+    subReadWith(spark, path, "codes", pins)
       .select(Seq(col("vec_id"), col("c_id")) ++
         (0 until PqM).map(m => col(s"code_$m")): _*)
 
@@ -780,10 +824,18 @@ object AnnIndex {
     * `probes` is (vec_id, qv, nrm), broadcast — bound it to a
     * micro-batch / probe set, never a corpus.
     */
+  /** `pins`: the ONE captured pin-set of the enclosing logical read
+    * (see snapPins) — codebooks and codes must resolve from the same
+    * snapshot or the ADC would score codes against centroids from a
+    * different rebuild. Callers with no snapshot context pass none and
+    * get a fresh capture.
+    */
   private[graft] def adcScored(probes: DataFrame, path: String,
-                               excludeSelf: Boolean = true): DataFrame = {
+                               excludeSelf: Boolean = true,
+                               pins: Option[Map[String, Long]] = None): DataFrame = {
     val spark = probes.sparkSession
-    val ix = load(spark, path)
+    val p = pins.getOrElse(snapPins(spark, path))
+    val ix = loadWith(spark, path, p)
     val coarseDf = {
       val s = spark
       import s.implicits._
@@ -798,7 +850,7 @@ object AnnIndex {
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
         col("nrm").as("q_nrm"), col("c_id"))
     val (adot, anrm) = adcColsFor(ix, col("q_qv"))
-    codes(spark, path)
+    codesWith(spark, path, p)
       .join(broadcast(probeLists), Seq("c_id"))
       .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
       .select(col("q_id"), col("vec_id").as("n_id"),

@@ -136,12 +136,20 @@ object DedupIndex {
     */
   def maintain(spark: SparkSession, path: String, maxFilesPerBucket: Int = 1,
                keepVersions: Int = 8, minAgeMs: Long = 0L): Unit = {
+    // root-snapshot pins survive the keep budget (the Artifacts
+    // .maintainAll protection, mirrored here — this loop-local cadence
+    // must not be the one maintenance path that can age a pin out, r11
+    // review)
+    val pins = graft.sources.Sinks.ArtifactSnapshot.pins(spark, path)
     // rsh only when the opt-in containment lens exists at this path
-    val sub = Seq(fpsPath(path), sigsPath(path), bandsPath(path)) ++
-      Some(rshPath(path)).filter(p => VersionedTable.latestManifest(spark, p).isDefined)
-    for (p <- sub) {
+    val sub = Seq("fps" -> fpsPath(path), "sigs" -> sigsPath(path),
+      "bands" -> bandsPath(path)) ++
+      Some("rsh" -> rshPath(path))
+        .filter(t => VersionedTable.latestManifest(spark, t._2).isDefined)
+    for ((name, p) <- sub) {
       VersionedTable.compact(spark, p, maxFilesPerBucket)
-      VersionedTable.vacuumVersioned(spark, p, keep = keepVersions, minAgeMs = minAgeMs)
+      VersionedTable.vacuumVersioned(spark, p, keep = keepVersions,
+        minAgeMs = minAgeMs, protect = pins.get(name).toSet)
     }
   }
 
@@ -291,9 +299,24 @@ object DedupIndex {
   def loadFrames(spark: SparkSession, path: String,
                  groupVersion: Option[Long] = None): (DataFrame, DataFrame, DataFrame) = {
     val snap = graft.sources.Sinks.ArtifactSnapshot
-    def rd(sub: String) = groupVersion match {
-      case Some(g) => snap.readAt(spark, path, sub, g)
-      case None => snap.read(spark, path, sub)
+    // ONE pin-set for all three frames (r11 review): a snapshot landing
+    // between two per-sub resolutions would otherwise hand the serve
+    // fps from one snapshot and bands from the next — the exact tear
+    // the layer closes. Named versions refuse on absent groups/subs.
+    val parts: Map[String, Long] = groupVersion match {
+      case Some(g) =>
+        graft.sources.Sinks.VersionedTable.groupAt(spark, path, g)
+          .getOrElse(throw new IllegalArgumentException(
+            s"DedupIndex.loadFrames: no intact group manifest $g at $path " +
+              "(group retention pruned it, or it never existed)"))
+      case None => snap.pins(spark, path)
+    }
+    def rd(sub: String) = {
+      if (groupVersion.isDefined)
+        require(parts.contains(sub),
+          s"DedupIndex.loadFrames: group ${groupVersion.get} at $path does " +
+            s"not pin '$sub' (pins: ${parts.keys.toSeq.sorted.mkString(", ")})")
+      snap.readWith(spark, path, sub, parts)
     }
     (rd("fps").select("doc_id", "fp"),
       rd("sigs").select("doc_id", "mh"),

@@ -469,10 +469,29 @@ object Sinks {
       */
     def commitGroup(spark: SparkSession, root: String,
                     parts: Map[String, Long], maxRetries: Int = 20,
-                    keep: Int = 64): Long = {
-      require(parts.nonEmpty, "commitGroup: empty sub-table pin set")
-      require(parts.values.forall(_ >= 0L),
-        s"commitGroup: negative pinned version in $parts")
+                    keep: Int = 64): Long =
+      commitGroupWith(spark, root, maxRetries, keep)(_ => parts)
+
+    /** Fault-injection seam for group-commit race tests: invoked after
+      * an attempt has derived its parts but BEFORE the publish — the
+      * window in which a concurrent mutator's snapshot can land first.
+      * No-op in production.
+      */
+    private[graft] var beforeGroupPublishHook: () => Unit = () => ()
+
+    /** [[commitGroup]] with the pin-set DERIVED PER ATTEMPT from the
+      * current group (`mkParts` receives the latest intact group's
+      * pins, or empty). This is the concurrent-mutator-safe form: a
+      * writer that loses the version race re-derives its parts from a
+      * state that INCLUDES the winner's snapshot, so it can never
+      * overwrite the winner's refreshes with pins read before the race
+      * — e.g. an extend's snapshot re-exposing the table versions a
+      * concurrent retract just replaced (r11 review; the takedown case
+      * is the one that matters).
+      */
+    def commitGroupWith(spark: SparkSession, root: String,
+                        maxRetries: Int = 20, keep: Int = 64)
+                       (mkParts: Map[String, Long] => Map[String, Long]): Long = {
       val fs = fsFor(spark, root)
       val cdir = new Path(root, RootCommitsDir)
       var attempt = 0
@@ -481,10 +500,16 @@ object Sinks {
         if (attempt > maxRetries)
           throw new java.io.IOException(
             s"VersionedTable.commitGroup: lost the commit race $maxRetries times at $root")
-        val v = latestGroup(spark, root).map(_._1 + 1).getOrElse(0L)
+        val cur = latestGroup(spark, root)
+        val v = cur.map(_._1 + 1).getOrElse(0L)
+        val parts = mkParts(cur.map(_._2).getOrElse(Map.empty))
+        require(parts.nonEmpty, "commitGroup: empty sub-table pin set")
+        require(parts.values.forall(_ >= 0L),
+          s"commitGroup: negative pinned version in $parts")
         val body = parts.toSeq.sorted
           .map { case (n, pv) => s""""$n":$pv""" }
           .mkString(s"""{"version":$v,"parts":{""", ",", "}}")
+        beforeGroupPublishHook()
         if (atomicPublish(fs, cdir, v, body)) {
           fs.listStatus(cdir).foreach { st =>
             val n = st.getPath.getName
@@ -504,22 +529,22 @@ object Sinks {
       * an artifact root is recorded AND recursed into (its sub-tables
       * are what [[discover]] finds below it).
       */
-    def discoverGroupRoots(spark: SparkSession, root: String,
-                           maxDepth: Int = 8): Seq[String] = {
+    /** The ONE recursive directory walker behind [[discover]] and
+      * [[discoverGroupRoots]] — `visit` records whatever the caller is
+      * looking for and returns true to STOP recursing below (table
+      * internals). The start path is QUALIFIED so recorded roots and
+      * listStatus children (always fully-qualified) compose into
+      * string-comparable paths — [[Artifacts.maintainAll]] keys its pin
+      * map by exactly that equality, and a divergent duplicate walker
+      * here once silently disabled pin protection (r11 review).
+      */
+    private def walkDirs(spark: SparkSession, root: String, maxDepth: Int)
+                        (visit: Path => Boolean): Unit = {
       val fs = fsFor(spark, root)
-      // qualify the start path: listStatus children come back
-      // fully-qualified (file:/...), and [[Artifacts.maintainAll]] keys
-      // its pin map by s"$groupRoot/$sub" against [[discover]]'s child
-      // paths — an unqualified start (the maintainAll(artifactRoot)
-      // call shape) would silently disable pin protection
       val rp = fs.makeQualified(new Path(root))
-      if (!fs.exists(rp)) return Seq.empty
-      val out = scala.collection.mutable.ArrayBuffer[String]()
+      if (!fs.exists(rp)) return
       def walk(p: Path, depth: Int): Unit = {
-        if (fs.exists(new Path(p, RootCommitsDir)) &&
-            latestGroup(spark, p.toString).isDefined)
-          out += p.toString
-        if (fs.exists(new Path(p, CommitsDir)) || depth >= maxDepth) return
+        if (visit(p) || depth >= maxDepth) return
         val kids =
           try fs.listStatus(p)
           catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
@@ -528,6 +553,24 @@ object Sinks {
           .foreach(k => walk(k.getPath, depth + 1))
       }
       walk(rp, 0)
+    }
+
+    /** Every composite-artifact ROOT under `root`: any directory owning
+      * a `$RootCommitsDir` child with at least one intact group
+      * manifest. An artifact root is recorded AND recursed into (its
+      * sub-tables are what [[discover]] finds below it); the walk still
+      * stops at per-table commits dirs.
+      */
+    def discoverGroupRoots(spark: SparkSession, root: String,
+                           maxDepth: Int = 8): Seq[String] = {
+      val fs = fsFor(spark, root)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      walkDirs(spark, root, maxDepth) { p =>
+        if (fs.exists(new Path(p, RootCommitsDir)) &&
+            latestGroup(spark, p.toString).isDefined)
+          out += p.toString
+        fs.exists(new Path(p, CommitsDir))
+      }
       out.sorted.toSeq
     }
 
@@ -545,23 +588,13 @@ object Sinks {
     def discover(spark: SparkSession, root: String,
                  maxDepth: Int = 8): Seq[String] = {
       val fs = fsFor(spark, root)
-      val rp = new Path(root)
-      if (!fs.exists(rp)) return Seq.empty
       val out = scala.collection.mutable.ArrayBuffer[String]()
-      def walk(p: Path, depth: Int): Unit = {
-        if (fs.exists(new Path(p, CommitsDir))) {
-          if (latestManifest(spark, p.toString).isDefined) out += p.toString
-          return // table internals: never recurse past a commits dir
-        }
-        if (depth >= maxDepth) return
-        val kids =
-          try fs.listStatus(p)
-          catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
-        kids.filter(_.isDirectory)
-          .filterNot(_.getPath.getName.startsWith("_"))
-          .foreach(k => walk(k.getPath, depth + 1))
+      walkDirs(spark, root, maxDepth) { p =>
+        val isTable = fs.exists(new Path(p, CommitsDir))
+        if (isTable && latestManifest(spark, p.toString).isDefined)
+          out += p.toString
+        isTable // table internals: never recurse past a commits dir
       }
-      walk(rp, 0)
       out.sorted.toSeq
     }
 
@@ -1155,12 +1188,44 @@ object Sinks {
                       sub: String): Option[Long] =
       VersionedTable.latestGroup(spark, root).flatMap(_._2.get(sub))
 
+    /** The version a snapshot READ of `sub` actually resolves: the pin
+      * when its manifest still exists, else per-table latest (the
+      * fall-forward). Mutators that record a dependency version MUST
+      * record this, not the raw pin — re-publishing a dangling pin
+      * would pair the data they wrote with a version readers can no
+      * longer reach (r11 review).
+      */
+    def resolvedVersion(spark: SparkSession, root: String,
+                        sub: String): Option[Long] = {
+      val full = s"$root/$sub"
+      pinnedVersion(spark, root, sub)
+        .filter(VersionedTable.manifestExists(spark, full, _))
+        .orElse(VersionedTable.latestManifest(spark, full).map(_._1))
+    }
+
+    /** The latest snapshot's whole pin-set, captured ONCE — the
+      * multi-sub-table read primitive: a logical read that touches
+      * several subs must resolve them all through ONE captured pin-set
+      * ([[readWith]]), or a snapshot landing between two per-sub
+      * [[read]] calls would hand it sub-tables from different
+      * snapshots — the tear the layer exists to close (r11 review).
+      * Empty for artifacts with no group commits (legacy fallback).
+      */
+    def pins(spark: SparkSession, root: String): Map[String, Long] =
+      VersionedTable.latestGroup(spark, root).map(_._2).getOrElse(Map.empty)
+
+    /** [[read]] against a pin-set captured by [[pins]]. */
+    def readWith(spark: SparkSession, root: String, sub: String,
+                 pinSet: Map[String, Long]): DataFrame =
+      resolve(spark, root, sub, pinSet.get(sub))
+
     /** Snapshot-resolved sub-table read: the root-pinned version when
       * one exists, falling FORWARD to per-table latest when the pin
       * predates [[VersionedTable.vacuumVersioned]]'s retention
       * (compaction bumps versions without new snapshots; every later
       * version was committed after the pin, so falling forward is
-      * never worse than the pre-snapshot behavior).
+      * never worse than the pre-snapshot behavior). For reads spanning
+      * MULTIPLE subs, capture [[pins]] once and use [[readWith]].
       */
     def read(spark: SparkSession, root: String, sub: String): DataFrame =
       resolve(spark, root, sub, pinnedVersion(spark, root, sub))
@@ -1203,18 +1268,22 @@ object Sinks {
       */
     def commit(spark: SparkSession, root: String, subNames: Seq[String],
                refresh: Seq[String],
-               pin: Map[String, Long] = Map.empty): Long = {
-      val existing = VersionedTable.latestGroup(spark, root)
-        .map(_._2).getOrElse(Map.empty[String, Long])
-      val parts = subNames.flatMap { n =>
-        val latest = VersionedTable.latestManifest(spark, s"$root/$n").map(_._1)
-        pin.get(n)
-          .orElse(if (refresh.contains(n)) latest
-                  else existing.get(n).orElse(latest))
-          .map(n -> _)
-      }.toMap
-      VersionedTable.commitGroup(spark, root, parts)
-    }
+               pin: Map[String, Long] = Map.empty): Long =
+      // parts derive PER ATTEMPT (commitGroupWith): losing the version
+      // race to a concurrent mutator re-reads both the winner's group
+      // and the per-table latests, so this writer can never overwrite
+      // the winner's refreshes with pre-race pins — the concurrent
+      // retract-vs-extend case (a stale re-publish would re-expose
+      // taken-down content at serve)
+      VersionedTable.commitGroupWith(spark, root) { existing =>
+        subNames.flatMap { n =>
+          val latest = VersionedTable.latestManifest(spark, s"$root/$n").map(_._1)
+          pin.get(n)
+            .orElse(if (refresh.contains(n)) latest
+                    else existing.get(n).orElse(latest))
+            .map(n -> _)
+        }.toMap
+      }
   }
 
   // ---------------- z-order layout (multi-dimensional data skipping) ----------------

@@ -456,6 +456,34 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("extend pins the RESOLVED codebooks version when the raw pin was vacuumed (r11 review)") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = s"$tmp/ix_dangling"
+    AnnIndex.build(emb.filter(col("vec_id") < 350L), path, storeVectors = true)
+    val pinned = Sinks.ArtifactSnapshot.pinnedVersion(spark, path, "codebooks").get
+    // bump the raw codebooks manifest with byte-identical centroids at a
+    // higher build_v, then destroy the pinned manifest (a vacuum without
+    // the protect set — the legacy-path hazard)
+    val same = Sinks.VersionedTable.read(spark, s"$path/codebooks")
+      .withColumn("build_v", lit(9L))
+    Sinks.VersionedTable.mergeUpsert(spark, s"$path/codebooks", same,
+      Seq("kind", "c_id"), "build_v", numBuckets = 4)
+    val latest = Sinks.VersionedTable.latestManifest(spark, s"$path/codebooks").get._1
+    assert(latest > pinned)
+    val mf = new java.io.File(s"$path/codebooks/_commits", f"$pinned%08d.json")
+    assert(mf.delete(), s"test setup: could not delete $mf")
+    // the extend's read falls forward to latest — the snapshot it
+    // publishes must record THAT version, not the dangling pin (a
+    // dangling re-publish would pair these codes with an unreachable
+    // codebooks version, and a later rebuild would then silently
+    // re-point it at retrained centroids)
+    AnnIndex.extend(emb.filter(col("vec_id") >= 350L), path, buildV = 2L)
+    val g = Sinks.VersionedTable.latestGroup(spark, path).get._2
+    assert(g("codebooks") == latest,
+      s"extend must pin the codebooks version it actually read: $g vs $latest")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("streaming ANN serves from the committed index across two micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

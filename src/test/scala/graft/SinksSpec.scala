@@ -764,6 +764,36 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
       "the newest group must survive the prune")
   }
 
+  test("group-commit race: the loser re-derives pins from the winner's snapshot — a concurrent takedown is never re-exposed (r11 review)") {
+    import spark.implicits._
+    import Sinks.{ArtifactSnapshot, VersionedTable}
+    val root = s"$tmp/grp_race"
+    def up(sub: String, v: Long): Unit =
+      VersionedTable.mergeUpsert(spark, s"$root/$sub",
+        Seq((1L, s"payload$v", v)).toDF("id", "payload", "build_v"),
+        Seq("id"), "build_v", numBuckets = 1)
+    up("a", 0L); up("b", 0L)
+    ArtifactSnapshot.commit(spark, root, Seq("a", "b"), refresh = Seq("a", "b"))
+    // mutator M1 refreshes ONLY b; in M1's publish window a competing
+    // mutator M2 rewrites a (the takedown shape) and snapshots. M1
+    // loses the version race and MUST re-derive — publishing its
+    // pre-race pins would point the newest snapshot back at the
+    // pre-takedown version of a (re-exposing retracted content).
+    VersionedTable.beforeGroupPublishHook = () => {
+      VersionedTable.beforeGroupPublishHook = () => () // nested commit must not recurse
+      up("a", 1L)
+      ArtifactSnapshot.commit(spark, root, Seq("a", "b"), refresh = Seq("a"))
+    }
+    try {
+      up("b", 1L)
+      ArtifactSnapshot.commit(spark, root, Seq("a", "b"), refresh = Seq("b"))
+    } finally VersionedTable.beforeGroupPublishHook = () => ()
+    val (gv, parts) = VersionedTable.latestGroup(spark, root).get
+    assert(gv == 2L, s"the loser must have retried into a THIRD group: $gv")
+    assert(parts == Map("a" -> 1L, "b" -> 1L),
+      s"the loser must carry the winner's refresh of a, not revert it: $parts")
+  }
+
   test("non-bucketed join of the same data DOES shuffle both sides (control)") {
     val joined = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
       .join(Tables.customer(spark, sf).select("c_custkey", "c_name"),
