@@ -1,0 +1,53 @@
+package graft
+
+/** Test-only kill-point seam for the admission loops' crash-replay
+  * sweeps (r12). The earlier crash tests injected at two hand-picked
+  * seams (`crashBeforeExtend`, `beforeGroupPublishHook`); this
+  * generalizes them: every durable-effect boundary in a micro-batch
+  * (corpus append, each sub-table manifest commit, group publish,
+  * funnel filing, pipeline publish) calls [[reach]] with the path it is
+  * about to mutate, and an armed test kills the batch at boundary #k —
+  * so one parameterized spec sweeps EVERY window a real job death can
+  * land in, not just the two someone thought of.
+  *
+  * Scoping: [[arm]] takes a path PREFIX (the test's temp dir), so
+  * boundaries of unrelated artifacts — other suites running in the same
+  * JVM, the production path (never armed) — neither count nor kill.
+  * Unarmed, [[reach]] is two volatile reads; no production branch.
+  */
+object FailPoint {
+
+  @volatile private var prefix: String = ""
+  @volatile private var armed: Int = Int.MaxValue
+  private val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  final class Killed(n: Int, tag: String)
+    extends RuntimeException(s"failpoint: killed at boundary #$n ($tag)")
+
+  private[graft] def reset(): Unit = { prefix = ""; armed = Int.MaxValue; seen.set(0) }
+
+  /** Count boundaries under `pathPrefix` without killing — the probe
+    * mode a sweep uses to learn how many windows one batch has. */
+  private[graft] def record(pathPrefix: String): Unit = {
+    prefix = pathPrefix; armed = Int.MaxValue; seen.set(0)
+  }
+
+  /** Kill at the `n`-th boundary under `pathPrefix` (1-based). */
+  private[graft] def arm(pathPrefix: String, n: Int): Unit = {
+    require(n >= 1, "FailPoint.arm: boundaries are 1-based")
+    prefix = pathPrefix; armed = n; seen.set(0)
+  }
+
+  /** Boundaries seen since the last [[record]]/[[arm]]. */
+  private[graft] def count: Int = seen.get()
+
+  /** Called by every durable-effect site with the path it is about to
+    * mutate. Throws [[Killed]] when this is the armed boundary. */
+  private[graft] def reach(path: String): Unit = {
+    val p = prefix
+    if (p.nonEmpty && path.startsWith(p)) {
+      val n = seen.incrementAndGet()
+      if (n == armed) throw new Killed(n, path)
+    }
+  }
+}

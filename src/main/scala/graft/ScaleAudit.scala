@@ -180,7 +180,7 @@ object ScaleAudit {
     // query of their own; anything else unknown is a typo and must fail
     // LOUDLY — a silently-dropped name would print "0 violations" for a
     // benchmark that never ran
-    val pseudoNames = Set("admission_loop", "media_admission_loop", "embedding_admission_loop", "hotkey_dewindow", "bpe_vocab_loop")
+    val pseudoNames = Set("admission_loop", "media_admission_loop", "embedding_admission_loop", "semantic_admission_loop", "hotkey_dewindow", "bpe_vocab_loop")
     val unknown = names.filterNot(n =>
       SparkEntry.queries.contains(n) || pseudoNames.contains(n))
     if (unknown.nonEmpty) {
@@ -1050,6 +1050,86 @@ object ScaleAudit {
       }
       loadFlag(xBig > math.max(3.0 * xSmall, xSmall + 10.0),
         f"exact-rescore admission cost grew with INDEX size: $xSmall%.2fs -> $xBig%.2fs")
+    }
+
+    // SEMANTIC admission loop end to end (round-12 — C44c's lens, the
+    // embedding/exact-rescore legs' sibling through
+    // AnnIndex.semDedupServe): pin per-batch wall time flat in
+    // committed-index size, a planted SEMANTIC dup (co-clustered,
+    // exact cos >= tau of committed content) REJECTED, novel content
+    // admitted. The gate rescores exactly (vectors sub-table), so the
+    // planted copy's verdict is deterministic — no sketch-resolution
+    // tolerance needed on the dup itself; novel admission keeps the
+    // embedding lens's 90% bar (a random arrival can't sit at
+    // cos >= 0.99 of a 64-dim committed vector, but the shared bar
+    // keeps the two lenses comparable).
+    if (names.contains("semantic_admission_loop") || names == defaultQueries) {
+      import graft.operators.AnnIndex
+      import graft.streaming.EventStream
+      GraftCache.releaseAll(spark)
+      val work = java.nio.file.Files.createTempDirectory("graft-scale-semadmit").toString
+      def synth(salt: Int, from: Long, n: Long): org.apache.spark.sql.DataFrame =
+        spark.range(from, from + n, 1L, 32).toDF("vec_id")
+          .select(col("vec_id"),
+            transform(sequence(lit(0), lit(63)),
+              j => ((pmod(hash(lit(salt), col("vec_id"), j), lit(1000)) - lit(500))
+                .cast("float") / lit(250.0f))).as("embedding"))
+      def buildIx(tag: String, salt: Int, n: Long): String = {
+        val p = s"$work/six_$tag"
+        AnnIndex.build(synth(salt, 0L, n), p, storeVectors = true)
+        p
+      }
+      val ixS = buildIx("small", 111, 400L)
+      val ixB = buildIx("big", 222, 4000L)
+      val tau = 0.99
+      def admit(ix: String, ixSalt: Int, salt: Int, from: Long, n: Long,
+                id: Long): (Double, Long, Long, Boolean) = {
+        // batch = n novel vectors + ONE semantic dup of committed
+        // index vector 7 (component 0 bumped 0.2 — co-clustered,
+        // exact cos ~0.9997 >= tau, the exact-rescore lens's plant)
+        val dupId = from + n
+        val batch = synth(salt, from, n).unionByName(
+          synth(ixSalt, 7L, 1L).select(lit(dupId).as("vec_id"),
+            expr("transform(embedding, (x, i) -> IF(i = 0, CAST(x + 0.2 AS FLOAT), x))")
+              .as("embedding"))).persist()
+        batch.count()
+        val outP = s"$work/sout_${ix.split('_').last}_$id"
+        val t0 = System.nanoTime()
+        EventStream.semDedupAdmitBatch(batch, id, ix, outP, tau)
+        val sec = (System.nanoTime() - t0) / 1e9
+        batch.unpersist()
+        val admittedIds =
+          if (new java.io.File(outP).exists())
+            spark.read.parquet(outP).select("vec_id").collect()
+              .map(_.getLong(0)).toSet
+          else Set.empty[Long]
+        (sec, n, admittedIds.size.toLong, !admittedIds.contains(dupId))
+      }
+      val b = 200L
+      admit(ixS, 111, 133, 50000000L, b, 500L) // warm (JIT + codegen)
+      val (tS, sn1, sa1, srej1) = admit(ixS, 111, 134, 51000000L, b, 501L)
+      admit(ixB, 222, 135, 52000000L, b, 600L)
+      val (tB, sn2, sa2, srej2) = admit(ixB, 222, 136, 53000000L, b, 601L)
+      val (tB8, sn3, sa3, srej3) = admit(ixB, 222, 137, 54000000L, 8L * b, 602L)
+      println(f"[scale] semantic admission loop: B=$b%d  small-ix $tS%.2fs  " +
+        f"big-ix $tB%.2fs  8B-big-ix $tB8%.2fs  " +
+        f"admitted $sa1%d/~$sn1%d $sa2%d/~$sn2%d $sa3%d/~$sn3%d  " +
+        f"dup rejected $srej1%b/$srej2%b/$srej3%b")
+      if (!srej1 || !srej2 || !srej3) {
+        bad += 1
+        println("[scale] FAIL semantic admission lens: a planted co-clustered " +
+          "semantic dup of committed content was ADMITTED — the gate lost " +
+          "recall at scale")
+      }
+      if (sa1 * 10 < sn1 * 9 || sa2 * 10 < sn2 * 9 || sa3 * 10 < sn3 * 9) {
+        bad += 1
+        println(s"[scale] FAIL semantic admission lens: too few novel vectors " +
+          s"admitted ($sa1/$sn1, $sa2/$sn2, $sa3/$sn3) — the gate is over-rejecting")
+      }
+      loadFlag(tB > math.max(3.0 * tS, tS + 10.0),
+        f"semantic admission batch cost grew with INDEX size: $tS%.2fs -> $tB%.2fs")
+      loadFlag(tB8 > math.max(16.0 * tB, tB + 30.0),
+        f"semantic admission batch cost superlinear in BATCH size: $tB%.2fs -> $tB8%.2fs for 8x payloads")
     }
 
     // Hot-key lens for the two round-11 de-windows (C1 dedupExact, A1

@@ -28,7 +28,8 @@ object SparkEntry {
       graft.sources.Warc.queries ++ graft.sources.Jsonl.queries ++
       Html.queries ++
       Curation.queries ++ Dsir.queries ++ DedupIndex.queries ++
-      RollupIndex.queries ++ EvalRegistry.queries
+      RollupIndex.queries ++ EvalRegistry.queries ++
+      graft.operators.AdmissionLog.funnelQueries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.sources.Warc.oracle ++ graft.sources.Jsonl.oracle ++
       Html.oracle ++
       Curation.oracle ++ Dsir.oracle ++ DedupIndex.oracle ++
-      RollupIndex.oracle ++ EvalRegistry.oracle
+      RollupIndex.oracle ++ EvalRegistry.oracle ++
+      graft.operators.AdmissionLog.funnelOracle
 }

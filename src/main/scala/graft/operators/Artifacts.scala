@@ -58,20 +58,31 @@ object Artifacts {
     * snapshot reader into the fall-forward path at once (compaction
     * bumps versions without new snapshots — without protection, enough
     * idle cadences would age every pin out).
+    *
+    * `protectGroups` (r12) extends that shield to NAMED snapshots: the
+    * pins of the newest N root groups (not just the latest) survive the
+    * keep budget, so a job pinned to a recent historical group
+    * ([[graft.sources.Sinks.ArtifactSnapshot.readAt]]) keeps serving
+    * byte-identically across maintenance sweeps for its whole lifetime.
+    * Past the window, readAt refuses loudly (it never falls forward) —
+    * that refusal is the contract's boundary, this knob its width.
     */
   def maintainAll(spark: SparkSession, root: String,
                   maxFilesPerBucket: Int = 1, keepVersions: Int = 8,
-                  minAgeMs: Long = 3600000L): Seq[MaintainReport] = {
-    val pins: Map[String, Long] =
+                  minAgeMs: Long = 3600000L,
+                  protectGroups: Int = 2): Seq[MaintainReport] = {
+    val pins: Map[String, Set[Long]] =
       VersionedTable.discoverGroupRoots(spark, root).flatMap { r =>
-        VersionedTable.latestGroup(spark, r).map(_._2).getOrElse(Map.empty)
-          .map { case (sub, v) => s"$r/$sub" -> v }
+        graft.sources.Sinks.ArtifactSnapshot
+          .pinsRecent(spark, r, math.max(protectGroups, 1))
+          .map { case (sub, vs) => s"$r/$sub" -> vs }
       }.toMap
     discover(spark, root).map { t =>
       val before = VersionedTable.versionCount(spark, t)
       VersionedTable.compact(spark, t, maxFilesPerBucket)
       VersionedTable.vacuumVersioned(spark, t, keep = keepVersions,
-        minAgeMs = minAgeMs, protect = pins.get(t).toSet)
+        minAgeMs = minAgeMs,
+        protect = pins.getOrElse(t, Set.empty))
       val v = VersionedTable.latestManifest(spark, t).map(_._1).getOrElse(-1L)
       MaintainReport(t, v, before, VersionedTable.versionCount(spark, t))
     }
@@ -89,13 +100,27 @@ object Artifacts {
     * cadence next to [[maintainAll]] so a crashed mutator's stale pin
     * or a pruned pinned version is an observable, not a silent
     * fall-forward at serve time.
+    *
+    * PIPELINE-level roots ([[graft.sources.Sinks.PipelineSnapshot]])
+    * are surfaced through the same sweep (r12): their pins name whole
+    * ARTIFACTS (`g:<path>` group pins / `t:<path>` table pins), so an
+    * unresolvable entry means pipeline retention outran an artifact's
+    * protectGroups window and named pipeline reads will refuse.
     */
   def snapshotHealth(spark: SparkSession, root: String): Seq[SnapshotReport] =
     VersionedTable.discoverGroupRoots(spark, root).map { r =>
       val (gv, parts) = VersionedTable.latestGroup(spark, r).get
-      val fallen = parts.toSeq.sortBy(_._1).collect {
-        case (sub, v) if !VersionedTable.manifestExists(spark, s"$r/$sub", v) => sub
-      }
-      SnapshotReport(r, gv, parts.size, fallen)
+      val isPipeline = parts.keys.exists(k =>
+        k.startsWith("g:") || k.startsWith("t:"))
+      val fallen =
+        if (isPipeline)
+          graft.sources.Sinks.PipelineSnapshot.health(spark, r)
+            .collect { case p if !p.resolvable =>
+              (if (p.grouped) "g:" else "t:") + p.path }
+        else parts.toSeq.sortBy(_._1).collect {
+          case (sub, v) if !VersionedTable.manifestExists(spark, s"$r/$sub", v) => sub
+        }
+      val pinCount = if (isPipeline) parts.size - 1 else parts.size // minus the batch marker
+      SnapshotReport(r, gv, pinCount, fallen)
     }
 }

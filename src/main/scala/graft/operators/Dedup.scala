@@ -172,6 +172,69 @@ object Dedup {
       |  WHERE b1.doc_id < b2.doc_id
       |)""".stripMargin
 
+  // ---------------- C89: band-occupancy diagnostic ----------------
+
+  /** The shared occupancy profile over an existing (doc_id, b,
+    * band_key) frame — ONE definition for the in-session diagnostic
+    * ([[bandOccupancy]], C89) and the committed-artifact one
+    * ([[DedupIndex.bandOccupancy]]), the C86/C86b pairing the ANN side
+    * already has, so the two can never disagree on the arithmetic.
+    * Output is NumBands rows (bounded at any corpus size): per band
+    * index, the bucket count, the hottest bucket, and how the serve-
+    * time cap ([[capBands]]'s drop mode) would treat the current
+    * occupancy — buckets OVER `cap` are dropped whole (their rows never
+    * reach the candidate join; boilerplate content is exact-dedup's
+    * job), everything else serves. A rising `n_dropped_docs` is the
+    * operational signal the AnnIndex occupancy lens watches for lists:
+    * re-band (more hashes per band) or route the content to the
+    * sampled-overflow mode.
+    *
+    * Scale: bucket counts are one map-side-combined groupBy on the
+    * SAME (b, band_key) key the candidate self-join shuffles on; the
+    * band-index rollup is NumBands groups. No window anywhere.
+    */
+  private[operators] def bandOccupancyOf(bands: DataFrame,
+                                         cap: Int): DataFrame = {
+    val occ = bands.groupBy("b", "band_key").agg(count(lit(1)).as("n_docs"))
+    occ.groupBy(col("b").cast("long").as("b")).agg(
+      count(lit(1)).as("n_buckets"),
+      max("n_docs").as("max_occ"),
+      sum(when(col("n_docs") > cap, lit(1L)).otherwise(lit(0L)))
+        .as("n_hot_buckets"),
+      sum(when(col("n_docs") > cap, col("n_docs")).otherwise(lit(0L)))
+        .as("n_dropped_docs"),
+      sum(when(col("n_docs") <= cap, col("n_docs")).otherwise(lit(0L)))
+        .as("n_served_docs"))
+  }
+
+  /** C89: LSH band-occupancy diagnostic over the documents corpus. The
+    * registered query runs at the TEST-SCALE cap ([[SampleCapTest]], the
+    * A5 parameterized-knob convention) so both the hot and served
+    * branches carry rows at sf0.01 (production occupancy tops out far
+    * below [[MaxBucketOccupancy]] there); production calls default the
+    * cap to the serve-time guard.
+    */
+  def bandOccupancy(documents: DataFrame,
+                    cap: Int = MaxBucketOccupancy): DataFrame =
+    bandOccupancyOf(minhashBands(minhashSignature(documents)), cap)
+
+  def bandOccupancySql(cap: Int): String =
+    s"""WITH sig AS (SELECT doc_id, $minhashSigSqlExpr AS mh FROM documents),
+       |bands_all AS (
+       |  SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+       |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS b)
+       |),
+       |occ AS (SELECT b, band_key, count(*) AS n_docs
+       |        FROM bands_all GROUP BY 1, 2)
+       |SELECT b, count(*) AS n_buckets, max(n_docs) AS max_occ,
+       |  CAST(sum(CASE WHEN n_docs > $cap THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hot_buckets,
+       |  CAST(sum(CASE WHEN n_docs > $cap THEN n_docs ELSE 0 END) AS BIGINT)
+       |    AS n_dropped_docs,
+       |  CAST(sum(CASE WHEN n_docs <= $cap THEN n_docs ELSE 0 END) AS BIGINT)
+       |    AS n_served_docs
+       |FROM occ GROUP BY b""".stripMargin
+
   // ---------------- C2b: sampled-overflow bucket cap ----------------
 
   /** Per-bucket keep count for the SAMPLED overflow mode at test scale.
@@ -945,6 +1008,8 @@ object Dedup {
     "q_canonical_keep" -> ((s, d) => canonicalKeep(Tables.documents(s, d))),
     "q_substring_dups" -> ((s, d) => substringDups(Tables.documents(s, d))),
     "q_dedup_minhash_lsh" -> ((s, d) => dedupMinhashLsh(Tables.documents(s, d))),
+    "q_band_occupancy" -> ((s, d) =>
+      bandOccupancy(Tables.documents(s, d), cap = SampleCapTest)),
     "q_dedup_lsh_sampled" -> ((s, d) => dedupLshSampled(Tables.documents(s, d))),
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => dedupSimhash(Tables.documents(s, d))),
@@ -957,6 +1022,7 @@ object Dedup {
     "q_canonical_keep" -> canonicalKeepSql,
     "q_substring_dups" -> substringDupsSql(),
     "q_dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "q_band_occupancy" -> bandOccupancySql(SampleCapTest),
     "q_dedup_lsh_sampled" -> dedupLshSampledSql(),
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_dedup_simhash" -> dedupSimhashSql(),

@@ -135,12 +135,15 @@ object DedupIndex {
     * manifest), never sees partial data.
     */
   def maintain(spark: SparkSession, path: String, maxFilesPerBucket: Int = 1,
-               keepVersions: Int = 8, minAgeMs: Long = 0L): Unit = {
+               keepVersions: Int = 8, minAgeMs: Long = 0L,
+               protectGroups: Int = 2): Unit = {
     // root-snapshot pins survive the keep budget (the Artifacts
     // .maintainAll protection, mirrored here — this loop-local cadence
     // must not be the one maintenance path that can age a pin out, r11
-    // review)
-    val pins = graft.sources.Sinks.ArtifactSnapshot.pins(spark, path)
+    // review); protectGroups widens the shield to the newest N groups
+    // so NAMED snapshots (readAt) keep their retention contract (r12)
+    val pins = graft.sources.Sinks.ArtifactSnapshot
+      .pinsRecent(spark, path, math.max(protectGroups, 1))
     // rsh only when the opt-in containment lens exists at this path
     val sub = Seq("fps" -> fpsPath(path), "sigs" -> sigsPath(path),
       "bands" -> bandsPath(path)) ++
@@ -149,7 +152,7 @@ object DedupIndex {
     for ((name, p) <- sub) {
       VersionedTable.compact(spark, p, maxFilesPerBucket)
       VersionedTable.vacuumVersioned(spark, p, keep = keepVersions,
-        minAgeMs = minAgeMs, protect = pins.get(name).toSet)
+        minAgeMs = minAgeMs, protect = pins.getOrElse(name, Set.empty))
     }
   }
 
@@ -286,6 +289,36 @@ object DedupIndex {
     matchAgainst(batch, f, s, b)
   }
 
+  /** Band occupancy of the COMMITTED bands sub-table — the C86b twin on
+    * the dedup side ([[Dedup.bandOccupancyOf]], same arithmetic as the
+    * in-session C89 diagnostic): per band index, how the SERVE-time cap
+    * ([[Dedup.capBands]] against current occupancy) treats the
+    * artifact's current state. AnnIndex got `rebalance` at a load bar;
+    * the band table has the same skew failure (one mega-band = one
+    * mega-probe), and this is its observable. NumBands-row output,
+    * safe at any cadence.
+    */
+  def bandOccupancy(spark: SparkSession, path: String,
+                    cap: Int = Dedup.MaxBucketOccupancy): DataFrame =
+    Dedup.bandOccupancyOf(
+      graft.sources.Sinks.ArtifactSnapshot.read(spark, path, "bands")
+        .select("b", "band_key"),
+      cap)
+
+  /** The serve-cap drop telemetry as two numbers — (hot buckets, rows
+    * the cap excludes from the candidate join), summed across band
+    * indices: what the admission loop files into the AdmissionLog on
+    * its maintenance cadence so "how much the cap is eating" is a
+    * funnel observable, not a silent serve-side truncation.
+    */
+  def bandCapStats(spark: SparkSession, path: String,
+                   cap: Int = Dedup.MaxBucketOccupancy): (Long, Long) = {
+    val agg = bandOccupancy(spark, path, cap)
+      .agg(sum("n_hot_buckets").as("hot"), sum("n_dropped_docs").as("dropped"))
+      .head()
+    (agg.getLong(0), agg.getLong(1))
+  }
+
   /** The three index frames at the latest committed version — loaded
     * ONCE by a serving job (the streaming probe snapshots them at
     * stream start, so a concurrent extend never tears mid-stream;
@@ -312,11 +345,14 @@ object DedupIndex {
       case None => snap.pins(spark, path)
     }
     def rd(sub: String) = {
-      if (groupVersion.isDefined)
+      if (groupVersion.isDefined) {
         require(parts.contains(sub),
           s"DedupIndex.loadFrames: group ${groupVersion.get} at $path does " +
             s"not pin '$sub' (pins: ${parts.keys.toSeq.sorted.mkString(", ")})")
-      snap.readWith(spark, path, sub, parts)
+        // named snapshots never fall forward — a vacuumed pin refuses
+        // (the readAt strictness; keep the group inside protectGroups)
+        snap.readWithStrict(spark, path, sub, parts)
+      } else snap.readWith(spark, path, sub, parts)
     }
     (rd("fps").select("doc_id", "fp"),
       rd("sigs").select("doc_id", "mh"),

@@ -98,6 +98,26 @@ object EvalRegistry {
     graft.sources.Sinks.VersionedTable.read(spark, regPath(path))
       .select("h").distinct()
 
+  /** The registry's underlying VersionedTable path — what a
+    * cross-artifact pipeline snapshot pins ([[graft.sources.Sinks
+    * .PipelineSnapshot]]: the registry is a single plain table, so its
+    * pin is a manifest version, not a group).
+    */
+  def tablePath(path: String): String = regPath(path)
+
+  /** [[load]] at a PINNED manifest version — the pipeline-snapshot read
+    * path: refuses on a vacuumed version (never silently falls forward;
+    * keep the pin inside the maintenance sweep's retention budget).
+    */
+  def loadAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val p = regPath(path)
+    require(graft.sources.Sinks.VersionedTable.manifestExists(spark, p, version),
+      s"EvalRegistry.loadAt: pinned version $version no longer exists at $p " +
+        "— retention outran the pin; re-pin to a recent snapshot")
+    graft.sources.Sinks.VersionedTable.read(spark, p, Some(version))
+      .select("h").distinct()
+  }
+
   /** True iff the registry at `path` has at least one committed version —
     * the cheap existence probe stream starters use to fail fast on a
     * typo'd / not-yet-registered path instead of crash-looping the first

@@ -102,11 +102,30 @@ object MediaIndex {
   def isBuilt(spark: SparkSession, path: String, modality: String): Boolean =
     VersionedTable.latestManifest(spark, mode(modality).sub(path)).isDefined
 
+  /** Sub-table names as recorded in the root snapshot manifest. */
+  private val SubNames = Seq("img", "vid", "aud")
+
+  /** Publish the artifact's root snapshot refreshing the sub-tables a
+    * mutation bumped — the named-snapshot parity text/embeddings got in
+    * r11 (r12): per-table atomicity already covers the independent
+    * img/vid/aud serves, so the GROUP layer here exists for
+    * REPRODUCIBLE serving ([[loadFpsAt]] / a probe stream pinned to one
+    * group keeps matching exactly that state across later extends and
+    * retracts) and for pipeline snapshots to pin the media index as one
+    * reference.
+    */
+  private def commitSnapshot(spark: SparkSession, path: String,
+                             refresh: Seq[String]): Long =
+    graft.sources.Sinks.ArtifactSnapshot.commit(spark, path, SubNames, refresh)
+
   private def commitFps(fps: DataFrame, sub: String, fpCol: String,
-                        buildV: Long): Unit =
+                        buildV: Long): Unit = {
     VersionedTable.mergeUpsert(fps.sparkSession, sub,
       fps.select(col("doc_id"), col(fpCol), lit(buildV).as("build_v")),
       Seq("doc_id"), "build_v", numBuckets = 16)
+    commitSnapshot(fps.sparkSession, sub.substring(0, sub.lastIndexOf('/')),
+      Seq(sub.substring(sub.lastIndexOf('/') + 1)))
+  }
 
   /** Fingerprint `media` (doc_id, payload — real decode kernel,
     * undecodable payloads quarantined by the kernel's null filter) and
@@ -144,6 +163,29 @@ object MediaIndex {
     */
   def loadImageFps(spark: SparkSession, path: String): DataFrame =
     VersionedTable.read(spark, imgPath(path)).select("doc_id", "phash")
+
+  /** The latest root-snapshot (group) version — what a reproducible
+    * serving job pins and [[loadFpsAt]] resolves. None for artifacts
+    * built before the snapshot layer.
+    */
+  def latestGroupVersion(spark: SparkSession, path: String): Option[Long] =
+    VersionedTable.latestGroup(spark, path).map(_._1)
+
+  /** One modality's committed fingerprints as pinned by a NAMED root
+    * snapshot — the `groupAt` read path ([[graft.sources.Sinks
+    * .ArtifactSnapshot.readAt]]): a probe job pinned to group `g`
+    * serves its whole lifetime from that state, immune to concurrent
+    * extends AND retracts (a compliance audit replaying pre-takedown
+    * verdicts needs exactly this). Refuses loudly on an unknown/pruned
+    * group or a modality the snapshot never pinned — keep the group
+    * inside the maintenance sweep's protectGroups window.
+    */
+  def loadFpsAt(spark: SparkSession, path: String, modality: String,
+                groupVersion: Long): DataFrame = {
+    val m = mode(modality)
+    graft.sources.Sinks.ArtifactSnapshot.readAt(spark, path, m.name, groupVersion)
+      .select("doc_id", m.fpCol)
+  }
 
   def loadVideoFps(spark: SparkSession, path: String): DataFrame =
     VersionedTable.read(spark, vidPath(path)).select("doc_id", "vhash")
@@ -199,7 +241,7 @@ object MediaIndex {
     require(present.nonEmpty,
       s"MediaIndex.retract: no committed img/vid/aud sub-table at $path")
     val hit = col("doc_id").isInCollection(ids)
-    present.map { sub =>
+    val receipts = present.map { sub =>
       val subName = sub.substring(sub.lastIndexOf('/') + 1)
       if (VersionedTable.storedBucketKeys(spark, sub).contains(Seq("doc_id"))) {
         val nb = VersionedTable.storedNumBuckets(spark, sub).getOrElse(16)
@@ -218,16 +260,33 @@ object MediaIndex {
           }
         }
     }
+    // ONE snapshot refreshing exactly the rewritten sub-tables, as the
+    // takedown's last step (the DedupIndex.retract discipline): pinned
+    // pre-retract groups keep serving the old state BY DESIGN (that is
+    // what a named snapshot means); latest-group readers see the
+    // retraction immediately
+    commitSnapshot(spark, path,
+      present.map(s => s.substring(s.lastIndexOf('/') + 1)))
+    receipts
   }
 
   /** Storage maintenance on the ingest cadence — compact fragmented
     * buckets, vacuum superseded versions; same contract as
     * [[DedupIndex.maintain]]. */
   def maintain(spark: SparkSession, path: String, maxFilesPerBucket: Int = 1,
-               keepVersions: Int = 8, minAgeMs: Long = 0L): Unit =
+               keepVersions: Int = 8, minAgeMs: Long = 0L,
+               protectGroups: Int = 2): Unit = {
+    // named-snapshot retention (the DedupIndex.maintain contract, r12):
+    // the newest N groups' pins survive the keep budget, so a probe
+    // pinned to a recent group keeps serving byte-identically
+    val pins = graft.sources.Sinks.ArtifactSnapshot
+      .pinsRecent(spark, path, math.max(protectGroups, 1))
     for (sub <- subTables(path)
          if VersionedTable.latestManifest(spark, sub).isDefined) {
+      val name = sub.substring(sub.lastIndexOf('/') + 1)
       VersionedTable.compact(spark, sub, maxFilesPerBucket)
-      VersionedTable.vacuumVersioned(spark, sub, keep = keepVersions, minAgeMs = minAgeMs)
+      VersionedTable.vacuumVersioned(spark, sub, keep = keepVersions,
+        minAgeMs = minAgeMs, protect = pins.getOrElse(name, Set.empty))
     }
+  }
 }

@@ -145,14 +145,95 @@ object AdmissionLog {
     * (loop, stage): batches seen and total rows through. Ledger-sized
     * input, stage-catalog-sized output — safe at any cadence.
     */
-  def rollup(spark: SparkSession, logPath: String): org.apache.spark.sql.DataFrame = {
+  def rollup(spark: SparkSession, logPath: String): org.apache.spark.sql.DataFrame =
+    rollupOf(read(spark, logPath))
+
+  /** The funnel aggregation over ANY ledger frame — ONE definition for
+    * the parquet read path ([[rollup]]) and the oracle-checked planted
+    * query (C90, `q_admission_funnel`), so the dashboard the compliance
+    * job reads and the arithmetic the gate verifies can never diverge.
+    */
+  def rollupOf(ledger: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    read(spark, logPath)
+    ledger
       .groupBy("loop", "batch_id", "stage")
       .agg(max("n").as("n"))
       .groupBy("loop", "stage")
       .agg(count(lit(1)).as("n_batches"), sum("n").as("total"))
   }
+
+  /** C90: the pipeline-level funnel dashboard as an oracle-checked
+    * query — a deterministically PLANTED multi-loop ledger (four loops,
+    * eight batches, three stages, derived purely from the documents
+    * table so the oracle can re-derive it) with REPLAY rows for every
+    * third batch whose admitted stage legitimately under-counts (a
+    * replayed batch re-serves against an index already holding its own
+    * admissions — the documented at-least-once residue; here the
+    * replay's admit predicate is a strict subset of the original's), so
+    * the query exercises exactly the production resolution rule: MAX
+    * per (loop, batch_id, stage) FIRST, then the bounded per-stage
+    * rollup. 12-row output at any SF.
+    */
+  def plantedLedger(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = documents.select(
+      concat(lit("loop_"), (col("doc_id") % 4).cast("string")).as("loop"),
+      (col("doc_id") % 8).as("batch_id"),
+      col("n_chars"))
+    def stages(df: org.apache.spark.sql.DataFrame,
+               admit: org.apache.spark.sql.Column) =
+      df.groupBy("loop", "batch_id").agg(
+        count(lit(1)).as("a"),
+        sum(when(col("n_chars") % 3 =!= 0, lit(1L)).otherwise(lit(0L))).as("k"),
+        sum(when(admit, lit(1L)).otherwise(lit(0L))).as("ad"))
+        .selectExpr("loop", "batch_id",
+          "stack(3, '1_arrived', a, '2_kept', k, '3_admitted', ad) AS (stage, n)")
+    stages(base, col("n_chars") % 3 === 1)
+      .unionByName(stages(base.filter(col("batch_id") % 3 === 0),
+        col("n_chars") % 6 === 1))
+  }
+
+  def admissionFunnel(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rollupOf(plantedLedger(documents))
+
+  val admissionFunnelSql: String =
+    """WITH base AS (
+      |  SELECT 'loop_' || CAST(doc_id % 4 AS VARCHAR) AS "loop",
+      |         doc_id % 8 AS batch_id, n_chars
+      |  FROM documents),
+      |orig AS (
+      |  SELECT "loop", batch_id, CAST(count(*) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN n_chars % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS k,
+      |    CAST(sum(CASE WHEN n_chars % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ad
+      |  FROM base GROUP BY 1, 2),
+      |rep AS (
+      |  SELECT "loop", batch_id, CAST(count(*) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN n_chars % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS k,
+      |    CAST(sum(CASE WHEN n_chars % 6 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ad
+      |  FROM base WHERE batch_id % 3 = 0 GROUP BY 1, 2),
+      |ledger AS (
+      |  SELECT "loop", batch_id, u.s AS stage, u.n AS n FROM (
+      |    SELECT "loop", batch_id, unnest([
+      |      {'s': '1_arrived', 'n': a}, {'s': '2_kept', 'n': k},
+      |      {'s': '3_admitted', 'n': ad}]) AS u FROM orig)
+      |  UNION ALL
+      |  SELECT "loop", batch_id, u.s AS stage, u.n AS n FROM (
+      |    SELECT "loop", batch_id, unnest([
+      |      {'s': '1_arrived', 'n': a}, {'s': '2_kept', 'n': k},
+      |      {'s': '3_admitted', 'n': ad}]) AS u FROM rep)),
+      |res AS (
+      |  SELECT "loop", batch_id, stage, max(n) AS n
+      |  FROM ledger GROUP BY 1, 2, 3)
+      |SELECT "loop", stage, CAST(count(*) AS BIGINT) AS n_batches,
+      |  CAST(sum(n) AS BIGINT) AS total
+      |FROM res GROUP BY 1, 2""".stripMargin
+
+  def funnelQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "q_admission_funnel" -> ((s, d) =>
+      admissionFunnel(graft.sources.Tables.documents(s, d))))
+
+  def funnelOracle: Map[String, String] = Map(
+    "q_admission_funnel" -> admissionFunnelSql)
 }
 
 object TakedownLog {

@@ -567,7 +567,9 @@ object TextOps {
     * floor of 2).
     */
   private def bpeTrainFromCounts(spark: SparkSession, vocabAll: DataFrame,
-                                 k: Int, minCount: Long): DataFrame = {
+                                 k: Int, minCount: Long,
+                                 symbolize: String => Array[String] = toSymbols)
+      : DataFrame = {
       // Apply the floor and collect WHAT SURVIVES. Distinct tokens grow
       // sublinearly in corpus size (Heaps' law) but the law's tail is
       // almost entirely singletons — the floor is what makes the
@@ -595,7 +597,7 @@ object TextOps {
       val vocab = vocabAll
         .filter(col("cnt") >= minCount)
         .collect()
-        .map(r => (toSymbols(r.getString(0)), r.getLong(1)))
+        .map(r => (symbolize(r.getString(0)), r.getLong(1)))
       val merges = bpeTrainDriver(vocab, k)
       import spark.implicits._
       merges.toDF("round", "left_sym", "right_sym", "merged", "n_occ")
@@ -1025,6 +1027,86 @@ object TextOps {
                         minCount: Long = BpeMinCount): DataFrame =
     bpeTrainFromCounts(spark,
       GraftCache.persistTracked(loadBpeVocab(spark, path)), k, minCount)
+
+  /** UTF-8 bytes as fixed-width lowercase hex pairs — the symbol
+    * alphabet of the BYTE-level trainer (C91). Rendering bytes as hex
+    * keeps every symbol a plain ASCII string, so the whole symbol
+    * machinery is reused VERBATIM: the U+001F-separated segment
+    * strings, the driver loop's interning and incremental pair counts,
+    * the (n_occ DESC, left, right) tie-break (lexicographic order over
+    * fixed-width lowercase hex IS numeric byte order, and both engines
+    * compare the identical hex strings), and the oracle's per-round CTE
+    * chain. A merged symbol is the concatenation of its parts' hex —
+    * injective on byte sequences, so distinct byte strings can never
+    * alias one symbol.
+    */
+  private[graft] def toByteSymbols(tok: String): Array[String] =
+    tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02x")
+
+  /** C91: BYTE-level BPE training (the GPT-2/tiktoken formulation) next
+    * to the code-point trainer (C43b): merges count over adjacent UTF-8
+    * BYTE pairs inside whitespace tokens, so multi-byte scripts
+    * genuinely train through byte fallback — exactly where the
+    * fertility dashboard (C79) is most interesting — and no OOV symbol
+    * can exist by construction (every byte is in the base alphabet).
+    * Same ONE corpus-wide aggregation to the (tok, cnt) table (shared
+    * with C43b/C43d — byte symbolization happens at train time, so the
+    * committed vocab artifact feeds BOTH trainers), same driver-side
+    * greedy loop, same admission floor and ceiling.
+    */
+  def bpeTrainBytes(documents: DataFrame, k: Int = BpeRounds,
+                    minCount: Long = BpeMinCount): DataFrame = {
+    val spark = documents.sparkSession
+    GraftCache.memoArtifact(spark,
+      ("bpeTrainBytes", documents.queryExecution.analyzed.canonicalized, k, minCount)) {
+      bpeTrainFromCounts(spark,
+        GraftCache.persistTracked(bpeTokFacts(documents)
+          .groupBy("tok")
+          .agg(count(lit(1)).as("cnt"))), k, minCount,
+        symbolize = toByteSymbols)
+    }
+  }
+
+  /** [[bpeTrainCommitted]]'s byte-level twin — the SAME committed
+    * (tok, cnt) vocab artifact feeds both trainers (symbolization is a
+    * train-time choice, not an ingest-time one), so one crawl-ingest
+    * lifecycle serves char AND byte tokenizers.
+    */
+  def bpeTrainBytesCommitted(spark: SparkSession, path: String,
+                             k: Int = BpeRounds,
+                             minCount: Long = BpeMinCount): DataFrame =
+    bpeTrainFromCounts(spark,
+      GraftCache.persistTracked(loadBpeVocab(spark, path)), k, minCount,
+      symbolize = toByteSymbols)
+
+  /** The byte oracle's vocab seed: the same floored token table, each
+    * token split into hex byte pairs (DuckDB hexes the raw UTF-8 via
+    * the BLOB cast; `regexp_extract_all(..., '..')` chunks fixed-width
+    * pairs). Rounds are [[bpeRoundCtes]] UNCHANGED — the round algebra
+    * never looks inside a symbol.
+    */
+  private val bpeByteVocabSeedSql: String =
+    s"""WITH tokx AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |t0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tokx
+      |       WHERE len(tok) > 0 GROUP BY tok HAVING count(*) >= $BpeMinCount),
+      |s0 AS (SELECT cnt,
+      |         chr(31) || array_to_string(
+      |           regexp_extract_all(lower(hex(CAST(tok AS BLOB))), '..'),
+      |           chr(31)) || chr(31) AS seg
+      |       FROM t0)""".stripMargin
+
+  def bpeTrainBytesSql(k: Int = BpeRounds): String = {
+    val rounds = (1 to k).map(bpeRoundCtes(_, withDoc = false)).mkString(",\n")
+    val out = (1 to k).map { i =>
+      s"SELECT $i AS round, lft AS left_sym, rgt AS right_sym, lft || rgt AS merged, n_occ FROM b$i"
+    }.mkString("\n  UNION ALL ")
+    s"""$bpeByteVocabSeedSql,
+       |$rounds
+       |SELECT * FROM (
+       |  $out
+       |) ORDER BY round""".stripMargin
+  }
 
   // -------------------------------------------- tokenizer bundle (C43e)
 
@@ -2367,6 +2449,7 @@ object TextOps {
     "q_top_ngrams" -> ((s, d) => topNgrams(Tables.documents(s, d))),
     "q_bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
     "q_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
+    "q_bpe_bytes" -> ((s, d) => bpeTrainBytes(Tables.documents(s, d))),
     "q_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d))),
     "q_corpus_shuffle" -> ((s, d) => corpusShuffle(Tables.documents(s, d))),
     "q_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
@@ -2410,6 +2493,7 @@ object TextOps {
     "q_top_ngrams" -> topNgramsSql,
     "q_bpe_merges" -> bpeMergesSql(),
     "q_bpe_train" -> bpeTrainSql(),
+    "q_bpe_bytes" -> bpeTrainBytesSql(),
     "q_bpe_encode" -> bpeEncodeSql(),
     "q_corpus_shuffle" -> corpusShuffleSql,
     "q_contamination" -> contaminationSql,

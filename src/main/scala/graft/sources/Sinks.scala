@@ -453,6 +453,25 @@ object Sinks {
       manifestBody(fsFor(spark, root), new Path(root, RootCommitsDir), v)
         .map(parseParts)
 
+    /** The newest `n` INTACT group manifests at `root`, newest first —
+      * the retention observable behind `protectGroups`: a maintenance
+      * sweep that must keep NAMED snapshots servable (not just the
+      * latest) collects its per-table protect sets from this window.
+      * Torn manifests are skipped without consuming budget.
+      */
+    def recentGroups(spark: SparkSession, root: String,
+                     n: Int): Seq[(Long, Map[String, Long])] = {
+      val fs = fsFor(spark, root)
+      val cdir = new Path(root, RootCommitsDir)
+      if (n <= 0 || !fs.exists(cdir)) return Seq.empty
+      fs.listStatus(cdir).flatMap { st =>
+        val nm = st.getPath.getName
+        if (nm.endsWith(".json")) nm.stripSuffix(".json").toLongOption else None
+      }.sorted.reverseIterator
+        .flatMap(v => manifestBody(fs, cdir, v).map(v -> parseParts(_)))
+        .take(n).toSeq
+    }
+
     /** Atomically publish a cross-table snapshot at `root` pinning each
       * named sub-table (path-relative to the root) at the given manifest
       * version. Optimistic next-version protocol, same torn-occupant
@@ -492,6 +511,7 @@ object Sinks {
     def commitGroupWith(spark: SparkSession, root: String,
                         maxRetries: Int = 20, keep: Int = 64)
                        (mkParts: Map[String, Long] => Map[String, Long]): Long = {
+      graft.FailPoint.reach(root) // kill-point sweep boundary (test seam)
       val fs = fsFor(spark, root)
       val cdir = new Path(root, RootCommitsDir)
       var attempt = 0
@@ -719,6 +739,7 @@ object Sinks {
         s"mergeUpsert: bucketKeys $bk must be a subset of the merge keys $keys " +
           "(a bucket id that is not a function of the row's identity would let an " +
           "upsert leave the old copy in a bucket the merge never reads)")
+      graft.FailPoint.reach(path) // kill-point sweep boundary (test seam)
       val fs = fsFor(spark, path)
       // Fail an unsupported store BEFORE the attempt stages/moves any
       // data, not at publish time with orphan dirs already on disk.
@@ -1214,10 +1235,47 @@ object Sinks {
     def pins(spark: SparkSession, root: String): Map[String, Long] =
       VersionedTable.latestGroup(spark, root).map(_._2).getOrElse(Map.empty)
 
+    /** Per-sub-table UNION of the pins in the newest `protectGroups`
+      * root snapshots — the retention contract behind named-snapshot
+      * serving ([[readAt]]): a maintenance sweep protecting only the
+      * LATEST group's pins can age a historical group's per-table
+      * manifests out mid-lifetime of a job pinned to it. Feeding this
+      * set to [[VersionedTable.vacuumVersioned]]'s `protect` keeps
+      * every group in the window servable byte-identically; past the
+      * window [[readAt]] refuses loudly instead of silently reading
+      * data the snapshot never pinned.
+      */
+    def pinsRecent(spark: SparkSession, root: String,
+                   protectGroups: Int): Map[String, Set[Long]] =
+      VersionedTable.recentGroups(spark, root, protectGroups)
+        .flatMap(_._2.toSeq)
+        .groupMapReduce(_._1)(t => Set(t._2))(_ ++ _)
+
     /** [[read]] against a pin-set captured by [[pins]]. */
     def readWith(spark: SparkSession, root: String, sub: String,
                  pinSet: Map[String, Long]): DataFrame =
       resolve(spark, root, sub, pinSet.get(sub))
+
+    /** [[readWith]] for NAMED-snapshot readers: refuses when the pinned
+      * manifest no longer exists instead of falling forward — the
+      * [[readAt]] strictness for callers that already captured a
+      * historical pin-set (one groupAt read for a multi-sub serve).
+      * Latest-group readers keep the fall-forward ([[readWith]]);
+      * reproducible-serving readers must not.
+      */
+    def readWithStrict(spark: SparkSession, root: String, sub: String,
+                       pinSet: Map[String, Long]): DataFrame = {
+      val v = pinSet.getOrElse(sub, throw new IllegalArgumentException(
+        s"ArtifactSnapshot.readWithStrict: pin-set at $root does not pin " +
+          s"'$sub' (pins: ${pinSet.keys.toSeq.sorted.mkString(", ")})"))
+      val full = s"$root/$sub"
+      if (!VersionedTable.manifestExists(spark, full, v))
+        throw new IllegalStateException(
+          s"ArtifactSnapshot.readWithStrict: pinned $sub@$v no longer exists " +
+            s"at $full — the snapshot outlived the maintenance sweep's " +
+            "protectGroups retention window; re-pin to a recent group")
+      VersionedTable.read(spark, full, Some(v))
+    }
 
     /** Snapshot-resolved sub-table read: the root-pinned version when
       * one exists, falling FORWARD to per-table latest when the pin
@@ -1246,7 +1304,20 @@ object Sinks {
       val v = parts.getOrElse(sub, throw new IllegalArgumentException(
         s"ArtifactSnapshot.readAt: group $groupVersion at $root does not " +
           s"pin '$sub' (pins: ${parts.keys.toSeq.sorted.mkString(", ")})"))
-      resolve(spark, root, sub, Some(v))
+      // STRICT, unlike the latest-group read: a named snapshot whose
+      // pinned manifest was vacuumed must refuse, not fall forward —
+      // silently reading versions the snapshot never pinned would
+      // defeat the reproducibility the caller pinned for. Keep the
+      // group inside the maintenance sweep's `protectGroups` window
+      // ([[pinsRecent]]) to guarantee this never fires mid-lifetime.
+      val full = s"$root/$sub"
+      if (!VersionedTable.manifestExists(spark, full, v))
+        throw new IllegalStateException(
+          s"ArtifactSnapshot.readAt: group $groupVersion pins $sub@$v but " +
+            s"that manifest no longer exists at $full — the snapshot " +
+            "outlived the maintenance sweep's protectGroups retention " +
+            "window; re-pin to a recent group")
+      VersionedTable.read(spark, full, Some(v))
     }
 
     private def resolve(spark: SparkSession, root: String, sub: String,
@@ -1284,6 +1355,157 @@ object Sinks {
             .map(n -> _)
         }.toMap
       }
+  }
+
+  /** The CROSS-ARTIFACT snapshot — [[ArtifactSnapshot]]'s promotion one
+    * level up (r12). An admission pipeline's state spans several
+    * committed artifacts (the text loop reads DedupIndex + the eval
+    * registry; the embedding loop reads AnnIndex); each is individually
+    * snapshot-atomic, but "the pipeline as of batch N" was not one
+    * pinnable reference — a replayed batch or an audit job had to
+    * eyeball per-artifact versions and could still pair artifact A's
+    * state from one batch with B's from the next. This layer publishes
+    * ONE pipeline-root manifest per admission batch, pinning each
+    * composite artifact's GROUP version (and each plain table's
+    * manifest version), through the same optimistic-commit primitive
+    * the per-artifact roots use.
+    *
+    * Contract:
+    *  - published as the admission batch's LAST step — a snapshot only
+    *    ever pins states whose effects are fully on disk;
+    *  - pins are named by the artifact's own path string (`g:<path>` /
+    *    `t:<path>`), so a reader resolves without out-of-band config:
+    *    the manifest carries everything [[Snapshot.groupPin]] needs;
+    *  - REPLAY-STABLE: each manifest records its batch id, and
+    *    [[publish]] no-ops when that batch already has a snapshot — a
+    *    replayed batch (crash after publish) re-resolves the identical
+    *    tuple even though its idempotent re-extends bumped the
+    *    artifacts' raw group versions;
+    *  - consumption composes with the per-artifact named readers
+    *    (DedupIndex.loadFrames(groupVersion), ArtifactSnapshot.readAt):
+    *    this layer stores WHICH group each artifact was at, the
+    *    artifact layers resolve the rest — strictly, never falling
+    *    forward.
+    */
+  object PipelineSnapshot {
+
+    /** One pinned artifact: `grouped` = composite (version is its root
+      * GROUP version) vs plain table (version is its manifest version).
+      */
+    final case class Pin(path: String, grouped: Boolean, version: Long)
+
+    final case class Snapshot(version: Long, batchId: Long, pins: Seq[Pin]) {
+      private def find(path: String, grouped: Boolean): Option[Long] =
+        pins.find(p => p.grouped == grouped && p.path == path).map(_.version)
+      /** The GROUP version `path`'s composite artifact was pinned at —
+        * feed it to the artifact's named reader
+        * (`DedupIndex.loadFrames(_, Some(v))`, `ArtifactSnapshot
+        * .readAt`). Throws on an unpinned artifact: silently serving
+        * latest would defeat the reproducibility the pin is for.
+        */
+      def groupPin(path: String): Long =
+        find(path, grouped = true).getOrElse(throw new IllegalArgumentException(
+          s"PipelineSnapshot: batch $batchId (v$version) does not pin a " +
+            s"grouped artifact at $path (pins: ${pins.map(_.path).sorted.mkString(", ")})"))
+      /** The manifest version `path`'s plain table was pinned at. */
+      def tablePin(path: String): Long =
+        find(path, grouped = false).getOrElse(throw new IllegalArgumentException(
+          s"PipelineSnapshot: batch $batchId (v$version) does not pin a " +
+            s"table at $path (pins: ${pins.map(_.path).sorted.mkString(", ")})"))
+    }
+
+    private val BatchKey = "batch"
+
+    private def decode(version: Long, parts: Map[String, Long]): Snapshot =
+      Snapshot(version,
+        parts.getOrElse(BatchKey, -1L),
+        parts.toSeq.collect {
+          case (k, v) if k.startsWith("g:") => Pin(k.drop(2), grouped = true, v)
+          case (k, v) if k.startsWith("t:") => Pin(k.drop(2), grouped = false, v)
+        }.sortBy(_.path))
+
+    /** Publish the pipeline snapshot for `batchId`: pin every composite
+      * artifact in `grouped` at its CURRENT latest group version and
+      * every plain table in `tables` at its CURRENT latest manifest
+      * version — call it as the batch's last step, after every effect
+      * landed. Idempotent per batch: if `batchId` already has a
+      * snapshot on disk, its version is returned unchanged (the replay
+      * contract — re-extends bump raw artifact versions, but the batch
+      * keeps resolving the tuple its ORIGINAL publish pinned). Fails
+      * loudly on an artifact with no committed group/manifest — a
+      * pipeline stage that never committed is a wiring bug, not a
+      * skippable pin.
+      */
+    def publish(spark: SparkSession, root: String, batchId: Long,
+                grouped: Seq[String], tables: Seq[String] = Seq.empty,
+                keep: Int = 64): Long = {
+      require(batchId >= 0L, "PipelineSnapshot.publish: batchId must be >= 0")
+      require(grouped.nonEmpty || tables.nonEmpty,
+        "PipelineSnapshot.publish: nothing to pin")
+      forBatch(spark, root, batchId) match {
+        case Some(s) => s.version
+        case None =>
+          val parts: Map[String, Long] =
+            (grouped.map { p =>
+              val g = VersionedTable.latestGroup(spark, p).getOrElse(
+                throw new IllegalStateException(
+                  s"PipelineSnapshot.publish: no group commits at $p — the " +
+                    "artifact must publish its own root snapshot before the " +
+                    "pipeline can pin it"))
+              s"g:$p" -> g._1
+            } ++ tables.map { p =>
+              val v = VersionedTable.latestManifest(spark, p).getOrElse(
+                throw new IllegalStateException(
+                  s"PipelineSnapshot.publish: no commits at table $p"))
+              s"t:$p" -> v._1
+            } :+ (BatchKey -> batchId)).toMap
+          VersionedTable.commitGroupWith(spark, root, keep = keep)(_ => parts)
+      }
+    }
+
+    /** The latest pipeline snapshot, or None before the first publish. */
+    def latest(spark: SparkSession, root: String): Option[Snapshot] =
+      VersionedTable.latestGroup(spark, root).map((decode _).tupled)
+
+    /** A NAMED pipeline snapshot — throws when pruned/absent (same
+      * refusal as [[ArtifactSnapshot.readAt]]: pipeline retention is
+      * [[publish]]'s `keep` budget).
+      */
+    def at(spark: SparkSession, root: String, version: Long): Snapshot =
+      VersionedTable.groupAt(spark, root, version).map(decode(version, _))
+        .getOrElse(throw new IllegalArgumentException(
+          s"PipelineSnapshot.at: no intact pipeline manifest $version at " +
+            s"$root (retention pruned it, or it never existed)"))
+
+    /** The snapshot a given batch published, scanning the retained
+      * window (publish cadence is per-batch, so the window is also the
+      * replay horizon).
+      */
+    def forBatch(spark: SparkSession, root: String,
+                 batchId: Long): Option[Snapshot] =
+      VersionedTable.recentGroups(spark, root, Int.MaxValue)
+        .collectFirst { case (v, parts) if parts.get(BatchKey).contains(batchId) =>
+          decode(v, parts)
+        }
+
+    /** One pin's health: does the pinned group/table manifest still
+      * exist at its artifact? (The pipeline-level
+      * [[graft.operators.Artifacts.snapshotHealth]] row.)
+      */
+    final case class PinHealth(path: String, grouped: Boolean,
+                               version: Long, resolvable: Boolean)
+
+    /** Health of the LATEST pipeline snapshot's pins — run it on the
+      * maintenance cadence: an unresolvable pin means retention
+      * outran the pipeline's consumers and named reads will refuse.
+      */
+    def health(spark: SparkSession, root: String): Seq[PinHealth] =
+      latest(spark, root).map(_.pins.map { p =>
+        val ok =
+          if (p.grouped) VersionedTable.groupAt(spark, p.path, p.version).isDefined
+          else VersionedTable.manifestExists(spark, p.path, p.version)
+        PinHealth(p.path, p.grouped, p.version, ok)
+      }).getOrElse(Seq.empty)
   }
 
   // ---------------- z-order layout (multi-dimensional data skipping) ----------------

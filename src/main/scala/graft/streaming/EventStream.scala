@@ -820,9 +820,31 @@ object EventStream {
     * see [[streamingImagePhashServe]]. */
   def streamingAudioFpServe(media: DataFrame, indexPath: String,
                             threshold: Int =
-                              graft.operators.AudioDedup.HammingThreshold): DataFrame =
+                              graft.operators.AudioDedup.HammingThreshold,
+                            pinGroupVersion: Option[Long] = None): DataFrame =
     streamingAudioFpMatches(media,
-      graft.operators.MediaIndex.loadAudioFps(media.sparkSession, indexPath), threshold)
+      mediaFpsFrame(media.sparkSession, indexPath, "aud", pinGroupVersion),
+      threshold)
+
+  /** The fps frame a media probe stream serves from: the latest
+    * snapshot, or — with `pinGroupVersion` — one NAMED root snapshot
+    * for the stream's whole lifetime (the reproducible-serving knob the
+    * text probe got in r11: immune to concurrent extends AND retracts;
+    * a compliance audit replaying pre-takedown verdicts pins exactly
+    * this). Unknown/pruned groups refuse at stream START, not batch 0.
+    */
+  private def mediaFpsFrame(spark: SparkSession, indexPath: String,
+                            modality: String,
+                            pinGroupVersion: Option[Long]): DataFrame =
+    pinGroupVersion match {
+      case Some(g) =>
+        graft.operators.MediaIndex.loadFpsAt(spark, indexPath, modality, g)
+      case None => modality match {
+        case "img" => graft.operators.MediaIndex.loadImageFps(spark, indexPath)
+        case "vid" => graft.operators.MediaIndex.loadVideoFps(spark, indexPath)
+        case _ => graft.operators.MediaIndex.loadAudioFps(spark, indexPath)
+      }
+    }
 
   /** [[streamingImagePhashMatches]] probing the COMMITTED
     * [[graft.operators.MediaIndex]] at `indexPath` — the production
@@ -834,17 +856,21 @@ object EventStream {
     */
   def streamingImagePhashServe(media: DataFrame, indexPath: String,
                                threshold: Int =
-                                 graft.operators.ImageDedup.HammingThreshold): DataFrame =
+                                 graft.operators.ImageDedup.HammingThreshold,
+                               pinGroupVersion: Option[Long] = None): DataFrame =
     streamingImagePhashMatches(media,
-      graft.operators.MediaIndex.loadImageFps(media.sparkSession, indexPath), threshold)
+      mediaFpsFrame(media.sparkSession, indexPath, "img", pinGroupVersion),
+      threshold)
 
   /** [[streamingVideoPhashMatches]] probing the committed MediaIndex —
     * see [[streamingImagePhashServe]]. */
   def streamingVideoPhashServe(media: DataFrame, indexPath: String,
                                threshold: Int =
-                                 graft.operators.VideoDedup.HammingThreshold): DataFrame =
+                                 graft.operators.VideoDedup.HammingThreshold,
+                               pinGroupVersion: Option[Long] = None): DataFrame =
     streamingVideoPhashMatches(media,
-      graft.operators.MediaIndex.loadVideoFps(media.sparkSession, indexPath), threshold)
+      mediaFpsFrame(media.sparkSession, indexPath, "vid", pinGroupVersion),
+      threshold)
 
   /** Streaming HTML extraction (C60's continuous twin): the link-
     * density extractor is regexp/split/explode expressions plus one
@@ -1062,7 +1088,8 @@ object EventStream {
                                  outPath: String, checkpoint: String,
                                  compactEvery: Int = 16,
                                  registryPath: Option[String] = None,
-                                 funnelLogPath: Option[String] = None): StreamingQuery = {
+                                 funnelLogPath: Option[String] = None,
+                                 pipelinePath: Option[String] = None): StreamingQuery = {
     // Fail fast at START, not in batch 0: with a registryPath set, every
     // micro-batch re-reads the registry, and an uncommitted table (stream
     // configured before the first register(), or a typo'd path) would
@@ -1081,7 +1108,8 @@ object EventStream {
         if (!batch.isEmpty)
           curationAdmitBatch(batch.toDF(), batchId, indexPath, lr,
             dsirKeepMin, outPath, compactEvery = compactEvery,
-            registryPath = registryPath, funnelLogPath = funnelLogPath)
+            registryPath = registryPath, funnelLogPath = funnelLogPath,
+            pipelinePath = pipelinePath)
       }
       .start()
   }
@@ -1099,7 +1127,8 @@ object EventStream {
                                         crashBeforeExtend: Boolean = false,
                                         compactEvery: Int = 0,
                                         registryPath: Option[String] = None,
-                                        funnelLogPath: Option[String] = None): Unit = {
+                                        funnelLogPath: Option[String] = None,
+                                        pipelinePath: Option[String] = None): Unit = {
     import graft.operators.{Curation, DedupIndex, Dsir, EvalRegistry, Html, TextOps}
     graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
       val extracted = Html.htmlExtract(batch, col("html"))
@@ -1150,6 +1179,7 @@ object EventStream {
         if (n > 0) {
           // corpus append FIRST, index extend SECOND — see the
           // restart-safety note in the doc comment.
+          graft.FailPoint.reach(outPath) // kill-point sweep boundary
           admitted.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
           if (crashBeforeExtend) throw new RuntimeException(
@@ -1164,6 +1194,7 @@ object EventStream {
         // micro-batch sizes the cost is the batch, not the corpus.
         funnelLogPath.foreach { lp =>
           val (nArrived, nPre, nGated) = funnelGates.get
+          graft.FailPoint.reach(lp) // kill-point sweep boundary
           graft.operators.AdmissionLog.append(batch.sparkSession, lp,
             "curation", batchId, Seq(
               "1_arrived" -> nArrived,
@@ -1171,13 +1202,40 @@ object EventStream {
               "3_decontaminated_kept" -> nGated,
               "4_admitted" -> n))
         }
+        // cross-ARTIFACT pipeline snapshot — the batch's LAST effect:
+        // pin the dedup index's GROUP version + the registry's table
+        // version as one atomic "pipeline as of batch N" reference.
+        // Published even for an all-rejected batch (its verdicts read
+        // exactly this state); idempotent per batchId, so a crash after
+        // publish replays to the identical tuple.
+        pipelinePath.foreach { pp =>
+          graft.sources.Sinks.PipelineSnapshot.publish(
+            batch.sparkSession, pp, batchId,
+            grouped = Seq(indexPath),
+            tables = registryPath
+              .map(graft.operators.EvalRegistry.tablePath).toSeq)
+        }
       } finally admitted.unpersist()
       // cadence AFTER the batch's own effects: a crash inside
       // maintenance loses nothing (compaction is a pure file rewrite
       // behind a new manifest version, vacuum only drops superseded
       // versions; the replay re-runs both as cheap no-ops)
-      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+        // serve-cap drop telemetry on the SAME cadence (r12): the band
+        // table scan is corpus-sized, so it rides the maintenance
+        // cadence, never the per-batch funnel (whose documented cost is
+        // the batch). Deterministic per committed state, so replays
+        // refile identical rows — the MAX resolution rule holds.
+        funnelLogPath.foreach { lp =>
+          val (hot, dropped) =
+            DedupIndex.bandCapStats(batch.sparkSession, indexPath)
+          graft.operators.AdmissionLog.append(batch.sparkSession, lp,
+            "curation_bands", batchId, Seq(
+              "1_hot_buckets" -> hot,
+              "2_capped_rows" -> dropped))
+        }
         DedupIndex.maintain(batch.sparkSession, indexPath)
+      }
     }
   }
 
@@ -1210,7 +1268,8 @@ object EventStream {
                               outPath: String, checkpoint: String,
                               modality: String,
                               compactEvery: Int = 16,
-                              funnelLogPath: Option[String] = None): StreamingQuery = {
+                              funnelLogPath: Option[String] = None,
+                              pipelinePath: Option[String] = None): StreamingQuery = {
     val m = graft.operators.MediaIndex.mode(modality) // validates the name
     require(graft.operators.MediaIndex.isBuilt(media.sparkSession, indexPath, m.name),
       s"streamingMediaAdmission: no committed '${m.name}' sub-table at $indexPath — " +
@@ -1222,7 +1281,8 @@ object EventStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           mediaAdmitBatch(batch.toDF(), batchId, indexPath, outPath, m.name,
-            compactEvery = compactEvery, funnelLogPath = funnelLogPath)
+            compactEvery = compactEvery, funnelLogPath = funnelLogPath,
+            pipelinePath = pipelinePath)
       }
       .start()
   }
@@ -1247,7 +1307,8 @@ object EventStream {
                                      modality: String,
                                      compactEvery: Int = 0,
                                      crashBeforeExtend: Boolean = false,
-                                     funnelLogPath: Option[String] = None): Unit = {
+                                     funnelLogPath: Option[String] = None,
+                                     pipelinePath: Option[String] = None): Unit = {
     import graft.operators.{BandedPairs, MediaIndex}
     val m = MediaIndex.mode(modality)
     graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
@@ -1315,6 +1376,12 @@ object EventStream {
                 "3_batch_distinct" -> kept.count(),
                 "4_admitted" -> n))
           }
+          // cross-ARTIFACT pipeline snapshot — the batch's LAST effect
+          // (see curationAdmitBatch): pins the MediaIndex GROUP version
+          pipelinePath.foreach { pp =>
+            graft.sources.Sinks.PipelineSnapshot.publish(
+              batch.sparkSession, pp, batchId, grouped = Seq(indexPath))
+          }
         } finally admitted.unpersist()
       } finally fps.unpersist()
       // cadence AFTER the batch's own effects — see curationAdmitBatch
@@ -1374,7 +1441,8 @@ object EventStream {
                                   compactEvery: Int = 16,
                                   funnelLogPath: Option[String] = None,
                                   rebalanceLoadPct: Long = 0L,
-                                  exactRescore: Boolean = false): StreamingQuery = {
+                                  exactRescore: Boolean = false,
+                                  pipelinePath: Option[String] = None): StreamingQuery = {
     require(graft.sources.Sinks.VersionedTable
         .latestManifest(vecs.sparkSession, s"$indexPath/codes").isDefined,
       s"streamingEmbeddingAdmission: no committed AnnIndex at $indexPath — " +
@@ -1396,7 +1464,8 @@ object EventStream {
         if (!batch.isEmpty)
           embeddingAdmitBatch(batch.toDF(), batchId, indexPath, outPath, tau,
             compactEvery = compactEvery, funnelLogPath = funnelLogPath,
-            rebalanceLoadPct = rebalanceLoadPct, exactRescore = exactRescore)
+            rebalanceLoadPct = rebalanceLoadPct, exactRescore = exactRescore,
+            pipelinePath = pipelinePath)
       }
       .start()
   }
@@ -1414,7 +1483,8 @@ object EventStream {
                                          crashBeforeExtend: Boolean = false,
                                          funnelLogPath: Option[String] = None,
                                          rebalanceLoadPct: Long = 0L,
-                                         exactRescore: Boolean = false): Unit = {
+                                         exactRescore: Boolean = false,
+                                         pipelinePath: Option[String] = None): Unit = {
     import graft.operators.AnnIndex
     graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
       val q = graft.operators.Embeddings.quantized(batch)
@@ -1464,6 +1534,7 @@ object EventStream {
         if (n > 0) {
           // corpus append FIRST, index extend SECOND — the shared
           // restart-safety ordering (see curationAdmitBatch)
+          graft.FailPoint.reach(outPath) // kill-point sweep boundary
           admitted.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
           if (crashBeforeExtend) throw new RuntimeException(
@@ -1473,11 +1544,18 @@ object EventStream {
           AnnIndex.extend(admitted, indexPath, buildV = 2L * (batchId + 1))
         }
         funnelLogPath.foreach { lp =>
+          graft.FailPoint.reach(lp) // kill-point sweep boundary
           graft.operators.AdmissionLog.append(batch.sparkSession, lp,
             "embedding", batchId, Seq(
               "1_arrived" -> batch.count(),
               "2_batch_distinct" -> kept.count(),
               "3_admitted" -> n))
+        }
+        // cross-ARTIFACT pipeline snapshot — the batch's LAST effect
+        // (see curationAdmitBatch): pins the AnnIndex GROUP version
+        pipelinePath.foreach { pp =>
+          graft.sources.Sinks.PipelineSnapshot.publish(
+            batch.sparkSession, pp, batchId, grouped = Seq(indexPath))
         }
       } finally admitted.unpersist()
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
@@ -1514,7 +1592,8 @@ object EventStream {
                                  tau: Double,
                                  compactEvery: Int = 16,
                                  funnelLogPath: Option[String] = None,
-                                 rebalanceLoadPct: Long = 0L): StreamingQuery = {
+                                 rebalanceLoadPct: Long = 0L,
+                                 pipelinePath: Option[String] = None): StreamingQuery = {
     require(graft.sources.Sinks.VersionedTable
         .latestManifest(vecs.sparkSession, s"$indexPath/codes").isDefined,
       s"streamingSemDedupAdmission: no committed AnnIndex at $indexPath — " +
@@ -1529,7 +1608,7 @@ object EventStream {
         if (!batch.isEmpty)
           semDedupAdmitBatch(batch.toDF(), batchId, indexPath, outPath, tau,
             compactEvery = compactEvery, funnelLogPath = funnelLogPath,
-            rebalanceLoadPct = rebalanceLoadPct)
+            rebalanceLoadPct = rebalanceLoadPct, pipelinePath = pipelinePath)
       }
       .start()
   }
@@ -1544,7 +1623,8 @@ object EventStream {
                                         compactEvery: Int = 0,
                                         crashBeforeExtend: Boolean = false,
                                         funnelLogPath: Option[String] = None,
-                                        rebalanceLoadPct: Long = 0L): Unit = {
+                                        rebalanceLoadPct: Long = 0L,
+                                        pipelinePath: Option[String] = None): Unit = {
     import graft.operators.AnnIndex
     graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
       // the shared within-batch id discipline (see embeddingAdmitBatch)
@@ -1588,6 +1668,12 @@ object EventStream {
             "semantic", batchId, Seq(
               "1_arrived" -> batch.count(),
               "2_admitted" -> n))
+        }
+        // cross-ARTIFACT pipeline snapshot — the batch's LAST effect
+        // (see curationAdmitBatch): pins the AnnIndex GROUP version
+        pipelinePath.foreach { pp =>
+          graft.sources.Sinks.PipelineSnapshot.publish(
+            batch.sparkSession, pp, batchId, grouped = Seq(indexPath))
         }
       } finally admitted.unpersist()
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {

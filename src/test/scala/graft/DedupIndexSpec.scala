@@ -149,6 +149,41 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "maintenance must not change containment verdicts")
   }
 
+  test("band occupancy: committed artifact == in-session arithmetic; cap stats flag the planted mega-bucket (r12)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val boiler = "this exact boilerplate footer repeats on every single page here"
+    val docs = ((1L to 6L).map(i => (i, boiler)) ++ Seq(
+      (10L, "a genuinely distinct first document with its own words"),
+      (11L, "another unrelated body of text that shares no shingles"),
+      (12L, "the third standalone page talking about something else")))
+      .toDF("doc_id", "text")
+    val path = tmp("bandocc")
+    DedupIndex.build(docs, path)
+    val cap = 4
+    def canon(df: DataFrame): Seq[Seq[Long]] =
+      df.collect().map(r => (0 until 6).map(r.getLong)).toSeq.sortBy(_.head)
+    val committed = canon(DedupIndex.bandOccupancy(spark, path, cap))
+    // ONE arithmetic: the committed read and the in-session diagnostic
+    // must agree row for row (the C86/C86b pairing)
+    assert(committed == canon(Dedup.bandOccupancy(docs, cap)),
+      "committed band occupancy must equal the in-session diagnostic")
+    // the planted mega-bucket: 6 identical docs share every band key,
+    // so each of the 4 band indices carries exactly one bucket over the
+    // cap, whose 6 rows the serve-time drop cap excludes whole
+    committed.foreach { row =>
+      val Seq(_, _, maxOcc, nHot, nDropped, nServed) = row
+      assert(maxOcc == 6L && nHot == 1L && nDropped == 6L && nServed == 3L,
+        s"each band must flag the planted mega-bucket and serve the rest: $row")
+    }
+    val (hot, dropped) = DedupIndex.bandCapStats(spark, path, cap)
+    assert(hot == 4L && dropped == 24L,
+      s"cap stats must sum the per-band rows: hot=$hot dropped=$dropped")
+    // at the PRODUCTION cap nothing is hot here — the stats go quiet
+    assert(DedupIndex.bandCapStats(spark, path) == ((0L, 0L)),
+      "below the production cap the telemetry must report zero")
+  }
+
   test("incremental extend == fresh full rebuild (no drift from merge order)") {
     val docs = Tables.documents(spark, sf)
     val (halfA, halfB) =

@@ -1550,6 +1550,73 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.GraftCache.releaseAll(spark)
   }
 
+  test("byte-level BPE (C91): hand-walked merges, ASCII isomorphism to the char trainer, byte fallback through multi-byte scripts, committed-vocab lifecycle reused (r12)") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    graft.GraftCache.releaseAll(spark)
+    def rows(df: DataFrame): Seq[(Int, String, String, String, Long)] =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // 1. hand-walked: "aaab aaab cd" — UTF-8 bytes 61 61 61 62 / 63 64.
+    // Round 1: overlapping self-pair (61,61) counts 2 per occurrence x2
+    // words = 4; greedy fold leaves [6161, 61, 62]. Round 2: tie at 2
+    // between (6161,61) and (61,62) breaks to the lexicographically
+    // smaller left "61". Round 3 merges the two survivors.
+    val hand = Seq((1L, "aaab aaab cd")).toDF("doc_id", "text")
+    assert(rows(TextOps.bpeTrainBytes(hand, k = 3, minCount = 1L)) == Seq(
+      (1, "61", "61", "6161", 4L),
+      (2, "61", "62", "6162", 2L),
+      (3, "6161", "6162", "61616162", 2L)),
+      "byte trainer must match the hand computation")
+    graft.GraftCache.releaseAll(spark)
+    // 2. ASCII isomorphism: on a pure-ASCII corpus the byte trainer IS
+    // the char trainer under the hex rendering (per-symbol hex of the
+    // raw symbol; fixed-width lowercase hex comparison == UTF-8 byte
+    // comparison, so every count AND every tie-break corresponds)
+    val ascii = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the rat sat on a hat"),
+      (3L, "that cat that rat that bat"), (4L, "on and on and on"))
+      .toDF("doc_id", "text")
+    def hexOf(s: String): String =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => f"${b & 0xff}%02x").mkString
+    val charM = rows(TextOps.bpeTrain(ascii, k = 6, minCount = 1L))
+    val byteM = rows(TextOps.bpeTrainBytes(ascii, k = 6, minCount = 1L))
+    assert(byteM == charM.map { case (r, l, rr, m, n) =>
+      (r, hexOf(l), hexOf(rr), hexOf(m), n) },
+      s"ASCII corpora must train isomorphically: $charM vs $byteM")
+    graft.GraftCache.releaseAll(spark)
+    // 3. byte fallback: a multi-byte script trains on bytes INSIDE the
+    // code point — "€" = e2 82 ac; the char trainer can only merge
+    // whole € symbols, the byte trainer's first merge is a byte pair
+    // within them ((82,ac) by the tie-break)
+    val euro = Seq((1L, "€€ €€")).toDF("doc_id", "text")
+    val byteEuro = rows(TextOps.bpeTrainBytes(euro, k = 1, minCount = 1L))
+    assert(byteEuro == Seq((1, "82", "ac", "82ac", 4L)),
+      s"multi-byte scripts must train through byte fallback: $byteEuro")
+    val charEuro = rows(TextOps.bpeTrain(euro, k = 1, minCount = 1L))
+    assert(charEuro.head._2 == "€",
+      "premise: the char trainer sees whole code points here")
+    graft.GraftCache.releaseAll(spark)
+    // 4. the committed (tok, cnt) vocab artifact feeds the byte trainer
+    // unchanged (symbolization is train-time): train-from-artifact ==
+    // fresh train(union), bit-identically — one ingest lifecycle, two
+    // tokenizers
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-bytes").toString
+    TextOps.commitBpeVocab(a, dir, "crawl-a")
+    TextOps.commitBpeVocab(b, dir, "crawl-b")
+    val k = 24
+    val fromArtifact = rows(TextOps.bpeTrainBytesCommitted(spark, dir, k))
+    graft.GraftCache.releaseAll(spark)
+    val fresh = rows(TextOps.bpeTrainBytes(docs, k))
+    assert(fromArtifact.nonEmpty && fromArtifact == fresh,
+      "byte train-from-artifact must equal fresh train(union) bit-identically")
+    graft.GraftCache.releaseAll(spark)
+  }
+
   test("tokenizer bundle: merges+vocab+fertility commit as one unit; extend retrains as train(union); fertility rides the committed merges (r11)") {
     import spark.implicits._
     graft.GraftCache.releaseAll(spark)

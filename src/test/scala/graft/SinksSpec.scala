@@ -726,6 +726,54 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
       "with the pin gone, readers fall forward to the raw latest")
   }
 
+  test("historical-group retention: protectGroups keeps named snapshots byte-identical across sweeps; past the window readAt refuses loudly (r12)") {
+    import spark.implicits._
+    import graft.operators.Artifacts
+    import Sinks.{ArtifactSnapshot, VersionedTable}
+    val root = s"$tmp/hist_groups"
+    val sub = s"$root/tbl"
+    // four mutations, each bumping the sub-table AND publishing a root
+    // snapshot — groups 0..3 pin tbl@0..3
+    for (i <- 1 to 4) {
+      VersionedTable.mergeUpsert(spark, sub,
+        Seq((1L, s"v$i", i.toLong)).toDF("id", "payload", "build_v"),
+        Seq("id"), "build_v", numBuckets = 2)
+      ArtifactSnapshot.commit(spark, root, Seq("tbl"), refresh = Seq("tbl"))
+    }
+    val g = VersionedTable.latestGroup(spark, root).get._1
+    assert(g == 3L, s"four commits must yield group 3, got $g")
+    assert(ArtifactSnapshot.pinsRecent(spark, root, 2) ==
+      Map("tbl" -> Set(2L, 3L)),
+      "pinsRecent must union the newest N groups' pins")
+    val before = ArtifactSnapshot.readAt(spark, root, "tbl", g - 1)
+      .select("id", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(before == Seq((1L, "v3")), s"group ${g - 1} must pin tbl@2: $before")
+    // keep=1 would normally age tbl@2 out — the protectGroups=2 window
+    // shields both the latest AND the previous group's pins
+    Artifacts.maintainAll(spark, root, keepVersions = 1, minAgeMs = 0L,
+      protectGroups = 2)
+    assert(ArtifactSnapshot.readAt(spark, root, "tbl", g - 1)
+      .select("id", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == before,
+      "a reader pinned inside the protectGroups window must survive the sweep byte-identically")
+    // the latest group stays servable too, of course
+    assert(ArtifactSnapshot.readAt(spark, root, "tbl", g)
+      .select("payload").head().getString(0) == "v4")
+    // group 0 pinned tbl@0 — OUTSIDE the window, its manifest is gone
+    // and the named-snapshot read REFUSES instead of silently falling
+    // forward to data the snapshot never pinned
+    assert(!VersionedTable.manifestExists(spark, sub, 0L),
+      "an unprotected historical pin must be reclaimed by the keep budget")
+    val e = intercept[IllegalStateException] {
+      ArtifactSnapshot.readAt(spark, root, "tbl", 0L)
+    }
+    assert(e.getMessage.contains("protectGroups"),
+      s"the refusal must name the retention contract: ${e.getMessage}")
+    // loop-local cadence (DedupIndex.maintain shape): same contract via
+    // pinsRecent — covered here through the generic sweep; the group
+    // manifests themselves are bounded separately by commitGroup's keep
+  }
+
   test("VersionedTable: cross-table group commits — roundtrip, torn skip + reclaim, retention prune (r11)") {
     import Sinks.VersionedTable
     val root = s"$tmp/grp"

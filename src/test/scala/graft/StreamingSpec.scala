@@ -951,6 +951,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       == after, "maintain must not change serve results")
   }
 
+  test("MediaIndex named-snapshot serving: a probe pinned pre-retract keeps matching retracted fingerprints; unknown groups refuse at start (r12)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{ImageDedup, MediaIndex}
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-media-groupat").toString
+    MediaIndex.buildImages(ImageDedup.imageCorpus(docs.limit(60)), dir, buildV = 0L)
+    val g0 = MediaIndex.latestGroupVersion(spark, dir).get
+    val incoming: Seq[(Long, Array[Byte])] =
+      ImageDedup.imageCorpus(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 10000L).as("doc_id")))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toIndexedSeq
+    var n = 0
+    def streamServe(pin: Option[Long]): Seq[(Long, Long, Long)] = {
+      n += 1
+      val in = MemoryStream[(Long, Array[Byte])]
+      val q = EventStream.streamingImagePhashServe(
+        in.toDF().toDF("media_id", "payload"), dir, pinGroupVersion = pin)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"media_groupat_$n").start()
+      in.addData(incoming); q.processAllAvailable(); q.stop()
+      spark.table(s"media_groupat_$n").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toIndexedSeq.sorted
+    }
+    val before = streamServe(Some(g0))
+    assert(before.nonEmpty, "shifted ids share pixel groups — matches must exist")
+    assert(before == streamServe(None),
+      "before any mutation, the pinned and latest serves agree")
+    // takedown every matched doc — a NEW group publishes; the retracted
+    // fingerprints leave the LATEST serve immediately…
+    val hit = before.map(_._2).distinct
+    MediaIndex.retract(spark, dir, hit)
+    val g1 = MediaIndex.latestGroupVersion(spark, dir).get
+    assert(g1 > g0, "the retract must publish a new root snapshot")
+    assert(!streamServe(None).exists(m => hit.contains(m._2)),
+      "latest-group serves must reflect the takedown")
+    // …but the probe pinned PRE-RETRACT still matches them — exactly
+    // what a compliance audit replaying pre-takedown verdicts needs
+    assert(streamServe(Some(g0)) == before,
+      "the pre-retract pin must keep serving the retracted fingerprints")
+    // maintenance at an aggressive keep budget: the pinned group stays
+    // byte-identical (protectGroups shields the newest 2 groups' pins)
+    MediaIndex.maintain(spark, dir, keepVersions = 1)
+    assert(streamServe(Some(g0)) == before,
+      "maintenance must not age the pinned group's versions out")
+    // an unknown group refuses at stream START, not as a batch-0 crash
+    intercept[IllegalArgumentException] {
+      EventStream.streamingImagePhashServe(
+        spark.readStream.format("rate").load()
+          .select(col("value").as("media_id"), lit(Array.emptyByteArray).as("payload")),
+        dir, pinGroupVersion = Some(9999L))
+    }
+    // a modality the snapshot never pinned refuses too
+    intercept[IllegalArgumentException] {
+      MediaIndex.loadFpsAt(spark, dir, "vid", g0)
+    }
+  }
+
   test("EQUIVALENCE: streaming quality gate matches the batch classifier row for row") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -1169,6 +1227,238 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getString(1)
     assert(probe == "new",
       s"benchmark text must be absent from the index, served $probe")
+  }
+
+  test("cross-ARTIFACT pipeline snapshot: one pinnable reference per batch; later mutations invisible to pinned readers; replay re-resolves the identical tuple (r12)") {
+    import spark.implicits._
+    import graft.operators.{DedupIndex, Dsir, EvalRegistry, Html}
+    import graft.sources.Sinks.PipelineSnapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe-snap").toString
+    val indexPath = s"$dir/index"; val regPath = s"$dir/registry"
+    val pp = s"$dir/pipeline"
+    DedupIndex.build(
+      Seq((900001L, "seed corpus alpha beta gamma delta epsilon"))
+        .toDF("doc_id", "text"), indexPath)
+    EvalRegistry.register(
+      Seq((77L, "what is the capital of france the capital of france is " +
+        "paris and this sentence continues long enough to shingle"))
+        .toDF("doc_id", "text"), regPath)
+    val lr = Array.fill(Dsir.NumBuckets)(Dsir.Scale)
+    val texts = Map(
+      1L -> "the quick brown fox jumps over a lazy dog",
+      2L -> "a second page with the words to pass quality checks",
+      4L -> "or perhaps the fourth page also carries enough words here",
+      5L -> "a fifth novel page arriving late with plenty of words to pass")
+    def htmlDf(ids: Seq[Long]) = ids.map(i => (i, texts(i))).toDF("doc_id", "text")
+      .select(col("doc_id"), Html.plantedHtml.as("html"))
+    def run(ids: Seq[Long], bid: Long): Unit =
+      EventStream.curationAdmitBatch(htmlDf(ids), bid, indexPath, lr, 0L,
+        s"$dir/out", registryPath = Some(regPath), pipelinePath = Some(pp))
+    assert(PipelineSnapshot.latest(spark, pp).isEmpty,
+      "no pipeline manifest before the first batch")
+    run(Seq(1L, 2L), 0L)
+    val snap0 = PipelineSnapshot.latest(spark, pp).get
+    assert(snap0.batchId == 0L && snap0.pins.size == 2,
+      s"batch 0 must pin the index group + the registry table: $snap0")
+    val g0 = snap0.groupPin(indexPath)
+    val reg0 = snap0.tablePin(EvalRegistry.tablePath(regPath))
+    def fpsAt(g: Long): Set[Long] =
+      DedupIndex.loadFrames(spark, indexPath, Some(g))._1
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fps0 = fpsAt(g0)
+    assert(fps0 == Set(900001L, 1L, 2L), s"batch-0 snapshot state: $fps0")
+    // batch 1 admits doc 4 — a later mutation from snap0's perspective
+    run(Seq(2L, 4L), 1L)
+    val snap1 = PipelineSnapshot.latest(spark, pp).get
+    assert(snap1.batchId == 1L && snap1.groupPin(indexPath) > g0,
+      s"batch 1 must publish a NEW pipeline snapshot with a newer index pin: $snap1")
+    // (a) pinned-reader invisibility: the whole pipeline resolved
+    // through snap0 still serves exactly the batch-0 tuple — the
+    // extend published after snap0 is invisible
+    assert(fpsAt(g0) == fps0, "the pinned index read must not see batch 1's extend")
+    assert(fpsAt(snap1.groupPin(indexPath)).contains(4L),
+      "the NEW snapshot's pin must see it")
+    assert(EvalRegistry.loadAt(spark, regPath, reg0).count() > 0L,
+      "the pinned registry version must stay readable")
+    // (b) replay of batch 1 (crash-after-publish shape) against an
+    // artifact that has since advanced (a direct extend — the
+    // concurrent-mutator / re-extend shape): the raw group version
+    // moves, but the pipeline snapshot for batch 1 stays the identical
+    // tuple and the replay publishes nothing new
+    val rawBefore = graft.sources.Sinks.VersionedTable
+      .latestGroup(spark, indexPath).get._1
+    DedupIndex.extend(
+      Seq((900002L, "an unrelated direct extend between publish and replay"))
+        .toDF("doc_id", "text"), indexPath, buildV = 50L)
+    assert(graft.sources.Sinks.VersionedTable
+        .latestGroup(spark, indexPath).get._1 > rawBefore,
+      "test premise: the direct extend bumps the raw artifact group")
+    run(Seq(2L, 4L), 1L)
+    val replayed = PipelineSnapshot.forBatch(spark, pp, 1L).get
+    assert(!fpsAt(replayed.groupPin(indexPath)).contains(900002L),
+      "the replayed batch's pinned tuple predates the direct extend")
+    assert(replayed == snap1,
+      s"replay must re-resolve the IDENTICAL pinned tuple: $replayed vs $snap1")
+    assert(PipelineSnapshot.latest(spark, pp).get.version == snap1.version,
+      "a replayed batch publishes no new pipeline manifest")
+    // (c) crash BEFORE the publish: no snapshot for that batch; the
+    // replay completes the batch and publishes (pinning its post-replay
+    // state — the at-least-once contract)
+    intercept[RuntimeException] {
+      EventStream.curationAdmitBatch(htmlDf(Seq(2L, 5L)), 2L, indexPath,
+        lr, 0L, s"$dir/out", crashBeforeExtend = true,
+        registryPath = Some(regPath), pipelinePath = Some(pp))
+    }
+    assert(PipelineSnapshot.forBatch(spark, pp, 2L).isEmpty,
+      "a batch that died before its last step has no pipeline snapshot")
+    run(Seq(2L, 5L), 2L)
+    assert(PipelineSnapshot.forBatch(spark, pp, 2L).isDefined,
+      "the replay publishes batch 2's snapshot")
+    // (d) named access + refusal + health
+    assert(PipelineSnapshot.at(spark, pp, snap0.version) == snap0)
+    intercept[IllegalArgumentException] { PipelineSnapshot.at(spark, pp, 99L) }
+    val h = PipelineSnapshot.health(spark, pp)
+    assert(h.nonEmpty && h.forall(_.resolvable), s"all pins must resolve: $h")
+    // the maintenance-cadence sweep surfaces the pipeline root next to
+    // the artifact roots, pin-counted without the batch marker
+    val sweep = graft.operators.Artifacts.snapshotHealth(spark, dir)
+    val pipeRow = sweep.find(_.root.endsWith("/pipeline")).get
+    assert(pipeRow.pinned == 2 && pipeRow.fallenForward.isEmpty,
+      s"pipeline-level pins must be health-swept: $sweep")
+    assert(sweep.exists(r => r.root.endsWith("/index") && r.fallenForward.isEmpty),
+      s"artifact roots still swept alongside: $sweep")
+  }
+
+  test("kill-point sweep: the text admission batch converges from a kill at EVERY commit boundary, not just the hand-picked seams (r12)") {
+    import spark.implicits._
+    import graft.operators.{AdmissionLog, DedupIndex, Dsir, EvalRegistry, Html}
+    import graft.sources.Sinks.PipelineSnapshot
+    val lr = Array.fill(Dsir.NumBuckets)(Dsir.Scale)
+    val bench = "what is the capital of france the capital of france is paris " +
+      "and this sentence continues long enough to shingle"
+    val texts = Map(
+      1L -> "the quick brown fox jumps over a lazy dog",
+      2L -> "a second page with the words to pass quality checks",
+      4L -> "or perhaps the fourth page also carries enough words here")
+    def htmlDf(ids: Seq[Long]) = ids.map(i => (i, texts(i))).toDF("doc_id", "text")
+      .select(col("doc_id"), Html.plantedHtml.as("html"))
+    def setup(dir: String): Unit = {
+      DedupIndex.build(
+        Seq((900001L, "seed corpus alpha beta gamma delta epsilon"))
+          .toDF("doc_id", "text"), s"$dir/index")
+      EvalRegistry.register(Seq((77L, bench)).toDF("doc_id", "text"),
+        s"$dir/registry")
+    }
+    def run(dir: String, ids: Seq[Long], bid: Long): Unit =
+      EventStream.curationAdmitBatch(htmlDf(ids), bid, s"$dir/index", lr, 0L,
+        s"$dir/out", registryPath = Some(s"$dir/registry"),
+        funnelLogPath = Some(s"$dir/funnel"),
+        pipelinePath = Some(s"$dir/pipeline"))
+    // the DIRECTORY-INDEPENDENT state a converged batch must reach:
+    // serve verdicts, the deduped corpus provenance, the gate stages of
+    // the resolved funnel (admitted is the documented at-least-once
+    // residue — a kill between extend and filing loses the original
+    // count and the replay legitimately under-files), pipeline presence
+    def state(dir: String) = (
+      DedupIndex.serve(
+        texts.toSeq.map { case (i, t) => (i + 100L, t) }.toDF("doc_id", "text"),
+        s"$dir/index").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap,
+      spark.read.parquet(s"$dir/out")
+        .select("doc_id", "batch_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      AdmissionLog.rollup(spark, s"$dir/funnel")
+        .filter(col("stage") =!= "4_admitted").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet,
+      PipelineSnapshot.forBatch(spark, s"$dir/pipeline", 1L).isDefined,
+      graft.operators.Artifacts.snapshotHealth(spark, dir)
+        .forall(_.fallenForward.isEmpty))
+    def newDir() = java.nio.file.Files.createTempDirectory("graft-killsweep").toString
+    // clean reference
+    val dc = newDir(); setup(dc); run(dc, Seq(1L, 2L), 0L); run(dc, Seq(2L, 4L), 1L)
+    val ref = state(dc)
+    assert(ref._2 == Set((1L, 0L), (2L, 0L), (4L, 1L)) && ref._4,
+      s"clean-run premise: $ref")
+    // probe run counts the batch's commit boundaries
+    val dp = newDir(); setup(dp); run(dp, Seq(1L, 2L), 0L)
+    graft.FailPoint.record(dp)
+    run(dp, Seq(2L, 4L), 1L)
+    val nB = graft.FailPoint.count
+    graft.FailPoint.reset()
+    // corpus append + fps/sigs/bands commits + group publish + funnel
+    // + pipeline publish — the sweep only means something if it sees
+    // every boundary the batch actually has
+    assert(nB == 7, s"expected 7 commit boundaries in one admitted batch, saw $nB")
+    assert(state(dp) == ref, "the probe run is itself a clean run")
+    for (k <- 1 to nB) {
+      val d = newDir(); setup(d); run(d, Seq(1L, 2L), 0L)
+      graft.FailPoint.arm(d, k)
+      val killed =
+        try { run(d, Seq(2L, 4L), 1L); false }
+        catch { case _: graft.FailPoint.Killed => true }
+        finally graft.FailPoint.reset()
+      assert(killed, s"boundary $k must fire in the armed run")
+      run(d, Seq(2L, 4L), 1L) // the streaming restart replays the batch id
+      assert(state(d) == ref,
+        s"kill at boundary $k/$nB must replay to the clean run's state")
+    }
+  }
+
+  test("kill-point sweep: the embedding admission batch converges from a kill at EVERY commit boundary (r12)") {
+    import spark.implicits._
+    import graft.operators.{AdmissionLog, AnnIndex}
+    import graft.sources.Sinks.PipelineSnapshot
+    def synth(salt: Int, from: Long, n: Long) =
+      spark.range(from, from + n).toDF("vec_id")
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            j => ((pmod(hash(lit(salt), col("vec_id"), j), lit(1000)) - lit(500))
+              .cast("float") / lit(250.0f))).as("embedding"))
+    def setup(dir: String): Unit =
+      AnnIndex.build(synth(1, 0L, 200L), s"$dir/index")
+    def run(dir: String, salt: Int, from: Long, bid: Long): Unit =
+      EventStream.embeddingAdmitBatch(synth(salt, from, 50L), bid,
+        s"$dir/index", s"$dir/out", tau = 2.0,
+        funnelLogPath = Some(s"$dir/funnel"),
+        pipelinePath = Some(s"$dir/pipeline"))
+    def state(dir: String) = (
+      spark.read.parquet(s"$dir/out")
+        .select("vec_id", "batch_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      // converged index: every batch-1 vector collides with its own
+      // committed codes (n admitted rows all indexed)
+      AnnIndex.matchedIds(
+        graft.operators.Embeddings.quantized(synth(3, 2000L, 50L)),
+        s"$dir/index", tau = 2.0, exactRescore = false).count(),
+      AdmissionLog.rollup(spark, s"$dir/funnel")
+        .filter(col("stage") =!= "3_admitted").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet,
+      PipelineSnapshot.forBatch(spark, s"$dir/pipeline", 1L).isDefined)
+    def newDir() = java.nio.file.Files.createTempDirectory("graft-killsweep-emb").toString
+    val dc = newDir(); setup(dc); run(dc, 2, 1000L, 0L); run(dc, 3, 2000L, 1L)
+    val ref = state(dc)
+    assert(ref._1.count(_._2 == 1L) > 0 && ref._2 == 50L && ref._4,
+      s"clean-run premise: $ref")
+    val dp = newDir(); setup(dp); run(dp, 2, 1000L, 0L)
+    graft.FailPoint.record(dp)
+    run(dp, 3, 2000L, 1L)
+    val nB = graft.FailPoint.count
+    graft.FailPoint.reset()
+    // corpus append + codes commit + group publish + funnel + pipeline
+    assert(nB >= 5, s"expected at least 5 commit boundaries, saw $nB")
+    assert(state(dp) == ref, "the probe run is itself a clean run")
+    for (k <- 1 to nB) {
+      val d = newDir(); setup(d); run(d, 2, 1000L, 0L)
+      graft.FailPoint.arm(d, k)
+      val killed =
+        try { run(d, 3, 2000L, 1L); false }
+        catch { case _: graft.FailPoint.Killed => true }
+        finally graft.FailPoint.reset()
+      assert(killed, s"boundary $k must fire in the armed run")
+      run(d, 3, 2000L, 1L)
+      assert(state(d) == ref,
+        s"kill at boundary $k/$nB must replay to the clean run's state")
+    }
   }
 
   test("curation admission replay: a crash between corpus append and index extend recovers, loses nothing") {
@@ -1589,6 +1879,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       pairs.map(_._2).distinct.toDF("doc_id")).collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
     pairs.map { case (mid, cid) => (mid, imgs(cid)) }
+  }
+
+  test("serve-cap band telemetry rides the maintenance cadence into the AdmissionLog; funnel rollup resolves replays by MAX (r12)") {
+    import spark.implicits._
+    import graft.operators.{AdmissionLog, DedupIndex, Dsir, Html}
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandtel").toString
+    DedupIndex.build(
+      Seq((900001L, "seed corpus alpha beta gamma delta epsilon"))
+        .toDF("doc_id", "text"), s"$dir/index")
+    val lr = Array.fill(Dsir.NumBuckets)(Dsir.Scale)
+    val texts = Map(
+      1L -> "the quick brown fox jumps over a lazy dog",
+      2L -> "a second page with the words to pass quality checks")
+    def htmlDf(ids: Seq[Long]) = ids.map(i => (i, texts(i))).toDF("doc_id", "text")
+      .select(col("doc_id"), Html.plantedHtml.as("html"))
+    val log = s"$dir/funnel"
+    // compactEvery = 1: every batch IS a cadence batch, so the band
+    // telemetry files alongside the per-batch funnel stages
+    EventStream.curationAdmitBatch(htmlDf(Seq(1L, 2L)), 0L,
+      s"$dir/index", lr, 0L, s"$dir/out", compactEvery = 1,
+      funnelLogPath = Some(log))
+    val rows = AdmissionLog.read(spark, log).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    val bands = rows.filter(_._1 == "curation_bands").map(t => t._3 -> t._4).toMap
+    // nothing is hot at the production cap on this tiny corpus — the
+    // telemetry's value here is that it FILES (zero is evidence too)
+    assert(bands == Map("1_hot_buckets" -> 0L, "2_capped_rows" -> 0L),
+      s"cadence batches must file band-cap evidence: $rows")
+    assert(rows.exists(_._1 == "curation"),
+      "the per-batch funnel still files alongside")
+    // the rollup's replay resolution: per (loop, batch_id, stage) MAX
+    // first (a replayed batch can only UNDER-count admissions), then
+    // the bounded per-stage aggregate
+    val planted = Seq(
+      ("x", 0L, "1_arrived", 5L), ("x", 0L, "2_admitted", 4L),
+      ("x", 0L, "1_arrived", 5L), ("x", 0L, "2_admitted", 1L), // replay under-counts
+      ("x", 1L, "1_arrived", 2L), ("x", 1L, "2_admitted", 2L))
+      .toDF("loop", "batch_id", "stage", "n")
+    val rolled = AdmissionLog.rollupOf(planted).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rolled == Set(
+      ("x", "1_arrived", 2L, 7L),
+      ("x", "2_admitted", 2L, 6L)),
+      s"MAX resolution must keep the original attempt's counts: $rolled")
   }
 
   test("admission funnel ledger: per-batch stage evidence for both loops; replay refiles identical rows (r11)") {
