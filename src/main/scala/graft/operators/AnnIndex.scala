@@ -600,9 +600,41 @@ object AnnIndex {
     */
   private[graft] def matchedIds(probes: DataFrame, path: String,
                                 tau: Double,
-                                exactRescore: Boolean = false): DataFrame = {
+                                exactRescore: Boolean = false): DataFrame =
+    matchedIdsWith(probes, path, tau, exactRescore,
+      snapPins(probes.sparkSession, path))
+
+  /** [[matchedIds]] resolved through a NAMED root snapshot — the audit
+    * replay read (r12, the DedupIndex.serveAt twin): feed a pipeline
+    * snapshot's `groupPin` to re-draw the embedding loop's admission
+    * verdicts against exactly the index state batch N used. Strict —
+    * an absent/pruned group refuses (keep it inside protectGroups).
+    */
+  def matchedIdsAt(probes: DataFrame, path: String, tau: Double,
+                   groupVersion: Long,
+                   exactRescore: Boolean = false): DataFrame = {
     val spark = probes.sparkSession
-    val pins = snapPins(spark, path)
+    val pins = graft.sources.Sinks.VersionedTable.groupAt(spark, path,
+      groupVersion).getOrElse(throw new IllegalArgumentException(
+        s"AnnIndex.matchedIdsAt: no intact group manifest $groupVersion " +
+          s"at $path (group retention pruned it, or it never existed)"))
+    // strict up front: the shared read path falls forward on a
+    // vacuumed pin (right for latest-group serving, wrong for a NAMED
+    // audit read) — refuse here instead, naming the retention contract
+    pins.foreach { case (sub, v) =>
+      require(graft.sources.Sinks.VersionedTable
+          .manifestExists(spark, s"$path/$sub", v),
+        s"AnnIndex.matchedIdsAt: group $groupVersion pins $sub@$v but that " +
+          s"manifest no longer exists at $path/$sub — the snapshot outlived " +
+          "the protectGroups retention window; re-pin to a recent group")
+    }
+    matchedIdsWith(probes, path, tau, exactRescore, pins)
+  }
+
+  private def matchedIdsWith(probes: DataFrame, path: String,
+                             tau: Double, exactRescore: Boolean,
+                             pins: Map[String, Long]): DataFrame = {
+    val spark = probes.sparkSession
     val (coarseDf, cbs) = loadCodebookFramesWith(spark, path, pins)
     val arrCodes = Embeddings.ivfAssign(probes, coarseDf)
       .join(Embeddings.pqEncode(probes, cbs), "vec_id")

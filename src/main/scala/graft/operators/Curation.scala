@@ -432,6 +432,174 @@ object Curation {
        |  (doc_id % 3 = 0) AS changed
        |FROM d""".stripMargin
 
+  // ------------------------- C95: markdown code-fence extraction
+
+  /** Deterministically planted markdown (the C60 plantedHtml pattern —
+    * the synthetic corpus has no markup, so the query plants it
+    * codepoint-for-codepoint mirrorable): a heading, the doc text as
+    * prose, one fenced code block whose language tag cycles
+    * python/js/sql/untagged on doc_id, the block body = the doc's
+    * first six whitespace tokens one-per-line, and for every fifth doc
+    * a SECOND bare (untagged) fence — so tagged/untagged and
+    * one/two-fence branches all carry rows at every SF.
+    */
+  private[graft] def plantedMarkdown: org.apache.spark.sql.Column = concat(
+    lit("# Doc "), col("doc_id").cast("string"), lit("\n\n"),
+    col("text"), lit("\n\n```"),
+    when(pmod(col("doc_id"), lit(4L)) === 0L, lit("python"))
+      .when(pmod(col("doc_id"), lit(4L)) === 1L, lit("js"))
+      .when(pmod(col("doc_id"), lit(4L)) === 2L, lit("sql"))
+      .otherwise(lit("")),
+    lit("\n"), expr("array_join(slice(split(text, ' '), 1, 6), '\n')"),
+    lit("\n```\n\nafter the block more prose follows here\n"),
+    when(pmod(col("doc_id"), lit(5L)) === 0L,
+      concat(lit("\n```\nraw block "), col("doc_id").cast("string"),
+        lit("\n```\n"))).otherwise(lit("")))
+
+  private[graft] val plantedMarkdownSql: String =
+    """'# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+      |text || chr(10) || chr(10) || '```' ||
+      |CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'python' WHEN 1 THEN 'js'
+      |     WHEN 2 THEN 'sql' ELSE '' END || chr(10) ||
+      |array_to_string(string_split(text, ' ')[1:6], chr(10)) ||
+      |chr(10) || '```' || chr(10) || chr(10) ||
+      |'after the block more prose follows here' || chr(10) ||
+      |CASE WHEN doc_id % 5 = 0 THEN chr(10) || '```' || chr(10) ||
+      |  'raw block ' || CAST(doc_id AS VARCHAR) || chr(10) || '```' || chr(10)
+      |  ELSE '' END""".stripMargin
+
+  /** C95: markdown code-fence extraction — the code-corpus prep stage
+    * (The Stack / StarCoder shape): pull fenced blocks out of
+    * markdown/README-like documents with their language tag, so code
+    * routes to the code pipeline (per-language dedup, license scan)
+    * and prose to the text one. Fence grammar by SEGMENT PARITY: split
+    * on the ``` delimiter — odd segments are inside fences (no regex
+    * backtracking over document-sized strings; RE2-safe and
+    * O(doc length)), tag = the fence's first line, body = the rest.
+    * Output one row per fence: (doc_id, fence_idx, lang_tag, n_lines,
+    * n_code_chars). Zero shuffles — synthesis, split, explode, and the
+    * line counts are all map-side; at 100 TB this runs at scan speed
+    * next to C60's HTML front door.
+    */
+  def codeFenceExtract(documents: DataFrame,
+                       md: org.apache.spark.sql.Column): DataFrame =
+    documents
+      .select(col("doc_id"), md.as("md"))
+      .select(col("doc_id"),
+        posexplode(split(col("md"), "```")).as(Seq("pos", "seg")))
+      .filter(pmod(col("pos"), lit(2)) === 1)
+      .select(
+        col("doc_id"),
+        ((col("pos") + 1) / 2).cast("long").as("fence_idx"),
+        trim(regexp_extract(col("seg"), "^([^\n]*)", 1)).as("lang_tag"),
+        expr("substring(seg, instr(seg, '\n') + 1)").as("body"))
+      .select(col("doc_id"), col("fence_idx"), col("lang_tag"),
+        size(filter(split(col("body"), "\n"), l => l =!= lit("")))
+          .cast("long").as("n_lines"),
+        length(col("body")).cast("long").as("n_code_chars"))
+
+  val codeFenceExtractSql: String =
+    s"""WITH m AS (SELECT doc_id, $plantedMarkdownSql AS md FROM documents),
+       |p AS (SELECT doc_id, string_split(md, '${"`" * 3}') AS parts FROM m),
+       |f AS (SELECT doc_id, u.i AS i, u.s AS s FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(parts) + 1),
+       |    i -> struct_pack(i := i, s := parts[i]))) AS u FROM p)),
+       |b AS (SELECT doc_id, CAST(i // 2 AS BIGINT) AS fence_idx,
+       |  trim(regexp_extract(s, '^([^\\n]*)', 1)) AS lang_tag,
+       |  CASE WHEN instr(s, chr(10)) = 0 THEN ''
+       |       ELSE s[instr(s, chr(10)) + 1:] END AS body
+       |  FROM f WHERE i % 2 = 0)
+       |SELECT doc_id, fence_idx, lang_tag,
+       |  CAST(len(list_filter(string_split(body, chr(10)), l -> l <> ''))
+       |    AS BIGINT) AS n_lines,
+       |  CAST(len(body) AS BIGINT) AS n_code_chars
+       |FROM b""".stripMargin
+
+  // ------------------------------- C96: license scan (code corpora)
+
+  /** Deterministically planted source-file text (the plantedMarkdown
+    * discipline): doc_id cycles five license shapes — an SPDX tag
+    * (MIT / Apache-2.0), a license BODY phrase with no tag (the MIT
+    * grant sentence / the Apache boilerplate line), or nothing — with
+    * a copyright line on the even ids, over the doc's own tokens as
+    * code body. Every detector branch carries rows at every SF.
+    */
+  private[graft] def plantedCodeFile: org.apache.spark.sql.Column = concat(
+    when(pmod(col("doc_id"), lit(5L)) === 0L,
+      lit("// SPDX-License-Identifier: MIT\n"))
+      .when(pmod(col("doc_id"), lit(5L)) === 1L,
+        lit("// SPDX-License-Identifier: Apache-2.0\n"))
+      .when(pmod(col("doc_id"), lit(5L)) === 2L,
+        lit("// Permission is hereby granted, free of charge\n"))
+      .when(pmod(col("doc_id"), lit(5L)) === 3L,
+        lit("// Licensed under the Apache License, Version 2.0\n"))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(2L)) === 0L,
+      lit("// Copyright (c) 2024 Example Authors\n")).otherwise(lit("")),
+    lit("\nfunction main() {\n  // "), col("text"), lit("\n}\n"))
+
+  private[graft] val plantedCodeFileSql: String =
+    """CASE CAST(doc_id % 5 AS INTEGER)
+      |  WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+      |  WHEN 1 THEN '// SPDX-License-Identifier: Apache-2.0' || chr(10)
+      |  WHEN 2 THEN '// Permission is hereby granted, free of charge' || chr(10)
+      |  WHEN 3 THEN '// Licensed under the Apache License, Version 2.0' || chr(10)
+      |  ELSE '' END ||
+      |CASE WHEN doc_id % 2 = 0
+      |  THEN '// Copyright (c) 2024 Example Authors' || chr(10) ELSE '' END ||
+      |chr(10) || 'function main() {' || chr(10) || '  // ' || text ||
+      |chr(10) || '}' || chr(10)""".stripMargin
+
+  /** C96: license scan for code corpora — the compliance gate between
+    * C95's fence extraction and training (a code pipeline must route
+    * permissively-licensed files in and everything else out, and
+    * EVIDENCE the decision): two detector modes like real scanners —
+    * the SPDX tag when present (authoritative), else license-body
+    * PHRASE matching (the MIT grant sentence, the Apache boilerplate
+    * line), else none — plus the copyright-notice flag and the keep
+    * verdict under a permissive-only policy. Pure map-side
+    * regexp/contains over the file text: scan-speed at 100 TB, no
+    * shuffle, no window.
+    */
+  def licenseScan(documents: DataFrame,
+                  code: org.apache.spark.sql.Column): DataFrame = {
+    val spdx = regexp_extract(col("code"),
+      "SPDX-License-Identifier: ([A-Za-z0-9.+-]+)", 1)
+    val lic = when(spdx =!= "", spdx)
+      .when(col("code").contains("Permission is hereby granted"), lit("MIT-text"))
+      .when(col("code").contains("Licensed under the Apache License"),
+        lit("Apache-text"))
+      .otherwise(lit("none"))
+    documents
+      .select(col("doc_id"), code.as("code"))
+      .select(col("doc_id"), lic.as("license"),
+        col("code").contains("Copyright").as("has_copyright"))
+      .withColumn("keep",
+        col("license").isin("MIT", "Apache-2.0", "MIT-text", "Apache-text"))
+  }
+
+  val licenseScanSql: String =
+    s"""WITH c AS (SELECT doc_id, $plantedCodeFileSql AS code FROM documents),
+       |d AS (SELECT doc_id,
+       |  regexp_extract(code, 'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1)
+       |    AS spdx,
+       |  contains(code, 'Permission is hereby granted') AS mit_text,
+       |  contains(code, 'Licensed under the Apache License') AS apache_text,
+       |  contains(code, 'Copyright') AS has_copyright
+       |  FROM c)
+       |SELECT doc_id,
+       |  CASE WHEN spdx <> '' THEN spdx
+       |       WHEN mit_text THEN 'MIT-text'
+       |       WHEN apache_text THEN 'Apache-text'
+       |       ELSE 'none' END AS license,
+       |  has_copyright,
+       |  CASE WHEN spdx <> '' THEN spdx
+       |       WHEN mit_text THEN 'MIT-text'
+       |       WHEN apache_text THEN 'Apache-text'
+       |       ELSE 'none' END
+       |    IN ('MIT', 'Apache-2.0', 'MIT-text', 'Apache-text') AS keep
+       |FROM d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_normalize" -> ((s, d) =>
       textNormalize(Tables.documents(s, d), plantedDirty)),
@@ -439,12 +607,18 @@ object Curation {
     "q_url_canonicalize" -> ((s, d) => urlCanonicalize(Tables.documents(s, d))),
     "q_host_split" -> ((s, d) => hostSplit(Tables.documents(s, d))),
     "q_mojibake_repair" -> ((s, d) =>
-      mojibakeRepair(Tables.documents(s, d), plantedMoji)))
+      mojibakeRepair(Tables.documents(s, d), plantedMoji)),
+    "q_code_extract" -> ((s, d) =>
+      codeFenceExtract(Tables.documents(s, d), plantedMarkdown)),
+    "q_license_scan" -> ((s, d) =>
+      licenseScan(Tables.documents(s, d), plantedCodeFile)))
 
   def oracle: Map[String, String] = Map(
     "q_text_normalize" -> textNormalizeSql,
     "q_url_host_cap" -> urlHostCapSql,
     "q_url_canonicalize" -> urlCanonicalizeSql,
     "q_host_split" -> hostSplitSql(),
-    "q_mojibake_repair" -> mojibakeRepairSql)
+    "q_mojibake_repair" -> mojibakeRepairSql,
+    "q_code_extract" -> codeFenceExtractSql,
+    "q_license_scan" -> licenseScanSql)
 }

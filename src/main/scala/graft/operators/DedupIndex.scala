@@ -289,6 +289,17 @@ object DedupIndex {
     matchAgainst(batch, f, s, b)
   }
 
+  /** [[serve]] pinned to a NAMED root snapshot — the audit/replay read
+    * path: feed a pipeline snapshot's `groupPin(indexPath)` here to
+    * re-draw verdicts against exactly the index state batch N used,
+    * immune to every extend/retract since (r12; strict — a vacuumed
+    * pin refuses, see the protectGroups retention contract).
+    */
+  def serveAt(batch: DataFrame, path: String, groupVersion: Long): DataFrame = {
+    val (f, s, b) = loadFrames(batch.sparkSession, path, Some(groupVersion))
+    matchAgainst(batch, f, s, b)
+  }
+
   /** Band occupancy of the COMMITTED bands sub-table — the C86b twin on
     * the dedup side ([[Dedup.bandOccupancyOf]], same arithmetic as the
     * in-session C89 diagnostic): per band index, how the SERVE-time cap

@@ -294,9 +294,30 @@ object Dsir {
   /** Load the committed ratio table (constant-size: [[NumBuckets]]
     * rows) back into the literal array the scorer folds over.
     */
-  def loadLr(spark: SparkSession, path: String): Array[Long] = {
-    val rows = graft.sources.Sinks.VersionedTable.read(spark, lrPath(path))
-      .select("bkt", "lr").collect()
+  def loadLr(spark: SparkSession, path: String): Array[Long] =
+    lrFrom(graft.sources.Sinks.VersionedTable.read(spark, lrPath(path)))
+
+  /** The ratio table's underlying VersionedTable path — what a
+    * cross-artifact pipeline snapshot pins ([[graft.sources.Sinks
+    * .PipelineSnapshot]]; single plain table, so the pin is a manifest
+    * version).
+    */
+  def tablePath(path: String): String = lrPath(path)
+
+  /** [[loadLr]] at a PINNED manifest version — the pipeline-snapshot
+    * read path: refuses on a vacuumed version (the named-read
+    * strictness; keep the pin inside the retention window).
+    */
+  def loadLrAt(spark: SparkSession, path: String, version: Long): Array[Long] = {
+    val p = lrPath(path)
+    require(graft.sources.Sinks.VersionedTable.manifestExists(spark, p, version),
+      s"Dsir.loadLrAt: pinned version $version no longer exists at $p — " +
+        "retention outran the pin; re-pin to a recent snapshot")
+    lrFrom(graft.sources.Sinks.VersionedTable.read(spark, p, Some(version)))
+  }
+
+  private def lrFrom(df: DataFrame): Array[Long] = {
+    val rows = df.select("bkt", "lr").collect()
       .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
     require(rows.keySet == (0 until NumBuckets).toSet,
       s"Dsir: committed lr table must hold buckets 0..${NumBuckets - 1}")

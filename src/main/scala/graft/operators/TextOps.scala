@@ -1108,6 +1108,96 @@ object TextOps {
        |) ORDER BY round""".stripMargin
   }
 
+  /** C91b: encode the corpus with the BYTE-level merges — C43c's
+    * zero-shuffle whole-doc fold over the hex-pair symbol string: the
+    * space byte (hex "20") rides along as an ordinary symbol no learned
+    * pair can bridge (pairs were counted inside whitespace tokens
+    * only), so whole-doc application ≡ per-token application; token
+    * count = symbols that are neither empty nor the space byte — an
+    * unmerged multi-byte code point legitimately counts one token per
+    * remaining byte (byte fallback's honest cost, the number
+    * [[fertilityBytes]] dashboards).
+    */
+  def bpeEncodeBytesWith(documents: DataFrame, merges: Seq[(String, String)],
+                         extraCols: Seq[String] = Nil): DataFrame = {
+    val sep = lit(BpeSep)
+    val seg0 = concat(sep, concat_ws(BpeSep,
+      expr("regexp_extract_all(lower(hex(text)), '..', 0)")), sep)
+    val segFinal = merges.foldLeft(seg0) { case (acc, (l, r)) =>
+      foldMergePair(acc, l, r)
+    }
+    documents.select(
+      Seq(col("doc_id")) ++ extraCols.map(col) ++ Seq(
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(filter(split(segFinal, BpeSep),
+          s => s =!= lit("") && s =!= lit("20"))).cast("long").as("n_bpe_tokens")): _*)
+  }
+
+  /** Ordered byte-merge list — the [[collectMerges]] discipline (merge
+    * order IS the model; one shared collect keeps every consumer on the
+    * round-sorted sequence). */
+  private def collectByteMerges(documents: DataFrame, k: Int): Seq[(String, String)] =
+    bpeTrainBytes(documents, k)
+      .select("left_sym", "right_sym").collect()
+      .map(r => (r.getString(0), r.getString(1))).toIndexedSeq
+
+  def bpeEncodeBytes(documents: DataFrame, k: Int = BpeRounds): DataFrame =
+    bpeEncodeBytesWith(documents, collectByteMerges(documents, k))
+
+  def bpeEncodeBytesSql(k: Int = BpeRounds): String = {
+    val rounds = (1 to k).map(bpeRoundCtes(_, withDoc = true)).mkString(",\n")
+    s"""$bpeByteVocabSeedSql,
+       |d0 AS (SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |         chr(31) || array_to_string(
+       |           regexp_extract_all(lower(hex(CAST(text AS BLOB))), '..'),
+       |           chr(31)) || chr(31) AS dseg
+       |       FROM documents),
+       |$rounds
+       |SELECT doc_id, n_ws_tokens,
+       |  CAST(len(list_filter(string_split(dseg, chr(31)),
+       |       x -> x <> '' AND x <> '20')) AS BIGINT) AS n_bpe_tokens
+       |FROM d$k""".stripMargin
+  }
+
+  /** C79b: per-language fertility of the BYTE tokenizer — C79's twin
+    * where the byte formulation earns its keep: a script the merges
+    * under-cover pays one token per raw BYTE (not per code point), so
+    * multi-byte-script fertility visibly exceeds the char trainer's —
+    * the exact signal a multilingual tokenizer budget review needs.
+    */
+  def fertilityBytes(documents: DataFrame, k: Int = BpeRounds): DataFrame =
+    bpeEncodeBytesWith(documents, collectByteMerges(documents, k), Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_ws_tokens").as("ws_tokens"),
+        sum("n_bpe_tokens").as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        round(col("bpe_tokens").cast("double") / col("ws_tokens"), 4).as("fertility"))
+
+  def fertilityBytesSql(k: Int = BpeRounds): String = {
+    val rounds = (1 to k).map(bpeRoundCtes(_, withDoc = true)).mkString(",\n")
+    s"""$bpeByteVocabSeedSql,
+       |d0 AS (SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |         chr(31) || array_to_string(
+       |           regexp_extract_all(lower(hex(CAST(text AS BLOB))), '..'),
+       |           chr(31)) || chr(31) AS dseg
+       |       FROM documents),
+       |$rounds,
+       |enc AS (SELECT doc_id, n_ws_tokens,
+       |    CAST(len(list_filter(string_split(dseg, chr(31)),
+       |         x -> x <> '' AND x <> '20')) AS BIGINT) AS n_bpe_tokens
+       |  FROM d$k)
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(e.n_ws_tokens) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(e.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+       |  round(CAST(sum(e.n_bpe_tokens) AS DOUBLE) / sum(e.n_ws_tokens), 4) AS fertility
+       |FROM enc e JOIN documents d ON e.doc_id = d.doc_id
+       |GROUP BY d.lang""".stripMargin
+  }
+
   // -------------------------------------------- tokenizer bundle (C43e)
 
   /** C43e: the tokenizer as ONE deployable versioned unit under
@@ -2450,6 +2540,8 @@ object TextOps {
     "q_bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
     "q_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
     "q_bpe_bytes" -> ((s, d) => bpeTrainBytes(Tables.documents(s, d))),
+    "q_bpe_bytes_encode" -> ((s, d) => bpeEncodeBytes(Tables.documents(s, d))),
+    "q_fertility_bytes" -> ((s, d) => fertilityBytes(Tables.documents(s, d))),
     "q_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d))),
     "q_corpus_shuffle" -> ((s, d) => corpusShuffle(Tables.documents(s, d))),
     "q_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
@@ -2494,6 +2586,8 @@ object TextOps {
     "q_bpe_merges" -> bpeMergesSql(),
     "q_bpe_train" -> bpeTrainSql(),
     "q_bpe_bytes" -> bpeTrainBytesSql(),
+    "q_bpe_bytes_encode" -> bpeEncodeBytesSql(),
+    "q_fertility_bytes" -> fertilityBytesSql(),
     "q_bpe_encode" -> bpeEncodeSql(),
     "q_corpus_shuffle" -> corpusShuffleSql,
     "q_contamination" -> contaminationSql,

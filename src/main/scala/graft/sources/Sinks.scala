@@ -1436,8 +1436,18 @@ object Sinks {
       * pipeline stage that never committed is a wiring bug, not a
       * skippable pin.
       */
+    /** `pin`: explicit versions for entries the caller already resolved
+      * — a loop that READS a dependency table mid-batch must pin the
+      * version its verdicts actually used, not latest-at-publish (a
+      * concurrent retrain landing between the read and the publish
+      * would otherwise be pinned as if the batch had seen it — the same
+      * capture-at-read rule ArtifactSnapshot.commit's `pin` carries).
+      * Artifacts the loop itself MUTATES pin latest: the snapshot
+      * records the state the batch's effects left.
+      */
     def publish(spark: SparkSession, root: String, batchId: Long,
                 grouped: Seq[String], tables: Seq[String] = Seq.empty,
+                pin: Map[String, Long] = Map.empty,
                 keep: Int = 64): Long = {
       require(batchId >= 0L, "PipelineSnapshot.publish: batchId must be >= 0")
       require(grouped.nonEmpty || tables.nonEmpty,
@@ -1447,17 +1457,17 @@ object Sinks {
         case None =>
           val parts: Map[String, Long] =
             (grouped.map { p =>
-              val g = VersionedTable.latestGroup(spark, p).getOrElse(
+              def g = VersionedTable.latestGroup(spark, p).getOrElse(
                 throw new IllegalStateException(
                   s"PipelineSnapshot.publish: no group commits at $p — the " +
                     "artifact must publish its own root snapshot before the " +
-                    "pipeline can pin it"))
-              s"g:$p" -> g._1
+                    "pipeline can pin it"))._1
+              s"g:$p" -> pin.getOrElse(p, g)
             } ++ tables.map { p =>
-              val v = VersionedTable.latestManifest(spark, p).getOrElse(
+              def v = VersionedTable.latestManifest(spark, p).getOrElse(
                 throw new IllegalStateException(
-                  s"PipelineSnapshot.publish: no commits at table $p"))
-              s"t:$p" -> v._1
+                  s"PipelineSnapshot.publish: no commits at table $p"))._1
+              s"t:$p" -> pin.getOrElse(p, v)
             } :+ (BatchKey -> batchId)).toMap
           VersionedTable.commitGroupWith(spark, root, keep = keep)(_ => parts)
       }

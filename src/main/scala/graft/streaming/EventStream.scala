@@ -1083,13 +1083,21 @@ object EventStream {
     * quality, DSIR, and dedup all wave it through), so the production
     * admission path must carry it, not just the standalone gate.
     */
+  /** `dsirPath`: serve the DSIR gate from the COMMITTED ratio table
+    * instead of the in-memory `lr` array (which is then ignored) — the
+    * registryPath contract applied to the third gate artifact: the
+    * table is re-read each batch, so a retrained ratio table committed
+    * mid-stream protects the NEXT batch, and the pipeline snapshot pins
+    * the exact version each batch's verdicts used.
+    */
   def streamingCurationAdmission(docs: DataFrame, indexPath: String,
                                  lr: Array[Long], dsirKeepMin: Long,
                                  outPath: String, checkpoint: String,
                                  compactEvery: Int = 16,
                                  registryPath: Option[String] = None,
                                  funnelLogPath: Option[String] = None,
-                                 pipelinePath: Option[String] = None): StreamingQuery = {
+                                 pipelinePath: Option[String] = None,
+                                 dsirPath: Option[String] = None): StreamingQuery = {
     // Fail fast at START, not in batch 0: with a registryPath set, every
     // micro-batch re-reads the registry, and an uncommitted table (stream
     // configured before the first register(), or a typo'd path) would
@@ -1101,6 +1109,13 @@ object EventStream {
           "registry — call EvalRegistry.register(...) before starting the " +
           "stream (or omit registryPath to run without decontamination)")
     }
+    dsirPath.foreach { dp =>
+      require(graft.sources.Sinks.VersionedTable.latestManifest(
+          docs.sparkSession, graft.operators.Dsir.tablePath(dp)).isDefined,
+        s"streamingCurationAdmission: dsirPath=$dp has no committed ratio " +
+          "table — call Dsir.commit(...) before starting the stream (or " +
+          "omit dsirPath to gate with the in-memory lr array)")
+    }
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -1109,7 +1124,7 @@ object EventStream {
           curationAdmitBatch(batch.toDF(), batchId, indexPath, lr,
             dsirKeepMin, outPath, compactEvery = compactEvery,
             registryPath = registryPath, funnelLogPath = funnelLogPath,
-            pipelinePath = pipelinePath)
+            pipelinePath = pipelinePath, dsirPath = dsirPath)
       }
       .start()
   }
@@ -1121,6 +1136,82 @@ object EventStream {
     * extend did not) — the exact state a streaming restart then replays
     * against; production callers never set it.
     */
+  /** The admission loop's gate chain — ONE definition shared by the
+    * live batch body ([[curationAdmitBatch]]) and the pinned audit
+    * replay ([[curationVerdictsAt]]), so the two can never drift:
+    * HTML extract -> mojibake repair -> normalize -> quality rules ->
+    * DSIR floor -> optional decontamination. Returns (normalized,
+    * preDecon, gated) — callers count/serve/join as they need.
+    */
+  private def curationGateChain(batch: DataFrame, lrUsed: Array[Long],
+                                dsirKeepMin: Long,
+                                registry: Option[DataFrame])
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.operators.{Curation, Dsir, EvalRegistry, Html, TextOps}
+    val extracted = Html.htmlExtract(batch, col("html"))
+      .select(col("doc_id"),
+        // C75 repair before normalize — the batch facade's ordering
+        graft.functions.Exprs.fixMojibake(col("clean_text")).as("clean_text"))
+    val normalized = Curation.textNormalize(extracted, col("clean_text"))
+      .select(col("doc_id"), col("norm_text").as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val preDecon = normalized
+      .join(TextOps.qualityRules(normalized).filter(col("keep"))
+        .select("doc_id"), "doc_id")
+      .join(Dsir.scoreAgainst(normalized, lrUsed)
+        .filter(col("dsir_fp") >= dsirKeepMin).select("doc_id"), "doc_id")
+    // C80 decontamination BEFORE the dedup serve: a contaminated doc
+    // must never reach the extend (once indexed, later copies of the
+    // benchmark would be rejected as dups of an admitted doc — the
+    // verdict would look right while the corpus stayed poisoned).
+    val gated = registry match {
+      case None => preDecon
+      case Some(reg) =>
+        preDecon.join(
+          EvalRegistry.decontaminate(preDecon, reg)
+            .filter(col("keep")).select("doc_id"), "doc_id")
+    }
+    (normalized, preDecon, gated)
+  }
+
+  /** AUDIT replay of the admission gate chain against "the pipeline as
+    * of snapshot `pipelineVersion`" (r12 — the read the cross-artifact
+    * snapshot exists for): every dependency resolves through the
+    * snapshot's pins — the DSIR ratio table and eval registry at their
+    * pinned manifest versions, the dedup index at its pinned GROUP —
+    * so the verdicts re-derive exactly as some historical batch drew
+    * them, immune to every retrain/extend/retract since. Output one
+    * row per input doc: (doc_id, gate_kept, kind, would_admit) — kind
+    * is 'gated_out' for docs the pre-dedup gates dropped.
+    */
+  def curationVerdictsAt(htmlBatch: DataFrame, pipelineRoot: String,
+                         pipelineVersion: Long, indexPath: String,
+                         dsirKeepMin: Long,
+                         registryPath: Option[String] = None,
+                         dsirPath: Option[String] = None,
+                         fallbackLr: Array[Long] = Array.empty): DataFrame = {
+    import graft.operators.{DedupIndex, Dsir, EvalRegistry}
+    val spark = htmlBatch.sparkSession
+    val snap = graft.sources.Sinks.PipelineSnapshot
+      .at(spark, pipelineRoot, pipelineVersion)
+    val lrUsed = dsirPath
+      .map(dp => Dsir.loadLrAt(spark, dp, snap.tablePin(Dsir.tablePath(dp))))
+      .getOrElse(fallbackLr)
+    val registry = registryPath.map(rp =>
+      EvalRegistry.loadAt(spark, rp, snap.tablePin(EvalRegistry.tablePath(rp))))
+    val (_, _, gated) = curationGateChain(htmlBatch, lrUsed, dsirKeepMin, registry)
+    val verdicts = DedupIndex.serveAt(gated.select("doc_id", "text"),
+      indexPath, snap.groupPin(indexPath))
+    htmlBatch.select("doc_id")
+      .join(gated.select(col("doc_id"), lit(true).as("gate_kept")), Seq("doc_id"), "left")
+      .join(verdicts.select("doc_id", "kind"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("gate_kept"), lit(false)).as("gate_kept"),
+        coalesce(col("kind"), lit("gated_out")).as("kind"),
+        (coalesce(col("gate_kept"), lit(false)) && col("kind") === "new")
+          .as("would_admit"))
+  }
+
   private[graft] def curationAdmitBatch(batch: DataFrame, batchId: Long,
                                         indexPath: String, lr: Array[Long],
                                         dsirKeepMin: Long, outPath: String,
@@ -1128,35 +1219,34 @@ object EventStream {
                                         compactEvery: Int = 0,
                                         registryPath: Option[String] = None,
                                         funnelLogPath: Option[String] = None,
-                                        pipelinePath: Option[String] = None): Unit = {
-    import graft.operators.{Curation, DedupIndex, Dsir, EvalRegistry, Html, TextOps}
+                                        pipelinePath: Option[String] = None,
+                                        dsirPath: Option[String] = None): Unit = {
+    import graft.operators.{DedupIndex, Dsir, EvalRegistry}
     graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
-      val extracted = Html.htmlExtract(batch, col("html"))
-        .select(col("doc_id"),
-          // C75 repair before normalize — the batch facade's ordering
-          graft.functions.Exprs.fixMojibake(col("clean_text")).as("clean_text"))
-      val normalized = Curation.textNormalize(extracted, col("clean_text"))
-        .select(col("doc_id"), col("norm_text").as("text"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-      val preDecon = normalized
-        .join(TextOps.qualityRules(normalized).filter(col("keep"))
-          .select("doc_id"), "doc_id")
-        .join(Dsir.scoreAgainst(normalized, lr)
-          .filter(col("dsir_fp") >= dsirKeepMin).select("doc_id"), "doc_id")
-      // C80 decontamination BEFORE the dedup serve: a contaminated doc
-      // must never reach the extend (once indexed, later copies of the
-      // benchmark would be rejected as dups of an admitted doc — the
-      // verdict would look right while the corpus stayed poisoned).
-      // The registry is re-read each batch like the dedup index: a
-      // benchmark registered mid-stream protects the NEXT batch.
-      val gated = registryPath match {
-        case None => preDecon
-        case Some(rp) =>
-          preDecon.join(
-            EvalRegistry.decontaminate(preDecon,
-              EvalRegistry.load(batch.sparkSession, rp))
-              .filter(col("keep")).select("doc_id"), "doc_id")
+      // dependency versions captured AT READ and the reads pinned to
+      // them, so the pipeline snapshot records exactly the tables these
+      // verdicts used even under a concurrent retrain/re-register; the
+      // committed tables are re-read EVERY batch on purpose — a
+      // mid-stream retrain protects the NEXT batch
+      val dsirPin: Option[Long] = dsirPath.map { dp =>
+        graft.sources.Sinks.VersionedTable
+          .latestManifest(batch.sparkSession, Dsir.tablePath(dp)).getOrElse(
+            throw new IllegalStateException(
+              s"curationAdmitBatch: no committed DSIR ratio table at $dp"))._1
       }
+      val lrUsed = dsirPath.zip(dsirPin)
+        .map { case (dp, v) => Dsir.loadLrAt(batch.sparkSession, dp, v) }
+        .getOrElse(lr)
+      val regPin: Option[Long] = registryPath.map { rp =>
+        graft.sources.Sinks.VersionedTable
+          .latestManifest(batch.sparkSession, EvalRegistry.tablePath(rp))
+          .getOrElse(throw new IllegalStateException(
+            s"curationAdmitBatch: no committed eval registry at $rp"))._1
+      }
+      val registry = registryPath.zip(regPin)
+        .map { case (rp, v) => EvalRegistry.loadAt(batch.sparkSession, rp, v) }
+      val (_, preDecon, gated) =
+        curationGateChain(batch, lrUsed, dsirKeepMin, registry)
       // funnel gate counts are taken BEFORE the batch's effects so the
       // filed evidence describes exactly the frames the verdicts used
       // (counting after the effects leaves a window where concurrent
@@ -1209,11 +1299,16 @@ object EventStream {
         // exactly this state); idempotent per batchId, so a crash after
         // publish replays to the identical tuple.
         pipelinePath.foreach { pp =>
+          val tablePins: Map[String, Long] =
+            (registryPath.zip(regPin)
+              .map { case (rp, v) => graft.operators.EvalRegistry.tablePath(rp) -> v } ++
+             dsirPath.zip(dsirPin)
+              .map { case (dp, v) => Dsir.tablePath(dp) -> v }).toMap
           graft.sources.Sinks.PipelineSnapshot.publish(
             batch.sparkSession, pp, batchId,
             grouped = Seq(indexPath),
-            tables = registryPath
-              .map(graft.operators.EvalRegistry.tablePath).toSeq)
+            tables = tablePins.keys.toSeq.sorted,
+            pin = tablePins)
         }
       } finally admitted.unpersist()
       // cadence AFTER the batch's own effects: a crash inside

@@ -1278,6 +1278,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fpsAt(g0) == fps0, "the pinned index read must not see batch 1's extend")
     assert(fpsAt(snap1.groupPin(indexPath)).contains(4L),
       "the NEW snapshot's pin must see it")
+    // the audit serve: doc 4's text re-drawn against the batch-0 pin is
+    // still NEW (it hadn't been admitted yet), while the latest serve
+    // knows it — the verdict-replay read serveAt exists for
+    assert(DedupIndex.serveAt(
+        Seq((999L, texts(4L))).toDF("doc_id", "text"), indexPath, g0)
+      .head().getString(1) == "new",
+      "serveAt(pre-admission pin) must re-draw the historical verdict")
+    assert(DedupIndex.serve(
+        Seq((999L, texts(4L))).toDF("doc_id", "text"), indexPath)
+      .head().getString(1) == "exact")
     assert(EvalRegistry.loadAt(spark, regPath, reg0).count() > 0L,
       "the pinned registry version must stay readable")
     // (b) replay of batch 1 (crash-after-publish shape) against an
@@ -1327,6 +1337,67 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pipeline-level pins must be health-swept: $sweep")
     assert(sweep.exists(r => r.root.endsWith("/index") && r.fallenForward.isEmpty),
       s"artifact roots still swept alongside: $sweep")
+  }
+
+  test("committed DSIR table serves the curation gate and pins at READ version: a mid-stream retrain protects the next batch, the snapshot records what the verdicts used (r12)") {
+    import spark.implicits._
+    import graft.operators.{DedupIndex, Dsir, Html}
+    import graft.sources.Sinks.PipelineSnapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir-pin").toString
+    DedupIndex.build(
+      Seq((900001L, "seed corpus alpha beta gamma delta epsilon"))
+        .toDF("doc_id", "text"), s"$dir/index")
+    val permissive = Array.fill(Dsir.NumBuckets)(Dsir.Scale)
+    Dsir.commit(spark, permissive, s"$dir/dsir", buildV = 0L)
+    val texts = Map(
+      1L -> "the quick brown fox jumps over a lazy dog",
+      4L -> "or perhaps the fourth page also carries enough words here")
+    def htmlDf(ids: Seq[Long]) = ids.map(i => (i, texts(i))).toDF("doc_id", "text")
+      .select(col("doc_id"), Html.plantedHtml.as("html"))
+    def run(ids: Seq[Long], bid: Long): Unit =
+      EventStream.curationAdmitBatch(htmlDf(ids), bid, s"$dir/index",
+        lr = Array.empty, dsirKeepMin = 1L, s"$dir/out",
+        pipelinePath = Some(s"$dir/pipeline"), dsirPath = Some(s"$dir/dsir"))
+    run(Seq(1L), 0L)
+    val snap0 = PipelineSnapshot.latest(spark, s"$dir/pipeline").get
+    val dsirTable = Dsir.tablePath(s"$dir/dsir")
+    val v0 = snap0.tablePin(dsirTable)
+    assert(Dsir.loadLrAt(spark, s"$dir/dsir", v0).toSeq == permissive.toSeq,
+      "the snapshot must pin the ratio-table version batch 0's verdicts used")
+    // mid-stream retrain: an all-zero table (every doc scores 0 < keepMin)
+    Dsir.commit(spark, Array.fill(Dsir.NumBuckets)(0L), s"$dir/dsir", buildV = 1L)
+    run(Seq(4L), 1L)
+    val out = spark.read.parquet(s"$dir/out").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(out == Set(1L),
+      s"the retrained table must gate the NEXT batch (doc 4 rejected): $out")
+    val snap1 = PipelineSnapshot.latest(spark, s"$dir/pipeline").get
+    assert(snap1.batchId == 1L && snap1.tablePin(dsirTable) > v0,
+      s"batch 1 must pin the retrained version: $snap1")
+    // the historical snapshot still resolves the table batch 0 used
+    assert(Dsir.loadLrAt(spark, s"$dir/dsir",
+      PipelineSnapshot.at(spark, s"$dir/pipeline", snap0.version)
+        .tablePin(dsirTable)).toSeq == permissive.toSeq)
+    // the AUDIT replay: the same input re-drawn against the two
+    // snapshots reproduces each batch's historical verdicts — under
+    // snap0's permissive table doc 4 gates through and (being novel
+    // then) would admit; under snap1's all-zero table the DSIR floor
+    // drops it before dedup ever sees it
+    def audit(v: Long): Map[Long, (Boolean, String, Boolean)] =
+      EventStream.curationVerdictsAt(htmlDf(Seq(1L, 4L)), s"$dir/pipeline",
+        v, s"$dir/index", dsirKeepMin = 1L, dsirPath = Some(s"$dir/dsir"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), r.getString(2), r.getBoolean(3)))).toMap
+    val a0 = audit(snap0.version)
+    assert(a0(4L) == ((true, "new", true)),
+      s"as of batch 0, doc 4 was novel and would admit: $a0")
+    assert(a0(1L) == ((true, "exact", false)),
+      s"snap0 pins batch 0's POST-effect state, so doc 1's own admission is visible: $a0")
+    val a1 = audit(snap1.version)
+    assert(a1(4L) == ((false, "gated_out", false)),
+      s"as of batch 1, the retrained DSIR table gates doc 4 out: $a1")
+    assert(a1(1L) == ((false, "gated_out", false)),
+      s"the all-zero table gates everything: $a1")
   }
 
   test("kill-point sweep: the text admission batch converges from a kill at EVERY commit boundary, not just the hand-picked seams (r12)") {
@@ -1439,6 +1510,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ref = state(dc)
     assert(ref._1.count(_._2 == 1L) > 0 && ref._2 == 50L && ref._4,
       s"clean-run premise: $ref")
+    // the embedding audit read (matchedIdsAt — DedupIndex.serveAt's
+    // twin): batch-1 vectors drawn against batch 0's pipeline pin are
+    // all still NOVEL (their own admissions aren't in that state);
+    // against batch 1's pin they all match; unknown groups refuse
+    def probes = graft.operators.Embeddings.quantized(synth(3, 2000L, 50L))
+    val pin0 = PipelineSnapshot.forBatch(spark, s"$dc/pipeline", 0L)
+      .get.groupPin(s"$dc/index")
+    assert(AnnIndex.matchedIdsAt(probes, s"$dc/index", 2.0, pin0).count() == 0L,
+      "batch-1 vectors must be novel as of batch 0's pinned state")
+    val pin1 = PipelineSnapshot.forBatch(spark, s"$dc/pipeline", 1L)
+      .get.groupPin(s"$dc/index")
+    assert(AnnIndex.matchedIdsAt(probes, s"$dc/index", 2.0, pin1).count() == 50L,
+      "batch-1 vectors all match their own pinned admissions")
+    intercept[IllegalArgumentException] {
+      AnnIndex.matchedIdsAt(probes, s"$dc/index", 2.0, 9999L)
+    }
     val dp = newDir(); setup(dp); run(dp, 2, 1000L, 0L)
     graft.FailPoint.record(dp)
     run(dp, 3, 2000L, 1L)
