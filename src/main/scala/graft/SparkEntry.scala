@@ -29,7 +29,8 @@ object SparkEntry {
       Html.queries ++
       Curation.queries ++ Dsir.queries ++ DedupIndex.queries ++
       RollupIndex.queries ++ EvalRegistry.queries ++
-      graft.operators.AdmissionLog.funnelQueries
+      graft.operators.AdmissionLog.funnelQueries ++
+      graft.operators.SftPrep.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       Html.oracle ++
       Curation.oracle ++ Dsir.oracle ++ DedupIndex.oracle ++
       RollupIndex.oracle ++ EvalRegistry.oracle ++
-      graft.operators.AdmissionLog.funnelOracle
+      graft.operators.AdmissionLog.funnelOracle ++
+      graft.operators.SftPrep.oracle
 }

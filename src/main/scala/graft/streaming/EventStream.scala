@@ -1450,6 +1450,7 @@ object EventStream {
           if (n > 0) {
             // corpus append FIRST, index extend SECOND — the
             // streamingCurationAdmission restart-safety ordering
+            graft.FailPoint.reach(outPath) // kill-point sweep boundary
             batch.join(admitted.select("media_id"), "media_id")
               .withColumn("batch_id", lit(batchId))
               .write.mode("append").parquet(outPath)
@@ -1464,6 +1465,7 @@ object EventStream {
           // kernel never re-runs for telemetry; arrived - decoded is
           // the undecodable-quarantine count a compliance job watches.
           funnelLogPath.foreach { lp =>
+            graft.FailPoint.reach(lp) // kill-point sweep boundary
             graft.operators.AdmissionLog.append(batch.sparkSession, lp,
               s"media_${m.name}", batchId, Seq(
                 "1_arrived" -> batch.count(),
@@ -1752,6 +1754,7 @@ object EventStream {
         if (n > 0) {
           // corpus append FIRST, index extend SECOND — the shared
           // restart-safety ordering (see curationAdmitBatch)
+          graft.FailPoint.reach(outPath) // kill-point sweep boundary
           admitted.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
           if (crashBeforeExtend) throw new RuntimeException(
@@ -1759,6 +1762,7 @@ object EventStream {
           AnnIndex.extend(admitted, indexPath, buildV = 2L * (batchId + 1))
         }
         funnelLogPath.foreach { lp =>
+          graft.FailPoint.reach(lp) // kill-point sweep boundary
           graft.operators.AdmissionLog.append(batch.sparkSession, lp,
             "semantic", batchId, Seq(
               "1_arrived" -> batch.count(),

@@ -1548,6 +1548,98 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kill-point sweep: the SEMANTIC and MEDIA admission batches converge from a kill at every commit boundary (r12)") {
+    import spark.implicits._
+    import graft.operators.{AdmissionLog, AnnIndex, ImageDedup, MediaIndex}
+    import graft.sources.Sinks.PipelineSnapshot
+    // ---- semantic loop (vectors-backed index, exact-cosine gate)
+    def synth(salt: Int, from: Long, n: Long) =
+      spark.range(from, from + n).toDF("vec_id")
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            j => ((pmod(hash(lit(salt), col("vec_id"), j), lit(1000)) - lit(500))
+              .cast("float") / lit(250.0f))).as("embedding"))
+    def semSetup(dir: String): Unit =
+      AnnIndex.build(synth(7, 0L, 200L), s"$dir/index", storeVectors = true)
+    def semRun(dir: String, salt: Int, from: Long, bid: Long): Unit =
+      EventStream.semDedupAdmitBatch(synth(salt, from, 30L), bid,
+        s"$dir/index", s"$dir/out", tau = 0.99,
+        funnelLogPath = Some(s"$dir/funnel"),
+        pipelinePath = Some(s"$dir/pipeline"))
+    def semState(dir: String) = (
+      spark.read.parquet(s"$dir/out")
+        .select("vec_id", "batch_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      AnnIndex.vectors(spark, s"$dir/index").count(),
+      AdmissionLog.rollup(spark, s"$dir/funnel")
+        .filter(col("stage") =!= "2_admitted").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet,
+      PipelineSnapshot.forBatch(spark, s"$dir/pipeline", 1L).isDefined)
+    def semDir() = java.nio.file.Files.createTempDirectory("graft-ks-sem").toString
+    val sc = semDir(); semSetup(sc); semRun(sc, 8, 1000L, 0L); semRun(sc, 9, 2000L, 1L)
+    val semRef = semState(sc)
+    assert(semRef._1.count(_._2 == 1L) == 30 && semRef._4, s"clean premise: $semRef")
+    val sp = semDir(); semSetup(sp); semRun(sp, 8, 1000L, 0L)
+    graft.FailPoint.record(sp); semRun(sp, 9, 2000L, 1L)
+    val semB = graft.FailPoint.count; graft.FailPoint.reset()
+    assert(semB >= 5, s"semantic batch boundaries: $semB")
+    for (k <- 1 to semB) {
+      val d = semDir(); semSetup(d); semRun(d, 8, 1000L, 0L)
+      graft.FailPoint.arm(d, k)
+      val killed =
+        try { semRun(d, 9, 2000L, 1L); false }
+        catch { case _: graft.FailPoint.Killed => true }
+        finally graft.FailPoint.reset()
+      assert(killed, s"semantic boundary $k must fire")
+      semRun(d, 9, 2000L, 1L)
+      assert(semState(d) == semRef, s"semantic kill at $k/$semB must converge")
+    }
+    // ---- media loop (image modality through the real codec kernel)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def imgs(fromShift: Long, lo: Long, hi: Long) =
+      ImageDedup.imageCorpus(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select((col("doc_id") + fromShift).as("doc_id")))
+        .toDF("media_id", "payload")
+    def medSetup(dir: String): Unit =
+      MediaIndex.buildImages(
+        ImageDedup.imageCorpus(docs.filter(col("doc_id") < 20)), dir)
+    def medRun(dir: String, lo: Long, hi: Long, bid: Long): Unit =
+      EventStream.mediaAdmitBatch(imgs(20000L, lo, hi), bid, dir,
+        s"$dir/out", "img", funnelLogPath = Some(s"$dir/funnel"),
+        pipelinePath = Some(s"$dir/pipeline"))
+    def medState(dir: String) = (
+      spark.read.parquet(s"$dir/out")
+        .select("media_id", "batch_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      MediaIndex.loadImageFps(spark, dir).count(),
+      PipelineSnapshot.forBatch(spark, s"$dir/pipeline", 1L).isDefined)
+    def medDir() = java.nio.file.Files.createTempDirectory("graft-ks-med").toString
+    // pixel content is a function of doc_id % 50 (ImageDedup.NumGroups)
+    // — the seed covers groups 0..19, so batches must draw from 40..49
+    // and 20..29 to be genuinely novel (a group collision is a NEAR-DUP
+    // by construction and would empty the batch)
+    val mc = medDir(); medSetup(mc)
+    medRun(mc, 40L, 50L, 0L); medRun(mc, 20L, 30L, 1L)
+    val medRef = medState(mc)
+    assert(medRef._1.count(_._2 == 1L) > 0 && medRef._3, s"clean premise: $medRef")
+    val mp = medDir(); medSetup(mp); medRun(mp, 40L, 50L, 0L)
+    graft.FailPoint.record(mp); medRun(mp, 20L, 30L, 1L)
+    val medB = graft.FailPoint.count; graft.FailPoint.reset()
+    assert(medB >= 4, s"media batch boundaries: $medB")
+    for (k <- 1 to medB) {
+      val d = medDir(); medSetup(d); medRun(d, 40L, 50L, 0L)
+      graft.FailPoint.arm(d, k)
+      val killed =
+        try { medRun(d, 20L, 30L, 1L); false }
+        catch { case _: graft.FailPoint.Killed => true }
+        finally graft.FailPoint.reset()
+      assert(killed, s"media boundary $k must fire")
+      medRun(d, 20L, 30L, 1L)
+      assert(medState(d) == medRef, s"media kill at $k/$medB must converge")
+    }
+  }
+
   test("curation admission replay: a crash between corpus append and index extend recovers, loses nothing") {
     import spark.implicits._
     import graft.operators.{DedupIndex, Dsir, Html}
