@@ -271,6 +271,32 @@ object Smoke {
       s"(${bpeLoaded.take(2).mkString(", ")} …)")
     require(bpeLoaded.nonEmpty, "the committed tokenizer must round-trip")
 
+    // 16. cross-artifact pipeline snapshot (r12): publish one "pipeline
+    // as of batch N" reference over the dedup artifact, mutate, and
+    // prove the pinned audit serve still re-draws the historical
+    // verdict while latest serving has moved on
+    val pipeRoot = s"$artDir/pipeline"
+    graft.sources.Sinks.PipelineSnapshot.publish(spark, pipeRoot, 0L,
+      grouped = Seq(s"$artDir/dedup"))
+    val snap0 = graft.sources.Sinks.PipelineSnapshot.latest(spark, pipeRoot).get
+    import spark.implicits._
+    val lateDoc = Seq((777777L, "a brand new page arriving after the snapshot"))
+      .toDF("doc_id", "text")
+    graft.operators.DedupIndex.extend(lateDoc, s"$artDir/dedup", buildV = 9L)
+    graft.sources.Sinks.PipelineSnapshot.publish(spark, pipeRoot, 1L,
+      grouped = Seq(s"$artDir/dedup"))
+    val probe = Seq((888888L, "a brand new page arriving after the snapshot"))
+      .toDF("doc_id", "text")
+    val asOf0 = graft.operators.DedupIndex
+      .serveAt(probe, s"$artDir/dedup", snap0.groupPin(s"$artDir/dedup"))
+      .head().getString(1)
+    val asOfNow = graft.operators.DedupIndex
+      .serve(probe, s"$artDir/dedup").head().getString(1)
+    println(s"[smoke] pipeline snapshot: as-of-batch-0=$asOf0 latest=$asOfNow " +
+      s"(pins=${snap0.pins.size})")
+    require(asOf0 == "new" && asOfNow == "exact",
+      "the pinned audit serve must re-draw the pre-extend verdict")
+
     println("[smoke] OK")
     spark.stop()
   }

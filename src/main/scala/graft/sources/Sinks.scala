@@ -1381,6 +1381,9 @@ object Sinks {
     *    replayed batch (crash after publish) re-resolves the identical
     *    tuple even though its idempotent re-extends bumped the
     *    artifacts' raw group versions;
+    *  - ONE pipeline root PER LOOP: batch ids are the replay identity,
+    *    and two loops sharing a root would collide on them (both have
+    *    a batch 0) — give each admission stream its own `pipelinePath`;
     *  - consumption composes with the per-artifact named readers
     *    (DedupIndex.loadFrames(groupVersion), ArtifactSnapshot.readAt):
     *    this layer stores WHICH group each artifact was at, the
