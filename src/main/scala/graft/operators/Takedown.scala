@@ -244,6 +244,7 @@ object TakedownLog {
     require(receipts.nonEmpty, "TakedownLog.append: no receipts to file")
     require(jobId.nonEmpty, "TakedownLog.append: jobId is the replay guard")
     if (filedJobs(spark, logPath).contains(jobId)) return
+    graft.FailPoint.reach(logPath) // kill-point sweep boundary (test seam)
     import spark.implicits._
     receipts.toDF()
       .withColumn(

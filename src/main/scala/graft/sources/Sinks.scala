@@ -904,6 +904,7 @@ object Sinks {
       */
     def replaceAll(spark: SparkSession, path: String, keys: Seq[String],
                    maxRetries: Int = 20)(fold: DataFrame => DataFrame): Unit = {
+      graft.FailPoint.reach(path) // kill-point sweep boundary (test seam)
       val fs = fsFor(spark, path)
       commitStoreFor(new Path(path).toUri.getScheme) // refuse unsupported stores up front
       var attempt = 0
@@ -980,6 +981,7 @@ object Sinks {
     def replaceBuckets(spark: SparkSession, path: String, keys: Seq[String],
                        touched: Seq[Int], maxRetries: Int = 20)
                       (fold: DataFrame => DataFrame): Unit = {
+      graft.FailPoint.reach(path) // kill-point sweep boundary (test seam)
       val fs = fsFor(spark, path)
       commitStoreFor(new Path(path).toUri.getScheme) // refuse unsupported stores up front
       val want = touched.toSet

@@ -168,4 +168,68 @@ class TakedownSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the second filing did not rewrite the first (append-only evidence)
     assert(filed.count(_._1 == 1000L) == r1.size)
   }
+  test("kill-point sweep: a takedown job (retract + ledger filing) converges from a kill at every commit boundary (r12)") {
+    import spark.implicits._
+    import graft.operators.{DedupIndex, TakedownLog}
+    // one compliance JOB = retract three docs from the dedup artifact
+    // (fps/sigs/bands bucket rewrites + the root-snapshot publish) and
+    // file the receipts under a jobId — five durable-effect boundaries
+    val corpus = (1L to 12L)
+      .map(i => (i, s"document number $i with its own words token$i"))
+      .toDF("doc_id", "text")
+    val victims = Seq(2L, 5L, 9L)
+    def setup(dir: String): Unit = DedupIndex.build(corpus, s"$dir/index")
+    def job(dir: String): Unit = {
+      val receipts = DedupIndex.retract(spark, s"$dir/index", victims)
+      TakedownLog.append(spark, s"$dir/tdlog", receipts, asOfUs = 1L,
+        jobId = "takedown-1")
+    }
+    // dir-independent converged state: retracted docs probe as new,
+    // survivors still exact; the ledger holds EXACTLY ONE filing for
+    // the job (the jobId replay guard), one row per sub-table; the
+    // root snapshot is healthy (no fallen-forward pins)
+    def state(dir: String) = (
+      DedupIndex.serve(
+        corpus.select((col("doc_id") + 100L).as("doc_id"), col("text")),
+        s"$dir/index").collect()
+        .map(r => (r.getLong(0) - 100L, r.getString(1))).toMap,
+      TakedownLog.read(spark, s"$dir/tdlog")
+        .select("subTable", "job_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq,
+      graft.operators.Artifacts.snapshotHealth(spark, dir)
+        .forall(_.fallenForward.isEmpty))
+    def newDir() = java.nio.file.Files.createTempDirectory("graft-ks-td").toString
+    val dc = newDir(); setup(dc); job(dc)
+    val ref = state(dc)
+    assert(victims.forall(v => ref._1(v) == "new") &&
+      ref._1(1L) == "exact" && ref._2.map(_._1) == Seq("bands", "fps", "sigs"),
+      s"clean premise: $ref")
+    // a second run of the complete job is a pure no-op (idempotent
+    // retract + jobId guard)
+    job(dc)
+    assert(state(dc) == ref, "a replayed COMPLETE job must change nothing")
+    val dp = newDir(); setup(dp)
+    graft.FailPoint.record(dp); job(dp)
+    val nB = graft.FailPoint.count
+    graft.FailPoint.reset()
+    // fps/sigs/bands bucket rewrites + group publish + ledger filing
+    assert(nB == 5, s"expected 5 commit boundaries in the takedown job, saw $nB")
+    assert(state(dp) == ref, "the probe run is itself a clean run")
+    for (k <- 1 to nB) {
+      val d = newDir(); setup(d)
+      graft.FailPoint.arm(d, k)
+      val killed =
+        try { job(d); false }
+        catch { case _: graft.FailPoint.Killed => true }
+        finally graft.FailPoint.reset()
+      assert(killed, s"boundary $k must fire")
+      job(d) // the compliance job reruns after the crash
+      val got = state(d)
+      // receipts' numeric fields legitimately differ by kill point (a
+      // rerun finds fewer rows to drop) — the STABLE evidence is which
+      // sub-tables filed under which job, exactly once
+      assert(got._1 == ref._1 && got._2 == ref._2 && got._3,
+        s"kill at boundary $k/$nB must replay to the clean job's state: $got")
+    }
+  }
 }
