@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// FailPoint (the kill-point test seam compiled into commit primitives)
+// is inert unless this property is set; only the test JVM sets it.
+Test / javaOptions += "-Dgraft.failpoints=true"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -13,9 +13,17 @@ package graft
   * Scoping: [[arm]] takes a path PREFIX (the test's temp dir), so
   * boundaries of unrelated artifacts — other suites running in the same
   * JVM, the production path (never armed) — neither count nor kill.
-  * Unarmed, [[reach]] is two volatile reads; no production branch.
+  *
+  * Production inertness: the whole seam is gated behind the
+  * `graft.failpoints` system property (set by `Test / javaOptions` in
+  * build.sbt, nowhere else). In a deployment JVM the gate is a static
+  * final false — [[reach]] folds to a no-op, and a stray [[arm]] (e.g.
+  * test code leaking onto a production classpath) refuses loudly
+  * instead of arming a kill against live commits.
   */
 object FailPoint {
+
+  private val enabled: Boolean = java.lang.Boolean.getBoolean("graft.failpoints")
 
   @volatile private var prefix: String = ""
   @volatile private var armed: Int = Int.MaxValue
@@ -29,12 +37,16 @@ object FailPoint {
   /** Count boundaries under `pathPrefix` without killing — the probe
     * mode a sweep uses to learn how many windows one batch has. */
   private[graft] def record(pathPrefix: String): Unit = {
+    require(enabled, "FailPoint.record: -Dgraft.failpoints=true not set " +
+      "(test-only seam; refuse rather than silently never count)")
     prefix = pathPrefix; armed = Int.MaxValue; seen.set(0)
   }
 
   /** Kill at the `n`-th boundary under `pathPrefix` (1-based). */
   private[graft] def arm(pathPrefix: String, n: Int): Unit = {
     require(n >= 1, "FailPoint.arm: boundaries are 1-based")
+    require(enabled, "FailPoint.arm: -Dgraft.failpoints=true not set " +
+      "(test-only seam; refuse rather than silently never kill)")
     prefix = pathPrefix; armed = n; seen.set(0)
   }
 
@@ -44,6 +56,7 @@ object FailPoint {
   /** Called by every durable-effect site with the path it is about to
     * mutate. Throws [[Killed]] when this is the armed boundary. */
   private[graft] def reach(path: String): Unit = {
+    if (!enabled) return
     val p = prefix
     if (p.nonEmpty && path.startsWith(p)) {
       val n = seen.incrementAndGet()

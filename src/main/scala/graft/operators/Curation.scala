@@ -492,7 +492,12 @@ object Curation {
         col("doc_id"),
         ((col("pos") + 1) / 2).cast("long").as("fence_idx"),
         trim(regexp_extract(col("seg"), "^([^\n]*)", 1)).as("lang_tag"),
-        expr("substring(seg, instr(seg, '\n') + 1)").as("body"))
+        // instr = 0 (no newline in the segment: unterminated ``` at
+        // EOF, or ```lang with no body) must yield an EMPTY body — the
+        // raw substring(seg, 1) would double-count the lang tag as code.
+        when(instr(col("seg"), "\n") === 0, lit(""))
+          .otherwise(expr("substring(seg, instr(seg, '\n') + 1)"))
+          .as("body"))
       .select(col("doc_id"), col("fence_idx"), col("lang_tag"),
         size(filter(split(col("body"), "\n"), l => l =!= lit("")))
           .cast("long").as("n_lines"),

@@ -324,8 +324,12 @@ object DedupIndex {
     */
   def bandCapStats(spark: SparkSession, path: String,
                    cap: Int = Dedup.MaxBucketOccupancy): (Long, Long) = {
+    // coalesce: the bands sub-table can be EMPTY (a full takedown
+    // retracted every doc) — sum() over zero rows is NULL and the
+    // maintenance-cadence funnel filing must report (0, 0), not NPE.
     val agg = bandOccupancy(spark, path, cap)
-      .agg(sum("n_hot_buckets").as("hot"), sum("n_dropped_docs").as("dropped"))
+      .agg(coalesce(sum("n_hot_buckets"), lit(0L)).as("hot"),
+           coalesce(sum("n_dropped_docs"), lit(0L)).as("dropped"))
       .head()
     (agg.getLong(0), agg.getLong(1))
   }

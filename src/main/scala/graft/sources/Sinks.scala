@@ -899,8 +899,9 @@ object Sinks {
       * snapshot, so a fold never erases a concurrent writer's committed
       * rows, and a writer losing to a fold redoes its merge on top of
       * the folded state (both directions exercised in RollupIndexSpec).
-      * `fold` must be a pure function of the snapshot and must return a
-      * non-empty frame carrying the key columns.
+      * `fold` must be a pure function of the snapshot carrying the key
+      * columns; folding to EMPTY is legal (a full purge) and publishes a
+      * zero-row version that stays readable and mergeable.
       */
     def replaceAll(spark: SparkSession, path: String, keys: Seq[String],
                    maxRetries: Int = 20)(fold: DataFrame => DataFrame): Unit = {
@@ -943,13 +944,20 @@ object Sinks {
             b -> rel
           }.toMap
         fs.delete(staging, true)
-        require(newDirs.nonEmpty,
-          "VersionedTable.replaceAll: fold returned an empty frame (use vacuum/drop instead)")
+        // A fold to EMPTY (a full retention purge / compliance takedown)
+        // publishes one empty schema-carrying bucket dir — same contract
+        // as [[replaceBuckets]]: zero rows, still readable and mergeable.
+        val nextBuckets = if (newDirs.nonEmpty) newDirs else {
+          val rel = f"$DataDir/v$next%08d-b${0}%04d-$stamp-empty"
+          folded.limit(0).coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(new Path(path, rel).toString)
+          Map(0 -> rel)
+        }
         beforePublishHook()
-        committed = publish(spark, path, next, newDirs, nb,
+        committed = publish(spark, path, next, nextBuckets, nb,
           bucketCols = storedBucketKeys(spark, path).getOrElse(keys))
         if (!committed) {
-          newDirs.values.foreach(d => fs.delete(new Path(path, d), true))
+          nextBuckets.values.foreach(d => fs.delete(new Path(path, d), true))
         }
       }
     }
@@ -973,7 +981,9 @@ object Sinks {
       * the row where key probes and later merges never look. A bucket
       * whose fold output is empty
       * drops out of the manifest (its rows logically disappear — the
-      * thing upsert-only merges cannot express). Same optimistic
+      * thing upsert-only merges cannot express); folding EVERY bucket
+      * to empty (a full takedown) publishes a zero-row version that
+      * stays readable and mergeable. Same optimistic
       * protocol as every other commit here: losing the race refolds the
       * winner's snapshot, so a retraction never erases a concurrent
       * extend's rows and vice versa.
@@ -1045,15 +1055,29 @@ object Sinks {
         fs.delete(staging, true)
         // present-but-unstaged buckets folded to empty: drop them from
         // the manifest (that is the retraction taking effect)
-        val nextBuckets = (baseBuckets -- present) ++ newDirs
-        require(nextBuckets.nonEmpty,
-          "VersionedTable.replaceBuckets: fold emptied the whole table (drop it instead)")
+        val survivors = (baseBuckets -- present) ++ newDirs
+        // A fold that empties the WHOLE table (a full compliance
+        // takedown — every remaining doc retracted) is legal, but a
+        // zero-bucket manifest would be unreadable (read() derives the
+        // schema from parquet footers). Publish ONE empty bucket dir
+        // carrying the fold's schema instead: the table reads as zero
+        // rows, stays mergeable/extendable, and the takedown job
+        // completes rather than dying mid-sweep with sibling sub-tables
+        // already rewritten.
+        val nextBuckets = if (survivors.nonEmpty) survivors else {
+          val b = present.min
+          val rel = f"$DataDir/v$next%08d-b$b%04d-$stamp-empty"
+          folded.limit(0).coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(new Path(path, rel).toString)
+          Map(b -> rel)
+        }
         beforePublishHook()
         committed = publish(spark, path, next, nextBuckets,
           storedNumBuckets(spark, path).getOrElse(-1),
           bucketCols = storedBucketKeys(spark, path).getOrElse(Nil))
         if (!committed) {
-          newDirs.values.foreach(d => fs.delete(new Path(path, d), true))
+          (newDirs.values ++ (if (survivors.isEmpty) nextBuckets.values else Nil))
+            .foreach(d => fs.delete(new Path(path, d), true))
         }
       }
     }

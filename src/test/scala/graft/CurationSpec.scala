@@ -314,4 +314,27 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "mojibake repair must stay a shuffle-free projection")
   }
+
+  test("codeFenceExtract: a fence segment with no newline (unterminated ``` at EOF, bare ```lang) has an EMPTY body, not a double-counted tag") {
+    val s = spark
+    import s.implicits._
+    val fence = "`" * 3
+    val md = Seq(
+      // fence 1: normal; fence 2: ```lang then EOF (no newline in segment)
+      (1L, s"intro\n${fence}py\nx = 1\n$fence\ntext $fence" + "rust"),
+      // single unterminated bare fence at EOF — segment is "" (no \n)
+      (2L, s"prose $fence"),
+      // ```lang\n with empty body — newline present, body after it is ""
+      (3L, s"$fence" + "go\n" + s"$fence trailing"))
+      .toDF("doc_id", "text")
+    val out = Curation.codeFenceExtract(md, col("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      (1L, 1L, "py", 1L, 6L),      // "x = 1\n": one non-empty line, 6 chars
+      (1L, 2L, "rust", 0L, 0L),    // unterminated: tag kept, body EMPTY
+      (2L, 1L, "", 0L, 0L),        // bare ``` at EOF: no tag, no body
+      (3L, 1L, "go", 0L, 0L)),     // ```go\n``` : empty body via the \n branch
+      s"fence grammar on degenerate segments: $out")
+  }
 }

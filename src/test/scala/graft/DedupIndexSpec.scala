@@ -182,6 +182,11 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // at the PRODUCTION cap nothing is hot here — the stats go quiet
     assert(DedupIndex.bandCapStats(spark, path) == ((0L, 0L)),
       "below the production cap the telemetry must report zero")
+    // a FULL takedown empties the bands sub-table; the next maintenance-
+    // cadence funnel filing must read (0, 0), not NPE on a NULL sum
+    DedupIndex.retract(spark, path, (1L to 6L) ++ Seq(10L, 11L, 12L))
+    assert(DedupIndex.bandCapStats(spark, path, cap) == ((0L, 0L)),
+      "cap stats over an emptied bands table must be (0, 0)")
   }
 
   test("incremental extend == fresh full rebuild (no drift from merge order)") {
