@@ -687,12 +687,41 @@ object AnnIndex {
     * joins against committed sub-tables.
     */
   def semDedupServe(batch: DataFrame, path: String,
-                    tau: Double = Embeddings.NearDupThreshold): DataFrame = {
+                    tau: Double = Embeddings.NearDupThreshold): DataFrame =
+    semDedupServeWith(batch, path, tau,
+      snapPins(batch.sparkSession, path))
+
+  /** [[semDedupServe]] resolved through a NAMED root snapshot — the
+    * semantic loop's verdict-replay read (the [[matchedIdsAt]] twin):
+    * feed a pipeline snapshot's `servedGroupPin` to re-draw batch N's
+    * gate verdicts against exactly the index state the batch served
+    * from. Strict — an absent/pruned group or a vacuumed pinned
+    * sub-table version refuses (keep the group inside the maintenance
+    * sweep's protection windows).
+    */
+  def semDedupServeAt(batch: DataFrame, path: String, tau: Double,
+                      groupVersion: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val pins = graft.sources.Sinks.VersionedTable.groupAt(spark, path,
+      groupVersion).getOrElse(throw new IllegalArgumentException(
+        s"AnnIndex.semDedupServeAt: no intact group manifest $groupVersion " +
+          s"at $path (group retention pruned it, or it never existed)"))
+    pins.foreach { case (sub, v) =>
+      require(graft.sources.Sinks.VersionedTable
+          .manifestExists(spark, s"$path/$sub", v),
+        s"AnnIndex.semDedupServeAt: group $groupVersion pins $sub@$v but " +
+          s"that manifest no longer exists at $path/$sub — the snapshot " +
+          "outlived the protectGroups retention window; re-pin to a recent group")
+    }
+    semDedupServeWith(batch, path, tau, pins)
+  }
+
+  private def semDedupServeWith(batch: DataFrame, path: String, tau: Double,
+                                pins: Map[String, Long]): DataFrame = {
     val spark = batch.sparkSession
     require(hasVectors(spark, path),
       s"AnnIndex.semDedupServe: no vectors sub-table at $path — the gate " +
         "rescores exactly; build/extend with storeVectors = true")
-    val pins = snapPins(spark, path)
     val q = Embeddings.quantized(batch)
     val assign = Embeddings.ivfAssign(q, loadCodebookFramesWith(spark, path, pins)._1)
       .join(q, Seq("vec_id"))

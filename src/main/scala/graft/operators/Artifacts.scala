@@ -67,16 +67,59 @@ object Artifacts {
     * Past the window, readAt refuses loudly (it never falls forward) —
     * that refusal is the contract's boundary, this knob its width.
     */
+  /** `protectPipelines` (r13) is the same shield ONE level up — the
+    * TWO-LEVEL pin propagation: the newest N PIPELINE snapshots
+    * ([[graft.sources.Sinks.PipelineSnapshot]]) pin whole artifacts at
+    * group versions; the sweep resolves each pinned group to its
+    * sub-table manifest versions and shields those too (plus direct
+    * `t:` table pins), so a reader resolving "the pipeline as of batch
+    * B" inside the window survives any number of sweeps byte-
+    * identically. Without it, a pipeline snapshot's advertised replay
+    * horizon (publish keep = 64 batches) silently collapsed to the
+    * per-artifact `protectGroups` window (~2 batches) after routine
+    * maintenance (r12 ADVICE). The effective pipeline audit horizon is
+    * min(publish `keep`, this window, the artifact's own group-manifest
+    * keep) — past it, pipeline-named reads refuse loudly.
+    */
+  /** `rollups` (r13): opt-in per-rollup fold hook — [[RollupIndex
+    * .foldPartials]] needs the artifact's RollupShape, so the
+    * shape-agnostic sweep can't discover it; a deployment passes
+    * (rollup root -> shape) and the sweep folds each BEFORE the
+    * storage pass (so compaction immediately reclaims the rewrite),
+    * filing one [[TakedownReceipt]] per fold into `receiptLog` when
+    * given (jobId-guarded: a replayed sweep never double-files).
+    */
   def maintainAll(spark: SparkSession, root: String,
                   maxFilesPerBucket: Int = 1, keepVersions: Int = 8,
                   minAgeMs: Long = 3600000L,
-                  protectGroups: Int = 2): Seq[MaintainReport] = {
-    val pins: Map[String, Set[Long]] =
-      VersionedTable.discoverGroupRoots(spark, root).flatMap { r =>
+                  protectGroups: Int = 2,
+                  protectPipelines: Int = 8,
+                  rollups: Map[String, RollupIndex.RollupShape] = Map.empty,
+                  receiptLog: Option[String] = None,
+                  jobId: String = "", asOfUs: Long = 0L): Seq[MaintainReport] = {
+    import graft.sources.Sinks.PipelineSnapshot
+    val foldReceipts = rollups.toSeq.sortBy(_._1).map { case (r, shape) =>
+      RollupIndex.foldPartialsReceipted(spark, r, shape)
+    }
+    receiptLog.foreach { log =>
+      require(jobId.nonEmpty,
+        "Artifacts.maintainAll: receiptLog needs a jobId (the replay guard)")
+      if (foldReceipts.nonEmpty)
+        TakedownLog.append(spark, log, foldReceipts, asOfUs, jobId)
+    }
+    val (pipeRoots, artRoots) = VersionedTable.discoverGroupRoots(spark, root)
+      .partition(PipelineSnapshot.isPipelineRoot(spark, _))
+    val artPins: Seq[(String, Set[Long])] =
+      artRoots.flatMap { r =>
         graft.sources.Sinks.ArtifactSnapshot
           .pinsRecent(spark, r, math.max(protectGroups, 1))
           .map { case (sub, vs) => s"$r/$sub" -> vs }
-      }.toMap
+      }
+    val pipePins: Seq[(String, Set[Long])] =
+      pipeRoots.flatMap(pr => PipelineSnapshot
+        .protectedTablePins(spark, pr, math.max(protectPipelines, 0)).toSeq)
+    val pins: Map[String, Set[Long]] =
+      (artPins ++ pipePins).groupMapReduce(_._1)(_._2)(_ ++ _)
     discover(spark, root).map { t =>
       val before = VersionedTable.versionCount(spark, t)
       VersionedTable.compact(spark, t, maxFilesPerBucket)
@@ -107,20 +150,33 @@ object Artifacts {
     * unresolvable entry means pipeline retention outran an artifact's
     * protectGroups window and named pipeline reads will refuse.
     */
-  def snapshotHealth(spark: SparkSession, root: String): Seq[SnapshotReport] =
+  /** `pipelineWindow`: for pipeline roots, how many recent snapshots to
+    * health-check (match [[maintainAll]]'s `protectPipelines` so the
+    * report covers exactly the window the sweep promises to keep
+    * servable). Fallen entries are tagged `v<snapshot>:<kind>:<path>`.
+    */
+  def snapshotHealth(spark: SparkSession, root: String,
+                     pipelineWindow: Int = 8): Seq[SnapshotReport] =
     VersionedTable.discoverGroupRoots(spark, root).map { r =>
       val (gv, parts) = VersionedTable.latestGroup(spark, r).get
-      val isPipeline = parts.keys.exists(k =>
-        k.startsWith("g:") || k.startsWith("t:"))
+      val isPipeline =
+        graft.sources.Sinks.PipelineSnapshot.isPipelineRoot(spark, r)
       val fallen =
         if (isPipeline)
-          graft.sources.Sinks.PipelineSnapshot.health(spark, r)
+          graft.sources.Sinks.PipelineSnapshot
+            .health(spark, r, window = pipelineWindow)
             .collect { case p if !p.resolvable =>
-              (if (p.grouped) "g:" else "t:") + p.path }
+              val kind = if (p.served) "s:" else if (p.grouped) "g:" else "t:"
+              s"v${p.snapshot}:$kind${p.path}" }
         else parts.toSeq.sortBy(_._1).collect {
           case (sub, v) if !VersionedTable.manifestExists(spark, s"$r/$sub", v) => sub
         }
-      val pinCount = if (isPipeline) parts.size - 1 else parts.size // minus the batch marker
+      // pipeline roots: count the latest snapshot's g:/t: pins (served
+      // pins are replay metadata for the same artifacts, batch markers
+      // are identity)
+      val pinCount =
+        if (isPipeline) parts.keys.count(k => k.startsWith("g:") || k.startsWith("t:"))
+        else parts.size
       SnapshotReport(r, gv, pinCount, fallen)
     }
 }

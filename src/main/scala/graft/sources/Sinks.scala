@@ -1423,7 +1423,16 @@ object Sinks {
       */
     final case class Pin(path: String, grouped: Boolean, version: Long)
 
-    final case class Snapshot(version: Long, batchId: Long, pins: Seq[Pin]) {
+    /** `loop`: the admission loop that published this snapshot ("" on
+      * pre-r13 single-loop roots). `served`: the GROUP version each
+      * artifact was SERVED from when the batch drew its verdicts —
+      * pre-effect, vs `pins`' post-effect state — recorded so an audit
+      * replay re-derives batch N's verdicts from snapshot N alone
+      * (without it, the post-extend pin re-draws the batch's own
+      * admissions as already-indexed dups).
+      */
+    final case class Snapshot(version: Long, batchId: Long, loop: String,
+                              pins: Seq[Pin], served: Map[String, Long]) {
       private def find(path: String, grouped: Boolean): Option[Long] =
         pins.find(p => p.grouped == grouped && p.path == path).map(_.version)
       /** The GROUP version `path`'s composite artifact was pinned at —
@@ -1441,17 +1450,29 @@ object Sinks {
         find(path, grouped = false).getOrElse(throw new IllegalArgumentException(
           s"PipelineSnapshot: batch $batchId (v$version) does not pin a " +
             s"table at $path (pins: ${pins.map(_.path).sorted.mkString(", ")})"))
+      /** The GROUP version the batch SERVED its verdicts from (pre-
+        * effect) — the verdict-replay pin. None on pre-r13 snapshots;
+        * audits then fall back to [[groupPin]] with post-effect
+        * semantics (the batch's own admissions re-draw as dups).
+        */
+      def servedGroupPin(path: String): Option[Long] = served.get(path)
     }
 
     private val BatchKey = "batch"
 
-    private def decode(version: Long, parts: Map[String, Long]): Snapshot =
-      Snapshot(version,
-        parts.getOrElse(BatchKey, -1L),
+    private def decode(version: Long, parts: Map[String, Long]): Snapshot = {
+      val (batchId, loop) = parts.collectFirst {
+        case (BatchKey, v) => (v, "")
+        case (k, v) if k.startsWith(BatchKey + ":") =>
+          (v, k.drop(BatchKey.length + 1))
+      }.getOrElse((-1L, ""))
+      Snapshot(version, batchId, loop,
         parts.toSeq.collect {
           case (k, v) if k.startsWith("g:") => Pin(k.drop(2), grouped = true, v)
           case (k, v) if k.startsWith("t:") => Pin(k.drop(2), grouped = false, v)
-        }.sortBy(_.path))
+        }.sortBy(_.path),
+        parts.collect { case (k, v) if k.startsWith("s:") => k.drop(2) -> v })
+    }
 
     /** Publish the pipeline snapshot for `batchId`: pin every composite
       * artifact in `grouped` at its CURRENT latest group version and
@@ -1474,16 +1495,34 @@ object Sinks {
       * Artifacts the loop itself MUTATES pin latest: the snapshot
       * records the state the batch's effects left.
       */
+    /** `served`: the GROUP version each artifact was SERVED from when
+      * the batch drew its verdicts (captured at serve time by the loop)
+      * — recorded as `s:<path>` next to the post-effect `g:` pin, so
+      * one snapshot carries both "what the verdicts read" and "what the
+      * effects left" (r13; ADVICE r12 on curationVerdictsAt).
+      *
+      * `loop`: names the publishing admission loop so SEVERAL loops can
+      * share ONE pipeline root — batch ids are only unique per loop, so
+      * the replay identity is (loop, batch). "" keeps the pre-r13
+      * single-loop manifest format.
+      */
     def publish(spark: SparkSession, root: String, batchId: Long,
                 grouped: Seq[String], tables: Seq[String] = Seq.empty,
                 pin: Map[String, Long] = Map.empty,
-                keep: Int = 64): Long = {
+                keep: Int = 64,
+                served: Map[String, Long] = Map.empty,
+                loop: String = ""): Long = {
       require(batchId >= 0L, "PipelineSnapshot.publish: batchId must be >= 0")
       require(grouped.nonEmpty || tables.nonEmpty,
         "PipelineSnapshot.publish: nothing to pin")
-      forBatch(spark, root, batchId) match {
+      require(loop.forall(c => c.isLetterOrDigit || c == '_' || c == '-' ||
+          c == '.'),
+        s"PipelineSnapshot.publish: loop name '$loop' must be [A-Za-z0-9._-]*" +
+          " (it is embedded in the manifest key)")
+      forBatch(spark, root, batchId, loop) match {
         case Some(s) => s.version
         case None =>
+          val batchKey = if (loop.isEmpty) BatchKey else s"$BatchKey:$loop"
           val parts: Map[String, Long] =
             (grouped.map { p =>
               def g = VersionedTable.latestGroup(spark, p).getOrElse(
@@ -1497,7 +1536,8 @@ object Sinks {
                 throw new IllegalStateException(
                   s"PipelineSnapshot.publish: no commits at table $p"))._1
               s"t:$p" -> pin.getOrElse(p, v)
-            } :+ (BatchKey -> batchId)).toMap
+            } ++ served.map { case (p, v) => s"s:$p" -> v }
+              :+ (batchKey -> batchId)).toMap
           VersionedTable.commitGroupWith(spark, root, keep = keep)(_ => parts)
       }
     }
@@ -1516,35 +1556,130 @@ object Sinks {
           s"PipelineSnapshot.at: no intact pipeline manifest $version at " +
             s"$root (retention pruned it, or it never existed)"))
 
-    /** The snapshot a given batch published, scanning the retained
-      * window (publish cadence is per-batch, so the window is also the
-      * replay horizon).
+    /** The snapshot a given (loop, batch) published, scanning the
+      * retained window (publish cadence is per-batch, so the window is
+      * also the replay horizon). The no-loop overload matches ANY loop
+      * — only safe on single-loop roots (the pre-r13 shape).
       */
     def forBatch(spark: SparkSession, root: String,
                  batchId: Long): Option[Snapshot] =
-      VersionedTable.recentGroups(spark, root, Int.MaxValue)
-        .collectFirst { case (v, parts) if parts.get(BatchKey).contains(batchId) =>
-          decode(v, parts)
-        }
+      recent(spark, root, Int.MaxValue).find(_.batchId == batchId)
+
+    def forBatch(spark: SparkSession, root: String, batchId: Long,
+                 loop: String): Option[Snapshot] =
+      recent(spark, root, Int.MaxValue)
+        .find(s => s.batchId == batchId && s.loop == loop)
+
+    /** The newest `n` retained snapshots, newest first — the window a
+      * maintenance sweep shields ([[protectedTablePins]]) and the
+      * cross-loop compose scans.
+      */
+    def recent(spark: SparkSession, root: String, n: Int): Seq[Snapshot] =
+      VersionedTable.recentGroups(spark, root, n).map((decode _).tupled)
+
+    /** The newest snapshot a specific loop published to a SHARED root
+      * (each loop's [[latest]]).
+      */
+    def latestFor(spark: SparkSession, root: String,
+                  loop: String): Option[Snapshot] =
+      recent(spark, root, Int.MaxValue).find(_.loop == loop)
+
+    /** The whole multi-loop pipeline "as of" pipeline version `v`: for
+      * every loop that has published to `root`, its newest snapshot with
+      * version <= `v` — ONE reference an auditor resolves a 4-loop
+      * deployment through instead of correlating four roots by hand.
+      * Loops that first published after `v` are absent from the map.
+      */
+    def asOf(spark: SparkSession, root: String,
+             v: Long): Map[String, Snapshot] =
+      recent(spark, root, Int.MaxValue)
+        .filter(_.version <= v)
+        .groupBy(_.loop)
+        .map { case (loop, ss) => loop -> ss.maxBy(_.version) }
+
+    /** True iff `root` holds PIPELINE manifests (artifact-path pins),
+      * not a composite artifact's sub-table pins — the classifier the
+      * maintenance sweep uses to route each group root.
+      */
+    def isPipelineRoot(spark: SparkSession, root: String): Boolean =
+      VersionedTable.latestGroup(spark, root).exists(_._2.keys.exists(k =>
+        k == BatchKey || k.startsWith(BatchKey + ":") ||
+          k.startsWith("g:") || k.startsWith("t:") || k.startsWith("s:")))
+
+    /** TWO-LEVEL pin propagation (r13): every per-table manifest version
+      * the newest `window` pipeline snapshots pin — directly (`t:`
+      * table pins) or THROUGH an artifact group (`g:`/`s:` pins resolve
+      * via the group manifest to that group's sub-table versions).
+      * Feed the result into [[VersionedTable.vacuumVersioned]]'s
+      * `protect` (as [[Artifacts.maintainAll]] does) so a reader
+      * resolving through any pipeline snapshot in the window keeps
+      * serving byte-identically across maintenance sweeps — the C93
+      * retention contract one level up: without this, `protectGroups`
+      * shields only each artifact's own newest groups, and a pipeline
+      * snapshot older than that silently loses the table versions
+      * under it to the keep budget.
+      *
+      * Keys are fully-QUALIFIED table paths (the [[VersionedTable
+      * .discover]] form) so the sweep's string-equality pin lookup
+      * matches regardless of how the loop spelled `pipelinePath`.
+      * Group pins already pruned from their artifact root are skipped
+      * (nothing left to shield; [[health]] reports them).
+      */
+    def protectedTablePins(spark: SparkSession, root: String,
+                           window: Int): Map[String, Set[Long]] = {
+      def qual(p: String): String = {
+        val hp = new Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .makeQualified(hp).toString
+      }
+      recent(spark, root, window).flatMap { snap =>
+        val groupPins = snap.pins.filter(_.grouped).map(p => p.path -> p.version) ++
+          snap.served.toSeq
+        groupPins.distinct.flatMap { case (artPath, g) =>
+          VersionedTable.groupAt(spark, artPath, g).toSeq.flatMap(_.toSeq)
+            .map { case (sub, v) => s"${qual(artPath)}/$sub" -> v }
+        } ++
+          snap.pins.filterNot(_.grouped).map(p => qual(p.path) -> p.version)
+      }.groupMapReduce(_._1)(t => Set(t._2))(_ ++ _)
+    }
 
     /** One pin's health: does the pinned group/table manifest still
-      * exist at its artifact? (The pipeline-level
-      * [[graft.operators.Artifacts.snapshotHealth]] row.)
+      * exist at its artifact — and, for group pins, does every
+      * sub-table version that group pins still exist (the TWO-LEVEL
+      * check: a group manifest whose underlying table versions were
+      * vacuumed refuses at read exactly like a missing group)?
+      * `snapshot` names the pipeline version the pin came from (health
+      * can span a window); `served` marks verdict-replay (`s:`) pins.
       */
     final case class PinHealth(path: String, grouped: Boolean,
-                               version: Long, resolvable: Boolean)
+                               version: Long, resolvable: Boolean,
+                               snapshot: Long = -1L, served: Boolean = false)
 
-    /** Health of the LATEST pipeline snapshot's pins — run it on the
-      * maintenance cadence: an unresolvable pin means retention
+    /** Health of the newest `window` pipeline snapshots' pins — run it
+      * on the maintenance cadence: an unresolvable pin means retention
       * outran the pipeline's consumers and named reads will refuse.
+      * Default window 1 = the latest snapshot (pre-r13 behavior);
+      * match it to [[Artifacts.maintainAll]]'s `protectPipelines` so
+      * the report covers exactly the window the sweep promises.
       */
-    def health(spark: SparkSession, root: String): Seq[PinHealth] =
-      latest(spark, root).map(_.pins.map { p =>
-        val ok =
-          if (p.grouped) VersionedTable.groupAt(spark, p.path, p.version).isDefined
-          else VersionedTable.manifestExists(spark, p.path, p.version)
-        PinHealth(p.path, p.grouped, p.version, ok)
-      }).getOrElse(Seq.empty)
+    def health(spark: SparkSession, root: String,
+               window: Int = 1): Seq[PinHealth] = {
+      def groupOk(path: String, g: Long): Boolean =
+        VersionedTable.groupAt(spark, path, g).exists(_.forall {
+          case (sub, v) => VersionedTable.manifestExists(spark, s"$path/$sub", v)
+        })
+      recent(spark, root, window).flatMap { snap =>
+        snap.pins.map { p =>
+          val ok =
+            if (p.grouped) groupOk(p.path, p.version)
+            else VersionedTable.manifestExists(spark, p.path, p.version)
+          PinHealth(p.path, p.grouped, p.version, ok, snap.version)
+        } ++ snap.served.toSeq.map { case (p, g) =>
+          PinHealth(p, grouped = true, g, groupOk(p, g), snap.version,
+            served = true)
+        }
+      }
+    }
   }
 
   // ---------------- z-order layout (multi-dimensional data skipping) ----------------

@@ -17,6 +17,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Canonical pipeline-snapshot loop names (r13): (loop, batch) is the
+    * replay identity on a pipeline root, so the four admission loops
+    * can share ONE root without colliding on batch ids — an auditor
+    * pins the whole deployment with one `PipelineSnapshot.asOf` call
+    * instead of correlating four roots by hand.
+    */
+  val CurationLoop = "curation"
+  val EmbeddingLoop = "embedding"
+  val SemanticLoop = "semantic"
+  def mediaLoop(modality: String): String = s"media_$modality"
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
 
@@ -1178,11 +1189,17 @@ object EventStream {
     * of snapshot `pipelineVersion`" (r12 — the read the cross-artifact
     * snapshot exists for): every dependency resolves through the
     * snapshot's pins — the DSIR ratio table and eval registry at their
-    * pinned manifest versions, the dedup index at its pinned GROUP —
-    * so the verdicts re-derive exactly as some historical batch drew
-    * them, immune to every retrain/extend/retract since. Output one
-    * row per input doc: (doc_id, gate_kept, kind, would_admit) — kind
-    * is 'gated_out' for docs the pre-dedup gates dropped.
+    * pinned manifest versions (captured at READ by the live batch), the
+    * dedup index at the snapshot's SERVED group pin (the pre-extend
+    * state the batch's verdicts actually read, r13) — so auditing batch
+    * N with snapshot N re-derives batch N's verdict rows EXACTLY,
+    * immune to every retrain/extend/retract since, including the
+    * batch's own. Pre-r13 snapshots carry no served pin; the audit then
+    * falls back to the post-effect group pin, under which the batch's
+    * own admissions re-draw as already-indexed dups (the r12
+    * semantics). Output one row per input doc:
+    * (doc_id, gate_kept, kind, would_admit) — kind is 'gated_out' for
+    * docs the pre-dedup gates dropped.
     */
   def curationVerdictsAt(htmlBatch: DataFrame, pipelineRoot: String,
                          pipelineVersion: Long, indexPath: String,
@@ -1201,7 +1218,8 @@ object EventStream {
       EvalRegistry.loadAt(spark, rp, snap.tablePin(EvalRegistry.tablePath(rp))))
     val (_, _, gated) = curationGateChain(htmlBatch, lrUsed, dsirKeepMin, registry)
     val verdicts = DedupIndex.serveAt(gated.select("doc_id", "text"),
-      indexPath, snap.groupPin(indexPath))
+      indexPath,
+      snap.servedGroupPin(indexPath).getOrElse(snap.groupPin(indexPath)))
     htmlBatch.select("doc_id")
       .join(gated.select(col("doc_id"), lit(true).as("gate_kept")), Seq("doc_id"), "left")
       .join(verdicts.select("doc_id", "kind"), Seq("doc_id"), "left")
@@ -1259,8 +1277,17 @@ object EventStream {
         (batch.count(), nPre, nGated)
       }
       // the artifact is re-read EVERY batch on purpose: earlier
-      // batches' admissions must be visible to this one
-      val verdicts = DedupIndex.serve(gated.select("doc_id", "text"), indexPath)
+      // batches' admissions must be visible to this one. The group
+      // version is captured HERE (the dsirPin/regPin capture-at-read
+      // rule) and the serve pinned to it, so the pipeline snapshot's
+      // served pin names exactly the index state these verdicts read —
+      // pre-extend, vs the post-effect `grouped` pin (r13).
+      val servedGroup: Long = graft.sources.Sinks.VersionedTable
+        .latestGroup(batch.sparkSession, indexPath).getOrElse(
+          throw new IllegalStateException(
+            s"curationAdmitBatch: no committed root snapshot at $indexPath"))._1
+      val verdicts = DedupIndex.serveAt(gated.select("doc_id", "text"),
+        indexPath, servedGroup)
       val admitted = gated.join(
         verdicts.filter(col("kind") === "new").select("doc_id"), "doc_id")
         .persist()
@@ -1308,7 +1335,9 @@ object EventStream {
             batch.sparkSession, pp, batchId,
             grouped = Seq(indexPath),
             tables = tablePins.keys.toSeq.sorted,
-            pin = tablePins)
+            pin = tablePins,
+            served = Map(indexPath -> servedGroup),
+            loop = CurationLoop)
         }
       } finally admitted.unpersist()
       // cadence AFTER the batch's own effects: a crash inside
@@ -1423,7 +1452,14 @@ object EventStream {
         // The artifact is re-read EVERY batch on purpose: earlier
         // batches' admissions must reject this batch's re-crawls, and a
         // mid-stream retract() must re-open its slot at the next batch.
-        val index = MediaIndex.loadFps(batch.sparkSession, indexPath, m.name)
+        // Group version captured at read, serve pinned to it — the
+        // snapshot's served pin names what the verdicts read (r13).
+        val servedGroup: Long = graft.sources.Sinks.VersionedTable
+          .latestGroup(batch.sparkSession, indexPath).getOrElse(
+            throw new IllegalStateException(
+              s"mediaAdmitBatch: no committed root snapshot at $indexPath"))._1
+        val index = MediaIndex.loadFpsAt(batch.sparkSession, indexPath,
+          m.name, servedGroup)
         val matches = BandedPairs.probeJoin(kept, "media_id",
           index, "doc_id", m.fpCol, m.numBands, m.bandBits, m.threshold)
         val admitted = kept.join(
@@ -1477,7 +1513,9 @@ object EventStream {
           // (see curationAdmitBatch): pins the MediaIndex GROUP version
           pipelinePath.foreach { pp =>
             graft.sources.Sinks.PipelineSnapshot.publish(
-              batch.sparkSession, pp, batchId, grouped = Seq(indexPath))
+              batch.sparkSession, pp, batchId, grouped = Seq(indexPath),
+              served = Map(indexPath -> servedGroup),
+              loop = mediaLoop(m.name))
           }
         } finally admitted.unpersist()
       } finally fps.unpersist()
@@ -1608,8 +1646,15 @@ object EventStream {
       // (deterministic — an exact re-crawl always matches) plus the
       // ADC near-dup extension at the measured tau (see
       // AnnIndex.matchedIds for why collision is the primary rule)
+      // group version captured at read, verdict pinned to it — the
+      // snapshot's served pin names what the verdicts read (r13)
+      val servedGroup: Long = graft.sources.Sinks.VersionedTable
+        .latestGroup(batch.sparkSession, indexPath).getOrElse(
+          throw new IllegalStateException(
+            s"embeddingAdmitBatch: no committed root snapshot at $indexPath"))._1
       val admitted = kept
-        .join(AnnIndex.matchedIds(kept, indexPath, tau, exactRescore),
+        .join(AnnIndex.matchedIdsAt(kept, indexPath, tau, servedGroup,
+            exactRescore),
           Seq("vec_id"), "left_anti")
         .select("vec_id")
         .join(batch, Seq("vec_id"))
@@ -1652,7 +1697,9 @@ object EventStream {
         // (see curationAdmitBatch): pins the AnnIndex GROUP version
         pipelinePath.foreach { pp =>
           graft.sources.Sinks.PipelineSnapshot.publish(
-            batch.sparkSession, pp, batchId, grouped = Seq(indexPath))
+            batch.sparkSession, pp, batchId, grouped = Seq(indexPath),
+            served = Map(indexPath -> servedGroup),
+            loop = EmbeddingLoop)
         }
       } finally admitted.unpersist()
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
@@ -1733,9 +1780,14 @@ object EventStream {
           "duplicates upstream")
       // ONE verdict: the gate's own committed-wins + keep-first rules —
       // an id re-crawl self-pairs at cos 1.0 and drops, so no separate
-      // exact-collapse stage is needed here
+      // exact-collapse stage is needed here. Group version captured at
+      // read, gate pinned to it — the snapshot's served pin (r13).
+      val servedGroup: Long = graft.sources.Sinks.VersionedTable
+        .latestGroup(batch.sparkSession, indexPath).getOrElse(
+          throw new IllegalStateException(
+            s"semDedupAdmitBatch: no committed root snapshot at $indexPath"))._1
       val admitted = batch
-        .join(AnnIndex.semDedupServe(batch, indexPath, tau)
+        .join(AnnIndex.semDedupServeAt(batch, indexPath, tau, servedGroup)
           .filter(col("is_kept")).select("vec_id"), Seq("vec_id"))
         .persist()
       try {
@@ -1772,7 +1824,9 @@ object EventStream {
         // (see curationAdmitBatch): pins the AnnIndex GROUP version
         pipelinePath.foreach { pp =>
           graft.sources.Sinks.PipelineSnapshot.publish(
-            batch.sparkSession, pp, batchId, grouped = Seq(indexPath))
+            batch.sparkSession, pp, batchId, grouped = Seq(indexPath),
+            served = Map(indexPath -> servedGroup),
+            loop = SemanticLoop)
         }
       } finally admitted.unpersist()
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
@@ -1812,6 +1866,22 @@ object EventStream {
         "the encode stream")
     streamingBpeEncode(docs,
       graft.operators.TextOps.loadBpeMerges(spark, bundlePath))
+  }
+
+  /** [[streamingBpeEncodeBundle]]'s BYTE twin (r13): encode with the
+    * bundle's committed byte model (`merges_bytes`) — same load-once-
+    * at-start snapshot semantics, same fail-fast on a bundle without
+    * the byte table (a pre-r13 char-only bundle).
+    */
+  def streamingBpeEncodeBytesBundle(docs: DataFrame, bundlePath: String): DataFrame = {
+    val spark = docs.sparkSession
+    require(graft.sources.Sinks.VersionedTable
+        .latestManifest(spark, s"$bundlePath/merges_bytes").isDefined,
+      s"streamingBpeEncodeBytesBundle: no committed BYTE merges at " +
+        s"$bundlePath — run commitTokenizer (byteMode = true) before " +
+        "starting the encode stream")
+    graft.operators.TextOps.bpeEncodeBytesWith(docs,
+      graft.operators.TextOps.loadBpeMergesBytes(spark, bundlePath))
   }
 
   /** Streaming dedup against the COMMITTED corpus index

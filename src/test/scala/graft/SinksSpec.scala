@@ -681,6 +681,53 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(again.forall(r => r.versionsAfter <= 3))
   }
 
+  test("maintainAll rollup fold hook: the sweep folds a fragmented rollup, ledger preserved, replays no-op, receipt filed once per jobId (r13)") {
+    import spark.implicits._
+    import graft.operators.{Artifacts, RollupIndex, TakedownLog}
+    val root = s"$tmp/fold_root"
+    val rp = s"$root/rollup"
+    val shape = RollupIndex.RollupShape(Seq("k"),
+      Seq(RollupIndex.AggSpec("sum", "v", "total")))
+    for (i <- 1 to 6)
+      RollupIndex.applyDelta(
+        Seq(("a", i.toLong), ("b", 2L * i)).toDF("k", "v"), rp, s"d$i", shape)
+    val before = RollupIndex.read(spark, rp, shape).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    def partialRows(): Long = Sinks.VersionedTable.read(spark, s"$rp/state")
+      .filter(col("row_kind") === "p").count()
+    assert(partialRows() == 12L, "6 deltas x 2 keys of merge-on-read debt")
+    val log = s"$root/receipts"
+    Artifacts.maintainAll(spark, root, keepVersions = 2, minAgeMs = 0L,
+      rollups = Map(rp -> shape), receiptLog = Some(log), jobId = "sweep-1")
+    assert(partialRows() == 2L, "the sweep must fold to one partial row per key")
+    assert(RollupIndex.read(spark, rp, shape).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq == before,
+      "the fold must not change the presented rollup")
+    // receipt filed: idsFound counts the unfolded partial rows collapsed
+    val filed = TakedownLog.read(spark, log).collect()
+    assert(filed.length == 1 &&
+      filed(0).getAs[String]("subTable") == "state" &&
+      filed(0).getAs[Long]("idsFound") == 12L &&
+      filed(0).getAs[String]("job_id") == "sweep-1",
+      s"fold receipt must be queryable evidence: ${filed.toSeq}")
+    // ledger preserved: a replayed delta after the fold still no-ops
+    RollupIndex.applyDelta(Seq(("a", 999L)).toDF("k", "v"), rp, "d3", shape)
+    assert(RollupIndex.read(spark, rp, shape).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq == before,
+      "a replayed delta id must stay a no-op after the fold")
+    // a replayed sweep under the SAME jobId folds idempotently and
+    // never double-files the receipt
+    Artifacts.maintainAll(spark, root, keepVersions = 2, minAgeMs = 0L,
+      rollups = Map(rp -> shape), receiptLog = Some(log), jobId = "sweep-1")
+    assert(TakedownLog.read(spark, log).count() == 1L,
+      "the jobId guard must keep a replayed sweep from double-filing")
+    // a receipt log without a jobId refuses up front
+    intercept[IllegalArgumentException] {
+      Artifacts.maintainAll(spark, root, minAgeMs = 0L,
+        rollups = Map(rp -> shape), receiptLog = Some(log))
+    }
+  }
+
   test("snapshot-aware maintenance: pinned versions survive the vacuum budget; snapshotHealth reports fall-forwards (r11)") {
     import spark.implicits._
     import graft.operators.{Artifacts, TextOps}
@@ -705,8 +752,10 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll
       "the root-snapshot pin must survive the vacuum budget")
     assert(TextOps.loadBpeMerges(spark, s"$root/bundle") == served,
       "snapshot readers must be unaffected by the sweep")
+    // 5 pins since r13: merges + fertility + vocab/state + the byte
+    // model's merges_bytes + fertility_bytes (one bundle, two tokenizers)
     val h = Artifacts.snapshotHealth(spark, root)
-    assert(h.size == 1 && h.head.pinned == 3 && h.head.fallenForward.isEmpty,
+    assert(h.size == 1 && h.head.pinned == 5 && h.head.fallenForward.isEmpty,
       s"healthy snapshot must report no fall-forwards: $h")
     // the admission loops sweep the ARTIFACT ROOT directly — the pin
     // must be protected through that call shape too (path-qualification

@@ -1339,6 +1339,154 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"artifact roots still swept alongside: $sweep")
   }
 
+  test("two-level pin propagation: the sweep shields table versions pinned by recent PIPELINE snapshots; past the window named reads refuse loudly (r13)") {
+    import spark.implicits._
+    import graft.operators.{Artifacts, DedupIndex, Dsir, Html}
+    import graft.sources.Sinks.PipelineSnapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe-pins").toString
+    val indexPath = s"$dir/index"; val pp = s"$dir/pipeline"
+    DedupIndex.build(
+      Seq((900001L, "seed corpus alpha beta gamma delta epsilon"))
+        .toDF("doc_id", "text"), indexPath)
+    val lr = Array.fill(Dsir.NumBuckets)(Dsir.Scale)
+    val texts = Map(
+      1L -> "the quick brown fox jumps over a lazy dog",
+      2L -> "a second page with the words to pass quality checks",
+      3L -> "the third arriving page also crosses the quality floor",
+      4L -> "or perhaps the fourth page also carries enough words here")
+    def htmlDf(ids: Seq[Long]) = ids.map(i => (i, texts(i))).toDF("doc_id", "text")
+      .select(col("doc_id"), Html.plantedHtml.as("html"))
+    (0L to 3L).foreach(b => EventStream.curationAdmitBatch(
+      htmlDf(Seq(b + 1L)), b, indexPath, lr, 0L, s"$dir/out",
+      pipelinePath = Some(pp)))
+    val snap0 = PipelineSnapshot.forBatch(spark, pp, 0L).get
+    assert(snap0.loop == EventStream.CurationLoop && snap0.served.nonEmpty,
+      s"the loop must record its name and the served group pin: $snap0")
+    def fpsAt(g: Long): Set[Long] =
+      DedupIndex.loadFrames(spark, indexPath, Some(g))._1
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gServed = snap0.servedGroupPin(indexPath).get
+    val gPost = snap0.groupPin(indexPath)
+    assert(fpsAt(gServed) == Set(900001L),
+      "batch 0's SERVED pin is the pre-extend seed state")
+    val post0 = fpsAt(gPost)
+    assert(post0 == Set(900001L, 1L), s"batch 0's post-effect pin: $post0")
+    // sweep at keep=1 with the default pipeline window (8 covers all 4
+    // snapshots): every pinned table version must survive and serve
+    // byte-identically — the C93 contract one level up
+    Artifacts.maintainAll(spark, dir, keepVersions = 1, minAgeMs = 0L)
+    assert(fpsAt(gServed) == Set(900001L) && fpsAt(gPost) == post0,
+      "pipeline-pinned reads must survive the sweep byte-identically")
+    val healthy = Artifacts.snapshotHealth(spark, dir, pipelineWindow = 8)
+    assert(healthy.forall(_.fallenForward.isEmpty),
+      s"all pins inside the window must resolve: $healthy")
+    // a second sweep shielding ONLY the newest snapshot: batch 0's
+    // pinned versions age out of keep=1, and the named read REFUSES
+    // (never silently falls forward) — the contract's boundary
+    Artifacts.maintainAll(spark, dir, keepVersions = 1, minAgeMs = 0L,
+      protectGroups = 1, protectPipelines = 1)
+    intercept[IllegalStateException] { fpsAt(gServed) }
+    intercept[IllegalStateException] { fpsAt(gPost) }
+    val swept = Artifacts.snapshotHealth(spark, dir, pipelineWindow = 8)
+      .find(_.root.endsWith("/pipeline")).get
+    assert(swept.fallenForward.nonEmpty &&
+        swept.fallenForward.forall(_.startsWith("v")),
+      s"health must name the out-of-window snapshots' fallen pins: $swept")
+    // the newest snapshot stays fully servable after the narrow sweep
+    val snap3 = PipelineSnapshot.forBatch(spark, pp, 3L).get
+    assert(fpsAt(snap3.groupPin(indexPath)) ==
+        Set(900001L, 1L, 2L, 3L, 4L),
+      "the shielded newest snapshot keeps serving")
+    assert(PipelineSnapshot.health(spark, pp, window = 1).forall(_.resolvable),
+      "window-1 health (the shielded window) must be clean")
+  }
+
+  test("shared-root pipeline manifests keyed by (loop, batch): two loops interleave on ONE root, replay per (loop,batch) no-ops, cross-loop asOf composes (r13)") {
+    import spark.implicits._
+    import graft.operators.{AnnIndex, DedupIndex, Dsir, Html}
+    import graft.sources.Sinks.PipelineSnapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe-shared").toString
+    val textIx = s"$dir/text_index"; val annIx = s"$dir/ann_index"
+    val pp = s"$dir/pipeline"
+    DedupIndex.build(
+      Seq((900001L, "seed corpus alpha beta gamma delta epsilon"))
+        .toDF("doc_id", "text"), textIx)
+    def synth(salt: Int, from: Long, n: Long) =
+      spark.range(from, from + n).toDF("vec_id")
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            j => ((pmod(hash(lit(salt), col("vec_id"), j), lit(1000)) - lit(500))
+              .cast("float") / lit(250.0f))).as("embedding"))
+    AnnIndex.build(synth(1, 0L, 200L), annIx)
+    val lr = Array.fill(Dsir.NumBuckets)(Dsir.Scale)
+    val texts = Map(
+      1L -> "the quick brown fox jumps over a lazy dog",
+      2L -> "a second page with the words to pass quality checks")
+    def htmlDf(ids: Seq[Long]) = ids.map(i => (i, texts(i))).toDF("doc_id", "text")
+      .select(col("doc_id"), Html.plantedHtml.as("html"))
+    def runText(ids: Seq[Long], bid: Long): Unit =
+      EventStream.curationAdmitBatch(htmlDf(ids), bid, textIx, lr, 0L,
+        s"$dir/text_out", pipelinePath = Some(pp))
+    def runEmb(salt: Int, from: Long, bid: Long): Unit =
+      EventStream.embeddingAdmitBatch(synth(salt, from, 50L), bid, annIx,
+        s"$dir/emb_out", tau = 2.0, pipelinePath = Some(pp))
+    // interleave the two loops on ONE root — batch ids collide, loops don't
+    runText(Seq(1L), 0L)
+    runEmb(2, 1000L, 0L)
+    runText(Seq(2L), 1L)
+    runEmb(3, 2000L, 1L)
+    val cur1 = PipelineSnapshot
+      .forBatch(spark, pp, 1L, EventStream.CurationLoop).get
+    val emb1 = PipelineSnapshot
+      .forBatch(spark, pp, 1L, EventStream.EmbeddingLoop).get
+    assert(cur1.pins.map(_.path) == Seq(textIx) &&
+        emb1.pins.map(_.path) == Seq(annIx),
+      s"each loop's batch-1 snapshot pins its own artifact: $cur1 / $emb1")
+    assert(cur1.version != emb1.version,
+      "colliding batch ids land as distinct manifests under distinct loops")
+    // replay: each loop re-resolves its OWN identical tuple, no new manifest
+    val latestV = PipelineSnapshot.latest(spark, pp).get.version
+    runText(Seq(2L), 1L)
+    runEmb(3, 2000L, 1L)
+    assert(PipelineSnapshot.latest(spark, pp).get.version == latestV,
+      "replays of both loops publish nothing new")
+    assert(PipelineSnapshot
+        .forBatch(spark, pp, 1L, EventStream.CurationLoop).get == cur1 &&
+      PipelineSnapshot
+        .forBatch(spark, pp, 1L, EventStream.EmbeddingLoop).get == emb1,
+      "replay re-resolves the identical (loop, batch) tuple")
+    assert(PipelineSnapshot.latestFor(spark, pp, EventStream.CurationLoop)
+        .get.batchId == 1L,
+      "latestFor scopes to the loop")
+    // cross-loop compose: ONE asOf reference pins the whole deployment
+    // as of the embedding loop's batch 0 (pipeline version order:
+    // text b0 < emb b0 < text b1 < emb b1)
+    val emb0 = PipelineSnapshot
+      .forBatch(spark, pp, 0L, EventStream.EmbeddingLoop).get
+    val asOf = PipelineSnapshot.asOf(spark, pp, emb0.version)
+    assert(asOf.keySet == Set(EventStream.CurationLoop, EventStream.EmbeddingLoop),
+      s"asOf spans every loop that had published: $asOf")
+    assert(asOf(EventStream.EmbeddingLoop).batchId == 0L &&
+        asOf(EventStream.CurationLoop).batchId == 0L,
+      s"asOf picks each loop's newest snapshot at or before the version: $asOf")
+    // and the composed reads resolve: the text index as the curation
+    // loop left it at batch 0, the ann index as the embedding loop
+    // SERVED it at batch 0 (seed only — batch 0's own vectors novel)
+    val textAt = DedupIndex.loadFrames(spark, textIx,
+        Some(asOf(EventStream.CurationLoop).groupPin(textIx)))._1
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(textAt == Set(900001L, 1L), s"composed text read: $textAt")
+    val annServed = asOf(EventStream.EmbeddingLoop).servedGroupPin(annIx).get
+    assert(AnnIndex.matchedIdsAt(
+        graft.operators.Embeddings.quantized(synth(2, 1000L, 50L)),
+        annIx, 2.0, annServed).count() == 0L,
+      "the served pin re-draws embedding batch 0's own verdicts: all novel")
+    assert(AnnIndex.matchedIdsAt(
+        graft.operators.Embeddings.quantized(synth(2, 1000L, 50L)),
+        annIx, 2.0, asOf(EventStream.EmbeddingLoop).groupPin(annIx)).count() == 50L,
+      "the post-effect pin shows the state batch 0 left")
+  }
+
   test("committed DSIR table serves the curation gate and pins at READ version: a mid-stream retrain protects the next batch, the snapshot records what the verdicts used (r12)") {
     import spark.implicits._
     import graft.operators.{DedupIndex, Dsir, Html}
@@ -1391,8 +1539,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val a0 = audit(snap0.version)
     assert(a0(4L) == ((true, "new", true)),
       s"as of batch 0, doc 4 was novel and would admit: $a0")
-    assert(a0(1L) == ((true, "exact", false)),
-      s"snap0 pins batch 0's POST-effect state, so doc 1's own admission is visible: $a0")
+    // the SERVED pin (r13): snapshot 0 re-draws batch 0's verdicts
+    // against the PRE-extend index the batch actually served from, so
+    // doc 1 — batch 0's own admission — re-derives exactly as the batch
+    // drew it: novel, would admit (not as a dup of itself)
+    assert(a0(1L) == ((true, "new", true)),
+      s"snap0's served pin re-derives batch 0's own verdict for doc 1: $a0")
+    // the POST-effect pin still answers "what state did batch 0 leave":
+    // doc 1 is indexed there
+    assert(DedupIndex.serveAt(htmlDf(Seq(1L)).select(col("doc_id"),
+          lit(texts(1L)).as("text")), s"$dir/index",
+        snap0.groupPin(s"$dir/index"))
+      .head().getString(1) == "exact",
+      "the post-effect group pin must still show batch 0's admission")
     val a1 = audit(snap1.version)
     assert(a1(4L) == ((false, "gated_out", false)),
       s"as of batch 1, the retrained DSIR table gates doc 4 out: $a1")
@@ -1933,6 +2092,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val minSrc = trained.minBy(_._2)
     assert(streamed.filter(_._2 == minSrc._1).forall(_._4),
       "the smallest source's docs must all be kept (rate 1)")
+  }
+
+  test("fuzzy decontamination (r13): the token-dropped paraphrase sails through the EXACT lens, containment catches it, salted novels pass; the LSH screen flags verbatim leaks") {
+    import spark.implicits._
+    import graft.operators.EvalRegistry
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-evalreg-near").toString
+    val bench = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    EvalRegistry.register(bench, s"$dir/reg")
+    EvalRegistry.registerNear(bench, s"$dir/reg")
+    // paraphrase = drop every 7th token; on docs long enough to carry
+    // several runs, >= ~55% of 3-grams survive while NO 8-gram does
+    val para = bench.filter(size(split(col("text"), " ")) >= 21)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        EvalRegistry.paraphrase.as("text"))
+    assert(para.count() > 10, "need paraphrasable bench docs at this SF")
+    // (a) the EXACT lens (C80) misses every paraphrase — the gap
+    val exact = EvalRegistry.decontaminate(
+      para, EvalRegistry.load(spark, s"$dir/reg")).collect()
+    assert(exact.forall(_.getBoolean(2)),
+      "no 8-gram survives an every-7th-token drop, so C80 must keep them all")
+    // (b) containment catches every paraphrase
+    val near = EvalRegistry.decontaminateNear(
+      para, EvalRegistry.loadNear(spark, s"$dir/reg")).collect()
+    assert(near.forall(!_.getBoolean(3)),
+      s"every paraphrase must be flagged: ${near.filter(_.getBoolean(3)).take(3).toSeq}")
+    // (c) salted novels pass the near lens — no false contamination
+    val novels = spark.range(50).select(
+      (col("id") + 2000000L).as("doc_id"),
+      expr("concat_ws(' ', 'zq' || id, 'wx' || id, 'vk' || id, 'jp' || id, " +
+        "'qq' || id, 'zz' || id, 'yy' || id, 'xx' || id)").as("text"))
+    val novelNear = EvalRegistry.decontaminateNear(
+      novels, EvalRegistry.loadNear(spark, s"$dir/reg")).collect()
+    assert(novelNear.forall(_.getBoolean(3)), "salted novels must pass")
+    // (d) the LSH band screen: a verbatim leak collides on EVERY band
+    // (J = 1); salted novels collide on none
+    val leak = bench.select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    val lshLeak = EvalRegistry.decontaminateNearLsh(
+      leak, EvalRegistry.loadBands(spark, s"$dir/reg")).collect()
+    assert(lshLeak.forall(r => !r.getBoolean(2) &&
+        r.getLong(1) == graft.operators.Dedup.NumBands.toLong),
+      "a verbatim leak must collide on every band")
+    val lshNovel = EvalRegistry.decontaminateNearLsh(
+      novels, EvalRegistry.loadBands(spark, s"$dir/reg")).collect()
+    assert(lshNovel.forall(_.getBoolean(2)), "salted novels must pass the screen")
+    // (e) the registry still never ships eval text: both near tables
+    // hold fixed-width hashes only
+    val w3cols = graft.sources.Sinks.VersionedTable
+      .read(spark, s"$dir/reg/eval_shingles_w3")
+    assert(w3cols.select("h").collect().forall(_.getString(0).length == 16))
+    val bandCols = graft.sources.Sinks.VersionedTable
+      .read(spark, s"$dir/reg/eval_bands")
+    assert(bandCols.select("band_key").collect().forall(_.getString(0).length == 32))
   }
 
   test("EQUIVALENCE: streaming decontamination gate against a committed registry == batch verdicts") {
