@@ -180,7 +180,7 @@ object ScaleAudit {
     // query of their own; anything else unknown is a typo and must fail
     // LOUDLY — a silently-dropped name would print "0 violations" for a
     // benchmark that never ran
-    val pseudoNames = Set("admission_loop", "media_admission_loop", "embedding_admission_loop", "semantic_admission_loop", "hotkey_dewindow", "bpe_vocab_loop")
+    val pseudoNames = Set("admission_loop", "media_admission_loop", "embedding_admission_loop", "semantic_admission_loop", "hotkey_dewindow", "bpe_vocab_loop", "takedown_loop")
     val unknown = names.filterNot(n =>
       SparkEntry.queries.contains(n) || pseudoNames.contains(n))
     if (unknown.nonEmpty) {
@@ -1192,6 +1192,62 @@ object ScaleAudit {
         f"upsertLatest hot user not absorbed by partials: $tBaseU%.2fs -> $tHotU%.2fs")
     }
 
+    // TAKEDOWN compliance job (r13): the kill-point sweep covers
+    // crash-replay; this lens pins the SCALE shape — wall time and
+    // rewrite footprint proportional to TOUCHED BUCKETS, never to index
+    // size. Two observables: (a) the same 2-doc retract rewrites the
+    // IDENTICAL bucket-dir count on a 1/10 index and the full index
+    // (structural — the receipts' `rewritten` is the bucket-prune
+    // contract made queryable), and (b) on the big index a 2-doc
+    // retract costs well under an all-buckets-touched retract (timing —
+    // the contract's payoff). Retracted slots re-open at the next serve.
+    if (names.contains("takedown_loop") || names == defaultQueries) {
+      import graft.operators.DedupIndex
+      GraftCache.releaseAll(spark)
+      val docs = sources.Tables.documents(spark, out).select("doc_id", "text")
+      val work = java.nio.file.Files.createTempDirectory("graft-scale-takedown").toString
+      val ixSmall = s"$work/ix_small"; val ixBig = s"$work/ix_big"
+      DedupIndex.build(docs.filter(pmod(col("doc_id"), lit(10L)) === 0L), ixSmall)
+      DedupIndex.build(docs, ixBig)
+      def timeRetract(path: String, ids: Seq[Long]) = {
+        val t0 = System.nanoTime()
+        val rs = DedupIndex.retract(spark, path, ids)
+        ((System.nanoTime() - t0) / 1e9, rs)
+      }
+      // warm the retract path (JIT + codegen) with a disjoint id
+      timeRetract(ixBig, Seq(30L))
+      val fewIds = Seq(20L, 40L) // multiples of 10: present in BOTH indexes
+      val (tFewSmall, rSmall) = timeRetract(ixSmall, fewIds)
+      val (tFewBig, rBig) = timeRetract(ixBig, fewIds)
+      def footprint(rs: Seq[graft.operators.TakedownReceipt]) =
+        rs.map(r => (r.subTable, r.pruned, r.bucketsRewritten)).sortBy(_._1)
+      if (footprint(rSmall) != footprint(rBig)) {
+        bad += 1
+        println("[scale] FAIL takedown lens: the same 2-doc retract rewrote " +
+          s"different bucket footprints on the 1/10 vs full index — " +
+          s"${footprint(rSmall)} vs ${footprint(rBig)} (bucket pruning broke)")
+      }
+      // an all-buckets retract: ids spread across the hash space
+      val manyIds = docs.filter(pmod(col("doc_id"), lit(7L)) === 1L)
+        .select("doc_id").limit(200).collect().map(_.getLong(0)).toSeq
+      val (tMany, rMany) = timeRetract(ixBig, manyIds)
+      println(f"[scale] takedown loop: 2-doc small-ix $tFewSmall%.2fs  " +
+        f"2-doc big-ix $tFewBig%.2fs  ${manyIds.size}%d-doc big-ix $tMany%.2fs  " +
+        s"footprints few=${footprint(rBig).map(_._3).sum} " +
+        s"many=${footprint(rMany).map(_._3).sum}")
+      // a retracted doc's slot re-opens: the next serve draws `new`
+      val reopened = DedupIndex.serve(
+        docs.filter(col("doc_id") === 20L)
+          .select((col("doc_id") + 77000000L).as("doc_id"), col("text")),
+        ixBig).head().getString(1)
+      if (reopened != "new") {
+        bad += 1
+        println(s"[scale] FAIL takedown lens: retracted content still served as '$reopened'")
+      }
+      loadFlag(tFewBig > math.max(0.7 * tMany, tMany - 10.0),
+        f"2-doc takedown costs like an all-buckets rewrite: $tFewBig%.2fs vs $tMany%.2fs")
+    }
+
     // Committed BPE vocab across many crawls (round-11): training from
     // the artifact must stay bounded by the MERGED vocab, not by how
     // many crawl deltas produced it. Commit the same corpus once as ONE
@@ -1233,6 +1289,28 @@ object ScaleAudit {
       }
       loadFlag(tFolded > math.max(3.0 * tOne, tOne + 10.0),
         f"bpeTrainCommitted not flat in crawl count after fold: $tOne%.2fs -> $tFolded%.2fs")
+      // BYTE mode (r13): the same committed vocab feeds the byte
+      // trainer — identical merges across layouts and the same
+      // flat-in-crawl-count bound on the folded artifact
+      def trainB(path: String): (Double, Seq[(Int, String, String)]) = {
+        GraftCache.releaseAll(spark)
+        val t0 = System.nanoTime()
+        val m = TextOps.bpeTrainBytesCommitted(spark, path, 16).collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+        ((System.nanoTime() - t0) / 1e9, m)
+      }
+      val (tOneB, mOneB) = trainB(one)
+      val (tFoldedB, mFoldedB) = trainB(many)
+      println(f"[scale] bpe vocab loop (bytes): 1-delta $tOneB%.2fs  " +
+        f"16-delta folded $tFoldedB%.2fs  (${mOneB.size}%d merges)")
+      if (mOneB != mFoldedB) {
+        bad += 1
+        println("[scale] FAIL bpe vocab loop (bytes): merges drifted " +
+          "across single/folded artifact layouts")
+      }
+      loadFlag(tFoldedB > math.max(3.0 * tOneB, tOneB + 10.0),
+        f"bpeTrainBytesCommitted not flat in crawl count after fold: " +
+          f"$tOneB%.2fs -> $tFoldedB%.2fs")
     }
 
     println(s"[scale] == $bad violations ==")

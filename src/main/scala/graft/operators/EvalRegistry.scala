@@ -146,6 +146,215 @@ object EvalRegistry {
         (coalesce(col("n_shared"), lit(0L)) === 0L).as("keep"))
   }
 
+  // ---------------- C100: FUZZY decontamination (r13) ----------------
+  //
+  // C80's exact 8-token shingles miss a lightly paraphrased benchmark
+  // passage — drop every 7th token and NO 8-gram survives intact, so
+  // the doc sails through with n_shared = 0 while still being ~4/7 the
+  // benchmark verbatim. Two near lenses close it, both serving from
+  // committed FINGERPRINTS (never eval text):
+  //  - containment (the PaLM/GPT-3 n-gram-overlap rule, the primary
+  //    verdict): w=3 shingle hashes of the suite are registered; a
+  //    probe doc is contaminated when >= NearKeepPct % of ITS distinct
+  //    3-gram hashes are registered. Deterministic arithmetic — the
+  //    token-dropped paraphrase keeps >= ~55% of its 3-grams and is
+  //    always caught; novel docs share only background trigrams.
+  //  - MinHash-LSH bands (the C2/C66 machinery composed against the
+  //    registry): the suite's band keys are registered; any band-key
+  //    collision flags the probe. O(NumBands) keys per probe doc vs
+  //    O(shingles) for containment — the cheaper screen, with LSH's
+  //    probabilistic recall (P(hit) = 1-(1-J^2)^NumBands).
+  // Scale: both registries stay eval-suite-sized and BROADCAST; the
+  // corpus side streams once; the verdict is one keyed agg per doc —
+  // exactly C80's shape.
+
+  val WNear = 3
+  /** Contaminated when n_hit * 100 >= NearKeepPct * n_grams. 40% sits
+    * between the paraphrase floor (~55% of 3-grams survive an every-
+    * 7th-token drop) and natural-language background trigram overlap.
+    */
+  val NearKeepPct = 40
+  private def nearPath(p: String) = s"$p/eval_shingles_w3"
+  private def bandsPath(p: String) = s"$p/eval_bands"
+
+  /** Register a suite's NEAR fingerprints: w=3 shingle hashes (the
+    * containment lens) + MinHash band keys (the LSH screen), committed
+    * as two more suite-bucketed sub-tables next to [[register]]'s exact
+    * shingles. Same lifecycle: (suite, key)-keyed upsert is set union,
+    * re-registering no-ops, [[unregister]] retires all three lenses.
+    */
+  def registerNear(benchDocs: DataFrame, path: String, buildV: Long = 0L,
+                   suite: String = "default"): Unit = {
+    graft.sources.Sinks.VersionedTable.mergeUpsert(
+      benchDocs.sparkSession, nearPath(path),
+      shingleHashes(benchDocs, WNear)
+        .withColumn("suite", lit(suite))
+        .withColumn("build_v", lit(buildV)),
+      Seq("suite", "h"), "build_v", numBuckets = 16,
+      bucketKeys = Seq("suite"))
+    graft.sources.Sinks.VersionedTable.mergeUpsert(
+      benchDocs.sparkSession, bandsPath(path),
+      Dedup.minhashBands(Dedup.minhashSignature(benchDocs, WNear))
+        .select("b", "band_key").distinct()
+        .withColumn("suite", lit(suite))
+        .withColumn("build_v", lit(buildV)),
+      Seq("suite", "b", "band_key"), "build_v", numBuckets = 16,
+      bucketKeys = Seq("suite"))
+  }
+
+  def loadNear(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Sinks.VersionedTable.read(spark, nearPath(path))
+      .select("h").distinct()
+
+  def loadBands(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Sinks.VersionedTable.read(spark, bandsPath(path))
+      .select("b", "band_key").distinct()
+
+  /** The near sub-tables' paths — pipeline-snapshot pin targets, like
+    * [[tablePath]]. */
+  def nearTablePath(path: String): String = nearPath(path)
+  def bandsTablePath(path: String): String = bandsPath(path)
+
+  /** Per-doc CONTAINMENT verdict: of the probe doc's distinct w=3
+    * shingle hashes, how many are registered — contaminated when the
+    * registered fraction reaches `keepPct` % (pure integer compare; a
+    * doc too short to shingle is vacuously kept).
+    */
+  def decontaminateNear(docs: DataFrame, registryW3: DataFrame,
+                        keepPct: Int = NearKeepPct): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(Exprs.shingles(toks, WNear)).as("s"))
+      .select(col("doc_id"), substring(md5(col("s")), 1, 16).as("h"))
+      .distinct()
+    val stats = sh
+      .join(broadcast(registryW3.select(col("h"), lit(1).as("reg"))),
+        Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("reg"), lit(0))).cast("long").as("n_hit"))
+    docs.select("doc_id").join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) * 100 <
+          lit(keepPct) * coalesce(col("n_grams"), lit(0L)) ||
+          coalesce(col("n_grams"), lit(0L)) === 0L).as("keep"))
+  }
+
+  /** Per-doc LSH-band verdict: the probe's NumBands MinHash band keys
+    * against the registered band keys — any collision flags the doc.
+    * O(NumBands) join keys per doc (vs O(shingles) for containment):
+    * the cheap screen for corpus-scale sweeps, with LSH's recall curve.
+    */
+  def decontaminateNearLsh(docs: DataFrame, registryBands: DataFrame): DataFrame = {
+    val bands = Dedup.minhashBands(Dedup.minhashSignature(docs, WNear))
+    val hits = bands
+      .join(broadcast(registryBands), Seq("b", "band_key"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("b")).as("n_bands_hit"))
+    docs.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bands_hit"), lit(0L)).as("n_bands_hit"),
+        (coalesce(col("n_bands_hit"), lit(0L)) === 0L).as("keep"))
+  }
+
+  /** The PLANTED paraphrase transform shared by the near queries and
+    * their oracles: drop every 7th token. No 8-gram of the result maps
+    * to an original 8-gram (token runs are 6 long), so C80's exact lens
+    * scores n_shared = 0 — while ~4/7 of the 3-grams survive intact,
+    * which is what the near lenses exist to catch.
+    */
+  private[graft] val paraphrase =
+    expr("""array_join(transform(
+      |  filter(sequence(1, size(split(text, ' '))), i -> i % 7 != 0),
+      |  i -> element_at(split(text, ' '), i)), ' ')""".stripMargin)
+
+  private val paraphraseSql =
+    """array_to_string(list_transform(
+      |  list_filter(range(1, len(string_split(text, ' ')) + 1),
+      |    i -> i % 7 <> 0),
+      |  i -> string_split(text, ' ')[i]), ' ')""".stripMargin
+
+  /** Probe frame for the near queries: the train slice (the salted
+    * novels that must pass) plus every bench doc PARAPHRASED under a
+    * shifted id (the leak that must be caught). */
+  private def nearProbes(documents: DataFrame): DataFrame =
+    documents.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(documents.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          paraphrase.as("text")))
+
+  private def nearRegistryDir(spark: SparkSession, documents: DataFrame,
+                              key: String): String = {
+    val dirDf = graft.GraftCache.memoArtifact(spark, ("eval_registry_near", key)) {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-evalregn").toString
+      registerNear(documents.filter(col("doc_id") % 10 === 0), dir)
+      Seq(dir).toDF("dir")
+    }
+    dirDf.collect()(0).getString(0)
+  }
+
+  /** C100: containment decontamination vs the committed w3 registry. */
+  def decontaminateNearVsRegistry(spark: SparkSession, documents: DataFrame,
+                                  key: String): DataFrame = {
+    val dir = nearRegistryDir(spark, documents, key)
+    decontaminateNear(nearProbes(documents), loadNear(spark, dir))
+  }
+
+  /** C100b: LSH band screen vs the committed band registry. */
+  def decontaminateNearLshVsRegistry(spark: SparkSession, documents: DataFrame,
+                                     key: String): DataFrame = {
+    val dir = nearRegistryDir(spark, documents, key)
+    decontaminateNearLsh(nearProbes(documents), loadBands(spark, dir))
+  }
+
+  private def nearProbesSqlCtes: String =
+    s"""para AS (SELECT doc_id + 1000000 AS doc_id, $paraphraseSql AS text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |probe AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+       |  UNION ALL SELECT doc_id, text FROM para)""".stripMargin
+
+  val decontaminateNearSql: String =
+    s"""WITH $nearProbesSqlCtes,
+       |reg AS (SELECT DISTINCT
+       |    substr(md5(unnest(${TextOps.shinglesSqlExpr(WNear)})), 1, 16) AS h
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    substr(md5(unnest(${TextOps.shinglesSqlExpr(WNear)})), 1, 16) AS h
+       |  FROM probe),
+       |stats AS (
+       |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(count(reg.h) AS BIGINT) AS n_hit
+       |  FROM sh LEFT JOIN reg ON sh.h = reg.h
+       |  GROUP BY sh.doc_id)
+       |SELECT p.doc_id,
+       |  CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(s.n_hit, 0) AS BIGINT) AS n_hit,
+       |  (coalesce(s.n_hit, 0) * 100 < $NearKeepPct * coalesce(s.n_grams, 0)
+       |    OR coalesce(s.n_grams, 0) = 0) AS keep
+       |FROM probe p LEFT JOIN stats s ON p.doc_id = s.doc_id""".stripMargin
+
+  val decontaminateNearLshSql: String =
+    s"""WITH $nearProbesSqlCtes,
+       |rsig AS (SELECT doc_id, ${Dedup.minhashSigSqlExpr} AS mh
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |rbands AS (SELECT DISTINCT b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+       |  FROM rsig, (SELECT unnest(range(0, ${Dedup.NumBands})) AS b)),
+       |sig AS (SELECT doc_id, ${Dedup.minhashSigSqlExpr} AS mh FROM probe),
+       |pbands AS (SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+       |  FROM sig, (SELECT unnest(range(0, ${Dedup.NumBands})) AS b)),
+       |hits AS (
+       |  SELECT doc_id, CAST(count(DISTINCT p.b) AS BIGINT) AS n_bands_hit
+       |  FROM pbands p JOIN rbands r ON p.b = r.b AND p.band_key = r.band_key
+       |  GROUP BY doc_id)
+       |SELECT p.doc_id,
+       |  CAST(coalesce(h.n_bands_hit, 0) AS BIGINT) AS n_bands_hit,
+       |  coalesce(h.n_bands_hit, 0) = 0 AS keep
+       |FROM probe p LEFT JOIN hits h ON p.doc_id = h.doc_id""".stripMargin
+
   /** The registered query: register the benchmark slice (doc_id % 10
     * == 0, C15's stand-in suite) into a session temp registry ONCE
     * (the memoized-artifact convention — a released cache re-pays the
@@ -183,8 +392,14 @@ object EvalRegistry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> ((s, d) =>
-      decontaminateVsRegistry(s, Tables.documents(s, d), d)))
+      decontaminateVsRegistry(s, Tables.documents(s, d), d)),
+    "q_decontaminate_near" -> ((s, d) =>
+      decontaminateNearVsRegistry(s, Tables.documents(s, d), d)),
+    "q_decontaminate_near_lsh" -> ((s, d) =>
+      decontaminateNearLshVsRegistry(s, Tables.documents(s, d), d)))
 
   def oracle: Map[String, String] = Map(
-    "q_decontaminate" -> decontaminateSql)
+    "q_decontaminate" -> decontaminateSql,
+    "q_decontaminate_near" -> decontaminateNearSql,
+    "q_decontaminate_near_lsh" -> decontaminateNearLshSql)
 }

@@ -239,6 +239,24 @@ object RollupIndex {
     * folded state. Idempotent (refolding folded state is the identity
     * plus a version bump).
     */
+  /** [[foldPartials]] bracketed with the TakedownLog evidence
+    * discipline (r13): the receipt's `idsFound` counts the UNFOLDED
+    * partial rows the fold collapses (the merge-on-read debt being
+    * paid) and `bucketsRewritten` the state-table rewrite — so a
+    * maintenance sweep that folds a rollup leaves queryable evidence
+    * of what it did, like every other ops job here. The fold itself is
+    * unchanged: ledger rows preserved (replayed deltas still no-op),
+    * idempotent, optimistic-commit safe next to live appliers.
+    */
+  def foldPartialsReceipted(spark: SparkSession, path: String,
+                            shape: RollupShape = LineitemShape): TakedownReceipt =
+    Takedown.receipted(spark, path, statePath(path), "state",
+      idsRequested = 0L,
+      hit = col("row_kind") === RowPartial && col("delta_id") =!= FoldedId,
+      touched = None) {
+      foldPartials(spark, path, shape)
+    }
+
   def foldPartials(spark: SparkSession, path: String,
                    shape: RollupShape = LineitemShape): Unit =
     VersionedTable.replaceAll(spark, statePath(path),

@@ -75,8 +75,13 @@ object SftPrep {
           .cast("long").as("n_words"),
         md5(col("content")).as("content_md5"))
 
-  val dialogTurnsSql: String =
-    s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk,
+  /** The C97 parse as a reusable CTE chain ending in
+    * `turns(doc_id, turn_idx, role, n_words, content_md5)` — spliced
+    * (never copied) into every oracle that consumes parsed turns
+    * (C97/C101/C101b), the [[Dedup.candSqlCte]] discipline.
+    */
+  private val dialogTurnsCtes: String =
+    s"""b AS (SELECT doc_id, string_split(text, ' ') AS tk,
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
        |m AS (SELECT doc_id, $plantedTranscriptSql AS tr FROM b),
        |l AS (SELECT doc_id, u.i AS i, u.s AS line FROM (
@@ -88,13 +93,115 @@ object SftPrep {
        |p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS turn_idx,
        |  regexp_extract(line, '^(system|user|assistant): ', 1) AS tag,
        |  regexp_replace(line, '^(system|user|assistant): ', '') AS content
-       |  FROM l)
-       |SELECT doc_id, turn_idx,
+       |  FROM l),
+       |turns AS (SELECT doc_id, turn_idx,
        |  CASE WHEN tag <> '' THEN tag ELSE 'invalid' END AS role,
        |  CAST(len(list_filter(string_split(content, ' '), w -> w <> ''))
        |    AS BIGINT) AS n_words,
        |  md5(content) AS content_md5
-       |FROM p""".stripMargin
+       |FROM p)""".stripMargin
+
+  val dialogTurnsSql: String =
+    s"""WITH $dialogTurnsCtes
+       |SELECT doc_id, turn_idx, role, n_words, content_md5 FROM turns""".stripMargin
+
+  // ------------- C101: chat templating + loss masking (r13)
+
+  /** C101: the step between parsed turns (C97) and packed sequences
+    * (C25) — render each turn under the chat template and emit its
+    * TOKEN SPAN plus the loss mask: a turn occupies n_words + 2
+    * template tokens (role-open tag, content, end tag), spans are
+    * half-open [span_start, span_end) offsets into the doc's templated
+    * sequence, and only ASSISTANT turns train — n_train_tokens =
+    * content + end tag (the standard SFT masking rule: the model
+    * learns to produce the reply and to stop, never to parrot the
+    * prompt). Turns the parser flagged 'invalid' train NOTHING — damage
+    * must not leak into the loss.
+    *
+    * Scale: the running offset is a window PARTITIONED BY doc_id
+    * (conversation-sized partitions — a few turns each — never a
+    * corpus-wide ordering); everything else is a projection.
+    */
+  def chatTemplate(turns: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    turns
+      .select(col("doc_id"), col("turn_idx"), col("role"),
+        (col("n_words") + 2L).as("n_tok"),
+        when(col("role") === "assistant", col("n_words") + 1L)
+          .otherwise(lit(0L)).as("n_train_tokens"))
+      .withColumn("span_end", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("turn_idx"), col("role"),
+        (col("span_end") - col("n_tok")).as("span_start"),
+        col("span_end"), col("n_train_tokens"))
+  }
+
+  val chatTemplateSql: String =
+    s"""WITH $dialogTurnsCtes,
+       |sp AS (SELECT doc_id, turn_idx, role,
+       |  n_words + 2 AS n_tok,
+       |  CASE WHEN role = 'assistant' THEN n_words + 1 ELSE 0 END AS n_train
+       |  FROM turns),
+       |c AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY doc_id
+       |    ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_end
+       |  FROM sp)
+       |SELECT doc_id, turn_idx, role,
+       |  CAST(span_end - n_tok AS BIGINT) AS span_start, span_end,
+       |  CAST(n_train AS BIGINT) AS n_train_tokens
+       |FROM c""".stripMargin
+
+  /** C101b: the end-to-end SFT batch pipeline in ONE plan — the C28
+    * convention applied to post-training: parse transcripts (C97) →
+    * template + mask (C101) → pack whole conversations into token-
+    * budget bins per (lang, shard) stream (C25's fill rule). Each bin
+    * row carries n_train_tokens next to n_tokens — the number the loss
+    * actually sees, which is what an SFT run provisions by. Only
+    * doc_id-keyed joins, conversation-sized windows, one bounded
+    * per-shard running sum, one per-bin agg.
+    */
+  def sftBatches(documents: DataFrame, budget: Long = 512L,
+                 shards: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nShards = TextOps.resolvedShards(documents, shards)
+    val perDoc = chatTemplate(dialogTurns(documents, plantedTranscript))
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start")).as("n_tok"),
+        sum(col("n_train_tokens")).as("n_train"))
+      .join(documents.select("doc_id", "lang"), "doc_id")
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("bin_id", expr(s"(cum_tok - n_tok) DIV $budget"))
+      .groupBy("lang", "shard", "bin_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_train")).as("n_train_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  val sftBatchesSql: String =
+    s"""WITH $dialogTurnsCtes,
+       |docs AS (SELECT doc_id,
+       |  CAST(sum(n_words + 2) AS BIGINT) AS n_tok,
+       |  CAST(sum(CASE WHEN role = 'assistant' THEN n_words + 1 ELSE 0 END)
+       |    AS BIGINT) AS n_train
+       |  FROM turns GROUP BY doc_id),
+       |j AS (SELECT docs.doc_id, docs.n_tok, docs.n_train, d.lang,
+       |  docs.doc_id % 32 AS shard
+       |  FROM docs JOIN documents d ON docs.doc_id = d.doc_id),
+       |c AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY lang, shard
+       |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM j)
+       |SELECT lang, shard, (cum_tok - n_tok) // 512 AS bin_id,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_train) AS BIGINT) AS n_train_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY lang, shard, bin_id""".stripMargin
 
   // --------------------- C98: preference-pair construction (DPO prep)
 
@@ -183,10 +290,16 @@ object SftPrep {
     "q_dialog_turns" -> ((s, d) =>
       dialogTurns(Tables.documents(s, d), plantedTranscript)),
     "q_preference_pairs" -> ((s, d) => preferencePairs(Tables.documents(s, d))),
-    "q_fim_split" -> ((s, d) => fimSplit(Tables.documents(s, d))))
+    "q_fim_split" -> ((s, d) => fimSplit(Tables.documents(s, d))),
+    "q_chat_template" -> ((s, d) =>
+      chatTemplate(dialogTurns(Tables.documents(s, d), plantedTranscript))),
+    "q_sft_batches" -> ((s, d) =>
+      sftBatches(Tables.documents(s, d), shards = 32)))
 
   def oracle: Map[String, String] = Map(
     "q_dialog_turns" -> dialogTurnsSql,
     "q_preference_pairs" -> preferencePairsSql,
-    "q_fim_split" -> fimSplitSql)
+    "q_fim_split" -> fimSplitSql,
+    "q_chat_template" -> chatTemplateSql,
+    "q_sft_batches" -> sftBatchesSql)
 }

@@ -926,14 +926,19 @@ object TextOps {
     * retrain's stale tail rounds behind), so a retrain of any length
     * replaces it atomically under readers.
     */
-  def commitBpe(merges: DataFrame, path: String, buildV: Long = 0L): Unit = {
+  /** `sub`: which merge table the row lands in — "merges" (the char
+    * model) or "merges_bytes" (the byte model, r13): one bundle serves
+    * both tokenizers, each an atomically-replaced single-row model.
+    */
+  def commitBpe(merges: DataFrame, path: String, buildV: Long = 0L,
+                sub: String = "merges"): Unit = {
     val row = merges
       .agg(collect_list(
         struct(col("round"), col("left_sym"), col("right_sym"))).as("m"))
       .select(lit("model").as("id"), array_sort(col("m")).as("m"),
         lit(buildV).as("build_v"))
     graft.sources.Sinks.VersionedTable.mergeUpsert(
-      merges.sparkSession, s"$path/merges", row,
+      merges.sparkSession, s"$path/$sub", row,
       Seq("id"), "build_v", numBuckets = 1)
   }
 
@@ -945,7 +950,19 @@ object TextOps {
     * snapshot and reads per-table latest as before.
     */
   def loadBpeMerges(spark: SparkSession, path: String): Seq[(String, String)] =
-    graft.sources.Sinks.ArtifactSnapshot.read(spark, path, "merges")
+    loadMergesSub(spark, path, "merges")
+
+  /** The committed BYTE tokenizer (r13) — the bundle's second model;
+    * snapshot-resolved like [[loadBpeMerges]], ready for
+    * [[bpeEncodeBytesWith]]. Throws on a pre-r13 bundle with no byte
+    * table (re-run [[commitTokenizer]] to add it).
+    */
+  def loadBpeMergesBytes(spark: SparkSession, path: String): Seq[(String, String)] =
+    loadMergesSub(spark, path, "merges_bytes")
+
+  private def loadMergesSub(spark: SparkSession, path: String,
+                            sub: String): Seq[(String, String)] =
+    graft.sources.Sinks.ArtifactSnapshot.read(spark, path, sub)
       .select("m").head().getSeq[org.apache.spark.sql.Row](0)
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
@@ -1167,7 +1184,14 @@ object TextOps {
     * the exact signal a multilingual tokenizer budget review needs.
     */
   def fertilityBytes(documents: DataFrame, k: Int = BpeRounds): DataFrame =
-    bpeEncodeBytesWith(documents, collectByteMerges(documents, k), Seq("lang"))
+    fertilityBytesWith(documents, collectByteMerges(documents, k))
+
+  /** [[fertilityWith]]'s byte twin — the byte-fertility rollup against
+    * an EXPLICIT merge list (what the tokenizer bundle commits, r13).
+    */
+  private[graft] def fertilityBytesWith(documents: DataFrame,
+                                        merges: Seq[(String, String)]): DataFrame =
+    bpeEncodeBytesWith(documents, merges, Seq("lang"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1214,8 +1238,17 @@ object TextOps {
     * merges are bit-identical to a fresh train on the union corpus
     * without rescanning history.
     */
+  /** `byteMode` (r13): also train the BYTE tokenizer from the same
+    * merged vocab ([[bpeTrainBytesCommitted]] — symbolization is a
+    * train-time choice) and commit it as `merges_bytes` +
+    * `fertility_bytes` in the SAME root snapshot, so one committed unit
+    * serves both tokenizers and the pair can never tear apart across an
+    * extend. Default on; pass false to keep the pre-r13 char-only
+    * bundle (half the retrain cost).
+    */
   def commitTokenizer(documents: DataFrame, path: String, deltaId: String,
-                      k: Int = BpeRounds, minCount: Long = BpeMinCount): Unit = {
+                      k: Int = BpeRounds, minCount: Long = BpeMinCount,
+                      byteMode: Boolean = true): Unit = {
     val spark = documents.sparkSession
     commitBpeVocab(documents, path, deltaId)
     // buildV DERIVED from the vocab ledger's applied-delta count, never
@@ -1234,6 +1267,18 @@ object TextOps {
     graft.sources.Sinks.VersionedTable.mergeUpsert(spark, s"$path/fertility",
       fertilityWith(documents, mergeSeq).withColumn("build_v", lit(buildV)),
       Seq("lang"), "build_v", numBuckets = 4)
+    val byteSubs = if (!byteMode) Nil else {
+      val mergesB = bpeTrainBytesCommitted(spark, path, k, minCount)
+      commitBpe(mergesB, path, buildV, sub = "merges_bytes")
+      val mergeSeqB = mergesB.orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+      graft.sources.Sinks.VersionedTable.mergeUpsert(
+        spark, s"$path/fertility_bytes",
+        fertilityBytesWith(documents, mergeSeqB)
+          .withColumn("build_v", lit(buildV)),
+        Seq("lang"), "build_v", numBuckets = 4)
+      Seq("merges_bytes", "fertility_bytes")
+    }
     // the bundle's ROOT SNAPSHOT publishes LAST (the AnnIndex/DedupIndex
     // discipline): merges and fertility pin as the pair THIS commit
     // produced — a reader can no longer load retrained merges next to
@@ -1242,8 +1287,8 @@ object TextOps {
     // NOTE: a bare commitBpe deliberately does not refresh a bundle
     // snapshot — on a bundle path, mutate through commitTokenizer.
     graft.sources.Sinks.ArtifactSnapshot.commit(spark, path,
-      Seq("merges", "fertility", "vocab/state"),
-      refresh = Seq("merges", "fertility", "vocab/state"))
+      Seq("merges", "fertility", "vocab/state") ++ byteSubs,
+      refresh = Seq("merges", "fertility", "vocab/state") ++ byteSubs)
   }
 
   /** Ingest one more crawl into the bundle and retrain from the merged
@@ -1252,8 +1297,9 @@ object TextOps {
     * no-op (rollup ledger) and the retrain is deterministic.
     */
   def extendTokenizer(newDocs: DataFrame, path: String, deltaId: String,
-                      k: Int = BpeRounds, minCount: Long = BpeMinCount): Unit =
-    commitTokenizer(newDocs, path, deltaId, k, minCount)
+                      k: Int = BpeRounds, minCount: Long = BpeMinCount,
+                      byteMode: Boolean = true): Unit =
+    commitTokenizer(newDocs, path, deltaId, k, minCount, byteMode)
 
   /** True iff the bundle at `path` has a committed merges table — the
     * stream-start fail-fast probe (the [[EvalRegistry.isRegistered]]
@@ -1269,6 +1315,13 @@ object TextOps {
     * version (lang, n_docs, ws_tokens, bpe_tokens, fertility, build_v). */
   def loadTokenizerFertility(spark: SparkSession, path: String): DataFrame =
     graft.sources.Sinks.ArtifactSnapshot.read(spark, path, "fertility")
+      .select("lang", "n_docs", "ws_tokens", "bpe_tokens", "fertility", "build_v")
+
+  /** The BYTE tokenizer's committed per-lang fertility (r13) — same
+    * snapshot resolution, so merges_bytes and fertility_bytes always
+    * read as the pair one commit produced. */
+  def loadTokenizerFertilityBytes(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Sinks.ArtifactSnapshot.read(spark, path, "fertility_bytes")
       .select("lang", "n_docs", "ws_tokens", "bpe_tokens", "fertility", "build_v")
 
   /** Oracle: re-derive the merge table with [[bpeTrainSql]]'s CTE chain,

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, Embeddings, TextOps}
 import graft.sources.Tables
+import graft.streaming.EventStream
 
 /** Property tests for the LLM-data-pipeline operators (dedup, similarity,
   * text analysis) on sf0.001/sf0.01.
@@ -1696,6 +1697,58 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.loadBpeVocabPinned(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq == pinnedCounts,
       "the pinned read must stay on the counts the served merges trained on")
+    graft.GraftCache.releaseAll(spark)
+  }
+
+  test("tokenizer bundle BYTE mode: one committed unit serves char AND byte models; extend retrains both as train(union); byte fertility rides the committed byte merges (r13)") {
+    import spark.implicits._
+    graft.GraftCache.releaseAll(spark)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok-bytes").toString
+    val k = 24
+    TextOps.commitTokenizer(a, dir, "crawl-a", k)
+    // ONE bundle, TWO models: the byte merges equal a fresh byte train
+    val servedB = TextOps.loadBpeMergesBytes(spark, dir)
+    graft.GraftCache.releaseAll(spark)
+    val freshB = TextOps.bpeTrainBytes(a.select("doc_id", "text"), k).collect()
+      .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+    assert(servedB == freshB, "bundle byte merges must equal a fresh byte train")
+    assert(TextOps.loadBpeMerges(spark, dir) != servedB,
+      "char and byte models are genuinely distinct symbol alphabets")
+    // byte fertility was measured WITH the committed byte merges
+    val filedFertB = TextOps.loadTokenizerFertilityBytes(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val liveFertB = TextOps.fertilityBytesWith(a, servedB).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(filedFertB == liveFertB,
+      "committed byte fertility must ride the committed byte merges")
+    // extend retrains BOTH models to train(union)
+    graft.GraftCache.releaseAll(spark)
+    TextOps.extendTokenizer(b, dir, "crawl-b", k)
+    val extendedB = TextOps.loadBpeMergesBytes(spark, dir)
+    graft.GraftCache.releaseAll(spark)
+    val freshUnionB = TextOps.bpeTrainBytes(docs.select("doc_id", "text"), k)
+      .collect().map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+    assert(extendedB == freshUnionB,
+      "extend∘train must equal train(union) for the byte model too")
+    // the streaming byte encode serves the committed byte model
+    val viaBundle = EventStream
+      .streamingBpeEncodeBytesBundle(b.select("doc_id", "text"), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val viaFresh = TextOps.bpeEncodeBytesWith(b.select("doc_id", "text"), freshUnionB)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(viaBundle == viaFresh,
+      "the streaming byte encode must match the in-session union encoder")
+    // a char-only bundle refuses the byte serve loudly
+    val dirChar = java.nio.file.Files.createTempDirectory("graft-tok-char").toString
+    TextOps.commitTokenizer(a, dirChar, "crawl-a", k, byteMode = false)
+    intercept[IllegalArgumentException] {
+      EventStream.streamingBpeEncodeBytesBundle(b.select("doc_id", "text"), dirChar)
+    }
     graft.GraftCache.releaseAll(spark)
   }
 }
