@@ -215,6 +215,24 @@ object EvalRegistry {
   def nearTablePath(path: String): String = nearPath(path)
   def bandsTablePath(path: String): String = bandsPath(path)
 
+  /** [[loadNear]] at a PINNED manifest version — the pipeline-snapshot
+    * read path ([[loadAt]]'s near twin): refuses on a vacuumed version.
+    */
+  def loadNearAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val p = nearPath(path)
+    require(graft.sources.Sinks.VersionedTable.manifestExists(spark, p, version),
+      s"EvalRegistry.loadNearAt: pinned version $version no longer exists at " +
+        s"$p — retention outran the pin; re-pin to a recent snapshot")
+    graft.sources.Sinks.VersionedTable.read(spark, p, Some(version))
+      .select("h").distinct()
+  }
+
+  /** True iff the NEAR fingerprints are committed — the stream-start
+    * fail-fast probe for loops gating with [[decontaminateNear]]. */
+  def isNearRegistered(spark: SparkSession, path: String): Boolean =
+    graft.sources.Sinks.VersionedTable
+      .latestManifest(spark, nearPath(path)).isDefined
+
   /** Per-doc CONTAINMENT verdict: of the probe doc's distinct w=3
     * shingle hashes, how many are registered — contaminated when the
     * registered fraction reaches `keepPct` % (pure integer compare; a

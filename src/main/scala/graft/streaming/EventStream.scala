@@ -1101,6 +1101,13 @@ object EventStream {
     * mid-stream protects the NEXT batch, and the pipeline snapshot pins
     * the exact version each batch's verdicts used.
     */
+  /** `nearRegistryPath` (r13): gate admission with the C100 containment
+    * lens too — a PARAPHRASED benchmark passage (which the exact
+    * registry provably misses) is rejected before it can reach the
+    * corpus or the index. Requires `EvalRegistry.registerNear` on the
+    * path first (usually the registryPath itself — the near
+    * fingerprints are sub-tables beside the exact ones).
+    */
   def streamingCurationAdmission(docs: DataFrame, indexPath: String,
                                  lr: Array[Long], dsirKeepMin: Long,
                                  outPath: String, checkpoint: String,
@@ -1108,7 +1115,8 @@ object EventStream {
                                  registryPath: Option[String] = None,
                                  funnelLogPath: Option[String] = None,
                                  pipelinePath: Option[String] = None,
-                                 dsirPath: Option[String] = None): StreamingQuery = {
+                                 dsirPath: Option[String] = None,
+                                 nearRegistryPath: Option[String] = None): StreamingQuery = {
     // Fail fast at START, not in batch 0: with a registryPath set, every
     // micro-batch re-reads the registry, and an uncommitted table (stream
     // configured before the first register(), or a typo'd path) would
@@ -1127,6 +1135,13 @@ object EventStream {
           "table — call Dsir.commit(...) before starting the stream (or " +
           "omit dsirPath to gate with the in-memory lr array)")
     }
+    nearRegistryPath.foreach { np =>
+      require(graft.operators.EvalRegistry
+          .isNearRegistered(docs.sparkSession, np),
+        s"streamingCurationAdmission: nearRegistryPath=$np has no committed " +
+          "near fingerprints — call EvalRegistry.registerNear(...) before " +
+          "starting the stream (or omit nearRegistryPath)")
+    }
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -1135,7 +1150,8 @@ object EventStream {
           curationAdmitBatch(batch.toDF(), batchId, indexPath, lr,
             dsirKeepMin, outPath, compactEvery = compactEvery,
             registryPath = registryPath, funnelLogPath = funnelLogPath,
-            pipelinePath = pipelinePath, dsirPath = dsirPath)
+            pipelinePath = pipelinePath, dsirPath = dsirPath,
+            nearRegistryPath = nearRegistryPath)
       }
       .start()
   }
@@ -1154,9 +1170,16 @@ object EventStream {
     * DSIR floor -> optional decontamination. Returns (normalized,
     * preDecon, gated) — callers count/serve/join as they need.
     */
+  /** `registryNear` (r13): the C100 containment lens as a fourth gate —
+    * a lightly PARAPHRASED benchmark passage passes the exact lens
+    * (no 8-gram survives) but is caught here; gated AFTER the exact
+    * lens, BEFORE the dedup serve, for the same reason the exact lens
+    * is: a contaminated doc must never reach the extend.
+    */
   private def curationGateChain(batch: DataFrame, lrUsed: Array[Long],
                                 dsirKeepMin: Long,
-                                registry: Option[DataFrame])
+                                registry: Option[DataFrame],
+                                registryNear: Option[DataFrame] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     import graft.operators.{Curation, Dsir, EvalRegistry, Html, TextOps}
     val extracted = Html.htmlExtract(batch, col("html"))
@@ -1175,11 +1198,18 @@ object EventStream {
     // must never reach the extend (once indexed, later copies of the
     // benchmark would be rejected as dups of an admitted doc — the
     // verdict would look right while the corpus stayed poisoned).
-    val gated = registry match {
+    val gatedExact = registry match {
       case None => preDecon
       case Some(reg) =>
         preDecon.join(
           EvalRegistry.decontaminate(preDecon, reg)
+            .filter(col("keep")).select("doc_id"), "doc_id")
+    }
+    val gated = registryNear match {
+      case None => gatedExact
+      case Some(regN) =>
+        gatedExact.join(
+          EvalRegistry.decontaminateNear(gatedExact, regN)
             .filter(col("keep")).select("doc_id"), "doc_id")
     }
     (normalized, preDecon, gated)
@@ -1206,7 +1236,8 @@ object EventStream {
                          dsirKeepMin: Long,
                          registryPath: Option[String] = None,
                          dsirPath: Option[String] = None,
-                         fallbackLr: Array[Long] = Array.empty): DataFrame = {
+                         fallbackLr: Array[Long] = Array.empty,
+                         nearRegistryPath: Option[String] = None): DataFrame = {
     import graft.operators.{DedupIndex, Dsir, EvalRegistry}
     val spark = htmlBatch.sparkSession
     val snap = graft.sources.Sinks.PipelineSnapshot
@@ -1216,7 +1247,11 @@ object EventStream {
       .getOrElse(fallbackLr)
     val registry = registryPath.map(rp =>
       EvalRegistry.loadAt(spark, rp, snap.tablePin(EvalRegistry.tablePath(rp))))
-    val (_, _, gated) = curationGateChain(htmlBatch, lrUsed, dsirKeepMin, registry)
+    val registryNear = nearRegistryPath.map(np =>
+      EvalRegistry.loadNearAt(spark, np,
+        snap.tablePin(EvalRegistry.nearTablePath(np))))
+    val (_, _, gated) =
+      curationGateChain(htmlBatch, lrUsed, dsirKeepMin, registry, registryNear)
     val verdicts = DedupIndex.serveAt(gated.select("doc_id", "text"),
       indexPath,
       snap.servedGroupPin(indexPath).getOrElse(snap.groupPin(indexPath)))
@@ -1238,7 +1273,8 @@ object EventStream {
                                         registryPath: Option[String] = None,
                                         funnelLogPath: Option[String] = None,
                                         pipelinePath: Option[String] = None,
-                                        dsirPath: Option[String] = None): Unit = {
+                                        dsirPath: Option[String] = None,
+                                        nearRegistryPath: Option[String] = None): Unit = {
     import graft.operators.{DedupIndex, Dsir, EvalRegistry}
     graft.GraftCache.releaseCreatedDuring(batch.sparkSession) {
       // dependency versions captured AT READ and the reads pinned to
@@ -1263,8 +1299,16 @@ object EventStream {
       }
       val registry = registryPath.zip(regPin)
         .map { case (rp, v) => EvalRegistry.loadAt(batch.sparkSession, rp, v) }
+      val nearPin: Option[Long] = nearRegistryPath.map { np =>
+        graft.sources.Sinks.VersionedTable
+          .latestManifest(batch.sparkSession, EvalRegistry.nearTablePath(np))
+          .getOrElse(throw new IllegalStateException(
+            s"curationAdmitBatch: no committed near registry at $np"))._1
+      }
+      val registryNear = nearRegistryPath.zip(nearPin)
+        .map { case (np, v) => EvalRegistry.loadNearAt(batch.sparkSession, np, v) }
       val (_, preDecon, gated) =
-        curationGateChain(batch, lrUsed, dsirKeepMin, registry)
+        curationGateChain(batch, lrUsed, dsirKeepMin, registry, registryNear)
       // funnel gate counts are taken BEFORE the batch's effects so the
       // filed evidence describes exactly the frames the verdicts used
       // (counting after the effects leaves a window where concurrent
@@ -1272,8 +1316,10 @@ object EventStream {
       // r11 review)
       val funnelGates = funnelLogPath.map { _ =>
         val nPre = preDecon.count()
-        // without a registry, gated eq preDecon - don't re-scan for it
-        val nGated = if (registryPath.isEmpty) nPre else gated.count()
+        // without any registry, gated eq preDecon - don't re-scan for it
+        val nGated =
+          if (registryPath.isEmpty && nearRegistryPath.isEmpty) nPre
+          else gated.count()
         (batch.count(), nPre, nGated)
       }
       // the artifact is re-read EVERY batch on purpose: earlier
@@ -1329,6 +1375,8 @@ object EventStream {
           val tablePins: Map[String, Long] =
             (registryPath.zip(regPin)
               .map { case (rp, v) => graft.operators.EvalRegistry.tablePath(rp) -> v } ++
+             nearRegistryPath.zip(nearPin)
+              .map { case (np, v) => graft.operators.EvalRegistry.nearTablePath(np) -> v } ++
              dsirPath.zip(dsirPin)
               .map { case (dp, v) => Dsir.tablePath(dp) -> v }).toMap
           graft.sources.Sinks.PipelineSnapshot.publish(

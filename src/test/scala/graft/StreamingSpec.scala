@@ -2147,6 +2147,76 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bandCols.select("band_key").collect().forall(_.getString(0).length == 32))
   }
 
+  test("near-decontamination admission gate (r13): a PARAPHRASED benchmark doc passes the exact lens but is rejected by the near gate; the snapshot pins the near table and the audit replay reproduces the verdicts") {
+    import spark.implicits._
+    import graft.operators.{DedupIndex, Dsir, EvalRegistry, Html}
+    import graft.sources.Sinks.PipelineSnapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft-near-gate").toString
+    val lr = Array.fill(Dsir.NumBuckets)(Dsir.Scale)
+    // stopwords at positions 1 and 4 (never multiples of 7) so the
+    // PARAPHRASE still passes the quality gate's min-stopword rule
+    val benchWords = ("the alpha bravo and charlie delta echo foxtrot golf " +
+      "hotel india juliet kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango uniform victor whiskey xray yankee zulu").split(" ")
+    val benchText = benchWords.mkString(" ")
+    // the C100 paraphrase rule: drop every 7th token
+    val paraText = benchWords.zipWithIndex
+      .collect { case (w, i) if (i + 1) % 7 != 0 => w }.mkString(" ")
+    val novel = "a completely different novel page carrying plenty of its own words"
+    EvalRegistry.register(Seq((77L, benchText)).toDF("doc_id", "text"), s"$dir/reg")
+    EvalRegistry.registerNear(Seq((77L, benchText)).toDF("doc_id", "text"), s"$dir/reg")
+    def batch = Seq((1L, paraText), (2L, novel)).toDF("doc_id", "text")
+      .select(col("doc_id"), Html.plantedHtml.as("html"))
+    def admitted(out: String): Set[Long] =
+      if (new java.io.File(out).exists())
+        spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+      else Set.empty
+    // control: the exact lens ALONE admits the paraphrase — the gap
+    DedupIndex.build(Seq((900001L, "seed corpus alpha beta gamma"))
+      .toDF("doc_id", "text"), s"$dir/ix_ctl")
+    EventStream.curationAdmitBatch(batch, 0L, s"$dir/ix_ctl", lr, 0L,
+      s"$dir/out_ctl", registryPath = Some(s"$dir/reg"))
+    assert(admitted(s"$dir/out_ctl") == Set(1L, 2L),
+      "test premise: no 8-gram survives the drop, so C80 admits the paraphrase")
+    // with the near gate: the paraphrase is rejected, the novel admits
+    DedupIndex.build(Seq((900001L, "seed corpus alpha beta gamma"))
+      .toDF("doc_id", "text"), s"$dir/ix")
+    EventStream.curationAdmitBatch(batch, 0L, s"$dir/ix", lr, 0L,
+      s"$dir/out", registryPath = Some(s"$dir/reg"),
+      nearRegistryPath = Some(s"$dir/reg"),
+      pipelinePath = Some(s"$dir/pipeline"),
+      funnelLogPath = Some(s"$dir/funnel"))
+    assert(admitted(s"$dir/out") == Set(2L),
+      "the near gate must reject the paraphrase and admit the novel")
+    // the funnel shows the drop at the decontamination stage
+    val f = graft.operators.AdmissionLog.rollup(spark, s"$dir/funnel")
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(f("2_quality_dsir_kept") == 2L && f("3_decontaminated_kept") == 1L,
+      s"funnel must evidence the near drop: $f")
+    // the snapshot pins the near table; the audit replay reproduces
+    val snap = PipelineSnapshot.latest(spark, s"$dir/pipeline").get
+    assert(snap.tablePin(EvalRegistry.nearTablePath(s"$dir/reg")) >= 0L,
+      "the pipeline snapshot must pin the near registry version")
+    val verdicts = EventStream.curationVerdictsAt(batch, s"$dir/pipeline",
+      snap.version, s"$dir/ix", dsirKeepMin = 0L,
+      registryPath = Some(s"$dir/reg"), fallbackLr = lr,
+      nearRegistryPath = Some(s"$dir/reg"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(verdicts(1L) == ((false, "gated_out", false)),
+      s"the audit must re-derive the near rejection: $verdicts")
+    assert(verdicts(2L) == ((true, "new", true)),
+      s"the audit must re-derive the novel admission: $verdicts")
+    // a stream pointed at a near-less registry refuses at START
+    intercept[IllegalArgumentException] {
+      EventStream.streamingCurationAdmission(
+        spark.readStream.format("rate").load()
+          .select(col("value").as("doc_id"), lit("<p>x</p>").as("html")),
+        s"$dir/ix", lr, 0L, s"$dir/o2", s"$dir/ck2",
+        nearRegistryPath = Some(s"$dir/no_such_registry"))
+    }
+  }
+
   test("EQUIVALENCE: streaming decontamination gate against a committed registry == batch verdicts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
