@@ -328,6 +328,110 @@ object EvalRegistry {
     decontaminateNearLsh(nearProbes(documents), loadBands(spark, dir))
   }
 
+  // ---------------- C104: RETRO-decontamination verdicts (r13) --------
+  //
+  // The admission-time gates (C80 exact + C100 near) protect batches
+  // admitted AFTER a registry lands — but a registry update (a new
+  // benchmark registered, the near lens deployed after months of
+  // exact-only gating) leaves already-committed corpus docs
+  // unprotected. The retro sweep runs BOTH lenses over the committed
+  // corpus in one pass and hands the hits to the takedown machinery
+  // ([[graft.operators.Corpus.retroDecontaminate]]). This is the
+  // sweep's detection core, one definition shared by the job and the
+  // oracle-checked query so the two can never drift.
+
+  /** Combined per-doc verdict of both committed lenses, exact lens
+    * winning: (doc_id, n_shared, n_grams, n_hit, kind) with kind ∈
+    * 'exact' (shares a registered 8-gram) | 'near' (≥ keepPct % of its
+    * 3-grams registered) | 'clean'. `registryW3 = None` runs the exact
+    * lens alone (a pre-r13 registry without near fingerprints — the
+    * near columns then report 0 and 'near' never fires). Scale: both
+    * registries broadcast, the corpus streams once per lens, verdicts
+    * are keyed aggs — C80's shape, nothing pairwise.
+    */
+  def retroVerdicts(docs: DataFrame, registry: DataFrame,
+                    registryW3: Option[DataFrame],
+                    keepPct: Int = NearKeepPct): DataFrame = {
+    val exact = decontaminate(docs, registry)
+      .select(col("doc_id"), col("n_shared"))
+    val near = registryW3 match {
+      case Some(r) => decontaminateNear(docs, r, keepPct)
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          col("keep").as("near_keep"))
+      case None => docs.select(col("doc_id"), lit(0L).as("n_grams"),
+        lit(0L).as("n_hit"), lit(true).as("near_keep"))
+    }
+    exact.join(near, "doc_id")
+      .select(col("doc_id"), col("n_shared"), col("n_grams"), col("n_hit"),
+        when(col("n_shared") > 0, lit("exact"))
+          .when(!col("near_keep"), lit("near"))
+          .otherwise(lit("clean")).as("kind"))
+  }
+
+  /** One committed registry dir carrying BOTH lenses' fingerprints for
+    * the bench slice — the state a production registry is in after
+    * `register` + `registerNear` (memoized per session; a released
+    * cache re-pays the build on cold runs).
+    */
+  private def retroRegistryDir(spark: SparkSession, documents: DataFrame,
+                               key: String): String = {
+    val dirDf = graft.GraftCache.memoArtifact(spark, ("eval_registry_retro", key)) {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-evalregr").toString
+      val bench = documents.filter(col("doc_id") % 10 === 0)
+      register(bench, dir)
+      registerNear(bench, dir)
+      Seq(dir).toDF("dir")
+    }
+    dirDf.collect()(0).getString(0)
+  }
+
+  /** C104: the retro sweep's detection pass as a registered query — the
+    * corpus is the near-probe frame (train slice + paraphrased bench
+    * docs: exactly the docs an exact-only admission era let through),
+    * the registry carries both lenses. The paraphrases must come back
+    * 'near' (n_shared = 0 — the exact lens provably misses them), any
+    * verbatim overlap 'exact', the salted novels 'clean'.
+    */
+  def retroContaminatedVsRegistry(spark: SparkSession, documents: DataFrame,
+                                  key: String): DataFrame = {
+    val dir = retroRegistryDir(spark, documents, key)
+    retroVerdicts(nearProbes(documents), load(spark, dir),
+      Some(loadNear(spark, dir)))
+  }
+
+  val retroContaminatedSql: String =
+    s"""WITH $nearProbesSqlCtes,
+       |regx AS (SELECT DISTINCT
+       |    substr(md5(unnest(${TextOps.shinglesSqlExpr(W)})), 1, 16) AS h
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |shx AS (SELECT DISTINCT doc_id,
+       |    substr(md5(unnest(${TextOps.shinglesSqlExpr(W)})), 1, 16) AS h
+       |  FROM probe),
+       |hx AS (SELECT shx.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM shx JOIN regx USING (h) GROUP BY shx.doc_id),
+       |regn AS (SELECT DISTINCT
+       |    substr(md5(unnest(${TextOps.shinglesSqlExpr(WNear)})), 1, 16) AS h
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |shn AS (SELECT DISTINCT doc_id,
+       |    substr(md5(unnest(${TextOps.shinglesSqlExpr(WNear)})), 1, 16) AS h
+       |  FROM probe),
+       |sn AS (SELECT shn.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(count(regn.h) AS BIGINT) AS n_hit
+       |  FROM shn LEFT JOIN regn ON shn.h = regn.h GROUP BY shn.doc_id)
+       |SELECT p.doc_id,
+       |  CAST(coalesce(hx.n_shared, 0) AS BIGINT) AS n_shared,
+       |  CAST(coalesce(sn.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(sn.n_hit, 0) AS BIGINT) AS n_hit,
+       |  CASE WHEN coalesce(hx.n_shared, 0) > 0 THEN 'exact'
+       |       WHEN coalesce(sn.n_grams, 0) > 0
+       |         AND coalesce(sn.n_hit, 0) * 100 >=
+       |             $NearKeepPct * coalesce(sn.n_grams, 0)
+       |       THEN 'near' ELSE 'clean' END AS kind
+       |FROM probe p
+       |LEFT JOIN hx ON p.doc_id = hx.doc_id
+       |LEFT JOIN sn ON p.doc_id = sn.doc_id""".stripMargin
+
   private def nearProbesSqlCtes: String =
     s"""para AS (SELECT doc_id + 1000000 AS doc_id, $paraphraseSql AS text
        |  FROM documents WHERE doc_id % 10 = 0),
@@ -414,10 +518,13 @@ object EvalRegistry {
     "q_decontaminate_near" -> ((s, d) =>
       decontaminateNearVsRegistry(s, Tables.documents(s, d), d)),
     "q_decontaminate_near_lsh" -> ((s, d) =>
-      decontaminateNearLshVsRegistry(s, Tables.documents(s, d), d)))
+      decontaminateNearLshVsRegistry(s, Tables.documents(s, d), d)),
+    "q_retro_contaminated" -> ((s, d) =>
+      retroContaminatedVsRegistry(s, Tables.documents(s, d), d)))
 
   def oracle: Map[String, String] = Map(
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_near" -> decontaminateNearSql,
-    "q_decontaminate_near_lsh" -> decontaminateNearLshSql)
+    "q_decontaminate_near_lsh" -> decontaminateNearLshSql,
+    "q_retro_contaminated" -> retroContaminatedSql)
 }

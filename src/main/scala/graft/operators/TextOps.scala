@@ -1628,6 +1628,47 @@ object TextOps {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY lang, shard, bin_id""".stripMargin
 
+  /** C106: length-sorted inference batching (r13) — [[packSequences]]'
+    * SERVING-side twin. Batch inference (reward scoring, classifier
+    * sweeps, embedding backfills over the corpus) pads every sequence
+    * in a batch to the batch max, so random batching burns compute on
+    * pad tokens; the standard fix is sorting by length and batching
+    * consecutively, which this emits with the padding-waste telemetry
+    * (`pad_waste` = n_docs × max_tokens − sum_tokens) a capacity plan
+    * reads. Same scale shape as the packing family: the only window is
+    * a row_number per (lang, shard) stream — [[resolvedShards]] keeps
+    * each partition ~1/(4·cores) of a language's corpus — and the
+    * output is batch-level telemetry, O(docs / batchSize) rows.
+    */
+  def lengthBatches(documents: DataFrame, batchSize: Int = 16,
+                    shards: Int = 0): DataFrame = {
+    val nShards = resolvedShards(documents, shards)
+    val w = Window.partitionBy("lang", "shard").orderBy("n_tok", "doc_id")
+    documents
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        size(toks).cast("long").as("n_tok"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_idx", expr(s"CAST((rn - 1) DIV $batchSize AS BIGINT)"))
+      .groupBy("lang", "shard", "batch_idx")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        max(col("n_tok")).as("max_tokens"),
+        (max(col("n_tok")) * count(lit(1)) - sum(col("n_tok"))).as("pad_waste"))
+  }
+
+  val lengthBatchesSql: String =
+    """WITH t AS (SELECT doc_id, lang, doc_id % 32 AS shard,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang, shard
+      |  ORDER BY n_tok, doc_id) AS rn FROM t)
+      |SELECT lang, shard, CAST((rn - 1) // 16 AS BIGINT) AS batch_idx,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(max(n_tok) AS BIGINT) AS max_tokens,
+      |  CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS pad_waste
+      |FROM r GROUP BY lang, shard, batch_idx""".stripMargin
+
   /** C28: the end-to-end training-batch pipeline in ONE plan — what a
     * 100 TB run actually executes nightly: curate (dedup keepers ∩
     * quality ∩ mix sample), chunk the survivors into context windows,
@@ -2585,6 +2626,7 @@ object TextOps {
     "q_training_batches" -> ((s, d) => trainingBatches(Tables.documents(s, d), shards = 32)),
     "q_chunk_docs" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d), shards = 32)),
+    "q_length_batches" -> ((s, d) => lengthBatches(Tables.documents(s, d), shards = 32)),
     "q_dedup_incremental" -> ((s, d) => dedupIncremental(Tables.documents(s, d))),
     "q_oov_rate" -> ((s, d) => oovRate(Tables.documents(s, d))),
     "q_token_budget_mix" -> ((s, d) => tokenBudgetMix(Tables.documents(s, d))),
@@ -2631,6 +2673,7 @@ object TextOps {
     "q_training_batches" -> trainingBatchesSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_pack_sequences" -> packSequencesSql,
+    "q_length_batches" -> lengthBatchesSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_oov_rate" -> oovRateSql,
     "q_token_budget_mix" -> tokenBudgetMixSql,
