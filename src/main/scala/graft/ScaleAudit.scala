@@ -180,7 +180,7 @@ object ScaleAudit {
     // query of their own; anything else unknown is a typo and must fail
     // LOUDLY — a silently-dropped name would print "0 violations" for a
     // benchmark that never ran
-    val pseudoNames = Set("admission_loop", "media_admission_loop", "embedding_admission_loop", "semantic_admission_loop", "hotkey_dewindow", "bpe_vocab_loop", "takedown_loop")
+    val pseudoNames = Set("admission_loop", "media_admission_loop", "embedding_admission_loop", "semantic_admission_loop", "hotkey_dewindow", "bpe_vocab_loop", "takedown_loop", "retro_decon_loop")
     val unknown = names.filterNot(n =>
       SparkEntry.queries.contains(n) || pseudoNames.contains(n))
     if (unknown.nonEmpty) {
@@ -1246,6 +1246,87 @@ object ScaleAudit {
       }
       loadFlag(tFewBig > math.max(0.7 * tMany, tMany - 10.0),
         f"2-doc takedown costs like an all-buckets rewrite: $tFewBig%.2fs vs $tMany%.2fs")
+    }
+
+    // RETRO-decontamination backfill (r13): CorpusSpec's kill-point
+    // sweep covers crash-replay; this lens pins the SCALE shape on the
+    // mult× corpus. Three observables: (a) PRECISION at scale — the
+    // sweep over the whole scaled corpus hits EXACTLY the planted
+    // paraphrases (a detection lens whose false-positive rate grows
+    // with the corpus would mass-retract at 100 TB); (b) the takedown
+    // tail is HIT-bounded — job wall stays within a small factor of the
+    // detection-only wall (detection is the corpus-proportional part by
+    // design; tombstone + retract are takedown-request-sized); (c)
+    // replay determinism — the same jobId re-derives the identical
+    // report (the RAW-corpus detection contract) and the ledger holds.
+    if (names.contains("retro_decon_loop") || names == defaultQueries) {
+      import graft.operators.{Corpus, DedupIndex, EvalRegistry}
+      GraftCache.releaseAll(spark)
+      import spark.implicits._
+      val work = java.nio.file.Files.createTempDirectory("graft-scale-retro").toString
+      val docs = sources.Tables.documents(spark, out).select("doc_id", "text")
+      // catalog-sized bench suite with salted tokens (disjoint from the
+      // corpus vocabulary: zero background trigram overlap by design)
+      val bench = spark.range(1, 41)
+        .select((col("id") * 10000000L + 7L).as("doc_id"),
+          expr("array_join(transform(sequence(1, 30), " +
+            "i -> concat('rbench', CAST(id AS STRING), 'tok', CAST(i AS STRING))), ' ')")
+            .as("text"))
+      EvalRegistry.register(bench, s"$work/registry")
+      EvalRegistry.registerNear(bench, s"$work/registry")
+      // the corpus: the full scaled documents table + 3 PARAPHRASED
+      // bench docs (the exact-only-era leak the retro sweep exists for)
+      val para = bench.limit(3)
+        .select((col("doc_id") + 1L).as("doc_id"),
+          EvalRegistry.paraphrase.as("text")).persist()
+      val paraIds = para.select("doc_id").collect().map(_.getLong(0)).toSet
+      val cp = s"$work/corpus"
+      docs.unionByName(para).write.mode("append").parquet(cp)
+      DedupIndex.build(
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 0L).unionByName(para),
+        s"$work/index")
+      // detection-only wall: the corpus-proportional floor
+      val t0 = System.nanoTime()
+      val det = EvalRegistry.retroVerdicts(
+        spark.read.parquet(cp).select("doc_id", "text").dropDuplicates("doc_id"),
+        EvalRegistry.load(spark, s"$work/registry"),
+        Some(EvalRegistry.loadNear(spark, s"$work/registry")))
+        .filter(col("kind") =!= "clean").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      val tDet = (System.nanoTime() - t0) / 1e9
+      if (det != paraIds) {
+        bad += 1
+        println("[scale] FAIL retro lens: detection at scale is not exact — " +
+          s"expected hits $paraIds, got ${det.size} " +
+          s"(false positives/negatives grow with the corpus)")
+      }
+      val t1 = System.nanoTime()
+      val rep = Corpus.retroDecontaminate(spark, cp, s"$work/registry",
+        "scale-retro", indexPath = Some(s"$work/index"),
+        logPath = Some(s"$work/tdlog"), asOfUs = 1L)
+      val tJob = (System.nanoTime() - t1) / 1e9
+      if (rep.tombstoned != 3L || rep.exactHits != 0L || rep.nearHits != 3L) {
+        bad += 1
+        println(s"[scale] FAIL retro lens: job verdicts drifted from the " +
+          s"detection core: $rep")
+      }
+      val ledgerN = graft.operators.TakedownLog
+        .read(spark, s"$work/tdlog").count()
+      val rep2 = Corpus.retroDecontaminate(spark, cp, s"$work/registry",
+        "scale-retro", indexPath = Some(s"$work/index"),
+        logPath = Some(s"$work/tdlog"), asOfUs = 1L)
+      if ((rep2.scanned, rep2.nearHits, rep2.tombstoned) !=
+          (rep.scanned, rep.nearHits, rep.tombstoned) ||
+        graft.operators.TakedownLog.read(spark, s"$work/tdlog").count() != ledgerN) {
+        bad += 1
+        println(s"[scale] FAIL retro lens: replay not deterministic — " +
+          s"$rep2 vs $rep (or the ledger double-filed)")
+      }
+      para.unpersist()
+      println(f"[scale] retro decon loop: detect $tDet%.2fs  job $tJob%.2fs  " +
+        s"scanned ${rep.scanned} hits ${rep.tombstoned}")
+      loadFlag(tJob > math.max(3.0 * tDet, tDet + 15.0),
+        f"retro takedown tail not hit-bounded: job $tJob%.2fs vs detect $tDet%.2fs")
     }
 
     // Committed BPE vocab across many crawls (round-11): training from
