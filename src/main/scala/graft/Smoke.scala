@@ -297,6 +297,45 @@ object Smoke {
     require(asOf0 == "new" && asOfNow == "exact",
       "the pinned audit serve must re-draw the pre-extend verdict")
 
+    // 17. corpus compliance surface (r13): a registry update reaches
+    // back into the committed corpus — the retro sweep forgets the
+    // paraphrased benchmark leak, readers stop seeing it (merge-on-read
+    // tombstones, raw files untouched), its index slot re-opens, and
+    // the registry gate is what rejects the content from then on
+    val compDir = java.nio.file.Files.createTempDirectory("graft-smoke-comp").toString
+    val compBench = Seq((100L, (1 to 30).map(t => s"smokebench$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    graft.operators.EvalRegistry.register(compBench, s"$compDir/registry")
+    graft.operators.EvalRegistry.registerNear(compBench, s"$compDir/registry")
+    val compPara = compBench.select((col("doc_id") + 1L).as("doc_id"),
+      graft.operators.EvalRegistry.paraphrase.as("text"))
+    val compCorpus = Seq((1L, "an ordinary novel page about nothing"))
+      .toDF("doc_id", "text").unionByName(compPara)
+    compCorpus.write.mode("append").parquet(s"$compDir/corpus")
+    graft.operators.DedupIndex.build(compCorpus, s"$compDir/index")
+    val retro = graft.operators.Corpus.retroDecontaminate(spark,
+      s"$compDir/corpus", s"$compDir/registry", "smoke-retro",
+      indexPath = Some(s"$compDir/index"), logPath = Some(s"$compDir/tdlog"),
+      asOfUs = 1L)
+    val compKept = graft.operators.Corpus.read(spark, s"$compDir/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val compRaw = spark.read.parquet(s"$compDir/corpus").count()
+    val paraText = compPara.head().getString(1)
+    val compServe = graft.operators.DedupIndex.serve(
+      Seq((999L, paraText)).toDF("doc_id", "text"), s"$compDir/index")
+      .head().getString(1)
+    val compGate = graft.operators.EvalRegistry.decontaminateNear(
+      Seq((999L, paraText)).toDF("doc_id", "text"),
+      graft.operators.EvalRegistry.loadNear(spark, s"$compDir/registry"))
+      .head().getAs[Boolean]("keep")
+    println(s"[smoke] retro decontamination: scanned=${retro.scanned} " +
+      s"near=${retro.nearHits} kept=$compKept raw=$compRaw " +
+      s"serve=$compServe registry_keep=$compGate")
+    require(retro.nearHits == 1L && compKept == Set(1L) && compRaw == 2L &&
+      compServe == "new" && !compGate,
+      "retro sweep must forget the paraphrase, keep the files, re-open " +
+        "the index slot, and leave the registry gate as the backstop")
+
     println("[smoke] OK")
     spark.stop()
   }
