@@ -605,6 +605,66 @@ object Curation {
        |    IN ('MIT', 'Apache-2.0', 'MIT-text', 'Apache-text') AS keep
        |FROM d""".stripMargin
 
+  // --------------------------- C107: code-quality filters (r13)
+
+  /** C107: code-file quality filters — the curation stage between C96's
+    * license gate and training for a code corpus (The Stack /
+    * StarCoder's structural filters): per file, line-shape stats
+    * (non-empty line count, max and total line length), comment-line
+    * count, and alphanumeric density, with the keep verdict under the
+    * standard thresholds (max line ≤ 1000 chars — minified/generated
+    * files; mean line ≤ 100 chars and alnum ≥ 25% — data blobs and
+    * binary-ish text masquerading as code). All arithmetic is exact
+    * integers (mean-line-length as `sum ≤ 100 × n_lines`, density as
+    * `alnum × 100 ≥ 25 × chars` — no float thresholds to drift across
+    * engines). Pure map-side array/regexp work over each file: zero
+    * shuffle, scan-speed at 100 TB next to C95/C96.
+    */
+  def codeQuality(documents: DataFrame,
+                  code: org.apache.spark.sql.Column): DataFrame = {
+    val lines = filter(split(col("code"), "\n"), l => l =!= lit(""))
+    documents
+      .select(col("doc_id"), code.as("code"))
+      .select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        array_max(transform(lines, l => length(l))).cast("long")
+          .as("max_line_len"),
+        aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+          .as("sum_line_chars"),
+        size(filter(lines, l => trim(l).startsWith("//"))).cast("long")
+          .as("n_comment_lines"),
+        length(regexp_replace(col("code"), "[^A-Za-z0-9]", "")).cast("long")
+          .as("n_alnum"),
+        length(col("code")).cast("long").as("n_chars"))
+      .withColumn("keep",
+        col("max_line_len") <= 1000L &&
+          col("sum_line_chars") <= lit(100L) * col("n_lines") &&
+          col("n_alnum") * 100L >= lit(25L) * col("n_chars"))
+  }
+
+  val codeQualitySql: String =
+    s"""WITH c AS (SELECT doc_id, $plantedCodeFileSql AS code FROM documents),
+       |l AS (SELECT doc_id, code,
+       |  list_filter(string_split(code, chr(10)), x -> x <> '') AS lines
+       |  FROM c),
+       |s AS (SELECT doc_id,
+       |  CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(list_aggregate(list_transform(lines, x -> len(x)), 'max')
+       |    AS BIGINT) AS max_line_len,
+       |  CAST(list_aggregate(list_transform(lines, x -> len(x)), 'sum')
+       |    AS BIGINT) AS sum_line_chars,
+       |  CAST(len(list_filter(lines, x -> trim(x) LIKE '//%'))
+       |    AS BIGINT) AS n_comment_lines,
+       |  CAST(len(regexp_replace(code, '[^A-Za-z0-9]', '', 'g'))
+       |    AS BIGINT) AS n_alnum,
+       |  CAST(len(code) AS BIGINT) AS n_chars
+       |  FROM l)
+       |SELECT doc_id, n_lines, max_line_len, sum_line_chars,
+       |  n_comment_lines, n_alnum, n_chars,
+       |  (max_line_len <= 1000 AND sum_line_chars <= 100 * n_lines
+       |    AND n_alnum * 100 >= 25 * n_chars) AS keep
+       |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_normalize" -> ((s, d) =>
       textNormalize(Tables.documents(s, d), plantedDirty)),
@@ -616,7 +676,9 @@ object Curation {
     "q_code_extract" -> ((s, d) =>
       codeFenceExtract(Tables.documents(s, d), plantedMarkdown)),
     "q_license_scan" -> ((s, d) =>
-      licenseScan(Tables.documents(s, d), plantedCodeFile)))
+      licenseScan(Tables.documents(s, d), plantedCodeFile)),
+    "q_code_quality" -> ((s, d) =>
+      codeQuality(Tables.documents(s, d), plantedCodeFile)))
 
   def oracle: Map[String, String] = Map(
     "q_text_normalize" -> textNormalizeSql,
@@ -625,5 +687,6 @@ object Curation {
     "q_host_split" -> hostSplitSql(),
     "q_mojibake_repair" -> mojibakeRepairSql,
     "q_code_extract" -> codeFenceExtractSql,
-    "q_license_scan" -> licenseScanSql)
+    "q_license_scan" -> licenseScanSql,
+    "q_code_quality" -> codeQualitySql)
 }
