@@ -144,9 +144,14 @@ object Corpus {
 
   /** [[retroDecontaminate]]'s report: `scanned` corpus docs swept (one
     * verdict per doc), hits by lens, `tombstoned` = the forgotten doc
-    * count (0 = clean corpus, nothing filed). */
+    * count (0 = clean corpus, nothing filed), and the registry manifest
+    * versions the detection actually read (`nearRegistryV` −1 when the
+    * registry carries no near fingerprints) — the dsirPin/regPin
+    * capture-at-read discipline, so the sweep's evidence names its
+    * inputs. */
   final case class RetroReport(scanned: Long, exactHits: Long,
                                nearHits: Long, tombstoned: Long,
+                               registryV: Long, nearRegistryV: Long,
                                receipts: Seq[TakedownReceipt])
 
   /** Hit-list ceiling: a retro sweep whose hits are corpus-shaped means
@@ -198,12 +203,24 @@ object Corpus {
     // RAW scan on purpose — see the crash-replay note above
     val corpus = spark.read.parquet(corpusPath)
       .select("doc_id", "text").dropDuplicates("doc_id")
-    val nearReg =
+    // registry versions captured AT READ and both lens loads pinned to
+    // them (the admission loops' dsirPin/regPin discipline): a
+    // re-register landing mid-job can neither tear the exact lens from
+    // the near lens nor leave the report unable to name its inputs
+    val regV: Long = VersionedTable
+      .latestManifest(spark, EvalRegistry.tablePath(registryPath)).get._1
+    val nearV: Long =
       if (EvalRegistry.isNearRegistered(spark, registryPath))
-        Some(EvalRegistry.loadNear(spark, registryPath))
+        VersionedTable.latestManifest(spark,
+          EvalRegistry.nearTablePath(registryPath)).get._1
+      else -1L
+    val nearReg =
+      if (nearV >= 0)
+        Some(EvalRegistry.loadNearAt(spark, registryPath, nearV))
       else None
     val verdicts = EvalRegistry.retroVerdicts(corpus,
-      EvalRegistry.load(spark, registryPath), nearReg, keepPct).persist()
+      EvalRegistry.loadAt(spark, registryPath, regV), nearReg, keepPct)
+      .persist()
     try {
       val scanned = verdicts.count()
       val byKind = verdicts.filter(col("kind") =!= "clean")
@@ -229,7 +246,8 @@ object Corpus {
           "3_near_hits" -> nNear,
           "4_tombstoned" -> hits.size.toLong))
       }
-      RetroReport(scanned, nExact, nNear, hits.size.toLong, receipts)
+      RetroReport(scanned, nExact, nNear, hits.size.toLong, regV, nearV,
+        receipts)
     } finally verdicts.unpersist()
   }
 }

@@ -139,6 +139,9 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep.scanned == (paraIds.size + novelIds.size).toLong)
     assert(rep.exactHits == 0L && rep.nearHits == paraIds.size.toLong &&
       rep.tombstoned == paraIds.size.toLong, s"report: $rep")
+    // the report names the registry versions the detection read (the
+    // capture-at-read discipline)
+    assert(rep.registryV >= 0L && rep.nearRegistryV >= 0L, s"report: $rep")
     val kept = Corpus.read(spark, cp).select("doc_id").collect()
       .map(_.getLong(0)).toSet
     assert(kept == novelIds.toSet, s"novels kept, paraphrases gone: $kept")
