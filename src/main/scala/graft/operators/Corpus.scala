@@ -71,13 +71,18 @@ object Corpus {
     * at-least-once discipline (dedup by (batch_id, doc_id)); this
     * removes docs, never rows-within-a-doc.
     */
-  def read(spark: SparkSession, corpusPath: String): DataFrame = {
+  /** `idCol`: the corpus's id column — "doc_id" for the text loops,
+    * "media_id" for the media loops (the tombstone table itself always
+    * stores `doc_id`; the read renames for the anti-join). */
+  def read(spark: SparkSession, corpusPath: String,
+           idCol: String = "doc_id"): DataFrame = {
     val raw = spark.read.parquet(corpusPath)
     VersionedTable.latestManifest(spark, tombstonesPath(corpusPath)) match {
       case None => raw
       case Some(_) => raw.join(
-        broadcast(tombstones(spark, corpusPath).select("doc_id").distinct()),
-        Seq("doc_id"), "left_anti")
+        broadcast(tombstones(spark, corpusPath)
+          .select(col("doc_id").as(idCol)).distinct()),
+        Seq(idCol), "left_anti")
     }
   }
 
@@ -93,14 +98,15 @@ object Corpus {
     */
   def tombstone(spark: SparkSession, corpusPath: String, docIds: Seq[Long],
                 jobId: String, reason: String,
-                asOfUs: Long = 0L): TakedownReceipt = {
+                asOfUs: Long = 0L,
+                idCol: String = "doc_id"): TakedownReceipt = {
     require(docIds.nonEmpty, "Corpus.tombstone: empty takedown list")
     val ids = docIds.toSet
     val tp = tombstonesPath(corpusPath)
     val (oldV, oldMap) = VersionedTable.latestManifest(spark, tp)
       .getOrElse((-1L, Map.empty[Int, String]))
     val found = spark.read.parquet(corpusPath)
-      .filter(col("doc_id").isInCollection(ids)).count()
+      .filter(col(idCol).isInCollection(ids)).count()
     import spark.implicits._
     VersionedTable.mergeUpsert(spark, tp,
       docIds.toDF("doc_id")

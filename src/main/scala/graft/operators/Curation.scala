@@ -665,6 +665,131 @@ object Curation {
        |    AND n_alnum * 100 >= 25 * n_chars) AS keep
        |FROM s""".stripMargin
 
+  // ------------------- C108: code-corpus pipeline composition (r13)
+
+  /** Deterministically planted repo file for the composition query: a
+    * license header cycling MIT / Apache-2.0 / GPL-3.0 / none on
+    * doc_id, over a code body SHARED BY THE DOC'S DECADE (the same
+    * vendored file under different headers in ten repos — the case the
+    * dedup stage exists for), plus a minified 1200-char blob line on
+    * every 7th doc (the file the quality gate exists for). Every stage
+    * of the pipeline discriminates at every SF.
+    */
+  private[graft] def plantedRepoHeader: Column =
+    when(pmod(col("doc_id"), lit(5L)) === 0L,
+      lit("// SPDX-License-Identifier: MIT\n"))
+      .when(pmod(col("doc_id"), lit(5L)) === 1L,
+        lit("// SPDX-License-Identifier: Apache-2.0\n"))
+      .when(pmod(col("doc_id"), lit(5L)) === 2L,
+        lit("// SPDX-License-Identifier: GPL-3.0\n"))
+      .otherwise(lit(""))
+
+  private[graft] def plantedRepoContent: Column = concat(
+    expr("array_join(transform(sequence(1, 8), " +
+      "i -> concat('code', CAST(doc_id - doc_id % 10 AS STRING), " +
+      "'line', CAST(i AS STRING))), '\n')"),
+    when(pmod(col("doc_id"), lit(7L)) === 0L,
+      concat(lit("\n"), expr("repeat('x', 1200)"))).otherwise(lit("")))
+
+  /** C108: The Stack / StarCoder end-to-end code-corpus prep in ONE
+    * plan — the C28 composition discipline applied to code: license
+    * gate ([[licenseScan]], permissive-only) → structural quality gate
+    * ([[codeQuality]]) → exact content dedup ACROSS repos (same
+    * vendored file under different license headers collapses to its
+    * lowest doc_id — dedup keys on the content md5, header excluded,
+    * exactly the real pipeline's post-extraction dedup). The stages are
+    * the REGISTERED operators, not re-implementations, so the composed
+    * verdicts can never drift from the per-stage queries. Output one
+    * row per file: per-gate verdicts, the dup-group keeper (−1 when a
+    * gate already dropped the file), and the final kept bit.
+    *
+    * Scale shape: both gates are map-side scans; the dedup is ONE
+    * md5-keyed groupBy + join-back (the C1 two-phase shape — never a
+    * window over a content fingerprint), bounded by distinct bodies.
+    */
+  def codeCorpus(documents: DataFrame): DataFrame = {
+    val file = concat(plantedRepoHeader, plantedRepoContent)
+    val lic = licenseScan(documents, file)
+      .select(col("doc_id"), col("license"),
+        col("keep").as("keep_license"))
+    val qual = codeQuality(documents, file)
+      .select(col("doc_id"), col("keep").as("keep_quality"))
+    val verdicts = documents
+      .select(col("doc_id"), md5(plantedRepoContent).as("fp"))
+      .join(lic, "doc_id").join(qual, "doc_id")
+    val keepers = verdicts
+      .filter(col("keep_license") && col("keep_quality"))
+      .groupBy("fp").agg(min("doc_id").as("keep_id"))
+    // keeper table is bounded by DISTINCT bodies, not files — still
+    // corpus-proportional at crawl scale, so no broadcast hint: the
+    // equi-join shuffles on the fingerprint and AQE splits a hot body
+    // (the boilerplate-file case)
+    verdicts.join(keepers, Seq("fp"), "left")
+      .select(col("doc_id"), col("license"), col("keep_license"),
+        col("keep_quality"),
+        coalesce(
+          when(col("keep_license") && col("keep_quality"), col("keep_id")),
+          lit(-1L)).as("keep_id"))
+      .withColumn("kept", col("keep_id") === col("doc_id"))
+  }
+
+  val codeCorpusSql: String =
+    """WITH f AS (SELECT doc_id,
+      |  CASE CAST(doc_id % 5 AS INTEGER)
+      |    WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+      |    WHEN 1 THEN '// SPDX-License-Identifier: Apache-2.0' || chr(10)
+      |    WHEN 2 THEN '// SPDX-License-Identifier: GPL-3.0' || chr(10)
+      |    ELSE '' END AS header,
+      |  array_to_string(list_transform(range(1, 9),
+      |    i -> 'code' || CAST(doc_id - doc_id % 10 AS VARCHAR) ||
+      |         'line' || CAST(i AS VARCHAR)), chr(10)) ||
+      |  CASE WHEN doc_id % 7 = 0 THEN chr(10) || repeat('x', 1200)
+      |       ELSE '' END AS content
+      |  FROM documents),
+      |c AS (SELECT doc_id, header || content AS code, content FROM f),
+      |lic AS (SELECT doc_id,
+      |  CASE WHEN regexp_extract(code,
+      |         'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1) <> ''
+      |       THEN regexp_extract(code,
+      |         'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1)
+      |       WHEN contains(code, 'Permission is hereby granted')
+      |       THEN 'MIT-text'
+      |       WHEN contains(code, 'Licensed under the Apache License')
+      |       THEN 'Apache-text'
+      |       ELSE 'none' END AS license
+      |  FROM c),
+      |licv AS (SELECT doc_id, license,
+      |  license IN ('MIT', 'Apache-2.0', 'MIT-text', 'Apache-text')
+      |    AS keep_license FROM lic),
+      |ql AS (SELECT doc_id,
+      |  list_filter(string_split(code, chr(10)), x -> x <> '') AS lines,
+      |  code FROM c),
+      |qs AS (SELECT doc_id,
+      |  CAST(len(lines) AS BIGINT) AS n_lines,
+      |  CAST(list_aggregate(list_transform(lines, x -> len(x)), 'max')
+      |    AS BIGINT) AS max_line_len,
+      |  CAST(list_aggregate(list_transform(lines, x -> len(x)), 'sum')
+      |    AS BIGINT) AS sum_line_chars,
+      |  CAST(len(regexp_replace(code, '[^A-Za-z0-9]', '', 'g'))
+      |    AS BIGINT) AS n_alnum,
+      |  CAST(len(code) AS BIGINT) AS n_chars
+      |  FROM ql),
+      |qualv AS (SELECT doc_id,
+      |  (max_line_len <= 1000 AND sum_line_chars <= 100 * n_lines
+      |    AND n_alnum * 100 >= 25 * n_chars) AS keep_quality FROM qs),
+      |v AS (SELECT f.doc_id, md5(f.content) AS fp, licv.license,
+      |  licv.keep_license, qualv.keep_quality
+      |  FROM f JOIN licv ON f.doc_id = licv.doc_id
+      |         JOIN qualv ON f.doc_id = qualv.doc_id),
+      |k AS (SELECT fp, min(doc_id) AS keep_id FROM v
+      |  WHERE keep_license AND keep_quality GROUP BY fp)
+      |SELECT v.doc_id, v.license, v.keep_license, v.keep_quality,
+      |  CAST(coalesce(CASE WHEN v.keep_license AND v.keep_quality
+      |    THEN k.keep_id END, -1) AS BIGINT) AS keep_id,
+      |  coalesce(CASE WHEN v.keep_license AND v.keep_quality
+      |    THEN k.keep_id END, -1) = v.doc_id AS kept
+      |FROM v LEFT JOIN k ON v.fp = k.fp""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_normalize" -> ((s, d) =>
       textNormalize(Tables.documents(s, d), plantedDirty)),
@@ -678,7 +803,8 @@ object Curation {
     "q_license_scan" -> ((s, d) =>
       licenseScan(Tables.documents(s, d), plantedCodeFile)),
     "q_code_quality" -> ((s, d) =>
-      codeQuality(Tables.documents(s, d), plantedCodeFile)))
+      codeQuality(Tables.documents(s, d), plantedCodeFile)),
+    "q_code_corpus" -> ((s, d) => codeCorpus(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
     "q_text_normalize" -> textNormalizeSql,
@@ -688,5 +814,6 @@ object Curation {
     "q_mojibake_repair" -> mojibakeRepairSql,
     "q_code_extract" -> codeFenceExtractSql,
     "q_license_scan" -> licenseScanSql,
-    "q_code_quality" -> codeQualitySql)
+    "q_code_quality" -> codeQualitySql,
+    "q_code_corpus" -> codeCorpusSql)
 }

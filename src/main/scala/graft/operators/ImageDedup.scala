@@ -203,14 +203,13 @@ object ImageDedup {
     BandedPairs.pairs(imagePhash(documents), "doc_id", "phash",
       NumBands, BandBits, HammingThreshold)
 
-  /** Oracle: the same pixel function, hash, banding, and verify in pure
-    * SQL — candidate dedup via DISTINCT instead of the first-equal-band
-    * projection (same pair set).
-    */
-  val imagePhashPairsSql: String = {
+  /** The pixel-function → luma → 64-bit-hash CTE chain, shared by the
+    * pairs oracle and the registry-scan oracle (ends with `h(doc_id,
+    * phash)`). */
+  private val phashCtesSql: String = {
     val hex2 = TextOps.hexPrefixValSql(
       s"md5('img_' || CAST(doc_id % $NumGroups AS VARCHAR) || '_' || CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR))", 2)
-    s"""WITH cells AS (
+    s"""cells AS (
        |  SELECT doc_id, x, y, y * $ImgDim + x AS idx
        |  FROM documents, range(0, $ImgDim) rx(x), range(0, $ImgDim) ry(y)),
        |px AS (
@@ -227,14 +226,92 @@ object ImageDedup {
        |  FROM px JOIN tot ON px.doc_id = tot.doc_id),
        |h AS (
        |  SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS phash
-       |  FROM bits GROUP BY 1),
-       |${BandedPairs.pairsSqlTail("h", "phash", ImgDim * ImgDim,
-            NumBands, BandBits, HammingThreshold)}""".stripMargin
+       |  FROM bits GROUP BY 1)""".stripMargin
   }
 
+  /** Oracle: the same pixel function, hash, banding, and verify in pure
+    * SQL — candidate dedup via DISTINCT instead of the first-equal-band
+    * projection (same pair set).
+    */
+  val imagePhashPairsSql: String =
+    s"""WITH $phashCtesSql,
+       |${BandedPairs.pairsSqlTail("h", "phash", ImgDim * ImgDim,
+            NumBands, BandBits, HammingThreshold)}""".stripMargin
+
+  /** C109: media HASH-LIST registry scan — the compliance primitive
+    * every media pipeline runs (an NCMEC-style banned-hash-list check,
+    * as a query): a registry of banned perceptual hashes (fingerprints
+    * ONLY — the banned payloads never ship, the EvalRegistry
+    * leak-safety rule) is probed against the corpus's image hashes
+    * with the SAME banded Hamming machinery the dedup path uses; one
+    * verdict row per corpus image (matched, lowest matching banned id,
+    * min hamming). Banned slice = doc_id % 100 < 10, probes the rest —
+    * probes with doc_id % 100 in 50..59 share pixel groups with banned
+    * images (near-dup plants), everything else is clean. Scale: the
+    * registry is hash-list-sized and its banded side is
+    * occupancy-capped; the corpus streams once through the banded
+    * probe join — never all-pairs.
+    */
+  def mediaRegistryScan(documents: DataFrame): DataFrame = {
+    val fps = imagePhash(documents)
+    val banned = fps.filter(pmod(col("doc_id"), lit(100L)) < 10L)
+      .select(col("doc_id").as("banned_id"), col("phash"))
+    val probes = fps.filter(pmod(col("doc_id"), lit(100L)) >= 10L)
+    val hits = BandedPairs.probeJoin(probes, "doc_id", banned, "banned_id",
+      "phash", NumBands, BandBits, HammingThreshold)
+      .groupBy("doc_id")
+      .agg(min(col("banned_id")).as("mid"),
+        min(col("hamming")).as("mham"))
+    probes.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("mid").isNotNull.as("matched"),
+        coalesce(col("mid"), lit(-1L)).as("match_id"),
+        coalesce(col("mham"), lit(-1L)).as("min_hamming"))
+  }
+
+  val mediaRegistryScanSql: String =
+    s"""WITH $phashCtesSql,
+       |reg AS (SELECT doc_id AS banned_id, phash FROM h WHERE doc_id % 100 < 10),
+       |probe AS (SELECT doc_id, phash FROM h WHERE doc_id % 100 >= 10),
+       |rb AS (
+       |  SELECT banned_id, phash, b,
+       |    substr(phash, b * $BandBits + 1, $BandBits) AS band,
+       |    ${TextOps.hexPrefixValSql("md5(CAST(banned_id AS VARCHAR))")} AS rkey
+       |  FROM reg, range(0, $NumBands) rband(b)),
+       |rkept AS (
+       |  SELECT banned_id, phash, b, band FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY b, band
+       |      ORDER BY rkey, banned_id) AS occ
+       |    FROM rb) WHERE occ <= ${BandedPairs.DefaultBucketCap}),
+       |pb AS (
+       |  SELECT doc_id, phash AS ha, b,
+       |    substr(phash, b * $BandBits + 1, $BandBits) AS band
+       |  FROM probe, range(0, $NumBands) rband(b)),
+       |cand AS (
+       |  SELECT DISTINCT p.doc_id, r.banned_id, p.ha, r.phash AS hb
+       |  FROM pb p JOIN rkept r ON p.b = r.b AND p.band = r.band),
+       |hit AS (
+       |  SELECT doc_id, banned_id, hamming FROM (
+       |    SELECT doc_id, banned_id,
+       |      CAST(list_sum(list_transform(range(1, ${ImgDim * ImgDim + 1}),
+       |        k -> CASE WHEN substr(ha, k, 1) = substr(hb, k, 1) THEN 0 ELSE 1 END))
+       |        AS BIGINT) AS hamming
+       |    FROM cand)
+       |  WHERE hamming <= $HammingThreshold),
+       |agg AS (SELECT doc_id, min(banned_id) AS match_id,
+       |    min(hamming) AS min_hamming
+       |  FROM hit GROUP BY doc_id)
+       |SELECT p.doc_id,
+       |  agg.match_id IS NOT NULL AS matched,
+       |  CAST(coalesce(agg.match_id, -1) AS BIGINT) AS match_id,
+       |  CAST(coalesce(agg.min_hamming, -1) AS BIGINT) AS min_hamming
+       |FROM probe p LEFT JOIN agg ON p.doc_id = agg.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_image_phash" -> ((s, d) => imagePhashPairs(Tables.documents(s, d))))
+    "q_image_phash" -> ((s, d) => imagePhashPairs(Tables.documents(s, d))),
+    "q_media_registry_scan" -> ((s, d) => mediaRegistryScan(Tables.documents(s, d))))
 
   def oracle: Map[String, String] = Map(
-    "q_image_phash" -> imagePhashPairsSql)
+    "q_image_phash" -> imagePhashPairsSql,
+    "q_media_registry_scan" -> mediaRegistryScanSql)
 }
