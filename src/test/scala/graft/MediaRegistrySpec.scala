@@ -106,6 +106,52 @@ class MediaRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(refused.getMessage.contains("maxHits"))
   }
 
+  test("the sweep is mode-keyed: the audio modality runs the same contract through the WAV codec") {
+    import spark.implicits._
+    import graft.operators.AudioDedup
+    val dir = tmp("aud")
+    val corpus = AudioDedup.audioCorpus((1L to 40L).toDF("doc_id"))
+    MediaIndex.buildAudio(corpus, s"$dir/index")
+    corpus.withColumnRenamed("doc_id", "media_id")
+      .withColumn("batch_id", lit(0L))
+      .write.mode("append").parquet(s"$dir/corpus")
+    MediaRegistry.register(
+      AudioDedup.audioCorpus(Seq(101L, 102L).toDF("doc_id"))
+        .withColumnRenamed("doc_id", "banned_id"),
+      s"$dir/registry", "aud")
+    val rep = MediaRegistry.retroTakedown(spark, s"$dir/corpus",
+      s"$dir/registry", "aud", "aretro-1", indexPath = Some(s"$dir/index"),
+      logPath = Some(s"$dir/tdlog"), asOfUs = 60L)
+    assert(rep.scanned == 40L && rep.hits == 2L && rep.tombstoned == 2L,
+      s"report: $rep")
+    assert(Corpus.read(spark, s"$dir/corpus", idCol = "media_id")
+      .count() == 38L)
+    assert(TakedownLog.read(spark, s"$dir/tdlog")
+      .select("subTable").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("_tombstones", "aud"))
+  }
+
+  test("the retro loops' funnel rows promote into the committed rollup next to the admission loops (C88)") {
+    import spark.implicits._
+    import graft.operators.RollupIndex
+    val dir = tmp("promote")
+    // one admission-loop row set and one retro row set in the same ledger
+    AdmissionLog.append(spark, s"$dir/funnel", "curation", 0L,
+      Seq("1_arrived" -> 10L, "4_admitted" -> 7L))
+    AdmissionLog.append(spark, s"$dir/funnel", "media_registry_img", 1L,
+      Seq("1_scanned" -> 40L, "2_hits" -> 2L, "3_tombstoned" -> 2L))
+    AdmissionLog.promoteRollup(spark, s"$dir/funnel", s"$dir/rollup")
+    val committed = AdmissionLog.readRollup(spark, s"$dir/rollup")
+      .select("loop", "stage", "total").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(committed == Set(
+      ("curation", "1_arrived", 10L), ("curation", "4_admitted", 7L),
+      ("media_registry_img", "1_scanned", 40L),
+      ("media_registry_img", "2_hits", 2L),
+      ("media_registry_img", "3_tombstoned", 2L)),
+      s"committed rollup: $committed")
+  }
+
   test("kill-point sweep: the media retro job converges from a kill at every durable-effect boundary (r13)") {
     import spark.implicits._
     def job(dir: String): Unit = {
