@@ -790,6 +790,146 @@ object Curation {
       |    THEN k.keep_id END, -1) = v.doc_id AS kept
       |FROM v LEFT JOIN k ON v.fp = k.fp""".stripMargin
 
+  // --------------------------- C111: script-mix telemetry (r13)
+
+  /** Planted multiscript phrases, every codepoint \u-escaped (the file
+    * rule) and mirrored `chr()`-for-`chr()` in the oracle. Cyrillic
+    * "privet mir", Greek "geia kosme", CJK "ni hao shi jie", and the
+    * classic confusable spoof: a Latin token carrying one Cyrillic
+    * U+0430 lookalike `a`.
+    */
+  private[graft] val ScriptCyr =
+    " \u043F\u0440\u0438\u0432\u0435\u0442 \u043C\u0438\u0440"
+  private[graft] val ScriptGreek =
+    " \u03B3\u03B5\u03B9\u03B1 \u03BA\u03CC\u03C3\u03BC\u03B5"
+  private[graft] val ScriptCjk = " \u4F60\u597D\u4E16\u754C"
+  private[graft] val ScriptConfusable = " p\u0430ypal"
+
+  /** Planted multiscript corpus (the C62/C75 pattern): every 12th+5 doc
+    * is REPLACED by a pure-Cyrillic doc (the dominant-flips case — the
+    * only branch where Latin does not win); otherwise the doc keeps its
+    * Latin text and gains a script suffix cycling Cyrillic / Greek /
+    * CJK / none on doc_id%4, plus the confusable token on every 6th doc
+    * (12k+5 is never ≡0 mod 6, so the replaced docs stay spoof-free).
+    */
+  private[graft] def plantedMultiscript: Column =
+    when(pmod(col("doc_id"), lit(12L)) === 5L,
+      lit((ScriptCyr + ScriptCyr).trim))
+      .otherwise(concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(4L)) === 0L, lit(ScriptCyr))
+          .when(pmod(col("doc_id"), lit(4L)) === 1L, lit(ScriptGreek))
+          .when(pmod(col("doc_id"), lit(4L)) === 2L, lit(ScriptCjk))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(6L)) === 0L, lit(ScriptConfusable))
+          .otherwise(lit(""))))
+
+  /** C111: per-document script composition — the routing signal a
+    * multilingual corpus needs BEFORE lang-id (C8's n-gram heuristic
+    * assumes one script per doc; a Cyrillic/Latin mix fed to it scores
+    * as neither language) and the spoof lens (a Latin token hiding a
+    * Cyrillic confusable is the classic homoglyph evasion C62b folds —
+    * here it is COUNTED, so the router can quarantine instead of
+    * silently folding).
+    *
+    * Per doc: letter counts for the four script classes (explicit
+    * codepoint ranges — Latin A–z, Cyrillic U+0400–U+04FF, Greek
+    * U+0370–U+03FF, CJK U+4E00–U+9FFF), the count of ADJACENT
+    * cross-script letter pairs (`n_confusable` — adjacency is what
+    * separates a quoted foreign phrase from an intra-word spoof), the
+    * distinct-script count, the dominant script (fixed priority order
+    * latin>cyr>greek>cjk breaks ties deterministically in both
+    * engines), and the router verdict: `review` when a confusable pair
+    * exists, `multi` for honest mixed-script docs, else the dominant
+    * script. All counts BIGINT, no ratios — the exact-integer oracle
+    * rule.
+    *
+    * Oracle portability is the r13 candidate's own note: the planted
+    * corpus is literal (`chr()`-mirrored), and the char classes are
+    * built from `chr(cp)` range endpoints on the DuckDB side so the
+    * same codepoint intervals drive java.util.regex and RE2 — no
+    * engine-specific `\\p{Script=...}` classes. Scale: one codegen'd
+    * projection riding the scan, ZERO exchanges (PlanSpec pins it),
+    * stateless on streams.
+    */
+  def scriptMix(docs: DataFrame, mixed: Column): DataFrame =
+    docs.select(col("doc_id"), mixed.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit("[A-Za-z]")).cast("long").as("n_latin"),
+        regexp_count(col("t"), lit("[\u0400-\u04FF]")).cast("long")
+          .as("n_cyr"),
+        regexp_count(col("t"), lit("[\u0370-\u03FF]")).cast("long")
+          .as("n_greek"),
+        regexp_count(col("t"), lit("[\u4E00-\u9FFF]")).cast("long")
+          .as("n_cjk"),
+        regexp_count(col("t"),
+          lit("[A-Za-z][\u0400-\u04FF]|[\u0400-\u04FF][A-Za-z]"))
+          .cast("long").as("n_confusable"))
+      .withColumn("n_scripts",
+        (col("n_latin") > 0L).cast("long") + (col("n_cyr") > 0L).cast("long") +
+          (col("n_greek") > 0L).cast("long") + (col("n_cjk") > 0L).cast("long"))
+      .withColumn("dominant",
+        when(col("n_latin") >= col("n_cyr") &&
+          col("n_latin") >= col("n_greek") &&
+          col("n_latin") >= col("n_cjk"), "latin")
+          .when(col("n_cyr") >= col("n_greek") &&
+            col("n_cyr") >= col("n_cjk"), "cyrillic")
+          .when(col("n_greek") >= col("n_cjk"), "greek")
+          .otherwise("cjk"))
+      .withColumn("route",
+        when(col("n_confusable") > 0L, "review")
+          .when(col("n_scripts") >= 2L, "multi")
+          .otherwise(col("dominant")))
+
+  /** DuckDB char class over a codepoint interval, built from `chr()`
+    * endpoints so the pattern carries no literal non-ASCII. */
+  private def chrClass(lo: Int, hi: Int): String =
+    s"'[' || chr($lo) || '-' || chr($hi) || ']'"
+
+  def scriptMixSql: String = {
+    val cyr = chrClass(0x0400, 0x04FF)
+    val greek = chrClass(0x0370, 0x03FF)
+    val cjk = chrClass(0x4E00, 0x9FFF)
+    def count(cls: String) =
+      s"CAST(len(regexp_extract_all(t, $cls)) AS BIGINT)"
+    s"""WITH t AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 12 = 5
+       |    THEN ${chrConcat((ScriptCyr + ScriptCyr).trim)}
+       |    ELSE text ||
+       |      CASE WHEN doc_id % 4 = 0 THEN ${chrConcat(ScriptCyr)}
+       |           WHEN doc_id % 4 = 1 THEN ${chrConcat(ScriptGreek)}
+       |           WHEN doc_id % 4 = 2 THEN ${chrConcat(ScriptCjk)}
+       |           ELSE '' END ||
+       |      CASE WHEN doc_id % 6 = 0 THEN ${chrConcat(ScriptConfusable)}
+       |           ELSE '' END
+       |  END AS t FROM documents),
+       |c AS (SELECT doc_id,
+       |  ${count("'[A-Za-z]'")} AS n_latin,
+       |  ${count(cyr)} AS n_cyr,
+       |  ${count(greek)} AS n_greek,
+       |  ${count(cjk)} AS n_cjk,
+       |  CAST(len(regexp_extract_all(t,
+       |    '[A-Za-z]' || $cyr || '|' || $cyr || '[A-Za-z]'))
+       |    AS BIGINT) AS n_confusable
+       |  FROM t),
+       |s AS (SELECT *,
+       |  CAST(n_latin > 0 AS BIGINT) + CAST(n_cyr > 0 AS BIGINT) +
+       |    CAST(n_greek > 0 AS BIGINT) + CAST(n_cjk > 0 AS BIGINT)
+       |    AS n_scripts,
+       |  CASE WHEN n_latin >= n_cyr AND n_latin >= n_greek
+       |         AND n_latin >= n_cjk THEN 'latin'
+       |       WHEN n_cyr >= n_greek AND n_cyr >= n_cjk THEN 'cyrillic'
+       |       WHEN n_greek >= n_cjk THEN 'greek'
+       |       ELSE 'cjk' END AS dominant
+       |  FROM c)
+       |SELECT doc_id, n_latin, n_cyr, n_greek, n_cjk, n_confusable,
+       |  n_scripts, dominant,
+       |  CASE WHEN n_confusable > 0 THEN 'review'
+       |       WHEN n_scripts >= 2 THEN 'multi'
+       |       ELSE dominant END AS route
+       |FROM s""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_normalize" -> ((s, d) =>
       textNormalize(Tables.documents(s, d), plantedDirty)),
@@ -804,7 +944,9 @@ object Curation {
       licenseScan(Tables.documents(s, d), plantedCodeFile)),
     "q_code_quality" -> ((s, d) =>
       codeQuality(Tables.documents(s, d), plantedCodeFile)),
-    "q_code_corpus" -> ((s, d) => codeCorpus(Tables.documents(s, d))))
+    "q_code_corpus" -> ((s, d) => codeCorpus(Tables.documents(s, d))),
+    "q_script_mix" -> ((s, d) =>
+      scriptMix(Tables.documents(s, d), plantedMultiscript)))
 
   def oracle: Map[String, String] = Map(
     "q_text_normalize" -> textNormalizeSql,
@@ -815,5 +957,6 @@ object Curation {
     "q_code_extract" -> codeFenceExtractSql,
     "q_license_scan" -> licenseScanSql,
     "q_code_quality" -> codeQualitySql,
-    "q_code_corpus" -> codeCorpusSql)
+    "q_code_corpus" -> codeCorpusSql,
+    "q_script_mix" -> scriptMixSql)
 }

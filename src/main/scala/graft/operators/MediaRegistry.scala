@@ -161,4 +161,36 @@ object MediaRegistry {
       MediaRetroReport(scanned, nHits, hits.size.toLong, regV, receipts)
     } finally fps.unpersist()
   }
+
+  /** The modalities with a committed hash list at `registryPath` —
+    * what [[retroTakedownAll]] sweeps by default. */
+  def registeredModalities(spark: SparkSession, path: String): Seq[String] =
+    MediaIndex.modes.keys.toSeq.sorted
+      .filter(isRegistered(spark, path, _))
+
+  /** One sweep call across modalities (the r13 candidate): each
+    * modality's corpus runs the full [[retroTakedown]] contract through
+    * its OWN codec kernel — the kernels, thresholds, and band geometry
+    * are already mode-keyed, so the multi-modality sweep is pure
+    * composition, not new machinery. Per-modality jobIds are suffixed
+    * `<jobId>-<mode>` so each modality's effects replay idempotently on
+    * their own (a crash after the img pass must not make the vid pass
+    * think it already ran); `corpora` maps modality → raw corpus dir.
+    * Modalities without a committed hash list refuse loudly via
+    * [[retroTakedown]]'s own require — pass exactly what is registered
+    * (or start from [[registeredModalities]]).
+    */
+  def retroTakedownAll(spark: SparkSession, corpora: Seq[(String, String)],
+                       registryPath: String, jobId: String,
+                       indexPath: Option[String] = None,
+                       logPath: Option[String] = None,
+                       funnelLogPath: Option[String] = None,
+                       funnelBatchId: Long = 0L,
+                       maxHits: Int = Corpus.RetroMaxHits,
+                       asOfUs: Long = 0L): Map[String, MediaRetroReport] =
+    corpora.map { case (modality, corpusPath) =>
+      modality -> retroTakedown(spark, corpusPath, registryPath, modality,
+        s"$jobId-${MediaIndex.mode(modality).name}", indexPath, logPath,
+        funnelLogPath, funnelBatchId, maxHits, asOfUs)
+    }.toMap
 }

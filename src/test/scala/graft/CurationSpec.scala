@@ -337,4 +337,41 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 1L, "go", 0L, 0L)),     // ```go\n``` : empty body via the \n branch
       s"fence grammar on degenerate segments: $out")
   }
+
+  test("scriptMix: planted counts match a JVM recomputation; the router hits every branch (C111)") {
+    val docs = Tables.documents(spark, sf)
+    // recompute expectations in the JVM from the same planted text \u2014
+    // pins Spark regexp_count to java.util.regex semantics row by row
+    val planted = docs
+      .select(col("doc_id"), Curation.plantedMultiscript.as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def cnt(s: String, re: String): Long = re.r.findAllMatchIn(s).length.toLong
+    val out = Curation.scriptMix(docs, Curation.plantedMultiscript).collect()
+    assert(out.length == planted.size && out.nonEmpty)
+    var seen = Set.empty[String]
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id"); val t = planted(id)
+      assert(r.getAs[Long]("n_latin") == cnt(t, "[A-Za-z]"), s"doc $id latin")
+      assert(r.getAs[Long]("n_cyr") == cnt(t, "[\u0400-\u04FF]"), s"doc $id cyr")
+      assert(r.getAs[Long]("n_greek") == cnt(t, "[\u0370-\u03FF]"), s"doc $id greek")
+      assert(r.getAs[Long]("n_cjk") == cnt(t, "[\u4E00-\u9FFF]"), s"doc $id cjk")
+      assert(r.getAs[Long]("n_confusable") ==
+        cnt(t, "[A-Za-z][\u0400-\u04FF]|[\u0400-\u04FF][A-Za-z]"),
+        s"doc $id confusable")
+      val route = r.getAs[String]("route")
+      if (id % 12 == 5)
+        assert(r.getAs[Long]("n_latin") == 0L && route == "cyrillic",
+          s"doc $id: the replaced doc must route to its own script")
+      else if (id % 6 == 0)
+        assert(route == "review", s"doc $id: confusable must route to review")
+      else if (id % 4 == 3)
+        assert(route == "latin", s"doc $id: unsuffixed doc routes latin")
+      else
+        assert(route == "multi" && r.getAs[Long]("n_scripts") >= 2L,
+          s"doc $id: honest mixed-script doc routes multi")
+      seen += route
+    }
+    assert(Set("latin", "cyrillic", "multi", "review").subsetOf(seen),
+      s"every router branch must carry rows: $seen")
+  }
 }

@@ -610,6 +610,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the NFC expression must stay inside whole-stage codegen")
   }
 
+  test("q_script_mix: script telemetry is one shuffle-free codegen projection") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val p = plan("q_script_mix")
+    assert(p.collect { case e: Exchange => e }.isEmpty,
+      "script counting must be pure per-row expressions - no Exchange anywhere")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }.nonEmpty,
+      "the regexp counters must stay inside whole-stage codegen")
+  }
+
   test("q_url_host_cap: broadcast blocklist, bounded heap cap, no window") {
     val p = plan("q_url_host_cap")
     assert(p.collect { case b: BroadcastExchangeLike => b }.nonEmpty,
