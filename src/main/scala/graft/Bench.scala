@@ -158,6 +158,33 @@ object Bench {
         op.Embeddings.quantized(Tables.embeddings(s, d))).count(); () }),
       "pq_codebooks" -> ((s, d) => { op.Embeddings.pqCodebooks(
         op.Embeddings.quantized(Tables.embeddings(s, d))).foreach(_.count()); () }),
+      // The PLANTED-corpus codebooks (the five trainings
+      // q_margin_calibration_ann's cold pays — a DIFFERENT memo key than
+      // ivf/pq above, so they were the one shared training the ledger
+      // didn't itemize; r13 verdict's cold-attribution item).
+      "planted_codebooks" -> ((s, d) => {
+        val q = op.Embeddings.plantedQuantized(Tables.embeddings(s, d))
+          .select("vec_id", "qv", "nrm")
+        q.count()
+        op.Embeddings.kmeansCodebook(q).count()
+        op.Embeddings.pqCodebooks(q).foreach(_.count()); ()
+      }),
+      // Full committed-index build into a throwaway dir — the cost the
+      // FIRST serve-path query pays when the fingerprint-keyed temp
+      // artifact isn't on disk yet (warmup normally absorbs it; this
+      // line makes the number visible instead of order-dependent).
+      "ann_index_commit" -> ((s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bench-annidx").toFile
+        try op.AnnIndex.build(Tables.embeddings(s, d), dir.getAbsolutePath)
+        finally {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          rm(dir)
+        }
+      }),
       "cc_labels" -> ((s, d) => { op.Dedup.dedupClusters(Tables.documents(s, d)).count(); () }),
       "pagerank_fixpoint" -> ((s, d) => { op.Graph.pageRank(Tables.events(s, d)).count(); () }))
   }

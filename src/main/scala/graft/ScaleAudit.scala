@@ -1275,9 +1275,15 @@ object ScaleAudit {
       EvalRegistry.register(bench, s"$work/registry")
       EvalRegistry.registerNear(bench, s"$work/registry")
       // the corpus: the full scaled documents table + 3 PARAPHRASED
-      // bench docs (the exact-only-era leak the retro sweep exists for)
-      val para = bench.limit(3)
-        .select((col("doc_id") + 1L).as("doc_id"),
+      // bench docs (the exact-only-era leak the retro sweep exists for).
+      // Paraphrase ids are Long.MaxValue − bench_id — clearly outside any
+      // scaled corpus's id range — and the three bench docs are picked by
+      // an EXPLICIT filter on the lowest bench ids, not an unordered
+      // limit(3): at very large mult factors a corpus doc_id could reach
+      // the old +1 ids and dropDuplicates("doc_id") in detection would
+      // arbitrarily mask a planted paraphrase (r13 advice).
+      val para = bench.filter(col("doc_id") <= 3L * 10000000L + 7L)
+        .select((lit(Long.MaxValue) - col("doc_id")).as("doc_id"),
           EvalRegistry.paraphrase.as("text")).persist()
       val paraIds = para.select("doc_id").collect().map(_.getLong(0)).toSet
       val cp = s"$work/corpus"

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exprs
@@ -169,8 +168,7 @@ object AnnIndex {
         lit(buildV).as("build_v"))
     VersionedTable.mergeUpsert(spark, codebooksPath(path), codebooks,
       Seq("kind", "c_id"), "build_v", numBuckets = 4)
-    val codes = Embeddings.ivfAssign(q, coarse)
-      .join(Embeddings.pqEncode(q, cbs), "vec_id")
+    val codes = Embeddings.ivfPqCodes(q, coarse, cbs)
       .withColumn("build_v", lit(buildV))
     VersionedTable.mergeUpsert(spark, codesPath(path), codes,
       Seq("vec_id"), "build_v", numBuckets = 16)
@@ -231,8 +229,7 @@ object AnnIndex {
       VersionedTable.mergeUpsert(spark, vectorsPath(path),
         q.withColumn("build_v", lit(buildV)),
         Seq("vec_id"), "build_v", numBuckets = 16)
-    val codes = Embeddings.ivfAssign(q, coarseDf)
-      .join(Embeddings.pqEncode(q, cbs), "vec_id")
+    val codes = Embeddings.ivfPqCodes(q, coarseDf, cbs)
       .withColumn("build_v", lit(buildV))
     VersionedTable.mergeUpsert(spark, codesPath(path), codes,
       Seq("vec_id"), "build_v", numBuckets = 16)
@@ -636,8 +633,7 @@ object AnnIndex {
                              pins: Map[String, Long]): DataFrame = {
     val spark = probes.sparkSession
     val (coarseDf, cbs) = loadCodebookFramesWith(spark, path, pins)
-    val arrCodes = Embeddings.ivfAssign(probes, coarseDf)
-      .join(Embeddings.pqEncode(probes, cbs), "vec_id")
+    val arrCodes = Embeddings.ivfPqCodes(probes, coarseDf, cbs)
     val codeCols = Seq("c_id") ++ (0 until PqM).map(m => s"code_$m")
     val collided = arrCodes
       .join(codesWith(spark, path, pins), codeCols, "left_semi")
@@ -897,19 +893,14 @@ object AnnIndex {
     val spark = probes.sparkSession
     val p = pins.getOrElse(snapPins(spark, path))
     val ix = loadWith(spark, path, p)
-    val coarseDf = {
-      val s = spark
-      import s.implicits._
-      ix.coarse.toSeq.toDF("c_id", "cqv", "cnrm")
-    }
+    // NProbe nearest lists per probe as a map-side array over the
+    // loaded centroid constants — the old crossJoin + routing-rank
+    // window collapsed into codegen (r14, same rewrite as the
+    // in-session chain)
     val probeLists = probes
-      .crossJoin(broadcast(coarseDf))
-      .withColumn("d2", col("nrm") - lit(2L) * Exprs.dotLong(col("qv"), col("cqv")) + col("cnrm"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
-      .filter(col("rn") <= NProbe)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-        col("nrm").as("q_nrm"), col("c_id"))
+        col("nrm").as("q_nrm"),
+        explode(Embeddings.nearestCids(col("qv"), ix.coarse, NProbe)).as("c_id"))
     val (adot, anrm) = adcColsFor(ix, col("q_qv"))
     codesWith(spark, path, p)
       .join(broadcast(probeLists), Seq("c_id"))

@@ -627,8 +627,13 @@ object Curation {
       .select(col("doc_id"), code.as("code"))
       .select(col("doc_id"),
         size(lines).cast("long").as("n_lines"),
-        array_max(transform(lines, l => length(l))).cast("long")
-          .as("max_line_len"),
+        // n_lines = 0 special case (r14 advice): array_max over an empty
+        // array is NULL, which made keep NULL — the doc silently vanished
+        // from both filter(keep) and filter(!keep). Stats coalesce to 0
+        // and keep gets an explicit n_lines > 0 conjunct, so every row
+        // carries a concrete boolean and both engines agree.
+        coalesce(array_max(transform(lines, l => length(l))).cast("long"),
+          lit(0L)).as("max_line_len"),
         aggregate(lines, lit(0L), (acc, l) => acc + length(l))
           .as("sum_line_chars"),
         size(filter(lines, l => trim(l).startsWith("//"))).cast("long")
@@ -637,7 +642,8 @@ object Curation {
           .as("n_alnum"),
         length(col("code")).cast("long").as("n_chars"))
       .withColumn("keep",
-        col("max_line_len") <= 1000L &&
+        col("n_lines") > 0L &&
+          col("max_line_len") <= 1000L &&
           col("sum_line_chars") <= lit(100L) * col("n_lines") &&
           col("n_alnum") * 100L >= lit(25L) * col("n_chars"))
   }
@@ -649,10 +655,10 @@ object Curation {
        |  FROM c),
        |s AS (SELECT doc_id,
        |  CAST(len(lines) AS BIGINT) AS n_lines,
-       |  CAST(list_aggregate(list_transform(lines, x -> len(x)), 'max')
-       |    AS BIGINT) AS max_line_len,
-       |  CAST(list_aggregate(list_transform(lines, x -> len(x)), 'sum')
-       |    AS BIGINT) AS sum_line_chars,
+       |  COALESCE(CAST(list_aggregate(list_transform(lines, x -> len(x)), 'max')
+       |    AS BIGINT), 0) AS max_line_len,
+       |  COALESCE(CAST(list_aggregate(list_transform(lines, x -> len(x)), 'sum')
+       |    AS BIGINT), 0) AS sum_line_chars,
        |  CAST(len(list_filter(lines, x -> trim(x) LIKE '//%'))
        |    AS BIGINT) AS n_comment_lines,
        |  CAST(len(regexp_replace(code, '[^A-Za-z0-9]', '', 'g'))
@@ -661,7 +667,8 @@ object Curation {
        |  FROM l)
        |SELECT doc_id, n_lines, max_line_len, sum_line_chars,
        |  n_comment_lines, n_alnum, n_chars,
-       |  (max_line_len <= 1000 AND sum_line_chars <= 100 * n_lines
+       |  (n_lines > 0 AND max_line_len <= 1000
+       |    AND sum_line_chars <= 100 * n_lines
        |    AND n_alnum * 100 >= 25 * n_chars) AS keep
        |FROM s""".stripMargin
 

@@ -932,9 +932,14 @@ object Dedup {
     */
   def shingleHashes(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), explode(Exprs.shingles(toks, 3)).as("s"))
-      .select(col("doc_id"), expr(hexPrefixValSql("md5(s)")).as("h"))
-      .distinct() // distinct (doc, hash): set semantics, identical both engines
+      .select(col("doc_id"), Exprs.shingles(toks, 3).as("sarr"))
+      // set semantics WITHIN the row: doc_id is unique per document row,
+      // so array_distinct of the hashed shingle array IS the distinct
+      // (doc, hash) set — map-side, where the old explode → DISTINCT
+      // paid a full corpus shuffle for a per-row property (r14, guide
+      // §2.4; the DuckDB oracle keeps its DISTINCT — same set).
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sarr, s -> ${hexPrefixValSql("md5(s)")}))")).as("h"))
       .transform(GraftCache.persistTracked)
 
   def containmentDups(documents: DataFrame,

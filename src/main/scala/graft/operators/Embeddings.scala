@@ -3,9 +3,9 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 import graft.GraftCache
@@ -1232,6 +1232,61 @@ object Embeddings {
     q.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("c_id"), col("qv").as("cqv"), col("nrm").as("cnrm"))
 
+  /** Collected (c_id-ascending) centroid rows of a codebook frame. A
+    * codebook is a bounded model artifact by construction (≤ k rows —
+    * a memoized local relation or the committed (1+PqM)×NumCentroids
+    * table), so this collect is the standard model-artifact pattern,
+    * never data-proportional. cnrm is recomputed driver-side when the
+    * frame lacks it.
+    */
+  private[operators] def centroidRows(cent: DataFrame): Array[(Long, Seq[Long], Long)] = {
+    val cols = cent.columns
+    val hasNrm = cols.contains("cnrm")
+    val iC = cols.indexOf("c_id"); val iV = cols.indexOf("cqv")
+    val iN = if (hasNrm) cols.indexOf("cnrm") else -1
+    cent.collect().map { r =>
+      val cqv = r.getSeq[Long](iV)
+      (r.getLong(iC), cqv,
+        if (hasNrm) r.getLong(iN) else cqv.map(x => x * x).sum)
+    }.sortBy(_._1)
+  }
+
+  /** Nearest-centroid id over LITERAL centroids as a pure map-side
+    * codegen projection. Per centroid only cnrm_c − 2·⟨qv,cqv_c⟩ is
+    * scored — the row's own |qv|² is constant across centroids, so
+    * dropping it can change neither the argmin nor the c_id tie-break
+    * (exact integer arithmetic). Scores form an array in c_id order;
+    * argmin-with-lowest-c_id-tie is `array_position` of the min (first
+    * occurrence = smallest c_id). This replaces the
+    * crossJoin(broadcast(codebook)) + groupBy(vec_id) min_by shape,
+    * whose SortAggregate shuffled the full (vec_id, qv) payload per
+    * assignment (guide §2.4: the exchange was never fundamental — the
+    * codebook is a model artifact, so the argmin is a projection).
+    */
+  private[operators] def nearestCentroidId(qv: Column,
+                                           cents: Array[(Long, Seq[Long], Long)]): Column = {
+    val scores = array(cents.map { case (_, cqv, cnrm) =>
+      lit(cnrm) - lit(2L) * dot(qv, typedLit(cqv)) }: _*)
+    element_at(typedLit(cents.map(_._1).toSeq),
+      array_position(scores, array_min(scores)).cast("int"))
+  }
+
+  /** The NProbe nearest coarse-list ids over LITERAL centroids, as an
+    * array per row ordered by (d2, c_id) ascending — exactly the
+    * routing rank's `row_number() OVER (ORDER BY d2, c_id) <= NProbe`,
+    * with the same constant-|qv|² reduction as [[nearestCentroidId]].
+    * Collapsing the rank window into array_sort + slice removes the
+    * window's shuffle+sort of the probe side, which is CORPUS-sized
+    * for the C81c/C84b lenses.
+    */
+  private[operators] def nearestCids(qv: Column, cents: Array[(Long, Seq[Long], Long)],
+                                     nProbe: Int): Column =
+    transform(
+      slice(array_sort(array(cents.map { case (cid, cqv, cnrm) =>
+        struct((lit(cnrm) - lit(2L) * dot(qv, typedLit(cqv))).as("d2"),
+          lit(cid).as("c_id")) }: _*)), 1, nProbe),
+      s => s.getField("c_id"))
+
   /** Trained codebook: deterministic Lloyd's k-means — init = first
     * NumCentroids vectors, KmeansIters fixed iterations of
     * assign-to-nearest (exact integer squared-L2, centroid-id tie-break)
@@ -1239,19 +1294,23 @@ object Embeddings {
     * distance stays exact integer arithmetic (cross-engine
     * deterministic; floor(sum/count) rounds toward −∞ identically in
     * Spark and DuckDB). Empty clusters keep their previous centroid.
-    * Each iteration is one corpus pass: broadcast the 16 centroids,
-    * argmin per vector, then a (c_id, component)-keyed partial-agg mean
-    * — the standard distributed k-means shape.
+    * Each iteration is ONE corpus pass: the current centroids ride in
+    * the plan as literals (they are driver-side k-row state between
+    * iterations anyway), the argmin is a map-side codegen projection,
+    * and the component means are a (c_id, component)-keyed partial
+    * aggregation whose ≤ k·Dim result rows fold into the next centroid
+    * set on the driver — the standard distributed k-means shape with
+    * zero data-proportional shuffle per iteration (r14: the previous
+    * form broadcast-crossJoined the centroids and re-shuffled the full
+    * (vec_id, qv) payload through a groupBy(vec_id) SortAggregate every
+    * iteration; guide §2.4).
     *
-    * Cache lifecycle: the training frame and each iteration's centroid
-    * frame are persisted only for the duration of training — each
-    * iteration materializes eagerly (a corpus pass happens exactly once
-    * per iteration either way), the previous iteration's frame is
-    * unpersisted as soon as the next exists, and the finished 16-row
-    * codebook is collected and returned as a local relation (the model-
-    * artifact pattern: downstream plans embed the codebook as literals,
-    * exactly like MLlib's driver-side centroids), so nothing this
-    * function persisted outlives the call.
+    * Cache lifecycle: only the projected training frame is persisted,
+    * and only for the duration of training; the finished k-row codebook
+    * is returned as a local relation (the model-artifact pattern:
+    * downstream plans embed the codebook as literals, exactly like
+    * MLlib's driver-side centroids), so nothing this function persisted
+    * outlives the call.
     */
   def kmeansCodebook(q: DataFrame, iters: Int = KmeansIters,
                      trainMod: Long = 1L, k: Int = NumCentroids): DataFrame =
@@ -1261,65 +1320,93 @@ object Embeddings {
     }
 
   private def trainCodebook(q: DataFrame, iters: Int, trainMod: Long, k: Int): DataFrame = {
+    // Only qv survives into the training frame: the argmin is a literal-
+    // centroid projection, so neither vec_id nor nrm is ever read again
+    // (guide §2.3 — project before you persist/shuffle).
     val train = q.filter(col("vec_id") % trainMod === 0)
+      .select(col("qv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var cent = q.filter(col("vec_id") < k)
-      .select(col("vec_id").as("c_id"), col("qv").as("cqv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // The finally block releases whatever is persisted at failure time
-    // (including a half-materialized iteration frame), so a mid-training
-    // Spark failure can't orphan cached frames the registry doesn't know
-    // about (zero-orphaned-caches invariant).
-    var inflight: DataFrame = null
     try {
-    cent.count() // materialize before the loop so unpersist order is safe
-    for (_ <- 1 to iters) {
-      val c = cent.withColumn("cnrm", dot(col("cqv"), col("cqv")))
-      // argmin as a min_by hash aggregate (tie-break on centroid id) —
-      // partial-agg friendly, no per-vector sort window.
-      val assign = train.crossJoin(broadcast(c))
-        .withColumn("d2", col("nrm") - lit(2L) * dot(col("qv"), col("cqv")) + col("cnrm"))
-        .groupBy("vec_id")
-        .agg(
-          min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("c_id"),
-          first(col("qv")).as("qv"))
-      val means = assign
-        .select(col("c_id"), posexplode(col("qv")))
-        .groupBy("c_id", "pos")
-        .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("m"))
-        .groupBy("c_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("new_cqv"))
-      val next = cent.join(means, Seq("c_id"), "left")
-        .select(col("c_id"), coalesce(col("new_cqv"), col("cqv")).as("cqv"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      inflight = next
-      next.count() // one corpus pass, same total work as lazy chaining
-      cent.unpersist(blocking = true)
-      cent = next
-      inflight = null
-    }
-    val codebook = cent.withColumn("cnrm", dot(col("cqv"), col("cqv")))
-    val rows = codebook.collect()
-    val schema = codebook.schema
-    q.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), schema)
-    } finally {
-      train.unpersist(blocking = true)
-      cent.unpersist(blocking = true)
-      if (inflight != null && (inflight ne cent)) inflight.unpersist(blocking = true)
-    }
+      def withNrm(cid: Long, cqv: Seq[Long]): (Long, Seq[Long], Long) =
+        (cid, cqv, cqv.map(x => x * x).sum)
+      // init = first k vectors, collected once (k rows — the same bounded
+      // model artifact the finished codebook already was)
+      var cents: Array[(Long, Seq[Long], Long)] =
+        q.filter(col("vec_id") < k)
+          .select(col("vec_id").as("c_id"), col("qv").as("cqv"))
+          .collect()
+          .map(r => withNrm(r.getLong(0), r.getSeq[Long](1)))
+          .sortBy(_._1)
+      for (_ <- 1 to iters) {
+        // ONE corpus pass per iteration: map-side argmin against the
+        // literal centroids, then a (c_id, component)-keyed partial-agg
+        // sum — only ≤ k·Dim grouped rows cross the exchange. The old
+        // shape's per-iteration full (vec_id, qv) shuffle (SortAggregate
+        // over min_by(struct) after a 16× crossJoin blow-up) is gone;
+        // the centroid mean itself is k·Dim driver math.
+        val sums = train
+          .select(nearestCentroidId(col("qv"), cents).as("c_id"),
+            posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("c_id", "pos")
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .collect() // ≤ k·Dim rows — bounded model artifact
+        // floor(sum/count) EXACTLY as the old aggregate computed it:
+        // exact long sum → double divide → floor → long. Empty clusters
+        // (absent from sums) keep their previous centroid.
+        val means = sums.groupBy(_.getLong(0)).map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(1))
+            .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+            .toSeq
+        }
+        cents = cents.map { case (cid, cqv, _) =>
+          means.get(cid).fold(withNrm(cid, cqv))(m => withNrm(cid, m))
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("c_id", LongType, nullable = false),
+        StructField("cqv", ArrayType(LongType, containsNull = false), nullable = false),
+        StructField("cnrm", LongType, nullable = false)))
+      q.sparkSession.createDataFrame(
+        java.util.Arrays.asList(cents.map { case (cid, cqv, cnrm) =>
+          Row(cid, cqv, cnrm) }: _*), schema)
+    } finally train.unpersist(blocking = true)
   }
 
   /** Vector→centroid assignment against a given codebook. Distance is
-    * exact integer squared-L2: |v|² − 2·v·c + |c|²; argmin via a
-    * per-vector rank (tie-break on centroid id).
+    * exact integer squared-L2: |v|² − 2·v·c + |c|²; argmin with the
+    * centroid-id tie-break, computed as a pure map-side projection over
+    * the LITERAL codebook ([[nearestCentroidId]] — bit-identical to the
+    * old broadcast-crossJoin + groupBy(vec_id) min_by, without its
+    * full-payload exchange; r14, guide §2.4).
     */
   def ivfAssign(q: DataFrame, cent: DataFrame): DataFrame =
-    q.crossJoin(broadcast(cent))
-      .withColumn("d2", col("nrm") - lit(2L) * dot(col("qv"), col("cqv")) + col("cnrm"))
-      .groupBy("vec_id")
-      .agg(min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("c_id"))
+    q.select(col("vec_id"),
+      nearestCentroidId(col("qv"), centroidRows(cent)).as("c_id"))
+
+  /** [[ivfAssign]] keeping the input's columns (q.* + c_id) — for
+    * consumers that joined the assignment straight back to the vectors
+    * (semDedup, the committed codes builds): the join-back only
+    * re-attached columns the map-side argmin never had to drop.
+    */
+  def ivfAssignFull(q: DataFrame, cent: DataFrame): DataFrame =
+    q.withColumn("c_id", nearestCentroidId(col("qv"), centroidRows(cent)))
+
+  /** (vec_id, c_id, code_0..code_{PqM-1}) in ONE map-side pass — the
+    * committed codes-table shape ([[AnnIndex]]) without the old
+    * assign ⋈ encode exchange chain (coarse argmin + PqM subspace
+    * argmins are all literal-codebook projections over the same row).
+    */
+  def ivfPqCodes(q: DataFrame, coarse: DataFrame,
+                 cbs: Seq[DataFrame]): DataFrame = {
+    val coarseRows = centroidRows(coarse)
+    val pqRows = cbs.map(centroidRows)
+    q.select(col("vec_id") +:
+      nearestCentroidId(col("qv"), coarseRows).as("c_id") +:
+      (0 until PqM).map { m =>
+        nearestCentroidId(slice(col("qv"), m * PqSubDim + 1, PqSubDim),
+          pqRows(m)).as(s"code_$m")
+      }: _*)
+  }
 
   def ivfAssign(q: DataFrame): DataFrame = ivfAssign(q, kmeansCodebook(q))
 
@@ -1381,14 +1468,15 @@ object Embeddings {
   def annIvfWith(embeddings: DataFrame, mkCodebook: DataFrame => DataFrame): DataFrame = {
     val q = quantized(embeddings)
     val centQ = mkCodebook(q)
+    val centRows = centroidRows(centQ)
     val assign = ivfAssign(q, centQ)
+    // NProbe nearest lists per probe as a map-side array over the
+    // literal codebook — the old crossJoin + row_number window (a
+    // shuffle+sort of the probe side) collapsed into codegen (r14).
     val probeLists = q.filter(col("vec_id") < NumProbes)
-      .crossJoin(broadcast(centQ))
-      .withColumn("d2", col("nrm") - lit(2L) * dot(col("qv"), col("cqv")) + col("cnrm"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
-      .filter(col("rn") <= NProbe)
-      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"), col("c_id"))
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"),
+        explode(nearestCids(col("qv"), centRows, NProbe)).as("c_id"))
     // Each vector has exactly one assigned list, so a (q_id, n_id) pair
     // occurs at most once — no distinct (and its shuffle) needed.
     val cands = assign
@@ -1432,19 +1520,25 @@ object Embeddings {
 
   /** PQ encoding: per subspace, each vector's nearest-centroid id.
     * 4 small codes replace the 64-component vector — the compression
-    * that lets a 100 TB corpus's search index live in RAM. One hash-agg
-    * argmin per subspace; the per-subspace joins reuse the vec_id hash
-    * partitioning the argmin aggregates establish.
+    * that lets a 100 TB corpus's search index live in RAM. All four
+    * argmins are literal-codebook map-side projections over the same
+    * row ([[nearestCentroidId]]) — one corpus pass, no shuffle.
     */
-  def pqEncode(q: DataFrame, codebooks: Seq[DataFrame]): DataFrame =
-    (0 until PqM).map { m =>
-      ivfAssign(pqSubspace(q, m), codebooks(m))
-        .withColumnRenamed("c_id", s"code_$m")
-    }.reduce(_.join(_, "vec_id"))
+  def pqEncode(q: DataFrame, codebooks: Seq[DataFrame]): DataFrame = {
+    val pqRows = codebooks.map(centroidRows)
+    q.select(col("vec_id") +:
+      (0 until PqM).map { m =>
+        nearestCentroidId(slice(col("qv"), m * PqSubDim + 1, PqSubDim),
+          pqRows(m)).as(s"code_$m")
+      }: _*)
       // the PQ index itself: 5 small columns per vector, re-scanned by
       // every search — tracked like lshBucketsNarrow (the cluster
-      // equivalent: a persisted code table beside the corpus)
+      // equivalent: a persisted code table beside the corpus). r14: the
+      // four per-subspace argmins are literal-codebook projections over
+      // the same row, so the old 4× (crossJoin + groupBy(vec_id)) +
+      // 3-way vec_id self-join collapsed into one map pass.
       .transform(GraftCache.persistTracked)
+  }
 
   /** C7d: PQ ANN — asymmetric-distance (ADC) scan over the encoded
     * corpus: approx dot(query, vector) = Σ_m dot(query_sub_m,
@@ -1460,13 +1554,13 @@ object Embeddings {
     val q = quantized(embeddings)
     val cbs = pqCodebooks(q)
     val codes = pqEncode(q, cbs)
-    val cbRows = cbs.map(_.orderBy("c_id").collect())
+    val cbRows = cbs.map(centroidRows)
     cbRows.foreach { rows =>
-      require(rows.map(_.getLong(0)).toSeq == (0 until NumCentroids).map(_.toLong),
+      require(rows.map(_._1).toSeq == (0 until NumCentroids).map(_.toLong),
         "annPq: codebook c_ids must be contiguous 0..NumCentroids-1 for array indexing")
     }
-    val centArr = cbRows.map(rows => typedLit(rows.map(_.getSeq[Long](1)).toSeq))
-    val cnrmArr = cbRows.map(rows => typedLit(rows.map(_.getLong(2)).toSeq))
+    val centArr = cbRows.map(rows => typedLit(rows.map(_._2).toSeq))
+    val cnrmArr = cbRows.map(rows => typedLit(rows.map(_._3).toSeq))
     val probes = q.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
     val adot = (0 until PqM).map { m =>
@@ -1748,23 +1842,25 @@ object Embeddings {
     val coarseF = Future(coarseOf(q))
     val cbs = pqOf(q)
     val coarse = Await.result(coarseF, Duration.Inf)
-    val assign = ivfAssign(q, coarse)
-    val codes = pqEncode(q, cbs)
-    val cbRows = cbs.map(_.orderBy("c_id").collect())
+    val cbRows = cbs.map(centroidRows)
     cbRows.foreach { rows =>
-      require(rows.map(_.getLong(0)).toSeq == (0 until NumCentroids).map(_.toLong),
+      require(rows.map(_._1).toSeq == (0 until NumCentroids).map(_.toLong),
         "annIvfPq: codebook c_ids must be contiguous 0..NumCentroids-1 for array indexing")
     }
-    val centArr = cbRows.map(rows => typedLit(rows.map(_.getSeq[Long](1)).toSeq))
-    val cnrmArr = cbRows.map(rows => typedLit(rows.map(_.getLong(2)).toSeq))
+    val centArr = cbRows.map(rows => typedLit(rows.map(_._2).toSeq))
+    val cnrmArr = cbRows.map(rows => typedLit(rows.map(_._3).toSeq))
+    // Coarse assignment and the PqM codes are ALL literal-codebook
+    // map-side projections over the same row (r14): the old
+    // assign ⋈ codes vec_id join — a corpus-sized exchange on the
+    // candidate side — is gone, as is the probe side's routing-rank
+    // window (corpus-sized for the C81c/C84b lenses), now an
+    // array_sort + slice over the 16 literal centroids.
+    val assignCodes = ivfPqCodes(q, coarse, cbs)
+    val coarseRows = centroidRows(coarse)
     val probeLists = probeVecs(q)
-      .crossJoin(broadcast(coarse))
-      .withColumn("d2", col("nrm") - lit(2L) * dot(col("qv"), col("cqv")) + col("cnrm"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
-      .filter(col("rn") <= NProbe)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-        col("nrm").as("q_nrm"), col("c_id"))
+        col("nrm").as("q_nrm"),
+        explode(nearestCids(col("qv"), coarseRows, NProbe)).as("c_id"))
     val adot = (0 until PqM).map { m =>
       dot(slice(col("q_qv"), m * PqSubDim + 1, PqSubDim),
         element_at(centArr(m), col(s"code_$m").cast("int") + 1))
@@ -1772,10 +1868,9 @@ object Embeddings {
     val anrm = (0 until PqM).map { m =>
       element_at(cnrmArr(m), col(s"code_$m").cast("int") + 1)
     }.reduce(_ + _)
-    val scored = candRestrict(assign)
+    val scored = candRestrict(assignCodes)
       .join(if (boundedProbes) broadcast(probeLists) else probeLists, Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
-      .join(codes, Seq("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (adot.cast("double") /
           (sqrt(col("q_nrm").cast("double")) * sqrt(anrm.cast("double"))))
@@ -2001,7 +2096,9 @@ object Embeddings {
   private def semDedupWithCodebook(embeddings: DataFrame, tau: Double,
                                    mkCodebook: DataFrame => DataFrame): DataFrame = {
     val q = quantized(embeddings)
-    val assign = ivfAssign(q, mkCodebook(q)).join(q, Seq("vec_id"))
+    // fused map-side assignment (r14): the old ivfAssign ⋈ q join-back
+    // only re-attached the qv/nrm columns the argmin projection keeps
+    val assign = ivfAssignFull(q, mkCodebook(q))
     val a = assign.select(col("c_id"), col("vec_id").as("ia"),
       col("qv").as("qa"), col("nrm").as("na"))
     val b = assign.select(col("c_id"), col("vec_id").as("ib"),

@@ -134,12 +134,18 @@ object EvalRegistry {
     * the streaming twin runs it unchanged per micro-batch.
     */
   def decontaminate(docs: DataFrame, registry: DataFrame): DataFrame = {
+    // per-doc DISTINCT hash set map-side (doc_id keys the corpus, so
+    // array_distinct within the row IS the distinct (doc, h) set — r14,
+    // guide §2.4): n_shared was countDistinct(h) per doc, which planned
+    // a dedup exchange; over the per-row-distinct frame a plain count
+    // of registry hits is the same number with no dedup machinery.
     val sh = docs
-      .select(col("doc_id"), explode(Exprs.shingles(toks, W)).as("s"))
-      .select(col("doc_id"), substring(md5(col("s")), 1, 16).as("h"))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(Exprs.shingles(toks, W),
+          s => substring(md5(s), 1, 16)))).as("h"))
     val hits = sh.join(broadcast(registry), "h")
       .groupBy("doc_id")
-      .agg(countDistinct(col("h")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
     docs.select("doc_id").join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
@@ -240,10 +246,12 @@ object EvalRegistry {
     */
   def decontaminateNear(docs: DataFrame, registryW3: DataFrame,
                         keepPct: Int = NearKeepPct): DataFrame = {
+    // per-doc distinct 3-gram hash set map-side (r14): the old explode →
+    // DISTINCT paid a corpus shuffle for a per-row set property
     val sh = docs
-      .select(col("doc_id"), explode(Exprs.shingles(toks, WNear)).as("s"))
-      .select(col("doc_id"), substring(md5(col("s")), 1, 16).as("h"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(
+        transform(Exprs.shingles(toks, WNear),
+          s => substring(md5(s), 1, 16)))).as("h"))
     val stats = sh
       .join(broadcast(registryW3.select(col("h"), lit(1).as("reg"))),
         Seq("h"), "left")

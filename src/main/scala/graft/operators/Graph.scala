@@ -407,15 +407,22 @@ object Graph {
           .join(lineageCut.withColumnRenamed("node", "nb"), col("b") === col("nb"))
           .groupBy(col("a"), col("label"))
           .agg(count(lit(1)).as("cnt"))
-        val mx = cnt.groupBy("a").agg(max(col("cnt")).as("mx"))
-        val next = cnt.join(mx, "a")
-          .filter(col("cnt") === col("mx"))
+        // most-frequent label, ties broken by the smallest hashed rank,
+        // as ONE struct-min aggregate (the knnClassify argmin pattern):
+        // min over (-cnt, 'md5(label):label') is lexicographically
+        // "max count, then min ranked" — bit-identical to the old
+        // max-count agg + join-back + min-ranked agg, with the per-round
+        // join and second aggregation exchange removed (r14, guide §2.4).
+        // The label rides after the fixed 32-hex + ':' prefix, so
+        // substr(34) recovers it exactly.
+        val next = cnt
+          .select(col("a"), struct((-col("cnt")).as("neg"),
+            concat(md5(col("label").cast("string")), lit(":"),
+              col("label").cast("string")).as("ranked")).as("v"))
           .groupBy(col("a").as("node"))
-          // min of 'md5(label):label'; the label rides after the fixed
-          // 32-hex + ':' prefix, so substr(34) recovers it exactly
-          .agg(min(concat(md5(col("label").cast("string")), lit(":"),
-            col("label").cast("string"))).as("ranked"))
-          .select(col("node"), expr("CAST(substr(ranked, 34) AS BIGINT)").as("label"))
+          .agg(min(col("v")).as("m"))
+          .select(col("node"),
+            expr("CAST(substr(m.ranked, 34) AS BIGINT)").as("label"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         next.count()
         if (stopOnFixpoint) {
