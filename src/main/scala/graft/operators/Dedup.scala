@@ -726,10 +726,13 @@ object Dedup {
     var persisted = canon(rawEdges).persist(StorageLevel.MEMORY_AND_DISK)
     var inflight: DataFrame = null
     try {
-      persisted.count()
+      // the previous round's edge count is remembered instead of
+      // re-counted from the cached frame each round (r14: one fewer job
+      // per round; the value cannot change — the frame is materialized)
+      var prevCount = persisted.count()
       var state = spark.createDataFrame(persisted.rdd, persisted.schema)
       var rounds = 0
-      var converged = state.isEmpty
+      var converged = prevCount == 0L
       while (!converged) {
         rounds += 1
         if (rounds > maxRounds)
@@ -740,8 +743,9 @@ object Dedup {
         val nextCount = next.count()
         // exact set-equality: both sides distinct, so equal counts + empty
         // anti-join means identical sets
-        converged = nextCount == persisted.count() &&
+        converged = nextCount == prevCount &&
           next.join(persisted, Seq("hi", "lo"), "left_anti").isEmpty
+        prevCount = nextCount
         persisted.unpersist(blocking = true)
         persisted = next
         inflight = null

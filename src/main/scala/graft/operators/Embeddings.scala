@@ -1239,6 +1239,16 @@ object Embeddings {
     * never data-proportional. cnrm is recomputed driver-side when the
     * frame lacks it.
     */
+  /** Past this many centroids the literal-projection argmin would bloat
+    * the plan (k expressions of Dim-long literal dots each — codegen and
+    * analysis cost grow with k), so the broadcast crossJoin + min_by
+    * aggregate — the shape [[semDedupScaled]] documents for its √n-sized
+    * codebooks — takes over. Every registered query's codebooks
+    * (NumCentroids = 16 coarse + 16-centroid PQ subspaces) stay on the
+    * literal path; only the scaled-k SemDeDup variant crosses this.
+    */
+  private val LiteralCentroidMax = 64
+
   private[operators] def centroidRows(cent: DataFrame): Array[(Long, Seq[Long], Long)] = {
     val cols = cent.columns
     val hasNrm = cols.contains("cnrm")
@@ -1265,7 +1275,7 @@ object Embeddings {
     */
   private[operators] def nearestCentroidId(qv: Column,
                                            cents: Array[(Long, Seq[Long], Long)]): Column = {
-    val scores = array(cents.map { case (_, cqv, cnrm) =>
+    val scores = array(cents.toIndexedSeq.map { case (_, cqv, cnrm) =>
       lit(cnrm) - lit(2L) * dot(qv, typedLit(cqv)) }: _*)
     element_at(typedLit(cents.map(_._1).toSeq),
       array_position(scores, array_min(scores)).cast("int"))
@@ -1282,7 +1292,7 @@ object Embeddings {
   private[operators] def nearestCids(qv: Column, cents: Array[(Long, Seq[Long], Long)],
                                      nProbe: Int): Column =
     transform(
-      slice(array_sort(array(cents.map { case (cid, cqv, cnrm) =>
+      slice(array_sort(array(cents.toIndexedSeq.map { case (cid, cqv, cnrm) =>
         struct((lit(cnrm) - lit(2L) * dot(qv, typedLit(cqv))).as("d2"),
           lit(cid).as("c_id")) }: _*)), 1, nProbe),
       s => s.getField("c_id"))
@@ -1319,7 +1329,11 @@ object Embeddings {
       trainCodebook(q, iters, trainMod, k)
     }
 
-  private def trainCodebook(q: DataFrame, iters: Int, trainMod: Long, k: Int): DataFrame = {
+  private def trainCodebook(q: DataFrame, iters: Int, trainMod: Long, k: Int): DataFrame =
+    if (k <= LiteralCentroidMax) trainCodebookLiteral(q, iters, trainMod, k)
+    else trainCodebookBroadcast(q, iters, trainMod, k)
+
+  private def trainCodebookLiteral(q: DataFrame, iters: Int, trainMod: Long, k: Int): DataFrame = {
     // Only qv survives into the training frame: the argmin is a literal-
     // centroid projection, so neither vec_id nor nrm is ever read again
     // (guide §2.3 — project before you persist/shuffle).
@@ -1372,6 +1386,63 @@ object Embeddings {
     } finally train.unpersist(blocking = true)
   }
 
+  /** The pre-r14 broadcast-centroid training loop, kept verbatim as the
+    * large-k path (see [[LiteralCentroidMax]] — [[semDedupScaled]]'s
+    * √n-sized codebooks): identical arithmetic, tie-breaks and
+    * floor-means, with the centroids as a broadcast relation instead of
+    * plan literals.
+    */
+  private def trainCodebookBroadcast(q: DataFrame, iters: Int, trainMod: Long, k: Int): DataFrame = {
+    val train = q.filter(col("vec_id") % trainMod === 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cent = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("qv").as("cqv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // The finally block releases whatever is persisted at failure time
+    // (including a half-materialized iteration frame), so a mid-training
+    // Spark failure can't orphan cached frames the registry doesn't know
+    // about (zero-orphaned-caches invariant).
+    var inflight: DataFrame = null
+    try {
+    cent.count() // materialize before the loop so unpersist order is safe
+    for (_ <- 1 to iters) {
+      val c = cent.withColumn("cnrm", dot(col("cqv"), col("cqv")))
+      // argmin as a min_by hash aggregate (tie-break on centroid id) —
+      // partial-agg friendly, no per-vector sort window.
+      val assign = train.crossJoin(broadcast(c))
+        .withColumn("d2", col("nrm") - lit(2L) * dot(col("qv"), col("cqv")) + col("cnrm"))
+        .groupBy("vec_id")
+        .agg(
+          min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("c_id"),
+          first(col("qv")).as("qv"))
+      val means = assign
+        .select(col("c_id"), posexplode(col("qv")))
+        .groupBy("c_id", "pos")
+        .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("m"))
+        .groupBy("c_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("new_cqv"))
+      val next = cent.join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("new_cqv"), col("cqv")).as("cqv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      inflight = next
+      next.count() // one corpus pass, same total work as lazy chaining
+      cent.unpersist(blocking = true)
+      cent = next
+      inflight = null
+    }
+    val codebook = cent.withColumn("cnrm", dot(col("cqv"), col("cqv")))
+    val rows = codebook.collect()
+    val schema = codebook.schema
+    q.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    } finally {
+      train.unpersist(blocking = true)
+      cent.unpersist(blocking = true)
+      if (inflight != null && (inflight ne cent)) inflight.unpersist(blocking = true)
+    }
+  }
+
   /** Vector→centroid assignment against a given codebook. Distance is
     * exact integer squared-L2: |v|² − 2·v·c + |c|²; argmin with the
     * centroid-id tie-break, computed as a pure map-side projection over
@@ -1379,17 +1450,37 @@ object Embeddings {
     * old broadcast-crossJoin + groupBy(vec_id) min_by, without its
     * full-payload exchange; r14, guide §2.4).
     */
-  def ivfAssign(q: DataFrame, cent: DataFrame): DataFrame =
-    q.select(col("vec_id"),
-      nearestCentroidId(col("qv"), centroidRows(cent)).as("c_id"))
+  def ivfAssign(q: DataFrame, cent: DataFrame): DataFrame = {
+    val rows = centroidRows(cent)
+    if (rows.length <= LiteralCentroidMax)
+      q.select(col("vec_id"),
+        nearestCentroidId(col("qv"), rows).as("c_id"))
+    else ivfAssignBroadcast(q, cent)
+  }
+
+  /** The pre-r14 broadcast-codebook argmin, kept as the large-k path
+    * (see [[LiteralCentroidMax]]): identical arithmetic and tie-break,
+    * one (vec_id)-keyed aggregate exchange.
+    */
+  private def ivfAssignBroadcast(q: DataFrame, cent: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cent))
+      .withColumn("d2", col("nrm") - lit(2L) * dot(col("qv"), col("cqv")) + col("cnrm"))
+      .groupBy("vec_id")
+      .agg(min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("c_id"))
 
   /** [[ivfAssign]] keeping the input's columns (q.* + c_id) — for
     * consumers that joined the assignment straight back to the vectors
     * (semDedup, the committed codes builds): the join-back only
-    * re-attached columns the map-side argmin never had to drop.
+    * re-attached columns the map-side argmin never had to drop. Large-k
+    * codebooks take the broadcast argmin + vec_id join-back (the
+    * pre-r14 shape).
     */
-  def ivfAssignFull(q: DataFrame, cent: DataFrame): DataFrame =
-    q.withColumn("c_id", nearestCentroidId(col("qv"), centroidRows(cent)))
+  def ivfAssignFull(q: DataFrame, cent: DataFrame): DataFrame = {
+    val rows = centroidRows(cent)
+    if (rows.length <= LiteralCentroidMax)
+      q.withColumn("c_id", nearestCentroidId(col("qv"), rows))
+    else q.join(ivfAssignBroadcast(q, cent), Seq("vec_id"))
+  }
 
   /** (vec_id, c_id, code_0..code_{PqM-1}) in ONE map-side pass — the
     * committed codes-table shape ([[AnnIndex]]) without the old
