@@ -283,6 +283,10 @@ object Analytics {
   /** B8: supplier volume by nation — nation (fixed 25 rows) broadcast;
     * supplier is SF-proportional (~10k rows/SF) so its join strategy is
     * the planner's call. Lineitem aggregated with partial combine.
+    * (r14 audit: a SINGLE countDistinct next to non-distinct aggs plans
+    * WITHOUT an Expand — Spark stacks a (n_name, s_suppkey)-keyed
+    * partial agg under the per-nation rollup natively, so the manual
+    * two-level rewrite produced a bit-identical plan and was dropped.)
     */
   def supplierVolume(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame =
     lineitem
@@ -531,18 +535,66 @@ object Analytics {
       |      AND o_orderdate < TIMESTAMP '1998-01-01')
       |GROUP BY o_custkey""".stripMargin
 
+  /** Exact per-group discrete quantiles from ONE (group, value) count
+    * aggregation — the multi-fraction replacement for stacking one
+    * `percentile_disc` aggregate per fraction (r14, guide §2.3). Each
+    * percentile_disc builds and serializes its OWN value→count map
+    * through the exchange and sorts it again at eval, so k fractions
+    * ship the same map k times; here the map crosses the shuffle once
+    * as (group, value, count) rows (map-side combined), is sorted once
+    * per group, and every fraction is picked from the same sorted array.
+    *
+    * The pick replicates Spark's `PercentileDisc.getPercentile`
+    * BIT-EXACTLY: position = N·fraction in IEEE doubles (N = non-null
+    * value count as long, l2d cast), rank = ceil(position) (d2l),
+    * result = smallest value whose cumulative count ≥ rank — the same
+    * `ceil`/compare the aggregate runs, so boundary rounding can never
+    * disagree. Null values are excluded from N and from the scan
+    * exactly as percentile_disc's buffer excludes them; `__n_rows`
+    * carries the all-rows count (what `count(1)` returns).
+    *
+    * Memory: per-group state is the distinct-value array — identical to
+    * percentile_disc's final eval map, ONE copy instead of k.
+    */
+  private[graft] def discQuantilePicks(
+      df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(Double, String)]): DataFrame = {
+    val vt = df.schema(valueCol).dataType
+    val counts = df
+      .groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val grouped = counts
+      .groupBy(col(groupCol))
+      .agg(
+        sort_array(collect_list(when(col("__v").isNotNull,
+          struct(col("__v"), col("__c"))))).as("__vc"),
+        sum(col("__c")).as("__n_rows"),
+        sum(when(col("__v").isNotNull, col("__c")).otherwise(0L)).as("__n"))
+    val picks = qs.map { case (p, name) =>
+      val rank = ceil(col("__n").cast("double") * lit(p))
+      aggregate(col("__vc"),
+        struct(lit(0L).as("cum"), lit(null).cast(vt).as("pick")),
+        (acc, x) => {
+          val cum = acc.getField("cum") + x.getField("__c")
+          struct(cum.as("cum"),
+            coalesce(acc.getField("pick"),
+              when(cum >= rank, x.getField("__v"))).as("pick"))
+        }).getField("pick").as(name)
+    }
+    grouped.select(col(groupCol) +: col("__n_rows") +: picks: _*)
+  }
+
   /** B10: exact per-group quantiles — median and p90 order value per
-    * priority class. One `percentile_disc` aggregate per group (same
-    * boundary rule as DuckDB `quantile_disc`, probed); partial-agg
-    * memory ∝ distinct values per group.
+    * priority class. Same boundary rule as DuckDB `quantile_disc`
+    * (probed); computed via [[discQuantilePicks]] — one (group, value)
+    * count map through the shuffle instead of one percentile_disc
+    * buffer per fraction, partial-agg memory still ∝ distinct values
+    * per group.
     */
   def groupQuantiles(orders: DataFrame): DataFrame =
-    orders
-      .groupBy("o_orderpriority")
-      .agg(
-        count(lit(1)).as("n"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"))
+    discQuantilePicks(orders, "o_orderpriority", "o_totalprice",
+      Seq(0.5 -> "p50", 0.9 -> "p90"))
+      .withColumnRenamed("__n_rows", "n")
 
   val groupQuantilesSql: String =
     """SELECT o_orderpriority, count(*) AS n,
@@ -558,14 +610,14 @@ object Analytics {
     * at 100 TB the cost is the percentile agg plus a map-side clip.
     * `percentile_disc` is an exact order statistic (an element of the
     * input, not an interpolation), so both engines pick bit-identical
-    * bounds.
+    * bounds; both bounds come off ONE count map via
+    * [[discQuantilePicks]] instead of two independent percentile
+    * buffers.
     */
   def winsorize(orders: DataFrame): DataFrame = {
-    val bounds = orders
-      .groupBy("o_orderstatus")
-      .agg(
-        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)").as("lo"),
-        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)").as("hi"))
+    val bounds = discQuantilePicks(orders, "o_orderstatus", "o_totalprice",
+      Seq(0.05 -> "lo", 0.95 -> "hi"))
+      .drop("__n_rows")
     orders
       .join(broadcast(bounds), "o_orderstatus")
       .select(
@@ -1443,26 +1495,35 @@ object Analytics {
     * Q21 is EXISTS(another supplier) AND NOT EXISTS(another late
     * supplier) via two lineitem self-joins; with no commit/receipt dates
     * the blame signal is the return flag, and the scale-correct
-    * re-expression collapses both correlated subqueries into ONE
-    * per-order aggregate — distinct-supplier count, distinct-returning-
-    * supplier count, and the sole culprit key (max over a single-element
-    * set) — so the fact is scanned once and never self-joined. Orders
-    * prune to status 'F' before the join; top-k over the per-supplier
-    * counts is sort+limit (TakeOrderedAndProject) on the unique
-    * (numwait desc, suppkey) total order, and the supplier dim joins
-    * only k rows.
+    * re-expression collapses both correlated subqueries into per-order
+    * aggregation — distinct-supplier count, distinct-returning-supplier
+    * count, and the sole culprit key (max over a single-element set) —
+    * so the fact is scanned once and never self-joined. The two distinct
+    * aggregates run as two stacked hash aggs (per (order, supplier) with
+    * a returned-row flag, then per order) rather than multi-distinct in
+    * one agg: Spark plans the latter via Expand, tripling the rows into
+    * the exchange, where the stacked form ships each distinct pair once
+    * (r14; both shapes are the same arithmetic — ns counts the pair
+    * groups, nr the flagged ones, culprit maxes the flagged suppkey).
+    * Orders prune to status 'F' before the join; top-k over the
+    * per-supplier counts is sort+limit (TakeOrderedAndProject) on the
+    * unique (numwait desc, suppkey) total order, and the supplier dim
+    * joins only k rows.
     */
   def waitingSuppliers(lineitem: DataFrame, orders: DataFrame,
                        supplier: DataFrame, k: Int = 25): DataFrame = {
     val isRet = col("l_returnflag") === "R"
-    val perOrder = lineitem
+    val perPair = lineitem
       .join(orders.filter(col("o_orderstatus") === "F").select("o_orderkey"),
         col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(isRet).as("ret"))
+    val perOrder = perPair
       .groupBy("l_orderkey")
       .agg(
-        countDistinct(col("l_suppkey")).as("ns"),
-        countDistinct(when(isRet, col("l_suppkey"))).as("nr"),
-        max(when(isRet, col("l_suppkey"))).as("culprit"))
+        count(lit(1)).as("ns"),
+        count(when(col("ret"), lit(1))).as("nr"),
+        max(when(col("ret"), col("l_suppkey"))).as("culprit"))
       .filter(col("ns") >= 2 && col("nr") === 1)
     perOrder
       .groupBy("culprit")

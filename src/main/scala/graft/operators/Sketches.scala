@@ -63,17 +63,25 @@ object Sketches {
     * one, hence safe to oracle as TRUE.
     */
   def approxOrderQuantiles(orders: DataFrame, accuracy: Int = 1000): DataFrame = {
-    def exact(q: Double) =
-      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY o_totalprice)")
     val eps = 0.01
-    orders
+    // The six exact order statistics come off ONE (status, value) count
+    // map ([[Analytics.discQuantilePicks]] — bit-exact percentile_disc
+    // pick rule) instead of six independent percentile buffers each
+    // serializing the same map through the exchange (r14, guide §2.3);
+    // the approx summary still consumes raw rows (a sketch cannot be
+    // built from pre-counted values through the public API), sharing
+    // that agg with the all-rows count. Both sides are group-cardinality
+    // frames, so the re-attach join is broadcast-sized.
+    val exact = Analytics.discQuantilePicks(orders, "o_orderstatus", "o_totalprice",
+      Seq(0.5 -> "p50", 0.9 -> "p90",
+        (0.5 - eps) -> "p50_lo", (0.5 + eps) -> "p50_hi",
+        (0.9 - eps) -> "p90_lo", (0.9 + eps) -> "p90_hi"))
+    val sketch = orders
       .groupBy("o_orderstatus")
       .agg(
         count(lit(1)).as("n"),
-        exact(0.5).as("p50"), exact(0.9).as("p90"),
-        exact(0.5 - eps).as("p50_lo"), exact(0.5 + eps).as("p50_hi"),
-        exact(0.9 - eps).as("p90_lo"), exact(0.9 + eps).as("p90_hi"),
         expr(s"approx_percentile(o_totalprice, array(0.5, 0.9), $accuracy)").as("ap"))
+    exact.join(broadcast(sketch), "o_orderstatus")
       .select(col("o_orderstatus"), col("n"), col("p50"), col("p90"),
         (col("ap")(0) >= col("p50_lo") && col("ap")(0) <= col("p50_hi"))
           .as("p50_within_bound"),

@@ -2322,7 +2322,9 @@ object TextOps {
     * (1 − distinct texts / docs). Exact count-distinct compiles to
     * Spark's standard two-phase hash agg: partial distinct on
     * (source, fp) map-side, then the per-source rollup — both keyed
-    * shuffles, nothing vocabulary- or corpus-wide in one task.
+    * shuffles, nothing vocabulary- or corpus-wide in one task. (r14
+    * audit: a single countDistinct plans without an Expand, so the
+    * manual stacked-agg rewrite was a plan no-op and was dropped.)
     */
   def dupRateBySource(documents: DataFrame): DataFrame =
     documents
@@ -2384,17 +2386,27 @@ object TextOps {
 
   /** Strip lines whose frequency (in `freq`: fp → ndocs) reaches
     * `minDocs` and reassemble each document in original order.
+    *
+    * Only the BOILERPLATE fps (ndocs ≥ minDocs) join: a line keeps its
+    * document either way, so below-threshold rows of `freq` carry no
+    * information and a left join against the filtered set is the same
+    * relation as the inner join against all of it (r14, guide §2.3/§3.2
+    * — the join's build side shrinks from every distinct line in the
+    * corpus to just the repeated ones, which is what lets the planner
+    * broadcast it instead of shuffling the full line payload by fp).
     */
   def stripBoilerplate(lines: DataFrame, freq: DataFrame, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, "stripBoilerplate: need minDocs >= 2")
-    val kept = when(col("ndocs") < minDocs, struct(col("pos"), col("line")))
+    val boiler = freq.filter(col("ndocs") >= minDocs).select("fp")
+      .withColumn("is_boiler", lit(true))
+    val kept = when(col("is_boiler").isNull, struct(col("pos"), col("line")))
     lines
-      .join(freq, "fp")
+      .join(boiler, Seq("fp"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("lines_total"),
-        sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)).as("lines_removed"),
-        coalesce(sum(when(col("ndocs") < minDocs,
+        sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L)).as("lines_removed"),
+        coalesce(sum(when(col("is_boiler").isNull,
           size(split(col("line"), " ")).cast("long"))), lit(0L)).as("n_tok_after"),
         // collect_list drops the nulls from the unmatched `when`, so only
         // kept lines survive; array_sort on (pos, line) structs restores

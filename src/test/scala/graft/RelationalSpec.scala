@@ -228,4 +228,36 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = Analytics.largeOrders(li, o, c, minQty = 100.0, k = 20).collect()
     assert(rows.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
   }
+
+  test("discQuantilePicks == percentile_disc value for value, incl. boundary group sizes") {
+    import spark.implicits._
+    // Group sizes 100 and 20 make q·n integral in exact arithmetic while
+    // double(q)·n lands just off the integer (0.05·100, 0.55·20, 0.9·20)
+    // — the rank is where the count-map pick could diverge from the
+    // aggregate if it rounded differently, so pin it on exactly those
+    // sizes. Duplicated values, a null, and a singleton group cover the
+    // remaining edges (ties in the count map, null exclusion from N).
+    val rows: Seq[(String, Option[Double])] =
+      (1 to 100).map(i => ("a", Some(i.toDouble))) ++
+        (1 to 20).map(i => ("b", Some((i % 7).toDouble))) ++
+        Seq(("c", Some(42.0)), ("b", None))
+    val df = rows.toDF("g", "v")
+    val qs = Seq(0.05, 0.07, 0.5, 0.55, 0.9, 0.95, 1.0)
+    val picks = Analytics
+      .discQuantilePicks(df, "g", "v",
+        qs.zipWithIndex.map { case (q, i) => q -> s"p$i" })
+      .collect().map(r => r.getString(0) -> r).toMap
+    val aggCols = qs.zipWithIndex.map { case (q, i) =>
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY v)").as(s"e$i")
+    }
+    val ref = df.groupBy("g").agg(count(lit(1)).as("n"), aggCols: _*)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(ref.keySet == Set("a", "b", "c"))
+    ref.keys.foreach { g =>
+      assert(picks(g).getLong(1) == ref(g).getLong(1), s"$g: __n_rows vs count(1)")
+      qs.indices.foreach { i =>
+        assert(picks(g).getDouble(2 + i) == ref(g).getDouble(2 + i), s"$g q=${qs(i)}")
+      }
+    }
+  }
 }
