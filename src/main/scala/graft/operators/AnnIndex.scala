@@ -817,23 +817,29 @@ object AnnIndex {
         (0 until PqM).map(m => col(s"code_$m")): _*)
 
   /** ADC score columns against the loaded codebooks: approx dot =
-    * Σ_m dot(query-subspace_m, centroid_m[code_m]), reconstructed norm
-    * = Σ_m centroid-norm_m[code_m] — identical expressions to
-    * [[Embeddings.annIvfPq]]'s, with the codebooks coming from the
+    * Σ_m table_m[code_m] over the per-probe ADC lookup tables
+    * (`adc_0..adc_{PqM−1}`, built by [[adcTablesFor]] — the same
+    * integer dots the inline form computed, precomputed once per probe;
+    * see [[Embeddings.adcTable]]), reconstructed norm =
+    * Σ_m centroid-norm_m[code_m] — with the codebooks coming from the
     * artifact instead of the training run.
     */
-  private[graft] def adcColsFor(ix: Loaded, qqv: org.apache.spark.sql.Column) = {
-    val centArr = (0 until PqM).map(m => typedLit(ix.cent(m)))
+  private[graft] def adcColsFor(ix: Loaded) = {
     val cnrmArr = (0 until PqM).map(m => typedLit(ix.cnrm(m)))
     val adot = (0 until PqM).map { m =>
-      Exprs.dotLong(slice(qqv, m * PqSubDim + 1, PqSubDim),
-        element_at(centArr(m), col(s"code_$m").cast("int") + 1))
+      element_at(col(s"adc_$m"), col(s"code_$m").cast("int") + 1)
     }.reduce(_ + _)
     val anrm = (0 until PqM).map { m =>
       element_at(cnrmArr(m), col(s"code_$m").cast("int") + 1)
     }.reduce(_ + _)
     (adot, anrm)
   }
+
+  /** The PqM per-probe ADC lookup-table columns for [[adcColsFor]],
+    * from the committed codebooks. */
+  private[graft] def adcTablesFor(ix: Loaded, qqv: org.apache.spark.sql.Column) =
+    (0 until PqM).map(m =>
+      Embeddings.adcTable(qqv, m, ix.cent(m).toIndexedSeq).as(s"adc_$m"))
 
   /** Serve C7e from the COMMITTED index: identical routing (coarse
     * probe lists), ADC shortlist, and exact-cosine refine as
@@ -896,12 +902,17 @@ object AnnIndex {
     // NProbe nearest lists per probe as a map-side array over the
     // loaded centroid constants — the old crossJoin + routing-rank
     // window collapsed into codegen (r14, same rewrite as the
-    // in-session chain)
+    // in-session chain); ADC lookup tables built per probe BEFORE the
+    // explode, the probe row shedding q_qv (see Embeddings.adcTable)
     val probeLists = probes
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
         col("nrm").as("q_nrm"),
-        explode(Embeddings.nearestCids(col("qv"), ix.coarse, NProbe)).as("c_id"))
-    val (adot, anrm) = adcColsFor(ix, col("q_qv"))
+        Embeddings.nearestCids(col("qv"), ix.coarse, NProbe).as("cids"))
+      .select(Seq(col("q_id"), col("q_nrm"), col("cids")) ++
+        adcTablesFor(ix, col("q_qv")): _*)
+      .select(Seq(col("q_id"), col("q_nrm"), explode(col("cids")).as("c_id")) ++
+        (0 until PqM).map(m => col(s"adc_$m")): _*)
+    val (adot, anrm) = adcColsFor(ix)
     codesWith(spark, path, p)
       .join(broadcast(probeLists), Seq("c_id"))
       .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))

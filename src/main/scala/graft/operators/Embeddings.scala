@@ -1297,6 +1297,28 @@ object Embeddings {
           lit(cid).as("c_id")) }: _*)), 1, nProbe),
       s => s.getField("c_id"))
 
+  /** Per-probe ADC lookup table for PQ subspace `m`: the exact integer
+    * dot of the query's m-th subspace against EVERY centroid of that
+    * subspace's codebook, in code order — the classic PQ
+    * asymmetric-distance table, computed ONCE per probe row so the
+    * per-candidate score is `element_at(table, code+1)` instead of a
+    * sliced PqSubDim-dim dot product per (probe, candidate) pair (r14:
+    * k·PqM integer dots per probe replace PqM dots + PqM slice
+    * allocations per pair — a ~list-occupancy-fold per-pair compute
+    * reduction on the side that is corpus × NProbe at scale). The table
+    * entry IS the value the inline dot computed (same `DotLong` over
+    * the same longs), so every downstream score is bit-identical; the
+    * probe row sheds `q_qv` once its tables are built, so the
+    * probe-side shuffle/broadcast payload is unchanged (PqM·k = Dim
+    * longs either way). Centroid vectors are plan-build-time
+    * `litLongArray` literals, never a typedLit re-converted per row.
+    */
+  private[operators] def adcTable(qqv: Column, m: Int,
+                                  cents: IndexedSeq[Seq[Long]]): Column =
+    array(cents.map { cqv =>
+      dot(slice(qqv, m * PqSubDim + 1, PqSubDim), Exprs.litLongArray(cqv))
+    }: _*)
+
   /** Trained codebook: deterministic Lloyd's k-means — init = first
     * NumCentroids vectors, KmeansIters fixed iterations of
     * assign-to-nearest (exact integer squared-L2, centroid-id tie-break)
@@ -1650,13 +1672,16 @@ object Embeddings {
       require(rows.map(_._1).toSeq == (0 until NumCentroids).map(_.toLong),
         "annPq: codebook c_ids must be contiguous 0..NumCentroids-1 for array indexing")
     }
-    val centArr = cbRows.map(rows => typedLit(rows.map(_._2).toSeq))
     val cnrmArr = cbRows.map(rows => typedLit(rows.map(_._3).toSeq))
+    // per-probe ADC lookup tables (see adcTable): candidates pay 4 array
+    // lookups per pair instead of 4 sliced subspace dots; the probe
+    // sheds q_qv once the tables are built (same broadcast bytes)
     val probes = q.filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+      .select(Seq(col("vec_id").as("q_id"), col("nrm").as("q_nrm")) ++
+        (0 until PqM).map(m =>
+          adcTable(col("qv"), m, cbRows(m).map(_._2).toIndexedSeq).as(s"adc_$m")): _*)
     val adot = (0 until PqM).map { m =>
-      dot(slice(col("q_qv"), m * PqSubDim + 1, PqSubDim),
-        element_at(centArr(m), col(s"code_$m").cast("int") + 1))
+      element_at(col(s"adc_$m"), col(s"code_$m").cast("int") + 1)
     }.reduce(_ + _)
     val anrm = (0 until PqM).map { m =>
       element_at(cnrmArr(m), col(s"code_$m").cast("int") + 1)
@@ -1938,7 +1963,6 @@ object Embeddings {
       require(rows.map(_._1).toSeq == (0 until NumCentroids).map(_.toLong),
         "annIvfPq: codebook c_ids must be contiguous 0..NumCentroids-1 for array indexing")
     }
-    val centArr = cbRows.map(rows => typedLit(rows.map(_._2).toSeq))
     val cnrmArr = cbRows.map(rows => typedLit(rows.map(_._3).toSeq))
     // Coarse assignment and the PqM codes are ALL literal-codebook
     // map-side projections over the same row (r14): the old
@@ -1948,13 +1972,21 @@ object Embeddings {
     // array_sort + slice over the 16 literal centroids.
     val assignCodes = ivfPqCodes(q, coarse, cbs)
     val coarseRows = centroidRows(coarse)
+    // per-probe ADC lookup tables (see adcTable), built BEFORE the
+    // NProbe explode so each probe computes them once; the probe row
+    // sheds q_qv, so probe-side shuffle/broadcast bytes are unchanged
     val probeLists = probeVecs(q)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
         col("nrm").as("q_nrm"),
-        explode(nearestCids(col("qv"), coarseRows, NProbe)).as("c_id"))
+        nearestCids(col("qv"), coarseRows, NProbe).as("cids"))
+      .select(Seq(col("q_id"), col("q_nrm"), col("cids")) ++
+        (0 until PqM).map(m =>
+          adcTable(col("q_qv"), m, cbRows(m).map(_._2).toIndexedSeq).as(s"adc_$m")): _*)
+      .select(Seq(col("q_id"), col("q_nrm"),
+        explode(col("cids")).as("c_id")) ++
+        (0 until PqM).map(m => col(s"adc_$m")): _*)
     val adot = (0 until PqM).map { m =>
-      dot(slice(col("q_qv"), m * PqSubDim + 1, PqSubDim),
-        element_at(centArr(m), col(s"code_$m").cast("int") + 1))
+      element_at(col(s"adc_$m"), col(s"code_$m").cast("int") + 1)
     }.reduce(_ + _)
     val anrm = (0 until PqM).map { m =>
       element_at(cnrmArr(m), col(s"code_$m").cast("int") + 1)

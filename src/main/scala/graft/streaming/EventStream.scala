@@ -335,13 +335,20 @@ object EventStream {
       .select(col("query_id"),
         transform(col("embedding"), x => round(x.cast("double") * 1000, 0).cast("long")).as("q_qv"))
       .withColumn("q_nrm", graft.functions.Exprs.dotLong(col("q_qv"), col("q_qv")))
-      .withColumn("probe", explode(slice(array_sort(
+      .withColumn("cids", slice(array_sort(
         transform(coarseLit, c => struct(
           (col("q_nrm") - lit(2L) * graft.functions.Exprs.dotLong(col("q_qv"), c.getField("cqv"))
             + c.getField("cnrm")).as("d2"),
-          c.getField("c_id").as("c_id")))), 1, Embeddings.NProbe)))
-      .select(col("query_id"), col("q_qv"), col("q_nrm"), col("probe.c_id").as("c_id"))
-    val (adot, anrm) = AnnIndex.adcColsFor(ix, col("q_qv"))
+          c.getField("c_id").as("c_id")))), 1, Embeddings.NProbe))
+      // per-query ADC lookup tables BEFORE the probe explode — the
+      // candidate score is then an array lookup per (query, code) pair
+      // and the query row sheds q_qv (r14; see Embeddings.adcTable)
+      .select(Seq(col("query_id"), col("q_nrm"), col("cids")) ++
+        AnnIndex.adcTablesFor(ix, col("q_qv")): _*)
+      .withColumn("probe", explode(col("cids")))
+      .select(Seq(col("query_id"), col("q_nrm"), col("probe.c_id").as("c_id")) ++
+        (0 until graft.operators.Embeddings.PqM).map(m => col(s"adc_$m")): _*)
+    val (adot, anrm) = AnnIndex.adcColsFor(ix)
     qStream
       .join(codes, Seq("c_id"))
       .select(col("query_id"), col("vec_id").as("n_id"),
